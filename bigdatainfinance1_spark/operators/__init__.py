@@ -1,0 +1,6 @@
+"""Operator modules. Importing this package registers every query in the
+central registry (bigdatainfinance1_spark.registry.QUERIES)."""
+
+from bigdatainfinance1_spark.operators import (  # noqa: F401
+    pricing,
+)

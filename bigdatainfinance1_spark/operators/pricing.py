@@ -1,0 +1,65 @@
+"""Flagship query: TPC-H-Q1-shaped pricing summary (SURVEY.md §7 M0).
+
+Scan → filter (pushed to parquet) → hash group-by with 8 aggregates → sort.
+Everything stays inside whole-stage codegen; the only shuffle is the group-by
+exchange on (l_returnflag, l_linestatus) — 6 groups, so the partial (map-side)
+aggregation reduces ~all rows before the exchange. This shape scales linearly:
+at 100 TB the scan dominates and the shuffle stays tiny.
+
+Float policy: money is double (FIXTURES.md); sums are rounded to 2 decimals
+and averages to 4 in BOTH the Spark plan and the oracle SQL so that the
+driver's value-hash is insensitive to summation order (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+CUTOFF = "1998-09-02 00:00:00"
+
+
+@query(
+    "q_pricing_summary",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2)                                        AS sum_qty,
+      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      round(avg(l_quantity), 4)                                        AS avg_qty,
+      round(avg(l_extendedprice), 4)                                   AS avg_price,
+      round(avg(l_discount), 4)                                        AS avg_disc,
+      count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+P1+F2: multi-aggregate pricing summary over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

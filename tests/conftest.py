@@ -1,0 +1,74 @@
+"""Shared fixtures: one SparkSession per test run, a DuckDB connection with
+the oracle's views pre-registered, and a strict Spark-vs-DuckDB comparator
+that mimics the driver's gate (row-count + schema-name + order-insensitive
+value comparison)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from bigdatainfinance1_spark.session import get_spark
+from bigdatainfinance1_spark.sources.catalog import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_001 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark(app_name="bigdatainfinance1_spark-tests")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, then rows by all columns — order-insensitive."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def assert_frames_match(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str) -> None:
+    assert sorted(spark_df.columns) == sorted(duck_df.columns), (
+        f"{name}: column names differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
+    )
+    assert len(spark_df) == len(duck_df), (
+        f"{name}: row counts differ: spark={len(spark_df)} duck={len(duck_df)}"
+    )
+    s = canonicalize(spark_df)
+    d = canonicalize(duck_df)
+    for col in s.columns:
+        sv, dv = list(s[col]), list(d[col])
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            # timestamps: normalize to pandas Timestamp (ns) both sides
+            if isinstance(a, pd.Timestamp) or isinstance(b, pd.Timestamp):
+                a, b = pd.Timestamp(a), pd.Timestamp(b)
+            assert _values_equal(a, b), (
+                f"{name}: value mismatch col={col} row={i}: spark={a!r} duck={b!r}"
+            )

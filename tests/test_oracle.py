@@ -1,0 +1,30 @@
+"""The local pre-gate: every registered query with an oracle is hash-checked
+against DuckDB on the same parquet files, exactly like the driver's t2 gate
+(row-count + schema names + order-insensitive strict value equality)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatainfinance1_spark.registry import load_all_queries
+from tests.conftest import SF_DIR, assert_frames_match
+
+SPECS = load_all_queries()
+WITH_ORACLE = sorted(name for name, s in SPECS.items() if s.oracle is not None)
+ROWS_ONLY = sorted(name for name, s in SPECS.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, duck, name):
+    spec = SPECS[name]
+    spark_pdf = spec.fn(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(spec.oracle).df()
+    assert_frames_match(spark_pdf, duck_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
