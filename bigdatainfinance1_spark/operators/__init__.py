@@ -2,5 +2,8 @@
 central registry (bigdatainfinance1_spark.registry.QUERIES)."""
 
 from bigdatainfinance1_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
     pricing,
+    relational,
 )

@@ -1,0 +1,308 @@
+"""Aggregation surface: global / grouped / distinct / approx / percentile /
+statistical / rollup / cube / pivot / collect (SURVEY.md §2.4).
+
+Scale notes: every groupBy here relies on Catalyst's partial (map-side)
+aggregation, so the shuffle carries one row per (partition × group), not per
+input row. Distinct aggregates rewrite to a two-phase expand+agg plan;
+`approx_count_distinct` (HLL) is the 100 TB-posture variant that carries a
+constant-size sketch instead. Percentiles: exact `percentile` needs a sort
+per group — fine for bounded groups; `percentile_approx` (KLL-ish sketch) is
+the unbounded-cardinality alternative (rows-only checked, since sketches are
+engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+
+@query(
+    "q_global_agg",
+    oracle="""
+    SELECT
+      count(*)                       AS n_rows,
+      count(DISTINCT l_orderkey)     AS n_orders,
+      round(sum(l_quantity), 2)      AS total_qty,
+      round(min(l_extendedprice), 2) AS min_price,
+      round(max(l_extendedprice), 2) AS max_price,
+      min(l_shipdate)                AS first_ship,
+      max(l_shipdate)                AS last_ship
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3: global (no-group) aggregation with a distinct count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@query(
+    "q_distinct_agg_monthly",
+    oracle="""
+    SELECT
+      date_trunc('month', o_orderdate) AS order_month,
+      count(DISTINCT o_custkey)        AS n_custs,
+      count(*)                         AS n_orders,
+      round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY order_month
+    """,
+    tags=("agg",),
+)
+def distinct_agg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-month distinct-customer counts (expand+two-phase agg plan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query("q_approx_distinct", oracle=None, tags=("agg", "approx"))
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: HyperLogLog distinct counts — the constant-memory sketch used
+    instead of exact distinct at 100 TB. Rows-only (sketch estimates are
+    engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+    )
+
+
+@query("q_approx_percentile", oracle=None, tags=("agg", "approx"))
+def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (approx tier): sketch-based percentiles for unbounded groups."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("p95_approx"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+      round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+      round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      round(median(o_totalprice), 4)              AS med
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (exact tier): linear-interpolated percentiles per priority
+    (Spark `percentile` ≡ DuckDB `quantile_cont`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+    )
+
+
+@query(
+    "q_stats_volatility",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(stddev_samp(l_extendedprice), 2)       AS price_std,
+      round(avg(l_extendedprice), 4)               AS price_mean,
+      round(corr(l_quantity, l_extendedprice), 6)  AS qty_price_corr,
+      round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def stats_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: volatility & correlation statistics per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_std"),
+        F.round(F.avg("l_extendedprice"), 4).alias("price_mean"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
+@query(
+    "q_rollup_revenue",
+    oracle="""
+    SELECT
+      coalesce(r.r_name, 'ALL')                             AS region_name,
+      coalesce(n.n_name, 'ALL')                             AS nation_name,
+      CAST(grouping(r.r_name) * 2 + grouping(n.n_name) AS BIGINT) AS gid,
+      round(sum(o.o_totalprice), 2)                         AS revenue,
+      count(*)                                              AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+    tags=("agg", "olap"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: ROLLUP subtotal lattice (region → nation → grand total) with a
+    grouping id; null group keys coalesced to 'ALL' for a dialect-stable
+    representation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "gid",
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "q_cube_orders",
+    oracle="""
+    SELECT
+      coalesce(o_orderstatus, 'ALL')   AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      count(*)                         AS n_orders,
+      round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "olap"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: CUBE over status × priority (all 4 subtotal combinations)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+    )
+
+
+@query(
+    "q_pivot_status",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+      sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+      sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "olap"),
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: pivot priority × status into a count matrix. Explicit pivot values
+    keep the plan single-pass (no extra distinct-values job)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_p"),
+    )
+
+
+@query(
+    "q_collect_set_events",
+    oracle="""
+    SELECT
+      user_id,
+      string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+      count(DISTINCT event_type)                               AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "events"),
+)
+def collect_set_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: per-user collected set, sorted then serialized so the value is
+    deterministic and dialect-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("event_types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@query(
+    "q_conditional_agg",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      count(*)                                                              AS n_orders,
+      sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)         AS n_urgent,
+      round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2)
+                                                                            AS urgent_total,
+      round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END)
+            / sum(o_totalprice), 6)                                         AS urgent_share
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: sum(CASE WHEN …) share-of-segment metrics."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_urgent = F.col("o_orderpriority") == "1-URGENT"
+    urgent_price = F.when(is_urgent, F.col("o_totalprice")).otherwise(F.lit(0.0))
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(is_urgent, 1).otherwise(0)).alias("n_urgent"),
+        F.round(F.sum(urgent_price), 2).alias("urgent_total"),
+        F.round(F.sum(urgent_price) / F.sum("o_totalprice"), 6).alias("urgent_share"),
+    )

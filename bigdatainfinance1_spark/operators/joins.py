@@ -1,0 +1,329 @@
+"""Join surface: equi / broadcast / outer / semi / anti / cross / range /
+as-of / self joins (SURVEY.md §2.3).
+
+Scale notes: the star schema's dimensions (region 5 … customer 15k rows at
+sf0.1) stay broadcastable at any scale factor — dimensions grow with the
+catalog, facts grow with time — so every fact⋈dim below pins `F.broadcast`
+and never shuffles the fact table. The only shuffling joins are fact⋈fact
+(orders⋈lineitem) and the events self-join, both hash-partitioned on their
+join key; AQE handles skew splitting at runtime.
+
+The as-of join is the union+window idiom: O(n log n) within each user
+partition, one shuffle, no range-join blowup — this is the formulation that
+survives 100 TB, unlike a naive non-equi join (O(n·m) per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+
+@query(
+    "q_star_join",
+    oracle="""
+    SELECT
+      r.r_name,
+      n.n_name,
+      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      count(*)                                              AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "flagship"),
+)
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2: five-table star join, dims broadcast so the lineitem fact is
+    shuffled exactly once (for the orders join) and aggregated map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_broadcast_dim_join",
+    oracle="""
+    SELECT
+      p.p_brand,
+      round(avg(l.l_extendedprice / p.p_retailprice), 6) AS avg_markup,
+      count(*)                                           AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("join",),
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: explicit broadcast of the part dimension — zero shuffle on the
+    fact side (map-side hash join + partial aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("p_retailprice")), 6).alias("avg_markup"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_outer_join",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      count(o.o_orderkey)                          AS n_orders,
+      round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spent
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer join keeping customers with no finished orders
+    (null-aware count + coalesced sum)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q_full_outer_join",
+    oracle="""
+    SELECT
+      count(*)                                        AS n_rows,
+      count(a.custkey)                                AS n_with_95,
+      count(b.custkey)                                AS n_with_96,
+      count(*) - count(a.custkey)                     AS only_96,
+      count(*) - count(b.custkey)                     AS only_95
+    FROM (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995) a
+    FULL OUTER JOIN
+         (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996) b
+      ON a.custkey = b.custkey
+    """,
+    tags=("join",),
+)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: full outer join — customer cohorts of 1995 vs 1996 with nulls on
+    both sides counted."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey")).distinct()
+    b = orders.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey_b")).distinct()
+    joined = a.join(b, a.custkey == b.custkey_b, "outer")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("custkey").alias("n_with_95"),
+        F.count("custkey_b").alias("n_with_96"),
+        (F.count(F.lit(1)) - F.count("custkey")).alias("only_96"),
+        (F.count(F.lit(1)) - F.count("custkey_b")).alias("only_95"),
+    )
+
+
+@query(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+    tags=("join",),
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left semi join (existence) — never duplicates the left side and
+    only ships the join key of the right side."""
+    cust = load_table(spark, sf_dir, "customer")
+    pend = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(pend, cust.c_custkey == pend.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+    tags=("join",),
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left anti join (absence) — customers with no pending orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    pend = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return cust.join(pend, cust.c_custkey == pend.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "q_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("join",),
+)
+def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: guarded cartesian of two tiny relations (5 × 3 rows). Only ever
+    cross-join provably tiny sides."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    statuses = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(statuses)
+
+
+@query(
+    "q_range_join_events",
+    oracle="""
+    SELECT
+      a.user_id,
+      count(*) AS n_pairs_5min
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+    tags=("join", "events"),
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: theta/range self-join — event pairs within 5 minutes per user.
+    The equi-key (user_id) carries the join; the range predicate is a
+    post-filter, so this stays a hash join, not a cartesian."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(F.col("user_id"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("user_id").alias("user_id_b"), F.col("ts").alias("ts_b"))
+    return (
+        a.join(
+            b,
+            (a.user_id == b.user_id_b)
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs_5min"))
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    SELECT
+      p.event_id,
+      p.user_id,
+      p.value            AS purchase_value,
+      b.value            AS last_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+    tags=("join", "events", "asof"),
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join — for each purchase, the most recent click at-or-before
+    it per user. Implemented with the union+ordered-window idiom (tag rows,
+    sort by (ts, is_probe) so a click at the exact probe ts wins, then
+    last(value, ignorenulls) over the running frame). One shuffle on user_id,
+    O(n log n) per partition — the formulation that scales, unlike a
+    non-equi range join. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("is_probe"),
+    )
+    base = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        probes.unionByName(base)
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id", "purchase_value", "last_click_value")
+    )
+
+
+@query(
+    "q_funnel_join",
+    oracle="""
+    SELECT
+      count(DISTINCT s.event_id) AS n_converted_signups,
+      count(*)                   AS n_signup_purchase_pairs
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id
+     AND p.ts > s.ts
+     AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+    tags=("join", "events"),
+)
+def funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: self-join funnel — signup→purchase conversion within 1 hour."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"), F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return pairs.agg(
+        F.countDistinct("s_event_id").alias("n_converted_signups"),
+        F.count(F.lit(1)).alias("n_signup_purchase_pairs"),
+    )

@@ -57,4 +57,6 @@ def ensure_session_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it as long.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

@@ -36,9 +36,22 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "par
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table; schema inferred from the parquet footer."""
+    """Load one table; schema inferred from the parquet footer.
+
+    `events.ts` is physically TIMESTAMP(NANOS), which Spark 4 refuses to map
+    to TimestampType. We read nanos as long (legacy conf) and truncate to a
+    microsecond timestamp — exactly what DuckDB does when it reads the same
+    file, so the oracle comparison stays bit-identical.
+    """
     ensure_session_conf(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
