@@ -6,4 +6,6 @@ from bigdatainfinance1_spark.operators import (  # noqa: F401
     joins,
     pricing,
     relational,
+    scalars,
+    windows,
 )

@@ -1,0 +1,341 @@
+"""Window-function surface: ranking, lag/lead, running totals, moving
+averages, range frames, first/last, distribution ranks, sessionization
+(SURVEY.md §2.5).
+
+Scale notes: every window here partitions by a high-cardinality key
+(customer, user, day) so state per partition is bounded; there is exactly one
+shuffle per window spec (hash on the partition key), and Spark sorts within
+partitions — no global sort. Determinism rule: every orderBy used under a
+ranking/row-frame function is a TOTAL order (unique tiebreak key appended),
+otherwise "first"/rank results are engine-dependent (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+MICROS_7D = 7 * 86400 * 1_000_000
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+
+
+_DAILY_REVENUE_SQL = """
+    SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+    FROM orders GROUP BY day
+"""
+
+
+@query(
+    "q_rank_top_customers",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal, rnk
+    FROM (
+      SELECT
+        n.n_name, c.c_custkey, c.c_acctbal,
+        CAST(row_number() OVER (
+          PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey ASC
+        ) AS BIGINT) AS rnk
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE rnk <= 3
+    """,
+    tags=("window",),
+)
+def rank_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+W2: top-3 customers per nation by balance (row_number over a total
+    order). row_number ≤ k pushes a per-partition top-k — no global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@query(
+    "q_ntile_quartiles",
+    oracle="""
+    SELECT
+      quartile,
+      count(*)                 AS n_custs,
+      round(avg(c_acctbal), 4) AS avg_bal,
+      round(min(c_acctbal), 2) AS min_bal,
+      round(max(c_acctbal), 2) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+      FROM customer
+    )
+    GROUP BY quartile
+    """,
+    tags=("window",),
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: quartile bucketing via ntile over a total order."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "q_lag_dod",
+    oracle=f"""
+    SELECT
+      day,
+      rev,
+      rev - lag(rev) OVER (ORDER BY day)                      AS dod_delta,
+      round((rev - lag(rev) OVER (ORDER BY day))
+            / nullif(lag(rev) OVER (ORDER BY day), 0.0), 6)   AS dod_pct
+    FROM ({_DAILY_REVENUE_SQL})
+    """,
+    tags=("window", "finance"),
+)
+def lag_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: day-over-day revenue delta and percent change (lag). The lag runs
+    on the already-aggregated daily series — tiny state, single partition is
+    fine here because days are bounded; at scale partition by year."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day")
+    prev = F.lag("rev").over(w)
+    return daily.select(
+        "day",
+        "rev",
+        (F.col("rev") - prev).alias("dod_delta"),
+        F.round((F.col("rev") - prev) / F.nullif(prev, F.lit(0.0)), 6).alias("dod_pct"),
+    )
+
+
+@query(
+    "q_running_total",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      round(sum(o_totalprice) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ), 2) AS cum_spend
+    FROM orders
+    """,
+    tags=("window", "finance"),
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: cumulative spend per customer over order date (total order via
+    orderkey tiebreak; prefix sums are order-deterministic in both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+@query(
+    "q_moving_avg",
+    oracle=f"""
+    SELECT
+      day,
+      rev,
+      round(avg(rev) OVER (
+        ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+      ), 4) AS ma7
+    FROM ({_DAILY_REVENUE_SQL})
+    """,
+    tags=("window", "finance"),
+)
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: 7-row moving average of daily revenue."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select("day", "rev", F.round(F.avg("rev").over(w), 4).alias("ma7"))
+
+
+@query(
+    "q_range_window_events",
+    oracle="""
+    SELECT
+      event_id,
+      user_id,
+      round(sum(value) OVER (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+      ), 4) AS value_7d,
+      CAST(count(*) OVER (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS n_7d
+    FROM events
+    """,
+    tags=("window", "events"),
+)
+def range_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: true event-time RANGE frame — trailing 7-day sum per user. Spark's
+    rangeBetween needs a numeric ordering key, so we order by epoch
+    microseconds; the frame [ts-7d, ts] is then identical to DuckDB's
+    INTERVAL range frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-MICROS_7D, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("value_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+    )
+
+
+@query(
+    "q_first_last_order",
+    oracle="""
+    SELECT DISTINCT
+      o_custkey,
+      first_value(o_totalprice) OVER w AS first_order_price,
+      last_value(o_totalprice) OVER w  AS last_order_price,
+      first_value(o_orderdate) OVER w  AS first_order_date,
+      last_value(o_orderdate) OVER w   AS last_order_date
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    tags=("window",),
+)
+def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: first/last value per key over an unbounded frame with a total
+    order (the snapshot/as-of substrate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_order_price"),
+        F.last("o_totalprice").over(w).alias("last_order_price"),
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.last("o_orderdate").over(w).alias("last_order_date"),
+    ).distinct()
+
+
+@query(
+    "q_percent_rank_suppliers",
+    oracle="""
+    SELECT
+      s_suppkey,
+      s_acctbal,
+      round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 6) AS pct_rank,
+      round(cume_dist() OVER (ORDER BY s_acctbal, s_suppkey), 6)    AS cume
+    FROM supplier
+    """,
+    tags=("window",),
+)
+def percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: distributional position of each supplier's balance."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return supp.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                  > 30 * 60 * 1000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT
+        user_id, ts, event_id,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT
+        user_id, session_id,
+        count(*) AS n_events,
+        (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS duration_s
+      FROM sessions
+      GROUP BY user_id, session_id
+    )
+    SELECT
+      user_id,
+      count(*)                     AS n_sessions,
+      round(avg(n_events), 4)      AS avg_session_events,
+      round(max(duration_s), 3)    AS max_session_duration_s
+    FROM per_session
+    GROUP BY user_id
+    """,
+    tags=("window", "events", "flagship"),
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: batch sessionization — gap > 30 min starts a new session
+    (lag → gap flag → running sum as session id → two-level aggregation).
+    One shuffle on user_id; per-user state only. Cross-checked against the
+    declarative F.session_window variant in streaming tests."""
+    ev = load_table(spark, sf_dir, "events")
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(order_w))
+    new_session = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sessions = (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run_w))
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000.0).alias(
+            "duration_s"
+        ),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+        F.round(F.max("duration_s"), 3).alias("max_session_duration_s"),
+    )
