@@ -1,0 +1,78 @@
+"""Opaque-binary media plumbing (SURVEY.md §2.9 L6 / task mandate
+"multimodal columns").
+
+The real decode step (image resize, audio resample, video frame-sample)
+needs codec libraries that are NOT in this container, so `fake_decode` is a
+clearly-marked deterministic stand-in. Everything around it — the Arrow
+batch iterator contract, the explicit output schema, partition-level
+batching — is exactly what a production decoder uses: replace the body of
+`fake_decode` with PIL/torchaudio/ffmpeg calls and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import types as T
+
+_HAVE_REAL_CODECS = False
+try:  # real decoders, absent in this container by design
+    import PIL.Image  # noqa: F401
+
+    _HAVE_REAL_CODECS = True
+except ImportError:
+    pass
+
+
+def decode_features_schema() -> T.StructType:
+    """Output schema of extract_features (mapInPandas contract)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("feat_mean", T.DoubleType()),
+            T.StructField("feat_dim", T.IntegerType()),
+        ]
+    )
+
+
+def real_decode(payload: bytes) -> list[float]:
+    """The production decode path. Not implementable in this container —
+    codecs are absent; see module docstring."""
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this environment; "
+        "use fake_decode (deterministic stand-in) or install codecs"
+    )
+
+
+def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake feature vector from raw bytes: mean of each of
+    `dim` byte-stripes, scaled to [0,1). Stands in for a real embedding or
+    pixel-statistics extraction; stable across runs and machines."""
+    if not payload:
+        return [0.0] * dim
+    stripes: list[float] = []
+    for s in range(dim):
+        stripe = payload[s::dim]
+        stripes.append((sum(stripe) / len(stripe)) / 256.0 if stripe else 0.0)
+    return stripes
+
+
+def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: iterate Arrow batches of (doc_id, lang, payload),
+    emit per-row decoded feature stats. Uses fake_decode unless real codecs
+    are present."""
+    decode = real_decode if _HAVE_REAL_CODECS else fake_decode
+    for pdf in batches:
+        feats = [decode(bytes(p)) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "lang": pdf["lang"],
+                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "feat_mean": [sum(f) / len(f) if f else 0.0 for f in feats],
+                "feat_dim": [len(f) for f in feats],
+            }
+        )

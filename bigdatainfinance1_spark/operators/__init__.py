@@ -3,9 +3,13 @@ central registry (bigdatainfinance1_spark.registry.QUERIES)."""
 
 from bigdatainfinance1_spark.operators import (  # noqa: F401
     aggregates,
+    dedup,
     joins,
+    multimodal,
     pricing,
     relational,
     scalars,
+    similarity,
+    text,
     windows,
 )

@@ -232,9 +232,9 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       o_orderpriority,
-      sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-      sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-      sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+      CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+      CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -285,7 +285,7 @@ def collect_set_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderstatus,
       count(*)                                                              AS n_orders,
-      sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)         AS n_urgent,
+      CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2)
                                                                             AS urgent_total,
       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END)

@@ -1,0 +1,109 @@
+"""Multimodal columns (SURVEY.md §2.9 L6): text + embedding + typed metadata
+in one relation, and opaque-binary media plumbing with a stubbed decoder.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic fake behind the same mapInPandas plumbing a real
+decoder would use (schema, Arrow batching, partitioning are real — swap
+`_fake_decode` for a PIL/ffmpeg call in production). See
+bigdatainfinance1_spark.functions.media.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.functions.vector import l2_norm
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+
+@query(
+    "q_multimodal_join",
+    oracle="""
+    SELECT
+      d.doc_id,
+      d.lang,
+      d.source,
+      d.n_chars,
+      e.label,
+      CAST(len(e.embedding) AS BIGINT) AS dim,
+      round(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                                       AS emb_norm
+    FROM documents d
+    JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang IN ('en', 'zh')
+    """,
+    tags=("multimodal", "llm"),
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: one relation carrying text metadata + vector modality — join
+    documents ⋈ embeddings on id, filter on text-side attrs, compute on the
+    vector side. Both tables are id-partitioned, so at scale this is a
+    co-partitioned join (bucket both by id to eliminate the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        docs.filter(F.col("lang").isin("en", "zh"))
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "label",
+            F.size("embedding").cast("long").alias("dim"),
+            F.round(l2_norm("embedding"), 6).alias("emb_norm"),
+        )
+    )
+
+
+@query(
+    "q_binary_media_meta",
+    oracle="""
+    SELECT
+      lang,
+      count(*)                          AS n_media,
+      CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+      round(avg(strlen(text)), 4)       AS avg_bytes,
+      CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("multimodal", "llm"),
+)
+def binary_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: opaque-binary metadata pass — treat the payload as bytes (here the
+    utf-8 encoding of text stands in for an image/audio blob) and aggregate
+    typed metadata (byte sizes) without ever decoding. This is the cheap
+    metadata-only scan you run at 100 TB before deciding what to decode."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("lang", F.encode("text", "utf-8").alias("payload"))
+    return media.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.round(F.avg(F.octet_length("payload")), 4).alias("avg_bytes"),
+        F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
+    )
+
+
+@query("q_media_features", oracle=None, tags=("multimodal", "llm", "pandas-udf"))
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (decode path): mapInPandas feature extraction over binary payloads.
+
+    The Spark-side plumbing is real — Arrow-batched iterator, explicit output
+    schema, per-partition batching; the decoder is a deterministic fake
+    (real codecs aren't in this container — see functions/media.py, swap
+    `fake_decode` for the real library call). Rows-only: the fake features
+    are engine-specific. Output: per-lang mean fake-feature stats.
+    """
+    from bigdatainfinance1_spark.functions.media import decode_features_schema, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", "lang", F.encode("text", "utf-8").alias("payload"))
+    feats = media.mapInPandas(extract_features, schema=decode_features_schema())
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+        F.round(F.avg("feat_mean"), 6).alias("avg_feat_mean"),
+    )

@@ -1,0 +1,228 @@
+"""Vector similarity search over `embeddings` (SURVEY.md §2.9 L3/L7):
+brute-force cosine top-k (the baseline), LSH-bucketed ANN (the scale path),
+cosine near-dup pairs, and per-label centroid statistics.
+
+Scale notes: brute-force is O(queries × corpus) — correct and fine for small
+query sets; it broadcasts the queries so the corpus never shuffles. The scale
+path (q_ann_lsh_topk) buckets vectors by random-hyperplane sign bits so each
+query only scans its bucket (and Hamming-1 neighbor buckets), turning the
+scan into an equi-join — the standard LSH-ANN layout at 100 TB. Centroids use
+posexplode + groupBy, which distributes across (label × dim) — never a
+collect-to-driver.
+
+DuckDB oracle computes the same double-cast dot/norm; round(…,6) absorbs
+summation-order ulps (error ≤ 64·2⁻⁵² for unit-scale values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.functions.vector import cosine_sim, l2_norm
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+_COS_SQL = """
+      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+"""
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT
+        a.vec_id AS query_id,
+        b.vec_id AS neighbor_id,
+        b.label  AS neighbor_label,
+        {_COS_SQL} AS cos
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, neighbor_label,
+           round(cos, 6) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rnk
+      FROM pairs
+    )
+    WHERE rnk <= 5
+    """,
+    tags=("similarity", "llm", "flagship"),
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (baseline): brute-force cosine top-5 neighbors for 10 query
+    vectors. Queries broadcast; corpus scanned once; per-query top-k via
+    ranked window (no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            "embedding",
+        )
+        .join(F.broadcast(queries_df), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_sim("q_emb", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "neighbor_label", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+@query(
+    "q_embedding_neardup",
+    oracle=f"""
+    SELECT
+      a.vec_id AS vec_id_1,
+      b.vec_id AS vec_id_2,
+      round({_COS_SQL}, 6) AS cosine,
+      CAST(a.label = b.label AS BOOLEAN) AS same_label
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """,
+    tags=("similarity", "dedup", "llm"),
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3: embedding-cosine near-duplicate pairs (cos ≥ 0.4). All-pairs
+    here as the exact verifier; at scale the LSH bucketing (q_ann_lsh_topk's
+    layout) generates the candidates first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("embedding").alias("e1"), F.col("label").alias("l1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("embedding").alias("e2"), F.col("label").alias("l2")
+    )
+    return (
+        a.join(b, F.col("vec_id_1") < F.col("vec_id_2"))
+        .withColumn("cos", cosine_sim("e1", "e2"))
+        .filter(F.col("cos") >= 0.4)
+        .select(
+            "vec_id_1",
+            "vec_id_2",
+            F.round("cos", 6).alias("cosine"),
+            (F.col("l1") == F.col("l2")).alias("same_label"),
+        )
+    )
+
+
+@query("q_ann_lsh_topk", oracle=None, tags=("similarity", "llm", "approx"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (scale path): approximate top-k via random-hyperplane LSH.
+
+    8 deterministic pseudo-random hyperplanes (seeded per (dim, plane) from
+    xxhash64 — no RNG state, reproducible anywhere) give each vector an 8-bit
+    sign bucket. A query scans only its own bucket; probing is an equi-join
+    on bucket id instead of a full scan, which is the layout that works when
+    the corpus doesn't fit one node. Candidates get exact cosine + top-3.
+    Rows-only: bucket membership is engine-specific (xxhash64 planes).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = F.array(
+        *[
+            F.expr(
+                "transform(sequence(0, 63), "
+                f"i -> CAST(xxhash64(CAST(i AS STRING), CAST({p} AS STRING)) % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+            )
+            for p in range(8)
+        ]
+    )
+    with_bucket = emb.withColumn("planes", planes).withColumn(
+        "bucket",
+        F.expr(
+            "aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, p) -> acc * 2 + "
+            "CASE WHEN aggregate(zip_with(embedding, planes[p], (x, w) -> CAST(x AS DOUBLE) * w), "
+            "CAST(0.0 AS DOUBLE), (s, v) -> s + v) >= 0 THEN 1 ELSE 0 END)"
+        ),
+    ).drop("planes")
+    queries_df = with_bucket.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    candidates = with_bucket.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding"), "bucket"
+    ).join(F.broadcast(queries_df), "bucket")
+    pairs = candidates.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "cos", cosine_sim("q_emb", "embedding")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    SELECT
+      label,
+      CAST(i AS BIGINT)                             AS dim_idx,
+      count(*)                                      AS n_vecs,
+      round(avg(CAST(embedding[i] AS DOUBLE)), 6)   AS centroid_val
+    FROM embeddings, generate_series(1, 64) s(i)
+    GROUP BY label, i
+    """,
+    tags=("similarity", "llm"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: per-label centroid, one row per (label, dimension) — fully
+    distributed (explode → groupBy), never a collect-to-driver of vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", (F.col("pos") + 1).cast("long").alias("dim_idx"), F.col("val").cast("double").alias("val"))
+    return exploded.groupBy("label", "dim_idx").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("val"), 6).alias("centroid_val"),
+    )
+
+
+@query(
+    "q_embedding_dispersion",
+    oracle="""
+    WITH norms AS (
+      SELECT
+        label,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT
+      label,
+      count(*)                    AS n_vecs,
+      round(avg(nrm), 6)          AS avg_norm,
+      round(stddev_samp(nrm), 6)  AS std_norm,
+      round(min(nrm), 6)          AS min_norm,
+      round(max(nrm), 6)          AS max_norm
+    FROM norms
+    GROUP BY label
+    """,
+    tags=("similarity", "llm"),
+)
+def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: per-label norm dispersion (mean/std/min/max of L2 norms)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("nrm", l2_norm("embedding"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.stddev_samp("nrm"), 6).alias("std_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )

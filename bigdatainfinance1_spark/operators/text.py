@@ -1,0 +1,291 @@
+"""Text-analysis operators over `documents` (SURVEY.md §2.9 L4/L5):
+token statistics, top terms, TF-IDF keyword extraction, quality scoring,
+content fingerprinting, and a corpus-profile language classifier.
+
+Scale notes: everything is explode → groupBy → join, i.e. shuffles keyed on
+(doc, term) or (lang, term) — high-cardinality uniform keys, no skew. The
+document-frequency relation is tiny (vocabulary-sized) and broadcast back,
+so the big exploded token relation shuffles once. No Python UDFs anywhere:
+tokenization is `split`, scoring is arithmetic, fingerprints are md5 — all
+whole-stage-codegen expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+_TOKENS_SQL = "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents"
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+
+
+@query(
+    "q_token_stats",
+    oracle="""
+    SELECT
+      lang,
+      count(*)                                              AS n_docs,
+      round(avg(len(string_split(text, ' '))), 4)           AS avg_tokens,
+      CAST(sum(n_chars) AS BIGINT)                          AS total_chars,
+      count(DISTINCT source)                                AS n_sources,
+      CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_chars_consistent
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "llm"),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-language token/char statistics (n_chars cross-checked against
+    length(text) as a data-quality assertion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_chars_consistent"),
+    )
+
+
+@query(
+    "q_top_terms",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT lang, term, count(*) AS n
+      FROM ({_TOKENS_SQL})
+      GROUP BY lang, term
+    )
+    SELECT lang, term, n, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+      FROM cnt
+    )
+    WHERE rnk <= 5
+    """,
+    tags=("text", "llm"),
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: top-5 terms per language (explode → count → ranked window with
+    term tiebreak)."""
+    cnt = _tokens(spark, sf_dir).groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "term", "n", "rnk")
+    )
+
+
+@query(
+    "q_tfidf_top",
+    oracle=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM tok)
+      GROUP BY term
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT
+        tf.doc_id, tf.term, tf.tf, df.df,
+        tf.tf * ln((nd.n_docs + 1.0) / (df.df + 1.0)) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, round(score, 6) AS tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= 3
+    """,
+    tags=("text", "llm", "flagship"),
+)
+def tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: TF-IDF keyword extraction — top-3 terms per document.
+    idf = ln((N+1)/(df+1)); the df relation is vocabulary-sized and
+    broadcast, so the exploded token relation shuffles once (on doc_id,term).
+    Ranking runs on the raw score (identical tf/df ⇒ identical score in both
+    engines), output rounded."""
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("tfidf"), "rnk")
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    SELECT
+      doc_id,
+      lang,
+      CAST(len(string_split(text, ' ')) AS BIGINT)                      AS n_tokens,
+      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)       AS n_unique,
+      round(len(list_distinct(string_split(text, ' '))) * 1.0
+            / len(string_split(text, ' ')), 6)                          AS type_token_ratio,
+      round((n_chars - (len(string_split(text, ' ')) - 1) * 1.0)
+            / len(string_split(text, ' ')), 6)                          AS avg_token_len,
+      round(len(list_filter(string_split(text, ' '), t -> length(t) <= 2)) * 1.0
+            / len(string_split(text, ' ')), 6)                          AS short_token_ratio
+    FROM documents
+    """,
+    tags=("text", "llm"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-document quality signals — lexical diversity (type/token
+    ratio), mean token length, short-token ratio. Pure array expressions, no
+    explode needed (per-row, embarrassingly parallel)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    n_short = F.size(F.filter(toks, lambda t: F.length(t) <= 2))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_unique.cast("long").alias("n_unique"),
+        F.round(n_unique * 1.0 / n_tokens, 6).alias("type_token_ratio"),
+        F.round((F.col("n_chars") - (n_tokens - 1) * 1.0) / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_short * 1.0 / n_tokens, 6).alias("short_token_ratio"),
+    )
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    WITH fp AS (
+      SELECT
+        doc_id,
+        md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT
+      f.doc_id,
+      f.fingerprint,
+      c.n_same AS n_same_fingerprint
+    FROM fp f
+    JOIN (SELECT fingerprint, count(*) AS n_same FROM fp GROUP BY fingerprint) c
+      USING (fingerprint)
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: order-insensitive content fingerprint (md5 of sorted token
+    multiset) — catches token-reordered duplicates that exact-hash dedup
+    misses; the fingerprint count join is a self-join on a uniform hash
+    key."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.sort_array(F.split("text", " ")))).alias("fingerprint"),
+    )
+    counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_same_fingerprint"))
+    return fp.join(counts, "fingerprint").select("doc_id", "fingerprint", "n_same_fingerprint")
+
+
+@query(
+    "q_langid_profile",
+    oracle=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    lang_term AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term),
+    profile AS (
+      SELECT lang AS p_lang, term
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+        FROM lang_term
+      )
+      WHERE rnk <= 20
+    ),
+    doc_votes AS (
+      SELECT t.doc_id, p.p_lang, count(*) AS overlap
+      FROM (SELECT DISTINCT doc_id, term FROM tok) t
+      JOIN profile p USING (term)
+      GROUP BY t.doc_id, p.p_lang
+    ),
+    guess AS (
+      SELECT doc_id, p_lang AS lang_guess
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY overlap DESC, p_lang
+        ) AS rnk
+        FROM doc_votes
+      )
+      WHERE rnk = 1
+    )
+    SELECT
+      d.lang,
+      count(*) AS n_docs,
+      CAST(sum(CASE WHEN g.lang_guess = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      round(sum(CASE WHEN g.lang_guess = d.lang THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS accuracy
+    FROM documents d
+    JOIN guess g USING (doc_id)
+    GROUP BY d.lang
+    """,
+    tags=("text", "llm"),
+)
+def langid_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus-profile language identification — build a top-20-term
+    profile per language from the corpus itself, classify each doc by maximal
+    profile overlap (tiebreak alphabetical), report per-language accuracy.
+    The profile relation is tiny and broadcast; classification is one
+    equi-join on term."""
+    tok = _tokens(spark, sf_dir)
+    lang_term = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    profile = (
+        lang_term.withColumn("rnk", F.row_number().over(w_prof))
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("lang").alias("p_lang"), "term")
+    )
+    doc_terms = tok.select("doc_id", "term").distinct()
+    votes = (
+        doc_terms.join(F.broadcast(profile), "term")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_guess = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), F.col("p_lang"))
+    guess = (
+        votes.withColumn("rnk", F.row_number().over(w_guess))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("p_lang").alias("lang_guess"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    correct = F.when(F.col("lang_guess") == F.col("lang"), 1).otherwise(0)
+    return (
+        docs.join(guess, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(correct).cast("long").alias("n_correct"),
+            F.round(F.sum(correct) * 1.0 / F.count(F.lit(1)), 6).alias("accuracy"),
+        )
+    )
