@@ -11,5 +11,6 @@ from bigdatainfinance1_spark.operators import (  # noqa: F401
     scalars,
     similarity,
     text,
+    udfs,
     windows,
 )

@@ -1,0 +1,133 @@
+"""UDF / UDAF / grouped-map surface (SURVEY.md §2.10).
+
+These exist to demonstrate the Python-extension surface — Arrow-vectorized
+pandas UDFs (never row-at-a-time Python UDFs), grouped-agg UDAFs, and
+applyInPandas grouped-map transforms. Rule (SURVEY.md §2.10): core operators
+stay JVM-side; UDFs are for logic Spark genuinely can't express. Each query
+here has a pure-SQL oracle to prove the UDF path computes the same result
+the built-ins would.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+
+def _revenue_udf():
+    """U1: scalar pandas UDF — Arrow-batched, element-wise float64 (IEEE
+    identical to the JVM expression ep*(1-d)). Built lazily: pandas_udf
+    parses its DDL return type against the active session."""
+
+    @pandas_udf("double")
+    def revenue(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    return revenue
+
+
+def _weighted_avg_disc_udf():
+    """U2: grouped-agg pandas UDF — quantity-weighted mean discount."""
+
+    @pandas_udf("double")
+    def wavg(discount: pd.Series, quantity: pd.Series) -> float:
+        q = quantity.to_numpy(dtype=np.float64)
+        d = discount.to_numpy(dtype=np.float64)
+        return float((d * q).sum() / q.sum())
+
+    return wavg
+
+
+@query(
+    "q_udf_pandas_revenue",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*)                                          AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf",),
+)
+def udf_pandas_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: revenue via an Arrow-vectorized scalar pandas UDF, aggregated
+    JVM-side. Oracle proves the UDF path matches the pure-SQL result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("revenue_row", _revenue_udf()("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("revenue_row"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_udf_grouped_agg",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf",),
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: grouped-aggregate pandas UDF (weighted average) — the UDAF
+    surface. round(6) absorbs numpy-pairwise vs sequential summation ulps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_weighted_avg_disc_udf()("l_discount", "l_quantity"), 6).alias("wavg_disc")
+    )
+
+
+@query(
+    "q_apply_in_pandas_zscore",
+    oracle="""
+    WITH norms AS (
+      SELECT
+        vec_id, label,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT
+      vec_id,
+      label,
+      round((nrm - avg(nrm) OVER (PARTITION BY label))
+            / stddev_samp(nrm) OVER (PARTITION BY label), 4) AS z
+    FROM norms
+    """,
+    tags=("udf", "llm"),
+)
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: grouped-map applyInPandas — per-label z-score of embedding norms.
+    The whole group arrives as one pandas DataFrame (the per-group-model
+    pattern); norm itself is computed JVM-side first so only (id, label,
+    norm) crosses the Arrow boundary."""
+    from bigdatainfinance1_spark.functions.vector import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", "label", l2_norm("embedding").alias("nrm"))
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["nrm"].to_numpy(dtype=np.float64)
+        mu = x.mean()
+        sd = x.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "z": np.round((x - mu) / sd, 4),
+            }
+        )
+
+    return norms.groupBy("label").applyInPandas(zscore, schema="vec_id long, label int, z double")

@@ -1,2 +1,4 @@
 """Structured Streaming operators (SURVEY.md §2.8). Importing registers the
 streaming-backed queries."""
+
+from bigdatainfinance1_spark.streaming import jobs  # noqa: F401

@@ -1,0 +1,244 @@
+"""Structured Streaming operators over the events table (SURVEY.md §2.8).
+
+Strategy (SURVEY.md §2.8): each operator's event-time core is expressible in
+batch (→ DuckDB-oracle-checkable); the queries below actually RUN as
+Structured Streaming jobs — `readStream` over the same parquet, availableNow
+trigger, memory sink — and return the materialized result, so the driver's
+gate exercises the real incremental engine, not a batch stand-in. Watermarks
+are declared where an unbounded run would need them; with a single availableNow
+replay nothing is late, so results equal the batch semantics the oracle
+computes.
+
+Scale notes: tumbling/sliding aggs keep state per (window × key) — bounded by
+the watermark horizon; session windows merge state per key; dedup keeps one
+entry per key within the watermark. All state lives in the executor state
+store (RocksDB in production), never on the driver.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table.
+
+    The file stream source needs a directory, and the raw file stores ts as
+    TIMESTAMP(NANOS) — so events are staged once per sf_dir into a multi-file
+    parquet directory (ts already truncated to microseconds by the catalog,
+    identical to DuckDB's read of the original). The 4-file staging +
+    maxFilesPerTrigger=2 gives a genuine multi-micro-batch replay.
+    """
+    import hashlib
+    import os
+
+    stage = "/tmp/bigdatainfinance1_stream_stage/" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stage)
+    )
+
+
+def run_to_table(result: DataFrame, output_mode: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion with an availableNow trigger
+    into a memory sink; return the materialized batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts)  AS window_start,
+      event_type,
+      count(*)                AS n_events,
+      round(sum(value), 4)    AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("streaming", "events"),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1: tumbling 1-hour event-time window aggregation, executed as a real
+    Structured Streaming job (availableNow → memory sink). 1-hour tumbling
+    window starts coincide with date_trunc('hour') — the oracle's batch
+    formulation."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_table(agg, "complete")
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT
+      make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000) AS window_start,
+      count(*)                                                    AS n_events,
+      round(sum(value), 4)                                        AS total_value
+    FROM events, range(4) r(k)
+    GROUP BY window_start
+    """,
+    tags=("streaming", "events"),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: sliding window (1 hour every 15 min) as a streaming job. Each
+    event belongs to exactly 4 windows; the oracle reconstructs the same
+    window starts arithmetically (floor to the 15-min grid, back-shift k=0..3)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n_events", "total_value")
+    )
+    return run_to_table(agg, "complete")
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM flagged
+    )
+    SELECT
+      user_id,
+      min(ts)              AS session_start,
+      count(*)             AS n_events,
+      round(sum(value), 4) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "events"),
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: declarative session windows (30-min gap) via F.session_window —
+    batch execution here (session_window is batch-capable), cross-checked
+    against the imperative gap-SQL formulation in the oracle and against the
+    streaming variant in tests/test_streaming.py. Sessions never overlap per
+    user, so session_start ≡ min(ts) of the gap-method session."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT
+      event_type,
+      count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "events"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: stateful streaming dedup — dropDuplicates on (user_id,
+    event_type) inside the stream, then a per-type count. State is one entry
+    per distinct pair (watermark-bounded via
+    dropDuplicatesWithinWatermark in an unbounded deployment)."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return run_to_table(agg, "complete")
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT
+      c.c_mktsegment,
+      count(*)             AS n_events,
+      round(sum(e.value), 4) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "events", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: stream ⋈ static-dimension join (events.user_id → customer key,
+    broadcast on the static side) followed by a streaming aggregation."""
+    ev = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return run_to_table(agg, "complete")
+
+
+@query("q_stream_watermarked", oracle=None, tags=("streaming", "events"))
+def stream_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4: watermarked windowed aggregation in append mode — the unbounded-
+    deployment formulation (state eviction + late-data drop at watermark).
+    With an availableNow replay of a single file nothing arrives late, so
+    append emits exactly the finalized windows; rows-only check (watermark
+    progression is engine-internal)."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+    return run_to_table(agg, "append")
