@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with a noop-format write (full materialization
+on the executors, nothing shipped to Python), after an untimed warmup of the
+session + catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bigdatainfinance1_spark.registry import load_all_queries
+from bigdatainfinance1_spark.session import get_spark
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_star_join",
+    "q_sessionization",
+    "q_range_window_events",
+    "q_running_total",
+    "q_exact_dedup",
+    "q_jaccard_neardup",
+    "q_tfidf_top",
+    "q_cosine_topk",
+    "q_embedding_neardup",
+    "q_top_terms",
+    "q_stream_tumbling",
+]
+
+
+def materialize(df) -> None:
+    """Force full execution without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bigdatainfinance1_spark-bench")
+    specs = load_all_queries()
+
+    # untimed warmup: JVM + catalog + one tiny action
+    specs["q_pricing_summary"].fn(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries_registered": len(specs),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

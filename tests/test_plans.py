@@ -1,0 +1,79 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely on at
+100 TB must actually appear in the plans — filter/projection pushdown to the
+parquet scan, broadcast joins for dims, whole-stage codegen, and no Python
+UDFs in hot relational paths."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import load_all_queries
+from bigdatainfinance1_spark.sources.catalog import load_table
+from tests.conftest import SF_DIR
+
+SPECS = load_all_queries()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = SPECS["q_filter_predicates"].fn(spark, SF_DIR)
+    plan = formatted(df)
+    assert "PushedFilters" in plan
+    # the range predicate on l_shipdate must be pushed, not post-filtered only
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_column_pruning(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey")
+    plan = formatted(li)
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = SPECS["q_star_join"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_on_flagship(spark):
+    df = SPECS["q_pricing_summary"].fn(spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan at runtime
+    plan = formatted(df)
+    assert "codegen id" in plan  # '*'-marked spans / WholeStageCodegen
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_no_python_udf_in_relational_core(spark):
+    for name in ("q_pricing_summary", "q_star_join", "q_sessionization", "q_tfidf_top"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_topk_uses_take_ordered(spark):
+    df = SPECS["q_top_revenue_orders"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_partitioned_parquet_sink_roundtrip(spark, tmp_path):
+    """S3: partitioned sink + partition-pruned re-read."""
+    from bigdatainfinance1_spark.sources.catalog import write_parquet
+
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_parquet(orders, out, partition_by=("order_year",))
+    back = spark.read.parquet(out).filter(F.col("order_year") == 1995)
+    assert back.count() == orders.filter(F.year("o_orderdate") == 1995).count()
+    # partition pruning: the scan must read only the matching partition dir
+    assert "order_year" in formatted(back)

@@ -1,0 +1,139 @@
+"""Streaming-specific behaviors that the batch oracle can't check
+(SURVEY.md §2.8 ST4/ST7, §2.10 U4/U5): watermark API, arbitrary stateful
+processing, UDTFs, SQL-registered UDFs, and batch↔streaming equivalence of
+the session-window operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bigdatainfinance1_spark.registry import load_all_queries
+from bigdatainfinance1_spark.sources.catalog import load_table
+from bigdatainfinance1_spark.streaming.jobs import read_events_stream, run_to_table
+from tests.conftest import SF_DIR
+
+SPECS = load_all_queries()
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    """The streaming tumbling agg must equal the same agg run in batch."""
+    stream_res = SPECS["q_stream_tumbling"].fn(spark, SF_DIR).toPandas()
+    ev = load_table(spark, SF_DIR, "events")
+    batch_res = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    s = stream_res.sort_values(key).reset_index(drop=True)
+    b = batch_res.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, b, check_like=True)
+
+
+def test_session_window_streaming_variant(spark):
+    """ST3 under readStream with watermark — session count must match the
+    batch session_window count (availableNow replay, nothing late)."""
+    sdf = read_events_stream(spark, SF_DIR)
+    agg = (
+        sdf.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_table(agg, "append")
+    batch = SPECS["q_session_window"].fn(spark, SF_DIR)
+    # append mode may withhold sessions not yet finalized by the watermark at
+    # the last batch; everything emitted must be a correct session
+    emitted = out.count()
+    total = batch.count()
+    assert 0 < emitted <= total
+    joined = (
+        out.select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+        .join(
+            batch.select("user_id", "session_start", F.col("n_events").alias("n_batch")),
+            ["user_id", "session_start"],
+        )
+    )
+    assert joined.filter(F.col("n_events") != F.col("n_batch")).count() == 0
+
+
+def test_arbitrary_stateful_funnel(spark):
+    """ST7: applyInPandasWithState — per-user running event count with
+    explicit state, checked against the plain batch count."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = read_events_stream(spark, SF_DIR).select("user_id", "event_type")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("cnt", T.LongType())])
+
+    def count_events(key, pdfs, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
+
+    result = sdf.groupBy("user_id").applyInPandasWithState(
+        count_events, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    got = run_to_table(result, "update").toPandas()
+    # update mode emits one row per user per micro-batch; the LAST value per
+    # user must equal the batch count
+    final = got.groupby("user_id")["n_events"].max()
+    expected = (
+        load_table(spark, SF_DIR, "events").groupBy("user_id").count().toPandas()
+        .set_index("user_id")["count"]
+    )
+    assert final.sort_index().equals(expected.sort_index().astype("int64"))
+
+
+def test_udtf_shingles(spark):
+    """U4: Python UDTF — text → shingle rows as a table function."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="shingle: string, pos: int")
+    class Shingles:
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            for i in range(max(len(toks) - n + 1, 0)):
+                yield " ".join(toks[i : i + n]), i
+
+    rows = Shingles(lit("a b c d"), lit(3)).collect()
+    assert [r.shingle for r in rows] == ["a b c", "b c d"]
+
+
+def test_sql_registered_udf(spark):
+    """U5: register a Python function for the SQL entry point."""
+    spark.udf.register("py_revenue", lambda p, d: p * (1.0 - d), "double")
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("li_udf_test")
+    got = spark.sql(
+        "SELECT round(sum(py_revenue(l_extendedprice, l_discount)), 2) AS rev FROM li_udf_test"
+    ).collect()[0]["rev"]
+    expected = (
+        load_table(spark, SF_DIR, "lineitem")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert got == pytest.approx(expected, abs=0.01)
+
+
+def test_sql_entry_point_matches_dataframe_api(spark):
+    """Entry point 3 (SURVEY.md §3): the same SQL text over registered views
+    must match the DataFrame-API flagship."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, SF_DIR)
+    sql_res = spark.sql(SPECS["q_pricing_summary"].oracle).toPandas()
+    df_res = SPECS["q_pricing_summary"].fn(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(
+        sql_res.reset_index(drop=True), df_res.reset_index(drop=True), check_like=True
+    )
