@@ -1,0 +1,171 @@
+"""IO / ETL surface: non-parquet sources and sinks (SURVEY.md §2.1 S2/S3)
+plus the shared-SQL-text entry point (§3 entry point 3).
+
+Each query exercises a real write → read → analyze cycle so the driver's
+gate covers the connector code paths, not just in-memory transforms. The
+final aggregates touch only values that survive a text roundtrip exactly
+(integer keys, quoted strings, shortest-roundtrip doubles), and double sums
+follow the repo convention of round(…,2)/round(…,4) so the order-insensitive
+value hash is stable across engines.
+
+Scale notes: CSV/JSON ingest should always pass an explicit schema in
+production (inference is a full extra pass); the parquet sink partitions by
+a low-cardinality derived column (order year) which is what enables static
+and dynamic partition pruning on re-read — the re-read query below filters
+on the partition column, and tests/test_plans.py asserts the pruned scan.
+Scratch staging lives under /tmp keyed by sf_dir hash (same pattern as the
+streaming source staging).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import (
+    load_table,
+    read_csv,
+    read_json,
+    register_views,
+    write_parquet,
+)
+
+_SCRATCH = "/tmp/bigdatainfinance1_etl_scratch"
+
+
+def _stage_dir(kind: str, sf_dir: str) -> str:
+    return os.path.join(_SCRATCH, kind + "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+
+
+@query(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT
+      r.r_name,
+      count(*)          AS n_nations,
+      min(n.n_nationkey) AS min_key,
+      max(n.n_nationkey) AS max_key
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("io", "etl"),
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3: write `nation` to CSV (header, quoted strings), read it back
+    with the ORIGINAL schema (no inference pass), broadcast-join `region`,
+    aggregate. Key/count aggregates are textually lossless, so the result
+    must equal querying the parquet directly — which is the oracle."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _stage_dir("csv_nation", sf_dir)
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(spark, path, inferSchema="false")
+    # header=true preserves names; re-apply dtypes from the parquet schema
+    for f_ in nation.schema.fields:
+        back = back.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+    region = load_table(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_nationkey").alias("min_key"),
+            F.max("n_nationkey").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      count(*)                  AS n_orders,
+      round(sum(o_totalprice), 2) AS total_price,
+      min(o_orderkey)           AS min_orderkey,
+      max(o_orderkey)           AS max_orderkey
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("io", "etl"),
+)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: write an orders projection as JSON lines, read it back with an
+    explicit schema, aggregate per status. Doubles survive because Spark's
+    JSON writer emits shortest-roundtrip representations; the sum is rounded
+    per repo convention since summation order still differs from DuckDB."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _stage_dir("json_orders", sf_dir)
+    orders.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema=orders.schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+@query(
+    "q_partitioned_sink",
+    oracle="""
+    SELECT
+      CAST(month(o_orderdate) AS BIGINT) AS o_month,
+      count(*)                           AS n_orders,
+      round(sum(o_totalprice), 2)        AS total_price,
+      count(DISTINCT o_custkey)          AS n_custs
+    FROM orders
+    WHERE year(o_orderdate) = 1996
+    GROUP BY o_month
+    """,
+    tags=("io", "etl"),
+)
+def partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: write orders partitioned by derived year, re-read, filter ONE
+    partition, aggregate by month. The filter on the partition column prunes
+    to a single directory at scan time (partition pruning — the mechanism
+    that keeps a 100 TB date-partitioned table queryable); verified in
+    tests/test_plans.py via the plan's PartitionFilters."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _stage_dir("orders_by_year", sf_dir)
+    write_parquet(
+        orders.withColumn("o_year", F.year("o_orderdate")), path, partition_by=("o_year",)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_year") == 1996)
+        .groupBy(F.month("o_orderdate").cast("long").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+    )
+
+
+_SHARED_SQL = """
+    SELECT
+      o_orderpriority,
+      count(*) AS n_orders,
+      round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY o_orderpriority
+"""
+
+
+@query("q_sql_shared_text", oracle=_SHARED_SQL, tags=("sql", "etl"))
+def sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3 (SURVEY.md §3): ONE SQL string executed verbatim by both
+    engines — Spark runs it over temp views named exactly like the oracle's
+    DuckDB views, proving the SQL surface agrees on the shared dialect subset
+    (ANSI aggregates, timestamp literals, round)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)

@@ -131,3 +131,87 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return norms.groupBy("label").applyInPandas(zscore, schema="vec_id long, label int, z double")
+
+
+@query(
+    "q_udtf_shingles",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents
+      WHERE doc_id < 50
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+    )
+    SELECT
+      doc_id,
+      count(*)                                                 AS n_shingles,
+      count(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2])   AS n_distinct_shingles
+    FROM idx
+    GROUP BY doc_id
+    """,
+    tags=("udf", "udtf", "llm"),
+)
+def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: Python UDTF (table function) — text → word-trigram shingle rows,
+    applied per input row via LATERAL correlation in SQL, then aggregated
+    JVM-side. The shingle generator is the same primitive the MinHash path
+    uses; the UDTF form demonstrates the one-row→many-rows extension surface
+    (Spark ≥3.5). Bounded to doc_id < 50 so the fan-out stays proportional."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="shingle: string")
+    class Shingles3:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(len(toks) - 2):
+                yield (" ".join(toks[i : i + 3]),)
+
+    spark.udtf.register("shingles3", Shingles3)
+    load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).createOrReplaceTempView(
+        "docs_for_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT
+          d.doc_id,
+          count(*)                  AS n_shingles,
+          count(DISTINCT s.shingle) AS n_distinct_shingles
+        FROM docs_for_udtf d, LATERAL shingles3(d.text) s
+        GROUP BY d.doc_id
+        """
+    )
+
+
+@query(
+    "q_sql_registered_udf",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("udf", "sql"),
+)
+def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: the U1 pandas UDF registered into the SQL catalog
+    (spark.udf.register), invoked from a SQL string over the temp view — the
+    path a SQL-only user of the engine takes. Per-row float64 product is IEEE
+    identical to the inline expression, so only the sum needs rounding."""
+    spark.udf.register("udf_revenue", _revenue_udf())
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_for_udf")
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          round(sum(udf_revenue(l_extendedprice, l_discount)), 2) AS revenue
+        FROM lineitem_for_udf
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )

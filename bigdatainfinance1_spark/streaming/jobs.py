@@ -227,6 +227,57 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(agg, "complete")
 
 
+@query(
+    "q_stream_stateful_totals",
+    oracle="""
+    SELECT
+      user_id,
+      count(*)             AS n_events,
+      round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "events", "stateful"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7: arbitrary stateful processing — applyInPandasWithState keeps a
+    (count, sum) accumulator per user across micro-batches and emits the
+    running totals on every update. The memory sink then holds one row per
+    (user × update); the latest update per user (max n_events — the count is
+    strictly increasing) must equal the batch aggregate, which is the oracle.
+    State is per-key on the executors (RocksDB in production), never on the
+    driver; an unbounded deployment would add a timeout to evict idle users.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+
+    def running_totals(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_table(updates, "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
+
+
 @query("q_stream_watermarked", oracle=None, tags=("streaming", "events"))
 def stream_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4: watermarked windowed aggregation in append mode — the unbounded-

@@ -75,5 +75,26 @@ def test_partitioned_parquet_sink_roundtrip(spark, tmp_path):
     write_parquet(orders, out, partition_by=("order_year",))
     back = spark.read.parquet(out).filter(F.col("order_year") == 1995)
     assert back.count() == orders.filter(F.year("o_orderdate") == 1995).count()
-    # partition pruning: the scan must read only the matching partition dir
-    assert "order_year" in formatted(back)
+    # partition pruning: the filter must land in PartitionFilters (directory
+    # pruning at scan planning), not as a post-scan Filter node
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", formatted(back))
+    assert m is not None and "order_year" in m.group(0) and "= 1995" in m.group(0)
+
+
+def test_partitioned_sink_query_prunes(spark):
+    """The registered q_partitioned_sink query's re-read scan is pruned too."""
+    import re
+
+    df = SPECS["q_partitioned_sink"].fn(spark, SF_DIR)
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", formatted(df))
+    assert m is not None and "o_year" in m.group(0) and "= 1996" in m.group(0)
+
+
+def test_stream_stateful_totals_uses_state_operator(spark):
+    """ST7 runs through FlatMapGroupsInPandasWithState, not a batch stand-in."""
+    from bigdatainfinance1_spark.streaming.jobs import read_events_stream
+
+    ev = read_events_stream(spark, SF_DIR).select("user_id", "value")
+    assert ev.isStreaming
