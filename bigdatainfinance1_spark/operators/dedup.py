@@ -36,6 +36,29 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-word shingles per doc, identified by xxhash64 — the hash is
+    taken INSIDE the per-row transform, so the ~25-byte shingle string never
+    leaves its row: every downstream shuffle (distinct, equi-join, minhash)
+    moves an 8-byte long instead. At 100 TB shuffle bytes are the bottleneck,
+    so this is the hot-path form; the string variant above stays for queries
+    whose output must expose the shingle text. Jaccard counts are identical
+    unless two distinct shingles of one corpus collide in 64 bits
+    (P ≈ n²/2⁶⁵ ≈ 1e-8 at sf0.1 — and the fixed testdata is verified
+    collision-free by the oracle match)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-3),"
+                " i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2])))"
+            )
+        ).alias("h"),
+    ).distinct()
+
+
 _SHINGLES_SQL = """
     SELECT DISTINCT doc_id, unnest(
       list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
@@ -99,12 +122,12 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes (random-vocab shingles are near-unique, so buckets are tiny); this
     is the exact verifier that the LSH variant (q_minhash_lsh) feeds at
     scale."""
-    ds = _doc_shingles(spark, sf_dir)
+    ds = _doc_shingle_hashes(spark, sf_dir)
     sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ds.select(F.col("doc_id").alias("doc_id_1"), "s")
-    b = ds.select(F.col("doc_id").alias("doc_id_2"), "s")
+    a = ds.select(F.col("doc_id").alias("doc_id_1"), "h")
+    b = ds.select(F.col("doc_id").alias("doc_id_2"), "h")
     inter = (
-        a.join(b, ["s"])
+        a.join(b, ["h"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -124,20 +147,21 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (scale tier): MinHash + banded LSH near-dup detection.
 
-    shingle → 32 seeded minhashes (xxhash64(s, seed), deterministic) →
+    shingle-hash → 32 seeded minhashes (xxhash64(h, seed), deterministic) →
     8 bands × 4 rows → band-bucket equi-join for candidates → exact Jaccard
     verify ≥ 0.7. Signatures are constant-size per doc, so the shuffle volume
     is O(docs), not O(shingles); candidate pairs are only those colliding in
     some band. Rows-only check: xxhash64 is engine-specific (the exact-tier
     q_jaccard_neardup is the cross-engine-verified twin).
     """
-    ds = _doc_shingles(spark, sf_dir)
+    ds = _doc_shingle_hashes(spark, sf_dir)
     seeds = spark.range(N_PERM).select(F.col("id").cast("int").alias("seed"))
-    # per (doc, seed): min over shingles of xxhash64(shingle, seed)
+    # per (doc, seed): min over shingle hashes of xxhash64(h, seed) — hashing
+    # the 8-byte shingle id, not the string, keeps the 32x-fanout rows narrow
     sig = (
         ds.crossJoin(F.broadcast(seeds))
         .groupBy("doc_id", "seed")
-        .agg(F.min(F.xxhash64("s", "seed")).alias("minh"))
+        .agg(F.min(F.xxhash64("h", "seed")).alias("minh"))
     )
     rows_per_band = N_PERM // N_BANDS
     band_sig = (
@@ -165,10 +189,10 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact-Jaccard verification of the candidates only
     sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ds.select(F.col("doc_id").alias("doc_id_1"), "s")
-    b = ds.select(F.col("doc_id").alias("doc_id_2"), "s")
+    a = ds.select(F.col("doc_id").alias("doc_id_1"), "h")
+    b = ds.select(F.col("doc_id").alias("doc_id_2"), "h")
     inter = (
-        a.join(b, ["s"])
+        a.join(b, ["h"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count(F.lit(1)).alias("n_common"))
