@@ -10,6 +10,7 @@ from bigdatainfinance1_spark.operators import (  # noqa: F401
     pricing,
     relational,
     scalars,
+    scale_patterns,
     similarity,
     text,
     udfs,

@@ -1,0 +1,123 @@
+"""Scale-technique operators (SURVEY.md §4 posture, BASELINE.json 100 TB
+mandate): the two shuffle-control patterns that matter most on a big
+cluster, each expressed so its RESULT is oracle-checkable while its PLAN
+demonstrates the technique (asserted in tests/test_plans.py).
+
+1. Bucketed co-located join — both fact tables are written bucketed (and
+   sorted) by the join key into the same bucket count, so the sort-merge
+   join reads pre-partitioned, pre-sorted buckets and needs NO shuffle on
+   either side. On 100 TB this converts the dominant fact⋈fact exchange
+   into a local merge; only the final aggregation exchanges (tiny).
+
+2. Salted skew join — a hot key on the probe side would funnel one
+   reducer; salting splits each build-side key into N_SALT replicas and
+   spreads probe rows across them with a DETERMINISTIC salt
+   (pmod(xxhash64(event_id), N_SALT) — no rand(), so reruns and the
+   oracle comparison are stable). The join result is provably identical
+   to the unsalted join, which is exactly what the DuckDB oracle checks.
+   (AQE skew-join splitting handles moderate skew automatically; explicit
+   salting is the tool when one key alone exceeds an executor.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+N_BUCKETS = 16
+N_SALT = 8
+_STAGE = "/tmp/bigdatainfinance1_bucket_stage"
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage orders+lineitem as bucketed catalog tables (once per sf_dir).
+    Bucketing metadata lives in the session catalog; data files are external
+    under /tmp so re-runs in a fresh session re-register cheaply."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tbl_o, tbl_l = f"orders_bkt_{tag}", f"lineitem_bkt_{tag}"
+    for tbl, name, key in ((tbl_o, "orders", "o_orderkey"), (tbl_l, "lineitem", "l_orderkey")):
+        if spark.catalog.tableExists(tbl):
+            continue
+        path = os.path.join(_STAGE, tbl)
+        (
+            load_table(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(N_BUCKETS, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    return tbl_o, tbl_l
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT
+      o.o_orderpriority,
+      count(*)                    AS n_lines,
+      round(sum(l.l_extendedprice), 2) AS total_price
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("scale", "join"),
+)
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over co-bucketed tables: the sort-merge join consumes
+    the bucket layout directly — zero shuffle on either input (asserted in
+    tests/test_plans.py with broadcast disabled). Result is byte-identical
+    to the plain join, which is the oracle."""
+    tbl_o, tbl_l = bucketed_tables(spark, sf_dir)
+    o = spark.table(tbl_o)
+    li = spark.table(tbl_l)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT
+      c.c_nationkey,
+      count(*)               AS n_events,
+      round(sum(e.value), 4) AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tags=("scale", "join"),
+)
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join via deterministic salting. Probe side (events) gets
+    salt = pmod(xxhash64(event_id), N_SALT); build side (customer) is
+    exploded into N_SALT replicas, one per salt value, so every probe row
+    still finds its dimension row and each original key's traffic spreads
+    over N_SALT reducers. Identical output to the unsalted join — the
+    oracle proves it."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT)).cast("int")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)])))
+    )
+    joined = ev.join(cust, (ev.user_id == cust.c_custkey) & (ev.salt == cust.salt))
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

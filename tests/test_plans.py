@@ -92,6 +92,22 @@ def test_partitioned_sink_query_prunes(spark):
     assert m is not None and "o_year" in m.group(0) and "= 1996" in m.group(0)
 
 
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-bucketed fact⋈fact join must sort-merge straight off the bucket
+    layout — no Exchange on either join input."""
+    import re
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = SPECS["q_bucketed_join"].fn(spark, SF_DIR)
+        plan = formatted(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
+
+
 def test_stream_stateful_totals_uses_state_operator(spark):
     """ST7 runs through FlatMapGroupsInPandasWithState, not a batch stand-in."""
     from bigdatainfinance1_spark.streaming.jobs import read_events_stream
