@@ -7,6 +7,7 @@ from bigdatainfinance1_spark.operators import (  # noqa: F401
     io_etl,
     joins,
     multimodal,
+    pipeline,
     pricing,
     relational,
     scalars,

@@ -1,0 +1,81 @@
+"""End-to-end training-data curation pipeline (SURVEY.md §2.9 composite):
+the LLM-data operators chained the way a real 100 TB curation job chains
+them — quality filter → exact dedup (keep canonical) → multimodal join to
+embeddings → per-source stats. One oracle-checked query proves the stages
+compose, not just that each works alone.
+
+Scale shape: every stage is a narrow transform or a single keyed shuffle —
+filter (pushed to the scan), dedup (one shuffle on a uniform md5 key),
+join to embeddings (keyed equi-join; at 100 TB both sides would be
+bucketed by id — see scale_patterns.py), final agg (tiny). No stage
+collects to the driver; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.functions.vector import l2_norm
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+
+@query(
+    "q_curation_pipeline",
+    oracle="""
+    WITH filtered AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr')
+        AND n_chars BETWEEN 100 AND 2000
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(lower(trim(text))) ORDER BY doc_id
+        ) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    ),
+    joined AS (
+      SELECT d.source, d.lang, d.n_chars,
+        sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM deduped d
+      JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT
+      source,
+      count(*)                 AS n_docs,
+      count(DISTINCT lang)     AS n_langs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      round(avg(nrm), 4)       AS avg_norm
+    FROM joined
+    GROUP BY source
+    """,
+    tags=("llm", "pipeline", "flagship"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite L1+L4+L6: language/length filter → exact-dedup keeping the
+    lowest doc_id per normalized-text hash → join each surviving doc to its
+    embedding row → per-source corpus stats. The window-based keep-first is
+    the idiomatic distributed dedup (one shuffle on the hash, no collect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        F.col("lang").isin("en", "de", "fr") & F.col("n_chars").between(100, 2000)
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), l2_norm("embedding").alias("nrm")
+    )
+    joined = deduped.join(emb, deduped.doc_id == emb.vec_id)
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )
