@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Scale-stress check: replicate the sf0.1 fact tables 10× (≈ sf1) into
+/tmp and re-run key queries, reporting the observed time-scaling factor per
+query. This is the "would the plan survive a 10× scale-up?" experiment the
+100 TB posture demands — run it after operator changes to catch designs
+whose cost curve is worse than their semantics require.
+
+Replication shifts primary keys by i*stride per copy (i = 0..9) so keys
+stay unique; dimension tables are copied as-is, so FK joins land on the
+same dims and per-group results grow ~10× rows per group. Quadratic
+operators (all-pairs similarity) are expected to scale ~100× in work —
+the report prints the factor so the reader sees which class each operator
+falls in; the scale PATH for those is the LSH variant, not the all-pairs.
+
+Usage: python scale_check.py [--rebuild]   (one JSON line per query)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import load_all_queries
+from bigdatainfinance1_spark.session import get_spark
+from bigdatainfinance1_spark.sources.catalog import TABLES, load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+STAGE = "/tmp/bigdatainfinance1_sfx10"
+COPIES = 10
+
+# (table, columns to shift per copy) — keys shifted by i*stride stay unique
+SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+QUERIES = [
+    "q_pricing_summary",
+    "q_star_join",
+    "q_sessionization",
+    "q_exact_dedup",
+    "q_jaccard_neardup",
+    "q_cosine_topk",
+    "q_embedding_neardup",
+]
+
+
+def build_stage(spark) -> None:
+    os.makedirs(STAGE, exist_ok=True)
+    for name in TABLES:
+        out = f"{STAGE}/{name}.parquet"
+        if os.path.exists(os.path.join(out, "_SUCCESS")):
+            continue
+        df = load_table(spark, BASE_SF, name)
+        if name in SHIFTS:
+            stride = df.agg(F.max(SHIFTS[name][0])).collect()[0][0] + 1
+            copies = None
+            for i in range(COPIES):
+                c = df
+                for col in SHIFTS[name]:
+                    c = c.withColumn(col, F.col(col) + F.lit(i * stride))
+                copies = c if copies is None else copies.unionByName(c)
+            df = copies
+        df.write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    spark = get_spark(app_name="bigdatainfinance1_spark-scale-check")
+    if "--rebuild" in sys.argv:
+        import shutil
+
+        shutil.rmtree(STAGE, ignore_errors=True)
+    build_stage(spark)
+    specs = load_all_queries()
+    specs["q_pricing_summary"].fn(spark, BASE_SF).limit(1).collect()  # warmup
+
+    for name in QUERIES:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, BASE_SF).write.format("noop").mode("overwrite").save()
+        t_base = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        specs[name].fn(spark, STAGE).write.format("noop").mode("overwrite").save()
+        t_10x = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf0.1_sec": round(t_base, 3),
+                    "sf1_sec": round(t_10x, 3),
+                    "scaling_factor": round(t_10x / t_base, 2),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
