@@ -1,0 +1,86 @@
+"""Property-based oracle fuzzing (SURVEY.md §5 pre-gate, strengthened):
+hypothesis generates random predicate/aggregation SQL, and the SAME text
+runs on Spark (over the registered temp views) and DuckDB (over the same
+parquet). Any divergence in the shared ANSI subset — comparison semantics,
+null handling, BETWEEN bounds, date truncation — surfaces here long before
+a hand-written query would stumble on it.
+
+Deterministic: hypothesis derandomized per test, so CI and the driver see
+the same examples.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from bigdatainfinance1_spark.sources.catalog import register_views
+from tests.conftest import SF_DIR
+
+_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+_num_pred = st.builds(
+    lambda col, op, frac: (col, op, frac),
+    st.sampled_from(_NUM_COLS),
+    st.sampled_from(_OPS),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False, allow_infinity=False),
+)
+
+# constants chosen inside each column's real domain so predicates are selective
+_DOMAIN = {
+    "l_quantity": (1.0, 50.0),
+    "l_extendedprice": (900.0, 105000.0),
+    "l_discount": (0.0, 0.1),
+    "l_tax": (0.0, 0.08),
+}
+
+
+def _render(pred) -> str:
+    col, op, frac = pred
+    lo, hi = _DOMAIN[col]
+    const = lo + frac * (hi - lo)
+    return f"{col} {op} {const!r}"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    register_views(spark, SF_DIR)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p1=_num_pred, p2=_num_pred, conj=st.sampled_from(["AND", "OR"]))
+def test_fuzz_filter_counts_match(spark, duck, p1, p2, conj):
+    """Random two-term numeric predicates: COUNT(*) must agree exactly."""
+    sql = (
+        "SELECT count(*) AS n FROM lineitem "
+        f"WHERE ({_render(p1)}) {conj} ({_render(p2)})"
+    )
+    n_spark = spark.sql(sql).collect()[0][0]
+    n_duck = duck.execute(sql).fetchone()[0]
+    assert n_spark == n_duck, sql
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=_num_pred, key=st.sampled_from(["l_returnflag", "l_linestatus", "l_shipmode"]))
+def test_fuzz_grouped_aggregates_match(spark, duck, p, key):
+    """Random filter + group-by: per-group count and integer-exact sum of
+    l_quantity (values are small integers — double-exact in any order)."""
+    sql = (
+        f"SELECT {key} AS k, count(*) AS n, round(sum(l_quantity), 2) AS sq "
+        f"FROM lineitem WHERE {_render(p)} GROUP BY {key}"
+    )
+    s = {(r[0], r[1], r[2]) for r in spark.sql(sql).collect()}
+    d = {(r[0], r[1], r[2]) for r in duck.execute(sql).fetchall()}
+    assert s == d, sql
