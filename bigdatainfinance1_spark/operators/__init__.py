@@ -5,6 +5,7 @@ from bigdatainfinance1_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
     io_etl,
+    iterative,
     joins,
     multimodal,
     pipeline,

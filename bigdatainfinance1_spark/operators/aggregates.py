@@ -306,3 +306,27 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(urgent_price), 2).alias("urgent_total"),
         F.round(F.sum(urgent_price) / F.sum("o_totalprice"), 6).alias("urgent_share"),
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      coalesce(o_orderstatus, 'ALL')   AS status,
+      count(*)                         AS n_orders,
+      round(sum(o_totalprice), 2)      AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query("q_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("aggregate", "olap"))
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (explicit form): GROUPING SETS — one SQL text shared verbatim with
+    the oracle (rollup/cube above use the DataFrame API; this exercises the
+    SQL surface for arbitrary subtotal lattices). Group keys are never null
+    in the data, so coalesce('ALL') tags aggregated-out rows unambiguously
+    in both dialects."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -114,3 +114,11 @@ def test_stream_stateful_totals_uses_state_operator(spark):
 
     ev = read_events_stream(spark, SF_DIR).select("user_id", "value")
     assert ev.isStreaming
+
+
+def test_kmeans_is_deterministic(spark):
+    """Iterative ops must be rerun-identical (resumability at scale)."""
+    a = SPECS["q_kmeans_embeddings"].fn(spark, SF_DIR).toPandas().sort_values("cid")
+    b = SPECS["q_kmeans_embeddings"].fn(spark, SF_DIR).toPandas().sort_values("cid")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert len(a) == 8 and a.n_vecs.sum() > 0
