@@ -57,7 +57,11 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns per-cluster size and dispersion. Rows-only check: the result is
     iteration-order-defined, not SQL-expressible — determinism is asserted
     by our own rerun test instead."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # cache the corpus across the Lloyd iterations — the pattern any
+    # iterative job uses at scale (each iteration re-reads the cache, not
+    # the source files); unpersisted after the loop so the returned lazy
+    # DataFrame recomputes from the scan exactly once for the caller.
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
     init = (
         emb.orderBy("vec_id")
         .limit(K)
@@ -81,6 +85,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty clusters keep their previous centroid
         by_id = {row["cid"]: row["c"] for row in new}
         cents = [by_id.get(i, cents[i]) for i in range(K)]
+    emb.unpersist()
     return (
         assigned.groupBy("cid")
         .agg(
