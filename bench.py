@@ -34,6 +34,7 @@ HEADLINE = [
     "q_embedding_neardup",
     "q_top_terms",
     "q_stream_tumbling",
+    "q_curation_pipeline",
 ]
 
 
