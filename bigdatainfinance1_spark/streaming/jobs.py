@@ -228,6 +228,65 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT
+      c.event_id                                        AS click_id,
+      p.event_id                                        AS purchase_id,
+      c.user_id                                         AS user_id,
+      (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS secs_between
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "events", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6+ (stream⋈stream): click stream joined to purchase stream per user
+    within a 30-minute event-time window — the canonical attribution join.
+    Both sides carry watermarks (required so the state store can evict rows
+    older than the join horizon); with an availableNow replay nothing is
+    late, so the result equals the batch range join, which is the oracle.
+    At scale the state per key is bounded by watermark + interval, and the
+    join shuffles both streams on user_id once."""
+    ev1 = read_events_stream(spark, sf_dir)
+    ev2 = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev1.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000").alias("secs_between"),
+    )
+    return run_to_table(out, "append")
+
+
+@query(
     "q_stream_stateful_totals",
     oracle="""
     SELECT
