@@ -339,3 +339,73 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 4).alias("avg_session_events"),
         F.round(F.max("duration_s"), 3).alias("max_session_duration_s"),
     )
+
+
+@query(
+    "q_vwap",
+    oracle="""
+    SELECT
+      l_partkey,
+      CAST(sum(l_quantity) AS DOUBLE)                              AS total_qty,
+      round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS vwap,
+      count(*)                                                      AS n_trades
+    FROM lineitem
+    WHERE l_partkey < 200
+    GROUP BY l_partkey
+    """,
+    tags=("finance", "aggregate"),
+)
+def vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance: volume-weighted average price per part (lineitem rows as
+    trades: extendedprice × quantity / total quantity). Quantities are small
+    integers, so the weighted sums are order-exact in double; only the final
+    ratio is rounded. One map-side-combined groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    return li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 4
+        ).alias("vwap"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+
+
+@query(
+    "q_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS rev
+      FROM orders
+      GROUP BY d
+    ),
+    runs AS (
+      SELECT d, rev,
+        max(rev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM daily
+    )
+    SELECT d, rev, peak, round((peak - rev) / peak, 6) AS drawdown
+    FROM runs
+    ORDER BY drawdown DESC, d
+    LIMIT 10
+    """,
+    tags=("finance", "window"),
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance: drawdown of the daily-revenue series — running peak via an
+    unbounded-preceding max window, drawdown = (peak − rev)/peak, worst 10
+    days (date tiebreak for a deterministic LIMIT). The daily series is
+    rounded BEFORE the windows so both engines window identical doubles.
+    Single-partition ordered window over ~2400 days — fine here; at scale
+    the series would be windowed per instrument (partitioned), never one
+    global ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = daily.withColumn("peak", F.max("rev").over(w))
+    return (
+        runs.withColumn("drawdown", F.round((F.col("peak") - F.col("rev")) / F.col("peak"), 6))
+        .orderBy(F.col("drawdown").desc(), "d")
+        .limit(10)
+    )
