@@ -79,3 +79,90 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(F.avg("nrm"), 4).alias("avg_norm"),
     )
+
+
+@query(
+    "q_train_val_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT
+        lang,
+        n_chars,
+        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+             THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT
+      split,
+      lang,
+      count(*)                     AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged
+    GROUP BY split, lang
+    """,
+    tags=("llm", "pipeline"),
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split — the reproducible-split
+    primitive every training pipeline needs (content-independent, stable
+    under re-partitioning and re-runs, no RNG state). Doc goes to train iff
+    the first hex char of md5(doc_id) < 'e' (14/16 = 87.5%). md5 is
+    bit-identical across engines, so the exact membership — not just the
+    proportions — is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "e", "train"
+    ).otherwise("val")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "q_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tok,
+        CAST((sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tok) // 2048 AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT
+      bin,
+      count(*)                  AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      min(doc_id)               AS first_doc,
+      max(doc_id)               AS last_doc
+    FROM packed
+    GROUP BY bin
+    """,
+    tags=("llm", "pipeline"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in doc_id order) to 2048-token
+    context-window bins by the running token offset BEFORE each doc — the
+    streaming greedy pack used to batch training corpora. Integer token
+    counts make the running sum exact, so bin assignment is bit-stable
+    across engines. At 100 TB the ordering column would be a per-shard
+    sequence (window partitioned by shard), not one global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = toks.withColumn(
+        "bin", ((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048).cast("long")
+    )
+    return packed.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
