@@ -330,3 +330,32 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT
+      CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bucket,
+      count(*)                                               AS n_orders,
+      round(min(o_totalprice), 2)                            AS lo,
+      round(max(o_totalprice), 2)                            AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+    tags=("aggregate", "profiling"),
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profiling: fixed-width histogram of order values (20 × 25k buckets,
+    top bucket open-ended). Binning is plain arithmetic — floor + least —
+    because DuckDB 1.0 lacks width_bucket; identical expressions on both
+    engines give identical bucket membership. One map-side-combined
+    groupBy; this is the data-profiling primitive behind range-partition
+    sizing decisions at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19)).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
