@@ -63,3 +63,65 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+PRIORITY_CUTOFF = "1997-06-15 00:00:00"
+
+
+@query(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{PRIORITY_CUTOFF}'
+      AND l_shipdate  > TIMESTAMP '{PRIORITY_CUTOFF}'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("agg", "join", "finance"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped shipping priority: top-10 unshipped BUILDING-segment
+    orders by open revenue. The selective segment filter prunes customer
+    BEFORE the join (predicate pushdown to the parquet scan), the pruned
+    customer side broadcasts, and the date filters cut both fact inputs at
+    scan time — so the only large shuffle is the final group-by on
+    l_orderkey. LIMIT uses l_orderkey as a total-order tiebreak (SURVEY.md
+    §5 O2 rule) so top-10 is deterministic on both engines."""
+    cutoff = F.lit(PRIORITY_CUTOFF).cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )

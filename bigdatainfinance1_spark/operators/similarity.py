@@ -294,3 +294,90 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
     )
+
+
+@query("q_ann_ivf_topk", oracle=None, tags=("similarity", "llm", "approx"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (scale path, IVF variant): approximate top-k via an inverted-file
+    index — the other standard ANN layout besides sign-LSH (q_ann_lsh_topk).
+
+    Coarse quantizer: k=16 list centroids trained driver-side with 5
+    deterministic Lloyd iterations over a fixed sample (the 512 lowest
+    vec_ids; init = first 16). Training on a small sample is the standard
+    IVF recipe — centroids are k×64 doubles regardless of corpus size, so
+    they broadcast into the plan as literals and the corpus-side assignment
+    is a narrow map (zero shuffle). Queries probe their nprobe=4 nearest
+    lists, so probing is an equi-join on list_id touching ~nprobe/k = 25%
+    of the corpus instead of a full scan; candidates are reranked with
+    exact cosine + per-query top-3 window. Rows-only: list membership is
+    engine-specific (same class as the LSH variant).
+
+    Determinism: fixed sample, fixed init, argmin ties broken by lowest
+    list id both in training (numpy argmin) and assignment (struct sort by
+    (distance, id)) — reruns are identical.
+    """
+    import numpy as np
+
+    k, nprobe, iters = 16, 4, 5
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    sample = (
+        emb.orderBy("vec_id").limit(512).select("embedding").toPandas()["embedding"].to_numpy()
+    )
+    x = np.stack(sample).astype(np.float64)
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # ties -> lowest index
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+
+    cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    dists = F.expr(
+        f"transform(sequence(0, {k - 1}), c -> aggregate("
+        "zip_with(embedding, cents[c], (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+    def nearest_lists(n: int):
+        """Array of the n nearest list ids, (distance, id)-ordered."""
+        return F.expr(
+            f"transform(slice(array_sort(transform(sequence(0, {k - 1}),"
+            f" c -> named_struct('d', dists[c], 'i', c))), 1, {n}), s -> s.i)"
+        )
+
+    with_lists = (
+        emb.withColumn("cents", cents_lit)
+        .withColumn("dists", dists)
+        .withColumn("nrm", l2_norm("embedding"))
+    )
+    corpus = with_lists.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        "nrm",
+        F.element_at(nearest_lists(1), 1).alias("list_id"),
+    )
+    queries_df = (
+        with_lists.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(nearest_lists(nprobe)).alias("list_id"),
+        )
+    )
+    pairs = (
+        corpus.join(F.broadcast(queries_df), "list_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", dot("q_emb", "embedding") / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
+    )
