@@ -409,3 +409,76 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drawdown").desc(), "d")
         .limit(10)
     )
+
+
+GAPFILL_START, GAPFILL_END = "1995-01-01 00:00:00", "1995-03-31 00:00:00"
+
+
+@query(
+    "q_gapfill_ffill",
+    oracle=f"""
+    WITH cal AS (
+      SELECT CAST(unnest(generate_series(
+        TIMESTAMP '{GAPFILL_START}', TIMESTAMP '{GAPFILL_END}', INTERVAL 1 DAY
+      )) AS TIMESTAMP) AS day
+    ),
+    pri AS (SELECT DISTINCT o_orderpriority FROM orders),
+    daily AS (
+      SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{GAPFILL_START}'
+        AND o_orderdate <  TIMESTAMP '{GAPFILL_END}' + INTERVAL 1 DAY
+      GROUP BY o_orderpriority, date_trunc('day', o_orderdate)
+    )
+    SELECT
+      p.o_orderpriority,
+      c.day,
+      d.revenue,
+      last_value(d.revenue IGNORE NULLS) OVER (
+        PARTITION BY p.o_orderpriority ORDER BY c.day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS revenue_ffill
+    FROM pri p
+    CROSS JOIN cal c
+    LEFT JOIN daily d ON d.o_orderpriority = p.o_orderpriority AND d.day = c.day
+    """,
+    tags=("window", "timeseries", "finance"),
+)
+def gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series calendar gap-fill + forward-fill: per-priority daily
+    revenue over Q1-1995, densified to every calendar day (missing days get
+    NULL raw revenue) and forward-filled with the last observed value —
+    the canonical resample/ffill finance operator.
+
+    Scale shape: the calendar spine is sequence()-generated per key (keys ×
+    days rows — never a driver loop); the fill is one window per key, so
+    state is bounded by the densest single key and keys parallelize. The
+    only shuffles are the daily pre-aggregation and the window hash on the
+    key — both on the same key, so AQE coalesces them."""
+    start = F.lit(GAPFILL_START).cast("timestamp")
+    end = F.lit(GAPFILL_END).cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders")
+    cal = spark.range(1).select(
+        F.explode(F.sequence(start, end, F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    pri = orders.select("o_orderpriority").distinct()
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= start)
+            & (F.col("o_orderdate") < end + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("o_orderpriority", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    spine = pri.crossJoin(cal)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["o_orderpriority", "day"], "left")
+        .withColumn("revenue_ffill", F.last("revenue", ignorenulls=True).over(w))
+        .select("o_orderpriority", "day", "revenue", "revenue_ffill")
+    )
