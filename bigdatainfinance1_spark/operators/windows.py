@@ -482,3 +482,108 @@ def gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("revenue_ffill", F.last("revenue", ignorenulls=True).over(w))
         .select("o_orderpriority", "day", "revenue", "revenue_ffill")
     )
+
+
+_OHLC_SQL = """
+    WITH ordered AS (
+      SELECT
+        date_trunc('hour', ts) AS bar,
+        value, ts, event_id,
+        row_number() OVER (
+          PARTITION BY date_trunc('hour', ts) ORDER BY ts, event_id
+        ) AS rn_a,
+        row_number() OVER (
+          PARTITION BY date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC
+        ) AS rn_d
+      FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT
+      bar,
+      round(min(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+      round(max(value), 4)                             AS high,
+      round(min(value), 4)                             AS low,
+      round(min(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+      count(*)                                         AS n_trades,
+      round(sum(value), 4)                             AS volume
+    FROM ordered
+    GROUP BY bar
+"""
+
+
+@query("q_ohlc_bars", oracle=_OHLC_SQL, tags=("window", "finance", "timeseries"))
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance: hourly OHLC bars (open/high/low/close + count + volume) over
+    the purchase-event stream — the canonical candlestick resample. One SQL
+    text runs verbatim on Spark AND DuckDB: open/close are picked by
+    row_number over a TOTAL order (ts, event_id tiebreak — SURVEY.md §5),
+    never nondeterministic first()/last(). Scale shape: two window passes +
+    one group-by, all hash-partitioned on the bar hour; per-bar state is
+    bounded, bars parallelize. In production the partition key would be
+    (symbol, bar) — same plan, wider key."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_OHLC_SQL)
+
+
+@query(
+    "q_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT
+        date_trunc('day', o_orderdate) AS day,
+        sum(o_totalprice)              AS rev,
+        CAST(count(*) AS DOUBLE)       AS nd,
+        count(*)                       AS n_orders
+      FROM orders
+      GROUP BY date_trunc('day', o_orderdate)
+    ),
+    win AS (
+      SELECT day, n_orders,
+        CAST(count(*) OVER w AS DOUBLE) AS n,
+        sum(rev) OVER w       AS sx,
+        sum(nd) OVER w        AS sy,
+        sum(rev * rev) OVER w AS sxx,
+        sum(nd * nd) OVER w   AS syy,
+        sum(rev * nd) OVER w  AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT
+      day,
+      CAST(n_orders AS BIGINT) AS n_orders,
+      round((n * sxy - sx * sy)
+            / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0),
+            4) AS corr_30d
+    FROM win
+    """,
+    tags=("window", "finance", "timeseries"),
+)
+def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance: 30-day rolling correlation between daily revenue and daily
+    order count, computed from windowed moment sums
+    ((nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²))) with a nullif guard — the same
+    algebra on both engines, and NULL (not an ANSI divide-by-zero error)
+    on degenerate frames such as the first 1-row window. Single global
+    series ⇒ single-partition window here; in production the window
+    partitions by instrument, which bounds state and parallelizes."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("rev").over(w)
+    sy = F.sum("nd").over(w)
+    sxx = F.sum(F.col("rev") * F.col("rev")).over(w)
+    syy = F.sum(F.col("nd") * F.col("nd")).over(w)
+    sxy = F.sum(F.col("rev") * F.col("nd")).over(w)
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return daily.select(
+        "day",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 4).alias("corr_30d"),
+    )
