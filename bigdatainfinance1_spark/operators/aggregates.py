@@ -359,3 +359,98 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "q_regr_beta",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, date_trunc('day', ts) AS day, sum(value) AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    market AS (
+      SELECT date_trunc('day', ts) AS day, sum(value) AS x
+      FROM events GROUP BY date_trunc('day', ts)
+    )
+    SELECT
+      p.event_type,
+      count(*)                               AS n_days,
+      round(regr_slope(p.y, m.x), 6)         AS beta,
+      round(regr_intercept(p.y, m.x), 6)     AS alpha,
+      round(regr_r2(p.y, m.x), 6)            AS r2
+    FROM per_type p
+    JOIN market m ON p.day = m.day
+    GROUP BY p.event_type
+    """,
+    tags=("agg", "finance", "stats"),
+)
+def regr_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance beta: per-event-type OLS regression of the type's daily value
+    against the whole-market daily value (regr_slope/intercept/r2 — the
+    linear-regression aggregate family). Two keyed pre-aggregations, a
+    day-keyed join (both sides already day-partitioned, AQE-broadcast), and
+    one tiny group-by: every stage shuffles at most one row per (type, day).
+    Same aggregate names and double arithmetic on both engines; round(…,6)
+    absorbs summation-order ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum("value").alias("y")
+    )
+    market = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(F.sum("value").alias("x"))
+    return (
+        per_type.join(market, "day")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.regr_slope("y", "x"), 6).alias("beta"),
+            F.round(F.regr_intercept("y", "x"), 6).alias("alpha"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+    )
+
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+@query(
+    "q_table_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_null,
+           count(DISTINCT o_orderstatus) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice) FROM orders
+    """,
+    tags=("agg", "profiling"),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/null/distinct counts for orders — the
+    schema-quality primitive behind ingestion monitoring. Spark computes ALL
+    columns' metrics in ONE scan (a single multi-aggregate pass; distinct
+    counts expand to one expand-node, not one scan per column) and unpivots
+    to a (column_name, metrics) row per column; the oracle spells the same
+    thing as a UNION ALL of per-column scans (DuckDB dedups scans itself).
+    At 100 TB the one-scan formulation is the point."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_rows, n_null, n_distinct)"
+    )

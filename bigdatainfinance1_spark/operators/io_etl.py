@@ -169,3 +169,59 @@ def sql_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ANSI aggregates, timestamp literals, round)."""
     register_views(spark, sf_dir)
     return spark.sql(_SHARED_SQL)
+
+
+SNAPSHOT_MAX_KEY = 1000
+
+
+@query(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= {SNAPSHOT_MAX_KEY}
+    ),
+    delta AS (
+      SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS open_total
+      FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_custkey
+    )
+    SELECT
+      coalesce(b.c_custkey, d.custkey)                    AS custkey,
+      round(coalesce(b.c_acctbal, 0.0)
+            + coalesce(d.open_total, 0.0), 2)             AS acctbal_new,
+      CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+           WHEN d.custkey  IS NULL THEN 'unchanged'
+           ELSE 'updated' END                             AS merge_action
+    FROM base b
+    FULL JOIN delta d ON b.c_custkey = d.custkey
+    """,
+    tags=("etl", "join"),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics without a table format: apply a delta (per-
+    customer open-order totals) onto a base snapshot (customers with key ≤
+    1000) via FULL OUTER JOIN + coalesce — matched keys update, delta-only
+    keys insert, base-only keys pass through unchanged, each row tagged with
+    its merge action. This is exactly the shuffle plan a Delta/Iceberg MERGE
+    lowers to (minus the transactional commit); both sides hash-partition
+    on the key once. The delta is pre-aggregated before the join so the
+    join input is one row per key — the same pushdown as q_star_join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = cust.filter(F.col("c_custkey") <= SNAPSHOT_MAX_KEY).select("c_custkey", "c_acctbal")
+    delta = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("open_total"))
+    )
+    joined = base.join(delta, base.c_custkey == delta.custkey, "outer")
+    return joined.select(
+        F.coalesce("c_custkey", "custkey").alias("custkey"),
+        F.round(
+            F.coalesce("c_acctbal", F.lit(0.0)) + F.coalesce("open_total", F.lit(0.0)), 2
+        ).alias("acctbal_new"),
+        F.when(F.col("c_custkey").isNull(), "inserted")
+        .when(F.col("custkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
