@@ -225,3 +225,48 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("updated")
         .alias("merge_action"),
     )
+
+
+@query(
+    "q_python_datasource",
+    oracle="""
+    WITH ticks AS (
+      SELECT
+        i                                                             AS tick_id,
+        100.0 + ((1103515245 * i + 12345) % 2147483648)
+                / 2147483648.0 * 10.0                                 AS price,
+        ((69069 * i + 1) % 97) + 1                                    AS qty
+      FROM range(20000) t(i)
+    )
+    SELECT
+      CAST(floor(price) AS BIGINT)     AS price_band,
+      count(*)                         AS n_ticks,
+      CAST(sum(qty) AS BIGINT)         AS total_qty,
+      round(sum(price * qty), 2)       AS notional,
+      round(sum(price * qty) / sum(qty), 6) AS vwap
+    FROM ticks
+    GROUP BY price_band
+    """,
+    tags=("source", "connector", "finance"),
+)
+def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector (Spark 4 Python DataSource API): read the synthetic
+    tick feed — 8 parallel generator partitions — and aggregate per price
+    band (count, quantity, notional, VWAP). The generator's integer-LCG +
+    power-of-two-division arithmetic is IEEE-exact, so DuckDB's range()
+    reproduces the identical doubles and this custom source gets a full
+    value-hash oracle, not a rows-only waiver. See sources/ticks.py for the
+    partition-striding design that makes results partition-count-invariant."""
+    from bigdatainfinance1_spark.sources import ticks as ticks_src
+
+    ticks_src.register(spark)
+    t = spark.read.format("synthetic_ticks").load()
+    return (
+        t.groupBy(F.floor("price").cast("long").alias("price_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            F.round(F.sum(F.col("price") * F.col("qty")), 2).alias("notional"),
+            F.round(F.sum(F.col("price") * F.col("qty")) / F.sum("qty"), 6).alias("vwap"),
+        )
+    )

@@ -367,3 +367,107 @@ def stream_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
     )
     return run_to_table(agg, "append")
+
+
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas needs a protobuf driver worker
+    (pyspark.sql.streaming.proto imports google.protobuf at runtime)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def _tws_query(name, oracle, tags):
+    """Register the transformWithState query only where it can run: the
+    Spark 4 TWS API requires google.protobuf, which this container lacks
+    (verified: the streaming driver worker crashes on import). Where absent,
+    ST7 coverage stays on applyInPandasWithState (q_stream_stateful_totals);
+    this variant registers automatically once protobuf is available."""
+    if _has_protobuf():
+        return query(name, oracle=oracle, tags=tags)
+    return lambda fn: fn
+
+
+@_tws_query(
+    "q_stream_tws_minmax",
+    oracle="""
+    SELECT
+      user_id,
+      round(min(value), 4) AS min_value,
+      round(max(value), 4) AS max_value,
+      count(*)             AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "events", "stateful"),
+)
+def stream_tws_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 (Spark 4 transformWithStateInPandas): per-user (min, max, count)
+    tracker via the typed StatefulProcessor API — the successor to
+    applyInPandasWithState (q_stream_stateful_totals), with named state
+    variables managed per key by the state store. Requires the RocksDB
+    state-store provider (scoped to this run, like the partition sizing);
+    emissions are per-(key × batch) running values, so the latest update per
+    user — max n_events, the count is strictly increasing — must equal the
+    batch aggregate, which is the oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.window import Window
+
+    class MinMaxProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("minmax", "mn double, mx double, n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                mn, mx, n = self._state.get()
+            else:
+                mn, mx, n = float("inf"), float("-inf"), 0
+            for pdf in rows:
+                mn = min(mn, float(pdf["value"].min()))
+                mx = max(mx, float(pdf["value"].max()))
+                n += len(pdf)
+            self._state.update((mn, mx, n))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "min_value": [mn], "max_value": [mx], "n_events": [n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    updates = ev.groupBy("user_id").transformWithStateInPandas(
+        MinMaxProcessor(),
+        outputStructType="user_id long, min_value double, max_value double, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_table(updates, "update")
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.round("min_value", 4).alias("min_value"),
+            F.round("max_value", 4).alias("max_value"),
+            "n_events",
+        )
+    )

@@ -137,3 +137,12 @@ def test_sql_entry_point_matches_dataframe_api(spark):
     pd.testing.assert_frame_equal(
         sql_res.reset_index(drop=True), df_res.reset_index(drop=True), check_like=True
     )
+
+
+def test_tws_query_gated_on_protobuf():
+    """q_stream_tws_minmax registers iff google.protobuf is importable —
+    the Spark 4 transformWithState API needs a protobuf driver worker."""
+    from bigdatainfinance1_spark.registry import load_all_queries
+    from bigdatainfinance1_spark.streaming.jobs import _has_protobuf
+
+    assert ("q_stream_tws_minmax" in load_all_queries()) == _has_protobuf()
