@@ -471,3 +471,52 @@ def stream_tws_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q_stream_file_sink",
+    oracle="""
+    SELECT
+      event_type,
+      count(*)             AS n_events,
+      round(sum(value), 4) AS total_value
+    FROM events
+    WHERE value > 50
+    GROUP BY event_type
+    """,
+    tags=("streaming", "events", "sink"),
+)
+def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink with checkpointed exactly-once delivery:
+    a stateless filtered projection of the event stream appends to a
+    partitioned parquet directory (file sinks are append-only — aggregations
+    would need a watermark; the canonical bronze→silver hop writes raw
+    filtered rows exactly like this), then the written files are read back
+    and aggregated in batch. The batch aggregate over the sink must equal
+    the same aggregate over the source — which is the oracle — proving no
+    loss and no duplication across micro-batches. Checkpoint + _spark_metadata
+    give exactly-once at any scale; partitionBy(event_type) makes the sink
+    partition-prunable for downstream readers."""
+    import uuid as _uuid
+
+    base = f"/tmp/bigdatainfinance1_stream_sink/{_uuid.uuid4().hex[:12]}"
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("value") > 50)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", f"{base}/data")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .partitionBy("event_type")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(f"{base}/data")
+    return written.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

@@ -122,3 +122,41 @@ def test_kmeans_is_deterministic(spark):
     b = SPECS["q_kmeans_embeddings"].fn(spark, SF_DIR).toPandas().sort_values("cid")
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     assert len(a) == 8 and a.n_vecs.sum() > 0
+
+
+def test_shipping_priority_broadcasts_pruned_customer(spark):
+    """q_shipping_priority: the segment-filtered customer side must broadcast
+    and the segment predicate must reach the parquet scan."""
+    df = SPECS["q_shipping_priority"].fn(spark, SF_DIR)
+    plan = formatted(df)
+    assert "BroadcastHashJoin" in plan
+    pushed = [seg[:800] for seg in plan.split("PushedFilters")[1:]]
+    assert any("c_mktsegment" in seg for seg in pushed)
+
+
+def test_star_join_preaggregates_fact(spark):
+    """The lineitem partial aggregation must sit BELOW the orders join —
+    the fact shuffle carries one row per order, not per line."""
+    df = SPECS["q_star_join"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    join_pos = plan.find("SortMergeJoin") if "SortMergeJoin" in plan else plan.find("Join")
+    agg_pos = plan.rfind("HashAggregate")
+    assert agg_pos > join_pos  # bottom-most aggregate appears after (=below) the join node
+
+
+def test_python_datasource_parallel_partitions(spark):
+    """The custom tick source must expose its declared partition count to
+    Spark (one task per generator partition)."""
+    from bigdatainfinance1_spark.sources import ticks as ticks_src
+
+    ticks_src.register(spark)
+    t = spark.read.format("synthetic_ticks").load()
+    assert t.rdd.getNumPartitions() == ticks_src.TICK_PARTS
+
+
+def test_merge_upsert_single_key_shuffle(spark):
+    """MERGE plan: delta pre-aggregated before the outer join, no Python."""
+    df = SPECS["q_merge_upsert"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan  # delta pre-aggregation present
