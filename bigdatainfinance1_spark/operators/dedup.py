@@ -248,3 +248,59 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
     )
     return pairs.select("doc_id_1", "doc_id_2", "hamming")
+
+
+@query(
+    "q_decontamination",
+    oracle=f"""
+    WITH ds AS ({_SHINGLES_SQL}),
+    bench AS (SELECT DISTINCT s FROM ds WHERE doc_id < 20),
+    tr AS (SELECT doc_id, s FROM ds WHERE doc_id >= 20),
+    sz AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_common
+      FROM tr t JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id
+    )
+    SELECT
+      h.doc_id,
+      h.n_common,
+      s.n                                            AS n_shingles,
+      round(h.n_common * 1.0 / s.n, 4)               AS overlap_ratio,
+      CAST(h.n_common * 1.0 / s.n >= 0.5 AS BOOLEAN) AS contaminated
+    FROM hits h JOIN sz s ON h.doc_id = s.doc_id
+    WHERE h.n_common >= 3
+    """,
+    tags=("dedup", "llm", "text"),
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training documents whose 3-word
+    shingles overlap an evaluation set (here: doc_id < 20 stands in for the
+    benchmark). The benchmark shingle set is tiny by construction, so it
+    BROADCASTS and the training corpus is scanned exactly once with a
+    broadcast hash join — the linear shape that survives 100 TB, unlike the
+    symmetric all-pairs join (this is the asymmetric special case the
+    quadratic q_jaccard_neardup verifier cannot exploit). Shingles travel as
+    64-bit hashes (see _doc_shingle_hashes); counts equal the string oracle
+    absent 64-bit collisions, which the oracle match itself verifies."""
+    ds = _doc_shingle_hashes(spark, sf_dir)
+    bench = ds.filter(F.col("doc_id") < 20).select("h").distinct()
+    train = ds.filter(F.col("doc_id") >= 20)
+    sz = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ratio = F.col("n_common") / F.col("n_shingles")
+    return (
+        hits.join(sz, "doc_id")
+        .filter(F.col("n_common") >= 3)
+        .select(
+            "doc_id",
+            "n_common",
+            F.col("n_shingles"),
+            F.round(ratio, 4).alias("overlap_ratio"),
+            (ratio >= 0.5).alias("contaminated"),
+        )
+    )
