@@ -84,3 +84,63 @@ def test_fuzz_grouped_aggregates_match(spark, duck, p, key):
     s = {(r[0], r[1], r[2]) for r in spark.sql(sql).collect()}
     d = {(r[0], r[1], r[2]) for r in duck.execute(sql).fetchall()}
     assert s == d, sql
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(frac=st.floats(min_value=0.1, max_value=0.9, allow_nan=False))
+def test_fuzz_ignore_nulls_ffill_matches(spark, duck, frac):
+    """Random null pattern (daily revenue nulled below a random threshold),
+    then forward-fill via last_value IGNORE NULLS over the same frame.
+    The IGNORE NULLS placement differs by dialect (Spark: after the call;
+    DuckDB: inside the parens), so each engine renders its own text — the
+    property is that the filled series agree exactly."""
+    thresh = 100000.0 + frac * 4000000.0
+    inner = (
+        "SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day, "
+        f"CASE WHEN sum(o_totalprice) > {thresh!r} THEN round(sum(o_totalprice), 2) END AS v "
+        "FROM orders GROUP BY o_orderpriority, date_trunc('day', o_orderdate)"
+    )
+    frame = (
+        "OVER (PARTITION BY o_orderpriority ORDER BY day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    # CAST day on both sides: DuckDB's raw fetchall yields datetime.date for
+    # date_trunc here while Spark yields datetime.datetime (the pandas-based
+    # oracle gate normalizes this; raw tuple compare doesn't)
+    spark_sql = (
+        "SELECT o_orderpriority, CAST(day AS TIMESTAMP) AS day, "
+        f"last_value(v) IGNORE NULLS {frame} AS f FROM ({inner})"
+    )
+    duck_sql = (
+        "SELECT o_orderpriority, CAST(day AS TIMESTAMP) AS day, "
+        f"last_value(v IGNORE NULLS) {frame} AS f FROM ({inner})"
+    )
+    s = {tuple(r) for r in spark.sql(spark_sql).collect()}
+    d = {tuple(r) for r in duck.execute(duck_sql).fetchall()}
+    assert s == d, spark_sql
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(mult=st.floats(min_value=0.90, max_value=1.06, allow_nan=False))
+def test_fuzz_correlated_subquery_counts_match(spark, duck, mult):
+    """Correlated scalar subquery with a random threshold multiplier: the
+    SAME text runs on both engines; membership counts must agree (the random
+    multiplier lands measurably far from any price/avg boundary)."""
+    sql = (
+        "SELECT count(*) AS n FROM part p "
+        f"WHERE p_retailprice > {mult!r} * "
+        "(SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)"
+    )
+    n_spark = spark.sql(sql).collect()[0][0]
+    n_duck = duck.execute(sql).fetchone()[0]
+    assert n_spark == n_duck, sql
