@@ -13,7 +13,7 @@ pipeline, all expressed as DataFrame ops (explode/groupBy/join), no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.registry import query
@@ -303,4 +303,96 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ratio, 4).alias("overlap_ratio"),
             (ratio >= 0.5).alias("contaminated"),
         )
+    )
+
+
+_PAIRS_SQL = f"""
+    WITH RECURSIVE ds AS ({_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT i.doc_id_1, i.doc_id_2
+      FROM inter i
+      JOIN sz x ON i.doc_id_1 = x.doc_id
+      JOIN sz y ON i.doc_id_2 = y.doc_id
+      WHERE i.n_common * 1.0 / (x.n + y.n - i.n_common) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_id_1 AS a, doc_id_2 AS b FROM pairs
+      UNION ALL
+      SELECT doc_id_2, doc_id_1 FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+"""
+
+
+@query(
+    "q_dup_clusters",
+    oracle=f"""
+    {_PAIRS_SQL}
+    SELECT
+      doc_id,
+      component_id,
+      CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
+    FROM (
+      SELECT a AS doc_id, least(a, min(b)) AS component_id
+      FROM reach GROUP BY a
+    )
+    """,
+    tags=("dedup", "llm", "iterative"),
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the Jaccard
+    ≥ 0.8 near-dup pairs via iterative min-label propagation — the step that
+    turns pairwise matches into dedup groups (keep one doc per component).
+    Each iteration is one join + groupBy (labels shrink monotonically to the
+    component-minimum doc_id); convergence needs graph-diameter iterations,
+    and near-dup components are tiny by construction, so the loop is short.
+    This is the standard distributed CC recipe (driver coordinates, data
+    never leaves the cluster) — the same job shape as q_kmeans_embeddings.
+    The oracle computes the same components with a recursive-CTE transitive
+    closure, which is feasible exactly because components are small."""
+    pairs = jaccard_neardup(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    edges = pairs.union(
+        pairs.select(F.col("doc_id_2").alias("doc_id_1"), F.col("doc_id_1").alias("doc_id_2"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_id_1").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    ).persist()
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.doc_id_2 == labels.node)
+            .groupBy("doc_id_1")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.doc_id_1, "left")
+            .select(
+                "node",
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("component_id")
+    return (
+        labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))
+        .withColumn("component_size", F.count(F.lit(1)).over(w).cast("long"))
     )
