@@ -587,3 +587,49 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 4).alias("corr_30d"),
     )
+
+
+_RFM_SQL = """
+    WITH base AS (
+      SELECT
+        o_custkey                   AS custkey,
+        max(o_orderdate)            AS last_order,
+        count(*)                    AS freq,
+        round(sum(o_totalprice), 2) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT
+        custkey,
+        CAST(ntile(4) OVER (ORDER BY last_order, custkey) AS BIGINT) AS r_score,
+        CAST(ntile(4) OVER (ORDER BY freq, custkey) AS BIGINT)       AS f_score,
+        CAST(ntile(4) OVER (ORDER BY monetary, custkey) AS BIGINT)   AS m_score
+      FROM base
+    )
+    SELECT
+      custkey, r_score, f_score, m_score,
+      CASE
+        WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+        WHEN r_score >= 3 AND f_score >= 3               THEN 'loyal'
+        WHEN r_score = 1                                 THEN 'at_risk'
+        ELSE 'regular'
+      END AS segment
+    FROM scored
+"""
+
+
+@query("q_rfm_segmentation", oracle=_RFM_SQL, tags=("window", "finance"))
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance/customer analytics composite: RFM segmentation — per-customer
+    recency/frequency/monetary quartiles (ntile over TOTAL orders: metric +
+    custkey tiebreak, SURVEY.md §5 determinism rule) mapped to segment
+    labels. One SQL text runs verbatim on both engines. The global ntile
+    windows are single-partition by definition; at 100 TB you swap them for
+    approx_percentile cutpoints + a CASE bucket (same output contract,
+    no global sort) — documented here because the quartile-boundary
+    semantics, not the sort, are the operator."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RFM_SQL)
