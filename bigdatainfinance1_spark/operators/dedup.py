@@ -143,37 +143,88 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_minhash_lsh", oracle=None, tags=("dedup", "llm", "approx"))
+_MINHASH_SQL = f"""
+    WITH ds AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minh
+      FROM ds CROSS JOIN (SELECT unnest(range(0, {N_PERM})) AS seed) seeds
+      GROUP BY doc_id, seed
+    ),
+    band_sig AS (
+      SELECT doc_id, seed // {N_PERM // N_BANDS} AS band,
+             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM band_sig a
+      JOIN band_sig b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      c.doc_id_1,
+      c.doc_id_2,
+      round(i.n_common * 1.0 / (x.n + y.n - i.n_common), 4) AS jaccard
+    FROM cand c
+    JOIN inter i ON c.doc_id_1 = i.doc_id_1 AND c.doc_id_2 = i.doc_id_2
+    JOIN sz x ON c.doc_id_1 = x.doc_id
+    JOIN sz y ON c.doc_id_2 = y.doc_id
+    WHERE i.n_common * 1.0 / (x.n + y.n - i.n_common) >= 0.7
+"""
+
+
+@query("q_minhash_lsh", oracle=_MINHASH_SQL, tags=("dedup", "llm", "approx"))
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 (scale tier): MinHash + banded LSH near-dup detection.
 
-    shingle-hash → 32 seeded minhashes (xxhash64(h, seed), deterministic) →
-    8 bands × 4 rows → band-bucket equi-join for candidates → exact Jaccard
-    verify ≥ 0.7. Signatures are constant-size per doc, so the shuffle volume
-    is O(docs), not O(shingles); candidate pairs are only those colliding in
-    some band. Rows-only check: xxhash64 is engine-specific (the exact-tier
-    q_jaccard_neardup is the cross-engine-verified twin).
+    shingle → 32 seeded minhashes → 8 bands × 4 rows → band-bucket equi-join
+    for candidates → exact Jaccard verify ≥ 0.7. Signatures are constant-size
+    per doc, so the shuffle volume is O(docs), not O(shingles); candidate
+    pairs are only those colliding in some band.
+
+    The permutation hash is md5(seed || ':' || shingle) — cross-engine
+    reproducible, so the DuckDB oracle recomputes the full signature→band→
+    candidate→verify pipeline and this query is value-hash-checked (VERDICT
+    round-1 task 5; previously xxhash64, engine-specific, rows-only). The 32
+    md5s per shingle are computed INSIDE a transform lambda before the
+    posexplode, so the fanout rows carry (doc_id, seed, 32-char hex) and the
+    shingle text never fans out. md5-hex minhashes cost ~4x the shuffle bytes
+    of the 8-byte xxhash64 variant; signatures are still O(docs)-bounded, and
+    verification counts run on 8-byte shingle hashes (identical counts to the
+    string oracle absent 64-bit collisions — the hash match itself checks
+    this).
     """
-    ds = _doc_shingle_hashes(spark, sf_dir)
-    seeds = spark.range(N_PERM).select(F.col("id").cast("int").alias("seed"))
-    # per (doc, seed): min over shingle hashes of xxhash64(h, seed) — hashing
-    # the 8-byte shingle id, not the string, keeps the 32x-fanout rows narrow
+    ds = _doc_shingles(spark, sf_dir)
     sig = (
-        ds.crossJoin(F.broadcast(seeds))
+        ds.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {N_PERM - 1}),"
+                    " k -> md5(concat(cast(k AS string), ':', s)))"
+                )
+            ).alias("seed", "hv"),
+        )
         .groupBy("doc_id", "seed")
-        .agg(F.min(F.xxhash64("h", "seed")).alias("minh"))
+        .agg(F.min("hv").alias("minh"))
     )
     rows_per_band = N_PERM // N_BANDS
     band_sig = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
-            F.xxhash64(
+            F.md5(
                 F.concat_ws(
                     ",",
                     F.transform(
                         F.sort_array(F.collect_list(F.struct("seed", "minh"))),
-                        lambda s: s["minh"].cast("string"),
+                        lambda s: s["minh"],
                     ),
                 )
             ).alias("band_key")
@@ -187,10 +238,12 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
-    # exact-Jaccard verification of the candidates only
-    sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ds.select(F.col("doc_id").alias("doc_id_1"), "h")
-    b = ds.select(F.col("doc_id").alias("doc_id_2"), "h")
+    # exact-Jaccard verification of the candidates only; counts run on the
+    # 8-byte hashed shingles (same counts as the string oracle, narrower rows)
+    dh = _doc_shingle_hashes(spark, sf_dir)
+    sz = dh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = dh.select(F.col("doc_id").alias("doc_id_1"), "h")
+    b = dh.select(F.col("doc_id").alias("doc_id_2"), "h")
     inter = (
         a.join(b, ["h"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
@@ -208,46 +261,125 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_simhash", oracle=None, tags=("dedup", "llm", "approx"))
-def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (fingerprint tier): 32-bit SimHash per document + near-dup pairs at
-    Hamming distance ≤ 6.
+# 60-bit simhash, banded for the Hamming<=6 pair join: 7 bands, so any pair
+# differing in <=6 bits leaves >=1 band untouched (pigeonhole) and collides
+# in the equi-join. (band_id, bit_offset, band_width); widths sum to 60.
+SIMHASH_BITS = 60
+SIMHASH_HAMMING_MAX = 6
+SIMHASH_BANDS = ((0, 0, 9), (1, 9, 9), (2, 18, 9), (3, 27, 9), (4, 36, 8), (5, 44, 8), (6, 52, 8))
 
-    Token-frequency-weighted bit votes: bit i of xxhash64(token) contributes
-    +tf / -tf; the sign of each bit-sum forms the fingerprint. All DataFrame
-    ops (explode bit positions → conditional agg → bit OR-fold). Pairwise
-    Hamming via xor+bit_count on the tiny fingerprint relation. Rows-only:
-    xxhash64 is engine-specific.
-    """
+_SIMHASH_FP_SQL = f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    bits AS (
+      SELECT doc_id, tf, md5(tok) AS h, unnest(range(0, {SIMHASH_BITS})) AS bit FROM tf
+    ),
+    votes AS (
+      SELECT doc_id, bit,
+        sum(CASE WHEN ((instr('0123456789abcdef', substr(h, 15 - bit // 4, 1)) - 1)
+                       >> (bit % 4)) & 1 = 1
+                 THEN tf ELSE -tf END) AS v
+      FROM bits GROUP BY doc_id, bit
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+               AS simhash
+      FROM votes GROUP BY doc_id
+    )
+"""
+
+_SIMHASH_SQL = f"""
+    {_SIMHASH_FP_SQL},
+    bands(band, off, sz) AS (VALUES {", ".join(f"({b}, {o}, {s})" for b, o, s in SIMHASH_BANDS)}),
+    banded AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> off) & ((CAST(1 AS BIGINT) << sz) - 1) AS band_val
+      FROM fp CROSS JOIN bands
+    )
+    SELECT DISTINCT
+      a.doc_id AS doc_id_1,
+      b.doc_id AS doc_id_2,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit token-frequency-weighted SimHash per document. Bit i of the
+    token hash (first 15 hex chars of md5 — cross-engine reproducible, vs the
+    engine-specific xxhash64 it replaces) contributes +tf / -tf to bit-sum i;
+    the sign of each sum forms the fingerprint. All JVM-side DataFrame ops:
+    explode bit positions → conditional agg → bit OR-fold."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("v", F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))
     )
     bits = tf.select(
         "doc_id",
         "tf",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
     )
-    vote = F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("tf")).otherwise(-F.col("tf"))
-    bit_votes = bits.groupBy("doc_id", "bit").agg(F.sum(vote).alias("v"))
-    fp = bit_votes.groupBy("doc_id").agg(
+    vote = F.when(F.expr("(shiftright(v, bit) & 1) = 1"), F.col("tf")).otherwise(-F.col("tf"))
+    bit_votes = bits.groupBy("doc_id", "bit").agg(F.sum(vote).alias("s"))
+    return bit_votes.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
-        ).alias("simhash")
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0)
+        )
+        .cast("long")
+        .alias("simhash")
     )
-    a = fp.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("h1"))
-    b = fp.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("h2"))
-    pairs = (
-        a.crossJoin(b)
+
+
+def _simhash_banded_pairs(fp: DataFrame) -> DataFrame:
+    """Hamming<=6 pairs via the 7-band pigeonhole equi-join (VERDICT round-1
+    task 2): a pair within Hamming 6 of a 60-bit fingerprint must agree on at
+    least one of 7 disjoint bands, so banding turns the all-pairs cross join
+    into a shuffle equi-join on (band, band_val) — the shape that distributes
+    at 100 TB — followed by exact Hamming verification in-bucket. A pair can
+    collide in several bands, hence the final distinct."""
+    band_expr = "explode(array({})) AS bv".format(
+        ", ".join(
+            f"struct({b} AS band, (shiftright(simhash, {off}) & {(1 << sz) - 1}) AS band_val)"
+            for b, off, sz in SIMHASH_BANDS
+        )
+    )
+    banded = fp.selectExpr("doc_id", "simhash", band_expr).select(
+        "doc_id", "simhash", "bv.band", "bv.band_val"
+    )
+    a = banded.select(
+        "band", "band_val", F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("h1")
+    )
+    b = banded.select(
+        "band", "band_val", F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("h2")
+    )
+    return (
+        a.join(b, ["band", "band_val"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
-        .filter(F.col("hamming") <= 6)
+        .withColumn("hamming", F.expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .select("doc_id_1", "doc_id_2", "hamming")
+        .distinct()
     )
-    return pairs.select("doc_id_1", "doc_id_2", "hamming")
+
+
+@query("q_simhash", oracle=_SIMHASH_SQL, tags=("dedup", "llm", "approx"))
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (fingerprint tier): 60-bit SimHash per document + near-dup pairs at
+    Hamming distance ≤ 6, found by banded pigeonhole equi-join (no cross
+    join anywhere in the plan — asserted in tests/test_plans.py). md5-derived
+    token bits make the whole pipeline DuckDB-reproducible, so this query is
+    value-hash-checked (was rows-only in round 1)."""
+    return _simhash_banded_pairs(_simhash_fingerprints(spark, sf_dir))
 
 
 @query(

@@ -78,7 +78,7 @@ DRIVER_WINDOW_ORDER: tuple[str, ...] = (
     "q_top_revenue_orders",      # O1/O2
     "q_union_all",               # O3
     "q_intersect_custs",         # O4
-    "q_except_custs",            # O4
+    "q_simhash",                 # L2 fingerprint tier (oracle-checked since round 2)
     # Similarity / text / embedding flagships L3-L5, L7
     "q_cosine_topk",             # L3
     "q_top_terms",               # L4

@@ -154,6 +154,42 @@ def test_python_datasource_parallel_partitions(spark):
     assert t.rdd.getNumPartitions() == ticks_src.TICK_PARTS
 
 
+def test_dedup_pair_joins_are_not_cartesian(spark):
+    """The near-dup pair stages must be shuffle equi-joins (banded LSH /
+    pigeonhole), never cartesian products — the round-1 q_simhash weakness."""
+    for name in ("q_simhash", "q_minhash_lsh", "q_jaccard_neardup"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_simhash_banded_equals_allpairs(spark):
+    """Pigeonhole guarantee: the 7-band equi-join finds exactly the pairs the
+    all-pairs cross join finds at Hamming <= 6."""
+    from bigdatainfinance1_spark.operators.dedup import (
+        SIMHASH_HAMMING_MAX,
+        _simhash_banded_pairs,
+        _simhash_fingerprints,
+    )
+
+    fp = _simhash_fingerprints(spark, SF_DIR).cache()
+    try:
+        banded = {tuple(r) for r in _simhash_banded_pairs(fp).collect()}
+        a = fp.select(F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("h1"))
+        b = fp.select(F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("h2"))
+        allpairs = (
+            a.crossJoin(b)
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .withColumn("hamming", F.expr("CAST(bit_count(h1 ^ h2) AS INT)"))
+            .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+            .select("doc_id_1", "doc_id_2", "hamming")
+        )
+        assert banded == {tuple(r) for r in allpairs.collect()}
+        assert banded  # non-vacuous: the testdata does contain near-dup pairs
+    finally:
+        fp.unpersist()
+
+
 def test_merge_upsert_single_key_shuffle(spark):
     """MERGE plan: delta pre-aggregated before the outer join, no Python."""
     df = SPECS["q_merge_upsert"].fn(spark, SF_DIR)
