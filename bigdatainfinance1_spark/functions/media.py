@@ -16,13 +16,13 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import types as T
 
-_HAVE_REAL_CODECS = False
-try:  # real decoders, absent in this container by design
-    import PIL.Image  # noqa: F401
+# The real decode path is OPT-IN only (env flag), never auto-selected on
+# import success: real_decode has no working body yet, so switching on a
+# merely-importable PIL would turn q_media_features into a crash (round-1
+# ADVICE). Set BIGDATAINFINANCE1_REAL_DECODE=1 once a decoder body exists.
+import os
 
-    _HAVE_REAL_CODECS = True
-except ImportError:
-    pass
+_USE_REAL_DECODE = os.environ.get("BIGDATAINFINANCE1_REAL_DECODE") == "1"
 
 
 def decode_features_schema() -> T.StructType:
@@ -62,9 +62,9 @@ def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: iterate Arrow batches of (doc_id, lang, payload),
-    emit per-row decoded feature stats. Uses fake_decode unless real codecs
-    are present."""
-    decode = real_decode if _HAVE_REAL_CODECS else fake_decode
+    emit per-row decoded feature stats. Uses fake_decode unless the real
+    path is explicitly opted into (see _USE_REAL_DECODE)."""
+    decode = real_decode if _USE_REAL_DECODE else fake_decode
     for pdf in batches:
         feats = [decode(bytes(p)) for p in pdf["payload"]]
         yield pd.DataFrame(

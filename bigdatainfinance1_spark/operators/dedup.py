@@ -22,6 +22,17 @@ from bigdatainfinance1_spark.sources.catalog import load_table
 N_PERM = 32  # minhash permutations
 N_BANDS = 8  # 8 bands × 4 rows: catches J≳0.7 with high probability
 
+# Candidate-pair budget for the exact-Jaccard verifier: above this estimate
+# the all-pairs shingle join would dominate the job, so q_jaccard_neardup
+# auto-switches to LSH candidate generation. 20M pairs ≈ a few seconds of
+# pair-join work per executor — comfortably past every sf tier (sf0.1 base
+# estimates ~1M) while tripping at 10× replication (~100× the estimate).
+JACCARD_PAIR_BUDGET = 20_000_000
+
+# Min-label propagation cap for dup-cluster connected components; convergence
+# is asserted after the loop, so hitting the cap fails loudly.
+MAX_CC_ITERATIONS = 10
+
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-word shingles per doc (docs shorter than 3 tokens carry no
@@ -121,24 +132,75 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shingle-equi-join makes candidate generation linear in shingle-bucket
     sizes (random-vocab shingles are near-unique, so buckets are tiny); this
     is the exact verifier that the LSH variant (q_minhash_lsh) feeds at
-    scale."""
+    scale.
+
+    Guarded against the quadratic blowup (VERDICT round-1 task 4): candidate
+    pairs are Σ_bucket C(n,2); under mass duplication that grows as the
+    square of the duplication factor (measured 15× runtime at 10×
+    replication in round 1). Before building the pair join, one linear
+    aggregation estimates the candidate count; above JACCARD_PAIR_BUDGET the
+    query auto-switches to MinHash-LSH candidate generation feeding the same
+    exact verifier — identical threshold semantics, minus pairs LSH misses
+    (P[miss] < 2% at J ≥ 0.8 with 8 bands × 4 rows), and sub-quadratic.
+    scale_check.py exercises exactly this switch at 10× replication; at the
+    driver's sf0.01 gate the estimate stays far under budget, so the
+    oracle-checked path is the exact one."""
     ds = _doc_shingle_hashes(spark, sf_dir)
-    sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = ds.select(F.col("doc_id").alias("doc_id_1"), "h")
-    b = ds.select(F.col("doc_id").alias("doc_id_2"), "h")
-    inter = (
-        a.join(b, ["h"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    est = (
+        ds.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+        or 0
     )
+    if est > JACCARD_PAIR_BUDGET:
+        import warnings
+
+        warnings.warn(
+            f"q_jaccard_neardup: estimated {est:.0f} candidate pairs exceeds "
+            f"budget {JACCARD_PAIR_BUDGET}; switching to MinHash-LSH prefilter "
+            "(sub-quadratic, may miss <2% of J>=0.8 pairs)",
+            stacklevel=2,
+        )
+        candidates = _lsh_candidate_pairs(spark, sf_dir)
+        return _verify_jaccard_pairs(ds, threshold=0.8, candidates=candidates)
+    return _verify_jaccard_pairs(ds, threshold=0.8)
+
+
+def _verify_jaccard_pairs(
+    ds: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact-Jaccard pair verification over hashed shingles ``ds``
+    (doc_id, h). With ``candidates`` (doc_id_1, doc_id_2), only those pairs
+    are scored; otherwise all pairs sharing any shingle."""
+    sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if candidates is not None:
+        # Candidate-driven intersection: expand candidates by the left doc's
+        # shingles, then equi-join on (right doc, shingle). Cost is
+        # O(|candidates| × shingles/doc) — never the all-pairs bucket join,
+        # which is the whole point of the gate.
+        inter = (
+            candidates.join(ds.select(F.col("doc_id").alias("doc_id_1"), "h"), "doc_id_1")
+            .join(ds.select(F.col("doc_id").alias("doc_id_2"), "h"), ["doc_id_2", "h"])
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        a = ds.select(F.col("doc_id").alias("doc_id_1"), "h")
+        b = ds.select(F.col("doc_id").alias("doc_id_2"), "h")
+        inter = (
+            a.join(b, ["h"])
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .groupBy("doc_id_1", "doc_id_2")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     x = sz.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
     y = sz.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
     return (
         inter.join(F.broadcast(x), "doc_id_1")
         .join(F.broadcast(y), "doc_id_2")
-        .filter(jac >= 0.8)
+        .filter(jac >= threshold)
         .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -179,27 +241,13 @@ _MINHASH_SQL = f"""
 """
 
 
-@query("q_minhash_lsh", oracle=_MINHASH_SQL, tags=("dedup", "llm", "approx"))
-def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (scale tier): MinHash + banded LSH near-dup detection.
-
-    shingle → 32 seeded minhashes → 8 bands × 4 rows → band-bucket equi-join
-    for candidates → exact Jaccard verify ≥ 0.7. Signatures are constant-size
-    per doc, so the shuffle volume is O(docs), not O(shingles); candidate
-    pairs are only those colliding in some band.
-
-    The permutation hash is md5(seed || ':' || shingle) — cross-engine
-    reproducible, so the DuckDB oracle recomputes the full signature→band→
-    candidate→verify pipeline and this query is value-hash-checked (VERDICT
-    round-1 task 5; previously xxhash64, engine-specific, rows-only). The 32
-    md5s per shingle are computed INSIDE a transform lambda before the
-    posexplode, so the fanout rows carry (doc_id, seed, 32-char hex) and the
-    shingle text never fans out. md5-hex minhashes cost ~4x the shuffle bytes
-    of the 8-byte xxhash64 variant; signatures are still O(docs)-bounded, and
-    verification counts run on 8-byte shingle hashes (identical counts to the
-    string oracle absent 64-bit collisions — the hash match itself checks
-    this).
-    """
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_id_1 < doc_id_2): shingle → 32 seeded
+    md5 minhashes → 8 bands × 4 rows → band-bucket equi-join. Signatures are
+    constant-size per doc, so shuffle volume is O(docs); the 32 md5s per
+    shingle are computed INSIDE a transform lambda before the posexplode, so
+    fanout rows carry (doc_id, seed, 32-char hex) and the shingle text never
+    fans out."""
     ds = _doc_shingles(spark, sf_dir)
     sig = (
         ds.select(
@@ -232,33 +280,32 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     left = band_sig.select("band", "band_key", F.col("doc_id").alias("doc_id_1"))
     right = band_sig.select("band", "band_key", F.col("doc_id").alias("doc_id_2"))
-    candidates = (
+    return (
         left.join(right, ["band", "band_key"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
-    # exact-Jaccard verification of the candidates only; counts run on the
-    # 8-byte hashed shingles (same counts as the string oracle, narrower rows)
+
+
+@query("q_minhash_lsh", oracle=_MINHASH_SQL, tags=("dedup", "llm", "approx"))
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (scale tier): MinHash + banded LSH near-dup detection — LSH
+    candidate pairs (see _lsh_candidate_pairs) fed to the candidate-driven
+    exact-Jaccard verifier at ≥ 0.7. Verification counts run on 8-byte
+    hashed shingles (identical counts to the string oracle absent 64-bit
+    collisions — the hash match itself checks this).
+
+    The permutation hash is md5(seed || ':' || shingle) — cross-engine
+    reproducible, so the DuckDB oracle recomputes the full signature→band→
+    candidate→verify pipeline and this query is value-hash-checked (VERDICT
+    round-1 task 5; previously xxhash64, engine-specific, rows-only).
+    md5-hex minhashes cost ~4× the shuffle bytes of the 8-byte xxhash64
+    variant; signatures are still O(docs)-bounded.
+    """
+    candidates = _lsh_candidate_pairs(spark, sf_dir)
     dh = _doc_shingle_hashes(spark, sf_dir)
-    sz = dh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = dh.select(F.col("doc_id").alias("doc_id_1"), "h")
-    b = dh.select(F.col("doc_id").alias("doc_id_2"), "h")
-    inter = (
-        a.join(b, ["h"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .groupBy("doc_id_1", "doc_id_2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    verified = (
-        candidates.join(inter, ["doc_id_1", "doc_id_2"])
-        .join(F.broadcast(sz.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))), "doc_id_1")
-        .join(F.broadcast(sz.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))), "doc_id_2")
-    )
-    jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
-    return verified.filter(jac >= 0.7).select(
-        "doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard")
-    )
+    return _verify_jaccard_pairs(dh, threshold=0.7, candidates=candidates)
 
 
 # 60-bit simhash, banded for the Hamming<=6 pair join: 7 bands, so any pair
@@ -499,7 +546,8 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         edges.select(F.col("doc_id_1").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).persist()
-    for _ in range(10):
+    changed = -1
+    for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(labels, edges.doc_id_2 == labels.node)
             .groupBy("doc_id_1")
@@ -523,6 +571,15 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # Non-convergence must fail loudly, not emit partial labels (round-1
+        # ADVICE): a component whose min-label distance exceeds the cap would
+        # otherwise silently get wrong component_ids.
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge within "
+            f"{MAX_CC_ITERATIONS} iterations ({changed} labels still moving); "
+            "raise MAX_CC_ITERATIONS for graphs with larger diameter"
+        )
     w = Window.partitionBy("component_id")
     return (
         labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))

@@ -34,11 +34,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet directory (ts already truncated to microseconds by the catalog,
     identical to DuckDB's read of the original). The 4-file staging +
     maxFilesPerTrigger=2 gives a genuine multi-micro-batch replay.
+
+    The stage key fingerprints the SOURCE (path + per-file size/mtime), so a
+    regenerated events table restages instead of silently reusing stale data.
     """
     import hashlib
     import os
 
-    stage = "/tmp/bigdatainfinance1_stream_stage/" + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = []
+    if os.path.isdir(src):  # spark-written table: a directory of part files
+        for root, _, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"events.parquet:{st.st_size}:{st.st_mtime_ns}")
+    fingerprint = sf_dir + "|" + "|".join(parts)
+    stage = (
+        "/tmp/bigdatainfinance1_stream_stage/"
+        + hashlib.md5(fingerprint.encode()).hexdigest()[:12]
+    )
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
         load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(stage)
     schema = spark.read.parquet(stage).schema
@@ -77,7 +94,12 @@ def run_to_table(result: DataFrame, output_mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    # Copy the sink out (eager localCheckpoint), then DROP the memory-sink
+    # view — otherwise every invocation pins a full materialized result in
+    # driver memory for the session's lifetime (round-1 ADVICE).
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 @query(

@@ -50,20 +50,39 @@ QUERIES = [
     "q_sessionization",
     "q_exact_dedup",
     "q_jaccard_neardup",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_tfidf_top",
     "q_cosine_topk",
     "q_embedding_neardup",
+    "q_stream_tumbling",
 ]
+
+# Tables sharing a key domain must shift by ONE stride or FK joins silently
+# break after replication (e.g. a trailing order with no lineitems would give
+# lineitem and orders different maxima). Keyed by domain name.
+SHARED_DOMAINS = {"orderkey": ("lineitem", "orders")}
 
 
 def build_stage(spark) -> None:
     os.makedirs(STAGE, exist_ok=True)
+    # one stride per shared key domain: max over ALL tables in the domain
+    domain_stride = {}
+    for domain, tables in SHARED_DOMAINS.items():
+        maxima = [
+            load_table(spark, BASE_SF, t).agg(F.max(SHIFTS[t][0])).collect()[0][0]
+            for t in tables
+        ]
+        domain_stride.update({t: max(maxima) + 1 for t in tables})
     for name in TABLES:
         out = f"{STAGE}/{name}.parquet"
         if os.path.exists(os.path.join(out, "_SUCCESS")):
             continue
         df = load_table(spark, BASE_SF, name)
         if name in SHIFTS:
-            stride = df.agg(F.max(SHIFTS[name][0])).collect()[0][0] + 1
+            stride = domain_stride.get(name) or (
+                df.agg(F.max(SHIFTS[name][0])).collect()[0][0] + 1
+            )
             copies = None
             for i in range(COPIES):
                 c = df
