@@ -1,0 +1,98 @@
+"""Scalable total-order primitives: global row numbers and global running
+sums WITHOUT a single-partition window (VERDICT round-1 task 8 — no
+`Window.orderBy` without `partitionBy` anywhere in operators/).
+
+Shape: `repartitionByRange` on the order key gives ordered, co-located
+buckets (RangePartitioner assigns ascending key ranges to ascending
+partition ids); a window partitioned by the bucket id computes the local
+row number / prefix sum; per-bucket totals — a relation of `n_buckets`
+rows — are prefixed with a triangular self-join and broadcast back. Two
+shuffles, state bounded by bucket size, `n_buckets` is the parallelism
+knob. Row numbers are exact and deterministic provided `order_cols` is a
+TOTAL order (unique tiebreak — same determinism rule every ranking window
+in this repo follows); running sums are exact for integer inputs and
+order-identical to a sequential scan for doubles (the within-frame order
+is the global order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 16
+
+
+def _bucketed(df: DataFrame, order_cols: list[str], n_buckets: int) -> DataFrame:
+    return df.repartitionByRange(n_buckets, *[F.col(c) for c in order_cols]).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+
+def _prefix_offsets(totals: DataFrame, total_col: str) -> DataFrame:
+    """(_pid, _off): sum of `total_col` over all buckets strictly before
+    _pid. Triangular self-join on the n_buckets-row relation — never a
+    window, always broadcastable."""
+    a, b = totals.alias("a"), totals.alias("b")
+    return (
+        a.join(b, F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum(f"b.{total_col}"), F.lit(0)).alias("_off"))
+    )
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], rn_col: str = "_rn", n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """df + `rn_col`: 1-based global row number in `order_cols` order."""
+    d = _bucketed(df, order_cols, n_buckets)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    d = d.withColumn("_local_rn", F.row_number().over(w))
+    totals = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
+    offs = _prefix_offsets(totals, "_tot")
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(rn_col, (F.col("_off") + F.col("_local_rn")).cast("long"))
+        .drop("_pid", "_local_rn", "_off")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """df + `out_col`: running sum of `value_col` up to AND INCLUDING the
+    current row, in `order_cols` order."""
+    d = _bucketed(df, order_cols, n_buckets)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("_local_sum", F.sum(value_col).over(w))
+    totals = d.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
+    offs = _prefix_offsets(totals, "_tot")
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_off") + F.col("_local_sum"))
+        .drop("_pid", "_local_sum", "_off")
+    )
+
+
+def exact_ntile(rn_col: str, n_rows: int, k: int) -> Column:
+    """SQL NTILE(k) from a global row number: the first n_rows % k tiles get
+    one extra row. Pure expression; `n_rows` is a plan literal (one count()
+    job at build time — a bounded driver scalar, not a data collect)."""
+    q, r = divmod(n_rows, k)
+    if q == 0:  # fewer rows than tiles: each row is its own tile
+        return F.col(rn_col).cast("long")
+    boundary = r * (q + 1)
+    # integer DIV keeps the tile exact at any row count (no float rounding)
+    return F.expr(
+        f"CAST(CASE WHEN {rn_col} <= {boundary}"
+        f" THEN ({rn_col} - 1) DIV {q + 1}"
+        f" ELSE {r} + ({rn_col} - 1 - {boundary}) DIV {q} END + 1 AS BIGINT)"
+    )

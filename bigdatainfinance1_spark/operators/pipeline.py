@@ -152,13 +152,15 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window bins by the running token offset BEFORE each doc — the
     streaming greedy pack used to batch training corpora. Integer token
     counts make the running sum exact, so bin assignment is bit-stable
-    across engines. At 100 TB the ordering column would be a per-shard
-    sequence (window partitioned by shard), not one global sort."""
+    across engines. The running offset is a range-bucketed two-phase prefix
+    sum (functions/ranks.py) — exact for integers, distributes the sort, no
+    single-partition window (VERDICT round-1 task 8)."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed = toks.withColumn(
-        "bin", ((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048).cast("long")
+    packed = global_running_sum(toks, ["doc_id"], "n_tok", "_run").withColumn(
+        "bin", ((F.col("_run") - F.col("n_tok")) / 2048).cast("long")
     )
     return packed.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -85,11 +85,17 @@ def rank_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1: quartile bucketing via ntile over a total order."""
+    """W1: quartile bucketing via ntile over a total order — computed from a
+    range-bucketed global row number (functions/ranks.py) instead of a
+    single-partition ntile window, so the sort distributes; the tile formula
+    reproduces SQL NTILE exactly (first n%4 tiles get the extra row)."""
+    from bigdatainfinance1_spark.functions.ranks import exact_ntile, global_row_number
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    n = cust.count()
+    ranked = global_row_number(cust, ["c_acctbal", "c_custkey"], rn_col="_rn")
     return (
-        cust.withColumn("quartile", F.ntile(4).over(w).cast("long"))
+        ranked.withColumn("quartile", exact_ntile("_rn", n, 4))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
@@ -114,17 +120,27 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "finance"),
 )
 def lag_dod(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3: day-over-day revenue delta and percent change (lag). The lag runs
-    on the already-aggregated daily series — tiny state, single partition is
-    fine here because days are bounded; at scale partition by year."""
-    daily = _daily_revenue(spark, sf_dir)
-    w = Window.orderBy("day")
-    prev = F.lag("rev").over(w)
-    return daily.select(
-        "day",
-        "rev",
-        (F.col("rev") - prev).alias("dod_delta"),
-        F.round((F.col("rev") - prev) / F.nullif(prev, F.lit(0.0)), 6).alias("dod_pct"),
+    """W3: day-over-day revenue delta and percent change (lag). Partitioned
+    by year with a boundary carry: the lag runs within each year, and the
+    first day of a year takes the previous year's last value from a tiny
+    per-year carry relation (broadcast) — identical output to a global lag,
+    no single-partition window (VERDICT round-1 task 8)."""
+    daily = _daily_revenue(spark, sf_dir).withColumn("_yr", F.year("day"))
+    w = Window.partitionBy("_yr").orderBy("day")
+    carry = (
+        daily.groupBy("_yr")
+        .agg(F.max_by("rev", "day").alias("_carry_rev"))
+        .select((F.col("_yr") + 1).alias("_yr"), "_carry_rev")
+    )
+    prev = F.coalesce(F.lag("rev").over(w), F.col("_carry_rev"))
+    return (
+        daily.join(F.broadcast(carry), "_yr", "left")
+        .select(
+            "day",
+            "rev",
+            (F.col("rev") - prev).alias("dod_delta"),
+            F.round((F.col("rev") - prev) / F.nullif(prev, F.lit(0.0)), 6).alias("dod_pct"),
+        )
     )
 
 
@@ -173,10 +189,45 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "finance"),
 )
 def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5: 7-row moving average of daily revenue."""
-    daily = _daily_revenue(spark, sf_dir)
-    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
-    return daily.select("day", "rev", F.round(F.avg("rev").over(w), 4).alias("ma7"))
+    """W5: 7-row moving average of daily revenue. Partitioned by year with
+    frame overlap: the last 6 rows of each year are replicated into the next
+    year's partition as context rows (excluded from output), so every row's
+    7-row frame is complete inside its partition — identical values to the
+    global window, no single-partition sort. Assumes ≥6 rows per year (the
+    daily spine is dense; a sparse key would carry context further back)."""
+    return _overlapped_daily_window(
+        _daily_revenue(spark, sf_dir),
+        n_context=6,
+        agg_cols=lambda w: [F.round(F.avg("rev").over(w), 4).alias("ma7")],
+        out_cols=["day", "rev", "ma7"],
+    )
+
+
+def _overlapped_daily_window(daily: DataFrame, n_context: int, agg_cols, out_cols):
+    """Shared year-partition + overlap machinery for trailing row-frame
+    windows over a daily series: replicate each year's last `n_context` rows
+    into the following year, window within (year) over rows
+    [-n_context, 0], drop the replicas."""
+    d = daily.withColumn("_yr", F.year("day")).withColumn("_ctx", F.lit(False))
+    w_desc = Window.partitionBy("_yr").orderBy(F.col("day").desc())
+    ctx = (
+        d.withColumn("_rd", F.row_number().over(w_desc))
+        .filter(F.col("_rd") <= n_context)
+        .drop("_rd")
+        .withColumn("_yr", F.col("_yr") + 1)
+        .withColumn("_ctx", F.lit(True))
+    )
+    u = d.unionByName(ctx)
+    w = (
+        Window.partitionBy("_yr")
+        .orderBy("day")
+        .rowsBetween(-n_context, Window.currentRow)
+    )
+    return (
+        u.select("*", *agg_cols(w))
+        .filter(~F.col("_ctx"))
+        .select(*out_cols)
+    )
 
 
 @query(
@@ -264,14 +315,21 @@ def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def percent_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W8: distributional position of each supplier's balance."""
+    """W8: distributional position of each supplier's balance. The order is
+    TOTAL (suppkey tiebreak), so rank == row_number and percent_rank/
+    cume_dist reduce to (rn-1)/(n-1) and rn/n over a range-bucketed global
+    row number (functions/ranks.py) — identical doubles to the engines'
+    window functions, no single-partition sort."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
     supp = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return supp.select(
+    n = supp.count()
+    ranked = global_row_number(supp, ["s_acctbal", "s_suppkey"], rn_col="_rn")
+    return ranked.select(
         "s_suppkey",
         "s_acctbal",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round((F.col("_rn") - 1) / F.lit(float(n - 1)), 6).alias("pct_rank"),
+        F.round(F.col("_rn") / F.lit(float(n)), 6).alias("cume"),
     )
 
 
@@ -391,22 +449,41 @@ def vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("finance", "window"),
 )
 def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Finance: drawdown of the daily-revenue series — running peak via an
-    unbounded-preceding max window, drawdown = (peak − rev)/peak, worst 10
-    days (date tiebreak for a deterministic LIMIT). The daily series is
-    rounded BEFORE the windows so both engines window identical doubles.
-    Single-partition ordered window over ~2400 days — fine here; at scale
-    the series would be windowed per instrument (partitioned), never one
-    global ordering."""
+    """Finance: drawdown of the daily-revenue series — running peak,
+    drawdown = (peak − rev)/peak, worst 10 days (date tiebreak for a
+    deterministic LIMIT). The daily series is rounded BEFORE the windows so
+    both engines window identical doubles.
+
+    The running peak is a TWO-PHASE cumulative max (VERDICT round-1 task 8):
+    within-year cummax under a year-partitioned window, plus the max of all
+    prior years' peaks from a tiny per-year relation prefixed by triangular
+    self-join and broadcast back. max is associative/order-free, so this is
+    exactly the global running peak with no single-partition window — the
+    same recomposition a 100 TB per-instrument series would use."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).withColumn("_yr", F.year("d"))
+    w = (
+        Window.partitionBy("_yr")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    runs = daily.withColumn("peak", F.max("rev").over(w))
+    yr_max = daily.groupBy("_yr").agg(F.max("rev").alias("_yr_peak"))
+    a, b = yr_max.alias("a"), yr_max.alias("b")
+    prior = (
+        a.join(b, F.col("b._yr") < F.col("a._yr"), "left")
+        .groupBy(F.col("a._yr").alias("_yr"))
+        .agg(F.max("b._yr_peak").alias("_prior_peak"))
+    )
+    runs = (
+        daily.join(F.broadcast(prior), "_yr", "left")
+        .withColumn("peak", F.greatest(F.max("rev").over(w), F.col("_prior_peak")))
+    )
     return (
         runs.withColumn("drawdown", F.round((F.col("peak") - F.col("rev")) / F.col("peak"), 6))
         .orderBy(F.col("drawdown").desc(), "d")
+        .select("d", "rev", "peak", "drawdown")
         .limit(10)
     )
 
@@ -574,19 +651,23 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("nd"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
-    n = F.count(F.lit(1)).over(w).cast("double")
-    sx = F.sum("rev").over(w)
-    sy = F.sum("nd").over(w)
-    sxx = F.sum(F.col("rev") * F.col("rev")).over(w)
-    syy = F.sum(F.col("nd") * F.col("nd")).over(w)
-    sxy = F.sum(F.col("rev") * F.col("nd")).over(w)
-    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    return daily.select(
-        "day",
-        F.col("n_orders").cast("long").alias("n_orders"),
-        F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 4).alias("corr_30d"),
-    )
+
+    def corr_cols(w):
+        n = F.count(F.lit(1)).over(w).cast("double")
+        sx = F.sum("rev").over(w)
+        sy = F.sum("nd").over(w)
+        sxx = F.sum(F.col("rev") * F.col("rev")).over(w)
+        syy = F.sum(F.col("nd") * F.col("nd")).over(w)
+        sxy = F.sum(F.col("rev") * F.col("nd")).over(w)
+        denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return [
+            F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 4).alias("corr_30d")
+        ]
+
+    # year-partitioned with 29 rows of overlap context — identical frames to
+    # the global 30-row window (see _overlapped_daily_window)
+    res = _overlapped_daily_window(daily, n_context=29, agg_cols=corr_cols, out_cols=["day", "n_orders", "corr_30d"])
+    return res.select("day", F.col("n_orders").cast("long").alias("n_orders"), "corr_30d")
 
 
 _RFM_SQL = """
@@ -624,12 +705,29 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Finance/customer analytics composite: RFM segmentation — per-customer
     recency/frequency/monetary quartiles (ntile over TOTAL orders: metric +
     custkey tiebreak, SURVEY.md §5 determinism rule) mapped to segment
-    labels. One SQL text runs verbatim on both engines. The global ntile
-    windows are single-partition by definition; at 100 TB you swap them for
-    approx_percentile cutpoints + a CASE bucket (same output contract,
-    no global sort) — documented here because the quartile-boundary
-    semantics, not the sort, are the operator."""
-    from bigdatainfinance1_spark.sources.catalog import register_views
+    labels. Each quartile is an exact NTILE computed from a range-bucketed
+    global row number (functions/ranks.py) — three distributed rank passes
+    joined back on custkey, no single-partition ntile window (VERDICT
+    round-1 task 8); the DuckDB oracle keeps the windowed formulation."""
+    from bigdatainfinance1_spark.functions.ranks import exact_ntile, global_row_number
 
-    register_views(spark, sf_dir)
-    return spark.sql(_RFM_SQL)
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    n = base.count()
+    scored = base.select("custkey", "last_order", "freq", "monetary")
+    for metric, score in (("last_order", "r_score"), ("freq", "f_score"), ("monetary", "m_score")):
+        ranked = global_row_number(
+            scored.select("custkey", metric), [metric, "custkey"], rn_col="_rn"
+        ).select("custkey", exact_ntile("_rn", n, 4).alias(score))
+        scored = scored.join(ranked, "custkey")
+    segment = (
+        F.when((F.col("r_score") == 4) & (F.col("f_score") >= 3) & (F.col("m_score") >= 3), "champion")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when(F.col("r_score") == 1, "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select("custkey", "r_score", "f_score", "m_score", segment.alias("segment"))

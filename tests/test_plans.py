@@ -154,6 +154,34 @@ def test_python_datasource_parallel_partitions(spark):
     assert t.rdd.getNumPartitions() == ticks_src.TICK_PARTS
 
 
+def test_no_unpartitioned_windows_in_operators():
+    """Every Window spec in operators/ must start with partitionBy — global
+    ordered windows are single-partition at scale (VERDICT round-1 task 8);
+    total-order computations go through functions/ranks.py instead."""
+    import pathlib
+    import re
+
+    root = pathlib.Path("bigdatainfinance1_spark/operators")
+    offenders = []
+    for p in sorted(root.glob("*.py")):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if re.search(r"\bWindow\.orderBy\(", line):
+                offenders.append(f"{p}:{i}")
+    assert not offenders, f"unpartitioned Window.orderBy in: {offenders}"
+
+
+def test_global_row_number_is_exact_and_deterministic(spark):
+    """ranks.global_row_number must equal a literal 1..n sequence over the
+    total order, twice (rerun-identical), with no single-partition window."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    supp = load_table(spark, SF_DIR, "supplier")
+    for _ in range(2):
+        ranked = global_row_number(supp, ["s_acctbal", "s_suppkey"], rn_col="rn")
+        rows = ranked.orderBy("s_acctbal", "s_suppkey").select("rn").collect()
+        assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
+
+
 def test_dedup_pair_joins_are_not_cartesian(spark):
     """The near-dup pair stages must be shuffle equi-joins (banded LSH /
     pigeonhole), never cartesian products — the round-1 q_simhash weakness."""
