@@ -146,3 +146,27 @@ def test_tws_query_gated_on_protobuf():
     from bigdatainfinance1_spark.streaming.jobs import _has_protobuf
 
     assert ("q_stream_tws_minmax" in load_all_queries()) == _has_protobuf()
+
+
+def test_tws_minmax_runs_where_protobuf_exists(spark):
+    """ST7 Spark-4 variant: RUNS transformWithStateInPandas end-to-end when
+    the container has protobuf; otherwise skips with the environment reason
+    (VERDICT round-1 task 6 — the gap must be visible, not silent). Either
+    way ST7 execution coverage holds via the applyInPandasWithState twin
+    (q_stream_stateful_totals — in the driver correctness window)."""
+    import pytest
+
+    from bigdatainfinance1_spark.registry import load_all_queries
+    from bigdatainfinance1_spark.streaming.jobs import _has_protobuf
+
+    if not _has_protobuf():
+        pytest.skip(
+            "google.protobuf absent in this container: Spark 4's "
+            "transformWithStateInPandas driver worker cannot import "
+            "pyspark.sql.streaming.proto; ST7 covered by "
+            "q_stream_stateful_totals (applyInPandasWithState)"
+        )
+    spec = load_all_queries()["q_stream_tws_minmax"]
+    out = spec.fn(spark, SF_DIR)
+    assert out.count() > 0
+    assert set(out.columns) == {"user_id", "min_value", "max_value", "n_events"}
