@@ -87,15 +87,51 @@ def binary_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_media_features", oracle=None, tags=("multimodal", "llm", "pandas-udf"))
+@query(
+    "q_media_features",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, lang, n_bytes, (i - 1) % 8 AS stripe,
+             ascii(substr(text, i, 1)) AS v
+      FROM (
+        SELECT doc_id, lang, text, strlen(text) AS n_bytes,
+               unnest(range(1, strlen(text) + 1)) AS i
+        FROM documents
+      )
+    ),
+    stripes AS (
+      SELECT doc_id, lang, n_bytes, stripe,
+             sum(v) * 1.0 / count(*) / 256 AS sm
+      FROM bytes GROUP BY doc_id, lang, n_bytes, stripe
+    ),
+    docfeat AS (
+      SELECT doc_id, lang, n_bytes, sum(sm) / 8 AS feat_mean
+      FROM stripes GROUP BY doc_id, lang, n_bytes
+    )
+    SELECT
+      lang,
+      count(*)                   AS n_media,
+      round(avg(n_bytes), 4)     AS avg_bytes,
+      round(avg(feat_mean), 6)   AS avg_feat_mean
+    FROM docfeat GROUP BY lang
+    """,
+    tags=("multimodal", "llm", "pandas-udf"),
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L6 (decode path): mapInPandas feature extraction over binary payloads.
 
     The Spark-side plumbing is real — Arrow-batched iterator, explicit output
     schema, per-partition batching; the decoder is a deterministic fake
     (real codecs aren't in this container — see functions/media.py, swap
-    `fake_decode` for the real library call). Rows-only: the fake features
-    are engine-specific. Output: per-lang mean fake-feature stats.
+    `fake_decode` for the real library call).
+
+    Oracle upgrade (round 2): fake_decode is byte arithmetic — stripe s of a
+    payload is bytes s, s+8, s+16, …; its feature is mean(stripe)/256 and
+    feat_mean averages the 8 stripes — and the payload is the utf-8 encoding
+    of ASCII text (byte i == ascii(char i), which the binary_media_meta
+    strlen/octet_length hash match already proves), so DuckDB reproduces the
+    whole decode numerically and this query is value-hash-checked instead of
+    rows-only. Output: per-lang mean fake-feature stats.
     """
     from bigdatainfinance1_spark.functions.media import decode_features_schema, extract_features
 

@@ -216,7 +216,59 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_lsh_topk", oracle=None, tags=("similarity", "llm", "approx"))
+def _lsh_plane_matrix():
+    """8 fixed-seed hyperplanes, shared by the Spark plan literals AND the
+    DuckDB oracle literals (repr round-trips doubles exactly, so both
+    engines fold the identical doubles)."""
+    import numpy as np
+
+    return np.random.default_rng(42).standard_normal((8, 64))
+
+
+def _lsh_oracle_sql() -> str:
+    plane_mat = _lsh_plane_matrix()
+    plane_rows = ", ".join(
+        "({}, [{}])".format(p, ", ".join(repr(float(w)) for w in plane_mat[p]))
+        for p in range(8)
+    )
+    return f"""
+    WITH planes(p, vec) AS (VALUES {plane_rows}),
+    bkt AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * pl.vec[i])) >= 0
+                      THEN CAST(1 AS BIGINT) << (7 - pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id
+    ),
+    probes AS (
+      SELECT vec_id AS query_id,
+             unnest([bucket] || list_transform(range(0, 8),
+                    i -> xor(bucket, CAST(1 AS BIGINT) << i))) AS bucket
+      FROM bkt WHERE vec_id < 10
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN bkt c ON c.bucket = p.bucket
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id, {_COS_SQL} AS cos
+      FROM cand cd
+      JOIN embeddings a ON a.vec_id = cd.query_id
+      JOIN embeddings b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rnk FROM scored
+    )
+    WHERE rnk <= 3
+    """
+
+
+@query("q_ann_lsh_topk", oracle=_lsh_oracle_sql(), tags=("similarity", "llm", "approx"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 (scale path): approximate top-k via random-hyperplane LSH.
 
@@ -224,7 +276,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes its own bucket plus the 8 Hamming-1 neighbors (~3.5% of the
     corpus), so probing is an equi-join instead of a full scan — the layout
     that works when the corpus doesn't fit one node. Candidates get exact
-    cosine + top-3. Rows-only: bucket membership is engine-specific.
+    cosine + top-3.
+
+    Oracle upgrade (round 2): the hyperplanes are plan literals, so the
+    identical doubles embed in the DuckDB oracle and both engines fold the
+    same products in the same order — bucket membership, probes, and top-3
+    all reproduce, moving this from rows-only to value-hash-checked. (Sign
+    flips would need |dot| below fold ulps; the fixed testdata sits orders
+    of magnitude away, so the match is stable.)
 
     Measured recall note: on THIS corpus the embeddings are near-uniform on
     the sphere (max pairwise cosine ≈ 0.34), so "nearest" neighbors are
@@ -233,14 +292,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the operator: on clustered real embeddings the same bucketing
     concentrates true neighbors. q_cosine_topk remains the exact tier.
     """
-    import numpy as np
-
+    plane_mat = _lsh_plane_matrix()
     emb = load_table(spark, sf_dir, "embeddings")
-    # 8 hyperplanes from a fixed-seed RNG, baked into the plan as literals —
-    # constant-folded once, NOT recomputed per row (the previous per-row
-    # xxhash64 formulation cost 512 hashes per vector; this costs zero).
-    rng = np.random.default_rng(42)
-    plane_mat = rng.standard_normal((8, 64))
+    # hyperplanes baked into the plan as literals — constant-folded once,
+    # NOT recomputed per row (the previous per-row xxhash64 formulation cost
+    # 512 hashes per vector; this costs zero).
     planes = F.array(
         *[F.array(*[F.lit(float(w)) for w in plane_mat[p]]) for p in range(8)]
     )
