@@ -23,8 +23,13 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 16
 
 
-def _bucketed(df: DataFrame, order_cols: list[str], n_buckets: int) -> DataFrame:
-    return df.repartitionByRange(n_buckets, *[F.col(c) for c in order_cols]).withColumn(
+def _as_columns(order_cols) -> list[Column]:
+    """Accept column names or Column expressions (e.g. F.col("x").desc())."""
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def _bucketed(df: DataFrame, order_cols: list[Column], n_buckets: int) -> DataFrame:
+    return df.repartitionByRange(n_buckets, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
 
@@ -44,9 +49,11 @@ def _prefix_offsets(totals: DataFrame, total_col: str) -> DataFrame:
 def global_row_number(
     df: DataFrame, order_cols: list[str], rn_col: str = "_rn", n_buckets: int = DEFAULT_BUCKETS
 ) -> DataFrame:
-    """df + `rn_col`: 1-based global row number in `order_cols` order."""
-    d = _bucketed(df, order_cols, n_buckets)
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    """df + `rn_col`: 1-based global row number in `order_cols` order
+    (names or Column expressions — descending orders supported)."""
+    cols = _as_columns(order_cols)
+    d = _bucketed(df, cols, n_buckets)
+    w = Window.partitionBy("_pid").orderBy(*cols)
     d = d.withColumn("_local_rn", F.row_number().over(w))
     totals = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
     offs = _prefix_offsets(totals, "_tot")
@@ -66,10 +73,11 @@ def global_running_sum(
 ) -> DataFrame:
     """df + `out_col`: running sum of `value_col` up to AND INCLUDING the
     current row, in `order_cols` order."""
-    d = _bucketed(df, order_cols, n_buckets)
+    cols = _as_columns(order_cols)
+    d = _bucketed(df, cols, n_buckets)
     w = (
         Window.partitionBy("_pid")
-        .orderBy(*order_cols)
+        .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("_local_sum", F.sum(value_col).over(w))

@@ -3,6 +3,7 @@ central registry (bigdatainfinance1_spark.registry.QUERIES)."""
 
 from bigdatainfinance1_spark.operators import (  # noqa: F401
     aggregates,
+    analytics,
     dedup,
     io_etl,
     iterative,

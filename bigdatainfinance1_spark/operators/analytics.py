@@ -1,0 +1,264 @@
+"""Round-2 surface widening: customer/finance analytics composites beyond
+SURVEY.md §2 — cohort retention, market-basket co-occurrence, robust (IQR)
+outlier detection, Zipf rank-frequency, SCD2 validity intervals, and
+compounded cumulative returns. Every query carries a full DuckDB value-hash
+oracle; the total-order pieces go through functions/ranks.py (range-bucketed
+recomposition — no single-partition window, repo rule)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate)) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT
+      f.cohort_m                                               AS cohort_m,
+      CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate)
+        - f.cohort_m                                           AS months_since,
+      count(DISTINCT o.o_custkey)                              AS n_custs
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY cohort_m, months_since
+    """,
+    tags=("analytics", "finance"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers bucketed by first-order month,
+    counted distinct per (cohort, months-since-cohort). Month arithmetic is
+    integer (year*12+month) so both engines bucket identically. Scale shape:
+    one groupBy for cohorts, one shuffle join back on custkey (both sides
+    keyed the same — AQE reuses the partitioning), one distinct-count
+    aggregation; no windows, no collects."""
+    orders = load_table(spark, sf_dir, "orders")
+    month_idx = (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).cast("long")
+    firsts = orders.groupBy("o_custkey").agg(F.min(month_idx).alias("cohort_m"))
+    return (
+        orders.join(firsts, "o_custkey")
+        .select("o_custkey", F.col("cohort_m"), (month_idx - F.col("cohort_m")).alias("months_since"))
+        .groupBy("cohort_m", "months_since")
+        .agg(F.count_distinct("o_custkey").alias("n_custs"))
+    )
+
+
+@query(
+    "q_copurchase_pairs",
+    oracle="""
+    SELECT
+      a.l_partkey AS part_1,
+      b.l_partkey AS part_2,
+      count(*)    AS n_orders
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_1, part_2
+    ORDER BY n_orders DESC, part_1, part_2
+    LIMIT 20
+    """,
+    tags=("analytics", "join"),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing on the same order,
+    top-20 by frequency (full tiebreak for a deterministic LIMIT). The
+    self-join is keyed on l_orderkey, whose group size is bounded (≤7 lines
+    per TPC-H order), so pair fan-out is ≤21 per order — linear in orders,
+    not quadratic in parts; the final top-k is a TakeOrdered, not a sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_1", "part_2")
+        .limit(20)
+    )
+
+
+@query(
+    "q_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.75), 6) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT
+      e.event_type,
+      count(*)                         AS n_outliers,
+      round(min(e.value), 2)           AS min_outlier,
+      round(max(e.value), 2)           AS max_outlier
+    FROM events e
+    JOIN q ON e.event_type = q.event_type
+    WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    GROUP BY e.event_type
+    """,
+    tags=("analytics", "stats", "events"),
+)
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (Tukey IQR) outlier detection per event type: values above
+    q3 + 1.5·IQR (the heavy-tailed events.value distribution — order prices
+    have no Tukey outliers, checked). Quartiles use linear interpolation on
+    both engines; each quartile is rounded to 6 dp BEFORE the threshold
+    arithmetic so both engines compare against identical doubles
+    (interpolation fractions are ∈ {0,.25,.5,.75} over 2-decimal values, so
+    the rounded quartile is either exactly a value or ≥2.5e-3 away — no
+    boundary flakiness). Scale: quartiles are one agg on the group key; the
+    threshold relation is group-cardinality-sized and broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter(F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("value"), 2).alias("min_outlier"),
+            F.round(F.max("value"), 2).alias("max_outlier"),
+        )
+    )
+
+
+@query(
+    "q_zipf_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT tok, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, tok, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rnk * cnt AS BIGINT) AS rank_times_freq
+    FROM (
+      SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM tf
+    )
+    WHERE rnk <= 100
+    """,
+    tags=("analytics", "text", "llm"),
+)
+def zipf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary: top-100 terms
+    with their frequency rank and rank×freq product (≈constant under Zipf's
+    law — the standard corpus-health diagnostic). The global frequency rank
+    is a range-bucketed distributed row number (functions/ranks.py, desc
+    ordering) — the oracle keeps the windowed formulation."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = global_row_number(tf, [F.col("cnt").desc(), F.col("tok")], rn_col="rnk")
+    return (
+        ranked.filter(F.col("rnk") <= 100)
+        .select(
+            "rnk",
+            "tok",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("rnk") * F.col("cnt")).cast("long").alias("rank_times_freq"),
+        )
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderpriority                                   AS priority,
+      o_orderdate                                       AS valid_from,
+      lead(o_orderdate) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      )                                                 AS valid_to,
+      CAST(lead(o_orderdate) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ) IS NULL AS BOOLEAN)                             AS is_current
+    FROM orders
+    """,
+    tags=("analytics", "etl", "window"),
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) validity intervals: each order
+    event becomes a [valid_from, valid_to) version row per customer, the
+    open-ended latest row flagged current — the standard snapshot-history
+    build. One per-key ordered window (partitioned by custkey, total order
+    via orderkey tiebreak); at 100 TB this is one hash shuffle on the
+    dimension key."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_cum_return",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY day
+    ),
+    rets AS (
+      SELECT day, rev,
+        ln(rev / lag(rev) OVER (ORDER BY day)) AS log_ret
+      FROM daily
+    )
+    SELECT day, rev,
+      round(sum(log_ret) OVER (
+        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ), 6) AS cum_log_return
+    FROM rets
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def cum_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compounded cumulative return of the daily-revenue series on the log
+    scale: cum_log_return(t) = Σ ln(rev_t / rev_{t-1}) — the additive form
+    of the running product Π(1+r). The day-over-day lag uses the
+    year-partition + boundary-carry shape (as q_lag_dod); the running sum is
+    the range-bucketed two-phase prefix sum (functions/ranks.py). Both
+    engines sum ulp-level-identical logs; round(·,6) absorbs summation-order
+    differences (values are O(1)–O(10); margins verified on the fixed
+    testdata). No single-partition window anywhere."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).withColumn("_yr", F.year("day"))
+    w = Window.partitionBy("_yr").orderBy("day")
+    carry = (
+        daily.groupBy("_yr")
+        .agg(F.max_by("rev", "day").alias("_carry_rev"))
+        .select((F.col("_yr") + 1).alias("_yr"), "_carry_rev")
+    )
+    prev = F.coalesce(F.lag("rev").over(w), F.col("_carry_rev"))
+    rets = (
+        daily.join(F.broadcast(carry), "_yr", "left")
+        .select("day", "rev", F.log(F.col("rev") / prev).alias("log_ret"))
+    )
+    summed = global_running_sum(rets, ["day"], "log_ret", "_cum")
+    return summed.select("day", "rev", F.round("_cum", 6).alias("cum_log_return"))
