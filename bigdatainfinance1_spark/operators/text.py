@@ -323,3 +323,51 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(n_bpe), 4).alias("avg_bpe_tokens"),
         F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_ws_tokens"),
     )
+
+
+@query(
+    "q_doc_repetition",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, unnest(
+        list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    per_shingle AS (
+      SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s
+    )
+    SELECT
+      doc_id,
+      CAST(sum(c) AS BIGINT)                      AS n_shingles,
+      count(*)                                    AS n_distinct,
+      round(1 - count(*) * 1.0 / sum(c), 4)       AS rep_ratio,
+      CAST(max(c) AS BIGINT)                      AS max_repeat
+    FROM per_shingle GROUP BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (quality): within-document repetition — the Gopher/RefinedWeb-class
+    signal that flags boilerplate and degenerate generations. Per doc:
+    total 3-word shingles WITH multiplicity, distinct shingles, repetition
+    ratio 1 − distinct/total, and the most-repeated shingle's count. Two
+    chained aggregations on (doc, shingle) — shingles never leave their doc
+    group, so at 100 TB this is a per-doc-keyed shuffle with bounded groups,
+    the same shape as token_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")
+        ).alias("s"),
+    )
+    per_shingle = sh.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    return per_shingle.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_shingles"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(1 - F.count(F.lit(1)) / F.sum("c"), 4).alias("rep_ratio"),
+        F.max("c").cast("long").alias("max_repeat"),
+    )

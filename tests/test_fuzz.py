@@ -144,3 +144,48 @@ def test_fuzz_correlated_subquery_counts_match(spark, duck, mult):
     n_spark = spark.sql(sql).collect()[0][0]
     n_duck = duck.execute(sql).fetchone()[0]
     assert n_spark == n_duck, sql
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    buckets=st.integers(min_value=1, max_value=7),
+)
+def test_fuzz_global_rank_recomposition(spark, n, seed, buckets):
+    """Property: the range-bucketed two-phase row number and prefix sum
+    (functions/ranks.py) must equal the single-partition reference for any
+    data and any bucket count — including keys with heavy duplication (the
+    tiebreak id makes the order total) and n < buckets."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdatainfinance1_spark.functions.ranks import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(-50, 50), rng.randint(0, 1000)) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, key long, val long")
+
+    ranked = global_row_number(df, ["key", "id"], rn_col="rn", n_buckets=buckets)
+    got = [
+        (r["id"], r["rn"])
+        for r in ranked.orderBy("key", "id").collect()
+    ]
+    expected_order = sorted(rows, key=lambda r: (r[1], r[0]))
+    assert got == [(r[0], i + 1) for i, r in enumerate(expected_order)]
+
+    summed = global_running_sum(df, ["key", "id"], "val", "run", n_buckets=buckets)
+    got_sum = {r["id"]: r["run"] for r in summed.collect()}
+    acc = 0
+    for r in expected_order:
+        acc += r[2]
+        assert got_sum[r[0]] == acc
