@@ -47,6 +47,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _shingle_hashes_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed 3-word shingles WITHOUT per-doc dedup — one narrow map, no
+    shuffle. Used for the pair-budget estimate, where within-doc repeats
+    only make the estimate a (conservative) upper bound and skipping the
+    (doc, h) distinct saves its shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    return toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-3),"
+                " i -> xxhash64(concat_ws(' ', t[i], t[i+1], t[i+2])))"
+            )
+        ).alias("h")
+    )
+
+
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-word shingles per doc, identified by xxhash64 — the hash is
     taken INSIDE the per-row transform, so the ~25-byte shingle string never
@@ -145,14 +162,15 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_check.py exercises exactly this switch at 10× replication; at the
     driver's sf0.01 gate the estimate stays far under budget, so the
     oracle-checked path is the exact one."""
-    ds = _doc_shingle_hashes(spark, sf_dir)
     est = (
-        ds.groupBy("h")
+        _shingle_hashes_raw(spark, sf_dir)
+        .groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
         .collect()[0]["pairs"]
         or 0
     )
+    ds = _doc_shingle_hashes(spark, sf_dir)
     if est > JACCARD_PAIR_BUDGET:
         import warnings
 

@@ -21,7 +21,7 @@ def _pair_set(df):
 def test_jaccard_budget_not_tripped_at_gate_scale(spark):
     """At oracle-gate scales the estimate must stay under budget so the
     driver checks the EXACT path."""
-    ds = dedup._doc_shingle_hashes(spark, SF_DIR)
+    ds = dedup._shingle_hashes_raw(spark, SF_DIR)
     from pyspark.sql import functions as F
 
     est = (
