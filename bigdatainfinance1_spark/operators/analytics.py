@@ -262,3 +262,53 @@ def cum_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     summed = global_running_sum(rets, ["day"], "log_ret", "_cum")
     return summed.select("day", "rev", F.round("_cum", 6).alias("cum_log_return"))
+
+
+@query(
+    "q_dau_wau",
+    oracle="""
+    WITH ev AS (SELECT date_trunc('day', ts) AS eday, user_id FROM events),
+    days AS (SELECT DISTINCT eday AS day FROM ev),
+    pairs AS (
+      SELECT d.day, e.user_id, e.eday
+      FROM days d
+      JOIN ev e ON e.eday BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    )
+    SELECT
+      day,
+      count(DISTINCT CASE WHEN eday = day THEN user_id END) AS dau,
+      count(DISTINCT user_id)                               AS wau,
+      round(count(DISTINCT CASE WHEN eday = day THEN user_id END) * 1.0
+            / count(DISTINCT user_id), 4)                   AS stickiness
+    FROM pairs GROUP BY day
+    """,
+    tags=("analytics", "events"),
+)
+def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement: daily active users, trailing-7-day weekly active users,
+    and DAU/WAU stickiness per observed day. Spark-first shape: instead of
+    the oracle's theta join (day BETWEEN eday .. eday+6), each event row
+    explodes into the ≤7 target days it contributes to and equi-joins the
+    observed-day spine — a 7× narrow fanout plus hash joins, no
+    nested-loop join, independent of the day-spine cardinality at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("eday"), "user_id"
+    )
+    days = ev.select(F.col("eday").alias("day")).distinct()
+    fanout = ev.select(
+        "user_id",
+        "eday",
+        F.explode(
+            F.sequence("eday", F.col("eday") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    pairs = fanout.join(F.broadcast(days), "day")
+    return pairs.groupBy("day").agg(
+        F.count_distinct(F.when(F.col("eday") == F.col("day"), F.col("user_id"))).alias("dau"),
+        F.count_distinct("user_id").alias("wau"),
+        F.round(
+            F.count_distinct(F.when(F.col("eday") == F.col("day"), F.col("user_id")))
+            / F.count_distinct("user_id"),
+            4,
+        ).alias("stickiness"),
+    )

@@ -542,3 +542,86 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "q_stream_foreach_upsert",
+    oracle="""
+    SELECT
+      user_id,
+      count(*)             AS n_events,
+      round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "events", "sink", "etl"),
+)
+def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE via foreachBatch — the production pattern for keyed
+    upserts into a table from a stream when no transactional table format is
+    mounted: each micro-batch pre-aggregates its delta per user, full-outer
+    merges it with the current target version, and writes target version
+    v{batch_id}. Versioned writes make replays IDEMPOTENT (a restarted batch
+    N rewrites v{N} identically from v{N-1} — foreachBatch is at-least-once,
+    idempotent sinks make it exactly-once); the final version must equal the
+    batch aggregate over the whole source, which is the oracle, proving no
+    loss and no double-counting across micro-batches. State per key is one
+    (count, sum) row — the target table is key-cardinality-sized, never
+    event-sized."""
+    import os
+    import uuid as _uuid
+
+    base = f"/tmp/bigdatainfinance1_foreach_upsert/{_uuid.uuid4().hex[:12]}"
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        prev = f"{base}/v{batch_id - 1}"
+        if os.path.exists(os.path.join(prev, "_SUCCESS")):
+            cur = batch_df.sparkSession.read.parquet(prev)
+            merged = (
+                cur.select(
+                    "user_id",
+                    F.col("n_events").alias("n_a"),
+                    F.col("total_value").alias("v_a"),
+                )
+                .join(
+                    delta.select(
+                        "user_id",
+                        F.col("n_events").alias("n_b"),
+                        F.col("total_value").alias("v_b"),
+                    ),
+                    "user_id",
+                    "full_outer",
+                )
+                .select(
+                    "user_id",
+                    (F.coalesce("n_a", F.lit(0)) + F.coalesce("n_b", F.lit(0))).alias("n_events"),
+                    (F.coalesce("v_a", F.lit(0.0)) + F.coalesce("v_b", F.lit(0.0))).alias(
+                        "total_value"
+                    ),
+                )
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(f"{base}/v{batch_id}")
+
+    q = (
+        ev.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(base) if d.startswith("v") and d[1:].isdigit()
+    )
+    final = spark.read.parquet(f"{base}/v{versions[-1]}")
+    return final.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+    )
