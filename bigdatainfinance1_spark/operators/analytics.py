@@ -312,3 +312,95 @@ def dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("stickiness"),
     )
+
+
+def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    """DuckDB oracle for q_pagerank_copurchase: the same fixed-iteration
+    PageRank unrolled as chained CTEs (r0..r{iters}) — feasible because the
+    iteration count is a constant of the operator, not data-dependent."""
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT p1 AS u, p2 AS v FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+    deg AS (SELECT u, count(*) AS c FROM edges GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)
+    """
+    steps = "".join(
+        f""",
+    r{i + 1} AS (
+      SELECT e.v AS node,
+             (1 - {d}) / (SELECT n FROM nn) + {d} * sum(r{i}.r / dg.c) AS r
+      FROM edges e
+      JOIN r{i} ON r{i}.node = e.u
+      JOIN deg dg ON dg.u = e.u
+      GROUP BY e.v
+    )"""
+        for i in range(iters)
+    )
+    return f"""
+    {head}{steps}
+    SELECT node AS part_id,
+           round(r * (SELECT n FROM nn), 6) AS rel_rank,
+           CAST((SELECT c FROM deg WHERE deg.u = node) AS BIGINT) AS degree
+    FROM r{iters}
+    ORDER BY rel_rank DESC, part_id
+    LIMIT 20
+    """
+
+
+@query("q_pagerank_copurchase", oracle=_pagerank_oracle(), tags=("analytics", "iterative", "join"))
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, d=0.85) over the undirected co-purchase
+    graph — parts linked when they appear on the same order. Each iteration
+    is one edges⋈ranks join + per-node sum (the dup_clusters/k-means job
+    shape: the driver holds only the loop counter and the node count, data
+    never leaves the cluster). The symmetric edge set means no dangling
+    nodes, so no global redistribution term. Output is the top-20 by
+    N-normalized rank (O(1) values, round 6 — summation-order ulps across
+    5 iterations stay ~1e-11, orders under the rounding grain). The oracle
+    unrolls the same 5 iterations as chained CTEs."""
+    d, iters = 0.85, 5
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    edges = pairs.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("c")).persist()
+    n = deg.count()  # bounded driver scalar: node count
+    ranks = deg.select(F.col("u").alias("node"), (F.lit(1.0) / n).alias("r"))
+    edges_deg = edges.join(deg, "u").persist()
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.u == ranks.node)
+            .select("v", (F.col("r") / F.col("c")).alias("w"))
+            .groupBy("v")
+            .agg(F.sum("w").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("v").alias("node"), ((1 - d) / n + d * F.col("s")).alias("r")
+        )
+    out = (
+        ranks.join(deg, ranks.node == deg.u)
+        .select(
+            F.col("node").alias("part_id"),
+            F.round(F.col("r") * n, 6).alias("rel_rank"),
+            F.col("c").cast("long").alias("degree"),
+        )
+        .orderBy(F.col("rel_rank").desc(), "part_id")
+        .limit(20)
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before unpersisting lineage
+    edges_deg.unpersist()
+    deg.unpersist()
+    return out
