@@ -184,9 +184,9 @@ def zipf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderkey,
       o_orderpriority                                   AS priority,
       o_orderdate                                       AS valid_from,
-      lead(o_orderdate) OVER (
+      coalesce(lead(o_orderdate) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      )                                                 AS valid_to,
+      ), TIMESTAMP '2261-12-31 00:00:00')               AS valid_to,
       CAST(lead(o_orderdate) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       ) IS NULL AS BOOLEAN)                             AS is_current
@@ -197,19 +197,21 @@ def zipf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension (type 2) validity intervals: each order
     event becomes a [valid_from, valid_to) version row per customer, the
-    open-ended latest row flagged current — the standard snapshot-history
-    build. One per-key ordered window (partitioned by custkey, total order
-    via orderkey tiebreak); at 100 TB this is one hash shuffle on the
-    dimension key."""
+    open-ended latest row carrying a far-future sentinel (2261-12-31: the
+    classic 9999 sentinel overflows Arrow/pandas nanosecond timestamps,
+    which the oracle gate converts through) and an is_current flag — the snapshot-history build. One per-key ordered window
+    (partitioned by custkey, total order via orderkey tiebreak); at 100 TB
+    this is one hash shuffle on the dimension key."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt = F.lead("o_orderdate").over(w)
+    sentinel = F.lit("2261-12-31 00:00:00").cast("timestamp")
     return orders.select(
         "o_custkey",
         "o_orderkey",
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderdate").alias("valid_from"),
-        nxt.alias("valid_to"),
+        F.coalesce(nxt, sentinel).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
 

@@ -47,6 +47,11 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 def _values_equal(a, b) -> bool:
     if a is None and b is None:
         return True
+    try:
+        if pd.isna(a) and pd.isna(b):  # NaN floats AND NaT timestamps (NaT != NaT)
+            return True
+    except (TypeError, ValueError):
+        pass  # array-valued cells: fall through to ==
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
