@@ -406,3 +406,74 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg.unpersist()
     deg.unpersist()
     return out
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, value,
+        epoch_us(coalesce(
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts
+        )) - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT
+      user_id,
+      round(sum(value * dur_us) / nullif(sum(dur_us), 0), 4) AS twap,
+      CAST(sum(dur_us) AS BIGINT)                            AS total_us
+    FROM iv
+    WHERE dur_us > 0
+    GROUP BY user_id
+    """,
+    tags=("analytics", "finance", "events"),
+)
+def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per user: each observation holds until
+    the next one (lead over the per-user event-time order), weight = holding
+    duration in integer microseconds — exact on both engines; the final
+    ratio is the only float division. The last observation (zero duration)
+    drops out, the standard TWAP convention. One per-key window + one
+    groupBy, both on user_id — a single shuffle at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.coalesce(F.lead("ts").over(w), F.col("ts"))) - F.unix_micros("ts")
+    iv = ev.select("user_id", "value", dur.alias("dur_us")).filter(F.col("dur_us") > 0)
+    return iv.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("dur_us")) / F.nullif(F.sum("dur_us"), F.lit(0)), 4
+        ).alias("twap"),
+        F.sum("dur_us").cast("long").alias("total_us"),
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 10
+    """,
+    tags=("analytics", "sample", "llm"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 deterministic tier: stratified sampling by hash quota — the 10
+    documents per language with the lowest md5(doc_id). Hash-order quotas
+    are how production pipelines draw REPRODUCIBLE eval/debug samples at
+    100 TB (stable across runs, engines, and partitioning — unlike
+    rate-based Bernoulli sampling, q_sample_profile's rows-only tier, whose
+    draw is engine-internal). Per-stratum top-k via ranked window = one
+    shuffle on the stratum key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id", "n_chars")
+    )

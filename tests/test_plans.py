@@ -218,6 +218,19 @@ def test_simhash_banded_equals_allpairs(spark):
         fp.unpersist()
 
 
+def test_copurchase_topk_uses_take_ordered(spark):
+    df = SPECS["q_copurchase_pairs"].fn(spark, SF_DIR)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_dau_wau_is_equi_join_not_range_join(spark):
+    """The trailing-7-day membership must run as fanout + hash equi-join,
+    never a nested-loop theta join."""
+    plan = plan_of(SPECS["q_dau_wau"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_merge_upsert_single_key_shuffle(spark):
     """MERGE plan: delta pre-aggregated before the outer join, no Python."""
     df = SPECS["q_merge_upsert"].fn(spark, SF_DIR)
