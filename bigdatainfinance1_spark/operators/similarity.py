@@ -486,3 +486,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+@query(
+    "q_embedding_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+             embedding
+      FROM embeddings
+    ),
+    err AS (
+      SELECT vec_id, label,
+        list_sum(list_transform(embedding, x ->
+          abs(CAST(x AS DOUBLE)
+              - round(CAST(x AS DOUBLE) / mx * 127) * mx / 127))) / len(embedding)
+          AS mae
+      FROM q WHERE mx > 0
+    )
+    SELECT label,
+           count(*)                 AS n_vecs,
+           round(avg(mae), 6)       AS avg_mae,
+           round(max(mae), 6)       AS max_mae
+    FROM err GROUP BY label
+    """,
+    tags=("similarity", "llm", "storage"),
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 (storage path): symmetric int8 quantization error profile — scale
+    each vector by max|x|/127, round to integers, dequantize, and report the
+    per-label mean absolute reconstruction error. This is the fidelity check
+    run before shipping embeddings at int8 (4× smaller than float32, ~32×
+    smaller shuffle than float64) at 100 TB. Pure JVM higher-order functions
+    per row, one groupBy; round() is half-away-from-zero on both engines so
+    the quantized codes match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.withColumn(
+        "mx", F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    ).filter(F.col("mx") > 0)
+    mae = F.expr(
+        "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE)"
+        " - round(CAST(x AS DOUBLE) / mx * 127) * mx / 127)),"
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v) / size(embedding)"
+    )
+    return (
+        q.withColumn("mae", mae)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mae"), 6).alias("avg_mae"),
+            F.round(F.max("mae"), 6).alias("max_mae"),
+        )
+    )

@@ -371,3 +371,45 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1 - F.count(F.lit(1)) / F.sum("c"), 4).alias("rep_ratio"),
         F.max("c").cast("long").alias("max_repeat"),
     )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    n AS (SELECT count(*) AS total FROM toks)
+    SELECT
+      t.doc_id,
+      count(*)                                              AS n_tokens,
+      round(sum(ln(tf.cnt * 1.0 / (SELECT total FROM n))) / count(*), 6)
+                                                            AS avg_logprob
+    FROM toks t JOIN tf ON t.tok = tf.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (quality): per-document average unigram log-probability under the
+    corpus's own unigram distribution — the perplexity-proxy score used for
+    CCNet-style quality filtering (a doc of globally-rare tokens scores very
+    negative; boilerplate scores high). Scale shape: one corpus term count,
+    broadcast back to the token stream (vocabulary-sized — the tf relation
+    is small however big the corpus), one per-doc aggregation. The ratio is
+    computed inside ln per token and averaged with one float division at the
+    end; round(·,6) absorbs cross-engine libm/summation ulps."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = toks.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        toks.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", F.log(F.col("cnt") * 1.0 / F.col("total")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )
