@@ -477,3 +477,211 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("lang", "doc_id", "n_chars")
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+      FROM orders
+    ),
+    obs AS (SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit),
+    n AS (SELECT count(*) AS total FROM digits)
+    SELECT
+      CAST(digit AS BIGINT)                                   AS digit,
+      CAST(n_obs AS BIGINT)                                   AS n_obs,
+      round(n_obs * 1.0 / (SELECT total FROM n), 6)           AS obs_freq,
+      round(ln(1 + 1.0 / digit) / ln(10), 6)                  AS benford_freq
+    FROM obs
+    """,
+    tags=("analytics", "finance", "stats"),
+)
+def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud analytics: leading-digit distribution of order totals vs
+    Benford's law. The leading digit is taken from the INTEGER cents
+    (round(x*100) → BIGINT → first character) — integer-to-string is
+    byte-identical on both engines, avoiding the classic floor(log10(x))
+    power-of-ten boundary hazard. One narrow map + a 9-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS INT)"
+    )
+    digits = orders.select(digit.alias("digit"))
+    totals = digits.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.round(F.col("n_obs") * 1.0 / F.col("total"), 6).alias("obs_freq"),
+            F.round(F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6).alias(
+                "benford_freq"
+            ),
+        )
+    )
+
+
+@query(
+    "q_gini_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT monetary,
+             row_number() OVER (ORDER BY monetary, o_custkey) AS i,
+             count(*) OVER ()                                 AS n,
+             sum(monetary) OVER ()                            AS tot
+      FROM m
+    )
+    SELECT
+      CAST(max(n) AS BIGINT)                       AS n_customers,
+      round(max(tot), 2)                           AS total_rev,
+      round(2.0 * sum(i * monetary) / (max(n) * max(tot))
+            - (max(n) + 1.0) / max(n), 6)          AS gini
+    FROM ranked
+    """,
+    tags=("analytics", "finance", "stats"),
+)
+def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over per-customer spend:
+    G = 2·Σ(i·m_i)/(n·Σm) − (n+1)/n with i the ascending spend rank —
+    the standard inequality measure for customer-concentration risk. The
+    rank is the range-bucketed distributed row number (functions/ranks.py);
+    n and Σm come from the same aggregate, so the whole query is two
+    shuffles. The oracle uses window formulations of the identical algebra;
+    round(·,6) absorbs summation-order ulps."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+    ranked = global_row_number(m, ["monetary", "o_custkey"], rn_col="i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("total_rev"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("monetary")) / (F.count(F.lit(1)) * F.sum("monetary"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_pareto_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT monetary,
+             row_number() OVER (ORDER BY monetary DESC, o_custkey) AS i,
+             sum(monetary) OVER (
+               ORDER BY monetary DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             count(*) OVER ()      AS n,
+             sum(monetary) OVER () AS tot
+      FROM m
+    )
+    SELECT
+      CAST(min(x.i) AS BIGINT)                 AS n_top_customers,
+      round(min(x.i) * 1.0 / max(y.nn), 4)     AS customer_share,
+      round(min(x.cum_at) / max(y.tt), 4)      AS revenue_share
+    FROM (SELECT i, cum AS cum_at FROM ranked WHERE cum >= 0.8 * tot) x,
+         (SELECT max(n) AS nn, max(tot) AS tt FROM ranked) y
+    """,
+    tags=("analytics", "finance"),
+)
+def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest top-spender prefix covering ≥80%
+    of revenue, as a count and as shares of customers/revenue. Descending
+    spend rank and running revenue via the range-bucketed primitives
+    (functions/ranks.py) — no single-partition window; the 0.8·total
+    crossing is far from any ulp boundary (neighboring cumulative sums
+    differ by a full customer's spend)."""
+    from bigdatainfinance1_spark.functions.ranks import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+    order_cols = [F.col("monetary").desc(), F.col("o_custkey")]
+    ranked = global_row_number(m, order_cols, rn_col="i")
+    with_cum = global_running_sum(ranked, order_cols, "monetary", "cum")
+    totals = m.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("monetary").alias("tot")
+    )
+    crossed = (
+        with_cum.crossJoin(F.broadcast(totals))
+        .filter(F.col("cum") >= 0.8 * F.col("tot"))
+        .agg(
+            F.min("i").cast("long").alias("n_top_customers"),
+            F.round(F.min("i") * 1.0 / F.first("n"), 4).alias("customer_share"),
+            F.round(F.min_by("cum", "i") / F.first("tot"), 4).alias("revenue_share"),
+        )
+    )
+    return crossed
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+    WITH new_v AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    diff AS (
+      SELECT
+        CASE
+          WHEN o.o_orderkey IS NULL THEN 'inserted'
+          WHEN n.o_orderkey IS NULL THEN 'deleted'
+          WHEN o.o_totalprice <> n.o_totalprice THEN 'updated'
+          ELSE 'unchanged'
+        END AS change_type,
+        coalesce(n.o_totalprice, o.o_totalprice) AS price
+      FROM orders o FULL OUTER JOIN new_v n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, count(*) AS n_rows, round(sum(price), 2) AS total_price
+    FROM diff GROUP BY change_type
+    """,
+    tags=("analytics", "etl"),
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key as inserted / deleted /
+    updated / unchanged between two table versions via one full-outer join
+    on the key (the new version is derived deterministically from orders:
+    every 97th key's price bumped 10%, every 101st key dropped). This is
+    the changelog computation that feeds incremental downstream refreshes
+    when no table format provides it natively; at 100 TB both sides hash-
+    shuffle once on the key, or zero times if co-bucketed."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new_v = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") * 1.1, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    o = orders.select(F.col("o_orderkey").alias("k_old"), F.col("o_totalprice").alias("p_old"))
+    n = new_v.select(F.col("o_orderkey").alias("k_new"), F.col("o_totalprice").alias("p_new"))
+    diff = o.join(n, o.k_old == n.k_new, "full_outer").select(
+        F.when(F.col("k_old").isNull(), "inserted")
+        .when(F.col("k_new").isNull(), "deleted")
+        .when(F.col("p_old") != F.col("p_new"), "updated")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce("p_new", "p_old").alias("price"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )
