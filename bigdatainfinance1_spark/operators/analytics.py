@@ -685,3 +685,82 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("price"), 2).alias("total_price"),
     )
+
+
+@query(
+    "q_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+    SELECT
+      c.user_id,
+      CAST(max(t.tot) AS BIGINT)                              AS n_events,
+      count(*)                                                AS n_types,
+      round(-sum((c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 6) AS entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id
+    """,
+    tags=("analytics", "events", "stats"),
+)
+def user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral fingerprint: Shannon entropy of each user's event-type
+    distribution (0 = single-type bots, ln(5) ≈ 1.609 = uniform across all
+    five types) — the standard segmentation/anomaly feature. Two chained
+    aggregations on user_id (the second reuses the first's partitioning);
+    round(·,6) absorbs ln/summation ulps."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("tot").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
+@query(
+    "q_interpurchase_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+        date_diff('day',
+          lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT
+      count(*)                                   AS n_gaps,
+      round(avg(gap_days), 4)                    AS avg_gap,
+      round(quantile_cont(gap_days, 0.5), 4)     AS median_gap,
+      round(quantile_cont(gap_days, 0.95), 4)    AS p95_gap,
+      CAST(max(gap_days) AS BIGINT)              AS max_gap
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+    tags=("analytics", "finance"),
+)
+def interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention feature: the corpus-wide inter-purchase time distribution —
+    per-customer order-date lags (integer days, exact on both engines)
+    profiled with mean/median/p95/max. One per-key window + one global
+    aggregate of integer gaps; quantiles interpolate identically on both
+    engines over integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias("median_gap"),
+        F.round(F.expr("percentile(gap_days, 0.95)"), 4).alias("p95_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+    )
