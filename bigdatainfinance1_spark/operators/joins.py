@@ -304,6 +304,79 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_tolerance",
+    oracle="""
+    SELECT
+      p.event_id,
+      p.user_id,
+      p.value AS purchase_value,
+      CASE WHEN b.ts IS NOT NULL AND p.ts <= b.ts + INTERVAL 10 MINUTE
+           THEN b.value END AS click_value_10m,
+      CASE WHEN b.ts IS NOT NULL AND p.ts <= b.ts + INTERVAL 10 MINUTE
+           THEN (epoch_us(p.ts) - epoch_us(b.ts)) // 1000000 END AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+      ON p.user_id = b.user_id AND p.ts >= b.ts
+    """,
+    tags=("join", "events", "asof"),
+)
+def asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 variant: as-of join WITH TOLERANCE — the most recent click at-or-
+    before each purchase, kept only if it happened within 10 minutes
+    (pandas `merge_asof(tolerance=...)` / kdb `wj` semantics). Same
+    union+ordered-window shape as q_asof_join — one shuffle on user_id,
+    O(n log n) per partition — plus a carried last-click timestamp so the
+    tolerance is a post-window null-out, not a second join. Gap seconds are
+    integer-division on epoch micros (exact on both engines). Oracle:
+    DuckDB ASOF LEFT JOIN with the tolerance applied as a post-filter on
+    the matched row — identical semantics (nearest match first, then
+    tolerance), NOT "nearest within tolerance"."""
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.lit(1).alias("is_probe"),
+    )
+    base = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("value").alias("click_value"),
+        F.col("ts").alias("click_ts"),
+        F.lit(0).alias("is_probe"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_tol = F.col("last_click_ts").isNotNull() & (
+        F.col("ts") <= F.col("last_click_ts") + F.expr("INTERVAL 10 MINUTE")
+    )
+    return (
+        probes.unionByName(base)
+        .withColumn("last_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_value",
+            F.when(in_tol, F.col("last_click_value")).alias("click_value_10m"),
+            F.when(
+                in_tol,
+                F.expr("(unix_micros(ts) - unix_micros(last_click_ts)) DIV 1000000"),
+            ).alias("gap_s"),
+        )
+    )
+
+
+@query(
     "q_funnel_join",
     oracle="""
     SELECT
