@@ -764,3 +764,142 @@ def interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_days, 0.95)"), 4).alias("p95_gap"),
         F.max("gap_days").cast("long").alias("max_gap"),
     )
+
+
+_SKYLINE_SQL = """
+    WITH pts AS (
+      SELECT p_brand, p_retailprice, p_size, count(*) AS n_parts
+      FROM part GROUP BY p_brand, p_retailprice, p_size
+    ),
+    ordered AS (
+      SELECT p_brand, p_retailprice, p_size, n_parts,
+        max(p_size) OVER (
+          PARTITION BY p_brand ORDER BY p_retailprice, p_size DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS best_size_before
+      FROM pts
+    )
+    SELECT p_brand, p_retailprice, p_size, n_parts
+    FROM ordered
+    WHERE best_size_before IS NULL OR p_size > best_size_before
+"""
+
+
+@query("q_skyline_parts", oracle=_SKYLINE_SQL, tags=("analytics",))
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto frontier) per brand: parts not dominated on
+    (minimize retail price, maximize size). The naive formulation is an
+    O(n^2) NOT-EXISTS self-join; this is the O(n log n) sweep — sort by
+    (price asc, size desc) and keep rows whose size strictly exceeds the
+    running max over all strictly-preceding rows. Dominance follows: any
+    earlier row has price <= yours, so a preceding size >= yours means
+    you're dominated (ties collapse first via the distinct-points CTE).
+    One shuffle on p_brand, per-brand ordered window — no cartesian
+    anywhere. One SQL text runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SKYLINE_SQL)
+
+
+_MODE_SQL = """
+    WITH counts AS (
+      SELECT user_id, event_type, count(*) AS n_events
+      FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n_events,
+        row_number() OVER (
+          PARTITION BY user_id ORDER BY n_events DESC, event_type
+        ) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_event_type, n_events
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("q_mode_per_user", oracle=_MODE_SQL, tags=("analytics", "events"))
+def mode_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event type.
+    Neither engine's native mode() defines tie order, so the oracle-safe
+    (and scale-safe) form is count → row_number with an explicit
+    (count DESC, value ASC) total order — two shuffles on user_id keys,
+    the second over the already-tiny counts relation. One SQL text runs
+    verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MODE_SQL)
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH assigned AS (
+      SELECT
+        (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+          AS grp,
+        value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT
+        count(CASE WHEN grp = 0 THEN 1 END)    AS n_a,
+        count(CASE WHEN grp = 1 THEN 1 END)    AS n_b,
+        avg(CASE WHEN grp = 0 THEN value END)  AS mean_a_raw,
+        avg(CASE WHEN grp = 1 THEN value END)  AS mean_b_raw,
+        var_samp(CASE WHEN grp = 0 THEN value END) AS var_a,
+        var_samp(CASE WHEN grp = 1 THEN value END) AS var_b
+      FROM assigned
+    )
+    SELECT
+      n_a, n_b,
+      round(mean_a_raw, 4) AS mean_a,
+      round(mean_b_raw, 4) AS mean_b,
+      round((mean_a_raw - mean_b_raw) / sqrt(var_a / n_a + var_b / n_b), 4) AS t_stat,
+      round(
+        pow(var_a / n_a + var_b / n_b, 2)
+        / (pow(var_a / n_a, 2) / (n_a - 1) + pow(var_b / n_b, 2) / (n_b - 1)),
+        2) AS df_welch
+    FROM m
+    """,
+    tags=("analytics", "stats"),
+)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-test on purchase
+    values between two deterministic md5-assigned arms (first md5 nibble of
+    user_id, parity — the salting-free hash assignment both engines can
+    reproduce; Spark renders the nibble via conv(hex)%2, DuckDB via
+    instr-nibble). Single-pass conditional aggregation — one scan, one
+    1-row reduce, no shuffle beyond the global agg; t and Welch df are
+    closed-form arithmetic over the moment sums."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("long") % 2
+    )
+    m = ev.select(grp.alias("grp"), "value").agg(
+        F.count(F.when(F.col("grp") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("grp") == 1, 1)).alias("n_b"),
+        F.avg(F.when(F.col("grp") == 0, F.col("value"))).alias("mean_a_raw"),
+        F.avg(F.when(F.col("grp") == 1, F.col("value"))).alias("mean_b_raw"),
+        F.var_samp(F.when(F.col("grp") == 0, F.col("value"))).alias("var_a"),
+        F.var_samp(F.when(F.col("grp") == 1, F.col("value"))).alias("var_b"),
+    )
+    se2_a = F.col("var_a") / F.col("n_a")
+    se2_b = F.col("var_b") / F.col("n_b")
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a_raw", 4).alias("mean_a"),
+        F.round("mean_b_raw", 4).alias("mean_b"),
+        F.round((F.col("mean_a_raw") - F.col("mean_b_raw")) / F.sqrt(se2_a + se2_b), 4).alias(
+            "t_stat"
+        ),
+        F.round(
+            F.pow(se2_a + se2_b, 2)
+            / (F.pow(se2_a, 2) / (F.col("n_a") - 1) + F.pow(se2_b, 2) / (F.col("n_b") - 1)),
+            2,
+        ).alias("df_welch"),
+    )

@@ -603,3 +603,42 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("component_id"))
         .withColumn("component_size", F.count(F.lit(1)).over(w).cast("long"))
     )
+
+
+@query(
+    "q_fuzzy_match_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names
+    )
+    SELECT
+      a.p_name AS name_a,
+      b.p_name AS name_b,
+      CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM keyed a JOIN keyed b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("dedup", "fuzzy"),
+)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: near-identical part names by edit
+    distance <= 3, with BLOCKING on the last name token so the quadratic
+    levenshtein comparison only runs inside blocks — the record-linkage
+    shape that scales (equi-shuffle on the block key, candidate pairs
+    linear in block sizes), never an all-pairs cross join. Distinct names
+    first so duplicate catalog rows don't multiply pairs. levenshtein() is
+    a built-in on both engines."""
+    part = load_table(spark, sf_dir, "part")
+    keyed = part.select("p_name").distinct().select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
+    )
+    a = keyed.select(F.col("p_name").alias("name_a"), F.col("blk"))
+    b = keyed.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    )

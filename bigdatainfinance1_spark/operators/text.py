@@ -413,3 +413,62 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
     )
+
+
+@query(
+    "q_doc_chunking",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks, n,
+        unnest(range(0, CASE WHEN n <= 32 THEN 1
+                             ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END))
+          AS chunk_id
+      FROM d
+    )
+    SELECT
+      doc_id,
+      CAST(chunk_id AS BIGINT) AS chunk_id,
+      CAST(len(toks[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n)]) AS BIGINT)
+        AS n_chunk_tokens,
+      md5(array_to_string(toks[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n)], ' '))
+        AS chunk_md5
+    FROM idx
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: split each document into overlapping token
+    windows (32 tokens, stride 24 — 8-token overlap), the standard
+    context-window prep before embedding/training. Pure narrow ops — split,
+    a sequence() explode sized by closed-form chunk count (never a
+    driver loop), slice, concat — zero shuffles: chunks stay co-partitioned
+    with their documents. Chunk text is emitted as md5 so the verify
+    relation stays narrow. Last chunk is allowed short (slice truncates at
+    the document end on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_chunks = (
+        F.when(F.col("n") <= 32, F.lit(1))
+        .otherwise(F.ceil((F.col("n") - 32) / 24.0).cast("long") + 1)
+    )
+    idx = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.expr("slice(toks, chunk_id * 24 + 1, 32)")
+    return idx.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
