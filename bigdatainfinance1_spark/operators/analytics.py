@@ -903,3 +903,123 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT
+      (SELECT count(*) FROM e) AS n_edges,
+      count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    tags=("analytics", "graph"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: triangle count on the co-purchase graph (parts
+    co-ordered at least twice). Edges are ORIENTED low-id → high-id so each
+    triangle is enumerated exactly once as (u<v<w): wedge join e1(u,v) ⋈
+    e2(v,w), closed by e3(u,w) — two equi-shuffle joins, never a cartesian.
+    The >= 2 co-support threshold is the standard sparsifier; in production
+    the orientation key would be (degree, id) so high-degree hubs don't
+    fan wedges out quadratically (same plan, different sort key)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("t_u"), F.col("v").alias("t_v"))
+    e2 = edges.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    wedges = e1.join(e2, F.col("t_v") == F.col("w_u"))
+    closed = wedges.join(
+        edges, (F.col("u") == F.col("t_u")) & (F.col("v") == F.col("w_v"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(n_tri)
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.s_ts
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT count(*) FROM s) AS n_signup,
+      (SELECT count(*) FROM c) AS n_clicked,
+      (SELECT count(*) FROM p) AS n_purchased,
+      round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM s), 4)
+        AS click_rate,
+      round((SELECT count(*) FROM p) * 1.0 / nullif((SELECT count(*) FROM c), 0), 4)
+        AS purchase_rate
+    """,
+    tags=("analytics", "events"),
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel: users who signed up, then clicked AFTER their
+    first signup, then purchased AFTER that first click — each stage is the
+    min-timestamp event strictly after the previous stage's anchor (the
+    product-analytics "funnel with strict ordering", not mere set overlap).
+    Three groupBy-min passes chained by equi-joins on user_id — every join
+    is keyed the same, so AQE reuses one partitioning end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_clicked",
+        "n_purchased",
+        F.round(F.col("n_clicked") * 1.0 / F.col("n_signup"), 4).alias("click_rate"),
+        F.round(
+            F.col("n_purchased") * 1.0 / F.nullif(F.col("n_clicked"), F.lit(0)), 4
+        ).alias("purchase_rate"),
+    )

@@ -270,3 +270,38 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("price") * F.col("qty")) / F.sum("qty"), 6).alias("vwap"),
         )
     )
+
+
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      count(*)                    AS n_orders,
+      round(sum(o_totalprice), 2) AS total_price,
+      min(o_orderdate)            AS first_date,
+      max(o_orderdate)            AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("io", "etl"),
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 extra format: write orders to ORC (Spark's other built-in
+    columnar format, zlib-striped), read it back, aggregate per priority.
+    ORC is binary-exact for doubles and timestamps so nothing is lost in
+    the roundtrip; the sum still follows the round(…,2) convention because
+    summation order differs from the oracle engine. Schema rides in the
+    file footer — no inference pass on re-read."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    path = _stage_dir("orc_orders", sf_dir)
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )

@@ -472,3 +472,86 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ),
+    big AS (
+      SELECT w1, w2, count(*) AS c_ab FROM (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+      ) GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS n_uni,
+             (SELECT sum(c_ab) FROM big) AS n_big
+    )
+    SELECT w1, w2, c_ab,
+      round(ln((c_ab / n_big) / ((ca.c / n_uni) * (cb.c / n_uni))), 6) AS pmi
+    FROM big
+    JOIN uni ca ON big.w1 = ca.w
+    JOIN uni cb ON big.w2 = cb.w
+    CROSS JOIN tot
+    WHERE c_ab >= 10
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual information —
+    ln(p(ab) / (p(a)·p(b))) over adjacent-token pairs, the classic lexical
+    association score used in phrase induction for tokenizer/corpus prep.
+    Bigrams come from a transform-over-sequence explode (no UDF); unigram
+    and bigram count relations are vocabulary-sized and broadcast back onto
+    the bigram relation; totals ride in via a 1-row cross join. Order by
+    the ROUNDED score with full (w1, w2) tiebreak so top-20 is engine-
+    stable. Guarded to docs with >= 2 tokens (Spark's sequence() would
+    otherwise run descending)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    uni = d.select(F.explode("t").alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    big = (
+        d.select(
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 10)
+    )
+    tot = (
+        d.agg(
+            F.sum(F.size("t")).alias("n_uni"),
+            F.sum(F.size("t") - 1).alias("n_big"),
+        )
+    )
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        big.join(F.broadcast(ca), "w1")
+        .join(F.broadcast(cb), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_big"))
+                    / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
