@@ -1023,3 +1023,141 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_purchased") * 1.0 / F.nullif(F.col("n_clicked"), F.lit(0)), 4
         ).alias("purchase_rate"),
     )
+
+
+_GEO_SQL = """
+    WITH cust AS (
+      SELECT c_custkey,
+        ((c_custkey * 2654435761) % 4294967296) % 1800 / 10e0 - 90e0  AS lat,
+        ((c_custkey * 2246822519) % 4294967296) % 3600 / 10e0 - 180e0 AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+        ((s_suppkey * 2654435761 + 97) % 4294967296) % 1800 / 10e0 - 90e0  AS lat,
+        ((s_suppkey * 2246822519 + 31) % 4294967296) % 3600 / 10e0 - 180e0 AS lon
+      FROM supplier
+    ),
+    probes(dx, dy) AS (
+      VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+    ),
+    cand AS (
+      SELECT c.c_custkey, s.s_suppkey,
+        (c.lat - s.lat) * (c.lat - s.lat) + (c.lon - s.lon) * (c.lon - s.lon) AS d2,
+        row_number() OVER (
+          PARTITION BY c.c_custkey
+          ORDER BY (c.lat - s.lat) * (c.lat - s.lat)
+                 + (c.lon - s.lon) * (c.lon - s.lon),
+                s.s_suppkey
+        ) AS rn
+      FROM cust c
+      CROSS JOIN probes p
+      JOIN supp s
+        ON CAST(floor(s.lat / 5) AS BIGINT) = CAST(floor(c.lat / 5) AS BIGINT) + p.dy
+       AND CAST(floor(s.lon / 5) AS BIGINT) = CAST(floor(c.lon / 5) AS BIGINT) + p.dx
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, round(d2, 6) AS d2
+    FROM cand WHERE rn = 1
+"""
+
+
+@query("q_geo_grid_knn", oracle=_GEO_SQL, tags=("analytics", "spatial"))
+def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor via GRID BUCKETING: each entity gets
+    deterministic synthetic coordinates (Knuth multiplicative hash mod a
+    0.1-degree lattice — pure 64-bit integer arithmetic, so both engines
+    derive bit-identical doubles), then each customer probes its own
+    5-degree grid cell plus the 8 neighbors (a 9-way equi-join on cell
+    ids, the scalable spatial-join shape — candidate pairs are linear in
+    density, never all-pairs) and keeps the closest supplier by squared
+    equirectangular distance with a deterministic id tiebreak. Customers
+    with no supplier within the ring drop out (documented inner-join
+    semantics). One SQL text runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GEO_SQL)
+
+
+_EWMA_SQL = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ) AS idx
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      round(
+        sum(o_totalprice * pow(2.0, idx)) OVER w / sum(pow(2.0, idx)) OVER w,
+        4) AS ewma
+    FROM seq
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+"""
+
+
+@query("q_ewma_orders", oracle=_EWMA_SQL, tags=("analytics", "finance", "timeseries"))
+def ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (decay 0.5) of each customer's
+    order values — the recursive smoother expressed as a CLOSED-FORM pair of
+    running sums: ewma_i = Σ x_j·2^j / Σ 2^j over j ≤ i (weights 2^j are
+    exact IEEE powers of two, so no cross-engine pow() drift; the common
+    2^-i cancels in the ratio). Two windowed sums per row, one shuffle on
+    custkey — no recursion, no UDF, no driver loop; per-key history depth
+    only grows the exponent, which double carries to 2^1000+. One SQL text
+    runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EWMA_SQL)
+
+
+@query(
+    "q_winsorized_mean",
+    oracle="""
+    WITH cuts AS (
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.05) AS p05,
+        quantile_cont(l_quantity, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT
+      l.l_returnflag,
+      count(*) AS n,
+      count(CASE WHEN l.l_quantity < c.p05 THEN 1 END) AS n_clipped_low,
+      count(CASE WHEN l.l_quantity > c.p95 THEN 1 END) AS n_clipped_high,
+      round(avg(l.l_quantity), 4) AS raw_mean,
+      round(avg(greatest(c.p05, least(c.p95, l.l_quantity))), 4) AS winsorized_mean
+    FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+    tags=("analytics", "stats"),
+)
+def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: the 5/95 winsorized mean of order quantities per
+    return flag — outliers clipped to the group percentiles, the standard
+    heavy-tail-resistant location estimate. Quantities are integer-valued,
+    so the interpolated percentiles agree bit-for-bit across engines
+    (round-1 verified property). Percentile cuts are a 3-row relation
+    broadcast back onto the fact scan — two passes, one shuffle each,
+    group state bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.05)").alias("p05"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95"),
+    )
+    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("l_quantity")))
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("l_quantity") < F.col("p05"), 1)).alias("n_clipped_low"),
+            F.count(F.when(F.col("l_quantity") > F.col("p95"), 1)).alias("n_clipped_high"),
+            F.round(F.avg("l_quantity"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+    )
