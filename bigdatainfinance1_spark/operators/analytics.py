@@ -1161,3 +1161,141 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 4).alias("winsorized_mean"),
         )
     )
+
+
+_CONCURRENCY_SQL = """
+    WITH iv AS (
+      SELECT event_id, event_type, ts, ts + INTERVAL 5 MINUTE AS te FROM events
+    ),
+    edges AS (
+      SELECT event_type, date_trunc('day', ts) AS day, ts AS ets, 1 AS delta, event_id
+      FROM iv
+      UNION ALL
+      SELECT event_type, date_trunc('day', ts), te, -1, event_id
+      FROM iv WHERE te < date_trunc('day', ts) + INTERVAL 1 DAY
+      UNION ALL
+      SELECT event_type, date_trunc('day', te), date_trunc('day', te), 1, event_id
+      FROM iv
+      WHERE date_trunc('day', te) > date_trunc('day', ts) AND te > date_trunc('day', te)
+      UNION ALL
+      SELECT event_type, date_trunc('day', te), te, -1, event_id
+      FROM iv
+      WHERE date_trunc('day', te) > date_trunc('day', ts) AND te > date_trunc('day', te)
+    ),
+    running AS (
+      SELECT event_type, day, delta,
+        sum(delta) OVER (
+          PARTITION BY event_type, day
+          ORDER BY ets, delta, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cur
+      FROM edges
+    )
+    SELECT
+      event_type,
+      day,
+      CAST(max(cur) AS BIGINT) AS max_concurrent,
+      count(CASE WHEN delta = 1 THEN 1 END) AS n_starts
+    FROM running GROUP BY event_type, day
+"""
+
+
+@query("q_concurrency_sweep", oracle=_CONCURRENCY_SQL, tags=("analytics", "events", "timeseries"))
+def concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval algebra: peak concurrent activity per (event_type, day),
+    treating each event as a 5-minute active interval — the classic
+    sweep-line (+1 at start, -1 at end, running sum, max). Midnight-
+    crossing intervals are SPLIT at the day boundary (a carry-in +1 at the
+    next day's start), so each (type, day) partition is self-contained and
+    the ordered window never spans partitions — the partitioned form of a
+    globally-ordered sweep. Tie rule: at equal timestamps the -1 sorts
+    first ([start, end) semantics); the running sum is tie-order-invariant
+    beyond that. One SQL text runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CONCURRENCY_SQL)
+
+
+@query(
+    "q_bfs_hops",
+    oracle="""
+    WITH und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e AS (
+      SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+    ),
+    d0 AS (SELECT min(u) AS node, 0 AS dist FROM e),
+    d1 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.v, d0.dist + 1 FROM d0 JOIN e ON e.u = d0.node
+      ) GROUP BY node
+    ),
+    d2 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.v, d1.dist + 1 FROM d1 JOIN e ON e.u = d1.node
+      ) GROUP BY node
+    ),
+    d3 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.v, d2.dist + 1 FROM d2 JOIN e ON e.u = d2.node
+      ) GROUP BY node
+    ),
+    d4 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d3
+        UNION ALL
+        SELECT e.v, d3.dist + 1 FROM d3 JOIN e ON e.u = d3.node
+      ) GROUP BY node
+    )
+    SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes
+    FROM d4 GROUP BY dist
+    """,
+    tags=("analytics", "graph", "iterative"),
+)
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph traversal: 4-hop BFS from the minimum-id vertex of the
+    sparsified co-purchase graph (undirected; co-support >= 2), reporting
+    how many vertices sit at each shortest-path distance. Spark runs the
+    standard distributed BFS relaxation — 4 deterministic join+groupBy-min
+    rounds over a reused edge relation (the Pregel shape: frontier joins
+    edges, union, min per node); the driver holds only the loop counter.
+    The oracle is the same recurrence unrolled as a fixed CTE chain
+    (pagerank pattern). Unreachable vertices are absent, not infinite."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    edges = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
+    dist = edges.agg(F.min("u").alias("node")).select("node", F.lit(0).alias("dist"))
+    for _ in range(4):
+        relaxed = (
+            dist.join(edges, dist.node == edges.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

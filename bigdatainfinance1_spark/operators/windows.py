@@ -827,3 +827,112 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("regular")
     )
     return scored.select("custkey", "r_score", "f_score", "m_score", segment.alias("segment"))
+
+
+@query(
+    "q_gapfill_interp",
+    oracle=f"""
+    WITH cal AS (
+      SELECT CAST(unnest(generate_series(
+        TIMESTAMP '{GAPFILL_START}', TIMESTAMP '{GAPFILL_END}', INTERVAL 1 DAY
+      )) AS TIMESTAMP) AS day
+    ),
+    pri AS (SELECT DISTINCT o_orderpriority FROM orders),
+    daily AS (
+      SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{GAPFILL_START}'
+        AND o_orderdate <  TIMESTAMP '{GAPFILL_END}' + INTERVAL 1 DAY
+      GROUP BY o_orderpriority, date_trunc('day', o_orderdate)
+    ),
+    spine AS (
+      SELECT p.o_orderpriority, c.day, d.revenue,
+        last_value(CASE WHEN d.revenue IS NOT NULL THEN c.day END IGNORE NULLS) OVER (
+          PARTITION BY p.o_orderpriority ORDER BY c.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+        last_value(d.revenue IGNORE NULLS) OVER (
+          PARTITION BY p.o_orderpriority ORDER BY c.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        first_value(CASE WHEN d.revenue IS NOT NULL THEN c.day END IGNORE NULLS) OVER (
+          PARTITION BY p.o_orderpriority ORDER BY c.day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
+        first_value(d.revenue IGNORE NULLS) OVER (
+          PARTITION BY p.o_orderpriority ORDER BY c.day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val
+      FROM pri p
+      CROSS JOIN cal c
+      LEFT JOIN daily d ON d.o_orderpriority = p.o_orderpriority AND d.day = c.day
+    )
+    SELECT o_orderpriority, day, revenue,
+      round(CASE
+        WHEN revenue IS NOT NULL THEN revenue
+        WHEN prev_val IS NULL THEN next_val
+        WHEN next_val IS NULL THEN prev_val
+        ELSE prev_val + (next_val - prev_val)
+             * (datediff('day', prev_day, day) / datediff('day', prev_day, next_day))
+      END, 4) AS revenue_interp
+    FROM spine
+    """,
+    tags=("window", "timeseries", "finance"),
+)
+def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with LINEAR INTERPOLATION: missing calendar days
+    get the straight line between the nearest observed values on either
+    side (leading/trailing gaps fall back to bfill/ffill). Prev/next
+    anchors are carried by IGNORE-NULLS window endpoints — the day and the
+    value ride in separate columns that go null together, so the frames
+    stay aligned; no self-join, no UDF. Interp arithmetic runs on the
+    per-day rounded revenues, so both engines interpolate identical
+    doubles. Same bounded per-key spine as q_gapfill_ffill (keys
+    parallelize; window state is one key's days)."""
+    start = F.lit(GAPFILL_START).cast("timestamp")
+    end = F.lit(GAPFILL_END).cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders")
+    cal = spark.range(1).select(
+        F.explode(F.sequence(start, end, F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    pri = orders.select("o_orderpriority").distinct()
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= start)
+            & (F.col("o_orderdate") < end + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("o_orderpriority", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    spine = pri.crossJoin(cal)
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fut = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("revenue").isNotNull(), F.col("day"))
+    joined = (
+        spine.join(daily, ["o_orderpriority", "day"], "left")
+        .withColumn("prev_day", F.last(known_day, ignorenulls=True).over(w_run))
+        .withColumn("prev_val", F.last("revenue", ignorenulls=True).over(w_run))
+        .withColumn("next_day", F.first(known_day, ignorenulls=True).over(w_fut))
+        .withColumn("next_val", F.first("revenue", ignorenulls=True).over(w_fut))
+    )
+    interp = (
+        F.when(F.col("revenue").isNotNull(), F.col("revenue"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (
+                F.datediff("day", "prev_day")
+                / F.datediff("next_day", "prev_day")
+            )
+        )
+    )
+    return joined.select(
+        "o_orderpriority", "day", "revenue", F.round(interp, 4).alias("revenue_interp")
+    )
