@@ -1299,3 +1299,172 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+_CHI2_SQL = """
+    WITH joined AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    obs AS (SELECT seg, pri, count(*) AS n FROM joined GROUP BY seg, pri),
+    rt AS (SELECT seg, count(*) AS nr FROM joined GROUP BY seg),
+    ct AS (SELECT pri, count(*) AS nc FROM joined GROUP BY pri),
+    tot AS (SELECT count(*) AS n FROM joined),
+    cells AS (
+      SELECT rt.seg, ct.pri,
+        coalesce(obs.n, 0)               AS o_ij,
+        rt.nr * ct.nc * 1e0 / tot.n      AS e_ij
+      FROM rt CROSS JOIN ct CROSS JOIN tot
+      LEFT JOIN obs ON obs.seg = rt.seg AND obs.pri = ct.pri
+    )
+    SELECT
+      round(sum((o_ij - e_ij) * (o_ij - e_ij) / e_ij), 4)  AS chi2,
+      CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS BIGINT) AS dof,
+      CAST(sum(o_ij) AS BIGINT)                            AS n_obs
+    FROM cells
+"""
+
+
+@query("q_chi2_independence", oracle=_CHI2_SQL, tags=("analytics", "stats"))
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test: market segment × order priority
+    contingency table. The cell grid is COMPLETED by crossing the two
+    margin relations (5×5) before left-joining observed counts — zero-
+    observation cells still contribute their expected mass, the mistake a
+    naive groupBy makes. All counts are exact integers; the statistic is
+    one 25-row reduce. One SQL text runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CHI2_SQL)
+
+
+_MARKOV_SQL = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lead(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+        ) AS next_type
+      FROM events
+    )
+    SELECT
+      event_type AS from_type,
+      next_type  AS to_type,
+      count(*)   AS n,
+      round(count(*) * 1e0 / sum(count(*)) OVER (PARTITION BY event_type), 4) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+"""
+
+
+@query("q_markov_transitions", oracle=_MARKOV_SQL, tags=("analytics", "events"))
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence model: the first-order Markov transition matrix
+    over each user's event stream — P(next event type | current), from a
+    per-user lead() with total order (ts, event_id) and a windowed row-
+    normalization over the 4×4 count matrix. One shuffle on user_id for
+    the sequence pass; the normalization window runs on a 16-row relation.
+    One SQL text runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MARKOV_SQL)
+
+
+_REGR_SQL = """
+    SELECT
+      p_brand,
+      count(*)                                        AS n,
+      round(regr_slope(p_retailprice, p_size), 6)     AS slope,
+      round(regr_intercept(p_retailprice, p_size), 6) AS intercept,
+      round(regr_r2(p_retailprice, p_size), 6)        AS r2
+    FROM part
+    GROUP BY p_brand
+"""
+
+
+@query("q_regr_by_brand", oracle=_REGR_SQL, tags=("analytics", "stats"))
+def regr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS: per-brand price-on-size regression via the native
+    regr_slope / regr_intercept / regr_r2 aggregates (both engines expose
+    the SQL:2003 regr_* family; both accumulate co-moments in double, and
+    the 6-decimal round absorbs summation-order ulps). One hash aggregate,
+    bounded per-group state — the sketchable regression shape. One SQL
+    text runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REGR_SQL)
+
+
+@query(
+    "q_var_cvar",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    ret AS (
+      SELECT round(rev / lag(rev) OVER (ORDER BY day) - 1, 6) AS r FROM daily
+    ),
+    r2 AS (SELECT r FROM ret WHERE r IS NOT NULL),
+    q AS (
+      SELECT quantile_cont(r, 0.05) AS v05, quantile_cont(r, 0.01) AS v01,
+             count(*) AS n_days
+      FROM r2
+    )
+    SELECT
+      q.n_days,
+      round(q.v05, 6) AS var05,
+      round(q.v01, 6) AS var01,
+      round(avg(CASE WHEN r2.r <= q.v05 THEN r2.r END), 6) AS cvar05
+    FROM r2 CROSS JOIN q
+    GROUP BY q.n_days, q.v05, q.v01
+    """,
+    tags=("analytics", "finance", "stats"),
+)
+def var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical value-at-risk and expected shortfall on daily-revenue
+    returns: VaR(5%)/VaR(1%) as interpolated quantiles of the return
+    distribution, CVaR(5%) as the mean of the tail at-or-below VaR(5%).
+    Returns are day-over-day ratios of the per-day rounded revenue and are
+    themselves rounded to 6 before the quantile, so both engines
+    interpolate the exact same grid. The day-over-day lag is partitioned
+    by year with a broadcast carry row (repo rule: no unpartitioned
+    ordered window); the tail mean is a conditional aggregate against the
+    broadcast 1-row quantile relation — two scans of a tiny daily
+    relation, no driver collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .withColumn("_yr", F.year("day"))
+    )
+    w = Window.partitionBy("_yr").orderBy("day")
+    carry = (
+        daily.groupBy("_yr")
+        .agg(F.max_by("rev", "day").alias("_carry_rev"))
+        .select((F.col("_yr") + 1).alias("_yr"), "_carry_rev")
+    )
+    prev = F.coalesce(F.lag("rev").over(w), F.col("_carry_rev"))
+    rets = (
+        daily.join(F.broadcast(carry), "_yr", "left")
+        .select(F.round(F.col("rev") / prev - 1, 6).alias("r"))
+        .filter(F.col("r").isNotNull())
+    )
+    q = rets.agg(
+        F.expr("percentile(r, 0.05)").alias("v05"),
+        F.expr("percentile(r, 0.01)").alias("v01"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        rets.crossJoin(F.broadcast(q))
+        .groupBy("n_days", "v05", "v01")
+        .agg(F.round(F.avg(F.when(F.col("r") <= F.col("v05"), F.col("r"))), 6).alias("cvar05"))
+        .select(
+            "n_days",
+            F.round("v05", 6).alias("var05"),
+            F.round("v01", 6).alias("var01"),
+            "cvar05",
+        )
+    )
