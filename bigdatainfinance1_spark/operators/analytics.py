@@ -1468,3 +1468,182 @@ def var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cvar05",
         )
     )
+
+
+@query(
+    "q_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    tot AS (SELECT avg(rev) AS mu FROM daily)
+    SELECT
+      CAST((datediff('day', DATE '1995-01-02', day) % 7 + 7) % 7 AS BIGINT) AS dow_idx,
+      count(*) AS n_days,
+      round(avg(rev), 4) AS avg_rev,
+      round(avg(rev) / min(tot.mu), 6) AS seasonal_idx
+    FROM daily CROSS JOIN tot
+    GROUP BY (datediff('day', DATE '1995-01-02', day) % 7 + 7) % 7
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: day-of-week revenue index (per-DOW mean over
+    the global mean). The weekday is derived ARITHMETICALLY — days since a
+    known Monday, mod 7 — because the engines disagree on dayofweek()
+    numbering (Spark 1=Sunday, DuckDB 0=Sunday); integer date arithmetic
+    is convention-free. Two tiny aggregates over the daily relation, the
+    global mean rides in as a broadcast 1-row cross join."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    tot = daily.agg(F.avg("rev").alias("mu"))
+    dow = ((F.datediff(F.col("day"), F.lit("1995-01-02").cast("date")) % 7 + 7) % 7).cast("long")
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy(dow.alias("dow_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("rev"), 4).alias("avg_rev"),
+            F.round(F.avg("rev") / F.min("mu"), 6).alias("seasonal_idx"),
+        )
+    )
+
+
+@query(
+    "q_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    stats AS (SELECT avg(rev) AS mu FROM daily),
+    denom AS (
+      SELECT sum((rev - mu) * (rev - mu)) AS ss
+      FROM daily CROSS JOIN stats
+    ),
+    lags(k) AS (VALUES (1), (7), (30)),
+    pairs AS (
+      SELECT l.k, (a.rev - s.mu) * (b.rev - s.mu) AS prod
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + l.k
+      CROSS JOIN stats s
+    )
+    SELECT
+      CAST(p.k AS BIGINT) AS lag_k,
+      count(*) AS n_pairs,
+      round(sum(p.prod) / min(d.ss), 6) AS acf
+    FROM pairs p CROSS JOIN denom d
+    GROUP BY p.k
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1/7/30 — the ACF
+    values a seasonality analysis starts from. Formulated WITHOUT ordered
+    windows: the lag pairing is an equi-join on (day + k) against a lags
+    VALUES relation, so it shuffles on the date key and parallelizes —
+    no single-partition sort, no carry machinery. Global mean and the
+    centered sum of squares ride in as broadcast 1-row relations; the
+    classic ACF denominator (full-series variance) normalizes every lag.
+    Products of identically-rounded doubles agree bitwise; the final
+    sums are order-ulp-absorbed by round 6 on a [-1, 1] statistic."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    stats = daily.agg(F.avg("rev").alias("mu"))
+    denom = daily.crossJoin(F.broadcast(stats)).agg(
+        F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias("ss")
+    )
+    lags = spark.createDataFrame([(1,), (7,), (30,)], "k int")
+    a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_add(day_a, k) = day_b"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "k",
+            ((F.col("rev_a") - F.col("mu")) * (F.col("rev_b") - F.col("mu"))).alias("prod"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(denom))
+        .groupBy(F.col("k").cast("long").alias("lag_k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("prod") / F.min("ss"), 6).alias("acf"),
+        )
+    )
+
+
+@query(
+    "q_spearman_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             round(sum(o_totalprice), 2) AS rev,
+             count(*) AS n_orders
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    ranked AS (
+      SELECT
+        CAST(row_number() OVER (ORDER BY rev, day) AS BIGINT)      AS rx,
+        CAST(row_number() OVER (ORDER BY n_orders, day) AS BIGINT) AS ry
+      FROM daily
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+      FROM ranked
+    )
+    SELECT
+      CAST(n AS BIGINT) AS n_days,
+      round(
+        (n * sxy - sx * sy) * 1e0
+        / sqrt((n * sxx - sx * sx) * 1e0 * (n * syy - sy * sy)), 6) AS spearman
+    FROM s
+    """,
+    tags=("analytics", "stats"),
+)
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dependence: Spearman rank correlation between daily revenue
+    and daily order count. Ranks are assigned by the range-bucketed
+    distributed global row_number (functions/ranks.py — no single-
+    partition window), with the calendar day as a deterministic tiebreak
+    (documented convention: ties take distinct consecutive ranks, not
+    averaged — both engines apply the identical rule so the oracle
+    agrees). The correlation itself is computed from EXACT integer moment
+    sums — n·Σxy − ΣxΣy over BIGINTs — so both engines divide identical
+    integers; only the final division is floating."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    rx = global_row_number(daily, ["rev", "day"], rn_col="rx")
+    ranked = global_row_number(rx, ["n_orders", "day"], rn_col="ry").select("rx", "ry")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(num.cast("double") / den, 6).alias("spearman"),
+    )

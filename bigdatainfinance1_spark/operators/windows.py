@@ -936,3 +936,45 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "o_orderpriority", "day", "revenue", F.round(interp, 4).alias("revenue_interp")
     )
+
+
+@query(
+    "q_bollinger_bands",
+    oracle=f"""
+    SELECT
+      day,
+      rev,
+      round(avg(rev) OVER w, 4)                          AS ma20,
+      round(stddev_samp(rev) OVER w, 4)                  AS sd20,
+      round(avg(rev) OVER w + 2 * stddev_samp(rev) OVER w, 4) AS upper_band,
+      round(avg(rev) OVER w - 2 * stddev_samp(rev) OVER w, 4) AS lower_band
+    FROM ({_DAILY_REVENUE_SQL})
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "finance", "timeseries"),
+)
+def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance: 20-day Bollinger bands (moving mean ± 2 moving sample
+    stddevs) over daily revenue. Same year-partition + 19-row-overlap
+    machinery as q_moving_avg — frames never cross a partition short, so
+    values equal the global window with no single-partition sort. Bands
+    derive from the UNROUNDED moments and round once at the output; the
+    series head (< 2 rows) yields NULL sd on both engines."""
+    raw_ma = lambda w: [
+        F.avg("rev").over(w).alias("_ma"),
+        F.stddev_samp("rev").over(w).alias("_sd"),
+    ]
+    out = _overlapped_daily_window(
+        _daily_revenue(spark, sf_dir),
+        n_context=19,
+        agg_cols=raw_ma,
+        out_cols=["day", "rev", "_ma", "_sd"],
+    )
+    return out.select(
+        "day",
+        "rev",
+        F.round("_ma", 4).alias("ma20"),
+        F.round("_sd", 4).alias("sd20"),
+        F.round(F.col("_ma") + 2 * F.col("_sd"), 4).alias("upper_band"),
+        F.round(F.col("_ma") - 2 * F.col("_sd"), 4).alias("lower_band"),
+    )
