@@ -454,3 +454,150 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (column_name, n_rows, n_null, n_distinct)"
     )
+
+
+@query(
+    "q_string_agg_ordered",
+    oracle="""
+    WITH top AS (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+        row_number() OVER (
+          PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey
+        ) AS rnk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT
+      n_name,
+      string_agg(c_name, ',' ORDER BY rnk) AS top_names,
+      count(*) AS n_listed
+    FROM top WHERE rnk <= 5
+    GROUP BY n_name
+    """,
+    tags=("agg",),
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+: ORDERED string aggregation — each nation's top-5 customers by
+    balance, comma-joined in rank order. Spark has no ordered string_agg,
+    so the deterministic form is collect_list of (rank, name) structs →
+    array_sort → transform → array_join, which sorts INSIDE each group
+    after the shuffle (no ordered shuffle needed); the rank filter bounds
+    the per-group state at 5. DuckDB's native ORDER BY clause in
+    string_agg is the oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    top = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    return (
+        top.groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rnk", "c_name"))),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("top_names"),
+            F.count(F.lit(1)).alias("n_listed"),
+        )
+    )
+
+
+@query(
+    "q_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, l.l_quantity, m.med,
+             abs(l.l_quantity - m.med) AS absdev
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(absdev, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT
+      d.l_returnflag,
+      round(min(d.med), 4) AS median_qty,
+      round(min(m.mad), 4) AS mad_qty,
+      count(CASE WHEN d.absdev > 3 * m.mad THEN 1 END) AS n_outliers,
+      count(*) AS n
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    GROUP BY d.l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen via MEDIAN ABSOLUTE DEVIATION: per return
+    flag, the median quantity, the MAD, and how many rows sit beyond
+    3×MAD — the breakdown-resistant alternative to z-scores. Quantities
+    are integers, so both medians land on the exact .0/.5 grid and the
+    3×MAD threshold comparison has no ulp boundary. Two grouped
+    percentile passes with the tiny cut relations broadcast back."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag").withColumn(
+        "absdev", F.abs(F.col("l_quantity") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("med"), 4).alias("median_qty"),
+            F.round(F.min("mad"), 4).alias("mad_qty"),
+            F.count(F.when(F.col("absdev") > 3 * F.col("mad"), 1)).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_MOMENTS_SQL = """
+    WITH m AS (
+      SELECT l_returnflag,
+        count(*)               AS n,
+        avg(l_quantity)        AS m1,
+        avg(l_quantity * l_quantity) AS m2r,
+        avg(l_quantity * l_quantity * l_quantity) AS m3r,
+        avg(l_quantity * l_quantity * l_quantity * l_quantity) AS m4r
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT
+      l_returnflag,
+      n,
+      round(m1, 4) AS mean_qty,
+      round(sqrt(m2r - m1 * m1), 6) AS pop_std,
+      round((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+            / pow(m2r - m1 * m1, 1.5e0), 6) AS skewness_g1,
+      round((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * m1 * m1 * m1 * m1)
+            / ((m2r - m1 * m1) * (m2r - m1 * m1)) - 3, 6) AS excess_kurtosis
+    FROM m
+"""
+
+
+@query("q_moments_skew_kurt", oracle=_MOMENTS_SQL, tags=("agg", "stats"))
+def moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher moments per group — population std, skewness g1, excess
+    kurtosis g2 — computed from RAW POWER-SUM moments with the central-
+    moment algebra spelled out, NOT the engines' native skewness()/
+    kurtosis(), whose small-sample corrections differ between engines.
+    Same algebra both sides → same doubles in, round-6 absorbs the
+    power-sum ordering ulps. One hash aggregate, five accumulators per
+    group — the single-pass sketchable shape. One SQL text runs verbatim
+    on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_MOMENTS_SQL)

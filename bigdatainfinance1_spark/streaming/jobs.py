@@ -625,3 +625,54 @@ def stream_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round("total_value", 4).alias("total_value"),
     )
+
+
+@query(
+    "q_stream_window_topk",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events
+      FROM events GROUP BY window_start, event_type
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n_events,
+        row_number() OVER (
+          PARTITION BY window_start ORDER BY n_events DESC, event_type
+        ) AS rnk
+      FROM agg
+    )
+    SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 2
+    """,
+    tags=("streaming", "events"),
+)
+def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: the 2 busiest event types per tumbling hour. The
+    heavy part — per-(window, type) counting over the stream — runs as a
+    real Structured Streaming job (availableNow, memory sink); ranking
+    within windows is a batch finishing pass over the materialized
+    window-count relation (ranking functions aren't incremental operators
+    — the standard pattern is stream-aggregate then rank-on-read, and the
+    finishing relation is windows × types, tiny by construction). Full
+    value-hash oracle: the batch equivalent with a deterministic
+    (count DESC, type) tie order."""
+    from pyspark.sql import Window
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    done = run_to_table(agg, "complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        done.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )

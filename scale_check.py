@@ -56,6 +56,11 @@ QUERIES = [
     "q_cosine_topk",
     "q_embedding_neardup",
     "q_stream_tumbling",
+    # round-2 late additions: the ops with nontrivial cost curves
+    "q_ohlc_multigrain",
+    "q_doc_chunking",
+    "q_triangle_count",
+    "q_concurrency_sweep",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
