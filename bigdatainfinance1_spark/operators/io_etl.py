@@ -305,3 +305,44 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+@query(
+    "q_incremental_mv",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      count(*)                    AS n_orders,
+      round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("io", "etl"),
+)
+def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-priority revenue
+    MV is built from history (orders before 1997-01-01), then REFRESHED by
+    merging only the delta partition's partial aggregate — partials
+    combine by key (sum/count are commutative monoids), never rescanning
+    history. The oracle recomputes from scratch; matching it proves the
+    merge is lossless. Rounding happens ONLY after the merge (partials
+    carry raw doubles — rounding partials would double-round). At 100 TB
+    this is the nightly-refresh pattern: delta scan + k-row merge instead
+    of a full-history scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    partial = lambda df: df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("_rev_raw")
+    )
+    mv = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        mv.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("_rev_raw").alias("_rev"))
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round("_rev", 2).alias("revenue"),
+        )
+    )

@@ -121,3 +121,52 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+def _zorder_expr() -> str:
+    """16-bit Morton interleave of (p_size & 255, int(p_retailprice) & 255),
+    generated as one shift-mask expression string valid on BOTH engines."""
+    terms = []
+    for i in range(8):
+        terms.append(f"(((p_size & 255) >> {i}) & 1) << {2 * i}")
+        terms.append(f"((pr >> {i}) & 1) << {2 * i + 1}")
+    return " + ".join(f"({t})" for t in terms)
+
+
+_ZORDER_SQL = f"""
+    WITH keyed AS (
+      SELECT p_partkey, p_size, p_retailprice,
+        CAST(floor(p_retailprice / 32e0) AS BIGINT) & 255 AS pr
+      FROM part
+    ),
+    z AS (
+      SELECT p_partkey, p_size, p_retailprice,
+        CAST({{zexpr}} AS BIGINT) AS zval
+      FROM keyed
+    )
+    SELECT
+      CAST(zval >> 6 AS BIGINT)    AS z_bucket,
+      count(*)                     AS n_parts,
+      CAST(min(p_size) AS BIGINT)  AS min_size,
+      CAST(max(p_size) AS BIGINT)  AS max_size,
+      round(min(p_retailprice), 2) AS min_price,
+      round(max(p_retailprice), 2) AS max_price
+    FROM z GROUP BY zval >> 6
+""".format(zexpr=_zorder_expr())
+
+
+@query("q_zorder_layout", oracle=_ZORDER_SQL, tags=("scale", "layout"))
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout operator: a 16-bit Z-ORDER (Morton) clustering key
+    interleaving the bits of the two most-filtered part attributes (size,
+    banded price), then bucket stats per high-order z-prefix. Writing a
+    table range-partitioned by this key co-locates rows that are close in
+    BOTH dimensions, so 2-D range predicates prune most buckets — the
+    Delta/Iceberg OPTIMIZE ZORDER idea, here as pure shift-mask arithmetic
+    (generated once, constant-folded by codegen; identical on both
+    engines). Bucket min/max ranges ARE the pruning statistics a reader
+    would use. One SQL text runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ZORDER_SQL)
