@@ -409,3 +409,117 @@ def funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("s_event_id").alias("n_converted_signups"),
         F.count(F.lit(1)).alias("n_signup_purchase_pairs"),
     )
+
+
+@query(
+    "q_galaxy_join",
+    oracle="""
+    SELECT
+      r.r_name,
+      p.p_brand,
+      count(*)                                                        AS n_lines,
+      round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) / 1e4, 2) AS revenue,
+      count(DISTINCT s.s_nationkey)                                   AS n_supp_nations
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY r.r_name, p.p_brand
+    """,
+    tags=("join",),
+)
+def galaxy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The widest join in the repo: a 7-table galaxy — both fact tables
+    (lineitem ⋈ orders, the only shuffling join, keyed on orderkey) plus
+    FIVE dimension hops (customer, nation, region, part, supplier), every
+    one broadcast-pinned so the fact flow is shuffled exactly once. This
+    is the plan-shape stress test for join ordering: Catalyst folds the
+    five broadcasts into the single fact pipeline, and AQE handles the
+    one exchange. Region × brand × supplier-nation rollup on top.
+    Revenue is summed in EXACT integer cents×basis-points (price and
+    discount are 2-decimal quantities, so cents·(100−bp) is an exact
+    BIGINT): at these group sizes (~5k lines/group) a floating sum lands
+    on half-cent boundaries often enough that round-2 flips between
+    engines — integer arithmetic removes the boundary entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("r_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / F.lit(10000.0),
+                2,
+            ).alias("revenue"),
+            F.count_distinct("s_nationkey").alias("n_supp_nations"),
+        )
+    )
+
+
+@query(
+    "q_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer
+    ),
+    b AS (
+      SELECT o_custkey, o_totalprice,
+             nullif(o_orderpriority, '1-URGENT') AS pri
+      FROM orders
+    ),
+    segs AS (SELECT DISTINCT seg FROM a),
+    pris AS (SELECT DISTINCT pri FROM b)
+    SELECT
+      s.seg,
+      p.pri,
+      CAST(s.seg IS NULL AS BOOLEAN) AS seg_is_null,
+      CAST(p.pri IS NULL AS BOOLEAN) AS pri_is_null
+    FROM segs s
+    JOIN pris p ON (s.seg IS NULL) IS NOT DISTINCT FROM (p.pri IS NULL)
+    """,
+    tags=("join",),
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-family completeness: NULL-SAFE equality join (Spark `<=>` /
+    eqNullSafe ↔ SQL IS NOT DISTINCT FROM) — null keys MATCH each other
+    instead of vanishing, the semantics every SQL engine must special-case
+    because ordinary `=` drops null rows silently. Demonstrated on
+    synthesized nullable keys (nullif over the two enum columns), pairing
+    the null-ness of the two domains; the flags make the null=null
+    matches visible in the output."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    segs = cust.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    ).distinct()
+    pris = orders.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri")
+    ).distinct()
+    return (
+        segs.join(pris, segs.seg.isNull().eqNullSafe(pris.pri.isNull()))
+        .select(
+            "seg",
+            "pri",
+            F.col("seg").isNull().alias("seg_is_null"),
+            F.col("pri").isNull().alias("pri_is_null"),
+        )
+    )
