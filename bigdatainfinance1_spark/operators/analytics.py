@@ -1647,3 +1647,182 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         F.round(num.cast("double") / den, 6).alias("spearman"),
     )
+
+
+@query(
+    "q_session_paths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        count(*) AS n_ev
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path,
+      count(*) AS n_sessions,
+      round(avg(n_ev), 4) AS avg_events
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+    tags=("analytics", "events"),
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the 10 most common within-session event
+    sequences (30-minute-gap sessionization, then the ordered event-type
+    path per session, e.g. 'view>click>purchase'). Path assembly is
+    collect_list of (ts, event_id, type) structs sorted IN-GROUP after the
+    shuffle (array_sort — no ordered shuffle), joined with '>'; the final
+    top-10 is a TakeOrdered with a full (count, path) tiebreak. Session
+    state is per-user and bounded; paths relation is sessions-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    paths = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_ev"), 4).alias("avg_events"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'fk_lineitem_orderkey' AS check_name,
+      (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+      (SELECT count(*) FROM lineitem) AS n_checked
+    UNION ALL
+    SELECT 'fk_orders_custkey',
+      (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'pk_orders_unique',
+      (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+      (SELECT count(*) FROM orders)
+    UNION ALL
+    SELECT 'range_discount_0_1',
+      (SELECT count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) FROM lineitem),
+      (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'range_quantity_positive',
+      (SELECT count(CASE WHEN l_quantity <= 0 THEN 1 END) FROM lineitem),
+      (SELECT count(*) FROM lineitem)
+    UNION ALL
+    SELECT 'enum_orderstatus',
+      (SELECT count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) FROM orders),
+      (SELECT count(*) FROM orders)
+    """,
+    tags=("analytics", "etl", "quality"),
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality assertion suite (the dbt-tests shape): referential
+    integrity (anti-join counts), primary-key uniqueness, value ranges,
+    and enum domains — each check emits (name, violations, checked) and
+    the suite unions into one report relation. Per-table checks share one
+    scan via conditional aggregation; FK checks are anti joins that ship
+    only the key column. On healthy synthetic data every count is 0 —
+    the point is the machinery, priced at one scan per table + two
+    key-projected anti joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, viol, checked) -> DataFrame:
+        return viol.crossJoin(checked).select(
+            F.lit(name).alias("check_name"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+        )
+
+    li_n = li.agg(F.count(F.lit(1)).alias("n_checked"))
+    ord_n = orders.agg(F.count(F.lit(1)).alias("n_checked"))
+    fk_li = one(
+        "fk_lineitem_orderkey",
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+        li_n,
+    )
+    fk_ord = one(
+        "fk_orders_custkey",
+        orders.select("o_custkey")
+        .join(cust.select("c_custkey"), orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations")),
+        ord_n,
+    )
+    pk = one(
+        "pk_orders_unique",
+        orders.agg((F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("n_violations")),
+        ord_n,
+    )
+    rng_d = one(
+        "range_discount_0_1",
+        li.agg(
+            F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)).alias(
+                "n_violations"
+            )
+        ),
+        li_n,
+    )
+    rng_q = one(
+        "range_quantity_positive",
+        li.agg(F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("n_violations")),
+        li_n,
+    )
+    enum_s = one(
+        "enum_orderstatus",
+        orders.agg(
+            F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("n_violations")
+        ),
+        ord_n,
+    )
+    out = fk_li
+    for d in (fk_ord, pk, rng_d, rng_q, enum_s):
+        out = out.unionByName(d)
+    return out
