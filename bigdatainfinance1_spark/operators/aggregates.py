@@ -601,3 +601,99 @@ def moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_MOMENTS_SQL)
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_extendedprice,
+        row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        count(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT
+      ((rn - 1) * 8) // n + 1                    AS bucket,
+      count(*)                                    AS n_rows,
+      round(min(l_extendedprice), 2)              AS lo,
+      round(max(l_extendedprice), 2)              AS hi
+    FROM ranked
+    GROUP BY ((rn - 1) * 8) // n
+    """,
+    tags=("agg", "profiling"),
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (8 buckets of equal row count) over extended
+    price — the histogram an optimizer keeps, complementing q_histogram's
+    fixed-width bins. Bucket = ((rn−1)·8) div n over a TOTAL order with
+    (orderkey, linenumber) tiebreak; the rank comes from the range-
+    bucketed distributed global row_number (functions/ranks.py), never a
+    single-partition window. Bucket bounds (lo/hi) are the depth
+    boundaries an optimizer would store."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    ranked = global_row_number(
+        li.select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        rn_col="rn",
+    )
+    bucket = F.expr(f"((rn - 1) * 8) DIV {n}")
+    return (
+        ranked.groupBy(bucket.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .select((F.col("_b") + 1).alias("bucket"), "n_rows", "lo", "hi")
+    )
+
+
+@query(
+    "q_percentile_disc",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice,
+        row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT
+      round(min(CASE WHEN rn = CAST(ceil(0.25e0 * n) AS BIGINT) THEN o_totalprice END), 2) AS p25_disc,
+      round(min(CASE WHEN rn = CAST(ceil(0.50e0 * n) AS BIGINT) THEN o_totalprice END), 2) AS p50_disc,
+      round(min(CASE WHEN rn = CAST(ceil(0.75e0 * n) AS BIGINT) THEN o_totalprice END), 2) AS p75_disc,
+      round(min(CASE WHEN rn = CAST(ceil(0.99e0 * n) AS BIGINT) THEN o_totalprice END), 2) AS p99_disc
+    FROM ranked
+    """,
+    tags=("agg", "stats"),
+)
+def percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 variant: DISCRETE percentiles — the actual data value at rank
+    ⌈p·n⌉, never an interpolated midpoint (what percentile_disc /
+    quantile_disc mean in the standard; the repo's other percentile
+    queries are the continuous kind). Both engines are given the SAME
+    rank-selection formulation over a total order, sidestepping any
+    engine-specific tie convention; ranks come from the distributed
+    global row_number."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    ranked = global_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        rn_col="rn",
+    )
+    import math
+
+    aggs = []
+    for p, name in ((0.25, "p25_disc"), (0.50, "p50_disc"), (0.75, "p75_disc"), (0.99, "p99_disc")):
+        target = math.ceil(p * n)
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("rn") == target, F.col("o_totalprice"))), 2
+            ).alias(name)
+        )
+    return ranked.agg(*aggs)
