@@ -523,3 +523,64 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pri").isNull().alias("pri_is_null"),
         )
     )
+
+
+@query(
+    "q_first_touch_attribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT p.event_id, p.user_id, p.value AS purchase_value,
+        c.ts AS c_ts, c.event_id AS c_id, c.value AS c_value,
+        row_number() OVER (
+          PARTITION BY p.event_id ORDER BY c.ts, c.event_id
+        ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.ts < p.ts
+       AND c.ts >= p.ts - INTERVAL 24 HOUR
+    )
+    SELECT event_id, user_id, purchase_value,
+      c_value AS first_click_value,
+      (epoch_us(c_ts)) // 1000000 AS first_click_epoch_s
+    FROM pairs WHERE rn = 1
+    """,
+    tags=("join", "events", "asof"),
+)
+def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, FIRST-touch: each purchase credits the
+    EARLIEST click in its trailing 24-hour window (the mirror of as-of's
+    last-touch; purchases with no click in window drop out). The range
+    pairing stays an equi-join on user_id with the time bounds as post-
+    filters (hash join, never a nested loop — asserted plan style), and
+    the earliest-click pick is a per-purchase row_number over a total
+    (ts, event_id) order. Epoch seconds via integer division keep the
+    timestamp comparison exact across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("purchase_value")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+    )
+    pairs = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOUR")),
+    )
+    w = Window.partitionBy("event_id").orderBy("c_ts", "c_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_value",
+            F.col("c_value").alias("first_click_value"),
+            F.expr("unix_micros(c_ts) DIV 1000000").alias("first_click_epoch_s"),
+        )
+    )
