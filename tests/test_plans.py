@@ -237,3 +237,33 @@ def test_merge_upsert_single_key_shuffle(spark):
     plan = plan_of(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan  # delta pre-aggregation present
+
+
+def test_galaxy_join_single_fact_shuffle(spark):
+    """7-table galaxy join: all five dimensions broadcast; the only
+    shuffling join is lineitem ⋈ orders."""
+    df = SPECS["q_galaxy_join"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 5, plan.count("BroadcastHashJoin")
+    assert "CartesianProduct" not in plan
+    # at most one shuffle-based join — the fact-fact one; at small SF AQE
+    # legally broadcasts even that side, leaving zero
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_triangle_and_skyline_have_no_cartesian(spark):
+    """The graph wedge join and the skyline sweep must stay equi-join /
+    window shaped — a cartesian here is the O(n^2) trap they exist to
+    avoid."""
+    for name in ("q_triangle_count", "q_skyline_parts", "q_fuzzy_match_names"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_geo_knn_probes_are_broadcast(spark):
+    """The 9-cell probe expansion must ride a broadcast (9-row relation),
+    and the supplier match must be an equi hash join on cell ids, not a
+    nested-loop distance join."""
+    plan = plan_of(SPECS["q_geo_grid_knn"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
