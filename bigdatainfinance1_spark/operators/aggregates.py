@@ -697,3 +697,32 @@ def percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(name)
         )
     return ranked.agg(*aggs)
+
+
+_TIME_ROLLUP_SQL = """
+    SELECT
+      CAST(year(o_orderdate) AS BIGINT)    AS yr,
+      CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      CAST(month(o_orderdate) AS BIGINT)   AS mon,
+      CAST(grouping(year(o_orderdate)) * 4 + grouping(quarter(o_orderdate)) * 2
+           + grouping(month(o_orderdate)) AS BIGINT) AS gid,
+      count(*)                             AS n_orders,
+      round(sum(o_totalprice), 2)          AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
+"""
+
+
+@query("q_time_rollup", oracle=_TIME_ROLLUP_SQL, tags=("agg", "timeseries"))
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 over the TIME hierarchy: year ⊃ quarter ⊃ month ROLLUP in one
+    pass — month rows, quarter subtotals, year subtotals, grand total,
+    disambiguated by the grouping-flag id (null months exist as real data
+    only if a month had no orders, so gid, not null-ness, labels subtotal
+    levels). Spark expands rollups into a single expand+hash-aggregate —
+    one shuffle for all four levels. One SQL text runs verbatim on Spark
+    and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TIME_ROLLUP_SQL)

@@ -642,3 +642,39 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
     )
+
+
+@query(
+    "q_dup_rate_by_source",
+    oracle="""
+    SELECT
+      source,
+      count(*)                                   AS n_docs,
+      count(DISTINCT md5(text))                  AS n_unique,
+      count(*) - count(DISTINCT md5(text))       AS n_dup_docs,
+      round((count(*) - count(DISTINCT md5(text))) * 1e0 / count(*), 6)
+        AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("dedup", "llm-pipeline"),
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance view: exact-duplication rate PER SOURCE — which
+    feeds are polluting the corpus. Texts shuffle as md5 digests, never as
+    strings (the L1 discipline); distinct-count per group gives unique
+    docs, and the rate is what a curation dashboard plots. At 100 TB this
+    is the same one-shuffle groupBy as q_exact_dedup with source as the
+    key prefix."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias("n_dup_docs"),
+        F.round(
+            (F.count(F.lit(1)) - F.count_distinct(F.md5("text")))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )

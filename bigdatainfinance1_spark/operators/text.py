@@ -555,3 +555,38 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle="""
+    SELECT
+      lang,
+      count(*) AS n_docs,
+      CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      CAST(sum(length(text)) AS BIGINT)                 AS n_chars,
+      round(sum(len(string_split(text, ' '))) * 1e0 / sum(length(text)), 6)
+        AS tokens_per_char
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens emitted per input
+    character, THE metric for judging how well a tokenizer serves each
+    language (high fertility = wasteful segmentation = more compute per
+    byte of signal). Whitespace tokens here; swap the splitter for a real
+    tokenizer via the U-family UDFs without changing the aggregation. One
+    scan, one small groupBy — counters, not materialized tokens: the
+    token arrays never leave the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.round(F.sum(n_toks) * F.lit(1.0) / F.sum(F.length("text")), 6).alias(
+            "tokens_per_char"
+        ),
+    )
