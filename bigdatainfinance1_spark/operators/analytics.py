@@ -1826,3 +1826,229 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (fk_ord, pk, rng_d, rng_q, enum_s):
         out = out.unionByName(d)
     return out
+
+
+_WMEDIAN_SQL = """
+    WITH ordered AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+        sum(CAST(l_quantity AS BIGINT)) OVER (
+          PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cumw,
+        sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS totw
+      FROM lineitem
+    )
+    SELECT
+      l_returnflag,
+      CAST(min(totw) AS BIGINT) AS total_weight,
+      round(min(CASE WHEN cumw * 2 >= totw THEN l_extendedprice END), 2)
+        AS weighted_median_price
+    FROM ordered
+    GROUP BY l_returnflag
+"""
+
+
+@query("q_weighted_median", oracle=_WMEDIAN_SQL, tags=("analytics", "stats"))
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the price at which half the total QUANTITY sits on
+    either side, per return flag — the inventory-weighted location
+    estimate. Cumulative integer weights over a per-group total order;
+    the half-total crossing test is `cumw·2 ≥ totw` in exact BIGINT
+    arithmetic, so no floating boundary exists for engines to disagree
+    on. One partitioned window + one groupBy. One SQL text runs verbatim
+    on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_WMEDIAN_SQL)
+
+
+@query(
+    "q_ks_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_id, value,
+        (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+          AS grp
+      FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+      SELECT event_id, value,
+        CASE WHEN grp = 0 THEN 1 ELSE 0 END AS ia,
+        CASE WHEN grp = 1 THEN 1 ELSE 0 END AS ib
+      FROM assigned
+    ),
+    cum AS (
+      SELECT
+        sum(CAST(ia AS BIGINT)) OVER w AS ca,
+        sum(CAST(ib AS BIGINT)) OVER w AS cb,
+        sum(CAST(ia AS BIGINT)) OVER () AS na,
+        sum(CAST(ib AS BIGINT)) OVER () AS nb
+      FROM marked
+      WINDOW w AS (ORDER BY value, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT
+      CAST(min(na) AS BIGINT) AS n_a,
+      CAST(min(nb) AS BIGINT) AS n_b,
+      round(max(abs(ca * 1e0 / na - cb * 1e0 / nb)), 6) AS ks_d
+    FROM cum
+    """,
+    tags=("analytics", "stats"),
+)
+def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the md5-assigned A/B
+    arms of purchase values: D = max |F̂_A − F̂_B| over the merged sample.
+    The ECDFs are cumulative INTEGER indicator sums over a total (value,
+    event_id) order — computed with the range-bucketed distributed running
+    sum (functions/ranks.py; the oracle uses a plain global window, which
+    DuckDB may), so the division is the only floating step and every
+    engine sees identical integers. Complements q_welch_ttest: Welch
+    compares means, KS compares whole distributions."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("long") % 2
+    )
+    marked = ev.select(
+        "event_id",
+        "value",
+        F.when(grp == 0, 1).otherwise(0).alias("ia"),
+        F.when(grp == 1, 1).otherwise(0).alias("ib"),
+    )
+    c1 = global_running_sum(marked, ["value", "event_id"], "ia", "ca")
+    c2 = global_running_sum(c1, ["value", "event_id"], "ib", "cb")
+    tot = marked.agg(
+        F.sum("ia").cast("long").alias("na"), F.sum("ib").cast("long").alias("nb")
+    )
+    return (
+        c2.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("na").cast("long").alias("n_a"),
+            F.min("nb").cast("long").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") * F.lit(1.0) / F.col("na")
+                        - F.col("cb") * F.lit(1.0) / F.col("nb")
+                    )
+                ),
+                6,
+            ).alias("ks_d"),
+        )
+    )
+
+
+_ANOVA_SQL = """
+    WITH g AS (
+      SELECT c.c_mktsegment AS seg,
+        count(*)            AS n_g,
+        sum(o.o_totalprice) AS s_g,
+        sum(o.o_totalprice * o.o_totalprice) AS ss_g
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    tot AS (
+      SELECT sum(n_g) AS n, sum(s_g) AS s, sum(ss_g) AS ss, count(*) AS k FROM g
+    )
+    SELECT
+      CAST(min(t.k) AS BIGINT) AS k_groups,
+      CAST(min(t.n) AS BIGINT) AS n_obs,
+      round((sum(g.s_g * g.s_g / g.n_g) - min(t.s * t.s / t.n)) / 1e6, 2) AS ss_between_m,
+      round((min(t.ss) - sum(g.s_g * g.s_g / g.n_g)) / 1e6, 2)            AS ss_within_m,
+      round(
+        ((sum(g.s_g * g.s_g / g.n_g) - min(t.s * t.s / t.n)) / (min(t.k) - 1))
+        / ((min(t.ss) - sum(g.s_g * g.s_g / g.n_g)) / (min(t.n) - min(t.k))),
+        6) AS f_stat
+    FROM g CROSS JOIN tot t
+"""
+
+
+@query("q_anova_f", oracle=_ANOVA_SQL, tags=("analytics", "stats"))
+def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across market segments?
+    F = (SS_between/(k−1)) / (SS_within/(N−k)), assembled entirely from
+    per-group power sums (n, Σx, Σx²) — one grouped aggregate over the
+    fact join, one 5-row reduce; the textbook identity SS_w = Σx² −
+    Σ(S_g²/n_g) avoids a second data pass. The SS terms cancel ~4 orders
+    of magnitude off Σx² ≈ 1e18, leaving ~1e3 of float noise — they are
+    reported in millions (round 2) where that noise vanishes, and the
+    F ratio divides it out entirely. Completes the inference
+    toolkit alongside q_welch_ttest (2 groups), q_chi2_independence
+    (categorical), q_ks_test (distributional). One SQL text runs verbatim
+    on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ANOVA_SQL)
+
+
+@query(
+    "q_assoc_rules",
+    oracle="""
+    WITH part_orders AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey) AS n_ord
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pair_orders AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             count(DISTINCT a.l_orderkey) AS n_ab
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 3
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem)
+    SELECT pa, pb, n_ab,
+      round(n_ab * 1e0 / oa.n_ord, 6)                        AS confidence_ab,
+      round(n_ab * 1e0 * t.n / (oa.n_ord * ob.n_ord), 6)     AS lift
+    FROM pair_orders
+    JOIN part_orders oa ON pa = oa.l_partkey
+    JOIN part_orders ob ON pb = ob.l_partkey
+    CROSS JOIN tot t
+    ORDER BY lift DESC, pa, pb
+    LIMIT 10
+    """,
+    tags=("analytics",),
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over market baskets: top-10 part pairs by LIFT
+    (support ≥ 3 orders), with the a→b confidence. Order-bounded pair
+    fan-out (≤ 21 pairs per order) keeps the candidate relation linear in
+    orders; the part-support relation is vocabulary-sized and broadcast
+    back twice. Ordering is on the ROUNDED lift with a full (pa, pb)
+    tiebreak so the top-10 cut is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part_orders = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_orderkey").alias("n_ord")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count_distinct("l_orderkey").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n"))
+    oa = part_orders.select(F.col("l_partkey").alias("pa"), F.col("n_ord").alias("n_a"))
+    ob = part_orders.select(F.col("l_partkey").alias("pb"), F.col("n_ord").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(oa), "pa")
+        .join(F.broadcast(ob), "pb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            F.round(F.col("n_ab") * F.lit(1.0) / F.col("n_a"), 6).alias("confidence_ab"),
+            F.round(
+                F.col("n_ab") * F.lit(1.0) * F.col("n") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(10)
+    )
