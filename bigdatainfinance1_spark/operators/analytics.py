@@ -2052,3 +2052,217 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(10)
     )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    mu AS (SELECT avg(rev) AS mu FROM daily),
+    cusum AS (
+      SELECT day,
+        round(sum(rev - mu) OVER (
+          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), 2) AS s
+      FROM daily CROSS JOIN mu
+    ),
+    peak AS (SELECT max(abs(s)) AS smax, count(*) AS n_days FROM cusum)
+    SELECT
+      min(c.day)        AS changepoint_day,
+      round(min(p.smax), 2) AS max_cusum,
+      CAST(min(p.n_days) AS BIGINT) AS n_days
+    FROM cusum c CROSS JOIN peak p
+    WHERE abs(c.s) = p.smax
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection via CUSUM: the day where the cumulative sum of
+    mean-deviations of daily revenue peaks in magnitude — the classic
+    single-changepoint estimator (argmax |S_t|). The cumulative sum runs
+    through the distributed range-bucketed prefix machinery
+    (functions/ranks.py; the oracle's plain global window is DuckDB's
+    prerogative) and is ROUNDED to cents before the argmax, so the
+    engines' different summation trees cannot flip the peak choice; ties
+    resolve to the earliest day on both engines."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    mu = daily.agg(F.avg("rev").alias("mu"))
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("rev") - F.col("mu")).alias("dev")
+    )
+    cs = global_running_sum(dev, ["day"], "dev", "_s").select(
+        "day", F.round("_s", 2).alias("s")
+    )
+    peak = cs.agg(F.max(F.abs(F.col("s"))).alias("smax"), F.count(F.lit(1)).alias("n_days"))
+    return (
+        cs.crossJoin(F.broadcast(peak))
+        .filter(F.abs(F.col("s")) == F.col("smax"))
+        .agg(
+            F.min("day").alias("changepoint_day"),
+            F.round(F.min("smax"), 2).alias("max_cusum"),
+            F.min("n_days").cast("long").alias("n_days"),
+        )
+    )
+
+
+@query(
+    "q_clustering_coefficient",
+    oracle="""
+    WITH und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM und e1 JOIN und e2 ON e1.v = e2.u
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                     AS n_nodes,
+      CAST(sum(d) / 2 AS BIGINT)                   AS n_edges,
+      CAST(sum(d * (d - 1) / 2) AS BIGINT)         AS n_wedges,
+      CAST(min(t.n_tri) AS BIGINT)                 AS n_triangles,
+      round(3e0 * min(t.n_tri) / sum(d * (d - 1) / 2), 6) AS global_cc
+    FROM deg CROSS JOIN tri t
+    """,
+    tags=("analytics", "graph"),
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph transitivity: the global clustering coefficient 3·triangles /
+    wedges of the sparsified co-purchase graph — what fraction of open
+    wedges close. Degrees come from one groupBy over both edge endpoints
+    (integer arithmetic throughout — d(d−1)/2 is exact), triangles from
+    the same oriented wedge join as q_triangle_count; one scalar ratio at
+    the end. Counts are exact BIGINTs on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .cache()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = und.select(F.col("u").alias("t_u"), F.col("v").alias("t_v"))
+    e2 = und.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    tri = (
+        e1.join(e2, F.col("t_v") == F.col("w_u"))
+        .join(und, (F.col("u") == F.col("t_u")) & (F.col("v") == F.col("w_v")))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.crossJoin(F.broadcast(tri))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.sum("d") / 2).cast("long").alias("n_edges"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+            F.min("n_tri").cast("long").alias("n_triangles"),
+            F.round(
+                F.lit(3.0) * F.min("n_tri") / F.sum(F.col("d") * (F.col("d") - 1) / 2), 6
+            ).alias("global_cc"),
+        )
+    )
+
+
+_BM25_TERMS = ("spark", "join", "fast")
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
+    ),
+    avgdl AS (SELECT avg(doclen) AS avgdl FROM dl),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+        sum(
+          ln((n.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1e0)
+          * tf.tf * 2.2e0
+          / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.doclen / a.avgdl))
+        ) AS score
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN avgdl a CROSS JOIN n_docs n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval scoring: BM25 top-10 documents for the query
+    {spark, join, fast} — k1=1.2, b=0.75, the Robertson idf with +1
+    floor (Lucene's formulation). The token stream is filtered to the
+    query terms BEFORE any aggregation (vocabulary-sized tf/df relations,
+    both broadcastable); doc lengths and the corpus constants ride in as
+    broadcast one-row relations. Ordering is on the rounded score with a
+    doc_id tiebreak so the cut is engine-stable. This is the retrieval
+    complement to q_tfidf_top (keyword extraction) and q_cosine_topk
+    (dense retrieval)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    consts = dl.agg(F.avg("doclen").alias("avgdl")).crossJoin(
+        docs.agg(F.count(F.lit(1)).alias("n"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
