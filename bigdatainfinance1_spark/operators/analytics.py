@@ -2266,3 +2266,43 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "q_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS cell_n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT
+      count(*)                                        AS n_cells,
+      CAST(min(cell_n) AS BIGINT)                     AS min_cell,
+      count(CASE WHEN cell_n < 5 THEN 1 END)          AS cells_below_k5,
+      CAST(sum(CASE WHEN cell_n < 5 THEN cell_n ELSE 0 END) AS BIGINT)
+                                                      AS rows_at_risk,
+      round(sum(CASE WHEN cell_n < 5 THEN cell_n ELSE 0 END) * 1e0
+            / sum(cell_n), 6)                         AS risk_share
+    FROM cells
+    """,
+    tags=("analytics", "quality"),
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy screen: k-anonymity over the quasi-identifier pair
+    (market segment × nation) — how many equivalence classes fall below
+    k=5, and what share of rows they expose. The release-gate check a
+    data-governance pipeline runs before publishing micro-data; one
+    groupBy for the cells, one reduce for the report. At 100 TB the cell
+    relation is |QI-domain|-sized — tiny — regardless of row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cell_n")
+    )
+    below = F.when(F.col("cell_n") < 5, F.col("cell_n")).otherwise(0)
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("cell_n").cast("long").alias("min_cell"),
+        F.count(F.when(F.col("cell_n") < 5, 1)).alias("cells_below_k5"),
+        F.sum(below).cast("long").alias("rows_at_risk"),
+        F.round(F.sum(below) * F.lit(1.0) / F.sum("cell_n"), 6).alias("risk_share"),
+    )
