@@ -2306,3 +2306,59 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(below).cast("long").alias("rows_at_risk"),
         F.round(F.sum(below) * F.lit(1.0) / F.sum("cell_n"), 6).alias("risk_share"),
     )
+
+
+@query(
+    "q_business_day_lag",
+    oracle="""
+    WITH lag AS (
+      SELECT
+        o.o_orderpriority,
+        (5 * CAST(floor(datediff('day', DATE '1970-01-05', l.l_shipdate) / 7e0) AS BIGINT)
+           + least(datediff('day', DATE '1970-01-05', l.l_shipdate) % 7, 5))
+        -
+        (5 * CAST(floor(datediff('day', DATE '1970-01-05', o.o_orderdate) / 7e0) AS BIGINT)
+           + least(datediff('day', DATE '1970-01-05', o.o_orderdate) % 7, 5))
+          AS bdays
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT
+      o_orderpriority,
+      count(*) AS n_lines,
+      round(avg(bdays), 4) AS avg_bdays,
+      round(quantile_cont(bdays, 0.5), 4) AS median_bdays,
+      CAST(max(bdays) AS BIGINT) AS max_bdays
+    FROM lag GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Settlement-style lag: order→ship time in BUSINESS DAYS (weekends
+    excluded), per priority. Weekday counting is the closed-form prefix
+    function f(d) = 5·⌊n/7⌋ + min(n mod 7, 5) with n = days since a
+    Monday epoch (1970-01-05) — pure integer arithmetic on both engines,
+    no calendar table, no per-day iteration (the f(ship) − f(order)
+    difference counts weekdays in the interval exactly). Integer lags
+    make the median interpolation engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    anchor = F.lit("1970-01-05").cast("date")
+
+    def weekday_prefix(col):
+        n = F.datediff(col, anchor)
+        return 5 * F.floor(n / F.lit(7.0)).cast("long") + F.least(n % 7, F.lit(5))
+
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        (weekday_prefix(F.col("l_shipdate")) - weekday_prefix(F.col("o_orderdate"))).alias(
+            "bdays"
+        ),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("bdays"), 4).alias("avg_bdays"),
+        F.round(F.expr("percentile(bdays, 0.5)"), 4).alias("median_bdays"),
+        F.max("bdays").cast("long").alias("max_bdays"),
+    )

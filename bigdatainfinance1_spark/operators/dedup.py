@@ -678,3 +678,54 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "q_containment_neardup",
+    oracle=f"""
+    WITH ds AS ({{shingles}}),
+    sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      i.doc_id_1,
+      i.doc_id_2,
+      round(i.n_common * 1.0 / least(x.n, y.n), 4) AS containment
+    FROM inter i
+    JOIN sz x ON i.doc_id_1 = x.doc_id
+    JOIN sz y ON i.doc_id_2 = y.doc_id
+    WHERE i.n_common * 1.0 / least(x.n, y.n) >= 0.5
+    """.format(shingles=_SHINGLES_SQL),
+    tags=("dedup", "llm"),
+)
+def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 asymmetric tier: CONTAINMENT near-dup — |A∩B| / min(|A|,|B|) ≥
+    0.5 over 3-word shingles. Jaccard misses the quote/subset case (a
+    short doc fully embedded in a long one scores low union-wise but 1.0
+    containment-wise); this is the detector for that, sharing the exact
+    same linear shingle-equi-join candidate machinery as
+    q_jaccard_neardup (hashes through shuffles, strings never move). The
+    threshold compare uses the identical integer-division expression on
+    both engines — no floating boundary."""
+    ds = _doc_shingle_hashes(spark, sf_dir)
+    sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col("doc_id").alias("doc_id_1"), "h")
+    b = ds.select(F.col("doc_id").alias("doc_id_2"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sx = sz.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
+    sy = sz.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
+    cont = F.col("n_common") * F.lit(1.0) / F.least(F.col("n1"), F.col("n2"))
+    return (
+        inter.join(F.broadcast(sx), "doc_id_1")
+        .join(F.broadcast(sy), "doc_id_2")
+        .filter(cont >= 0.5)
+        .select("doc_id_1", "doc_id_2", F.round(cont, 4).alias("containment"))
+    )

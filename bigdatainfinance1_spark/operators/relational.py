@@ -298,3 +298,42 @@ def subquery_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ABOVE_BRAND_AVG_SQL)
+
+
+@query(
+    "q_set_ops_all",
+    oracle="""
+    WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+    b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT
+      (SELECT count(*) FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b))
+        AS n_intersect_all,
+      (SELECT count(*) FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b))
+        AS n_except_all,
+      (SELECT count(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b))
+        AS n_intersect_distinct,
+      (SELECT count(*) FROM a) AS n_a,
+      (SELECT count(*) FROM b) AS n_b
+    """,
+    tags=("setop",),
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 bag semantics: INTERSECT ALL / EXCEPT ALL on the 1995-vs-1996
+    customer order multisets — each customer keeps min(m₁,m₂) /
+    max(m₁−m₂,0) copies, the multiplicity algebra DISTINCT set ops erase
+    (and the reason bag ops need a count-based shuffle, not a dedup).
+    Spark's intersectAll/exceptAll lower to the same count-min plan both
+    engines use; the distinct variant rides along for contrast."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return (
+        a.intersectAll(b)
+        .agg(F.count(F.lit(1)).alias("n_intersect_all"))
+        .crossJoin(a.exceptAll(b).agg(F.count(F.lit(1)).alias("n_except_all")))
+        .crossJoin(
+            a.intersect(b).agg(F.count(F.lit(1)).alias("n_intersect_distinct"))
+        )
+        .crossJoin(a.agg(F.count(F.lit(1)).alias("n_a")))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+    )
