@@ -729,3 +729,83 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.5)
         .select("doc_id_1", "doc_id_2", F.round(cont, 4).alias("containment"))
     )
+
+
+@query(
+    "q_lsh_recall_audit",
+    oracle=f"""
+    WITH ds AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minh
+      FROM ds CROSS JOIN (SELECT unnest(range(0, {N_PERM})) AS seed) seeds
+      GROUP BY doc_id, seed
+    ),
+    band_sig AS (
+      SELECT doc_id, seed // {N_PERM // N_BANDS} AS band,
+             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+      FROM band_sig a
+      JOIN band_sig b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT i.doc_id_1, i.doc_id_2
+      FROM inter i
+      JOIN sz x ON i.doc_id_1 = x.doc_id
+      JOIN sz y ON i.doc_id_2 = y.doc_id
+      WHERE i.n_common * 1.0 / (x.n + y.n - i.n_common) >= 0.7
+    ),
+    hit AS (
+      SELECT e.doc_id_1 FROM exact e
+      JOIN cand c ON e.doc_id_1 = c.doc_id_1 AND e.doc_id_2 = c.doc_id_2
+    )
+    SELECT
+      (SELECT count(*) FROM exact) AS n_true_pairs,
+      (SELECT count(*) FROM cand)  AS n_candidates,
+      (SELECT count(*) FROM hit)   AS n_hits,
+      round((SELECT count(*) FROM hit) * 1e0
+            / nullif((SELECT count(*) FROM exact), 0), 6) AS recall,
+      round((SELECT count(*) FROM hit) * 1e0
+            / nullif((SELECT count(*) FROM cand), 0), 6)  AS precision
+    """,
+    tags=("dedup", "llm", "approx"),
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch QA: measure the MinHash-LSH candidate generator against
+    ground truth — recall (what fraction of true J ≥ 0.7 pairs the bands
+    surface) and pre-verification precision (what fraction of candidates
+    are true). This is the audit you run before trusting an approximate
+    dedup tier at 100 TB, here as a first-class oracle-checked query:
+    both the sketch path and the exact path are cheap at audit scale
+    (run on a SAMPLE in production — same plan, sampled input). Reuses
+    the production candidate generator and exact verifier verbatim, so
+    the audit measures the real pipeline, not a reimplementation."""
+    ds_h = _doc_shingle_hashes(spark, sf_dir)
+    exact = _verify_jaccard_pairs(ds_h, threshold=0.7).select("doc_id_1", "doc_id_2")
+    cand = _lsh_candidate_pairs(spark, sf_dir)
+    hits = exact.join(cand, ["doc_id_1", "doc_id_2"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hits",
+            F.round(
+                F.col("n_hits") * F.lit(1.0) / F.nullif(F.col("n_true_pairs"), F.lit(0)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits") * F.lit(1.0) / F.nullif(F.col("n_candidates"), F.lit(0)), 6
+            ).alias("precision"),
+        )
+    )
