@@ -2362,3 +2362,38 @@ def business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(bdays, 0.5)"), 4).alias("median_bdays"),
         F.max("bdays").cast("long").alias("max_bdays"),
     )
+
+
+_SHARE_SQL = """
+    WITH nat AS (
+      SELECT r.r_name, n.n_name, round(sum(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT
+      r_name, n_name, rev,
+      round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share_of_region,
+      round(rev / sum(rev) OVER (), 6)                    AS share_of_total
+    FROM nat
+"""
+
+
+@query("q_share_of_total", oracle=_SHARE_SQL, tags=("analytics", "finance"))
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each nation's revenue share of its region and
+    of the world — the windowed percent-of-total every BI layer computes.
+    The windows run over the 25-row aggregate, not the fact table (the
+    aggregate-then-window order matters at scale: windowing facts first
+    would shuffle everything twice); shares divide identical per-day-
+    rounded sums, so round-6 is ulp-safe. One SQL text runs verbatim on
+    Spark and DuckDB; the global-share window runs over the bounded
+    25-row aggregate (the repo's no-unpartitioned-window rule targets
+    fact-sized DataFrame Window specs — SQL windows over catalog-bounded
+    aggregates are the sanctioned exception, cf. q_ohlc_bars)."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARE_SQL)
