@@ -4,6 +4,7 @@ central registry (bigdatainfinance1_spark.registry.QUERIES)."""
 from bigdatainfinance1_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    analytics2,
     dedup,
     io_etl,
     iterative,

@@ -1,0 +1,454 @@
+"""Round-2 continuation: robust statistics and finance composites beyond
+SURVEY.md §2 — Theil-Sen robust trend, Kendall rank correlation,
+Herfindahl-Hirschman market concentration, a month-over-month revenue
+bridge (new/expansion/contraction/churn waterfall), RSI technical
+indicator, and a two-proportion z-test for conversion A/B comparisons.
+
+Every query carries a full DuckDB value-hash oracle. House rules applied
+throughout: money is summed as exact integer cents (BIGINT) and divided
+once at the end (large-group double sums flip on half-cent boundaries
+between engines — see q_galaxy_join, round-2 finding); day/month indexes
+are integer arithmetic so both engines bucket identically; every window
+spec starts with partitionBy (repo rule, asserted in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+# Shared spine for the pairwise-trend queries: daily revenue per month,
+# in exact integer cents, day index = days since 1970-01-01 (both engines).
+_DAILY_SQL = """
+    SELECT
+      CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate)     AS m,
+      datediff('day', DATE '1970-01-01', o_orderdate)                 AS d,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)  AS cents
+    FROM orders
+    GROUP BY m, d
+"""
+
+
+def _daily_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+
+@query(
+    "q_theil_sen",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    slopes AS (
+      SELECT a.m AS m,
+             (b.cents - a.cents) / 100e0 / (b.d - a.d) AS slope
+      FROM daily a JOIN daily b ON a.m = b.m AND a.d < b.d
+    )
+    SELECT
+      m,
+      CAST(count(*) AS BIGINT)                    AS n_pairs,
+      round(quantile_cont(slope, 0.5), 6)         AS ts_slope
+    FROM slopes
+    GROUP BY m
+    """,
+    tags=("analytics", "stats", "finance"),
+)
+def theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per month: the median of all
+    pairwise slopes of the daily-revenue series — the standard
+    outlier-resistant alternative to OLS (q_regr_beta is the OLS twin).
+    Slopes are computed from exact integer inputs (cents BIGINT, day INT)
+    with an identical division order on both engines, so every slope is
+    bit-identical; the median interpolates between two such doubles and is
+    rounded to 6 dp. Scale shape: the pairwise self-join is keyed on the
+    month, whose group is bounded (≤31 days → ≤465 pairs) regardless of
+    row count — linear in months, the classic bounded-group trick; one
+    percentile aggregation per month ends the plan."""
+    daily = _daily_by_month(spark, sf_dir)
+    a = daily.select(F.col("m"), F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("m"), F.col("d").alias("db"), F.col("cents").alias("cb"))
+    slopes = (
+        a.join(b, "m")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "m",
+            ((F.col("cb") - F.col("ca")) / F.lit(100.0) / (F.col("db") - F.col("da"))).alias(
+                "slope"
+            ),
+        )
+    )
+    return slopes.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope"),
+    )
+
+
+@query(
+    "q_kendall_tau",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    pairs AS (
+      SELECT a.m AS m,
+             CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END AS conc,
+             CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END AS disc
+      FROM daily a JOIN daily b ON a.m = b.m AND a.d < b.d
+    )
+    SELECT
+      m,
+      CAST(sum(conc) AS BIGINT)  AS n_conc,
+      CAST(sum(disc) AS BIGINT)  AS n_disc,
+      round((sum(conc) - sum(disc)) * 1e0 / count(*), 6) AS tau
+    FROM pairs
+    GROUP BY m
+    """,
+    tags=("analytics", "stats"),
+)
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a rank correlation between day-of-series and daily
+    revenue, per month — the rank-based monotonic-trend test that
+    complements q_spearman_corr (which ranks both variables) and
+    q_theil_sen (which estimates the magnitude). Concordant/discordant
+    counts are exact integers over the same bounded month-keyed pair join
+    as q_theil_sen (≤465 pairs per group); revenue ties contribute zero to
+    both counts but stay in the tau-a denominator n(n-1)/2 = count(*) of
+    the a<b pair relation. One integer division at the end, rounded 6 dp."""
+    daily = _daily_by_month(spark, sf_dir)
+    a = daily.select(F.col("m"), F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("m"), F.col("d").alias("db"), F.col("cents").alias("cb"))
+    pairs = (
+        a.join(b, "m")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "m",
+            F.when(F.col("cb") > F.col("ca"), 1).otherwise(0).alias("conc"),
+            F.when(F.col("cb") < F.col("ca"), 1).otherwise(0).alias("disc"),
+        )
+    )
+    return pairs.groupBy("m").agg(
+        F.sum("conc").cast("long").alias("n_conc"),
+        F.sum("disc").cast("long").alias("n_disc"),
+        F.round(
+            (F.sum("conc") - F.sum("disc")) * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("tau"),
+    )
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH cust_rev AS (
+      SELECT c.c_nationkey,
+             o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    tot AS (
+      SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS tot_cents
+      FROM cust_rev GROUP BY c_nationkey
+    )
+    SELECT
+      n.n_name                                             AS n_name,
+      CAST(count(*) AS BIGINT)                             AS n_custs,
+      round(max(r.cents * 1e0 / t.tot_cents), 6)           AS top_share,
+      round(sum((r.cents * 1e0 / t.tot_cents)
+              * (r.cents * 1e0 / t.tot_cents)), 6)         AS hhi
+    FROM cust_rev r
+    JOIN tot t ON r.c_nationkey = t.c_nationkey
+    JOIN nation n ON r.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("analytics", "finance"),
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per nation: the
+    sum of squared customer revenue shares (1/n = perfectly fragmented,
+    1.0 = monopoly) plus the single largest share — the antitrust/market-
+    structure screen. Shares are ratios of exact integer cents, so both
+    engines square identical doubles; the sum over a nation's customers is
+    order-sensitive at the ulp level and rounded to 6 dp per convention.
+    Scale: two keyed aggregations (customer-grain then nation-grain); the
+    nation-total relation is |nations|-sized and broadcast back; the
+    25-row nation dim is broadcast for the name join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    tot = cust_rev.groupBy("c_nationkey").agg(F.sum("cents").cast("long").alias("tot_cents"))
+    share = F.col("cents") * F.lit(1.0) / F.col("tot_cents")
+    return (
+        cust_rev.join(F.broadcast(tot), "c_nationkey")
+        .join(F.broadcast(nation), cust_rev.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.round(F.max(share), 6).alias("top_share"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "q_revenue_bridge",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey, m
+    ),
+    bridge AS (
+      SELECT
+        coalesce(cur.m, prev.m + 1) AS m,
+        CASE WHEN prev.o_custkey IS NULL THEN cur.cents ELSE 0 END AS new_c,
+        CASE WHEN cur.o_custkey IS NULL THEN -prev.cents ELSE 0 END AS churn_c,
+        CASE WHEN cur.o_custkey IS NOT NULL AND prev.o_custkey IS NOT NULL
+              AND cur.cents > prev.cents THEN cur.cents - prev.cents ELSE 0 END AS expand_c,
+        CASE WHEN cur.o_custkey IS NOT NULL AND prev.o_custkey IS NOT NULL
+              AND cur.cents < prev.cents THEN cur.cents - prev.cents ELSE 0 END AS contract_c
+      FROM cm cur
+      FULL JOIN cm prev
+        ON cur.o_custkey = prev.o_custkey AND cur.m = prev.m + 1
+    )
+    SELECT
+      m,
+      round(sum(new_c) / 100e0, 2)      AS new_rev,
+      round(sum(expand_c) / 100e0, 2)   AS expansion,
+      round(sum(contract_c) / 100e0, 2) AS contraction,
+      round(sum(churn_c) / 100e0, 2)    AS churned,
+      round(sum(new_c + expand_c + contract_c + churn_c) / 100e0, 2) AS net_change
+    FROM bridge
+    GROUP BY m
+    """,
+    tags=("analytics", "finance"),
+)
+def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge (SaaS-style waterfall): each
+    month's revenue change decomposed into new, expansion, contraction,
+    and churned customer revenue — the FP&A decomposition behind every
+    'why did revenue move' review. A customer-month revenue relation is
+    full-outer-joined with itself shifted one month (cur.m = prev.m + 1);
+    customers present only on the cur side are new, only on the prev side
+    churned (attributed to the month AFTER their last activity — including
+    one trailing month past the data's end, where everyone churns by
+    construction). All classification and summation is exact integer
+    cents; the single divide-by-100 happens at the end, so round(x, 2) is
+    exact on both engines. Scale: one shuffle to customer-month grain,
+    then a self-join keyed (custkey, month) — both sides share the
+    partitioning, AQE reuses it; no windows, no driver state."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).cast("long")
+    cm = orders.groupBy(
+        "o_custkey", m.alias("m")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    cur = cm.select(
+        F.col("o_custkey").alias("cur_key"), F.col("m").alias("cur_m"), F.col("cents").alias("cur_c")
+    )
+    prev = cm.select(
+        F.col("o_custkey").alias("prev_key"),
+        F.col("m").alias("prev_m"),
+        F.col("cents").alias("prev_c"),
+    )
+    br = cur.join(
+        prev,
+        (F.col("cur_key") == F.col("prev_key")) & (F.col("cur_m") == F.col("prev_m") + 1),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("cur_m"), F.col("prev_m") + 1).alias("m"),
+        F.when(F.col("prev_key").isNull(), F.col("cur_c")).otherwise(0).alias("new_c"),
+        F.when(F.col("cur_key").isNull(), -F.col("prev_c")).otherwise(0).alias("churn_c"),
+        F.when(
+            F.col("cur_key").isNotNull()
+            & F.col("prev_key").isNotNull()
+            & (F.col("cur_c") > F.col("prev_c")),
+            F.col("cur_c") - F.col("prev_c"),
+        )
+        .otherwise(0)
+        .alias("expand_c"),
+        F.when(
+            F.col("cur_key").isNotNull()
+            & F.col("prev_key").isNotNull()
+            & (F.col("cur_c") < F.col("prev_c")),
+            F.col("cur_c") - F.col("prev_c"),
+        )
+        .otherwise(0)
+        .alias("contract_c"),
+    )
+    return br.groupBy("m").agg(
+        F.round(F.sum("new_c") / 100.0, 2).alias("new_rev"),
+        F.round(F.sum("expand_c") / 100.0, 2).alias("expansion"),
+        F.round(F.sum("contract_c") / 100.0, 2).alias("contraction"),
+        F.round(F.sum("churn_c") / 100.0, 2).alias("churned"),
+        F.round(
+            F.sum(F.col("new_c") + F.col("expand_c") + F.col("contract_c") + F.col("churn_c"))
+            / 100.0,
+            2,
+        ).alias("net_change"),
+    )
+
+
+@query(
+    "q_rsi_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_returnflag, d
+    ),
+    deltas AS (
+      SELECT l_returnflag, d,
+             cents - lag(cents) OVER w AS delta,
+             row_number() OVER w AS rn
+      FROM daily
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY d)
+    ),
+    gl AS (
+      SELECT l_returnflag, d, rn,
+             avg(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER w14 AS avg_gain,
+             avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w14 AS avg_loss
+      FROM deltas
+      WINDOW w14 AS (PARTITION BY l_returnflag ORDER BY d
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_returnflag, d,
+           round(CASE WHEN avg_gain + avg_loss = 0 THEN 50e0
+                      ELSE 100e0 * avg_gain / (avg_gain + avg_loss) END, 4) AS rsi
+    FROM gl WHERE rn >= 15
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def rsi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14) technical indicator (Cutler's SMA variant) over the daily
+    revenue series of each return-flag 'instrument' — completes the
+    technical-analysis set next to q_bollinger_bands and q_ewma_orders.
+    Daily revenue is exact integer cents, so deltas and the 14-row
+    gain/loss averages are exact rationals both engines compute
+    identically (sum of ints / 14); RSI = 100·AG/(AG+AL) — algebraically
+    100 − 100/(1+RS) — is one double division, rounded 4 dp, with the
+    flat-window (AG+AL=0) case pinned to 50. Rows-based frames over the
+    day-keyed series are deterministic (one row per day by construction).
+    Scale: windows are partitioned per instrument — no global window; at
+    100 TB the instrument key fans out and each series stays a bounded
+    partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    w14 = w.rowsBetween(-13, 0)
+    deltas = daily.select(
+        "l_returnflag",
+        "d",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta"),
+        F.row_number().over(w).alias("rn"),
+    )
+    gl = deltas.select(
+        "l_returnflag",
+        "d",
+        "rn",
+        F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)).over(w14).alias("avg_gain"),
+        F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)).over(w14).alias("avg_loss"),
+    )
+    return gl.filter(F.col("rn") >= 15).select(
+        "l_returnflag",
+        "d",
+        F.round(
+            F.when(F.col("avg_gain") + F.col("avg_loss") == 0, F.lit(50.0)).otherwise(
+                F.lit(100.0) * F.col("avg_gain") / (F.col("avg_gain") + F.col("avg_loss"))
+            ),
+            4,
+        ).alias("rsi"),
+    )
+
+
+@query(
+    "q_two_proportion_ztest",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CAST(ts AS DATE) AS day,
+             user_id % 2 AS cohort,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id, day, cohort
+    ),
+    g AS (
+      SELECT
+        CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS BIGINT) AS x_a,
+        CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS BIGINT) AS x_b
+      FROM users
+    )
+    SELECT
+      n_a, x_a, n_b, x_b,
+      round(x_a * 1e0 / n_a, 6) AS p_a,
+      round(x_b * 1e0 / n_b, 6) AS p_b,
+      round(
+        (x_a * 1e0 / n_a - x_b * 1e0 / n_b)
+        / sqrt(((x_a + x_b) * 1e0 / (n_a + n_b))
+               * (1e0 - (x_a + x_b) * 1e0 / (n_a + n_b))
+               * (1e0 / n_a + 1e0 / n_b)), 4) AS z
+    FROM g
+    """,
+    tags=("analytics", "stats", "events"),
+)
+def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between user cohorts
+    (split by user_id parity — the deterministic stand-in for an A/B
+    assignment): pooled-variance z statistic, the experiment-readout
+    companion to q_welch_ttest (means) and q_chi2_independence (full
+    contingency). The unit of analysis is the active USER-DAY (did this
+    user purchase on this day) — per-user lifetime conversion is
+    degenerate on this corpus (every user eventually purchases → pooled
+    variance 0 → ANSI DIVIDE_BY_ZERO; hit in round 2 and pinned here).
+    Everything up to the final expression is exact integer counts, so both
+    engines evaluate identical doubles; sqrt is correctly rounded IEEE on
+    both. Scale: one user-day-grain aggregation, one 4-counter reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day"), (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"))
+    g = users.agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    p_a = F.col("x_a") * F.lit(1.0) / F.col("n_a")
+    p_b = F.col("x_b") * F.lit(1.0) / F.col("n_b")
+    pool = (F.col("x_a") + F.col("x_b")) * F.lit(1.0) / (F.col("n_a") + F.col("n_b"))
+    return g.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(
+            (p_a - p_b)
+            / F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))),
+            4,
+        ).alias("z"),
+    )
