@@ -13,6 +13,7 @@ from bigdatainfinance1_spark.operators import (  # noqa: F401
     pipeline,
     pricing,
     relational,
+    retrieval,
     scalars,
     scale_patterns,
     similarity,

@@ -452,3 +452,261 @@ def two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z"),
     )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle="""
+    WITH ranked AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             o.o_orderdate,
+             row_number() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    maxd AS (SELECT max(o_orderdate) AS maxdate FROM orders),
+    durations AS (
+      SELECT f.seg,
+             CASE WHEN s.o_custkey IS NOT NULL
+                  THEN datediff('day', f.o_orderdate, s.o_orderdate)
+                  ELSE datediff('day', f.o_orderdate, m.maxdate) END AS t,
+             CASE WHEN s.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM ranked f
+      LEFT JOIN ranked s ON f.o_custkey = s.o_custkey AND s.rn = 2
+      CROSS JOIN maxd m
+      WHERE f.rn = 1
+    ),
+    grid AS (
+      SELECT seg, t,
+             CAST(sum(ev) AS BIGINT) AS d_events,
+             count(*) AS at_t
+      FROM durations GROUP BY seg, t
+    ),
+    risk AS (
+      SELECT seg, t, d_events,
+             CAST(sum(at_t) OVER (PARTITION BY seg ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM grid
+    ),
+    km AS (
+      SELECT seg, t, d_events, n_risk,
+             exp(sum(ln(1e0 - d_events * 1e0 / n_risk)) OVER (
+               PARTITION BY seg ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+      FROM risk
+      WHERE d_events > 0 AND d_events < n_risk
+    )
+    SELECT seg, CAST(t AS BIGINT) AS t, d_events, n_risk,
+           round(s, 6) AS survival
+    FROM km
+    """,
+    tags=("analytics", "stats", "finance"),
+)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve per market segment for 'days until the
+    second order' — the churn/repeat-purchase analysis with censoring done
+    right: single-order customers are censored at the end of the
+    observation window instead of dropped. S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+    is computed as exp of a cumulative ln-sum (both engines' log/exp are
+    ≤1-ulp; the 6-dp round absorbs the accumulated difference). At-risk
+    counts come from a DESCENDING cumulative sum over the per-segment
+    event-time grid — linear, never a durations×times join. Rows where
+    d = n (survival would hit exactly 0 and ln(0) = −inf) are excluded
+    identically on both engines before the cumulative product. Scale: the
+    customer-grain pass uses a per-customer window (rn ≤ 2); the KM pass
+    runs on the per-segment time grid, whose size is bounded by distinct
+    durations in days — windows are all partitioned by segment."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            "o_custkey",
+            "o_orderdate",
+            F.row_number().over(wc).alias("rn"),
+        )
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("maxdate"))
+    f = ranked.filter(F.col("rn") == 1).select("seg", "o_custkey", F.col("o_orderdate").alias("fd"))
+    s = ranked.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("s_custkey"), F.col("o_orderdate").alias("sd")
+    )
+    durations = (
+        f.join(s, f.o_custkey == s.s_custkey, "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "seg",
+            F.when(
+                F.col("s_custkey").isNotNull(), F.datediff(F.col("sd"), F.col("fd"))
+            )
+            .otherwise(F.datediff(F.col("maxdate"), F.col("fd")))
+            .alias("t"),
+            F.when(F.col("s_custkey").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    grid = durations.groupBy("seg", "t").agg(
+        F.sum("ev").cast("long").alias("d_events"), F.count(F.lit(1)).alias("at_t")
+    )
+    w_desc = (
+        Window.partitionBy("seg").orderBy(F.col("t").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    risk = grid.select(
+        "seg", "t", "d_events", F.sum("at_t").over(w_desc).cast("long").alias("n_risk")
+    )
+    w_asc = Window.partitionBy("seg").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        risk.filter((F.col("d_events") > 0) & (F.col("d_events") < F.col("n_risk")))
+        .withColumn(
+            "s",
+            F.exp(
+                F.sum(F.log(F.lit(1.0) - F.col("d_events") * F.lit(1.0) / F.col("n_risk"))).over(
+                    w_asc
+                )
+            ),
+        )
+    )
+    return km.select(
+        "seg", F.col("t").cast("long").alias("t"), "d_events", "n_risk",
+        F.round("s", 6).alias("survival"),
+    )
+
+
+@query(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts)                 AS s,
+             epoch_us(ts) + 300000000     AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id,
+             count(*) AS n_events,
+             max(e) - min(s) AS covered_us
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT
+      user_id,
+      CAST(count(*) AS BIGINT)                    AS n_intervals,
+      CAST(max(n_events) AS BIGINT)               AS max_interval_events,
+      round(sum(covered_us) / 1e6, 2)             AS covered_s
+    FROM merged GROUP BY user_id
+    """,
+    tags=("analytics", "windows", "events"),
+)
+def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per user (each event opens a 5-minute
+    activity interval) — the gaps-and-islands primitive behind coverage,
+    uptime, and exposure-window analytics, distinct from q_sessionization
+    (gap-to-PREVIOUS-event) because intervals carry explicit ends: a new
+    island starts only when an interval's start clears the running MAX of
+    all previous ends. Epochs are exact integer microseconds
+    (unix_micros ↔ epoch_us, repo convention), so island flags, ids, and
+    coverage are pure integer arithmetic; the single /1e6 at the end is
+    rounded to 2 dp. Scale: both windows and the two aggregations are
+    partitioned/keyed by user_id — fan-out is per-user, no global state."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull() | (F.col("s") > F.max("e").over(w_prev)), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_cum).alias("island_id")
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("n_events"), (F.max("e") - F.min("s")).alias("covered_us")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.max("n_events").cast("long").alias("max_interval_events"),
+        F.round(F.sum("covered_us") / 1e6, 2).alias("covered_s"),
+    )
+
+
+@query(
+    "q_quantile_normalize",
+    oracle="""
+    WITH bucketed AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+      FROM events
+    ),
+    bucket_means AS (
+      SELECT decile, avg(value) AS norm_value FROM bucketed GROUP BY decile
+    )
+    SELECT
+      b.event_type,
+      CAST(b.decile AS BIGINT)     AS decile,
+      CAST(count(*) AS BIGINT)     AS n,
+      round(avg(b.value), 4)       AS orig_avg,
+      round(min(m.norm_value), 4)  AS norm_avg
+    FROM bucketed b JOIN bucket_means m ON b.decile = m.decile
+    GROUP BY b.event_type, b.decile
+    """,
+    tags=("analytics", "stats", "llm-pipeline"),
+)
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across event-type distributions (the
+    microarray/feature-alignment preprocessing step): each type's values
+    are decile-bucketed (ntile over a TOTAL order — event_id tiebreak, so
+    both engines assign identical buckets), then every bucket is mapped to
+    the cross-type mean of that bucket — after which each type's
+    distribution is identical by construction. Output compares the
+    original per-(type, decile) mean with the normalized target value.
+    Averages of identical value sets are order-sensitive at ulp level →
+    rounded 4 dp per convention. Scale: the ntile window is partitioned by
+    type; bucket means are a 10-row relation joined back broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    bucketed = ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+    means = bucketed.groupBy("decile").agg(F.avg("value").alias("norm_value"))
+    return (
+        bucketed.join(F.broadcast(means), "decile")
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 4).alias("orig_avg"),
+            F.round(F.min("norm_value"), 4).alias("norm_avg"),
+        )
+        .select(
+            "event_type", F.col("decile").cast("long").alias("decile"), "n", "orig_avg", "norm_avg"
+        )
+    )

@@ -1,0 +1,231 @@
+"""Retrieval-quality operators: reciprocal-rank fusion of two rankings and
+NDCG ranking evaluation — the measurement half of a retrieval stack, next
+to the scorers (q_bm25_topk sparse, q_cosine_topk dense). Both queries run
+per query-term with every window PARTITIONED BY the term (repo rule: no
+unpartitioned windows), which is also the 100 TB shape — a real evaluation
+harness fans out over thousands of queries, each with a bounded candidate
+set, so the term key is the parallelism axis.
+
+Determinism contract: BM25 scores are built from exact integer tf/df/dl
+counts with an identical expression shape on both engines, rounded to 6 dp
+BEFORE any ranking; every row_number orders by (rounded score, doc_id) —
+a total order, so ranks are engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+_TERMS = ("spark", "join", "fast")
+
+# Shared DuckDB CTE: per-term BM25 over the candidate docs that contain the
+# term (k1=1.2, b=0.75, Robertson idf with +1 floor — same constants as
+# q_bm25_topk), rounded to 6 dp before ranking.
+_CAND_SQL = f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+    avgdl AS (SELECT avg(doclen) AS avgdl FROM dl),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN {_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    cand AS (
+      SELECT tf.term, tf.doc_id,
+        round(
+          ln((n.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1e0)
+          * tf.tf * 2.2e0
+          / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.doclen / a.avgdl)), 6) AS bm25
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN avgdl a CROSS JOIN n_docs n
+    )
+"""
+
+
+def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, bm25): rounded BM25 for each doc containing each of
+    the three query terms. Mirrors q_bm25_topk's plan: the token stream is
+    filtered to the query terms before aggregation, df and the scalar
+    constants broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    consts = dl.agg(F.avg("doclen").alias("avgdl")).crossJoin(
+        docs.agg(F.count(F.lit(1)).alias("n"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = (
+        idf
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .select("term", "doc_id", F.round(contrib, 6).alias("bm25"))
+    )
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    ranked AS (
+      SELECT c.term, c.doc_id,
+        row_number() OVER (PARTITION BY c.term ORDER BY c.bm25 DESC, c.doc_id) AS r_rel,
+        row_number() OVER (PARTITION BY c.term ORDER BY d.n_chars DESC, c.doc_id) AS r_prior
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    fused AS (
+      SELECT term, doc_id,
+             CAST(r_rel AS BIGINT)  AS r_rel,
+             CAST(r_prior AS BIGINT) AS r_prior,
+             round(1e0 / (60 + r_rel) + 1e0 / (60 + r_prior), 6) AS rrf
+      FROM ranked
+    )
+    SELECT term, doc_id, r_rel, r_prior, rrf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY term ORDER BY rrf DESC, doc_id) AS rk
+      FROM fused
+    )
+    WHERE rk <= 5
+    """,
+    tags=("text", "llm-pipeline", "retrieval"),
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two rankings per query term —
+    BM25 relevance fused with a document-length prior (n_chars) standing
+    in for any second scorer (dense retrieval, freshness, pagerank). RRF
+    is THE standard ensemble for hybrid sparse+dense retrieval because it
+    needs no score calibration, only ranks. Top-5 fused docs per term;
+    every ranking is a per-term window over the candidate set (docs
+    containing the term), with doc_id tiebreaks making all three
+    row_numbers engine-stable. Scale: candidate sets are bounded per term
+    and the term key partitions every window — the query axis fans out."""
+    cand = _candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w_rel = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    w_prior = Window.partitionBy("term").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = cand.join(docs, "doc_id").select(
+        "term",
+        "doc_id",
+        F.row_number().over(w_rel).cast("long").alias("r_rel"),
+        F.row_number().over(w_prior).cast("long").alias("r_prior"),
+    )
+    fused = ranked.withColumn(
+        "rrf",
+        F.round(
+            F.lit(1.0) / (60 + F.col("r_rel")) + F.lit(1.0) / (60 + F.col("r_prior")), 6
+        ),
+    )
+    w_f = Window.partitionBy("term").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w_f))
+        .filter(F.col("rk") <= 5)
+        .select("term", "doc_id", "r_rel", "r_prior", "rrf")
+    )
+
+
+@query(
+    "q_ndcg",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    graded AS (
+      SELECT c.term, c.doc_id, c.bm25,
+             CAST(substr(d.source, 4) AS INT) % 4 AS rel
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    sys AS (
+      SELECT term, rel,
+             row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS pos
+      FROM graded
+    ),
+    ideal AS (
+      SELECT term, rel,
+             row_number() OVER (PARTITION BY term ORDER BY rel DESC, doc_id) AS pos
+      FROM graded
+    ),
+    d AS (
+      SELECT term, sum((power(2, rel) - 1) / (ln(pos + 1) / ln(2))) AS dcg
+      FROM sys WHERE pos <= 10 GROUP BY term
+    ),
+    i AS (
+      SELECT term, sum((power(2, rel) - 1) / (ln(pos + 1) / ln(2))) AS idcg
+      FROM ideal WHERE pos <= 10 GROUP BY term
+    ),
+    n AS (SELECT term, CAST(count(*) AS BIGINT) AS n_cands FROM graded GROUP BY term)
+    SELECT
+      n.term, n.n_cands,
+      round(d.dcg, 6)  AS dcg,
+      round(i.idcg, 6) AS idcg,
+      round(CASE WHEN i.idcg = 0 THEN 0e0 ELSE d.dcg / i.idcg END, 6) AS ndcg
+    FROM n JOIN d ON n.term = d.term JOIN i ON n.term = i.term
+    """,
+    tags=("text", "llm-pipeline", "retrieval"),
+)
+def ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query term for the BM25 ranking, against graded
+    relevance derived deterministically from the document source id
+    (src{k} → grade k mod 4 ∈ {0..3}) — the offline ranking-quality
+    metric every retrieval pipeline reports. DCG uses the exponential-gain
+    form (2^rel − 1)/log2(pos+1); the ideal ranking is computed over the
+    SAME candidate set ordered by grade. Gains and discounts are built
+    from exact integers with identical expression shape on both engines;
+    the ≤10-term sums are rounded to 6 dp (summation-order ulps), and the
+    final ratio guards idcg = 0. Scale: identical to q_rrf_fusion — all
+    windows partitioned by the term axis."""
+    cand = _candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    graded = cand.join(docs, "doc_id").select(
+        "term",
+        "doc_id",
+        "bm25",
+        (F.substring("source", 4, 10).cast("int") % 4).alias("rel"),
+    )
+    w_sys = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    w_ideal = Window.partitionBy("term").orderBy(F.col("rel").desc(), "doc_id")
+    gain = (F.pow(F.lit(2), F.col("rel")) - 1) / (F.log(F.col("pos") + 1) / F.log(F.lit(2.0)))
+    d = (
+        graded.select("term", "rel", F.row_number().over(w_sys).alias("pos"))
+        .filter(F.col("pos") <= 10)
+        .groupBy("term")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    i = (
+        graded.select("term", "rel", F.row_number().over(w_ideal).alias("pos"))
+        .filter(F.col("pos") <= 10)
+        .groupBy("term")
+        .agg(F.sum(gain).alias("idcg"))
+    )
+    n = graded.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_cands"))
+    return (
+        n.join(d, "term")
+        .join(i, "term")
+        .select(
+            "term",
+            "n_cands",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(
+                F.when(F.col("idcg") == 0, F.lit(0.0)).otherwise(F.col("dcg") / F.col("idcg")), 6
+            ).alias("ndcg"),
+        )
+    )
