@@ -168,3 +168,37 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "q_global_shuffle",
+    oracle="""
+    SELECT
+      CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        AS shuffle_pos,
+      doc_id,
+      source
+    FROM documents
+    """,
+    tags=("llm-pipeline", "scale"),
+)
+def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the training corpus — the step
+    every LLM data pipeline runs before sequence packing so correlated
+    documents (same crawl, same source) don't land in the same batch.
+    Shuffle order is md5 of the doc id (reproducible across runs and
+    engines, no RNG), and the exact GLOBAL position comes from
+    functions/ranks.py's range-bucketed row_number recomposition — two
+    bounded shuffles, never a single-partition window (repo rule). The
+    md5 keys are uniform by construction, so the range partitioning is
+    skew-free at any scale; downstream packing reads contiguous
+    shuffle_pos ranges as its bins."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("_key")
+    )
+    ranked = global_row_number(docs, ["_key", "doc_id"], rn_col="shuffle_pos")
+    return ranked.select(
+        F.col("shuffle_pos").cast("long").alias("shuffle_pos"), "doc_id", "source"
+    )

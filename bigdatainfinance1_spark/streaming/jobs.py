@@ -676,3 +676,83 @@ def stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 2)
         .select("window_start", "event_type", "n_events", "rnk")
     )
+
+
+@query(
+    "q_stream_session_funnel",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_type,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+        min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)     AS t_view,
+        min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)    AS t_click,
+        min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT
+      user_id,
+      CAST(count(*) AS BIGINT) AS n_sessions,
+      CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                     AND t_purchase IS NOT NULL
+                     AND t_view < t_click AND t_click < t_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_complete
+    FROM per_session GROUP BY user_id
+    """,
+    tags=("streaming", "events", "analytics"),
+)
+def stream_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionized funnel: per 30-min session window, did the
+    user complete view → click → purchase IN ORDER (strict first-touch
+    timestamps)? Runs as a real Structured Streaming job — session_window
+    aggregation with first-touch mins per step computed INSIDE the
+    streaming aggregation (min of a CASE is streaming-safe; no
+    arbitrary-state operator needed) — then a user-grain batch rollup of
+    the materialized sessions. The oracle reconstructs identical sessions
+    with the gap-SQL formulation (same 30-min gap as q_session_window) and
+    applies the same strict ordering test on epoch-µs integers, so the
+    funnel flags are exact on both engines. Scale: session state is keyed
+    by user — the watermarkless availableNow replay here becomes a
+    watermarked continuous job on a cluster (see q_stream_watermarked for
+    the eviction pattern)."""
+    ev = read_events_stream(spark, sf_dir)
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+            ).alias("t_view"),
+            F.min(
+                F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+            ).alias("t_click"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+            ).alias("t_purchase"),
+        )
+    )
+    per_session = run_to_table(sessions, "complete")
+    complete = (
+        F.col("t_view").isNotNull()
+        & F.col("t_click").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_view") < F.col("t_click"))
+        & (F.col("t_click") < F.col("t_purchase"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(complete, 1).otherwise(0)).cast("long").alias("n_funnel_complete"),
+    )
