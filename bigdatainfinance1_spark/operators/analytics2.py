@@ -710,3 +710,389 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("decile").cast("long").alias("decile"), "n", "orig_avg", "norm_avg"
         )
     )
+
+
+@query(
+    "q_mann_whitney",
+    oracle="""
+    WITH ev AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             event_type, value
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    ranked AS (
+      SELECT d, event_type,
+             rank() OVER (PARTITION BY d ORDER BY value)
+               + (count(*) OVER (PARTITION BY d, value) - 1) / 2e0 AS midrank
+      FROM ev
+    ),
+    g AS (
+      SELECT d,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)  AS n2,
+             sum(CASE WHEN event_type = 'click' THEN midrank ELSE 0 END)           AS r1
+      FROM ranked GROUP BY d
+    )
+    SELECT
+      d, n1, n2,
+      round(r1 - n1 * (n1 + 1) / 2e0, 1) AS u_stat,
+      round((r1 - n1 * (n1 + 1) / 2e0 - n1 * n2 / 2e0)
+            / sqrt(n1 * n2 * (n1 + n2 + 1) / 12e0), 4) AS z
+    FROM g
+    WHERE n1 > 0 AND n2 > 0
+    """,
+    tags=("analytics", "stats", "events"),
+)
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test per day: are click event
+    values stochastically larger than view values? — the nonparametric
+    companion to q_welch_ttest. Computed from the RANK-SUM identity
+    U₁ = R₁ − n₁(n₁+1)/2 with midranks for ties (rank() gives the tie
+    group's first position; adding (tie_count−1)/2 yields the average
+    position), which keeps the plan LINEAR per group — no pairwise join,
+    no global sort; the ranking window is partitioned by day. Midranks are
+    exact .5-granular doubles and every count is integer, so U and the
+    normal-approximation z divide identical doubles on both engines.
+    (First written as a month-keyed pair join — the events table spans one
+    month, so that collapsed to a single quadratic group; the rank form is
+    the right 100 TB shape.)"""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+            "event_type",
+            "value",
+        )
+    )
+    w_rank = Window.partitionBy("d").orderBy("value")
+    w_tie = Window.partitionBy("d", "value")
+    ranked = ev.select(
+        "d",
+        "event_type",
+        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)).alias(
+            "midrank"
+        ),
+    )
+    g = ranked.groupBy("d").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("midrank")).otherwise(0)).alias("r1"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    mu = F.col("n1") * F.col("n2") / F.lit(2.0)
+    sigma = F.sqrt(F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / F.lit(12.0))
+    return (
+        g.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "d",
+            "n1",
+            "n2",
+            F.round(u, 1).alias("u_stat"),
+            F.round((u - mu) / sigma, 4).alias("z"),
+        )
+    )
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b' END AS period
+      FROM orders
+    ),
+    grid AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b FROM grid
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_bins,
+      CAST(sum(CASE WHEN g.n_a > 0 AND g.n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bins_used,
+      round(sum(CASE WHEN g.n_a > 0 AND g.n_b > 0
+                THEN (g.n_a * 1e0 / t.t_a - g.n_b * 1e0 / t.t_b)
+                     * ln((g.n_a * 1e0 / t.t_a) / (g.n_b * 1e0 / t.t_b))
+                ELSE 0e0 END), 6) AS psi
+    FROM grid g CROSS JOIN tot t
+    """,
+    tags=("analytics", "finance", "quality"),
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1998 and post-1998 order
+    price distributions — the model-monitoring drift metric every deployed
+    credit/pricing model is watched with (PSI < 0.1 stable, > 0.25 act).
+    Prices are binned on a fixed arithmetic grid (50k-wide bins — no
+    engine-specific width_bucket, which DuckDB 1.0 lacks); shares are
+    ratios of exact integer counts, and bins empty on either side are
+    excluded from the sum identically on both engines (reported via
+    n_bins_used). One groupBy over ≤10 bins plus a broadcast scalar of
+    the two totals — trivially linear at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("period"),
+    )
+    grid = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tot = grid.agg(
+        F.sum("n_a").cast("long").alias("t_a"), F.sum("n_b").cast("long").alias("t_b")
+    )
+    p_a = F.col("n_a") * F.lit(1.0) / F.col("t_a")
+    p_b = F.col("n_b") * F.lit(1.0) / F.col("t_b")
+    used = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return grid.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.when(used, 1).otherwise(0)).cast("long").alias("n_bins_used"),
+        F.round(
+            F.sum(F.when(used, (p_a - p_b) * F.log(p_a / p_b)).otherwise(F.lit(0.0))), 6
+        ).alias("psi"),
+    )
+
+
+@query(
+    "q_woe_iv",
+    oracle="""
+    WITH flags AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ),
+    grid AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bad) AS BIGINT) AS n_bad,
+             CAST(count(*) - sum(bad) AS BIGINT) AS n_good
+      FROM flags GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT CAST(sum(n_bad) AS BIGINT) AS t_bad, CAST(sum(n_good) AS BIGINT) AS t_good
+      FROM grid
+    )
+    SELECT
+      g.o_orderpriority,
+      g.n, g.n_bad,
+      round(ln((g.n_good * 1e0 / t.t_good) / (g.n_bad * 1e0 / t.t_bad)), 6) AS woe,
+      round((g.n_good * 1e0 / t.t_good - g.n_bad * 1e0 / t.t_bad)
+            * ln((g.n_good * 1e0 / t.t_good) / (g.n_bad * 1e0 / t.t_bad)), 6) AS iv_contrib
+    FROM grid g CROSS JOIN tot t
+    """,
+    tags=("analytics", "finance"),
+)
+def woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence and information-value per order-priority bucket
+    against the binary target 'order finalized' (status F) — the credit-
+    scorecard feature-screening classic: WoE = ln(good share / bad share),
+    IV contribution = (share gap)·WoE. Every share is a ratio of exact
+    integer counts so both engines take ln of identical doubles; buckets
+    here are never empty on either side (every priority has both
+    outcomes), and the 6-dp round absorbs ln's ≤1-ulp spread. Scale: one
+    groupBy over the bucket key, one broadcast scalar of the two totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    grid = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)))
+        .cast("long")
+        .alias("n_good"),
+    )
+    tot = grid.agg(
+        F.sum("n_bad").cast("long").alias("t_bad"), F.sum("n_good").cast("long").alias("t_good")
+    )
+    g_share = F.col("n_good") * F.lit(1.0) / F.col("t_good")
+    b_share = F.col("n_bad") * F.lit(1.0) / F.col("t_bad")
+    return grid.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n",
+        "n_bad",
+        F.round(F.log(g_share / b_share), 6).alias("woe"),
+        F.round((g_share - b_share) * F.log(g_share / b_share), 6).alias("iv_contrib"),
+    )
+
+
+@query(
+    "q_target_encoding",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    stats AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT)   AS s
+      FROM cents GROUP BY o_orderpriority
+    )
+    SELECT
+      c.o_orderpriority,
+      s.n,
+      round(avg((s.s - c.c) * 1e0 / (s.n - 1) / 100e0), 4)  AS avg_enc,
+      round(min((s.s - c.c) * 1e0 / (s.n - 1) / 100e0), 4)  AS min_enc,
+      round(max((s.s - c.c) * 1e0 / (s.n - 1) / 100e0), 4)  AS max_enc
+    FROM cents c JOIN stats s ON c.o_orderpriority = s.o_orderpriority
+    GROUP BY c.o_orderpriority, s.n
+    """,
+    tags=("analytics", "llm-pipeline"),
+)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the order-priority categorical
+    against order value — the leakage-safe mean encoding used in gradient-
+    boosting feature pipelines: each row's encoding excludes its own
+    target, enc_r = (Σ_c − y_r)/(n_c − 1). Per-category sum and count ride
+    in as a broadcast category-sized relation; every encoding is built
+    from exact integer cents with identical division order, so min/max are
+    exact and only the row-order-sensitive avg needs its 4-dp round.
+    Scale: one groupBy for category stats, one broadcast join back — the
+    encode pass is a narrow map over the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    stats = cents.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("c").cast("long").alias("s")
+    )
+    enc = (F.col("s") - F.col("c")) * F.lit(1.0) / (F.col("n") - 1) / F.lit(100.0)
+    return (
+        cents.join(F.broadcast(stats), "o_orderpriority")
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.round(F.avg(enc), 4).alias("avg_enc"),
+            F.round(F.min(enc), 4).alias("min_enc"),
+            F.round(F.max(enc), 4).alias("max_enc"),
+        )
+        .select("o_orderpriority", "n", "avg_enc", "min_enc", "max_enc")
+    )
+
+
+@query(
+    "q_funnel_latency",
+    oracle="""
+    WITH touch AS (
+      SELECT user_id,
+        min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)     AS t_view,
+        min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)    AS t_click,
+        min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT 'view_to_click' AS step, (t_click - t_view) / 1e6 AS sec
+      FROM touch WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+      UNION ALL
+      SELECT 'click_to_purchase' AS step, (t_purchase - t_click) / 1e6 AS sec
+      FROM touch WHERE t_click IS NOT NULL AND t_purchase IS NOT NULL AND t_purchase > t_click
+    )
+    SELECT
+      step,
+      CAST(count(*) AS BIGINT)              AS n_users,
+      round(avg(sec), 4)                    AS avg_s,
+      round(quantile_cont(sec, 0.5), 4)     AS median_s,
+      round(quantile_cont(sec, 0.9), 4)     AS p90_s
+    FROM lat GROUP BY step
+    """,
+    tags=("analytics", "events"),
+)
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel latency: per user, the time from first view to
+    first click and from first click to first purchase, summarized as
+    avg/median/p90 per step — the 'how long does conversion take'
+    companion to q_funnel_steps (how many convert) and
+    q_markov_transitions (where they go instead). Latencies are exact
+    integer µs differences divided once by 1e6; percentiles interpolate
+    between identical doubles (quantile_cont ↔ percentile, rounded 4 dp).
+    Scale: one user-grain aggregation, then a 2-group summary — the
+    step-label union is a narrow map, no window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.unix_micros("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))).alias("t_purchase"),
+    )
+    v2c = (
+        touch.filter(
+            F.col("t_view").isNotNull()
+            & F.col("t_click").isNotNull()
+            & (F.col("t_click") > F.col("t_view"))
+        )
+        .select(
+            F.lit("view_to_click").alias("step"),
+            ((F.col("t_click") - F.col("t_view")) / 1e6).alias("sec"),
+        )
+    )
+    c2p = (
+        touch.filter(
+            F.col("t_click").isNotNull()
+            & F.col("t_purchase").isNotNull()
+            & (F.col("t_purchase") > F.col("t_click"))
+        )
+        .select(
+            F.lit("click_to_purchase").alias("step"),
+            ((F.col("t_purchase") - F.col("t_click")) / 1e6).alias("sec"),
+        )
+    )
+    return (
+        v2c.unionByName(c2p)
+        .groupBy("step")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("sec"), 4).alias("avg_s"),
+            F.round(F.expr("percentile(sec, 0.5)"), 4).alias("median_s"),
+            F.round(F.expr("percentile(sec, 0.9)"), 4).alias("p90_s"),
+        )
+    )
+
+
+@query(
+    "q_feature_hashing",
+    oracle="""
+    WITH feats AS (
+      SELECT event_type || ':' || CAST(CAST(props ->> 'k' AS INT) AS VARCHAR) AS feat
+      FROM events
+    ),
+    hashed AS (
+      SELECT feat,
+             ((instr('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(feat), 2, 1)) - 1)) % 64 AS bucket
+      FROM feats
+    )
+    SELECT
+      CAST(bucket AS BIGINT)          AS bucket,
+      CAST(count(*) AS BIGINT)        AS n_events,
+      CAST(count(DISTINCT feat) AS BIGINT) AS n_features
+    FROM hashed GROUP BY bucket
+    """,
+    tags=("analytics", "llm-pipeline"),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical features (event_type × the numeric
+    prop extracted from the JSON payload) hashed into 64 fixed buckets —
+    the unbounded-vocabulary featurizer for streaming/online models, with
+    the bucket histogram and collision census (distinct features per
+    bucket) as output. The hash is the first byte of md5 taken mod 64 via
+    the cross-engine instr-nibble idiom (md5 hex is the only hash both
+    engines share; xxhash64 is Spark-only). Scale: a narrow map plus one
+    64-key groupBy — the whole point of feature hashing is that state
+    stays O(buckets) forever."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = F.concat_ws(
+        ":", F.col("event_type"), F.get_json_object("props", "$.k").cast("int").cast("string")
+    )
+    feats = ev.select(feat.alias("feat"), F.md5(feat).alias("h"))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring("h", p, 1)) - 1  # noqa: E731
+    return (
+        feats.select("feat", ((nib(1) * 16 + nib(2)) % 64).alias("bucket"))
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("feat").cast("long").alias("n_features"),
+        )
+    )
