@@ -1096,3 +1096,315 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("feat").cast("long").alias("n_features"),
         )
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH ds AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY s),
+    per_doc AS (
+      SELECT d.doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM ds d JOIN firsts f ON d.s = f.s
+      GROUP BY d.doc_id
+    )
+    SELECT
+      doc.source,
+      CAST(count(*) AS BIGINT)                                  AS n_docs,
+      round(avg(p.n_novel * 1e0 / p.n_shingles), 4)             AS avg_novelty,
+      CAST(sum(CASE WHEN p.n_novel = p.n_shingles THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS n_fully_novel
+    FROM per_doc p JOIN documents doc ON p.doc_id = doc.doc_id
+    GROUP BY doc.source
+    """,
+    tags=("llm-pipeline", "text", "dedup"),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring for curriculum/curation ordering: per
+    document, the fraction of its distinct 3-word shingles whose FIRST
+    occurrence (lowest doc_id — the deterministic stand-in for crawl
+    order) is the document itself; aggregated per source. Low-novelty
+    sources are boilerplate farms — this is the corpus-level signal that
+    complements pairwise near-dup detection (a doc can be 40% recombined
+    boilerplate yet no single pair crosses a jaccard threshold). Reuses
+    the dedup module's shingle relation; the ownership pass is one
+    groupBy(min) over the shingle key plus a join back — linear in corpus
+    shingle count, the same shuffle shape as q_exact_dedup. Novelty ratios
+    divide exact integers; only the per-source avg needs its 4-dp round."""
+    from bigdatainfinance1_spark.operators.dedup import _doc_shingle_hashes
+
+    ds = _doc_shingle_hashes(spark, sf_dir)
+    firsts = ds.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ds.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_novel") * F.lit(1.0) / F.col("n_shingles")), 4).alias(
+                "avg_novelty"
+            ),
+            F.sum(F.when(F.col("n_novel") == F.col("n_shingles"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_fully_novel"),
+        )
+    )
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, i, 1) AS ch
+      FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM documents)
+    ),
+    freq AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM freq GROUP BY doc_id),
+    ent AS (
+      SELECT f.doc_id,
+             -sum((f.c * 1e0 / t.n) * ln(f.c * 1e0 / t.n) / ln(2)) AS h
+      FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+      GROUP BY f.doc_id
+    )
+    SELECT
+      d.source,
+      CAST(count(*) AS BIGINT)  AS n_docs,
+      round(avg(e.h), 4)        AS avg_entropy,
+      round(min(e.h), 4)        AS min_entropy,
+      round(max(e.h), 4)        AS max_entropy
+    FROM ent e JOIN documents d ON e.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, profiled per source —
+    the cheap quality/gibberish detector every crawl-curation pipeline
+    runs (low entropy → repeated filler; high → random noise or
+    encodings), complementing q_text_quality's token-level ratios.
+    Entropy terms use p·log₂p with identical expression shape from exact
+    integer counts; per-doc sums differ only in summation order (≤1-ulp
+    terms), absorbed by the 4-dp rounds after the per-source reduce.
+    Scale: explode to characters is a narrow map (no shuffle); the
+    (doc, char) frequency groupBy keys are high-cardinality and uniform —
+    the same shape as the token-stats family, no Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    ent = (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log(p) / F.log(F.lit(2.0)))).alias("h"))
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        ent.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.round(F.min("h"), 4).alias("min_entropy"),
+            F.round(F.max("h"), 4).alias("max_entropy"),
+        )
+    )
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY flag, d
+    ),
+    trended AS (
+      SELECT flag, d, cents,
+             CAST(sum(cents) OVER w7 AS BIGINT) AS sum7,
+             row_number() OVER wa AS rn,
+             count(*) OVER (PARTITION BY flag) AS n_days
+      FROM daily
+      WINDOW w7 AS (PARTITION BY flag ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+             wa AS (PARTITION BY flag ORDER BY d)
+    ),
+    detrended AS (
+      SELECT flag, d % 7 AS dow, 7 * cents - sum7 AS resid7
+      FROM trended WHERE rn >= 4 AND rn <= n_days - 3
+    ),
+    seasonal AS (
+      SELECT flag, dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(resid7) AS BIGINT) AS s7sum
+      FROM detrended GROUP BY flag, dow
+    )
+    SELECT
+      se.flag,
+      CAST(se.dow AS BIGINT)                          AS dow,
+      se.n_days,
+      round(se.s7sum * 1e0 / se.n_days / 700, 4)      AS seasonal,
+      round(sum(abs(se.n_days * de.resid7 - se.s7sum)) * 1e0
+            / se.n_days / se.n_days / 700, 4)         AS mean_abs_resid
+    FROM detrended de
+    JOIN seasonal se ON de.flag = se.flag AND de.dow = se.dow
+    GROUP BY se.flag, se.dow, se.n_days, se.s7sum
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each return-flag's
+    daily revenue series: trend = centered 7-day moving average (full
+    windows only — the first/last 3 days are trimmed identically on both
+    engines), weekly seasonal component = mean detrended residual per
+    arithmetic weekday (d mod 7 — engines disagree on dayofweek()
+    numbering, round-2 finding), plus the mean absolute remainder as the
+    fit diagnostic. EXACTNESS: residuals are kept as scaled integers
+    (resid7 = 7·cents − Σ₇cents — the trend average never materializes as
+    a double), and the per-group deviations |n·resid7 − Σresid7| are
+    integer too, so every sum is an exact BIGINT and the ONLY doubles are
+    the final divisions (the first draft averaged doubles and flipped a
+    4-dp half-boundary between engines). Scale: all windows partitioned
+    per instrument; two keyed aggregations end the plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"))
+    wa = Window.partitionBy("flag").orderBy("d")
+    w7 = wa.rowsBetween(-3, 3)
+    wn = Window.partitionBy("flag")
+    trended = daily.select(
+        "flag",
+        "d",
+        "cents",
+        F.sum("cents").over(w7).cast("long").alias("sum7"),
+        F.row_number().over(wa).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_all"),
+    )
+    detrended = trended.filter(
+        (F.col("rn") >= 4) & (F.col("rn") <= F.col("n_all") - 3)
+    ).select(
+        "flag", (F.col("d") % 7).alias("dow"), (7 * F.col("cents") - F.col("sum7")).alias("resid7")
+    )
+    seasonal = detrended.groupBy("flag", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("resid7").cast("long").alias("s7sum"),
+    )
+    return (
+        detrended.join(seasonal, ["flag", "dow"])
+        .groupBy("flag", "dow", "n_days", "s7sum")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("n_days") * F.col("resid7") - F.col("s7sum")))
+                * F.lit(1.0)
+                / F.col("n_days")
+                / F.col("n_days")
+                / 700,
+                4,
+            ).alias("mean_abs_resid")
+        )
+        .select(
+            "flag",
+            F.col("dow").cast("long").alias("dow"),
+            "n_days",
+            F.round(F.col("s7sum") * F.lit(1.0) / F.col("n_days") / 700, 4).alias("seasonal"),
+            "mean_abs_resid",
+        )
+    )
+
+
+@query(
+    "q_confusion_matrix",
+    oracle="""
+    WITH thr AS (
+      SELECT round(quantile_cont(value, 0.5), 6) AS t FROM events
+    ),
+    scored AS (
+      SELECT CASE WHEN e.value > t.t THEN 1 ELSE 0 END AS pred,
+             CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events e CROSS JOIN thr t
+    ),
+    cm AS (
+      SELECT
+        CAST(sum(pred * label) AS BIGINT)             AS tp,
+        CAST(sum(pred * (1 - label)) AS BIGINT)       AS fp,
+        CAST(sum((1 - pred) * label) AS BIGINT)       AS fn,
+        CAST(sum((1 - pred) * (1 - label)) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT
+      tp, fp, fn, tn,
+      round(tp * 1e0 / (tp + fp), 6) AS precision,
+      round(tp * 1e0 / (tp + fn), 6) AS recall,
+      round(2e0 * tp / (2 * tp + fp + fn), 6) AS f1,
+      round((tp + tn) * 1e0 / (tp + fp + fn + tn), 6) AS accuracy
+    FROM cm
+    """,
+    tags=("analytics", "stats", "llm-pipeline"),
+)
+def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classification evaluation scaffold: confusion matrix plus
+    precision/recall/F1/accuracy for the rule 'value above the corpus
+    median predicts a purchase event' — the eval-harness pattern (scores
+    + labels → thresholded metrics) that pairs with q_ndcg's ranking
+    metrics. The threshold is the global median ROUNDED TO 6 DP before
+    comparison, so both engines classify against the identical double
+    (values ≥2.5e-3 from the rounded quantile — no boundary flakiness,
+    same guard as q_iqr_outliers); every metric is then a ratio of exact
+    integer counts. Scale: one percentile reduce broadcast as a scalar,
+    one narrow classification map, one 4-counter reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("t"))
+    scored = ev.crossJoin(F.broadcast(thr)).select(
+        F.when(F.col("value") > F.col("t"), 1).otherwise(0).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    cm = scored.agg(
+        F.sum(F.col("pred") * F.col("label")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).cast("long").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label"))).cast("long").alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(
+            F.lit(2.0) * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn"))
+            * F.lit(1.0)
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )

@@ -170,3 +170,85 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ZORDER_SQL)
+
+
+@query(
+    "q_interval_overlap_bucketed",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(ts AS DATE)                                    AS day,
+             CAST(min(epoch_us(ts)) AS BIGINT)                   AS iv_s,
+             CAST(max(epoch_us(ts)) AS BIGINT)                   AS iv_e
+      FROM events GROUP BY user_id, day
+    )
+    SELECT
+      a.user_id,
+      CAST(count(*) AS BIGINT)                 AS n_overlaps,
+      CAST(count(DISTINCT b.user_id) AS BIGINT) AS n_peers
+    FROM iv a JOIN iv b
+      ON a.iv_s <= b.iv_e AND b.iv_s <= a.iv_e AND a.user_id <> b.user_id
+    GROUP BY a.user_id
+    """,
+    tags=("scale", "join", "events"),
+)
+def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key — the third shuffle-control
+    pattern: per-user daily activity intervals [first event, last event]
+    joined against every OTHER user's overlapping intervals. Naively this
+    is a pure inequality join, which Spark executes as a
+    BroadcastNestedLoopJoin — O(n²) compares, a scale-killer the plan test
+    asserts is absent. The scale shape: each interval explodes to the
+    1-hour grid cells it covers (bounded fan-out: a ≤24h interval covers
+    ≤25 cells), the join becomes an EQUI-join on the cell, duplicate
+    cell-matches collapse with one distinct on the pair ids, and the exact
+    overlap predicate runs as a post-filter. Cost is O(pairs that share a
+    grid cell) — proportional to true collisions, not to n². The oracle
+    runs the honest quadratic form (DuckDB's IEJoin handles it at sf0.01).
+    Grid width tunes fan-out vs selectivity exactly like the geo grid in
+    q_geo_grid_knn."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.min(F.unix_micros("ts")).cast("long").alias("iv_s"),
+        F.max(F.unix_micros("ts")).cast("long").alias("iv_e"),
+    )
+    hour_us = 3_600_000_000
+    cells = iv.select(
+        "user_id",
+        "day",
+        "iv_s",
+        "iv_e",
+        F.explode(
+            F.sequence(
+                (F.col("iv_s") / hour_us).cast("long"), (F.col("iv_e") / hour_us).cast("long")
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col("user_id").alias("a_user"),
+        F.col("day").alias("a_day"),
+        F.col("iv_s").alias("a_s"),
+        F.col("iv_e").alias("a_e"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("user_id").alias("b_user"),
+        F.col("day").alias("b_day"),
+        F.col("iv_s").alias("b_s"),
+        F.col("iv_e").alias("b_e"),
+        "cell",
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(
+            (F.col("a_user") != F.col("b_user"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+        )
+        .select("a_user", "a_day", "a_s", "b_user", "b_day")
+        .distinct()
+    )
+    return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.count_distinct("b_user").cast("long").alias("n_peers"),
+    )

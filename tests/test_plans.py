@@ -267,3 +267,12 @@ def test_geo_knn_probes_are_broadcast(spark):
     plan = plan_of(SPECS["q_geo_grid_knn"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_interval_overlap_join_is_not_nested_loop(spark):
+    """The no-equi-key interval-overlap join must run as a grid-cell
+    equi-join (bounded fan-out), never the O(n²) BroadcastNestedLoopJoin
+    Spark would pick for a raw inequality join."""
+    plan = plan_of(SPECS["q_interval_overlap_bucketed"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
