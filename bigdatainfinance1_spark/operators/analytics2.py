@@ -1408,3 +1408,312 @@ def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("accuracy"),
     )
+
+
+@query(
+    "q_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS m,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, m
+    ),
+    shifted AS (
+      SELECT n_name, m, cents,
+             lag(cents, 12) OVER (PARTITION BY n_name ORDER BY m) AS cents_prev,
+             lag(m, 12) OVER (PARTITION BY n_name ORDER BY m)     AS m_prev
+      FROM monthly
+    )
+    SELECT
+      n_name, m,
+      round(cents / 100e0, 2)      AS revenue,
+      round(cents_prev / 100e0, 2) AS revenue_prev,
+      round((cents - cents_prev) * 1e0 / cents_prev, 6) AS yoy
+    FROM shifted
+    WHERE m_prev = m - 12
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth per nation — the BI staple.
+    The lag-12 rows-based shift is only meaningful if the series has no
+    month gaps, so the oracle-checked guard m_prev = m − 12 drops rows
+    whose 12-back neighbour is NOT the same calendar month last year
+    (identical filter both engines — correctness does not silently depend
+    on series density). Revenue is exact integer cents; the growth ratio
+    divides two exact integers. Scale: one (nation × month) aggregation
+    (tiny grid), windows partitioned per nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("m")
+    shifted = monthly.select(
+        "n_name",
+        "m",
+        "cents",
+        F.lag("cents", 12).over(w).alias("cents_prev"),
+        F.lag("m", 12).over(w).alias("m_prev"),
+    )
+    return shifted.filter(F.col("m_prev") == F.col("m") - 12).select(
+        "n_name",
+        "m",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cents_prev") / 100.0, 2).alias("revenue_prev"),
+        F.round((F.col("cents") - F.col("cents_prev")) * F.lit(1.0) / F.col("cents_prev"), 6).alias(
+            "yoy"
+        ),
+    )
+
+
+@query(
+    "q_ltv_tenure",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate)) AS m0
+      FROM orders GROUP BY o_custkey
+    ),
+    cum AS (
+      SELECT o.o_custkey,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) - f.m0
+               AS tenure_m,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+      GROUP BY o.o_custkey, tenure_m
+    ),
+    running AS (
+      SELECT o_custkey, tenure_m,
+             CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY tenure_m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+      FROM cum
+    )
+    SELECT
+      tenure_m,
+      CAST(count(*) AS BIGINT)               AS n_custs,
+      round(avg(cum_cents) / 100e0, 2)       AS avg_ltv,
+      round(quantile_cont(cum_cents, 0.5), 1) AS median_ltv_cents
+    FROM running
+    GROUP BY tenure_m
+    """,
+    tags=("analytics", "finance"),
+)
+def ltv_tenure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime value by tenure: cumulative revenue per customer
+    at each active month-since-first-order, averaged across the customers
+    observed at that tenure — the LTV curve finance planning reads growth
+    off (conditional on activity; inactive months don't emit rows, same
+    semantics both engines). Cumulative sums are exact integer cents over
+    a per-customer ordered window; avg(BIGINT) is exact-sum/count on both
+    engines and the median interpolates identical integers; the median is
+    reported in CENTS because interpolation lands on exact .5-cent values
+    (binary-exact doubles) — dividing by 100 first would park it on the
+    x.xx5 round-half boundary where the engines' rounding modes disagree
+    (hit in round 2). Scale: customer-partitioned window, then a
+    tenure-grain aggregation whose key count is bounded by the observation
+    window in months."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).cast("long")
+    firsts = orders.groupBy("o_custkey").agg(F.min(m).alias("m0"))
+    cum = (
+        orders.join(firsts, "o_custkey")
+        .groupBy("o_custkey", (m - F.col("m0")).alias("tenure_m"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("tenure_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = cum.select(
+        "o_custkey", "tenure_m", F.sum("cents").over(w).cast("long").alias("cum_cents")
+    )
+    return running.groupBy("tenure_m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.round(F.avg("cum_cents") / 100.0, 2).alias("avg_ltv"),
+        F.round(F.expr("percentile(cum_cents, 0.5)"), 1).alias("median_ltv_cents"),
+    )
+
+
+@query(
+    "q_halfsample_se",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, value,
+             unnest(range(0, 16)) AS b
+      FROM events
+    ),
+    kept AS (
+      SELECT event_type, b, value
+      FROM assigned
+      WHERE (instr('0123456789abcdef',
+               substr(md5(CAST(event_type AS VARCHAR) || ':' ||
+                          CAST(value AS VARCHAR) || ':' ||
+                          CAST(b AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+    ),
+    reps AS (
+      SELECT event_type, b, avg(value) AS rep_mean, count(*) AS n_b
+      FROM kept GROUP BY event_type, b
+    ),
+    full_mean AS (
+      SELECT event_type, avg(value) AS mu, count(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT
+      f.event_type,
+      CAST(f.n AS BIGINT)                       AS n,
+      round(f.mu, 4)                            AS mean_value,
+      CAST(count(*) AS BIGINT)                  AS n_replicates,
+      round(sqrt(avg((r.rep_mean - f.mu) * (r.rep_mean - f.mu))), 4) AS half_sample_se
+    FROM reps r JOIN full_mean f ON r.event_type = f.event_type
+    GROUP BY f.event_type, f.n, f.mu
+    """,
+    tags=("analytics", "stats", "events"),
+)
+def halfsample_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-based standard error of the per-type mean via 16
+    DETERMINISTIC half-sample replicates — the resampling-uncertainty
+    pattern (bootstrap family) made engine-reproducible: replicate b keeps
+    a row iff the first md5 nibble of (type:value:b) is even, a 50%
+    pseudo-random Bernoulli both engines compute identically (no RNG, no
+    seed drift — the same md5-quota idiom as q_stratified_sample). SE is
+    the root-mean-square deviation of replicate means around the full
+    mean. At 100 TB the replicate axis is a 16× explode of a narrow
+    projection — embarrassingly parallel, no state; a production run would
+    fold the 16 partial sums in ONE pass with conditional aggregates."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    assigned = ev.select(
+        "event_type", "value", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    key = F.concat_ws(
+        ":",
+        F.col("event_type"),
+        F.col("value").cast("string"),
+        F.col("b").cast("string"),
+    )
+    nib = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(key), 1, 1)) - 1
+    kept = assigned.filter(nib % 2 == 0)
+    reps = kept.groupBy("event_type", "b").agg(F.avg("value").alias("rep_mean"))
+    full = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        reps.join(full, "event_type")
+        .groupBy("event_type", "n", "mu")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+            F.round(
+                F.sqrt(F.avg((F.col("rep_mean") - F.col("mu")) * (F.col("rep_mean") - F.col("mu")))),
+                4,
+            ).alias("half_sample_se"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("mu", 4).alias("mean_value"),
+            "n_replicates",
+            "half_sample_se",
+        )
+    )
+
+
+@query(
+    "q_brown_forsythe",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS z
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n_g, avg(z) AS zbar_g, sum(z) AS zsum_g
+      FROM dev GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(zsum_g) / sum(n_g) AS zbar,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    between_ss AS (
+      SELECT sum(n_g * (zbar_g - t.zbar) * (zbar_g - t.zbar)) AS ssb
+      FROM g CROSS JOIN tot t
+    ),
+    within_ss AS (
+      SELECT sum((d.z - g.zbar_g) * (d.z - g.zbar_g)) AS ssw
+      FROM dev d JOIN g ON d.event_type = g.event_type
+    )
+    SELECT
+      t.k, t.n,
+      round(b.ssb / (t.k - 1), 4)        AS ms_between,
+      round(w.ssw / (t.n - t.k), 4)      AS ms_within,
+      round((b.ssb / (t.k - 1)) / (w.ssw / (t.n - t.k)), 4) AS f_stat
+    FROM tot t CROSS JOIN between_ss b CROSS JOIN within_ss w
+    """,
+    tags=("analytics", "stats", "events"),
+)
+def brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test for equality of variances across event types:
+    a one-way ANOVA (q_anova_f's machinery) on absolute deviations from
+    each group's MEDIAN — the robust Levene variant that gates whether
+    pooled-variance tests like q_two_proportion_ztest's assumptions hold.
+    Group medians are rounded to 6 dp before the deviation step so both
+    engines subtract the identical double (same guard as q_iqr_outliers);
+    sums of squares aggregate identical doubles and carry 4-dp rounds.
+    Scale: two passes over the fact (deviations, then SS) plus
+    group-cardinality-sized relations broadcast — same shape as q_anova_f."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    g = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"), F.avg("z").alias("zbar_g"), F.sum("z").alias("zsum_g")
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        (F.sum("zsum_g") / F.sum("n_g")).alias("zbar"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    ssb = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n_g") * (F.col("zbar_g") - F.col("zbar")) * (F.col("zbar_g") - F.col("zbar"))
+            ).alias("ssb")
+        )
+    )
+    ssw = (
+        dev.join(F.broadcast(g.select("event_type", "zbar_g")), "event_type")
+        .agg(F.sum((F.col("z") - F.col("zbar_g")) * (F.col("z") - F.col("zbar_g"))).alias("ssw"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ssb))
+        .crossJoin(F.broadcast(ssw))
+        .select(
+            "k",
+            "n",
+            F.round(F.col("ssb") / (F.col("k") - 1), 4).alias("ms_between"),
+            F.round(F.col("ssw") / (F.col("n") - F.col("k")), 4).alias("ms_within"),
+            F.round(
+                (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k"))), 4
+            ).alias("f_stat"),
+        )
+    )

@@ -346,3 +346,66 @@ def incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("_rev", 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "q_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_priority_rank
+      FROM orders WHERE year(o_orderdate) < 1998
+      UNION ALL
+      SELECT o_orderkey, o_totalprice,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS o_priority_rank
+      FROM orders WHERE year(o_orderdate) >= 1998
+    )
+    SELECT
+      CASE WHEN o_priority_rank IS NULL THEN 'v1' ELSE 'v2' END AS schema_version,
+      CAST(count(*) AS BIGINT)                                  AS n_rows,
+      round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0, 2) AS revenue,
+      CAST(count(o_priority_rank) AS BIGINT)                    AS n_with_rank
+    FROM unioned
+    GROUP BY schema_version
+    """,
+    tags=("io", "etl"),
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet data lake: a v1 batch (two columns)
+    and a v2 batch (adds o_priority_rank) land in the same directory;
+    `mergeSchema=true` reconciles them at read time, null-filling the
+    column for v1 files — the append-only-lake migration pattern every
+    long-lived pipeline hits. The oracle reproduces the merged relation
+    with a NULL-padded UNION ALL over the same year split. Revenue is
+    summed as exact integer cents (7.5k rows/group is deep inside the
+    half-cent-flip zone for double sums — repo rule); counts are exact. Scale: schema merge is a
+    footer-only operation — data pages are untouched, so the read cost is
+    identical to a homogeneous directory."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _stage_dir("schema_evo", sf_dir)
+    if not os.path.exists(os.path.join(path, "_STAGED")):
+        v1 = orders.filter(F.year("o_orderdate") < 1998).select("o_orderkey", "o_totalprice")
+        v2 = orders.filter(F.year("o_orderdate") >= 1998).select(
+            "o_orderkey",
+            "o_totalprice",
+            F.substring("o_orderpriority", 1, 1).cast("int").alias("o_priority_rank"),
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(path, "batch=v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(path, "batch=v2"))
+        open(os.path.join(path, "_STAGED"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=v1"), os.path.join(path, "batch=v2")
+    )
+    return (
+        merged.withColumn(
+            "schema_version",
+            F.when(F.col("o_priority_rank").isNull(), "v1").otherwise("v2"),
+        )
+        .groupBy("schema_version")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+            ).alias("revenue"),
+            F.count("o_priority_rank").cast("long").alias("n_with_rank"),
+        )
+    )
