@@ -1717,3 +1717,182 @@ def brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f_stat"),
         )
     )
+
+
+@query(
+    "q_linear_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts,
+             CAST(props ->> 'k' AS INT) % 4 AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    touched AS (
+      SELECT p.event_id, c.channel
+      FROM purchases p
+      JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.ts < p.ts
+       AND epoch_us(p.ts) - epoch_us(c.ts) <= 86400000000
+    ),
+    sized AS (
+      SELECT event_id, channel,
+             count(*) OVER (PARTITION BY event_id) AS n_touch
+      FROM touched
+    ),
+    grid AS (
+      SELECT channel, n_touch, count(*) AS cnt,
+             count(DISTINCT event_id) AS n_purch
+      FROM sized GROUP BY channel, n_touch
+    )
+    SELECT
+      CAST(channel AS BIGINT)            AS channel,
+      CAST(sum(cnt) AS BIGINT)           AS n_touches,
+      CAST(sum(n_purch) AS BIGINT)       AS n_purchases,
+      round(sum(cnt * 1e0 / n_touch), 4) AS credit
+    FROM grid GROUP BY channel
+    """,
+    tags=("analytics", "events"),
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: every click in the
+    24 h before a purchase shares that purchase's conversion credit
+    equally (credit 1/n per click), aggregated per acquisition channel
+    (the event's numeric prop mod 4 — the deterministic channel stand-in).
+    Completes the attribution set: q_first_touch_attribution gives 100% to
+    the first click; this splits it. The join is user-keyed with the time
+    bound as a post-filter (hash join, bounded per-user fan-out); credits
+    are summed per (channel, touch-count) cell first so the final sum has
+    one exact-integer-ratio term per cell — summation-order noise is
+    bounded by the ≤|channels|×|n| grid, absorbed by the 4-dp round. A
+    purchase with clicks in k channels contributes to k rows' n_purchases
+    (per-channel distinct, documented)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        (F.get_json_object("props", "$.k").cast("int") % 4).alias("channel"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    touched = purchases.join(clicks, "user_id").filter(
+        (F.col("c_ts") < F.col("p_ts"))
+        & (F.unix_micros("p_ts") - F.unix_micros("c_ts") <= 24 * 3600 * 1_000_000)
+    )
+    w = Window.partitionBy("event_id")
+    sized = touched.select(
+        "event_id", "channel", F.count(F.lit(1)).over(w).alias("n_touch")
+    )
+    grid = sized.groupBy("channel", "n_touch").agg(
+        F.count(F.lit(1)).alias("cnt"), F.count_distinct("event_id").alias("n_purch")
+    )
+    return grid.groupBy(F.col("channel").cast("long").alias("channel")).agg(
+        F.sum("cnt").cast("long").alias("n_touches"),
+        F.sum("n_purch").cast("long").alias("n_purchases"),
+        F.round(F.sum(F.col("cnt") * F.lit(1.0) / F.col("n_touch")), 4).alias("credit"),
+    )
+
+
+@query(
+    "q_pps_sample",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS wc
+      FROM orders
+    ),
+    cum AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, wc,
+             CAST(sum(wc) OVER (PARTITION BY o_orderpriority
+                  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(sum(wc) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total
+      FROM w
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM cum
+    WHERE (c * 10) // total > ((c - wc) * 10) // total
+    """,
+    tags=("analytics", "sample", "scale"),
+)
+def pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling, systematic variant: 10
+    orders per priority stratum drawn with probability ∝ order value — the
+    unequal-weight companion to q_stratified_sample (equal-probability
+    quotas). Items are laid on a cumulative-weight line in deterministic
+    md5 order and selected where the line crosses each of the 10 equally
+    spaced thresholds: selection reduces to floor((cum·10)/total) >
+    floor((prev·10)/total) in EXACT integer cents (no pow/ln perturbation
+    keys, which rank on sub-ulp differences and are not engine-stable —
+    the reason Efraimidis-Spirakis is avoided here). Integer division is
+    Spark DIV ↔ DuckDB // (repo convention). Scale: one
+    stratum-partitioned running sum; the md5 order makes the draw
+    reproducible across runs, engines, and partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("wc"),
+    )
+    wo = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("o_orderpriority")
+    cum = w.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "wc",
+        F.sum("wc").over(wo).cast("long").alias("c"),
+        F.sum("wc").over(wt).cast("long").alias("total"),
+    )
+    sel = F.expr("(c * 10) DIV total") > F.expr("((c - wc) * 10) DIV total")
+    return cum.filter(sel).select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_masked_view",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      substr(md5(c.c_name), 1, 8)                          AS name_mask,
+      CAST(floor(c.c_acctbal / 1000) * 1000 AS BIGINT)     AS acctbal_band,
+      c.c_mktsegment,
+      n.n_name                                             AS nation
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    """,
+    tags=("analytics", "quality", "governance"),
+)
+def masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row- and column-level governance in one relation: the EUROPE-only
+    row filter (row-level security predicate pushed into the scan) with
+    PII masking projected on top — names one-way-hashed to an 8-hex token
+    (joinable, not reversible), account balances generalized to 1000-wide
+    bands (k-anonymity-style coarsening; q_k_anonymity measures what this
+    enforces). The masked relation is exactly what a governed export/BI
+    view serves. floor on a 2-decimal double is boundary-safe (values are
+    ≥0.01 from integers). Scale: narrow map over the filtered scan; the
+    nation→region dims broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select(
+            "c_custkey",
+            F.substring(F.md5("c_name"), 1, 8).alias("name_mask"),
+            (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("long").alias("acctbal_band"),
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+        )
+    )

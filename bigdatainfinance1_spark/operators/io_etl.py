@@ -409,3 +409,53 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_priority_rank").cast("long").alias("n_with_rank"),
         )
     )
+
+
+@query(
+    "q_compact_small_files",
+    oracle="""
+    SELECT
+      CAST(64 AS BIGINT)                                   AS n_files_before,
+      CAST(4 AS BIGINT)                                    AS n_files_after,
+      CAST(count(*) AS BIGINT)                             AS n_rows,
+      round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0, 2) AS revenue
+    FROM orders
+    """,
+    tags=("io", "etl", "scale"),
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance job every streaming
+    or micro-batch lake needs: a 64-way fragmented landing zone (the
+    small-file problem: per-file open/footer costs dominate scans and
+    overwhelm the driver's split planning at 100 TB) is rewritten into 4
+    right-sized files. The query reports the ACTUAL file counts observed
+    on disk before/after (asserted against the pinned 64/4 layout — an
+    unexpected count fails the oracle) and proves losslessness with exact
+    row and integer-cents revenue checksums over the compacted copy. On a
+    cluster the same job targets ~shuffle-partition-sized outputs
+    (maxRecordsPerFile / AQE coalesce); repartition(4) is the local-mode
+    stand-in."""
+    orders = load_table(spark, sf_dir, "orders")
+    frag = _stage_dir("frag_orders", sf_dir)
+    compact = _stage_dir("compact_orders", sf_dir)
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        orders.repartition(64).write.mode("overwrite").parquet(frag)
+    if not os.path.exists(os.path.join(compact, "_SUCCESS")):
+        spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_after = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    return (
+        spark.read.parquet(compact)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2
+            ).alias("revenue"),
+        )
+        .select(
+            F.lit(n_before).cast("long").alias("n_files_before"),
+            F.lit(n_after).cast("long").alias("n_files_after"),
+            "n_rows",
+            "revenue",
+        )
+    )

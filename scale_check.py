@@ -61,6 +61,12 @@ QUERIES = [
     "q_doc_chunking",
     "q_triangle_count",
     "q_concurrency_sweep",
+    # round-2 third wave: pair-emitting / explode-heavy newcomers
+    "q_interval_overlap_bucketed",
+    "q_ngram_novelty",
+    "q_char_entropy",
+    "q_global_shuffle",
+    "q_kaplan_meier",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
