@@ -1896,3 +1896,288 @@ def masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
         )
     )
+
+
+@query(
+    "q_pattern_vshape",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY flag, d
+    ),
+    signed AS (
+      SELECT flag, d,
+             CASE WHEN cents > lag(cents) OVER w THEN 1
+                  WHEN cents < lag(cents) OVER w THEN -1 ELSE 0 END AS sgn
+      FROM daily WINDOW w AS (PARTITION BY flag ORDER BY d)
+    ),
+    flagged AS (
+      SELECT flag, d, sgn,
+             CASE WHEN sgn = lag(sgn) OVER w2 THEN 0 ELSE 1 END AS chg
+      FROM signed WHERE sgn <> 0
+      WINDOW w2 AS (PARTITION BY flag ORDER BY d)
+    ),
+    runs AS (
+      SELECT flag, d, sgn,
+             sum(chg) OVER (PARTITION BY flag ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM flagged
+    ),
+    rle AS (
+      SELECT flag, run_id,
+             min(sgn)  AS sgn,
+             count(*)  AS run_len
+      FROM runs GROUP BY flag, run_id
+    ),
+    paired AS (
+      SELECT flag, sgn, run_len,
+             lead(sgn) OVER w3     AS next_sgn,
+             lead(run_len) OVER w3 AS next_len
+      FROM rle WINDOW w3 AS (PARTITION BY flag ORDER BY run_id)
+    )
+    SELECT
+      flag,
+      CAST(count(*) AS BIGINT)                   AS n_vshapes,
+      CAST(max(run_len + next_len) AS BIGINT)    AS max_width,
+      round(avg(run_len + next_len), 4)          AS avg_width
+    FROM paired
+    WHERE sgn = -1 AND next_sgn = 1 AND run_len >= 2 AND next_len >= 2
+    GROUP BY flag
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (the MATCH_RECOGNIZE capability class,
+    composed from windows): find V-shapes in each instrument's daily
+    revenue — a down-run of ≥2 days immediately followed by an up-run of
+    ≥2 days. Pipeline: sign of day-over-day delta → run-length encoding
+    via change-flag cumulative sum (flat days break runs, dropped before
+    RLE identically on both engines) → adjacent-run pairing with lead().
+    Every stage is integer arithmetic on exact cents; windows are all
+    instrument-partitioned; the RLE relation is runs-sized (≪ days).
+    This is the batch shape of streaming CEP — the state the stream
+    version would keep per key is exactly one open run."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("flag").orderBy("d")
+    signed = daily.select(
+        "flag",
+        "d",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .when(F.col("cents") < F.lag("cents").over(w), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    ).filter(F.col("sgn") != 0)
+    w_cum = Window.partitionBy("flag").orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    runs = signed.select(
+        "flag",
+        "d",
+        "sgn",
+        F.sum(
+            F.when(F.col("sgn") == F.lag("sgn").over(w), 0).otherwise(1)
+        )
+        .over(w_cum)
+        .alias("run_id"),
+    )
+    rle = runs.groupBy("flag", "run_id").agg(
+        F.min("sgn").alias("sgn"), F.count(F.lit(1)).alias("run_len")
+    )
+    w_runs = Window.partitionBy("flag").orderBy("run_id")
+    paired = rle.select(
+        "flag",
+        "sgn",
+        "run_len",
+        F.lead("sgn").over(w_runs).alias("next_sgn"),
+        F.lead("run_len").over(w_runs).alias("next_len"),
+    )
+    return (
+        paired.filter(
+            (F.col("sgn") == -1)
+            & (F.col("next_sgn") == 1)
+            & (F.col("run_len") >= 2)
+            & (F.col("next_len") >= 2)
+        )
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vshapes"),
+            F.max(F.col("run_len") + F.col("next_len")).cast("long").alias("max_width"),
+            F.round(F.avg(F.col("run_len") + F.col("next_len")), 4).alias("avg_width"),
+        )
+    )
+
+
+@query(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS first_d
+      FROM events GROUP BY user_id
+    ),
+    new_per_day AS (
+      SELECT first_d AS d, count(*) AS n_new FROM firsts GROUP BY first_d
+    ),
+    days AS (
+      SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    )
+    SELECT
+      dy.d,
+      CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new_users,
+      CAST(sum(coalesce(n.n_new, 0)) OVER (
+        ORDER BY dy.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS BIGINT) AS cum_distinct_users
+    FROM days dy LEFT JOIN new_per_day n ON dy.d = n.d
+    """,
+    tags=("analytics", "events", "windows"),
+)
+def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — windowed COUNT(DISTINCT) is
+    unsupported in every SQL engine, and the classic rewrite is this:
+    reduce each user to their FIRST day (one groupBy), count first-
+    appearances per day, prefix-sum that day-grain relation. The cumsum
+    runs on the bounded day spine via the triangular/offset machinery of
+    functions/ranks.py (global_running_sum — no single-partition window,
+    repo rule; the oracle's global OVER is DuckDB-side only). All counts
+    are exact integers. At 100 TB the user-grain groupBy carries the
+    cost; the spine relation is |days|-sized regardless of row count."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    d_expr = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    firsts = ev.groupBy("user_id").agg(F.min(d_expr).alias("first_d"))
+    new_per_day = firsts.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    days = ev.select(d_expr.alias("d")).distinct()
+    spine = (
+        days.join(new_per_day, "d", "left")
+        .select("d", F.coalesce("n_new", F.lit(0)).alias("n_new_users"))
+    )
+    summed = global_running_sum(spine, ["d"], "n_new_users", "cum_distinct_users")
+    return summed.select(
+        "d",
+        F.col("n_new_users").cast("long").alias("n_new_users"),
+        F.col("cum_distinct_users").cast("long").alias("cum_distinct_users"),
+    )
+
+
+@query(
+    "q_stress_scenarios",
+    oracle="""
+    WITH scenarios(scenario, shock) AS (
+      VALUES ('base', 0e0), ('mild_down', -0.05e0), ('severe_down', -0.2e0),
+             ('boom', 0.1e0), ('crisis', -0.35e0)
+    ),
+    regional AS (
+      SELECT r.r_name,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+    )
+    SELECT
+      s.scenario,
+      g.r_name,
+      round(g.cents / 100e0, 2)                       AS base_revenue,
+      round(g.cents / 100e0 * (1e0 + s.shock), 2)     AS shocked_revenue,
+      round(g.cents / 100e0 * s.shock, 2)             AS delta
+    FROM regional g CROSS JOIN scenarios s
+    """,
+    tags=("analytics", "finance"),
+)
+def stress_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scenario-grid stress test: regional revenue re-priced under a
+    5-scenario shock table (the regulatory stress-testing shape — a small
+    scenario dim cross-joined against portfolio aggregates, here revenue
+    as the exposure proxy). Base aggregates are exact integer cents; each
+    shocked value is one multiply of identical doubles, rounded 2 dp
+    (shock factors are exact binary-representable-enough literals written
+    identically on both engines; margins to the cent boundary are ≥1e-10).
+    Scale: the aggregate is region-grain (tiny) before the cross join —
+    the scenario fan-out multiplies a 5-row dim against a 5-row relation,
+    never against facts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    regional = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+        )
+    )
+    scenarios = spark.createDataFrame(
+        [("base", 0.0), ("mild_down", -0.05), ("severe_down", -0.2), ("boom", 0.1), ("crisis", -0.35)],
+        "scenario string, shock double",
+    )
+    rev = F.col("cents") / 100.0
+    return regional.crossJoin(F.broadcast(scenarios)).select(
+        "scenario",
+        "r_name",
+        F.round(rev, 2).alias("base_revenue"),
+        F.round(rev * (1.0 + F.col("shock")), 2).alias("shocked_revenue"),
+        F.round(rev * F.col("shock"), 2).alias("delta"),
+    )
+
+
+@query(
+    "q_power_analysis",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id, day
+    ),
+    p0 AS (SELECT avg(converted) AS p, count(*) AS n FROM base),
+    effects(mde_rel) AS (VALUES (0.01e0), (0.02e0), (0.05e0), (0.1e0))
+    SELECT
+      e.mde_rel,
+      round(p.p, 6) AS baseline_rate,
+      CAST(ceil(
+        2e0 * (1.959964e0 + 0.841621e0) * (1.959964e0 + 0.841621e0)
+        * p.p * (1e0 - p.p) / (p.p * e.mde_rel * p.p * e.mde_rel)
+      ) AS BIGINT) AS n_per_variant,
+      CAST(p.n AS BIGINT) AS n_observed
+    FROM effects e CROSS JOIN p0 p
+    """,
+    tags=("analytics", "stats", "events"),
+)
+def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size (power) analysis from observed data: for
+    each candidate relative minimum-detectable-effect, the per-variant n
+    required at α=0.05 (two-sided) and 80% power — n = 2(z_α+z_β)²p(1−p)/
+    (p·mde)² — against the observed user-day conversion baseline (same
+    unit as q_two_proportion_ztest, which this query tells you whether you
+    had the power to run). z constants are fixed literals on both engines;
+    p is an avg of exact 0/1 integers, so the ceil argument is an
+    identical double (ceil is exact — margins to integers are ≥1e-6 times
+    n ≫ ulp). Scale: one user-day aggregation, one scalar, a 4-row
+    effect grid."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    )
+    p0 = base.agg(F.avg("converted").alias("p"), F.count(F.lit(1)).cast("long").alias("n"))
+    effects = spark.createDataFrame([(0.01,), (0.02,), (0.05,), (0.1,)], "mde_rel double")
+    z = (1.959964 + 0.841621) ** 2
+    n_req = F.ceil(
+        F.lit(2.0) * F.lit(z) * F.col("p") * (F.lit(1.0) - F.col("p"))
+        / (F.col("p") * F.col("mde_rel") * F.col("p") * F.col("mde_rel"))
+    )
+    return effects.crossJoin(F.broadcast(p0)).select(
+        "mde_rel",
+        F.round("p", 6).alias("baseline_rate"),
+        n_req.cast("long").alias("n_per_variant"),
+        F.col("n").alias("n_observed"),
+    )
