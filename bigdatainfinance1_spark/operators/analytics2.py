@@ -2181,3 +2181,266 @@ def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req.cast("long").alias("n_per_variant"),
         F.col("n").alias("n_observed"),
     )
+
+
+@query(
+    "q_join_cardinality_estimate",
+    oracle="""
+    WITH li AS (
+      SELECT count(*) AS n, count(DISTINCT l_orderkey) AS ndv FROM lineitem
+    ),
+    o AS (
+      SELECT count(*) AS n, count(DISTINCT o_orderkey) AS ndv FROM orders
+    ),
+    c AS (
+      SELECT count(*) AS n, count(DISTINCT c_custkey) AS ndv FROM customer
+    ),
+    oc AS (
+      SELECT count(*) AS n, count(DISTINCT o_custkey) AS ndv FROM orders
+    ),
+    actuals AS (
+      SELECT 'orders_lineitem' AS join_name,
+             (SELECT count(*) FROM orders o2 JOIN lineitem l2
+               ON o2.o_orderkey = l2.l_orderkey) AS actual,
+             li.n * o.n / greatest(li.ndv, o.ndv) AS est
+      FROM li CROSS JOIN o
+      UNION ALL
+      SELECT 'customer_orders' AS join_name,
+             (SELECT count(*) FROM customer c2 JOIN orders o3
+               ON c2.c_custkey = o3.o_custkey) AS actual,
+             c.n * oc.n / greatest(c.ndv, oc.ndv) AS est
+      FROM c CROSS JOIN oc
+    )
+    SELECT join_name,
+           CAST(actual AS BIGINT) AS actual_rows,
+           CAST(est AS BIGINT)    AS estimated_rows,
+           round((est - actual) * 1e0 / actual, 4) AS rel_error
+    FROM actuals
+    """,
+    tags=("analytics", "scale", "optimizer"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-model machinery surfaced as a query: the textbook equi-join
+    cardinality estimate |A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B) (the
+    containment/uniformity assumption every CBO — Catalyst's stats
+    included — starts from) computed next to the TRUE join cardinality,
+    with the relative error a planner would have eaten. PK-FK joins
+    estimate exactly (error 0 — both here); skewed or filtered keys are
+    where it breaks, which is what this harness exists to measure before
+    trusting a broadcast decision at 100 TB. Integer division order is
+    pinned: n·n/ndv as BIGINT math truncated identically via CAST.
+    Scale: counts and NDVs are single-pass aggregates; the actual-count
+    joins are the very joins being estimated."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def stats(df, col):
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct(col).alias("ndv")
+        ).collect()[0]
+        return int(r["n"]), int(r["ndv"])
+
+    n_li, ndv_li = stats(li, "l_orderkey")
+    n_o, ndv_o = stats(orders, "o_orderkey")
+    n_c, ndv_c = stats(cust, "c_custkey")
+    _, ndv_oc = stats(orders, "o_custkey")
+    actual_ol = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    actual_co = cust.join(orders, cust.c_custkey == orders.o_custkey).count()
+    est_ol = n_li * n_o // max(ndv_li, ndv_o)
+    est_co = n_c * n_o // max(ndv_c, ndv_oc)
+    rows = [
+        ("orders_lineitem", actual_ol, est_ol, round((est_ol - actual_ol) / actual_ol, 4)),
+        ("customer_orders", actual_co, est_co, round((est_co - actual_co) / actual_co, 4)),
+    ]
+    return spark.createDataFrame(
+        rows, "join_name string, actual_rows long, estimated_rows long, rel_error double"
+    )
+
+
+@query(
+    "q_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY flag, d
+    ),
+    paired AS (
+      SELECT flag, d, cents,
+             lag(cents, 7) OVER w AS forecast,
+             lag(d, 7) OVER w     AS d_prev
+      FROM daily WINDOW w AS (PARTITION BY flag ORDER BY d)
+    ),
+    scored AS (
+      SELECT flag, cents, forecast, cents - forecast AS err
+      FROM paired WHERE d_prev = d - 7
+    )
+    SELECT
+      flag,
+      CAST(count(*) AS BIGINT)                             AS n_days,
+      round(avg(abs(err)) / 100e0, 2)                      AS mae,
+      round(sqrt(avg((err / 100e0) * (err / 100e0))), 2)   AS rmse,
+      round(avg(abs(err) * 1e0 / cents), 6)                AS mape
+    FROM scored GROUP BY flag
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting harness: the seasonal-naive baseline (value =
+    same weekday last week) scored with MAE/RMSE/MAPE per instrument —
+    the evaluation loop every production forecast runs, with seasonal-
+    naive as the score-to-beat. The lag-7 pairing carries a calendar
+    guard (d_prev = d − 7) so gaps never fake a forecast, same idiom as
+    q_yoy_growth. Errors are exact integer cents; MAE's integer-avg is
+    exact, RMSE squares identical doubles (cents fit double exactly —
+    squares round identically), MAPE divides exact integers — per-group
+    summation noise sits at ulp scale under every 2/6-dp round. Scale:
+    one instrument-partitioned window over the bounded daily grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("flag").orderBy("d")
+    paired = daily.select(
+        "flag",
+        "d",
+        "cents",
+        F.lag("cents", 7).over(w).alias("forecast"),
+        F.lag("d", 7).over(w).alias("d_prev"),
+    )
+    scored = paired.filter(F.col("d_prev") == F.col("d") - 7).select(
+        "flag", "cents", (F.col("cents") - F.col("forecast")).alias("err")
+    )
+    return scored.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg(F.abs("err")) / 100.0, 2).alias("mae"),
+        F.round(F.sqrt(F.avg((F.col("err") / 100.0) * (F.col("err") / 100.0))), 2).alias("rmse"),
+        F.round(F.avg(F.abs("err") * F.lit(1.0) / F.col("cents")), 6).alias("mape"),
+    )
+
+
+@query(
+    "q_audit_fingerprint",
+    oracle="""
+    WITH hashed AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+                 o_orderstatus) AS h
+      FROM orders
+    )
+    SELECT
+      yr,
+      CAST(count(*) AS BIGINT)            AS n_rows,
+      CAST(count(DISTINCT h) AS BIGINT)   AS n_distinct,
+      min(h)                              AS min_hash,
+      max(h)                              AS max_hash,
+      CAST(sum(instr('0123456789abcdef', substr(h, 1, 1)) - 1) AS BIGINT)
+                                          AS nibble_sum
+    FROM hashed GROUP BY yr
+    """,
+    tags=("analytics", "quality", "governance"),
+)
+def audit_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level audit fingerprints: per year, an order-insensitive
+    digest of the orders partition — row count, distinct row-hash count
+    (dup detector), lexicographic min/max row hash, and a commutative
+    nibble checksum. Two snapshots of a 100 TB table compare by exchanging
+    these |partitions|-sized fingerprint relations instead of data — the
+    reconciliation primitive under q_table_diff (which diffs rows once a
+    partition fingerprint mismatches). The row hash canonicalizes exactly
+    like q_exact_dedup (pipe-joined canonical strings, prices as integer
+    cents); every output is integer or VARCHAR — nothing floats. Scale:
+    one narrow hash map, one groupBy per partition key."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            F.col("o_orderstatus"),
+        )
+    )
+    hashed = orders.select(F.year("o_orderdate").cast("long").alias("yr"), h.alias("h"))
+    nib = F.instr(F.lit("0123456789abcdef"), F.substring("h", 1, 1)) - 1
+    return hashed.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("h").cast("long").alias("n_distinct"),
+        F.min("h").alias("min_hash"),
+        F.max("h").alias("max_hash"),
+        F.sum(nib).cast("long").alias("nibble_sum"),
+    )
+
+
+@query(
+    "q_mixture_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    quota AS (SELECT min(n) AS q, CAST(sum(n) AS BIGINT) AS total FROM counts),
+    kept AS (
+      SELECT lang FROM (
+        SELECT d.lang,
+               row_number() OVER (
+                 PARTITION BY d.lang
+                 ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        FROM documents d
+      ) r CROSS JOIN quota q
+      WHERE r.rn <= q.q
+    ),
+    after AS (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang),
+    after_tot AS (SELECT CAST(sum(n_after) AS BIGINT) AS t FROM after)
+    SELECT
+      c.lang,
+      CAST(c.n AS BIGINT)                      AS n_before,
+      CAST(a.n_after AS BIGINT)                AS n_after,
+      round(c.n * 1e0 / q.total, 4)            AS share_before,
+      round(a.n_after * 1e0 / t.t, 4)          AS share_after
+    FROM counts c
+    JOIN after a ON c.lang = a.lang
+    CROSS JOIN quota q CROSS JOIN after_tot t
+    """,
+    tags=("llm-pipeline", "sample", "text"),
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every language to the
+    smallest language's count (uniform target mixture) with the md5-order
+    quota draw, reporting each language's share before and after — the
+    data-mixture control step LLM pretraining pipelines run between
+    curation and packing (q_stratified_sample draws fixed quotas; this
+    derives the quota from the mixture target). The draw is reproducible
+    across engines/partitionings (md5 order, doc_id tiebreak); shares are
+    exact-integer ratios rounded 4 dp. Scale: one count aggregation, one
+    per-language ranked window, quota broadcast as a scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(
+        F.min("n").alias("q"), F.sum("n").cast("long").alias("total")
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    kept = (
+        docs.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+    )
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    after_tot = after.agg(F.sum("n_after").cast("long").alias("t"))
+    return (
+        counts.join(after, "lang")
+        .crossJoin(F.broadcast(quota))
+        .crossJoin(F.broadcast(after_tot))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_before"),
+            F.col("n_after").cast("long").alias("n_after"),
+            F.round(F.col("n") * F.lit(1.0) / F.col("total"), 4).alias("share_before"),
+            F.round(F.col("n_after") * F.lit(1.0) / F.col("t"), 4).alias("share_after"),
+        )
+    )
