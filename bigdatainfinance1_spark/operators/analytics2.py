@@ -2444,3 +2444,229 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_after") * F.lit(1.0) / F.col("t"), 4).alias("share_after"),
         )
     )
+
+
+@query(
+    "q_supplier_scorecard",
+    oracle="""
+    WITH perf AS (
+      SELECT l.l_suppkey,
+             count(*) AS n_lines,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_suppkey
+    ),
+    ranked AS (
+      SELECT s.s_name, n.n_name, p.n_lines, p.cents, p.n_on_time,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY p.cents DESC, s.s_suppkey) AS rnk
+      FROM perf p
+      JOIN supplier s ON p.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT
+      n_name,
+      CAST(rnk AS BIGINT)                     AS rnk,
+      s_name,
+      CAST(n_lines AS BIGINT)                 AS n_lines,
+      round(cents / 100e0, 2)                 AS revenue,
+      round(n_on_time * 1e0 / n_lines, 4)     AS on_time_share
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("analytics", "finance", "join"),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier performance scorecard: top-3 suppliers per nation by
+    revenue, with volume and on-time shipping share (shipped ≤30 days
+    after order) — the procurement review composite that exercises the
+    supplier dimension end-to-end (fact⋈fact on orderkey for dates, then
+    two broadcast dims, then a per-nation ranked window with full
+    tiebreak). Revenue is exact integer cents; on-time share divides
+    exact counts; ranks order on (cents, suppkey) — a total order.
+    Scale: the supplier-grain aggregate collapses the fact before any
+    window; per-nation top-3 is a WindowGroupLimit, not a sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    perf = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"),
+            F.sum(
+                F.when(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_on_time"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("cents").desc(), "s_suppkey")
+    ranked = (
+        perf.join(F.broadcast(sup), perf.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    return ranked.select(
+        "n_name",
+        F.col("rnk").cast("long").alias("rnk"),
+        "s_name",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("n_on_time") * F.lit(1.0) / F.col("n_lines"), 4).alias("on_time_share"),
+    )
+
+
+@query(
+    "q_ols_two_factor",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(l_quantity AS BIGINT)                       AS x1,
+             CAST(round(l_discount * 10000) AS BIGINT)        AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT)     AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x1) AS BIGINT)    AS s1,
+             CAST(sum(x2) AS BIGINT)    AS s2,
+             CAST(sum(y)  AS BIGINT)    AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x1 * y) AS BIGINT)  AS s1y,
+             CAST(sum(x2 * y) AS BIGINT)  AS s2y
+      FROM obs
+    ),
+    c AS (
+      SELECT n,
+             n * 1e0 * s11 - s1 * 1e0 * s1 AS a11,
+             n * 1e0 * s12 - s1 * 1e0 * s2 AS a12,
+             n * 1e0 * s22 - s2 * 1e0 * s2 AS a22,
+             n * 1e0 * s1y - s1 * 1e0 * sy AS b1,
+             n * 1e0 * s2y - s2 * 1e0 * sy AS b2,
+             s1, s2, sy
+      FROM m
+    )
+    SELECT
+      n,
+      round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) / 100, 6)   AS beta_qty,
+      round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) / 1000000, 6) AS beta_disc,
+      round((sy * 1e0 / n
+             - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * (s1 * 1e0 / n)
+             - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * (s2 * 1e0 / n)) / 100, 4)
+        AS intercept
+    FROM c
+    """,
+    tags=("analytics", "stats", "finance"),
+)
+def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor OLS by closed-form normal equations: extended price
+    regressed on quantity and discount simultaneously — the multivariate
+    step past the built-in bivariate regr_* family (q_regr_by_brand).
+    Every moment (Σx, Σx², Σxy, cross-moments) is an EXACT BIGINT: x₁ is
+    integer quantity, x₂ integer basis points, y integer cents. The
+    CENTERED terms (n·Σxy − Σx·Σy) exceed int64 from sf0.01 up (n·Σx₂y ≈
+    9.5e18 — found by the driver-grain verify, not the sf0.001 unit gate),
+    so centering and Cramer's rule run in DOUBLE with the identical
+    expression shape on both engines: products of exact integers round
+    identically, divisions divide identical doubles, and the 6/4-dp
+    rounds absorb nothing beyond ulp. Unit rescaling (/100, /1e6) maps
+    betas back to dollars. One single-pass aggregation; nothing but the
+    9 moments ever shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    m = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    c = m.select(
+        "n",
+        (F.col("n") * F.lit(1.0) * F.col("s11") - F.col("s1") * F.lit(1.0) * F.col("s1")).alias("a11"),
+        (F.col("n") * F.lit(1.0) * F.col("s12") - F.col("s1") * F.lit(1.0) * F.col("s2")).alias("a12"),
+        (F.col("n") * F.lit(1.0) * F.col("s22") - F.col("s2") * F.lit(1.0) * F.col("s2")).alias("a22"),
+        (F.col("n") * F.lit(1.0) * F.col("s1y") - F.col("s1") * F.lit(1.0) * F.col("sy")).alias("b1"),
+        (F.col("n") * F.lit(1.0) * F.col("s2y") - F.col("s2") * F.lit(1.0) * F.col("sy")).alias("b2"),
+        "s1",
+        "s2",
+        "sy",
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    b_qty = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+    b_disc = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det
+    return c.select(
+        "n",
+        F.round(b_qty / 100, 6).alias("beta_qty"),
+        F.round(b_disc / 1_000_000, 6).alias("beta_disc"),
+        F.round(
+            (
+                F.col("sy") * F.lit(1.0) / F.col("n")
+                - b_qty * (F.col("s1") * F.lit(1.0) / F.col("n"))
+                - b_disc * (F.col("s2") * F.lit(1.0) / F.col("n"))
+            )
+            / 100,
+            4,
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "q_slo_burn",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             count(*) AS n_total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_err
+      FROM events GROUP BY hr
+    )
+    SELECT
+      CAST(hr AS TIMESTAMP)                       AS hr,
+      CAST(n_total AS BIGINT)                     AS n_total,
+      n_err,
+      round(n_err * 1e0 / n_total, 6)             AS err_rate,
+      CAST(CASE WHEN n_err * 1e0 / n_total > 2 * 0.2 THEN 1 ELSE 0 END AS BIGINT)
+                                                  AS burn_alert
+    FROM hourly
+    """,
+    tags=("analytics", "events", "quality"),
+)
+def slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn monitor: hourly error rate against a 20%
+    error budget with a 2× fast-burn alert threshold — the observability
+    readout (multi-window burn-rate alerting's single-window core) that a
+    platform team runs over this exact events stream; the streaming twin
+    is q_stream_tumbling's window with this CASE on top. Rates divide
+    exact integer counts; the alert compares against the identical
+    literal product on both engines. Scale: one hour-grain aggregation —
+    |hours|-sized output regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).cast("long").alias("n_err"),
+    )
+    rate = F.col("n_err") * F.lit(1.0) / F.col("n_total")
+    return hourly.select(
+        "hr",
+        "n_total",
+        "n_err",
+        F.round(rate, 6).alias("err_rate"),
+        F.when(rate > 2 * 0.2, 1).otherwise(0).cast("long").alias("burn_alert"),
+    )
