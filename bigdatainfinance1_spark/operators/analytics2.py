@@ -2670,3 +2670,206 @@ def slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("err_rate"),
         F.when(rate > 2 * 0.2, 1).otherwise(0).cast("long").alias("burn_alert"),
     )
+
+
+@query(
+    "q_data_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT 'lineitem.l_orderkey' AS key_name, l_orderkey AS k FROM lineitem
+      UNION ALL SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+      UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders
+      UNION ALL SELECT 'events.user_id', user_id FROM events
+    ),
+    groups AS (
+      SELECT key_name, k, count(*) AS cnt FROM per_key GROUP BY key_name, k
+    )
+    SELECT
+      key_name,
+      CAST(sum(cnt) AS BIGINT)             AS n_rows,
+      CAST(count(*) AS BIGINT)             AS ndv,
+      CAST(max(cnt) AS BIGINT)             AS max_group,
+      round(sum(cnt) * 1e0 / count(*), 4)  AS avg_group,
+      round(max(cnt) * count(*) * 1e0 / sum(cnt), 4) AS skew_ratio
+    FROM groups GROUP BY key_name
+    """,
+    tags=("analytics", "scale", "quality"),
+)
+def data_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the report you run BEFORE choosing
+    between a plain shuffle join, AQE skew splitting, and explicit
+    salting (q_salted_join): for each join-key candidate, the row count,
+    distinct keys, the largest single key's group, and the skew ratio
+    max/avg (1.0 = uniform; an executor-breaking hot key shows up as a
+    large multiple). Everything is exact integer counts with two exact-
+    integer ratios at the end. Scale: one groupBy per key column — the
+    same shuffles the real joins would do, so the report costs one pass
+    of what it protects; group relations are ndv-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    sources = [
+        ("lineitem.l_orderkey", li.select(F.col("l_orderkey").alias("k"))),
+        ("lineitem.l_partkey", li.select(F.col("l_partkey").alias("k"))),
+        ("lineitem.l_suppkey", li.select(F.col("l_suppkey").alias("k"))),
+        ("orders.o_custkey", orders.select(F.col("o_custkey").alias("k"))),
+        ("events.user_id", ev.select(F.col("user_id").alias("k"))),
+    ]
+    per_key = None
+    for name, df in sources:
+        tagged = df.select(F.lit(name).alias("key_name"), "k")
+        per_key = tagged if per_key is None else per_key.unionByName(tagged)
+    groups = per_key.groupBy("key_name", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    return groups.groupBy("key_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+        F.max("cnt").cast("long").alias("max_group"),
+        F.round(F.sum("cnt") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("avg_group"),
+        F.round(F.max("cnt") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("cnt"), 4).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+@query(
+    "q_price_index",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey, yr
+    ),
+    base AS (
+      SELECT l_partkey, qty AS qty_b, cents * 1e0 / qty AS price_b
+      FROM py WHERE yr = 1995
+    ),
+    cur AS (
+      SELECT l_partkey, yr, qty AS qty_y, cents * 1e0 / qty AS price_y
+      FROM py WHERE yr > 1995
+    )
+    SELECT
+      c.yr,
+      CAST(count(*) AS BIGINT) AS n_parts,
+      round(sum(c.price_y * b.qty_b) / sum(b.price_b * b.qty_b), 6) AS laspeyres,
+      round(sum(c.price_y * c.qty_y) / sum(b.price_b * c.qty_y), 6) AS paasche,
+      round(sqrt((sum(c.price_y * b.qty_b) / sum(b.price_b * b.qty_b))
+               * (sum(c.price_y * c.qty_y) / sum(b.price_b * c.qty_y))), 6) AS fisher
+    FROM cur c JOIN base b ON c.l_partkey = b.l_partkey
+    GROUP BY c.yr
+    """,
+    tags=("analytics", "finance"),
+)
+def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices per year against the
+    1995 base basket — the economics/FP&A deflator machinery, computed
+    over the parts present in both periods. Unit prices are exact-integer
+    ratios (cents/quantity — identical doubles on both engines); the
+    basket sums multiply those by exact integer quantities, so per-year
+    sums differ only in summation order under the 6-dp round; Fisher is
+    the geometric mean of two identical ratios. Scale: one (part, year)
+    aggregation, then a year-keyed join against the |parts|-sized base
+    relation — broadcastable; nothing beyond the first groupBy touches
+    the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        "l_partkey", F.year("l_shipdate").cast("long").alias("yr")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"),
+    )
+    price = F.col("cents") * F.lit(1.0) / F.col("qty")
+    base = py.filter(F.col("yr") == 1995).select(
+        "l_partkey", F.col("qty").alias("qty_b"), price.alias("price_b")
+    )
+    cur = py.filter(F.col("yr") > 1995).select(
+        "l_partkey", "yr", F.col("qty").alias("qty_y"), price.alias("price_y")
+    )
+    lasp = F.sum(F.col("price_y") * F.col("qty_b")) / F.sum(F.col("price_b") * F.col("qty_b"))
+    paas = F.sum(F.col("price_y") * F.col("qty_y")) / F.sum(F.col("price_b") * F.col("qty_y"))
+    return (
+        cur.join(F.broadcast(base), "l_partkey")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(lasp, 6).alias("laspeyres"),
+            F.round(paas, 6).alias("paasche"),
+            F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        )
+    )
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="""
+    WITH cent AS (
+      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      FROM embeddings, generate_series(1, 64) s(i)
+      GROUP BY label, i
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label,
+             sqrt(sum((CAST(e.embedding[s.i] AS DOUBLE) - c.c)
+                    * (CAST(e.embedding[s.i] AS DOUBLE) - c.c))) AS dist
+      FROM embeddings e, generate_series(1, 64) s(i)
+      JOIN cent c ON c.label = e.label AND c.i = s.i
+      GROUP BY e.vec_id, e.label
+    ),
+    thr AS (
+      SELECT label, round(quantile_cont(dist, 0.95), 6) AS p95
+      FROM dists GROUP BY label
+    )
+    SELECT
+      d.label,
+      CAST(count(*) AS BIGINT)                                  AS n_vecs,
+      min(t.p95)                                                AS p95_dist,
+      CAST(sum(CASE WHEN d.dist > t.p95 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS n_outliers,
+      round(max(d.dist), 6)                                     AS max_dist
+    FROM dists d JOIN thr t ON d.label = t.label
+    GROUP BY d.label
+    """,
+    tags=("similarity", "llm-pipeline"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen per label: Euclidean distance to the
+    label centroid, flagging vectors beyond the label's p95 — the vector-
+    hygiene check (mislabeled points, encoder failures, adversarial junk)
+    an embedding pipeline runs before training or ANN indexing; completes
+    the L7 family next to q_embedding_centroids/q_embedding_dispersion.
+    Centroids are ROUNDED TO 6 DP before any distance (both engines
+    subtract identical doubles — same pre-rounding guard as
+    q_iqr_outliers' quartiles), the p95 threshold is rounded before
+    comparison, and per-vector 64-term sums sit ≥1e-10 from every
+    decision boundary. Scale: fully distributed — explode → centroid
+    groupBy, centroid relation (|labels|×64) broadcast back, one more
+    keyed aggregation; no vector ever reaches the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), F.col("val").cast("double").alias("val"))
+    cent = exploded.groupBy("label", "i").agg(F.round(F.avg("val"), 6).alias("c"))
+    dists = (
+        exploded.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))).alias("dist"))
+    )
+    thr = dists.groupBy("label").agg(
+        F.round(F.expr("percentile(dist, 0.95)"), 6).alias("p95")
+    )
+    return (
+        dists.join(F.broadcast(thr), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("p95").alias("p95_dist"),
+            F.sum(F.when(F.col("dist") > F.col("p95"), 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+    )
