@@ -459,3 +459,73 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "q_csv_malformed",
+    oracle="""
+    WITH src AS (SELECT count(*) AS n_nation FROM nation)
+    SELECT
+      CAST(n_nation + 5 AS BIGINT) AS n_lines_staged,
+      CAST(n_nation AS BIGINT)     AS n_parsed_permissive_good,
+      CAST(5 AS BIGINT)            AS n_corrupt,
+      CAST(n_nation AS BIGINT)     AS n_dropmalformed
+    FROM src
+    """,
+    tags=("io", "etl", "quality"),
+)
+def csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on CSV ingest — the dirty-data reality of
+    any landing zone: a staged file carries the nation table plus 5
+    deliberately corrupt lines (wrong arity / non-numeric keys). Read
+    twice: PERMISSIVE mode with columnNameOfCorruptRecord capturing the
+    bad lines in-band (counted via the corrupt column), and DROPMALFORMED
+    discarding them. The corrupt-line count is pinned by construction, so
+    the oracle states the full contract arithmetically from the clean
+    relation — an unexpected parse (a corrupt line sneaking through, or a
+    good line dropped) fails the hash. Scale: malformed handling is
+    per-row in the scan — no coordination, no extra pass."""
+    import csv as _csv
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = _stage_dir("csv_malformed", sf_dir)
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        rows = nation.orderBy("n_nationkey").collect()
+        with open(os.path.join(path, "data.csv"), "w", newline="") as f:
+            wr = _csv.writer(f)
+            wr.writerow(["n_nationkey", "n_name", "n_regionkey"])
+            for r in rows:
+                wr.writerow([r["n_nationkey"], r["n_name"], r["n_regionkey"]])
+            f.write("not_a_number,BROKEN,also_bad\n")
+            f.write("99,UNQUOTED,STRAY,extra,fields,here\n")
+            f.write("x,y,z\n")
+            f.write("abc,MISSING_KEY,q\n")
+            f.write(",,,,,,,,\n")
+        open(marker, "w").close()
+    schema = "n_nationkey LONG, n_name STRING, n_regionkey LONG, _corrupt STRING"
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(os.path.join(path, "data.csv"))
+        .cache()
+    )
+    n_good = permissive.filter(F.col("_corrupt").isNull()).count()
+    n_corrupt = permissive.filter(F.col("_corrupt").isNotNull()).count()
+    # .count() would let the CSV reader prune every column and parse nothing,
+    # so DROPMALFORMED would drop nothing (upstream behavior: malformation is
+    # only detected for columns actually read). collect() forces full rows.
+    dropped = len(
+        spark.read.schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(os.path.join(path, "data.csv"))
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(n_good + n_corrupt, n_good, n_corrupt, dropped)],
+        "n_lines_staged long, n_parsed_permissive_good long, n_corrupt long, n_dropmalformed long",
+    )

@@ -756,3 +756,55 @@ def stream_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.sum(F.when(complete, 1).otherwise(0)).cast("long").alias("n_funnel_complete"),
     )
+
+
+@query(
+    "q_stream_slo_burn",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             count(*) AS n_total,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_err
+      FROM events GROUP BY hr
+    )
+    SELECT
+      CAST(hr AS TIMESTAMP)           AS hr,
+      CAST(n_total AS BIGINT)         AS n_total,
+      n_err,
+      round(n_err * 1e0 / n_total, 6) AS err_rate,
+      CAST(CASE WHEN n_err * 1e0 / n_total > 2 * 0.2 THEN 1 ELSE 0 END AS BIGINT)
+                                      AS burn_alert
+    FROM hourly
+    """,
+    tags=("streaming", "events", "quality"),
+)
+def stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_slo_burn: the hourly error-budget burn monitor
+    executed as a real Structured Streaming job — tumbling 1-hour window,
+    error and total counts aggregated in-stream, the rate and the 2×-budget
+    alert derived on the materialized windows. This is the operational
+    deployment shape (micro-batch alerting off a live event stream); the
+    batch oracle is bit-for-bit the same report because counts commute with
+    the replay. Alert state is per (window) — bounded; a production job
+    adds a watermark for eviction exactly as q_stream_watermarked shows."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_err"),
+        )
+        .select(F.col("window.start").alias("hr"), "n_total", "n_err")
+    )
+    out = run_to_table(agg, "complete")
+    rate = F.col("n_err") * F.lit(1.0) / F.col("n_total")
+    return out.select(
+        "hr",
+        "n_total",
+        "n_err",
+        F.round(rate, 6).alias("err_rate"),
+        F.when(rate > 2 * 0.2, 1).otherwise(0).cast("long").alias("burn_alert"),
+    )
