@@ -94,3 +94,106 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cid", F.col("cid").cast("long"))
     )
+
+
+PCA_ITERS = 6
+
+
+def _pca_oracle(iters: int = PCA_ITERS) -> str:
+    """DuckDB oracle for q_pca_power_iteration: identical unrolled power
+    iterations as chained CTEs (the q_pagerank_copurchase oracle pattern).
+    Every intermediate (covariance, matrix-vector products, norms) is
+    rounded to 12 dp so both engines iterate on bit-identical state —
+    summation-order ulps (~1e-16) can never compound across iterations."""
+    head = """
+    WITH exploded AS (
+      SELECT vec_id, s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, 64) s(i)
+    ),
+    mu AS (SELECT i, round(avg(val), 6) AS m FROM exploded GROUP BY i),
+    centered AS MATERIALIZED (
+      SELECT e.vec_id, e.i, e.val - mu.m AS cv
+      FROM exploded e JOIN mu ON e.i = mu.i
+    ),
+    nn AS (SELECT count(DISTINCT vec_id) AS n FROM exploded),
+    cov AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j,
+             round(sum(a.cv * b.cv) / ((SELECT n FROM nn) - 1), 12) AS c
+      FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT i, 0.125e0 AS x FROM mu)
+    """
+    steps = "".join(
+        f""",
+    w{k + 1} AS (
+      SELECT cov.i AS i, round(sum(cov.c * v{k}.x), 12) AS w
+      FROM cov JOIN v{k} ON cov.j = v{k}.i
+      GROUP BY cov.i
+    ),
+    n{k + 1} AS (SELECT round(sqrt(sum(w * w)), 12) AS nrm FROM w{k + 1}),
+    v{k + 1} AS (SELECT i, round(w / (SELECT nrm FROM n{k + 1}), 12) AS x FROM w{k + 1})"""
+        for k in range(iters)
+    )
+    return f"""
+    {head}{steps}
+    SELECT
+      CAST(v.i AS BIGINT)                         AS dim_idx,
+      round(v.x, 6)                               AS loading,
+      round((SELECT nrm FROM n{iters}), 6)        AS eigenvalue
+    FROM v{iters} v
+    """
+
+
+@query("q_pca_power_iteration", oracle=_pca_oracle(), tags=("iterative", "similarity", "llm-pipeline"))
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA first principal component by distributed power iteration — the
+    iterative linear-algebra operator class beyond k-means (q_kmeans) and
+    graph propagation (q_pagerank, q_bfs_hops): the 64×64 covariance is
+    computed FULLY DISTRIBUTED (per-vector dimension pair join → one
+    groupBy over 4096 cells — the only pass that touches the corpus),
+    then 6 power iterations run driver-side on the collected 64×64
+    matrix — bounded state (4096 doubles, the k-means centroid precedent:
+    collect only what is O(model), never O(data)); the corpus is never
+    revisited. A first cut iterated via 6 chained join+groupBy stages —
+    correct, but the deep lazy plan cost ~2 min of scheduler overhead for
+    microseconds of math; collecting the bounded matrix is the honest
+    production shape. Determinism across engines: means are
+    pre-rounded (6 dp), and every iteration re-rounds products and norms
+    at 12 dp — well above the ~1e-16 summation-order noise, well below
+    the signal — so Spark and DuckDB iterate on bit-identical state and
+    the 6-dp outputs match exactly. The final norm IS the eigenvalue
+    estimate (‖Σv‖ → λ₁ as v → e₁). At 100 TB the same plan holds: the
+    covariance pass is the corpus scan; iterations are O(d²) regardless
+    of rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val")).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("val").cast("double").alias("val")
+    )
+    mu = exploded.groupBy("i").agg(F.round(F.avg("val"), 6).alias("m"))
+    centered = exploded.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("val") - F.col("m")).alias("cv")
+    )
+    n = emb.count()
+    a = centered.select("vec_id", F.col("i").alias("ai"), F.col("cv").alias("acv"))
+    b = centered.select("vec_id", F.col("i").alias("j"), F.col("cv").alias("bcv"))
+    cov_rows = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), "j")
+        .agg(F.round(F.sum(F.col("acv") * F.col("bcv")) / (n - 1), 12).alias("c"))
+        .collect()
+    )
+    cov = {(r["i"], r["j"]): r["c"] for r in cov_rows}
+    # Python round() is banker's, SQL round() half-away — they differ only on
+    # exact .5 at the 12th dp, measure-zero over continuous covariances.
+    v = {i: 0.125 for i in range(1, DIM + 1)}
+    nrm = 0.0
+    for _ in range(PCA_ITERS):
+        w = {
+            i: round(sum(cov[(i, j)] * v[j] for j in range(1, DIM + 1)), 12)
+            for i in range(1, DIM + 1)
+        }
+        nrm = round(sum(x * x for x in w.values()) ** 0.5, 12)
+        v = {i: round(w[i] / nrm, 12) for i in range(1, DIM + 1)}
+    rows = [(i, round(v[i], 6), round(nrm, 6)) for i in range(1, DIM + 1)]
+    return spark.createDataFrame(rows, "dim_idx long, loading double, eigenvalue double")
