@@ -276,3 +276,26 @@ def test_interval_overlap_join_is_not_nested_loop(spark):
     plan = plan_of(SPECS["q_interval_overlap_bucketed"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sampling_is_partitioning_invariant(spark):
+    """The md5-order draws (PPS sample, global shuffle) must select the
+    exact same rows regardless of shuffle-partition count — reproducibility
+    across cluster sizes is the entire point of hash-order sampling."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("4", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            pps = SPECS["q_pps_sample"].fn(spark, SF_DIR)
+            results[("pps", parts)] = sorted(
+                (r["o_orderpriority"], r["o_orderkey"]) for r in pps.collect()
+            )
+            shuf = SPECS["q_global_shuffle"].fn(spark, SF_DIR)
+            results[("shuf", parts)] = sorted(
+                (r["shuffle_pos"], r["doc_id"]) for r in shuf.collect()
+            )
+        assert results[("pps", "4")] == results[("pps", "32")]
+        assert results[("shuf", "4")] == results[("shuf", "32")]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
