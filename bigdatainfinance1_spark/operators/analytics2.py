@@ -2873,3 +2873,218 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("dist"), 6).alias("max_dist"),
         )
     )
+
+
+@query(
+    "q_funnel_cohort_matrix",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT user_id, signup_ts,
+             datediff('day', DATE '1970-01-01', CAST(signup_ts AS DATE)) // 7 AS cohort_w
+      FROM signups
+    ),
+    converted AS (
+      SELECT c.user_id, c.cohort_w,
+             max(CASE WHEN e.event_type = 'purchase'
+                       AND e.ts > c.signup_ts
+                       AND epoch_us(e.ts) - epoch_us(c.signup_ts) <= 604800000000
+                      THEN 1 ELSE 0 END) AS conv
+      FROM cohorts c LEFT JOIN events e ON c.user_id = e.user_id
+      GROUP BY c.user_id, c.cohort_w
+    )
+    SELECT
+      CAST(cohort_w AS BIGINT)        AS cohort_w,
+      CAST(count(*) AS BIGINT)        AS n_users,
+      CAST(sum(conv) AS BIGINT)       AS n_converted,
+      round(sum(conv) * 1e0 / count(*), 4) AS cvr
+    FROM converted GROUP BY cohort_w
+    """,
+    tags=("analytics", "events"),
+)
+def funnel_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation funnel by signup cohort: users grouped by signup week
+    (integer epoch-week — engine-safe arithmetic), converted = made a
+    purchase within 7 days AFTER their first signup event — the
+    growth-team readout joining q_cohort_retention's cohort axis with
+    q_funnel_steps' conversion semantics. The window test runs on exact
+    integer µs; integer division is Spark DIV ↔ DuckDB //. Scale: one
+    user-grain reduce for signups, one user-keyed join back to events
+    (both sides hash on user_id), a cohort-grain rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    cohorts = signups.select(
+        "user_id",
+        "signup_ts",
+        F.expr(
+            "datediff(CAST(signup_ts AS DATE), DATE '1970-01-01') DIV 7"
+        ).alias("cohort_w"),
+    )
+    joined = cohorts.join(ev, "user_id", "left")
+    conv_flag = F.max(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("signup_ts"))
+            & (F.unix_micros("ts") - F.unix_micros("signup_ts") <= 604_800_000_000),
+            1,
+        ).otherwise(0)
+    )
+    converted = joined.groupBy("user_id", "cohort_w").agg(conv_flag.alias("conv"))
+    return converted.groupBy(F.col("cohort_w").cast("long").alias("cohort_w")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("conv").cast("long").alias("n_converted"),
+        F.round(F.sum("conv") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("cvr"),
+    )
+
+
+@query(
+    "q_margin_waterfall",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100e0, 2)
+        AS gross,
+      round(-sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100e0, 2)
+        AS discount_amt,
+      round(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100) AS BIGINT)) / 100e0, 2)
+        AS tax_amt,
+      round((sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             - sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+             + sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100) AS BIGINT)))
+            / 100e0, 2) AS net_charge
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("analytics", "finance"),
+)
+def margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per return flag: gross price → discount given →
+    tax collected → net charge (the TPC-H charge algebra laid out as the
+    FP&A bridge q_pricing_summary aggregates in one column). Each
+    component is per-line rounded to cents BEFORE summation with the
+    identical expression on both engines (the per-line products are
+    2-decimal×2-decimal — exact at the half-cent grain after round — so
+    both engines produce the same BIGINT per line; sums are then exact).
+    One scan, one 3-group aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gross_c = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    disc_c = F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long"))
+    tax_c = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax") * 100).cast(
+            "long"
+        )
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(gross_c / 100.0, 2).alias("gross"),
+        F.round(-disc_c / 100.0, 2).alias("discount_amt"),
+        F.round(tax_c / 100.0, 2).alias("tax_amt"),
+        F.round((gross_c - disc_c + tax_c) / 100.0, 2).alias("net_charge"),
+    )
+
+
+@query(
+    "q_order_reconciliation",
+    oracle="""
+    WITH line_tot AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             coalesce(l.line_cents, 0) AS line_cents
+      FROM orders o LEFT JOIN line_tot l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CASE WHEN line_cents = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+      CAST(sum(CASE WHEN line_cents > 0 AND abs(header_cents - line_cents) > 100
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+      round(max(abs(header_cents - line_cents)) / 100e0, 2) AS max_abs_diff,
+      round(sum(CASE WHEN line_cents > 0 AND abs(header_cents - line_cents) > 100
+                     THEN 1 ELSE 0 END) * 1e0 / count(*), 6) AS mismatch_share
+    FROM recon
+    """,
+    tags=("analytics", "quality", "finance"),
+)
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: does each order's stated total
+    match the sum of its line items? — the control every finance close
+    runs between a summary ledger and its detail (and, at 100 TB, between
+    two systems that were supposed to agree). Reports orders with no
+    lines, orders off by more than a dollar, the worst discrepancy, and
+    the mismatch share. All comparisons happen in exact integer cents;
+    whatever the synthetic generator's answer is, it is deterministic and
+    identical on both engines. Scale: one orderkey-grain aggregation of
+    the fact, one keyed outer join to the header — the q_galaxy_join
+    shuffle shape without the dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    line_tot = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("line_cents")
+    )
+    recon = orders.join(line_tot, orders.o_orderkey == line_tot.l_orderkey, "left").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+        F.coalesce("line_cents", F.lit(0)).alias("line_cents"),
+    )
+    diff = F.abs(F.col("header_cents") - F.col("line_cents"))
+    mism = (F.col("line_cents") > 0) & (diff > 100)
+    return recon.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("line_cents") == 0, 1).otherwise(0)).cast("long").alias("n_no_lines"),
+        F.sum(F.when(mism, 1).otherwise(0)).cast("long").alias("n_mismatched"),
+        F.round(F.max(diff) / 100.0, 2).alias("max_abs_diff"),
+        F.round(F.sum(F.when(mism, 1).otherwise(0)) * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "mismatch_share"
+        ),
+    )
+
+
+@query(
+    "q_gdpr_erasure",
+    oracle="""
+    WITH targets AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    kept AS (
+      SELECT e.* FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM targets t WHERE t.user_id = e.user_id)
+    )
+    SELECT
+      (SELECT count(*) FROM events)                       AS n_before,
+      (SELECT count(*) FROM targets)                      AS n_users_erased,
+      (SELECT count(*) FROM events) - count(*)            AS n_rows_erased,
+      CAST(count(*) AS BIGINT)                            AS n_after,
+      CAST(count(DISTINCT user_id) AS BIGINT)             AS n_users_after
+    FROM kept
+    """,
+    tags=("analytics", "quality", "governance"),
+)
+def gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure batch: remove every event belonging to a deletion
+    list (users with id ≡ 0 mod 97 — the deterministic stand-in for a DSR
+    queue) via a broadcast anti-join, and emit the audit record a DPO
+    actually files: rows before, users and rows erased, rows and users
+    remaining. With q_masked_view (masking) and q_k_anonymity
+    (re-identification risk) this completes the governance trio. Scale:
+    the deletion list is always small → broadcast anti-join, one scan,
+    no shuffle of the fact; on a lake the same plan feeds a partition
+    overwrite (q_merge_upsert's write path)."""
+    ev = load_table(spark, sf_dir, "events")
+    targets = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    kept = ev.join(F.broadcast(targets), "user_id", "left_anti")
+    n_before = ev.count()
+    n_targets = targets.count()
+    return kept.agg(
+        F.lit(n_before).cast("long").alias("n_before"),
+        F.lit(n_targets).cast("long").alias("n_users_erased"),
+        (F.lit(n_before) - F.count(F.lit(1))).cast("long").alias("n_rows_erased"),
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.count_distinct("user_id").cast("long").alias("n_users_after"),
+    )
