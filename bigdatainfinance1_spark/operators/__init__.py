@@ -5,6 +5,7 @@ from bigdatainfinance1_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
     analytics2,
+    analytics3,
     dedup,
     io_etl,
     iterative,

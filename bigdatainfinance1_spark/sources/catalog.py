@@ -38,21 +38,28 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "par
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table; schema inferred from the parquet footer.
 
-    `events.ts` is physically TIMESTAMP(NANOS), which Spark 4 refuses to map
-    to TimestampType. We read nanos as long (legacy conf) and truncate to a
-    microsecond timestamp — exactly what DuckDB does when it reads the same
-    file, so the oracle comparison stays bit-identical.
+    Timestamp normalization: the driver's generator has produced two
+    physical encodings across rounds — TIMESTAMP(NANOS) (Spark 4 refuses to
+    map it; we read nanos as long via the legacy conf and truncate), and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark 4 maps it to
+    TIMESTAMP_NTZ, which functions like unix_micros reject). Both are
+    normalized here to plain TimestampType. The session timezone is pinned
+    UTC (session.py), so the NTZ→TZ cast preserves the wall-clock value —
+    exactly the naive timestamp DuckDB reads from the same file, keeping
+    the oracle comparison bit-identical either way.
     """
     ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer DIV, not float division: ns values exceed 2^53, double
-            # arithmetic would round the microsecond off by one
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # integer DIV, not float division: ns values exceed 2^53, double
+        # arithmetic would round the microsecond off by one
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 
