@@ -298,3 +298,249 @@ def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_pos.cast("long").alias("first_rel_pos"),
         F.round(F.coalesce(F.lit(1.0) / first_pos, F.lit(0.0)), 6).alias("rr"),
     )
+
+
+@query(
+    "q_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS m,
+        CAST(round(o_totalprice * 100) AS BIGINT)                   AS cents,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END             AS pos,
+        o_orderkey
+      FROM orders
+    ),
+    binned AS (
+      SELECT m, cents, pos,
+             ntile(10) OVER (PARTITION BY m ORDER BY cents, o_orderkey) AS decile
+      FROM scored
+    )
+    SELECT
+      m,
+      decile,
+      CAST(count(*) AS BIGINT)                        AS n,
+      round(sum(cents) / 100e0 / count(*), 4)         AS avg_price,
+      round(sum(pos) * 1e0 / count(*), 6)             AS event_rate
+    FROM binned
+    GROUP BY m, decile
+    """,
+    tags=("analytics", "ml-eval", "stats"),
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability bins for the q_auc_by_month score: split
+    each month's orders into price deciles and report the observed
+    finalized-rate per decile — AUC says the score RANKS well, this says
+    where its probability mapping is honest (the reliability-diagram
+    input every model monitor plots). ntile orders by (cents, o_orderkey)
+    — a total order, so both engines assign identical deciles even across
+    tied prices. Means are exact-integer sums divided once. Scale: the
+    decile window is partitioned by month (the parallelism axis); one
+    groupBy on (month, decile) ends the plan — same two-shuffle budget as
+    any partitioned ranking."""
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("m").orderBy("cents", "o_orderkey")
+    binned = scored.withColumn("decile", F.ntile(10).over(w))
+    return binned.groupBy("m", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("cents") / F.lit(100.0) / F.count(F.lit(1)), 4).alias("avg_price"),
+        F.round(F.sum("pos") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("event_rate"),
+    )
+
+
+@query(
+    "q_l_diversity",
+    oracle="""
+    WITH tagged AS (
+      SELECT c_mktsegment, c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS sens
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(count(*) AS BIGINT)             AS cell_n,
+             CAST(count(DISTINCT sens) AS BIGINT) AS l
+      FROM tagged GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                               AS n_cells,
+      CAST(min(l) AS BIGINT)                                 AS min_l,
+      CAST(count(CASE WHEN l < 2 THEN 1 END) AS BIGINT)      AS cells_below_l2,
+      CAST(sum(CASE WHEN l < 2 THEN cell_n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      round(sum(CASE WHEN l < 2 THEN cell_n ELSE 0 END) * 1e0
+            / sum(cell_n), 6)                                AS risk_share
+    FROM cells
+    """,
+    tags=("analytics", "quality", "privacy"),
+)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity screen, the companion to q_k_anonymity on the same
+    quasi-identifier cells (mktsegment × nationkey): a cell can be
+    k-anonymous yet still leak if everyone in it shares the sensitive
+    value, so this measures the DISTINCT sensitive values (account-balance
+    band neg/mid/high) per cell and flags cells below l=2 — the standard
+    second gate before releasing a coarsened extract. Scale: one groupBy
+    on the cell key with a distinct-agg (Spark expands to two-phase
+    partial aggregation), then a 5-number global summary — nothing wide
+    anywhere."""
+    cust = load_table(spark, sf_dir, "customer")
+    tagged = cust.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("sens"),
+    )
+    cells = tagged.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("cell_n"),
+        F.count_distinct("sens").cast("long").alias("l"),
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.min("l").cast("long").alias("min_l"),
+        F.count(F.when(F.col("l") < 2, 1)).cast("long").alias("cells_below_l2"),
+        F.sum(F.when(F.col("l") < 2, F.col("cell_n")).otherwise(0)).cast("long").alias("rows_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("l") < 2, F.col("cell_n")).otherwise(0)) * F.lit(1.0)
+            / F.sum("cell_n"),
+            6,
+        ).alias("risk_share"),
+    )
+
+
+@query(
+    "q_kfold_ols",
+    oracle="""
+    WITH obs AS (
+      SELECT
+        (instr('0123456789abcdef',
+               substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                             || CAST(l_linenumber AS VARCHAR)), 1, 1)) - 1) % 5
+          AS fold,
+        CAST(l_quantity AS BIGINT)                   AS x,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    per_fold AS (
+      SELECT fold,
+             CAST(count(*) AS BIGINT)     AS nf,
+             CAST(sum(x)  AS BIGINT)      AS sx,
+             CAST(sum(y)  AS BIGINT)      AS sy,
+             CAST(sum(x * x) AS BIGINT)   AS sxx,
+             CAST(sum(x * y) AS BIGINT)   AS sxy,
+             sum(CAST(y AS HUGEINT) * y)  AS syy
+      FROM obs GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(sum(nf) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+             CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
+             CAST(sum(sxy) AS BIGINT) AS tsxy
+      FROM per_fold
+    ),
+    fit AS (
+      SELECT f.fold, f.nf, f.sx, f.sy, f.sxy, f.sxx, CAST(f.syy AS DOUBLE) AS syy,
+             t.tn - f.nf AS n_train,
+             ((t.tn - f.nf) * 1e0 * (t.tsxy - f.sxy)
+              - (t.tsx - f.sx) * 1e0 * (t.tsy - f.sy))
+             / ((t.tn - f.nf) * 1e0 * (t.tsxx - f.sxx)
+                - (t.tsx - f.sx) * 1e0 * (t.tsx - f.sx)) AS b,
+             t.tsx - f.sx AS trx, t.tsy - f.sy AS try_, t.tn - f.nf AS trn
+      FROM per_fold f CROSS JOIN tot t
+    ),
+    pred AS (
+      SELECT fold, nf, n_train, b,
+             (try_ * 1e0 - b * trx) / trn AS a,
+             sx, sy, sxy, sxx, syy
+      FROM fit
+    )
+    SELECT
+      CAST(fold AS BIGINT) AS fold,
+      CAST(n_train AS BIGINT) AS n_train,
+      CAST(nf AS BIGINT)      AS n_holdout,
+      round(b / 100, 6)       AS slope_dollars,
+      round(a / 100, 4)       AS intercept_dollars,
+      round((syy - 2e0 * a * sy - 2e0 * b * sxy + nf * 1e0 * a * a
+             + 2e0 * a * b * sx + b * b * sxx) / nf / 10000, 4) AS holdout_mse
+    FROM pred
+    """,
+    tags=("analytics", "ml-eval", "stats"),
+)
+def kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated simple OLS (extended price on quantity) in
+    ONE data scan: per-fold exact sufficient statistics (n, Σx, Σy, Σx²,
+    Σxy, Σy²), then each fold's TRAIN stats are the totals minus its own —
+    the fold-complement trick that makes k-fold CV a tiny post-aggregation
+    instead of k re-scans. Holdout MSE comes from the same stats
+    (SSE = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σxx), so no residual pass
+    and no order-dependent double summation anywhere. Fold assignment is
+    the repo's md5-hex convention (cross-engine stable); Σy² exceeds int64
+    at sf0.1 so it is summed exactly as decimal/HUGEINT and cast to double
+    once, and the centered slope runs in DOUBLE with the identical
+    expression shape on both engines (q_ols_two_factor house pattern).
+    Scale: one groupBy to 5 rows + a broadcast of the 1-row totals —
+    nothing else moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string"))
+    obs = li.select(
+        ((F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(key), 1, 1)) - 1) % 5).alias("fold"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    per_fold = obs.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("nf"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")).alias("syy_d"),
+    )
+    tot = per_fold.agg(
+        F.sum("nf").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+    )
+    f = per_fold.crossJoin(F.broadcast(tot))
+    trn = F.col("tn") - F.col("nf")
+    trx = F.col("tsx") - F.col("sx")
+    try_ = F.col("tsy") - F.col("sy")
+    b = (
+        trn * F.lit(1.0) * (F.col("tsxy") - F.col("sxy")) - trx * F.lit(1.0) * try_
+    ) / (trn * F.lit(1.0) * (F.col("tsxx") - F.col("sxx")) - trx * F.lit(1.0) * trx)
+    fit = f.select(
+        "fold", "nf", "sx", "sy", "sxy", "sxx",
+        F.col("syy_d").cast("double").alias("syy"),
+        trn.alias("n_train"),
+        b.alias("b"),
+        trx.alias("trx"),
+        try_.alias("try_"),
+        trn.alias("trn"),
+    )
+    a = (F.col("try_") * F.lit(1.0) - F.col("b") * F.col("trx")) / F.col("trn")
+    pred = fit.select("fold", "nf", "n_train", "b", a.alias("a"), "sx", "sy", "sxy", "sxx", "syy")
+    sse = (
+        F.col("syy")
+        - F.lit(2.0) * F.col("a") * F.col("sy")
+        - F.lit(2.0) * F.col("b") * F.col("sxy")
+        + F.col("nf") * F.lit(1.0) * F.col("a") * F.col("a")
+        + F.lit(2.0) * F.col("a") * F.col("b") * F.col("sx")
+        + F.col("b") * F.col("b") * F.col("sxx")
+    )
+    return pred.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("nf").cast("long").alias("n_holdout"),
+        F.round(F.col("b") / 100, 6).alias("slope_dollars"),
+        F.round(F.col("a") / 100, 4).alias("intercept_dollars"),
+        F.round(sse / F.col("nf") / 10000, 4).alias("holdout_mse"),
+    )
