@@ -300,6 +300,193 @@ def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable HyperLogLog over md5 bits: m = 256 buckets (b = 8), register =
+# max leading-zero run of the remaining 120 bits (+1), capped at 40 so the
+# harmonic sum scales to an EXACT BIGINT (Σ 2^(40−M) ≤ 256·2^40 ≈ 2.8e14).
+# The nibble→leading-zeros map and the md5 of the key's decimal string are
+# engine-independent, so Spark and DuckDB build bit-identical registers —
+# unlike the engines' native HLLs (q_approx_distinct stays rows-only for
+# exactly that reason). One SQL text runs verbatim on both engines.
+_HLL_SQL = """
+    WITH h AS (
+      SELECT md5(CAST(user_id AS STRING)) AS hx FROM events
+    ),
+    nib AS (
+      SELECT
+        (instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+          + instr('0123456789abcdef', substring(hx, 2, 1)) - 1 AS bucket,
+        length(regexp_extract(substring(hx, 3, 30), '^(0*)', 1))  AS zn,
+        substring(hx, 3 + length(regexp_extract(substring(hx, 3, 30), '^(0*)', 1)), 1) AS fc
+      FROM h
+    ),
+    rho AS (
+      SELECT bucket,
+             LEAST(4 * zn
+                   + CASE WHEN fc = '' THEN 4
+                          WHEN fc = '1' THEN 3
+                          WHEN fc IN ('2', '3') THEN 2
+                          WHEN fc IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END
+                   + 1,
+                   40) AS r
+      FROM nib
+    ),
+    regs AS (SELECT bucket, max(r) AS m FROM rho GROUP BY bucket),
+    s AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS hit,
+        CAST(sum(CAST(pow(2e0, 40 - m) AS BIGINT)) AS BIGINT) AS hit_sum
+      FROM regs
+    ),
+    est AS (
+      SELECT
+        hit,
+        256 - hit AS v,
+        hit_sum + (256 - hit) * CAST(pow(2e0, 40) AS BIGINT) AS s_total
+      FROM s
+    ),
+    raw AS (
+      SELECT hit, v,
+             (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0 * pow(2e0, 40)
+               / s_total AS e_raw
+      FROM est
+    ),
+    final AS (
+      SELECT hit, v,
+             CASE WHEN e_raw <= 640e0 AND v > 0
+                  THEN 256e0 * ln(256e0 / v)
+                  ELSE e_raw END AS e
+      FROM raw
+    ),
+    truth AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM events)
+    SELECT
+      f.hit                                   AS n_buckets_hit,
+      round(f.e, 4)                           AS hll_estimate,
+      t.exact_distinct,
+      round(abs(f.e - t.exact_distinct) / t.exact_distinct, 6) AS rel_error
+    FROM final f CROSS JOIN truth t
+"""
+
+
+@query("q_hll_distinct", oracle=_HLL_SQL, tags=("aggregate", "sketch", "approx"))
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 upgraded to a full value-hash oracle: HyperLogLog distinct-count
+    of event users built from PORTABLE md5-derived registers (b = 8 →
+    m = 256 buckets; register = leading-zero run of the next 120 bits + 1,
+    capped at 40). The harmonic mean is computed as an exact integer —
+    Σ 2^(40−M_j) in BIGINT — so no order-dependent double summation exists
+    and both engines produce the bit-identical estimate, including the
+    standard linear-counting correction below 5m/2 with empty buckets.
+    The exact distinct count rides along for the relative-error report —
+    the events table has only ~150 distinct users, so it is the
+    linear-counting branch that actually fires (4.2%% error at sf0.01;
+    theory says ~1.04/√256 ≈ 6.5%% for the raw estimator). Scale: the
+    sketch is 256 registers regardless of input size — map + groupBy(256)
+    + two scalar rows; this is the mergeable-sketch shape that replaces
+    exact COUNT DISTINCT at 100 TB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HLL_SQL)
+
+
+# KMV (k-minimum-values) sketch with set algebra: keep the k = 64 smallest
+# md5 values per cohort; the k-th smallest value estimates cardinality
+# ((k−1)/u_k), and — unlike HLL — two sketches compose to an INTERSECTION
+# estimate via the Jaccard of their merged top-k. Hash values are the first
+# 12 md5 nibbles assembled into an exact 48-bit BIGINT (nibble lookup ×
+# exact powers of 16), so ordering and ratios are engine-identical. When
+# the merged sketch holds fewer than k values it has seen the whole set and
+# degrades to exact counting (k_eff guard) — which is what the sf0.001
+# smoke grain exercises (15 users/cohort).
+_KMV_SQL = """
+    WITH pos AS (
+      SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12)) AS t(p)
+    ),
+    cohorts AS (
+      SELECT DISTINCT 'click' AS cohort, user_id FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT DISTINCT 'purchase' AS cohort, user_id FROM events WHERE event_type = 'purchase'
+    ),
+    hashed AS (
+      SELECT cohort, user_id, md5(CAST(user_id AS STRING)) AS hx FROM cohorts
+    ),
+    vals AS (
+      SELECT cohort, user_id,
+             CAST(sum((instr('0123456789abcdef', substring(hx, p, 1)) - 1)
+                      * CAST(pow(16e0, 12 - p) AS BIGINT)) AS BIGINT) AS val
+      FROM hashed CROSS JOIN pos
+      GROUP BY cohort, user_id, hx
+    ),
+    topk AS (
+      SELECT cohort, val,
+             row_number() OVER (PARTITION BY cohort ORDER BY val) AS rn
+      FROM vals
+    ),
+    ak AS (SELECT val FROM topk WHERE cohort = 'click' AND rn <= 64),
+    bk AS (SELECT val FROM topk WHERE cohort = 'purchase' AND rn <= 64),
+    merged AS (
+      SELECT DISTINCT val FROM (SELECT val FROM ak UNION ALL SELECT val FROM bk) u
+    ),
+    mk AS (
+      SELECT val, row_number() OVER (PARTITION BY 1 ORDER BY val) AS rn FROM merged
+    ),
+    m64 AS (SELECT val FROM mk WHERE rn <= 64),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_m, max(val) AS kth FROM m64
+    ),
+    rho AS (
+      SELECT CAST(count(*) AS BIGINT) AS inter_k
+      FROM m64
+      WHERE val IN (SELECT val FROM ak) AND val IN (SELECT val FROM bk)
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+      JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b
+        USING (user_id)
+    ),
+    est AS (
+      SELECT
+        r.inter_k,
+        s.n_m,
+        CASE WHEN s.n_m < 64 THEN s.n_m * 1e0
+             ELSE 63e0 * pow(2e0, 48) / s.kth END AS est_union
+      FROM rho r CROSS JOIN stats s
+    )
+    SELECT
+      inter_k,
+      n_m                                                        AS n_sketch,
+      round(est_union, 4)                                        AS est_union,
+      round(inter_k * est_union / LEAST(64, n_m), 4)             AS est_overlap,
+      e.exact_overlap,
+      round(abs(inter_k * est_union / LEAST(64, n_m) - e.exact_overlap)
+            / e.exact_overlap, 6)                                AS rel_error
+    FROM est CROSS JOIN exact e
+"""
+
+
+@query("q_kmv_overlap", oracle=_KMV_SQL, tags=("aggregate", "sketch", "approx"))
+def kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set-algebra: estimate |clickers ∩ purchasers| from two
+    64-minimum-value sketches — the intersection estimate HLL structurally
+    cannot give (q_hll_distinct is the cardinality twin). ρ = share of the
+    merged top-k present in both cohort sketches, est = ρ · est_union with
+    (k−1)/u_k as the union estimator; all hash material is an exact 48-bit
+    integer from md5 nibbles so both engines order and divide identically,
+    and a sketch smaller than k degrades to exact counting (k_eff guard —
+    the sf0.001 grain has 15 users/cohort and exercises it). Scale: the
+    only unbounded work is one distinct per cohort; every window beyond it
+    runs on ≤64-row relations (the constant-partition window is bounded by
+    construction). Sketches of this shape merge associatively across
+    partitions/days — the production path for overlap dashboards at
+    100 TB. One SQL text runs verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_KMV_SQL)
+
+
 @query(
     "q_calibration_bins",
     oracle="""
