@@ -542,6 +542,130 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_negative_sampling",
+    oracle="""
+    WITH purchased AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    custs AS (SELECT DISTINCT cust FROM purchased),
+    cand AS (
+      SELECT c.cust, p.p_partkey AS part,
+             md5(CAST(c.cust AS STRING) || '-' || CAST(p.p_partkey AS STRING)) AS hx
+      FROM custs c CROSS JOIN part p
+      WHERE ((instr('0123456789abcdef', substring(
+               md5(CAST(c.cust AS STRING) || '-' || CAST(p.p_partkey AS STRING)), 1, 1)) - 1) * 16
+             + instr('0123456789abcdef', substring(
+               md5(CAST(c.cust AS STRING) || '-' || CAST(p.p_partkey AS STRING)), 2, 1)) - 1) % 64 = 0
+    ),
+    negatives AS (
+      SELECT cand.cust, cand.part, cand.hx
+      FROM cand
+      LEFT JOIN purchased pu ON cand.cust = pu.cust AND cand.part = pu.part
+      WHERE pu.cust IS NULL
+    ),
+    ranked AS (
+      SELECT cust, part,
+             row_number() OVER (PARTITION BY cust ORDER BY hx, part) AS rn
+      FROM negatives
+    )
+    SELECT cust, CAST(rn AS BIGINT) AS rn, part AS neg_partkey
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("llm", "pipeline", "sampling"),
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training: for every purchasing customer, 3 parts they never bought,
+    drawn by md5 order from a hash-bucketed candidate slice (bucket 0 of
+    64 → ~1/64 of the catalog per customer) and anti-joined against the
+    positives — the standard candidate-generation shape. Scale: the part
+    dimension is broadcast (BROADCAST_DIMS), so candidate generation is a
+    map-side probe over customers × bucketed-dim with NO shuffle of the
+    customer side; the anti-join shuffles only the ~P/64-per-customer
+    candidate slice, and the top-3 window is partitioned per customer.
+    Every draw is md5-keyed (cross-engine stable), so resampling a day's
+    partition reproduces the identical negatives — the property that makes
+    training runs diffable."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    purchased = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    custs = purchased.select("cust").distinct()
+    hx = F.md5(F.concat(F.col("cust").cast("string"), F.lit("-"), F.col("p_partkey").cast("string")))
+    bucket = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(hx, 1, 1)) - 1) * 16
+        + F.instr(F.lit("0123456789abcdef"), F.substring(hx, 2, 1))
+        - 1
+    ) % 64
+    cand = (
+        custs.crossJoin(F.broadcast(part.select("p_partkey")))
+        .filter(bucket == 0)
+        .select("cust", F.col("p_partkey").alias("part"), hx.alias("hx"))
+    )
+    negatives = cand.join(purchased, ["cust", "part"], "left_anti")
+    w = Window.partitionBy("cust").orderBy("hx", "part")
+    return (
+        negatives.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("cust", F.col("rn").cast("long").alias("rn"), F.col("part").alias("neg_partkey"))
+    )
+
+
+@query(
+    "q_churn_labels",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS m,
+             datediff('day', o_orderdate,
+               lead(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               )) AS gap_days
+      FROM orders
+    )
+    SELECT
+      m,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CASE WHEN gap_days IS NULL OR gap_days > 90 THEN 1 ELSE 0 END)
+           AS BIGINT)          AS n_churn_events,
+      round(sum(CASE WHEN gap_days IS NULL OR gap_days > 90 THEN 1 ELSE 0 END)
+            * 1e0 / count(*), 6) AS churn_rate
+    FROM seq
+    GROUP BY m
+    """,
+    tags=("analytics", "ml-eval", "labels"),
+)
+def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn-label generation: an order is a churn event when
+    the SAME customer's next order is more than 90 days out (or never
+    comes) — the label every retention model trains on, built with a
+    forward-looking lead() so the feature cutoff and label window cannot
+    overlap. Reported as a per-month label profile (count, churn events,
+    rate). Integer day arithmetic, (date, orderkey) total order for the
+    lead. Scale: one shuffle on customer for the sequence window, then a
+    month-keyed aggregate — the same two-stage budget as any
+    sessionization; label generation at 100 TB is exactly this plan per
+    feature-store partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate")).alias("gap_days"),
+    )
+    churn = F.when(F.col("gap_days").isNull() | (F.col("gap_days") > 90), 1).otherwise(0)
+    return seq.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(churn).cast("long").alias("n_churn_events"),
+        F.round(F.sum(churn) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("churn_rate"),
+    )
+
+
+@query(
     "q_l_diversity",
     oracle="""
     WITH tagged AS (
@@ -601,6 +725,96 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("cell_n"),
             6,
         ).alias("risk_share"),
+    )
+
+
+@query(
+    "q_portfolio_cov",
+    oracle="""
+    WITH daily AS (
+      SELECT
+        c.c_nationkey AS nk,
+        datediff('day', DATE '1970-01-01', o.o_orderdate) AS d,
+        CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nk, d
+    ),
+    pairs AS (
+      SELECT a.nk AS nk1, b.nk AS nk2,
+             CAST(count(*) AS BIGINT)                      AS n_days,
+             CAST(sum(a.cents) AS BIGINT)                  AS sx,
+             CAST(sum(b.cents) AS BIGINT)                  AS sy,
+             sum(CAST(a.cents AS HUGEINT) * b.cents)       AS sxy
+      FROM daily a JOIN daily b ON a.d = b.d AND a.nk <= b.nk
+      GROUP BY nk1, nk2
+    )
+    SELECT
+      n1.n_name AS nation1,
+      n2.n_name AS nation2,
+      p.n_days,
+      round((CAST(p.sxy AS DOUBLE) - p.sx * 1e0 * p.sy / p.n_days)
+            / p.n_days / 1e4 / 1e6, 4) AS cov_mm_dollars2
+    FROM pairs p
+    JOIN nation n1 ON p.nk1 = n1.n_nationkey
+    JOIN nation n2 ON p.nk2 = n2.n_nationkey
+    """,
+    tags=("analytics", "finance", "stats"),
+)
+def portfolio_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of daily revenue across nations —
+    the Σ every parametric portfolio-risk number (w'Σw) is built from
+    (q_var_cvar is the historical-quantile twin). Daily series in exact
+    integer cents; the pair join is keyed on the DAY with nk1 ≤ nk2, so
+    the fan-out is bounded by nations²/2 per day no matter the row count
+    — the bounded-group trick again. Σxy is summed exactly (decimal /
+    HUGEINT — daily-cents products pass int64 from sf0.1 up), and the
+    population covariance (Σxy − ΣxΣy/n)/n divides identical doubles on
+    both engines, reported in dollars². Days are paired by inner join:
+    a pair's covariance uses days where BOTH nations traded (conditional
+    covariance — documented semantics). Scale: groupBy (nation, day) is
+    one linear shuffle; everything after runs on the bounded daily
+    relation; nation names broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    a = daily.select(F.col("nk").alias("nk1"), "d", F.col("cents").alias("ca"))
+    b = daily.select(F.col("nk").alias("nk2"), F.col("d").alias("d2"), F.col("cents").alias("cb"))
+    pairs = (
+        a.join(b, (F.col("d") == F.col("d2")) & (F.col("nk1") <= F.col("nk2")))
+        .groupBy("nk1", "nk2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("ca").cast("long").alias("sx"),
+            F.sum("cb").cast("long").alias("sy"),
+            F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")).alias("sxy"),
+        )
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("nation1"))
+    n2 = nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation2"))
+    return (
+        pairs.join(F.broadcast(n1), "nk1")
+        .join(F.broadcast(n2), "nk2")
+        .select(
+            "nation1",
+            "nation2",
+            "n_days",
+            F.round(
+                (F.col("sxy").cast("double") - F.col("sx") * F.lit(1.0) * F.col("sy") / F.col("n_days"))
+                / F.col("n_days")
+                / F.lit(1e4)
+                / F.lit(1e6),
+                4,
+            ).alias("cov_mm_dollars2"),
+        )
     )
 
 
