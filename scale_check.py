@@ -67,6 +67,11 @@ QUERIES = [
     "q_char_entropy",
     "q_global_shuffle",
     "q_kaplan_meier",
+    # round-2 fourth wave: new nontrivial cost curves
+    "q_rolling_distinct_users",
+    "q_cdc_apply",
+    "q_negative_sampling",
+    "q_hll_distinct",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
@@ -114,7 +119,11 @@ def main() -> None:
     specs = load_all_queries()
     specs["q_pricing_summary"].fn(spark, BASE_SF).limit(1).collect()  # warmup
 
-    for name in QUERIES:
+    # optional positional args: run only the named queries (still from the
+    # curated QUERIES list order) — keeps incremental re-measurement cheap
+    picked = [a for a in sys.argv[1:] if not a.startswith("--")]
+    to_run = [n for n in QUERIES if n in picked] if picked else QUERIES
+    for name in to_run:
         t0 = time.perf_counter()
         specs[name].fn(spark, BASE_SF).write.format("noop").mode("overwrite").save()
         t_base = time.perf_counter() - t0
