@@ -721,6 +721,118 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_user_cf_neighbors",
+    oracle="""
+    WITH purchased AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pop AS (
+      SELECT part, count(*) AS n_buyers FROM purchased GROUP BY part
+    ),
+    informative AS (
+      SELECT p.cust, p.part
+      FROM purchased p JOIN pop ON p.part = pop.part
+      WHERE pop.n_buyers <= 50
+    ),
+    sizes AS (
+      SELECT cust, CAST(count(*) AS BIGINT) AS sz FROM informative GROUP BY cust
+    ),
+    common AS (
+      SELECT a.cust AS c1, b.cust AS c2, CAST(count(*) AS BIGINT) AS n_common
+      FROM informative a JOIN informative b
+        ON a.part = b.part AND a.cust < b.cust
+      GROUP BY c1, c2
+    ),
+    both_dirs AS (
+      SELECT c1, c2, n_common FROM common
+      UNION ALL
+      SELECT c2, c1, n_common FROM common
+    ),
+    scored AS (
+      SELECT bd.c1, bd.c2, bd.n_common,
+             round(bd.n_common * 1e0 / (s1.sz + s2.sz - bd.n_common), 6) AS jaccard
+      FROM both_dirs bd
+      JOIN sizes s1 ON bd.c1 = s1.cust
+      JOIN sizes s2 ON bd.c2 = s2.cust
+    ),
+    ranked AS (
+      SELECT c1, c2, n_common, jaccard,
+             row_number() OVER (
+               PARTITION BY c1 ORDER BY jaccard DESC, c2
+             ) AS rn
+      FROM scored
+    )
+    SELECT c1 AS cust, CAST(rn AS BIGINT) AS rn, c2 AS neighbor, n_common, jaccard
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("analytics", "recsys", "similarity"),
+)
+def user_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user collaborative-filtering neighbors: top-3 most similar
+    customers by Jaccard over purchased part sets — the classic
+    neighborhood model, built scale-honestly with the FREQUENCY CAP: parts
+    bought by more than 50 customers are dropped before the pair join
+    (a part bought by B customers emits B² pairs; popular items carry no
+    similarity signal and all of the quadratic cost — the standard
+    inverse-frequency trick, so pair fan-out is bounded by Σ min(B,50)²).
+    Jaccard is exact-integer counts divided once, rounded BEFORE ranking;
+    row_number breaks ties by neighbor id so top-3 is engine-stable.
+    Scale: pair generation shuffles on the part key (bounded groups), the
+    ranking window on the customer key — no cross join anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    purchased = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    pop = purchased.groupBy("part").agg(F.count(F.lit(1)).alias("n_buyers"))
+    informative = purchased.join(
+        pop.filter(F.col("n_buyers") <= 50).select("part"), "part"
+    )
+    sizes = informative.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = informative.select(F.col("cust").alias("c1"), "part")
+    b = informative.select(F.col("cust").alias("c2"), "part")
+    common = (
+        a.join(b, "part")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    both_dirs = common.unionByName(
+        common.select(F.col("c2").alias("c1"), F.col("c1").alias("c2"), "n_common")
+    )
+    s1 = sizes.select(F.col("cust").alias("c1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("cust").alias("c2"), F.col("sz").alias("sz2"))
+    scored = (
+        both_dirs.join(s1, "c1")
+        .join(s2, "c2")
+        .select(
+            "c1",
+            "c2",
+            "n_common",
+            F.round(
+                F.col("n_common") * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("c1").orderBy(F.col("jaccard").desc(), "c2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c1").alias("cust"),
+            F.col("rn").cast("long").alias("rn"),
+            F.col("c2").alias("neighbor"),
+            "n_common",
+            "jaccard",
+        )
+    )
+
+
 # Shared experiment frame: customer-level pre/post revenue (exact cents)
 # with a deterministic md5 50/50 arm. Pre = orders before 1996-01-01, post =
 # at-or-after; customers missing a period contribute 0 (every customer with

@@ -66,6 +66,51 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def read_events_stream_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered variant of read_events_stream for watermark-sensitive
+    operators: events are range-partitioned by ts into 4 files, so
+    part-00000 covers an earlier time range than part-00001 and the
+    FileStreamSource (which takes files in path order under availableNow)
+    replays event time monotonically ACROSS micro-batches — disorder exists
+    only inside a batch, where the watermark cannot drop anything (the
+    watermark used by a batch is the one computed at the END of the
+    previous batch). This is what makes dropDuplicatesWithinWatermark
+    exactly equal to global dedup on this replay; an unordered replay
+    would nondeterministically drop whole time ranges as late."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"events.parquet:{st.st_size}:{st.st_mtime_ns}")
+    fingerprint = sf_dir + "|ordered|" + "|".join(parts)
+    stage = (
+        "/tmp/bigdatainfinance1_stream_stage/"
+        + hashlib.md5(fingerprint.encode()).hexdigest()[:12]
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "events")
+            .repartitionByRange(4, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+    schema = spark.read.parquet(stage).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(stage)
+    )
+
+
 STREAM_STATE_PARTITIONS = "8"
 
 
@@ -235,6 +280,43 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     deduped = ev.dropDuplicates(["user_id", "event_type"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return run_to_table(agg, "complete")
+
+
+@query(
+    "q_stream_dedup_bounded",
+    oracle="""
+    WITH triples AS (
+      SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hr
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_user_hours
+    FROM triples GROUP BY event_type
+    """,
+    tags=("streaming", "events"),
+)
+def stream_dedup_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 at production semantics: dropDuplicatesWithinWatermark — the
+    BOUNDED-STATE dedup (state entries expire once the watermark passes
+    them, unlike q_stream_dedup whose state grows forever). The dedup key
+    includes the event's hour bucket, so duplicates of a key are at most
+    1 h apart and the 48 h watermark provably retains every key's window;
+    replay runs on the time-ordered stage (read_events_stream_ordered), so
+    the watermark never drops records and the streaming result EQUALS the
+    global distinct — which is what gives this query a full value-hash
+    oracle where q_stream_watermarked (late-data accounting, unordered
+    replay) is rows-only by design. Scale: state is one entry per live
+    (user, type, hour) within the watermark horizon instead of the full
+    history — the difference between a bounded and an unbounded deployment."""
+    ev = read_events_stream_ordered(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "48 hours")
+        .withColumn("hr", F.date_trunc("hour", F.col("ts")))
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hr"])
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_hours")
+    )
     return run_to_table(agg, "complete")
 
 

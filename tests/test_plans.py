@@ -299,3 +299,26 @@ def test_sampling_is_partitioning_invariant(spark):
         assert results[("shuf", "4")] == results[("shuf", "32")]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_fourth_wave_joins_are_not_nested_loop(spark):
+    """The fourth-wave pair/candidate generators must all run as bounded
+    equi-joins: negative sampling's congruence slice (the md5-bucketed
+    first version forced the hash onto the full cust×part cross product —
+    290 s at sf0.1), CF's frequency-capped pair join, and the covariance
+    matrix's day-keyed pair join."""
+    for name in ("q_negative_sampling", "q_user_cf_neighbors", "q_portfolio_cov",
+                 "q_rolling_distinct_users"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bloom_semi_join_broadcasts_bitset(spark):
+    """The Bloom bitset relation must reach the probe side as a broadcast
+    (the 8 KB-bitset-instead-of-fact-shuffle pattern is the operator's
+    entire point), and the probe thinning must stay JVM-side."""
+    df = SPECS["q_bloom_semi_join"].fn(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
