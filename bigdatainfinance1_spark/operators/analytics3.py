@@ -721,6 +721,117 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mergeable equi-width histogram quantile sketch: 256 buckets of $2,000
+# over [0, 512k) cover the o_totalprice domain; per-bucket counts are exact
+# BIGINTs (trivially mergeable across partitions/days — the production
+# percentile path at 100 TB), and the p-quantile is linearly interpolated
+# inside the bucket where the cumulative count crosses p·n. Identical
+# integer counts + identical interpolation expression → engine-identical
+# estimates. Completes the portable-sketch trio: q_hll_distinct
+# (cardinality), q_kmv_overlap (set algebra), this (quantiles).
+_HISTQ_SQL = """
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / 2000e0), 255e0) AS BIGINT) AS bucket
+      FROM orders
+    ),
+    counts AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             CAST(coalesce(sum(cnt) OVER (
+               PARTITION BY 1 ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_below
+      FROM counts
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+    ps AS (SELECT * FROM (VALUES (50), (95), (99)) AS t(p)),
+    crossing AS (
+      SELECT ps.p, min(cum.bucket) AS bucket
+      FROM ps CROSS JOIN n JOIN cum
+        ON cum.cum_below + cum.cnt >= ps.p * n.n / 100e0
+      GROUP BY ps.p
+    )
+    SELECT CAST(cr.p AS BIGINT) AS p,
+           round(cum2.bucket * 2000e0
+                 + 2000e0 * (cr.p * n.n / 100e0 - cum2.cum_below) / cum2.cnt,
+                 4) AS est_value
+    FROM crossing cr
+    JOIN cum cum2 ON cr.bucket = cum2.bucket
+    CROSS JOIN n
+"""
+
+
+@query("q_hist_quantile_sketch", oracle=_HISTQ_SQL, tags=("aggregate", "sketch", "approx"))
+def hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of order value from a 256-bucket equi-width
+    histogram sketch — the mergeable alternative to an exact distributed
+    percentile (q_percentiles) and the portable alternative to the
+    engine-native t-digest (q_approx_percentile, rows-only for exactly
+    that reason). Per-bucket counts are exact and mergeable; the estimate
+    interpolates linearly inside the crossing bucket, so worst-case error
+    is the $2,000 bucket width (~0.4%% of the domain). The cumulative
+    window runs on ≤256 rows (constant-partition window, bounded by
+    construction). One SQL text runs verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HISTQ_SQL)
+
+
+@query(
+    "q_unpivot_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS m,
+        round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0, 2) AS revenue,
+        CAST(count(*) AS DOUBLE)                                         AS n_orders,
+        round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 1e0
+              / count(*) / 100, 4)                                       AS avg_value
+      FROM orders GROUP BY m
+    )
+    SELECT m, 'revenue'   AS metric, revenue   AS value FROM m
+    UNION ALL
+    SELECT m, 'n_orders'  AS metric, n_orders  AS value FROM m
+    UNION ALL
+    SELECT m, 'avg_value' AS metric, avg_value AS value FROM m
+    """,
+    tags=("relational", "reshape"),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot / melt), the inverse of q_pivot_status:
+    a per-month metrics relation (revenue, order count, average value) is
+    melted to (month, metric, value) rows with Spark's stack() generator —
+    the shape every metrics store and chart layer ingests. Values are
+    rounded BEFORE melting (exact-cents sums, one division), so the
+    reshape moves already-stable doubles. The oracle uses the equivalent
+    3-way UNION ALL, which is also exactly what stack() compiles to —
+    semantic identity by construction. Scale: the reshape is a narrow
+    ×3 row generator on the bounded monthly aggregate; no shuffle beyond
+    the month groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) * F.lit(1.0)
+            / F.count(F.lit(1))
+            / 100,
+            4,
+        ).alias("avg_value"),
+    )
+    return m.select(
+        "m",
+        F.expr(
+            "stack(3, 'revenue', revenue, 'n_orders', n_orders, 'avg_value', avg_value)"
+        ).alias("metric", "value"),
+    )
+
+
 @query(
     "q_user_cf_neighbors",
     oracle="""
