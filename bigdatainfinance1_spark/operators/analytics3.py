@@ -781,6 +781,118 @@ def hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_variant_props",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(count(*) AS BIGINT)                              AS n,
+      CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS min_k,
+      CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS max_k,
+      CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "semi-structured", "json"),
+)
+def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse the
+    props JSON once into a variant and extract a typed path
+    (variant_get '$.k' → long) — the open-schema ingestion path that
+    replaces per-query get_json_object string re-parsing (q_json_funcs is
+    the classic-function twin). The binary variant encoding is the point
+    at scale: parse once at ingest, push typed extractions into the scan.
+    The DuckDB oracle reads the same path via its native JSON operator —
+    typed values agree exactly (integers). Aggregated per event type so
+    the comparison is a 5-row profile."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+# Top-N-per-group via LATERAL correlated subquery (Spark 4 / DuckDB both
+# plan it); the window row_number form is the classic alternative — this is
+# the join-shaped one, and one SQL text runs on both engines.
+_LATERAL_SQL = """
+    SELECT n.n_name AS nation, t.c_custkey AS custkey,
+           round(t.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+"""
+
+
+@query("q_lateral_topn", oracle=_LATERAL_SQL, tags=("join", "relational"))
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation as a LATERAL
+    correlated subquery — the join-shaped top-N-per-group that Spark 4
+    added alongside the classic window formulation (q_rank_top_customers
+    is the row_number twin). The (balance DESC, custkey) order is total,
+    so both engines pick identical rows. Catalyst rewrites the lateral
+    into a ranked join over the 25-row outer — at scale the same text
+    expresses per-key candidate retrieval without materializing the full
+    ranking. One SQL text runs verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+# Declarative multi-hop reachability via WITH RECURSIVE (Spark 4 finally
+# supports it; DuckDB always has) on the same support-≥2 co-purchase part
+# graph as q_bfs_hops / q_triangle_count. The dist < 3 cap bounds the
+# frontier expansion (UNION ALL recursion walks paths, not nodes; min(dist)
+# per node collapses them afterwards — the standard pattern).
+_REACH_SQL = """
+    WITH RECURSIVE und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e AS (
+      SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+    ),
+    seed AS (SELECT min(u) AS node FROM e),
+    walk(node, dist) AS (
+      SELECT node, 0 AS dist FROM seed
+      UNION ALL
+      SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node WHERE w.dist < 3
+    ),
+    reach AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node)
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes FROM reach GROUP BY dist
+"""
+
+
+@query("q_recursive_reachability", oracle=_REACH_SQL, tags=("analytics", "graph", "recursive"))
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop reachability profile from the smallest part key, written as a
+    RECURSIVE CTE — the declarative twin of q_bfs_hops' hand-unrolled
+    frontier loop, possible since Spark 4 added WITH RECURSIVE. The
+    recursion emits (node, path-length) rows with the frontier join
+    re-planned by Catalyst each iteration; min(dist) per node collapses
+    path multiplicity after the cap. Scale: iteration count is the fixed
+    hop cap, each step an equi-join frontier×edges — identical shuffle
+    budget to the unrolled version, but the engine owns the loop (and at
+    100 TB the same text runs unchanged). One SQL text runs verbatim on
+    both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)
+
+
+@query(
     "q_unpivot_metrics",
     oracle="""
     WITH m AS (
