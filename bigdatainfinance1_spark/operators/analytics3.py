@@ -781,6 +781,190 @@ def hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_duplicate_payments",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_orderkey AS k,
+             least(CAST(round(a.l_extendedprice * 100) AS BIGINT),
+                   CAST(round(b.l_extendedprice * 100) AS BIGINT)) AS exposure
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_partkey = b.l_partkey
+       AND a.l_linenumber < b.l_linenumber
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)           AS n_suspect_pairs,
+      CAST(count(DISTINCT k) AS BIGINT)  AS n_orders,
+      CAST(sum(exposure) AS BIGINT)      AS exposure_cents
+    FROM pairs
+    """,
+    tags=("analytics", "audit", "fraud"),
+)
+def duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate line-item screen — the first query every AP audit runs:
+    the same part billed twice on the same order under different line
+    numbers (double-entry candidates; 48 genuine hits in this data at
+    sf0.01 — the first cut of this screen keyed on same-customer
+    same-cents orders, which never collide in this near-continuous
+    uniform price data and returned an empty, evidence-free relation).
+    Exposure is the SMALLER line's value — what a dedupe would refund.
+    The pair join is keyed on (order, part): group sizes are order line
+    counts, so fan-out is bounded by the widest order, and linenumber <
+    linenumber keeps each pair once. Integer cents throughout. Scale: one
+    shuffle on the composite key the fact table is usually already
+    clustered by — in a real AP system this screen rides the ingest
+    partitioning for free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_linenumber").alias("lna"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("ca"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_partkey").alias("p"),
+        F.col("l_linenumber").alias("lnb"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cb"),
+    )
+    pairs = (
+        a.join(b, ["k", "p"])
+        .filter(F.col("lna") < F.col("lnb"))
+        .select("k", F.least("ca", "cb").alias("exposure"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suspect_pairs"),
+        F.count_distinct("k").cast("long").alias("n_orders"),
+        F.sum("exposure").cast("long").alias("exposure_cents"),
+    )
+
+
+@query(
+    "q_structuring_screen",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS cust,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS m
+      FROM orders
+    ),
+    near AS (
+      SELECT cust, m,
+             CAST(count(*) AS BIGINT) AS n_near,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM o
+      WHERE cents > 40000000
+      GROUP BY cust, m
+    )
+    SELECT cust, m, n_near, total_cents
+    FROM near WHERE n_near >= 2
+    """,
+    tags=("analytics", "audit", "fraud"),
+)
+def structuring_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring (smurfing) screen — the AML pattern of repeatedly
+    transacting near a cap: customers with ≥2 orders in the SAME month in
+    the top band (> 400k) below the data's 500k price ceiling (40 flagged
+    cust-months at sf0.01 — thresholds chosen to fire on this uniform
+    synthetic data; a production screen tunes them to its amount
+    distribution, and the first cut of this screen — ≥3 near-cap orders
+    per WEEK — flagged nothing, an evidence-free relation). Month buckets
+    are integer year×12+month arithmetic (ISO-week functions differ
+    across engines — q_dow_seasonality lesson); the band predicate pushes
+    to the parquet scan as an integer range. Scale: filter-then-aggregate
+    on (customer, month) — the screen touches only the band slice of the
+    data."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+    )
+    near = (
+        o.filter(F.col("cents") > 40000000)
+        .groupBy("cust", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_near"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+    return near.filter(F.col("n_near") >= 2)
+
+
+# FIFO allocation as interval algebra: per part, order both sides by ship
+# date and give every line its cumulative-quantity interval [cum−qty, cum);
+# a return is matched FIFO against exactly the sale lines whose intervals
+# overlap its own, and the matched quantity IS the interval intersection —
+# no loop, no state machine, pure prefix sums + a per-part pair join.
+_FIFO_SQL = """
+    WITH sales AS (
+      SELECT l_partkey AS part,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_end
+      FROM lineitem WHERE l_returnflag <> 'R'
+    ),
+    returns AS (
+      SELECT l_partkey AS part,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_end
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    pairs AS (
+      SELECT s.part,
+             least(s.cum_end, r.cum_end)
+               - greatest(s.cum_end - s.qty, r.cum_end - r.qty) AS matched
+      FROM sales s JOIN returns r
+        ON s.part = r.part
+       AND least(s.cum_end, r.cum_end)
+           > greatest(s.cum_end - s.qty, r.cum_end - r.qty)
+    ),
+    totals AS (
+      SELECT
+        CAST(sum(qty) AS BIGINT) AS total_returned,
+        CAST(count(*) AS BIGINT) AS n_return_lines
+      FROM returns
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)            AS n_allocations,
+      CAST(count(DISTINCT p.part) AS BIGINT) AS n_parts,
+      CAST(sum(p.matched) AS BIGINT)      AS matched_qty,
+      t.total_returned,
+      CAST(t.total_returned - sum(p.matched) AS BIGINT) AS unmatched_qty
+    FROM pairs p CROSS JOIN totals t
+    GROUP BY t.total_returned, t.n_return_lines
+"""
+
+
+@query("q_fifo_allocation", oracle=_FIFO_SQL, tags=("analytics", "finance", "matching"))
+def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the cost-basis allocation every inventory /
+    tax-lot system runs — expressed as pure interval algebra: each side's
+    lines get cumulative-quantity intervals via a per-part prefix sum, and
+    a return consumes sale lots FIFO exactly where the intervals
+    intersect, with matched qty = intersection length (min(ends) −
+    max(starts)). No iteration, no stateful matcher — two partitioned
+    windows and one per-part pair join whose fan-out is bounded by lines
+    per part (at 100 TB the part key is the parallelism axis; a hot part
+    would grid-bucket like q_interval_overlap_bucketed). Quantities are
+    integers end-to-end, and the (shipdate, orderkey, linenumber) order is
+    total, so the allocation is engine-identical. Unmatched = returns
+    beyond cumulative sales (an oversold signal). One SQL text runs
+    verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FIFO_SQL)
+
+
+@query(
     "q_variant_props",
     oracle="""
     SELECT
