@@ -72,6 +72,9 @@ QUERIES = [
     "q_cdc_apply",
     "q_negative_sampling",
     "q_hll_distinct",
+    "q_fifo_allocation",
+    "q_user_cf_neighbors",
+    "q_duplicate_payments",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
