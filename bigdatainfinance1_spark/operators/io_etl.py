@@ -529,3 +529,56 @@ def csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_good + n_corrupt, n_good, n_corrupt, dropped)],
         "n_lines_staged long, n_parsed_permissive_good long, n_corrupt long, n_dropmalformed long",
     )
+
+
+@query(
+    "q_fixed_width_ingest",
+    oracle="""
+    SELECT
+      o_orderstatus AS status,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY status
+    """,
+    tags=("io", "etl"),
+)
+def fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 fourth text format: FIXED-WIDTH records (the mainframe/legacy
+    export layout every finance shop still ingests) — orders are written
+    as 12+1+12+8 char lines (zero-padded key, status char, zero-padded
+    cents, yyyyMMdd date) via format_string into a text file, then read
+    back with spark.read.text and parsed by SUBSTRING offsets with
+    explicit casts. Aggregating the parsed relation per status must equal
+    querying the parquet directly — which is the oracle, so the
+    write→parse→cast chain is verified losslessly end-to-end. Scale:
+    text source splits by line ranges like any file format; the substring
+    parse is a narrow JVM map (no UDF), exactly how a production
+    fixed-width ingest should look."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _stage_dir("fixedwidth_orders", sf_dir)
+    lines = orders.select(
+        F.format_string(
+            "%012d%s%012d%s",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+            F.date_format("o_orderdate", "yyyyMMdd"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("long").alias("key"),
+        F.substring("value", 13, 1).alias("status"),
+        F.substring("value", 14, 12).cast("long").alias("cents"),
+        F.to_date(F.substring("value", 26, 8), "yyyyMMdd").alias("d"),
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.min("key").cast("long").alias("min_key"),
+        F.max("key").cast("long").alias("max_key"),
+    )
