@@ -781,6 +781,138 @@ def hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_topk_turnover",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey AS cust,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY y, cust
+    ),
+    ranked AS (
+      SELECT y, cust,
+             row_number() OVER (PARTITION BY y ORDER BY cents DESC, cust) AS rn
+      FROM yearly
+    ),
+    topk AS (SELECT y, cust FROM ranked WHERE rn <= 20),
+    pairs AS (
+      SELECT a.y + 1 AS y, CAST(count(*) AS BIGINT) AS n_common
+      FROM topk a JOIN topk b ON b.y = a.y + 1 AND a.cust = b.cust
+      GROUP BY a.y + 1
+    ),
+    years AS (SELECT DISTINCT y FROM topk)
+    SELECT
+      yr.y,
+      coalesce(p.n_common, 0) AS n_retained,
+      20 - coalesce(p.n_common, 0) AS n_new,
+      round(coalesce(p.n_common, 0) / (40e0 - coalesce(p.n_common, 0)), 6) AS jaccard
+    FROM years yr
+    JOIN years prev ON prev.y = yr.y - 1
+    LEFT JOIN pairs p ON p.y = yr.y
+    """,
+    tags=("analytics", "ranking", "stability"),
+)
+def topk_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard turnover: how much of each year's top-20 customer set
+    (by exact-cents revenue) carries over from the previous year —
+    retained count, new entrants, and the set Jaccard (|∩| / (40 − |∩|)
+    since both sets have exactly 20). The metric behind 'is our whale
+    cohort stable' dashboards and rank-stability monitoring for feature
+    drift. Ranking orders by (cents DESC, custkey) — total, so both
+    engines cut the same top-20 even through ties. Scale: one
+    (year, customer) aggregate, a year-partitioned ranking window over
+    bounded groups, and a self-join of two 20-row-per-year relations."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.col("o_custkey").alias("cust"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("y").orderBy(F.col("cents").desc(), "cust")
+    topk = yearly.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    a = topk.select(F.col("y").alias("ya"), "cust")
+    b = topk.select(F.col("y").alias("yb"), "cust")
+    pairs = (
+        a.join(b, (b["yb"] == a["ya"] + 1) & (a["cust"] == b["cust"]))
+        .groupBy((F.col("ya") + 1).alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    years = topk.select("y").distinct()
+    prev = years.select((F.col("y") + 1).alias("y"))
+    spine = years.join(prev, "y")
+    out = spine.join(pairs, "y", "left").select(
+        "y",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_retained"),
+        (F.lit(20) - F.coalesce("n_common", F.lit(0))).cast("long").alias("n_new"),
+        F.round(
+            F.coalesce("n_common", F.lit(0)) / (F.lit(40.0) - F.coalesce("n_common", F.lit(0))),
+            6,
+        ).alias("jaccard"),
+    )
+    return out
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_nationkey AS nk,
+             datediff('day', DATE '1970-01-01', o.o_orderdate) AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nk, d
+    ),
+    win AS (
+      SELECT nk, d,
+             list_sort(list(cents) OVER (
+               PARTITION BY nk ORDER BY d
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+             )) AS arr
+      FROM daily
+    )
+    SELECT nk AS nationkey, d,
+           CAST(len(arr) AS BIGINT) AS n_days_window,
+           CAST(arr[CAST((len(arr) + 1) // 2 AS BIGINT)] AS BIGINT) AS median_cents
+    FROM win
+    """,
+    tags=("window", "finance", "timeseries"),
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day rolling MEDIAN of daily revenue per nation — the
+    robust moving statistic (q_moving_avg's outlier-resistant sibling)
+    that no engine's window aggregates express natively: an order
+    statistic needs the window's contents, so both engines build the
+    frame's value list (collect_list / list over a RANGE 29 PRECEDING
+    frame on the integer day key), sort it, and pick the LOWER median at
+    1-based index (n+1)÷2 — identical discrete element, exact integer
+    cents, zero interpolation ambiguity. Scale: the frame holds ≤30
+    bounded integers per row and the window is nation-partitioned; at
+    100 TB per-instrument keys make this embarrassingly parallel (the
+    same plan the VWAP/Bollinger family uses)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("nk").orderBy("d").rangeBetween(-29, 0)
+    win = daily.select(
+        F.col("nk").alias("nationkey"),
+        "d",
+        F.array_sort(F.collect_list("cents").over(w)).alias("arr"),
+    )
+    return win.select(
+        "nationkey",
+        "d",
+        F.size("arr").cast("long").alias("n_days_window"),
+        F.element_at("arr", ((F.size("arr") + 1) / 2).cast("int")).cast("long").alias("median_cents"),
+    )
+
+
+@query(
     "q_control_chart",
     oracle="""
     WITH daily AS (
