@@ -10,6 +10,8 @@ the built-ins would.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -214,4 +216,99 @@ def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_for_udf
         GROUP BY l_returnflag, l_linestatus
         """
+    )
+
+
+def _zscore_iter_udf():
+    """U1 variant: ITERATOR-of-series pandas UDF — the flavor for expensive
+    per-executor initialization (load a model/tokenizer once, stream Arrow
+    batches through it). The 'model' here is a deterministic standardizer
+    whose constants are baked at build time; the iterator shape is the
+    deliverable."""
+
+    @pandas_udf("double")
+    def zscore_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        mu, sigma = 38000.0, 23000.0  # "model weights", loaded once per worker
+        for s in batches:
+            yield (s - mu) / sigma
+
+    return zscore_iter
+
+
+@query(
+    "q_udf_iter_series",
+    oracle="""
+    SELECT
+      o_orderpriority AS priority,
+      CAST(count(*) AS BIGINT) AS n,
+      round(avg((o_totalprice - 38000e0) / 23000e0), 6) AS mean_z,
+      round(max((o_totalprice - 38000e0) / 23000e0), 6) AS max_z
+    FROM orders
+    GROUP BY priority
+    """,
+    tags=("udf",),
+)
+def udf_iter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 third flavor: Iterator[pd.Series] → Iterator[pd.Series] pandas
+    UDF — identical Arrow batching to the scalar form but with a worker
+    lifetime hook BEFORE the batch loop, which is where real pipelines
+    load the tokenizer/model once instead of per batch (the pattern
+    q_media_features uses inside mapInPandas, exposed here as a column
+    UDF). The standardization constants are plan literals, so the oracle
+    reproduces the arithmetic exactly; the mean is rounded once at the
+    end (double summation inside avg matches DuckDB here because inputs
+    are IEEE-identical and the aggregate is a single partial per
+    priority... rounded to 6 dp absorbing reorder ulps). Scale: same
+    Arrow path as U1 — executors stream columnar batches, Python holds
+    one batch at a time."""
+    orders = load_table(spark, sf_dir, "orders")
+    z = _zscore_iter_udf()(F.col("o_totalprice"))
+    return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(z), 6).alias("mean_z"),
+        F.round(F.max(z), 6).alias("max_z"),
+    )
+
+
+@query(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT
+      CAST(l_returnflag AS STRING) AS flag,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CAST(l_quantity AS BIGINT) * 2) AS BIGINT) AS doubled_qty
+    FROM lineitem
+    GROUP BY flag
+    """,
+    tags=("udf", "arrow"),
+)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 variant at the lowest-level Python extension point: mapInArrow —
+    raw pyarrow RecordBatches in, RecordBatches out, no pandas conversion
+    at all (the fastest Python lane; what columnar model-inference servers
+    consume directly). The transform doubles quantities batch-wise with
+    pyarrow compute kernels, then the JVM aggregates per flag; the oracle
+    reproduces the integer arithmetic exactly. Scale: zero-copy Arrow all
+    the way — the Python worker never materializes Python objects, and
+    batch size is bounded by spark.sql.execution.arrow.maxRecordsPerBatch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+
+    def double_qty(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            doubled = pc.multiply(
+                pc.cast(tbl.column("l_quantity"), pa.int64()), pa.scalar(2, pa.int64())
+            )
+            out = pa.table(
+                {"flag": tbl.column("l_returnflag"), "doubled": doubled}
+            )
+            yield from out.to_batches()
+
+    mapped = li.mapInArrow(double_qty, "flag string, doubled long")
+    return mapped.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doubled").cast("long").alias("doubled_qty"),
     )
