@@ -189,3 +189,61 @@ def test_fuzz_global_rank_recomposition(spark, n, seed, buckets):
     for r in expected_order:
         acc += r[2]
         assert got_sum[r[0]] == acc
+
+
+# ---------------------------------------------------------------------------
+# FIFO allocation property test: the interval-algebra formulation
+# (q_fifo_allocation) must agree with a reference imperative FIFO matcher on
+# random lot books. Hypothesis drives both; the Spark/DuckDB engines are not
+# involved — this pins the MATH of the interval form, while test_oracle pins
+# the engines against each other.
+# ---------------------------------------------------------------------------
+
+
+def _fifo_reference(sales, returns):
+    """Textbook FIFO matcher: consume sale lots in order for each return."""
+    lots = [[q, i] for i, q in enumerate(sales)]  # [remaining, lot id]
+    pairs = []
+    li = 0
+    for r_id, rq in enumerate(returns):
+        while rq > 0 and li < len(lots):
+            take = min(rq, lots[li][0])
+            if take > 0:
+                pairs.append((lots[li][1], r_id, take))
+                lots[li][0] -= take
+                rq -= take
+            if lots[li][0] == 0:
+                li += 1
+        # rq > 0 with no lots left = unmatched (oversold) remainder
+    return pairs
+
+
+def _fifo_intervals(sales, returns):
+    """The q_fifo_allocation formulation: cumulative intervals, pairs =
+    intersections."""
+    pairs = []
+    cs = 0
+    s_iv = []
+    for i, q in enumerate(sales):
+        s_iv.append((cs, cs + q, i))
+        cs += q
+    cr = 0
+    for r_id, q in enumerate(returns):
+        lo, hi = cr, cr + q
+        cr += q
+        for s_lo, s_hi, s_id in s_iv:
+            m = min(s_hi, hi) - max(s_lo, lo)
+            if m > 0:
+                pairs.append((s_id, r_id, m))
+    return pairs
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(
+    sales=st.lists(st.integers(min_value=1, max_value=40), min_size=0, max_size=12),
+    returns=st.lists(st.integers(min_value=1, max_value=40), min_size=0, max_size=12),
+)
+def test_fifo_interval_form_equals_reference_matcher(sales, returns):
+    assert sorted(_fifo_intervals(sales, returns)) == sorted(
+        _fifo_reference(sales, returns)
+    )
