@@ -781,6 +781,80 @@ def hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pvm_bridge",
+    oracle="""
+    WITH y AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p   ON l.l_partkey = p.p_partkey
+      WHERE year(o.o_orderdate) IN (1997, 1998)
+      GROUP BY brand, yr
+    ),
+    wide AS (
+      SELECT a.brand,
+             a.qty AS q0, a.cents AS r0,
+             b.qty AS q1, b.cents AS r1
+      FROM (SELECT * FROM y WHERE yr = 1997) a
+      JOIN (SELECT * FROM y WHERE yr = 1998) b ON a.brand = b.brand
+    )
+    SELECT
+      brand,
+      round((r1 - r0) / 100e0, 2)                                        AS delta_rev,
+      round((r1 * 1e0 / q1 - r0 * 1e0 / q0) * q0 / 100, 4)               AS price_effect,
+      round((r0 * 1e0 / q0) * (q1 - q0) / 100, 4)                        AS volume_effect,
+      round((r1 * 1e0 / q1 - r0 * 1e0 / q0) * (q1 - q0) / 100, 4)        AS cross_effect
+    FROM wide
+    """,
+    tags=("analytics", "finance", "decomposition"),
+)
+def pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge per brand, 1997→1998 — the FP&A
+    decomposition ΔRev = Δp·q₀ + p₀·Δq + Δp·Δq (price, volume, cross
+    effects; the identity is exact, property of the algebra, and
+    q_revenue_bridge is the customer-cohort sibling). Average unit prices
+    come from exact integer (cents, qty) sums with one division each; the
+    effect products are doubles with identical expression shape on both
+    engines, rounded to 4 dp. Scale: one (brand, year) aggregate — the
+    fact table is scanned once with the year predicate pushed down, part's
+    brand broadcast; the bridge itself is a 25-brand-row self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    y = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .filter(F.year("o_orderdate").isin(1997, 1998))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"),
+        )
+    )
+    a = y.filter(F.col("yr") == 1997).select(
+        "brand", F.col("qty").alias("q0"), F.col("cents").alias("r0")
+    )
+    b = y.filter(F.col("yr") == 1998).select(
+        "brand", F.col("qty").alias("q1"), F.col("cents").alias("r1")
+    )
+    wide = a.join(b, "brand")
+    p0 = F.col("r0") * F.lit(1.0) / F.col("q0")
+    p1 = F.col("r1") * F.lit(1.0) / F.col("q1")
+    return wide.select(
+        "brand",
+        F.round((F.col("r1") - F.col("r0")) / F.lit(100.0), 2).alias("delta_rev"),
+        F.round((p1 - p0) * F.col("q0") / 100, 4).alias("price_effect"),
+        F.round(p0 * (F.col("q1") - F.col("q0")) / 100, 4).alias("volume_effect"),
+        F.round((p1 - p0) * (F.col("q1") - F.col("q0")) / 100, 4).alias("cross_effect"),
+    )
+
+
+@query(
     "q_topk_turnover",
     oracle="""
     WITH yearly AS (

@@ -247,3 +247,70 @@ def test_fifo_interval_form_equals_reference_matcher(sales, returns):
     assert sorted(_fifo_intervals(sales, returns)) == sorted(
         _fifo_reference(sales, returns)
     )
+
+
+# ---------------------------------------------------------------------------
+# AUC integer-numerator property: q_auc_by_month's per-score formulation
+# (2·np·cumneg + np·nn over distinct scores) must equal direct pair counting
+# with half credit for ties, on random labeled samples.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9), st.booleans()),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_auc_per_score_formula_equals_pair_counting(data):
+    pos = [s for s, y in data if y]
+    neg = [s for s, y in data if not y]
+    if not pos or not neg:
+        return
+    # direct pair counting
+    num_direct = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    # per-score integer formulation
+    from collections import Counter
+
+    cp, cn = Counter(pos), Counter(neg)
+    scores = sorted(set(cp) | set(cn))
+    cum_nn, num2 = 0, 0
+    for s in scores:
+        np_, nn_ = cp.get(s, 0), cn.get(s, 0)
+        num2 += 2 * np_ * cum_nn + np_ * nn_
+        cum_nn += nn_
+    assert num2 == int(round(2 * num_direct))
+
+
+# ---------------------------------------------------------------------------
+# Rolling-distinct explode form: q_rolling_distinct_users' explode-to-cover
+# equi-join must equal the brute-force trailing-window distinct count.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20), st.integers(min_value=0, max_value=8)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_rolling_distinct_explode_form_equals_bruteforce(events):
+    days = sorted({d for d, _ in events})
+    brute = {
+        d: len({u for (dd, u) in events if d - 6 <= dd <= d}) for d in days
+    }
+    # explode form: distinct (day, user) -> cover days d..d+6 -> count distinct per observed day
+    from collections import defaultdict
+
+    cover = defaultdict(set)
+    for dd, u in set(events):
+        for c in range(dd, dd + 7):
+            cover[c].add(u)
+    explode = {d: len(cover[d]) for d in days}
+    assert explode == brute
