@@ -143,3 +143,82 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
         F.round(F.avg("feat_mean"), 6).alias("avg_feat_mean"),
     )
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             (strlen(text) + 63) // 64 AS n_frames,
+             ((strlen(text) + 63) // 64 + 3) // 4 AS n_sampled
+      FROM documents
+    ),
+    firsts AS (
+      SELECT f.doc_id, f.lang,
+             ascii(substr(f.text, 1 + 256 * k.k, 1)) AS b
+      FROM f
+      JOIN (SELECT unnest(range(0, 4096)) AS k) k ON k.k < f.n_sampled
+    )
+    SELECT
+      f.lang,
+      CAST(count(DISTINCT f.doc_id) AS BIGINT) AS n_docs,
+      CAST(sum(f.n_frames) AS BIGINT)          AS total_frames,
+      CAST(sum(f.n_sampled) AS BIGINT)         AS total_sampled,
+      round(
+        (SELECT sum(b) FROM firsts fi WHERE fi.lang = f.lang) * 1e0
+        / sum(f.n_sampled), 4)                 AS mean_first_byte
+    FROM f
+    GROUP BY f.lang
+    """,
+    tags=("multimodal", "llm"),
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 frame-sampling plumbing: treat each payload as a pseudo-video of
+    64-byte frames, keep every 4th frame (the stride-sampling every vision
+    pipeline runs before the expensive per-frame model), and profile the
+    kept frames per language. The frame slicing and byte access are REAL
+    mapInPandas work over Arrow batches of binary payloads — swap the
+    byte-slice for an ffmpeg keyframe call in production (same schema,
+    same batch shape; functions/media.py posture). The payload bytes are
+    the utf-8 text (1 byte/char in this corpus), so DuckDB reproduces the
+    sampled first-byte profile exactly via substr/ascii arithmetic — a
+    full value-hash oracle ON the sampling arithmetic, not just row
+    counts. Scale: narrow map, no shuffle until the per-lang aggregate;
+    frames never materialize outside the Python batch."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", "lang", F.encode("text", "utf-8").alias("payload"))
+
+    def sample_frames(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, lang, payload in zip(pdf["doc_id"], pdf["lang"], pdf["payload"]):
+                b = bytes(payload)
+                frames = [b[i : i + 64] for i in range(0, len(b), 64)]
+                sampled = frames[::4]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "lang": lang,
+                        "n_frames": len(frames),
+                        "n_sampled": len(sampled),
+                        "sum_first": int(sum(fr[0] for fr in sampled)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "lang", "n_frames", "n_sampled", "sum_first"],
+            )
+
+    per_doc = media.mapInPandas(
+        sample_frames,
+        "doc_id long, lang string, n_frames long, n_sampled long, sum_first long",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.sum("n_sampled").cast("long").alias("total_sampled"),
+        F.round(F.sum("sum_first") * F.lit(1.0) / F.sum("n_sampled"), 4).alias("mean_first_byte"),
+    )
