@@ -871,6 +871,35 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decimal_money",
+    oracle="""
+    SELECT
+      CAST(year(o_orderdate) AS BIGINT) AS y,
+      CAST(count(*) AS BIGINT)          AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS total_exact
+    FROM orders
+    GROUP BY y
+    """,
+    tags=("aggregate", "finance", "determinism"),
+)
+def decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-native money arithmetic — the OTHER canonical exact-money
+    pattern beside this repo's integer-cents convention: cast prices to
+    DECIMAL(18,2) at the scan (the doubles are 2-dp-quantized, so the
+    nearest decimal is unambiguous on both engines), sum in exact decimal,
+    and emit the total as its exact STRING — no round() anywhere, the
+    comparison is digit-for-digit. This is what a real ledger schema
+    declares at ingest so no operator downstream ever touches a float.
+    Scale: a plain year aggregate; decimal sums carry through partial
+    aggregation (map-side combine) unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.year("o_orderdate").cast("long").alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total_exact"),
+    )
+
+
+@query(
     "q_eb_shrinkage",
     oracle="""
     WITH cells AS (
