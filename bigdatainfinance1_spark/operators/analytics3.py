@@ -871,6 +871,172 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ratio_delta_method",
+    oracle="""
+    WITH cf AS (
+      SELECT o_custkey AS cust,
+             CAST(count(*) AS BIGINT) AS yv,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS xv
+      FROM orders GROUP BY cust
+    ),
+    frame AS (
+      SELECT CASE WHEN substring(md5(CAST(cust AS STRING)), 1, 1) < '8'
+                  THEN 'treat' ELSE 'control' END AS arm,
+             xv, yv
+      FROM cf
+    ),
+    m AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xv) AS BIGINT)  AS sx,
+             CAST(sum(yv) AS BIGINT)  AS sy,
+             CAST(sum(CAST(xv AS DECIMAL(19,0)) * CAST(xv AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             CAST(sum(xv * yv) AS BIGINT) AS sxy,
+             CAST(sum(yv * yv) AS BIGINT) AS syy
+      FROM frame GROUP BY arm
+    ),
+    stats AS (
+      SELECT arm, n,
+             sx * 1e0 / n AS mx,
+             sy * 1e0 / n AS my,
+             sxx / n - (sx * 1e0 / n) * (sx * 1e0 / n)            AS vx,
+             syy * 1e0 / n - (sy * 1e0 / n) * (sy * 1e0 / n)      AS vy,
+             sxy * 1e0 / n - (sx * 1e0 / n) * (sy * 1e0 / n)      AS cxy
+      FROM m
+    )
+    SELECT
+      arm, n,
+      round(mx / my / 100, 4) AS revenue_per_order,
+      round(
+        sqrt(
+          (mx / my) * (mx / my)
+          * (vx / (mx * mx) - 2e0 * cxy / (mx * my) + vy / (my * my))
+          / n) / 100, 4) AS se_delta
+    FROM stats
+    """,
+    tags=("analytics", "experimentation", "stats"),
+)
+def ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per order
+    at the customer grain) — the correction every experimentation platform
+    needs because the unit of randomization (customer) differs from the
+    metric denominator (orders), so naive per-order variance is wrong:
+    Var(X̄/Ȳ) ≈ (mx/my)²(vx/mx² − 2cov/mxmy + vy/my²)/n. All second
+    moments are exact integers (Σx² in decimal — cents² passes int64),
+    every double expression has identical shape on both engines, one
+    sqrt at the end, rounded at 4 dp in dollars. Pairs with
+    q_cuped_adjustment (variance reduction) and q_two_proportion_ztest
+    (binary metrics) to complete the experiment-readout kit. Scale: one
+    customer-grain aggregate + a 2-row arm aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cf = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count(F.lit(1)).cast("long").alias("yv"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("xv"),
+    )
+    frame = cf.select(
+        F.when(F.substring(F.md5(F.col("cust").cast("string")), 1, 1) < "8", "treat")
+        .otherwise("control")
+        .alias("arm"),
+        "xv",
+        "yv",
+    )
+    m = frame.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv").cast("decimal(19,0)") * F.col("xv").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    mx = F.col("sx") * F.lit(1.0) / F.col("n")
+    my = F.col("sy") * F.lit(1.0) / F.col("n")
+    vx = F.col("sxx") / F.col("n") - mx * mx
+    vy = F.col("syy") * F.lit(1.0) / F.col("n") - my * my
+    cxy = F.col("sxy") * F.lit(1.0) / F.col("n") - mx * my
+    return m.select(
+        "arm",
+        "n",
+        F.round(mx / my / 100, 4).alias("revenue_per_order"),
+        F.round(
+            F.sqrt(
+                (mx / my) * (mx / my)
+                * (vx / (mx * mx) - F.lit(2.0) * cxy / (mx * my) + vy / (my * my))
+                / F.col("n")
+            )
+            / 100,
+            4,
+        ).alias("se_delta"),
+    )
+
+
+@query(
+    "q_calendar_dim",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    attrs AS (
+      SELECT d,
+             CAST(year(d) AS BIGINT)    AS y,
+             CAST(quarter(d) AS BIGINT) AS q,
+             CAST(month(d) AS BIGINT)   AS m,
+             CAST((datediff('day', DATE '1995-01-02', d) % 7 + 7) % 7 AS BIGINT)
+               AS dow_idx,
+             CASE WHEN (datediff('day', DATE '1995-01-02', d) % 7 + 7) % 7 >= 5
+                  THEN 1 ELSE 0 END AS is_weekend
+      FROM days
+    )
+    SELECT
+      y, q,
+      CAST(count(*) AS BIGINT)       AS n_days,
+      CAST(sum(is_weekend) AS BIGINT) AS n_weekend,
+      CAST(sum(m) AS BIGINT)          AS m_checksum,
+      CAST(sum(dow_idx) AS BIGINT)    AS dow_checksum
+    FROM attrs
+    GROUP BY y, q
+    """,
+    tags=("etl", "dimension", "calendar"),
+)
+def calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation — the utility every warehouse builds
+    first: a 1995–2001 date spine from sequence()/generate_series with
+    derived attributes (year, quarter, month, weekday index, weekend
+    flag). The weekday comes from anchor-date day-count arithmetic
+    ((days since Monday 1995-01-02) mod 7 — q_dow_seasonality lesson:
+    engines disagree on dayofweek() numbering, never on integer mod), and
+    the oracle checks per-(year, quarter) counts and attribute checksums
+    over all 2,557 generated days. Scale: the spine is generated, not
+    scanned — a single explode of a bounded sequence, broadcast-sized for
+    any calendar range a business will ever need."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    dow = ((F.datediff(F.col("d"), F.lit("1995-01-02").cast("date")) % 7 + 7) % 7).cast("long")
+    attrs = spine.select(
+        F.year("d").cast("long").alias("y"),
+        F.quarter("d").cast("long").alias("q"),
+        F.month("d").cast("long").alias("m"),
+        dow.alias("dow_idx"),
+        F.when(dow >= 5, 1).otherwise(0).alias("is_weekend"),
+    )
+    return attrs.groupBy("y", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("is_weekend").cast("long").alias("n_weekend"),
+        F.sum("m").cast("long").alias("m_checksum"),
+        F.sum("dow_idx").cast("long").alias("dow_checksum"),
+    )
+
+
+@query(
     "q_decimal_money",
     oracle="""
     SELECT
