@@ -871,6 +871,112 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_abc_xyz",
+    oracle="""
+    WITH pm AS (
+      SELECT l.l_partkey AS part,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS m,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY part, m
+    ),
+    per_part AS (
+      SELECT part,
+             CAST(count(*) AS BIGINT)      AS n_m,
+             CAST(sum(q) AS BIGINT)        AS sq,
+             CAST(sum(q * q) AS BIGINT)    AS sqq
+      FROM pm GROUP BY part
+    ),
+    rev AS (
+      SELECT l_partkey AS part,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY part
+    ),
+    ranked AS (
+      SELECT part, cents,
+             CAST(sum(cents) OVER (
+               PARTITION BY 1 ORDER BY cents DESC, part
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM rev
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+    classed AS (
+      SELECT r.part, r.cents,
+             CASE WHEN r.cum * 100 <= 80 * t.t THEN 'A'
+                  WHEN r.cum * 100 <= 95 * t.t THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN 4 * p.n_m * p.sqq <= 5 * p.sq * p.sq THEN 'X'
+                  WHEN p.n_m * p.sqq <= 2 * p.sq * p.sq THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM ranked r
+      CROSS JOIN tot t
+      JOIN per_part p ON r.part = p.part
+    )
+    SELECT abc, xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY abc, xyz
+    """,
+    tags=("analytics", "inventory", "classification"),
+)
+def abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification — the supply-chain segmentation
+    grid: ABC from the cumulative revenue share in descending-revenue
+    order (A ≤ 80%, B ≤ 95%, C beyond), XYZ from monthly-demand
+    variability (cv² ≤ 0.25 → X, ≤ 1 → Y, else Z over observed months).
+    EVERY class boundary is a pure integer comparison — cum·100 ≤ 80·total
+    and 4·n·Σq² ≤ 5·(Σq)² — so no float ever decides a class. The global
+    descending cumulative sum uses the range-bucketed prefix machinery
+    (functions/ranks.py; the oracle's single-partition window is fine for
+    DuckDB, banned in operators/). Scale: two fact aggregates + the
+    two-shuffle global prefix + a 9-cell rollup."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    per_part = pm.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_m"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    ranked = global_running_sum(
+        rev, [F.col("cents").desc(), F.col("part")], "cents", "cum"
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    classed = (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(per_part, "part")
+        .select(
+            "cents",
+            F.when(F.col("cum") * 100 <= 80 * F.col("t"), "A")
+            .when(F.col("cum") * 100 <= 95 * F.col("t"), "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.when(4 * F.col("n_m") * F.col("sqq") <= 5 * F.col("sq") * F.col("sq"), "X")
+            .when(F.col("n_m") * F.col("sqq") <= 2 * F.col("sq") * F.col("sq"), "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+        )
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
     "q_ratio_delta_method",
     oracle="""
     WITH cf AS (
