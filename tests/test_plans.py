@@ -307,8 +307,13 @@ def test_fourth_wave_joins_are_not_nested_loop(spark):
     first version forced the hash onto the full cust×part cross product —
     290 s at sf0.1), CF's frequency-capped pair join, and the covariance
     matrix's day-keyed pair join."""
+    # Excluded (bounded-by-design nested loops, not data-sized):
+    # q_fifo_allocation's final scalar CROSS JOIN against the 1-row totals
+    # aggregate, and q_abc_xyz, whose ranks.py prefix machinery uses the
+    # documented triangular self-join on the 16-row bucket-totals relation.
     for name in ("q_negative_sampling", "q_user_cf_neighbors", "q_portfolio_cov",
-                 "q_rolling_distinct_users"):
+                 "q_rolling_distinct_users", "q_duplicate_payments",
+                 "q_topk_turnover"):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
