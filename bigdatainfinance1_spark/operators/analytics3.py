@@ -871,6 +871,110 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cross_source_dedup",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(text)))
+               ORDER BY CAST(substring(source, 4) AS INT), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT
+      source,
+      CAST(count(*) AS BIGINT)                               AS n_docs,
+      CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_yielded,
+      CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("llm", "pipeline", "dedup"),
+)
+def cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source precedence dedup — the curation rule multi-feed
+    corpora need: when the SAME normalized text arrives from several
+    feeds, the highest-priority source keeps it and the rest yield
+    (priority = the source's numeric id here; in production, a curated
+    trust ranking). Contrast with q_dedup_keep_first (arbitrary-key
+    keep) and q_exact_dedup (keep-any): precedence changes WHICH replica
+    survives, which changes the kept corpus' source mix — reported per
+    source as kept/yielded counts and surviving chars. One window
+    partitioned by the text hash (uniform md5 key — no skew), ordered by
+    (priority, doc_id) — a total order. Scale: identical shuffle budget
+    to exact dedup; text never shuffles (hash key only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy(
+        F.substring("source", 4, 10).cast("int"), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_yielded"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0)).cast("long").alias("kept_chars"),
+    )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             md5(lower(trim(text))) AS h,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    )
+    SELECT
+      source,
+      CAST(count(*) AS BIGINT)                    AS n_docs,
+      CAST(count(DISTINCT lang) AS BIGINT)        AS n_langs,
+      CAST(sum(n_chars) AS BIGINT)                AS total_chars,
+      CAST(sum(n_tokens) AS BIGINT)               AS total_tokens,
+      CAST(count(DISTINCT h) AS BIGINT)           AS n_unique_texts,
+      round(1e0 - count(DISTINCT h) * 1e0 / count(*), 6) AS dup_rate,
+      round(avg(n_chars), 4)                      AS mean_chars
+    FROM base
+    GROUP BY source
+    """,
+    tags=("llm", "pipeline", "reporting"),
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card census — the one-relation summary every corpus release
+    ships: per source, document and language counts, char and
+    whitespace-token volumes, distinct-text count, duplication rate, and
+    mean length. Composes the primitives the pipeline family measures
+    separately (q_dup_rate_by_source, q_token_stats, q_langid_profile)
+    into the single artifact a data consumer reads first. All counts
+    exact; the only division is the final dup-rate/mean. Scale: one
+    groupBy(source) with two distinct-aggs — Spark expands them into the
+    standard two-phase expand+partial plan; text leaves the scan only as
+    its md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1).alias(
+            "n_tokens"
+        ),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("h").cast("long").alias("n_unique_texts"),
+        F.round(F.lit(1.0) - F.count_distinct("h") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "dup_rate"
+        ),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+
+
+@query(
     "q_abc_xyz",
     oracle="""
     WITH pm AS (
