@@ -871,6 +871,106 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    flagged AS (
+      SELECT user_id, d,
+             CASE WHEN datediff('day',
+                    lag(d) OVER (PARTITION BY user_id ORDER BY d), d) = 1
+                  THEN 0 ELSE 1 END AS new_streak
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, d,
+             sum(new_streak) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM flagged
+    ),
+    lens AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS len
+      FROM streaks GROUP BY user_id, sid
+    )
+    SELECT
+      len AS streak_days,
+      CAST(count(*) AS BIGINT)               AS n_streaks,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM lens
+    GROUP BY len
+    """,
+    tags=("window", "events", "gaps-islands"),
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user — the gaps-and-islands
+    pattern on POINT events (q_interval_merge is the interval twin): dedup
+    to active days, flag a new streak when the previous active day isn't
+    yesterday (lag), number streaks with a running sum of flags, then
+    profile the streak-length distribution (how many 1-day, 2-day, …
+    runs). The engagement metric behind every 'current streak' badge.
+    Integer date arithmetic; both windows partitioned per user. Scale:
+    one shuffle on user_id shared by both windows (same partitioning —
+    Spark reuses the exchange), then a bounded-cardinality length
+    rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = days.withColumn(
+        "new_streak",
+        F.when(F.datediff(F.col("d"), F.lag("d").over(w)) == 1, 0).otherwise(1),
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    streaks = flagged.withColumn("sid", F.sum("new_streak").over(ws))
+    lens = streaks.groupBy("user_id", "sid").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    return lens.groupBy(F.col("len").alias("streak_days")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "sql-surface"),
+)
+def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (|>) — the linear FROM-first dialect
+    (scan |> filter |> aggregate) that reads in dataflow order instead of
+    inside-out SQL; semantically identical to the classic text the oracle
+    runs, so this query pins the new parser surface against the old one.
+    The plan is the same filter-pushdown + partial-agg shape either way —
+    syntax sugar, zero plan cost, but a real API users will write."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 10
+        |> AGGREGATE
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, revenue_cents
+        """
+    )
+
+
+@query(
     "q_cross_source_dedup",
     oracle="""
     WITH ranked AS (
