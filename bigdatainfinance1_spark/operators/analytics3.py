@@ -871,6 +871,63 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_growth_accounting",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    tagged AS (
+      SELECT user_id, d,
+             min(d) OVER (PARTITION BY user_id) AS first_d,
+             lag(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d
+      FROM days
+    ),
+    classed AS (
+      SELECT d,
+             CASE WHEN d = first_d THEN 'new'
+                  WHEN datediff('day', prev_d, d) = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM tagged
+    )
+    SELECT d, status, CAST(count(*) AS BIGINT) AS n_users
+    FROM classed
+    GROUP BY d, status
+    """,
+    tags=("analytics", "product", "growth"),
+)
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting — the canonical DAU ledger: every active
+    user-day is NEW (first day ever), RETAINED (also active yesterday), or
+    RESURRECTED (returning after a gap) — the decomposition every growth
+    team reads before any other chart (churn is its complement: yesterday's
+    actives minus today's retained). Classification needs only two
+    per-user windows (first day, previous day) sharing one user_id
+    shuffle. Integer date arithmetic; counts exact. Scale: the same
+    two-window + day-rollup budget as q_activity_streaks — linear, and at
+    100 TB the user axis is the parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    wp = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("d")
+    tagged = days.select(
+        "user_id",
+        "d",
+        F.min("d").over(wp).alias("first_d"),
+        F.lag("d").over(wo).alias("prev_d"),
+    )
+    classed = tagged.select(
+        "d",
+        F.when(F.col("d") == F.col("first_d"), "new")
+        .when(F.datediff(F.col("d"), F.col("prev_d")) == 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    return classed.groupBy("d", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@query(
     "q_activity_streaks",
     oracle="""
     WITH days AS (
