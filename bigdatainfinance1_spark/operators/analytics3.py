@@ -871,6 +871,50 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_power_user_curve",
+    oracle="""
+    WITH win AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '1997-01-04' AND DATE '1997-01-31'
+    ),
+    per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS active_days
+      FROM win GROUP BY user_id
+    )
+    SELECT
+      active_days,
+      CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user
+    GROUP BY active_days
+    """,
+    tags=("analytics", "product", "growth"),
+)
+def power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28 power-user curve: how many users were active exactly k of the
+    28 days ending 1997-01-31 — the engagement-distribution chart whose
+    shape (smile vs slump) is the standard read on habit formation, next
+    to q_growth_accounting's flow ledger and q_activity_streaks' run
+    lengths. The window predicate pushes to the scan; one distinct, one
+    count per user, one bounded (≤28 rows) rollup. Scale: trivially
+    linear — this is the query you run per cohort × per 28-day window as
+    a grid at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    win = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .filter(
+            (F.col("d") >= F.lit("1997-01-04").cast("date"))
+            & (F.col("d") <= F.lit("1997-01-31").cast("date"))
+        )
+        .distinct()
+    )
+    per_user = win.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("active_days"))
+    return per_user.groupBy("active_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+@query(
     "q_growth_accounting",
     oracle="""
     WITH days AS (
