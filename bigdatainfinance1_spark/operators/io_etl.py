@@ -621,7 +621,9 @@ def compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         nbytes = sum(
             os.path.getsize(p) for p in _glob.glob(os.path.join(path, "*.parquet"))
         )
-        print(f"codec={codec} bytes={nbytes}")
+        import sys
+
+        print(f"codec={codec} bytes={nbytes}", file=sys.stderr)
         back = spark.read.parquet(path)
         out[codec] = back.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -890,3 +890,120 @@ def stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate, 6).alias("err_rate"),
         F.when(rate > 2 * 0.2, 1).otherwise(0).cast("long").alias("burn_alert"),
     )
+
+
+@query(
+    "q_stream_hll_users",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, md5(CAST(user_id AS STRING)) AS hx FROM events
+    ),
+    nib AS (
+      SELECT event_type,
+        (instr('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+          + instr('0123456789abcdef', substring(hx, 2, 1)) - 1 AS bucket,
+        length(regexp_extract(substring(hx, 3, 30), '^(0*)', 1)) AS zn,
+        substring(hx, 3 + length(regexp_extract(substring(hx, 3, 30), '^(0*)', 1)), 1) AS fc
+      FROM h
+    ),
+    rho AS (
+      SELECT event_type, bucket,
+             LEAST(4 * zn
+                   + CASE WHEN fc = '' THEN 4
+                          WHEN fc = '1' THEN 3
+                          WHEN fc IN ('2', '3') THEN 2
+                          WHEN fc IN ('4', '5', '6', '7') THEN 1
+                          ELSE 0 END
+                   + 1,
+                   40) AS r
+      FROM nib
+    ),
+    regs AS (SELECT event_type, bucket, max(r) AS m FROM rho GROUP BY event_type, bucket),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS hit,
+             CAST(sum(CAST(pow(2e0, 40 - m) AS BIGINT)) AS BIGINT) AS hit_sum
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, hit,
+             256 - hit AS v,
+             hit_sum + (256 - hit) * CAST(pow(2e0, 40) AS BIGINT) AS s_total
+      FROM s
+    ),
+    raw AS (
+      SELECT event_type, hit, v,
+             (0.7213e0 / (1e0 + 1.079e0 / 256e0)) * 65536e0 * pow(2e0, 40)
+               / s_total AS e_raw
+      FROM est
+    )
+    SELECT event_type,
+           hit AS n_buckets_hit,
+           round(CASE WHEN e_raw <= 640e0 AND v > 0
+                      THEN 256e0 * ln(256e0 / v)
+                      ELSE e_raw END, 4) AS hll_estimate
+    FROM raw
+    """,
+    tags=("streaming", "sketch", "approx"),
+)
+def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog — the sketch family's capstone: the portable
+    md5-register HLL (q_hll_distinct) run AS A STREAM, with state bounded
+    at event_type × 256 register maxima no matter how many events arrive
+    (contrast q_stream_dedup, whose exact-distinct state grows with
+    keys). Registers merge by max, so the streaming aggregation IS the
+    sketch merge; the harmonic-mean finish runs on the materialized
+    256-row-per-type relation after the availableNow replay. Deterministic
+    md5 registers → the batch oracle computes the bit-identical estimate,
+    so this streaming query carries a full value-hash oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    hx = F.md5(F.col("user_id").cast("string"))
+    nib = F.instr(F.lit("0123456789abcdef"), F.substring(hx, 1, 1))
+    nib2 = F.instr(F.lit("0123456789abcdef"), F.substring(hx, 2, 1))
+    rest = F.substring(hx, 3, 30)
+    zn = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    fc = F.substring(hx, F.lit(3) + zn, F.lit(1))
+    rho = F.least(
+        F.lit(4) * zn
+        + F.when(fc == "", 4)
+        .when(fc == "1", 3)
+        .when(fc.isin("2", "3"), 2)
+        .when(fc.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+        + F.lit(1),
+        F.lit(40),
+    )
+    regs = (
+        ev.select(
+            "event_type",
+            ((nib - 1) * 16 + nib2 - 1).alias("bucket"),
+            rho.alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m"))
+    )
+    materialized = run_to_table(regs, "complete")
+    s = materialized.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("hit"),
+        F.sum(F.pow(F.lit(2.0), F.lit(40) - F.col("m")).cast("long")).cast("long").alias("hit_sum"),
+    )
+    est = s.select(
+        "event_type",
+        "hit",
+        (F.lit(256) - F.col("hit")).alias("v"),
+        (F.col("hit_sum") + (F.lit(256) - F.col("hit")) * F.pow(F.lit(2.0), 40).cast("long")).alias(
+            "s_total"
+        ),
+    )
+    e_raw = (
+        F.lit(0.7213 / (1 + 1.079 / 256)) * F.lit(65536.0) * F.pow(F.lit(2.0), 40) / F.col("s_total")
+    )
+    return est.select(
+        "event_type",
+        F.col("hit").alias("n_buckets_hit"),
+        F.round(
+            F.when((e_raw <= 640.0) & (F.col("v") > 0), F.lit(256.0) * F.log(F.lit(256.0) / F.col("v")))
+            .otherwise(e_raw),
+            4,
+        ).alias("hll_estimate"),
+    )
