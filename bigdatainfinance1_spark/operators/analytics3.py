@@ -5,9 +5,25 @@ distinct-user counts (the sliding COUNT(DISTINCT) Spark windows cannot
 express natively), and mean-reciprocal-rank on the shared BM25 candidate
 relation.
 
+The module grew across waves 4+ into the post-§2 operator families:
+ML evaluation & experimentation (AUC, calibration, MRR, k-fold OLS via
+fold-complement sufficient stats, CUPED, diff-in-diff, delta-method ratio
+SE, empirical-Bayes shrinkage, churn labels, negative sampling); portable
+sketches with full value-hash oracles (md5-register HyperLogLog, KMV set
+algebra, histogram quantiles); ETL & matching (FIFO lot allocation as
+interval algebra, Bloom-filter semi-join, cross-source precedence dedup,
+dataset card, calendar dimension, unpivot); finance & product analytics
+(portfolio covariance, PVM bridge, XmR control chart, Hurst exponent,
+rolling median, top-k turnover, ABC/XYZ, duplicate-line and structuring
+audit screens, activity streaks, growth accounting, L28 curve,
+decimal-native money); and the Spark 4 SQL surface (WITH RECURSIVE,
+VARIANT, LATERAL, pipe syntax).
+
 House rules throughout: money as exact integer cents (BIGINT) divided once
-at the end; AUC numerators kept in integer arithmetic until the final
-division so both engines agree bit-for-bit before the 6-dp round; every
+at the end; sums of squares via DECIMAL(19,0) products where cents²
+exceeds int64; class boundaries and rank numerators kept in integer
+arithmetic so no float ever decides an output; centered double expressions
+written with the IDENTICAL shape on both engines and rounded once; every
 window spec starts with partitionBy (repo rule, asserted in
 tests/test_plans.py).
 """
