@@ -887,6 +887,93 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_time_decay_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, CAST(props->>'k' AS INT) % 4 AS channel
+      FROM events WHERE event_type = 'click'
+    ),
+    touched AS (
+      SELECT p.event_id, c.channel,
+             CAST(floor((epoch_us(p.ts) - epoch_us(c.ts)) / 3600000000e0) AS BIGINT)
+               AS age_h
+      FROM purchases p JOIN clicks c
+        ON p.user_id = c.user_id
+       AND c.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(c.ts) < 24 * 3600000000
+    ),
+    weighted AS (
+      SELECT event_id, channel, pow(2e0, -age_h) AS w FROM touched
+    ),
+    shares AS (
+      SELECT event_id, channel,
+             CAST(round(w / sum(w) OVER (PARTITION BY event_id) * 1000000e0)
+                  AS BIGINT) AS credit_ppm
+      FROM weighted
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT)        AS n_touches,
+           CAST(sum(credit_ppm) AS BIGINT) AS credit_ppm
+    FROM shares
+    GROUP BY channel
+    """,
+    tags=("analytics", "attribution", "marketing"),
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution — completes the repo's attribution triple
+    (q_first_touch_attribution winner-takes-all, q_linear_attribution
+    equal split): each click in the purchase's trailing 24 h earns weight
+    2^(−age_hours), so a touch loses half its claim per hour of staleness.
+    Determinism by construction: ages are integer hours, 2^(−h) is an
+    EXACT double, per-purchase weight sums span ≤ 24 powers of two (well
+    inside the 53-bit mantissa — order-independent), and each share is
+    rounded to integer parts-per-million BEFORE the cross-purchase
+    aggregation, so the final per-channel totals are exact integer sums.
+    Channels derive from the click's props JSON (k mod 4). Scale: one
+    user-keyed join bounded by per-user activity, one per-purchase window
+    — the q_funnel_join budget."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        (F.get_json_object("props", "$.k").cast("int") % 4).alias("channel"),
+    )
+    us = 3_600_000_000
+    touched = (
+        purchases.join(clicks, (F.col("pu") == F.col("cu")) & (F.col("cts") <= F.col("pts")))
+        .filter(F.unix_micros("pts") - F.unix_micros("cts") < 24 * us)
+        .select(
+            "event_id",
+            "channel",
+            F.floor((F.unix_micros("pts") - F.unix_micros("cts")) / F.lit(float(us)))
+            .cast("long")
+            .alias("age_h"),
+        )
+    )
+    weighted = touched.select(
+        "event_id", "channel", F.pow(F.lit(2.0), -F.col("age_h")).alias("w")
+    )
+    wsum = Window.partitionBy("event_id")
+    shares = weighted.select(
+        "event_id",
+        "channel",
+        F.round(F.col("w") / F.sum("w").over(wsum) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("credit_ppm"),
+    )
+    return shares.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("credit_ppm").cast("long").alias("credit_ppm"),
+    )
+
+
+@query(
     "q_power_user_curve",
     oracle="""
     WITH win AS (
