@@ -887,6 +887,104 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_croston_forecast",
+    oracle="""
+    WITH pm AS (
+      SELECT l.l_partkey AS part,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS m,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY part, m
+    ),
+    seq AS (
+      SELECT part, m, q,
+             row_number() OVER (PARTITION BY part ORDER BY m) AS idx,
+             m - lag(m) OVER (PARTITION BY part ORDER BY m) AS gap
+      FROM pm
+    ),
+    sm AS (
+      SELECT part, idx, q, gap,
+             sum(q * pow(2e0, idx)) OVER w / sum(pow(2e0, idx)) OVER w AS z_hat,
+             sum(coalesce(gap, 0) * pow(2e0, idx)) OVER w
+               / nullif(sum(CASE WHEN gap IS NULL THEN 0e0 ELSE pow(2e0, idx) END) OVER w, 0e0)
+               AS i_hat
+      FROM seq
+      WINDOW w AS (PARTITION BY part ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    latest AS (
+      SELECT part, idx AS n_periods, z_hat, i_hat,
+             row_number() OVER (PARTITION BY part ORDER BY idx DESC) AS rn
+      FROM sm
+    )
+    SELECT part,
+           CAST(n_periods AS BIGINT)  AS n_periods,
+           round(z_hat, 4)            AS ewma_size,
+           round(i_hat, 4)            AS ewma_interval,
+           round(z_hat / i_hat, 4)    AS croston_rate
+    FROM latest
+    WHERE rn = 1 AND i_hat IS NOT NULL AND i_hat > 0
+    """,
+    tags=("analytics", "forecast", "supply-chain"),
+)
+def croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand — THE sparse-series
+    forecaster (spare parts, long-tail SKUs): smooth the nonzero demand
+    SIZES and the INTERVALS between demand months separately, forecast
+    rate = size/interval. Both smoothers are the closed-form EWMA ratio
+    of q_ewma_orders (decay ½ → exact 2^idx weights); the windowed sums
+    accumulate in frame order — identical sequential order on both
+    engines — so the >53-bit weight span never meets a reordered sum.
+    The first observation has no interval (gap NULL → weight dropped on
+    both sides identically). Output = per-part latest state, rounded at
+    4 dp. Scale: part-partitioned windows over bounded monthly series —
+    the per-SKU parallelism a demand planner runs nightly. One SQL text
+    runs verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+    WITH pm AS (
+      SELECT l.l_partkey AS part,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS m,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY part, m
+    ),
+    seq AS (
+      SELECT part, m, q,
+             row_number() OVER (PARTITION BY part ORDER BY m) AS idx,
+             m - lag(m) OVER (PARTITION BY part ORDER BY m) AS gap
+      FROM pm
+    ),
+    sm AS (
+      SELECT part, idx, q, gap,
+             sum(q * pow(2e0, idx)) OVER w / sum(pow(2e0, idx)) OVER w AS z_hat,
+             sum(coalesce(gap, 0) * pow(2e0, idx)) OVER w
+               / nullif(sum(CASE WHEN gap IS NULL THEN 0e0 ELSE pow(2e0, idx) END) OVER w, 0e0)
+               AS i_hat
+      FROM seq
+      WINDOW w AS (PARTITION BY part ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    latest AS (
+      SELECT part, idx AS n_periods, z_hat, i_hat,
+             row_number() OVER (PARTITION BY part ORDER BY idx DESC) AS rn
+      FROM sm
+    )
+    SELECT part,
+           CAST(n_periods AS BIGINT)  AS n_periods,
+           round(z_hat, 4)            AS ewma_size,
+           round(i_hat, 4)            AS ewma_interval,
+           round(z_hat / i_hat, 4)    AS croston_rate
+    FROM latest
+    WHERE rn = 1 AND i_hat IS NOT NULL AND i_hat > 0
+    """
+    )
+
+
+@query(
     "q_time_decay_attribution",
     oracle="""
     WITH purchases AS (
