@@ -75,6 +75,8 @@ QUERIES = [
     "q_fifo_allocation",
     "q_user_cf_neighbors",
     "q_duplicate_payments",
+    "q_abc_xyz",
+    "q_growth_accounting",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
