@@ -886,6 +886,83 @@ def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HURST_SQL)
 
 
+# Year-scoped RFM (same quartile + segment rules as q_rfm_segmentation,
+# but PARTITIONED by year so each year is scored against its own cohort)
+# shared by Spark and DuckDB verbatim.
+_RFM_YEAR_SQL = """
+    base AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        o_custkey                   AS custkey,
+        max(o_orderdate)            AS last_order,
+        count(*)                    AS freq,
+        round(sum(o_totalprice), 2) AS monetary
+      FROM orders
+      WHERE year(o_orderdate) IN (1999, 2000)
+      GROUP BY yr, custkey
+    ),
+    scored AS (
+      SELECT yr, custkey,
+        CAST(ntile(4) OVER (PARTITION BY yr ORDER BY last_order, custkey) AS BIGINT) AS r_score,
+        CAST(ntile(4) OVER (PARTITION BY yr ORDER BY freq, custkey) AS BIGINT)       AS f_score,
+        CAST(ntile(4) OVER (PARTITION BY yr ORDER BY monetary, custkey) AS BIGINT)   AS m_score
+      FROM base
+    ),
+    seg AS (
+      SELECT yr, custkey,
+        CASE
+          WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+          WHEN r_score >= 3 AND f_score >= 3               THEN 'loyal'
+          WHEN r_score = 1                                 THEN 'at_risk'
+          ELSE 'regular'
+        END AS segment
+      FROM scored
+    )
+"""
+
+
+@query(
+    "q_rfm_migration",
+    oracle=f"""
+    WITH {_RFM_YEAR_SQL}
+    SELECT
+      a.segment AS seg_1999,
+      b.segment AS seg_2000,
+      CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT * FROM seg WHERE yr = 1999) a
+    JOIN (SELECT * FROM seg WHERE yr = 2000) b ON a.custkey = b.custkey
+    GROUP BY seg_1999, seg_2000
+    """,
+    tags=("analytics", "crm", "finance"),
+)
+def rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment migration matrix, 1999→2000 — the CRM artifact built ON
+    q_rfm_segmentation: score each year's customers against their own
+    cohort (quartile windows PARTITIONED by year — scoring 2000 against
+    1999's distribution would bake in drift), apply the same segment
+    rules, and count customers per (from, to) cell. Champions that slide
+    to at_risk are the churn-save call list. Determinism: every ntile
+    orders by (metric, custkey) — total order. Scale: one year-partitioned
+    scoring pass and a customer-keyed self-join of two year slices; at
+    100 TB years are separate partitions and the join is co-partitioned
+    on the customer key. One SQL text runs verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+    WITH {_RFM_YEAR_SQL}
+    SELECT
+      a.segment AS seg_1999,
+      b.segment AS seg_2000,
+      CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT * FROM seg WHERE yr = 1999) a
+    JOIN (SELECT * FROM seg WHERE yr = 2000) b ON a.custkey = b.custkey
+    GROUP BY seg_1999, seg_2000
+    """
+    )
+
+
 @query(
     "q_croston_forecast",
     oracle="""
