@@ -1149,6 +1149,68 @@ def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    daily AS (
+      SELECT CAST(year(d) AS BIGINT) * 12 + month(d) AS m,
+             d,
+             CAST(count(*) AS BIGINT) AS dau
+      FROM du GROUP BY m, d
+    ),
+    monthly AS (
+      SELECT CAST(year(d) AS BIGINT) * 12 + month(d) AS m,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM du GROUP BY m
+    ),
+    rolled AS (
+      SELECT m,
+             CAST(count(*) AS BIGINT)  AS n_days,
+             CAST(sum(dau) AS BIGINT)  AS sum_dau
+      FROM daily GROUP BY m
+    )
+    SELECT
+      r.m,
+      r.n_days,
+      mo.mau,
+      round(r.sum_dau * 1e0 / r.n_days, 4)            AS avg_dau,
+      round(r.sum_dau * 1e0 / (r.n_days * mo.mau), 6) AS stickiness
+    FROM rolled r JOIN monthly mo ON r.m = mo.m
+    """,
+    tags=("analytics", "product", "growth"),
+)
+def stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the habit ratio next to
+    q_power_user_curve's distribution and q_growth_accounting's flows:
+    average daily actives over monthly actives, computed as ONE division
+    of exact integers (Σ daily-distinct / (days × MAU)) so no
+    mean-of-ratios drift exists between engines. Scale: the user-day
+    dedup is the only wide step; both aggregates reuse it."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    m = F.year("d").cast("long") * 12 + F.month("d")
+    daily = du.groupBy(m.alias("m"), "d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    monthly = du.groupBy(m.alias("m")).agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    rolled = daily.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("dau").cast("long").alias("sum_dau"),
+    )
+    return rolled.join(monthly, "m").select(
+        "m",
+        "n_days",
+        "mau",
+        F.round(F.col("sum_dau") * F.lit(1.0) / F.col("n_days"), 4).alias("avg_dau"),
+        F.round(
+            F.col("sum_dau") * F.lit(1.0) / (F.col("n_days") * F.col("mau")), 6
+        ).alias("stickiness"),
+    )
+
+
+@query(
     "q_power_user_curve",
     oracle="""
     WITH win AS (
