@@ -136,7 +136,8 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       i.doc_id_1,
       i.doc_id_2,
-      round(i.n_common * 1.0 / (x.n + y.n - i.n_common), 4) AS jaccard
+      round(i.n_common * 1.0 / (x.n + y.n - i.n_common), 4) AS jaccard,
+      'exact' AS method
     FROM inter i
     JOIN sz x ON i.doc_id_1 = x.doc_id
     JOIN sz y ON i.doc_id_2 = y.doc_id
@@ -161,7 +162,14 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P[miss] < 2% at J ≥ 0.8 with 8 bands × 4 rows), and sub-quadratic.
     scale_check.py exercises exactly this switch at 10× replication; at the
     driver's sf0.01 gate the estimate stays far under budget, so the
-    oracle-checked path is the exact one."""
+    oracle-checked path is the exact one.
+
+    The switch is SURFACED IN THE RELATION (round-2 verdict task 3): a
+    constant ``method`` column says 'exact' or 'lsh_prefilter', so a caller
+    at any scale sees which semantics produced their pairs instead of
+    relying on a Python warning that a notebook or scheduler swallows.
+    tests/test_dedup.py exercises the tripped path by lowering the budget
+    and asserts the column flips plus pair-set correctness."""
     est = (
         _shingle_hashes_raw(spark, sf_dir)
         .groupBy("h")
@@ -181,8 +189,10 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stacklevel=2,
         )
         candidates = _lsh_candidate_pairs(spark, sf_dir)
-        return _verify_jaccard_pairs(ds, threshold=0.8, candidates=candidates)
-    return _verify_jaccard_pairs(ds, threshold=0.8)
+        return _verify_jaccard_pairs(ds, threshold=0.8, candidates=candidates).withColumn(
+            "method", F.lit("lsh_prefilter")
+        )
+    return _verify_jaccard_pairs(ds, threshold=0.8).withColumn("method", F.lit("exact"))
 
 
 def _verify_jaccard_pairs(
@@ -259,42 +269,73 @@ _MINHASH_SQL = f"""
 """
 
 
-def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig_family: str = "xxhash64") -> DataFrame:
     """Banded-LSH candidate pairs (doc_id_1 < doc_id_2): shingle → 32 seeded
-    md5 minhashes → 8 bands × 4 rows → band-bucket equi-join. Signatures are
-    constant-size per doc, so shuffle volume is O(docs); the 32 md5s per
-    shingle are computed INSIDE a transform lambda before the posexplode, so
-    fanout rows carry (doc_id, seed, 32-char hex) and the shingle text never
-    fans out."""
-    ds = _doc_shingles(spark, sf_dir)
-    sig = (
-        ds.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {N_PERM - 1}),"
-                    " k -> md5(concat(cast(k AS string), ':', s)))"
-                )
-            ).alias("seed", "hv"),
+    minhashes → 8 bands × 4 rows → band-bucket equi-join. Signatures are
+    constant-size per doc, so shuffle volume is O(docs).
+
+    Two signature families (round-2 verdict task 4):
+
+    - ``xxhash64`` (default, the production/scale path): minhash k of a doc
+      is min over its 8-byte shingle hashes h of xxhash64(k, h); the band
+      key is xxhash64 of the band's 4-long signature array. Everything that
+      shuffles — shingle ids, signatures, band keys — is an 8-byte long.
+    - ``md5`` (the oracle twin): minhash k = min md5(k || ':' || shingle),
+      band key = md5 of the comma-joined hex signatures — bit-for-bit
+      reproducible in DuckDB, which is what makes q_minhash_lsh
+      full-value-hash-checkable, at ~4× the shuffle bytes (32-char hex vs
+      8-byte long). Round 2 shipped this as the only path; round 3 demotes
+      it to verification duty.
+
+    tests/test_dedup.py asserts the two families yield the same verified
+    pair set on the test corpus."""
+    if sig_family == "md5":
+        ds = _doc_shingles(spark, sf_dir)
+        sig = (
+            ds.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(
+                        f"transform(sequence(0, {N_PERM - 1}),"
+                        " k -> md5(concat(cast(k AS string), ':', s)))"
+                    )
+                ).alias("seed", "hv"),
+            )
+            .groupBy("doc_id", "seed")
+            .agg(F.min("hv").alias("minh"))
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("hv").alias("minh"))
-    )
+        band_key = F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "minh"))),
+                    lambda s: s["minh"],
+                ),
+            )
+        )
+    else:
+        dh = _doc_shingle_hashes(spark, sf_dir)
+        sig = (
+            dh.select(
+                "doc_id",
+                F.posexplode(
+                    F.expr(f"transform(sequence(0, {N_PERM - 1}), k -> xxhash64(k, h))")
+                ).alias("seed", "hv"),
+            )
+            .groupBy("doc_id", "seed")
+            .agg(F.min("hv").alias("minh"))
+        )
+        band_key = F.xxhash64(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seed", "minh"))),
+                lambda s: s["minh"],
+            )
+        )
     rows_per_band = N_PERM // N_BANDS
     band_sig = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "minh"))),
-                        lambda s: s["minh"],
-                    ),
-                )
-            ).alias("band_key")
-        )
+        .agg(band_key.alias("band_key"))
     )
     left = band_sig.select("band", "band_key", F.col("doc_id").alias("doc_id_1"))
     right = band_sig.select("band", "band_key", F.col("doc_id").alias("doc_id_2"))
@@ -308,19 +349,61 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_minhash_lsh", oracle=_MINHASH_SQL, tags=("dedup", "llm", "approx"))
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 (scale tier): MinHash + banded LSH near-dup detection — LSH
-    candidate pairs (see _lsh_candidate_pairs) fed to the candidate-driven
-    exact-Jaccard verifier at ≥ 0.7. Verification counts run on 8-byte
-    hashed shingles (identical counts to the string oracle absent 64-bit
-    collisions — the hash match itself checks this).
+    """L2 (scale tier, ORACLE TWIN): MinHash + banded LSH near-dup detection
+    — LSH candidate pairs fed to the candidate-driven exact-Jaccard verifier
+    at ≥ 0.7. Verification counts run on 8-byte hashed shingles (identical
+    counts to the string oracle absent 64-bit collisions — the hash match
+    itself checks this).
 
-    The permutation hash is md5(seed || ':' || shingle) — cross-engine
+    The permutation hash here is md5(seed || ':' || shingle) — cross-engine
     reproducible, so the DuckDB oracle recomputes the full signature→band→
     candidate→verify pipeline and this query is value-hash-checked (VERDICT
-    round-1 task 5; previously xxhash64, engine-specific, rows-only).
-    md5-hex minhashes cost ~4× the shuffle bytes of the 8-byte xxhash64
-    variant; signatures are still O(docs)-bounded.
-    """
+    round-1 task 5). md5-hex minhashes cost ~4× the shuffle bytes of 8-byte
+    xxhash64 longs, so round 3 (verdict task 4) demoted this formulation to
+    verification duty: the production/scale path is q_minhash_lsh_fast
+    (xxhash64 end-to-end), and tests/test_dedup.py asserts both families
+    produce the same verified pair set."""
+    candidates = _lsh_candidate_pairs(spark, sf_dir, sig_family="md5")
+    dh = _doc_shingle_hashes(spark, sf_dir)
+    return _verify_jaccard_pairs(dh, threshold=0.7, candidates=candidates)
+
+
+_MINHASH_TRUTH_SQL = f"""
+    WITH ds AS ({_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      i.doc_id_1,
+      i.doc_id_2,
+      round(i.n_common * 1.0 / (x.n + y.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sz x ON i.doc_id_1 = x.doc_id
+    JOIN sz y ON i.doc_id_2 = y.doc_id
+    WHERE i.n_common * 1.0 / (x.n + y.n - i.n_common) >= 0.7
+"""
+
+
+@query("q_minhash_lsh_fast", oracle=_MINHASH_TRUTH_SQL, tags=("dedup", "llm", "approx", "scale"))
+def minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (scale tier, PRODUCTION PATH): MinHash + banded LSH with xxhash64
+    signatures end-to-end — shingle ids, the 32 per-doc minhashes, and the
+    band keys are all 8-byte longs, ~4× fewer shuffle bytes than the md5-hex
+    oracle twin q_minhash_lsh (round-2 verdict task 4: this restores the
+    round-1 signature shape as the default without giving up the md5
+    formulation's full value-hash oracle).
+
+    Oracle strategy: DuckDB cannot reproduce Spark's xxhash64, so the oracle
+    is the GROUND TRUTH — all exact-Jaccard ≥ 0.7 pairs. The banded LSH
+    front-end is an inclusion filter before the same exact verifier, so the
+    query equals ground truth exactly when band recall = 1; q_lsh_recall_audit
+    measures recall ≡ 1.0 on this corpus (near-dup pairs here are
+    high-Jaccard, so their signatures agree on entire bands under any hash
+    family), making this a genuine value-hash check of the whole pipeline —
+    if banding ever dropped a true pair, the hash would go red."""
     candidates = _lsh_candidate_pairs(spark, sf_dir)
     dh = _doc_shingle_hashes(spark, sf_dir)
     return _verify_jaccard_pairs(dh, threshold=0.7, candidates=candidates)
@@ -788,10 +871,14 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the sketch path and the exact path are cheap at audit scale
     (run on a SAMPLE in production — same plan, sampled input). Reuses
     the production candidate generator and exact verifier verbatim, so
-    the audit measures the real pipeline, not a reimplementation."""
+    the audit measures the real pipeline, not a reimplementation. Audits
+    the md5 signature family (the formulation DuckDB can recount
+    candidates for); the xxhash64 production family is held to the same
+    bar by q_minhash_lsh_fast's ground-truth oracle plus the pair-set
+    equivalence test in tests/test_dedup.py."""
     ds_h = _doc_shingle_hashes(spark, sf_dir)
     exact = _verify_jaccard_pairs(ds_h, threshold=0.7).select("doc_id_1", "doc_id_2")
-    cand = _lsh_candidate_pairs(spark, sf_dir)
+    cand = _lsh_candidate_pairs(spark, sf_dir, sig_family="md5")
     hits = exact.join(cand, ["doc_id_1", "doc_id_2"])
     return (
         exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))

@@ -47,74 +47,80 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness run caps at the FIRST 50 entries of
-# ``queries()`` in dict order. Round 1 used alphabetical module-import order,
-# which spent all 50 slots on aggregates/dedup/io/joins and left the windows,
-# scalars, set-ops, text, similarity, UDF, and streaming families with zero
-# driver rows (VERDICT.md round 1, top finding). This curated list puts at
-# least one representative of every SURVEY §2 family inside the window:
-# positions 1-37 are the families the round-1 window missed, 38-50 re-confirm
-# one flagship per already-green family. 48 of the 50 carry full DuckDB
-# oracles; q_sample_profile (P6) and q_stream_watermarked (ST4) are rows-only
-# by design. Everything not listed follows in registration order.
+# ``queries()`` in dict order. Rounds 1+2 drove 86 distinct queries green;
+# this round-3 window rotates to 50 NEVER-driver-checked names (the round-2
+# verdict's top evidence gap: 202 of 288 queries had zero driver rows).
+# Priorities follow VERDICT.md round 2 "Next round" task 2: the flagships
+# that earned a row (q_embedding_neardup's distributed rewrite, the ANN/CF/
+# sketch/graph/recursive paths) plus at least one representative per
+# analytics wave (dedup-census, sketches, ml-eval, product, finance, stats,
+# graph, io-formats, Spark-4 SQL, streaming wave 2). All 50 carry full
+# DuckDB value-hash oracles. Everything not listed follows in registration
+# order, so the r1/r2 windows remain reproducible from git history.
 DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    # Windows W1-W9 (zero driver rows in round 1)
-    "q_sessionization",          # W9
-    "q_range_window_events",     # W6
-    "q_rank_top_customers",      # W1+W2
-    "q_lag_dod",                 # W3
-    "q_running_total",           # W4
-    "q_moving_avg",              # W5
-    "q_first_last_order",        # W7
-    "q_percent_rank_suppliers",  # W8
-    "q_ntile_quartiles",         # W1
-    # Scalar function families F1-F7
-    "q_string_funcs",            # F1
-    "q_date_funcs",              # F2
-    "q_math_funcs",              # F3
-    "q_array_funcs",             # F4
-    "q_json_funcs",              # F5/F6
-    "q_hash_funcs",              # F7
-    # Sort/limit + set ops O1-O4
-    "q_top_revenue_orders",      # O1/O2
-    "q_union_all",               # O3
-    "q_intersect_custs",         # O4
-    "q_simhash",                 # L2 fingerprint tier (oracle-checked since round 2)
-    # Similarity / text / embedding flagships L3-L5, L7
-    "q_cosine_topk",             # L3
-    "q_top_terms",               # L4
-    "q_tfidf_top",               # L5
-    "q_embedding_centroids",     # L7
-    # UDF surface U1-U5
-    "q_udf_pandas_revenue",      # U1
-    "q_udf_grouped_agg",         # U2
-    "q_apply_in_pandas_zscore",  # U3
-    "q_udtf_shingles",           # U4
-    "q_sql_registered_udf",      # U5
-    # Remaining projection-family IDs P5/P6
-    "q_null_handling",           # P5
-    "q_sample_profile",          # P6 (rows-only by design)
-    # Streaming ST1-ST7 (S5 source exercised by every entry)
-    "q_stream_tumbling",         # ST1
-    "q_stream_sliding",          # ST2
-    "q_session_window",          # ST3
-    "q_stream_watermarked",      # ST4 (rows-only by design)
-    "q_stream_dedup",            # ST5
-    "q_stream_static_join",      # ST6
-    "q_stream_stateful_totals",  # ST7
-    # One flagship per family already driver-green in round 1
-    "q_pricing_summary",         # A1
-    "q_global_agg",              # A2
-    "q_percentiles",             # A5
-    "q_rollup_revenue",          # A7
-    "q_star_join",               # J1
-    "q_broadcast_dim_join",      # J2
-    "q_asof_join",               # J7
-    "q_exact_dedup",             # L1
-    "q_jaccard_neardup",         # L2 exact tier
-    "q_minhash_lsh",             # L2 scale tier
-    "q_multimodal_join",         # L6
-    "q_csv_roundtrip",           # S2
-    "q_partitioned_sink",        # S3
+    # Verdict-named flagships (round-2 rewrites and scale paths)
+    "q_embedding_neardup",        # L2 embedding tier — distributed block matmul
+    "q_ann_lsh_topk",             # L3 — bucketed sign-LSH with literal hyperplanes
+    "q_user_cf_neighbors",        # most expensive query in the repo
+    "q_hll_distinct",             # A4 portable full-oracle twin
+    "q_recursive_reachability",   # WITH RECURSIVE (Spark 4)
+    "q_galaxy_join",              # multi-fact star chain
+    "q_fifo_allocation",          # cumulative-interval equi-join
+    "q_stream_stream_join",       # ST6 stream-stream tier
+    "q_cdc_apply",                # change-data-capture upsert semantics
+    "q_bm25_topk",                # retrieval stack flagship
+    # Heavy hitters promoted into bench.py this round + scale stragglers
+    "q_triangle_count",
+    "q_interval_overlap_bucketed",
+    "q_fuzzy_match_names",
+    "q_theil_sen",
+    "q_kendall_tau",
+    # Round-2 defect, fixed this round (wrong-era window made it vacuous)
+    "q_power_user_curve",
+    # Dedup census / curation wave
+    "q_cross_source_dedup",
+    "q_dup_rate_by_source",
+    "q_containment_neardup",
+    "q_lsh_recall_audit",
+    "q_dedup_keep_first",
+    # Portable sketches
+    "q_kmv_overlap",
+    "q_hist_quantile_sketch",
+    "q_bloom_semi_join",
+    # ML-eval wave
+    "q_confusion_matrix",
+    "q_auc_by_month",
+    "q_ndcg",
+    "q_mrr",
+    "q_calibration_bins",
+    "q_psi_drift",
+    # Product-analytics wave
+    "q_cohort_retention",
+    "q_growth_accounting",
+    "q_stickiness",
+    "q_funnel_steps",
+    "q_session_paths",
+    # Finance wave
+    "q_vwap",
+    "q_max_drawdown",
+    "q_ohlc_bars",
+    "q_var_cvar",
+    "q_negative_sampling",        # the round-2 38x scale fix — earn its row
+    # Statistics wave
+    "q_welch_ttest",
+    "q_spearman_corr",
+    "q_weighted_median",
+    # Graph wave
+    "q_pagerank_copurchase",
+    "q_bfs_hops",
+    # IO / format wave
+    "q_orc_roundtrip",
+    "q_schema_evolution",
+    # Spark-4 SQL surface
+    "q_lateral_topn",
+    "q_pipe_syntax",
+    # Streaming wave 2 (file-replay ordering hardened this round)
+    "q_stream_dedup_bounded",
 )
 
 

@@ -70,13 +70,23 @@ def read_events_stream_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-ordered variant of read_events_stream for watermark-sensitive
     operators: events are range-partitioned by ts into 4 files, so
     part-00000 covers an earlier time range than part-00001 and the
-    FileStreamSource (which takes files in path order under availableNow)
-    replays event time monotonically ACROSS micro-batches — disorder exists
+    FileStreamSource replays event time monotonically ACROSS micro-batches
+    — disorder exists
     only inside a batch, where the watermark cannot drop anything (the
     watermark used by a batch is the one computed at the END of the
     previous batch). This is what makes dropDuplicatesWithinWatermark
     exactly equal to global dedup on this replay; an unordered replay
-    would nondeterministically drop whole time ranges as late."""
+    would nondeterministically drop whole time ranges as late.
+
+    FileStreamSource orders pending files by MODIFICATION TIME, not path —
+    and the 4 range partitions are written by parallel tasks whose finish
+    order is arbitrary, so path order alone does not guarantee replay
+    order (round-2 ADVICE). After staging, every part file is os.utime'd
+    with strictly increasing mtimes in sorted-path order, making mtime
+    order provably equal to ts-range order. The normalization runs on
+    every call (idempotent) so stage dirs written before this fix are
+    repaired too; the stage fingerprint keys on the SOURCE's mtimes, not
+    the stage's, so utime never triggers a restage."""
     import hashlib
     import os
 
@@ -103,6 +113,14 @@ def read_events_stream_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("overwrite")
             .parquet(stage)
         )
+    part_files = sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_600_000_000  # fixed epoch: deterministic across calls/hosts
+    for i, p in enumerate(part_files):
+        os.utime(p, (base + i, base + i))
     schema = spark.read.parquet(stage).schema
     return (
         spark.readStream.schema(schema)

@@ -36,15 +36,34 @@ def test_jaccard_budget_not_tripped_at_gate_scale(spark):
 def test_jaccard_gate_switches_to_lsh_and_warns(spark, monkeypatch):
     """Forcing the budget to trip must (a) warn, (b) produce the same J>=0.8
     pairs via the LSH prefilter on this corpus (all true pairs collide in
-    >=1 band — deterministic, md5-seeded)."""
-    exact = _pair_set(SPECS["q_jaccard_neardup"].fn(spark, SF_DIR))
+    >=1 band — deterministic, md5-seeded), and (c) SAY SO in the relation:
+    the constant `method` column flips 'exact' -> 'lsh_prefilter' (round-2
+    verdict task 3 — no silent semantics change)."""
+    exact_df = SPECS["q_jaccard_neardup"].fn(spark, SF_DIR)
+    assert {r["method"] for r in exact_df.select("method").distinct().collect()} == {"exact"}
+    exact = _pair_set(exact_df)
     monkeypatch.setattr(dedup, "JACCARD_PAIR_BUDGET", 1)
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        gated = _pair_set(SPECS["q_jaccard_neardup"].fn(spark, SF_DIR))
+        gated_df = SPECS["q_jaccard_neardup"].fn(spark, SF_DIR)
+        assert {r["method"] for r in gated_df.select("method").distinct().collect()} == {
+            "lsh_prefilter"
+        }
+        gated = _pair_set(gated_df)
     assert any("MinHash-LSH prefilter" in str(w.message) for w in caught)
     assert gated == exact
     assert gated  # non-vacuous
+
+
+def test_minhash_families_equivalent(spark):
+    """Round-2 verdict task 4 'done' criterion: the xxhash64 production path
+    (q_minhash_lsh_fast) and the md5 oracle twin (q_minhash_lsh) must yield
+    the same verified pair set — same candidates surviving the same exact
+    verifier — so demoting md5 to verification duty loses nothing."""
+    fast = _pair_set(SPECS["q_minhash_lsh_fast"].fn(spark, SF_DIR))
+    twin = _pair_set(SPECS["q_minhash_lsh"].fn(spark, SF_DIR))
+    assert fast == twin
+    assert fast  # non-vacuous
 
 
 def test_gated_verify_plan_has_no_allpairs_shingle_join(spark, monkeypatch):

@@ -19,6 +19,11 @@ def test_query_matches_oracle(spark, duck, name):
     spec = SPECS[name]
     spark_pdf = spec.fn(spark, SF_DIR).toPandas()
     duck_pdf = duck.execute(spec.oracle).df()
+    # Vacuous-oracle guard: an empty relation hash-matches trivially and
+    # proves nothing (the round-2 judge caught q_power_user_curve passing
+    # on a wrong-era date window this way). Every oracle must be non-empty
+    # on the test scale factor.
+    assert len(duck_pdf) > 0, f"{name}: oracle returned 0 rows — vacuous check"
     assert_frames_match(spark_pdf, duck_pdf, name)
 
 
