@@ -35,6 +35,16 @@ HEADLINE = [
     "q_top_terms",
     "q_stream_tumbling",
     "q_curation_pipeline",
+    # Round-3 additions (VERDICT r2 task 5): the actual heaviest registered
+    # queries, promoted from BASELINE.md prose so regressions are
+    # machine-visible in BENCH_r{N}.json.
+    "q_user_cf_neighbors",
+    "q_minhash_lsh",
+    "q_minhash_lsh_fast",
+    "q_simhash",
+    "q_fifo_allocation",
+    "q_interval_overlap_bucketed",
+    "q_triangle_count",
 ]
 
 

@@ -32,12 +32,15 @@ def _centroid_literal(cents: list[list[float]]):
 
 
 def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """Narrow map: per vector, squared distance to each centroid, argmin."""
+    """Narrow map: per vector, squared distance to each centroid, argmin.
+    Distances are rounded to 12 dp before the argmin so Spark's sequential
+    fold and DuckDB's group-sum (different summation orders, ~1e-14 ulps)
+    agree bit-for-bit — the q_pca_power_iteration determinism recipe."""
     with_c = emb.withColumn("cents", _centroid_literal(cents))
     dists = F.expr(
-        f"transform(sequence(0, {len(cents) - 1}), c -> aggregate("
+        f"transform(sequence(0, {len(cents) - 1}), c -> round(aggregate("
         "zip_with(embedding, cents[c], (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 12))"
     )
     # argmin with lowest-index tiebreak: fold over (best_i, best_d)
     argmin = F.expr(
@@ -51,12 +54,71 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
-@query("q_kmeans_embeddings", oracle=None, tags=("ml", "iterative", "llm"))
+def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
+    """DuckDB oracle for q_kmeans_embeddings: the 5 Lloyd iterations
+    unrolled as chained CTEs (the q_pca_power_iteration pattern — round-2
+    verdict task 6 upgraded this query from rows-only to full value-hash).
+    Init = the k lowest vec_ids; every distance and centroid mean is
+    rounded to 12 dp on both engines so they iterate on bit-identical
+    state; argmin ties break to the lowest cluster id in both (Spark's
+    strict-< fold keeps the first index; here row_number orders by
+    (d2, cid))."""
+    head = f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, {DIM}) s(i)
+    ),
+    init_ids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    ),
+    c0 AS (SELECT n.cid, x.i, x.v AS m FROM x JOIN init_ids n USING (vec_id))
+    """
+    steps = ""
+    for t in range(1, iters + 1):
+        steps += f""",
+    d{t} AS (
+      SELECT x.vec_id, c.cid, round(sum((x.v - c.m) * (x.v - c.m)), 12) AS d2
+      FROM x JOIN c{t - 1} c ON x.i = c.i
+      GROUP BY x.vec_id, c.cid
+    ),
+    a{t} AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    )"""
+        if t < iters:  # the final assignment is the output; no update after it
+            steps += f""",
+    n{t} AS (
+      SELECT a.cid, x.i, round(avg(x.v), 12) AS m
+      FROM a{t} a JOIN x ON a.vec_id = x.vec_id
+      GROUP BY a.cid, x.i
+    ),
+    c{t} AS (
+      SELECT p.cid, p.i, coalesce(n.m, p.m) AS m
+      FROM c{t - 1} p LEFT JOIN n{t} n ON p.cid = n.cid AND p.i = n.i
+    )"""
+    return f"""
+    {head}{steps}
+    SELECT
+      CAST(cid AS BIGINT)       AS cid,
+      CAST(count(*) AS BIGINT)  AS n_vecs,
+      round(avg(sqrt(d2)), 4)   AS avg_dist
+    FROM a{iters}
+    GROUP BY cid
+    """
+
+
+@query("q_kmeans_embeddings", oracle=_kmeans_oracle(), tags=("ml", "iterative", "llm"))
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means (k=8, 5 Lloyd iterations) over embeddings;
-    returns per-cluster size and dispersion. Rows-only check: the result is
-    iteration-order-defined, not SQL-expressible — determinism is asserted
-    by our own rerun test instead."""
+    returns per-cluster size and dispersion. Full value-hash oracle since
+    round 3: the Lloyd loop is deterministic by construction (lowest-vec_id
+    init, lowest-id tiebreaks, 12-dp-rounded distances and means), so the
+    DuckDB oracle unrolls the identical iterations as chained CTEs and both
+    engines converge on bit-identical assignments."""
     # cache the corpus across the Lloyd iterations — the pattern any
     # iterative job uses at scale (each iteration re-reads the cache, not
     # the source files); unpersisted after the loop so the returned lazy
@@ -75,7 +137,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = (
             assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cid", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 12).alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.expr("transform(pm, s -> s.m)").alias("c"))

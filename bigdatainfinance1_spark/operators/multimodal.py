@@ -148,17 +148,29 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_frame_sample",
     oracle="""
-    WITH f AS (
+    WITH guard AS (
+      -- The byte arithmetic below (strlen/substr/ascii) equals the Spark
+      -- side's utf-8 byte slicing ONLY for single-byte ASCII text. If the
+      -- driver ever regenerates a corpus with multibyte text, fail loudly
+      -- here instead of hash-mismatching mysteriously (round-2 ADVICE).
+      SELECT CASE WHEN count(*) = 0 THEN 0
+                  ELSE error('q_frame_sample oracle assumes single-byte ASCII text; corpus violates it')
+             END AS ok
+      FROM documents WHERE strlen(text) <> length(text)
+    ),
+    f AS (
       SELECT doc_id, lang, text,
              (strlen(text) + 63) // 64 AS n_frames,
              ((strlen(text) + 63) // 64 + 3) // 4 AS n_sampled
-      FROM documents
+      FROM documents, guard
+      WHERE guard.ok = 0
     ),
     firsts AS (
       SELECT f.doc_id, f.lang,
              ascii(substr(f.text, 1 + 256 * k.k, 1)) AS b
       FROM f
-      JOIN (SELECT unnest(range(0, 4096)) AS k) k ON k.k < f.n_sampled
+      -- bound derived from the corpus, not a hard-coded 4096 (round-2 ADVICE)
+      JOIN (SELECT unnest(range(0, (SELECT max(n_sampled) FROM f))) AS k) k ON k.k < f.n_sampled
     )
     SELECT
       f.lang,

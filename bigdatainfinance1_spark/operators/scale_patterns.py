@@ -200,55 +200,70 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoopJoin — O(n²) compares, a scale-killer the plan test
     asserts is absent. The scale shape: each interval explodes to the
     1-hour grid cells it covers (bounded fan-out: a ≤24h interval covers
-    ≤25 cells), the join becomes an EQUI-join on the cell, duplicate
-    cell-matches collapse with one distinct on the pair ids, and the exact
-    overlap predicate runs as a post-filter. Cost is O(pairs that share a
-    grid cell) — proportional to true collisions, not to n². The oracle
-    runs the honest quadratic form (DuckDB's IEJoin handles it at sf0.01).
-    Grid width tunes fan-out vs selectivity exactly like the geo grid in
-    q_geo_grid_knn."""
+    ≤25 cells) and joins against the single cell containing the OTHER
+    interval's start — for any overlapping pair, the later-starting
+    interval's start cell is always covered by the earlier one, so each
+    pair matches on exactly one cell and no pair-dedup pass is needed.
+    (Round 3 rewrite: the first cut joined full fan-out against full
+    fan-out and collapsed duplicate cell-matches with a distinct — on the
+    regenerated sf0.1 events, whose ~8 h daily intervals all share most
+    cells, that emitted 216 M pre-distinct rows and ran 76 s; start-cell
+    matching emits one row per candidate pair and runs ~17 s, of which
+    the answer itself is the floor: this corpus genuinely contains 34 M
+    overlapping pairs, so the residual cost is output-bound, like
+    q_jaccard_neardup under mass duplication.) Cost is O(pairs that
+    share a grid cell) — proportional to true collisions, not n². The
+    oracle runs the honest quadratic form (DuckDB's IEJoin handles it at
+    sf0.01). Grid width tunes fan-out vs selectivity exactly like the geo
+    grid in q_geo_grid_knn."""
     ev = load_table(spark, sf_dir, "events")
     iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.min(F.unix_micros("ts")).cast("long").alias("iv_s"),
         F.max(F.unix_micros("ts")).cast("long").alias("iv_e"),
     )
     hour_us = 3_600_000_000
-    cells = iv.select(
-        "user_id",
-        "day",
-        "iv_s",
-        "iv_e",
+    # earlier side: all covered cells; later side: start cell only
+    x = iv.select(
+        F.col("user_id").alias("x_user"),
+        F.col("day").alias("x_day"),
+        F.col("iv_s").alias("x_s"),
+        F.col("iv_e").alias("x_e"),
         F.explode(
             F.sequence(
                 (F.col("iv_s") / hour_us).cast("long"), (F.col("iv_e") / hour_us).cast("long")
             )
         ).alias("cell"),
     )
-    a = cells.select(
-        F.col("user_id").alias("a_user"),
-        F.col("day").alias("a_day"),
-        F.col("iv_s").alias("a_s"),
-        F.col("iv_e").alias("a_e"),
-        "cell",
+    y = iv.select(
+        F.col("user_id").alias("y_user"),
+        F.col("day").alias("y_day"),
+        F.col("iv_s").alias("y_s"),
+        F.col("iv_e").alias("y_e"),
+        (F.col("iv_s") / hour_us).cast("long").alias("cell"),
     )
-    b = cells.select(
-        F.col("user_id").alias("b_user"),
-        F.col("day").alias("b_day"),
-        F.col("iv_s").alias("b_s"),
-        F.col("iv_e").alias("b_e"),
-        "cell",
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(
-            (F.col("a_user") != F.col("b_user"))
-            & (F.col("a_s") <= F.col("b_e"))
-            & (F.col("b_s") <= F.col("a_e"))
+    # strict interval order (start, then user/day tiebreak) makes X the
+    # earlier interval of the pair, so X's fan-out covers cell(Y.start);
+    # overlap then reduces to Y.start <= X.end.
+    earlier = (F.col("x_s") < F.col("y_s")) | (
+        (F.col("x_s") == F.col("y_s"))
+        & (
+            (F.col("x_user") < F.col("y_user"))
+            | ((F.col("x_user") == F.col("y_user")) & (F.col("x_day") < F.col("y_day")))
         )
-        .select("a_user", "a_day", "a_s", "b_user", "b_day")
-        .distinct()
     )
-    return pairs.groupBy(F.col("a_user").alias("user_id")).agg(
+    pairs = x.join(y, "cell").filter(
+        (F.col("x_user") != F.col("y_user")) & earlier & (F.col("y_s") <= F.col("x_e"))
+    )
+    # each unordered pair once -> emit both directions for per-user counts
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("x_user").alias("a_user"), F.col("y_user").alias("b_user")),
+                F.struct(F.col("y_user").alias("a_user"), F.col("x_user").alias("b_user")),
+            )
+        ).alias("p")
+    ).select("p.a_user", "p.b_user")
+    return both.groupBy(F.col("a_user").alias("user_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_overlaps"),
         F.count_distinct("b_user").cast("long").alias("n_peers"),
     )

@@ -401,7 +401,95 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf_topk", oracle=None, tags=("similarity", "llm", "approx"))
+def _ivf_oracle_sql(k: int = 16, nprobe: int = 4, iters: int = 5, sample_n: int = 512) -> str:
+    """DuckDB oracle for q_ann_ivf_topk (round-2 verdict task 6: rows-only →
+    full value-hash). The coarse-quantizer TRAINING is replicated as unrolled
+    Lloyd CTEs over the same fixed sample (the q_kmeans_embeddings pattern):
+    init = the k lowest vec_ids, every distance and centroid mean rounded to
+    12 dp so numpy's pairwise summation and DuckDB's group-sum agree
+    bit-for-bit, argmin ties to the lowest list id on both sides. Serving
+    (corpus list assignment, nprobe probing, exact-cosine rerank, top-3) is
+    then plain SQL over the trained c{iters} centroids."""
+    head = f"""
+    WITH x AS MATERIALIZED (
+      SELECT vec_id, s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) s(i)
+    ),
+    samp_ids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {sample_n}),
+    xs AS MATERIALIZED (SELECT x.* FROM x JOIN samp_ids USING (vec_id)),
+    init_ids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    ),
+    c0 AS (SELECT n.cid, x.i, x.v AS m FROM x JOIN init_ids n USING (vec_id))
+    """
+    steps = ""
+    for t in range(1, iters + 1):
+        steps += f""",
+    d{t} AS (
+      SELECT xs.vec_id, c.cid, round(sum((xs.v - c.m) * (xs.v - c.m)), 12) AS d2
+      FROM xs JOIN c{t - 1} c ON xs.i = c.i
+      GROUP BY xs.vec_id, c.cid
+    ),
+    a{t} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    n{t} AS (
+      SELECT a.cid, xs.i, round(avg(xs.v), 12) AS m
+      FROM a{t} a JOIN xs ON a.vec_id = xs.vec_id
+      GROUP BY a.cid, xs.i
+    ),
+    c{t} AS (
+      SELECT p.cid, p.i, coalesce(n.m, p.m) AS m
+      FROM c{t - 1} p LEFT JOIN n{t} n ON p.cid = n.cid AND p.i = n.i
+    )"""
+    return f"""
+    {head}{steps},
+    cd AS MATERIALIZED (
+      SELECT x.vec_id, c.cid, round(sum((x.v - c.m) * (x.v - c.m)), 12) AS d2
+      FROM x JOIN c{iters} c ON x.i = c.i
+      GROUP BY x.vec_id, c.cid
+    ),
+    corpus_a AS (
+      SELECT vec_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM cd
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM cd WHERE vec_id < 10
+      ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN corpus_a c USING (list_id)
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cnd.query_id, cnd.neighbor_id, {_COS_SQL} AS cos
+      FROM cand cnd
+      JOIN embeddings a ON a.vec_id = cnd.query_id
+      JOIN embeddings b ON b.vec_id = cnd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id
+      ) AS rnk FROM scored
+    )
+    WHERE rnk <= 3
+    """
+
+
+@query("q_ann_ivf_topk", oracle=_ivf_oracle_sql(), tags=("similarity", "llm", "approx"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 (scale path, IVF variant): approximate top-k via an inverted-file
     index — the other standard ANN layout besides sign-LSH (q_ann_lsh_topk).
@@ -414,12 +502,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a narrow map (zero shuffle). Queries probe their nprobe=4 nearest
     lists, so probing is an equi-join on list_id touching ~nprobe/k = 25%
     of the corpus instead of a full scan; candidates are reranked with
-    exact cosine + per-query top-3 window. Rows-only: list membership is
-    engine-specific (same class as the LSH variant).
+    exact cosine + per-query top-3 window.
 
-    Determinism: fixed sample, fixed init, argmin ties broken by lowest
-    list id both in training (numpy argmin) and assignment (struct sort by
-    (distance, id)) — reruns are identical.
+    Full value-hash oracle since round 3 (verdict task 6): training is
+    deterministic by construction — fixed sample, fixed init, argmin ties
+    broken by lowest list id both in training (numpy argmin) and
+    assignment (struct sort by (distance, id)), and every distance and
+    centroid mean rounded to 12 dp — so the DuckDB oracle retrains the
+    identical quantizer as unrolled Lloyd CTEs (see _ivf_oracle_sql) and
+    serves the same lists.
     """
     import numpy as np
 
@@ -432,18 +523,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = np.stack(sample).astype(np.float64)
     cents = x[:k].copy()
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # 12-dp rounding matches the SQL oracle's iteration state exactly
+        # (numpy pairwise summation vs DuckDB group-sum differ by ~1e-15)
+        d2 = np.round(((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 12)
         assign = d2.argmin(axis=1)  # ties -> lowest index
         for c in range(k):
             members = x[assign == c]
             if len(members):
-                cents[c] = members.mean(axis=0)
+                cents[c] = np.round(members.mean(axis=0), 12)
 
     cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
     dists = F.expr(
-        f"transform(sequence(0, {k - 1}), c -> aggregate("
+        f"transform(sequence(0, {k - 1}), c -> round(aggregate("
         "zip_with(embedding, cents[c], (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 12))"
     )
 
     def nearest_lists(n: int):

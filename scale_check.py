@@ -127,7 +127,13 @@ def main() -> None:
     # optional positional args: run only the named queries (still from the
     # curated QUERIES list order) — keeps incremental re-measurement cheap
     picked = [a for a in sys.argv[1:] if not a.startswith("--")]
-    to_run = [n for n in QUERIES if n in picked] if picked else QUERIES
+    unknown = [a for a in picked if a not in specs]
+    if unknown:
+        sys.exit(f"scale_check: unknown query name(s): {', '.join(unknown)}")
+    # Names registered but not in the curated QUERIES list run too (appended
+    # in given order) — a typo'd or missing name errors instead of silently
+    # shrinking the run (round-2 ADVICE).
+    to_run = ([n for n in QUERIES if n in picked] + [n for n in picked if n not in QUERIES]) if picked else QUERIES
     for name in to_run:
         t0 = time.perf_counter()
         specs[name].fn(spark, BASE_SF).write.format("noop").mode("overwrite").save()
