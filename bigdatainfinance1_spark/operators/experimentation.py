@@ -1,0 +1,373 @@
+"""Experimentation statistics: CUPED variance reduction, difference-in-differences, delta-method ratio inference.
+
+Carved out of operators/analytics3.py (round-2 wave 6-7) in round 3 (verdict task 7:
+no operator module over 1.5k LoC); 3 registered queries, bodies
+unchanged — git follows the move via --find-copies.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+
+@query(
+    "q_ratio_delta_method",
+    oracle="""
+    WITH cf AS (
+      SELECT o_custkey AS cust,
+             CAST(count(*) AS BIGINT) AS yv,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS xv
+      FROM orders GROUP BY cust
+    ),
+    frame AS (
+      SELECT CASE WHEN substring(md5(CAST(cust AS STRING)), 1, 1) < '8'
+                  THEN 'treat' ELSE 'control' END AS arm,
+             xv, yv
+      FROM cf
+    ),
+    m AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xv) AS BIGINT)  AS sx,
+             CAST(sum(yv) AS BIGINT)  AS sy,
+             CAST(sum(CAST(xv AS DECIMAL(19,0)) * CAST(xv AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             CAST(sum(xv * yv) AS BIGINT) AS sxy,
+             CAST(sum(yv * yv) AS BIGINT) AS syy
+      FROM frame GROUP BY arm
+    ),
+    stats AS (
+      SELECT arm, n,
+             sx * 1e0 / n AS mx,
+             sy * 1e0 / n AS my,
+             sxx / n - (sx * 1e0 / n) * (sx * 1e0 / n)            AS vx,
+             syy * 1e0 / n - (sy * 1e0 / n) * (sy * 1e0 / n)      AS vy,
+             sxy * 1e0 / n - (sx * 1e0 / n) * (sy * 1e0 / n)      AS cxy
+      FROM m
+    )
+    SELECT
+      arm, n,
+      round(mx / my / 100, 4) AS revenue_per_order,
+      round(
+        sqrt(
+          (mx / my) * (mx / my)
+          * (vx / (mx * mx) - 2e0 * cxy / (mx * my) + vy / (my * my))
+          / n) / 100, 4) AS se_delta
+    FROM stats
+    """,
+    tags=("analytics", "experimentation", "stats"),
+)
+def ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per order
+    at the customer grain) — the correction every experimentation platform
+    needs because the unit of randomization (customer) differs from the
+    metric denominator (orders), so naive per-order variance is wrong:
+    Var(X̄/Ȳ) ≈ (mx/my)²(vx/mx² − 2cov/mxmy + vy/my²)/n. All second
+    moments are exact integers (Σx² in decimal — cents² passes int64),
+    every double expression has identical shape on both engines, one
+    sqrt at the end, rounded at 4 dp in dollars. Pairs with
+    q_cuped_adjustment (variance reduction) and q_two_proportion_ztest
+    (binary metrics) to complete the experiment-readout kit. Scale: one
+    customer-grain aggregate + a 2-row arm aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cf = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count(F.lit(1)).cast("long").alias("yv"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("xv"),
+    )
+    frame = cf.select(
+        F.when(F.substring(F.md5(F.col("cust").cast("string")), 1, 1) < "8", "treat")
+        .otherwise("control")
+        .alias("arm"),
+        "xv",
+        "yv",
+    )
+    m = frame.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xv").cast("long").alias("sx"),
+        F.sum("yv").cast("long").alias("sy"),
+        F.sum(F.col("xv").cast("decimal(19,0)") * F.col("xv").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
+    )
+    mx = F.col("sx") * F.lit(1.0) / F.col("n")
+    my = F.col("sy") * F.lit(1.0) / F.col("n")
+    vx = F.col("sxx") / F.col("n") - mx * mx
+    vy = F.col("syy") * F.lit(1.0) / F.col("n") - my * my
+    cxy = F.col("sxy") * F.lit(1.0) / F.col("n") - mx * my
+    return m.select(
+        "arm",
+        "n",
+        F.round(mx / my / 100, 4).alias("revenue_per_order"),
+        F.round(
+            F.sqrt(
+                (mx / my) * (mx / my)
+                * (vx / (mx * mx) - F.lit(2.0) * cxy / (mx * my) + vy / (my * my))
+                / F.col("n")
+            )
+            / 100,
+            4,
+        ).alias("se_delta"),
+    )
+
+
+# Shared experiment frame: customer-level pre/post revenue (exact cents)
+# with a deterministic md5 50/50 arm. Pre = orders before 1996-01-01, post =
+# at-or-after; customers missing a period contribute 0 (every customer with
+# ANY order is in the universe — a LEFT join from the order-holder set).
+_EXPERIMENT_SQL = """
+    universe AS (
+      SELECT DISTINCT o_custkey AS cust FROM orders
+    ),
+    arms AS (
+      SELECT cust,
+             CASE WHEN substring(md5(CAST(cust AS STRING)), 1, 1) < '8'
+                  THEN 'treat' ELSE 'control' END AS arm
+      FROM universe
+    ),
+    pre AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY cust
+    ),
+    post AS (
+      SELECT o_custkey AS cust,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY cust
+    ),
+    frame AS (
+      SELECT a.arm, a.cust,
+             coalesce(pre.x, 0)  AS x,
+             coalesce(post.y, 0) AS y
+      FROM arms a
+      LEFT JOIN pre  ON a.cust = pre.cust
+      LEFT JOIN post ON a.cust = post.cust
+    )
+"""
+
+
+@query(
+    "q_cuped_adjustment",
+    oracle="""
+    WITH cf AS (
+      SELECT o_custkey AS cust,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY cust
+    ),
+    frame AS (
+      SELECT CASE WHEN substring(md5(CAST(cust AS STRING)), 1, 1) < '8'
+                  THEN 'treat' ELSE 'control' END AS arm,
+             x, y
+      FROM cf
+    ),
+    by_arm AS (
+      SELECT arm,
+             CAST(count(*) AS BIGINT)            AS n,
+             CAST(sum(x) AS BIGINT)              AS sx,
+             CAST(sum(y) AS BIGINT)              AS sy,
+             CAST(sum(x * x) AS BIGINT)          AS sxx,
+             CAST(sum(x * y) AS BIGINT)          AS sxy,
+             sum(CAST(y AS HUGEINT) * y)         AS syy
+      FROM frame GROUP BY arm
+    ),
+    pooled AS (
+      SELECT
+        CAST(sum(n) AS BIGINT)  AS tn,
+        CAST(sum(sx) AS BIGINT) AS tsx,
+        CAST(sum(sy) AS BIGINT) AS tsy,
+        CAST(sum(sxx) AS DOUBLE) AS tsxx,
+        CAST(sum(sxy) AS DOUBLE) AS tsxy
+      FROM by_arm
+    ),
+    theta AS (
+      SELECT tn, tsx,
+             (tsxy - tsx * 1e0 * tsy / tn) / (tsxx - tsx * 1e0 * tsx / tn) AS th
+      FROM pooled
+    )
+    SELECT
+      b.arm,
+      b.n,
+      round(b.sy * 1e0 / b.n / 100, 4) AS mean_y,
+      round((b.sy * 1e0 / b.n - t.th * (b.sx * 1e0 / b.n - t.tsx * 1e0 / t.tn)) / 100, 4)
+        AS mean_y_cuped,
+      round(
+        (CAST(b.syy AS DOUBLE) / b.n - (b.sy * 1e0 / b.n) * (b.sy * 1e0 / b.n)
+         - 2e0 * t.th * (CAST(b.sxy AS DOUBLE) / b.n - (b.sx * 1e0 / b.n) * (b.sy * 1e0 / b.n))
+         + t.th * t.th * (CAST(b.sxx AS DOUBLE) / b.n - (b.sx * 1e0 / b.n) * (b.sx * 1e0 / b.n)))
+        / (CAST(b.syy AS DOUBLE) / b.n - (b.sy * 1e0 / b.n) * (b.sy * 1e0 / b.n)),
+        6) AS var_ratio
+    FROM by_arm b CROSS JOIN theta t
+    """,
+    tags=("analytics", "experimentation", "stats"),
+)
+def cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the per-customer revenue metric:
+    adjusted metric Y − θ(X − E[X]) with θ = cov(X,Y)/var(X) — the
+    standard trick that shrinks experiment confidence intervals without
+    touching the treatment effect. The covariate here is the customer\'s
+    order COUNT (corr 0.87 with revenue → var_ratio ≈ 0.24, a real
+    reduction); the canonical pre-period-revenue covariate is useless on
+    THIS synthetic data because customers have zero persistence (pre/post
+    corr ≈ −0.02, measured) — the algebra is covariate-agnostic, so the
+    demo uses the one that exercises it, and q_diff_in_diff keeps the
+    temporal frame. Everything is computed from per-arm EXACT moment sums
+    (cents² in HUGEINT/decimal): adjusted mean = mean_y − θ(mean_x −
+    pooled mean_x), adjusted variance = var_y − 2θcov + θ²var_x, so no
+    per-row adjusted column and no order-dependent double summation ever
+    exists. Scale: one customer-grain aggregation + a 2-row arm
+    aggregate; θ broadcast as a 1-row cross join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cf = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("y"),
+    )
+    frame = cf.select(
+        F.when(F.substring(F.md5(F.col("cust").cast("string")), 1, 1) < "8", "treat")
+        .otherwise("control")
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    by_arm = frame.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    pooled = by_arm.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxx").cast("double").alias("tsxx"),
+        F.sum("sxy").cast("double").alias("tsxy"),
+    )
+    theta = pooled.select(
+        "tn",
+        "tsx",
+        (
+            (F.col("tsxy") - F.col("tsx") * F.lit(1.0) * F.col("tsy") / F.col("tn"))
+            / (F.col("tsxx") - F.col("tsx") * F.lit(1.0) * F.col("tsx") / F.col("tn"))
+        ).alias("th"),
+    )
+    j = by_arm.crossJoin(F.broadcast(theta))
+    mean = lambda s: F.col(s) * F.lit(1.0) / F.col("n")  # noqa: E731
+    var_y = F.col("syy").cast("double") / F.col("n") - mean("sy") * mean("sy")
+    cov_xy = F.col("sxy").cast("double") / F.col("n") - mean("sx") * mean("sy")
+    var_x = F.col("sxx").cast("double") / F.col("n") - mean("sx") * mean("sx")
+    var_adj = var_y - F.lit(2.0) * F.col("th") * cov_xy + F.col("th") * F.col("th") * var_x
+    return j.select(
+        "arm",
+        "n",
+        F.round(mean("sy") / 100, 4).alias("mean_y"),
+        F.round(
+            (mean("sy") - F.col("th") * (mean("sx") - F.col("tsx") * F.lit(1.0) / F.col("tn")))
+            / 100,
+            4,
+        ).alias("mean_y_cuped"),
+        F.round(var_adj / var_y, 6).alias("var_ratio"),
+    )
+
+
+@query(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH {_EXPERIMENT_SQL},
+    cells AS (
+      SELECT arm,
+             round(sum(x) * 1e0 / count(*) / 100, 4) AS pre_mean,
+             round(sum(y) * 1e0 / count(*) / 100, 4) AS post_mean,
+             CAST(count(*) AS BIGINT)                AS n
+      FROM frame GROUP BY arm
+    )
+    SELECT
+      t.n  AS n_treat,
+      c.n  AS n_control,
+      t.pre_mean   AS treat_pre,
+      t.post_mean  AS treat_post,
+      c.pre_mean   AS control_pre,
+      c.post_mean  AS control_post,
+      round((t.post_mean - t.pre_mean) - (c.post_mean - c.pre_mean), 4) AS did
+    FROM (SELECT * FROM cells WHERE arm = 'treat') t
+    CROSS JOIN (SELECT * FROM cells WHERE arm = 'control') c
+    """,
+    tags=("analytics", "experimentation", "stats"),
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the same experiment frame as
+    q_cuped_adjustment: per-customer pre/post revenue means in the 2×2
+    (arm × period) grid, DiD = (treat_post − treat_pre) − (control_post −
+    control_pre) — the parallel-trends estimator every quasi-experiment
+    reports. The md5 arm split is a null experiment, so the estimate is an
+    A/A reading: ~66 k dollars against ~2.1 M cell means (≈3%, sampling
+    noise at n≈750 per arm), the sanity check a real DiD pipeline runs
+    first. Cell means are exact-cents sums
+    divided once and rounded BEFORE differencing (the DiD combines
+    already-rounded cells, so the 4-dp result is engine-stable by
+    construction). Scale: one customer-grain aggregation, a 2-row grid,
+    a scalar cross join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long")
+    cut = F.lit("1996-01-01").cast("timestamp")
+    universe = orders.select(F.col("o_custkey").alias("cust")).distinct()
+    arms = universe.select(
+        "cust",
+        F.when(F.substring(F.md5(F.col("cust").cast("string")), 1, 1) < "8", "treat")
+        .otherwise("control")
+        .alias("arm"),
+    )
+    pre = (
+        orders.filter(F.col("o_orderdate") < cut)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(cents.alias("x"))
+    )
+    post = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(cents.alias("y"))
+    )
+    frame = (
+        arms.join(pre, "cust", "left")
+        .join(post, "cust", "left")
+        .select(
+            "arm",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    cells = frame.groupBy("arm").agg(
+        F.round(F.sum("x") * F.lit(1.0) / F.count(F.lit(1)) / 100, 4).alias("pre_mean"),
+        F.round(F.sum("y") * F.lit(1.0) / F.count(F.lit(1)) / 100, 4).alias("post_mean"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    t = cells.filter(F.col("arm") == "treat").select(
+        F.col("n").alias("n_treat"),
+        F.col("pre_mean").alias("treat_pre"),
+        F.col("post_mean").alias("treat_post"),
+    )
+    c = cells.filter(F.col("arm") == "control").select(
+        F.col("n").alias("n_control"),
+        F.col("pre_mean").alias("control_pre"),
+        F.col("post_mean").alias("control_post"),
+    )
+    return t.crossJoin(c).select(
+        "n_treat",
+        "n_control",
+        "treat_pre",
+        "treat_post",
+        "control_pre",
+        "control_post",
+        F.round(
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("control_post") - F.col("control_pre")),
+            4,
+        ).alias("did"),
+    )

@@ -1,0 +1,869 @@
+"""Financial risk / concentration / money-decomposition operators: VaR, stress, covariance, concentration indices, bridges, FIFO lot matching, exact-cents determinism.
+
+Carved out of operators/analytics.py (round-2 wave 1-3) and operators/analytics2.py (round-2 wave 4-5) and operators/analytics3.py (round-2 wave 6-7) in round 3 (verdict task 7:
+no operator module over 1.5k LoC); 14 registered queries, bodies
+unchanged — git follows the move via --find-copies.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
+
+
+@query(
+    "q_gini_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT monetary,
+             row_number() OVER (ORDER BY monetary, o_custkey) AS i,
+             count(*) OVER ()                                 AS n,
+             sum(monetary) OVER ()                            AS tot
+      FROM m
+    )
+    SELECT
+      CAST(max(n) AS BIGINT)                       AS n_customers,
+      round(max(tot), 2)                           AS total_rev,
+      round(2.0 * sum(i * monetary) / (max(n) * max(tot))
+            - (max(n) + 1.0) / max(n), 6)          AS gini
+    FROM ranked
+    """,
+    tags=("analytics", "finance", "stats"),
+)
+def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient over per-customer spend:
+    G = 2·Σ(i·m_i)/(n·Σm) − (n+1)/n with i the ascending spend rank —
+    the standard inequality measure for customer-concentration risk. The
+    rank is the range-bucketed distributed row number (functions/ranks.py);
+    n and Σm come from the same aggregate, so the whole query is two
+    shuffles. The oracle uses window formulations of the identical algebra;
+    round(·,6) absorbs summation-order ulps."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+    ranked = global_row_number(m, ["monetary", "o_custkey"], rn_col="i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("total_rev"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("monetary")) / (F.count(F.lit(1)) * F.sum("monetary"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q_pareto_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT monetary,
+             row_number() OVER (ORDER BY monetary DESC, o_custkey) AS i,
+             sum(monetary) OVER (
+               ORDER BY monetary DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             count(*) OVER ()      AS n,
+             sum(monetary) OVER () AS tot
+      FROM m
+    )
+    SELECT
+      CAST(min(x.i) AS BIGINT)                 AS n_top_customers,
+      round(min(x.i) * 1.0 / max(y.nn), 4)     AS customer_share,
+      round(min(x.cum_at) / max(y.tt), 4)      AS revenue_share
+    FROM (SELECT i, cum AS cum_at FROM ranked WHERE cum >= 0.8 * tot) x,
+         (SELECT max(n) AS nn, max(tot) AS tt FROM ranked) y
+    """,
+    tags=("analytics", "finance"),
+)
+def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest top-spender prefix covering ≥80%
+    of revenue, as a count and as shares of customers/revenue. Descending
+    spend rank and running revenue via the range-bucketed primitives
+    (functions/ranks.py) — no single-partition window; the 0.8·total
+    crossing is far from any ulp boundary (neighboring cumulative sums
+    differ by a full customer's spend)."""
+    from bigdatainfinance1_spark.functions.ranks import (
+        global_row_number,
+        global_running_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+    order_cols = [F.col("monetary").desc(), F.col("o_custkey")]
+    ranked = global_row_number(m, order_cols, rn_col="i")
+    with_cum = global_running_sum(ranked, order_cols, "monetary", "cum")
+    totals = m.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("monetary").alias("tot")
+    )
+    crossed = (
+        with_cum.crossJoin(F.broadcast(totals))
+        .filter(F.col("cum") >= 0.8 * F.col("tot"))
+        .agg(
+            F.min("i").cast("long").alias("n_top_customers"),
+            F.round(F.min("i") * 1.0 / F.first("n"), 4).alias("customer_share"),
+            F.round(F.min_by("cum", "i") / F.first("tot"), 4).alias("revenue_share"),
+        )
+    )
+    return crossed
+
+
+@query(
+    "q_interpurchase_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+        date_diff('day',
+          lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT
+      count(*)                                   AS n_gaps,
+      round(avg(gap_days), 4)                    AS avg_gap,
+      round(quantile_cont(gap_days, 0.5), 4)     AS median_gap,
+      round(quantile_cont(gap_days, 0.95), 4)    AS p95_gap,
+      CAST(max(gap_days) AS BIGINT)              AS max_gap
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+    tags=("analytics", "finance"),
+)
+def interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention feature: the corpus-wide inter-purchase time distribution —
+    per-customer order-date lags (integer days, exact on both engines)
+    profiled with mean/median/p95/max. One per-key window + one global
+    aggregate of integer gaps; quantiles interpolate identically on both
+    engines over integers."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias("median_gap"),
+        F.round(F.expr("percentile(gap_days, 0.95)"), 4).alias("p95_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+    )
+
+
+@query(
+    "q_var_cvar",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    ret AS (
+      SELECT round(rev / lag(rev) OVER (ORDER BY day) - 1, 6) AS r FROM daily
+    ),
+    r2 AS (SELECT r FROM ret WHERE r IS NOT NULL),
+    q AS (
+      SELECT quantile_cont(r, 0.05) AS v05, quantile_cont(r, 0.01) AS v01,
+             count(*) AS n_days
+      FROM r2
+    )
+    SELECT
+      q.n_days,
+      round(q.v05, 6) AS var05,
+      round(q.v01, 6) AS var01,
+      round(avg(CASE WHEN r2.r <= q.v05 THEN r2.r END), 6) AS cvar05
+    FROM r2 CROSS JOIN q
+    GROUP BY q.n_days, q.v05, q.v01
+    """,
+    tags=("analytics", "finance", "stats"),
+)
+def var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical value-at-risk and expected shortfall on daily-revenue
+    returns: VaR(5%)/VaR(1%) as interpolated quantiles of the return
+    distribution, CVaR(5%) as the mean of the tail at-or-below VaR(5%).
+    Returns are day-over-day ratios of the per-day rounded revenue and are
+    themselves rounded to 6 before the quantile, so both engines
+    interpolate the exact same grid. The day-over-day lag is partitioned
+    by year with a broadcast carry row (repo rule: no unpartitioned
+    ordered window); the tail mean is a conditional aggregate against the
+    broadcast 1-row quantile relation — two scans of a tiny daily
+    relation, no driver collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .withColumn("_yr", F.year("day"))
+    )
+    w = Window.partitionBy("_yr").orderBy("day")
+    carry = (
+        daily.groupBy("_yr")
+        .agg(F.max_by("rev", "day").alias("_carry_rev"))
+        .select((F.col("_yr") + 1).alias("_yr"), "_carry_rev")
+    )
+    prev = F.coalesce(F.lag("rev").over(w), F.col("_carry_rev"))
+    rets = (
+        daily.join(F.broadcast(carry), "_yr", "left")
+        .select(F.round(F.col("rev") / prev - 1, 6).alias("r"))
+        .filter(F.col("r").isNotNull())
+    )
+    q = rets.agg(
+        F.expr("percentile(r, 0.05)").alias("v05"),
+        F.expr("percentile(r, 0.01)").alias("v01"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        rets.crossJoin(F.broadcast(q))
+        .groupBy("n_days", "v05", "v01")
+        .agg(F.round(F.avg(F.when(F.col("r") <= F.col("v05"), F.col("r"))), 6).alias("cvar05"))
+        .select(
+            "n_days",
+            F.round("v05", 6).alias("var05"),
+            F.round("v01", 6).alias("var01"),
+            "cvar05",
+        )
+    )
+
+
+_SHARE_SQL = """
+    WITH nat AS (
+      SELECT r.r_name, n.n_name, round(sum(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT
+      r_name, n_name, rev,
+      round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS share_of_region,
+      round(rev / sum(rev) OVER (), 6)                    AS share_of_total
+    FROM nat
+"""
+
+
+@query("q_share_of_total", oracle=_SHARE_SQL, tags=("analytics", "finance"))
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis: each nation's revenue share of its region and
+    of the world — the windowed percent-of-total every BI layer computes.
+    The windows run over the 25-row aggregate, not the fact table (the
+    aggregate-then-window order matters at scale: windowing facts first
+    would shuffle everything twice); shares divide identical per-day-
+    rounded sums, so round-6 is ulp-safe. One SQL text runs verbatim on
+    Spark and DuckDB; the global-share window runs over the bounded
+    25-row aggregate (the repo's no-unpartitioned-window rule targets
+    fact-sized DataFrame Window specs — SQL windows over catalog-bounded
+    aggregates are the sanctioned exception, cf. q_ohlc_bars)."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SHARE_SQL)
+
+
+@query(
+    "q_hhi_concentration",
+    oracle="""
+    WITH cust_rev AS (
+      SELECT c.c_nationkey,
+             o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    tot AS (
+      SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS tot_cents
+      FROM cust_rev GROUP BY c_nationkey
+    )
+    SELECT
+      n.n_name                                             AS n_name,
+      CAST(count(*) AS BIGINT)                             AS n_custs,
+      round(max(r.cents * 1e0 / t.tot_cents), 6)           AS top_share,
+      round(sum((r.cents * 1e0 / t.tot_cents)
+              * (r.cents * 1e0 / t.tot_cents)), 6)         AS hhi
+    FROM cust_rev r
+    JOIN tot t ON r.c_nationkey = t.c_nationkey
+    JOIN nation n ON r.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("analytics", "finance"),
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per nation: the
+    sum of squared customer revenue shares (1/n = perfectly fragmented,
+    1.0 = monopoly) plus the single largest share — the antitrust/market-
+    structure screen. Shares are ratios of exact integer cents, so both
+    engines square identical doubles; the sum over a nation's customers is
+    order-sensitive at the ulp level and rounded to 6 dp per convention.
+    Scale: two keyed aggregations (customer-grain then nation-grain); the
+    nation-total relation is |nations|-sized and broadcast back; the
+    25-row nation dim is broadcast for the name join."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust_rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    tot = cust_rev.groupBy("c_nationkey").agg(F.sum("cents").cast("long").alias("tot_cents"))
+    share = F.col("cents") * F.lit(1.0) / F.col("tot_cents")
+    return (
+        cust_rev.join(F.broadcast(tot), "c_nationkey")
+        .join(F.broadcast(nation), cust_rev.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.round(F.max(share), 6).alias("top_share"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
+
+
+@query(
+    "q_revenue_bridge",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey, m
+    ),
+    bridge AS (
+      SELECT
+        coalesce(cur.m, prev.m + 1) AS m,
+        CASE WHEN prev.o_custkey IS NULL THEN cur.cents ELSE 0 END AS new_c,
+        CASE WHEN cur.o_custkey IS NULL THEN -prev.cents ELSE 0 END AS churn_c,
+        CASE WHEN cur.o_custkey IS NOT NULL AND prev.o_custkey IS NOT NULL
+              AND cur.cents > prev.cents THEN cur.cents - prev.cents ELSE 0 END AS expand_c,
+        CASE WHEN cur.o_custkey IS NOT NULL AND prev.o_custkey IS NOT NULL
+              AND cur.cents < prev.cents THEN cur.cents - prev.cents ELSE 0 END AS contract_c
+      FROM cm cur
+      FULL JOIN cm prev
+        ON cur.o_custkey = prev.o_custkey AND cur.m = prev.m + 1
+    )
+    SELECT
+      m,
+      round(sum(new_c) / 100e0, 2)      AS new_rev,
+      round(sum(expand_c) / 100e0, 2)   AS expansion,
+      round(sum(contract_c) / 100e0, 2) AS contraction,
+      round(sum(churn_c) / 100e0, 2)    AS churned,
+      round(sum(new_c + expand_c + contract_c + churn_c) / 100e0, 2) AS net_change
+    FROM bridge
+    GROUP BY m
+    """,
+    tags=("analytics", "finance"),
+)
+def revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge (SaaS-style waterfall): each
+    month's revenue change decomposed into new, expansion, contraction,
+    and churned customer revenue — the FP&A decomposition behind every
+    'why did revenue move' review. A customer-month revenue relation is
+    full-outer-joined with itself shifted one month (cur.m = prev.m + 1);
+    customers present only on the cur side are new, only on the prev side
+    churned (attributed to the month AFTER their last activity — including
+    one trailing month past the data's end, where everyone churns by
+    construction). All classification and summation is exact integer
+    cents; the single divide-by-100 happens at the end, so round(x, 2) is
+    exact on both engines. Scale: one shuffle to customer-month grain,
+    then a self-join keyed (custkey, month) — both sides share the
+    partitioning, AQE reuses it; no windows, no driver state."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).cast("long")
+    cm = orders.groupBy(
+        "o_custkey", m.alias("m")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    cur = cm.select(
+        F.col("o_custkey").alias("cur_key"), F.col("m").alias("cur_m"), F.col("cents").alias("cur_c")
+    )
+    prev = cm.select(
+        F.col("o_custkey").alias("prev_key"),
+        F.col("m").alias("prev_m"),
+        F.col("cents").alias("prev_c"),
+    )
+    br = cur.join(
+        prev,
+        (F.col("cur_key") == F.col("prev_key")) & (F.col("cur_m") == F.col("prev_m") + 1),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("cur_m"), F.col("prev_m") + 1).alias("m"),
+        F.when(F.col("prev_key").isNull(), F.col("cur_c")).otherwise(0).alias("new_c"),
+        F.when(F.col("cur_key").isNull(), -F.col("prev_c")).otherwise(0).alias("churn_c"),
+        F.when(
+            F.col("cur_key").isNotNull()
+            & F.col("prev_key").isNotNull()
+            & (F.col("cur_c") > F.col("prev_c")),
+            F.col("cur_c") - F.col("prev_c"),
+        )
+        .otherwise(0)
+        .alias("expand_c"),
+        F.when(
+            F.col("cur_key").isNotNull()
+            & F.col("prev_key").isNotNull()
+            & (F.col("cur_c") < F.col("prev_c")),
+            F.col("cur_c") - F.col("prev_c"),
+        )
+        .otherwise(0)
+        .alias("contract_c"),
+    )
+    return br.groupBy("m").agg(
+        F.round(F.sum("new_c") / 100.0, 2).alias("new_rev"),
+        F.round(F.sum("expand_c") / 100.0, 2).alias("expansion"),
+        F.round(F.sum("contract_c") / 100.0, 2).alias("contraction"),
+        F.round(F.sum("churn_c") / 100.0, 2).alias("churned"),
+        F.round(
+            F.sum(F.col("new_c") + F.col("expand_c") + F.col("contract_c") + F.col("churn_c"))
+            / 100.0,
+            2,
+        ).alias("net_change"),
+    )
+
+
+@query(
+    "q_stress_scenarios",
+    oracle="""
+    WITH scenarios(scenario, shock) AS (
+      VALUES ('base', 0e0), ('mild_down', -0.05e0), ('severe_down', -0.2e0),
+             ('boom', 0.1e0), ('crisis', -0.35e0)
+    ),
+    regional AS (
+      SELECT r.r_name,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+    )
+    SELECT
+      s.scenario,
+      g.r_name,
+      round(g.cents / 100e0, 2)                       AS base_revenue,
+      round(g.cents / 100e0 * (1e0 + s.shock), 2)     AS shocked_revenue,
+      round(g.cents / 100e0 * s.shock, 2)             AS delta
+    FROM regional g CROSS JOIN scenarios s
+    """,
+    tags=("analytics", "finance"),
+)
+def stress_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scenario-grid stress test: regional revenue re-priced under a
+    5-scenario shock table (the regulatory stress-testing shape — a small
+    scenario dim cross-joined against portfolio aggregates, here revenue
+    as the exposure proxy). Base aggregates are exact integer cents; each
+    shocked value is one multiply of identical doubles, rounded 2 dp
+    (shock factors are exact binary-representable-enough literals written
+    identically on both engines; margins to the cent boundary are ≥1e-10).
+    Scale: the aggregate is region-grain (tiny) before the cross join —
+    the scenario fan-out multiplies a 5-row dim against a 5-row relation,
+    never against facts."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    regional = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+        )
+    )
+    scenarios = spark.createDataFrame(
+        [("base", 0.0), ("mild_down", -0.05), ("severe_down", -0.2), ("boom", 0.1), ("crisis", -0.35)],
+        "scenario string, shock double",
+    )
+    rev = F.col("cents") / 100.0
+    return regional.crossJoin(F.broadcast(scenarios)).select(
+        "scenario",
+        "r_name",
+        F.round(rev, 2).alias("base_revenue"),
+        F.round(rev * (1.0 + F.col("shock")), 2).alias("shocked_revenue"),
+        F.round(rev * F.col("shock"), 2).alias("delta"),
+    )
+
+
+@query(
+    "q_price_index",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey, yr
+    ),
+    base AS (
+      SELECT l_partkey, qty AS qty_b, cents * 1e0 / qty AS price_b
+      FROM py WHERE yr = 1995
+    ),
+    cur AS (
+      SELECT l_partkey, yr, qty AS qty_y, cents * 1e0 / qty AS price_y
+      FROM py WHERE yr > 1995
+    )
+    SELECT
+      c.yr,
+      CAST(count(*) AS BIGINT) AS n_parts,
+      round(sum(c.price_y * b.qty_b) / sum(b.price_b * b.qty_b), 6) AS laspeyres,
+      round(sum(c.price_y * c.qty_y) / sum(b.price_b * c.qty_y), 6) AS paasche,
+      round(sqrt((sum(c.price_y * b.qty_b) / sum(b.price_b * b.qty_b))
+               * (sum(c.price_y * c.qty_y) / sum(b.price_b * c.qty_y))), 6) AS fisher
+    FROM cur c JOIN base b ON c.l_partkey = b.l_partkey
+    GROUP BY c.yr
+    """,
+    tags=("analytics", "finance"),
+)
+def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres, Paasche, and Fisher price indices per year against the
+    1995 base basket — the economics/FP&A deflator machinery, computed
+    over the parts present in both periods. Unit prices are exact-integer
+    ratios (cents/quantity — identical doubles on both engines); the
+    basket sums multiply those by exact integer quantities, so per-year
+    sums differ only in summation order under the 6-dp round; Fisher is
+    the geometric mean of two identical ratios. Scale: one (part, year)
+    aggregation, then a year-keyed join against the |parts|-sized base
+    relation — broadcastable; nothing beyond the first groupBy touches
+    the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        "l_partkey", F.year("l_shipdate").cast("long").alias("yr")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"),
+    )
+    price = F.col("cents") * F.lit(1.0) / F.col("qty")
+    base = py.filter(F.col("yr") == 1995).select(
+        "l_partkey", F.col("qty").alias("qty_b"), price.alias("price_b")
+    )
+    cur = py.filter(F.col("yr") > 1995).select(
+        "l_partkey", "yr", F.col("qty").alias("qty_y"), price.alias("price_y")
+    )
+    lasp = F.sum(F.col("price_y") * F.col("qty_b")) / F.sum(F.col("price_b") * F.col("qty_b"))
+    paas = F.sum(F.col("price_y") * F.col("qty_y")) / F.sum(F.col("price_b") * F.col("qty_y"))
+    return (
+        cur.join(F.broadcast(base), "l_partkey")
+        .groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(lasp, 6).alias("laspeyres"),
+            F.round(paas, 6).alias("paasche"),
+            F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+        )
+    )
+
+
+@query(
+    "q_margin_waterfall",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100e0, 2)
+        AS gross,
+      round(-sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100e0, 2)
+        AS discount_amt,
+      round(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100) AS BIGINT)) / 100e0, 2)
+        AS tax_amt,
+      round((sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             - sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+             + sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100) AS BIGINT)))
+            / 100e0, 2) AS net_charge
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("analytics", "finance"),
+)
+def margin_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall per return flag: gross price → discount given →
+    tax collected → net charge (the TPC-H charge algebra laid out as the
+    FP&A bridge q_pricing_summary aggregates in one column). Each
+    component is per-line rounded to cents BEFORE summation with the
+    identical expression on both engines (the per-line products are
+    2-decimal×2-decimal — exact at the half-cent grain after round — so
+    both engines produce the same BIGINT per line; sums are then exact).
+    One scan, one 3-group aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gross_c = F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+    disc_c = F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long"))
+    tax_c = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax") * 100).cast(
+            "long"
+        )
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(gross_c / 100.0, 2).alias("gross"),
+        F.round(-disc_c / 100.0, 2).alias("discount_amt"),
+        F.round(tax_c / 100.0, 2).alias("tax_amt"),
+        F.round((gross_c - disc_c + tax_c) / 100.0, 2).alias("net_charge"),
+    )
+
+
+@query(
+    "q_decimal_money",
+    oracle="""
+    SELECT
+      CAST(year(o_orderdate) AS BIGINT) AS y,
+      CAST(count(*) AS BIGINT)          AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS total_exact
+    FROM orders
+    GROUP BY y
+    """,
+    tags=("aggregate", "finance", "determinism"),
+)
+def decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-native money arithmetic — the OTHER canonical exact-money
+    pattern beside this repo's integer-cents convention: cast prices to
+    DECIMAL(18,2) at the scan (the doubles are 2-dp-quantized, so the
+    nearest decimal is unambiguous on both engines), sum in exact decimal,
+    and emit the total as its exact STRING — no round() anywhere, the
+    comparison is digit-for-digit. This is what a real ledger schema
+    declares at ingest so no operator downstream ever touches a float.
+    Scale: a plain year aggregate; decimal sums carry through partial
+    aggregation (map-side combine) unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.year("o_orderdate").cast("long").alias("y")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("string").alias("total_exact"),
+    )
+
+
+@query(
+    "q_pvm_bridge",
+    oracle="""
+    WITH y AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p   ON l.l_partkey = p.p_partkey
+      WHERE year(o.o_orderdate) IN (1997, 1998)
+      GROUP BY brand, yr
+    ),
+    wide AS (
+      SELECT a.brand,
+             a.qty AS q0, a.cents AS r0,
+             b.qty AS q1, b.cents AS r1
+      FROM (SELECT * FROM y WHERE yr = 1997) a
+      JOIN (SELECT * FROM y WHERE yr = 1998) b ON a.brand = b.brand
+    )
+    SELECT
+      brand,
+      round((r1 - r0) / 100e0, 2)                                        AS delta_rev,
+      round((r1 * 1e0 / q1 - r0 * 1e0 / q0) * q0 / 100, 4)               AS price_effect,
+      round((r0 * 1e0 / q0) * (q1 - q0) / 100, 4)                        AS volume_effect,
+      round((r1 * 1e0 / q1 - r0 * 1e0 / q0) * (q1 - q0) / 100, 4)        AS cross_effect
+    FROM wide
+    """,
+    tags=("analytics", "finance", "decomposition"),
+)
+def pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix bridge per brand, 1997→1998 — the FP&A
+    decomposition ΔRev = Δp·q₀ + p₀·Δq + Δp·Δq (price, volume, cross
+    effects; the identity is exact, property of the algebra, and
+    q_revenue_bridge is the customer-cohort sibling). Average unit prices
+    come from exact integer (cents, qty) sums with one division each; the
+    effect products are doubles with identical expression shape on both
+    engines, rounded to 4 dp. Scale: one (brand, year) aggregate — the
+    fact table is scanned once with the year predicate pushed down, part's
+    brand broadcast; the bridge itself is a 25-brand-row self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    y = (
+        li.join(orders.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .filter(F.year("o_orderdate").isin(1997, 1998))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"), F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"),
+        )
+    )
+    a = y.filter(F.col("yr") == 1997).select(
+        "brand", F.col("qty").alias("q0"), F.col("cents").alias("r0")
+    )
+    b = y.filter(F.col("yr") == 1998).select(
+        "brand", F.col("qty").alias("q1"), F.col("cents").alias("r1")
+    )
+    wide = a.join(b, "brand")
+    p0 = F.col("r0") * F.lit(1.0) / F.col("q0")
+    p1 = F.col("r1") * F.lit(1.0) / F.col("q1")
+    return wide.select(
+        "brand",
+        F.round((F.col("r1") - F.col("r0")) / F.lit(100.0), 2).alias("delta_rev"),
+        F.round((p1 - p0) * F.col("q0") / 100, 4).alias("price_effect"),
+        F.round(p0 * (F.col("q1") - F.col("q0")) / 100, 4).alias("volume_effect"),
+        F.round((p1 - p0) * (F.col("q1") - F.col("q0")) / 100, 4).alias("cross_effect"),
+    )
+
+
+# FIFO allocation as interval algebra: per part, order both sides by ship
+# date and give every line its cumulative-quantity interval [cum−qty, cum);
+# a return is matched FIFO against exactly the sale lines whose intervals
+# overlap its own, and the matched quantity IS the interval intersection —
+# no loop, no state machine, pure prefix sums + a per-part pair join.
+_FIFO_SQL = """
+    WITH sales AS (
+      SELECT l_partkey AS part,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_end
+      FROM lineitem WHERE l_returnflag <> 'R'
+    ),
+    returns AS (
+      SELECT l_partkey AS part,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_end
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    pairs AS (
+      SELECT s.part,
+             least(s.cum_end, r.cum_end)
+               - greatest(s.cum_end - s.qty, r.cum_end - r.qty) AS matched
+      FROM sales s JOIN returns r
+        ON s.part = r.part
+       AND least(s.cum_end, r.cum_end)
+           > greatest(s.cum_end - s.qty, r.cum_end - r.qty)
+    ),
+    totals AS (
+      SELECT
+        CAST(sum(qty) AS BIGINT) AS total_returned,
+        CAST(count(*) AS BIGINT) AS n_return_lines
+      FROM returns
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)            AS n_allocations,
+      CAST(count(DISTINCT p.part) AS BIGINT) AS n_parts,
+      CAST(sum(p.matched) AS BIGINT)      AS matched_qty,
+      t.total_returned,
+      CAST(t.total_returned - sum(p.matched) AS BIGINT) AS unmatched_qty
+    FROM pairs p CROSS JOIN totals t
+    GROUP BY t.total_returned, t.n_return_lines
+"""
+
+
+@query("q_fifo_allocation", oracle=_FIFO_SQL, tags=("analytics", "finance", "matching"))
+def fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching — the cost-basis allocation every inventory /
+    tax-lot system runs — expressed as pure interval algebra: each side's
+    lines get cumulative-quantity intervals via a per-part prefix sum, and
+    a return consumes sale lots FIFO exactly where the intervals
+    intersect, with matched qty = intersection length (min(ends) −
+    max(starts)). No iteration, no stateful matcher — two partitioned
+    windows and one per-part pair join whose fan-out is bounded by lines
+    per part (at 100 TB the part key is the parallelism axis; a hot part
+    would grid-bucket like q_interval_overlap_bucketed). Quantities are
+    integers end-to-end, and the (shipdate, orderkey, linenumber) order is
+    total, so the allocation is engine-identical. Unmatched = returns
+    beyond cumulative sales (an oversold signal). One SQL text runs
+    verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FIFO_SQL)
+
+
+@query(
+    "q_portfolio_cov",
+    oracle="""
+    WITH daily AS (
+      SELECT
+        c.c_nationkey AS nk,
+        datediff('day', DATE '1970-01-01', o.o_orderdate) AS d,
+        CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nk, d
+    ),
+    pairs AS (
+      SELECT a.nk AS nk1, b.nk AS nk2,
+             CAST(count(*) AS BIGINT)                      AS n_days,
+             CAST(sum(a.cents) AS BIGINT)                  AS sx,
+             CAST(sum(b.cents) AS BIGINT)                  AS sy,
+             sum(CAST(a.cents AS HUGEINT) * b.cents)       AS sxy
+      FROM daily a JOIN daily b ON a.d = b.d AND a.nk <= b.nk
+      GROUP BY nk1, nk2
+    )
+    SELECT
+      n1.n_name AS nation1,
+      n2.n_name AS nation2,
+      p.n_days,
+      round((CAST(p.sxy AS DOUBLE) - p.sx * 1e0 * p.sy / p.n_days)
+            / p.n_days / 1e4 / 1e6, 4) AS cov_mm_dollars2
+    FROM pairs p
+    JOIN nation n1 ON p.nk1 = n1.n_nationkey
+    JOIN nation n2 ON p.nk2 = n2.n_nationkey
+    """,
+    tags=("analytics", "finance", "stats"),
+)
+def portfolio_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of daily revenue across nations —
+    the Σ every parametric portfolio-risk number (w'Σw) is built from
+    (q_var_cvar is the historical-quantile twin). Daily series in exact
+    integer cents; the pair join is keyed on the DAY with nk1 ≤ nk2, so
+    the fan-out is bounded by nations²/2 per day no matter the row count
+    — the bounded-group trick again. Σxy is summed exactly (decimal /
+    HUGEINT — daily-cents products pass int64 from sf0.1 up), and the
+    population covariance (Σxy − ΣxΣy/n)/n divides identical doubles on
+    both engines, reported in dollars². Days are paired by inner join:
+    a pair's covariance uses days where BOTH nations traded (conditional
+    covariance — documented semantics). Scale: groupBy (nation, day) is
+    one linear shuffle; everything after runs on the bounded daily
+    relation; nation names broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    a = daily.select(F.col("nk").alias("nk1"), "d", F.col("cents").alias("ca"))
+    b = daily.select(F.col("nk").alias("nk2"), F.col("d").alias("d2"), F.col("cents").alias("cb"))
+    pairs = (
+        a.join(b, (F.col("d") == F.col("d2")) & (F.col("nk1") <= F.col("nk2")))
+        .groupBy("nk1", "nk2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("ca").cast("long").alias("sx"),
+            F.sum("cb").cast("long").alias("sy"),
+            F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")).alias("sxy"),
+        )
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("nation1"))
+    n2 = nation.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation2"))
+    return (
+        pairs.join(F.broadcast(n1), "nk1")
+        .join(F.broadcast(n2), "nk2")
+        .select(
+            "nation1",
+            "nation2",
+            "n_days",
+            F.round(
+                (F.col("sxy").cast("double") - F.col("sx") * F.lit(1.0) * F.col("sy") / F.col("n_days"))
+                / F.col("n_days")
+                / F.lit(1e4)
+                / F.lit(1e6),
+                4,
+            ).alias("cov_mm_dollars2"),
+        )
+    )

@@ -1,0 +1,1128 @@
+"""Financial time-series operators: returns, smoothing, seasonality, changepoints, forecasting backtests, rolling shapes.
+
+Carved out of operators/analytics.py (round-2 wave 1-3) and operators/analytics2.py (round-2 wave 4-5) and operators/analytics3.py (round-2 wave 6-7) in round 3 (verdict task 7:
+no operator module over 1.5k LoC); 16 registered queries, bodies
+unchanged — git follows the move via --find-copies.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
+
+
+@query(
+    "q_cum_return",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY day
+    ),
+    rets AS (
+      SELECT day, rev,
+        ln(rev / lag(rev) OVER (ORDER BY day)) AS log_ret
+      FROM daily
+    )
+    SELECT day, rev,
+      round(sum(log_ret) OVER (
+        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ), 6) AS cum_log_return
+    FROM rets
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def cum_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compounded cumulative return of the daily-revenue series on the log
+    scale: cum_log_return(t) = Σ ln(rev_t / rev_{t-1}) — the additive form
+    of the running product Π(1+r). The day-over-day lag uses the
+    year-partition + boundary-carry shape (as q_lag_dod); the running sum is
+    the range-bucketed two-phase prefix sum (functions/ranks.py). Both
+    engines sum ulp-level-identical logs; round(·,6) absorbs summation-order
+    differences (values are O(1)–O(10); margins verified on the fixed
+    testdata). No single-partition window anywhere."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    ).withColumn("_yr", F.year("day"))
+    w = Window.partitionBy("_yr").orderBy("day")
+    carry = (
+        daily.groupBy("_yr")
+        .agg(F.max_by("rev", "day").alias("_carry_rev"))
+        .select((F.col("_yr") + 1).alias("_yr"), "_carry_rev")
+    )
+    prev = F.coalesce(F.lag("rev").over(w), F.col("_carry_rev"))
+    rets = (
+        daily.join(F.broadcast(carry), "_yr", "left")
+        .select("day", "rev", F.log(F.col("rev") / prev).alias("log_ret"))
+    )
+    summed = global_running_sum(rets, ["day"], "log_ret", "_cum")
+    return summed.select("day", "rev", F.round("_cum", 6).alias("cum_log_return"))
+
+
+@query(
+    "q_twap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, value,
+        epoch_us(coalesce(
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts
+        )) - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT
+      user_id,
+      round(sum(value * dur_us) / nullif(sum(dur_us), 0), 4) AS twap,
+      CAST(sum(dur_us) AS BIGINT)                            AS total_us
+    FROM iv
+    WHERE dur_us > 0
+    GROUP BY user_id
+    """,
+    tags=("analytics", "finance", "events"),
+)
+def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per user: each observation holds until
+    the next one (lead over the per-user event-time order), weight = holding
+    duration in integer microseconds — exact on both engines; the final
+    ratio is the only float division. The last observation (zero duration)
+    drops out, the standard TWAP convention. One per-key window + one
+    groupBy, both on user_id — a single shuffle at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.coalesce(F.lead("ts").over(w), F.col("ts"))) - F.unix_micros("ts")
+    iv = ev.select("user_id", "value", dur.alias("dur_us")).filter(F.col("dur_us") > 0)
+    return iv.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("dur_us")) / F.nullif(F.sum("dur_us"), F.lit(0)), 4
+        ).alias("twap"),
+        F.sum("dur_us").cast("long").alias("total_us"),
+    )
+
+
+_EWMA_SQL = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ) AS idx
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      round(
+        sum(o_totalprice * pow(2.0, idx)) OVER w / sum(pow(2.0, idx)) OVER w,
+        4) AS ewma
+    FROM seq
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+"""
+
+
+@query("q_ewma_orders", oracle=_EWMA_SQL, tags=("analytics", "finance", "timeseries"))
+def ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (decay 0.5) of each customer's
+    order values — the recursive smoother expressed as a CLOSED-FORM pair of
+    running sums: ewma_i = Σ x_j·2^j / Σ 2^j over j ≤ i (weights 2^j are
+    exact IEEE powers of two, so no cross-engine pow() drift; the common
+    2^-i cancels in the ratio). Two windowed sums per row, one shuffle on
+    custkey — no recursion, no UDF, no driver loop; per-key history depth
+    only grows the exponent, which double carries to 2^1000+. One SQL text
+    runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EWMA_SQL)
+
+
+@query(
+    "q_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    tot AS (SELECT avg(rev) AS mu FROM daily)
+    SELECT
+      CAST((datediff('day', DATE '1995-01-02', day) % 7 + 7) % 7 AS BIGINT) AS dow_idx,
+      count(*) AS n_days,
+      round(avg(rev), 4) AS avg_rev,
+      round(avg(rev) / min(tot.mu), 6) AS seasonal_idx
+    FROM daily CROSS JOIN tot
+    GROUP BY (datediff('day', DATE '1995-01-02', day) % 7 + 7) % 7
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: day-of-week revenue index (per-DOW mean over
+    the global mean). The weekday is derived ARITHMETICALLY — days since a
+    known Monday, mod 7 — because the engines disagree on dayofweek()
+    numbering (Spark 1=Sunday, DuckDB 0=Sunday); integer date arithmetic
+    is convention-free. Two tiny aggregates over the daily relation, the
+    global mean rides in as a broadcast 1-row cross join."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    tot = daily.agg(F.avg("rev").alias("mu"))
+    dow = ((F.datediff(F.col("day"), F.lit("1995-01-02").cast("date")) % 7 + 7) % 7).cast("long")
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy(dow.alias("dow_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("rev"), 4).alias("avg_rev"),
+            F.round(F.avg("rev") / F.min("mu"), 6).alias("seasonal_idx"),
+        )
+    )
+
+
+@query(
+    "q_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    stats AS (SELECT avg(rev) AS mu FROM daily),
+    denom AS (
+      SELECT sum((rev - mu) * (rev - mu)) AS ss
+      FROM daily CROSS JOIN stats
+    ),
+    lags(k) AS (VALUES (1), (7), (30)),
+    pairs AS (
+      SELECT l.k, (a.rev - s.mu) * (b.rev - s.mu) AS prod
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + l.k
+      CROSS JOIN stats s
+    )
+    SELECT
+      CAST(p.k AS BIGINT) AS lag_k,
+      count(*) AS n_pairs,
+      round(sum(p.prod) / min(d.ss), 6) AS acf
+    FROM pairs p CROSS JOIN denom d
+    GROUP BY p.k
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1/7/30 — the ACF
+    values a seasonality analysis starts from. Formulated WITHOUT ordered
+    windows: the lag pairing is an equi-join on (day + k) against a lags
+    VALUES relation, so it shuffles on the date key and parallelizes —
+    no single-partition sort, no carry machinery. Global mean and the
+    centered sum of squares ride in as broadcast 1-row relations; the
+    classic ACF denominator (full-series variance) normalizes every lag.
+    Products of identically-rounded doubles agree bitwise; the final
+    sums are order-ulp-absorbed by round 6 on a [-1, 1] statistic."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    stats = daily.agg(F.avg("rev").alias("mu"))
+    denom = daily.crossJoin(F.broadcast(stats)).agg(
+        F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias("ss")
+    )
+    lags = spark.createDataFrame([(1,), (7,), (30,)], "k int")
+    a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("rev").alias("rev_b"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("date_add(day_a, k) = day_b"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "k",
+            ((F.col("rev_a") - F.col("mu")) * (F.col("rev_b") - F.col("mu"))).alias("prod"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(denom))
+        .groupBy(F.col("k").cast("long").alias("lag_k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("prod") / F.min("ss"), 6).alias("acf"),
+        )
+    )
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    mu AS (SELECT avg(rev) AS mu FROM daily),
+    cusum AS (
+      SELECT day,
+        round(sum(rev - mu) OVER (
+          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), 2) AS s
+      FROM daily CROSS JOIN mu
+    ),
+    peak AS (SELECT max(abs(s)) AS smax, count(*) AS n_days FROM cusum)
+    SELECT
+      min(c.day)        AS changepoint_day,
+      round(min(p.smax), 2) AS max_cusum,
+      CAST(min(p.n_days) AS BIGINT) AS n_days
+    FROM cusum c CROSS JOIN peak p
+    WHERE abs(c.s) = p.smax
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection via CUSUM: the day where the cumulative sum of
+    mean-deviations of daily revenue peaks in magnitude — the classic
+    single-changepoint estimator (argmax |S_t|). The cumulative sum runs
+    through the distributed range-bucketed prefix machinery
+    (functions/ranks.py; the oracle's plain global window is DuckDB's
+    prerogative) and is ROUNDED to cents before the argmax, so the
+    engines' different summation trees cannot flip the peak choice; ties
+    resolve to the earliest day on both engines."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    mu = daily.agg(F.avg("rev").alias("mu"))
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day", (F.col("rev") - F.col("mu")).alias("dev")
+    )
+    cs = global_running_sum(dev, ["day"], "dev", "_s").select(
+        "day", F.round("_s", 2).alias("s")
+    )
+    peak = cs.agg(F.max(F.abs(F.col("s"))).alias("smax"), F.count(F.lit(1)).alias("n_days"))
+    return (
+        cs.crossJoin(F.broadcast(peak))
+        .filter(F.abs(F.col("s")) == F.col("smax"))
+        .agg(
+            F.min("day").alias("changepoint_day"),
+            F.round(F.min("smax"), 2).alias("max_cusum"),
+            F.min("n_days").cast("long").alias("n_days"),
+        )
+    )
+
+
+@query(
+    "q_business_day_lag",
+    oracle="""
+    WITH lag AS (
+      SELECT
+        o.o_orderpriority,
+        (5 * CAST(floor(datediff('day', DATE '1970-01-05', l.l_shipdate) / 7e0) AS BIGINT)
+           + least(datediff('day', DATE '1970-01-05', l.l_shipdate) % 7, 5))
+        -
+        (5 * CAST(floor(datediff('day', DATE '1970-01-05', o.o_orderdate) / 7e0) AS BIGINT)
+           + least(datediff('day', DATE '1970-01-05', o.o_orderdate) % 7, 5))
+          AS bdays
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT
+      o_orderpriority,
+      count(*) AS n_lines,
+      round(avg(bdays), 4) AS avg_bdays,
+      round(quantile_cont(bdays, 0.5), 4) AS median_bdays,
+      CAST(max(bdays) AS BIGINT) AS max_bdays
+    FROM lag GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Settlement-style lag: order→ship time in BUSINESS DAYS (weekends
+    excluded), per priority. Weekday counting is the closed-form prefix
+    function f(d) = 5·⌊n/7⌋ + min(n mod 7, 5) with n = days since a
+    Monday epoch (1970-01-05) — pure integer arithmetic on both engines,
+    no calendar table, no per-day iteration (the f(ship) − f(order)
+    difference counts weekdays in the interval exactly). Integer lags
+    make the median interpolation engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    anchor = F.lit("1970-01-05").cast("date")
+
+    def weekday_prefix(col):
+        n = F.datediff(col, anchor)
+        return 5 * F.floor(n / F.lit(7.0)).cast("long") + F.least(n % 7, F.lit(5))
+
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        (weekday_prefix(F.col("l_shipdate")) - weekday_prefix(F.col("o_orderdate"))).alias(
+            "bdays"
+        ),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("bdays"), 4).alias("avg_bdays"),
+        F.round(F.expr("percentile(bdays, 0.5)"), 4).alias("median_bdays"),
+        F.max("bdays").cast("long").alias("max_bdays"),
+    )
+
+
+@query(
+    "q_rsi_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_returnflag, d
+    ),
+    deltas AS (
+      SELECT l_returnflag, d,
+             cents - lag(cents) OVER w AS delta,
+             row_number() OVER w AS rn
+      FROM daily
+      WINDOW w AS (PARTITION BY l_returnflag ORDER BY d)
+    ),
+    gl AS (
+      SELECT l_returnflag, d, rn,
+             avg(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER w14 AS avg_gain,
+             avg(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER w14 AS avg_loss
+      FROM deltas
+      WINDOW w14 AS (PARTITION BY l_returnflag ORDER BY d
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT l_returnflag, d,
+           round(CASE WHEN avg_gain + avg_loss = 0 THEN 50e0
+                      ELSE 100e0 * avg_gain / (avg_gain + avg_loss) END, 4) AS rsi
+    FROM gl WHERE rn >= 15
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def rsi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14) technical indicator (Cutler's SMA variant) over the daily
+    revenue series of each return-flag 'instrument' — completes the
+    technical-analysis set next to q_bollinger_bands and q_ewma_orders.
+    Daily revenue is exact integer cents, so deltas and the 14-row
+    gain/loss averages are exact rationals both engines compute
+    identically (sum of ints / 14); RSI = 100·AG/(AG+AL) — algebraically
+    100 − 100/(1+RS) — is one double division, rounded 4 dp, with the
+    flat-window (AG+AL=0) case pinned to 50. Rows-based frames over the
+    day-keyed series are deterministic (one row per day by construction).
+    Scale: windows are partitioned per instrument — no global window; at
+    100 TB the instrument key fans out and each series stays a bounded
+    partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    w14 = w.rowsBetween(-13, 0)
+    deltas = daily.select(
+        "l_returnflag",
+        "d",
+        (F.col("cents") - F.lag("cents").over(w)).alias("delta"),
+        F.row_number().over(w).alias("rn"),
+    )
+    gl = deltas.select(
+        "l_returnflag",
+        "d",
+        "rn",
+        F.avg(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0)).over(w14).alias("avg_gain"),
+        F.avg(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0)).over(w14).alias("avg_loss"),
+    )
+    return gl.filter(F.col("rn") >= 15).select(
+        "l_returnflag",
+        "d",
+        F.round(
+            F.when(F.col("avg_gain") + F.col("avg_loss") == 0, F.lit(50.0)).otherwise(
+                F.lit(100.0) * F.col("avg_gain") / (F.col("avg_gain") + F.col("avg_loss"))
+            ),
+            4,
+        ).alias("rsi"),
+    )
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY flag, d
+    ),
+    trended AS (
+      SELECT flag, d, cents,
+             CAST(sum(cents) OVER w7 AS BIGINT) AS sum7,
+             row_number() OVER wa AS rn,
+             count(*) OVER (PARTITION BY flag) AS n_days
+      FROM daily
+      WINDOW w7 AS (PARTITION BY flag ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+             wa AS (PARTITION BY flag ORDER BY d)
+    ),
+    detrended AS (
+      SELECT flag, d % 7 AS dow, 7 * cents - sum7 AS resid7
+      FROM trended WHERE rn >= 4 AND rn <= n_days - 3
+    ),
+    seasonal AS (
+      SELECT flag, dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(resid7) AS BIGINT) AS s7sum
+      FROM detrended GROUP BY flag, dow
+    )
+    SELECT
+      se.flag,
+      CAST(se.dow AS BIGINT)                          AS dow,
+      se.n_days,
+      round(se.s7sum * 1e0 / se.n_days / 700, 4)      AS seasonal,
+      round(sum(abs(se.n_days * de.resid7 - se.s7sum)) * 1e0
+            / se.n_days / se.n_days / 700, 4)         AS mean_abs_resid
+    FROM detrended de
+    JOIN seasonal se ON de.flag = se.flag AND de.dow = se.dow
+    GROUP BY se.flag, se.dow, se.n_days, se.s7sum
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of each return-flag's
+    daily revenue series: trend = centered 7-day moving average (full
+    windows only — the first/last 3 days are trimmed identically on both
+    engines), weekly seasonal component = mean detrended residual per
+    arithmetic weekday (d mod 7 — engines disagree on dayofweek()
+    numbering, round-2 finding), plus the mean absolute remainder as the
+    fit diagnostic. EXACTNESS: residuals are kept as scaled integers
+    (resid7 = 7·cents − Σ₇cents — the trend average never materializes as
+    a double), and the per-group deviations |n·resid7 − Σresid7| are
+    integer too, so every sum is an exact BIGINT and the ONLY doubles are
+    the final divisions (the first draft averaged doubles and flipped a
+    4-dp half-boundary between engines). Scale: all windows partitioned
+    per instrument; two keyed aggregations end the plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"))
+    wa = Window.partitionBy("flag").orderBy("d")
+    w7 = wa.rowsBetween(-3, 3)
+    wn = Window.partitionBy("flag")
+    trended = daily.select(
+        "flag",
+        "d",
+        "cents",
+        F.sum("cents").over(w7).cast("long").alias("sum7"),
+        F.row_number().over(wa).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_all"),
+    )
+    detrended = trended.filter(
+        (F.col("rn") >= 4) & (F.col("rn") <= F.col("n_all") - 3)
+    ).select(
+        "flag", (F.col("d") % 7).alias("dow"), (7 * F.col("cents") - F.col("sum7")).alias("resid7")
+    )
+    seasonal = detrended.groupBy("flag", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("resid7").cast("long").alias("s7sum"),
+    )
+    return (
+        detrended.join(seasonal, ["flag", "dow"])
+        .groupBy("flag", "dow", "n_days", "s7sum")
+        .agg(
+            F.round(
+                F.sum(F.abs(F.col("n_days") * F.col("resid7") - F.col("s7sum")))
+                * F.lit(1.0)
+                / F.col("n_days")
+                / F.col("n_days")
+                / 700,
+                4,
+            ).alias("mean_abs_resid")
+        )
+        .select(
+            "flag",
+            F.col("dow").cast("long").alias("dow"),
+            "n_days",
+            F.round(F.col("s7sum") * F.lit(1.0) / F.col("n_days") / 700, 4).alias("seasonal"),
+            "mean_abs_resid",
+        )
+    )
+
+
+@query(
+    "q_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS m,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, m
+    ),
+    shifted AS (
+      SELECT n_name, m, cents,
+             lag(cents, 12) OVER (PARTITION BY n_name ORDER BY m) AS cents_prev,
+             lag(m, 12) OVER (PARTITION BY n_name ORDER BY m)     AS m_prev
+      FROM monthly
+    )
+    SELECT
+      n_name, m,
+      round(cents / 100e0, 2)      AS revenue,
+      round(cents_prev / 100e0, 2) AS revenue_prev,
+      round((cents - cents_prev) * 1e0 / cents_prev, 6) AS yoy
+    FROM shifted
+    WHERE m_prev = m - 12
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth per nation — the BI staple.
+    The lag-12 rows-based shift is only meaningful if the series has no
+    month gaps, so the oracle-checked guard m_prev = m − 12 drops rows
+    whose 12-back neighbour is NOT the same calendar month last year
+    (identical filter both engines — correctness does not silently depend
+    on series density). Revenue is exact integer cents; the growth ratio
+    divides two exact integers. Scale: one (nation × month) aggregation
+    (tiny grid), windows partitioned per nation."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("m")
+    shifted = monthly.select(
+        "n_name",
+        "m",
+        "cents",
+        F.lag("cents", 12).over(w).alias("cents_prev"),
+        F.lag("m", 12).over(w).alias("m_prev"),
+    )
+    return shifted.filter(F.col("m_prev") == F.col("m") - 12).select(
+        "n_name",
+        "m",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cents_prev") / 100.0, 2).alias("revenue_prev"),
+        F.round((F.col("cents") - F.col("cents_prev")) * F.lit(1.0) / F.col("cents_prev"), 6).alias(
+            "yoy"
+        ),
+    )
+
+
+@query(
+    "q_pattern_vshape",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY flag, d
+    ),
+    signed AS (
+      SELECT flag, d,
+             CASE WHEN cents > lag(cents) OVER w THEN 1
+                  WHEN cents < lag(cents) OVER w THEN -1 ELSE 0 END AS sgn
+      FROM daily WINDOW w AS (PARTITION BY flag ORDER BY d)
+    ),
+    flagged AS (
+      SELECT flag, d, sgn,
+             CASE WHEN sgn = lag(sgn) OVER w2 THEN 0 ELSE 1 END AS chg
+      FROM signed WHERE sgn <> 0
+      WINDOW w2 AS (PARTITION BY flag ORDER BY d)
+    ),
+    runs AS (
+      SELECT flag, d, sgn,
+             sum(chg) OVER (PARTITION BY flag ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM flagged
+    ),
+    rle AS (
+      SELECT flag, run_id,
+             min(sgn)  AS sgn,
+             count(*)  AS run_len
+      FROM runs GROUP BY flag, run_id
+    ),
+    paired AS (
+      SELECT flag, sgn, run_len,
+             lead(sgn) OVER w3     AS next_sgn,
+             lead(run_len) OVER w3 AS next_len
+      FROM rle WINDOW w3 AS (PARTITION BY flag ORDER BY run_id)
+    )
+    SELECT
+      flag,
+      CAST(count(*) AS BIGINT)                   AS n_vshapes,
+      CAST(max(run_len + next_len) AS BIGINT)    AS max_width,
+      round(avg(run_len + next_len), 4)          AS avg_width
+    FROM paired
+    WHERE sgn = -1 AND next_sgn = 1 AND run_len >= 2 AND next_len >= 2
+    GROUP BY flag
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (the MATCH_RECOGNIZE capability class,
+    composed from windows): find V-shapes in each instrument's daily
+    revenue — a down-run of ≥2 days immediately followed by an up-run of
+    ≥2 days. Pipeline: sign of day-over-day delta → run-length encoding
+    via change-flag cumulative sum (flat days break runs, dropped before
+    RLE identically on both engines) → adjacent-run pairing with lead().
+    Every stage is integer arithmetic on exact cents; windows are all
+    instrument-partitioned; the RLE relation is runs-sized (≪ days).
+    This is the batch shape of streaming CEP — the state the stream
+    version would keep per key is exactly one open run."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("flag").orderBy("d")
+    signed = daily.select(
+        "flag",
+        "d",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .when(F.col("cents") < F.lag("cents").over(w), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    ).filter(F.col("sgn") != 0)
+    w_cum = Window.partitionBy("flag").orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    runs = signed.select(
+        "flag",
+        "d",
+        "sgn",
+        F.sum(
+            F.when(F.col("sgn") == F.lag("sgn").over(w), 0).otherwise(1)
+        )
+        .over(w_cum)
+        .alias("run_id"),
+    )
+    rle = runs.groupBy("flag", "run_id").agg(
+        F.min("sgn").alias("sgn"), F.count(F.lit(1)).alias("run_len")
+    )
+    w_runs = Window.partitionBy("flag").orderBy("run_id")
+    paired = rle.select(
+        "flag",
+        "sgn",
+        "run_len",
+        F.lead("sgn").over(w_runs).alias("next_sgn"),
+        F.lead("run_len").over(w_runs).alias("next_len"),
+    )
+    return (
+        paired.filter(
+            (F.col("sgn") == -1)
+            & (F.col("next_sgn") == 1)
+            & (F.col("run_len") >= 2)
+            & (F.col("next_len") >= 2)
+        )
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vshapes"),
+            F.max(F.col("run_len") + F.col("next_len")).cast("long").alias("max_width"),
+            F.round(F.avg(F.col("run_len") + F.col("next_len")), 4).alias("avg_width"),
+        )
+    )
+
+
+@query(
+    "q_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT l_returnflag AS flag,
+             datediff('day', DATE '1970-01-01', l_shipdate) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY flag, d
+    ),
+    paired AS (
+      SELECT flag, d, cents,
+             lag(cents, 7) OVER w AS forecast,
+             lag(d, 7) OVER w     AS d_prev
+      FROM daily WINDOW w AS (PARTITION BY flag ORDER BY d)
+    ),
+    scored AS (
+      SELECT flag, cents, forecast, cents - forecast AS err
+      FROM paired WHERE d_prev = d - 7
+    )
+    SELECT
+      flag,
+      CAST(count(*) AS BIGINT)                             AS n_days,
+      round(avg(abs(err)) / 100e0, 2)                      AS mae,
+      round(sqrt(avg((err / 100e0) * (err / 100e0))), 2)   AS rmse,
+      round(avg(abs(err) * 1e0 / cents), 6)                AS mape
+    FROM scored GROUP BY flag
+    """,
+    tags=("analytics", "finance", "windows"),
+)
+def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting harness: the seasonal-naive baseline (value =
+    same weekday last week) scored with MAE/RMSE/MAPE per instrument —
+    the evaluation loop every production forecast runs, with seasonal-
+    naive as the score-to-beat. The lag-7 pairing carries a calendar
+    guard (d_prev = d − 7) so gaps never fake a forecast, same idiom as
+    q_yoy_growth. Errors are exact integer cents; MAE's integer-avg is
+    exact, RMSE squares identical doubles (cents fit double exactly —
+    squares round identically), MAPE divides exact integers — per-group
+    summation noise sits at ulp scale under every 2/6-dp round. Scale:
+    one instrument-partitioned window over the bounded daily grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.datediff(F.col("l_shipdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("flag").orderBy("d")
+    paired = daily.select(
+        "flag",
+        "d",
+        "cents",
+        F.lag("cents", 7).over(w).alias("forecast"),
+        F.lag("d", 7).over(w).alias("d_prev"),
+    )
+    scored = paired.filter(F.col("d_prev") == F.col("d") - 7).select(
+        "flag", "cents", (F.col("cents") - F.col("forecast")).alias("err")
+    )
+    return scored.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.avg(F.abs("err")) / 100.0, 2).alias("mae"),
+        F.round(F.sqrt(F.avg((F.col("err") / 100.0) * (F.col("err") / 100.0))), 2).alias("rmse"),
+        F.round(F.avg(F.abs("err") * F.lit(1.0) / F.col("cents")), 6).alias("mape"),
+    )
+
+
+# Hurst exponent by rescaled-range analysis. Exactness trick: the cumulative
+# deviation at prefix k of an n-day segment is (n·cum_k − k·T)/n with T the
+# segment total — keep the NUMERATOR as an exact integer, so the range
+# R·n = max−min over prefixes is exact; only the std dev and the final
+# log-log slope run in doubles with identical shapes on both engines.
+_HURST_SQL = """
+    WITH daily AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(o.o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nk, d
+    ),
+    idx AS (
+      SELECT nk, cents,
+             row_number() OVER (PARTITION BY nk ORDER BY d) - 1 AS i
+      FROM daily
+    ),
+    sizes AS (SELECT * FROM (VALUES (8), (16), (32)) AS t(n)),
+    seg AS (
+      SELECT s.n, x.nk, CAST(floor(x.i * 1e0 / s.n) AS BIGINT) AS sid,
+             (x.i % s.n) + 1 AS pos, x.cents,
+             CAST(sum(x.cents) OVER (
+               PARTITION BY s.n, x.nk, CAST(floor(x.i * 1e0 / s.n) AS BIGINT) ORDER BY x.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM idx x CROSS JOIN sizes s
+    ),
+    segtot AS (
+      SELECT n, nk, sid,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(cents) AS BIGINT) AS t,
+             sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS sxx
+      FROM seg GROUP BY n, nk, sid
+    ),
+    devs AS (
+      SELECT g.n, g.nk, g.sid, g.t, g.sxx,
+             CAST(max(g.n * s.cum - s.pos * g.t) AS BIGINT) AS dmax,
+             CAST(min(g.n * s.cum - s.pos * g.t) AS BIGINT) AS dmin
+      FROM segtot g
+      JOIN seg s ON s.n = g.n AND s.nk = g.nk AND s.sid = g.sid
+      WHERE g.cnt = g.n
+      GROUP BY g.n, g.nk, g.sid, g.t, g.sxx
+    ),
+    rs AS (
+      SELECT n, nk,
+             ((dmax - dmin) * 1e0 / n)
+             / sqrt(CAST(sxx AS DOUBLE) / n - (t * 1e0 / n) * (t * 1e0 / n)) AS ratio
+      FROM devs
+      WHERE CAST(sxx AS DOUBLE) / n - (t * 1e0 / n) * (t * 1e0 / n) > 0e0
+    ),
+    points AS (
+      SELECT nk, n, ln(CAST(n AS DOUBLE)) AS lx, ln(avg(ratio)) AS ly
+      FROM rs GROUP BY nk, n
+    ),
+    fit AS (
+      SELECT nk,
+             CAST(count(*) AS BIGINT) AS n_points,
+             (sum(lx * ly) - sum(lx) * sum(ly) / count(*))
+             / (sum(lx * lx) - sum(lx) * sum(lx) / count(*)) AS slope
+      FROM points GROUP BY nk
+    )
+    SELECT nk AS nationkey, n_points, round(slope, 4) AS hurst
+    FROM fit WHERE n_points = 3
+"""
+
+
+@query("q_hurst_exponent", oracle=_HURST_SQL, tags=("analytics", "finance", "timeseries"))
+def hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per nation's daily-revenue series by classical
+    rescaled-range analysis: split the day-indexed series into segments of
+    8/16/32 days, compute R/S per segment (range of cumulative deviations
+    over the std dev), average per size, and fit the log-log slope —
+    H ≈ 0.5 marks a memoryless series. Observed here: H ≈ 0.53–0.70 (mean
+    0.61) across nations — the classical estimator's well-documented
+    upward small-sample bias at short windows (n ≤ 32, no Anis–Lloyd
+    correction), not persistence; a production reading subtracts the
+    E[R/S] baseline. The cumulative-deviation range is computed on
+    the exact integer n·cum − pos·T (no double drift inside the max/min);
+    Σx² is exact HUGEINT/decimal; only the std, the ratio, and the 3-point
+    regression run in doubles with identical shapes, rounded at 4 dp.
+    Scale: everything is keyed by (nation, segment) — two shuffles and a
+    3-row-per-nation fit; per-instrument parallelism at 100 TB. One SQL
+    text runs verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HURST_SQL)
+
+
+@query(
+    "q_croston_forecast",
+    oracle="""
+    WITH pm AS (
+      SELECT l.l_partkey AS part,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS m,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY part, m
+    ),
+    seq AS (
+      SELECT part, m, q,
+             row_number() OVER (PARTITION BY part ORDER BY m) AS idx,
+             m - lag(m) OVER (PARTITION BY part ORDER BY m) AS gap
+      FROM pm
+    ),
+    sm AS (
+      SELECT part, idx, q, gap,
+             sum(q * pow(2e0, idx)) OVER w / sum(pow(2e0, idx)) OVER w AS z_hat,
+             sum(coalesce(gap, 0) * pow(2e0, idx)) OVER w
+               / nullif(sum(CASE WHEN gap IS NULL THEN 0e0 ELSE pow(2e0, idx) END) OVER w, 0e0)
+               AS i_hat
+      FROM seq
+      WINDOW w AS (PARTITION BY part ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    latest AS (
+      SELECT part, idx AS n_periods, z_hat, i_hat,
+             row_number() OVER (PARTITION BY part ORDER BY idx DESC) AS rn
+      FROM sm
+    )
+    SELECT part,
+           CAST(n_periods AS BIGINT)  AS n_periods,
+           round(z_hat, 4)            AS ewma_size,
+           round(i_hat, 4)            AS ewma_interval,
+           round(z_hat / i_hat, 4)    AS croston_rate
+    FROM latest
+    WHERE rn = 1 AND i_hat IS NOT NULL AND i_hat > 0
+    """,
+    tags=("analytics", "forecast", "supply-chain"),
+)
+def croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand — THE sparse-series
+    forecaster (spare parts, long-tail SKUs): smooth the nonzero demand
+    SIZES and the INTERVALS between demand months separately, forecast
+    rate = size/interval. Both smoothers are the closed-form EWMA ratio
+    of q_ewma_orders (decay ½ → exact 2^idx weights); the windowed sums
+    accumulate in frame order — identical sequential order on both
+    engines — so the >53-bit weight span never meets a reordered sum.
+    The first observation has no interval (gap NULL → weight dropped on
+    both sides identically). Output = per-part latest state, rounded at
+    4 dp. Scale: part-partitioned windows over bounded monthly series —
+    the per-SKU parallelism a demand planner runs nightly. One SQL text
+    runs verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+    WITH pm AS (
+      SELECT l.l_partkey AS part,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS m,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY part, m
+    ),
+    seq AS (
+      SELECT part, m, q,
+             row_number() OVER (PARTITION BY part ORDER BY m) AS idx,
+             m - lag(m) OVER (PARTITION BY part ORDER BY m) AS gap
+      FROM pm
+    ),
+    sm AS (
+      SELECT part, idx, q, gap,
+             sum(q * pow(2e0, idx)) OVER w / sum(pow(2e0, idx)) OVER w AS z_hat,
+             sum(coalesce(gap, 0) * pow(2e0, idx)) OVER w
+               / nullif(sum(CASE WHEN gap IS NULL THEN 0e0 ELSE pow(2e0, idx) END) OVER w, 0e0)
+               AS i_hat
+      FROM seq
+      WINDOW w AS (PARTITION BY part ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    latest AS (
+      SELECT part, idx AS n_periods, z_hat, i_hat,
+             row_number() OVER (PARTITION BY part ORDER BY idx DESC) AS rn
+      FROM sm
+    )
+    SELECT part,
+           CAST(n_periods AS BIGINT)  AS n_periods,
+           round(z_hat, 4)            AS ewma_size,
+           round(i_hat, 4)            AS ewma_interval,
+           round(z_hat / i_hat, 4)    AS croston_rate
+    FROM latest
+    WHERE rn = 1 AND i_hat IS NOT NULL AND i_hat > 0
+    """
+    )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_nationkey AS nk,
+             datediff('day', DATE '1970-01-01', o.o_orderdate) AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nk, d
+    ),
+    win AS (
+      SELECT nk, d,
+             list_sort(list(cents) OVER (
+               PARTITION BY nk ORDER BY d
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+             )) AS arr
+      FROM daily
+    )
+    SELECT nk AS nationkey, d,
+           CAST(len(arr) AS BIGINT) AS n_days_window,
+           CAST(arr[CAST((len(arr) + 1) // 2 AS BIGINT)] AS BIGINT) AS median_cents
+    FROM win
+    """,
+    tags=("window", "finance", "timeseries"),
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day rolling MEDIAN of daily revenue per nation — the
+    robust moving statistic (q_moving_avg's outlier-resistant sibling)
+    that no engine's window aggregates express natively: an order
+    statistic needs the window's contents, so both engines build the
+    frame's value list (collect_list / list over a RANGE 29 PRECEDING
+    frame on the integer day key), sort it, and pick the LOWER median at
+    1-based index (n+1)÷2 — identical discrete element, exact integer
+    cents, zero interpolation ambiguity. Scale: the frame holds ≤30
+    bounded integers per row and the window is nation-partitioned; at
+    100 TB per-instrument keys make this embarrassingly parallel (the
+    same plan the VWAP/Bollinger family uses)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("nk").orderBy("d").rangeBetween(-29, 0)
+    win = daily.select(
+        F.col("nk").alias("nationkey"),
+        "d",
+        F.array_sort(F.collect_list("cents").over(w)).alias("arr"),
+    )
+    return win.select(
+        "nationkey",
+        "d",
+        F.size("arr").cast("long").alias("n_days_window"),
+        F.element_at("arr", ((F.size("arr") + 1) / 2).cast("int")).cast("long").alias("median_cents"),
+    )
+
+
+@query(
+    "q_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_nationkey AS nk,
+             datediff('day', DATE '1970-01-01', o.o_orderdate) AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nk, d
+    ),
+    mr AS (
+      SELECT nk, d, cents,
+             abs(cents - lag(cents) OVER (PARTITION BY nk ORDER BY d)) AS moving_range
+      FROM daily
+    ),
+    limits AS (
+      SELECT nk,
+             CAST(count(*) AS BIGINT)       AS n_days,
+             CAST(sum(cents) AS BIGINT)     AS s_cents,
+             CAST(sum(moving_range) AS BIGINT) AS s_mr,
+             CAST(count(moving_range) AS BIGINT) AS n_mr
+      FROM mr GROUP BY nk
+    ),
+    judged AS (
+      SELECT m.nk,
+             CASE WHEN m.cents * 1e0 > l.s_cents * 1e0 / l.n_days
+                       + 2.66e0 * l.s_mr / l.n_mr THEN 1
+                  WHEN m.cents * 1e0 < l.s_cents * 1e0 / l.n_days
+                       - 2.66e0 * l.s_mr / l.n_mr THEN 1
+                  ELSE 0 END AS breach
+      FROM mr m JOIN limits l ON m.nk = l.nk
+    )
+    SELECT
+      j.nk AS nationkey,
+      CAST(count(*) AS BIGINT)        AS n_days,
+      CAST(sum(j.breach) AS BIGINT)   AS n_breaches,
+      round(max(l.s_cents * 1e0 / l.n_days + 2.66e0 * l.s_mr / l.n_mr) / 100, 4) AS ucl_dollars,
+      round(max(l.s_cents * 1e0 / l.n_days - 2.66e0 * l.s_mr / l.n_mr) / 100, 4) AS lcl_dollars
+    FROM judged j JOIN limits l ON j.nk = l.nk
+    GROUP BY j.nk
+    """,
+    tags=("analytics", "quality", "timeseries"),
+)
+def control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals / moving-range) control chart per nation's daily
+    revenue — the SPC monitor that flags special-cause variation: limits =
+    mean ± 2.66·mean(|Δ|), the classic Shewhart constant. Sums of cents
+    and of integer moving ranges are exact BIGINTs, so the limit
+    expressions divide identical integers on both engines and the breach
+    comparison is engine-stable without pre-rounding (2.66·s_mr/n_mr is
+    one double product of exact inputs). Scale: the lag runs in the
+    nation-partitioned window (25-way parallel), limits are a 25-row
+    aggregate joined back broadcast-style — two shuffles total, the
+    monitoring shape you'd run per metric per stream at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    daily = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("nk").orderBy("d")
+    mr = daily.withColumn("moving_range", F.abs(F.col("cents") - F.lag("cents").over(w)))
+    limits = mr.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("long").alias("s_cents"),
+        F.sum("moving_range").cast("long").alias("s_mr"),
+        F.count("moving_range").cast("long").alias("n_mr"),
+    )
+    ucl = F.col("s_cents") * F.lit(1.0) / F.col("n_days") + F.lit(2.66) * F.col("s_mr") / F.col("n_mr")
+    lcl = F.col("s_cents") * F.lit(1.0) / F.col("n_days") - F.lit(2.66) * F.col("s_mr") / F.col("n_mr")
+    judged = mr.join(limits, "nk").withColumn(
+        "breach",
+        F.when((F.col("cents") * F.lit(1.0) > ucl) | (F.col("cents") * F.lit(1.0) < lcl), 1).otherwise(0),
+    )
+    return judged.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("breach").cast("long").alias("n_breaches"),
+        F.round(F.max(ucl) / 100, 4).alias("ucl_dollars"),
+        F.round(F.max(lcl) / 100, 4).alias("lcl_dollars"),
+    )

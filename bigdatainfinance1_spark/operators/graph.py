@@ -1,0 +1,359 @@
+"""Graph analytics over the co-purchase / supplier graphs: iterative propagation (PageRank, BFS), motif counting, WITH RECURSIVE reachability.
+
+Carved out of operators/analytics.py (round-2 wave 1-3) and operators/analytics3.py (round-2 wave 6-7) in round 3 (verdict task 7:
+no operator module over 1.5k LoC); 5 registered queries, bodies
+unchanged — git follows the move via --find-copies.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
+
+
+def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    """DuckDB oracle for q_pagerank_copurchase: the same fixed-iteration
+    PageRank unrolled as chained CTEs (r0..r{iters}) — feasible because the
+    iteration count is a constant of the operator, not data-dependent."""
+    head = """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT p1 AS u, p2 AS v FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+    deg AS (SELECT u, count(*) AS c FROM edges GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)
+    """
+    steps = "".join(
+        f""",
+    r{i + 1} AS (
+      SELECT e.v AS node,
+             (1 - {d}) / (SELECT n FROM nn) + {d} * sum(r{i}.r / dg.c) AS r
+      FROM edges e
+      JOIN r{i} ON r{i}.node = e.u
+      JOIN deg dg ON dg.u = e.u
+      GROUP BY e.v
+    )"""
+        for i in range(iters)
+    )
+    return f"""
+    {head}{steps}
+    SELECT node AS part_id,
+           round(r * (SELECT n FROM nn), 6) AS rel_rank,
+           CAST((SELECT c FROM deg WHERE deg.u = node) AS BIGINT) AS degree
+    FROM r{iters}
+    ORDER BY rel_rank DESC, part_id
+    LIMIT 20
+    """
+
+
+@query("q_pagerank_copurchase", oracle=_pagerank_oracle(), tags=("analytics", "iterative", "join"))
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, d=0.85) over the undirected co-purchase
+    graph — parts linked when they appear on the same order. Each iteration
+    is one edges⋈ranks join + per-node sum (the dup_clusters/k-means job
+    shape: the driver holds only the loop counter and the node count, data
+    never leaves the cluster). The symmetric edge set means no dangling
+    nodes, so no global redistribution term. Output is the top-20 by
+    N-normalized rank (O(1) values, round 6 — summation-order ulps across
+    5 iterations stay ~1e-11, orders under the rounding grain). The oracle
+    unrolls the same 5 iterations as chained CTEs."""
+    d, iters = 0.85, 5
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    edges = pairs.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("c")).persist()
+    n = deg.count()  # bounded driver scalar: node count
+    ranks = deg.select(F.col("u").alias("node"), (F.lit(1.0) / n).alias("r"))
+    edges_deg = edges.join(deg, "u").persist()
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.u == ranks.node)
+            .select("v", (F.col("r") / F.col("c")).alias("w"))
+            .groupBy("v")
+            .agg(F.sum("w").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("v").alias("node"), ((1 - d) / n + d * F.col("s")).alias("r")
+        )
+    out = (
+        ranks.join(deg, ranks.node == deg.u)
+        .select(
+            F.col("node").alias("part_id"),
+            F.round(F.col("r") * n, 6).alias("rel_rank"),
+            F.col("c").cast("long").alias("degree"),
+        )
+        .orderBy(F.col("rel_rank").desc(), "part_id")
+        .limit(20)
+    )
+    out = out.localCheckpoint(eager=True)  # materialize before unpersisting lineage
+    edges_deg.unpersist()
+    deg.unpersist()
+    return out
+
+
+@query(
+    "q_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT
+      (SELECT count(*) FROM e) AS n_edges,
+      count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+    tags=("analytics", "graph"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: triangle count on the co-purchase graph (parts
+    co-ordered at least twice). Edges are ORIENTED low-id → high-id so each
+    triangle is enumerated exactly once as (u<v<w): wedge join e1(u,v) ⋈
+    e2(v,w), closed by e3(u,w) — two equi-shuffle joins, never a cartesian.
+    The >= 2 co-support threshold is the standard sparsifier; in production
+    the orientation key would be (degree, id) so high-degree hubs don't
+    fan wedges out quadratically (same plan, different sort key)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("t_u"), F.col("v").alias("t_v"))
+    e2 = edges.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    wedges = e1.join(e2, F.col("t_v") == F.col("w_u"))
+    closed = wedges.join(
+        edges, (F.col("u") == F.col("t_u")) & (F.col("v") == F.col("w_v"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return n_edges.crossJoin(n_tri)
+
+
+@query(
+    "q_bfs_hops",
+    oracle="""
+    WITH und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e AS (
+      SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+    ),
+    d0 AS (SELECT min(u) AS node, 0 AS dist FROM e),
+    d1 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT e.v, d0.dist + 1 FROM d0 JOIN e ON e.u = d0.node
+      ) GROUP BY node
+    ),
+    d2 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT e.v, d1.dist + 1 FROM d1 JOIN e ON e.u = d1.node
+      ) GROUP BY node
+    ),
+    d3 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT e.v, d2.dist + 1 FROM d2 JOIN e ON e.u = d2.node
+      ) GROUP BY node
+    ),
+    d4 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d3
+        UNION ALL
+        SELECT e.v, d3.dist + 1 FROM d3 JOIN e ON e.u = d3.node
+      ) GROUP BY node
+    )
+    SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes
+    FROM d4 GROUP BY dist
+    """,
+    tags=("analytics", "graph", "iterative"),
+)
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph traversal: 4-hop BFS from the minimum-id vertex of the
+    sparsified co-purchase graph (undirected; co-support >= 2), reporting
+    how many vertices sit at each shortest-path distance. Spark runs the
+    standard distributed BFS relaxation — 4 deterministic join+groupBy-min
+    rounds over a reused edge relation (the Pregel shape: frontier joins
+    edges, union, min per node); the driver holds only the loop counter.
+    The oracle is the same recurrence unrolled as a fixed CTE chain
+    (pagerank pattern). Unreachable vertices are absent, not infinite."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    edges = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
+    dist = edges.agg(F.min("u").alias("node")).select("node", F.lit(0).alias("dist"))
+    for _ in range(4):
+        relaxed = (
+            dist.join(edges, dist.node == edges.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+@query(
+    "q_clustering_coefficient",
+    oracle="""
+    WITH und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM und e1 JOIN und e2 ON e1.v = e2.u
+      JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                     AS n_nodes,
+      CAST(sum(d) / 2 AS BIGINT)                   AS n_edges,
+      CAST(sum(d * (d - 1) / 2) AS BIGINT)         AS n_wedges,
+      CAST(min(t.n_tri) AS BIGINT)                 AS n_triangles,
+      round(3e0 * min(t.n_tri) / sum(d * (d - 1) / 2), 6) AS global_cc
+    FROM deg CROSS JOIN tri t
+    """,
+    tags=("analytics", "graph"),
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph transitivity: the global clustering coefficient 3·triangles /
+    wedges of the sparsified co-purchase graph — what fraction of open
+    wedges close. Degrees come from one groupBy over both edge endpoints
+    (integer arithmetic throughout — d(d−1)/2 is exact), triangles from
+    the same oriented wedge join as q_triangle_count; one scalar ratio at
+    the end. Counts are exact BIGINTs on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+        .cache()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = und.select(F.col("u").alias("t_u"), F.col("v").alias("t_v"))
+    e2 = und.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    tri = (
+        e1.join(e2, F.col("t_v") == F.col("w_u"))
+        .join(und, (F.col("u") == F.col("t_u")) & (F.col("v") == F.col("w_v")))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.crossJoin(F.broadcast(tri))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            (F.sum("d") / 2).cast("long").alias("n_edges"),
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+            F.min("n_tri").cast("long").alias("n_triangles"),
+            F.round(
+                F.lit(3.0) * F.min("n_tri") / F.sum(F.col("d") * (F.col("d") - 1) / 2), 6
+            ).alias("global_cc"),
+        )
+    )
+
+
+# Declarative multi-hop reachability via WITH RECURSIVE (Spark 4 finally
+# supports it; DuckDB always has) on the same support-≥2 co-purchase part
+# graph as q_bfs_hops / q_triangle_count. The dist < 3 cap bounds the
+# frontier expansion (UNION ALL recursion walks paths, not nodes; min(dist)
+# per node collapses them afterwards — the standard pattern).
+_REACH_SQL = """
+    WITH RECURSIVE und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e AS (
+      SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+    ),
+    seed AS (SELECT min(u) AS node FROM e),
+    walk(node, dist) AS (
+      SELECT node, 0 AS dist FROM seed
+      UNION ALL
+      SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node WHERE w.dist < 3
+    ),
+    reach AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node)
+    SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes FROM reach GROUP BY dist
+"""
+
+
+@query("q_recursive_reachability", oracle=_REACH_SQL, tags=("analytics", "graph", "recursive"))
+def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop reachability profile from the smallest part key, written as a
+    RECURSIVE CTE — the declarative twin of q_bfs_hops' hand-unrolled
+    frontier loop, possible since Spark 4 added WITH RECURSIVE. The
+    recursion emits (node, path-length) rows with the frontier join
+    re-planned by Catalyst each iteration; min(dist) per node collapses
+    path multiplicity after the cap. Scale: iteration count is the fixed
+    hop cap, each step an equi-join frontier×edges — identical shuffle
+    budget to the unrolled version, but the engine owns the loop (and at
+    100 TB the same text runs unchanged). One SQL text runs verbatim on
+    both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)

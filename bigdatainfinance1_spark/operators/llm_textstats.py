@@ -1,0 +1,537 @@
+"""LLM-corpus text statistics and curation-support queries: Zipf/entropy/novelty profiles, BM25, sampling, mixture rebalance, dataset cards, cross-source dedup.
+
+Carved out of operators/analytics.py (round-2 wave 1-3) and operators/analytics2.py (round-2 wave 4-5) and operators/analytics3.py (round-2 wave 6-7) in round 3 (verdict task 7:
+no operator module over 1.5k LoC); 9 registered queries, bodies
+unchanged — git follows the move via --find-copies.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
+
+
+@query(
+    "q_zipf_terms",
+    oracle="""
+    WITH tf AS (
+      SELECT tok, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, tok, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rnk * cnt AS BIGINT) AS rank_times_freq
+    FROM (
+      SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM tf
+    )
+    WHERE rnk <= 100
+    """,
+    tags=("analytics", "text", "llm"),
+)
+def zipf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary: top-100 terms
+    with their frequency rank and rank×freq product (≈constant under Zipf's
+    law — the standard corpus-health diagnostic). The global frequency rank
+    is a range-bucketed distributed row number (functions/ranks.py, desc
+    ordering) — the oracle keeps the windowed formulation."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = global_row_number(tf, [F.col("cnt").desc(), F.col("tok")], rn_col="rnk")
+    return (
+        ranked.filter(F.col("rnk") <= 100)
+        .select(
+            "rnk",
+            "tok",
+            F.col("cnt").cast("long").alias("cnt"),
+            (F.col("rnk") * F.col("cnt")).cast("long").alias("rank_times_freq"),
+        )
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 10
+    """,
+    tags=("analytics", "sample", "llm"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 deterministic tier: stratified sampling by hash quota — the 10
+    documents per language with the lowest md5(doc_id). Hash-order quotas
+    are how production pipelines draw REPRODUCIBLE eval/debug samples at
+    100 TB (stable across runs, engines, and partitioning — unlike
+    rate-based Bernoulli sampling, q_sample_profile's rows-only tier, whose
+    draw is engine-internal). Per-stratum top-k via ranked window = one
+    shuffle on the stratum key."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+_BM25_TERMS = ("spark", "join", "fast")
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
+    ),
+    avgdl AS (SELECT avg(doclen) AS avgdl FROM dl),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+        sum(
+          ln((n.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1e0)
+          * tf.tf * 2.2e0
+          / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.doclen / a.avgdl))
+        ) AS score
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN avgdl a CROSS JOIN n_docs n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval scoring: BM25 top-10 documents for the query
+    {spark, join, fast} — k1=1.2, b=0.75, the Robertson idf with +1
+    floor (Lucene's formulation). The token stream is filtered to the
+    query terms BEFORE any aggregation (vocabulary-sized tf/df relations,
+    both broadcastable); doc lengths and the corpus constants ride in as
+    broadcast one-row relations. Ordering is on the rounded score with a
+    doc_id tiebreak so the cut is engine-stable. This is the retrieval
+    complement to q_tfidf_top (keyword extraction) and q_cosine_topk
+    (dense retrieval)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    consts = dl.agg(F.avg("doclen").alias("avgdl")).crossJoin(
+        docs.agg(F.count(F.lit(1)).alias("n"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH ds AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY s),
+    per_doc AS (
+      SELECT d.doc_id,
+             count(*) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_doc = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM ds d JOIN firsts f ON d.s = f.s
+      GROUP BY d.doc_id
+    )
+    SELECT
+      doc.source,
+      CAST(count(*) AS BIGINT)                                  AS n_docs,
+      round(avg(p.n_novel * 1e0 / p.n_shingles), 4)             AS avg_novelty,
+      CAST(sum(CASE WHEN p.n_novel = p.n_shingles THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS n_fully_novel
+    FROM per_doc p JOIN documents doc ON p.doc_id = doc.doc_id
+    GROUP BY doc.source
+    """,
+    tags=("llm-pipeline", "text", "dedup"),
+)
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring for curriculum/curation ordering: per
+    document, the fraction of its distinct 3-word shingles whose FIRST
+    occurrence (lowest doc_id — the deterministic stand-in for crawl
+    order) is the document itself; aggregated per source. Low-novelty
+    sources are boilerplate farms — this is the corpus-level signal that
+    complements pairwise near-dup detection (a doc can be 40% recombined
+    boilerplate yet no single pair crosses a jaccard threshold). Reuses
+    the dedup module's shingle relation; the ownership pass is one
+    groupBy(min) over the shingle key plus a join back — linear in corpus
+    shingle count, the same shuffle shape as q_exact_dedup. Novelty ratios
+    divide exact integers; only the per-source avg needs its 4-dp round."""
+    from bigdatainfinance1_spark.operators.dedup import _doc_shingle_hashes
+
+    ds = _doc_shingle_hashes(spark, sf_dir)
+    firsts = ds.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        ds.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("n_novel") * F.lit(1.0) / F.col("n_shingles")), 4).alias(
+                "avg_novelty"
+            ),
+            F.sum(F.when(F.col("n_novel") == F.col("n_shingles"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_fully_novel"),
+        )
+    )
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, i, 1) AS ch
+      FROM (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i FROM documents)
+    ),
+    freq AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM freq GROUP BY doc_id),
+    ent AS (
+      SELECT f.doc_id,
+             -sum((f.c * 1e0 / t.n) * ln(f.c * 1e0 / t.n) / ln(2)) AS h
+      FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+      GROUP BY f.doc_id
+    )
+    SELECT
+      d.source,
+      CAST(count(*) AS BIGINT)  AS n_docs,
+      round(avg(e.h), 4)        AS avg_entropy,
+      round(min(e.h), 4)        AS min_entropy,
+      round(max(e.h), 4)        AS max_entropy
+    FROM ent e JOIN documents d ON e.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, profiled per source —
+    the cheap quality/gibberish detector every crawl-curation pipeline
+    runs (low entropy → repeated filler; high → random noise or
+    encodings), complementing q_text_quality's token-level ratios.
+    Entropy terms use p·log₂p with identical expression shape from exact
+    integer counts; per-doc sums differ only in summation order (≤1-ulp
+    terms), absorbed by the 4-dp rounds after the per-source reduce.
+    Scale: explode to characters is a narrow map (no shuffle); the
+    (doc, char) frequency groupBy keys are high-cardinality and uniform —
+    the same shape as the token-stats family, no Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    ent = (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log(p) / F.log(F.lit(2.0)))).alias("h"))
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        ent.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.round(F.min("h"), 4).alias("min_entropy"),
+            F.round(F.max("h"), 4).alias("max_entropy"),
+        )
+    )
+
+
+@query(
+    "q_pps_sample",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS wc
+      FROM orders
+    ),
+    cum AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice, wc,
+             CAST(sum(wc) OVER (PARTITION BY o_orderpriority
+                  ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(sum(wc) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total
+      FROM w
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM cum
+    WHERE (c * 10) // total > ((c - wc) * 10) // total
+    """,
+    tags=("analytics", "sample", "scale"),
+)
+def pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling, systematic variant: 10
+    orders per priority stratum drawn with probability ∝ order value — the
+    unequal-weight companion to q_stratified_sample (equal-probability
+    quotas). Items are laid on a cumulative-weight line in deterministic
+    md5 order and selected where the line crosses each of the 10 equally
+    spaced thresholds: selection reduces to floor((cum·10)/total) >
+    floor((prev·10)/total) in EXACT integer cents (no pow/ln perturbation
+    keys, which rank on sub-ulp differences and are not engine-stable —
+    the reason Efraimidis-Spirakis is avoided here). Integer division is
+    Spark DIV ↔ DuckDB // (repo convention). Scale: one
+    stratum-partitioned running sum; the md5 order makes the draw
+    reproducible across runs, engines, and partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("wc"),
+    )
+    wo = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("o_orderpriority")
+    cum = w.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "wc",
+        F.sum("wc").over(wo).cast("long").alias("c"),
+        F.sum("wc").over(wt).cast("long").alias("total"),
+    )
+    sel = F.expr("(c * 10) DIV total") > F.expr("((c - wc) * 10) DIV total")
+    return cum.filter(sel).select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q_mixture_rebalance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    quota AS (SELECT min(n) AS q, CAST(sum(n) AS BIGINT) AS total FROM counts),
+    kept AS (
+      SELECT lang FROM (
+        SELECT d.lang,
+               row_number() OVER (
+                 PARTITION BY d.lang
+                 ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        FROM documents d
+      ) r CROSS JOIN quota q
+      WHERE r.rn <= q.q
+    ),
+    after AS (SELECT lang, count(*) AS n_after FROM kept GROUP BY lang),
+    after_tot AS (SELECT CAST(sum(n_after) AS BIGINT) AS t FROM after)
+    SELECT
+      c.lang,
+      CAST(c.n AS BIGINT)                      AS n_before,
+      CAST(a.n_after AS BIGINT)                AS n_after,
+      round(c.n * 1e0 / q.total, 4)            AS share_before,
+      round(a.n_after * 1e0 / t.t, 4)          AS share_after
+    FROM counts c
+    JOIN after a ON c.lang = a.lang
+    CROSS JOIN quota q CROSS JOIN after_tot t
+    """,
+    tags=("llm-pipeline", "sample", "text"),
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every language to the
+    smallest language's count (uniform target mixture) with the md5-order
+    quota draw, reporting each language's share before and after — the
+    data-mixture control step LLM pretraining pipelines run between
+    curation and packing (q_stratified_sample draws fixed quotas; this
+    derives the quota from the mixture target). The draw is reproducible
+    across engines/partitionings (md5 order, doc_id tiebreak); shares are
+    exact-integer ratios rounded 4 dp. Scale: one count aggregation, one
+    per-language ranked window, quota broadcast as a scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    quota = counts.agg(
+        F.min("n").alias("q"), F.sum("n").cast("long").alias("total")
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    kept = (
+        docs.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+    )
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    after_tot = after.agg(F.sum("n_after").cast("long").alias("t"))
+    return (
+        counts.join(after, "lang")
+        .crossJoin(F.broadcast(quota))
+        .crossJoin(F.broadcast(after_tot))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_before"),
+            F.col("n_after").cast("long").alias("n_after"),
+            F.round(F.col("n") * F.lit(1.0) / F.col("total"), 4).alias("share_before"),
+            F.round(F.col("n_after") * F.lit(1.0) / F.col("t"), 4).alias("share_after"),
+        )
+    )
+
+
+@query(
+    "q_cross_source_dedup",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(lower(trim(text)))
+               ORDER BY CAST(substring(source, 4) AS INT), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT
+      source,
+      CAST(count(*) AS BIGINT)                               AS n_docs,
+      CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_yielded,
+      CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("llm", "pipeline", "dedup"),
+)
+def cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source precedence dedup — the curation rule multi-feed
+    corpora need: when the SAME normalized text arrives from several
+    feeds, the highest-priority source keeps it and the rest yield
+    (priority = the source's numeric id here; in production, a curated
+    trust ranking). Contrast with q_dedup_keep_first (arbitrary-key
+    keep) and q_exact_dedup (keep-any): precedence changes WHICH replica
+    survives, which changes the kept corpus' source mix — reported per
+    source as kept/yielded counts and surviving chars. One window
+    partitioned by the text hash (uniform md5 key — no skew), ordered by
+    (priority, doc_id) — a total order. Scale: identical shuffle budget
+    to exact dedup; text never shuffles (hash key only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy(
+        F.substring("source", 4, 10).cast("int"), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("n_yielded"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0)).cast("long").alias("kept_chars"),
+    )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             md5(lower(trim(text))) AS h,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    )
+    SELECT
+      source,
+      CAST(count(*) AS BIGINT)                    AS n_docs,
+      CAST(count(DISTINCT lang) AS BIGINT)        AS n_langs,
+      CAST(sum(n_chars) AS BIGINT)                AS total_chars,
+      CAST(sum(n_tokens) AS BIGINT)               AS total_tokens,
+      CAST(count(DISTINCT h) AS BIGINT)           AS n_unique_texts,
+      round(1e0 - count(DISTINCT h) * 1e0 / count(*), 6) AS dup_rate,
+      round(avg(n_chars), 4)                      AS mean_chars
+    FROM base
+    GROUP BY source
+    """,
+    tags=("llm", "pipeline", "reporting"),
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card census — the one-relation summary every corpus release
+    ships: per source, document and language counts, char and
+    whitespace-token volumes, distinct-text count, duplication rate, and
+    mean length. Composes the primitives the pipeline family measures
+    separately (q_dup_rate_by_source, q_token_stats, q_langid_profile)
+    into the single artifact a data consumer reads first. All counts
+    exact; the only division is the final dup-rate/mean. Scale: one
+    groupBy(source) with two distinct-aggs — Spark expands them into the
+    standard two-phase expand+partial plan; text leaves the scan only as
+    its md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1).alias(
+            "n_tokens"
+        ),
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("h").cast("long").alias("n_unique_texts"),
+        F.round(F.lit(1.0) - F.count_distinct("h") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "dup_rate"
+        ),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )

@@ -1,0 +1,876 @@
+"""ML evaluation and feature-engineering operators: AUC, calibration, confusion matrices, OLS/k-fold, encodings, sampling.
+
+Carved out of operators/analytics2.py (round-2 wave 4-5) and operators/analytics3.py (round-2 wave 6-7) in round 3 (verdict task 7:
+no operator module over 1.5k LoC); 12 registered queries, bodies
+unchanged — git follows the move via --find-copies.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
+
+
+@query(
+    "q_psi_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b' END AS period
+      FROM orders
+    ),
+    grid AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b FROM grid
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_bins,
+      CAST(sum(CASE WHEN g.n_a > 0 AND g.n_b > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bins_used,
+      round(sum(CASE WHEN g.n_a > 0 AND g.n_b > 0
+                THEN (g.n_a * 1e0 / t.t_a - g.n_b * 1e0 / t.t_b)
+                     * ln((g.n_a * 1e0 / t.t_a) / (g.n_b * 1e0 / t.t_b))
+                ELSE 0e0 END), 6) AS psi
+    FROM grid g CROSS JOIN tot t
+    """,
+    tags=("analytics", "finance", "quality"),
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1998 and post-1998 order
+    price distributions — the model-monitoring drift metric every deployed
+    credit/pricing model is watched with (PSI < 0.1 stable, > 0.25 act).
+    Prices are binned on a fixed arithmetic grid (50k-wide bins — no
+    engine-specific width_bucket, which DuckDB 1.0 lacks); shares are
+    ratios of exact integer counts, and bins empty on either side are
+    excluded from the sum identically on both engines (reported via
+    n_bins_used). One groupBy over ≤10 bins plus a broadcast scalar of
+    the two totals — trivially linear at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("period"),
+    )
+    grid = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    tot = grid.agg(
+        F.sum("n_a").cast("long").alias("t_a"), F.sum("n_b").cast("long").alias("t_b")
+    )
+    p_a = F.col("n_a") * F.lit(1.0) / F.col("t_a")
+    p_b = F.col("n_b") * F.lit(1.0) / F.col("t_b")
+    used = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return grid.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.when(used, 1).otherwise(0)).cast("long").alias("n_bins_used"),
+        F.round(
+            F.sum(F.when(used, (p_a - p_b) * F.log(p_a / p_b)).otherwise(F.lit(0.0))), 6
+        ).alias("psi"),
+    )
+
+
+@query(
+    "q_woe_iv",
+    oracle="""
+    WITH flags AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders
+    ),
+    grid AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bad) AS BIGINT) AS n_bad,
+             CAST(count(*) - sum(bad) AS BIGINT) AS n_good
+      FROM flags GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT CAST(sum(n_bad) AS BIGINT) AS t_bad, CAST(sum(n_good) AS BIGINT) AS t_good
+      FROM grid
+    )
+    SELECT
+      g.o_orderpriority,
+      g.n, g.n_bad,
+      round(ln((g.n_good * 1e0 / t.t_good) / (g.n_bad * 1e0 / t.t_bad)), 6) AS woe,
+      round((g.n_good * 1e0 / t.t_good - g.n_bad * 1e0 / t.t_bad)
+            * ln((g.n_good * 1e0 / t.t_good) / (g.n_bad * 1e0 / t.t_bad)), 6) AS iv_contrib
+    FROM grid g CROSS JOIN tot t
+    """,
+    tags=("analytics", "finance"),
+)
+def woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence and information-value per order-priority bucket
+    against the binary target 'order finalized' (status F) — the credit-
+    scorecard feature-screening classic: WoE = ln(good share / bad share),
+    IV contribution = (share gap)·WoE. Every share is a ratio of exact
+    integer counts so both engines take ln of identical doubles; buckets
+    here are never empty on either side (every priority has both
+    outcomes), and the 6-dp round absorbs ln's ≤1-ulp spread. Scale: one
+    groupBy over the bucket key, one broadcast scalar of the two totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    grid = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("long").alias("n_bad"),
+        (F.count(F.lit(1)) - F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)))
+        .cast("long")
+        .alias("n_good"),
+    )
+    tot = grid.agg(
+        F.sum("n_bad").cast("long").alias("t_bad"), F.sum("n_good").cast("long").alias("t_good")
+    )
+    g_share = F.col("n_good") * F.lit(1.0) / F.col("t_good")
+    b_share = F.col("n_bad") * F.lit(1.0) / F.col("t_bad")
+    return grid.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n",
+        "n_bad",
+        F.round(F.log(g_share / b_share), 6).alias("woe"),
+        F.round((g_share - b_share) * F.log(g_share / b_share), 6).alias("iv_contrib"),
+    )
+
+
+@query(
+    "q_target_encoding",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    stats AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT)   AS s
+      FROM cents GROUP BY o_orderpriority
+    )
+    SELECT
+      c.o_orderpriority,
+      s.n,
+      round(avg((s.s - c.c) * 1e0 / (s.n - 1) / 100e0), 4)  AS avg_enc,
+      round(min((s.s - c.c) * 1e0 / (s.n - 1) / 100e0), 4)  AS min_enc,
+      round(max((s.s - c.c) * 1e0 / (s.n - 1) / 100e0), 4)  AS max_enc
+    FROM cents c JOIN stats s ON c.o_orderpriority = s.o_orderpriority
+    GROUP BY c.o_orderpriority, s.n
+    """,
+    tags=("analytics", "llm-pipeline"),
+)
+def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the order-priority categorical
+    against order value — the leakage-safe mean encoding used in gradient-
+    boosting feature pipelines: each row's encoding excludes its own
+    target, enc_r = (Σ_c − y_r)/(n_c − 1). Per-category sum and count ride
+    in as a broadcast category-sized relation; every encoding is built
+    from exact integer cents with identical division order, so min/max are
+    exact and only the row-order-sensitive avg needs its 4-dp round.
+    Scale: one groupBy for category stats, one broadcast join back — the
+    encode pass is a narrow map over the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("c")
+    )
+    stats = cents.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("c").cast("long").alias("s")
+    )
+    enc = (F.col("s") - F.col("c")) * F.lit(1.0) / (F.col("n") - 1) / F.lit(100.0)
+    return (
+        cents.join(F.broadcast(stats), "o_orderpriority")
+        .groupBy("o_orderpriority", "n")
+        .agg(
+            F.round(F.avg(enc), 4).alias("avg_enc"),
+            F.round(F.min(enc), 4).alias("min_enc"),
+            F.round(F.max(enc), 4).alias("max_enc"),
+        )
+        .select("o_orderpriority", "n", "avg_enc", "min_enc", "max_enc")
+    )
+
+
+@query(
+    "q_feature_hashing",
+    oracle="""
+    WITH feats AS (
+      SELECT event_type || ':' || CAST(CAST(props ->> 'k' AS INT) AS VARCHAR) AS feat
+      FROM events
+    ),
+    hashed AS (
+      SELECT feat,
+             ((instr('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
+              + (instr('0123456789abcdef', substr(md5(feat), 2, 1)) - 1)) % 64 AS bucket
+      FROM feats
+    )
+    SELECT
+      CAST(bucket AS BIGINT)          AS bucket,
+      CAST(count(*) AS BIGINT)        AS n_events,
+      CAST(count(DISTINCT feat) AS BIGINT) AS n_features
+    FROM hashed GROUP BY bucket
+    """,
+    tags=("analytics", "llm-pipeline"),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: categorical features (event_type × the numeric
+    prop extracted from the JSON payload) hashed into 64 fixed buckets —
+    the unbounded-vocabulary featurizer for streaming/online models, with
+    the bucket histogram and collision census (distinct features per
+    bucket) as output. The hash is the first byte of md5 taken mod 64 via
+    the cross-engine instr-nibble idiom (md5 hex is the only hash both
+    engines share; xxhash64 is Spark-only). Scale: a narrow map plus one
+    64-key groupBy — the whole point of feature hashing is that state
+    stays O(buckets) forever."""
+    ev = load_table(spark, sf_dir, "events")
+    feat = F.concat_ws(
+        ":", F.col("event_type"), F.get_json_object("props", "$.k").cast("int").cast("string")
+    )
+    feats = ev.select(feat.alias("feat"), F.md5(feat).alias("h"))
+    nib = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring("h", p, 1)) - 1  # noqa: E731
+    return (
+        feats.select("feat", ((nib(1) * 16 + nib(2)) % 64).alias("bucket"))
+        .groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("feat").cast("long").alias("n_features"),
+        )
+    )
+
+
+@query(
+    "q_confusion_matrix",
+    oracle="""
+    WITH thr AS (
+      SELECT round(quantile_cont(value, 0.5), 6) AS t FROM events
+    ),
+    scored AS (
+      SELECT CASE WHEN e.value > t.t THEN 1 ELSE 0 END AS pred,
+             CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events e CROSS JOIN thr t
+    ),
+    cm AS (
+      SELECT
+        CAST(sum(pred * label) AS BIGINT)             AS tp,
+        CAST(sum(pred * (1 - label)) AS BIGINT)       AS fp,
+        CAST(sum((1 - pred) * label) AS BIGINT)       AS fn,
+        CAST(sum((1 - pred) * (1 - label)) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT
+      tp, fp, fn, tn,
+      round(tp * 1e0 / (tp + fp), 6) AS precision,
+      round(tp * 1e0 / (tp + fn), 6) AS recall,
+      round(2e0 * tp / (2 * tp + fp + fn), 6) AS f1,
+      round((tp + tn) * 1e0 / (tp + fp + fn + tn), 6) AS accuracy
+    FROM cm
+    """,
+    tags=("analytics", "stats", "llm-pipeline"),
+)
+def confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classification evaluation scaffold: confusion matrix plus
+    precision/recall/F1/accuracy for the rule 'value above the corpus
+    median predicts a purchase event' — the eval-harness pattern (scores
+    + labels → thresholded metrics) that pairs with q_ndcg's ranking
+    metrics. The threshold is the global median ROUNDED TO 6 DP before
+    comparison, so both engines classify against the identical double
+    (values ≥2.5e-3 from the rounded quantile — no boundary flakiness,
+    same guard as q_iqr_outliers); every metric is then a ratio of exact
+    integer counts. Scale: one percentile reduce broadcast as a scalar,
+    one narrow classification map, one 4-counter reduce."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("t"))
+    scored = ev.crossJoin(F.broadcast(thr)).select(
+        F.when(F.col("value") > F.col("t"), 1).otherwise(0).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    cm = scored.agg(
+        F.sum(F.col("pred") * F.col("label")).cast("long").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label")).cast("long").alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label"))).cast("long").alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") * F.lit(1.0) / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        F.round(
+            F.lit(2.0) * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+        ).alias("f1"),
+        F.round(
+            (F.col("tp") + F.col("tn"))
+            * F.lit(1.0)
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "q_ols_two_factor",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(l_quantity AS BIGINT)                       AS x1,
+             CAST(round(l_discount * 10000) AS BIGINT)        AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT)     AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x1) AS BIGINT)    AS s1,
+             CAST(sum(x2) AS BIGINT)    AS s2,
+             CAST(sum(y)  AS BIGINT)    AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x1 * y) AS BIGINT)  AS s1y,
+             CAST(sum(x2 * y) AS BIGINT)  AS s2y
+      FROM obs
+    ),
+    c AS (
+      SELECT n,
+             n * 1e0 * s11 - s1 * 1e0 * s1 AS a11,
+             n * 1e0 * s12 - s1 * 1e0 * s2 AS a12,
+             n * 1e0 * s22 - s2 * 1e0 * s2 AS a22,
+             n * 1e0 * s1y - s1 * 1e0 * sy AS b1,
+             n * 1e0 * s2y - s2 * 1e0 * sy AS b2,
+             s1, s2, sy
+      FROM m
+    )
+    SELECT
+      n,
+      round((b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) / 100, 6)   AS beta_qty,
+      round((b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) / 1000000, 6) AS beta_disc,
+      round((sy * 1e0 / n
+             - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * (s1 * 1e0 / n)
+             - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * (s2 * 1e0 / n)) / 100, 4)
+        AS intercept
+    FROM c
+    """,
+    tags=("analytics", "stats", "finance"),
+)
+def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor OLS by closed-form normal equations: extended price
+    regressed on quantity and discount simultaneously — the multivariate
+    step past the built-in bivariate regr_* family (q_regr_by_brand).
+    Every moment (Σx, Σx², Σxy, cross-moments) is an EXACT BIGINT: x₁ is
+    integer quantity, x₂ integer basis points, y integer cents. The
+    CENTERED terms (n·Σxy − Σx·Σy) exceed int64 from sf0.01 up (n·Σx₂y ≈
+    9.5e18 — found by the driver-grain verify, not the sf0.001 unit gate),
+    so centering and Cramer's rule run in DOUBLE with the identical
+    expression shape on both engines: products of exact integers round
+    identically, divisions divide identical doubles, and the 6/4-dp
+    rounds absorb nothing beyond ulp. Unit rescaling (/100, /1e6) maps
+    betas back to dollars. One single-pass aggregation; nothing but the
+    9 moments ever shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    m = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    c = m.select(
+        "n",
+        (F.col("n") * F.lit(1.0) * F.col("s11") - F.col("s1") * F.lit(1.0) * F.col("s1")).alias("a11"),
+        (F.col("n") * F.lit(1.0) * F.col("s12") - F.col("s1") * F.lit(1.0) * F.col("s2")).alias("a12"),
+        (F.col("n") * F.lit(1.0) * F.col("s22") - F.col("s2") * F.lit(1.0) * F.col("s2")).alias("a22"),
+        (F.col("n") * F.lit(1.0) * F.col("s1y") - F.col("s1") * F.lit(1.0) * F.col("sy")).alias("b1"),
+        (F.col("n") * F.lit(1.0) * F.col("s2y") - F.col("s2") * F.lit(1.0) * F.col("sy")).alias("b2"),
+        "s1",
+        "s2",
+        "sy",
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    b_qty = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+    b_disc = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det
+    return c.select(
+        "n",
+        F.round(b_qty / 100, 6).alias("beta_qty"),
+        F.round(b_disc / 1_000_000, 6).alias("beta_disc"),
+        F.round(
+            (
+                F.col("sy") * F.lit(1.0) / F.col("n")
+                - b_qty * (F.col("s1") * F.lit(1.0) / F.col("n"))
+                - b_disc * (F.col("s2") * F.lit(1.0) / F.col("n"))
+            )
+            / 100,
+            4,
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "q_embedding_outliers",
+    oracle="""
+    WITH cent AS (
+      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      FROM embeddings, generate_series(1, 64) s(i)
+      GROUP BY label, i
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label,
+             sqrt(sum((CAST(e.embedding[s.i] AS DOUBLE) - c.c)
+                    * (CAST(e.embedding[s.i] AS DOUBLE) - c.c))) AS dist
+      FROM embeddings e, generate_series(1, 64) s(i)
+      JOIN cent c ON c.label = e.label AND c.i = s.i
+      GROUP BY e.vec_id, e.label
+    ),
+    thr AS (
+      SELECT label, round(quantile_cont(dist, 0.95), 6) AS p95
+      FROM dists GROUP BY label
+    )
+    SELECT
+      d.label,
+      CAST(count(*) AS BIGINT)                                  AS n_vecs,
+      min(t.p95)                                                AS p95_dist,
+      CAST(sum(CASE WHEN d.dist > t.p95 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                AS n_outliers,
+      round(max(d.dist), 6)                                     AS max_dist
+    FROM dists d JOIN thr t ON d.label = t.label
+    GROUP BY d.label
+    """,
+    tags=("similarity", "llm-pipeline"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen per label: Euclidean distance to the
+    label centroid, flagging vectors beyond the label's p95 — the vector-
+    hygiene check (mislabeled points, encoder failures, adversarial junk)
+    an embedding pipeline runs before training or ANN indexing; completes
+    the L7 family next to q_embedding_centroids/q_embedding_dispersion.
+    Centroids are ROUNDED TO 6 DP before any distance (both engines
+    subtract identical doubles — same pre-rounding guard as
+    q_iqr_outliers' quartiles), the p95 threshold is rounded before
+    comparison, and per-vector 64-term sums sit ≥1e-10 from every
+    decision boundary. Scale: fully distributed — explode → centroid
+    groupBy, centroid relation (|labels|×64) broadcast back, one more
+    keyed aggregation; no vector ever reaches the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), F.col("val").cast("double").alias("val"))
+    cent = exploded.groupBy("label", "i").agg(F.round(F.avg("val"), 6).alias("c"))
+    dists = (
+        exploded.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))).alias("dist"))
+    )
+    thr = dists.groupBy("label").agg(
+        F.round(F.expr("percentile(dist, 0.95)"), 6).alias("p95")
+    )
+    return (
+        dists.join(F.broadcast(thr), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("p95").alias("p95_dist"),
+            F.sum(F.when(F.col("dist") > F.col("p95"), 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+            F.round(F.max("dist"), 6).alias("max_dist"),
+        )
+    )
+
+
+@query(
+    "q_auc_by_month",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS m,
+        CAST(round(o_totalprice * 100) AS BIGINT)                   AS cents,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END             AS pos
+      FROM orders
+    ),
+    per_score AS (
+      SELECT m, cents,
+             CAST(sum(pos) AS BIGINT)     AS np,
+             CAST(sum(1 - pos) AS BIGINT) AS nn
+      FROM scored GROUP BY m, cents
+    ),
+    cum AS (
+      SELECT m, np, nn,
+             coalesce(sum(nn) OVER (
+               PARTITION BY m ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_nn
+      FROM per_score
+    )
+    SELECT
+      m,
+      CAST(sum(np) AS BIGINT) AS n_pos,
+      CAST(sum(nn) AS BIGINT) AS n_neg,
+      round(
+        CASE WHEN sum(np) = 0 OR sum(nn) = 0 THEN NULL
+             ELSE CAST(sum(2 * np * cum_nn + np * nn) AS DOUBLE)
+                  / (2e0 * sum(np) * sum(nn))
+        END, 6) AS auc
+    FROM cum
+    GROUP BY m
+    """,
+    tags=("analytics", "ml-eval", "stats"),
+)
+def auc_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based ROC-AUC per order month: how well o_totalprice separates
+    finalized ('F') orders from the rest — the Mann-Whitney formulation
+    (q_mann_whitney is the hypothesis-test twin; this is the ML-eval
+    reading of the same statistic). Ties get the standard half credit:
+    AUC = [Σ_s np(s)·cumneg(<s) + ½·np(s)·nn(s)] / (NP·NN), computed over
+    per-score counts so the window walks distinct scores, not rows. The
+    numerator is kept ×2 in BIGINT (2·np·cumneg + np·nn — all integers) so
+    both engines sum exactly, with ONE double division at the end, rounded
+    to 6 dp. Scale: one groupBy on (month, score) absorbs the row count;
+    the cumulative window is partitioned by month (bounded group ≈ distinct
+    scores per month) — linear, no global ordering anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    per_score = scored.groupBy("m", "cents").agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("nn"),
+    )
+    w = (
+        Window.partitionBy("m")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_score.withColumn("cum_nn", F.coalesce(F.sum("nn").over(w), F.lit(0)))
+    return cum.groupBy("m").agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.round(
+            F.when(
+                (F.sum("np") == 0) | (F.sum("nn") == 0), F.lit(None).cast("double")
+            ).otherwise(
+                F.sum(
+                    F.lit(2) * F.col("np") * F.col("cum_nn")
+                    + F.col("np") * F.col("nn")
+                ).cast("double")
+                / (F.lit(2.0) * F.sum("np") * F.sum("nn"))
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q_mrr",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    graded AS (
+      SELECT c.term, c.doc_id, c.bm25,
+             CASE WHEN CAST(substr(d.source, 4) AS INT) % 4 >= 2
+                  THEN 1 ELSE 0 END AS rel
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT term, rel,
+             row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS pos
+      FROM graded
+    )
+    SELECT
+      term,
+      CAST(sum(rel) AS BIGINT)                    AS n_rel,
+      CAST(min(CASE WHEN rel = 1 THEN pos END) AS BIGINT) AS first_rel_pos,
+      round(coalesce(1e0 / min(CASE WHEN rel = 1 THEN pos END), 0e0), 6) AS rr
+    FROM ranked
+    GROUP BY term
+    """,
+    tags=("text", "llm-pipeline", "retrieval"),
+)
+def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank per query term for the BM25 ranking (the third
+    retrieval-eval metric next to q_ndcg and q_rrf_fusion, on the same
+    candidate relation and the same deterministic relevance: source grade
+    ≥ 2 → relevant). rr = 1/position of the first relevant document, 0 when
+    none is relevant; the driver-side mean over terms IS the MRR. Ranks
+    order by (rounded bm25, doc_id) — a total order, engine-stable. Scale:
+    identical to q_ndcg — windows partitioned on the term axis, candidate
+    sets bounded per term."""
+    cand = _candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    graded = cand.join(docs, "doc_id").select(
+        "term",
+        "doc_id",
+        "bm25",
+        F.when(F.substring("source", 4, 10).cast("int") % 4 >= 2, 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    ranked = graded.select("term", "rel", F.row_number().over(w).alias("pos"))
+    first_pos = F.min(F.when(F.col("rel") == 1, F.col("pos")))
+    return ranked.groupBy("term").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        first_pos.cast("long").alias("first_rel_pos"),
+        F.round(F.coalesce(F.lit(1.0) / first_pos, F.lit(0.0)), 6).alias("rr"),
+    )
+
+
+@query(
+    "q_calibration_bins",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS m,
+        CAST(round(o_totalprice * 100) AS BIGINT)                   AS cents,
+        CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END             AS pos,
+        o_orderkey
+      FROM orders
+    ),
+    binned AS (
+      SELECT m, cents, pos,
+             ntile(10) OVER (PARTITION BY m ORDER BY cents, o_orderkey) AS decile
+      FROM scored
+    )
+    SELECT
+      m,
+      decile,
+      CAST(count(*) AS BIGINT)                        AS n,
+      round(sum(cents) / 100e0 / count(*), 4)         AS avg_price,
+      round(sum(pos) * 1e0 / count(*), 6)             AS event_rate
+    FROM binned
+    GROUP BY m, decile
+    """,
+    tags=("analytics", "ml-eval", "stats"),
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability bins for the q_auc_by_month score: split
+    each month's orders into price deciles and report the observed
+    finalized-rate per decile — AUC says the score RANKS well, this says
+    where its probability mapping is honest (the reliability-diagram
+    input every model monitor plots). ntile orders by (cents, o_orderkey)
+    — a total order, so both engines assign identical deciles even across
+    tied prices. Means are exact-integer sums divided once. Scale: the
+    decile window is partitioned by month (the parallelism axis); one
+    groupBy on (month, decile) ends the plan — same two-shuffle budget as
+    any partitioned ranking."""
+    orders = load_table(spark, sf_dir, "orders")
+    scored = orders.select(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("m").orderBy("cents", "o_orderkey")
+    binned = scored.withColumn("decile", F.ntile(10).over(w))
+    return binned.groupBy("m", "decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("cents") / F.lit(100.0) / F.count(F.lit(1)), 4).alias("avg_price"),
+        F.round(F.sum("pos") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("event_rate"),
+    )
+
+
+@query(
+    "q_negative_sampling",
+    oracle="""
+    WITH purchased AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    custs AS (SELECT DISTINCT cust FROM purchased),
+    cand AS (
+      SELECT c.cust, p.p_partkey AS part,
+             md5(CAST(c.cust AS STRING) || '-' || CAST(p.p_partkey AS STRING)) AS hx
+      FROM custs c JOIN part p ON p.p_partkey % 64 = c.cust % 64
+    ),
+    negatives AS (
+      SELECT cand.cust, cand.part, cand.hx
+      FROM cand
+      LEFT JOIN purchased pu ON cand.cust = pu.cust AND cand.part = pu.part
+      WHERE pu.cust IS NULL
+    ),
+    ranked AS (
+      SELECT cust, part,
+             row_number() OVER (PARTITION BY cust ORDER BY hx, part) AS rn
+      FROM negatives
+    )
+    SELECT cust, CAST(rn AS BIGINT) AS rn, part AS neg_partkey
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("llm", "pipeline", "sampling"),
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender/contrastive
+    training: for every purchasing customer, 3 parts they never bought,
+    drawn by md5 order from the customer's congruence slice of the catalog
+    (parts with p_partkey ≡ cust mod 64 → ~1/64 of parts per customer) and
+    anti-joined against the positives. The slice is an EQUI-join on the
+    bucket, so candidate generation emits only |C|·|P|/64 rows — the first
+    version bucketed on md5(cust,part), which forced the hash onto the
+    full |C|×|P| cross product and measured 290 s at sf0.1; this shape
+    measures ~3 s with identical sampling semantics (measured, BASELINE.md
+    fourth-wave table). md5 keys only the ORDER within the slice (top-3
+    draw), so it touches candidates, not pairs. Scale: broadcast part dim,
+    per-customer windows, every draw md5-stable — resampling a partition
+    reproduces identical negatives, the property that makes training runs
+    diffable."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    purchased = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    custs = purchased.select("cust").distinct().withColumn("cb", F.col("cust") % 64)
+    hx = F.md5(F.concat(F.col("cust").cast("string"), F.lit("-"), F.col("p_partkey").cast("string")))
+    pb = part.select("p_partkey", (F.col("p_partkey") % 64).alias("pb"))
+    cand = (
+        custs.join(F.broadcast(pb), custs["cb"] == pb["pb"])
+        .select("cust", F.col("p_partkey").alias("part"), hx.alias("hx"))
+    )
+    negatives = cand.join(purchased, ["cust", "part"], "left_anti")
+    w = Window.partitionBy("cust").orderBy("hx", "part")
+    return (
+        negatives.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("cust", F.col("rn").cast("long").alias("rn"), F.col("part").alias("neg_partkey"))
+    )
+
+
+@query(
+    "q_kfold_ols",
+    oracle="""
+    WITH obs AS (
+      SELECT
+        (instr('0123456789abcdef',
+               substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                             || CAST(l_linenumber AS VARCHAR)), 1, 1)) - 1) % 5
+          AS fold,
+        CAST(l_quantity AS BIGINT)                   AS x,
+        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    per_fold AS (
+      SELECT fold,
+             CAST(count(*) AS BIGINT)     AS nf,
+             CAST(sum(x)  AS BIGINT)      AS sx,
+             CAST(sum(y)  AS BIGINT)      AS sy,
+             CAST(sum(x * x) AS BIGINT)   AS sxx,
+             CAST(sum(x * y) AS BIGINT)   AS sxy,
+             sum(CAST(y AS HUGEINT) * y)  AS syy
+      FROM obs GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(sum(nf) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+             CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
+             CAST(sum(sxy) AS BIGINT) AS tsxy
+      FROM per_fold
+    ),
+    fit AS (
+      SELECT f.fold, f.nf, f.sx, f.sy, f.sxy, f.sxx, CAST(f.syy AS DOUBLE) AS syy,
+             t.tn - f.nf AS n_train,
+             ((t.tn - f.nf) * 1e0 * (t.tsxy - f.sxy)
+              - (t.tsx - f.sx) * 1e0 * (t.tsy - f.sy))
+             / ((t.tn - f.nf) * 1e0 * (t.tsxx - f.sxx)
+                - (t.tsx - f.sx) * 1e0 * (t.tsx - f.sx)) AS b,
+             t.tsx - f.sx AS trx, t.tsy - f.sy AS try_, t.tn - f.nf AS trn
+      FROM per_fold f CROSS JOIN tot t
+    ),
+    pred AS (
+      SELECT fold, nf, n_train, b,
+             (try_ * 1e0 - b * trx) / trn AS a,
+             sx, sy, sxy, sxx, syy
+      FROM fit
+    )
+    SELECT
+      CAST(fold AS BIGINT) AS fold,
+      CAST(n_train AS BIGINT) AS n_train,
+      CAST(nf AS BIGINT)      AS n_holdout,
+      round(b / 100, 6)       AS slope_dollars,
+      round(a / 100, 4)       AS intercept_dollars,
+      round((syy - 2e0 * a * sy - 2e0 * b * sxy + nf * 1e0 * a * a
+             + 2e0 * a * b * sx + b * b * sxx) / nf / 10000, 4) AS holdout_mse
+    FROM pred
+    """,
+    tags=("analytics", "ml-eval", "stats"),
+)
+def kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated simple OLS (extended price on quantity) in
+    ONE data scan: per-fold exact sufficient statistics (n, Σx, Σy, Σx²,
+    Σxy, Σy²), then each fold's TRAIN stats are the totals minus its own —
+    the fold-complement trick that makes k-fold CV a tiny post-aggregation
+    instead of k re-scans. Holdout MSE comes from the same stats
+    (SSE = Σy² − 2aΣy − 2bΣxy + na² + 2abΣx + b²Σxx), so no residual pass
+    and no order-dependent double summation anywhere. Fold assignment is
+    the repo's md5-hex convention (cross-engine stable); Σy² exceeds int64
+    at sf0.1 so it is summed exactly as decimal/HUGEINT and cast to double
+    once, and the centered slope runs in DOUBLE with the identical
+    expression shape on both engines (q_ols_two_factor house pattern).
+    Scale: one groupBy to 5 rows + a broadcast of the 1-row totals —
+    nothing else moves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat(F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string"))
+    obs = li.select(
+        ((F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(key), 1, 1)) - 1) % 5).alias("fold"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    per_fold = obs.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("nf"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")).alias("syy_d"),
+    )
+    tot = per_fold.agg(
+        F.sum("nf").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+    )
+    f = per_fold.crossJoin(F.broadcast(tot))
+    trn = F.col("tn") - F.col("nf")
+    trx = F.col("tsx") - F.col("sx")
+    try_ = F.col("tsy") - F.col("sy")
+    b = (
+        trn * F.lit(1.0) * (F.col("tsxy") - F.col("sxy")) - trx * F.lit(1.0) * try_
+    ) / (trn * F.lit(1.0) * (F.col("tsxx") - F.col("sxx")) - trx * F.lit(1.0) * trx)
+    fit = f.select(
+        "fold", "nf", "sx", "sy", "sxy", "sxx",
+        F.col("syy_d").cast("double").alias("syy"),
+        trn.alias("n_train"),
+        b.alias("b"),
+        trx.alias("trx"),
+        try_.alias("try_"),
+        trn.alias("trn"),
+    )
+    a = (F.col("try_") * F.lit(1.0) - F.col("b") * F.col("trx")) / F.col("trn")
+    pred = fit.select("fold", "nf", "n_train", "b", a.alias("a"), "sx", "sy", "sxy", "sxx", "syy")
+    sse = (
+        F.col("syy")
+        - F.lit(2.0) * F.col("a") * F.col("sy")
+        - F.lit(2.0) * F.col("b") * F.col("sxy")
+        + F.col("nf") * F.lit(1.0) * F.col("a") * F.col("a")
+        + F.lit(2.0) * F.col("a") * F.col("b") * F.col("sx")
+        + F.col("b") * F.col("b") * F.col("sxx")
+    )
+    return pred.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("nf").cast("long").alias("n_holdout"),
+        F.round(F.col("b") / 100, 6).alias("slope_dollars"),
+        F.round(F.col("a") / 100, 4).alias("intercept_dollars"),
+        F.round(sse / F.col("nf") / 10000, 4).alias("holdout_mse"),
+    )

@@ -278,7 +278,7 @@ def except_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ABOVE_BRAND_AVG_SQL = """
     SELECT p_brand, p_partkey, p_retailprice
     FROM part p
-    WHERE p_retailprice > 1.05 * (
+    WHERE p_retailprice > 1.01 * (
       SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
     )
 """
@@ -286,14 +286,18 @@ _ABOVE_BRAND_AVG_SQL = """
 
 @query("q_subquery_above_brand_avg", oracle=_ABOVE_BRAND_AVG_SQL, tags=("subquery", "sql"))
 def subquery_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery: parts priced >5% above their brand's
+    """Correlated scalar subquery: parts priced >1% above their brand's
     average. One SQL text runs verbatim on Spark AND DuckDB; Catalyst
     decorrelates the subquery into an aggregate + join
     (RewriteCorrelatedScalarSubquery), so the physical plan is one
     brand-keyed aggregation broadcast back onto the scan — no per-row
-    subquery execution at any scale. Raw double comparison is safe here:
-    the closest part sits 0.063 absolute from the 1.05×avg boundary at
-    sf0.01, ~10 orders of magnitude above summation-order ulps."""
+    subquery execution at any scale. The 1% threshold (was 5%) keeps the
+    result non-vacuous at EVERY test scale factor on the round-3
+    regenerated data — at sf0.001 the tiny per-brand groups put no part
+    5% above its brand mean, which the new >=1-row oracle guard caught.
+    Raw double comparison is safe: the closest part sits >=0.0033
+    absolute from the 1.01×avg boundary at every sf, ~10 orders of
+    magnitude above summation-order ulps."""
     from bigdatainfinance1_spark.sources.catalog import register_views
 
     register_views(spark, sf_dir)

@@ -1,0 +1,648 @@
+"""Retail and recommender analytics: co-purchase mining, association rules, skyline/geo lookups, RFM, collaborative filtering.
+
+Carved out of operators/analytics.py (round-2 wave 1-3) and operators/analytics2.py (round-2 wave 4-5) and operators/analytics3.py (round-2 wave 6-7) in round 3 (verdict task 7:
+no operator module over 1.5k LoC); 9 registered queries, bodies
+unchanged — git follows the move via --find-copies.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
+
+
+@query(
+    "q_copurchase_pairs",
+    oracle="""
+    SELECT
+      a.l_partkey AS part_1,
+      b.l_partkey AS part_2,
+      count(*)    AS n_orders
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_1, part_2
+    ORDER BY n_orders DESC, part_1, part_2
+    LIMIT 20
+    """,
+    tags=("analytics", "join"),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing on the same order,
+    top-20 by frequency (full tiebreak for a deterministic LIMIT). The
+    self-join is keyed on l_orderkey, whose group size is bounded (≤7 lines
+    per TPC-H order), so pair fan-out is ≤21 per order — linear in orders,
+    not quadratic in parts; the final top-k is a TakeOrdered, not a sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_2"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_1", "part_2")
+        .limit(20)
+    )
+
+
+_SKYLINE_SQL = """
+    WITH pts AS (
+      SELECT p_brand, p_retailprice, p_size, count(*) AS n_parts
+      FROM part GROUP BY p_brand, p_retailprice, p_size
+    ),
+    ordered AS (
+      SELECT p_brand, p_retailprice, p_size, n_parts,
+        max(p_size) OVER (
+          PARTITION BY p_brand ORDER BY p_retailprice, p_size DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS best_size_before
+      FROM pts
+    )
+    SELECT p_brand, p_retailprice, p_size, n_parts
+    FROM ordered
+    WHERE best_size_before IS NULL OR p_size > best_size_before
+"""
+
+
+@query("q_skyline_parts", oracle=_SKYLINE_SQL, tags=("analytics",))
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto frontier) per brand: parts not dominated on
+    (minimize retail price, maximize size). The naive formulation is an
+    O(n^2) NOT-EXISTS self-join; this is the O(n log n) sweep — sort by
+    (price asc, size desc) and keep rows whose size strictly exceeds the
+    running max over all strictly-preceding rows. Dominance follows: any
+    earlier row has price <= yours, so a preceding size >= yours means
+    you're dominated (ties collapse first via the distinct-points CTE).
+    One shuffle on p_brand, per-brand ordered window — no cartesian
+    anywhere. One SQL text runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SKYLINE_SQL)
+
+
+_GEO_SQL = """
+    WITH cust AS (
+      SELECT c_custkey,
+        ((c_custkey * 2654435761) % 4294967296) % 1800 / 10e0 - 90e0  AS lat,
+        ((c_custkey * 2246822519) % 4294967296) % 3600 / 10e0 - 180e0 AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey,
+        ((s_suppkey * 2654435761 + 97) % 4294967296) % 1800 / 10e0 - 90e0  AS lat,
+        ((s_suppkey * 2246822519 + 31) % 4294967296) % 3600 / 10e0 - 180e0 AS lon
+      FROM supplier
+    ),
+    probes(dx, dy) AS (
+      VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+    ),
+    cand AS (
+      SELECT c.c_custkey, s.s_suppkey,
+        (c.lat - s.lat) * (c.lat - s.lat) + (c.lon - s.lon) * (c.lon - s.lon) AS d2,
+        row_number() OVER (
+          PARTITION BY c.c_custkey
+          ORDER BY (c.lat - s.lat) * (c.lat - s.lat)
+                 + (c.lon - s.lon) * (c.lon - s.lon),
+                s.s_suppkey
+        ) AS rn
+      FROM cust c
+      CROSS JOIN probes p
+      JOIN supp s
+        ON CAST(floor(s.lat / 5) AS BIGINT) = CAST(floor(c.lat / 5) AS BIGINT) + p.dy
+       AND CAST(floor(s.lon / 5) AS BIGINT) = CAST(floor(c.lon / 5) AS BIGINT) + p.dx
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, round(d2, 6) AS d2
+    FROM cand WHERE rn = 1
+"""
+
+
+@query("q_geo_grid_knn", oracle=_GEO_SQL, tags=("analytics", "spatial"))
+def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor via GRID BUCKETING: each entity gets
+    deterministic synthetic coordinates (Knuth multiplicative hash mod a
+    0.1-degree lattice — pure 64-bit integer arithmetic, so both engines
+    derive bit-identical doubles), then each customer probes its own
+    5-degree grid cell plus the 8 neighbors (a 9-way equi-join on cell
+    ids, the scalable spatial-join shape — candidate pairs are linear in
+    density, never all-pairs) and keeps the closest supplier by squared
+    equirectangular distance with a deterministic id tiebreak. Customers
+    with no supplier within the ring drop out (documented inner-join
+    semantics). One SQL text runs verbatim on Spark and DuckDB."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GEO_SQL)
+
+
+@query(
+    "q_assoc_rules",
+    oracle="""
+    WITH part_orders AS (
+      SELECT l_partkey, count(DISTINCT l_orderkey) AS n_ord
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pair_orders AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             count(DISTINCT a.l_orderkey) AS n_ab
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_orderkey) >= 3
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem)
+    SELECT pa, pb, n_ab,
+      round(n_ab * 1e0 / oa.n_ord, 6)                        AS confidence_ab,
+      round(n_ab * 1e0 * t.n / (oa.n_ord * ob.n_ord), 6)     AS lift
+    FROM pair_orders
+    JOIN part_orders oa ON pa = oa.l_partkey
+    JOIN part_orders ob ON pb = ob.l_partkey
+    CROSS JOIN tot t
+    ORDER BY lift DESC, pa, pb
+    LIMIT 10
+    """,
+    tags=("analytics",),
+)
+def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over market baskets: top-10 part pairs by LIFT
+    (support ≥ 3 orders), with the a→b confidence. Order-bounded pair
+    fan-out (≤ 21 pairs per order) keeps the candidate relation linear in
+    orders; the part-support relation is vocabulary-sized and broadcast
+    back twice. Ordering is on the ROUNDED lift with a full (pa, pb)
+    tiebreak so the top-10 cut is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part_orders = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_orderkey").alias("n_ord")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count_distinct("l_orderkey").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n"))
+    oa = part_orders.select(F.col("l_partkey").alias("pa"), F.col("n_ord").alias("n_a"))
+    ob = part_orders.select(F.col("l_partkey").alias("pb"), F.col("n_ord").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(oa), "pa")
+        .join(F.broadcast(ob), "pb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            F.round(F.col("n_ab") * F.lit(1.0) / F.col("n_a"), 6).alias("confidence_ab"),
+            F.round(
+                F.col("n_ab") * F.lit(1.0) * F.col("n") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(10)
+    )
+
+
+@query(
+    "q_supplier_scorecard",
+    oracle="""
+    WITH perf AS (
+      SELECT l.l_suppkey,
+             count(*) AS n_lines,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(sum(CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) <= 30
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY l.l_suppkey
+    ),
+    ranked AS (
+      SELECT s.s_name, n.n_name, p.n_lines, p.cents, p.n_on_time,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY p.cents DESC, s.s_suppkey) AS rnk
+      FROM perf p
+      JOIN supplier s ON p.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    SELECT
+      n_name,
+      CAST(rnk AS BIGINT)                     AS rnk,
+      s_name,
+      CAST(n_lines AS BIGINT)                 AS n_lines,
+      round(cents / 100e0, 2)                 AS revenue,
+      round(n_on_time * 1e0 / n_lines, 4)     AS on_time_share
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("analytics", "finance", "join"),
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier performance scorecard: top-3 suppliers per nation by
+    revenue, with volume and on-time shipping share (shipped ≤30 days
+    after order) — the procurement review composite that exercises the
+    supplier dimension end-to-end (fact⋈fact on orderkey for dates, then
+    two broadcast dims, then a per-nation ranked window with full
+    tiebreak). Revenue is exact integer cents; on-time share divides
+    exact counts; ranks order on (cents, suppkey) — a total order.
+    Scale: the supplier-grain aggregate collapses the fact before any
+    window; per-nation top-3 is a WindowGroupLimit, not a sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    perf = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents"),
+            F.sum(
+                F.when(F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_on_time"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("cents").desc(), "s_suppkey")
+    ranked = (
+        perf.join(F.broadcast(sup), perf.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+    return ranked.select(
+        "n_name",
+        F.col("rnk").cast("long").alias("rnk"),
+        "s_name",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("n_on_time") * F.lit(1.0) / F.col("n_lines"), 4).alias("on_time_share"),
+    )
+
+
+# Year-scoped RFM (same quartile + segment rules as q_rfm_segmentation,
+# but PARTITIONED by year so each year is scored against its own cohort)
+# shared by Spark and DuckDB verbatim.
+_RFM_YEAR_SQL = """
+    base AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        o_custkey                   AS custkey,
+        max(o_orderdate)            AS last_order,
+        count(*)                    AS freq,
+        round(sum(o_totalprice), 2) AS monetary
+      FROM orders
+      WHERE year(o_orderdate) IN (1999, 2000)
+      GROUP BY yr, custkey
+    ),
+    scored AS (
+      SELECT yr, custkey,
+        CAST(ntile(4) OVER (PARTITION BY yr ORDER BY last_order, custkey) AS BIGINT) AS r_score,
+        CAST(ntile(4) OVER (PARTITION BY yr ORDER BY freq, custkey) AS BIGINT)       AS f_score,
+        CAST(ntile(4) OVER (PARTITION BY yr ORDER BY monetary, custkey) AS BIGINT)   AS m_score
+      FROM base
+    ),
+    seg AS (
+      SELECT yr, custkey,
+        CASE
+          WHEN r_score = 4 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+          WHEN r_score >= 3 AND f_score >= 3               THEN 'loyal'
+          WHEN r_score = 1                                 THEN 'at_risk'
+          ELSE 'regular'
+        END AS segment
+      FROM scored
+    )
+"""
+
+
+@query(
+    "q_rfm_migration",
+    oracle=f"""
+    WITH {_RFM_YEAR_SQL}
+    SELECT
+      a.segment AS seg_1999,
+      b.segment AS seg_2000,
+      CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT * FROM seg WHERE yr = 1999) a
+    JOIN (SELECT * FROM seg WHERE yr = 2000) b ON a.custkey = b.custkey
+    GROUP BY seg_1999, seg_2000
+    """,
+    tags=("analytics", "crm", "finance"),
+)
+def rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment migration matrix, 1999→2000 — the CRM artifact built ON
+    q_rfm_segmentation: score each year's customers against their own
+    cohort (quartile windows PARTITIONED by year — scoring 2000 against
+    1999's distribution would bake in drift), apply the same segment
+    rules, and count customers per (from, to) cell. Champions that slide
+    to at_risk are the churn-save call list. Determinism: every ntile
+    orders by (metric, custkey) — total order. Scale: one year-partitioned
+    scoring pass and a customer-keyed self-join of two year slices; at
+    100 TB years are separate partitions and the join is co-partitioned
+    on the customer key. One SQL text runs verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+    WITH {_RFM_YEAR_SQL}
+    SELECT
+      a.segment AS seg_1999,
+      b.segment AS seg_2000,
+      CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT * FROM seg WHERE yr = 1999) a
+    JOIN (SELECT * FROM seg WHERE yr = 2000) b ON a.custkey = b.custkey
+    GROUP BY seg_1999, seg_2000
+    """
+    )
+
+
+@query(
+    "q_abc_xyz",
+    oracle="""
+    WITH pm AS (
+      SELECT l.l_partkey AS part,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS m,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY part, m
+    ),
+    per_part AS (
+      SELECT part,
+             CAST(count(*) AS BIGINT)      AS n_m,
+             CAST(sum(q) AS BIGINT)        AS sq,
+             CAST(sum(q * q) AS BIGINT)    AS sqq
+      FROM pm GROUP BY part
+    ),
+    rev AS (
+      SELECT l_partkey AS part,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY part
+    ),
+    ranked AS (
+      SELECT part, cents,
+             CAST(sum(cents) OVER (
+               PARTITION BY 1 ORDER BY cents DESC, part
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM rev
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+    classed AS (
+      SELECT r.part, r.cents,
+             CASE WHEN r.cum * 100 <= 80 * t.t THEN 'A'
+                  WHEN r.cum * 100 <= 95 * t.t THEN 'B'
+                  ELSE 'C' END AS abc,
+             CASE WHEN 4 * p.n_m * p.sqq <= 5 * p.sq * p.sq THEN 'X'
+                  WHEN p.n_m * p.sqq <= 2 * p.sq * p.sq THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM ranked r
+      CROSS JOIN tot t
+      JOIN per_part p ON r.part = p.part
+    )
+    SELECT abc, xyz,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY abc, xyz
+    """,
+    tags=("analytics", "inventory", "classification"),
+)
+def abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification — the supply-chain segmentation
+    grid: ABC from the cumulative revenue share in descending-revenue
+    order (A ≤ 80%, B ≤ 95%, C beyond), XYZ from monthly-demand
+    variability (cv² ≤ 0.25 → X, ≤ 1 → Y, else Z over observed months).
+    EVERY class boundary is a pure integer comparison — cum·100 ≤ 80·total
+    and 4·n·Σq² ≤ 5·(Σq)² — so no float ever decides a class. The global
+    descending cumulative sum uses the range-bucketed prefix machinery
+    (functions/ranks.py; the oracle's single-partition window is fine for
+    DuckDB, banned in operators/). Scale: two fact aggregates + the
+    two-shuffle global prefix + a 9-cell rollup."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pm = (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    per_part = pm.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_m"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    ranked = global_running_sum(
+        rev, [F.col("cents").desc(), F.col("part")], "cents", "cum"
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    classed = (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(per_part, "part")
+        .select(
+            "cents",
+            F.when(F.col("cum") * 100 <= 80 * F.col("t"), "A")
+            .when(F.col("cum") * 100 <= 95 * F.col("t"), "B")
+            .otherwise("C")
+            .alias("abc"),
+            F.when(4 * F.col("n_m") * F.col("sqq") <= 5 * F.col("sq") * F.col("sq"), "X")
+            .when(F.col("n_m") * F.col("sqq") <= 2 * F.col("sq") * F.col("sq"), "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+        )
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "q_topk_turnover",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey AS cust,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY y, cust
+    ),
+    ranked AS (
+      SELECT y, cust,
+             row_number() OVER (PARTITION BY y ORDER BY cents DESC, cust) AS rn
+      FROM yearly
+    ),
+    topk AS (SELECT y, cust FROM ranked WHERE rn <= 20),
+    pairs AS (
+      SELECT a.y + 1 AS y, CAST(count(*) AS BIGINT) AS n_common
+      FROM topk a JOIN topk b ON b.y = a.y + 1 AND a.cust = b.cust
+      GROUP BY a.y + 1
+    ),
+    years AS (SELECT DISTINCT y FROM topk)
+    SELECT
+      yr.y,
+      coalesce(p.n_common, 0) AS n_retained,
+      20 - coalesce(p.n_common, 0) AS n_new,
+      round(coalesce(p.n_common, 0) / (40e0 - coalesce(p.n_common, 0)), 6) AS jaccard
+    FROM years yr
+    JOIN years prev ON prev.y = yr.y - 1
+    LEFT JOIN pairs p ON p.y = yr.y
+    """,
+    tags=("analytics", "ranking", "stability"),
+)
+def topk_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard turnover: how much of each year's top-20 customer set
+    (by exact-cents revenue) carries over from the previous year —
+    retained count, new entrants, and the set Jaccard (|∩| / (40 − |∩|)
+    since both sets have exactly 20). The metric behind 'is our whale
+    cohort stable' dashboards and rank-stability monitoring for feature
+    drift. Ranking orders by (cents DESC, custkey) — total, so both
+    engines cut the same top-20 even through ties. Scale: one
+    (year, customer) aggregate, a year-partitioned ranking window over
+    bounded groups, and a self-join of two 20-row-per-year relations."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.col("o_custkey").alias("cust"),
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
+    w = Window.partitionBy("y").orderBy(F.col("cents").desc(), "cust")
+    topk = yearly.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    a = topk.select(F.col("y").alias("ya"), "cust")
+    b = topk.select(F.col("y").alias("yb"), "cust")
+    pairs = (
+        a.join(b, (b["yb"] == a["ya"] + 1) & (a["cust"] == b["cust"]))
+        .groupBy((F.col("ya") + 1).alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    years = topk.select("y").distinct()
+    prev = years.select((F.col("y") + 1).alias("y"))
+    spine = years.join(prev, "y")
+    out = spine.join(pairs, "y", "left").select(
+        "y",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_retained"),
+        (F.lit(20) - F.coalesce("n_common", F.lit(0))).cast("long").alias("n_new"),
+        F.round(
+            F.coalesce("n_common", F.lit(0)) / (F.lit(40.0) - F.coalesce("n_common", F.lit(0))),
+            6,
+        ).alias("jaccard"),
+    )
+    return out
+
+
+@query(
+    "q_user_cf_neighbors",
+    oracle="""
+    WITH purchased AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pop AS (
+      SELECT part, count(*) AS n_buyers FROM purchased GROUP BY part
+    ),
+    informative AS (
+      SELECT p.cust, p.part
+      FROM purchased p JOIN pop ON p.part = pop.part
+      WHERE pop.n_buyers <= 50
+    ),
+    sizes AS (
+      SELECT cust, CAST(count(*) AS BIGINT) AS sz FROM informative GROUP BY cust
+    ),
+    common AS (
+      SELECT a.cust AS c1, b.cust AS c2, CAST(count(*) AS BIGINT) AS n_common
+      FROM informative a JOIN informative b
+        ON a.part = b.part AND a.cust < b.cust
+      GROUP BY c1, c2
+    ),
+    both_dirs AS (
+      SELECT c1, c2, n_common FROM common
+      UNION ALL
+      SELECT c2, c1, n_common FROM common
+    ),
+    scored AS (
+      SELECT bd.c1, bd.c2, bd.n_common,
+             round(bd.n_common * 1e0 / (s1.sz + s2.sz - bd.n_common), 6) AS jaccard
+      FROM both_dirs bd
+      JOIN sizes s1 ON bd.c1 = s1.cust
+      JOIN sizes s2 ON bd.c2 = s2.cust
+    ),
+    ranked AS (
+      SELECT c1, c2, n_common, jaccard,
+             row_number() OVER (
+               PARTITION BY c1 ORDER BY jaccard DESC, c2
+             ) AS rn
+      FROM scored
+    )
+    SELECT c1 AS cust, CAST(rn AS BIGINT) AS rn, c2 AS neighbor, n_common, jaccard
+    FROM ranked WHERE rn <= 3
+    """,
+    tags=("analytics", "recsys", "similarity"),
+)
+def user_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-user collaborative-filtering neighbors: top-3 most similar
+    customers by Jaccard over purchased part sets — the classic
+    neighborhood model, built scale-honestly with the FREQUENCY CAP: parts
+    bought by more than 50 customers are dropped before the pair join
+    (a part bought by B customers emits B² pairs; popular items carry no
+    similarity signal and all of the quadratic cost — the standard
+    inverse-frequency trick, so pair fan-out is bounded by Σ min(B,50)²).
+    Jaccard is exact-integer counts divided once, rounded BEFORE ranking;
+    row_number breaks ties by neighbor id so top-3 is engine-stable.
+    Scale: pair generation shuffles on the part key (bounded groups), the
+    ranking window on the customer key — no cross join anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    purchased = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    pop = purchased.groupBy("part").agg(F.count(F.lit(1)).alias("n_buyers"))
+    informative = purchased.join(
+        pop.filter(F.col("n_buyers") <= 50).select("part"), "part"
+    )
+    sizes = informative.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    a = informative.select(F.col("cust").alias("c1"), "part")
+    b = informative.select(F.col("cust").alias("c2"), "part")
+    common = (
+        a.join(b, "part")
+        .filter(F.col("c1") < F.col("c2"))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    both_dirs = common.unionByName(
+        common.select(F.col("c2").alias("c1"), F.col("c1").alias("c2"), "n_common")
+    )
+    s1 = sizes.select(F.col("cust").alias("c1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("cust").alias("c2"), F.col("sz").alias("sz2"))
+    scored = (
+        both_dirs.join(s1, "c1")
+        .join(s2, "c2")
+        .select(
+            "c1",
+            "c2",
+            "n_common",
+            F.round(
+                F.col("n_common") * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy("c1").orderBy(F.col("jaccard").desc(), "c2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c1").alias("cust"),
+            F.col("rn").cast("long").alias("rn"),
+            F.col("c2").alias("neighbor"),
+            "n_common",
+            "jaccard",
+        )
+    )

@@ -1,0 +1,171 @@
+"""Spark 4 SQL surface coverage: pipe syntax, LATERAL joins, VARIANT, UNPIVOT.
+
+Carved out of operators/analytics3.py (round-2 wave 6-7) in round 3 (verdict task 7:
+no operator module over 1.5k LoC); 4 registered queries, bodies
+unchanged — git follows the move via --find-copies.
+"""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+
+@query(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents
+    FROM lineitem
+    WHERE l_quantity > 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "sql-surface"),
+)
+def pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (|>) — the linear FROM-first dialect
+    (scan |> filter |> aggregate) that reads in dataflow order instead of
+    inside-out SQL; semantically identical to the classic text the oracle
+    runs, so this query pins the new parser surface against the old one.
+    The plan is the same filter-pushdown + partial-agg shape either way —
+    syntax sugar, zero plan cost, but a real API users will write."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 10
+        |> AGGREGATE
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_lines, revenue_cents
+        """
+    )
+
+
+@query(
+    "q_variant_props",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(count(*) AS BIGINT)                              AS n,
+      CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS min_k,
+      CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS max_k,
+      CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "semi-structured", "json"),
+)
+def variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse the
+    props JSON once into a variant and extract a typed path
+    (variant_get '$.k' → long) — the open-schema ingestion path that
+    replaces per-query get_json_object string re-parsing (q_json_funcs is
+    the classic-function twin). The binary variant encoding is the point
+    at scale: parse once at ingest, push typed extractions into the scan.
+    The DuckDB oracle reads the same path via its native JSON operator —
+    typed values agree exactly (integers). Aggregated per event type so
+    the comparison is a 5-row profile."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(k).cast("long").alias("min_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+# Top-N-per-group via LATERAL correlated subquery (Spark 4 / DuckDB both
+# plan it); the window row_number form is the classic alternative — this is
+# the join-shaped one, and one SQL text runs on both engines.
+_LATERAL_SQL = """
+    SELECT n.n_name AS nation, t.c_custkey AS custkey,
+           round(t.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) t
+"""
+
+
+@query("q_lateral_topn", oracle=_LATERAL_SQL, tags=("join", "relational"))
+def lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers by account balance per nation as a LATERAL
+    correlated subquery — the join-shaped top-N-per-group that Spark 4
+    added alongside the classic window formulation (q_rank_top_customers
+    is the row_number twin). The (balance DESC, custkey) order is total,
+    so both engines pick identical rows. Catalyst rewrites the lateral
+    into a ranked join over the 25-row outer — at scale the same text
+    expresses per-key candidate retrieval without materializing the full
+    ranking. One SQL text runs verbatim on both engines."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q_unpivot_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS m,
+        round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0, 2) AS revenue,
+        CAST(count(*) AS DOUBLE)                                         AS n_orders,
+        round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 1e0
+              / count(*) / 100, 4)                                       AS avg_value
+      FROM orders GROUP BY m
+    )
+    SELECT m, 'revenue'   AS metric, revenue   AS value FROM m
+    UNION ALL
+    SELECT m, 'n_orders'  AS metric, n_orders  AS value FROM m
+    UNION ALL
+    SELECT m, 'avg_value' AS metric, avg_value AS value FROM m
+    """,
+    tags=("relational", "reshape"),
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot / melt), the inverse of q_pivot_status:
+    a per-month metrics relation (revenue, order count, average value) is
+    melted to (month, metric, value) rows with Spark's stack() generator —
+    the shape every metrics store and chart layer ingests. Values are
+    rounded BEFORE melting (exact-cents sums, one division), so the
+    reshape moves already-stable doubles. The oracle uses the equivalent
+    3-way UNION ALL, which is also exactly what stack() compiles to —
+    semantic identity by construction. Scale: the reshape is a narrow
+    ×3 row generator on the bounded monthly aggregate; no shuffle beyond
+    the month groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m")
+    ).agg(
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0), 2).alias("revenue"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) * F.lit(1.0)
+            / F.count(F.lit(1))
+            / 100,
+            4,
+        ).alias("avg_value"),
+    )
+    return m.select(
+        "m",
+        F.expr(
+            "stack(3, 'revenue', revenue, 'n_orders', n_orders, 'avg_value', avg_value)"
+        ).alias("metric", "value"),
+    )
