@@ -139,6 +139,45 @@ def test_sql_entry_point_matches_dataframe_api(spark):
     )
 
 
+def test_ordered_stage_mtimes_follow_path_order(spark):
+    """FileStreamSource orders pending files by MODIFICATION TIME, not path
+    (round-2 ADVICE): the ordered stage must therefore carry strictly
+    increasing mtimes in sorted-path order, or a multi-day replay can
+    nondeterministically drop whole time ranges as late. Also asserts the
+    range partitioning itself: later files hold later ts ranges."""
+    import os
+
+    from bigdatainfinance1_spark.streaming.jobs import read_events_stream_ordered
+
+    read_events_stream_ordered(spark, SF_DIR)  # ensures the stage exists
+    # recompute the stage path exactly like the producer does
+    import hashlib
+
+    src = os.path.join(SF_DIR, "events.parquet")
+    st = os.stat(src)
+    fingerprint = SF_DIR + "|ordered|" + f"events.parquet:{st.st_size}:{st.st_mtime_ns}"
+    stage = (
+        "/tmp/bigdatainfinance1_stream_stage/"
+        + hashlib.md5(fingerprint.encode()).hexdigest()[:12]
+    )
+    parts = sorted(
+        p for p in os.listdir(stage) if p.startswith("part-") and p.endswith(".parquet")
+    )
+    assert len(parts) == 4
+    mtimes = [os.stat(os.path.join(stage, p)).st_mtime for p in parts]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes), (
+        f"stage mtimes not strictly increasing in path order: {mtimes}"
+    )
+    bounds = [
+        spark.read.parquet(os.path.join(stage, p))
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+        for p in parts
+    ]
+    for earlier, later in zip(bounds, bounds[1:]):
+        assert earlier["hi"] <= later["lo"], "range partitions out of ts order"
+
+
 def test_tws_query_gated_on_protobuf():
     """q_stream_tws_minmax registers iff google.protobuf is importable —
     the Spark 4 transformWithState API needs a protobuf driver worker."""
