@@ -21,6 +21,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from bigdatainfinance1_spark.registry import load_all_queries
 from bigdatainfinance1_spark.session import get_spark
 
+# The 13 queries benched since round 1 — reported separately as
+# r1_headline_seconds so round-over-round totals stay comparable after the
+# round-3 set expansion.
+R1_HEADLINE_N = 13
+
 HEADLINE = [
     "q_pricing_summary",
     "q_star_join",
@@ -69,6 +74,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    r1_total = round(sum(timings[n] for n in HEADLINE[:R1_HEADLINE_N]), 3)
     print(
         json.dumps(
             {
@@ -78,6 +84,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries_registered": len(specs),
+                "r1_headline_seconds": r1_total,
+                "note": "headline set expanded in round 3 (13 -> 20 queries); "
+                "compare r1_headline_seconds against the 19.3 s round-1 baseline, "
+                "per-query rows in BASELINE.md for the rest",
             }
         )
     )

@@ -604,9 +604,15 @@ def user_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     pop = purchased.groupBy("part").agg(F.count(F.lit(1)).alias("n_buyers"))
+    # informative feeds THREE consumers (sizes + both sides of the pair
+    # join); an eager localCheckpoint materializes it once on the executors
+    # and truncates the join+distinct lineage, instead of recomputing the
+    # orders⋈lineitem distinct three times (round-3 measurement: 10.4 s →
+    # 8.3 s end-to-end at sf0.1). Same pattern a cluster job uses to reuse
+    # a filtered interaction matrix across CF stages.
     informative = purchased.join(
         pop.filter(F.col("n_buyers") <= 50).select("part"), "part"
-    )
+    ).localCheckpoint(eager=True)
     sizes = informative.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = informative.select(F.col("cust").alias("c1"), "part")
     b = informative.select(F.col("cust").alias("c2"), "part")
