@@ -535,3 +535,142 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("n_chars"), 4).alias("mean_chars"),
     )
+
+
+@query(
+    "q_bigram_lm_perplexity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bge AS (
+      SELECT doc_id, t.t[u.i] AS w1, t.t[u.i + 1] AS w2
+      FROM t, unnest(range(1, len(t.t))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bge GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bge GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    ),
+    scored AS (
+      SELECT g.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + (SELECT v FROM v))) AS lp
+      FROM bge g JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT
+      doc_id,
+      CAST(count(*) AS BIGINT)                         AS n_bigrams,
+      round(sum(lp) / count(*), 6)                     AS avg_logprob,
+      round(exp(-round(sum(lp) / count(*), 6)), 4)     AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-1-smoothed bigram LM trained on
+    the corpus itself — the conditional upgrade of q_unigram_logprob's
+    quality proxy (a doc whose word PAIRS are globally unusual scores high
+    perplexity even when its individual words are common — the shape
+    n-gram-LM quality filters like CCNet actually use). p(w2|w1) =
+    (c(w1,w2)+1)/(c(w1)+V) with c(w1) the context count and V the corpus
+    unigram vocabulary. Scale: the model tables (c12, c1) are
+    vocabulary-sized — tiny relative to the corpus however big the corpus
+    gets — so the scoring joins broadcast when they fit and gracefully
+    shuffle when they don't (left to AQE; never a cross join); one per-doc
+    aggregation ends the pipeline. Perplexity is exp of the ROUNDED mean
+    logprob so both engines exponentiate an identical double
+    (q_unigram_logprob's round-absorbs-libm-ulps posture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bge = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bge.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bge.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    scored = (
+        bge.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"))
+    )
+    avg_lp = F.round(F.sum("lp") / F.count(F.lit(1)), 6)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        avg_lp.alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 4).alias("perplexity"),
+    )
+
+
+@query(
+    "q_quality_filter_sweep",
+    oracle="""
+    WITH q AS (
+      SELECT
+        doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        round(len(list_distinct(string_split(text, ' '))) * 1.0
+              / len(string_split(text, ' ')), 6)     AS ttr
+      FROM documents
+    ),
+    grid AS (SELECT unnest(range(0, 20)) AS i)
+    SELECT
+      CAST(grid.i AS BIGINT)                                  AS step,
+      round(grid.i / 20e0, 2)                                 AS threshold,
+      CAST(count(CASE WHEN q.ttr >= grid.i / 20e0 THEN 1 END) AS BIGINT)
+                                                              AS n_surviving,
+      CAST(coalesce(sum(CASE WHEN q.ttr >= grid.i / 20e0 THEN q.n_tokens END), 0) AS BIGINT)
+                                                              AS tokens_retained,
+      round(count(CASE WHEN q.ttr >= grid.i / 20e0 THEN 1 END) * 1.0
+            / (SELECT count(*) FROM q), 6)                    AS doc_survival_rate
+    FROM grid CROSS JOIN q
+    GROUP BY grid.i
+    """,
+    tags=("text", "llm", "quality", "curation"),
+)
+def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration sweep: for 20 type-token-ratio thresholds
+    (0.00..0.95), how many documents and tokens survive — the survival
+    curve a curation team reads before committing to a quality cutoff
+    (the difference between 'drop 5% of tokens' and 'drop 40%' is one
+    threshold notch; this makes the tradeoff visible as a relation).
+    Reuses q_text_quality's exact TTR formulation (rounded to 6 dp before
+    the comparison so both engines threshold identical doubles). Scale:
+    the per-doc score is one narrow map; the sweep is a broadcast of 20
+    literal thresholds against the score relation — one aggregation,
+    output bounded at 20 rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = docs.select(
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 6).alias("ttr"),
+    )
+    total = q.agg(F.count(F.lit(1)).alias("n_total"))
+    grid = spark.range(0, 20).select(F.col("id").alias("step"))
+    surviving = F.when(F.col("ttr") >= F.col("step") / F.lit(20.0), 1)
+    return (
+        F.broadcast(grid)
+        .crossJoin(q)
+        .crossJoin(F.broadcast(total))
+        .groupBy("step", "n_total")
+        .agg(
+            F.round(F.col("step") * F.lit(1.0) / 20, 2).alias("threshold"),
+            F.count(surviving).cast("long").alias("n_surviving"),
+            F.coalesce(F.sum(F.when(surviving == 1, F.col("n_tokens"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_retained"),
+            F.round(F.count(surviving) * F.lit(1.0) / F.col("n_total"), 6).alias(
+                "doc_survival_rate"
+            ),
+        )
+        .select(
+            "step", "threshold", "n_surviving", "tokens_retained", "doc_survival_rate"
+        )
+    )
