@@ -645,7 +645,8 @@ def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
       m,
       decile,
       CAST(count(*) AS BIGINT)                        AS n,
-      round(sum(cents) / 100e0 / count(*), 4)         AS avg_price,
+      ((2 * sum(cents) * 100 + count(*)) // (2 * count(*))) / 1e4
+                                                      AS avg_price,
       round(sum(pos) * 1e0 / count(*), 6)             AS event_rate
     FROM binned
     GROUP BY m, decile
@@ -659,7 +660,12 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     where its probability mapping is honest (the reliability-diagram
     input every model monitor plots). ntile orders by (cents, o_orderkey)
     — a total order, so both engines assign identical deciles even across
-    tied prices. Means are exact-integer sums divided once. Scale: the
+    tied prices. avg_price is rounded to 4 dp IN EXACT INTEGER ARITHMETIC
+    ((2·S·100 + n) div 2n — half-up on the true rational) before the one
+    float division, because float round() at a half boundary differs by
+    an ulp across engines: the round-3 sf0.01 pre-driver sweep caught
+    exactly one decile where round(S/100/n, 4) flipped .3162 vs .3163.
+    Scale: the
     decile window is partitioned by month (the parallelism axis); one
     groupBy on (month, decile) ends the plan — same two-shuffle budget as
     any partitioned ranking."""
@@ -674,7 +680,9 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = scored.withColumn("decile", F.ntile(10).over(w))
     return binned.groupBy("m", "decile").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.sum("cents") / F.lit(100.0) / F.count(F.lit(1)), 4).alias("avg_price"),
+        (
+            F.expr("(2 * sum(cents) * 100 + count(1)) div (2 * count(1))") / F.lit(1e4)
+        ).alias("avg_price"),
         F.round(F.sum("pos") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("event_rate"),
     )
 
