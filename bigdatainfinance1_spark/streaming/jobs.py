@@ -424,6 +424,98 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_stream_left_join",
+    oracle="""
+    WITH cutoff AS (SELECT min(ts) + INTERVAL 7 DAY AS lim FROM events)
+    SELECT
+      c.event_id                                   AS click_id,
+      c.user_id                                    AS user_id,
+      p.event_id                                   AS purchase_id,
+      CASE WHEN p.event_id IS NULL THEN 0 ELSE 1 END AS matched,
+      CASE WHEN p.event_id IS NULL THEN NULL
+           ELSE (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 END AS secs_between
+    FROM (SELECT * FROM events, cutoff WHERE event_type = 'click' AND ts < cutoff.lim) c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "events", "join", "outer"),
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6+ (stream LEFT OUTER stream): clicks joined to purchases within 30
+    minutes per user, KEEPING unmatched clicks — the abandonment-attribution
+    shape. Outer stream-stream joins have semantics inner joins don't: a
+    null row may only be emitted once the WATERMARK has passed the click's
+    join horizon (before that, a matching purchase could still arrive), so
+    state eviction and result emission are the same mechanism.
+
+    Why this replay provably emits every outer row (and therefore equals
+    the batch oracle): the left side is restricted to clicks in the first
+    7 days of the stream, replayed via the ts-ordered 4-file stage
+    (read_events_stream_ordered, mtime-pinned) with maxFilesPerTrigger=2 —
+    so batch 1 covers roughly the first half of the month and the watermark
+    available to the FINAL batch stands at ~day 15 minus 1 h, far past
+    every restricted click's ts + 30 min horizon. Every unmatched click has
+    thus provably expired by the last batch and its null row is emitted
+    before termination. (Unrestricted, clicks in the last watermark-window
+    of the stream would still be 'maybe matchable' at end-of-stream and the
+    stream would under-emit vs batch — the construction documents the real
+    operational caveat of outer stream joins.) The 7-day cutoff is derived
+    from min(ts), not hard-coded, so a regenerated-era corpus moves the
+    window instead of emptying it.
+
+    Watermark placement matters and is itself part of the lesson: it is
+    attached to the SOURCE event time BEFORE the cutoff filter. Filtered
+    first, the clicks watermark would pin 1 h behind the last restricted
+    click forever, and (global watermark = min of both streams) the final
+    ~90 min of clicks before the cutoff could never expire — measured as
+    exactly 2 missing null rows at sf0.001 before the fix."""
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.min("ts").alias("lo")
+    ).collect()[0]
+    cutoff = bounds["lo"] + __import__("datetime").timedelta(days=7)
+    ev1 = read_events_stream_ordered(spark, sf_dir)
+    ev2 = read_events_stream_ordered(spark, sf_dir)
+    clicks = (
+        ev1.withWatermark("ts", "1 hour")
+        .filter((F.col("event_type") == "click") & (F.col("ts") < F.lit(cutoff)))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        ev2.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    out = joined.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
+        F.when(F.col("purchase_id").isNull(), 0).otherwise(1).alias("matched"),
+        F.expr(
+            "CASE WHEN purchase_id IS NULL THEN NULL "
+            "ELSE (unix_micros(p_ts) - unix_micros(c_ts)) DIV 1000000 END"
+        ).alias("secs_between"),
+    )
+    return run_to_table(out, "append")
+
+
+@query(
     "q_stream_stateful_totals",
     oracle="""
     SELECT
