@@ -319,6 +319,23 @@ def test_fourth_wave_joins_are_not_nested_loop(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_round3_paths_stay_equi_join_and_jvm_side(spark):
+    """Round-3 additions: the xxhash64 MinHash production path must be pure
+    shuffle/broadcast equi-joins; the bigram-LM scoring joins are equi-joins
+    whose only nested loop is the bounded 1-row broadcast of the vocabulary
+    scalar (the q_fifo_allocation scalar-cross-join class); the filter
+    sweep's only nested loop is the bounded 20-row broadcast grid. No
+    Python anywhere in these plans."""
+    plan = plan_of(SPECS["q_minhash_lsh_fast"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for name in ("q_bigram_lm_perplexity", "q_quality_filter_sweep"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name  # bounded loops broadcast
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
 def test_bloom_semi_join_broadcasts_bitset(spark):
     """The Bloom bitset relation must reach the probe side as a broadcast
     (the 8 KB-bitset-instead-of-fact-shuffle pattern is the operator's
