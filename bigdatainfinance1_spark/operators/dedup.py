@@ -47,12 +47,18 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
-def _shingle_hashes_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_hashes_raw(
+    spark: SparkSession, sf_dir: str, sample_fraction: float | None = None, seed: int = 42
+) -> DataFrame:
     """Hashed 3-word shingles WITHOUT per-doc dedup — one narrow map, no
     shuffle. Used for the pair-budget estimate, where within-doc repeats
     only make the estimate a (conservative) upper bound and skipping the
-    (doc, h) distinct saves its shuffle."""
+    (doc, h) distinct saves its shuffle. ``sample_fraction`` thins the
+    DOCUMENT stream (seeded, deterministic for a fixed file layout) so the
+    estimate touches a fraction of the corpus; callers rescale by 1/f²."""
     docs = load_table(spark, sf_dir, "documents")
+    if sample_fraction is not None:
+        docs = docs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
     toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
     return toks.select(
         F.explode(
@@ -155,9 +161,15 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Guarded against the quadratic blowup (VERDICT round-1 task 4): candidate
     pairs are Σ_bucket C(n,2); under mass duplication that grows as the
     square of the duplication factor (measured 15× runtime at 10×
-    replication in round 1). Before building the pair join, one linear
-    aggregation estimates the candidate count; above JACCARD_PAIR_BUDGET the
-    query auto-switches to MinHash-LSH candidate generation feeding the same
+    replication in round 1). Before building the pair join, a linear
+    aggregation over a seeded 10% document sample estimates the candidate
+    count (Σ C(m,2)/f² is unbiased for Σ C(n,2) under Binomial(n, f)
+    bucket thinning, and tight exactly in the mass-duplication regime the
+    gate exists to catch — big buckets). Round 3 switched the estimator
+    from a FULL second corpus scan to the sample: the gate now costs ~f of
+    a scan, which is what lets it stay on at 100 TB. Above
+    JACCARD_PAIR_BUDGET the query auto-switches to MinHash-LSH candidate
+    generation feeding the same
     exact verifier — identical threshold semantics, minus pairs LSH misses
     (P[miss] < 2% at J ≥ 0.8 with 8 bands × 4 rows), and sub-quadratic.
     scale_check.py exercises exactly this switch at 10× replication; at the
@@ -170,11 +182,12 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     relying on a Python warning that a notebook or scheduler swallows.
     tests/test_dedup.py exercises the tripped path by lowering the budget
     and asserts the column flips plus pair-set correctness."""
+    f = 0.1  # seeded doc-sample rate for the gate estimate
     est = (
-        _shingle_hashes_raw(spark, sf_dir)
+        _shingle_hashes_raw(spark, sf_dir, sample_fraction=f, seed=42)
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .agg((F.sum(F.expr("c * (c - 1) / 2")) / (f * f)).alias("pairs"))
         .collect()[0]["pairs"]
         or 0
     )
