@@ -208,10 +208,11 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out and collapsed duplicate cell-matches with a distinct — on the
     regenerated sf0.1 events, whose ~8 h daily intervals all share most
     cells, that emitted 216 M pre-distinct rows and ran 76 s; start-cell
-    matching emits one row per candidate pair and runs ~17 s, of which
-    the answer itself is the floor: this corpus genuinely contains 34 M
-    overlapping pairs, so the residual cost is output-bound, like
-    q_jaccard_neardup under mass duplication.) Cost is O(pairs that
+    matching emits one row per candidate pair and, with the pair stream
+    pre-aggregated to canonical (user, peer) edges map-side before any
+    shuffle, runs ~10-12 s — the 34 M genuinely-overlapping pairs this
+    corpus contains are the cost floor; residual work is output-bound,
+    like q_jaccard_neardup under mass duplication.) Cost is O(pairs that
     share a grid cell) — proportional to true collisions, not n². The
     oracle runs the honest quadratic form (DuckDB's IEJoin handles it at
     sf0.01). Grid width tunes fan-out vs selectivity exactly like the geo
@@ -254,16 +255,23 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = x.join(y, "cell").filter(
         (F.col("x_user") != F.col("y_user")) & earlier & (F.col("y_s") <= F.col("x_e"))
     )
-    # each unordered pair once -> emit both directions for per-user counts
-    both = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("x_user").alias("a_user"), F.col("y_user").alias("b_user")),
-                F.struct(F.col("y_user").alias("a_user"), F.col("x_user").alias("b_user")),
-            )
-        ).alias("p")
-    ).select("p.a_user", "p.b_user")
-    return both.groupBy(F.col("a_user").alias("user_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
-        F.count_distinct("b_user").cast("long").alias("n_peers"),
+    # Aggregate to the (user, peer) EDGE grain first: the same user pair
+    # overlaps on ~many days, so the partial (map-side) aggregation
+    # compresses the 34 M interval pairs ~30× before anything shuffles.
+    # After that, edges are unique per (user, peer) — per-user peers is a
+    # plain count, no count_distinct machinery (Expand) over the pair
+    # stream needed.
+    # canonical orientation first: the earlier-starting side flips day to
+    # day, so (u,v) and (v,u) would otherwise both survive to the union
+    edges = pairs.groupBy(
+        F.least("x_user", "y_user").alias("u1"), F.greatest("x_user", "y_user").alias("u2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    both = edges.select(
+        F.col("u1").alias("user_id"), F.col("u2").alias("peer"), "n"
+    ).unionByName(
+        edges.select(F.col("u2").alias("user_id"), F.col("u1").alias("peer"), "n")
+    )
+    return both.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("n_overlaps"),
+        F.count(F.lit(1)).cast("long").alias("n_peers"),
     )
