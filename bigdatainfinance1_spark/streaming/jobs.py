@@ -426,7 +426,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_stream_stream_left_join",
     oracle="""
-    WITH cutoff AS (SELECT min(ts) + INTERVAL 7 DAY AS lim FROM events)
+    WITH cutoff AS (
+      SELECT min(ts) + to_microseconds(
+               (epoch_us(max(ts)) - epoch_us(min(ts))) // 4) AS lim
+      FROM events
+    )
     SELECT
       c.event_id                                   AS click_id,
       c.user_id                                    AS user_id,
@@ -461,9 +465,13 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     before termination. (Unrestricted, clicks in the last watermark-window
     of the stream would still be 'maybe matchable' at end-of-stream and the
     stream would under-emit vs batch — the construction documents the real
-    operational caveat of outer stream joins.) The 7-day cutoff is derived
-    from min(ts), not hard-coded, so a regenerated-era corpus moves the
-    window instead of emptying it.
+    operational caveat of outer stream joins.) The cutoff is the first
+    QUARTER of the observed span (exact integer microseconds on both
+    engines), derived from min/max(ts) rather than hard-coded — a
+    regenerated corpus with a different era or span moves the window
+    instead of emptying it or breaking the batch-1-covers-it invariant
+    (quarter-span always sits inside the first two of the four ts-range
+    files, with half a span of margin over the 1 h + 30 min horizon).
 
     Watermark placement matters and is itself part of the lesson: it is
     attached to the SOURCE event time BEFORE the cutoff filter. Filtered
@@ -471,10 +479,16 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     click forever, and (global watermark = min of both streams) the final
     ~90 min of clicks before the cutoff could never expire — measured as
     exactly 2 missing null rows at sf0.001 before the fix."""
-    bounds = load_table(spark, sf_dir, "events").agg(
-        F.min("ts").alias("lo")
-    ).collect()[0]
-    cutoff = bounds["lo"] + __import__("datetime").timedelta(days=7)
+    bounds = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    td = bounds["hi"] - bounds["lo"]
+    # exact integer microseconds (total_seconds() is float and can be off
+    # by a us at month scale, which is a cross-engine boundary flip)
+    span_us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+    cutoff = bounds["lo"] + __import__("datetime").timedelta(microseconds=span_us // 4)
     ev1 = read_events_stream_ordered(spark, sf_dir)
     ev2 = read_events_stream_ordered(spark, sf_dir)
     clicks = (

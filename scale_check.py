@@ -77,6 +77,14 @@ QUERIES = [
     "q_duplicate_payments",
     "q_abc_xyz",
     "q_growth_accounting",
+    # round-3 wave: production MinHash path, straggler pair-joins, new text ops
+    "q_minhash_lsh_fast",
+    "q_fuzzy_match_names",
+    "q_theil_sen",
+    "q_kendall_tau",
+    "q_bm25_topk",
+    "q_bigram_lm_perplexity",
+    "q_quality_filter_sweep",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
