@@ -632,3 +632,100 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mae"), 6).alias("max_mae"),
         )
     )
+
+
+def _matryoshka_oracle_sql(dims=(8, 16, 32, 64), k: int = 3, n_queries: int = 10) -> str:
+    """DuckDB oracle for q_matryoshka_recall: per truncation dimension, the
+    exact top-k under prefix-d cosine for each query vector, intersected
+    with the full-dimension top-k (ties broken by neighbor id on both
+    engines, so the cut is total and engine-stable)."""
+    dim_rows = ", ".join(f"({d})" for d in dims)
+    return f"""
+    WITH dims(d) AS (VALUES {dim_rows}),
+    pairs AS (
+      SELECT dims.d, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, dims.d + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, dims.d + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, dims.d + 1),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+               AS cos
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id <> a.vec_id
+      CROSS JOIN dims
+      WHERE a.vec_id < {n_queries}
+    ),
+    ranked AS (
+      SELECT d, query_id, neighbor_id,
+             row_number() OVER (PARTITION BY d, query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM pairs
+    ),
+    topk AS (SELECT d, query_id, neighbor_id FROM ranked WHERE rn <= {k}),
+    full_topk AS (SELECT query_id, neighbor_id FROM topk WHERE d = {max(dims)})
+    SELECT
+      t.d                                        AS trunc_dim,
+      CAST(count(*) AS BIGINT)                   AS n_pairs,
+      CAST(count(f.neighbor_id) AS BIGINT)       AS n_hits,
+      round(count(f.neighbor_id) * 1.0 / count(*), 6) AS recall_at_{k}
+    FROM topk t
+    LEFT JOIN full_topk f
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY t.d
+    """
+
+
+@query(
+    "q_matryoshka_recall",
+    oracle=_matryoshka_oracle_sql(),
+    tags=("similarity", "llm", "storage", "eval"),
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension ablation (Matryoshka evaluation): brute-force
+    cosine top-3 for 10 query vectors at prefix dimensions 8/16/32/64, and
+    the recall of each truncated ranking against the full-dimension top-3 —
+    the measurement behind 'can we store 16 of the 64 dims and keep
+    retrieval quality', i.e. a 4× storage/shuffle cut justified by a
+    relation instead of a hunch. Truncation is array slice (zero copy of
+    the tail); all four dimensions share ONE corpus×queries pair join
+    (the dims axis rides a 4-row broadcast on top of the q_cosine_topk
+    plan shape), then one ranked window per (dim, query). Scale: queries
+    broadcast, corpus scanned once, window partitioned by (dim, query) —
+    recall join is top-k-sized (120 rows), broadcast. Ties break by
+    neighbor id on both engines, so top-3 cuts are engine-stable."""
+    dims = [8, 16, 32, 64]
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims_df = spark.createDataFrame([(d,) for d in dims], "d int")
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+        .join(F.broadcast(queries_df), F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(dims_df))
+        .withColumn("q_t", F.expr("slice(q_emb, 1, d)"))
+        .withColumn("n_t", F.expr("slice(embedding, 1, d)"))
+        .withColumn(
+            "cos",
+            dot("q_t", "n_t") / F.nullif(l2_norm("q_t") * l2_norm("n_t"), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("d", "query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("d", "query_id", "neighbor_id")
+    )
+    full_topk = topk.filter(F.col("d") == max(dims)).select(
+        "query_id", F.col("neighbor_id").alias("f_neighbor")
+    )
+    joined = topk.join(
+        F.broadcast(full_topk.withColumnRenamed("query_id", "f_query")),
+        (F.col("query_id") == F.col("f_query")) & (F.col("neighbor_id") == F.col("f_neighbor")),
+        "left",
+    )
+    return joined.groupBy(F.col("d").cast("long").alias("trunc_dim")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count("f_neighbor").cast("long").alias("n_hits"),
+        F.round(F.count("f_neighbor") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("recall_at_3"),
+    )
