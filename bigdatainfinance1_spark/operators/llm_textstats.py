@@ -674,3 +674,117 @@ def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step", "threshold", "n_surviving", "tokens_retained", "doc_survival_rate"
         )
     )
+
+
+_PII_PATTERN = r"\b(customer|spark|data)\b"
+_PII_TERMS = ("customer", "spark", "data")
+
+
+@query(
+    "q_pii_redaction",
+    oracle=r"""
+    WITH scored AS (
+      SELECT
+        doc_id,
+        lang,
+        len(string_split(text, ' '))                                   AS n_tokens,
+        len(list_filter(string_split(text, ' '),
+                        t -> t IN ('customer', 'spark', 'data')))      AS n_hits,
+        regexp_replace(text, '\b(customer|spark|data)\b',
+                       '[REDACTED]', 'g')                              AS red
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      lang,
+      CAST(n_tokens AS BIGINT)                       AS n_tokens,
+      CAST(n_hits AS BIGINT)                         AS n_hits,
+      round(n_hits * 1.0 / n_tokens, 4)              AS hit_ratio,
+      CASE WHEN n_hits * 1.0 / n_tokens >= 0.2 THEN 'drop'
+           WHEN n_hits > 0                     THEN 'redact'
+           ELSE 'keep' END                           AS action,
+      md5(red)                                       AS redacted_md5,
+      CAST(strlen(red) AS BIGINT)                    AS redacted_bytes
+    FROM scored
+    """,
+    tags=("llm-pipeline", "text", "governance"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term redaction — the PII-scrubbing stage of an LLM curation
+    pipeline. This corpus contains no real PII (lowercase word soup), so a
+    deterministic blocklist stands in for the email/phone/SSN regex bank;
+    the operator shape is the real thing: word-boundary regexp_replace
+    (global) producing redacted text, per-doc hit counts and density, and a
+    three-way keep/redact/drop policy decision. The redacted text itself is
+    witnessed by md5 + byte length so the oracle verifies the actual
+    replacement semantics, not just the counts. Scale: per-row regex on the
+    JVM inside whole-stage codegen — embarrassingly parallel, no shuffle at
+    all; at 100 TB this is a map-only pass whose cost is the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_hits = F.size(F.filter(toks, lambda t: t.isin(*_PII_TERMS)))
+    red = F.regexp_replace("text", _PII_PATTERN, "[REDACTED]")
+    ratio = n_hits * F.lit(1.0) / n_tokens
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_hits.cast("long").alias("n_hits"),
+        F.round(ratio, 4).alias("hit_ratio"),
+        F.when(ratio >= 0.2, "drop")
+        .when(n_hits > 0, "redact")
+        .otherwise("keep")
+        .alias("action"),
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("long").alias("redacted_bytes"),
+    )
+
+
+@query(
+    "q_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, sum(sqrt(n)) AS z FROM counts
+    )
+    SELECT
+      c.lang,
+      CAST(c.n AS BIGINT)                              AS n_docs,
+      round(c.n * 1.0 / t.total, 6)                    AS share,
+      round(sqrt(c.n) / t.z, 6)                        AS temp_weight,
+      CAST(floor(sqrt(c.n) / t.z * 10000) AS BIGINT)   AS docs_at_10k
+    FROM counts c CROSS JOIN tot t
+    """,
+    tags=("llm-pipeline", "sample", "text"),
+)
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (alpha = 0.5): sampling weight
+    w_l proportional to p_l^alpha — the data-mixture law multilingual LLM
+    recipes use to up-weight low-resource languages without flattening to
+    uniform (q_mixture_rebalance is the alpha→0 limit). Since p_l^0.5 =
+    (n_l/total)^0.5 and the total cancels in the normalization, weights are
+    computed as sqrt(n_l)/Σ sqrt(n_k) — IEEE-exact sqrt of integer counts,
+    so both engines agree bit-for-bit before rounding. Reports each
+    language's natural share, temperature weight, and the floor'd document
+    quota from a 10k-draw budget. Scale: one count aggregation + a
+    5-row broadcast scalar — free at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.sqrt("n")).alias("z"),
+    )
+    w = F.sqrt("n") / F.col("z")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(F.col("n") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+            F.round(w, 6).alias("temp_weight"),
+            F.floor(w * 10000).cast("long").alias("docs_at_10k"),
+        )
+    )
