@@ -344,3 +344,12 @@ def test_bloom_semi_join_broadcasts_bitset(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redaction_is_map_only(spark):
+    """q_pii_redaction must compile to a single map-only stage: per-row regex
+    inside whole-stage codegen, zero shuffles (no Exchange anywhere) — the
+    shape that makes a 100 TB scrub pass cost exactly one scan."""
+    plan = plan_of(SPECS["q_pii_redaction"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
