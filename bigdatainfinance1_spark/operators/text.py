@@ -590,3 +590,125 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_char"
         ),
     )
+
+
+BPE_MERGES = 6
+
+
+def _bpe_oracle(iters: int = BPE_MERGES) -> str:
+    """DuckDB oracle for q_bpe_train: the merge-learning loop unrolled as
+    chained CTEs (the q_kmeans_embeddings pattern). Each iteration counts
+    adjacent symbol pairs weighted by word frequency, picks the most
+    frequent pair (ties → lexicographic (x, y), both engines), and applies
+    the merge with an identical left-to-right single-pass fold
+    (list_reduce here, aggregate() on the Spark side). All state is
+    integer counts and strings — no floats anywhere, so cross-engine
+    equality is exact."""
+    head = """
+    WITH words AS MATERIALIZED (
+      SELECT tok AS word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    w0 AS (SELECT string_split_regex(word, '') AS syms, cnt FROM words)"""
+    steps = ""
+    for t in range(1, iters + 1):
+        steps += f""",
+    p{t} AS (
+      SELECT p.x AS x, p.y AS y, CAST(sum(cnt) AS BIGINT) AS pc
+      FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                     i -> struct_pack(x := syms[i], y := syms[i+1]))) AS p
+        FROM w{t - 1}
+      ) GROUP BY p.x, p.y
+    ),
+    b{t} AS (SELECT x, y, pc FROM p{t} ORDER BY pc DESC, x, y LIMIT 1),
+    w{t} AS (
+      SELECT list_reduce(list_transform(syms, c -> [c]),
+               (acc, el) -> CASE WHEN acc[-1] = b.x AND el[1] = b.y
+                                 THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                                  b.x || b.y)
+                                 ELSE list_concat(acc, el) END) AS syms, cnt
+      FROM w{t - 1} CROSS JOIN b{t} b
+    ),
+    r{t} AS (
+      SELECT CAST({t} AS INT) AS merge_rank, b.x, b.y, b.x || b.y AS merged,
+             b.pc AS pair_count,
+             (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) FROM w{t})
+               AS total_symbols
+      FROM b{t} b
+    )"""
+    union = " UNION ALL ".join(f"SELECT * FROM r{t}" for t in range(1, iters + 1))
+    return f"{head}{steps}\n    {union}"
+
+
+@query("q_bpe_train", oracle=_bpe_oracle(), tags=("text", "llm", "iterative"))
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich-style), 6 merge rounds:
+    learn the subword vocabulary from the corpus instead of applying a
+    fixed one (q_bpe_token_count is the apply side). The algorithm's real
+    100 TB structure: one corpus scan collapses to the WORD-FREQUENCY
+    table (vocabulary-sized — millions of rows on a web corpus, never
+    corpus-sized), and every iteration is explode-adjacent-pairs →
+    groupBy(pair) → global top-1 on that small relation, so iteration cost
+    is independent of corpus bytes. Per round, only the single best pair
+    crosses to the driver (the q_kmeans_embeddings bounded-scalar
+    pattern); the merge itself is a left-to-right single-pass aggregate()
+    fold applied distributively. Output: the learned merge table
+    (rank, pair, merged symbol, pair frequency) plus the corpus-wide
+    symbol count after each merge — the compression curve. Everything is
+    integer-exact; ties break lexicographically on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.split("word", "").alias("syms"), "cnt")
+        .persist()
+    )
+    cur = words
+    parts = []
+    for k in range(1, BPE_MERGES + 1):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS x, syms[i+1] AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.x", "p.y")
+            .agg(F.sum("cnt").cast("long").alias("pc"))
+        )
+        best = pairs.orderBy(F.desc("pc"), "x", "y").limit(1).collect()[0]
+        bx, by, pc = best["x"], best["y"], best["pc"]
+        merged = bx + by
+        esc = lambda s: s.replace("'", "''")  # noqa: E731 — corpus is [a-z]+ anyway
+        fold = F.expr(
+            f"""aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
+                 (acc, el) -> IF(element_at(acc, -1) = '{esc(bx)}' AND el = '{esc(by)}',
+                                 concat(slice(acc, 1, size(acc) - 1),
+                                        array('{esc(merged)}')),
+                                 concat(acc, array(el))))"""
+        )
+        cur = cur.select(fold.alias("syms"), "cnt")
+        parts.append(
+            cur.agg(
+                F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("total_symbols")
+            ).select(
+                F.lit(k).cast("int").alias("merge_rank"),
+                F.lit(bx).alias("x"),
+                F.lit(by).alias("y"),
+                F.lit(merged).alias("merged"),
+                F.lit(pc).cast("long").alias("pair_count"),
+                "total_symbols",
+            )
+        )
+    words.unpersist()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
