@@ -666,9 +666,35 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.split("word", "").alias("syms"), "cnt")
         .persist()
     )
+    out = _bpe_train_words(words, BPE_MERGES)
+    words.unpersist()
+    return out
+
+
+def _bpe_sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _bpe_fold_expr(bx: str, by: str, merged: str):
+    """Left-to-right single-pass merge of adjacent (bx, by) into `merged`
+    over a `syms` array column — the canonical BPE apply step."""
+    q = _bpe_sql_quote
+    return F.expr(
+        f"""aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
+             (acc, el) -> IF(element_at(acc, -1) = '{q(bx)}' AND el = '{q(by)}',
+                             concat(slice(acc, 1, size(acc) - 1),
+                                    array('{q(merged)}')),
+                             concat(acc, array(el))))"""
+    )
+
+
+def _bpe_train_words(words: DataFrame, iters: int) -> DataFrame:
+    """Run `iters` BPE merge rounds over a (syms: array<string>, cnt: long)
+    word-frequency DataFrame; returns the merge table (see q_bpe_train).
+    Factored out so tests can drive it with adversarial vocabularies."""
     cur = words
     parts = []
-    for k in range(1, BPE_MERGES + 1):
+    for k in range(1, iters + 1):
         pairs = (
             cur.filter(F.size("syms") >= 2)
             .select(
@@ -686,15 +712,7 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = pairs.orderBy(F.desc("pc"), "x", "y").limit(1).collect()[0]
         bx, by, pc = best["x"], best["y"], best["pc"]
         merged = bx + by
-        esc = lambda s: s.replace("'", "''")  # noqa: E731 — corpus is [a-z]+ anyway
-        fold = F.expr(
-            f"""aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]),
-                 (acc, el) -> IF(element_at(acc, -1) = '{esc(bx)}' AND el = '{esc(by)}',
-                                 concat(slice(acc, 1, size(acc) - 1),
-                                        array('{esc(merged)}')),
-                                 concat(acc, array(el))))"""
-        )
-        cur = cur.select(fold.alias("syms"), "cnt")
+        cur = cur.select(_bpe_fold_expr(bx, by, merged).alias("syms"), "cnt")
         parts.append(
             cur.agg(
                 F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("total_symbols")
@@ -707,7 +725,6 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_symbols",
             )
         )
-    words.unpersist()
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

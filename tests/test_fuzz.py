@@ -314,3 +314,80 @@ def test_rolling_distinct_explode_form_equals_bruteforce(events):
             cover[c].add(u)
     explode = {d: len(cover[d]) for d in days}
     assert explode == brute
+
+
+# ---------------------------------------------------------------------------
+# BPE properties: (1) the q_bpe_train merge fold (DuckDB list_reduce form,
+# identical shape to the Spark aggregate() expression) must equal a pure-
+# Python reference single-pass merge on random symbol sequences — including
+# the overlap case 'a a a' -> ['aa', 'a']; (2) the full distributed trainer
+# must reproduce a reference Sennrich trainer (greedy max pair, lexicographic
+# tie-break) on an adversarial vocabulary.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_reference(syms, x, y):
+    out = []
+    for s in syms:
+        if out and out[-1] == x and s == y:
+            out[-1] = x + y
+        else:
+            out.append(s)
+    return out
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab", "ba"]), min_size=1, max_size=10),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "ab", "ba"]), st.sampled_from(["a", "b", "ab", "ba"])
+    ),
+)
+def test_bpe_fold_equals_reference_merge(syms, pair):
+    import duckdb
+
+    x, y = pair
+    got = duckdb.execute(
+        """
+        SELECT list_reduce(list_transform($1::VARCHAR[], c -> [c]),
+                 (acc, el) -> CASE WHEN acc[-1] = $2 AND el[1] = $3
+                                   THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                                    $2 || $3)
+                                   ELSE list_concat(acc, el) END)
+        """,
+        [syms, x, y],
+    ).fetchone()[0]
+    assert got == _bpe_merge_reference(syms, x, y)
+
+
+def _bpe_train_reference(word_counts, iters):
+    """Pure-Python Sennrich trainer: greedy max-frequency pair, ties broken
+    lexicographically on (x, y); returns [(x, y, pair_count, total_symbols)]."""
+    words = [(list(w), c) for w, c in word_counts.items()]
+    out = []
+    for _ in range(iters):
+        counts = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + c
+        (x, y), pc = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        words = [(_bpe_merge_reference(syms, x, y), c) for syms, c in words]
+        total = sum(len(syms) * c for syms, c in words)
+        out.append((x, y, pc, total))
+    return out
+
+
+def test_bpe_trainer_matches_reference_on_adversarial_vocab(spark):
+    from pyspark.sql import functions as F
+
+    from bigdatainfinance1_spark.operators.text import _bpe_train_words
+
+    vocab = {"aaaa": 5, "aaab": 3, "abab": 4, "a": 7, "baaa": 2, "bbbb": 1}
+    words = spark.createDataFrame(
+        [(list(w), c) for w, c in vocab.items()], "syms array<string>, cnt long"
+    )
+    got = [
+        (r["x"], r["y"], r["pair_count"], r["total_symbols"])
+        for r in _bpe_train_words(words, 4).orderBy("merge_rank").collect()
+    ]
+    assert got == _bpe_train_reference(vocab, 4)
