@@ -50,6 +50,8 @@ HEADLINE = [
     "q_fifo_allocation",
     "q_interval_overlap_bucketed",
     "q_triangle_count",
+    "q_tpch_q5",
+    "q_tpch_q18",
 ]
 
 

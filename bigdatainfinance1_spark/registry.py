@@ -82,7 +82,7 @@ DRIVER_WINDOW_ORDER: tuple[str, ...] = (
     "q_dup_rate_by_source",
     "q_containment_neardup",
     "q_lsh_recall_audit",
-    "q_dedup_keep_first",
+    "q_bpe_train",                # round-3 flagship: distributed BPE merge learning
     # Portable sketches
     "q_kmv_overlap",
     "q_hist_quantile_sketch",
