@@ -688,12 +688,11 @@ def _bpe_fold_expr(bx: str, by: str, merged: str):
     )
 
 
-def _bpe_train_words(words: DataFrame, iters: int) -> DataFrame:
-    """Run `iters` BPE merge rounds over a (syms: array<string>, cnt: long)
-    word-frequency DataFrame; returns the merge table (see q_bpe_train).
-    Factored out so tests can drive it with adversarial vocabularies."""
-    cur = words
-    parts = []
+def _bpe_iterate(cur: DataFrame, iters: int, carry: tuple[str, ...] = ()):
+    """Drive `iters` BPE merge rounds over a (syms: array<string>, cnt: long)
+    DataFrame, yielding (k, bx, by, pc, merged, cur_after_merge) per round.
+    Only the single best pair crosses to the driver each round; `carry`
+    names extra columns (e.g. the word string) to thread through the folds."""
     for k in range(1, iters + 1):
         pairs = (
             cur.filter(F.size("syms") >= 2)
@@ -712,7 +711,18 @@ def _bpe_train_words(words: DataFrame, iters: int) -> DataFrame:
         best = pairs.orderBy(F.desc("pc"), "x", "y").limit(1).collect()[0]
         bx, by, pc = best["x"], best["y"], best["pc"]
         merged = bx + by
-        cur = cur.select(_bpe_fold_expr(bx, by, merged).alias("syms"), "cnt")
+        cur = cur.select(
+            *carry, _bpe_fold_expr(bx, by, merged).alias("syms"), "cnt"
+        )
+        yield k, bx, by, pc, merged, cur
+
+
+def _bpe_train_words(words: DataFrame, iters: int) -> DataFrame:
+    """Run `iters` BPE merge rounds over a (syms: array<string>, cnt: long)
+    word-frequency DataFrame; returns the merge table (see q_bpe_train).
+    Factored out so tests can drive it with adversarial vocabularies."""
+    parts = []
+    for k, bx, by, pc, merged, cur in _bpe_iterate(words, iters):
         parts.append(
             cur.agg(
                 F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("total_symbols")
@@ -728,4 +738,101 @@ def _bpe_train_words(words: DataFrame, iters: int) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def _bpe_encode_oracle(iters: int = BPE_MERGES) -> str:
+    """DuckDB oracle for q_bpe_encode: the same unrolled merge learning as
+    _bpe_oracle but carrying the word string through the fold CTEs, then
+    re-joining the final per-word subword count back onto the token stream
+    — the identical vocab-level-encode-then-join shape as the Spark side."""
+    head = """
+    WITH words AS MATERIALIZED (
+      SELECT tok AS word, count(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    w0 AS (SELECT word, string_split_regex(word, '') AS syms, cnt FROM words)"""
+    steps = ""
+    for t in range(1, iters + 1):
+        steps += f""",
+    p{t} AS (
+      SELECT p.x AS x, p.y AS y, CAST(sum(cnt) AS BIGINT) AS pc
+      FROM (
+        SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                     i -> struct_pack(x := syms[i], y := syms[i+1]))) AS p
+        FROM w{t - 1}
+      ) GROUP BY p.x, p.y
+    ),
+    b{t} AS (SELECT x, y, pc FROM p{t} ORDER BY pc DESC, x, y LIMIT 1),
+    w{t} AS (
+      SELECT word,
+             list_reduce(list_transform(syms, c -> [c]),
+               (acc, el) -> CASE WHEN acc[-1] = b.x AND el[1] = b.y
+                                 THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                                                  b.x || b.y)
+                                 ELSE list_concat(acc, el) END) AS syms, cnt
+      FROM w{t - 1} CROSS JOIN b{t} b
+    )"""
+    return f"""
+    {head}{steps},
+    vocab AS (SELECT word, len(syms) AS n_sub FROM w{iters}),
+    toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT)        AS n_docs,
+           count(*)                                      AS n_words,
+           CAST(sum(v.n_sub) AS BIGINT)                  AS n_subword_tokens,
+           round(sum(v.n_sub) * 1.0 / count(*), 4)       AS tokens_per_word,
+           round(sum(strlen(t.word)) * 1.0 / sum(v.n_sub), 4) AS chars_per_token
+    FROM toks t JOIN vocab v USING (word)
+    GROUP BY lang
+    """
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle(), tags=("text", "llm", "iterative"))
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE apply side: learn the 6-merge vocabulary (q_bpe_train's loop)
+    and encode the whole corpus with it, reporting per-language subword
+    statistics — token fertility (tokens/word) and compression
+    (chars/token), the numbers a tokenizer ablation actually reads. The
+    100 TB insight: encoding is computed ONCE PER VOCABULARY WORD (the
+    folds run on the vocabulary-sized relation), then joined back onto the
+    corpus token stream as a broadcast — the corpus-sized pass is a plain
+    equi-join + per-lang aggregation, never a per-document fold. All
+    ratios are integer/integer, so cross-engine equality is exact before
+    the 4-dp round."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("word", F.split("word", "").alias("syms"), "cnt")
+        .persist()
+    )
+    cur = words
+    for _k, _bx, _by, _pc, _merged, cur in _bpe_iterate(
+        words, BPE_MERGES, carry=("word",)
+    ):
+        pass
+    vocab = cur.select("word", F.size("syms").alias("n_sub"))
+    toks = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    out = (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subword_tokens"),
+            F.round(F.sum("n_sub") * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "tokens_per_word"
+            ),
+            F.round(
+                F.sum(F.length("word")) * F.lit(1.0) / F.sum("n_sub"), 4
+            ).alias("chars_per_token"),
+        )
+    )
+    words.unpersist()
     return out
