@@ -353,3 +353,39 @@ def test_pii_redaction_is_map_only(spark):
     plan = plan_of(SPECS["q_pii_redaction"].fn(spark, SF_DIR))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_suite_plans_are_scale_sane(spark):
+    """The TPC-H suite must compile to the star shapes its docstrings claim:
+    dimension sides broadcast, no cartesian/nested-loop joins anywhere, and
+    Q6's conjunctive scan predicates pushed into the parquet scan."""
+    for name in (
+        "q_tpch_q4",
+        "q_tpch_q5",
+        "q_tpch_q7",
+        "q_tpch_q8",
+        "q_tpch_q10",
+        "q_tpch_q13",
+        "q_tpch_q14",
+        "q_tpch_q15",
+        "q_tpch_q16",
+        "q_tpch_q17",
+        "q_tpch_q18",
+        "q_tpch_q19",
+        "q_tpch_q22",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        # the only BNLJ-class join allowed is the broadcast of a 1-row scalar
+        # (Q15 max, Q22 avg) — everything else must be hash/sort-merge equi
+        assert "BroadcastNestedLoopJoin" not in plan or name in (
+            "q_tpch_q15",
+            "q_tpch_q22",
+        ), name
+    for name in ("q_tpch_q5", "q_tpch_q8", "q_tpch_q19"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+    q6 = formatted(SPECS["q_tpch_q6"].fn(spark, SF_DIR))
+    assert "PushedFilters" in q6
+    pushed = q6.split("PushedFilters")[1][:500]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
