@@ -63,6 +63,23 @@ def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
     state; argmin ties break to the lowest cluster id in both (Spark's
     strict-< fold keeps the first index; here row_number orders by
     (d2, cid))."""
+    return f"""
+    {lloyd_cte(k, iters)}
+    SELECT
+      CAST(cid AS BIGINT)       AS cid,
+      CAST(count(*) AS BIGINT)  AS n_vecs,
+      round(avg(sqrt(d2)), 4)   AS avg_dist
+    FROM a{iters}
+    GROUP BY cid
+    """
+
+
+def lloyd_cte(k: int = K, iters: int = ITERS) -> str:
+    """The unrolled-Lloyd CTE prefix, factored out so sibling oracles can
+    build on the SAME deterministic clustering (q_kmeans_embeddings groups
+    it; q_semdedup joins within-cluster pairs onto it). Exposes ``x``
+    (exploded vectors: vec_id, i, v) and ``a{iters}`` (the final
+    assignment: vec_id, cid, d2)."""
     head = f"""
     WITH x AS MATERIALIZED (
       SELECT vec_id, s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS v
@@ -100,29 +117,16 @@ def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
       SELECT p.cid, p.i, coalesce(n.m, p.m) AS m
       FROM c{t - 1} p LEFT JOIN n{t} n ON p.cid = n.cid AND p.i = n.i
     )"""
-    return f"""
-    {head}{steps}
-    SELECT
-      CAST(cid AS BIGINT)       AS cid,
-      CAST(count(*) AS BIGINT)  AS n_vecs,
-      round(avg(sqrt(d2)), 4)   AS avg_dist
-    FROM a{iters}
-    GROUP BY cid
-    """
+    return f"{head}{steps}"
 
 
-@query("q_kmeans_embeddings", oracle=_kmeans_oracle(), tags=("ml", "iterative", "llm"))
-def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic k-means (k=8, 5 Lloyd iterations) over embeddings;
-    returns per-cluster size and dispersion. Full value-hash oracle since
-    round 3: the Lloyd loop is deterministic by construction (lowest-vec_id
-    init, lowest-id tiebreaks, 12-dp-rounded distances and means), so the
-    DuckDB oracle unrolls the identical iterations as chained CTEs and both
-    engines converge on bit-identical assignments."""
-    # cache the corpus across the Lloyd iterations — the pattern any
-    # iterative job uses at scale (each iteration re-reads the cache, not
-    # the source files); unpersisted after the loop so the returned lazy
-    # DataFrame recomputes from the scan exactly once for the caller.
+def lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the deterministic Lloyd loop and return the FINAL assignment
+    relation (vec_id, embedding, cid, d2) — shared by q_kmeans_embeddings
+    and q_semdedup so both queries (and their oracles, via ``lloyd_cte``)
+    agree on one clustering. Scale shape per iteration is documented in the
+    module docstring: broadcast-literal centroids in, one narrow assign
+    pass, one k×64 groupBy out; the driver holds only k vectors."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
     init = (
         emb.orderBy("vec_id")
@@ -148,8 +152,22 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_id = {row["cid"]: row["c"] for row in new}
         cents = [by_id.get(i, cents[i]) for i in range(K)]
     emb.unpersist()
+    return assigned
+
+
+@query("q_kmeans_embeddings", oracle=_kmeans_oracle(), tags=("ml", "iterative", "llm"))
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (k=8, 5 Lloyd iterations) over embeddings;
+    returns per-cluster size and dispersion. Full value-hash oracle since
+    round 3: the Lloyd loop is deterministic by construction (lowest-vec_id
+    init, lowest-id tiebreaks, 12-dp-rounded distances and means), so the
+    DuckDB oracle unrolls the identical iterations as chained CTEs and both
+    engines converge on bit-identical assignments. The loop itself (and
+    its corpus-persist caching discipline) lives in ``lloyd_assignments``,
+    shared with q_semdedup."""
     return (
-        assigned.groupBy("cid")
+        lloyd_assignments(spark, sf_dir)
+        .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),

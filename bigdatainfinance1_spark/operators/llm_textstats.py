@@ -788,3 +788,218 @@ def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(w * 10000).cast("long").alias("docs_at_10k"),
         )
     )
+
+
+DUP_GRAM_N = 8  # token-gram length — the suffix-array analog's unit span
+
+
+@query(
+    "q_substring_dup_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, g.pos, g.gram FROM (
+        SELECT doc_id, unnest(
+          list_transform(range(1, len(t) - {DUP_GRAM_N - 2}),
+                         i -> struct_pack(pos := i,
+                                          gram := array_to_string(t[i:i + {DUP_GRAM_N - 1}], ' ')))
+        ) AS g
+        FROM toks WHERE len(t) >= {DUP_GRAM_N}
+      )
+    ),
+    cnt AS (SELECT gram, count(*) AS c FROM g GROUP BY gram),
+    dup_occ AS (
+      SELECT g.doc_id, g.pos FROM g JOIN cnt ON g.gram = cnt.gram WHERE cnt.c >= 2
+    ),
+    covered AS (
+      SELECT doc_id, count(DISTINCT p) AS n_covered
+      FROM (SELECT doc_id, unnest(range(pos, pos + {DUP_GRAM_N})) AS p FROM dup_occ)
+      GROUP BY doc_id
+    ),
+    dup_per_doc AS (
+      SELECT doc_id, count(*) AS n_dup_grams FROM dup_occ GROUP BY doc_id
+    )
+    SELECT
+      t.doc_id,
+      CAST(len(t.t) AS BIGINT)                             AS n_tokens,
+      CAST(coalesce(d.n_dup_grams, 0) AS BIGINT)           AS n_dup_grams,
+      CAST(coalesce(c.n_covered, 0) AS BIGINT)             AS n_dup_tokens,
+      round(coalesce(c.n_covered, 0) * 1.0 / len(t.t), 4)  AS dup_frac,
+      CAST(coalesce(c.n_covered, 0) * 1.0 / len(t.t) >= 0.5 AS BOOLEAN)
+                                                           AS mostly_duplicated
+    FROM toks t
+    LEFT JOIN dup_per_doc d ON t.doc_id = d.doc_id
+    LEFT JOIN covered c ON t.doc_id = c.doc_id
+    WHERE len(t.t) >= {DUP_GRAM_N}
+    """,
+    tags=("llm-pipeline", "text", "dedup"),
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (the distributed analog of Lee et
+    al. 2021's suffix-array dedup, arXiv:2107.06499): a token 8-gram
+    occurring ≥2 times ANYWHERE in the corpus (other docs or the same doc)
+    marks all 8 of its token positions duplicated; per document we
+    report the duplicated-occurrence count, the UNION size of the covered
+    positions (overlapping spans counted once — the span-merge the
+    suffix-array method implies), the covered fraction, and the ≥50% removal
+    flag. Complements q_ngram_novelty (first-occurrence ownership) and
+    q_doc_repetition (within-doc only): this is the corpus-wide positional
+    coverage that decides how much of a doc is copied text.
+
+    Scale shape: grams travel as xxhash64 longs (8 bytes, never the ~50-byte
+    string — the _doc_shingle_hashes discipline); the pipeline is
+    explode → one groupBy(gram) count → one equi-join back → explode of the
+    fixed 8-position span → per-doc distinct-count. All shuffles key on
+    uniform hashes or doc_id; no pair join exists anywhere, so unlike
+    MinHash/SimHash tiers the cost is strictly linear in corpus tokens —
+    this is why exact-substring dedup is a pre-pass at 100 TB. The oracle
+    matching the string formulation verifies the corpus is 64-bit
+    collision-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= DUP_GRAM_N
+    )
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {DUP_GRAM_N}),"
+                f" i -> struct(i AS pos, xxhash64(concat_ws(' ', slice(t, i + 1, {DUP_GRAM_N}))) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.pos", "g.h")
+    cnt = g.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup_occ = g.join(cnt.filter(F.col("c") >= 2), "h").select("doc_id", "pos")
+    covered = (
+        dup_occ.select("doc_id", F.explode(F.expr(f"sequence(pos, pos + {DUP_GRAM_N - 1})")).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("p").alias("n_covered"))
+    )
+    dup_per_doc = dup_occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    nc = F.coalesce(F.col("n_covered"), F.lit(0))
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(dup_per_doc, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+            nc.cast("long").alias("n_dup_tokens"),
+            F.round(nc / F.col("n_tokens"), 4).alias("dup_frac"),
+            (nc / F.col("n_tokens") >= 0.5).alias("mostly_duplicated"),
+        )
+    )
+
+
+DSIR_BUCKETS = 256  # hashed-unigram feature space (paper: 10k; scaled down
+# to the synthetic vocab so buckets stay well-populated at sf0.001)
+DSIR_TARGET_LANG = "fr"  # stands in for the curated target domain
+DSIR_TOP_N = 50
+
+
+@query(
+    "q_dsir_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 4))::INT
+               % {DSIR_BUCKETS} AS f
+      FROM documents
+    ),
+    counts AS (
+      SELECT f,
+             sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN lang <> '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS cr
+      FROM toks GROUP BY f
+    ),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM counts),
+    w AS (
+      SELECT f,
+             round(ln((ct + 1.0) / (nt + {DSIR_BUCKETS}))
+                   - ln((cr + 1.0) / (nr + {DSIR_BUCKETS})), 12) AS w
+      FROM counts, tot
+    ),
+    scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens, round(sum(w.w), 6) AS dsir_score
+      FROM toks t JOIN w ON t.f = w.f
+      WHERE t.lang <> '{DSIR_TARGET_LANG}'
+      GROUP BY t.doc_id
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, s.doc_id, d.lang, d.source,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens, s.dsir_score
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rnk
+      FROM scored
+    ) s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE rnk <= {DSIR_TOP_N}
+    """,
+    tags=("llm-pipeline", "text", "sampling"),
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    arXiv:2302.03169), the hashed-n-gram variant: estimate target (lang =
+    'fr' stands in for the curated domain) and raw unigram distributions
+    over 256 hashed feature buckets with add-1 smoothing, score every
+    raw-pool document by its summed log importance ratio
+    Σ_tokens [ln p̂_target(f) − ln p̂_raw(f)], and select the top-50
+    (deterministic doc_id tiebreak) — the docs that look most like the
+    target domain. The paper resamples ∝ exp(score); the top-k rule is its
+    deterministic, oracle-able counterpart.
+
+    Scale shape: BOTH distribution estimates come from one corpus-token
+    pass (conditional agg on the bucket key — 256 groups); the weight
+    table is 256 rows, broadcast back onto the token stream; scoring
+    is one per-doc aggregation; selection is a global top-k
+    (TakeOrderedAndProject, no full sort). Nothing quadratic, no UDFs —
+    feature hashing is md5-prefix arithmetic, identical in both engines.
+    Per-bucket weights are pre-rounded at 12 dp so the per-doc sums add
+    bit-identical addends (summation order differs across engines; final
+    6-dp round absorbs the ~1e-13 reorder noise — the q_unigram_logprob
+    precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % DSIR_BUCKETS
+        ).alias("f"),
+    )
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    counts = toks.groupBy("f").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = counts.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + DSIR_BUCKETS)),
+            12,
+        ).alias("w"),
+    )
+    scored = (
+        toks.filter(~is_t)
+        .join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.round(F.sum("w"), 6).alias("dsir_score"))
+    )
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    ranked = global_row_number(
+        scored, [F.col("dsir_score").desc(), F.col("doc_id")], rn_col="rnk"
+    ).filter(F.col("rnk") <= DSIR_TOP_N)
+    meta = docs.select("doc_id", "lang", "source")
+    return ranked.join(meta, "doc_id").select(
+        F.col("rnk").cast("long").alias("rnk"),
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dsir_score",
+    )

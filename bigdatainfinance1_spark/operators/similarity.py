@@ -729,3 +729,86 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("f_neighbor").cast("long").alias("n_hits"),
         F.round(F.count("f_neighbor") * F.lit(1.0) / F.count(F.lit(1)), 6).alias("recall_at_3"),
     )
+
+
+SEMDEDUP_TAU = 0.4  # cosine prune threshold — calibrated to the synthetic
+# near-orthogonal corpus (median max-neighbor cos ≈ 0.37; τ=0.4 prunes ~4%).
+# On a real embedding corpus the paper's operating range is τ ≈ 0.93-0.96.
+
+
+def _semdedup_oracle() -> str:
+    from bigdatainfinance1_spark.operators.iterative import ITERS, lloyd_cte
+
+    cos = _COS_SQL.replace("a.embedding", "ea.embedding").replace("b.embedding", "eb.embedding")
+    return f"""
+    {lloyd_cte()},
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM a{ITERS} a
+      JOIN a{ITERS} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {cos} >= {SEMDEDUP_TAU}
+    )
+    SELECT
+      CAST(a.cid AS BIGINT)    AS cid,
+      CAST(count(*) AS BIGINT) AS n_vecs,
+      CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_pruned,
+      round(1 - sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                / count(*), 4) AS keep_rate
+    FROM a{ITERS} a LEFT JOIN pruned p ON a.vec_id = p.vec_id
+    GROUP BY a.cid
+    """
+
+
+@query("q_semdedup", oracle=_semdedup_oracle(), tags=("similarity", "dedup", "llm", "iterative"))
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 (semantic tier) — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster the embedding corpus with deterministic k-means, then prune,
+    WITHIN each cluster only, every vector that has a cosine-≥-τ neighbor
+    with a lower vec_id (the deterministic keep-lowest representative rule).
+    Returns the per-cluster dedup ledger (size, pruned count, keep rate).
+
+    This is the scale answer to q_embedding_neardup's all-pairs verifier:
+    clustering bounds the quadratic — pair work is Σ_k n_k² instead of n²,
+    and each cluster's pair join is an equi-join on cid, so no pair ever
+    crosses clusters (the paper's core accuracy/cost trade). At 100 TB the
+    knob is k: grow it ∝ corpus (the paper runs k=50k on LAION) so cluster
+    sizes — and thus per-task pair blocks — stay bounded; here k=8 matches
+    the shared q_kmeans_embeddings clustering so both oracles unroll ONE
+    Lloyd loop. Cosines are sequential double folds on both engines
+    (bit-identical, the q_embedding_neardup precedent); cluster assignment
+    determinism is the 12-dp-rounded Lloyd of iterative.py.
+    """
+    from bigdatainfinance1_spark.operators.iterative import lloyd_assignments
+
+    assigned = lloyd_assignments(spark, sf_dir).withColumn("nrm", l2_norm("embedding"))
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cos", dot("e1", "e2") / F.nullif(F.col("n1") * F.col("n2"), F.lit(0.0)))
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        assigned.join(pruned, "vec_id", "left")
+        .groupBy(F.col("cid").cast("long").alias("cid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_pruned"), F.lit(0))).cast("long").alias("n_pruned"),
+            F.round(
+                1 - F.sum(F.coalesce(F.col("is_pruned"), F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("keep_rate"),
+        )
+    )

@@ -85,6 +85,10 @@ QUERIES = [
     "q_bm25_topk",
     "q_bigram_lm_perplexity",
     "q_quality_filter_sweep",
+    # round-3 second wave: paper-backed curation additions
+    "q_semdedup",
+    "q_substring_dup_spans",
+    "q_dsir_select",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
