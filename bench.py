@@ -74,6 +74,17 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(specs[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Untimed inter-query hygiene: drop Python refs so the ContextCleaner
+        # reclaims localCheckpoint RDDs and shuffle files the previous query
+        # left on the executors, and nudge the JVM to actually run the
+        # cleanup. Without this, queries that follow heavy checkpointing
+        # (q_user_cf_neighbors) measure the predecessor's memory pressure,
+        # not their own plan (observed: q_minhash_lsh 56 s in-suite vs 11 s
+        # standalone on the same session).
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     r1_total = round(sum(timings[n] for n in HEADLINE[:R1_HEADLINE_N]), 3)
@@ -87,7 +98,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries_registered": len(specs),
                 "r1_headline_seconds": r1_total,
-                "note": "headline set expanded in round 3 (13 -> 20 queries); "
+                "note": "headline set expanded in round 3 (13 -> 22 queries); "
                 "compare r1_headline_seconds against the 19.3 s round-1 baseline, "
                 "per-query rows in BASELINE.md for the rest",
             }
