@@ -1003,3 +1003,196 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         "dsir_score",
     )
+
+
+@query(
+    "q_gopher_rules",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             sum(c)                                   AS n,
+             count(*)                                 AS ndist,
+             max(c)                                   AS topc,
+             max(CASE WHEN tok = 'the' THEN 1 ELSE 0 END) AS has_the,
+             max(CASE WHEN tok = 'a'   THEN 1 ELSE 0 END) AS has_a
+      FROM tf GROUP BY doc_id
+    ),
+    rules AS (
+      SELECT d.source,
+             (p.n BETWEEN 20 AND 90)                            AS r_len,
+             ((d.n_chars - (p.n - 1)) * 1.0 / p.n BETWEEN 4.25 AND 4.75) AS r_mwl,
+             (p.ndist * 1.0 / p.n >= 0.40)                      AS r_ttr,
+             (p.topc * 1.0 / p.n <= 0.12)                       AS r_rep,
+             (p.has_the + p.has_a = 2)                          AS r_stop
+      FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+    )
+    SELECT
+      source,
+      CAST(count(*) AS BIGINT)                        AS n_docs,
+      CAST(sum(r_len::INT) AS BIGINT)                 AS pass_len,
+      CAST(sum(r_mwl::INT) AS BIGINT)                 AS pass_mean_word_len,
+      CAST(sum(r_ttr::INT) AS BIGINT)                 AS pass_type_token,
+      CAST(sum(r_rep::INT) AS BIGINT)                 AS pass_repetition,
+      CAST(sum(r_stop::INT) AS BIGINT)                AS pass_stopword,
+      CAST(sum((r_len AND r_mwl AND r_ttr AND r_rep AND r_stop)::INT) AS BIGINT)
+                                                      AS pass_all,
+      round(sum((r_len AND r_mwl AND r_ttr AND r_rep AND r_stop)::INT) * 1.0
+            / count(*), 4)                            AS survival_rate
+    FROM rules GROUP BY source
+    """,
+    tags=("llm-pipeline", "text", "quality"),
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-bundle quality filter (Rae et al. 2021,
+    arXiv:2112.11446 — the repetition/length/stopword heuristic family
+    RefinedWeb and Dolma reuse), recalibrated to this synthetic corpus so
+    every rule has bite (the paper's symbol/alphabetic rules are vacuous on
+    pure a-z text and are deliberately omitted): token count in [20, 90],
+    mean word length in [4.25, 4.75], type-token ratio ≥ 0.40, top-token
+    frequency ≤ 0.12 (the duplicate-line analog), and both 'the' and 'a'
+    present (the ≥2-stopwords rule). Output is the per-source survival
+    ledger — per-rule pass counts plus the all-rules survival rate, the
+    relation a curation run reads to decide which crawl sources to drop.
+
+    Scale shape: one explode → (doc, token) count → per-doc rollup — the
+    q_doc_repetition shuffle pattern, strictly linear with doc-bounded
+    groups; rules are arithmetic on exact integer counts (mean word length
+    reuses n_chars: (bytes − spaces)/tokens — no second tokenize pass), so
+    both engines compare bit-identical doubles derived from the same
+    integers; no rounding is needed anywhere but the final rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("ndist"),
+        F.max("c").alias("topc"),
+        F.max(F.when(F.col("tok") == "the", 1).otherwise(0)).alias("has_the"),
+        F.max(F.when(F.col("tok") == "a", 1).otherwise(0)).alias("has_a"),
+    )
+    j = per_doc.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    mwl = (F.col("n_chars") - (F.col("n") - 1)) * 1.0 / F.col("n")
+    r_len = F.col("n").between(20, 90)
+    r_mwl = mwl.between(4.25, 4.75)
+    r_ttr = F.col("ndist") * 1.0 / F.col("n") >= 0.40
+    r_rep = F.col("topc") * 1.0 / F.col("n") <= 0.12
+    r_stop = (F.col("has_the") + F.col("has_a")) == 2
+    r_all = r_len & r_mwl & r_ttr & r_rep & r_stop
+    as_i = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_i(r_len).alias("pass_len"),
+        as_i(r_mwl).alias("pass_mean_word_len"),
+        as_i(r_ttr).alias("pass_type_token"),
+        as_i(r_rep).alias("pass_repetition"),
+        as_i(r_stop).alias("pass_stopword"),
+        as_i(r_all).alias("pass_all"),
+        F.round(F.sum(r_all.cast("int")) * 1.0 / F.count(F.lit(1)), 4).alias("survival_rate"),
+    )
+
+
+UNIMAX_EPOCH_CAP_X10 = 12  # 1.2-epoch cap, kept as n*12/10 so the capacity
+# double derives from exact integer arithmetic identically in both engines
+
+
+@query(
+    "q_unimax_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, sum(len(string_split(text, ' '))) AS n FROM documents GROUP BY lang
+    ),
+    budget AS (SELECT sum(n) AS b, count(*) AS l FROM counts),
+    capd AS (SELECT lang, n, n * {UNIMAX_EPOCH_CAP_X10} / 10.0 AS c FROM counts),
+    ordered AS (
+      SELECT a.lang, a.n, a.c,
+             CAST(count(b.lang) + 1 AS BIGINT) AS rn,
+             coalesce(sum(b.c), 0)             AS cum_before
+      FROM capd a
+      LEFT JOIN capd b ON (b.c, b.lang) < (a.c, a.lang)
+      GROUP BY a.lang, a.n, a.c
+    ),
+    flags AS (
+      SELECT o.*, b.b, b.l,
+             (o.c <= (b.b - o.cum_before) / (b.l - o.rn + 1)) AS capped
+      FROM ordered o, budget b
+    ),
+    lvl AS (
+      SELECT (max(b) - sum(CASE WHEN capped THEN c ELSE 0 END))
+             / nullif(sum(CASE WHEN NOT capped THEN 1 ELSE 0 END), 0) AS t
+      FROM flags
+    )
+    SELECT f.lang, CAST(f.n AS BIGINT) AS n_tokens, round(f.c, 4) AS capacity,
+           f.capped,
+           round(CASE WHEN f.capped THEN f.c ELSE l.t END, 4)       AS allocation,
+           round(CASE WHEN f.capped THEN f.c ELSE l.t END / f.n, 4) AS epochs
+    FROM flags f, lvl l
+    """,
+    tags=("llm-pipeline", "text", "sampling"),
+)
+def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023,
+    arXiv:2304.09151): distribute one corpus-worth of training tokens
+    across languages as uniformly as possible subject to a per-language
+    epoch cap (1.2 epochs of that language's data) — the water-filling
+    closed form: sort languages by capacity ascending, a language is
+    capped iff its capacity fits under the running fair share
+    (B − cum_before)/(languages left); everyone else gets the common
+    water level t = (B − Σ capped capacities)/#uncapped. Allocations sum
+    exactly to the budget. This is the principled alternative to
+    q_temperature_mixture's power law: low-resource languages are never
+    over-epoched past the cap, high-resource ones absorb the slack.
+
+    Scale shape: one narrow per-doc size(split) aggregation (the ONLY pass
+    over the corpus — no explode) into a language-cardinality relation;
+    the ordering/prefix sums use a triangular self-join on that bounded
+    relation (the functions/ranks.py _prefix_offsets pattern — never a
+    global window), and everything downstream is arithmetic on one
+    broadcast row. Capacities are n·12/10.0 — exact-integer products
+    divided once — so both engines compare bit-identical doubles and only
+    the display columns round."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.sum(F.size(F.split("text", " "))).alias("n"))
+    budget = counts.agg(F.sum("n").alias("b"), F.count(F.lit(1)).alias("l"))
+    capd = counts.select("lang", "n", (F.col("n") * UNIMAX_EPOCH_CAP_X10 / 10.0).alias("c"))
+    a = capd.select(F.col("lang").alias("a_lang"), F.col("n").alias("a_n"), F.col("c").alias("a_c"))
+    b = capd.select(F.col("lang").alias("b_lang"), F.col("c").alias("b_c"))
+    ordered = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b_c") < F.col("a_c"))
+            | ((F.col("b_c") == F.col("a_c")) & (F.col("b_lang") < F.col("a_lang"))),
+            "left",
+        )
+        .groupBy("a_lang", "a_n", "a_c")
+        .agg(
+            (F.count("b_lang") + 1).cast("long").alias("rn"),
+            F.coalesce(F.sum("b_c"), F.lit(0.0)).alias("cum_before"),
+        )
+    )
+    flags = ordered.crossJoin(F.broadcast(budget)).withColumn(
+        "capped",
+        F.col("a_c") <= (F.col("b") - F.col("cum_before")) / (F.col("l") - F.col("rn") + 1),
+    )
+    lvl = flags.agg(
+        (
+            (F.max("b") - F.sum(F.when(F.col("capped"), F.col("a_c")).otherwise(0.0)))
+            / F.nullif(F.sum(F.when(~F.col("capped"), 1).otherwise(0)), F.lit(0))
+        ).alias("t")
+    )
+    alloc = F.when(F.col("capped"), F.col("a_c")).otherwise(F.col("t"))
+    return flags.crossJoin(F.broadcast(lvl)).select(
+        F.col("a_lang").alias("lang"),
+        F.col("a_n").cast("long").alias("n_tokens"),
+        F.round("a_c", 4).alias("capacity"),
+        "capped",
+        F.round(alloc, 4).alias("allocation"),
+        F.round(alloc / F.col("a_n"), 4).alias("epochs"),
+    )

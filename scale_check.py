@@ -89,6 +89,8 @@ QUERIES = [
     "q_semdedup",
     "q_substring_dup_spans",
     "q_dsir_select",
+    "q_gopher_rules",
+    "q_unimax_mixture",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
