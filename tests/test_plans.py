@@ -389,3 +389,54 @@ def test_tpch_suite_plans_are_scale_sane(spark):
     assert "PushedFilters" in q6
     pushed = q6.split("PushedFilters")[1][:500]
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_curation_wave_plans_stay_bucketed_and_jvm_side(spark):
+    """Round-3 curation additions: q_semdedup's pair stage must be a cid
+    equi-join (the cluster-bounded quadratic is SemDeDup's point — never a
+    cartesian); q_substring_dup_spans and q_gopher_rules are linear
+    explode→groupBy→equi-join pipelines with no nested loop at all;
+    q_dsir_select's only nested loop is the bounded 1-row/256-row broadcast
+    scalar class; none of them may fall back to Python evaluation."""
+    for name, allow_bnlj in (
+        ("q_semdedup", False),
+        ("q_substring_dup_spans", False),
+        ("q_gopher_rules", False),
+        ("q_dsir_select", True),   # 1-row totals broadcast (scalar class)
+        ("q_unimax_mixture", True),  # 1-row budget/level broadcasts
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        if not allow_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_unimax_allocations_sum_to_budget(spark):
+    """Water-filling invariant: Σ allocation == token budget (one corpus-
+    worth), every capped language sits exactly at capacity, every uncapped
+    one strictly above every capped capacity (the water-level property)."""
+    rows = SPECS["q_unimax_mixture"].fn(spark, SF_DIR).collect()
+    budget = sum(r["n_tokens"] for r in rows)
+    assert abs(sum(r["allocation"] for r in rows) - budget) < 1e-4 * budget
+    capped_caps = [r["capacity"] for r in rows if r["capped"]]
+    uncapped_allocs = [r["allocation"] for r in rows if not r["capped"]]
+    for r in rows:
+        if r["capped"]:
+            assert r["allocation"] == r["capacity"]
+    for a in uncapped_allocs:
+        assert all(a >= c - 1e-9 for c in capped_caps)
+
+
+def test_substring_dup_spans_coverage_bounds(spark):
+    """Positional-coverage invariants: covered tokens never exceed doc
+    length; a doc with duplicated grams covers at least 8 positions; a doc
+    with zero duplicated grams covers zero."""
+    rows = SPECS["q_substring_dup_spans"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_tokens"] <= r["n_tokens"]
+        if r["n_dup_grams"] > 0:
+            assert r["n_dup_tokens"] >= 8
+        else:
+            assert r["n_dup_tokens"] == 0
