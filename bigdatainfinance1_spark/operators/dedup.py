@@ -909,3 +909,65 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@query(
+    "q_softdedup_weights",
+    oracle=f"""
+    WITH ds AS ({_SHINGLES_SQL}),
+    df AS (SELECT s, count(*) AS df FROM ds GROUP BY s),
+    per_doc AS (
+      SELECT d.doc_id,
+             count(*)            AS n_shingles,
+             sum(f.df)           AS sum_df
+      FROM ds d JOIN df f ON d.s = f.s
+      GROUP BY d.doc_id
+    )
+    SELECT
+      doc.source,
+      CAST(count(*) AS BIGINT)                               AS n_docs,
+      round(avg(p.sum_df * 1.0 / p.n_shingles), 6)           AS avg_commonness,
+      round(sum(p.n_shingles * 1.0 / p.sum_df), 6)           AS effective_docs,
+      round(sum(p.n_shingles * 1.0 / p.sum_df) / count(*), 6) AS retention
+    FROM per_doc p JOIN documents doc ON p.doc_id = doc.doc_id
+    GROUP BY doc.source
+    """,
+    tags=("dedup", "llm", "sampling"),
+)
+def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication by reweighting (the SoftDedup idea, He et al.
+    2024, arXiv:2407.06654): instead of REMOVING near-duplicate documents,
+    down-weight each document by its data commonness — here the mean
+    corpus document-frequency of its distinct 3-word shingles — giving
+    sampling weight w = 1/commonness ∈ (0, 1] (fully-unique docs keep
+    weight 1; boilerplate-heavy docs shrink smoothly). Reported per source:
+    mean commonness, the effective dataset size Σw, and the retention
+    ratio Σw/n — the number a curation run compares against hard-dedup's
+    removal rate to decide which posture loses less signal.
+
+    Scale shape: identical to q_ngram_novelty — shingles travel as
+    xxhash64 longs into one corpus-wide DF aggregation (uniform key), one
+    equi-join back, one per-doc rollup, one per-source rollup; strictly
+    linear, no pair join (removal-free dedup has no pair stage AT ALL —
+    that is its scale advantage over the MinHash tiers). Commonness and
+    weights are exact-integer ratios divided once; only the final
+    per-source aggregates round."""
+    ds = _doc_shingle_hashes(spark, sf_dir)
+    df = ds.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        ds.join(df, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"), F.sum("df").alias("sum_df"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.col("n_shingles") * 1.0 / F.col("sum_df")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("sum_df") * 1.0 / F.col("n_shingles")), 6).alias("avg_commonness"),
+            F.round(F.sum(w), 6).alias("effective_docs"),
+            F.round(F.sum(w) / F.count(F.lit(1)), 6).alias("retention"),
+        )
+    )

@@ -1196,3 +1196,111 @@ def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc, 4).alias("allocation"),
         F.round(alloc / F.col("a_n"), 4).alias("epochs"),
     )
+
+
+@query(
+    "q_ccnet_ppl_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bge AS (
+      SELECT doc_id, lang, t.t[u.i] AS w1, t.t[u.i + 1] AS w2
+      FROM t, unnest(range(1, len(t.t))) AS u(i)
+    ),
+    c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM bge GROUP BY lang, w1, w2),
+    c1 AS (SELECT lang, w1, count(*) AS c1 FROM bge GROUP BY lang, w1),
+    v AS (
+      SELECT lang, count(DISTINCT tok) AS v
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang
+    ),
+    ppl AS (
+      SELECT g.doc_id, g.lang,
+             round(exp(-round(sum(ln((c12.c12 + 1.0) / (c1.c1 + v.v))) / count(*), 6)), 4)
+               AS perplexity
+      FROM bge g
+      JOIN c12 USING (lang, w1, w2)
+      JOIN c1 USING (lang, w1)
+      JOIN v USING (lang)
+      GROUP BY g.doc_id, g.lang
+    ),
+    bucketed AS (
+      SELECT lang, perplexity,
+             ntile(3) OVER (PARTITION BY lang ORDER BY perplexity, doc_id) AS b
+      FROM ppl
+    )
+    SELECT
+      lang,
+      CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+      CAST(count(*) AS BIGINT)  AS n_docs,
+      round(min(perplexity), 4) AS min_ppl,
+      round(max(perplexity), 4) AS max_ppl,
+      round(avg(perplexity), 4) AS avg_ppl
+    FROM bucketed
+    GROUP BY lang, b
+    """,
+    tags=("llm-pipeline", "text", "quality"),
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality partition (Wenzek et al. 2020, arXiv:1911.00359):
+    score every document's perplexity under a PER-LANGUAGE add-1 bigram LM
+    trained on the corpus itself (CCNet trains per-language KenLM models —
+    a single global LM would mark every non-dominant language 'tail'), then
+    split each language into head/middle/tail perplexity terciles and
+    report each bucket's size and perplexity range. Downstream pipelines
+    keep 'head', sample 'middle', and drop or re-score 'tail' — this
+    relation IS that decision table.
+
+    Scale shape: the q_bigram_lm_perplexity pipeline with lang added to
+    every model key — model tables stay vocabulary-sized per language and
+    broadcast-or-shuffle under AQE; the tercile cut is an ntile window
+    partitioned by lang ordered on (rounded ppl, doc_id), engine-stable
+    and one shuffle. The perplexity rounds BEFORE ranking so both engines
+    order identical doubles (the exp-of-rounded-mean posture of the
+    parent query)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bge = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "lang", "b.w1", "b.w2")
+    c12 = bge.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bge.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    avg_lp = F.round(F.sum("lp") / F.count(F.lit(1)), 6)
+    ppl = (
+        bge.join(c12, ["lang", "w1", "w2"])
+        .join(c1, ["lang", "w1"])
+        .join(F.broadcast(v), "lang")
+        .select(
+            "doc_id", "lang", F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.exp(-avg_lp), 4).alias("perplexity"))
+    )
+    w = Window.partitionBy("lang").orderBy("perplexity", "doc_id")
+    bucketed = ppl.withColumn("b", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("b") == 1, "head").when(F.col("b") == 2, "middle").otherwise("tail")
+    )
+    return (
+        bucketed.select("lang", bucket.alias("bucket"), "perplexity")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("perplexity"), 4).alias("min_ppl"),
+            F.round(F.max("perplexity"), 4).alias("max_ppl"),
+            F.round(F.avg("perplexity"), 4).alias("avg_ppl"),
+        )
+    )

@@ -91,6 +91,8 @@ QUERIES = [
     "q_dsir_select",
     "q_gopher_rules",
     "q_unimax_mixture",
+    "q_softdedup_weights",
+    "q_ccnet_ppl_buckets",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
