@@ -1237,7 +1237,12 @@ def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(count(*) AS BIGINT)  AS n_docs,
       round(min(perplexity), 4) AS min_ppl,
       round(max(perplexity), 4) AS max_ppl,
-      round(avg(perplexity), 4) AS avg_ppl
+      -- exact-integer mean: the 4-dp perplexities sum as x10^4 BIGINTs so
+      -- the bucket mean is order-independent (a plain avg() of doubles
+      -- flipped the 4th dp between engines at sf0.001 — the integer-cents
+      -- money rule applied to scores)
+      round(sum(CAST(round(perplexity * 10000) AS BIGINT)) / (10000.0 * count(*)), 4)
+                                AS avg_ppl
     FROM bucketed
     GROUP BY lang, b
     """,
@@ -1301,6 +1306,12 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.min("perplexity"), 4).alias("min_ppl"),
             F.round(F.max("perplexity"), 4).alias("max_ppl"),
-            F.round(F.avg("perplexity"), 4).alias("avg_ppl"),
+            # exact-integer mean (see oracle comment): sum x10^4 BIGINTs so
+            # partial-aggregation order can never flip the 4th dp
+            F.round(
+                F.sum(F.round(F.col("perplexity") * 10000).cast("long"))
+                / (F.count(F.lit(1)) * 10000.0),
+                4,
+            ).alias("avg_ppl"),
         )
     )
