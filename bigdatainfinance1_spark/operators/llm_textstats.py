@@ -1119,10 +1119,20 @@ UNIMAX_EPOCH_CAP_X10 = 12  # 1.2-epoch cap, kept as n*12/10 so the capacity
       LEFT JOIN capd b ON (b.c, b.lang) < (a.c, a.lang)
       GROUP BY a.lang, a.n, a.c
     ),
-    flags AS (
+    flags0 AS (
       SELECT o.*, b.b, b.l,
-             (o.c <= (b.b - o.cum_before) / (b.l - o.rn + 1)) AS capped
+             (o.c <= (b.b - o.cum_before) / (b.l - o.rn + 1)) AS ok
       FROM ordered o, budget b
+    ),
+    -- capped = prefix-AND of ok: max-min fairness caps a PREFIX of the
+    -- ascending order; once one language is uncapped every larger one is
+    -- too (the per-row condition alone mis-caps e.g. capacities [1,1] at
+    -- budget 1 — caught by the waterfill property test in test_fuzz.py)
+    flags AS (
+      SELECT a.lang, a.n, a.c, a.rn, a.cum_before, a.b, a.l,
+             bool_and(p.ok) AS capped
+      FROM flags0 a JOIN flags0 p ON p.rn <= a.rn
+      GROUP BY a.lang, a.n, a.c, a.rn, a.cum_before, a.b, a.l
     ),
     lvl AS (
       SELECT (max(b) - sum(CASE WHEN capped THEN c ELSE 0 END))
@@ -1142,11 +1152,15 @@ def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:2304.09151): distribute one corpus-worth of training tokens
     across languages as uniformly as possible subject to a per-language
     epoch cap (1.2 epochs of that language's data) — the water-filling
-    closed form: sort languages by capacity ascending, a language is
-    capped iff its capacity fits under the running fair share
-    (B − cum_before)/(languages left); everyone else gets the common
-    water level t = (B − Σ capped capacities)/#uncapped. Allocations sum
-    exactly to the budget. This is the principled alternative to
+    closed form: sort languages by capacity ascending; the capped set is
+    the longest PREFIX in which each capacity fits under the running fair
+    share (B − cum_before)/(languages left) — max-min fairness never caps
+    past the first failure (prefix-AND; the test_fuzz.py waterfill
+    property verifies this rule against the sequential greedy on random
+    inputs, and caught the per-row-only formulation mis-capping [1,1] at
+    budget 1); everyone else gets the common water level
+    t = (B − Σ capped capacities)/#uncapped. Allocations sum exactly to
+    the budget. This is the principled alternative to
     q_temperature_mixture's power law: low-resource languages are never
     over-epoched past the cap, high-resource ones absorb the slack.
 
@@ -1177,9 +1191,17 @@ def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("b_c"), F.lit(0.0)).alias("cum_before"),
         )
     )
-    flags = ordered.crossJoin(F.broadcast(budget)).withColumn(
-        "capped",
+    flags0 = ordered.crossJoin(F.broadcast(budget)).withColumn(
+        "ok",
         F.col("a_c") <= (F.col("b") - F.col("cum_before")) / (F.col("l") - F.col("rn") + 1),
+    )
+    # capped = prefix-AND of ok (see the oracle comment): one more bounded
+    # triangular join on the language relation, min(ok) over rn' <= rn
+    pref = flags0.select(F.col("rn").alias("p_rn"), F.col("ok").alias("p_ok"))
+    flags = (
+        flags0.join(F.broadcast(pref), F.col("p_rn") <= F.col("rn"))
+        .groupBy("a_lang", "a_n", "a_c", "rn", "cum_before", "b", "l")
+        .agg(F.min("p_ok").alias("capped"))
     )
     lvl = flags.agg(
         (

@@ -391,3 +391,60 @@ def test_bpe_trainer_matches_reference_on_adversarial_vocab(spark):
         for r in _bpe_train_words(words, 4).orderBy("merge_rank").collect()
     ]
     assert got == _bpe_train_reference(vocab, 4)
+
+
+# ---------------------------------------------------------------------------
+# UniMax water-filling property: the closed-form prefix rule implemented in
+# q_unimax_mixture (a language is capped iff its capacity fits under the
+# running fair share, everyone else splits the slack evenly) must equal the
+# sequential greedy reference on random capacity vectors.
+# ---------------------------------------------------------------------------
+
+
+def _waterfill_closed_form(caps: list[float], budget: float) -> list[float]:
+    """The q_unimax_mixture rule: sort ascending, capped PREFIX (the first
+    failure ends it — max-min fairness caps a prefix of the ascending
+    order, never a later item; an earlier per-row formulation without the
+    prefix cut-off mis-capped [1,1] at budget 1 and was caught by this
+    very test), then the common level t splits the slack."""
+    order = sorted(range(len(caps)), key=lambda i: (caps[i], i))
+    L = len(caps)
+    cum = 0.0
+    capped = []
+    for rn, i in enumerate(order, start=1):
+        if caps[i] <= (budget - cum) / (L - rn + 1):
+            capped.append(i)
+            cum += caps[i]
+        else:
+            break
+    uncapped = [i for i in order if i not in capped]
+    t = (budget - cum) / len(uncapped) if uncapped else None
+    return [caps[i] if i in capped else t for i in range(len(caps))]
+
+
+def _waterfill_reference(caps: list[float], budget: float) -> list[float]:
+    """Sequential greedy: ascending capacities, each takes min(cap, fair
+    share of what remains) — the textbook max-min fair allocation."""
+    order = sorted(range(len(caps)), key=lambda i: (caps[i], i))
+    alloc = [0.0] * len(caps)
+    remaining = budget
+    left = len(caps)
+    for i in order:
+        share = remaining / left
+        alloc[i] = min(caps[i], share)
+        remaining -= alloc[i]
+        left -= 1
+    return alloc
+
+
+@settings(max_examples=100, deadline=None, derandomize=True)
+@given(
+    caps=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=10),
+    budget_pct=st.integers(min_value=1, max_value=99),
+)
+def test_waterfill_closed_form_equals_greedy(caps, budget_pct):
+    budget = sum(caps) * budget_pct / 100.0
+    a = _waterfill_closed_form([float(c) for c in caps], budget)
+    b = _waterfill_reference([float(c) for c in caps], budget)
+    assert all(abs(x - y) < 1e-9 * max(1.0, budget) for x, y in zip(a, b))
+    assert abs(sum(a) - budget) < 1e-9 * max(1.0, budget)
