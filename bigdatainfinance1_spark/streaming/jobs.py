@@ -1131,3 +1131,135 @@ def stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hll_estimate"),
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents table — the read_events_stream staging
+    recipe (4-file parquet stage keyed by a source fingerprint,
+    maxFilesPerTrigger=2 for a genuine multi-micro-batch replay), for the
+    document-pipeline streaming operators. No event-time ordering is needed:
+    the consumers are watermark-free (broadcast joins + complete-mode aggs)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fingerprint = f"{sf_dir}|documents.parquet:{st.st_size}:{st.st_mtime_ns}"
+    stage = (
+        "/tmp/bigdatainfinance1_stream_stage/docs_"
+        + hashlib.md5(fingerprint.encode()).hexdigest()[:12]
+    )
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(4).write.mode("overwrite").parquet(
+            stage
+        )
+    schema = spark.read.parquet(stage).schema
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(stage)
+
+
+def _rowwise_band_keys():
+    """Per-ROW md5 MinHash band keys for a document `text` column: shingle
+    strings, 32 seeded md5 minhashes, 8 band keys — all higher-order
+    functions on the row, NO aggregation. min over shingles WITH
+    multiplicity equals min over the distinct set, so this per-row form is
+    bit-identical to the batch groupBy formulation (and the DuckDB oracle).
+    Returns the exploded (band, band_key) column."""
+    from bigdatainfinance1_spark.operators.dedup import N_BANDS, N_PERM
+
+    r = N_PERM // N_BANDS
+    shingles = (
+        "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+    )
+    sig = (
+        f"transform(sequence(0, {N_PERM - 1}),"
+        f" k -> array_min(transform(sh, s -> md5(concat(cast(k AS string), ':', s)))))"
+    )
+    bands = (
+        f"transform(sequence(0, {N_BANDS - 1}),"
+        f" b -> struct(b AS band, md5(concat_ws(',', slice(sig, b * {r} + 1, {r}))) AS band_key))"
+    )
+    return shingles, sig, bands
+
+
+_STREAM_MINHASH_SQL = """
+    WITH ds AS (
+      SELECT DISTINCT doc_id, unnest(
+        list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ) AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minh
+      FROM ds CROSS JOIN (SELECT unnest(range(0, 32)) AS seed) seeds
+      GROUP BY doc_id, seed
+    ),
+    band_sig AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+      FROM sig GROUP BY doc_id, band
+    ),
+    hits AS (
+      SELECT DISTINCT n.doc_id AS doc_id, s.doc_id AS seen_id
+      FROM band_sig n
+      JOIN band_sig s ON n.band = s.band AND n.band_key = s.band_key
+      WHERE n.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seen_candidates,
+           min(seen_id) AS first_seen_match
+    FROM hits GROUP BY doc_id
+"""
+
+
+@query("q_stream_minhash_dedup", oracle=_STREAM_MINHASH_SQL, tags=("streaming", "dedup", "llm"))
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate detection against a static index — the
+    production shape for deduplicating an INCOMING crawl against the
+    already-ingested corpus (the asymmetric counterpart of the batch
+    q_minhash_lsh, streamed): even doc_ids stand in for the seen corpus and
+    build a (band, band_key → doc_id) LSH index once, batch-side; odd
+    doc_ids arrive as a document stream, compute their 32-permutation md5
+    MinHash signature and 8 band keys ENTIRELY per-row (higher-order
+    functions — no aggregation, so no shuffle and no state before the
+    join; min over shingles with multiplicity ≡ min over the distinct set,
+    which is what makes the rowwise form equal the batch/oracle
+    formulation), and probe the broadcast index with a band equi-join.
+    Candidate pairs dedupe across bands in-stream (stateful
+    dropDuplicates) and aggregate per new document. At 100 TB the seen
+    index shards by band_key instead of broadcasting and the probe becomes
+    a shuffle equi-join — same plan class; state is bounded by candidate
+    pairs in both layouts. Verification tier (exact Jaccard on candidates)
+    stays batch-side: q_minhash_lsh."""
+    docs_stream = read_documents_stream(spark, sf_dir)
+    shingles, sig, bands = _rowwise_band_keys()
+    new_docs = (
+        docs_stream.filter((F.col("doc_id") % 2 == 1))
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .withColumn("sh", F.expr(shingles))
+        .withColumn("sig", F.expr(sig))
+        .select("doc_id", F.explode(F.expr(bands)).alias("bk"))
+        .select("doc_id", "bk.band", "bk.band_key")
+    )
+    seen = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .withColumn("sh", F.expr(shingles))
+        .withColumn("sig", F.expr(sig))
+        .select(
+            F.col("doc_id").alias("seen_id"), F.explode(F.expr(bands)).alias("bk")
+        )
+        .select("seen_id", "bk.band", "bk.band_key")
+    )
+    hits = (
+        new_docs.join(F.broadcast(seen), ["band", "band_key"])
+        .select("doc_id", "seen_id")
+        .dropDuplicates(["doc_id", "seen_id"])
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen_candidates"),
+        F.min("seen_id").alias("first_seen_match"),
+    )
+    return run_to_table(agg, "complete")
