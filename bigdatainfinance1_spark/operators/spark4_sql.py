@@ -169,3 +169,52 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'revenue', revenue, 'n_orders', n_orders, 'avg_value', avg_value)"
         ).alias("metric", "value"),
     )
+
+
+@query(
+    "q_sql_variables",
+    oracle="""
+    SELECT
+      l_returnflag,
+      CAST(count(*) AS BIGINT) AS n_items,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 25
+    GROUP BY l_returnflag
+    """,
+    tags=("spark4", "sql", "relational"),
+)
+def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL session variables + EXECUTE IMMEDIATE: the parameterized-
+    report pattern — DECLARE the discount band and quantity cutoff as
+    session variables, then run the revenue query as a parameterized SQL
+    text with `USING` placeholders (the way a scheduled report re-runs one
+    audited query text under different parameters without string
+    interpolation — injection-safe and plan-cache-friendly). The variables
+    are session-scoped and DECLARE OR REPLACE'd so repeated registry runs
+    start clean. Revenue follows the exact-integer-cents money rule. The oracle
+    inlines the same constants (parameterization is engine surface, not
+    semantics — which is precisely what the hash match demonstrates)."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE min_disc DOUBLE DEFAULT 0.02")
+    spark.sql("DECLARE OR REPLACE VARIABLE max_disc DOUBLE DEFAULT 0.08")
+    spark.sql("DECLARE OR REPLACE VARIABLE max_qty DOUBLE DEFAULT 25.0")
+    df = spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT l_returnflag,
+                  CAST(count(*) AS BIGINT) AS n_items,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                    AS revenue_cents
+           FROM lineitem
+           WHERE l_discount BETWEEN ? AND ?
+             AND l_quantity < ?
+           GROUP BY l_returnflag'
+          USING min_disc, max_disc, max_qty
+        """
+    )
+    return df
