@@ -93,6 +93,8 @@ QUERIES = [
     "q_unimax_mixture",
     "q_softdedup_weights",
     "q_ccnet_ppl_buckets",
+    "q_stream_minhash_dedup",
+    "q_sql_variables",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
