@@ -1337,3 +1337,69 @@ def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_ppl"),
         )
     )
+
+
+PACK_BATCH = 32  # docs per training batch
+PACK_MAXLEN = 128  # model context length (truncation bound)
+
+
+@query(
+    "q_length_bucket_padding",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, least(len(string_split(text, ' ')), {PACK_MAXLEN}) AS n
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n, row_number() OVER (ORDER BY n, doc_id) AS rn FROM lens
+    ),
+    batches AS (
+      SELECT (rn - 1) // {PACK_BATCH} AS batch_id, n FROM ranked
+    )
+    SELECT
+      CAST(batch_id AS BIGINT)              AS batch_id,
+      CAST(count(*) AS BIGINT)              AS n_docs,
+      CAST(max(n) AS BIGINT)                AS batch_maxlen,
+      CAST(sum(n) AS BIGINT)                AS real_tokens,
+      CAST(max(n) * count(*) AS BIGINT)     AS padded_tokens,
+      round(1 - sum(n) * 1.0 / (max(n) * count(*)), 4) AS pad_waste
+    FROM batches GROUP BY batch_id
+    """,
+    tags=("llm-pipeline", "text", "batching"),
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batching ledger — the padding-efficiency relation
+    behind every trainer's `group_by_length` flag: sort documents by
+    (truncated) token length, cut into consecutive batches of 32, pad
+    each batch to its own max; report per batch the real vs padded token
+    counts and the padding-waste fraction (near 0 for length-grouped
+    batches vs ~1 − mean/max for random batching — the difference IS the
+    wasted FLOPs budget). Deterministic: total order (length, doc_id), so
+    batch assignment is engine-stable; all counts are exact integers.
+
+    Scale shape: one narrow length projection, then the range-bucketed
+    global row number (functions/ranks.py — never a single-partition
+    window) and one batch-keyed aggregation; strictly linear. The
+    complementary operator q_sequence_packing PACKS variable docs into
+    fixed windows (bin-packing); this one measures what plain batching
+    leaves on the table."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.least(F.size(F.split("text", " ")), F.lit(PACK_MAXLEN)).alias("n")
+    )
+    ranked = global_row_number(lens, ["n", "doc_id"], rn_col="rn")
+    return (
+        ranked.withColumn("batch_id", ((F.col("rn") - 1) / PACK_BATCH).cast("long"))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n").cast("long").alias("batch_maxlen"),
+            F.sum("n").cast("long").alias("real_tokens"),
+            (F.max("n") * F.count(F.lit(1))).cast("long").alias("padded_tokens"),
+            F.round(
+                1 - F.sum("n") * 1.0 / (F.max("n") * F.count(F.lit(1))), 4
+            ).alias("pad_waste"),
+        )
+    )

@@ -95,6 +95,7 @@ QUERIES = [
     "q_ccnet_ppl_buckets",
     "q_stream_minhash_dedup",
     "q_sql_variables",
+    "q_length_bucket_padding",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
