@@ -234,3 +234,157 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_sampled").cast("long").alias("total_sampled"),
         F.round(F.sum("sum_first") * F.lit(1.0) / F.sum("n_sampled"), 4).alias("mean_first_byte"),
     )
+
+
+@query(
+    "q_media_dedup",
+    oracle="""
+    WITH guard AS (
+      -- byte==char only for single-byte ASCII payloads (q_frame_sample's
+      -- guard): fail loudly on a multibyte corpus instead of hash-diverging
+      SELECT CASE WHEN count(*) = 0 THEN 0
+                  ELSE error('q_media_dedup oracle assumes single-byte ASCII text')
+             END AS ok
+      FROM documents WHERE strlen(text) <> length(text)
+    ),
+    f AS (
+      SELECT doc_id, text,
+             (strlen(text) + 63) // 64 AS n_frames,
+             ((strlen(text) + 63) // 64 + 3) // 4 AS n_sampled
+      FROM documents, guard WHERE guard.ok = 0
+    ),
+    p AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                   list_transform(range(0, n_sampled), k -> substr(text, 1 + 256 * k, 1)), '')
+                 || ':' || n_frames)  AS phash,
+             md5(text)                AS exact_hash
+      FROM f
+    )
+    SELECT
+      phash,
+      CAST(count(*) AS BIGINT)                    AS n_media,
+      CAST(count(DISTINCT exact_hash) AS BIGINT)  AS n_exact_variants,
+      min(doc_id)                                 AS canonical_doc_id,
+      CAST(count(DISTINCT exact_hash) > 1 AS BOOLEAN) AS near_dup_group
+    FROM p GROUP BY phash
+    HAVING count(*) >= 2
+    """,
+    tags=("multimodal", "dedup", "llm"),
+)
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 media dedup, two tiers in one pass — the image-corpus curation
+    shape (exact byte dedup + perceptual-hash near-dup): per blob compute
+    (a) the exact content hash of the payload bytes and (b) a perceptual
+    fingerprint from the SAMPLED frame signature — the first byte of every
+    4th 64-byte frame plus the frame count (stride-256 byte probe; a real
+    pipeline puts pHash/dHash of decoded pixels here — same plumbing, no
+    codecs in this container). Groups sharing a fingerprint but holding
+    >1 distinct payload are near-duplicate candidates: re-encodes, crops,
+    metadata-stripped copies. Output: every fingerprint group of ≥2 blobs
+    with its canonical (lowest) doc_id.
+
+    Execution is REAL byte plumbing: payloads travel as binary through
+    mapInPandas (Arrow batches), hashed with hashlib on raw bytes — no
+    text functions anywhere Spark-side; the DuckDB oracle reproduces both
+    hashes with substr/ascii arithmetic under the ASCII guard (byte==char
+    on this corpus, asserted — the q_frame_sample posture). Scale: narrow
+    map then ONE groupBy on the 16-byte fingerprint — the q_exact_dedup
+    shuffle shape; payload bytes never shuffle (only their hashes do),
+    which is the entire point for TB-scale media."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def fingerprint(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + 63) // 64
+                sig = b[0::256] + b":" + str(n_frames).encode()
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "phash": hashlib.md5(sig).hexdigest(),
+                        "exact_hash": hashlib.md5(b).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "phash", "exact_hash"])
+
+    hashed = media.mapInPandas(fingerprint, "doc_id long, phash string, exact_hash string")
+    return (
+        hashed.groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.count_distinct("exact_hash").alias("n_exact_variants"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            (F.count_distinct("exact_hash") > 1).alias("near_dup_group"),
+        )
+        .filter(F.col("n_media") >= 2)
+    )
+
+
+SHARD_TARGET_BYTES = 4096  # shard size target (WebDataset tars use ~100 MB-1 GB;
+# scaled to this corpus's ~300-byte payloads so shards hold ~a dozen blobs)
+
+
+@query(
+    "q_media_shard_manifest",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, strlen(text) AS n_bytes FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_bytes,
+             sum(n_bytes) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_bytes AS cum_before
+      FROM sized
+    )
+    SELECT
+      CAST(cum_before // {SHARD_TARGET_BYTES} AS BIGINT) AS shard_id,
+      CAST(count(*) AS BIGINT)                           AS n_items,
+      CAST(sum(n_bytes) AS BIGINT)                       AS shard_bytes,
+      min(doc_id)                                        AS first_doc,
+      max(doc_id)                                        AS last_doc,
+      round(sum(n_bytes) * 1.0 / {SHARD_TARGET_BYTES}, 4) AS fill_ratio
+    FROM cum GROUP BY shard_id
+    """,
+    tags=("multimodal", "layout", "llm"),
+)
+def media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 physical layout: the WebDataset/tar-shard manifest — assign media
+    blobs, in stable doc_id order, to size-bounded shards by exclusive
+    running byte offset (shard = cum_before // target), then report each
+    shard's item count, byte size, id range, and fill ratio. This is the
+    relation a training loader consumes (sequential reads within a shard,
+    shard-level shuffling across epochs) and the sharding arithmetic every
+    tar-packer runs; contiguous-id ranges per shard double as the index for
+    range-pruned reads.
+
+    Scale shape: the exclusive prefix sum is the range-bucketed two-phase
+    recomposition (functions/ranks.py global_running_sum — never a
+    single-partition window), then one groupBy on the derived shard id —
+    payload bytes themselves never move, only their sizes. Exact integer
+    arithmetic end to end; the only round is the display fill_ratio."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.length("text").alias("n_bytes"))
+    cum = global_running_sum(sized, ["doc_id"], "n_bytes", "cum_incl")
+    shard = ((F.col("cum_incl") - F.col("n_bytes")) / SHARD_TARGET_BYTES).cast("long")
+    return (
+        cum.withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.round(F.sum("n_bytes") * 1.0 / SHARD_TARGET_BYTES, 4).alias("fill_ratio"),
+        )
+    )

@@ -96,6 +96,8 @@ QUERIES = [
     "q_stream_minhash_dedup",
     "q_sql_variables",
     "q_length_bucket_padding",
+    "q_media_dedup",
+    "q_media_shard_manifest",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
