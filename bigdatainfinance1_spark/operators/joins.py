@@ -584,3 +584,44 @@ def first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(c_ts) DIV 1000000").alias("first_click_epoch_s"),
         )
     )
+
+
+_NOT_IN_NULLS_SQL = """
+    WITH probe AS (
+      -- a NULL is manufactured into the probe set (source tables carry no
+      -- nulls): the smallest pending-order custkey becomes NULL
+      SELECT nullif(o_custkey,
+                    (SELECT min(o_custkey) FROM orders WHERE o_orderstatus = 'P'))
+               AS k
+      FROM orders WHERE o_orderstatus = 'P'
+    )
+    SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe)
+    UNION ALL
+    SELECT 'not_in_null_filtered', CAST(count(*) AS BIGINT)
+    FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)
+    UNION ALL
+    SELECT 'not_exists', CAST(count(*) AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+"""
+
+
+@query("q_not_in_nulls", oracle=_NOT_IN_NULLS_SQL, tags=("join", "semantics"))
+def not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+ (three-valued-logic semantics): NOT IN against a subquery that
+    contains a NULL returns ZERO rows (x <> NULL is UNKNOWN, so no row can
+    prove membership-absence), while NOT EXISTS — and NOT IN over the
+    null-filtered probe — return the intended complement. One shared SQL
+    text runs verbatim on both engines, so the hash match pins Spark's
+    null-aware anti-join rewrite to the ANSI behavior DuckDB implements —
+    the classic silent-empty-result trap, made into a regression test.
+    Plan note: Spark compiles the NOT IN branch to a null-aware
+    BroadcastNestedLoopJoin by necessity (the semantics cannot be a hash
+    anti join when the probe may hold NULL); the null-filtered and
+    NOT EXISTS branches stay hash anti joins — exactly the rewrite a user
+    should apply at 100 TB, which this relation demonstrates by contrast."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_NULLS_SQL)
