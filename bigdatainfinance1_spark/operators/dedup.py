@@ -971,3 +971,72 @@ def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(w) / F.count(F.lit(1)), 6).alias("retention"),
         )
     )
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH ds AS ({_SHINGLES_SQL}),
+    ss AS (
+      SELECT DISTINCT d.s, doc.source
+      FROM ds d JOIN documents doc ON d.doc_id = doc.doc_id
+    ),
+    sz AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT
+      sh.source_a, sh.source_b,
+      CAST(sh.n_shared AS BIGINT) AS n_shared,
+      round(sh.n_shared * 1.0 / (x.n + y.n - sh.n_shared), 4) AS shingle_jaccard
+    FROM shared sh
+    JOIN sz x ON sh.source_a = x.source
+    JOIN sz y ON sh.source_b = y.source
+    WHERE sh.n_shared >= 5
+    """,
+    tags=("dedup", "llm", "text"),
+)
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus contamination flow map: pairwise 3-shingle overlap BETWEEN
+    crawl sources (distinct shingle sets per source, Jaccard over them,
+    pairs sharing ≥5 shingles) — the relation that shows which sources
+    mirror or scrape which, one level above q_dup_rate_by_source's
+    per-source rates and q_ngram_novelty's per-doc ownership. A curation
+    run reads it to pick ONE source per mirror cluster before any
+    document-level dedup runs (removing a whole mirrored source is far
+    cheaper than pair-joining its documents).
+
+    Scale shape: shingles travel as xxhash64 longs; the per-source shingle
+    sets come from one distinct + aggregation, and the pair stage is an
+    equi-join on the shingle key whose fan-out is bounded by sources²
+    per shingle — sources number in the hundreds at 100 TB, so unlike
+    document-pair joins this stays small however big the corpus; the
+    result relation is at most sources²/2 rows."""
+    ds = _doc_shingle_hashes(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = ds.join(docs, "doc_id").select("h", "source").distinct()
+    sz = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = ss.select("h", F.col("source").alias("source_a"))
+    b = ss.select("h", F.col("source").alias("source_b"))
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    x = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    y = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        shared.join(F.broadcast(x), "source_a")
+        .join(F.broadcast(y), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(jac, 4).alias("shingle_jaccard"),
+        )
+    )

@@ -98,6 +98,8 @@ QUERIES = [
     "q_length_bucket_padding",
     "q_media_dedup",
     "q_media_shard_manifest",
+    "q_source_overlap",
+    "q_not_in_nulls",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
