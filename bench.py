@@ -52,6 +52,10 @@ HEADLINE = [
     "q_triangle_count",
     "q_tpch_q5",
     "q_tpch_q18",
+    # Round-3 continuation: the heaviest new operators (distributed BPE
+    # merge training; SemDeDup's Lloyd + cluster-bounded pair join)
+    "q_bpe_train",
+    "q_semdedup",
 ]
 
 
@@ -98,7 +102,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries_registered": len(specs),
                 "r1_headline_seconds": r1_total,
-                "note": "headline set expanded in round 3 (13 -> 22 queries); "
+                "note": "headline set expanded in round 3 (13 -> 24 queries); "
                 "compare r1_headline_seconds against the 19.3 s round-1 baseline, "
                 "per-query rows in BASELINE.md for the rest",
             }
