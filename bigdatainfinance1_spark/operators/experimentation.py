@@ -371,3 +371,177 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did"),
     )
+
+
+@query(
+    "q_srm_check",
+    oracle="""
+    WITH assigns AS (
+      SELECT c_custkey,
+             CASE WHEN substring(md5(CAST(c_custkey AS STRING)), 1, 1) < '8'
+                  THEN 'treat' ELSE 'control' END AS arm_balanced,
+             CASE WHEN substring(md5(CAST(c_custkey AS STRING)), 1, 1) < '7'
+                  THEN 'treat' ELSE 'control' END AS arm_broken
+      FROM customer
+    ),
+    per_exp AS (
+      SELECT 'balanced' AS experiment,
+             CAST(sum(CASE WHEN arm_balanced = 'treat' THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+             CAST(sum(CASE WHEN arm_balanced = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_control
+      FROM assigns
+      UNION ALL
+      SELECT 'broken',
+             CAST(sum(CASE WHEN arm_broken = 'treat' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN arm_broken = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+      FROM assigns
+    )
+    SELECT
+      experiment, n_treat, n_control,
+      round(
+        (n_treat - (n_treat + n_control) / 2.0) * (n_treat - (n_treat + n_control) / 2.0)
+          / ((n_treat + n_control) / 2.0)
+        + (n_control - (n_treat + n_control) / 2.0) * (n_control - (n_treat + n_control) / 2.0)
+          / ((n_treat + n_control) / 2.0), 4) AS chi2,
+      CAST(
+        (n_treat - (n_treat + n_control) / 2.0) * (n_treat - (n_treat + n_control) / 2.0)
+          / ((n_treat + n_control) / 2.0)
+        + (n_control - (n_treat + n_control) / 2.0) * (n_control - (n_treat + n_control) / 2.0)
+          / ((n_treat + n_control) / 2.0) > 3.841 AS BOOLEAN) AS srm_detected
+    FROM per_exp
+    """,
+    tags=("experimentation", "stats", "quality"),
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate every experimentation
+    platform runs before reading any metric: χ² of observed arm counts
+    against the declared 50/50 split (1 dof; flag at 3.841 = p<0.05). Two
+    deterministic md5 hash-splits are screened side by side: the healthy
+    '< 8' threshold (8/16 of the hex space → passes) and a deliberately
+    mis-configured '< 7' (7/16 → a 12.5% shortfall the χ² flags loudly) —
+    the relation demonstrates both the pass and the catch on the same
+    population. Exact integer counts into one double expression; a single
+    aggregation over the assignment scan, free at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    hexc = F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1)
+    rows = []
+    for exp, thresh in (("balanced", "8"), ("broken", "7")):
+        treat = F.sum(F.when(hexc < thresh, 1).otherwise(0)).cast("long")
+        ctrl = F.sum(F.when(hexc >= thresh, 1).otherwise(0)).cast("long")
+        rows.append(
+            cust.agg(
+                F.lit(exp).alias("experiment"),
+                treat.alias("n_treat"),
+                ctrl.alias("n_control"),
+            )
+        )
+    per_exp = rows[0].unionByName(rows[1])
+    e = (F.col("n_treat") + F.col("n_control")) / 2.0
+    chi2 = (F.col("n_treat") - e) ** 2 / e + (F.col("n_control") - e) ** 2 / e
+    return per_exp.select(
+        "experiment",
+        "n_treat",
+        "n_control",
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+@query(
+    "q_sprt_monitor",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN value > 35 THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    walk AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS n,
+             sum(y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+      FROM obs
+    ),
+    llr AS (
+      SELECT event_type, n, k,
+             k * ln(0.6 / 0.5) + (n - k) * ln(0.4 / 0.5) AS llr
+      FROM walk
+    ),
+    crossing AS (
+      SELECT event_type, min(n) AS n_cross
+      FROM llr WHERE llr >= ln(19.0) OR llr <= -ln(19.0)
+      GROUP BY event_type
+    ),
+    final AS (
+      SELECT event_type, max(n) AS n_final FROM llr GROUP BY event_type
+    )
+    SELECT
+      f.event_type,
+      CASE WHEN c.n_cross IS NULL THEN 'continue'
+           WHEN l.llr >= ln(19.0) THEN 'accept_h1'
+           ELSE 'accept_h0' END                    AS decision,
+      CAST(coalesce(c.n_cross, f.n_final) AS BIGINT) AS n_obs,
+      CAST(l.k AS BIGINT)                           AS n_successes,
+      round(l.llr, 6)                               AS llr
+    FROM final f
+    LEFT JOIN crossing c ON f.event_type = c.event_type
+    JOIN llr l ON l.event_type = f.event_type AND l.n = coalesce(c.n_cross, f.n_final)
+    """,
+    tags=("experimentation", "stats", "streaming-adjacent"),
+)
+def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test as a relation — the
+    always-valid monitor behind modern sequential experimentation: per
+    event type, walk events in (ts, event_id) order as Bernoulli
+    observations (value > 35), accumulate the log-likelihood ratio of
+    H1: p=0.6 vs H0: p=0.5, and stop at the first crossing of ±ln 19
+    (α = β = 0.05); report the decision, the sample size the sequential
+    test needed, and the LLR at stopping (types that never cross report
+    'continue' at their final state). The per-observation LLR never
+    materializes: the walk carries exact INTEGER (n, k) via windowed
+    prefix sums — partitioned by event_type, so never a single-partition
+    window — and the LLR is reconstructed as k·ln(p1/p0) + (n−k)·ln(q1/q0),
+    a two-term combination of identical doubles on both engines, so even
+    the boundary comparisons agree bit-for-bit. Scale: one shuffle on the
+    monitor key; state per type is the prefix-sum window."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        "event_type", "ts", "event_id", F.when(F.col("value") > 35, 1).otherwise(0).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    walk = obs.select(
+        "event_type",
+        F.row_number().over(w).alias("n"),
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("k"),
+    )
+    import math  # noqa: F401  (constants computed in-plan, not in Python)
+
+    a = F.log(F.lit(0.6) / F.lit(0.5))
+    b = F.log(F.lit(0.4) / F.lit(0.5))
+    up = F.log(F.lit(19.0))
+    llr = walk.withColumn("llr", F.col("k") * a + (F.col("n") - F.col("k")) * b)
+    crossing = (
+        llr.filter((F.col("llr") >= up) | (F.col("llr") <= -up))
+        .groupBy("event_type")
+        .agg(F.min("n").alias("n_cross"))
+    )
+    final = llr.groupBy("event_type").agg(F.max("n").alias("n_final"))
+    stop = (
+        final.join(crossing, "event_type", "left")
+        .withColumn("n_stop", F.coalesce("n_cross", "n_final"))
+        .select("event_type", "n_stop", "n_cross")
+    )
+    at_stop = llr.select(
+        F.col("event_type").alias("s_type"), F.col("n").alias("n_stop"), "k", "llr"
+    )
+    return stop.join(
+        at_stop, (stop["event_type"] == at_stop["s_type"]) & (stop["n_stop"] == at_stop["n_stop"])
+    ).select(
+        stop["event_type"],
+        F.when(F.col("n_cross").isNull(), "continue")
+        .when(F.col("llr") >= up, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        stop["n_stop"].cast("long").alias("n_obs"),
+        F.col("k").cast("long").alias("n_successes"),
+        F.round("llr", 6).alias("llr"),
+    )

@@ -100,6 +100,8 @@ QUERIES = [
     "q_media_shard_manifest",
     "q_source_overlap",
     "q_not_in_nulls",
+    "q_srm_check",
+    "q_sprt_monitor",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
