@@ -102,6 +102,7 @@ QUERIES = [
     "q_not_in_nulls",
     "q_srm_check",
     "q_sprt_monitor",
+    "q_knn_label_eval",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
