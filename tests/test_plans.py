@@ -440,3 +440,28 @@ def test_substring_dup_spans_coverage_bounds(spark):
             assert r["n_dup_tokens"] >= 8
         else:
             assert r["n_dup_tokens"] == 0
+
+
+def test_second_curation_wave_plans(spark):
+    """Continuation-wave additions: linear pipelines must carry no cartesian
+    and no Python eval (q_softdedup_weights, q_ccnet_ppl_buckets,
+    q_source_overlap, q_srm_check); the bounded-relation inequality joins
+    (ranks.py triangular prefix in q_length_bucket_padding, the null-aware
+    NOT IN branch in q_not_in_nulls) may broadcast-nested-loop over their
+    provably tiny sides but never CartesianProduct; q_media_dedup's only
+    Python is the Arrow-batched fingerprint map; q_sprt_monitor is pure
+    JVM windows + equi-joins."""
+    no_python_no_bnlj = ("q_softdedup_weights", "q_ccnet_ppl_buckets", "q_source_overlap",
+                         "q_srm_check", "q_sprt_monitor")
+    for name in no_python_no_bnlj:
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    for name in ("q_length_bucket_padding", "q_not_in_nulls"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_media_dedup"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # fingerprint map is Arrow-batched
