@@ -218,3 +218,52 @@ def sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df
+
+
+_COLLATION_RAW = """
+      CASE c_custkey % 3
+        WHEN 0 THEN upper(c_mktsegment)
+        WHEN 1 THEN lower(c_mktsegment)
+        ELSE concat(substring(c_mktsegment, 1, 1),
+                    lower(substring(c_mktsegment, 2, 100)))
+      END
+"""
+
+
+@query(
+    "q_collation_group",
+    oracle=f"""
+    WITH raw AS (SELECT {_COLLATION_RAW} AS seg FROM customer)
+    SELECT
+      lower(seg)                           AS segment,
+      CAST(count(DISTINCT seg) AS BIGINT)  AS n_case_variants,
+      CAST(count(*) AS BIGINT)             AS n_customers
+    FROM raw GROUP BY lower(seg)
+    """,
+    tags=("spark4", "sql", "relational"),
+)
+def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: group a deterministically case-mangled
+    market-segment column (three case styles keyed off c_custkey % 3)
+    under UTF8_LCASE so the engine's collation machinery — not an explicit
+    lower() — performs the case-insensitive grouping; the per-group
+    variant census needs the BINARY collation back (count(DISTINCT ...
+    COLLATE UTF8_BINARY)), exercising both directions of the cast. The
+    oracle pins the semantics with the portable lower() formulation —
+    equal hashes prove the collated GROUP BY is exactly case-insensitive
+    equality, nothing more. Scale: collation support lives inside the
+    hash-aggregate's key comparator — same one-shuffle plan as any
+    group-by."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH raw AS (SELECT {_COLLATION_RAW} AS seg FROM customer)
+        SELECT
+          min(lower(seg))                                            AS segment,
+          CAST(count(DISTINCT seg COLLATE UTF8_BINARY) AS BIGINT)    AS n_case_variants,
+          CAST(count(*) AS BIGINT)                                   AS n_customers
+        FROM raw GROUP BY seg COLLATE UTF8_LCASE
+        """
+    )

@@ -103,6 +103,7 @@ QUERIES = [
     "q_srm_check",
     "q_sprt_monitor",
     "q_knn_label_eval",
+    "q_collation_group",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
