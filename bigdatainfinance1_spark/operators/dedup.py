@@ -1040,3 +1040,105 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 4).alias("shingle_jaccard"),
         )
     )
+
+
+@query(
+    "q_dedup_funnel",
+    oracle=f"""
+    WITH raw AS (SELECT count(*) AS n FROM documents),
+    canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(lower(trim(text)))
+    ),
+    ds0 AS ({_SHINGLES_SQL}),
+    ds AS (SELECT d.doc_id, d.s FROM ds0 d JOIN canon c ON d.doc_id = c.doc_id),
+    sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    killed AS (
+      SELECT DISTINCT b.doc_id
+      FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS doc_id, count(*) AS n_common
+        FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      ) b
+      JOIN sz x ON b.a_id = x.doc_id
+      JOIN sz y ON b.doc_id = y.doc_id
+      WHERE b.n_common * 1.0 / (x.n + y.n - b.n_common) >= 0.8
+    ),
+    counts AS (
+      SELECT
+        (SELECT n FROM raw)                                    AS n_raw,
+        (SELECT count(*) FROM canon)                           AS n_exact,
+        (SELECT count(*) FROM canon) - (SELECT count(*) FROM killed) AS n_neardup
+    )
+    SELECT 'raw' AS tier, CAST(n_raw AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_removed, round(1.0, 4) AS retention
+    FROM counts
+    UNION ALL
+    SELECT 'exact', CAST(n_exact AS BIGINT),
+           CAST(n_raw - n_exact AS BIGINT),
+           round(n_exact * 1.0 / n_raw, 4)
+    FROM counts
+    UNION ALL
+    SELECT 'neardup', CAST(n_neardup AS BIGINT),
+           CAST(n_exact - n_neardup AS BIGINT),
+           round(n_neardup * 1.0 / n_raw, 4)
+    FROM counts
+    """,
+    tags=("dedup", "llm", "pipeline"),
+)
+def dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup waterfall — the per-tier survivor report every curation
+    run publishes: raw corpus → exact dedup (lowest doc_id per normalized
+    text hash) → near-dup removal (drop the higher id of every verified
+    Jaccard-≥0.8 pair among the exact survivors), with absolute counts,
+    per-tier removals, and cumulative retention. This is the summary
+    relation over the L1/L2 machinery (q_exact_dedup, q_jaccard_neardup
+    own the detail rows); running near-dup AFTER exact is the ordering
+    that keeps the pair tier affordable — exactly what the curation
+    pipeline does, here made auditable as three rows.
+
+    Scale shape: exact tier is one uniform-hash shuffle; the near-dup
+    tier here runs the exact shingle-intersection verifier over the
+    ALREADY-exact-deduped corpus (mass duplication is gone by
+    construction, which is what keeps the pair join in budget — at 100 TB
+    the q_minhash_lsh prefilter generates the candidates first; same
+    report, cheaper pairs). Counts are exact integers; retention divides
+    once."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_raw = docs.count()
+    canon = (
+        docs.withColumn("h", F.md5(F.lower(F.trim("text"))))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    n_exact = canon.count()
+    ds = _doc_shingle_hashes(spark, sf_dir).join(canon, "doc_id")
+    sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.select(F.col("doc_id").alias("a_id"), "h")
+    b = ds.select(F.col("doc_id").alias("b_id"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    x = sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    y = sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    killed = (
+        inter.join(F.broadcast(x), "a_id")
+        .join(F.broadcast(y), "b_id")
+        .filter(jac >= 0.8)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    n_neardup = n_exact - killed.count()
+    rows = [
+        ("raw", n_raw, 0, round(1.0, 4)),
+        ("exact", n_exact, n_raw - n_exact, round(n_exact / n_raw, 4)),
+        ("neardup", n_neardup, n_exact - n_neardup, round(n_neardup / n_raw, 4)),
+    ]
+    return spark.createDataFrame(
+        rows, "tier string, n_docs long, n_removed long, retention double"
+    )

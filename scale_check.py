@@ -104,6 +104,7 @@ QUERIES = [
     "q_sprt_monitor",
     "q_knn_label_eval",
     "q_collation_group",
+    "q_dedup_funnel",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
