@@ -267,3 +267,74 @@ def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM raw GROUP BY seg COLLATE UTF8_LCASE
         """
     )
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(count(*) AS BIGINT) AS n_lines,
+      CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01'
+    GROUP BY ALL
+"""
+
+
+@query("q_group_by_all", oracle=_GROUP_BY_ALL_SQL, tags=("spark4", "sql", "relational"))
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the infer-the-keys grouping shorthand both Spark 4
+    and DuckDB ship: every non-aggregate select item becomes a grouping
+    key. One SQL text runs verbatim on both engines (the q_sql_shared_text
+    posture), so the hash match pins the two inference implementations to
+    each other — the failure mode this guards is an engine silently
+    classifying an expression differently (aggregate vs key) and changing
+    the result shape. Plan is the ordinary partial-agg + exchange."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+@query(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+      min(CAST(o_orderdate AS DATE)) AS first_date
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("spark4", "io", "xml"),
+)
+def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+ XML codec roundtrip (the q_csv_roundtrip/q_json_roundtrip sibling
+    for Spark 4's built-in XML support): serialize each order row to an XML
+    fragment with to_xml, parse it back with from_xml against an explicit
+    schema, and aggregate the PARSED values. The oracle computes the same
+    aggregate from the source columns directly — equal hashes prove the
+    XML encode/decode is lossless for every type crossing it (string, date,
+    exact-cents money carried as BIGINT to dodge float-in-text issues;
+    the source timestamp is cast to DATE before encoding so both codecs
+    write the same ISO day form).
+    Scale: per-row narrow codec work, one aggregation; the XML text never
+    shuffles (parsed before the exchange)."""
+    orders = load_table(spark, sf_dir, "orders")
+    xml = orders.select(
+        F.expr(
+            "to_xml(named_struct("
+            "'status', o_orderstatus, "
+            "'cents', CAST(round(o_totalprice * 100) AS BIGINT), "
+            "'odate', CAST(o_orderdate AS DATE)))"
+        ).alias("frag")
+    )
+    parsed = xml.select(
+        F.expr("from_xml(frag, 'status STRING, cents BIGINT, odate DATE')").alias("s")
+    ).select("s.status", "s.cents", "s.odate")
+    return parsed.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.min("odate").alias("first_date"),
+    )

@@ -105,6 +105,8 @@ QUERIES = [
     "q_knn_label_eval",
     "q_collation_group",
     "q_dedup_funnel",
+    "q_group_by_all",
+    "q_xml_roundtrip",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
