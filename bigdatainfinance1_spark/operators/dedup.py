@@ -1142,3 +1142,103 @@ def dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tier string, n_docs long, n_removed long, retention double"
     )
+
+
+LSH_SWEEP_BANDINGS = (4, 8, 16)  # bands over the 32-permutation signature
+
+
+def _lsh_sweep_oracle() -> str:
+    parts = []
+    for b in LSH_SWEEP_BANDINGS:
+        r = N_PERM // b
+        parts.append(f"""
+    SELECT {b} AS n_bands, {r} AS rows_per_band,
+           (SELECT count(*) FROM (
+              SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+              FROM (SELECT doc_id, seed // {r} AS band,
+                           md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+                    FROM sig GROUP BY doc_id, band) x
+              JOIN (SELECT doc_id, seed // {r} AS band,
+                           md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+                    FROM sig GROUP BY doc_id, band) y
+                ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+           )) AS n_candidate_pairs""")
+        # (1/b)^(1/r): the similarity at which pair-catch probability = 50%
+    union = "\n    UNION ALL\n".join(parts)
+    return f"""
+    WITH ds AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS minh
+      FROM ds CROSS JOIN (SELECT unnest(range(0, {N_PERM})) AS seed) seeds
+      GROUP BY doc_id, seed
+    )
+    SELECT CAST(n_bands AS BIGINT) AS n_bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+           round(pow(1.0 / n_bands, 1.0 / rows_per_band), 4) AS s50_threshold
+    FROM ({union})
+    """
+
+
+@query("q_lsh_band_sweep", oracle=_lsh_sweep_oracle(), tags=("dedup", "llm", "tuning"))
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning relation: ONE 32-permutation MinHash signature pass,
+    re-banded three ways (4×8, 8×4, 16×2), reporting each banding's
+    candidate-pair count next to its S-curve 50%-catch similarity
+    threshold (1/b)^(1/r) — the table an operator reads to pick the
+    banding whose threshold matches the dedup target before launching the
+    full q_minhash_lsh job (more bands → lower threshold → more
+    candidates; the sweep quantifies exactly how many on THIS corpus).
+    Signature work is shared across the sweep — the expensive pass runs
+    once, each banding adds only a band-key regroup and bucket self-join,
+    all O(docs) shuffles. md5 signature family for DuckDB
+    reproducibility (the q_minhash_lsh oracle-twin posture)."""
+    ds = _doc_shingles(spark, sf_dir)
+    sig = (
+        ds.select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {N_PERM - 1}),"
+                    " k -> md5(concat(cast(k AS string), ':', s)))"
+                )
+            ).alias("seed", "hv"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("hv").alias("minh"))
+        .persist()
+    )
+    out = None
+    for b in LSH_SWEEP_BANDINGS:
+        r = N_PERM // b
+        bands = (
+            sig.withColumn("band", (F.col("seed") / r).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.sort_array(F.collect_list(F.struct("seed", "minh"))),
+                            lambda s: s["minh"],
+                        ),
+                    )
+                ).alias("band_key")
+            )
+        )
+        x = bands.select("band", "band_key", F.col("doc_id").alias("d1"))
+        y = bands.select("band", "band_key", F.col("doc_id").alias("d2"))
+        n_pairs = (
+            x.join(y, ["band", "band_key"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+            .count()
+        )
+        row = (b, r, n_pairs, round((1.0 / b) ** (1.0 / r), 4))
+        out = (out or []) + [row]
+    sig.unpersist()
+    return spark.createDataFrame(
+        out,
+        "n_bands long, rows_per_band long, n_candidate_pairs long, s50_threshold double",
+    )

@@ -836,3 +836,130 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words.unpersist()
     return out
+
+
+RAKE_STOPWORDS = ("a", "the")  # the corpus's function words; a real corpus
+# plugs in a full stoplist — the operator is stoplist-parameterized
+
+
+@query(
+    "q_rake_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.i AS pos, t[u.i] AS tok,
+             CAST(t[u.i] IN {RAKE_STOPWORDS!r} AS INT) AS is_stop
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           unnest(range(1, len(t) + 1)) u(i)
+    ),
+    numbered AS (
+      SELECT doc_id, pos, tok, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM toks
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             count(*) AS plen
+      FROM numbered WHERE is_stop = 0
+      GROUP BY doc_id, phrase_id
+    ),
+    word_stats AS (
+      SELECT n.tok,
+             count(*)     AS freq,
+             sum(p.plen)  AS deg
+      FROM numbered n
+      JOIN phrases p ON n.doc_id = p.doc_id AND n.phrase_id = p.phrase_id
+      WHERE n.is_stop = 0
+      GROUP BY n.tok
+    ),
+    scored AS (
+      SELECT p.phrase,
+             count(*) AS n_occurrences,
+             round(sum(s.score_sum), 4) AS rake_score
+      FROM phrases p
+      JOIN (
+        SELECT n.doc_id, n.phrase_id,
+               sum(w.deg * 1.0 / w.freq) AS score_sum
+        FROM numbered n JOIN word_stats w ON n.tok = w.tok
+        WHERE n.is_stop = 0
+        GROUP BY n.doc_id, n.phrase_id
+      ) s ON p.doc_id = s.doc_id AND p.phrase_id = s.phrase_id
+      GROUP BY p.phrase
+    )
+    SELECT phrase, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           round(rake_score / n_occurrences, 4) AS rake_score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT phrase, n_occurrences,
+             rake_score,
+             row_number() OVER (
+               ORDER BY round(rake_score / n_occurrences, 4) DESC, phrase
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= 20
+    """,
+    tags=("text", "llm", "keywords"),
+)
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010 — Rapid Automatic Keyword
+    Extraction): split each document into candidate phrases at stopword
+    boundaries, score every content word by degree/frequency (degree = the
+    summed length of the phrases it appears in — words that keep company
+    in long phrases score high), and score each phrase as the sum of its
+    words' scores; report the corpus top-20 phrases (per-occurrence mean
+    score, deterministic (score, phrase) order). The unsupervised
+    single-pass complement to q_tfidf_top (document-frequency weighting)
+    and q_pmi_bigrams (association strength).
+
+    Scale shape: phrase segmentation is a per-doc prefix count of stopword
+    flags (window partitioned by doc); word stats are one
+    vocabulary-keyed aggregation; phrase scoring joins the
+    vocabulary-sized stats table back and aggregates per phrase — all
+    linear, uniform keys, no UDFs. Phrase score sums ≤5 doubles, so the
+    4-dp round absorbs group-order ulps (q_unigram_logprob posture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .withColumn("is_stop", F.col("tok").isin(*RAKE_STOPWORDS).cast("int"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    numbered = toks.withColumn("phrase_id", F.sum("is_stop").over(w_doc))
+    content = numbered.filter(F.col("is_stop") == 0)
+    phrases = content.groupBy("doc_id", "phrase_id").agg(
+        F.concat_ws(
+            " ", F.expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)")
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    word_stats = (
+        content.join(phrases, ["doc_id", "phrase_id"])
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg"))
+    )
+    phrase_scores = (
+        content.join(F.broadcast(word_stats), "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum(F.col("deg") * 1.0 / F.col("freq")).alias("score_sum"))
+    )
+    scored = (
+        phrases.join(phrase_scores, ["doc_id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.round(F.sum("score_sum"), 4).alias("rake_score"),
+        )
+    )
+    per_occ = F.round(F.col("rake_score") / F.col("n_occurrences"), 4)
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    ranked = global_row_number(
+        scored.select("phrase", "n_occurrences", per_occ.alias("rake_score")),
+        [F.col("rake_score").desc(), F.col("phrase")],
+        rn_col="rnk",
+    )
+    return ranked.filter(F.col("rnk") <= 20).select(
+        "phrase",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        "rake_score",
+        F.col("rnk").cast("long").alias("rnk"),
+    )

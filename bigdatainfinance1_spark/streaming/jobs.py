@@ -1263,3 +1263,40 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("seen_id").alias("first_seen_match"),
     )
     return run_to_table(agg, "complete")
+
+
+@query(
+    "q_stream_last_per_key",
+    oracle="""
+    SELECT user_id, event_type AS last_type,
+           round(value, 4) AS last_value, n_updates
+    FROM (
+      SELECT user_id, event_type, value,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_updates,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "events", "cdc"),
+)
+def stream_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7-adjacent: streaming last-value-wins materialization — the CDC
+    upsert view every streaming lakehouse keeps per key: as events replay,
+    each user's row converges to the latest (ts, event_id) observation,
+    with an update counter riding along. Implemented as a streaming
+    aggregation of max_by(struct, (ts, event_id)) per key in complete
+    mode — declarative, so Spark maintains ONE struct of state per key
+    (bounded by key cardinality, not stream length; the batch q_cdc_apply
+    is the snapshot twin). The (ts, event_id) order key is total, so the
+    replay converges to the same relation in any micro-batch partitioning,
+    which is what the batch window oracle checks."""
+    ev = read_events_stream(spark, sf_dir)
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    agg = ev.groupBy("user_id").agg(
+        F.max_by(F.col("event_type"), ordk).alias("last_type"),
+        F.round(F.max_by(F.col("value"), ordk), 4).alias("last_value"),
+        F.count(F.lit(1)).cast("long").alias("n_updates"),
+    )
+    return run_to_table(agg, "complete")

@@ -107,6 +107,9 @@ QUERIES = [
     "q_dedup_funnel",
     "q_group_by_all",
     "q_xml_roundtrip",
+    "q_stream_last_per_key",
+    "q_rake_keywords",
+    "q_lsh_band_sweep",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
