@@ -1288,3 +1288,91 @@ def eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x") + F.col("m") * F.col("kap")) / (F.col("n") + F.col("kap")), 6
         ).alias("shrunk_rate"),
     )
+
+
+BOOT_REPLICATES = 100
+# Poisson(1) inverse-CDF thresholds on cumulative probability: P(K<=k) for
+# k = 0..5; a uniform above the last takes weight 6. Literal doubles —
+# identical constants on both engines.
+_POISSON_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+                0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+
+def _poisson_bootstrap_sql() -> str:
+    cases = " ".join(
+        f"WHEN u < {p!r} THEN {k}" for k, p in enumerate(_POISSON_CDF)
+    )
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    weighted AS (
+      SELECT b.r, base.cents,
+             CASE {cases} ELSE 6 END AS w
+      FROM base
+      CROSS JOIN (SELECT unnest(range(0, {BOOT_REPLICATES})) AS r) b,
+      LATERAL (
+        SELECT ('0x' || substr(md5(CAST(base.o_orderkey AS VARCHAR) || ':' || CAST(b.r AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      ) h
+    ),
+    rep_means AS (
+      SELECT r, sum(w * cents) * 1.0 / sum(w) / 100 AS m
+      FROM weighted GROUP BY r HAVING sum(w) > 0
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)         AS n_replicates,
+      round(avg(m), 4)                 AS boot_mean,
+      round(quantile_cont(m, 0.025), 4) AS ci_lo,
+      round(quantile_cont(m, 0.975), 4) AS ci_hi
+    FROM rep_means
+    """
+
+
+@query("q_poisson_bootstrap", oracle=_poisson_bootstrap_sql(), tags=("stats", "scale", "sampling"))
+def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap — the ONE-PASS bootstrap that works at 100 TB
+    (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    Streams"): instead of drawing n-out-of-n resamples (which needs a
+    global index), every row gets an independent Poisson(1) weight per
+    replicate, so all 100 replicates stream through one scan as a
+    (row × replicate) weight fan-out and a per-replicate weighted mean;
+    the 2.5/97.5 percentiles of the replicate means form the CI for mean
+    order value. Determinism: the Poisson draw inverts a fixed CDF table
+    on a uniform derived from md5(orderkey:replicate) — bit-identical on
+    both engines (exact integer hash prefix / 2³²; threshold literals) —
+    so even the 'random' weights hash-match. Replicate means divide exact
+    integer cents by exact integer weights; the percentile is Spark
+    `percentile` ≡ DuckDB `quantile_cont` over 100 identical doubles.
+    Scale: fan-out ×100 on the scan, two aggregations (replicate, then
+    summary), zero shuffles of the base data beyond the replicate key."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    fan = base.select(
+        "o_orderkey", "cents",
+        F.explode(F.expr(f"sequence(0, {BOOT_REPLICATES - 1})")).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("r"))), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(6)
+    for k in range(len(_POISSON_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON_CDF[k]), F.lit(k)).otherwise(w)
+    rep = (
+        fan.withColumn("w", w)
+        .groupBy("r")
+        .agg((F.sum(F.col("w") * F.col("cents")) * 1.0 / F.sum("w") / 100).alias("m"))
+        .filter(F.col("m").isNotNull())
+    )
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
+    )

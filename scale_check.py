@@ -110,6 +110,7 @@ QUERIES = [
     "q_stream_last_per_key",
     "q_rake_keywords",
     "q_lsh_band_sweep",
+    "q_poisson_bootstrap",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
