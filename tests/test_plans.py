@@ -465,3 +465,25 @@ def test_second_curation_wave_plans(spark):
     plan = plan_of(SPECS["q_media_dedup"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # fingerprint map is Arrow-batched
+
+
+def test_third_wave_plans(spark):
+    """Newest additions: q_poisson_bootstrap must fan out and aggregate with
+    no join at all (one-pass is the operator's claim); q_rake_keywords and
+    q_lsh_band_sweep are equi-join/aggregation pipelines (the ranks.py
+    triangular prefix in RAKE's top-k may BNLJ over its bounded bucket
+    totals); q_collation_group / q_group_by_all / q_xml_roundtrip /
+    q_sql_variables are single-aggregation plans. No Python eval anywhere
+    (the XML codec and collation comparators are JVM-side)."""
+    plan = plan_of(SPECS["q_poisson_bootstrap"].fn(spark, SF_DIR))
+    assert "Join" not in plan  # one scan, zero joins — the one-pass claim
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for name in ("q_rake_keywords", "q_lsh_band_sweep"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    for name in ("q_collation_group", "q_group_by_all", "q_xml_roundtrip", "q_sql_variables"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
