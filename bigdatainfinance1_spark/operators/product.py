@@ -1295,3 +1295,111 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+ABSORB_STATES = ("purchase", "error")
+ABSORB_ITERS = 16
+
+
+def _absorption_oracle() -> str:
+    head = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    tp AS (
+      SELECT event_type AS f, next_type AS t,
+             round(count(*) * 1e0 / sum(count(*)) OVER (PARTITION BY event_type), 12) AS p
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tr AS (
+      SELECT DISTINCT f FROM tp WHERE f NOT IN ('purchase', 'error')
+    ),
+    b AS (
+      SELECT tr.f,
+             coalesce((SELECT p FROM tp WHERE tp.f = tr.f AND tp.t = 'purchase'), 0) AS bp,
+             coalesce((SELECT p FROM tp WHERE tp.f = tr.f AND tp.t = 'error'), 0)    AS be
+      FROM tr
+    ),
+    q AS (
+      SELECT f, t, p FROM tp WHERE t NOT IN ('purchase', 'error')
+    ),
+    v0 AS (SELECT f, 0.0 AS vp, 0.0 AS ve FROM tr)
+    """
+    steps = ""
+    for k in range(1, ABSORB_ITERS + 1):
+        steps += f""",
+    v{k} AS (
+      SELECT b.f,
+             round(b.bp + coalesce(sum(q.p * v.vp), 0), 12) AS vp,
+             round(b.be + coalesce(sum(q.p * v.ve), 0), 12) AS ve
+      FROM b LEFT JOIN q ON q.f = b.f LEFT JOIN v{k - 1} v ON q.t = v.f
+      GROUP BY b.f, b.bp, b.be
+    )"""
+    return f"""{head}{steps}
+    SELECT f AS from_state,
+           round(vp, 4) AS p_absorb_purchase,
+           round(ve, 4) AS p_absorb_error,
+           round(1 - vp - ve, 4) AS p_still_transient
+    FROM v{ABSORB_ITERS}
+    """
+
+
+@query("q_markov_absorption", oracle=_absorption_oracle(), tags=("analytics", "events", "iterative"))
+def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-chain funnel math on q_markov_transitions' matrix: treat
+    purchase and error as absorbing states and compute, for each transient
+    state, the probability of reaching purchase vs error within 16 steps
+    (the truncated fundamental-matrix solve (I−Q)⁻¹R, iterated as
+    p ← b + Q·p — the question 'a user currently viewing: how likely do
+    they eventually buy?'). Remaining mass is reported as still-transient.
+
+    Execution follows the PCA/k-means bounded-model precedent: the corpus
+    pass produces the ≤5×5 12-dp-rounded transition matrix (one user-keyed
+    sequence shuffle), which is O(model) and collects to the driver for 16
+    rounded fixed-point iterations; the DuckDB oracle unrolls the
+    IDENTICAL iterations as chained CTEs, so both engines walk
+    bit-identical state (each step sums ≤3 products of 12-dp values before
+    re-rounding). At 100 TB the corpus pass is the cost; iterations are
+    O(states²) regardless of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("event_type", F.lead("event_type").over(w).alias("next_type")).filter(
+        F.col("next_type").isNotNull()
+    )
+    wn = Window.partitionBy("event_type")
+    tp = (
+        seq.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("p", F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 12))
+        .select(F.col("event_type").alias("f"), F.col("next_type").alias("t"), "p")
+    )
+    rows = tp.collect()  # <= states^2 rows — O(model), never O(data)
+    absorbing = set(ABSORB_STATES)
+    trans = sorted({r["f"] for r in rows if r["f"] not in absorbing})
+    P = {(r["f"], r["t"]): r["p"] for r in rows}
+    vp = {s: 0.0 for s in trans}
+    ve = {s: 0.0 for s in trans}
+    for _ in range(ABSORB_ITERS):
+        vp = {
+            s: round(
+                P.get((s, "purchase"), 0.0) + sum(P.get((s, t), 0.0) * vp[t] for t in trans), 12
+            )
+            for s in trans
+        }
+        ve = {
+            s: round(
+                P.get((s, "error"), 0.0) + sum(P.get((s, t), 0.0) * ve[t] for t in trans), 12
+            )
+            for s in trans
+        }
+    out = [
+        (s, round(vp[s], 4), round(ve[s], 4), round(1 - vp[s] - ve[s], 4)) for s in trans
+    ]
+    return spark.createDataFrame(
+        out,
+        "from_state string, p_absorb_purchase double, p_absorb_error double,"
+        " p_still_transient double",
+    )

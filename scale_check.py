@@ -111,6 +111,7 @@ QUERIES = [
     "q_rake_keywords",
     "q_lsh_band_sweep",
     "q_poisson_bootstrap",
+    "q_markov_absorption",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
