@@ -1126,3 +1126,82 @@ def control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(ucl) / 100, 4).alias("ucl_dollars"),
         F.round(F.max(lcl) / 100, 4).alias("lcl_dollars"),
     )
+
+
+HOLT_ALPHA, HOLT_BETA = 0.3, 0.1
+
+
+@query(
+    "q_holt_smoothing",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY mi
+    ),
+    idx AS (SELECT mi, cents, row_number() OVER (ORDER BY mi) AS i FROM m),
+    hw AS (
+      SELECT i, mi, cents, CAST(cents / 100.0 AS DOUBLE) AS lvl,
+             CAST(0.0 AS DOUBLE) AS trd
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT x.i, x.mi, x.cents,
+             round({HOLT_ALPHA} * (x.cents / 100.0)
+                   + {1 - HOLT_ALPHA} * (hw.lvl + hw.trd), 12),
+             round({HOLT_BETA} * (round({HOLT_ALPHA} * (x.cents / 100.0)
+                   + {1 - HOLT_ALPHA} * (hw.lvl + hw.trd), 12) - hw.lvl)
+                   + {1 - HOLT_BETA} * hw.trd, 12)
+      FROM idx x JOIN hw ON x.i = hw.i + 1
+    )
+    SELECT mi, CAST(cents AS BIGINT) AS revenue_cents,
+           round(lvl, 4) AS level, round(trd, 4) AS trend,
+           round(lvl + trd, 4) AS next_month_forecast
+    FROM hw
+    """,
+    tags=("finance", "timeseries", "iterative"),
+)
+def holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double) exponential smoothing over monthly revenue —
+    the trend-aware upgrade of q_ewma_orders and the workhorse short-range
+    forecaster: level ← α·y + (1−α)(level+trend), trend ← β·Δlevel +
+    (1−β)·trend, α=0.3, β=0.1, emitting per month the smoothed state and
+    the one-step-ahead forecast. The recursion is inherently sequential in
+    time, so it follows the bounded-model precedent (PCA covariance,
+    Markov absorption): the corpus pass reduces to ~80 exact-integer-cents
+    monthly rows — O(calendar), never O(orders) — which the driver walks
+    with 12-dp-rounded state; the oracle runs the IDENTICAL recursion as a
+    DuckDB recursive CTE, so both engines visit bit-identical (level,
+    trend) pairs. At 100 TB the monthly aggregation is the only scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .orderBy("mi")
+        .collect()  # O(calendar months) — bounded model state, never O(rows)
+    )
+    import math
+
+    def rnd(x: float, nd: int) -> float:
+        # SQL-style HALF-AWAY rounding on the double (what DuckDB's round()
+        # computes); Python's banker's round() flips exact .5 boundaries the
+        # 12-dp recursion does produce (observed at sf0.001 month 3)
+        p10 = 10.0 ** nd
+        return math.copysign(math.floor(abs(x) * p10 + 0.5), x) / p10
+
+    rows = []
+    lvl = trd = None
+    for r in monthly:
+        y = r["cents"] / 100.0
+        if lvl is None:
+            lvl, trd = y, 0.0
+        else:
+            new_lvl = rnd(HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (lvl + trd), 12)
+            trd = rnd(HOLT_BETA * (new_lvl - lvl) + (1 - HOLT_BETA) * trd, 12)
+            lvl = new_lvl
+        rows.append((r["mi"], r["cents"], rnd(lvl, 4), rnd(trd, 4), rnd(lvl + trd, 4)))
+    return spark.createDataFrame(
+        rows,
+        "mi long, revenue_cents long, level double, trend double, next_month_forecast double",
+    )

@@ -112,6 +112,7 @@ QUERIES = [
     "q_lsh_band_sweep",
     "q_poisson_bootstrap",
     "q_markov_absorption",
+    "q_holt_smoothing",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
