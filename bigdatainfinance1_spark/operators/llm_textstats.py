@@ -1403,3 +1403,107 @@ def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste"),
         )
     )
+
+
+SB_LAMBDA = 0.4  # stupid-backoff discount (the Brants et al. constant)
+
+
+@query(
+    "q_stupid_backoff_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bge AS (
+      SELECT doc_id, t.t[u.i] AS w1, t.t[u.i + 1] AS w2
+      FROM t, unnest(range(1, len(t.t))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bge WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bge WHERE doc_id % 2 = 0 GROUP BY w1),
+    uni AS (
+      SELECT tok, count(*) AS cu
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id % 2 = 0)
+      GROUP BY tok
+    ),
+    n AS (SELECT sum(cu) AS total FROM uni),
+    scored AS (
+      SELECT g.doc_id,
+             ln(CASE WHEN c12.c12 IS NOT NULL
+                     THEN c12.c12 * 1.0 / c1.c1
+                     ELSE {SB_LAMBDA} * u.cu / (SELECT total FROM n) END) AS lp,
+             CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS backed_off
+      FROM bge g
+      JOIN c1 ON g.w1 = c1.w1
+      JOIN uni u ON g.w2 = u.tok
+      LEFT JOIN c12 ON g.w1 = c12.w1 AND g.w2 = c12.w2
+      WHERE g.doc_id % 2 = 1
+    )
+    SELECT
+      doc_id,
+      CAST(count(*) AS BIGINT)                      AS n_bigrams,
+      CAST(sum(backed_off) AS BIGINT)               AS n_backoffs,
+      round(sum(lp) / count(*), 6)                  AS avg_logscore
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "llm", "quality"),
+)
+def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram scoring (Brants et al. 2007, 'Large Language
+    Models in Machine Translation' — THE distributed-LM smoothing: no
+    normalization, no held-out discounting, just back off to λ·unigram
+    when the bigram is unseen, which is what makes trillion-token LMs
+    trainable as plain counting jobs): per document the mean log score and
+    the back-off count — the rare-continuation signal the add-1 smoothing
+    of q_bigram_lm_perplexity dilutes. The model trains on the EVEN
+    doc_ids and scores the odd held-out half (inner join on seen context
+    w1 and seen continuation w2 keeps the score defined; only the BIGRAM
+    may be novel) — self-training would make the back-off branch vacuous,
+    the zero-row-screen trap this repo outlaws.
+
+    Scale shape: identical to the bigram pipeline — count tables are
+    vocabulary-sized (the paper's entire point: counting scales, smoothing
+    doesn't have to), scoring is a LEFT equi-join (unseen bigrams survive
+    as backoffs) + two broadcast-ish model joins + one per-doc
+    aggregation. Ratios are exact-integer divisions; ln of identical
+    doubles both engines; 6-dp round absorbs sum-order ulps."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bge = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    train = bge.filter(F.col("doc_id") % 2 == 0)
+    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    uni = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    total = uni.agg(F.sum("cu").alias("total"))
+    lp = F.log(
+        F.when(
+            F.col("c12").isNotNull(), F.col("c12") * 1.0 / F.col("c1")
+        ).otherwise(F.lit(SB_LAMBDA) * F.col("cu") / F.col("total"))
+    )
+    scored = (
+        bge.filter(F.col("doc_id") % 2 == 1)
+        .join(c1, "w1")
+        .join(uni.withColumnRenamed("tok", "w2"), "w2")
+        .join(c12, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", lp.alias("lp"),
+            F.when(F.col("c12").isNull(), 1).otherwise(0).alias("backed_off"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("backed_off").cast("long").alias("n_backoffs"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logscore"),
+    )

@@ -113,6 +113,7 @@ QUERIES = [
     "q_poisson_bootstrap",
     "q_markov_absorption",
     "q_holt_smoothing",
+    "q_stupid_backoff_score",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
