@@ -470,3 +470,99 @@ def bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("revenue_cents"),
         )
     )
+
+
+CMS_WIDTH, CMS_DEPTH = 16, 4  # width sized BELOW the ~60-token vocab so
+# hash collisions actually occur and the overcount column is non-vacuous
+# (at 256 columns every top-10 estimate was exact — proving nothing)
+
+
+@query(
+    "q_countmin_sketch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT d.d AS row_id,
+             ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || tok), 1, 4))::INT
+               % {CMS_WIDTH} AS col_id,
+             count(*) AS cnt
+      FROM toks CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS d) d
+      GROUP BY row_id, col_id
+    ),
+    truth AS (
+      SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, true_cnt FROM (
+        SELECT tok, true_cnt,
+               row_number() OVER (ORDER BY true_cnt DESC, tok) AS rn
+        FROM truth
+      ) WHERE rn <= 10
+    ),
+    est AS (
+      SELECT t.tok, t.true_cnt, min(c.cnt) AS est_cnt
+      FROM top t
+      CROSS JOIN (SELECT unnest(range(0, {CMS_DEPTH})) AS d) d
+      JOIN cells c
+        ON c.row_id = d.d
+       AND c.col_id = ('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || t.tok), 1, 4))::INT
+                      % {CMS_WIDTH}
+      GROUP BY t.tok, t.true_cnt
+    )
+    SELECT tok,
+           CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT)  AS est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+    tags=("sketch", "approx", "scale"),
+)
+def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) with a FULL
+    value-hash oracle — the portable-sketch posture of q_hll_distinct
+    applied to frequency estimation: a {CMS_DEPTH}×{CMS_WIDTH} counter grid
+    over md5-derived row hashes (deterministic, engine-reproducible), point
+    queries answered by the row-wise minimum. Reported for the 10 most
+    frequent tokens: true count, estimate, and the (always ≥0) overcount —
+    the sketch's one-sided error made visible next to its ε=e/w bound.
+    The grid is {CMS_DEPTH * CMS_WIDTH} counters REGARDLESS of corpus size
+    and merges by cell-wise addition — the mergeable-state property that
+    makes it the standard streaming/distributed heavy-hitter primitive.
+    Scale: one token pass fans out ×{CMS_DEPTH} into a bounded-key groupBy;
+    the probe side touches 10×{CMS_DEPTH} cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    fan = toks.select("tok", F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("row_id"))
+    col = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("row_id"), F.col("tok"))), 1, 4), 16, 10
+        ).cast("int")
+        % CMS_WIDTH
+    )
+    cells = fan.withColumn("col_id", col).groupBy("row_id", "col_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    top = (
+        global_row_number(truth, [F.col("true_cnt").desc(), F.col("tok")], rn_col="rn")
+        .filter(F.col("rn") <= 10)
+        .select("tok", "true_cnt")
+    )
+    probe = top.select(
+        "tok", "true_cnt", F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("row_id")
+    ).withColumn("col_id", col)
+    est = (
+        probe.join(F.broadcast(cells), ["row_id", "col_id"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "tok",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("true_cnt")).cast("long").alias("overcount"),
+    )

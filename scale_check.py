@@ -114,6 +114,7 @@ QUERIES = [
     "q_markov_absorption",
     "q_holt_smoothing",
     "q_stupid_backoff_score",
+    "q_countmin_sketch",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
