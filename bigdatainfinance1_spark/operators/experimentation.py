@@ -545,3 +545,59 @@ def sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("long").alias("n_successes"),
         F.round("llr", 6).alias("llr"),
     )
+
+
+@query(
+    "q_quantile_treatment_effect",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substring(md5(CAST(o_custkey AS STRING)), 1, 1) < '8'
+                  THEN 'treat' ELSE 'control' END AS arm,
+             o_totalprice AS y
+      FROM orders
+    ),
+    q AS (
+      SELECT
+        quantile_cont(y, [0.1, 0.25, 0.5, 0.75, 0.9]) FILTER (arm = 'treat')   AS qt,
+        quantile_cont(y, [0.1, 0.25, 0.5, 0.75, 0.9]) FILTER (arm = 'control') AS qc
+      FROM assigned
+    )
+    SELECT round([0.1, 0.25, 0.5, 0.75, 0.9][s.i], 2) AS quantile,
+           round(qt[s.i], 4)          AS treat_q,
+           round(qc[s.i], 4)          AS control_q,
+           round(qt[s.i] - qc[s.i], 4) AS qte
+    FROM q, generate_series(1, 5) s(i)
+    """,
+    tags=("experimentation", "stats"),
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the distributional A/B readout that
+    catches what a mean difference hides (a treatment can lift the median
+    while crushing the tail): per-arm linear-interpolated quantiles of
+    order value at p ∈ {{.1, .25, .5, .75, .9}} under the deterministic
+    md5 hash split, and their differences. Spark `percentile` ≡ DuckDB
+    `quantile_cont` (the q_percentiles equivalence) — both arms' quantiles
+    come from ONE aggregation over one scan via the array-percentile form
+    (the percentage must be foldable), exploded to the 5-row grid after. Exact inputs, rounds only on display."""
+    orders = load_table(spark, sf_dir, "orders")
+    hexc = F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+    assigned = orders.select(
+        F.when(hexc < "8", "treat").otherwise("control").alias("arm"),
+        F.col("o_totalprice").alias("y"),
+    )
+    ps = (0.1, 0.25, 0.5, 0.75, 0.9)
+    p_arr = F.array(*[F.lit(p) for p in ps])
+    q = assigned.agg(
+        F.percentile(F.when(F.col("arm") == "treat", F.col("y")), p_arr).alias("qt"),
+        F.percentile(F.when(F.col("arm") == "control", F.col("y")), p_arr).alias("qc"),
+    )
+    exploded = q.select(
+        F.posexplode(F.arrays_zip(F.col("qt"), F.col("qc"))).alias("i", "z")
+    ).select("i", "z.qt", "z.qc")
+    p_of = F.element_at(F.array(*[F.lit(p) for p in ps]), F.col("i") + 1)
+    return exploded.select(
+        F.round(p_of, 2).alias("quantile"),
+        F.round("qt", 4).alias("treat_q"),
+        F.round("qc", 4).alias("control_q"),
+        F.round(F.col("qt") - F.col("qc"), 4).alias("qte"),
+    )

@@ -115,6 +115,7 @@ QUERIES = [
     "q_holt_smoothing",
     "q_stupid_backoff_score",
     "q_countmin_sketch",
+    "q_quantile_treatment_effect",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
