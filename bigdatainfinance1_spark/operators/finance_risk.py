@@ -867,3 +867,82 @@ def portfolio_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov_mm_dollars2"),
         )
     )
+
+
+@query(
+    "q_lorenz_curve",
+    oracle="""
+    WITH cust_rev AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM cust_rev
+    ),
+    per_decile AS (
+      SELECT decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT sum(cents) AS tc, sum(n_customers) AS tn FROM per_decile)
+    SELECT
+      CAST(d.decile AS BIGINT) AS decile,
+      d.n_customers,
+      d.cents                  AS decile_cents,
+      round(sum(d.cents) OVER (ORDER BY d.decile) * 1.0 / t.tc, 6)       AS cum_revenue_share,
+      round(sum(d.n_customers) OVER (ORDER BY d.decile) * 1.0 / t.tn, 6) AS cum_customer_share
+    FROM per_decile d, tot t
+    """,
+    tags=("finance", "analytics", "stats"),
+)
+def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lorenz curve behind q_gini_revenue's scalar: customers sorted by
+    revenue ascending, cut into deciles (total order: cents then custkey),
+    each decile's exact-cents revenue and the CUMULATIVE revenue-vs-
+    customer shares — the 10-point concentration curve ('the bottom 50% of
+    customers hold 9% of revenue') that the Gini coefficient integrates
+    away. Exact integer counts and cents; shares divide once at 6 dp.
+
+    Scale shape: one customer-grain aggregation, then the decile cut —
+    ntile over the customer relation partitioned... is a total order, so
+    it runs through the range-bucketed exact_ntile of functions/ranks.py
+    (never a single-partition window); the cumulative windows then act on
+    the 10-row decile relation, where a plain ordered window is bounded
+    and safe (partitionBy a literal grouping of one tiny relation)."""
+    from bigdatainfinance1_spark.functions.ranks import exact_ntile, global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust_rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    n_rows = cust_rev.count()
+    ranked = global_row_number(cust_rev, [F.col("cents"), F.col("o_custkey")], rn_col="_rn")
+    with_decile = ranked.withColumn("decile", exact_ntile("_rn", n_rows, 10))
+    per_decile = with_decile.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    tot = per_decile.agg(
+        F.sum("decile_cents").alias("tc"), F.sum("n_customers").alias("tn")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .withColumn("cum_revenue_share", F.round(F.sum("decile_cents").over(w) * 1.0 / F.col("tc"), 6))
+        .withColumn(
+            "cum_customer_share", F.round(F.sum("n_customers").over(w) * 1.0 / F.col("tn"), 6)
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            "decile_cents",
+            "cum_revenue_share",
+            "cum_customer_share",
+        )
+    )

@@ -116,6 +116,7 @@ QUERIES = [
     "q_stupid_backoff_score",
     "q_countmin_sketch",
     "q_quantile_treatment_effect",
+    "q_lorenz_curve",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
