@@ -341,3 +341,33 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(a.agg(F.count(F.lit(1)).alias("n_a")))
         .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
     )
+
+
+_KEYSET_SQL = """
+    SELECT c_custkey, round(c_acctbal, 2) AS acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal > 5000.00
+       OR (c_acctbal = 5000.00 AND c_custkey > 0)
+    ORDER BY c_acctbal, c_custkey
+    LIMIT 25
+"""
+
+
+@query("q_keyset_pagination", oracle=_KEYSET_SQL, tags=("relational", "scale", "sql-surface"))
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the page-N pattern that survives 100 TB
+    where OFFSET cannot: the client passes the last row's (acctbal,
+    custkey) cursor and the next page is WHERE (key tuple) > cursor
+    ORDER BY ... LIMIT page_size. Unlike OFFSET — which must scan and
+    discard every earlier row on every page — the cursor predicate pushes
+    into the parquet scan (PushedFilters carries the c_acctbal bound;
+    asserted in tests/test_plans.py) and the LIMIT plans as
+    TakeOrderedAndProject, so page cost is O(page + scan of the pruned
+    range) regardless of page number. One SQL text runs verbatim on both
+    engines; the (acctbal, custkey) order is total, so the page content
+    is engine-identical — which is the property paginated APIs actually
+    need (no duplicated/skipped rows across pages)."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_KEYSET_SQL)

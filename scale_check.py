@@ -117,6 +117,7 @@ QUERIES = [
     "q_countmin_sketch",
     "q_quantile_treatment_effect",
     "q_lorenz_curve",
+    "q_keyset_pagination",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -487,3 +487,13 @@ def test_third_wave_plans(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark):
+    """The keyset page must push its cursor bound into the parquet scan and
+    plan the LIMIT as TakeOrderedAndProject — the two properties that make
+    page cost independent of page number (the whole point vs OFFSET)."""
+    df = SPECS["q_keyset_pagination"].fn(spark, SF_DIR)
+    plan = formatted(df)
+    assert "PushedFilters" in plan and "c_acctbal" in plan.split("PushedFilters")[1][:400]
+    assert "TakeOrderedAndProject" in plan_of(df)
