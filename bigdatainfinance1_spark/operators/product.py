@@ -1403,3 +1403,81 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_state string, p_absorb_purchase double, p_absorb_error double,"
         " p_still_transient double",
     )
+
+
+@query(
+    "q_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM flagged
+    ),
+    numbered AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id, session_id ORDER BY ts, event_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY user_id, session_id) AS n_events
+      FROM sessions
+    ),
+    per_session AS (
+      SELECT user_id, session_id, event_type AS entry_type, n_events
+      FROM numbered WHERE rn = 1
+    )
+    SELECT
+      entry_type,
+      CAST(count(*) AS BIGINT) AS n_sessions,
+      CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+      round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+        AS bounce_rate
+    FROM per_session GROUP BY entry_type
+    """,
+    tags=("analytics", "events", "product"),
+)
+def bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry point — the landing-page health metric:
+    sessionize with the 30-minute gap rule (the q_sessionization cut), take
+    each session's FIRST event type (rank-1 row on the total (ts, event_id)
+    order — deterministic), and report per entry type how many sessions
+    ended after that single event. Same two-window sessionization shuffle
+    as q_session_paths; the rollup is exact-integer counts divided once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ws = Window.partitionBy("user_id", "session_id")
+    per_session = (
+        sessions.withColumn("rn", F.row_number().over(ws.orderBy("ts", "event_id")))
+        .withColumn("n_events", F.count(F.lit(1)).over(ws))
+        .filter(F.col("rn") == 1)
+        .select(F.col("event_type").alias("entry_type"), "n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounce.cast("long").alias("n_bounces"),
+        F.round(bounce * 1.0 / F.count(F.lit(1)), 4).alias("bounce_rate"),
+    )

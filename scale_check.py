@@ -118,6 +118,7 @@ QUERIES = [
     "q_quantile_treatment_effect",
     "q_lorenz_curve",
     "q_keyset_pagination",
+    "q_bounce_rate",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
