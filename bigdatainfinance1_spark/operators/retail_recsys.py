@@ -652,3 +652,47 @@ def user_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey
+    ),
+    labeled AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS m,
+             CASE WHEN o.o_orderdate = f.first_dt THEN 'new' ELSE 'returning' END AS cohort,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT m, cohort,
+           CAST(count(*) AS BIGINT)  AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM labeled GROUP BY m, cohort
+    """,
+    tags=("analytics", "retail", "product"),
+)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split per month — the commerce health
+    decomposition (acquisition revenue vs retention revenue) that
+    q_growth_accounting computes for USERS, here at the revenue grain: an
+    order is 'new' iff its date equals its customer's first-order date
+    (ties on the same day count as new — the standard convention), and
+    monthly order counts and exact-cents revenue split by that label.
+    Scale shape: one customer-grain min (broadcastable — customer
+    cardinality), one equi-join back to orders, one (month, cohort)
+    aggregation."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    labeled = orders.join(firsts, "o_custkey").select(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("m"),
+        F.when(F.col("o_orderdate") == F.col("first_dt"), "new")
+        .otherwise("returning")
+        .alias("cohort"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return labeled.groupBy("m", "cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )

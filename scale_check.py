@@ -119,6 +119,7 @@ QUERIES = [
     "q_lorenz_curve",
     "q_keyset_pagination",
     "q_bounce_rate",
+    "q_new_vs_returning",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
