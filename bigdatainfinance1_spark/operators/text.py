@@ -963,3 +963,90 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rake_score",
         F.col("rnk").cast("long").alias("rnk"),
     )
+
+
+TFIDF_PAIR_DF_CAP = 100  # drop terms in >100 docs before the pair join —
+# the inverse-frequency cap (q_user_cf_neighbors' trick): hot terms carry
+# no similarity signal and all of the quadratic fan-out
+TFIDF_PAIR_MIN_COS = 0.6
+
+
+@query(
+    "q_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * ln((SELECT n FROM n) * 1.0 / df.df) AS w
+      FROM tf JOIN df ON tf.tok = df.tok
+      WHERE df.df <= {TFIDF_PAIR_DF_CAP}
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_id_1, d.doc_id_2,
+           round(d.dot / (x.nrm * y.nrm), 4) AS cosine
+    FROM dots d
+    JOIN nrm x ON d.doc_id_1 = x.doc_id
+    JOIN nrm y ON d.doc_id_2 = y.doc_id
+    WHERE d.dot / (x.nrm * y.nrm) >= {TFIDF_PAIR_MIN_COS}
+    """,
+    tags=("text", "dedup", "llm", "similarity"),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted lexical similarity pairs: document cosine over SPARSE
+    TF-IDF vectors (cos ≥ 0.6) — the graded counterpart of
+    q_jaccard_neardup's set overlap (two docs sharing RARE terms score
+    high even at modest overlap; shared boilerplate scores nothing once
+    idf discounts it). The pair stage is the inverted-index self-join on
+    the term key — never all-pairs — and terms with document frequency
+    above {TFIDF_PAIR_DF_CAP} are dropped BEFORE the join (the
+    inverse-frequency cap of q_user_cf_neighbors: hot terms carry all of
+    the quadratic fan-out and none of the signal; idf would discount them
+    to ~0 anyway, so the cap changes candidates, not verdicts, at this
+    threshold). Fan-out is Σ min(df, cap)² — bounded per term.
+
+    Determinism: weights are tf·ln(N/df) of exact integers (identical
+    doubles both engines); per-pair dots sum ≤doc-length such products —
+    group-sum order differs, so the output cosine rounds at 4 dp and the
+    0.6 threshold sits far from any pair (verified: nearest pair gap to
+    the threshold ≫ the 1e-13 reorder noise on this corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.count()
+    w = (
+        tf.join(F.broadcast(df.filter(F.col("df") <= TFIDF_PAIR_DF_CAP)), "tok")
+        .select("doc_id", "tok", (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("w"))
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select("tok", F.col("doc_id").alias("doc_id_1"), F.col("w").alias("wa"))
+    b = w.select("tok", F.col("doc_id").alias("doc_id_2"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    x = nrm.select(F.col("doc_id").alias("doc_id_1"), F.col("nrm").alias("n1"))
+    y = nrm.select(F.col("doc_id").alias("doc_id_2"), F.col("nrm").alias("n2"))
+    cos = F.col("dot") / (F.col("n1") * F.col("n2"))
+    return (
+        dots.join(F.broadcast(x), "doc_id_1")
+        .join(F.broadcast(y), "doc_id_2")
+        .filter(cos >= TFIDF_PAIR_MIN_COS)
+        .select("doc_id_1", "doc_id_2", F.round(cos, 4).alias("cosine"))
+    )

@@ -120,6 +120,7 @@ QUERIES = [
     "q_keyset_pagination",
     "q_bounce_rate",
     "q_new_vs_returning",
+    "q_tfidf_cosine_pairs",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
