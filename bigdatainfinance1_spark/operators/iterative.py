@@ -120,17 +120,22 @@ def lloyd_cte(k: int = K, iters: int = ITERS) -> str:
     return f"{head}{steps}"
 
 
-def lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lloyd_assignments(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
     """Run the deterministic Lloyd loop and return the FINAL assignment
     relation (vec_id, embedding, cid, d2) — shared by q_kmeans_embeddings
-    and q_semdedup so both queries (and their oracles, via ``lloyd_cte``)
-    agree on one clustering. Scale shape per iteration is documented in the
-    module docstring: broadcast-literal centroids in, one narrow assign
-    pass, one k×64 groupBy out; the driver holds only k vectors."""
+    (k=K so its unrolled-Lloyd oracle matches) and q_semdedup (k derived
+    from corpus size — the SemDeDup paper's knob; round-3 verdict task 4)
+    so the queries and their oracles, via ``lloyd_cte``, agree on one
+    clustering wherever k resolves to K. Scale shape per iteration is
+    documented in the module docstring: broadcast-literal centroids in,
+    one narrow assign pass, one k×64 groupBy out; the driver holds only k
+    vectors (at the paper's k=50k that is ~25 MB — at that size the
+    centroid matrix should ride a broadcast join instead of a plan
+    literal; the literal is right for the k ≤ O(100) tiers here)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
     init = (
         emb.orderBy("vec_id")
-        .limit(K)
+        .limit(k)
         .select(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("c"))
         .collect()
     )
@@ -150,7 +155,7 @@ def lloyd_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # empty clusters keep their previous centroid
         by_id = {row["cid"]: row["c"] for row in new}
-        cents = [by_id.get(i, cents[i]) for i in range(K)]
+        cents = [by_id.get(i, cents[i]) for i in range(k)]
     emb.unpersist()
     return assigned
 

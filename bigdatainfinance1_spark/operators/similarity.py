@@ -734,6 +734,14 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.4  # cosine prune threshold — calibrated to the synthetic
 # near-orthogonal corpus (median max-neighbor cos ≈ 0.37; τ=0.4 prunes ~4%).
 # On a real embedding corpus the paper's operating range is τ ≈ 0.93-0.96.
+SEMDEDUP_TARGET_CLUSTER = 250  # target vectors per cluster: k = max(8,
+# ceil(n / 250)) — the SemDeDup paper's posture (k grows ∝ corpus; they run
+# k=50k on LAION) so within-cluster pair work Σ n_k² ≈ n · target stays
+# LINEAR in corpus size instead of quadratic (round-3 verdict task 4: fixed
+# k=8 measured 3.8-4.7× at 10× — the quadratic curve). At the oracle tiers
+# (n ≤ 2000 vectors) the formula resolves to k=8, exactly the shared
+# unrolled-Lloyd CTE, so the full value-hash oracle still verifies the
+# machinery.
 
 
 def _semdedup_oracle() -> str:
@@ -774,16 +782,20 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering bounds the quadratic — pair work is Σ_k n_k² instead of n²,
     and each cluster's pair join is an equi-join on cid, so no pair ever
     crosses clusters (the paper's core accuracy/cost trade). At 100 TB the
-    knob is k: grow it ∝ corpus (the paper runs k=50k on LAION) so cluster
-    sizes — and thus per-task pair blocks — stay bounded; here k=8 matches
-    the shared q_kmeans_embeddings clustering so both oracles unroll ONE
+    knob is k, and it is WIRED: k = max(8, ceil(n / target-cluster-size))
+    grows ∝ corpus (the paper runs k=50k on LAION) so cluster sizes — and
+    thus per-task pair blocks — stay bounded and total pair work stays
+    ~linear. At the oracle tiers (n ≤ 2000) k resolves to 8, matching the
+    shared q_kmeans_embeddings clustering, so both oracles unroll ONE
     Lloyd loop. Cosines are sequential double folds on both engines
     (bit-identical, the q_embedding_neardup precedent); cluster assignment
     determinism is the 12-dp-rounded Lloyd of iterative.py.
     """
     from bigdatainfinance1_spark.operators.iterative import lloyd_assignments
 
-    assigned = lloyd_assignments(spark, sf_dir).withColumn("nrm", l2_norm("embedding"))
+    n = load_table(spark, sf_dir, "embeddings").count()  # parquet metadata count
+    k = max(8, -(-n // SEMDEDUP_TARGET_CLUSTER))
+    assigned = lloyd_assignments(spark, sf_dir, k=k).withColumn("nrm", l2_norm("embedding"))
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
         F.col("nrm").alias("n1"),

@@ -965,9 +965,15 @@ def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TFIDF_PAIR_DF_CAP = 100  # drop terms in >100 docs before the pair join —
-# the inverse-frequency cap (q_user_cf_neighbors' trick): hot terms carry
-# no similarity signal and all of the quadratic fan-out
+TFIDF_PAIR_DF_CAP = 100  # oracle-side absolute floor of the df cap at test
+# tiers. The Spark side uses a RELATIVE cap, max(100, 2% of corpus docs)
+# (round-3 verdict task 3): an absolute cap silently empties the pair join
+# as the corpus grows (the 10x scale-stress artifact BASELINE.md recorded),
+# while a relative cap keeps the operator's semantics — "drop terms too hot
+# to carry similarity signal" — at every corpus size. At the oracle tiers
+# (sf <= 0.1, <= 5000 docs) 2% <= 100, so both sides apply the identical
+# cap and the hash oracle stays exact.
+TFIDF_PAIR_DF_FRAC = 0.02
 TFIDF_PAIR_MIN_COS = 0.6
 
 
@@ -1009,11 +1015,16 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     high even at modest overlap; shared boilerplate scores nothing once
     idf discounts it). The pair stage is the inverted-index self-join on
     the term key — never all-pairs — and terms with document frequency
-    above {TFIDF_PAIR_DF_CAP} are dropped BEFORE the join (the
-    inverse-frequency cap of q_user_cf_neighbors: hot terms carry all of
-    the quadratic fan-out and none of the signal; idf would discount them
-    to ~0 anyway, so the cap changes candidates, not verdicts, at this
-    threshold). Fan-out is Σ min(df, cap)² — bounded per term.
+    above max({TFIDF_PAIR_DF_CAP}, 2% of corpus docs) are dropped BEFORE
+    the join (the inverse-frequency cap of q_user_cf_neighbors: hot terms
+    carry all of the quadratic fan-out and none of the signal; idf would
+    discount them to ~0 anyway, so the cap changes candidates, not
+    verdicts, at this threshold). Fan-out is Σ min(df, cap)² — bounded
+    per term, and the cap scales WITH the corpus so growth does not
+    silently empty the join. The only broadcast is the vocabulary-sized
+    kept-terms relation; the per-doc norm joins are plain shuffle
+    equi-joins on doc_id (O(n_docs) rows must never ride a broadcast —
+    plan-asserted in tests/test_plans.py).
 
     Determinism: weights are tf·ln(N/df) of exact integers (identical
     doubles both engines); per-pair dots sum ≤doc-length such products —
@@ -1028,8 +1039,9 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.count()
+    df_cap = max(TFIDF_PAIR_DF_CAP, int(n * TFIDF_PAIR_DF_FRAC))
     w = (
-        tf.join(F.broadcast(df.filter(F.col("df") <= TFIDF_PAIR_DF_CAP)), "tok")
+        tf.join(F.broadcast(df.filter(F.col("df") <= df_cap)), "tok")
         .select("doc_id", "tok", (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("w"))
     )
     nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
@@ -1045,8 +1057,8 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = nrm.select(F.col("doc_id").alias("doc_id_2"), F.col("nrm").alias("n2"))
     cos = F.col("dot") / (F.col("n1") * F.col("n2"))
     return (
-        dots.join(F.broadcast(x), "doc_id_1")
-        .join(F.broadcast(y), "doc_id_2")
+        dots.join(x, "doc_id_1")
+        .join(y, "doc_id_2")
         .filter(cos >= TFIDF_PAIR_MIN_COS)
         .select("doc_id_1", "doc_id_2", F.round(cos, 4).alias("cosine"))
     )

@@ -497,3 +497,28 @@ def test_keyset_pagination_pushes_cursor_and_takes_ordered(spark):
     plan = formatted(df)
     assert "PushedFilters" in plan and "c_acctbal" in plan.split("PushedFilters")[1][:400]
     assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_tfidf_pairs_broadcasts_only_vocabulary(spark):
+    """Round-3 verdict task 2: q_tfidf_cosine_pairs must broadcast ONLY the
+    vocabulary-sized kept-terms relation. The per-doc norm relation is
+    O(n_docs) rows — broadcasting it is a driver OOM at corpus scale. With
+    auto-broadcast disabled, every BroadcastHashJoin left in the plan comes
+    from an explicit hint, so exactly one (the tok join) may remain; the
+    doc_id norm joins must plan as shuffle equi-joins."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(SPECS["q_tfidf_cosine_pairs"].fn(spark, SF_DIR))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # The one vocab hint shows up once per reference to `w` (a, b, x, y) —
+    # every BroadcastHashJoin must key on tok, never on doc_id.
+    bhj_lines = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert bhj_lines, "vocab broadcast hint missing"
+    for ln in bhj_lines:
+        assert "tok" in ln and "doc_id" not in ln, ln
+    # the norm joins on doc_id are shuffle equi-joins
+    doc_joins = [ln for ln in plan.splitlines()
+                 if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln) and "doc_id" in ln]
+    assert len(doc_joins) >= 2, plan
+    assert "CartesianProduct" not in plan
