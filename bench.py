@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Each query is forced end-to-end with a noop-format write (full materialization
 on the executors, nothing shipped to Python), after an untimed warmup of the
 session + catalog.
+
+Protocol (round-3 verdict task 5): each query runs SPARK_GRAFT_BENCH_RUNS
+times (default 3) and reports the per-query MEDIAN — the host-VM noise band
+(19.3-24 s on the r1 subset) made single-shot driver artifacts diverge from
+the canonical end-of-round number by up to 15%; the median collapses that.
+All samples are emitted under "samples" so the spread stays auditable.
 """
 
 from __future__ import annotations
@@ -73,23 +79,26 @@ def main() -> None:
     # untimed warmup: JVM + catalog + one tiny action
     specs["q_pricing_summary"].fn(spark, sf_dir).limit(1).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(specs[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Untimed inter-query hygiene: drop Python refs so the ContextCleaner
-        # reclaims localCheckpoint RDDs and shuffle files the previous query
-        # left on the executors, and nudge the JVM to actually run the
-        # cleanup. Without this, queries that follow heavy checkpointing
-        # (q_user_cf_neighbors) measure the predecessor's memory pressure,
-        # not their own plan (observed: q_minhash_lsh 56 s in-suite vs 11 s
-        # standalone on the same session).
-        import gc
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for r in range(runs):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            materialize(specs[name].fn(spark, sf_dir))
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            # Untimed inter-query hygiene: drop Python refs so the
+            # ContextCleaner reclaims localCheckpoint RDDs and shuffle files
+            # the previous query left on the executors, and nudge the JVM to
+            # actually run the cleanup. Without this, queries that follow
+            # heavy checkpointing (q_user_cf_neighbors) measure the
+            # predecessor's memory pressure, not their own plan (observed:
+            # q_minhash_lsh 56 s in-suite vs 11 s standalone).
+            import gc
 
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
+    timings = {name: sorted(ts)[len(ts) // 2] for name, ts in samples.items()}
     total = round(sum(timings.values()), 3)
     r1_total = round(sum(timings[n] for n in HEADLINE[:R1_HEADLINE_N]), 3)
     print(
@@ -99,12 +108,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "runs_per_query": runs,
+                "aggregation": "median",
                 "sf": sf,
                 "n_queries_registered": len(specs),
                 "r1_headline_seconds": r1_total,
                 "note": "headline set expanded in round 3 (13 -> 24 queries); "
                 "compare r1_headline_seconds against the 19.3 s round-1 baseline, "
-                "per-query rows in BASELINE.md for the rest",
+                "per-query rows in BASELINE.md for the rest; per-query values are "
+                "medians over runs_per_query interleaved passes",
             }
         )
     )

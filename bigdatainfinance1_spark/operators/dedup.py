@@ -238,9 +238,12 @@ def _verify_jaccard_pairs(
     x = sz.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
     y = sz.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
     jac = F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common"))
+    # per-doc size relations are O(n_docs) — shuffle equi-joins, never a
+    # forced broadcast (the q_tfidf_cosine_pairs lesson; AQE may still
+    # elect a broadcast at small SFs where it genuinely fits)
     return (
-        inter.join(F.broadcast(x), "doc_id_1")
-        .join(F.broadcast(y), "doc_id_2")
+        inter.join(x, "doc_id_1")
+        .join(y, "doc_id_2")
         .filter(jac >= threshold)
         .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
     )
@@ -819,9 +822,10 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx = sz.select(F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1"))
     sy = sz.select(F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2"))
     cont = F.col("n_common") * F.lit(1.0) / F.least(F.col("n1"), F.col("n2"))
+    # per-doc size relations stay off the broadcast path (see q_jaccard_neardup)
     return (
-        inter.join(F.broadcast(sx), "doc_id_1")
-        .join(F.broadcast(sy), "doc_id_2")
+        inter.join(sx, "doc_id_1")
+        .join(sy, "doc_id_2")
         .filter(cont >= 0.5)
         .select("doc_id_1", "doc_id_2", F.round(cont, 4).alias("containment"))
     )
@@ -1126,18 +1130,25 @@ def dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = sz.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     y = sz.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # x/y are per-doc size relations — O(n_docs) rows must not ride a
+    # broadcast (the q_tfidf_cosine_pairs lesson); shuffle equi-joins on
+    # the doc key scale, and AQE may still broadcast them at small SFs.
     killed = (
-        inter.join(F.broadcast(x), "a_id")
-        .join(F.broadcast(y), "b_id")
+        inter.join(x, "a_id")
+        .join(y, "b_id")
         .filter(jac >= 0.8)
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )
     n_neardup = n_exact - killed.count()
+    # half-away rounding shared with q_holt_smoothing/q_markov_absorption:
+    # banker's round() can flip an exact .5 ratio vs the DuckDB oracle
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
     rows = [
-        ("raw", n_raw, 0, round(1.0, 4)),
-        ("exact", n_exact, n_raw - n_exact, round(n_exact / n_raw, 4)),
-        ("neardup", n_neardup, n_exact - n_neardup, round(n_neardup / n_raw, 4)),
+        ("raw", n_raw, 0, rnd(1.0, 4)),
+        ("exact", n_exact, n_raw - n_exact, rnd(n_exact / n_raw, 4)),
+        ("neardup", n_neardup, n_exact - n_neardup, rnd(n_neardup / n_raw, 4)),
     ]
     return spark.createDataFrame(
         rows, "tier string, n_docs long, n_removed long, retention double"

@@ -1181,14 +1181,11 @@ def holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("mi")
         .collect()  # O(calendar months) — bounded model state, never O(rows)
     )
-    import math
-
-    def rnd(x: float, nd: int) -> float:
-        # SQL-style HALF-AWAY rounding on the double (what DuckDB's round()
-        # computes); Python's banker's round() flips exact .5 boundaries the
-        # 12-dp recursion does produce (observed at sf0.001 month 3)
-        p10 = 10.0 ** nd
-        return math.copysign(math.floor(abs(x) * p10 + 0.5), x) / p10
+    # SQL-style HALF-AWAY rounding matching DuckDB bit-for-bit at all
+    # magnitudes (functions/rounding.py — the floor(abs*1e12+0.5) fold it
+    # replaces loses its rounding effect past 2**53 and could drift an ulp
+    # that compounds through the recursion at larger scale factors)
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
 
     rows = []
     lvl = trd = None

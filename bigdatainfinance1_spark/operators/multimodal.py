@@ -370,11 +370,14 @@ def media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomposition (functions/ranks.py global_running_sum — never a
     single-partition window), then one groupBy on the derived shard id —
     payload bytes themselves never move, only their sizes. Exact integer
-    arithmetic end to end; the only round is the display fill_ratio."""
+    arithmetic end to end; the only round is the display fill_ratio.
+    Sizes are BYTES (octet_length = UTF-8 bytes, matching the oracle's
+    strlen) — shard packing is byte accounting, and character counts would
+    silently diverge on multibyte text."""
     from bigdatainfinance1_spark.functions.ranks import global_running_sum
 
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", F.length("text").alias("n_bytes"))
+    sized = docs.select("doc_id", F.octet_length("text").cast("long").alias("n_bytes"))
     cum = global_running_sum(sized, ["doc_id"], "n_bytes", "cum_incl")
     shard = ((F.col("cum_incl") - F.col("n_bytes")) / SHARD_TARGET_BYTES).cast("long")
     return (

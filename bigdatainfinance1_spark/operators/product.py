@@ -1377,6 +1377,11 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_type").alias("f"), F.col("next_type").alias("t"), "p")
     )
     rows = tp.collect()  # <= states^2 rows — O(model), never O(data)
+    # half-away rounding shared with q_holt_smoothing: Python's banker's
+    # round() flips exact .5 boundaries the 12-dp iteration can produce
+    # while DuckDB rounds half away (ADVICE round 3)
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
     absorbing = set(ABSORB_STATES)
     trans = sorted({r["f"] for r in rows if r["f"] not in absorbing})
     P = {(r["f"], r["t"]): r["p"] for r in rows}
@@ -1384,19 +1389,19 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ve = {s: 0.0 for s in trans}
     for _ in range(ABSORB_ITERS):
         vp = {
-            s: round(
+            s: rnd(
                 P.get((s, "purchase"), 0.0) + sum(P.get((s, t), 0.0) * vp[t] for t in trans), 12
             )
             for s in trans
         }
         ve = {
-            s: round(
+            s: rnd(
                 P.get((s, "error"), 0.0) + sum(P.get((s, t), 0.0) * ve[t] for t in trans), 12
             )
             for s in trans
         }
     out = [
-        (s, round(vp[s], 4), round(ve[s], 4), round(1 - vp[s] - ve[s], 4)) for s in trans
+        (s, rnd(vp[s], 4), rnd(ve[s], 4), rnd(1 - vp[s] - ve[s], 4)) for s in trans
     ]
     return spark.createDataFrame(
         out,
