@@ -10,7 +10,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from bigdatainfinance1_spark.registry import query
 from bigdatainfinance1_spark.sources.catalog import load_table
-from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
 
 
 @query(
@@ -86,85 +85,6 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("lang", "doc_id", "n_chars")
-    )
-
-
-_BM25_TERMS = ("spark", "join", "fast")
-
-
-@query(
-    "q_bm25_topk",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ),
-    dl AS (
-      SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
-    ),
-    avgdl AS (SELECT avg(doclen) AS avgdl FROM dl),
-    n_docs AS (SELECT count(*) AS n FROM documents),
-    tf AS (
-      SELECT doc_id, term, count(*) AS tf FROM toks
-      WHERE term IN {_BM25_TERMS!r}
-      GROUP BY doc_id, term
-    ),
-    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-    scored AS (
-      SELECT tf.doc_id,
-        sum(
-          ln((n.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1e0)
-          * tf.tf * 2.2e0
-          / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.doclen / a.avgdl))
-        ) AS score
-      FROM tf
-      JOIN df ON tf.term = df.term
-      JOIN dl ON tf.doc_id = dl.doc_id
-      CROSS JOIN avgdl a CROSS JOIN n_docs n
-      GROUP BY tf.doc_id
-    )
-    SELECT doc_id, round(score, 6) AS bm25
-    FROM scored
-    ORDER BY round(score, 6) DESC, doc_id
-    LIMIT 10
-    """,
-    tags=("text", "llm-pipeline"),
-)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-text retrieval scoring: BM25 top-10 documents for the query
-    {spark, join, fast} — k1=1.2, b=0.75, the Robertson idf with +1
-    floor (Lucene's formulation). The token stream is filtered to the
-    query terms BEFORE any aggregation (vocabulary-sized tf/df relations,
-    both broadcastable); doc lengths and the corpus constants ride in as
-    broadcast one-row relations. Ordering is on the rounded score with a
-    doc_id tiebreak so the cut is engine-stable. This is the retrieval
-    complement to q_tfidf_top (keyword extraction) and q_cosine_topk
-    (dense retrieval)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
-    consts = dl.agg(F.avg("doclen").alias("avgdl")).crossJoin(
-        docs.agg(F.count(F.lit(1)).alias("n"))
-    )
-    tf = (
-        toks.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    contrib = idf * F.col("tf") * 2.2 / (
-        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
-    )
-    return (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(consts))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(10)
     )
 
 

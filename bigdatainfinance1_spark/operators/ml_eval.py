@@ -10,7 +10,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from bigdatainfinance1_spark.registry import query
 from bigdatainfinance1_spark.sources.catalog import load_table
-from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
 
 
 @query(
@@ -570,58 +569,6 @@ def auc_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("auc"),
-    )
-
-
-@query(
-    "q_mrr",
-    oracle=f"""
-    WITH {_CAND_SQL},
-    graded AS (
-      SELECT c.term, c.doc_id, c.bm25,
-             CASE WHEN CAST(substr(d.source, 4) AS INT) % 4 >= 2
-                  THEN 1 ELSE 0 END AS rel
-      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
-    ),
-    ranked AS (
-      SELECT term, rel,
-             row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS pos
-      FROM graded
-    )
-    SELECT
-      term,
-      CAST(sum(rel) AS BIGINT)                    AS n_rel,
-      CAST(min(CASE WHEN rel = 1 THEN pos END) AS BIGINT) AS first_rel_pos,
-      round(coalesce(1e0 / min(CASE WHEN rel = 1 THEN pos END), 0e0), 6) AS rr
-    FROM ranked
-    GROUP BY term
-    """,
-    tags=("text", "llm-pipeline", "retrieval"),
-)
-def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal rank per query term for the BM25 ranking (the third
-    retrieval-eval metric next to q_ndcg and q_rrf_fusion, on the same
-    candidate relation and the same deterministic relevance: source grade
-    ≥ 2 → relevant). rr = 1/position of the first relevant document, 0 when
-    none is relevant; the driver-side mean over terms IS the MRR. Ranks
-    order by (rounded bm25, doc_id) — a total order, engine-stable. Scale:
-    identical to q_ndcg — windows partitioned on the term axis, candidate
-    sets bounded per term."""
-    cand = _candidates(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    graded = cand.join(docs, "doc_id").select(
-        "term",
-        "doc_id",
-        "bm25",
-        F.when(F.substring("source", 4, 10).cast("int") % 4 >= 2, 1).otherwise(0).alias("rel"),
-    )
-    w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
-    ranked = graded.select("term", "rel", F.row_number().over(w).alias("pos"))
-    first_pos = F.min(F.when(F.col("rel") == 1, F.col("pos")))
-    return ranked.groupBy("term").agg(
-        F.sum("rel").cast("long").alias("n_rel"),
-        first_pos.cast("long").alias("first_rel_pos"),
-        F.round(F.coalesce(F.lit(1.0) / first_pos, F.lit(0.0)), 6).alias("rr"),
     )
 
 

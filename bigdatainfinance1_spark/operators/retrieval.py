@@ -1,6 +1,7 @@
-"""Retrieval-quality operators: reciprocal-rank fusion of two rankings and
-NDCG ranking evaluation — the measurement half of a retrieval stack, next
-to the scorers (q_bm25_topk sparse, q_cosine_topk dense). Both queries run
+"""The retrieval stack: the BM25 sparse scorer (q_bm25_topk), reciprocal-
+rank fusion of two rankings, and the NDCG/MRR ranking-eval metrics —
+consolidated here in round 4 (verdict task 7) next to q_cosine_topk's
+dense scorer in similarity.py. The eval queries run
 per query-term with every window PARTITIONED BY the term (repo rule: no
 unpartitioned windows), which is also the 100 TB shape — a real evaluation
 harness fans out over thousands of queries, each with a bounded candidate
@@ -228,4 +229,135 @@ def ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("idcg") == 0, F.lit(0.0)).otherwise(F.col("dcg") / F.col("idcg")), 6
             ).alias("ndcg"),
         )
+    )
+
+
+_BM25_TERMS = ("spark", "join", "fast")
+
+
+@query(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
+    ),
+    avgdl AS (SELECT avg(doclen) AS avgdl FROM dl),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+        sum(
+          ln((n.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1e0)
+          * tf.tf * 2.2e0
+          / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.doclen / a.avgdl))
+        ) AS score
+      FROM tf
+      JOIN df ON tf.term = df.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN avgdl a CROSS JOIN n_docs n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval scoring: BM25 top-10 documents for the query
+    {spark, join, fast} — k1=1.2, b=0.75, the Robertson idf with +1
+    floor (Lucene's formulation). The token stream is filtered to the
+    query terms BEFORE any aggregation (vocabulary-sized tf/df relations,
+    both broadcastable); doc lengths and the corpus constants ride in as
+    broadcast one-row relations. Ordering is on the rounded score with a
+    doc_id tiebreak so the cut is engine-stable. This is the retrieval
+    complement to q_tfidf_top (keyword extraction) and q_cosine_topk
+    (dense retrieval)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    consts = dl.agg(F.avg("doclen").alias("avgdl")).crossJoin(
+        docs.agg(F.count(F.lit(1)).alias("n"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doclen") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q_mrr",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    graded AS (
+      SELECT c.term, c.doc_id, c.bm25,
+             CASE WHEN CAST(substr(d.source, 4) AS INT) % 4 >= 2
+                  THEN 1 ELSE 0 END AS rel
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT term, rel,
+             row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS pos
+      FROM graded
+    )
+    SELECT
+      term,
+      CAST(sum(rel) AS BIGINT)                    AS n_rel,
+      CAST(min(CASE WHEN rel = 1 THEN pos END) AS BIGINT) AS first_rel_pos,
+      round(coalesce(1e0 / min(CASE WHEN rel = 1 THEN pos END), 0e0), 6) AS rr
+    FROM ranked
+    GROUP BY term
+    """,
+    tags=("text", "llm-pipeline", "retrieval"),
+)
+def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank per query term for the BM25 ranking (the third
+    retrieval-eval metric next to q_ndcg and q_rrf_fusion, on the same
+    candidate relation and the same deterministic relevance: source grade
+    ≥ 2 → relevant). rr = 1/position of the first relevant document, 0 when
+    none is relevant; the driver-side mean over terms IS the MRR. Ranks
+    order by (rounded bm25, doc_id) — a total order, engine-stable. Scale:
+    identical to q_ndcg — windows partitioned on the term axis, candidate
+    sets bounded per term."""
+    cand = _candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    graded = cand.join(docs, "doc_id").select(
+        "term",
+        "doc_id",
+        "bm25",
+        F.when(F.substring("source", 4, 10).cast("int") % 4 >= 2, 1).otherwise(0).alias("rel"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    ranked = graded.select("term", "rel", F.row_number().over(w).alias("pos"))
+    first_pos = F.min(F.when(F.col("rel") == 1, F.col("pos")))
+    return ranked.groupBy("term").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        first_pos.cast("long").alias("first_rel_pos"),
+        F.round(F.coalesce(F.lit(1.0) / first_pos, F.lit(0.0)), 6).alias("rr"),
     )
