@@ -1204,6 +1204,7 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, each banding adds only a band-key regroup and bucket self-join,
     all O(docs) shuffles. md5 signature family for DuckDB
     reproducibility (the q_minhash_lsh oracle-twin posture)."""
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
     ds = _doc_shingles(spark, sf_dir)
     sig = (
         ds.select(
@@ -1246,7 +1247,7 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .count()
         )
-        row = (b, r, n_pairs, round((1.0 / b) ** (1.0 / r), 4))
+        row = (b, r, n_pairs, rnd((1.0 / b) ** (1.0 / r), 4))
         out = (out or []) + [row]
     sig.unpersist()
     return spark.createDataFrame(

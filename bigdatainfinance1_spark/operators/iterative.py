@@ -269,16 +269,19 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     cov = {(r["i"], r["j"]): r["c"] for r in cov_rows}
-    # Python round() is banker's, SQL round() half-away — they differ only on
-    # exact .5 at the 12th dp, measure-zero over continuous covariances.
+    # half-away rounding matching DuckDB bitwise (functions/rounding.py) —
+    # exact .5 boundaries at the 12th dp are measure-zero over continuous
+    # covariances, but the shared helper closes even that door.
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
     v = {i: 0.125 for i in range(1, DIM + 1)}
     nrm = 0.0
     for _ in range(PCA_ITERS):
         w = {
-            i: round(sum(cov[(i, j)] * v[j] for j in range(1, DIM + 1)), 12)
+            i: rnd(sum(cov[(i, j)] * v[j] for j in range(1, DIM + 1)), 12)
             for i in range(1, DIM + 1)
         }
-        nrm = round(sum(x * x for x in w.values()) ** 0.5, 12)
-        v = {i: round(w[i] / nrm, 12) for i in range(1, DIM + 1)}
-    rows = [(i, round(v[i], 6), round(nrm, 6)) for i in range(1, DIM + 1)]
+        nrm = rnd(sum(x * x for x in w.values()) ** 0.5, 12)
+        v = {i: rnd(w[i] / nrm, 12) for i in range(1, DIM + 1)}
+    rows = [(i, rnd(v[i], 6), rnd(nrm, 6)) for i in range(1, DIM + 1)]
     return spark.createDataFrame(rows, "dim_idx long, loading double, eigenvalue double")

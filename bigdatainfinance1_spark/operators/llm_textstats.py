@@ -657,7 +657,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("action"),
         F.md5(red).alias("redacted_md5"),
-        F.length(red).cast("long").alias("redacted_bytes"),
+        F.octet_length(red).cast("long").alias("redacted_bytes"),  # bytes, matching oracle strlen
     )
 
 

@@ -61,6 +61,7 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned: n·n/ndv as BIGINT math truncated identically via CAST.
     Scale: counts and NDVs are single-pass aggregates; the actual-count
     joins are the very joins being estimated."""
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -80,8 +81,8 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_ol = n_li * n_o // max(ndv_li, ndv_o)
     est_co = n_c * n_o // max(ndv_c, ndv_oc)
     rows = [
-        ("orders_lineitem", actual_ol, est_ol, round((est_ol - actual_ol) / actual_ol, 4)),
-        ("customer_orders", actual_co, est_co, round((est_co - actual_co) / actual_co, 4)),
+        ("orders_lineitem", actual_ol, est_ol, rnd((est_ol - actual_ol) / actual_ol, 4)),
+        ("customer_orders", actual_co, est_co, rnd((est_co - actual_co) / actual_co, 4)),
     ]
     return spark.createDataFrame(
         rows, "join_name string, actual_rows long, estimated_rows long, rel_error double"

@@ -830,7 +830,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tokens_per_word"
             ),
             F.round(
-                F.sum(F.length("word")) * F.lit(1.0) / F.sum("n_sub"), 4
+                F.sum(F.octet_length("word")) * F.lit(1.0) / F.sum("n_sub"), 4
             ).alias("chars_per_token"),
         )
     )
