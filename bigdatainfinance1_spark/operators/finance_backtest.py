@@ -1,0 +1,445 @@
+"""Risk backtesting and performance-attribution operators (round 4): VaR
+exceedance backtest (Kupiec POF), Sharpe/Sortino ratios per nation,
+drawdown-spell duration, and rolling market beta per region — the
+model-validation layer a risk desk runs on top of the measurement queries
+(q_var_cvar, q_max_drawdown, q_rolling_corr).
+
+Scale notes: every query reduces the fact scan to a daily (or
+nation/region-daily) relation first — O(calendar) or O(calendar x dims)
+rows — so the corpus pass is one groupBy and all window state is bounded
+by the calendar, never by row count. Day-over-day lags follow the house
+year-partition + broadcast-carry shape (repo rule: no unpartitioned
+ordered windows over unbounded series); per-key series partition their
+windows by the key. Determinism contract: returns are ratios of
+2-dp-rounded daily revenue, themselves rounded to 6 dp BEFORE any
+aggregate, and every statistic is computed from moment sums with the same
+algebra on both engines (the q_rolling_corr recipe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+KUPIEC_P = 0.05  # VaR confidence tail
+KUPIEC_SPLIT = "1999-01-01"  # in-sample / out-of-sample split
+KUPIEC_CHI2_95 = 3.841459  # chi2(1) 95% critical value
+
+
+def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global daily revenue + 6-dp day-over-day simple returns, lag carried
+    across year partitions (the q_var_cvar machinery)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .withColumn("_yr", F.year("day"))
+    )
+    w = Window.partitionBy("_yr").orderBy("day")
+    carry = (
+        daily.groupBy("_yr")
+        .agg(F.max_by("rev", "day").alias("_carry_rev"))
+        .select((F.col("_yr") + 1).alias("_yr"), "_carry_rev")
+    )
+    prev = F.coalesce(F.lag("rev").over(w), F.col("_carry_rev"))
+    return daily.join(F.broadcast(carry), "_yr", "left").select(
+        "day", "rev", F.round(F.col("rev") / prev - 1, 6).alias("r")
+    )
+
+
+_DAILY_RET_SQL = """
+    daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    rets AS (
+      SELECT day, rev, round(rev / lag(rev) OVER (ORDER BY day) - 1, 6) AS r
+      FROM daily
+    )
+"""
+
+
+@query(
+    "q_kupiec_var_backtest",
+    oracle=f"""
+    WITH {_DAILY_RET_SQL},
+    insample AS (
+      SELECT r FROM rets WHERE r IS NOT NULL AND day < TIMESTAMP '{KUPIEC_SPLIT}'
+    ),
+    v AS (SELECT round(quantile_cont(r, {KUPIEC_P}), 6) AS var05 FROM insample),
+    test AS (
+      SELECT t.r, v.var05 FROM rets t CROSS JOIN v
+      WHERE t.r IS NOT NULL AND t.day >= TIMESTAMP '{KUPIEC_SPLIT}'
+    ),
+    c AS (
+      SELECT min(var05) AS var05,
+             count(*) AS n, sum(CASE WHEN r < var05 THEN 1 ELSE 0 END) AS x
+      FROM test
+    )
+    SELECT
+      CAST(n AS BIGINT) AS n_test_days,
+      CAST(x AS BIGINT) AS n_breaches,
+      round(x * 1.0 / n, 6) AS breach_rate,
+      var05,
+      round(-2 * (
+          (n - x) * ln(1 - {KUPIEC_P}) + x * ln({KUPIEC_P})
+          - (n - x) * (CASE WHEN x = n THEN 0 ELSE ln(1 - x * 1.0 / n) END)
+          - x * (CASE WHEN x = 0 THEN 0 ELSE ln(x * 1.0 / n) END)
+      ), 6) AS lr_pof,
+      round(-2 * (
+          (n - x) * ln(1 - {KUPIEC_P}) + x * ln({KUPIEC_P})
+          - (n - x) * (CASE WHEN x = n THEN 0 ELSE ln(1 - x * 1.0 / n) END)
+          - x * (CASE WHEN x = 0 THEN 0 ELSE ln(x * 1.0 / n) END)
+      ), 6) > {KUPIEC_CHI2_95} AS reject_95
+    FROM c
+    """,
+    tags=("finance", "risk", "backtest"),
+)
+def kupiec_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR model validation — Kupiec's proportion-of-failures test: fit the
+    95% historical VaR on the in-sample window (days before
+    {KUPIEC_SPLIT}), count strict exceedances out-of-sample, and report
+    the likelihood-ratio statistic
+    LR = -2 ln[ (1-p)^(n-x) p^x / ((1-x/n)^(n-x) (x/n)^x) ] with the
+    chi2(1) 95% reject flag — the Basel-style green/red-zone check that a
+    VaR model's breach frequency matches its confidence level.
+
+    Determinism: returns and the interpolated quantile are rounded to 6 dp
+    before the comparison, so the breach predicate compares identical
+    doubles in both engines and (n, x) are exact integers; the LR is one
+    closed-form expression of those integers, rounded at 6. The x=0 / x=n
+    degenerate terms are CASE-guarded identically (x·ln(x/n) -> 0).
+    Scale: the corpus scan reduces to O(calendar) daily rows; the quantile
+    and the breach count are one aggregate each over that bounded
+    relation; the 1-row VaR rides a broadcast cross join."""
+    rets = _daily_returns(spark, sf_dir).filter(F.col("r").isNotNull())
+    split = F.lit(KUPIEC_SPLIT).cast("timestamp")
+    v = (
+        rets.filter(F.col("day") < split)
+        .agg(F.round(F.expr(f"percentile(r, {KUPIEC_P})"), 6).alias("var05"))
+    )
+    c = (
+        rets.filter(F.col("day") >= split)
+        .crossJoin(F.broadcast(v))
+        .agg(
+            F.min("var05").alias("var05"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("r") < F.col("var05"), 1).otherwise(0)).alias("x"),
+        )
+    )
+    n, x = F.col("n"), F.col("x")
+    rate = x * 1.0 / n
+    # ln(p)/ln(1-p) evaluated as runtime log on BOTH engines (the bm25/tfidf
+    # precedent: JVM log and DuckDB ln agree on these inputs)
+    lr = F.round(
+        -2.0
+        * (
+            (n - x) * F.log(F.lit(1 - KUPIEC_P))
+            + x * F.log(F.lit(KUPIEC_P))
+            - (n - x) * F.when(x == n, F.lit(0.0)).otherwise(F.log(1 - rate))
+            - x * F.when(x == 0, F.lit(0.0)).otherwise(F.log(rate))
+        ),
+        6,
+    )
+    return c.select(
+        n.cast("long").alias("n_test_days"),
+        x.cast("long").alias("n_breaches"),
+        F.round(rate, 6).alias("breach_rate"),
+        "var05",
+        lr.alias("lr_pof"),
+        (lr > KUPIEC_CHI2_95).alias("reject_95"),
+    )
+
+
+@query(
+    "q_sharpe_by_nation",
+    oracle="""
+    WITH daily AS (
+      SELECT n.n_name, date_trunc('day', o.o_orderdate) AS day,
+             round(sum(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, date_trunc('day', o.o_orderdate)
+    ),
+    rets AS (
+      SELECT n_name,
+             round(rev / lag(rev) OVER (PARTITION BY n_name ORDER BY day) - 1, 6) AS r
+      FROM daily
+    ),
+    m AS (
+      SELECT n_name,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(r)                   AS sx,
+             sum(r * r)               AS sxx,
+             sum(CASE WHEN r < 0 THEN r * r ELSE 0 END) AS sdd
+      FROM rets WHERE r IS NOT NULL GROUP BY n_name
+    )
+    SELECT
+      n_name,
+      CAST(n AS BIGINT) AS n_days,
+      round(sx / n, 6) AS mean_ret,
+      round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS std_ret,
+      round((sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1))) * sqrt(252), 4)
+        AS sharpe_annual,
+      round((sx / n) / nullif(sqrt(sdd / (n - 1)), 0.0) * sqrt(252), 4)
+        AS sortino_annual
+    FROM m
+    """,
+    tags=("finance", "risk", "backtest"),
+)
+def sharpe_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk-adjusted performance per nation: annualized Sharpe and Sortino
+    ratios of the nation's daily-revenue return series (sqrt(252)
+    annualization, zero risk-free rate; Sortino's denominator is the
+    downside semideviation sqrt(Σ_{{r<0}} r² / (n-1))). Statistics come
+    from moment sums with identical algebra on both engines (the
+    q_rolling_corr recipe) — never engine-native stddev, whose streaming
+    implementations can differ in the last ulp.
+
+    Scale: one fact scan reduces to O(nations x calendar) rows; the lag
+    window partitions by nation (bounded state per partition, calendar
+    rows each); nation series are contiguous so no cross-year carry is
+    needed — the lag's first row per nation is NULL and excluded in both
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("day")
+    rets = daily.select(
+        "n_name", F.round(F.col("rev") / F.lag("rev").over(w) - 1, 6).alias("r")
+    ).filter(F.col("r").isNotNull())
+    m = rets.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("r").alias("sx"),
+        F.sum(F.col("r") * F.col("r")).alias("sxx"),
+        F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0)).alias("sdd"),
+    )
+    n, sx, sxx, sdd = F.col("n"), F.col("sx"), F.col("sxx"), F.col("sdd")
+    std = F.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
+    dd = F.sqrt(sdd / (n - 1))
+    ann = F.sqrt(F.lit(252.0))
+    return m.select(
+        "n_name",
+        n.cast("long").alias("n_days"),
+        F.round(sx / n, 6).alias("mean_ret"),
+        F.round(std, 6).alias("std_ret"),
+        F.round((sx / n) / std * ann, 4).alias("sharpe_annual"),
+        F.round((sx / n) / F.nullif(dd, F.lit(0.0)) * ann, 4).alias("sortino_annual"),
+    )
+
+
+@query(
+    "q_drawdown_duration",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    pk AS (
+      SELECT day, rev,
+             max(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak,
+             row_number() OVER (ORDER BY day) AS rn
+      FROM daily
+    ),
+    uw AS (
+      SELECT day, rev, peak, rn,
+             row_number() OVER (ORDER BY day) AS rn_uw
+      FROM pk WHERE rev < peak
+    ),
+    spells AS (
+      SELECT rn - rn_uw AS island,
+             min(day) AS start_day, max(day) AS end_day,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(max(1 - rev / peak), 6) AS max_depth
+      FROM uw GROUP BY rn - rn_uw
+    )
+    SELECT start_day, end_day, n_days, max_depth,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n_days DESC, start_day) AS rnk
+      FROM spells
+    )
+    WHERE rnk <= 5
+    """,
+    tags=("finance", "risk", "timeseries"),
+)
+def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Underwater-spell analysis: the 5 longest consecutive runs of days
+    where daily revenue sits below its running all-time peak, with each
+    spell's bounds and maximum relative depth — q_max_drawdown answers
+    "how deep", this answers "how long" (the time-to-recover number a
+    drawdown report leads with). Spells are gaps-and-islands: island id =
+    global rn - rn-within-underwater, exact integer arithmetic.
+
+    Scale: the running peak is the two-phase recomposition — cummax within
+    year partitions plus each year's carry-in peak from a years-sized
+    (O(10) rows, broadcast) prefix relation — and both row numbers come
+    from functions/ranks.global_row_number (range-bucketed two-phase, no
+    single-partition window); depth ratios of 2-dp revenue round at 6."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .withColumn("_yr", F.year("day"))
+    )
+    wy = Window.partitionBy("_yr").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    yearly = daily.groupBy("_yr").agg(F.max("rev").alias("_ymax"))
+    prior = (
+        yearly.alias("a")
+        .join(yearly.alias("b"), F.col("b._yr") < F.col("a._yr"))
+        .groupBy(F.col("a._yr").alias("_yr"))
+        .agg(F.max("b._ymax").alias("_carry_peak"))
+    )
+    pk = (
+        daily.join(F.broadcast(prior), "_yr", "left")
+        .withColumn(
+            "peak",
+            F.greatest(F.max("rev").over(wy), F.coalesce("_carry_peak", F.lit(float("-inf")))),
+        )
+        .select("day", "rev", "peak")
+    )
+    rn = global_row_number(pk, [F.col("day")], rn_col="rn")
+    uw = rn.filter(F.col("rev") < F.col("peak"))
+    uw2 = global_row_number(uw, [F.col("day")], rn_col="rn_uw")
+    spells = (
+        uw2.groupBy((F.col("rn") - F.col("rn_uw")).alias("island"))
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.max(1 - F.col("rev") / F.col("peak")), 6).alias("max_depth"),
+        )
+    )
+    ranked = global_row_number(
+        spells, [F.col("n_days").desc(), F.col("start_day")], rn_col="rnk"
+    )
+    return ranked.filter(F.col("rnk") <= 5).select(
+        "start_day", "end_day", "n_days", "max_depth", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+ROLLING_BETA_WIN = 30  # trading-day beta window
+
+
+@query(
+    "q_rolling_beta",
+    oracle=f"""
+    WITH rdaily AS (
+      SELECT r.r_name, date_trunc('day', o.o_orderdate) AS day,
+             round(sum(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, date_trunc('day', o.o_orderdate)
+    ),
+    mdaily AS (
+      SELECT day, round(sum(rev), 2) AS mrev FROM rdaily GROUP BY day
+    ),
+    rr AS (
+      SELECT r_name, day,
+             round(rev / lag(rev) OVER (PARTITION BY r_name ORDER BY day) - 1, 6) AS y
+      FROM rdaily
+    ),
+    mr AS (
+      SELECT day, round(mrev / lag(mrev) OVER (ORDER BY day) - 1, 6) AS x
+      FROM mdaily
+    ),
+    j AS (
+      SELECT rr.r_name, rr.day, rr.y, mr.x
+      FROM rr JOIN mr ON rr.day = mr.day
+      WHERE rr.y IS NOT NULL AND mr.x IS NOT NULL
+    ),
+    win AS (
+      SELECT r_name, day,
+        CAST(count(*) OVER w AS DOUBLE) AS n,
+        sum(x) OVER w     AS sx,
+        sum(y) OVER w     AS sy,
+        sum(x * x) OVER w AS sxx,
+        sum(x * y) OVER w AS sxy
+      FROM j
+      WINDOW w AS (PARTITION BY r_name ORDER BY day
+                   ROWS BETWEEN {ROLLING_BETA_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT r_name, day,
+      round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 4) AS beta_30d
+    FROM win WHERE n = {ROLLING_BETA_WIN}
+    """,
+    tags=("finance", "risk", "window"),
+)
+def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {ROLLING_BETA_WIN}-day market beta per region: regress each
+    region's daily revenue return on the total-market return over a
+    trailing row frame, beta = (nΣxy - ΣxΣy)/(nΣxx - Σx²) from windowed
+    moment sums (the q_rolling_corr algebra), emitted only for full
+    frames. The 'market' is the sum of the regional series — the classic
+    index-vs-constituent attribution shape.
+
+    Scale: fact scan reduces to O(regions x calendar); beta windows
+    partition by region (bounded calendar-length state each); the market
+    series joins back by day — a calendar-sized equi-join. At 100 TB only
+    the first groupBy touches the corpus."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rdaily = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    mdaily = rdaily.groupBy("day").agg(F.round(F.sum("rev"), 2).alias("mrev"))
+    wr = Window.partitionBy("r_name").orderBy("day")
+    rr = rdaily.select(
+        "r_name", "day", F.round(F.col("rev") / F.lag("rev").over(wr) - 1, 6).alias("y")
+    )
+    # market series: single bounded calendar relation; lag via the
+    # year-partition + carry shape (no unpartitioned window)
+    md = mdaily.withColumn("_yr", F.year("day"))
+    wm = Window.partitionBy("_yr").orderBy("day")
+    mcarry = (
+        md.groupBy("_yr")
+        .agg(F.max_by("mrev", "day").alias("_carry"))
+        .select((F.col("_yr") + 1).alias("_yr"), "_carry")
+    )
+    mprev = F.coalesce(F.lag("mrev").over(wm), F.col("_carry"))
+    mr = md.join(F.broadcast(mcarry), "_yr", "left").select(
+        "day", F.round(F.col("mrev") / mprev - 1, 6).alias("x")
+    )
+    j = (
+        rr.join(mr, "day")
+        .filter(F.col("y").isNotNull() & F.col("x").isNotNull())
+    )
+    wb = Window.partitionBy("r_name").orderBy("day").rowsBetween(1 - ROLLING_BETA_WIN, 0)
+    n = F.count(F.lit(1)).over(wb).cast("double")
+    sx = F.sum("x").over(wb)
+    sy = F.sum("y").over(wb)
+    sxx = F.sum(F.col("x") * F.col("x")).over(wb)
+    sxy = F.sum(F.col("x") * F.col("y")).over(wb)
+    return (
+        j.select(
+            "r_name",
+            "day",
+            n.alias("_n"),
+            F.round((n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0)), 4).alias(
+                "beta_30d"
+            ),
+        )
+        .filter(F.col("_n") == ROLLING_BETA_WIN)
+        .select("r_name", "day", "beta_30d")
+    )

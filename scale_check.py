@@ -121,6 +121,11 @@ QUERIES = [
     "q_bounce_rate",
     "q_new_vs_returning",
     "q_tfidf_cosine_pairs",
+    # round-4 wave: task-6 stragglers + the queries whose scale posture
+    # changed this round (relative df cap, corpus-derived k, de-broadcast
+    # norm joins) — re-measure so BASELINE.md records the new curves
+    "q_croston_forecast",
+    "q_containment_neardup",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
