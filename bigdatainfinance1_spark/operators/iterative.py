@@ -31,27 +31,65 @@ def _centroid_literal(cents: list[list[float]]):
     return F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
 
 
+# Above this k, the plan-literal assignment expression (k x 64 literals
+# inside a transform/aggregate fold) blows past codegen limits and runs
+# interpreted — measured 25x at 10x corpus via q_semdedup's corpus-derived
+# k. The join-based strategy below scales instead.
+ASSIGN_LITERAL_MAX_K = 16
+
+
 def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
-    """Narrow map: per vector, squared distance to each centroid, argmin.
-    Distances are rounded to 12 dp before the argmin so Spark's sequential
-    fold and DuckDB's group-sum (different summation orders, ~1e-14 ulps)
-    agree bit-for-bit — the q_pca_power_iteration determinism recipe."""
-    with_c = emb.withColumn("cents", _centroid_literal(cents))
-    dists = F.expr(
-        f"transform(sequence(0, {len(cents) - 1}), c -> round(aggregate("
-        "zip_with(embedding, cents[c], (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 12))"
+    """Per vector: squared distance to each centroid, argmin. Distances are
+    rounded to 12 dp before the argmin so Spark's sequential fold and
+    DuckDB's group-sum (different summation orders, ~1e-14 ulps) agree
+    bit-for-bit — the q_pca_power_iteration determinism recipe.
+
+    Two physically different, bitwise-identical strategies (asserted equal
+    in tests/test_fuzz.py):
+
+    - k <= {ASSIGN_LITERAL_MAX_K}: centroids ride as a plan literal into a
+      narrow map (no shuffle at all) — right for the oracle tiers.
+    - larger k (q_semdedup's corpus-derived k): centroids become a k-row
+      broadcast relation; the vector x centroid expansion is a broadcast
+      nested-loop of a bounded side, distances stay in codegen, and the
+      argmin is one min(struct(d2, cid)) groupBy — lexicographic struct
+      min = lowest distance then lowest cid, exactly the literal fold's
+      strict-< first-index tiebreak. Work is O(n*k) FLOPs either way
+      (exact Lloyd); at corpus scale the assignment prune (IVF/LSH bucket,
+      the q_ann_ivf_topk machinery) is the named next tier."""
+    d2_of = (
+        "round(aggregate(zip_with(embedding, {c}, (x, m) ->"
+        " (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 12)"
     )
-    # argmin with lowest-index tiebreak: fold over (best_i, best_d)
-    argmin = F.expr(
-        f"aggregate(sequence(0, {len(cents) - 1}), named_struct('i', -1, 'd', CAST('Infinity' AS DOUBLE)),"
-        " (acc, c) -> IF(dists[c] < acc.d, named_struct('i', c, 'd', dists[c]), acc)).i"
+    if len(cents) <= ASSIGN_LITERAL_MAX_K:
+        with_c = emb.withColumn("cents", _centroid_literal(cents))
+        dists = F.expr(f"transform(sequence(0, {len(cents) - 1}), c -> " + d2_of.format(c="cents[c]") + ")")
+        # argmin with lowest-index tiebreak: fold over (best_i, best_d)
+        argmin = F.expr(
+            f"aggregate(sequence(0, {len(cents) - 1}), named_struct('i', -1, 'd', CAST('Infinity' AS DOUBLE)),"
+            " (acc, c) -> IF(dists[c] < acc.d, named_struct('i', c, 'd', dists[c]), acc)).i"
+        )
+        return (
+            with_c.withColumn("dists", dists)
+            .withColumn("cid", argmin)
+            .select(
+                "vec_id", "embedding", "cid", F.element_at("dists", F.col("cid") + 1).alias("d2")
+            )
+        )
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cid int, cent array<double>",
     )
-    return (
-        with_c.withColumn("dists", dists)
-        .withColumn("cid", argmin)
-        .select("vec_id", "embedding", "cid", F.element_at("dists", F.col("cid") + 1).alias("d2"))
+    best = (
+        emb.crossJoin(F.broadcast(cdf))
+        .select("vec_id", F.expr(d2_of.format(c="cent")).alias("d2"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2"))
     )
+    return emb.join(best, "vec_id").select("vec_id", "embedding", "cid", "d2")
 
 
 def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:

@@ -448,3 +448,30 @@ def test_waterfill_closed_form_equals_greedy(caps, budget_pct):
     b = _waterfill_reference([float(c) for c in caps], budget)
     assert all(abs(x - y) < 1e-9 * max(1.0, budget) for x, y in zip(a, b))
     assert abs(sum(a) - budget) < 1e-9 * max(1.0, budget)
+
+
+def test_lloyd_assign_strategies_bitwise_equal(spark, monkeypatch):
+    """iterative._assign's two physical strategies (plan-literal fold for
+    small k, broadcast-join + min(struct) for q_semdedup's corpus-derived
+    k) must produce IDENTICAL (cid, d2) for every vector — same 12-dp
+    rounded distances, same lowest-cid tiebreak — or the semdedup oracle
+    would silently diverge right at the k crossover."""
+    from bigdatainfinance1_spark.operators import iterative
+    from bigdatainfinance1_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(20).collect()
+    ]
+    join_rows = {
+        r["vec_id"]: (r["cid"], r["d2"])
+        for r in iterative._assign(emb, cents).select("vec_id", "cid", "d2").collect()
+    }
+    monkeypatch.setattr(iterative, "ASSIGN_LITERAL_MAX_K", 64)
+    lit_rows = {
+        r["vec_id"]: (r["cid"], r["d2"])
+        for r in iterative._assign(emb, cents).select("vec_id", "cid", "d2").collect()
+    }
+    assert join_rows == lit_rows
