@@ -401,7 +401,7 @@ def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(k: int = 16, nprobe: int = 4, iters: int = 5, sample_n: int = 512) -> str:
+def _ivf_prefix_sql(k: int = 16, iters: int = 5, sample_n: int = 512) -> str:
     """DuckDB oracle for q_ann_ivf_topk (round-2 verdict task 6: rows-only →
     full value-hash). The coarse-quantizer TRAINING is replicated as unrolled
     Lloyd CTEs over the same fixed sample (the q_kmeans_embeddings pattern):
@@ -460,7 +460,15 @@ def _ivf_oracle_sql(k: int = 16, nprobe: int = 4, iters: int = 5, sample_n: int 
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         FROM cd
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+def _ivf_oracle_sql(k: int = 16, nprobe: int = 4, iters: int = 5, sample_n: int = 512) -> str:
+    """DuckDB oracle for q_ann_ivf_topk: the shared IVF prefix (training +
+    corpus list assignment, see _ivf_prefix_sql) plus nprobe probing,
+    exact-cosine rerank, and the per-query top-3."""
+    return f"""
+    {_ivf_prefix_sql(k, iters, sample_n)},
     probes AS (
       SELECT vec_id AS query_id, cid AS list_id FROM (
         SELECT vec_id, cid,
@@ -489,36 +497,20 @@ def _ivf_oracle_sql(k: int = 16, nprobe: int = 4, iters: int = 5, sample_n: int 
     """
 
 
-@query("q_ann_ivf_topk", oracle=_ivf_oracle_sql(), tags=("similarity", "llm", "approx"))
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 (scale path, IVF variant): approximate top-k via an inverted-file
-    index — the other standard ANN layout besides sign-LSH (q_ann_lsh_topk).
-
-    Coarse quantizer: k=16 list centroids trained driver-side with 5
-    deterministic Lloyd iterations over a fixed sample (the 512 lowest
-    vec_ids; init = first 16). Training on a small sample is the standard
-    IVF recipe — centroids are k×64 doubles regardless of corpus size, so
-    they broadcast into the plan as literals and the corpus-side assignment
-    is a narrow map (zero shuffle). Queries probe their nprobe=4 nearest
-    lists, so probing is an equi-join on list_id touching ~nprobe/k = 25%
-    of the corpus instead of a full scan; candidates are reranked with
-    exact cosine + per-query top-3 window.
-
-    Full value-hash oracle since round 3 (verdict task 6): training is
-    deterministic by construction — fixed sample, fixed init, argmin ties
-    broken by lowest list id both in training (numpy argmin) and
-    assignment (struct sort by (distance, id)), and every distance and
-    centroid mean rounded to 12 dp — so the DuckDB oracle retrains the
-    identical quantizer as unrolled Lloyd CTEs (see _ivf_oracle_sql) and
-    serves the same lists.
-    """
+def _ivf_with_lists(spark: SparkSession, sf_dir: str, k: int = 16, iters: int = 5,
+                    sample_n: int = 512):
+    """Train the IVF coarse quantizer (deterministic numpy Lloyd over the
+    fixed lowest-id sample — see ann_ivf_topk's docstring for the
+    determinism contract) and return ``(with_lists, nearest_lists)``:
+    the embeddings extended with per-centroid 12-dp distances + L2 norm,
+    and a function giving the n nearest list ids (distance, id)-ordered.
+    Shared by q_ann_ivf_topk and q_ann_nprobe_sweep so both serve the
+    identical index."""
     import numpy as np
 
-    k, nprobe, iters = 16, 4, 5
     emb = load_table(spark, sf_dir, "embeddings")
-
     sample = (
-        emb.orderBy("vec_id").limit(512).select("embedding").toPandas()["embedding"].to_numpy()
+        emb.orderBy("vec_id").limit(sample_n).select("embedding").toPandas()["embedding"].to_numpy()
     )
     x = np.stack(sample).astype(np.float64)
     cents = x[:k].copy()
@@ -551,6 +543,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dists", dists)
         .withColumn("nrm", l2_norm("embedding"))
     )
+    return with_lists, nearest_lists
+
+
+@query("q_ann_ivf_topk", oracle=_ivf_oracle_sql(), tags=("similarity", "llm", "approx"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 (scale path, IVF variant): approximate top-k via an inverted-file
+    index — the other standard ANN layout besides sign-LSH (q_ann_lsh_topk).
+
+    Coarse quantizer: k=16 list centroids trained driver-side with 5
+    deterministic Lloyd iterations over a fixed sample (the 512 lowest
+    vec_ids; init = first 16). Training on a small sample is the standard
+    IVF recipe — centroids are k×64 doubles regardless of corpus size, so
+    they broadcast into the plan as literals and the corpus-side assignment
+    is a narrow map (zero shuffle). Queries probe their nprobe=4 nearest
+    lists, so probing is an equi-join on list_id touching ~nprobe/k = 25%
+    of the corpus instead of a full scan; candidates are reranked with
+    exact cosine + per-query top-3 window.
+
+    Full value-hash oracle since round 3 (verdict task 6): training is
+    deterministic by construction — fixed sample, fixed init, argmin ties
+    broken by lowest list id both in training (numpy argmin) and
+    assignment (struct sort by (distance, id)), and every distance and
+    centroid mean rounded to 12 dp — so the DuckDB oracle retrains the
+    identical quantizer as unrolled Lloyd CTEs (see _ivf_oracle_sql) and
+    serves the same lists.
+    """
+    nprobe = 4
+    with_lists, nearest_lists = _ivf_with_lists(spark, sf_dir)
     corpus = with_lists.select(
         F.col("vec_id").alias("neighbor_id"),
         "embedding",
@@ -579,6 +599,141 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rnk")
     )
+
+
+NPROBE_SWEEP = (1, 2, 4, 8)  # lists probed per query, over k=16 lists
+
+
+def _nprobe_sweep_oracle() -> str:
+    """Shared IVF prefix + exact ground-truth top-3, then one block per
+    nprobe computing recall@3 and the scanned-candidate fraction — the
+    IVF analog of q_lsh_band_sweep's banding table."""
+    blocks, selects = "", []
+    for np_ in NPROBE_SWEEP:
+        blocks += f""",
+    probes{np_} AS (
+      SELECT vec_id AS query_id, cid AS list_id FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM cd WHERE vec_id < 10
+      ) WHERE rn <= {np_}
+    ),
+    cand{np_} AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM probes{np_} p JOIN corpus_a c USING (list_id)
+      WHERE c.vec_id <> p.query_id
+    ),
+    ivf{np_} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT cnd.query_id, cnd.neighbor_id,
+               row_number() OVER (PARTITION BY cnd.query_id
+                                  ORDER BY {_COS_SQL} DESC, cnd.neighbor_id) AS rn
+        FROM cand{np_} cnd
+        JOIN embeddings a ON a.vec_id = cnd.query_id
+        JOIN embeddings b ON b.vec_id = cnd.neighbor_id
+      ) WHERE rn <= 3
+    ),
+    hits{np_} AS (
+      SELECT i.query_id FROM ivf{np_} i
+      JOIN exact3 e ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    )"""
+        selects.append(f"""
+    SELECT CAST({np_} AS BIGINT) AS nprobe,
+      CAST((SELECT count(*) FROM hits{np_}) AS BIGINT) AS n_hits,
+      round((SELECT count(*) FROM hits{np_}) * 1.0
+            / (SELECT count(*) FROM exact3), 6) AS recall_at_3,
+      round((SELECT avg(cnt) FROM (
+               SELECT query_id, count(*) AS cnt FROM cand{np_} GROUP BY query_id))
+            / ((SELECT count(*) FROM embeddings) - 1), 6) AS avg_scan_frac
+    """)
+    return f"""
+    {_ivf_prefix_sql()},
+    ex AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < 10
+    ),
+    exact3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+        FROM ex
+      ) WHERE rn <= 3
+    ){blocks}
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@query("q_ann_nprobe_sweep", oracle=_nprobe_sweep_oracle(), tags=("similarity", "llm", "approx"))
+def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning relation — the ANN analog of q_lsh_band_sweep: serve the
+    SAME trained index (one _ivf_with_lists call) at nprobe in
+    {NPROBE_SWEEP} and report, per setting, recall@3 against the exact
+    brute-force top-3 and the average fraction of the corpus scanned —
+    the recall/cost frontier an operator reads to pick nprobe. One index
+    build, one exact ground-truth pass, and four probe joins that differ
+    only in how many list ids each query explodes — the marginal cost of
+    a sweep point is its candidate join, nothing else.
+
+    Scale: the ground truth is O(queries x corpus) for the fixed 10-query
+    panel (queries broadcast, corpus never shuffles); each sweep join is
+    an equi-join on list_id touching ~nprobe/16 of the corpus. All ranks
+    order by (cos DESC, neighbor_id) on bitwise-identical doubles; counts
+    are exact integers, ratios round at 6."""
+    ntot = load_table(spark, sf_dir, "embeddings").count()
+    with_lists, nearest_lists = _ivf_with_lists(spark, sf_dir)
+    corpus = with_lists.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        "nrm",
+        F.element_at(nearest_lists(1), 1).alias("list_id"),
+    )
+    q_base = with_lists.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = dot("q_emb", "embedding") / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0))
+    w3 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    exact3 = (
+        corpus.join(F.broadcast(q_base), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    out = None
+    for np_ in NPROBE_SWEEP:
+        probes = with_lists.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.explode(nearest_lists(np_)).alias("list_id"),
+        )
+        cand = (
+            corpus.join(F.broadcast(probes), "list_id")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+        scan = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("cnt")).agg(
+            F.round(F.avg("cnt") / (ntot - 1), 6).alias("avg_scan_frac")
+        )
+        ivf3 = (
+            cand.withColumn("cos", cos)
+            .withColumn("rn", F.row_number().over(w3))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+        hits = ivf3.join(exact3, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = hits.crossJoin(scan).select(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(30.0), 6).alias("recall_at_3"),
+            "avg_scan_frac",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 @query(
