@@ -1254,3 +1254,67 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "n_bands long, rows_per_band long, n_candidate_pairs long, s50_threshold double",
     )
+
+
+PREFIX_JOIN_T = 0.7  # Jaccard threshold for the prefix-filtered join
+
+
+@query(
+    "q_prefix_filter_join",
+    oracle=f"""
+    WITH ds AS ({_SHINGLES_SQL}),
+    sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS n_common
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      i.doc_id_1, i.doc_id_2,
+      round(i.n_common * 1.0 / (x.n + y.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN sz x ON i.doc_id_1 = x.doc_id
+    JOIN sz y ON i.doc_id_2 = y.doc_id
+    WHERE i.n_common * 1.0 / (x.n + y.n - i.n_common) >= {PREFIX_JOIN_T}
+    """,
+    tags=("dedup", "llm", "similarity"),
+)
+def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (the PPJoin/AllPairs
+    family, Xiao et al. 2008): order each document's shingles globally
+    rarest-first and index only the first |d| - ceil(t*|d|) + 1 of them —
+    if J(x, y) >= t, the prefixes MUST share a token, so the candidate
+    join touches the rare-token slice of the inverted index instead of
+    all of it, then exact verification runs only on candidates. This is
+    the third candidate-generation strategy beside MinHash-LSH
+    (probabilistic) and the df-cap (lossy): prefix filtering is LOSSLESS,
+    which is exactly what the oracle proves — it computes ground truth
+    from the FULL inverted index with no knowledge of the filter, so any
+    pair the prefix join missed would hash-fail the driver gate.
+
+    Scale shape: one df aggregation (vocabulary-sized), one per-doc
+    rarest-first rank window (partitioned by doc, bounded by doc length),
+    a candidate equi-join on the ~(1-t) rarest slice of the postings, and
+    candidate-driven verification (O(candidates x shingles/doc), the
+    _verify_jaccard_pairs gate path). Hot tokens — the quadratic fan-out —
+    sit at the END of the rarest-first order and never enter the prefix
+    at any corpus size."""
+    ds = _doc_shingle_hashes(spark, sf_dir)
+    dfh = ds.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("h").asc())
+    prefix = (
+        ds.join(dfh, "h")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(PREFIX_JOIN_T) * F.col("n")) + 1)
+        .select("doc_id", "h")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_id_1"), "h")
+        .join(prefix.select(F.col("doc_id").alias("doc_id_2"), "h"), "h")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    return _verify_jaccard_pairs(ds, PREFIX_JOIN_T, candidates=cand)

@@ -126,6 +126,13 @@ QUERIES = [
     # norm joins) — re-measure so BASELINE.md records the new curves
     "q_croston_forecast",
     "q_containment_neardup",
+    # round-4 new operators with nontrivial cost curves
+    "q_prefix_filter_join",
+    "q_ann_nprobe_sweep",
+    "q_kupiec_var_backtest",
+    "q_sharpe_by_nation",
+    "q_drawdown_duration",
+    "q_rolling_beta",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
