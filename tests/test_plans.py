@@ -522,3 +522,20 @@ def test_tfidf_pairs_broadcasts_only_vocabulary(spark):
                  if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln) and "doc_id" in ln]
     assert len(doc_joins) >= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_round4_wave_plans(spark):
+    """Round-4 additions: q_prefix_filter_join's candidate generation and
+    verification are equi-joins end to end (no cartesian, no BNLJ, no
+    Python eval); q_ann_nprobe_sweep and the finance-backtest wave carry
+    no cartesian and no Python eval (their only broadcast-nested loops
+    are bounded scalar/1-row relations)."""
+    plan = plan_of(SPECS["q_prefix_filter_join"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for name in ("q_ann_nprobe_sweep", "q_kupiec_var_backtest", "q_sharpe_by_nation",
+                 "q_drawdown_duration", "q_rolling_beta"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
