@@ -475,3 +475,78 @@ def test_lloyd_assign_strategies_bitwise_equal(spark, monkeypatch):
         for r in iterative._assign(emb, cents).select("vec_id", "cid", "d2").collect()
     }
     assert join_rows == lit_rows
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(
+    sets=st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=40), min_size=1, max_size=15),
+        min_size=2,
+        max_size=12,
+    ),
+    t_pct=st.integers(min_value=50, max_value=95),
+)
+def test_prefix_filter_is_lossless(sets, t_pct):
+    """The PPJoin prefix bound used by q_prefix_filter_join: if
+    J(x, y) >= t then the rarest-first prefixes of length
+    |d| - ceil(t*|d|) + 1 must intersect. Checked against brute force on
+    random small set families — a miss here would mean the Spark operator
+    silently drops true pairs (the oracle would also catch it, but only
+    on the fixed corpus; this covers the adversarial space)."""
+    import math
+    from collections import Counter
+
+    t = t_pct / 100.0
+    df = Counter(tok for s in sets for tok in s)
+    # rarest-first global order, ties by token id (same as the operator)
+    order = {tok: (df[tok], tok) for s in sets for tok in s}
+    prefixes = []
+    for s in sets:
+        ranked = sorted(s, key=lambda tok: order[tok])
+        p = len(s) - math.ceil(t * len(s)) + 1
+        prefixes.append(set(ranked[:p]))
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if inter / union >= t:
+                assert prefixes[i] & prefixes[j], (
+                    f"true pair ({i},{j}) J={inter/union:.3f} missed by prefix filter"
+                )
+
+
+@settings(max_examples=300, deadline=None, derandomize=True)
+@given(
+    mantissa=st.integers(min_value=-(10**15), max_value=10**15),
+    exp=st.integers(min_value=-18, max_value=3),
+    nd=st.integers(min_value=0, max_value=12),
+)
+def test_rnd_half_away_matches_decimal_ground_truth(mantissa, exp, nd):
+    """rnd_half_away must agree with exact decimal HALF_UP rounding of the
+    double's value wherever x*10^nd is exactly representable, and
+    elsewhere stay within one ulp of it (the double-rounding boundary) —
+    the property DuckDB's std::round(x*p)/p also satisfies. The bitwise
+    DuckDB match is pinned in test_rounding.py; this covers the numeric
+    envelope over a much larger random space."""
+    import decimal
+    import math
+
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away
+
+    x = float(mantissa) * (10.0 ** exp)
+    if not math.isfinite(x):
+        return
+    ours = rnd_half_away(x, nd)
+    ctx = decimal.Context(prec=60)  # enough digits for |x| up to 1e18 at 12 dp
+    exact = float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal(1).scaleb(-nd), decimal.ROUND_HALF_UP, context=ctx
+        )
+    )
+    if ours != exact:
+        # double-rounding disagreement allowed only when x*10^nd is inexact,
+        # and then by at most one ulp of the result
+        v = abs(x) * (10.0 ** nd)
+        # one output quantum, with an epsilon for the comparison's own
+        # float arithmetic (|5e-10 - 4e-10| computes 2 ulps over 1e-10)
+        assert v > 2**52 or abs(ours - exact) <= 10.0 ** (-nd) * 1.000001, (x, nd, ours, exact)
