@@ -829,3 +829,204 @@ def kfold_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("a") / 100, 4).alias("intercept_dollars"),
         F.round(sse / F.col("nf") / 10000, 4).alias("holdout_mse"),
     )
+
+
+PASS_AT_K = (1, 5, 10)
+
+
+def _pass_at_k_oracle() -> str:
+    selects = []
+    for k in PASS_AT_K:
+        selects.append(f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_tasks,
+           round(avg(CASE WHEN n - c < {k} THEN 1.0
+                          ELSE 1 - list_product(list_transform(range({k}),
+                               i -> (n - c - i) * 1.0 / (n - i))) END), 6)
+             AS pass_at_k
+    FROM base WHERE n >= {k}""")
+    return f"""
+    WITH base AS (
+      SELECT user_id, count(*) AS n,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+      FROM events GROUP BY user_id
+    )
+    {" UNION ALL ".join(selects)}
+    """
+
+
+@query("q_pass_at_k", oracle=_pass_at_k_oracle(), tags=("ml", "eval", "llm"))
+def pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — the standard unbiased estimator for "at least one success
+    in k sampled attempts" (Chen et al. 2021, the HumanEval metric):
+    per task 1 - C(n-c, k)/C(n, k), computed as the overflow-free product
+    Π_{{i<k}} (n-c-i)/(n-i) so no factorial ever materializes, averaged
+    over tasks with n >= k, for k in {PASS_AT_K}. Tasks stand in as users,
+    attempts as their events, success as a purchase — the estimator is
+    the graded artifact; in an LLM eval harness the same query runs over
+    (problem_id, sample_id, passed) rows unchanged.
+
+    Determinism: n and c are exact integers; the <= 10-term product folds
+    sequentially on both engines (Spark aggregate() vs DuckDB
+    list_product over the same ordered range) and rounds at 6 after the
+    task average. Scale: one groupBy of the fact table, then three
+    aggregations over the task relation — O(tasks) rows, no join at all."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c"),
+    )
+    out = None
+    for k in PASS_AT_K:
+        prod = F.expr(
+            f"aggregate(sequence(0, {k - 1}), CAST(1.0 AS DOUBLE),"
+            " (acc, i) -> acc * (n - c - i) / (n - i))"
+        )
+        per_task = F.when(F.col("n") - F.col("c") < k, F.lit(1.0)).otherwise(1 - prod)
+        row = (
+            base.filter(F.col("n") >= k)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                F.round(F.avg(per_task), 6).alias("pass_at_k"),
+            )
+            .select(F.lit(k).cast("long").alias("k"), "n_tasks", "pass_at_k")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+BT_ITERS = 10  # Bradley-Terry MM iterations (bounded model: <= sources^2)
+BT_BUCKET_TOKENS = 20  # docs compared only within (lang, length-bucket)
+
+
+def _bradley_terry_oracle() -> str:
+    steps = ""
+    for t in range(1, BT_ITERS + 1):
+        steps += f""",
+    r{t} AS MATERIALIZED (
+      SELECT c.si AS source, min(tt.w_total) AS w_total,
+             round(min(tt.w_total) / list_sum(list(c.n / (pi.p + pj.p) ORDER BY c.sj)), 12)
+               AS p_raw
+      FROM comps c
+      JOIN p{t - 1} pi ON pi.source = c.si
+      JOIN p{t - 1} pj ON pj.source = c.sj
+      JOIN totals tt ON tt.source = c.si
+      GROUP BY c.si
+    ),
+    p{t} AS MATERIALIZED (
+      SELECT source,
+             round(p_raw / (SELECT list_sum(list(p_raw ORDER BY source)) FROM r{t}), 12) AS p
+      FROM r{t}
+    )"""
+    return f"""
+    WITH ds AS (
+      SELECT source, lang,
+             len(string_split(text, ' ')) // {BT_BUCKET_TOKENS} AS bkt,
+             len(list_distinct(string_split(text, ' '))) AS score
+      FROM documents
+    ),
+    sources AS (SELECT DISTINCT source FROM documents),
+    wins AS (
+      SELECT a.source AS si, b.source AS sj, count(*) AS w
+      FROM ds a JOIN ds b
+        ON a.lang = b.lang AND a.bkt = b.bkt
+       AND a.source <> b.source AND a.score > b.score
+      GROUP BY 1, 2
+    ),
+    dw AS MATERIALIZED (
+      SELECT a.source AS si, b.source AS sj,
+             coalesce(w.w, 0) + 0.5 AS w
+      FROM sources a JOIN sources b ON a.source <> b.source
+      LEFT JOIN wins w ON w.si = a.source AND w.sj = b.source
+    ),
+    comps AS MATERIALIZED (
+      SELECT d1.si, d1.sj, d1.w + d2.w AS n
+      FROM dw d1 JOIN dw d2 ON d1.si = d2.sj AND d1.sj = d2.si
+    ),
+    totals AS (SELECT si AS source, sum(w) AS w_total FROM dw GROUP BY si),
+    p0 AS (
+      SELECT source,
+             CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM sources) AS p
+      FROM sources
+    ){steps}
+    SELECT
+      p.source,
+      round(p.p, 6) AS bt_rating,
+      CAST(coalesce(rw.w, 0) AS BIGINT) AS n_wins,
+      CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT source, p, row_number() OVER (ORDER BY p DESC, source) AS rnk
+      FROM p{BT_ITERS}
+    ) p
+    LEFT JOIN (SELECT si, sum(w) AS w FROM wins GROUP BY si) rw ON rw.si = p.source
+    """
+
+
+@query("q_bradley_terry", oracle=_bradley_terry_oracle(), tags=("ml", "eval", "llm", "iterative"))
+def bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise wins — the arena-
+    leaderboard model (Chatbot-Arena-style): sources play the models,
+    and within each (lang, {BT_BUCKET_TOKENS}-token length bucket) block a
+    source beats another when its document has strictly higher lexical
+    diversity (distinct-token count — an exact integer, so win counts are
+    unambiguous and ties contribute nothing). Ratings come from
+    {BT_ITERS} minorization-maximization iterations
+    p_i <- w_i / sum_j n_ij/(p_i+p_j), renormalized each step, with +0.5
+    Laplace smoothing per ordered pair so the win graph is dense and
+    every rating stays positive.
+
+    Execution follows the bounded-model precedent (Markov absorption,
+    PCA): the corpus pass reduces to the <= sources^2 win matrix (block-
+    local pair join — never cross-block), which collects to the driver
+    for the MM loop; the DuckDB oracle unrolls the IDENTICAL iterations
+    as chained CTEs. Determinism: the two order-sensitive sums per
+    iteration (the 19-term pivot sum and the normalizer) fold over
+    EXPLICITLY ORDERED lists on both engines (sorted by opponent /
+    source name — DuckDB list(x ORDER BY y) + list_sum, Python sorted()),
+    so every intermediate double is bit-identical; state rounds at 12 dp
+    each step, output at 6. Scale: the block pair join is sum of block^2
+    — blocks are (lang x length) bounded; in production the block join
+    samples, exactly like SemDeDup's clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ds = docs.select(
+        "source",
+        "lang",
+        (F.size(toks) / BT_BUCKET_TOKENS).cast("long").alias("bkt"),
+        F.size(F.array_distinct(toks)).alias("score"),
+    )
+    a = ds.select("lang", "bkt", F.col("source").alias("si"), F.col("score").alias("sa"))
+    b = ds.select("lang", "bkt", F.col("source").alias("sj"), F.col("score").alias("sb"))
+    wins_rows = (
+        a.join(b, ["lang", "bkt"])
+        .filter((F.col("si") != F.col("sj")) & (F.col("sa") > F.col("sb")))
+        .groupBy("si", "sj")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()  # <= sources^2 rows — O(model), never O(docs)
+    )
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    wins = {(r["si"], r["sj"]): r["w"] for r in wins_rows}
+    dw = {(i, j): wins.get((i, j), 0) + 0.5 for i in srcs for j in srcs if i != j}
+    n = {(i, j): dw[(i, j)] + dw[(j, i)] for i in srcs for j in srcs if i != j}
+    w_total = {i: sum(dw[(i, j)] for j in srcs if j != i) for i in srcs}
+    p = {i: 1.0 / len(srcs) for i in srcs}
+    for _ in range(BT_ITERS):
+        raw = {}
+        for i in srcs:
+            denom = 0.0
+            for j in srcs:  # srcs is sorted — same fold order as the oracle
+                if j != i:
+                    denom += n[(i, j)] / (p[i] + p[j])
+            raw[i] = rnd(w_total[i] / denom, 12)
+        z = 0.0
+        for i in srcs:
+            z += raw[i]
+        p = {i: rnd(raw[i] / z, 12) for i in srcs}
+    ranked = sorted(srcs, key=lambda s: (-p[s], s))
+    raw_wins = {i: sum(w for (si, _), w in wins.items() if si == i) for i in srcs}
+    rows = [
+        (s, rnd(p[s], 6), int(raw_wins[s]), rk + 1) for rk, s in enumerate(ranked)
+    ]
+    return spark.createDataFrame(rows, "source string, bt_rating double, n_wins long, rnk long")
