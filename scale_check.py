@@ -133,6 +133,8 @@ QUERIES = [
     "q_sharpe_by_nation",
     "q_drawdown_duration",
     "q_rolling_beta",
+    "q_pass_at_k",
+    "q_bradley_terry",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
