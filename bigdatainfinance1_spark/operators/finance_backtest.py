@@ -443,3 +443,69 @@ def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") == ROLLING_BETA_WIN)
         .select("r_name", "day", "beta_30d")
     )
+
+
+AMORT_PERIODS = 12  # equal-principal schedule length
+AMORT_RATE_DIV = 200  # monthly rate 0.5% = balance / 200, exact in integers
+
+# One SQL text runs verbatim on both engines (the q_recursive_reachability
+# pattern): every quantity is integer-valued cents — the per-nation
+# principal is a floor-average of exact cents, monthly interest is half-up
+# division of the balance by 200, the equal-principal installment is
+# floor(P / 12) with the remainder absorbed by the final period. The only
+# division is IEEE double division of integers far below 2**53, which is
+# correctly rounded (exact when the quotient is an integer, and never
+# within 1e-13 of one otherwise), so floor() is engine-exact and the two
+# engines agree EXACTLY at every scale factor — the strongest form of the
+# repo's exact-integer-cents money rule.
+_AMORT_SQL = f"""
+    WITH RECURSIVE loans AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(floor(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  * 1.0 / count(*)) AS BIGINT) AS principal_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ),
+    sched(nationkey, period, interest_cents, principal_cents, balance_cents) AS (
+      SELECT nationkey, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             principal_cents
+      FROM loans
+      UNION ALL
+      SELECT s.nationkey,
+             s.period + 1,
+             CAST(floor((s.balance_cents + {AMORT_RATE_DIV // 2}) * 1.0
+                        / {AMORT_RATE_DIV}) AS BIGINT),
+             CASE WHEN s.period + 1 = {AMORT_PERIODS} THEN s.balance_cents
+                  ELSE CAST(floor(l.principal_cents * 1.0 / {AMORT_PERIODS}) AS BIGINT) END,
+             CASE WHEN s.period + 1 = {AMORT_PERIODS} THEN CAST(0 AS BIGINT)
+                  ELSE s.balance_cents
+                       - CAST(floor(l.principal_cents * 1.0 / {AMORT_PERIODS}) AS BIGINT) END
+      FROM sched s JOIN loans l ON l.nationkey = s.nationkey
+      WHERE s.period < {AMORT_PERIODS}
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey,
+           period,
+           interest_cents,
+           principal_cents AS principal_paid_cents,
+           balance_cents
+    FROM sched WHERE period > 0
+"""
+
+
+@query("q_amortization_schedule", oracle=_AMORT_SQL, tags=("finance", "recursive"))
+def amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation {AMORT_PERIODS}-period equal-principal amortization
+    schedule over a loan sized at the nation's floor-average order value —
+    written as ONE recursive CTE that runs verbatim on both engines
+    (Spark 4 WITH RECURSIVE, the q_recursive_reachability pattern). Every
+    number is integer cents: interest is half-up integer division of the
+    outstanding balance by {AMORT_RATE_DIV} (0.5%/month), the installment
+    is principal // {AMORT_PERIODS} with the final period absorbing the
+    remainder, so the engines agree EXACTLY by construction — no float,
+    no rounding contract to defend. Scale: the corpus pass is the one
+    orders/customer aggregation; the recursion iterates
+    {AMORT_PERIODS} times over an O(nations) relation."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_AMORT_SQL)
