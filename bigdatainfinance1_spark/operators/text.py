@@ -1062,3 +1062,158 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= TFIDF_PAIR_MIN_COS)
         .select("doc_id_1", "doc_id_2", F.round(cos, 4).alias("cosine"))
     )
+
+
+BURSTY_MIN_DF = 10  # terms in fewer docs have no stable Fano factor
+BURSTY_TOP = 20
+
+
+@query(
+    "q_term_burstiness",
+    oracle=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+    m AS (
+      SELECT term,
+             count(*)         AS df,
+             sum(tf)          AS sx,
+             sum(tf * tf)     AS sxx
+      FROM tf GROUP BY term HAVING count(*) >= {BURSTY_MIN_DF}
+    ),
+    scored AS (
+      SELECT term, df, sx AS total_tf,
+             round((df * sxx - sx * sx) * 1.0 / (df * sx), 6) AS burstiness
+      FROM m
+    )
+    SELECT term, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf,
+           burstiness, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY burstiness DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= {BURSTY_TOP}
+    """,
+    tags=("text", "llm"),
+)
+def term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus linguistics: the {BURSTY_TOP} burstiest terms — Fano factor
+    (variance-to-mean ratio) of a term's within-document counts across the
+    documents containing it, for terms with df >= {BURSTY_MIN_DF}. Bursty
+    terms (Fano >> its Poisson baseline) repeat heavily where they appear —
+    the signal Church & Gale used for content-word detection and the one a
+    repetition-quality filter keys on (q_doc_repetition's corpus-level
+    complement). Variance comes from exact INTEGER moment sums
+    ((df*Σtf² - (Σtf)²) / (df*Σtf) — the population var/mean simplified),
+    so both engines divide the same integers and the ranking is exact.
+    Scale: one (term, doc) aggregation, one vocabulary-sized aggregation;
+    the top-k ranks through functions/ranks (no single-partition window)."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    m = (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("sx"),
+            F.sum(F.col("tf") * F.col("tf")).alias("sxx"),
+        )
+        .filter(F.col("df") >= BURSTY_MIN_DF)
+    )
+    scored = m.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("sx").cast("long").alias("total_tf"),
+        F.round(
+            (F.col("df") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * 1.0
+            / (F.col("df") * F.col("sx")),
+            6,
+        ).alias("burstiness"),
+    )
+    ranked = global_row_number(
+        scored, [F.col("burstiness").desc(), F.col("term")], rn_col="rnk"
+    )
+    return ranked.filter(F.col("rnk") <= BURSTY_TOP).select(
+        "term", "df", "total_tf", "burstiness", F.col("rnk").cast("long").alias("rnk")
+    )
+
+
+@query(
+    "q_heaps_law",
+    oracle=f"""
+    WITH tok AS ({_TOKENS_SQL}),
+    first_seen AS (SELECT term, min(doc_id) AS f FROM tok GROUP BY term),
+    newt AS (SELECT f AS doc_id, count(*) AS new_terms FROM first_seen GROUP BY f),
+    dl AS (SELECT doc_id, count(*) AS n_toks FROM tok GROUP BY doc_id),
+    cum AS (
+      SELECT d.doc_id,
+             sum(coalesce(n.new_terms, 0)) OVER (ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+             sum(d.n_toks) OVER (ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+      FROM dl d LEFT JOIN newt n ON n.doc_id = d.doc_id
+    ),
+    pts AS (SELECT ln(CAST(n AS DOUBLE)) AS x, ln(CAST(v AS DOUBLE)) AS y FROM cum),
+    mm AS (
+      SELECT CAST(count(*) AS DOUBLE) AS c, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pts
+    )
+    SELECT
+      CAST(c AS BIGINT) AS n_points,
+      round((c * sxy - sx * sy) / (c * sxx - sx * sx), 6)            AS beta,
+      round(exp((sy - (c * sxy - sx * sy) / (c * sxx - sx * sx) * sx) / c), 4)
+                                                                     AS k,
+      round((c * sxy - sx * sy) * (c * sxy - sx * sy)
+            / ((c * sxx - sx * sx) * (c * syy - sy * sy)), 6)        AS r2
+    FROM mm
+    """,
+    tags=("text", "llm", "stats"),
+)
+def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(n) ≈ K·n^beta, estimated by OLS
+    on (ln n, ln V) sampled after every document in doc_id order — the
+    number a corpus-size planner reads to predict vocabulary (and hash/
+    sketch sizing) at 100 TB from a pilot crawl. V comes from each term's
+    FIRST-SEEN document (min doc_id — one vocabulary-sized aggregation,
+    no per-prefix rescan), cumulated by the range-bucketed two-phase
+    running sum; both V and n are exact integer running sums, so each
+    engine takes ln of identical integers and only the final moment sums
+    are float (round 6/4 absorbs order ulps). Scale: two corpus
+    aggregations + an O(docs) prefix sum — no quadratic prefix rescan
+    anywhere."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    tok = _tokens(spark, sf_dir)
+    first_seen = tok.groupBy("term").agg(F.min("doc_id").alias("doc_id"))
+    newt = first_seen.groupBy("doc_id").agg(F.count(F.lit(1)).alias("new_terms"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    base = dl.join(newt, "doc_id", "left").select(
+        "doc_id", "n_toks", F.coalesce("new_terms", F.lit(0)).alias("new_terms")
+    )
+    cum_v = global_running_sum(base, ["doc_id"], "new_terms", "v")
+    cum = global_running_sum(cum_v, ["doc_id"], "n_toks", "n")
+    pts = cum.select(
+        F.log(F.col("n").cast("double")).alias("x"), F.log(F.col("v").cast("double")).alias("y")
+    )
+    mm = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    c, sx, sy = F.col("c"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    beta = (c * sxy - sx * sy) / (c * sxx - sx * sx)
+    return mm.select(
+        c.cast("long").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((sy - beta * sx) / c), 4).alias("k"),
+        F.round(
+            (c * sxy - sx * sy) * (c * sxy - sx * sy)
+            / ((c * sxx - sx * sx) * (c * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
