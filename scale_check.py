@@ -135,6 +135,9 @@ QUERIES = [
     "q_rolling_beta",
     "q_pass_at_k",
     "q_bradley_terry",
+    "q_amortization_schedule",
+    "q_term_burstiness",
+    "q_heaps_law",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
