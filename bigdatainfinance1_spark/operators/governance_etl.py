@@ -783,3 +783,89 @@ def structuring_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return near.filter(F.col("n_near") >= 2)
+
+
+TCLOSE_T = 0.2  # release gate threshold on the EMD
+
+
+@query(
+    "q_t_closeness",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT c_mktsegment, c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN 0
+                  WHEN c_acctbal < 5000 THEN 1
+                  ELSE 2 END AS sens
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_mktsegment, c_nationkey,
+             count(*) AS cell_n,
+             sum(CASE WHEN sens = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN sens = 1 THEN 1 ELSE 0 END) AS c1
+      FROM tagged GROUP BY c_mktsegment, c_nationkey
+    ),
+    g AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN sens = 0 THEN 1 ELSE 0 END) AS g0,
+             sum(CASE WHEN sens = 1 THEN 1 ELSE 0 END) AS g1
+      FROM tagged
+    ),
+    scored AS (
+      SELECT cell_n,
+             round((abs(c0 * 1.0 / cell_n - g0 * 1.0 / n)
+                  + abs(c0 * 1.0 / cell_n - g0 * 1.0 / n
+                      + c1 * 1.0 / cell_n - g1 * 1.0 / n)) / 2, 6) AS t
+      FROM cells CROSS JOIN g
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                                    AS n_cells,
+      round(max(t), 6)                                            AS max_t,
+      CAST(count(CASE WHEN t > {TCLOSE_T} THEN 1 END) AS BIGINT)  AS cells_above_t,
+      CAST(sum(CASE WHEN t > {TCLOSE_T} THEN cell_n ELSE 0 END) AS BIGINT)
+                                                                  AS rows_at_risk,
+      round(sum(CASE WHEN t > {TCLOSE_T} THEN cell_n ELSE 0 END) * 1e0
+            / sum(cell_n), 6)                                     AS risk_share
+    FROM scored
+    """,
+    tags=("analytics", "quality", "privacy"),
+)
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third gate of the release-privacy triad, on the
+    SAME quasi-identifier cells as q_k_anonymity / q_l_diversity: a cell
+    passes only if its sensitive-attribute distribution stays within
+    EMD t of the global one (a cell can be k-anonymous AND l-diverse yet
+    still reveal that its members are overwhelmingly 'high balance'). For
+    the ordered 3-band attribute the earth-mover distance is the mean
+    absolute cumulative gap Σ|cum(p) - cum(q)| / (m-1). Counts are exact
+    integers and both engines form the identical ratio doubles, so t
+    matches bitwise before its round. Scale: one cell aggregation + a
+    broadcast 1-row global distribution — |QI-domain|-sized work."""
+    cust = load_table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, 0).when(F.col("c_acctbal") < 5000, 1).otherwise(2)
+    )
+    tagged = cust.select("c_mktsegment", "c_nationkey", sens.alias("sens"))
+    cells = tagged.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cell_n"),
+        F.sum(F.when(F.col("sens") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("sens") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    g = tagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("sens") == 0, 1).otherwise(0)).alias("g0"),
+        F.sum(F.when(F.col("sens") == 1, 1).otherwise(0)).alias("g1"),
+    )
+    d0 = F.col("c0") * 1.0 / F.col("cell_n") - F.col("g0") * 1.0 / F.col("n")
+    d1 = F.col("c1") * 1.0 / F.col("cell_n") - F.col("g1") * 1.0 / F.col("n")
+    scored = cells.crossJoin(F.broadcast(g)).select(
+        "cell_n", F.round((F.abs(d0) + F.abs(d0 + d1)) / 2, 6).alias("t")
+    )
+    above = F.when(F.col("t") > TCLOSE_T, F.col("cell_n")).otherwise(0)
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.max("t"), 6).alias("max_t"),
+        F.count(F.when(F.col("t") > TCLOSE_T, 1)).cast("long").alias("cells_above_t"),
+        F.sum(above).cast("long").alias("rows_at_risk"),
+        F.round(F.sum(above) * F.lit(1.0) / F.sum("cell_n"), 6).alias("risk_share"),
+    )

@@ -357,3 +357,99 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REACH_SQL)
+
+
+AA_TOP = 20  # predicted links reported
+
+
+@query(
+    "q_adamic_adar",
+    oracle=f"""
+    WITH und AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    e AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+    deg AS (SELECT u AS node, count(*) AS d FROM e GROUP BY u),
+    cand AS (
+      SELECT x.u AS u, y.v AS w, x.v AS z
+      FROM e x JOIN e y ON x.v = y.u
+      WHERE x.u < y.v
+    ),
+    scored AS (
+      SELECT c.u, c.w,
+             CAST(count(*) AS BIGINT) AS n_common,
+             round(sum(1.0 / ln(d.d)), 6) AS aa_score
+      FROM cand c
+      JOIN deg d ON d.node = c.z
+      LEFT JOIN und ex ON ex.u = c.u AND ex.v = c.w
+      WHERE ex.u IS NULL
+      GROUP BY c.u, c.w
+    )
+    SELECT u, w, n_common, aa_score, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY aa_score DESC, u, w) AS rnk
+      FROM scored
+    ) WHERE rnk <= {AA_TOP}
+    """,
+    tags=("analytics", "graph", "ml"),
+)
+def adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the support-≥2 co-purchase part graph (the same
+    graph as q_bfs_hops / q_triangle_count / q_pagerank_copurchase):
+    Adamic-Adar scores for non-adjacent pairs at distance 2 —
+    Σ_z 1/ln(deg z) over common neighbors z, weighting rare mutual
+    neighbors above promiscuous hubs — reporting the top {AA_TOP}
+    predicted links. The classic "products likely to be co-bought next"
+    relation a recommender seeds from pure graph structure.
+
+    Scale shape: candidates come from the wedge join e⋈e on the shared
+    endpoint (exactly the triangle-count shuffle, bounded by Σ deg² —
+    hub-capped in production just like the triangle path), existing edges
+    are removed by an anti-join, and degrees arrive by an equi-join on
+    the common neighbor before the pair aggregation. Every deg ≥ 2 by
+    construction (z carries both wedge edges), so ln(deg) never hits 0.
+    Determinism: scores round to 6 before the rank and ties break on
+    (u, w); degree integers are exact, so both engines sum identical
+    1/ln(d) doubles."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("u", "v")
+    )
+    e = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    x = e.select(F.col("u").alias("cu"), F.col("v").alias("z"))
+    y = e.select(F.col("u").alias("z"), F.col("v").alias("cw"))
+    cand = x.join(y, "z").filter(F.col("cu") < F.col("cw"))
+    scored = (
+        cand.join(deg, cand["z"] == deg["node"])
+        .join(
+            und.select(F.col("u").alias("cu"), F.col("v").alias("cw")),
+            ["cu", "cw"],
+            "left_anti",
+        )
+        .groupBy("cu", "cw")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_score"),
+        )
+        .select(F.col("cu").alias("u"), F.col("cw").alias("w"), "n_common", "aa_score")
+    )
+    ranked = global_row_number(
+        scored, [F.col("aa_score").desc(), F.col("u"), F.col("w")], rn_col="rnk"
+    )
+    return ranked.filter(F.col("rnk") <= AA_TOP).select(
+        "u", "w", "n_common", "aa_score", F.col("rnk").cast("long").alias("rnk")
+    )
