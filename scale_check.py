@@ -138,6 +138,8 @@ QUERIES = [
     "q_amortization_schedule",
     "q_term_burstiness",
     "q_heaps_law",
+    "q_t_closeness",
+    "q_adamic_adar",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
