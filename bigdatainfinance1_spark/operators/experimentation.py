@@ -601,3 +601,132 @@ def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("qc", 4).alias("control_q"),
         F.round(F.col("qt") - F.col("qc"), 4).alias("qte"),
     )
+
+
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")  # bit i = channel i
+_SHAP_N = len(SHAPLEY_CHANNELS)
+_SHAP_W = {  # s!(n-1-s)!/n! for n=4, exact dyadic rationals
+    0: 6 / 24, 1: 2 / 24, 2: 2 / 24, 3: 6 / 24,
+}
+
+
+def _shapley_oracle() -> str:
+    mask_expr = " + ".join(
+        f"max(CASE WHEN e.event_type = '{ch}' AND (fp.fpt IS NULL OR e.ts < fp.fpt)"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    chan_rows = " UNION ALL ".join(
+        f"SELECT {1 << i} AS bit, '{ch}' AS channel" for i, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    w_case = " ".join(
+        f"WHEN {s} THEN {_SHAP_W[s]!r}" for s in range(_SHAP_N)
+    )
+    return f"""
+    WITH fp AS (
+      SELECT user_id, min(CASE WHEN event_type = 'purchase' THEN ts END) AS fpt
+      FROM events GROUP BY user_id
+    ),
+    um AS (
+      SELECT e.user_id,
+             {mask_expr} AS m,
+             sum(CASE WHEN e.event_type = 'purchase'
+                      THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END) AS rev_cents
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      GROUP BY e.user_id
+    ),
+    co AS (SELECT unnest(range(0, {1 << _SHAP_N})) AS cmask),
+    stats AS MATERIALIZED (
+      SELECT co.cmask,
+             count(um.user_id)             AS members,
+             coalesce(sum(um.rev_cents), 0) AS rev_cents,
+             CASE WHEN count(um.user_id) = 0 THEN 0.0
+                  ELSE coalesce(sum(um.rev_cents), 0) * 1.0 / count(um.user_id) END AS v
+      FROM co LEFT JOIN um ON (um.m & co.cmask) = um.m
+      GROUP BY co.cmask
+    ),
+    chans AS ({chan_rows}),
+    contrib AS (
+      SELECT c.channel,
+             (CASE bit_count(CAST(s0.cmask AS BIGINT)) {w_case} END)
+               * (s1.v - s0.v) AS term
+      FROM chans c
+      JOIN stats s0 ON (s0.cmask & c.bit) = 0
+      JOIN stats s1 ON s1.cmask = s0.cmask + c.bit
+    )
+    SELECT channel, round(sum(term) / 100, 4) AS shapley_revenue
+    FROM contrib GROUP BY channel
+    """
+
+
+@query("q_shapley_attribution", oracle=_shapley_oracle(), tags=("analytics", "ml", "attribution"))
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution — the game-theoretic gold
+    standard the heuristic models (q_first_touch_attribution,
+    q_linear_attribution, q_time_decay_attribution) approximate: each
+    channel's credit is its average marginal contribution over all
+    2^4 = 16 coalitions of the channels a user touched BEFORE their first
+    purchase, with coalition value v(S) = average purchase revenue (exact
+    integer cents) among users whose pre-purchase channel set lies within
+    S. With a small fixed channel alphabet the computation is EXACT, not
+    sampled: per-user bitmask + revenue (one corpus groupBy against the
+    first-purchase timestamps), a 16-row coalition relation joined by the
+    subset test (m & S) = m, and the closed-form Shapley kernel
+    s!(n-1-s)!/n! over the 8 with/without coalition pairs per channel.
+
+    Determinism: members and revenue are exact integers, v is the
+    identical ratio double on both engines, the kernel weights are exact
+    dyadic rationals, and each channel sums 8 such terms before one
+    round. Scale: O(users) corpus pass, then O(2^n) bounded relations —
+    the 16-coalition join touches users x 16 rows, linear."""
+    ev = load_table(spark, sf_dir, "events")
+    fp = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("fpt")
+    )
+    pre = F.col("fpt").isNull() | (F.col("ts") < F.col("fpt"))
+    mask = None
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        term = F.max(F.when((F.col("event_type") == ch) & pre, 1 << i).otherwise(0))
+        mask = term if mask is None else mask + term
+    um = ev.join(fp, "user_id").groupBy("user_id").agg(
+        mask.alias("m"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("rev_cents"),
+    )
+    co = spark.range(0, 1 << _SHAP_N).select(F.col("id").cast("int").alias("cmask"))
+    stats = (
+        F.broadcast(co)
+        .join(um, F.expr("(m & cmask) = m"), "left")
+        .groupBy("cmask")
+        .agg(
+            F.count("user_id").alias("members"),
+            F.coalesce(F.sum("rev_cents"), F.lit(0)).alias("rev_cents"),
+        )
+        .withColumn(
+            "v",
+            F.when(F.col("members") == 0, F.lit(0.0)).otherwise(
+                F.col("rev_cents") * 1.0 / F.col("members")
+            ),
+        )
+    )
+    chans = spark.createDataFrame(
+        [(1 << i, ch) for i, ch in enumerate(SHAPLEY_CHANNELS)], "bit int, channel string"
+    )
+    w = F.when(F.lit(False), F.lit(0.0))
+    for s, wt in _SHAP_W.items():
+        w = w.when(F.expr("bit_count(CAST(s0_mask AS BIGINT))") == s, F.lit(wt))
+    s0 = stats.select(F.col("cmask").alias("s0_mask"), F.col("v").alias("v0"))
+    s1 = stats.select(F.col("cmask").alias("s1_mask"), F.col("v").alias("v1"))
+    contrib = (
+        F.broadcast(chans)
+        .join(s0, F.expr("(s0_mask & bit) = 0"))
+        .join(s1, F.expr("s1_mask = s0_mask + bit"))
+        .select("channel", (w * (F.col("v1") - F.col("v0"))).alias("term"))
+    )
+    return contrib.groupBy("channel").agg(
+        F.round(F.sum("term") / 100, 4).alias("shapley_revenue")
+    )
