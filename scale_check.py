@@ -140,6 +140,7 @@ QUERIES = [
     "q_heaps_law",
     "q_t_closeness",
     "q_adamic_adar",
+    "q_shapley_attribution",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
