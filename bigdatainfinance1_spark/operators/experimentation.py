@@ -730,3 +730,162 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contrib.groupBy("channel").agg(
         F.round(F.sum("term") / 100, 4).alias("shapley_revenue")
     )
+
+
+RE_ABSORB = ("purchase", "error")  # conversion / hard-fail absorbing states
+RE_ITERS = 16  # truncated fundamental-matrix iterations (q_markov_absorption)
+RE_CHANNELS = ("click", "signup", "view")  # removable transient states
+
+
+def _removal_oracle() -> str:
+    head = """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    tp AS MATERIALIZED (
+      SELECT event_type AS f, next_type AS t,
+             round(count(*) * 1e0 / sum(count(*)) OVER (PARTITION BY event_type), 12) AS p
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    fe AS MATERIALIZED (
+      SELECT event_type AS s,
+             round(count(*) * 1e0 / (SELECT count(DISTINCT user_id) FROM events), 12) AS pi0
+      FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1 GROUP BY event_type
+    ),
+    tr AS MATERIALIZED (
+      SELECT DISTINCT f FROM tp WHERE f NOT IN ('purchase', 'error')
+    )
+    """
+    chains, finals = "", []
+    for tag, removed in [("full", None)] + [(c, c) for c in RE_CHANNELS]:
+        rm = f"'{removed}'" if removed else "''"
+        chains += f""",
+    b_{tag} AS MATERIALIZED (
+      SELECT tr.f,
+             coalesce((SELECT p FROM tp WHERE tp.f = tr.f AND tp.t = 'purchase'), 0) AS bp
+      FROM tr WHERE tr.f <> {rm}
+    ),
+    q_{tag} AS MATERIALIZED (
+      SELECT f, t, p FROM tp
+      WHERE t NOT IN ('purchase', 'error') AND t <> {rm} AND f <> {rm}
+    ),
+    v0_{tag} AS (SELECT f, 0.0 AS vp FROM b_{tag})"""
+        for k in range(1, RE_ITERS + 1):
+            chains += f""",
+    v{k}_{tag} AS (
+      SELECT b.f, round(b.bp + coalesce(sum(q.p * v.vp), 0), 12) AS vp
+      FROM b_{tag} b LEFT JOIN q_{tag} q ON q.f = b.f
+      LEFT JOIN v{k - 1}_{tag} v ON q.t = v.f
+      GROUP BY b.f, b.bp
+    )"""
+        chains += f""",
+    conv_{tag} AS MATERIALIZED (
+      SELECT round(
+        coalesce((SELECT pi0 FROM fe WHERE s = 'purchase'), 0)
+        + coalesce((SELECT sum(fe.pi0 * v.vp) FROM fe JOIN v{RE_ITERS}_{tag} v ON v.f = fe.s), 0)
+      , 12) AS p
+    )"""
+    total_re = " + ".join(
+        f"(((SELECT p FROM conv_full) - (SELECT p FROM conv_{c})) / (SELECT p FROM conv_full))"
+        for c in RE_CHANNELS
+    )
+    finals = " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS channel,
+      round((SELECT p FROM conv_full), 6) AS p_convert_full,
+      round((SELECT p FROM conv_{c}), 6) AS p_convert_removed,
+      round(((SELECT p FROM conv_full) - (SELECT p FROM conv_{c}))
+            / (SELECT p FROM conv_full), 6) AS removal_effect,
+      round((((SELECT p FROM conv_full) - (SELECT p FROM conv_{c}))
+             / (SELECT p FROM conv_full)) / ({total_re}), 6) AS attribution_share"""
+        for c in RE_CHANNELS
+    )
+    return f"""{head}{chains}
+    {finals}
+    """
+
+
+@query(
+    "q_removal_effect_attribution",
+    oracle=_removal_oracle(),
+    tags=("analytics", "events", "attribution", "iterative"),
+)
+def removal_effect_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.) — the chain-based
+    principled attribution model beside q_shapley_attribution's coalition
+    one: conversion probability is computed from the q_markov_absorption
+    machinery (16 truncated fixed-point iterations, purchase/error
+    absorbing) seeded with the first-event distribution pi0, then
+    recomputed with each channel REMOVED (the removed state converts
+    nothing: its inbound transition mass is lost), and each channel is
+    credited its relative conversion drop, normalized across channels.
+
+    Execution: one corpus pass yields the <= states^2 transition matrix
+    and the <= states first-event distribution — both O(model) driver
+    collects; four 16-iteration solves (full + one per removable channel)
+    run on the driver, and the oracle unrolls the IDENTICAL four chains
+    as MATERIALIZED CTEs (12-dp state, <= 3-term sums per step, the
+    q_markov_absorption determinism recipe; plain CTEs would inline
+    exponentially — the q_bradley_terry lesson)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    wn = Window.partitionBy("event_type")
+    tp_rows = (
+        seq.groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("p", F.round(F.col("n") * 1.0 / F.sum("n").over(wn), 12))
+        .collect()  # <= states^2 — O(model)
+    )
+    n_users = ev.select("user_id").distinct().count()
+    fe_rows = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # <= states — O(model)
+    )
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    P = {(r["event_type"], r["next_type"]): r["p"] for r in tp_rows}
+    pi0 = {r["event_type"]: rnd(r["n"] / n_users, 12) for r in fe_rows}
+    transients = sorted({f for f, _ in P} - set(RE_ABSORB))
+
+    def conv_prob(removed: str | None) -> float:
+        states = [s for s in transients if s != removed]
+        vp = {s: 0.0 for s in states}
+        for _ in range(RE_ITERS):
+            vp = {
+                s: rnd(
+                    P.get((s, "purchase"), 0.0)
+                    + sum(P.get((s, t), 0.0) * vp[t] for t in states),
+                    12,
+                )
+                for s in states
+            }
+        return rnd(
+            pi0.get("purchase", 0.0) + sum(pi0.get(s, 0.0) * vp[s] for s in states), 12
+        )
+
+    p_full = conv_prob(None)
+    effects = {c: (p_full - conv_prob(c)) / p_full for c in RE_CHANNELS}
+    total = sum(effects[c] for c in RE_CHANNELS)
+    rows = [
+        (c, rnd(p_full, 6), rnd(p_full * (1 - effects[c]), 6), rnd(effects[c], 6),
+         rnd(effects[c] / total, 6))
+        for c in RE_CHANNELS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_convert_full double, p_convert_removed double,"
+        " removal_effect double, attribution_share double",
+    )
