@@ -141,6 +141,7 @@ QUERIES = [
     "q_t_closeness",
     "q_adamic_adar",
     "q_shapley_attribution",
+    "q_removal_effect_attribution",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
