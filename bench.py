@@ -62,6 +62,13 @@ HEADLINE = [
     # merge training; SemDeDup's Lloyd + cluster-bounded pair join)
     "q_bpe_train",
     "q_semdedup",
+    # Round-4 heavy additions: lossless prefix-filter similarity join,
+    # the IVF nprobe recall/cost sweep (4 probe joins + exact ground
+    # truth), and the recursive-CTE amortization schedule (12 recursion
+    # steps of engine iteration overhead)
+    "q_prefix_filter_join",
+    "q_ann_nprobe_sweep",
+    "q_amortization_schedule",
 ]
 
 
@@ -114,7 +121,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries_registered": len(specs),
                 "r1_headline_seconds": r1_total,
-                "note": "headline set expanded in round 3 (13 -> 24 queries); "
+                "note": "headline set expanded in round 3 (13 -> 24) and round 4 (-> 27 queries); "
                 "compare r1_headline_seconds against the 19.3 s round-1 baseline, "
                 "per-query rows in BASELINE.md for the rest; per-query values are "
                 "medians over runs_per_query interleaved passes",
