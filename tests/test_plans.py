@@ -539,3 +539,26 @@ def test_round4_wave_plans(spark):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_round4_second_wave_plans(spark):
+    """Attribution/eval/linguistics wave: no cartesian and no Python eval
+    anywhere; q_shapley_attribution's only nested loop is the bounded
+    16-row coalition broadcast (subset-test join), q_adamic_adar's wedge
+    and anti joins are equi-joins."""
+    for name in ("q_pass_at_k", "q_t_closeness"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # bounded-BNLJ class: shapley's 16-row coalition subset-test join, and
+    # the ranks.py bucket-prefix self-join (~32-row side) inside the
+    # two-phase global ranks burstiness/heaps use
+    for name in ("q_shapley_attribution", "q_term_burstiness", "q_heaps_law"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_adamic_adar"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
