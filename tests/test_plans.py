@@ -546,19 +546,25 @@ def test_round4_second_wave_plans(spark):
     anywhere; q_shapley_attribution's only nested loop is the bounded
     16-row coalition broadcast (subset-test join), q_adamic_adar's wedge
     and anti joins are equi-joins."""
-    for name in ("q_pass_at_k", "q_t_closeness"):
+    for name in ("q_pass_at_k",):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Join" not in plan, name  # one groupBy, zero joins — the claim
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
-    # bounded-BNLJ class: shapley's 16-row coalition subset-test join, and
+    # bounded-BNLJ class: shapley's 16-row coalition subset-test join,
+    # t_closeness's 1-row global-distribution broadcast cross join, and
     # the ranks.py bucket-prefix self-join (~32-row side) inside the
     # two-phase global ranks burstiness/heaps use
-    for name in ("q_shapley_attribution", "q_term_burstiness", "q_heaps_law"):
+    for name in ("q_shapley_attribution", "q_t_closeness", "q_term_burstiness", "q_heaps_law"):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = plan_of(SPECS["q_adamic_adar"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the only nested loop allowed is ranks.py's bounded bucket-prefix
+    # self-join (keyed on _pid); the wedge/degree/anti joins stay equi-joins
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            assert "_pid" in ln, ln
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
