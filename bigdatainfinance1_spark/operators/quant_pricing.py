@@ -1,0 +1,379 @@
+"""Derivatives / fixed-income quant-pricing operators (round 4 continuation):
+Black-Scholes option pricing over the part catalog, bond price /
+Macaulay-duration / convexity per nation, IRR via engine-portable
+bisection, and the Euler variance decomposition (component VaR) of daily
+revenue by nation.
+
+These fill the pricing-side gap of the finance surface: the existing
+waves measure realized risk (q_var_cvar, q_kupiec_var_backtest,
+q_max_drawdown); this wave prices instruments and decomposes portfolio
+risk ex ante, which is the other half of what a finance analytics stack
+computes.
+
+Scale notes: q_black_scholes is a pushed-down filter + per-row closed
+form (no shuffle at all beyond the scan); q_bond_duration explodes a
+20-period grid per nation — O(nations x periods) rows regardless of
+corpus size; q_irr_bisection recurses 48 bisection steps over an
+O(nations) relation; q_component_var reduces the fact scan to one
+nation-day aggregate (O(calendar x nations)) and all moments are
+map-side-combinable sums. Nothing in this module grows with row count
+after the first aggregate.
+
+Determinism contract: q_black_scholes and q_irr_bisection run ONE SQL
+text verbatim on both engines (the q_amortization_schedule pattern), so
+operation order is identical by construction; the only cross-engine
+exposure is libm-vs-JVM ulp differences in exp/ln/pow, absorbed by
+rounding at 4-6 dp. q_bond_duration and q_component_var follow the house
+moment-sum recipe: bounded-cardinality double sums (20 periods / 365
+days) with the same closed-form algebra on both engines, rounded at 6 dp
+where the summand magnitude keeps ulp noise below 1e-9 of the rounding
+step (revenue is rescaled to millions first for exactly this reason).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table, register_views
+
+# ---------------------------------------------------------------------------
+# q_black_scholes
+# ---------------------------------------------------------------------------
+
+BS_RATE = 0.05  # risk-free rate
+BS_TENOR = 0.5  # option tenor in years
+BS_PART_CAP = 200  # price the first 200 parts (full part table at sf0.001)
+
+
+def _norm_cdf_sql(x: str) -> str:
+    """Abramowitz-Stegun 26.2.17 rational approximation of the standard
+    normal CDF (|error| < 7.5e-8), emitted as one SQL text so Spark and
+    DuckDB evaluate the identical Horner chain. ``x`` must be a plain
+    column reference (it is repeated; no side effects allowed)."""
+    t = f"(1.0 / (1.0 + 0.2316419 * abs({x})))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * "
+        f"(1.781477937 + {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    upper = f"(1.0 - exp(-abs({x}) * abs({x}) / 2.0) / sqrt(2.0 * pi()) * {poly})"
+    return f"(CASE WHEN {x} >= 0.0 THEN {upper} ELSE 1.0 - {upper} END)"
+
+
+_BS_SQL = f"""
+    WITH opt AS (
+      SELECT p_partkey,
+             p_retailprice AS s,
+             CAST(CAST(round(p_retailprice * 100) AS BIGINT)
+                  * (90 + (p_partkey % 21)) AS DOUBLE) / 10000.0 AS k,
+             CAST(0.15 + 0.01 * (p_size % 20) AS DOUBLE) AS sigma
+      FROM part
+      WHERE p_partkey <= {BS_PART_CAP}
+    ),
+    d AS (
+      SELECT p_partkey, s, k, sigma,
+             (ln(s / k) + ({BS_RATE} + sigma * sigma / 2.0) * {BS_TENOR})
+               / (sigma * sqrt({BS_TENOR})) AS d1,
+             (ln(s / k) + ({BS_RATE} + sigma * sigma / 2.0) * {BS_TENOR})
+               / (sigma * sqrt({BS_TENOR})) - sigma * sqrt({BS_TENOR}) AS d2
+      FROM opt
+    ),
+    n AS (
+      SELECT p_partkey, s, k, sigma,
+             {_norm_cdf_sql('d1')} AS nd1,
+             {_norm_cdf_sql('d2')} AS nd2
+      FROM d
+    )
+    SELECT p_partkey,
+           s AS spot,
+           round(k, 4) AS strike,
+           round(sigma, 2) AS sigma,
+           round(s * nd1 - k * exp(-{BS_RATE} * {BS_TENOR}) * nd2, 4) AS call_price,
+           round((s * nd1 - k * exp(-{BS_RATE} * {BS_TENOR}) * nd2)
+                 - s + k * exp(-{BS_RATE} * {BS_TENOR}), 4) AS put_price,
+           s > k AS itm_call
+    FROM n
+"""
+
+
+@query("q_black_scholes", oracle=_BS_SQL, tags=("finance", "pricing"))
+def black_scholes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """European call/put prices for a deterministic option ladder over the
+    part catalog: spot = p_retailprice, strike = spot x (90 + p_partkey %
+    21)% — a +-10% moneyness ladder computed in EXACT integer
+    basis-point-cents (spot_cents x pct / 10000, one correctly-rounded
+    division, so the strike is bit-identical across engines with no
+    round()-boundary exposure) — vol = 0.15 + 0.01 x (p_size % 20)
+    (exact decimal arithmetic cast to double), r = 5%, T = 0.5y. The normal CDF is the
+    Abramowitz-Stegun 26.2.17 rational polynomial (|err| < 7.5e-8), and
+    the put comes from put-call parity so the two prices are consistent
+    by construction.
+
+    Determinism: ONE SQL text runs verbatim on both engines (the
+    q_amortization_schedule pattern) — identical Horner evaluation order;
+    the only exposure is exp/ln/sqrt libm-vs-JVM ulps, absorbed by the
+    4-dp rounding. Scale: the p_partkey <= {cap} predicate pushes down to
+    the parquet scan and the pricing itself is a per-row closed form —
+    zero shuffles, embarrassingly parallel at any corpus size.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_BS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_bond_duration
+# ---------------------------------------------------------------------------
+
+BOND_PERIODS = 20  # semiannual periods (10y bond)
+BOND_YIELD_SEMI = 0.02  # flat 4% annual yield, compounded semiannually
+BOND_FACE = 100.0
+
+
+@query(
+    "q_bond_duration",
+    oracle=f"""
+    WITH grid AS (
+      SELECT n.n_nationkey, g.t,
+             1.0 + 0.25 * (n.n_nationkey % 8) AS cpn
+      FROM nation n, (SELECT unnest(range(1, {BOND_PERIODS} + 1)) AS t) g
+    ),
+    pv AS (
+      SELECT n_nationkey, t,
+             (cpn + CASE WHEN t = {BOND_PERIODS} THEN {BOND_FACE} ELSE 0.0 END)
+               / power(1.0 + {BOND_YIELD_SEMI}, t) AS pv_t
+      FROM grid
+    ),
+    s AS (
+      SELECT n_nationkey,
+             sum(pv_t) AS price,
+             sum(t / 2.0 * pv_t) AS dur_num,
+             sum(t * (t + 1.0) * pv_t) AS conv_num
+      FROM pv GROUP BY n_nationkey
+    )
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           round(1.0 + 0.25 * (n_nationkey % 8), 2) AS semi_coupon,
+           round(price, 6) AS price,
+           round(dur_num / price, 6) AS macaulay_years,
+           round(dur_num / price / (1.0 + {BOND_YIELD_SEMI}), 6) AS modified_years,
+           round(conv_num / (price * power(1.0 + {BOND_YIELD_SEMI}, 2) * 4.0), 6)
+             AS convexity
+    FROM s
+    """,
+    tags=("finance", "pricing"),
+)
+def bond_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-income analytics per nation: a 10-year semiannual bond whose
+    coupon steps with the nation key (semi coupon = 1.0 + 0.25 x
+    (key % 8) dollars per 100 face, exact doubles) priced at a flat 4%
+    yield — dirty price, Macaulay duration in years (PV-weighted mean
+    time), modified duration, and convexity in year^2 — the standard
+    DV01-side risk measures.
+
+    Cashflows are an exploded ``sequence(1, 20)`` grid per nation (Spark)
+    / ``unnest(range(...))`` (DuckDB); both engines then apply the same
+    closed-form per-period term and the same three aggregate sums. The
+    20-term double sums are order-ambiguous but magnitude ~1e2, so the
+    1e-14 ulp noise sits 8 orders below the 6-dp rounding step. Scale:
+    O(nations x periods) rows total — corpus-size-independent.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    grid = nation.select(
+        "n_nationkey",
+        F.explode(F.sequence(F.lit(1), F.lit(BOND_PERIODS))).alias("t"),
+        (F.lit(1.0) + 0.25 * (F.col("n_nationkey") % 8)).alias("cpn"),
+    )
+    pv_t = (
+        F.col("cpn")
+        + F.when(F.col("t") == BOND_PERIODS, F.lit(BOND_FACE)).otherwise(F.lit(0.0))
+    ) / F.pow(F.lit(1.0 + BOND_YIELD_SEMI), F.col("t"))
+    s = grid.select("n_nationkey", "t", "cpn", pv_t.alias("pv_t")).groupBy(
+        "n_nationkey"
+    ).agg(
+        F.sum("pv_t").alias("price_raw"),
+        F.sum(F.col("t") / 2.0 * F.col("pv_t")).alias("dur_num"),
+        F.sum(F.col("t") * (F.col("t") + F.lit(1.0)) * F.col("pv_t")).alias("conv_num"),
+    )
+    y1 = F.lit(1.0 + BOND_YIELD_SEMI)
+    return s.select(
+        F.col("n_nationkey").cast("long").alias("nationkey"),
+        F.round(F.lit(1.0) + 0.25 * (F.col("n_nationkey") % 8), 2).alias("semi_coupon"),
+        F.round(F.col("price_raw"), 6).alias("price"),
+        F.round(F.col("dur_num") / F.col("price_raw"), 6).alias("macaulay_years"),
+        F.round(F.col("dur_num") / F.col("price_raw") / y1, 6).alias("modified_years"),
+        F.round(
+            F.col("conv_num") / (F.col("price_raw") * F.pow(y1, F.lit(2)) * 4.0), 6
+        ).alias("convexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_irr_bisection
+# ---------------------------------------------------------------------------
+
+IRR_OUTLAY = 1000.0  # t=0 investment
+IRR_YEARS = 8
+IRR_STEPS = 48  # bisection steps: final bracket width 2^-48 ~ 3.6e-15
+
+
+def _npv_terms_sql(mid: str) -> str:
+    """The unrolled 8-term NPV at rate ``mid`` — identical literal text on
+    both engines so the summation order is fixed left-to-right."""
+    terms = " + ".join(
+        f"(150.0 + 25.0 * ((nationkey + {t}) % 5)) / power(1.0 + {mid}, {t})"
+        for t in range(1, IRR_YEARS + 1)
+    )
+    return f"(-{IRR_OUTLAY} + {terms})"
+
+
+_IRR_SQL = f"""
+    WITH RECURSIVE nations AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS nationkey FROM nation
+    ),
+    bis(nationkey, step, lo, hi) AS (
+      SELECT nationkey, 0, CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM nations
+      UNION ALL
+      SELECT nationkey, step + 1,
+             CASE WHEN {_npv_terms_sql('((lo + hi) / 2.0)')} > 0.0
+                  THEN (lo + hi) / 2.0 ELSE lo END,
+             CASE WHEN {_npv_terms_sql('((lo + hi) / 2.0)')} > 0.0
+                  THEN hi ELSE (lo + hi) / 2.0 END
+      FROM bis WHERE step < {IRR_STEPS}
+    )
+    SELECT nationkey,
+           CAST(round({IRR_YEARS * 150.0} + 25.0 *
+                (((nationkey + 1) % 5) + ((nationkey + 2) % 5) + ((nationkey + 3) % 5)
+                 + ((nationkey + 4) % 5) + ((nationkey + 5) % 5) + ((nationkey + 6) % 5)
+                 + ((nationkey + 7) % 5) + ((nationkey + 8) % 5))) AS BIGINT)
+             AS cashflow_total,
+           round((lo + hi) / 2.0, 6) AS irr
+    FROM bis WHERE step = {IRR_STEPS}
+"""
+
+
+@query("q_irr_bisection", oracle=_IRR_SQL, tags=("finance", "pricing", "recursive"))
+def irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal rate of return per nation for a deterministic project
+    (outlay 1000 at t=0, then 8 annual cashflows 150 + 25 x
+    ((key + t) % 5)), solved by 48 bisection steps on [0, 1] — the
+    root-finding pattern that generalizes to yield-to-maturity and
+    option-implied-vol solves.
+
+    ONE recursive-CTE text runs verbatim on both engines (the
+    q_amortization_schedule pattern). Bisection only ever branches on the
+    SIGN of the unrolled fixed-order 8-term NPV, so engines can diverge
+    only if a midpoint NPV lands within libm-ulp of zero — which needs
+    the midpoint within ~1e-13 of the root, vanishingly unlikely for the
+    coarse dyadic midpoints that decide the 6-dp-visible digits. The
+    bracket [0, 1] is valid by construction: NPV(0) = total cashflows
+    - 1000 >= 200 > 0 and NPV(1) <= -750 < 0. Scale: the recursion is
+    {IRR_STEPS} steps over an O(nations) relation — corpus-independent.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_IRR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_component_var
+# ---------------------------------------------------------------------------
+
+CVAR_YEAR = 1999  # dense mid-corpus calendar year
+CVAR_Z95 = 1.644854  # one-sided 95% normal quantile
+
+
+@query(
+    "q_component_var",
+    oracle=f"""
+    WITH nd AS (
+      SELECT c.c_nationkey AS nationkey,
+             date_trunc('day', o.o_orderdate) AS day,
+             round(sum(o.o_totalprice), 2) / 1000000.0 AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE year(o.o_orderdate) = {CVAR_YEAR}
+      GROUP BY c.c_nationkey, date_trunc('day', o.o_orderdate)
+    ),
+    days AS (SELECT DISTINCT day FROM nd),
+    grid AS (
+      SELECT n.n_nationkey AS nationkey, d.day, coalesce(nd.x, 0.0) AS x
+      FROM nation n CROSS JOIN days d
+      LEFT JOIN nd ON nd.nationkey = n.n_nationkey AND nd.day = d.day
+    ),
+    port AS (SELECT day, sum(x) AS p FROM grid GROUP BY day),
+    m AS (
+      SELECT g.nationkey,
+             count(*) AS n,
+             sum(g.x) AS sx, sum(p.p) AS sp,
+             sum(g.x * p.p) AS sxp, sum(p.p * p.p) AS spp
+      FROM grid g JOIN port p ON g.day = p.day
+      GROUP BY g.nationkey
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey,
+           round(sx / sp, 6) AS weight,
+           round(sxp / n - (sx / n) * (sp / n), 6) AS cov_musd2,
+           round((sxp / n - (sx / n) * (sp / n))
+                 / (spp / n - (sp / n) * (sp / n)), 6) AS pct_of_var,
+           round({CVAR_Z95} * (sxp / n - (sx / n) * (sp / n))
+                 / sqrt(spp / n - (sp / n) * (sp / n)), 6) AS component_var_musd
+    FROM m
+    """,
+    tags=("finance", "risk"),
+)
+def component_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euler decomposition of {year} daily-revenue variance by nation —
+    the parametric component-VaR allocation: for each nation i with daily
+    revenue x_i (millions, zero-filled on a dense nation x day grid) and
+    portfolio p = sum_i x_i, report weight_i = sum(x_i)/sum(p),
+    cov(x_i, p), the variance share cov(x_i, p)/var(p) (Euler: shares sum
+    to 1), and component VaR_i = z95 x cov(x_i, p)/sd(p). This is the
+    ex-ante risk-attribution counterpart of the realized-risk queries
+    (q_var_cvar, q_kupiec_var_backtest).
+
+    Determinism: the house moment-sum recipe — daily revenue is rounded
+    to 2 dp then rescaled to millions so every summand is O(1), keeping
+    ulp noise ~1e-12 under the 6-dp rounding; both engines apply the same
+    population-moment algebra (sxp/n - (sx/n)(sp/n)). Scale: the corpus
+    pass is one groupBy to O(calendar x nations) rows; the grid, the
+    portfolio join (on day), and the moment sums all stay calendar-
+    bounded. The nation dim rides a broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    nd = (
+        orders.filter(F.year("o_orderdate") == CVAR_YEAR)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg((F.round(F.sum("o_totalprice"), 2) / 1000000.0).alias("x"))
+    )
+    days = nd.select("day").distinct()
+    grid = (
+        F.broadcast(nation.select(F.col("n_nationkey").alias("nationkey")))
+        .crossJoin(days)
+        .join(nd, ["nationkey", "day"], "left")
+        .select("nationkey", "day", F.coalesce("x", F.lit(0.0)).alias("x"))
+    )
+    port = grid.groupBy("day").agg(F.sum("x").alias("p"))
+    m = (
+        grid.join(port, "day")
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("p").alias("sp"),
+            F.sum(F.col("x") * F.col("p")).alias("sxp"),
+            F.sum(F.col("p") * F.col("p")).alias("spp"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxp") / n - (F.col("sx") / n) * (F.col("sp") / n)
+    var_p = F.col("spp") / n - (F.col("sp") / n) * (F.col("sp") / n)
+    return m.select(
+        F.col("nationkey").cast("long").alias("nationkey"),
+        F.round(F.col("sx") / F.col("sp"), 6).alias("weight"),
+        F.round(cov, 6).alias("cov_musd2"),
+        F.round(cov / var_p, 6).alias("pct_of_var"),
+        F.round(F.lit(CVAR_Z95) * cov / F.sqrt(var_p), 6).alias("component_var_musd"),
+    )

@@ -142,6 +142,11 @@ QUERIES = [
     "q_adamic_adar",
     "q_shapley_attribution",
     "q_removal_effect_attribution",
+    # round-4 quant-pricing wave
+    "q_black_scholes",
+    "q_bond_duration",
+    "q_irr_bisection",
+    "q_component_var",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
