@@ -1,0 +1,581 @@
+"""Classical-ML evaluation and modeling operators (round 4 continuation):
+ROC threshold sweep from bucketed suffix sums, Cramér's V association,
+a single-feature decision stump learned by Gini impurity, Jensen-Shannon
+divergence between language unigram distributions, and a multinomial
+Naive Bayes language classifier with a train/test split.
+
+These extend the ML-eval surface (q_auc_by_month, q_confusion_matrix,
+q_calibration_bins, q_woe_iv) from *scoring* metrics to *model-side*
+machinery: a learned split, a generative classifier, and
+distribution-level divergences — each still a pure DataFrame program
+with a full DuckDB value-hash oracle.
+
+Scale notes: q_roc_curve and q_decision_stump first reduce the fact scan
+to O(buckets) integer counts (one groupBy), then do all threshold work on
+that bounded relation — the 100 TB cost is one map-side-combinable
+aggregate regardless of the threshold grid. q_cramers_v is one
+contingency aggregate over bounded (segment x priority) cells.
+q_js_divergence and q_naive_bayes_langid are one token explode
+(O(corpus tokens), the unavoidable scan) followed by vocabulary- or
+model-bounded joins; the language dimension (5 rows) and the top-V
+vocabulary ride broadcasts.
+
+Determinism contract: every decision (ROC flags, stump argmin, NB argmax)
+is made on integer counts or on doubles rounded to 6-9 dp BEFORE the
+comparison, with an explicit total-order tie-break, so both engines pick
+identical winners; log-sum scores follow the house moment-sum posture
+(bounded summand count per key, rounding step orders of magnitude above
+ulp noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# q_roc_curve
+# ---------------------------------------------------------------------------
+
+ROC_BUCKET = 25000.0  # score bucket width = threshold step
+ROC_MAX_BUCKET = 20  # thresholds 0, 25k, ..., 500k
+
+_POS_SQL = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+
+@query(
+    "q_roc_curve",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / {ROC_BUCKET}), {ROC_MAX_BUCKET}) AS BIGINT) AS bkt,
+             sum(CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN {_POS_SQL} THEN 0 ELSE 1 END) AS neg
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM b),
+    thr AS (SELECT unnest(range(0, {ROC_MAX_BUCKET} + 1)) AS t),
+    roc AS (
+      SELECT t.t,
+             coalesce(sum(CASE WHEN b.bkt >= t.t THEN b.pos END), 0) AS tp,
+             coalesce(sum(CASE WHEN b.bkt >= t.t THEN b.neg END), 0) AS fp
+      FROM thr t LEFT JOIN b ON true
+      GROUP BY t.t
+    )
+    SELECT CAST(t * {ROC_BUCKET} AS DOUBLE) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tot.p - tp AS BIGINT) AS fn, CAST(tot.n - fp AS BIGINT) AS tn,
+           round(tp * 1.0 / tot.p, 6) AS tpr,
+           round(fp * 1.0 / tot.n, 6) AS fpr,
+           round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+           round(tp * 1.0 / tot.p - fp * 1.0 / tot.n, 6) AS youden_j
+    FROM roc CROSS JOIN tot
+    """,
+    tags=("ml", "eval"),
+)
+def roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating points for the order-value-predicts-urgency
+    classifier (label = priority URGENT/HIGH, score = o_totalprice) at a
+    fixed 25k-wide threshold ladder: per threshold the exact integer
+    confusion counts, TPR/FPR, precision, and Youden's J. (TPC-H priority
+    is independent of price, so the curve hugs the diagonal — the point
+    is the exactly-verified machinery, which is input-agnostic.)
+
+    Scale: the fact scan collapses to O(buckets) integer counts in ONE
+    map-side-combinable groupBy; the threshold sweep is then suffix sums
+    over that <=21-row relation, so the grid size never touches the
+    corpus pass (contrast with the naive per-threshold scan, which costs
+    grid x corpus). All ratios come from exact integers, rounded at 6 —
+    nothing engine-specific anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = orders.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / ROC_BUCKET), F.lit(ROC_MAX_BUCKET))
+        .cast("long")
+        .alias("bkt")
+    ).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).alias("neg"),
+    )
+    tot = b.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+    thr = spark.range(0, ROC_MAX_BUCKET + 1).select(F.col("id").alias("t"))
+    roc = (
+        thr.join(F.broadcast(b), F.lit(True), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("pos"))), F.lit(0)).alias("tp"),
+            F.coalesce(F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("neg"))), F.lit(0)).alias("fp"),
+        )
+    )
+    return roc.crossJoin(F.broadcast(tot)).select(
+        (F.col("t") * ROC_BUCKET).cast("double").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("n") - F.col("fp")).cast("long").alias("tn"),
+        F.round(F.col("tp") * 1.0 / F.col("p"), 6).alias("tpr"),
+        F.round(F.col("fp") * 1.0 / F.col("n"), 6).alias("fpr"),
+        F.round(F.col("tp") * 1.0 / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6).alias(
+            "precision"
+        ),
+        F.round(F.col("tp") * 1.0 / F.col("p") - F.col("fp") * 1.0 / F.col("n"), 6).alias(
+            "youden_j"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cramers_v
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cramers_v",
+    oracle="""
+    WITH cell AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri, count(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT sum(n) AS n_total,
+             count(DISTINCT seg) AS r, count(DISTINCT pri) AS c
+      FROM cell
+    ),
+    marg AS (
+      SELECT cell.seg, cell.pri, cell.n,
+             rs.rn, cs.cn, tot.n_total, tot.r, tot.c
+      FROM cell
+      JOIN (SELECT seg, sum(n) AS rn FROM cell GROUP BY seg) rs USING (seg)
+      JOIN (SELECT pri, sum(n) AS cn FROM cell GROUP BY pri) cs USING (pri)
+      CROSS JOIN tot
+    ),
+    chi AS (
+      SELECT max(n_total) AS n_total, max(r) AS r, max(c) AS c,
+             sum(pow(n - rn * 1.0 * cn / n_total, 2) / (rn * 1.0 * cn / n_total)) AS chi2
+      FROM marg
+    )
+    SELECT CAST(n_total AS BIGINT) AS n,
+           CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (n_total * least(r - 1, c - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+    tags=("ml", "stats"),
+)
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized strength of association between
+    market segment and order priority: chi-square over the 5x5
+    contingency table, then V = sqrt(chi2 / (n x min(r-1, c-1))). This is
+    the effect-size companion to q_chi2_independence's significance test
+    (a chi2 can be "significant" at 100 TB row counts while V ~ 0 shows
+    the association is practically nil — exactly the large-n trap).
+
+    Scale: one fact-dim join + one groupBy to O(|seg| x |priority|) = 25
+    integer cells; everything downstream is closed-form arithmetic on
+    those integers (expected counts as rn x cn / n), rounded at 6.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cell = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rs = cell.groupBy("seg").agg(F.sum("n").alias("rn"))
+    cs = cell.groupBy("pri").agg(F.sum("n").alias("cn"))
+    tot = cell.agg(
+        F.sum("n").alias("n_total"),
+        F.countDistinct("seg").alias("r"),
+        F.countDistinct("pri").alias("c"),
+    )
+    marg = (
+        cell.join(F.broadcast(rs), "seg")
+        .join(F.broadcast(cs), "pri")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rn") * 1.0 * F.col("cn") / F.col("n_total")
+    chi = marg.agg(
+        F.max("n_total").alias("n_total"),
+        F.max("r").alias("r"),
+        F.max("c").alias("c"),
+        F.sum(F.pow(F.col("n") - e, F.lit(2)) / e).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n_total").cast("long").alias("n"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n_total") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_decision_stump
+# ---------------------------------------------------------------------------
+
+STUMP_STEP = 25000.0
+STUMP_MIN_T = 1  # thresholds 25k .. 475k (both sides non-empty at every sf)
+STUMP_MAX_T = 19
+
+
+@query(
+    "q_decision_stump",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / {STUMP_STEP}), {STUMP_MAX_T}) AS BIGINT) AS bkt,
+             sum(CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN {_POS_SQL} THEN 0 ELSE 1 END) AS neg
+      FROM orders GROUP BY 1
+    ),
+    thr AS (SELECT unnest(range({STUMP_MIN_T}, {STUMP_MAX_T} + 1)) AS t),
+    split AS (
+      SELECT t.t,
+             coalesce(sum(CASE WHEN b.bkt < t.t THEN b.pos END), 0) AS pl,
+             coalesce(sum(CASE WHEN b.bkt < t.t THEN b.neg END), 0) AS nl,
+             coalesce(sum(CASE WHEN b.bkt >= t.t THEN b.pos END), 0) AS pr,
+             coalesce(sum(CASE WHEN b.bkt >= t.t THEN b.neg END), 0) AS nr
+      FROM thr t LEFT JOIN b ON true
+      GROUP BY t.t
+    ),
+    scored AS (
+      SELECT t, pl, nl, pr, nr,
+             round((
+               (pl + nl) * (1.0 - (pl * 1.0 * pl + nl * 1.0 * nl) / nullif((pl + nl) * 1.0 * (pl + nl), 0))
+               + (pr + nr) * (1.0 - (pr * 1.0 * pr + nr * 1.0 * nr) / nullif((pr + nr) * 1.0 * (pr + nr), 0))
+             ) / (pl + nl + pr + nr), 9) AS wgini
+      FROM split
+      WHERE pl + nl > 0 AND pr + nr > 0
+    ),
+    parent AS (
+      SELECT 1.0 - (sum(pos) * 1.0 * sum(pos) + sum(neg) * 1.0 * sum(neg))
+                   / (sum(pos + neg) * 1.0 * sum(pos + neg)) AS g0
+      FROM b
+    ),
+    best AS (
+      SELECT * FROM scored ORDER BY wgini ASC, t ASC LIMIT 1
+    )
+    SELECT CAST(best.t * {STUMP_STEP} AS DOUBLE) AS best_threshold,
+           CAST(best.pl + best.nl AS BIGINT) AS n_left,
+           CAST(best.pr + best.nr AS BIGINT) AS n_right,
+           round(best.wgini, 6) AS weighted_gini,
+           round(parent.g0, 6) AS parent_gini,
+           round(parent.g0 - best.wgini, 6) AS gini_gain
+    FROM best CROSS JOIN parent
+    """,
+    tags=("ml", "model"),
+)
+def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A depth-1 decision tree (stump) learned on order value to predict
+    urgent/high priority: evaluate every threshold on a fixed 25k ladder,
+    score each split by weighted Gini impurity, and return the argmin
+    split with its impurity gain over the parent — the exact inner-loop
+    step of distributed tree learners (the histogram-split trick
+    XGBoost/LightGBM use), verified end to end.
+
+    Scale: identical posture to q_roc_curve — ONE map-side-combinable
+    groupBy reduces the scan to O(buckets) integer (pos, neg) counts;
+    the threshold sweep, impurity algebra, and argmin all run on that
+    bounded relation. Determinism: Gini values are products/ratios of
+    exact integers rounded at 9 dp before the ORDER BY, with the
+    threshold index as total-order tie-break.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = orders.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / STUMP_STEP), F.lit(STUMP_MAX_T))
+        .cast("long")
+        .alias("bkt")
+    ).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).alias("neg"),
+    )
+    thr = spark.range(STUMP_MIN_T, STUMP_MAX_T + 1).select(F.col("id").alias("t"))
+    split = (
+        thr.join(F.broadcast(b), F.lit(True), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("bkt") < F.col("t"), F.col("pos"))), F.lit(0)).alias("pl"),
+            F.coalesce(F.sum(F.when(F.col("bkt") < F.col("t"), F.col("neg"))), F.lit(0)).alias("nl"),
+            F.coalesce(F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("pos"))), F.lit(0)).alias("pr"),
+            F.coalesce(F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("neg"))), F.lit(0)).alias("nr"),
+        )
+        .filter((F.col("pl") + F.col("nl") > 0) & (F.col("pr") + F.col("nr") > 0))
+    )
+
+    def gini_side(p, n):
+        tot = (p + n) * 1.0 * (p + n)
+        return (p + n) * (
+            1.0 - (p * 1.0 * p + n * 1.0 * n) / F.nullif(tot, F.lit(0.0))
+        )
+
+    wgini = F.round(
+        (gini_side(F.col("pl"), F.col("nl")) + gini_side(F.col("pr"), F.col("nr")))
+        / (F.col("pl") + F.col("nl") + F.col("pr") + F.col("nr")),
+        9,
+    )
+    scored = split.withColumn("wgini", wgini)
+    best = scored.orderBy(F.col("wgini").asc(), F.col("t").asc()).limit(1)
+    parent = b.agg(
+        (
+            1.0
+            - (F.sum("pos") * 1.0 * F.sum("pos") + F.sum("neg") * 1.0 * F.sum("neg"))
+            / (F.sum(F.col("pos") + F.col("neg")) * 1.0 * F.sum(F.col("pos") + F.col("neg")))
+        ).alias("g0")
+    )
+    return best.crossJoin(F.broadcast(parent)).select(
+        (F.col("t") * STUMP_STEP).cast("double").alias("best_threshold"),
+        (F.col("pl") + F.col("nl")).cast("long").alias("n_left"),
+        (F.col("pr") + F.col("nr")).cast("long").alias("n_right"),
+        F.round(F.col("wgini"), 6).alias("weighted_gini"),
+        F.round(F.col("g0"), 6).alias("parent_gini"),
+        F.round(F.col("g0") - F.col("wgini"), 6).alias("gini_gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_js_divergence
+# ---------------------------------------------------------------------------
+
+JSD_VOCAB = 100  # global top-V vocabulary (ties broken alphabetically)
+
+
+@query(
+    "q_js_divergence",
+    oracle=f"""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS rnk
+        FROM tok GROUP BY term
+      ) WHERE rnk <= {JSD_VOCAB}
+    ),
+    lt AS (
+      SELECT t.lang, t.term, count(*) AS n
+      FROM tok t JOIN vocab v USING (term)
+      GROUP BY t.lang, t.term
+    ),
+    grid AS (
+      SELECT l.lang, v.term, coalesce(lt.n, 0) AS n
+      FROM (SELECT DISTINCT lang FROM documents) l
+      CROSS JOIN vocab v
+      LEFT JOIN lt ON lt.lang = l.lang AND lt.term = v.term
+    ),
+    p AS (
+      SELECT lang, term,
+             (n + 1.0) / (sum(n) OVER (PARTITION BY lang) + {JSD_VOCAB}) AS p
+      FROM grid
+    ),
+    pair AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, a.term,
+             a.p AS pa, b.p AS pb
+      FROM p a JOIN p b ON a.term = b.term AND a.lang < b.lang
+    )
+    SELECT lang_a, lang_b,
+           round(sum(0.5 * pa * ln(pa / ((pa + pb) / 2.0))
+                     + 0.5 * pb * ln(pb / ((pa + pb) / 2.0))), 6) AS jsd_nats,
+           round(sqrt(sum(0.5 * pa * ln(pa / ((pa + pb) / 2.0))
+                          + 0.5 * pb * ln(pb / ((pa + pb) / 2.0)))), 6) AS js_distance
+    FROM pair GROUP BY lang_a, lang_b
+    """,
+    tags=("text", "llm", "stats"),
+)
+def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every language pair's unigram
+    distribution over the global top-{V} vocabulary (add-1 smoothed so no
+    zero probabilities) — the symmetric, bounded corpus-drift measure
+    used to compare data mixtures (it is the metric behind mixture-drift
+    monitors; complements q_psi_drift's bucketed PSI with a
+    distribution-level one).
+
+    Scale: the only corpus-sized step is the token explode + one
+    vocabulary-filtered groupBy; the vocabulary (top-{V}, alphabetical
+    tie-break) and the language dimension are broadcast-sized, so the
+    pair join runs on an O(langs x V) relation. The per-pair sum spans
+    exactly {V} terms of magnitude <= ~0.05 — ulp noise sits 9 orders
+    under the 6-dp rounding.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= JSD_VOCAB)
+        .select("term")
+    )
+    lt = (
+        tok.join(F.broadcast(vocab), "term")
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    langs = docs.select("lang").distinct()
+    grid = (
+        F.broadcast(langs)
+        .crossJoin(F.broadcast(vocab))
+        .join(lt, ["lang", "term"], "left")
+        .select("lang", "term", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    wl = Window.partitionBy("lang")
+    p = grid.select(
+        "lang",
+        "term",
+        ((F.col("n") + 1.0) / (F.sum("n").over(wl) + F.lit(JSD_VOCAB))).alias("p"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pair = a.join(
+        b, (F.col("a.term") == F.col("b.term")) & (F.col("a.lang") < F.col("b.lang"))
+    ).select(
+        F.col("a.lang").alias("lang_a"),
+        F.col("b.lang").alias("lang_b"),
+        F.col("a.p").alias("pa"),
+        F.col("b.p").alias("pb"),
+    )
+    m = (F.col("pa") + F.col("pb")) / 2.0
+    term_jsd = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col("pb") * F.log(
+        F.col("pb") / m
+    )
+    return (
+        pair.groupBy("lang_a", "lang_b")
+        .agg(F.sum(term_jsd).alias("s"))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round(F.col("s"), 6).alias("jsd_nats"),
+            F.round(F.sqrt(F.col("s")), 6).alias("js_distance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_naive_bayes_langid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_naive_bayes_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+    test AS (
+      SELECT doc_id, lang AS true_lang, term, count(*) AS c
+      FROM tok WHERE doc_id % 2 = 1
+      GROUP BY doc_id, lang, term
+    ),
+    lt AS (SELECT lang, term, count(*) AS n FROM train GROUP BY lang, term),
+    ltot AS (SELECT lang, count(*) AS tot FROM train GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT term) AS v FROM train),
+    prior AS (
+      SELECT lang, count(DISTINCT doc_id) AS nd FROM train GROUP BY lang
+    ),
+    npri AS (SELECT sum(nd) AS nd_total FROM prior),
+    score AS (
+      SELECT t.doc_id, t.true_lang, l.lang AS cand_lang,
+             min(ln(pr.nd * 1.0 / np.nd_total))
+               - sum(t.c) * min(ln(l.tot + vc.v))
+               + sum(t.c * ln(coalesce(lt.n, 0) + 1.0)) AS score
+      FROM test t
+      CROSS JOIN ltot l
+      CROSS JOIN vocab vc
+      CROSS JOIN npri np
+      JOIN prior pr ON pr.lang = l.lang
+      LEFT JOIN lt ON lt.lang = l.lang AND lt.term = t.term
+      GROUP BY t.doc_id, t.true_lang, l.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand_lang AS pred_lang
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY round(score, 6) DESC, cand_lang
+        ) AS rnk
+        FROM score
+      ) WHERE rnk = 1
+    )
+    SELECT true_lang, pred_lang,
+           count(*) AS n_docs,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY true_lang), 6)
+             AS share_of_true
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+    tags=("ml", "text", "llm", "model"),
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language identification with a real
+    train/test split: train on even doc_ids (per-language term counts,
+    Laplace add-1 over the train vocabulary, log priors from document
+    counts), classify odd doc_ids by argmax of log prior + sum_t c_t x
+    [ln(n_lt + 1) - ln(tot_l + V)], and report the test confusion matrix
+    with per-true-language shares. The generative-model counterpart of
+    q_langid_profile's overlap heuristic.
+
+    Scale: token explode + two groupBys (train model, test doc-term
+    vectors) are the corpus-sized passes; the model relations (lang-term
+    counts, totals, priors, vocab size) are vocabulary-bounded, and
+    scoring is one equi-join of test doc-terms against the model per
+    candidate language (5x fan-out via a broadcast language dim).
+    Determinism: the factored score needs ONE order-ambiguous sum
+    (sum c x ln(n+1), bounded per doc, magnitude ~1e2 vs 1e-13 noise);
+    the argmax ranks on round(score, 6) DESC with the language as
+    total-order tie-break, so both engines pick the same winner.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    train = tok.filter(F.col("doc_id") % 2 == 0)
+    test = (
+        tok.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lt = train.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    ltot = train.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = train.agg(F.countDistinct("term").alias("v"))
+    prior = train.groupBy("lang").agg(F.countDistinct("doc_id").alias("nd"))
+    npri = prior.agg(F.sum("nd").alias("nd_total"))
+    cand = (
+        F.broadcast(ltot)
+        .join(F.broadcast(prior), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(npri))
+    )
+    score = (
+        test.crossJoin(cand.select(F.col("lang").alias("cand_lang"), "tot", "v", "nd", "nd_total"))
+        .join(
+            lt.select(F.col("lang").alias("cand_lang"), "term", "n"),
+            ["cand_lang", "term"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(
+            (
+                F.min(F.log(F.col("nd") * 1.0 / F.col("nd_total")))
+                - F.sum("c") * F.min(F.log(F.col("tot") + F.col("v")))
+                + F.sum(F.col("c") * F.log(F.coalesce(F.col("n"), F.lit(0)) + 1.0))
+            ).alias("score")
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.round(F.col("score"), 6).desc(), F.col("cand_lang").asc())
+    pred = (
+        score.withColumn("rnk", F.row_number().over(wd))
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    wt = Window.partitionBy("true_lang")
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "true_lang",
+            "pred_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(wt), 6).alias("share_of_true"),
+        )
+    )

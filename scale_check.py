@@ -147,6 +147,12 @@ QUERIES = [
     "q_bond_duration",
     "q_irr_bisection",
     "q_component_var",
+    # round-4 classical-ML wave
+    "q_roc_curve",
+    "q_cramers_v",
+    "q_decision_stump",
+    "q_js_divergence",
+    "q_naive_bayes_langid",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
