@@ -338,3 +338,98 @@ def xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("total_cents"),
         F.min("odate").alias("first_date"),
     )
+
+
+@query(
+    "q_try_arithmetic",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice)
+                 / nullif(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END), 0), 4)
+             AS div_by_neg_count,
+           TRY_CAST(min(o_orderpriority) AS INTEGER) AS pri_as_int,
+           CAST(min(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS INT)
+             AS pri_digit,
+           round(sum(o_totalprice) / nullif(count(*) - count(*), 0), 4)
+             AS div_zero_is_null
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("spark4", "sql", "scalars"),
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface — Spark's try_* family (try_divide,
+    try_cast) against DuckDB's equivalents (x / nullif(y, 0), TRY_CAST):
+    division by two data-derived zeros (the count of negative-price
+    orders, and count minus count) yields NULL instead of an error or
+    +-Inf, an unparseable
+    string casts to NULL, and a parseable prefix digit casts through.
+    Pinning these NULL-on-failure semantics engine-to-engine matters
+    because ANSI mode (Spark 4's default) turns the non-try forms into
+    runtime ERRORS — at 100 TB a single bad row kills the job, so
+    production expressions use the try_ forms and this query proves their
+    results agree with the oracle's nullif/TRY_CAST formulation.
+    Scale: one map-side-combinable aggregate; all try_ logic is per-row."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.try_divide(
+                F.sum("o_totalprice"),
+                F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)),
+            ),
+            4,
+        ).alias("div_by_neg_count"),
+        F.min("o_orderpriority").try_cast("integer").alias("pri_as_int"),
+        F.min(F.substring("o_orderpriority", 1, 1).try_cast("integer"))
+        .cast("int")
+        .alias("pri_digit"),
+        F.round(
+            F.try_divide(F.sum("o_totalprice"), F.count(F.lit(1)) - F.count(F.lit(1))), 4
+        ).alias("div_zero_is_null"),
+    )
+
+
+_SQL_UDF_BODY = (
+    "CASE WHEN x >= 300000 THEN 'large' WHEN x >= 100000 THEN 'mid' ELSE 'small' END"
+)
+
+
+@query(
+    "q_sql_scalar_udf",
+    oracle=f"""
+    SELECT {_SQL_UDF_BODY.replace('x', 'o_totalprice')} AS tier,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("spark4", "sql", "udf"),
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5+: a SQL-language scalar UDF (Spark 4 ``CREATE TEMPORARY FUNCTION
+    ... RETURNS ... RETURN <expr>``) — unlike the Python-registered U1/U5
+    surface, a SQL UDF's body is INLINED into the plan by the analyzer,
+    so it keeps Catalyst visibility (pushdown, codegen) and costs nothing
+    at 100 TB; this is the right way to share business logic like revenue
+    tiers across queries. The oracle applies the same CASE expression
+    textually — equal hashes prove the UDF registration/inlining is
+    semantically transparent.
+    Scale: inlined per-row expression + one aggregate; zero Python."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_tier(x DOUBLE) RETURNS STRING "
+        f"RETURN {_SQL_UDF_BODY}"
+    )
+    return spark.sql(
+        """
+        SELECT order_tier(o_totalprice) AS tier,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY order_tier(o_totalprice)
+        """
+    )

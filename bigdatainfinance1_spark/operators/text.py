@@ -1217,3 +1217,163 @@ def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_winnowing_fingerprint — MOSS winnowing (Schleimer, Wilkerson, Aiken 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # token-gram length
+WINNOW_W = 4  # winnowing window (guarantee: any match >= K+W-1 tokens is caught)
+WINNOW_DF_CAP = 20  # drop fingerprints shared by more docs (boilerplate guard)
+
+
+@query(
+    "q_winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    g AS (
+      SELECT doc_id, u.pos,
+             md5(array_to_string(t[u.pos + 1:u.pos + {WINNOW_K}], ' '))
+               || lpad(CAST(99999999 - u.pos AS VARCHAR), 8, '0') AS key
+      FROM (
+        SELECT doc_id, t, unnest(range(0, len(t) - {WINNOW_K - 1})) AS pos FROM toks
+      ) u(doc_id, t, pos)
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             min(key) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW
+             ) AS key
+      FROM g
+      QUALIFY pos >= {WINNOW_W - 1}
+    ),
+    fp AS (SELECT DISTINCT doc_id, substr(key, 1, 32) AS h FROM sel),
+    df AS (
+      SELECT h FROM fp GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {WINNOW_DF_CAP}
+    ),
+    partners AS (
+      SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_partner_docs
+      FROM fp a JOIN df USING (h) JOIN fp b USING (h)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY a.doc_id
+    ),
+    stats AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             count(DISTINCT CASE WHEN s.key IS NOT NULL THEN s.key END) AS n_selected
+      FROM g
+      LEFT JOIN sel s ON s.doc_id = g.doc_id AND s.key = g.key
+                     AND g.pos = 99999999 - CAST(substr(s.key, 33, 8) AS BIGINT)
+      GROUP BY g.doc_id
+    )
+    SELECT st.doc_id,
+           CAST(st.n_grams AS BIGINT) AS n_grams,
+           CAST(st.n_selected AS BIGINT) AS n_fingerprints,
+           round(st.n_selected * 1.0 / st.n_grams, 6) AS density,
+           CAST(coalesce(p.n_partner_docs, 0) AS BIGINT) AS n_partner_docs
+    FROM stats st LEFT JOIN partners p USING (doc_id)
+    """,
+    tags=("text", "dedup", "llm"),
+)
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing document fingerprints (Schleimer-Wilkerson-Aiken
+    2003): hash every token {K}-gram, slide a {W}-wide window over the
+    hash sequence, and select each window's minimum hash (rightmost on
+    ties — encoded by appending the 8-digit complement of the position to
+    the md5, so one string min() implements "min hash, then max
+    position"). The selected set is the classic local fingerprint sketch:
+    ~2/(w+1) density with a guarantee that any shared run of
+    >= K+W-1 tokens yields at least one shared fingerprint. Reports
+    per-doc gram/fingerprint counts, density, and the number of partner
+    docs sharing >= 1 fingerprint (boilerplate-guarded by a df <=
+    {CAP} cap — the house common-shingle discipline).
+
+    Determinism: both engines hash with md5 and compare the SAME key
+    strings under binary collation, so the window minima are identical by
+    construction — no float anywhere. Scale: the gram explode is the
+    linear corpus pass; winnowing is a per-doc bounded window (partition
+    by doc_id); the partner join keys on the fingerprint hash with the df
+    cap bounding group fan-out, the same banded-equi-join shape as the
+    MinHash tier. At 100 TB the fingerprint relation is ~2/(w+1) of the
+    gram count — the point of winnowing over full shingling."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= WINNOW_K + WINNOW_W - 1
+    )
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {WINNOW_K}),"
+                f" i -> struct(i AS pos,"
+                f" concat(md5(concat_ws(' ', slice(t, i + 1, {WINNOW_K}))),"
+                f" lpad(cast(99999999 - i AS string), 8, '0')) AS key))"
+            )
+        ).alias("gk"),
+    ).select("doc_id", F.col("gk.pos").alias("pos"), F.col("gk.key").alias("key"))
+    wwin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = (
+        g.withColumn("minkey", F.min("key").over(wwin))
+        .filter(F.col("pos") >= WINNOW_W - 1)
+        .select("doc_id", F.col("minkey").alias("key"))
+        .distinct()
+    )
+    fp = sel.select("doc_id", F.substring("key", 1, 32).alias("h")).distinct()
+    df_ok = (
+        fp.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= WINNOW_DF_CAP))
+        .select("h")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    partners = (
+        a.join(df_ok, "h")
+        .join(b, "h")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("b.doc_id")).alias("n_partner_docs"))
+    )
+    sel_pos = sel.select(
+        "doc_id",
+        "key",
+        (F.lit(99999999) - F.substring("key", 33, 8).cast("long")).alias("pos"),
+    )
+    sp = sel_pos.select(
+        F.col("doc_id").alias("sdoc"),
+        F.col("key").alias("skey"),
+        F.col("pos").alias("spos"),
+    )
+    stats = (
+        g.join(
+            sp,
+            (F.col("doc_id") == F.col("sdoc"))
+            & (F.col("key") == F.col("skey"))
+            & (F.col("pos") == F.col("spos")),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct(F.when(F.col("skey").isNotNull(), F.col("skey"))).alias(
+                "n_selected"
+            ),
+        )
+    )
+    return (
+        stats.join(partners, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_selected").cast("long").alias("n_fingerprints"),
+            F.round(F.col("n_selected") * 1.0 / F.col("n_grams"), 6).alias("density"),
+            F.coalesce(F.col("n_partner_docs"), F.lit(0)).cast("long").alias("n_partner_docs"),
+        )
+    )

@@ -153,6 +153,10 @@ QUERIES = [
     "q_decision_stump",
     "q_js_divergence",
     "q_naive_bayes_langid",
+    # round-4 fingerprint + SQL-surface wave
+    "q_winnowing_fingerprint",
+    "q_try_arithmetic",
+    "q_sql_scalar_udf",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
