@@ -568,3 +568,41 @@ def test_round4_second_wave_plans(spark):
         if "BroadcastNestedLoopJoin" in ln:
             assert "_pid" in ln, ln
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round4_quant_and_ml_wave_plans(spark):
+    """Quant-pricing + classical-ML + fingerprint wave: the per-row closed
+    forms (black_scholes) carry zero joins and zero Python; the
+    bucketed-count queries (roc_curve, decision_stump) reduce the fact
+    scan to ONE aggregate before the threshold sweep and their only
+    nested loop is the bounded threshold-grid x bucket broadcast; the NB
+    model and the JSD vocabulary/lang relations ride broadcasts; no
+    cartesian and no Python eval anywhere in the wave."""
+    plan = plan_of(SPECS["q_black_scholes"].fn(spark, SF_DIR))
+    assert "Join" not in plan  # pure per-row closed form on a pushed scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters" in formatted(SPECS["q_black_scholes"].fn(spark, SF_DIR))
+    for name in (
+        "q_bond_duration",
+        "q_irr_bisection",
+        "q_component_var",
+        "q_cramers_v",
+        "q_js_divergence",
+        "q_naive_bayes_langid",
+        "q_winnowing_fingerprint",
+        "q_try_arithmetic",
+        "q_sql_scalar_udf",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # the threshold-sweep pair: fact scan feeds exactly one
+    # partial-aggregate (map-side combine) before any join appears
+    for name in ("q_roc_curve", "q_decision_stump"):
+        plan = formatted(SPECS[name].fn(spark, SF_DIR))
+        assert "partial_sum" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # winnowing's partner join must be an equi-join on the fingerprint
+    # hash, never a nested loop over doc pairs
+    plan = plan_of(SPECS["q_winnowing_fingerprint"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
