@@ -579,3 +579,139 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") * 1.0 / F.sum("n_docs").over(wt), 6).alias("share_of_true"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_bleu_pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bleu_pairs",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.doc_id AS ref_doc, b.doc_id AS cand_doc, a.lang,
+             string_split(a.text, ' ') AS rt, string_split(b.text, ' ') AS ct
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0 AND a.lang = b.lang
+    ),
+    cg AS (
+      SELECT ref_doc, n, gram, count(*) AS c FROM (
+        SELECT ref_doc, 1 AS n, unnest(ct) AS gram FROM pairs
+        UNION ALL
+        SELECT ref_doc, 2 AS n,
+               unnest(list_transform(range(1, len(ct)), i -> ct[i] || ' ' || ct[i + 1])) AS gram
+        FROM pairs
+      ) GROUP BY ref_doc, n, gram
+    ),
+    rg AS (
+      SELECT ref_doc, n, gram, count(*) AS r FROM (
+        SELECT ref_doc, 1 AS n, unnest(rt) AS gram FROM pairs
+        UNION ALL
+        SELECT ref_doc, 2 AS n,
+               unnest(list_transform(range(1, len(rt)), i -> rt[i] || ' ' || rt[i + 1])) AS gram
+        FROM pairs
+      ) GROUP BY ref_doc, n, gram
+    ),
+    prec AS (
+      SELECT cg.ref_doc,
+             sum(CASE WHEN cg.n = 1 THEN least(cg.c, coalesce(rg.r, 0)) ELSE 0 END) AS clip1,
+             sum(CASE WHEN cg.n = 1 THEN cg.c ELSE 0 END) AS tot1,
+             sum(CASE WHEN cg.n = 2 THEN least(cg.c, coalesce(rg.r, 0)) ELSE 0 END) AS clip2,
+             sum(CASE WHEN cg.n = 2 THEN cg.c ELSE 0 END) AS tot2
+      FROM cg LEFT JOIN rg ON rg.ref_doc = cg.ref_doc AND rg.n = cg.n AND rg.gram = cg.gram
+      GROUP BY cg.ref_doc
+    )
+    SELECT p.ref_doc, p.cand_doc, p.lang,
+           CAST(len(p.ct) AS BIGINT) AS cand_len,
+           CAST(len(p.rt) AS BIGINT) AS ref_len,
+           round(pr.clip1 * 1.0 / pr.tot1, 6) AS p1,
+           round(pr.clip2 * 1.0 / pr.tot2, 6) AS p2,
+           round(CASE WHEN len(p.ct) > len(p.rt) THEN 1.0
+                      ELSE exp(1.0 - len(p.rt) * 1.0 / len(p.ct)) END, 6) AS brevity_penalty,
+           CASE WHEN pr.clip1 > 0 AND pr.clip2 > 0 THEN
+             round(CASE WHEN len(p.ct) > len(p.rt) THEN 1.0
+                        ELSE exp(1.0 - len(p.rt) * 1.0 / len(p.ct)) END
+                   * exp(0.5 * (ln(pr.clip1 * 1.0 / pr.tot1) + ln(pr.clip2 * 1.0 / pr.tot2))), 6)
+           ELSE 0.0 END AS bleu2
+    FROM pairs p JOIN prec pr USING (ref_doc)
+    """,
+    tags=("ml", "eval", "text", "llm"),
+)
+def bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 between adjacent same-language document pairs (even doc_id =
+    reference, odd successor = candidate): clipped unigram/bigram
+    precision, brevity penalty, and the geometric-mean BLEU-2 score — the
+    standard machine-translation/generation quality metric, exercised
+    here as a corpus-similarity measure (the word-salad corpus makes
+    within-language unigram overlap high while bigram overlap stays low,
+    which is exactly the degenerate-repetition signature BLEU's higher
+    orders exist to catch).
+
+    Scale: gram counts are per-document aggregates off the token explode
+    (linear corpus pass); the clip join keys on (pair, n, gram) — an
+    equi-join whose group sizes are per-document gram counts, never
+    cross-document. All precisions are ratios of exact integers; the only
+    transcendentals (exp/ln in BP and the geometric mean) are one closed
+    form per pair, rounded at 6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("ref_doc"), "lang", F.split("text", " ").alias("rt")
+    ).filter(F.col("ref_doc") % 2 == 0)
+    b = docs.select(
+        F.col("doc_id").alias("cand_doc"),
+        F.col("lang").alias("lang_b"),
+        F.split("text", " ").alias("ct"),
+    )
+    pairs = a.join(
+        b, (F.col("cand_doc") == F.col("ref_doc") + 1) & (F.col("lang") == F.col("lang_b"))
+    ).select("ref_doc", "cand_doc", "lang", "rt", "ct")
+
+    def grams(df: DataFrame, col: str) -> DataFrame:
+        uni = df.select("ref_doc", F.lit(1).alias("n"), F.explode(col).alias("gram"))
+        bi = df.select(
+            "ref_doc",
+            F.lit(2).alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({col}) - 1),"
+                    f" i -> concat(element_at({col}, i), ' ', element_at({col}, i + 1)))"
+                )
+            ).alias("gram"),
+        )
+        return uni.unionByName(bi)
+
+    cg = grams(pairs, "ct").groupBy("ref_doc", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    rg = grams(pairs, "rt").groupBy("ref_doc", "n", "gram").agg(F.count(F.lit(1)).alias("r"))
+    prec = (
+        cg.join(rg, ["ref_doc", "n", "gram"], "left")
+        .groupBy("ref_doc")
+        .agg(
+            F.sum(F.when(F.col("n") == 1, F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0)))).otherwise(0)).alias("clip1"),
+            F.sum(F.when(F.col("n") == 1, F.col("c")).otherwise(0)).alias("tot1"),
+            F.sum(F.when(F.col("n") == 2, F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0)))).otherwise(0)).alias("clip2"),
+            F.sum(F.when(F.col("n") == 2, F.col("c")).otherwise(0)).alias("tot2"),
+        )
+    )
+    j = pairs.join(prec, "ref_doc")
+    clen, rlen = F.size("ct"), F.size("rt")
+    bp = F.when(clen > rlen, F.lit(1.0)).otherwise(F.exp(1.0 - rlen * 1.0 / clen))
+    p1 = F.col("clip1") * 1.0 / F.col("tot1")
+    p2 = F.col("clip2") * 1.0 / F.col("tot2")
+    return j.select(
+        "ref_doc",
+        "cand_doc",
+        "lang",
+        clen.cast("long").alias("cand_len"),
+        rlen.cast("long").alias("ref_len"),
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(bp, 6).alias("brevity_penalty"),
+        F.when(
+            (F.col("clip1") > 0) & (F.col("clip2") > 0),
+            F.round(bp * F.exp(0.5 * (F.log(p1) + F.log(p2))), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("bleu2"),
+    )

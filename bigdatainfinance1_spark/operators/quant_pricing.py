@@ -32,7 +32,7 @@ step (revenue is rescaled to millions first for exactly this reason).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.registry import query
@@ -376,4 +376,226 @@ def component_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov, 6).alias("cov_musd2"),
         F.round(cov / var_p, 6).alias("pct_of_var"),
         F.round(F.lit(CVAR_Z95) * cov / F.sqrt(var_p), 6).alias("component_var_musd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_kalman_level
+# ---------------------------------------------------------------------------
+
+KALMAN_FROM, KALMAN_TO = "1995-01-01", "2001-01-01"  # 72 months < the 100-level CTE limit
+KALMAN_Q = 0.01  # process noise
+KALMAN_R = 0.25  # observation noise
+KALMAN_P0 = 1.0  # prior variance
+
+_KALMAN_SQL = f"""
+    WITH RECURSIVE m AS (
+      SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS rn, month, z
+      FROM (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{KALMAN_FROM}'
+          AND o_orderdate < TIMESTAMP '{KALMAN_TO}'
+        GROUP BY date_trunc('month', o_orderdate)
+      )
+    ),
+    kf(rn, month, z, gain, x, p) AS (
+      SELECT rn, month, z, CAST(0.0 AS DOUBLE), z, CAST({KALMAN_P0} AS DOUBLE)
+      FROM m WHERE rn = 1
+      UNION ALL
+      SELECT m.rn, m.month, m.z,
+             round((kf.p + {KALMAN_Q}) / (kf.p + {KALMAN_Q} + {KALMAN_R}), 12),
+             round(kf.x + round((kf.p + {KALMAN_Q}) / (kf.p + {KALMAN_Q} + {KALMAN_R}), 12)
+                          * (m.z - kf.x), 12),
+             round((1.0 - round((kf.p + {KALMAN_Q}) / (kf.p + {KALMAN_Q} + {KALMAN_R}), 12))
+                   * (kf.p + {KALMAN_Q}), 12)
+      FROM kf JOIN m ON m.rn = kf.rn + 1
+    )
+    SELECT month, z AS observed_musd,
+           round(x, 6) AS level_musd,
+           round(gain, 6) AS kalman_gain,
+           round(p, 6) AS posterior_var
+    FROM kf
+"""
+
+
+@query("q_kalman_level", oracle=_KALMAN_SQL, tags=("finance", "timeseries", "iterative"))
+def kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D local-level Kalman filter over monthly revenue (millions):
+    predict p' = p + q, gain k = p'/(p' + r), update x += k(z - x),
+    p = (1-k)p' — the optimal recursive smoother the Holt/Croston family
+    approximates, with the gain column showing the filter converging to
+    its steady state. Window pinned to 1995-2000 (72 steps,
+    corpus-growth-independent since the calendar doesn't grow with scale
+    factor).
+
+    Spark side follows the q_holt_smoothing driver-bounded-model pattern:
+    ONE corpus pass reduces to the O(calendar) monthly series, which is
+    collected (72 rows — bounded model state, never O(rows)) and the
+    recursion runs on the driver with rnd_half_away(x, 12) so every state
+    transition visits doubles bit-identical to the oracle's recursive-CTE
+    round(x, 12). (A first cut ran the recursion as a Spark recursive CTE
+    too — correct, but Spark re-evaluated the joined monthly aggregate
+    every iteration, 72 corpus scans ~ 30 s at sf0.1; the driver-bounded
+    model is one scan, and at 100 TB the difference is fatal. The DuckDB
+    oracle keeps the CTE form, which materializes the anchor there.)"""
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(KALMAN_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(KALMAN_TO).cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z"))
+        .orderBy("month")
+        .collect()  # O(calendar months) — bounded model state, never O(rows)
+    )
+    rows = []
+    x = p = None
+    for r in monthly:
+        if x is None:
+            x, p, g = r["z"], KALMAN_P0, 0.0
+        else:
+            g = rnd((p + KALMAN_Q) / (p + KALMAN_Q + KALMAN_R), 12)
+            x = rnd(x + g * (r["z"] - x), 12)
+            p = rnd((1.0 - g) * (p + KALMAN_Q), 12)
+        rows.append((r["month"], r["z"], rnd(x, 6), rnd(g, 6), rnd(p, 6)))
+    return spark.createDataFrame(
+        rows,
+        "month timestamp, observed_musd double, level_musd double, "
+        "kalman_gain double, posterior_var double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_efficient_frontier
+# ---------------------------------------------------------------------------
+
+EF_REGIONS = ("EUROPE", "ASIA")  # the two assets
+
+
+@query(
+    "q_efficient_frontier",
+    oracle=f"""
+    WITH rr AS (
+      SELECT r.r_name, date_trunc('month', o.o_orderdate) AS month,
+             round(sum(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('{EF_REGIONS[0]}', '{EF_REGIONS[1]}')
+      GROUP BY r.r_name, date_trunc('month', o.o_orderdate)
+    ),
+    ret AS (
+      SELECT r_name, month,
+             round(rev / lag(rev) OVER (PARTITION BY r_name ORDER BY month) - 1, 6) AS r
+      FROM rr
+    ),
+    j AS (
+      SELECT a.month, a.r AS x, b.r AS y
+      FROM ret a JOIN ret b ON a.month = b.month
+      WHERE a.r_name = '{EF_REGIONS[0]}' AND b.r_name = '{EF_REGIONS[1]}'
+        AND a.r IS NOT NULL AND b.r IS NOT NULL
+    ),
+    mo AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM j
+    ),
+    st AS (
+      SELECT n,
+             sx / n AS mu1, sy / n AS mu2,
+             sxx / n - (sx / n) * (sx / n) AS v1,
+             syy / n - (sy / n) * (sy / n) AS v2,
+             sxy / n - (sx / n) * (sy / n) AS c12
+      FROM mo
+    ),
+    grid AS (SELECT unnest(range(0, 11)) * 0.1 AS w)
+    SELECT round(g.w, 1) AS w_{EF_REGIONS[0].lower()},
+           round(g.w * st.mu1 + (1 - g.w) * st.mu2, 6) AS exp_return,
+           round(sqrt(g.w * g.w * st.v1 + (1 - g.w) * (1 - g.w) * st.v2
+                      + 2 * g.w * (1 - g.w) * st.c12), 6) AS sd_return,
+           round((st.v2 - st.c12) / (st.v1 + st.v2 - 2 * st.c12), 6) AS min_var_w,
+           CAST(st.n AS BIGINT) AS n_months
+    FROM grid g CROSS JOIN st
+    """,
+    tags=("finance", "portfolio"),
+)
+def efficient_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-asset Markowitz frontier over EUROPE vs ASIA monthly revenue
+    returns: per-region monthly returns (the house 2-dp-then-6-dp
+    recipe), sample moments on the aligned-month inner join, then the
+    frontier's expected return and volatility at an 11-point weight grid
+    plus the closed-form minimum-variance weight w* = (v2 - c12) /
+    (v1 + v2 - 2 c12) — the textbook portfolio-construction counterpart
+    of the risk-decomposition query (q_component_var).
+
+    Scale: one fact-dims join reduced to O(calendar x 2) monthly rows;
+    moments, the grid, and the closed forms all run on bounded relations
+    (the 11-row grid crosses a 1-row stats relation via broadcast).
+    Determinism: returns rounded at 6 before the moment sums
+    (O(calendar) summands), all outputs rounded at 6.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rr = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin(*EF_REGIONS))
+        .groupBy("r_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("r_name").orderBy("month")
+    ret = rr.select(
+        "r_name", "month", F.round(F.col("rev") / F.lag("rev").over(w) - 1, 6).alias("r")
+    )
+    a = ret.filter(F.col("r_name") == EF_REGIONS[0]).select(
+        "month", F.col("r").alias("x")
+    )
+    b = ret.filter(F.col("r_name") == EF_REGIONS[1]).select(
+        "month", F.col("r").alias("y")
+    )
+    j = a.join(b, "month").filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    mo = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    st = mo.select(
+        F.col("n"),
+        (F.col("sx") / n).alias("mu1"),
+        (F.col("sy") / n).alias("mu2"),
+        (F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)).alias("v1"),
+        (F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)).alias("v2"),
+        (F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)).alias("c12"),
+    )
+    grid = spark.range(0, 11).select((F.col("id") * 0.1).alias("w"))
+    gw = F.col("w")
+    return grid.crossJoin(F.broadcast(st)).select(
+        F.round(gw, 1).alias(f"w_{EF_REGIONS[0].lower()}"),
+        F.round(gw * F.col("mu1") + (1 - gw) * F.col("mu2"), 6).alias("exp_return"),
+        F.round(
+            F.sqrt(
+                gw * gw * F.col("v1")
+                + (1 - gw) * (1 - gw) * F.col("v2")
+                + 2 * gw * (1 - gw) * F.col("c12")
+            ),
+            6,
+        ).alias("sd_return"),
+        F.round(
+            (F.col("v2") - F.col("c12")) / (F.col("v1") + F.col("v2") - 2 * F.col("c12")),
+            6,
+        ).alias("min_var_w"),
+        F.col("n").cast("long").alias("n_months"),
     )

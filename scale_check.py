@@ -157,6 +157,10 @@ QUERIES = [
     "q_winnowing_fingerprint",
     "q_try_arithmetic",
     "q_sql_scalar_udf",
+    # round-4 filter/frontier/BLEU wave
+    "q_kalman_level",
+    "q_efficient_frontier",
+    "q_bleu_pairs",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
