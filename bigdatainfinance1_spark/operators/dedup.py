@@ -1318,3 +1318,109 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _verify_jaccard_pairs(ds, PREFIX_JOIN_T, candidates=cand)
+
+
+# ---------------------------------------------------------------------------
+# q_entity_resolution — blocked fuzzy match -> components -> golden records
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    keyed AS (
+      SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM names
+    ),
+    pairs AS (
+      SELECT a.p_name AS na, b.p_name AS nb
+      FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ),
+    edges AS (
+      SELECT na AS a, nb AS b FROM pairs
+      UNION ALL
+      SELECT nb, na FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS name, least(a, min(b)) AS canon FROM reach GROUP BY a
+    )
+    SELECT canon AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_members,
+           array_to_string(list_sort(list(name)), '|') AS members
+    FROM comp GROUP BY canon
+    """,
+    tags=("dedup", "fuzzy", "iterative"),
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over the part catalog — the composite
+    that turns q_fuzzy_match_names' pairwise matches into golden records:
+    (1) normalize/distinct names, (2) BLOCK on the last name token so
+    levenshtein only runs inside blocks, (3) keep edit-distance <= 3
+    edges, (4) connected components via the q_dup_clusters min-label
+    propagation, (5) emit one golden record per entity cluster: the
+    lexicographic-minimum canonical name, the member count, and the
+    '|'-joined sorted member list (a deterministic survivorship rule).
+    This is the record-linkage pipeline (Fellegi-Sunter blocking +
+    transitive closure) every MDM/KYC system runs, in one auditable
+    relation.
+
+    Scale: blocking bounds the candidate quadratic to within-block pairs
+    (equi-shuffle on the block key); CC iterates join+groupBy to the
+    component-minimum label — graph-diameter rounds over edge-sized
+    relations (components here are tiny name families). The oracle
+    re-derives components independently with a recursive-CTE transitive
+    closure, so a propagation bug cannot hash-match."""
+    part = load_table(spark, sf_dir, "part")
+    keyed = (
+        part.select("p_name")
+        .distinct()
+        .select("p_name", F.element_at(F.split("p_name", " "), -1).alias("blk"))
+    )
+    a = keyed.select(F.col("p_name").alias("na"), "blk")
+    b = keyed.select(F.col("p_name").alias("nb"), F.col("blk").alias("blk_b"))
+    pairs = (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("na") < F.col("nb")))
+        .filter(F.levenshtein("na", "nb") <= 3)
+        .select("na", "nb")
+    )
+    edges = pairs.select(F.col("na").alias("src"), F.col("nb").alias("dst")).union(
+        pairs.select(F.col("nb").alias("src"), F.col("na").alias("dst"))
+    ).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).persist()
+    for _ in range(MAX_CC_ITERATIONS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select("node", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"entity_resolution: CC did not converge in {MAX_CC_ITERATIONS} iterations"
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("canonical_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.concat_ws("|", F.sort_array(F.collect_list("node"))).alias("members"),
+        )
+    )

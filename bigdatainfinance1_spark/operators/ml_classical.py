@@ -715,3 +715,114 @@ def bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("bleu2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mann_kendall
+# ---------------------------------------------------------------------------
+
+MK_Z95 = 1.959964  # two-sided 5% normal critical value
+
+
+@query(
+    "q_mann_kendall",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    ),
+    s AS (
+      SELECT sum(CASE WHEN b.z > a.z THEN 1 WHEN b.z < a.z THEN -1 ELSE 0 END) AS s,
+             count(*) AS n_pairs
+      FROM m a JOIN m b ON b.month > a.month
+    ),
+    ties AS (
+      SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+      FROM (SELECT count(*) AS t FROM m GROUP BY z HAVING count(*) > 1)
+    ),
+    nn AS (SELECT count(*) AS n FROM m),
+    stat AS (
+      SELECT nn.n, s.s,
+             (nn.n * (nn.n - 1.0) * (2 * nn.n + 5) - ties.tie_term) / 18.0 AS var_s
+      FROM s CROSS JOIN ties CROSS JOIN nn
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(s AS BIGINT) AS s,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                      WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z_stat,
+           CASE WHEN s > 0 AND (s - 1) / sqrt(var_s) > 1.959964 THEN 'increasing'
+                WHEN s < 0 AND (s + 1) / sqrt(var_s) < -1.959964 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM stat
+    """,
+    tags=("stats", "timeseries"),
+)
+def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on monthly revenue: S =
+    sum over month pairs of sign(z_j - z_i), tie-corrected variance
+    n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, and the continuity-corrected
+    Z statistic with the 5% two-sided trend verdict — the
+    distribution-free companion to the parametric slope fits
+    (q_theil_sen supplies the matching slope estimator; this supplies
+    the significance call that needs no normality assumption).
+
+    Scale: the corpus reduces to O(calendar) monthly rows in one
+    aggregate; the pair join is O(months^2) ~ 3k rows — calendar-bounded,
+    corpus-independent. S and the tie groups are exact integers (the
+    observations are 6-dp-rounded doubles compared for order/equality
+    only), so the statistic is one closed form of integers rounded at 6.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z")
+    )
+    a = m.select(F.col("month").alias("ma"), F.col("z").alias("za"))
+    b = m.select(F.col("month").alias("mb"), F.col("z").alias("zb"))
+    s = (
+        a.join(b, F.col("mb") > F.col("ma"))
+        .agg(
+            F.sum(
+                F.when(F.col("zb") > F.col("za"), 1)
+                .when(F.col("zb") < F.col("za"), -1)
+                .otherwise(0)
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    ties = (
+        m.groupBy("z")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    nn = m.agg(F.count(F.lit(1)).alias("n"))
+    stat = s.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nn)).select(
+        F.col("n"),
+        F.col("s"),
+        (
+            (F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) - F.col("tie_term"))
+            / 18.0
+        ).alias("var_s"),
+    )
+    zc = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.col("s").cast("long").alias("s"),
+        F.round(F.col("var_s"), 6).alias("var_s"),
+        F.round(zc, 6).alias("z_stat"),
+        F.when((F.col("s") > 0) & (zc > MK_Z95), F.lit("increasing"))
+        .when((F.col("s") < 0) & (zc < -MK_Z95), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )

@@ -161,6 +161,10 @@ QUERIES = [
     "q_kalman_level",
     "q_efficient_frontier",
     "q_bleu_pairs",
+    # round-4 governance/trend/ER wave
+    "q_dp_histogram",
+    "q_mann_kendall",
+    "q_entity_resolution",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
