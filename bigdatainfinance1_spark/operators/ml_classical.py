@@ -403,12 +403,11 @@ def js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
-    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
     vocab = (
         tok.groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= JSD_VOCAB)
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(JSD_VOCAB)  # TakeOrdered — distributed global top-V, no window
         .select("term")
     )
     lt = (
@@ -825,4 +824,236 @@ def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when((F.col("s") < 0) & (zc < -MK_Z95), F.lit("decreasing"))
         .otherwise(F.lit("no_trend"))
         .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_adaboost_round
+# ---------------------------------------------------------------------------
+
+
+def _ada_sql() -> str:
+    """Two AdaBoost rounds over the bucketed stump space, as one SQL text
+    both engines run verbatim (every quantity is a closed form of the
+    O(buckets) integer counts, so there is nothing engine-specific to
+    drift)."""
+    B = STUMP_MAX_T
+    return f"""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / {STUMP_STEP}), {B}) AS BIGINT) AS bkt,
+             sum(CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN {_POS_SQL} THEN 0 ELSE 1 END) AS neg
+      FROM orders GROUP BY 1
+    ),
+    thr AS (SELECT t FROM range({STUMP_MIN_T}, {B} + 1) AS r(t)),
+    -- round 1: uniform weights; stump = argmin unnormalized weighted error.
+    -- each side predicts its weighted-majority class (tie -> -1).
+    s1 AS (
+      SELECT t.t,
+             sum(CASE WHEN b.bkt < t.t THEN b.pos ELSE 0 END) AS pl,
+             sum(CASE WHEN b.bkt < t.t THEN b.neg ELSE 0 END) AS nl,
+             sum(CASE WHEN b.bkt >= t.t THEN b.pos ELSE 0 END) AS pr,
+             sum(CASE WHEN b.bkt >= t.t THEN b.neg ELSE 0 END) AS nr
+      FROM thr t LEFT JOIN b ON true GROUP BY t.t
+    ),
+    e1 AS (
+      SELECT t, pl, nl, pr, nr,
+             (CASE WHEN pl > nl THEN nl ELSE pl END
+              + CASE WHEN pr > nr THEN nr ELSE pr END) * CAST(1.0 AS DOUBLE)
+               / (pl + nl + pr + nr) AS err
+      FROM s1 WHERE pl + nl > 0 AND pr + nr > 0
+    ),
+    best1 AS (SELECT * FROM e1 ORDER BY round(err, 9) ASC, t ASC LIMIT 1),
+    a1 AS (
+      SELECT t AS t1,
+             CASE WHEN pl > nl THEN 1 ELSE -1 END AS hl1,
+             CASE WHEN pr > nr THEN 1 ELSE -1 END AS hr1,
+             round(err, 12) AS err1,
+             round(0.5 * ln((1.0 - round(err, 12)) / round(err, 12)), 12) AS alpha1
+      FROM best1
+    ),
+    -- per-(bucket, label) weights after round 1: exp(-+alpha1)
+    wb AS (
+      SELECT b.bkt, a1.t1, a1.hl1, a1.hr1, a1.err1, a1.alpha1,
+             b.pos * exp(-a1.alpha1 * (CASE WHEN b.bkt < a1.t1 THEN a1.hl1 ELSE a1.hr1 END))
+               AS wpos,
+             b.neg * exp( a1.alpha1 * (CASE WHEN b.bkt < a1.t1 THEN a1.hl1 ELSE a1.hr1 END))
+               AS wneg,
+             b.pos, b.neg
+      FROM b CROSS JOIN a1
+    ),
+    s2 AS (
+      SELECT t.t,
+             sum(CASE WHEN w.bkt < t.t THEN w.wpos ELSE 0 END) AS pl,
+             sum(CASE WHEN w.bkt < t.t THEN w.wneg ELSE 0 END) AS nl,
+             sum(CASE WHEN w.bkt >= t.t THEN w.wpos ELSE 0 END) AS pr,
+             sum(CASE WHEN w.bkt >= t.t THEN w.wneg ELSE 0 END) AS nr
+      FROM thr t LEFT JOIN wb w ON true GROUP BY t.t
+    ),
+    e2 AS (
+      SELECT t, pl, nl, pr, nr,
+             (CASE WHEN pl > nl THEN nl ELSE pl END
+              + CASE WHEN pr > nr THEN nr ELSE pr END) / (pl + nl + pr + nr) AS err
+      FROM s2 WHERE pl + nl > 0 AND pr + nr > 0
+    ),
+    best2 AS (SELECT * FROM e2 ORDER BY round(err, 9) ASC, t ASC LIMIT 1),
+    a2 AS (
+      SELECT t AS t2,
+             CASE WHEN pl > nl THEN 1 ELSE -1 END AS hl2,
+             CASE WHEN pr > nr THEN 1 ELSE -1 END AS hr2,
+             round(err, 12) AS err2,
+             round(0.5 * ln((1.0 - round(err, 12)) / round(err, 12)), 12) AS alpha2
+      FROM best2
+    ),
+    -- ensemble sign(alpha1 h1 + alpha2 h2) scored on the bucket counts
+    acc AS (
+      SELECT sum(CASE WHEN (a1.alpha1 * (CASE WHEN b.bkt < a1.t1 THEN a1.hl1 ELSE a1.hr1 END)
+                          + a2.alpha2 * (CASE WHEN b.bkt < a2.t2 THEN a2.hl2 ELSE a2.hr2 END))
+                          > 0 THEN b.pos ELSE b.neg END) AS n_correct,
+             sum(b.pos + b.neg) AS n
+      FROM b CROSS JOIN a1 CROSS JOIN a2
+    )
+    SELECT CAST(a1.t1 * {STUMP_STEP} AS DOUBLE) AS threshold_1,
+           CAST(a1.hl1 AS INT) AS left_pred_1,
+           round(a1.err1, 6) AS err_1,
+           round(a1.alpha1, 6) AS alpha_1,
+           CAST(a2.t2 * {STUMP_STEP} AS DOUBLE) AS threshold_2,
+           CAST(a2.hl2 AS INT) AS left_pred_2,
+           round(a2.err2, 6) AS err_2,
+           round(a2.alpha2, 6) AS alpha_2,
+           round(acc.n_correct * CAST(1.0 AS DOUBLE) / acc.n, 6) AS ensemble_train_acc
+    FROM a1 CROSS JOIN a2 CROSS JOIN acc
+    """
+
+
+@query("q_adaboost_round", oracle=_ada_sql(), tags=("ml", "model", "iterative"))
+def adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of AdaBoost over the bucketed decision-stump space:
+    round 1 picks the minimum-error stump under uniform weights, computes
+    alpha = 0.5 ln((1-err)/err), reweights every example by
+    exp(-+alpha x h1(x)y) — which collapses to ONE closed-form weight per
+    (bucket, label) cell, the trick that makes boosting distributable —
+    then round 2 picks the minimum weighted-error stump and the ensemble
+    sign(alpha1 h1 + alpha2 h2) is scored exactly on the same cells.
+    This is the actual boosting inner loop (weights never materialize
+    per-row; histogram cells carry them), verified end to end.
+
+    ONE SQL text runs verbatim on both engines: after the single
+    map-side-combinable bucket aggregate, every relation is O(buckets) or
+    O(thresholds) and every decision ranks on round(err, 9) with the
+    threshold as tie-break. Scale: identical posture to q_decision_stump
+    — the corpus pass is one aggregate; rounds add O(grid x buckets)
+    arithmetic, not scans."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ada_sql())
+
+
+# ---------------------------------------------------------------------------
+# q_ridge_path
+# ---------------------------------------------------------------------------
+
+RIDGE_LAMBDAS = (0.0, 0.1, 1.0, 10.0)
+
+
+@query(
+    "q_ridge_path",
+    oracle=f"""
+    WITH f AS (
+      SELECT (year(o_orderdate) - 1998) * 12.0 / 42.0
+               + (month(o_orderdate) - 1) / 42.0 AS x1,
+             (CAST(substr(o_orderpriority, 1, 1) AS INT) - 3.0) / 2.0 AS x2,
+             o_totalprice / 500000.0 AS y
+      FROM orders
+    ),
+    mo AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y, sum(y * y) AS syy
+      FROM f
+    ),
+    c AS (
+      SELECT n,
+             s11 - s1 * s1 / n AS c11, s12 - s1 * s2 / n AS c12,
+             s22 - s2 * s2 / n AS c22,
+             s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y,
+             syy - sy * sy / n AS cyy,
+             s1 / n AS m1, s2 / n AS m2, sy / n AS my
+      FROM mo
+    ),
+    grid AS (SELECT unnest([{', '.join(f'CAST({v} AS DOUBLE)' for v in RIDGE_LAMBDAS)}]) AS lam)
+    SELECT round(lam, 1) AS lambda,
+           round(((c22 + lam) * c1y - c12 * c2y)
+                 / ((c11 + lam) * (c22 + lam) - c12 * c12), 6) AS beta_trend,
+           round(((c11 + lam) * c2y - c12 * c1y)
+                 / ((c11 + lam) * (c22 + lam) - c12 * c12), 6) AS beta_priority,
+           round(my - ((c22 + lam) * c1y - c12 * c2y)
+                      / ((c11 + lam) * (c22 + lam) - c12 * c12) * m1
+                    - ((c11 + lam) * c2y - c12 * c1y)
+                      / ((c11 + lam) * (c22 + lam) - c12 * c12) * m2, 6) AS intercept,
+           CAST(n AS BIGINT) AS n_rows
+    FROM grid CROSS JOIN c
+    """,
+    tags=("ml", "model"),
+)
+def ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression path: order value (rescaled to O(1))
+    on a centered time-trend feature and the priority digit, solving the
+    2x2 regularized normal equations (C + lambda I) beta = c_xy
+    explicitly at four lambda values — the regularization-path companion
+    to q_ols_two_factor (lambda = 0 reproduces OLS; the betas visibly
+    shrink toward 0 as lambda grows, the coefficient-stability story a
+    modeling pipeline audits).
+
+    Scale: ONE map-side-combinable moment aggregate over the scan; the
+    solve is per-lambda closed-form arithmetic on the 1-row moment
+    relation (the 4-row lambda grid rides a broadcast cross join).
+    Determinism: features are rescaled to O(1) before the moment sums so
+    the order-ambiguous sums carry ~1e-12 ulp noise against 6-dp
+    rounding; both engines apply the identical centered-moment algebra.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        (
+            (F.year("o_orderdate") - 1998) * 12.0 / 42.0
+            + (F.month("o_orderdate") - 1) / 42.0
+        ).alias("x1"),
+        ((F.substring("o_orderpriority", 1, 1).cast("int") - 3.0) / 2.0).alias("x2"),
+        (F.col("o_totalprice") / 500000.0).alias("y"),
+    )
+    mo = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    c = mo.select(
+        F.col("n"),
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    grid = spark.createDataFrame([(v,) for v in RIDGE_LAMBDAS], "lam double")
+    det = (F.col("c11") + F.col("lam")) * (F.col("c22") + F.col("lam")) - F.col("c12") * F.col("c12")
+    b1 = ((F.col("c22") + F.col("lam")) * F.col("c1y") - F.col("c12") * F.col("c2y")) / det
+    b2 = ((F.col("c11") + F.col("lam")) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det
+    return grid.crossJoin(F.broadcast(c)).select(
+        F.round(F.col("lam"), 1).alias("lambda"),
+        F.round(b1, 6).alias("beta_trend"),
+        F.round(b2, 6).alias("beta_priority"),
+        F.round(F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 6).alias("intercept"),
+        F.col("n").cast("long").alias("n_rows"),
     )

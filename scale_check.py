@@ -165,6 +165,9 @@ QUERIES = [
     "q_dp_histogram",
     "q_mann_kendall",
     "q_entity_resolution",
+    # round-4 boosting/ridge wave
+    "q_adaboost_round",
+    "q_ridge_path",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
