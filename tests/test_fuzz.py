@@ -550,3 +550,126 @@ def test_rnd_half_away_matches_decimal_ground_truth(mantissa, exp, nd):
         # one output quantum, with an epsilon for the comparison's own
         # float arithmetic (|5e-10 - 4e-10| computes 2 ulps over 1e-10)
         assert v > 2**52 or abs(ours - exact) <= 10.0 ** (-nd) * 1.000001, (x, nd, ours, exact)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 late-wave numeric properties
+# ---------------------------------------------------------------------------
+
+
+def _norm_cdf_py(x: float) -> float:
+    """Python mirror of quant_pricing._norm_cdf_sql (A&S 26.2.17)."""
+    import math
+
+    t = 1.0 / (1.0 + 0.2316419 * abs(x))
+    poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+    upper = 1.0 - math.exp(-abs(x) * abs(x) / 2.0) / math.sqrt(2.0 * math.pi) * poly
+    return upper if x >= 0.0 else 1.0 - upper
+
+
+@settings(max_examples=50, deadline=None, derandomize=True)
+@given(
+    x=st.floats(min_value=-6.0, max_value=6.0, allow_nan=False, allow_infinity=False)
+)
+def test_norm_cdf_approximation_envelope(x):
+    """The A&S polynomial q_black_scholes uses must stay within its
+    published 7.5e-8 error bound of the true CDF and respect the
+    symmetry N(x) + N(-x) = 1 it is assembled from."""
+    import math
+
+    true = 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+    approx = _norm_cdf_py(x)
+    assert abs(approx - true) < 7.5e-8
+    # exact 1 - N(-x) symmetry holds off the branch point; AT x ~ 0 both
+    # signs take the upper branch so the defect is 2x the polynomial error
+    assert abs(_norm_cdf_py(x) + _norm_cdf_py(-x) - 1.0) < 1.6e-7
+
+
+def test_black_scholes_put_call_parity_and_bounds(spark):
+    """Every priced row must satisfy put-call parity to the 4-dp rounding
+    (parity is how the put is built, so this guards future refactors) and
+    the no-arbitrage lower bounds C >= max(0, S - K e^-rT)."""
+    import math
+
+    from bigdatainfinance1_spark.registry import load_all_queries
+
+    rows = load_all_queries()["q_black_scholes"].fn(spark, SF_DIR).collect()
+    assert rows
+    disc = math.exp(-0.05 * 0.5)
+    for r in rows:
+        parity_gap = (r["call_price"] - r["put_price"]) - (r["spot"] - r["strike"] * disc)
+        assert abs(parity_gap) < 2e-4, r
+        assert r["call_price"] >= max(0.0, r["spot"] - r["strike"] * disc) - 1e-4, r
+        assert r["put_price"] >= -1e-4, r
+
+
+def test_irr_bisection_roots_bracketed_and_npv_small(spark):
+    """The reported IRR must actually zero the NPV: |NPV(irr)| below the
+    first-order bound (max cashflow x 8 x bracket width) — catches a
+    wrong-sign branch or an off-by-one in the unrolled terms."""
+    from bigdatainfinance1_spark.registry import load_all_queries
+
+    rows = load_all_queries()["q_irr_bisection"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    for r in rows:
+        nk, irr = r["nationkey"], r["irr"]
+        npv = -1000.0 + sum(
+            (150.0 + 25.0 * ((nk + t) % 5)) / (1.0 + irr) ** t for t in range(1, 9)
+        )
+        assert 0.0 < irr < 1.0, r
+        assert abs(npv) < 1e-2, (r, npv)  # derivative ~1e4 x rounding step 1e-6
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(
+    tokens=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=12,
+        max_size=40,
+    ),
+    start=st.integers(min_value=0, max_value=20),
+)
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(tokens, start):
+    """The winnowing guarantee (Schleimer et al. theorem): two documents
+    sharing a contiguous run of >= K+W-1 tokens share at least one selected
+    fingerprint. Verified against a pure-Python mirror of the operator's
+    selection rule (md5 k-gram keys, window min, rightmost tie)."""
+    import hashlib
+
+    K, W = 4, 4
+
+    def select(toks):
+        keys = []
+        for i in range(0, len(toks) - K + 1):
+            h = hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()
+            keys.append(h + str(99999999 - i).zfill(8))
+        sel = set()
+        for i in range(W - 1, len(keys)):
+            sel.add(min(keys[i - W + 1 : i + 1]))
+        return {k[:32] for k in sel}
+
+    run_len = K + W - 1
+    if len(tokens) < run_len:
+        return
+    start = min(start, len(tokens) - run_len)
+    shared_run = tokens[start : start + run_len]
+    # doc B embeds the shared run inside unrelated padding
+    doc_b = ["pad1", "pad2", "pad3"] + shared_run + ["pad4", "pad5", "pad6"]
+    fa, fb = select(tokens), select(doc_b)
+    assert fa & fb, (tokens, doc_b)
+
+
+def test_ridge_path_shrinks_toward_zero(spark):
+    """Coefficient magnitudes must be non-increasing in lambda (the
+    defining property of the ridge path) and lambda=0 must reproduce the
+    unregularized solve."""
+    from bigdatainfinance1_spark.registry import load_all_queries
+
+    rows = {
+        r["lambda"]: r
+        for r in load_all_queries()["q_ridge_path"].fn(spark, SF_DIR).collect()
+    }
+    lams = sorted(rows)
+    for a, b in zip(lams, lams[1:]):
+        assert abs(rows[b]["beta_trend"]) <= abs(rows[a]["beta_trend"]) + 1e-9
+        assert abs(rows[b]["beta_priority"]) <= abs(rows[a]["beta_priority"]) + 1e-9

@@ -606,3 +606,29 @@ def test_round4_quant_and_ml_wave_plans(spark):
     # hash, never a nested loop over doc pairs
     plan = plan_of(SPECS["q_winnowing_fingerprint"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4_late_wave_plans(spark):
+    """Kalman/frontier/BLEU/DP/trend/ER/boosting/ridge waves: no cartesian
+    products and no Python eval anywhere; the moment-sum queries
+    (efficient_frontier, ridge_path, mann_kendall, dp_histogram) show
+    map-side partial aggregation; entity_resolution's block join and CC
+    propagation stay equi-joins (no nested loop over name pairs)."""
+    for name in (
+        "q_efficient_frontier",
+        "q_bleu_pairs",
+        "q_dp_histogram",
+        "q_mann_kendall",
+        "q_adaboost_round",
+        "q_ridge_path",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    for name in ("q_efficient_frontier", "q_ridge_path", "q_dp_histogram"):
+        plan = formatted(SPECS[name].fn(spark, SF_DIR))
+        assert "partial_" in plan, name  # map-side combine before the exchange
+    plan = plan_of(SPECS["q_entity_resolution"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
