@@ -168,6 +168,9 @@ QUERIES = [
     # round-4 boosting/ridge wave
     "q_adaboost_round",
     "q_ridge_path",
+    # round-4 inference wave
+    "q_nelson_aalen",
+    "q_benjamini_hochberg",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
