@@ -76,3 +76,47 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "feat_dim": [len(f) for f in feats],
             }
         )
+
+
+AUDIO_FRAME = 40  # fake-PCM samples per frame (full frames only)
+AUDIO_DC = 96  # DC offset removed before energy (ASCII text centers near 96)
+
+
+def audio_frames_schema() -> T.StructType:
+    """Output schema of extract_audio_frames (mapInPandas contract)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("rms", T.DoubleType()),
+        ]
+    )
+
+
+def extract_audio_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas framing kernel: treat each binary payload as mono 8-bit
+    PCM (the deterministic fake — a real pipeline swaps the frombuffer
+    line for torchaudio/soundfile decode and nothing else changes), cut
+    into AUDIO_FRAME-sample non-overlapping frames (full frames only),
+    and emit per-frame RMS energy after removing the AUDIO_DC offset.
+    RMS = sqrt(sum((v - DC)^2) / FRAME) — an integer sum followed by two
+    correctly-rounded IEEE ops, so the value is bit-identical to the
+    oracle's byte arithmetic."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "lang": [], "frame_idx": [], "rms": []}
+        for doc_id, lang, payload in zip(pdf["doc_id"], pdf["lang"], pdf["payload"]):
+            if _USE_REAL_DECODE:
+                real_decode(bytes(payload))  # pragma: no cover — loud boundary
+            samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            n_frames = len(samples) // AUDIO_FRAME
+            for f in range(n_frames):
+                frame = samples[f * AUDIO_FRAME : (f + 1) * AUDIO_FRAME] - AUDIO_DC
+                rms = float(np.sqrt(int((frame * frame).sum()) / AUDIO_FRAME))
+                out["doc_id"].append(int(doc_id))
+                out["lang"].append(lang)
+                out["frame_idx"].append(f)
+                out["rms"].append(rms)
+        yield pd.DataFrame(out)

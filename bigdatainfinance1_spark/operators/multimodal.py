@@ -391,3 +391,80 @@ def media_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_bytes") * 1.0 / SHARD_TARGET_BYTES, 4).alias("fill_ratio"),
         )
     )
+
+
+VAD_RMS_THRESHOLD = 24.0  # frames with RMS >= this count as "speech"
+
+
+@query(
+    "q_audio_vad_windows",
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, lang,
+             ((i - 1) // 40) AS frame_idx,
+             ascii(substr(text, i, 1)) - 96 AS v,
+             strlen(text) AS n_bytes
+      FROM (
+        SELECT doc_id, lang, text, unnest(range(1, strlen(text) + 1)) AS i
+        FROM documents
+      )
+    ),
+    frames AS (
+      SELECT doc_id, lang, frame_idx,
+             sqrt(sum(v * v) * 1.0 / 40) AS rms
+      FROM bytes
+      WHERE frame_idx < (n_bytes // 40)
+      GROUP BY doc_id, lang, frame_idx
+    )
+    SELECT lang,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN rms >= {VAD_RMS_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+             AS speech_frames,
+           round(sum(CASE WHEN rms >= {VAD_RMS_THRESHOLD} THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS speech_ratio,
+           round(avg(rms), 6) AS avg_rms
+    FROM frames GROUP BY lang
+    """,
+    tags=("multimodal", "llm", "pandas-udf", "audio"),
+)
+def audio_vad_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 (audio path): voice-activity-detection-style windowed energy over
+    binary payloads — the framing/energy pipeline every audio curation
+    stack runs before ASR (silence trimming, speech-ratio quality gates).
+    The Spark side is the REAL production shape: Arrow-batched mapInPandas
+    (functions/media.py:extract_audio_frames) turning each blob into
+    40-sample frames with per-frame RMS after DC removal, then a JVM-side
+    aggregate to per-language file/frame counts, speech ratio at the
+    {VAD_RMS_THRESHOLD} threshold, and mean energy. The decode is the
+    deterministic fake-PCM stand-in (payload = utf-8 bytes; a real
+    pipeline swaps one numpy frombuffer line for torchaudio/soundfile).
+
+    Oracle: the fake decode is pure byte arithmetic, so DuckDB reproduces
+    every frame numerically (integer square sums, one division, one
+    sqrt — all correctly rounded IEEE, bit-identical) and the query is
+    value-hash-checked instead of rows-only. Scale: the Python stage is
+    Arrow-batched and embarrassingly parallel per file; frames never
+    shuffle as raw bytes (RMS is computed before the exchange), and the
+    aggregate is map-side-combinable."""
+    from bigdatainfinance1_spark.functions.media import (
+        audio_frames_schema,
+        extract_audio_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", "lang", F.encode("text", "utf-8").alias("payload"))
+    frames = media.mapInPandas(extract_audio_frames, schema=audio_frames_schema())
+    return frames.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum(F.when(F.col("rms") >= VAD_RMS_THRESHOLD, 1).otherwise(0))
+        .cast("long")
+        .alias("speech_frames"),
+        F.round(
+            F.sum(F.when(F.col("rms") >= VAD_RMS_THRESHOLD, 1).otherwise(0)) * 1.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("speech_ratio"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+    )

@@ -171,6 +171,8 @@ QUERIES = [
     # round-4 inference wave
     "q_nelson_aalen",
     "q_benjamini_hochberg",
+    # round-4 multimodal audio wave
+    "q_audio_vad_windows",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
