@@ -1030,3 +1030,78 @@ def bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s, rnd(p[s], 6), int(raw_wins[s]), rk + 1) for rk, s in enumerate(ranked)
     ]
     return spark.createDataFrame(rows, "source string, bt_rating double, n_wins long, rnk long")
+
+
+# ---------------------------------------------------------------------------
+# q_lift_gains — cumulative gains / lift at score-bucket cutoffs
+# ---------------------------------------------------------------------------
+
+LIFT_BUCKET = 25000.0
+LIFT_MAX_BUCKET = 20
+
+
+@query(
+    "q_lift_gains",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / {LIFT_BUCKET}), {LIFT_MAX_BUCKET}) AS BIGINT) AS bkt,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS pos,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(pos) AS p, sum(n) AS nt FROM b),
+    cum AS (
+      SELECT a.bkt,
+             sum(c.pos) AS cum_pos,
+             sum(c.n) AS cum_n
+      FROM b a JOIN b c ON c.bkt >= a.bkt
+      GROUP BY a.bkt
+    )
+    SELECT CAST(cum.bkt * {LIFT_BUCKET} AS DOUBLE) AS score_cutoff,
+           CAST(cum.cum_n AS BIGINT) AS n_targeted,
+           CAST(cum.cum_pos AS BIGINT) AS pos_captured,
+           round(cum.cum_n * 1.0 / tot.nt, 6) AS frac_targeted,
+           round(cum.cum_pos * 1.0 / tot.p, 6) AS gains,
+           round((cum.cum_pos * 1.0 / tot.p) / (cum.cum_n * 1.0 / tot.nt), 6) AS lift
+    FROM cum CROSS JOIN tot
+    """,
+    tags=("ml", "eval"),
+)
+def lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift at descending score cutoffs (target
+    everyone with order value >= cutoff): fraction of the population
+    targeted, fraction of positives captured (the gains curve), and lift
+    = gains / frac_targeted — the campaign-targeting companion of
+    q_roc_curve (same bucketed machinery, marketing-facing coordinates:
+    "the top 20% by score captures X% of responders at Y x random").
+
+    Scale: the q_roc_curve posture — ONE map-side-combinable groupBy to
+    O(buckets) integer counts, then suffix sums via a tiny bucket-pair
+    join; ratios of exact integers rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = orders.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / LIFT_BUCKET), F.lit(LIFT_MAX_BUCKET))
+        .cast("long")
+        .alias("bkt")
+    ).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    tot = b.agg(F.sum("pos").alias("p"), F.sum("n").alias("nt"))
+    a = b.select(F.col("bkt").alias("cut"))
+    cum = (
+        a.join(F.broadcast(b), F.col("bkt") >= F.col("cut"))
+        .groupBy("cut")
+        .agg(F.sum("pos").alias("cum_pos"), F.sum("n").alias("cum_n"))
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        (F.col("cut") * LIFT_BUCKET).cast("double").alias("score_cutoff"),
+        F.col("cum_n").cast("long").alias("n_targeted"),
+        F.col("cum_pos").cast("long").alias("pos_captured"),
+        F.round(F.col("cum_n") * 1.0 / F.col("nt"), 6).alias("frac_targeted"),
+        F.round(F.col("cum_pos") * 1.0 / F.col("p"), 6).alias("gains"),
+        F.round(
+            (F.col("cum_pos") * 1.0 / F.col("p")) / (F.col("cum_n") * 1.0 / F.col("nt")), 6
+        ).alias("lift"),
+    )

@@ -173,6 +173,7 @@ QUERIES = [
     "q_benjamini_hochberg",
     # round-4 multimodal audio wave
     "q_audio_vad_windows",
+    "q_lift_gains",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
