@@ -69,6 +69,11 @@ HEADLINE = [
     "q_prefix_filter_join",
     "q_ann_nprobe_sweep",
     "q_amortization_schedule",
+    # Round-4 continuation heavies: the entity-resolution composite
+    # (blocked levenshtein + iterative CC) and the winnowing fingerprint
+    # pass (gram explode + per-doc window min + df-capped partner join)
+    "q_entity_resolution",
+    "q_winnowing_fingerprint",
 ]
 
 
@@ -121,7 +126,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries_registered": len(specs),
                 "r1_headline_seconds": r1_total,
-                "note": "headline set expanded in round 3 (13 -> 24) and round 4 (-> 27 queries); "
+                "note": "headline set expanded in round 3 (13 -> 24) and round 4 (-> 29 queries); "
                 "compare r1_headline_seconds against the 19.3 s round-1 baseline, "
                 "per-query rows in BASELINE.md for the rest; per-query values are "
                 "medians over runs_per_query interleaved passes",
