@@ -1202,3 +1202,126 @@ def holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "mi long, revenue_cents long, level double, trend double, next_month_forecast double",
     )
+
+
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.3, 0.1, 0.2  # level / trend / seasonal gains
+HW_M = 12  # seasonal period (months)
+
+
+def _hw_oracle() -> str:
+    """Holt-Winters recursive CTE with the 12-slot rotating seasonal
+    buffer carried as columns s1..s12 (s1 is always the t-12 seasonal the
+    next step consumes). Generated once; every state transition is
+    round(..., 12) so the driver-side mirror visits identical doubles."""
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_M
+    lvl0 = f"round(sum(CASE WHEN i BETWEEN 1 AND {m} THEN cents END) / {m * 100}.0, 12)"
+    trd0 = (
+        f"round((sum(CASE WHEN i BETWEEN {m + 1} AND {2 * m} THEN cents END)"
+        f" - sum(CASE WHEN i BETWEEN 1 AND {m} THEN cents END)) / {m * m * 100}.0, 12)"
+    )
+    s_init = ", ".join(
+        f"round(max(CASE WHEN i = {j} THEN cents END) / 100.0 - {lvl0}, 12) AS s{j}"
+        for j in range(1, m + 1)
+    )
+    s_cols = ", ".join(f"s{j}" for j in range(1, m + 1))
+    lvl_new = (
+        f"round({a} * (x.cents / 100.0 - hw.s1)"
+        f" + {1 - a} * (hw.lvl + hw.trd), 12)"
+    )
+    trd_new = f"round({b} * ({lvl_new} - hw.lvl) + {1 - b} * hw.trd, 12)"
+    s_new = f"round({g} * (x.cents / 100.0 - {lvl_new}) + {1 - g} * hw.s1, 12)"
+    rotate = ", ".join(f"hw.s{j + 1}" for j in range(1, m))  # s1..s11 <- s2..s12
+    return f"""
+    WITH RECURSIVE m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY mi
+    ),
+    idx AS (SELECT mi, cents, row_number() OVER (ORDER BY mi) AS i FROM m),
+    init AS (
+      SELECT {lvl0} AS lvl0, {trd0} AS trd0, {s_init} FROM idx
+    ),
+    hw(i, mi, cents, fitted, lvl, trd, {s_cols}) AS (
+      SELECT CAST({m} AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(NULL AS DOUBLE), lvl0, trd0, {s_cols}
+      FROM init
+      UNION ALL
+      SELECT x.i, x.mi, x.cents,
+             round(hw.lvl + hw.trd + hw.s1, 12),
+             {lvl_new},
+             {trd_new},
+             {rotate},
+             {s_new}
+      FROM idx x JOIN hw ON x.i = hw.i + 1
+    )
+    SELECT mi, CAST(cents AS BIGINT) AS revenue_cents,
+           round(fitted, 4) AS one_step_forecast,
+           round(lvl, 4) AS level,
+           round(trd, 4) AS trend,
+           round(s{m}, 4) AS seasonal
+    FROM hw WHERE i > {m}
+    """
+
+
+@query("q_holt_winters", oracle=_hw_oracle(), tags=("finance", "timeseries", "iterative"))
+def holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) over monthly
+    revenue — the seasonal upgrade of q_holt_smoothing: level <-
+    alpha(y - s_(t-12)) + (1-alpha)(level+trend), trend <- beta dLevel +
+    (1-beta) trend, seasonal <- gamma(y - level) + (1-gamma) s_(t-12),
+    classical initialization (level = first-year mean, trend =
+    year-over-year mean step, seasonals = first-year deviations), and the
+    one-step-ahead fitted value level + trend + s_(t-12) per month.
+
+    Determinism: the bounded-model precedent (q_holt_smoothing) — the
+    corpus pass reduces to O(calendar) exact-integer-cents monthly rows;
+    the driver walks the recursion with rnd_half_away(x, 12) while the
+    oracle runs the IDENTICAL transitions as a recursive CTE whose
+    12-slot seasonal buffer rotates through columns s1..s12, so both
+    engines visit bit-identical (level, trend, seasonal) state. At 100 TB
+    the monthly aggregation is the only scan."""
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .orderBy("mi")
+        .collect()  # O(calendar months) — bounded model state, never O(rows)
+    )
+    m = HW_M
+    if len(monthly) < 2 * m + 1:
+        raise RuntimeError(f"holt_winters needs >= {2 * m + 1} months, got {len(monthly)}")
+    y = [r["cents"] / 100.0 for r in monthly]
+    sum1 = sum(r["cents"] for r in monthly[:m])
+    sum2 = sum(r["cents"] for r in monthly[m : 2 * m])
+    lvl = rnd(sum1 / (m * 100.0), 12)
+    trd = rnd((sum2 - sum1) / (m * m * 100.0), 12)
+    buf = [rnd(monthly[j]["cents"] / 100.0 - lvl, 12) for j in range(m)]
+    rows = []
+    for t in range(m, len(monthly)):
+        s_old = buf[0]
+        fitted = rnd(lvl + trd + s_old, 12)
+        yt = monthly[t]["cents"] / 100.0
+        lvl_new = rnd(HW_ALPHA * (yt - s_old) + (1 - HW_ALPHA) * (lvl + trd), 12)
+        trd = rnd(HW_BETA * (lvl_new - lvl) + (1 - HW_BETA) * trd, 12)
+        s_new = rnd(HW_GAMMA * (yt - lvl_new) + (1 - HW_GAMMA) * s_old, 12)
+        lvl = lvl_new
+        buf = buf[1:] + [s_new]
+        rows.append(
+            (
+                monthly[t]["mi"],
+                monthly[t]["cents"],
+                rnd(fitted, 4),
+                rnd(lvl, 4),
+                rnd(trd, 4),
+                rnd(s_new, 4),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "mi long, revenue_cents long, one_step_forecast double, "
+        "level double, trend double, seasonal double",
+    )

@@ -174,6 +174,7 @@ QUERIES = [
     # round-4 multimodal audio wave
     "q_audio_vad_windows",
     "q_lift_gains",
+    "q_holt_winters",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
