@@ -889,3 +889,98 @@ def removal_effect_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_convert_full double, p_convert_removed double,"
         " removal_effect double, attribution_share double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ipw_ate — inverse-propensity-weighted treatment effect
+# ---------------------------------------------------------------------------
+
+IPW_TREAT_SEG = "BUILDING"  # the "treated" market segment
+
+
+@query(
+    "q_ipw_ate",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_nationkey AS nationkey,
+             CASE WHEN c.c_mktsegment = '{IPW_TREAT_SEG}' THEN 1 ELSE 0 END AS tr,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    prop AS (
+      SELECT nationkey,
+             sum(tr) * 1.0 / count(*) AS e,
+             count(*) AS n_cell
+      FROM base GROUP BY nationkey
+    ),
+    w AS (
+      SELECT b.tr, b.y,
+             CASE WHEN b.tr = 1 THEN 1.0 / p.e ELSE 1.0 / (1.0 - p.e) END AS wt
+      FROM base b JOIN prop p USING (nationkey)
+    ),
+    arms AS (
+      SELECT tr, count(*) AS n, sum(wt) AS sw, sum(wt * y) AS swy, sum(y) AS sy
+      FROM w GROUP BY tr
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_treated,
+           CAST(c.n AS BIGINT) AS n_control,
+           round(t.swy / t.sw - c.swy / c.sw, 4) AS ate_ipw,
+           round(t.sy / t.n - c.sy / c.n, 4) AS naive_diff,
+           round(t.sw / (t.n + c.n), 6) AS treated_ess_ratio
+    FROM (SELECT * FROM arms WHERE tr = 1) t
+    CROSS JOIN (SELECT * FROM arms WHERE tr = 0) c
+    """,
+    tags=("experimentation", "causal"),
+)
+def ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect of "customer
+    is in the {seg} segment" on order value, with nation as the observed
+    confounder: propensity e(nation) = treated share per nation (exact
+    counts), stabilized Hajek weights 1/e and 1/(1-e), and the weighted
+    arm-mean contrast next to the naive difference — the
+    observational-causal counterpart of the randomized-experiment queries
+    (q_cuped_adjustment, q_diff_in_diff). Segments are assigned
+    independently of nation in this corpus, so IPW ~ naive here; the
+    machinery (confounder-cell propensities, weight normalization,
+    effective-sample-size diagnostic) is what is being verified.
+
+    Scale: two map-side-combinable aggregates (propensity cells, weighted
+    arms) around one equi-join on the confounder key; the propensity
+    relation is O(|confounder|) and broadcasts. Weighted sums follow the
+    house moment-sum posture, rounded at 4/6."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.when(F.col("c_mktsegment") == IPW_TREAT_SEG, 1).otherwise(0).alias("tr"),
+        F.col("o_totalprice").alias("y"),
+    )
+    prop = base.groupBy("nationkey").agg(
+        (F.sum("tr") * 1.0 / F.count(F.lit(1))).alias("e")
+    )
+    w = base.join(F.broadcast(prop), "nationkey").select(
+        "tr",
+        "y",
+        F.when(F.col("tr") == 1, 1.0 / F.col("e")).otherwise(
+            1.0 / (1.0 - F.col("e"))
+        ).alias("wt"),
+    )
+    arms = w.groupBy("tr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wt").alias("sw"),
+        F.sum(F.col("wt") * F.col("y")).alias("swy"),
+        F.sum("y").alias("sy"),
+    )
+    t = arms.filter(F.col("tr") == 1).select(
+        F.col("n").alias("tn"), F.col("sw").alias("tsw"), F.col("swy").alias("tswy"), F.col("sy").alias("tsy")
+    )
+    c = arms.filter(F.col("tr") == 0).select(
+        F.col("n").alias("cn"), F.col("sw").alias("csw"), F.col("swy").alias("cswy"), F.col("sy").alias("csy")
+    )
+    return t.crossJoin(F.broadcast(c)).select(
+        F.col("tn").cast("long").alias("n_treated"),
+        F.col("cn").cast("long").alias("n_control"),
+        F.round(F.col("tswy") / F.col("tsw") - F.col("cswy") / F.col("csw"), 4).alias("ate_ipw"),
+        F.round(F.col("tsy") / F.col("tn") - F.col("csy") / F.col("cn"), 4).alias("naive_diff"),
+        F.round(F.col("tsw") / (F.col("tn") + F.col("cn")), 6).alias("treated_ess_ratio"),
+    )

@@ -1325,3 +1325,80 @@ def holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mi long, revenue_cents long, one_step_forecast double, "
         "level double, trend double, seasonal double",
     )
+
+
+PH_DELTA = 0.05  # Page-Hinkley drift tolerance (M$)
+PH_LAMBDA = 2.0  # alarm threshold (M$)
+
+
+@query(
+    "q_page_hinkley",
+    oracle=f"""
+    WITH RECURSIVE m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS x
+      FROM orders GROUP BY mi
+    ),
+    idx AS (SELECT mi, x, row_number() OVER (ORDER BY mi) AS i FROM m),
+    ph(i, mi, x, mean, u, mn) AS (
+      SELECT i, mi, x, x, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT n.i, n.mi, n.x,
+             round(ph.mean + (n.x - ph.mean) / n.i, 12),
+             round(ph.u + n.x - round(ph.mean + (n.x - ph.mean) / n.i, 12)
+                   - {PH_DELTA}, 12),
+             least(ph.mn,
+                   round(ph.u + n.x - round(ph.mean + (n.x - ph.mean) / n.i, 12)
+                         - {PH_DELTA}, 12))
+      FROM idx n JOIN ph ON n.i = ph.i + 1
+    )
+    SELECT mi, x AS revenue_musd,
+           round(mean, 6) AS running_mean,
+           round(u - mn, 6) AS ph_stat,
+           u - mn > {PH_LAMBDA} AS drift_alarm
+    FROM ph
+    """,
+    tags=("finance", "timeseries", "iterative", "monitoring"),
+)
+def page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift detector on monthly revenue
+    (millions): cumulative deviation from the running mean U_t =
+    U_(t-1) + x_t - mean_t - delta, PH_t = U_t - min_(s<=t) U_s, alarm
+    when PH > lambda — the one-pass upward-drift monitor (the sequential
+    sibling of q_cusum_changepoint's batch scan, and the detector stream
+    monitors deploy because its state is three numbers). Emits the full
+    trajectory so the alarm onset is auditable.
+
+    Determinism: the bounded-model precedent — O(calendar) monthly rows,
+    driver recursion with rnd_half_away(x, 12), IDENTICAL transitions in
+    the oracle's recursive CTE (the running mean update is written once
+    and repeated textually, the q_holt_smoothing trick). The alarm
+    compares the 12-dp state against an exact constant."""
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+        )
+        .agg((F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6)).alias("x"))
+        .orderBy("mi")
+        .collect()  # O(calendar months) — bounded model state, never O(rows)
+    )
+    rows = []
+    mean = u = mn = None
+    for i, r in enumerate(monthly, start=1):
+        x = r["x"]
+        if i == 1:
+            mean, u, mn = x, 0.0, 0.0
+        else:
+            mean = rnd(mean + (x - mean) / i, 12)
+            u = rnd(u + x - mean - PH_DELTA, 12)
+            mn = min(mn, u)
+        rows.append((r["mi"], x, rnd(mean, 6), rnd(u - mn, 6), (u - mn) > PH_LAMBDA))
+    return spark.createDataFrame(
+        rows,
+        "mi long, revenue_musd double, running_mean double, ph_stat double, "
+        "drift_alarm boolean",
+    )

@@ -1,0 +1,116 @@
+"""Language-model smoothing operators (round 4 continuation): interpolated
+Kneser-Ney — the standard n-gram smoothing that actually works at corpus
+scale — completing the LM ladder next to the MLE bigram
+(q_bigram_lm_perplexity) and Stupid Backoff (q_stupid_backoff_score).
+
+Scale notes: one token explode (the unavoidable corpus pass) feeding four
+vocabulary-sized model relations (bigram counts, left-context totals,
+right-continuation type counts, the global bigram-type count); scoring is
+equi-joins of the bigram relation against those models. Nothing holds
+per-document state; everything after the explode is vocabulary-bounded.
+
+Determinism: all model quantities are exact integer counts; probabilities
+are one closed form per bigram; the per-language perplexity aggregates
+sum c x ln p over vocabulary-sized groups (the house moment-sum posture)
+and round at 4/6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+KN_D = 0.75  # absolute discount
+
+
+@query(
+    "q_kneser_ney_perplexity",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT lang, t.t[u.i] AS w1, t.t[u.i + 1] AS w2, count(*) AS c
+      FROM t, unnest(range(1, len(t.t))) AS u(i)
+      GROUP BY lang, t.t[u.i], t.t[u.i + 1]
+    ),
+    ctx AS (
+      SELECT lang, w1, sum(c) AS c1, count(*) AS n1p_fwd
+      FROM bg GROUP BY lang, w1
+    ),
+    cont AS (
+      SELECT lang, w2, count(*) AS n1p_bwd FROM bg GROUP BY lang, w2
+    ),
+    btypes AS (SELECT lang, count(*) AS b FROM bg GROUP BY lang),
+    scored AS (
+      SELECT bg.lang, bg.c,
+             greatest(bg.c - {KN_D}, 0.0) / ctx.c1
+               + {KN_D} * ctx.n1p_fwd / ctx.c1 * cont.n1p_bwd / btypes.b AS p
+      FROM bg
+      JOIN ctx ON ctx.lang = bg.lang AND ctx.w1 = bg.w1
+      JOIN cont ON cont.lang = bg.lang AND cont.w2 = bg.w2
+      JOIN btypes ON btypes.lang = bg.lang
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_bigram_tokens,
+           round(sum(c * ln(p)) / sum(c), 6) AS avg_logp,
+           round(exp(-sum(c * ln(p)) / sum(c)), 4) AS perplexity
+    FROM scored GROUP BY lang
+    """,
+    tags=("text", "llm", "lm"),
+)
+def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM per language, scored on its own
+    training corpus: p(w2|w1) = max(c(w1,w2) - D, 0)/c(w1) +
+    D x N1+(w1 .)/c(w1) x P_cont(w2), with the continuation probability
+    P_cont(w2) = N1+(. w2)/|bigram types| that makes KN the smoothing of
+    record for n-gram LMs (a word seen often in ONE context — "Francisco"
+    — gets low continuation mass; the property MLE and additive smoothing
+    miss, and the reason CCNet-style quality filters use KN models).
+    Reports per-language mean log-probability and perplexity.
+
+    Scale: one bigram explode + four vocabulary-sized model aggregates;
+    scoring joins key on (lang, w1) / (lang, w2) — the model relations
+    broadcast at production vocabulary sizes. All counts exact integers;
+    the interpolation is one closed form per bigram type; perplexity
+    rounds at 4 (mean log-prob ulp noise ~1e-12 against it).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
+    bg = (
+        toks.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ctx = bg.groupBy("lang", "w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bg.groupBy("lang", "w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    btypes = bg.groupBy("lang").agg(F.count(F.lit(1)).alias("b"))
+    p = (
+        F.greatest(F.col("c") - KN_D, F.lit(0.0)) / F.col("c1")
+        + KN_D * F.col("n1p_fwd") / F.col("c1") * F.col("n1p_bwd") / F.col("b")
+    )
+    scored = (
+        bg.join(ctx, ["lang", "w1"])
+        .join(cont, ["lang", "w2"])
+        .join(F.broadcast(btypes), "lang")
+        .select("lang", "c", p.alias("p"))
+    )
+    return scored.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_bigram_tokens"),
+        F.round(F.sum(F.col("c") * F.log("p")) / F.sum("c"), 6).alias("avg_logp"),
+        F.round(F.exp(-F.sum(F.col("c") * F.log("p")) / F.sum("c")), 4).alias("perplexity"),
+    )

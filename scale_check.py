@@ -175,6 +175,9 @@ QUERIES = [
     "q_audio_vad_windows",
     "q_lift_gains",
     "q_holt_winters",
+    "q_kneser_ney_perplexity",
+    "q_page_hinkley",
+    "q_ipw_ate",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
