@@ -273,3 +273,178 @@ def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("k") * BH_Q / F.col("m"), 9).alias("bh_threshold"),
         (F.col("k") <= F.col("kmax")).alias("rejected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_aipw_ate — doubly-robust (augmented IPW) treatment effect
+# ---------------------------------------------------------------------------
+
+AIPW_TREAT_SEG = "BUILDING"  # must match q_ipw_ate's treatment definition
+
+
+@query(
+    "q_aipw_ate",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_nationkey AS nationkey,
+             CASE WHEN c.c_mktsegment = '{AIPW_TREAT_SEG}' THEN 1 ELSE 0 END AS tr,
+             o.o_totalprice AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cell AS (
+      SELECT nationkey, tr, count(*) AS n, sum(y) AS sy
+      FROM base GROUP BY nationkey, tr
+    ),
+    nat AS (
+      SELECT nationkey,
+             sum(CASE WHEN tr = 1 THEN n ELSE 0 END) AS n1,
+             sum(CASE WHEN tr = 0 THEN n ELSE 0 END) AS n0,
+             sum(CASE WHEN tr = 1 THEN sy ELSE 0.0 END) AS sy1,
+             sum(CASE WHEN tr = 0 THEN sy ELSE 0.0 END) AS sy0
+      FROM cell GROUP BY nationkey
+    ),
+    -- with cell-mean outcome models and cell propensities, the AIPW
+    -- correction terms vanish cell-by-cell ONLY in expectation; the exact
+    -- per-nation contribution is n_k * (mu1_k - mu0_k) because the
+    -- residual sums are identically zero within each (nation, arm) cell.
+    terms AS (
+      SELECT nationkey, n1 + n0 AS nk,
+             (sy1 / n1 - sy0 / n0) AS contrast
+      FROM nat WHERE n1 > 0 AND n0 > 0
+    ),
+    tot AS (SELECT sum(nk) AS n FROM terms)
+    SELECT CAST(tot.n AS BIGINT) AS n_matched,
+           round(sum(terms.nk * terms.contrast) / tot.n, 4) AS ate_aipw,
+           CAST(count(*) AS BIGINT) AS n_nations_used
+    FROM terms CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+    tags=("experimentation", "causal", "stats"),
+)
+def aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) average treatment effect for the same design
+    as q_ipw_ate (treatment = {seg} segment, confounder = nation). With
+    saturated cell-mean outcome models and cell propensities, the AIPW
+    influence-function terms collapse EXACTLY: within each (nation, arm)
+    cell the weighted residual sum is identically zero, so the estimator
+    reduces to the n_k-weighted mean of per-nation treated-vs-control
+    contrasts (the stratified/regression-adjustment estimator) — the
+    classic result that AIPW with a saturated model equals stratification.
+    The query computes that exact collapsed form; comparing its value to
+    q_ipw_ate's Hajek estimate is the standard double-robustness audit.
+
+    Scale: ONE map-side-combinable (nation, arm) aggregate; everything
+    downstream is closed-form arithmetic on O(nations) rows. Determinism:
+    per-nation contrasts are ratios of exact sums; the final weighted
+    mean spans 25 summands, rounded at 4."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    base = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.when(F.col("c_mktsegment") == AIPW_TREAT_SEG, 1).otherwise(0).alias("tr"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cell = base.groupBy("nationkey", "tr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    nat = cell.groupBy("nationkey").agg(
+        F.sum(F.when(F.col("tr") == 1, F.col("n")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("tr") == 0, F.col("n")).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("tr") == 1, F.col("sy")).otherwise(0.0)).alias("sy1"),
+        F.sum(F.when(F.col("tr") == 0, F.col("sy")).otherwise(0.0)).alias("sy0"),
+    )
+    terms = nat.filter((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        (F.col("n1") + F.col("n0")).alias("nk"),
+        (F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0")).alias("contrast"),
+    )
+    tot = terms.agg(F.sum("nk").alias("n"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.round(F.sum(F.col("nk") * F.col("contrast")) / F.first("n"), 4).alias(
+                "ate_aipw"
+            ),
+            F.count(F.lit(1)).alias("n_nations_used"),
+        )
+        .select(
+            F.col("n").cast("long").alias("n_matched"),
+            "ate_aipw",
+            F.col("n_nations_used").cast("long").alias("n_nations_used"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dkw_band — ECDF with Dvoretzky-Kiefer-Wolfowitz confidence band
+# ---------------------------------------------------------------------------
+
+DKW_STEP = 25000.0
+DKW_MAX_T = 20
+DKW_LN_2_OVER_ALPHA = 3.6888794541139363  # ln(2/0.05)
+
+
+@query(
+    "q_dkw_band",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / {DKW_STEP}), {DKW_MAX_T}) AS BIGINT) AS bkt,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nt FROM b),
+    grid AS (SELECT t FROM range(0, {DKW_MAX_T} + 1) AS r(t)),
+    ecdf AS (
+      SELECT g.t, coalesce(sum(CASE WHEN b.bkt <= g.t THEN b.n END), 0) AS cum
+      FROM grid g LEFT JOIN b ON true
+      GROUP BY g.t
+    )
+    SELECT CAST((ecdf.t + 1) * {DKW_STEP} AS DOUBLE) AS value_cutoff,
+           CAST(ecdf.cum AS BIGINT) AS n_below,
+           round(ecdf.cum * 1.0 / tot.nt, 6) AS ecdf,
+           round(sqrt({DKW_LN_2_OVER_ALPHA} / (2.0 * tot.nt)), 6) AS epsilon,
+           round(greatest(ecdf.cum * 1.0 / tot.nt
+                          - sqrt({DKW_LN_2_OVER_ALPHA} / (2.0 * tot.nt)), 0.0), 6)
+             AS band_lo,
+           round(least(ecdf.cum * 1.0 / tot.nt
+                       + sqrt({DKW_LN_2_OVER_ALPHA} / (2.0 * tot.nt)), 1.0), 6)
+             AS band_hi
+    FROM ecdf CROSS JOIN tot
+    """,
+    tags=("stats", "nonparametric"),
+)
+def dkw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF of order value at a fixed 25k grid with the
+    Dvoretzky-Kiefer-Wolfowitz 95% simultaneous confidence band:
+    P(sup_t |F_hat(t) - F(t)| > eps) <= 2 exp(-2 n eps^2), so eps =
+    sqrt(ln(2/alpha) / 2n) bounds the WHOLE curve at once — the
+    uncertainty statement a distribution plot should carry, and the
+    nonparametric companion of the pointwise tests (its sup-norm form is
+    exactly what q_ks_test thresholds).
+
+    Scale: the q_roc_curve posture — one map-side-combinable bucket
+    aggregate, prefix sums on the bounded grid; ECDF values are ratios of
+    exact integers and eps is one closed form of n, rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / DKW_STEP), F.lit(DKW_MAX_T))
+        .cast("long")
+        .alias("bkt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = b.agg(F.sum("n").alias("nt"))
+    grid = spark.range(0, DKW_MAX_T + 1).select(F.col("id").alias("t"))
+    ecdf = (
+        grid.join(F.broadcast(b), F.lit(True), "left")
+        .groupBy("t")
+        .agg(F.coalesce(F.sum(F.when(F.col("bkt") <= F.col("t"), F.col("n"))), F.lit(0)).alias("cum"))
+    )
+    eps = F.sqrt(F.lit(DKW_LN_2_OVER_ALPHA) / (2.0 * F.col("nt")))
+    f = F.col("cum") * 1.0 / F.col("nt")
+    return ecdf.crossJoin(F.broadcast(tot)).select(
+        ((F.col("t") + 1) * DKW_STEP).cast("double").alias("value_cutoff"),
+        F.col("cum").cast("long").alias("n_below"),
+        F.round(f, 6).alias("ecdf"),
+        F.round(eps, 6).alias("epsilon"),
+        F.round(F.greatest(f - eps, F.lit(0.0)), 6).alias("band_lo"),
+        F.round(F.least(f + eps, F.lit(1.0)), 6).alias("band_hi"),
+    )

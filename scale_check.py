@@ -178,6 +178,8 @@ QUERIES = [
     "q_kneser_ney_perplexity",
     "q_page_hinkley",
     "q_ipw_ate",
+    "q_aipw_ate",
+    "q_dkw_band",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
