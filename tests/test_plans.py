@@ -632,3 +632,30 @@ def test_round4_late_wave_plans(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round4_final_wave_plans(spark):
+    """Inference/causal/LM/monitoring wave: no cartesians; Python eval
+    appears ONLY in the declared Arrow path (q_audio_vad_windows'
+    mapInPandas framing kernel); the bucket-machinery queries show
+    map-side partial aggregation; KN scoring joins stay equi-joins."""
+    for name in (
+        "q_nelson_aalen",
+        "q_benjamini_hochberg",
+        "q_lift_gains",
+        "q_kneser_ney_perplexity",
+        "q_ipw_ate",
+        "q_aipw_ate",
+        "q_dkw_band",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    for name in ("q_lift_gains", "q_dkw_band", "q_ipw_ate", "q_aipw_ate"):
+        plan = formatted(SPECS[name].fn(spark, SF_DIR))
+        assert "partial_" in plan, name
+    # the audio framing kernel IS the declared Arrow stage — assert it is
+    # mapInPandas (one Arrow eval), not a row-at-a-time Python UDF
+    plan = plan_of(SPECS["q_audio_vad_windows"].fn(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
