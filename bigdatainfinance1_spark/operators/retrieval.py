@@ -361,3 +361,155 @@ def mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_pos.cast("long").alias("first_rel_pos"),
         F.round(F.coalesce(F.lit(1.0) / first_pos, F.lit(0.0)), 6).alias("rr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mmr_rerank — Maximal Marginal Relevance diversification
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 16  # candidate pool (top-N by query cosine)
+MMR_K = 5  # items selected
+MMR_LAMBDA = 0.7  # relevance vs diversity trade-off
+
+_MMR_COS = (
+    "round(list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({a}.embedding[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65),"
+    " i -> CAST({b}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE))))), 6)"
+)
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR selection as MATERIALIZED chained CTEs (the
+    q_bradley_terry pattern): every similarity is rounded to 6 dp BEFORE
+    any selection, so both engines run the identical greedy on an
+    identical 1e-6-grid input and the argmax chain cannot diverge."""
+    cos_qb = _MMR_COS.format(a="q", b="b")
+    cos_ab = _MMR_COS.format(a="x", b="y")
+    steps = []
+    prev: list[str] = []
+    for k in range(1, MMR_K + 1):
+        if not prev:
+            steps.append(
+                f"s1 AS MATERIALIZED (SELECT vec_id, simq, round(simq, 9) AS mmr"
+                f" FROM cand ORDER BY round(simq, 9) DESC, vec_id LIMIT 1)"
+            )
+        else:
+            exclude = " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in prev)
+            sel = " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in prev)
+            score = (
+                f"round({MMR_LAMBDA} * c.simq - {round(1 - MMR_LAMBDA, 10)} * "
+                f"(SELECT max(p.cos) FROM pairsim p WHERE p.a_id = c.vec_id"
+                f" AND p.b_id IN ({sel})), 9)"
+            )
+            steps.append(
+                f"s{k} AS MATERIALIZED (SELECT c.vec_id, c.simq, {score} AS mmr"
+                f" FROM cand c WHERE c.vec_id NOT IN ({exclude})"
+                f" ORDER BY {score} DESC, c.vec_id LIMIT 1)"
+            )
+        prev.append(f"s{k}")
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS rnk, vec_id, simq, mmr FROM s{k}" for k in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+      SELECT b.vec_id, {cos_qb} AS simq
+      FROM embeddings b CROSS JOIN q
+      WHERE b.vec_id <> 0
+      ORDER BY {cos_qb} DESC, b.vec_id
+      LIMIT {MMR_POOL}
+    ),
+    pairsim AS MATERIALIZED (
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id, {cos_ab} AS cos
+      FROM (SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)) x
+      JOIN (SELECT c.vec_id, e.embedding FROM cand c JOIN embeddings e USING (vec_id)) y
+        ON x.vec_id <> y.vec_id
+    ),
+    {', '.join(steps)}
+    SELECT CAST(rnk AS BIGINT) AS rnk,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           round(simq, 6) AS sim_to_query,
+           round(mmr, 6) AS mmr_score
+    FROM ({union})
+    """
+
+
+@query("q_mmr_rerank", oracle=_mmr_oracle(), tags=("retrieval", "similarity", "llm"))
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell-Goldstein): from
+    the top-{pool} cosine candidates for query vector 0, greedily select
+    {k} items maximizing lambda x sim(q, i) - (1 - lambda) x
+    max_(j in selected) sim(i, j) — the diversification step retrieval
+    stacks run after ANN so the context window isn't filled with {k}
+    near-copies of the same passage. Complements the relevance-only
+    rankers (q_cosine_topk, q_bm25_topk, q_rrf_fusion) with the
+    redundancy-aware tier.
+
+    Scale: candidate generation is the broadcast-query corpus scan
+    (q_cosine_topk shape); the greedy runs on the O(pool + pool^2)
+    candidate/pair-sim relations — bounded model state collected to the
+    driver (the q_holt_smoothing precedent), never O(corpus). Determinism:
+    every similarity is rounded to 6 dp BEFORE selection on BOTH engines
+    (identical 1e-6-grid inputs make the greedy argmax chain
+    engine-exact); MMR scores rank at 9 dp with vec_id tie-break; the
+    oracle runs the same greedy as chained MATERIALIZED CTEs."""
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+    from bigdatainfinance1_spark.functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.round(dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm")), 6).alias(
+                "simq"
+            ),
+        )
+        .orderBy(F.col("simq").desc(), F.col("vec_id").asc())
+        .limit(MMR_POOL)  # TakeOrdered — distributed global top-N
+    )
+    a = cand.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = cand.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    pair_rows = (
+        a.join(b, F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot("ea", "eb") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .collect()  # O(pool^2) = 240 rows — bounded model state, never O(corpus)
+    )
+    cand_rows = cand.select("vec_id", "simq").collect()  # O(pool)
+    sims = {(r["a_id"], r["b_id"]): r["cos"] for r in pair_rows}
+    simq = {r["vec_id"]: r["simq"] for r in cand_rows}
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list[int] = []
+    for rank in range(1, MMR_K + 1):
+        best = None
+        for vid in sorted(simq):
+            if vid in chosen:
+                continue
+            if not chosen:
+                score = rnd(simq[vid], 9)
+            else:
+                score = rnd(
+                    MMR_LAMBDA * simq[vid]
+                    - (1 - MMR_LAMBDA) * max(sims[(vid, j)] for j in chosen),
+                    9,
+                )
+            if best is None or score > best[1] or (score == best[1] and vid < best[0]):
+                best = (vid, score)
+        chosen.append(best[0])
+        selected.append((rank, best[0], rnd(simq[best[0]], 6), rnd(best[1], 6)))
+    return spark.createDataFrame(
+        selected, "rnk long, vec_id long, sim_to_query double, mmr_score double"
+    )
