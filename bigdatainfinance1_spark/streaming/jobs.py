@@ -1300,3 +1300,74 @@ def stream_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_updates"),
     )
     return run_to_table(agg, "complete")
+
+
+@query(
+    "q_stream_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS bar_start,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key,
+             round(value, 4) AS v
+      FROM events
+    )
+    SELECT bar_start,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           min_by(v, ord_key) AS open,
+           max(v) AS high,
+           min(v) AS low,
+           max_by(v, ord_key) AS close,
+           round(sum(v), 4) AS volume_value
+    FROM e GROUP BY bar_start
+    """,
+    tags=("streaming", "events", "finance"),
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1+ (finance bars): hourly OHLC candles computed as a REAL
+    Structured Streaming job — the streaming sibling of the batch
+    q_ohlc_bars and the shape a live market-data pipeline runs: per
+    tumbling event-time window, first/last tick value (open/close, keyed
+    by a zero-padded (epoch_us, event_id) string so the total order is
+    identical on both engines — DuckDB 1.0's min_by has no struct-key
+    overload), high/low, tick count, and
+    traded value. min_by/max_by are ordinary declarative aggregates, so
+    the incremental planner maintains them in the state store exactly
+    like sum/count — no arbitrary-state operator needed for OHLC.
+
+    availableNow replay makes the streaming result batch-equivalent, so
+    the DuckDB batch formulation is a FULL value-hash oracle (the
+    q_stream_tumbling precedent). Values are rounded to 4 dp BEFORE
+    aggregation so min/max compare identical doubles. Scale: state is
+    O(open windows); the 1-hour event-time window bounds it with a
+    watermark in a live deployment."""
+    ev = read_events_stream(spark, sf_dir)
+    e = ev.select(
+        F.window("ts", "1 hour").alias("w"),
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord_key"),
+        F.round("value", 4).alias("v"),
+    )
+    agg = (
+        e.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            F.min_by("v", F.col("ord_key")).alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max_by("v", F.col("ord_key")).alias("close"),
+            F.round(F.sum("v"), 4).alias("volume_value"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            "n_ticks",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume_value",
+        )
+    )
+    return run_to_table(agg, "complete")

@@ -180,6 +180,8 @@ QUERIES = [
     "q_ipw_ate",
     "q_aipw_ate",
     "q_dkw_band",
+    "q_mmr_rerank",
+    "q_stream_ohlc",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
