@@ -448,3 +448,152 @@ def dkw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.greatest(f - eps, F.lit(0.0)), 6).alias("band_lo"),
         F.round(F.least(f + eps, F.lit(1.0)), 6).alias("band_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_wilson_interval
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.959964  # 95%
+
+
+@query(
+    "q_wilson_interval",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c.c_mktsegment AS seg,
+             count(*) AS n,
+             sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT seg,
+           CAST(n AS BIGINT) AS n,
+           CAST(x AS BIGINT) AS x,
+           round(x * 1.0 / n, 6) AS p_hat,
+           round((x * 1.0 / n + {WILSON_Z} * {WILSON_Z} / (2.0 * n)
+                  - {WILSON_Z} * sqrt((x * 1.0 / n) * (1.0 - x * 1.0 / n) / n
+                                      + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1.0 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_lo,
+           round((x * 1.0 / n + {WILSON_Z} * {WILSON_Z} / (2.0 * n)
+                  + {WILSON_Z} * sqrt((x * 1.0 / n) * (1.0 - x * 1.0 / n) / n
+                                      + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1.0 + {WILSON_Z} * {WILSON_Z} / n), 6) AS wilson_hi,
+           round(x * 1.0 / n - {WILSON_Z} * sqrt((x * 1.0 / n) * (1.0 - x * 1.0 / n) / n), 6)
+             AS wald_lo
+    FROM seg
+    """,
+    tags=("stats", "inference"),
+)
+def wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the urgent-order rate per
+    market segment — the proportion CI that stays inside [0, 1] and keeps
+    coverage at small n / extreme p where the Wald interval (reported
+    alongside for the contrast) collapses; the interval every
+    conversion-rate dashboard should use. One closed form of the exact
+    integer (n, x) per segment, rounded at 6 — scale is one
+    map-side-combinable aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("x") * 1.0 / n
+    z2 = WILSON_Z * WILSON_Z
+    half = F.lit(WILSON_Z) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    denom = 1.0 + z2 / n
+    return seg.select(
+        "seg",
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((p + z2 / (2.0 * n) - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + z2 / (2.0 * n) + half) / denom, 6).alias("wilson_hi"),
+        F.round(p - F.lit(WILSON_Z) * F.sqrt(p * (1.0 - p) / n), 6).alias("wald_lo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_capture_recapture
+# ---------------------------------------------------------------------------
+
+CR_M1, CR_M2 = "1996-03-01", "1996-09-01"  # the two one-month "captures"
+
+
+@query(
+    "q_capture_recapture",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{CR_M1}'
+        AND o_orderdate < TIMESTAMP '{CR_M1}' + INTERVAL 1 MONTH
+    ),
+    s2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{CR_M2}'
+        AND o_orderdate < TIMESTAMP '{CR_M2}' + INTERVAL 1 MONTH
+    ),
+    c AS (
+      SELECT (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2,
+             (SELECT count(*) FROM s1 JOIN s2 USING (o_custkey)) AS m,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS true_n
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_first_capture,
+           CAST(n2 AS BIGINT) AS n_second_capture,
+           CAST(m AS BIGINT) AS n_recaptured,
+           round((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 2) AS chapman_estimate,
+           CAST(true_n AS BIGINT) AS true_active_customers,
+           round(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) / true_n, 4) AS coverage_ratio
+    FROM c
+    """,
+    tags=("stats", "estimation"),
+)
+def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman-corrected Lincoln-Petersen) estimate of
+    the active customer population from two one-month purchase snapshots:
+    N_hat = (n1+1)(n2+1)/(m+1) - 1, reported against the true distinct
+    count — the mark-recapture machinery used to size populations you
+    can't enumerate (active wallets, fraud rings, deduplicated entities
+    across silos) from overlap alone. The bias the estimate shows here is
+    itself informative: TPC-H customers don't purchase independently
+    month to month, exactly the heterogeneity caveat of the method.
+
+    Scale: two pushed-down one-month scans reduced to distinct-key sets,
+    one semi-join for the overlap, integer closed form — all
+    map-side-combinable aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def capture(start: str) -> DataFrame:
+        s = F.lit(start).cast("timestamp")
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= s)
+                & (F.col("o_orderdate") < F.add_months(s, 1))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    s1, s2 = capture(CR_M1), capture(CR_M2)
+    n1 = s1.count()
+    n2 = s2.count()
+    m = s1.join(s2, "o_custkey").count()
+    true_n = orders.select("o_custkey").distinct().count()
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    chapman = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    return spark.createDataFrame(
+        [(n1, n2, m, rnd(chapman, 2), true_n, rnd(chapman / true_n, 4))],
+        "n_first_capture long, n_second_capture long, n_recaptured long, "
+        "chapman_estimate double, true_active_customers long, coverage_ratio double",
+    )
