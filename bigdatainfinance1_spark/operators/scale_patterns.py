@@ -275,3 +275,71 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_overlaps"),
         F.count(F.lit(1)).cast("long").alias("n_peers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weighted_reservoir_es — Efraimidis-Spirakis one-pass weighted sample
+# ---------------------------------------------------------------------------
+
+ES_K = 20  # sample size
+# SplitMix-style deterministic sub-uniform (the q_dp_histogram constants):
+# exact BIGINT arithmetic < 2^53 on both engines; +1 keeps u strictly in (0,1)
+ES_KNUTH, ES_SALT, ES_MOD = 2654435761, 424243, 2147483648
+
+
+@query(
+    "q_weighted_reservoir_es",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             ln(((o_orderkey * {ES_KNUTH} + {ES_SALT}) % {ES_MOD} + 1.0)
+                / ({ES_MOD} + 1.0)) / o_totalprice AS es_key
+      FROM orders
+    ),
+    pop AS (SELECT avg(o_totalprice) AS pop_avg FROM orders),
+    top AS (
+      SELECT o_orderkey, o_totalprice, es_key
+      FROM keyed ORDER BY es_key DESC, o_orderkey LIMIT {ES_K}
+    )
+    SELECT top.o_orderkey,
+           top.o_totalprice AS weight,
+           round(top.es_key, 9) AS es_key,
+           round(pop.pop_avg, 2) AS population_avg_value
+    FROM top CROSS JOIN pop
+    """,
+    tags=("sample", "scale"),
+)
+def weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted reservoir sampling (A-ES): each row
+    gets key = ln(u)/w for a per-row uniform u and weight w =
+    o_totalprice; the global top-{k} by key IS an exact
+    without-replacement sample with inclusion probability proportional to
+    weight. This is THE distributed weighted-sampling pattern — one scan,
+    one TakeOrdered top-k, no cumulative-weight line (contrast
+    q_pps_sample's systematic variant, which needs per-stratum prefix
+    sums) and no coordination, so it survives any corpus size and streams.
+
+    Determinism: u comes from the deterministic SplitMix sub-uniform of
+    the order key (exact BIGINT arithmetic, identical on both engines);
+    ln and the division are correctly-rounded IEEE on identical inputs,
+    and keys of distinct rows are well-separated random reals, so the
+    top-k set is engine-exact; the emitted key rounds at 9. The
+    population average rides along to make the size bias visible (the
+    sample over-represents large orders by construction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        (F.col("o_orderkey") * ES_KNUTH + ES_SALT) % ES_MOD + 1.0
+    ) / float(ES_MOD + 1)
+    keyed = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+    )
+    pop = orders.agg(F.round(F.avg("o_totalprice"), 2).alias("population_avg_value"))
+    top = keyed.orderBy(F.col("es_key").desc(), F.col("o_orderkey").asc()).limit(ES_K)
+    return top.crossJoin(F.broadcast(pop)).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("weight"),
+        F.round("es_key", 9).alias("es_key"),
+        "population_avg_value",
+    )

@@ -182,6 +182,9 @@ QUERIES = [
     "q_dkw_band",
     "q_mmr_rerank",
     "q_stream_ohlc",
+    "q_wilson_interval",
+    "q_capture_recapture",
+    "q_weighted_reservoir_es",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
