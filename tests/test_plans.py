@@ -659,3 +659,19 @@ def test_round4_final_wave_plans(spark):
     plan = plan_of(SPECS["q_audio_vad_windows"].fn(spark, SF_DIR))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_round4_closing_wave_plans(spark):
+    """Closing wave: MMR candidate generation, Wilson, ES sampling, and
+    capture-recapture stay cartesian-free and Python-free; ES sampling's
+    top-k is a TakeOrdered, not a global sort."""
+    for name in (
+        "q_wilson_interval",
+        "q_weighted_reservoir_es",
+        "q_mmr_rerank",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_weighted_reservoir_es"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
