@@ -185,6 +185,10 @@ QUERIES = [
     "q_wilson_interval",
     "q_capture_recapture",
     "q_weighted_reservoir_es",
+    # round-4 time-series mining wave
+    "q_matrix_profile",
+    "q_periodogram",
+    "q_sax_motifs",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
