@@ -453,3 +453,115 @@ def adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rnk") <= AA_TOP).select(
         "u", "w", "n_common", "aa_score", F.col("rnk").cast("long").alias("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kcore — 2-core decomposition by iterative peeling
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2  # the core order
+KCORE_MAX_PEELS = 10  # loud-failure bound (oracle unrolls 8 rounds)
+KCORE_ORACLE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Peeling unrolled as chained CTEs n0..n{R} (the q_pagerank_copurchase
+    pattern): n_i = nodes whose degree within the subgraph induced by
+    n_(i-1) is >= K. Converges when two successive rounds are equal; the
+    co-purchase graph's peeling depth is far under {R} at every sf, and a
+    deeper-than-{R} graph would hash-mismatch loudly rather than silently
+    truncate."""
+    head = f"""
+    WITH e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    ee AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM ee)
+    """
+    steps = "".join(
+        f""",
+    n{i + 1} AS MATERIALIZED (
+      SELECT ee.u AS node
+      FROM ee
+      JOIN n{i} a ON a.node = ee.u
+      JOIN n{i} b ON b.node = ee.v
+      GROUP BY ee.u
+      HAVING count(*) >= {KCORE_K}
+    )"""
+        for i in range(KCORE_ORACLE_ROUNDS)
+    )
+    last = f"n{KCORE_ORACLE_ROUNDS}"
+    return f"""
+    {head}{steps}
+    SELECT ee.u AS part_id,
+           CAST(count(*) AS BIGINT) AS core_degree
+    FROM ee
+    JOIN {last} a ON a.node = ee.u
+    JOIN {last} b ON b.node = ee.v
+    GROUP BY ee.u
+    """
+
+
+@query("q_kcore", oracle=_kcore_oracle(), tags=("analytics", "graph", "iterative"))
+def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core decomposition of the support->=2 co-purchase graph by
+    iterative peeling: repeatedly delete nodes of degree < {k} until the
+    remaining subgraph (the {k}-core) is stable, then report each core
+    member with its within-core degree — the standard dense-substructure
+    / influence primitive (cores survive cascade failure; k-core is the
+    usual preprocessing cut before community detection and the cheapest
+    "is this node in the dense part" signal).
+
+    Scale: each peel round is one degree aggregate + two semi-join
+    filters on the edge list — the q_dup_clusters iterate-join shape,
+    with rounds bounded by the peeling depth (loud RuntimeError past
+    {maxp}, the house convergence discipline). The oracle re-derives the
+    core independently with {r} unrolled rounds of chained CTEs, so a
+    propagation bug cannot hash-match."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    ee = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    nodes = ee.select(F.col("u").alias("node")).distinct().persist()
+    prev_n = nodes.count()
+    for _ in range(KCORE_MAX_PEELS):
+        kept_edges = (
+            ee.join(nodes.select(F.col("node").alias("u")), "u")
+            .join(nodes.select(F.col("node").alias("v")), "v")
+        )
+        new_nodes = (
+            kept_edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+            # eager localCheckpoint, not persist: the peel lineage deepens
+            # every round and re-planning the full chain grew round cost
+            # 1.6 s -> 46 s by round 6 at sf0.1 (measured); checkpointing
+            # truncates the plan so every round costs the same
+            .localCheckpoint(eager=True)
+        )
+        n = new_nodes.count()
+        nodes = new_nodes
+        if n == prev_n:
+            break
+        prev_n = n
+    else:
+        raise RuntimeError(f"kcore: peeling did not converge in {KCORE_MAX_PEELS} rounds")
+    return (
+        ee.join(nodes.select(F.col("node").alias("u")), "u")
+        .join(nodes.select(F.col("node").alias("v")), "v")
+        .groupBy(F.col("u").alias("part_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

@@ -189,6 +189,7 @@ QUERIES = [
     "q_matrix_profile",
     "q_periodogram",
     "q_sax_motifs",
+    "q_kcore",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
