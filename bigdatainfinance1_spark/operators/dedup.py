@@ -1403,7 +1403,9 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_labels = labels.join(
             neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select("node", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")).persist()
+        ).select("node", F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl")).localCheckpoint(eager=True)
+        # eager localCheckpoint, not persist: the q_kcore lesson — the
+        # deepening label lineage is otherwise re-planned every round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
