@@ -676,7 +676,8 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             )
-        ).persist()
+        ).localCheckpoint(eager=True)  # q_kcore lesson: truncate the
+        # deepening label lineage so each round plans at constant cost
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
