@@ -565,3 +565,185 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("u").alias("part_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_modularity_brands / q_degree_assortativity — graph quality metrics
+# ---------------------------------------------------------------------------
+
+_COPURCHASE_E_SQL = """
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+"""
+
+
+@query(
+    "q_modularity_brands",
+    oracle=f"""
+    WITH {_COPURCHASE_E_SQL},
+    lab AS (SELECT p_partkey, p_brand FROM part),
+    el AS (
+      SELECT la.p_brand AS ba, lb.p_brand AS bb
+      FROM e
+      JOIN lab la ON la.p_partkey = e.u
+      JOIN lab lb ON lb.p_partkey = e.v
+    ),
+    m AS (SELECT count(*) AS m FROM el),
+    within AS (
+      SELECT ba AS brand, sum(CASE WHEN ba = bb THEN 1 ELSE 0 END) AS w
+      FROM el GROUP BY ba
+    ),
+    degsum AS (
+      SELECT brand, sum(cnt) AS d FROM (
+        SELECT ba AS brand, count(*) AS cnt FROM el GROUP BY ba
+        UNION ALL
+        SELECT bb AS brand, count(*) AS cnt FROM el GROUP BY bb
+      ) GROUP BY brand
+    )
+    SELECT d.brand,
+           CAST(coalesce(w.w, 0) AS BIGINT) AS within_edges,
+           CAST(d.d AS BIGINT) AS degree_sum,
+           round(coalesce(w.w, 0) * 1.0 / m.m
+                 - (d.d * 1.0 / (2 * m.m)) * (d.d * 1.0 / (2 * m.m)), 6)
+             AS modularity_term,
+           round(sum(coalesce(w.w, 0) * 1.0 / m.m
+                 - (d.d * 1.0 / (2 * m.m)) * (d.d * 1.0 / (2 * m.m))) OVER (), 6)
+             AS modularity_q
+    FROM degsum d LEFT JOIN within w ON w.brand = d.brand CROSS JOIN m
+    """,
+    tags=("analytics", "graph"),
+)
+def modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition of the co-purchase graph:
+    Q = sum_c (e_cc/m - (d_c/2m)^2) — do parts of the same brand
+    co-purchase more than a degree-preserving random graph predicts? Per
+    brand the within-community edge share, degree mass, and modularity
+    term; the total Q rides every row. This is the objective
+    community-detection algorithms (Louvain/Leiden) maximize — evaluating
+    it against a KNOWN partition is both the quality metric and the
+    building block of one Louvain level.
+
+    Scale: the edge list is the bounded support->=2 relation; labels join
+    via the broadcast part dim; everything else is O(brands) closed-form
+    integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    la = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("ba"))
+    lb = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("bb"))
+    el = e.join(F.broadcast(la), "u").join(F.broadcast(lb), "v").select("ba", "bb")
+    m = el.agg(F.count(F.lit(1)).alias("m"))
+    within = el.groupBy(F.col("ba").alias("brand")).agg(
+        F.sum(F.when(F.col("ba") == F.col("bb"), 1).otherwise(0)).alias("w")
+    )
+    degsum = (
+        el.groupBy(F.col("ba").alias("brand")).agg(F.count(F.lit(1)).alias("cnt"))
+        .unionByName(el.groupBy(F.col("bb").alias("brand")).agg(F.count(F.lit(1)).alias("cnt")))
+        .groupBy("brand")
+        .agg(F.sum("cnt").alias("d"))
+    )
+    from pyspark.sql import Window
+
+    term = (
+        F.coalesce(F.col("w"), F.lit(0)) * 1.0 / F.col("m")
+        - (F.col("d") * 1.0 / (2 * F.col("m"))) * (F.col("d") * 1.0 / (2 * F.col("m")))
+    )
+    j = degsum.join(within, "brand", "left").crossJoin(F.broadcast(m))
+    return j.select(
+        "brand",
+        F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("within_edges"),
+        F.col("d").cast("long").alias("degree_sum"),
+        F.round(term, 6).alias("modularity_term"),
+        F.round(F.sum(term).over(Window.partitionBy()), 6).alias("modularity_q"),
+    )
+
+
+@query(
+    "q_degree_assortativity",
+    oracle=f"""
+    WITH {_COPURCHASE_E_SQL},
+    ee AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM ee GROUP BY u),
+    pairs AS (
+      SELECT CAST(da.d AS DOUBLE) AS x, CAST(db.d AS DOUBLE) AS y
+      FROM ee
+      JOIN deg da ON da.node = ee.u
+      JOIN deg db ON db.node = ee.v
+    ),
+    mo AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS assortativity_r
+    FROM mo
+    """,
+    tags=("analytics", "graph"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over all directed edge instances
+    (Newman's r): positive = hubs link to hubs (social-network-like),
+    negative = hub-and-spoke (technological/catalog-like). One number
+    that says which robustness and epidemic regime the graph lives in,
+    and the standard companion to q_clustering_coefficient.
+
+    Scale: degrees are one aggregate over the bounded edge list; the
+    moment sums run over edge instances with the same closed-form Pearson
+    algebra as q_regr_beta — integer degrees, so the sums are exact until
+    the final ratio, rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("u", "v")
+    )
+    ee = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = ee.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        ee.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select(F.col("x").cast("double").alias("x"), F.col("y").cast("double").alias("y"))
+    )
+    mo = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    return mo.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity_r"),
+    )

@@ -597,3 +597,118 @@ def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_first_capture long, n_second_capture long, n_recaptured long, "
         "chapman_estimate double, true_active_customers long, coverage_ratio double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_wasserstein_drift — 1-D earth-mover distance between two distributions
+# ---------------------------------------------------------------------------
+
+WD_STEP = 25000.0
+WD_MAX_T = 20
+WD_REGIONS = ("EUROPE", "ASIA")
+
+
+@query(
+    "q_wasserstein_drift",
+    oracle=f"""
+    WITH base AS (
+      SELECT r.r_name, CAST(least(floor(o.o_totalprice / {WD_STEP}), {WD_MAX_T}) AS BIGINT) AS bkt,
+             count(*) AS n
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation na ON c.c_nationkey = na.n_nationkey
+      JOIN region r ON na.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('{WD_REGIONS[0]}', '{WD_REGIONS[1]}')
+      GROUP BY r.r_name, 2
+    ),
+    tot AS (
+      SELECT r_name, sum(n) AS nt FROM base GROUP BY r_name
+    ),
+    grid AS (SELECT t FROM range(0, {WD_MAX_T} + 1) AS r(t)),
+    cdf AS (
+      SELECT g.t,
+             coalesce(sum(CASE WHEN b.r_name = '{WD_REGIONS[0]}' AND b.bkt <= g.t THEN b.n END), 0)
+               * 1.0 / (SELECT nt FROM tot WHERE r_name = '{WD_REGIONS[0]}') AS f1,
+             coalesce(sum(CASE WHEN b.r_name = '{WD_REGIONS[1]}' AND b.bkt <= g.t THEN b.n END), 0)
+               * 1.0 / (SELECT nt FROM tot WHERE r_name = '{WD_REGIONS[1]}') AS f2
+      FROM grid g LEFT JOIN base b ON true
+      GROUP BY g.t
+    )
+    SELECT round(sum(abs(f1 - f2)) * {WD_STEP}, 2) AS wasserstein_1,
+           round(max(abs(f1 - f2)), 6) AS ks_sup,
+           CAST(count(*) AS BIGINT) AS n_grid_points
+    FROM cdf
+    """,
+    tags=("stats", "drift"),
+)
+def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between the EUROPE and ASIA
+    order-value distributions on a 25k bucket grid: W1 = integral
+    |F1 - F2| = sum over buckets of |CDF difference| x width, with the
+    Kolmogorov-Smirnov sup-difference alongside. W1 is the drift metric
+    that sees HOW FAR mass moved, not just that it moved — the reason
+    monitoring stacks report it next to PSI (q_psi_drift) and KS
+    (q_ks_test): a small shift of all mass and a large shift of a little
+    mass can share a KS value but never a W1.
+
+    Scale: ONE map-side-combinable (region, bucket) integer-count
+    aggregate; CDFs and the integral are prefix sums on the bounded grid
+    (the q_roc_curve posture). Ratios of exact integers throughout,
+    rounded at 2/6."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin(*WD_REGIONS))
+        .groupBy(
+            "r_name",
+            F.least(F.floor(F.col("o_totalprice") / WD_STEP), F.lit(WD_MAX_T))
+            .cast("long")
+            .alias("bkt"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = base.groupBy("r_name").agg(F.sum("n").alias("nt"))
+    t1 = tot.filter(F.col("r_name") == WD_REGIONS[0]).select(F.col("nt").alias("n1"))
+    t2 = tot.filter(F.col("r_name") == WD_REGIONS[1]).select(F.col("nt").alias("n2"))
+    grid = spark.range(0, WD_MAX_T + 1).select(F.col("id").alias("t"))
+    cdf = (
+        grid.join(F.broadcast(base), F.lit(True), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("r_name") == WD_REGIONS[0]) & (F.col("bkt") <= F.col("t")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("c1"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("r_name") == WD_REGIONS[1]) & (F.col("bkt") <= F.col("t")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("c2"),
+        )
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "t",
+            (F.col("c1") * 1.0 / F.col("n1")).alias("f1"),
+            (F.col("c2") * 1.0 / F.col("n2")).alias("f2"),
+        )
+    )
+    return cdf.agg(
+        F.round(F.sum(F.abs(F.col("f1") - F.col("f2"))) * WD_STEP, 2).alias("wasserstein_1"),
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_sup"),
+        F.count(F.lit(1)).cast("long").alias("n_grid_points"),
+    )

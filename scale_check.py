@@ -190,6 +190,9 @@ QUERIES = [
     "q_periodogram",
     "q_sax_motifs",
     "q_kcore",
+    "q_modularity_brands",
+    "q_degree_assortativity",
+    "q_wasserstein_drift",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
