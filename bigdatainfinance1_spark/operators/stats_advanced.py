@@ -712,3 +712,164 @@ def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_sup"),
         F.count(F.lit(1)).cast("long").alias("n_grid_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_logrank_test — two-group survival comparison
+# ---------------------------------------------------------------------------
+
+LOGRANK_SEG = "BUILDING"  # group 1; all other segments are group 0
+LOGRANK_CHI2_95 = 3.841459
+
+
+@query(
+    "q_logrank_test",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT CASE WHEN c.c_mktsegment = '{LOGRANK_SEG}' THEN 1 ELSE 0 END AS grp,
+             o.o_custkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    maxd AS (SELECT max(o_orderdate) AS maxdate FROM orders),
+    durations AS (
+      SELECT f.grp,
+             CASE WHEN s.o_custkey IS NOT NULL
+                  THEN datediff('day', f.o_orderdate, s.o_orderdate)
+                  ELSE datediff('day', f.o_orderdate, m.maxdate) END AS t,
+             CASE WHEN s.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM ranked f
+      LEFT JOIN ranked s ON f.o_custkey = s.o_custkey AND s.rn = 2
+      CROSS JOIN maxd m
+      WHERE f.rn = 1
+    ),
+    cell AS (
+      SELECT grp, t, sum(ev) AS d, count(*) AS at_t
+      FROM durations GROUP BY grp, t
+    ),
+    times AS (SELECT DISTINCT t FROM cell),
+    ggrid AS (
+      SELECT g.grp, ti.t, coalesce(c.d, 0) AS d, coalesce(c.at_t, 0) AS at_t
+      FROM (SELECT DISTINCT grp FROM cell) g
+      CROSS JOIN times ti
+      LEFT JOIN cell c ON c.grp = g.grp AND c.t = ti.t
+    ),
+    risk AS (
+      SELECT grp, t, d,
+             sum(at_t) OVER (PARTITION BY grp ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM ggrid
+    ),
+    pooled AS (
+      SELECT r1.t,
+             r1.d AS d1, r1.n_risk AS n1,
+             r0.d AS d0, r0.n_risk AS n0
+      FROM (SELECT * FROM risk WHERE grp = 1) r1
+      JOIN (SELECT * FROM risk WHERE grp = 0) r0 USING (t)
+      WHERE r1.d + r0.d > 0 AND r1.n_risk + r0.n_risk > 1
+    ),
+    s AS (
+      SELECT sum(d1) AS o1,
+             sum((d1 + d0) * 1.0 * n1 / (n1 + n0)) AS e1,
+             sum((d1 + d0) * 1.0 * n1 / (n1 + n0) * (1.0 - n1 * 1.0 / (n1 + n0))
+                 * (n1 + n0 - d1 - d0) / (n1 + n0 - 1.0)) AS v
+      FROM pooled
+    )
+    SELECT CAST(o1 AS BIGINT) AS observed_events_g1,
+           round(e1, 6) AS expected_events_g1,
+           round(v, 6) AS variance,
+           round((o1 - e1) * (o1 - e1) / nullif(v, 0), 6) AS chi2,
+           (o1 - e1) * (o1 - e1) / nullif(v, 0) > {LOGRANK_CHI2_95} AS reject_95
+    FROM s
+    """,
+    tags=("stats", "survival"),
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test for 'does the {seg} segment repeat-purchase at a
+    different hazard than everyone else' on the q_kaplan_meier censored
+    durations: at each pooled event time, observed group-1 events vs the
+    expectation d_t x n1_t/n_t under the pooled-hazard null, with the
+    hypergeometric variance — the standard two-group survival comparison
+    (and exactly the Cox score test for a binary covariate), closing the
+    estimate -> compare arc over q_kaplan_meier / q_nelson_aalen.
+
+    Scale: the KM posture — per-customer window, then all work on the
+    pooled event-time grid (bounded by distinct day durations); per-group
+    at-risk counts are descending prefix sums over a zero-filled
+    group x time grid, all windows partitioned by group. All counts exact
+    integers; the statistic is one closed-form sum over the grid,
+    rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.when(F.col("c_mktsegment") == LOGRANK_SEG, 1).otherwise(0).alias("grp"),
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(wc).alias("rn"),
+    )
+    first = ranked.filter(F.col("rn") == 1).select(
+        "grp", F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("d1")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("d2")
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("maxdate"))
+    durations = (
+        first.join(second, "ck", "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "grp",
+            F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+            .otherwise(F.datediff("maxdate", "d1"))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    cell = durations.groupBy("grp", "t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("at_t")
+    )
+    times = cell.select("t").distinct()
+    groups = cell.select("grp").distinct()
+    gg = (
+        F.broadcast(groups)
+        .crossJoin(times)
+        .join(cell, ["grp", "t"], "left")
+        .select(
+            "grp", "t", F.coalesce("d", F.lit(0)).alias("d"), F.coalesce("at_t", F.lit(0)).alias("at_t")
+        )
+    )
+    wdesc = Window.partitionBy("grp").orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = gg.select("grp", "t", "d", F.sum("at_t").over(wdesc).alias("n_risk"))
+    r1 = risk.filter(F.col("grp") == 1).select("t", F.col("d").alias("d1"), F.col("n_risk").alias("n1"))
+    r0 = risk.filter(F.col("grp") == 0).select("t", F.col("d").alias("d0"), F.col("n_risk").alias("n0"))
+    pooled = r1.join(r0, "t").filter(
+        (F.col("d1") + F.col("d0") > 0) & (F.col("n1") + F.col("n0") > 1)
+    )
+    nt = F.col("n1") + F.col("n0")
+    dt = F.col("d1") + F.col("d0")
+    s = pooled.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(dt * 1.0 * F.col("n1") / nt).alias("e1"),
+        F.sum(
+            dt * 1.0 * F.col("n1") / nt * (1.0 - F.col("n1") * 1.0 / nt)
+            * (nt - dt) / (nt - 1.0)
+        ).alias("v"),
+    )
+    # nullif guard: a fully-degenerate duration set (every subject events at
+    # one time, as the 10x replication stage constructs) makes v = 0; the
+    # statistic is then undefined, and both engines must agree on NULL
+    # rather than one erroring (Spark ANSI) and one emitting inf (DuckDB)
+    chi2 = (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.nullif(
+        F.col("v"), F.lit(0.0)
+    )
+    return s.select(
+        F.col("o1").cast("long").alias("observed_events_g1"),
+        F.round(F.col("e1"), 6).alias("expected_events_g1"),
+        F.round(F.col("v"), 6).alias("variance"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > LOGRANK_CHI2_95).alias("reject_95"),
+    )

@@ -193,6 +193,7 @@ QUERIES = [
     "q_modularity_brands",
     "q_degree_assortativity",
     "q_wasserstein_drift",
+    "q_logrank_test",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
