@@ -509,3 +509,129 @@ def amortization_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_AMORT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_deflated_sharpe — Sharpe ratio deflated for non-normality and trials
+# ---------------------------------------------------------------------------
+
+DSR_TRIALS = 10  # number of strategy variants "tried" (selection pressure)
+DSR_EULER = 0.5772156649015329  # Euler-Mascheroni, for the E[max] approximation
+
+
+def _dsr_norm_cdf(x: str) -> str:
+    from bigdatainfinance1_spark.operators.quant_pricing import _norm_cdf_sql
+
+    return _norm_cdf_sql(x)
+
+
+def _dsr_oracle() -> str:
+    cdf_arg = (
+        "((sharpe - sr_benchmark) * sqrt(n - 1.0)"
+        " / sqrt(1.0 - skew * sharpe + (kurt - 1.0) / 4.0 * sharpe * sharpe))"
+    )
+    return f"""
+    WITH {_DAILY_RET_SQL},
+    mo AS (
+      SELECT count(*) AS n, sum(r) AS s1, sum(r * r) AS s2,
+             sum(r * r * r) AS s3, sum(r * r * r * r) AS s4
+      FROM rets WHERE r IS NOT NULL
+    ),
+    st AS (
+      SELECT n,
+             s1 / n AS mu,
+             sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sd,
+             (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+               / pow(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3) AS skew,
+             (s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * pow(s1 / n, 4))
+               / pow(s2 / n - (s1 / n) * (s1 / n), 2) AS kurt
+      FROM mo
+    ),
+    sr AS (
+      SELECT n, skew, kurt, mu / sd AS sharpe,
+             sqrt(1.0 / n) * ((1.0 - {DSR_EULER}) * 1.2815515655446004
+                              + {DSR_EULER} * 1.7506860712521692) AS sr_benchmark
+      FROM st
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           round(sharpe, 6) AS sharpe_daily,
+           round(skew, 6) AS skewness,
+           round(kurt, 6) AS kurtosis,
+           round(sr_benchmark, 6) AS expected_max_sr_null,
+           round({_dsr_norm_cdf(cdf_arg)}, 6) AS deflated_sharpe_prob
+    FROM sr
+    """
+
+
+@query(
+    "q_deflated_sharpe",
+    oracle=_dsr_oracle(),
+    tags=("finance", "risk", "backtest"),
+)
+def deflated_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflated Sharpe ratio (Bailey & Lopez de Prado): the probability
+    that the observed daily Sharpe is genuine skill rather than (a)
+    non-normal returns — the PSR denominator corrects the Sharpe's
+    standard error for skewness and kurtosis — and (b) selection from
+    {T} tried strategy variants — the benchmark is the expected maximum
+    Sharpe of {T} zero-skill trials (Gumbel approximation with the
+    standard-normal quantiles z_(1-1/T), z_(1-1/(Te)) baked in as exact
+    literals). DSR < ~0.95 says the backtest's Sharpe doesn't clear its
+    own selection bar — the overfitting gate q_sharpe_by_nation and
+    q_kupiec_var_backtest leave open.
+
+    Scale: ONE moment aggregate (n, sum r^1..r^4) over the O(calendar)
+    daily-return relation; everything else is a closed form of those five
+    sums, pushed through the shared A&S normal CDF and rounded at 6."""
+    rets = _daily_returns(spark, sf_dir).filter(F.col("r").isNotNull())
+    mo = rets.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+        F.sum(F.col("r") * F.col("r") * F.col("r")).alias("s3"),
+        F.sum(F.col("r") * F.col("r") * F.col("r") * F.col("r")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    var = F.col("s2") / n - mu * mu
+    sd = F.sqrt(var)
+    skew = (F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * F.pow(mu, F.lit(3))) / F.pow(sd, F.lit(3))
+    kurt = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * F.pow(mu, F.lit(4))
+    ) / F.pow(var, F.lit(2))
+    st = mo.select(
+        F.col("n"),
+        (mu / sd).alias("sharpe"),
+        skew.alias("skew"),
+        kurt.alias("kurt"),
+        (
+            F.sqrt(1.0 / n)
+            * (
+                (1.0 - DSR_EULER) * 1.2815515655446004
+                + DSR_EULER * 1.7506860712521692
+            )
+        ).alias("sr_benchmark"),
+    )
+    from bigdatainfinance1_spark.operators.stats_advanced import _norm_cdf_col
+
+    z = (
+        (F.col("sharpe") - F.col("sr_benchmark"))
+        * F.sqrt(F.col("n").cast("double") - 1.0)
+        / F.sqrt(
+            1.0
+            - F.col("skew") * F.col("sharpe")
+            + (F.col("kurt") - 1.0) / 4.0 * F.col("sharpe") * F.col("sharpe")
+        )
+    )
+    return st.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("sharpe"), 6).alias("sharpe_daily"),
+        F.round(F.col("skew"), 6).alias("skewness"),
+        F.round(F.col("kurt"), 6).alias("kurtosis"),
+        F.round(F.col("sr_benchmark"), 6).alias("expected_max_sr_null"),
+        F.round(_norm_cdf_col(z), 6).alias("deflated_sharpe_prob"),
+    )

@@ -194,6 +194,7 @@ QUERIES = [
     "q_degree_assortativity",
     "q_wasserstein_drift",
     "q_logrank_test",
+    "q_deflated_sharpe",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
