@@ -202,3 +202,126 @@ def global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         F.col("shuffle_pos").cast("long").alias("shuffle_pos"), "doc_id", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_span_corruption — T5-style deterministic span masking statistics
+# ---------------------------------------------------------------------------
+
+SPAN_MASK_PCT = 15  # target corruption rate (percent of tokens)
+SPAN_KNUTH, SPAN_SALT, SPAN_MOD = 2654435761, 777769, 2147483648
+
+
+@query(
+    "q_span_corruption",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.i AS pos,
+             (((doc_id * 1000003 + u.i) % {SPAN_MOD}) * {SPAN_KNUTH} + {SPAN_SALT})
+               % {SPAN_MOD} AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+           unnest(range(1, len(d.t) + 1)) AS u(i)
+    ),
+    masked AS (
+      SELECT doc_id, pos,
+             CASE WHEN h * 100 < {SPAN_MASK_PCT} * {SPAN_MOD} THEN 1 ELSE 0 END AS m
+      FROM tok
+    ),
+    runs AS (
+      SELECT doc_id, pos, m,
+             pos - row_number() OVER (PARTITION BY doc_id, m ORDER BY pos) AS grpkey
+      FROM masked
+    ),
+    spans AS (
+      SELECT doc_id, count(*) AS span_len
+      FROM runs WHERE m = 1
+      GROUP BY doc_id, grpkey
+    ),
+    per_doc AS (
+      SELECT ma.doc_id,
+             count(*) AS n_tokens,
+             sum(ma.m) AS n_masked,
+             coalesce(max(sp.n_spans), 0) AS n_spans,
+             coalesce(max(sp.max_span), 0) AS max_span
+      FROM masked ma
+      LEFT JOIN (
+        SELECT doc_id, count(*) AS n_spans, max(span_len) AS max_span
+        FROM spans GROUP BY doc_id
+      ) sp ON sp.doc_id = ma.doc_id
+      GROUP BY ma.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_masked) AS BIGINT) AS total_masked,
+           round(sum(n_masked) * 1.0 / sum(n_tokens), 6) AS mask_rate,
+           CAST(sum(n_spans) AS BIGINT) AS total_spans,
+           round(sum(n_masked) * 1.0 / nullif(sum(n_spans), 0), 6) AS avg_span_len,
+           CAST(max(max_span) AS BIGINT) AS longest_span
+    FROM per_doc
+    """,
+    tags=("llm-pipeline", "text"),
+)
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption planning pass: mask each token with
+    {pct}% probability from a deterministic per-(doc, position) SplitMix
+    sub-uniform, merge adjacent masked positions into spans with the
+    gaps-and-islands idiom (pos - row_number over masked positions), and
+    report the corpus corruption profile — realized mask rate, span count,
+    mean/max span length — the numbers that decide sentinel-token budget
+    and target-length distribution before a denoising pretraining run.
+    A real pipeline swaps the hash uniform for a seeded RNG; everything
+    downstream (span merge, sentinel accounting) is exactly this query.
+
+    Scale: one token-position explode (the linear corpus pass) with
+    per-doc-partitioned windows for the span merge; all statistics are
+    exact integer counts. Determinism: the mask decision is exact BIGINT
+    arithmetic (< 2^53) — identical on both engines by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    # reduce mod 2^31 BEFORE the Knuth multiply: doc_id x 1000003 x KNUTH
+    # overflows int64 once doc_id passes ~3e6 (the 10x stage); the reduced
+    # operand keeps the product < 2^63 at any key, identically both engines
+    h = (
+        ((F.col("doc_id") * 1000003 + F.col("pos")) % SPAN_MOD) * SPAN_KNUTH + SPAN_SALT
+    ) % SPAN_MOD
+    masked = tok.select(
+        "doc_id",
+        "pos",
+        F.when(h * 100 < SPAN_MASK_PCT * SPAN_MOD, 1).otherwise(0).alias("m"),
+    )
+    w = Window.partitionBy("doc_id", "m").orderBy("pos")
+    runs = masked.withColumn("grpkey", F.col("pos") - F.row_number().over(w))
+    spans = (
+        runs.filter(F.col("m") == 1)
+        .groupBy("doc_id", "grpkey")
+        .agg(F.count(F.lit(1)).alias("span_len"))
+    )
+    sp = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"), F.max("span_len").alias("max_span")
+    )
+    per_doc = (
+        masked.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("m").alias("n_masked"))
+        .join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("max_span", F.lit(0)).alias("max_span"),
+        )
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_masked").cast("long").alias("total_masked"),
+        F.round(F.sum("n_masked") * 1.0 / F.sum("n_tokens"), 6).alias("mask_rate"),
+        F.sum("n_spans").cast("long").alias("total_spans"),
+        F.round(F.sum("n_masked") * 1.0 / F.nullif(F.sum("n_spans"), F.lit(0)), 6).alias(
+            "avg_span_len"
+        ),
+        F.max("max_span").cast("long").alias("longest_span"),
+    )

@@ -1119,3 +1119,101 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit.cast("long").alias("n_correct"),
         F.round(hit * 1.0 / F.count(F.lit(1)), 4).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_triplet_mining — hardest positive / negative per anchor
+# ---------------------------------------------------------------------------
+
+TRIPLET_ANCHORS = 10  # anchors = vec_id < 10 (the q_cosine_topk panel)
+TRIPLET_MARGIN = 0.1
+
+
+@query(
+    "q_triplet_mining",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS anchor, a.label AS a_label,
+             b.vec_id AS nb, b.label AS nb_label,
+             round({_COS_SQL}, 6) AS cos
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {TRIPLET_ANCHORS}
+    ),
+    hard AS (
+      SELECT anchor, max(a_label) AS a_label,
+             min_by(nb, CASE WHEN nb_label = a_label
+                    THEN CAST(round(cos * 1000000) AS BIGINT) * 100000000 + nb END)
+               AS hard_pos,
+             min(CASE WHEN nb_label = a_label THEN cos END) AS pos_cos,
+             min_by(nb, CASE WHEN nb_label <> a_label
+                    THEN -CAST(round(cos * 1000000) AS BIGINT) * 100000000 + nb END)
+               AS hard_neg,
+             max(CASE WHEN nb_label <> a_label THEN cos END) AS neg_cos
+      FROM pairs GROUP BY anchor
+    )
+    SELECT anchor, CAST(a_label AS INT) AS label,
+           hard_pos, pos_cos, hard_neg, neg_cos,
+           round(pos_cos - neg_cos, 6) AS margin,
+           pos_cos - neg_cos < {TRIPLET_MARGIN} AS violates_margin
+    FROM hard
+    """,
+    tags=("similarity", "llm", "ml"),
+)
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-triplet mining for metric learning: for each anchor in the
+    q_cosine_topk panel, the hardest positive (same label, MINIMUM
+    cosine — the farthest example the model must pull in) and hardest
+    negative (different label, MAXIMUM cosine — the closest impostor it
+    must push out), with the triplet margin pos_cos - neg_cos and the
+    violation flag at margin {m} — exactly the batch-hard mining step of
+    FaceNet-style training-data pipelines, where violating triplets are
+    the only ones worth training on.
+
+    Scale: the anchor panel broadcasts and the corpus is scanned once
+    (the q_cosine_topk shape); argmins/argmaxes are single aggregates
+    with the (rounded-cosine, vec_id) order encoded as one BIGINT key
+    (the q_matrix_profile trick — DuckDB 1.0's min_by takes no struct
+    key; the negative side negates the cosine term so one min_by does
+    the argmax). Cosines round at 6 before every comparison, so the
+    selections are engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn("nrm", l2_norm("embedding"))
+    anchors = emb.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    pairs = (
+        emb.select(
+            F.col("vec_id").alias("nb"), F.col("label").alias("nb_label"), "embedding", "nrm"
+        )
+        .join(F.broadcast(anchors), F.col("nb") != F.col("anchor"))
+        .select(
+            "anchor",
+            "a_label",
+            "nb",
+            "nb_label",
+            F.round(
+                dot("embedding", "a_emb") / (F.col("nrm") * F.col("a_nrm")), 6
+            ).alias("cos"),
+        )
+    )
+    cos_key = F.round(F.col("cos") * 1000000).cast("long") * 100000000 + F.col("nb")
+    neg_key = -F.round(F.col("cos") * 1000000).cast("long") * 100000000 + F.col("nb")
+    hard = pairs.groupBy("anchor").agg(
+        F.max("a_label").alias("a_label"),
+        F.min_by("nb", F.when(F.col("nb_label") == F.col("a_label"), cos_key)).alias("hard_pos"),
+        F.min(F.when(F.col("nb_label") == F.col("a_label"), F.col("cos"))).alias("pos_cos"),
+        F.min_by("nb", F.when(F.col("nb_label") != F.col("a_label"), neg_key)).alias("hard_neg"),
+        F.max(F.when(F.col("nb_label") != F.col("a_label"), F.col("cos"))).alias("neg_cos"),
+    )
+    return hard.select(
+        "anchor",
+        F.col("a_label").cast("int").alias("label"),
+        "hard_pos",
+        "pos_cos",
+        "hard_neg",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+        (F.col("pos_cos") - F.col("neg_cos") < TRIPLET_MARGIN).alias("violates_margin"),
+    )

@@ -195,6 +195,8 @@ QUERIES = [
     "q_wasserstein_drift",
     "q_logrank_test",
     "q_deflated_sharpe",
+    "q_span_corruption",
+    "q_triplet_mining",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
