@@ -675,3 +675,29 @@ def test_round4_closing_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = plan_of(SPECS["q_weighted_reservoir_es"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round4_mining_and_metrics_wave_plans(spark):
+    """TS-mining / graph-metrics / survival-compare / DSR / LLM-prep wave:
+    no cartesians, no Python eval; the calendar-bounded pair queries
+    (matrix profile, log-rank) and graph metrics stay equi-joins; the
+    moment-sum queries show map-side partial aggregation."""
+    for name in (
+        "q_matrix_profile",
+        "q_periodogram",
+        "q_sax_motifs",
+        "q_kcore",
+        "q_modularity_brands",
+        "q_degree_assortativity",
+        "q_wasserstein_drift",
+        "q_logrank_test",
+        "q_deflated_sharpe",
+        "q_span_corruption",
+        "q_triplet_mining",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    for name in ("q_deflated_sharpe", "q_degree_assortativity", "q_span_corruption"):
+        plan = formatted(SPECS[name].fn(spark, SF_DIR))
+        assert "partial_" in plan, name
