@@ -197,6 +197,8 @@ QUERIES = [
     "q_deflated_sharpe",
     "q_span_corruption",
     "q_triplet_mining",
+    "q_kendalls_w",
+    "q_theil_decomposition",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
