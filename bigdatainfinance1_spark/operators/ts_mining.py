@@ -106,11 +106,17 @@ def matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 6; the neighbor argmin ties break on the index."""
     idx = _monthly(spark, sf_dir)
     n = idx.count()  # O(1) driver scalar — bounds the window range
-    w = idx.select(F.col("i").alias("w")).filter(F.col("w") <= n - (MP_M - 1))
-    x = idx.select(F.col("i").alias("xi"), "z")
-    win = w.join(
-        x, (F.col("xi") >= F.col("w")) & (F.col("xi") <= F.col("w") + (MP_M - 1))
-    ).select("w", (F.col("xi") - F.col("w")).alias("k"), "z")
+    # offsets exploded per window start, then an EQUI-join on i = w + k —
+    # never a range join (a range condition degrades to BNLJ/cartesian
+    # when broadcast is disabled, and an equi-shuffle is the shape that
+    # scales anyway)
+    w = (
+        idx.select(F.col("i").alias("w"))
+        .filter(F.col("w") <= n - (MP_M - 1))
+        .select("w", F.explode(F.sequence(F.lit(0), F.lit(MP_M - 1))).alias("k"))
+        .withColumn("i", F.col("w") + F.col("k"))
+    )
+    win = w.join(idx.select("i", "z"), "i").select("w", "k", "z")
     mom = win.groupBy("w").agg(
         F.round(F.avg("z"), 8).alias("mu"),
         F.round(F.sqrt(F.avg(F.col("z") * F.col("z")) - F.avg("z") * F.avg("z")), 8).alias("sd"),
