@@ -1065,3 +1065,72 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("between_part") / (F.col("within_part") + F.col("between_part")), 6
         ).alias("between_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_nb_overdispersion — negative-binomial fit for overdispersed counts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_nb_overdispersion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, event_type, count(*) AS k
+      FROM events GROUP BY user_id, event_type
+    ),
+    mo AS (
+      SELECT event_type, count(*) AS n,
+             sum(k) AS s1, sum(k * 1.0 * k) AS s2
+      FROM per_user GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, n,
+             s1 * 1.0 / n AS mu,
+             s2 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n) AS v
+      FROM mo
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_users,
+           round(mu, 6) AS mean_events,
+           round(v, 6) AS var_events,
+           round(v / mu, 6) AS dispersion_index,
+           v > mu AS overdispersed,
+           round(CASE WHEN v > mu THEN mu * mu / (v - mu) END, 6) AS nb_r,
+           round(CASE WHEN v > mu THEN mu / v END, 6) AS nb_p
+    FROM st
+    """,
+    tags=("stats", "model"),
+)
+def nb_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnosis + method-of-moments negative-binomial fit
+    for per-user event counts by type: dispersion index Var/Mean (Poisson
+    predicts exactly 1), and where Var > Mean the NB(r, p) parameters
+    r = mu^2/(v - mu), p = mu/v — the decision every count model faces
+    (Poisson vs NB) made from one pass of moments, with NULL parameters
+    where NB is not identified (underdispersed types). The capacity-
+    planning companion to q_power_user_curve's empirical tail.
+
+    Scale: two map-side-combinable aggregates (per-user counts, then
+    per-type moments); all closed forms of exact integer sums, rounded
+    at 6."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    mo = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s1"),
+        F.sum(F.col("k") * 1.0 * F.col("k")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") * 1.0 / n
+    v = F.col("s2") / n - mu * mu
+    return mo.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.round(mu, 6).alias("mean_events"),
+        F.round(v, 6).alias("var_events"),
+        F.round(v / mu, 6).alias("dispersion_index"),
+        (v > mu).alias("overdispersed"),
+        F.round(F.when(v > mu, mu * mu / (v - mu)), 6).alias("nb_r"),
+        F.round(F.when(v > mu, mu / v), 6).alias("nb_p"),
+    )

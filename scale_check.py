@@ -199,6 +199,7 @@ QUERIES = [
     "q_triplet_mining",
     "q_kendalls_w",
     "q_theil_decomposition",
+    "q_nb_overdispersion",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
