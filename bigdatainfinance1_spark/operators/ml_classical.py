@@ -1057,3 +1057,80 @@ def ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("my") - b1 * F.col("m1") - b2 * F.col("m2"), 6).alias("intercept"),
         F.col("n").cast("long").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cohens_kappa
+# ---------------------------------------------------------------------------
+
+KAPPA_VALUE_CUT = 225000.0  # rater B: "urgent" if order value >= this
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH r AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_totalprice >= {KAPPA_VALUE_CUT} THEN 1 ELSE 0 END AS b
+      FROM orders
+    ),
+    c AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11,
+             sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10,
+             sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01,
+             sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS both_urgent,
+           CAST(n00 AS BIGINT) AS both_normal,
+           round((n11 + n00) * 1.0 / n, 6) AS observed_agreement,
+           round(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 6)
+             AS chance_agreement,
+           round(((n11 + n00) * 1.0 / n
+                  - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                     + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+                 / (1.0 - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                           + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n))), 6)
+             AS cohens_kappa
+    FROM c
+    """,
+    tags=("ml", "eval", "stats"),
+)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two "annotators" labeling orders urgent —
+    rater A reads the priority field, rater B thresholds order value at
+    {cut} — chance-corrected agreement (po - pe)/(1 - pe), the
+    inter-annotator metric every labeling pipeline reports before
+    trusting its gold data (raw agreement is inflated whenever one class
+    dominates; kappa ~ 0 here exposes that the raters share a base rate
+    but no signal — exactly the trap). One 2x2 integer contingency
+    aggregate and closed forms, rounded at 6; one map-side-combinable
+    pass at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("a"),
+        F.when(F.col("o_totalprice") >= KAPPA_VALUE_CUT, 1).otherwise(0).alias("b"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0)).alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0)).alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0)).alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0)).alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) * 1.0 / n
+    pe = ((F.col("n11") + F.col("n10")) * 1.0 / n) * ((F.col("n11") + F.col("n01")) * 1.0 / n) + (
+        (F.col("n01") + F.col("n00")) * 1.0 / n
+    ) * ((F.col("n10") + F.col("n00")) * 1.0 / n)
+    return c.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("both_urgent"),
+        F.col("n00").cast("long").alias("both_normal"),
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("chance_agreement"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"),
+    )

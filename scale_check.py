@@ -200,6 +200,7 @@ QUERIES = [
     "q_kendalls_w",
     "q_theil_decomposition",
     "q_nb_overdispersion",
+    "q_cohens_kappa",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
