@@ -1134,3 +1134,132 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("chance_agreement"),
         F.round((po - pe) / (1.0 - pe), 6).alias("cohens_kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_linear_shap — exact SHAP attribution for the ridge model
+# ---------------------------------------------------------------------------
+
+SHAP_LAMBDA = 1.0  # which point of the q_ridge_path to explain
+
+
+@query(
+    "q_linear_shap",
+    oracle=f"""
+    WITH f AS (
+      SELECT (year(o_orderdate) - 1998) * 12.0 / 42.0
+               + (month(o_orderdate) - 1) / 42.0 AS x1,
+             (CAST(substr(o_orderpriority, 1, 1) AS INT) - 3.0) / 2.0 AS x2,
+             o_totalprice / 500000.0 AS y
+      FROM orders
+    ),
+    mo AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM f
+    ),
+    c AS (
+      SELECT n,
+             s11 - s1 * s1 / n AS c11, s12 - s1 * s2 / n AS c12,
+             s22 - s2 * s2 / n AS c22,
+             s1y - s1 * sy / n AS c1y, s2y - s2 * sy / n AS c2y,
+             s1 / n AS m1, s2 / n AS m2
+      FROM mo
+    ),
+    beta AS (
+      SELECT n, m1, m2,
+             ((c22 + {SHAP_LAMBDA}) * c1y - c12 * c2y)
+               / ((c11 + {SHAP_LAMBDA}) * (c22 + {SHAP_LAMBDA}) - c12 * c12) AS b1,
+             ((c11 + {SHAP_LAMBDA}) * c2y - c12 * c1y)
+               / ((c11 + {SHAP_LAMBDA}) * (c22 + {SHAP_LAMBDA}) - c12 * c12) AS b2
+      FROM c
+    ),
+    shap AS (
+      SELECT 'trend' AS feature,
+             round(avg(abs(beta.b1 * (f.x1 - beta.m1))), 6) AS mean_abs_shap,
+             round(beta.b1, 6) AS beta
+      FROM f CROSS JOIN beta GROUP BY beta.b1
+      UNION ALL
+      SELECT 'priority' AS feature,
+             round(avg(abs(beta.b2 * (f.x2 - beta.m2))), 6) AS mean_abs_shap,
+             round(beta.b2, 6) AS beta
+      FROM f CROSS JOIN beta GROUP BY beta.b2
+    )
+    SELECT feature, beta, mean_abs_shap,
+           round(mean_abs_shap / sum(mean_abs_shap) OVER (), 6) AS importance_share
+    FROM shap
+    """,
+    tags=("ml", "xai"),
+)
+def linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SHAP global feature importance for the q_ridge_path model at
+    lambda = {lam}: for a linear model the Shapley value of feature j on
+    row i is EXACTLY beta_j (x_ij - mean_j) (no sampling, no surrogate),
+    so mean |SHAP| per feature — the bar chart every model card shows —
+    is one closed-form pass: fit the betas from the moment aggregate,
+    then average the absolute centered contributions. The explainability
+    (XAI) surface, computed with zero approximation because linearity
+    makes Shapley tractable (contrast q_shapley_attribution's exact
+    16-coalition enumeration where it isn't).
+
+    Scale: two map-side-combinable passes over the scan (moments, then
+    |beta (x - mean)| with the 1-row beta relation broadcast) — no
+    per-row model state. Determinism: same centered-moment algebra as
+    q_ridge_path; the second pass averages O(1)-magnitude values,
+    rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        (
+            (F.year("o_orderdate") - 1998) * 12.0 / 42.0
+            + (F.month("o_orderdate") - 1) / 42.0
+        ).alias("x1"),
+        ((F.substring("o_orderpriority", 1, 1).cast("int") - 3.0) / 2.0).alias("x2"),
+        (F.col("o_totalprice") / 500000.0).alias("y"),
+    )
+    mo = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    c = mo.select(
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+    )
+    det = (F.col("c11") + SHAP_LAMBDA) * (F.col("c22") + SHAP_LAMBDA) - F.col("c12") * F.col("c12")
+    beta = c.select(
+        "m1",
+        "m2",
+        (((F.col("c22") + SHAP_LAMBDA) * F.col("c1y") - F.col("c12") * F.col("c2y")) / det).alias("b1"),
+        (((F.col("c11") + SHAP_LAMBDA) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias("b2"),
+    )
+    j = f.crossJoin(F.broadcast(beta))
+    s1 = j.groupBy("b1").agg(
+        F.round(F.avg(F.abs(F.col("b1") * (F.col("x1") - F.col("m1")))), 6).alias("mean_abs_shap")
+    ).select(F.lit("trend").alias("feature"), F.round(F.col("b1"), 6).alias("beta"), "mean_abs_shap")
+    s2 = j.groupBy("b2").agg(
+        F.round(F.avg(F.abs(F.col("b2") * (F.col("x2") - F.col("m2")))), 6).alias("mean_abs_shap")
+    ).select(F.lit("priority").alias("feature"), F.round(F.col("b2"), 6).alias("beta"), "mean_abs_shap")
+    from pyspark.sql import Window
+
+    shap = s1.unionByName(s2)
+    return shap.select(
+        "feature",
+        "beta",
+        "mean_abs_shap",
+        F.round(
+            F.col("mean_abs_shap") / F.sum("mean_abs_shap").over(Window.partitionBy()), 6
+        ).alias("importance_share"),
+    )

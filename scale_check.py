@@ -201,6 +201,7 @@ QUERIES = [
     "q_theil_decomposition",
     "q_nb_overdispersion",
     "q_cohens_kappa",
+    "q_linear_shap",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
