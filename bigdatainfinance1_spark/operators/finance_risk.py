@@ -946,3 +946,91 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_customer_share",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_evt_block_maxima — Gumbel fit to quarterly revenue maxima
+# ---------------------------------------------------------------------------
+
+EVT_EULER = 0.5772156649015329
+EVT_PI = 3.141592653589793
+EVT_RETURN_PERIOD = 100  # quarters
+
+
+@query(
+    "q_evt_block_maxima",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS rev
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    blocks AS (
+      SELECT date_trunc('quarter', day) AS qtr, max(rev) AS mx
+      FROM daily GROUP BY date_trunc('quarter', day)
+    ),
+    mo AS (
+      SELECT count(*) AS n, sum(mx) AS s1, sum(mx * mx) AS s2 FROM blocks
+    ),
+    fit AS (
+      SELECT n,
+             sqrt((s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1.0))
+               * sqrt(6.0) / {EVT_PI} AS beta,
+             s1 / n - {EVT_EULER} * (sqrt((s2 / n - (s1 / n) * (s1 / n)) * n / (n - 1.0))
+               * sqrt(6.0) / {EVT_PI}) AS mu
+      FROM mo
+    )
+    SELECT CAST(n AS BIGINT) AS n_blocks,
+           round(mu, 6) AS gumbel_mu,
+           round(beta, 6) AS gumbel_beta,
+           round(mu - beta * ln(-ln(1.0 - 1.0 / {EVT_RETURN_PERIOD})), 6)
+             AS return_level_{EVT_RETURN_PERIOD}q,
+           round(exp(-exp(-((mu + 2 * beta) - mu) / beta)), 6)
+             AS p_below_mu_plus_2beta
+    FROM fit
+    """,
+    tags=("finance", "risk", "evt"),
+)
+def evt_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value theory by block maxima: quarterly maxima of daily
+    revenue (millions) fitted to a Gumbel distribution by the method of
+    moments (beta = s sqrt(6)/pi, mu = mean - gamma beta), reporting the
+    {T}-quarter return level mu - beta ln(-ln(1 - 1/T)) — "the daily
+    revenue spike exceeded once per {T} quarters" — the tail statement
+    historical VaR (q_var_cvar) cannot make because it never extrapolates
+    beyond observed quantiles. Fisher-Tippett says block maxima converge
+    to the GEV family; the Gumbel member is the light-tailed case and the
+    standard first fit.
+
+    Scale: the corpus reduces to O(calendar) daily rows, then O(quarters)
+    block maxima, then one two-moment aggregate — closed forms
+    throughout, rounded at 6 (sample sd uses the n/(n-1) correction
+    written identically on both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("rev")
+    )
+    blocks = daily.groupBy(F.date_trunc("quarter", "day").alias("qtr")).agg(
+        F.max("rev").alias("mx")
+    )
+    mo = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    sd = F.sqrt((F.col("s2") / n - (F.col("s1") / n) * (F.col("s1") / n)) * n / (n - 1.0))
+    beta = sd * F.sqrt(F.lit(6.0)) / EVT_PI
+    mu = F.col("s1") / n - EVT_EULER * beta
+    import math
+
+    rl = mu - beta * math.log(-math.log(1.0 - 1.0 / EVT_RETURN_PERIOD))
+    return mo.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(mu, 6).alias("gumbel_mu"),
+        F.round(beta, 6).alias("gumbel_beta"),
+        F.round(rl, 6).alias(f"return_level_{EVT_RETURN_PERIOD}q"),
+        F.round(F.exp(-F.exp(-(mu + 2 * beta - mu) / beta)), 6).alias(
+            "p_below_mu_plus_2beta"
+        ),
+    )

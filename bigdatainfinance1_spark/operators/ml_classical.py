@@ -1263,3 +1263,70 @@ def linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mean_abs_shap") / F.sum("mean_abs_shap").over(Window.partitionBy()), 6
         ).alias("importance_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_mcnemar_test — paired classifier comparison
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_mcnemar_test",
+    oracle=f"""
+    WITH r AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS truth,
+             CASE WHEN o_totalprice >= {KAPPA_VALUE_CUT} THEN 1 ELSE 0 END AS pred_b,
+             CASE WHEN o_totalprice >= 100000.0 THEN 1 ELSE 0 END AS pred_c
+      FROM orders
+    ),
+    d AS (
+      SELECT sum(CASE WHEN (pred_b = truth) AND (pred_c <> truth) THEN 1 ELSE 0 END) AS n10,
+             sum(CASE WHEN (pred_b <> truth) AND (pred_c = truth) THEN 1 ELSE 0 END) AS n01,
+             count(*) AS n
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n10 AS BIGINT) AS only_b_correct,
+           CAST(n01 AS BIGINT) AS only_c_correct,
+           round(pow(abs(n10 - n01) - 1.0, 2) / nullif(n10 + n01, 0), 6) AS mcnemar_chi2,
+           pow(abs(n10 - n01) - 1.0, 2) / nullif(n10 + n01, 0) > 3.841459 AS reject_95
+    FROM d
+    """,
+    tags=("ml", "eval", "stats"),
+)
+def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test (continuity-corrected) comparing two classifiers on
+    the SAME examples — threshold-at-{cut} vs threshold-at-100k
+    predicting urgent priority: only the DISCORDANT pairs (exactly one
+    model right) carry information, chi2 = (|n10 - n01| - 1)^2 /
+    (n10 + n01). This is the correct paired comparison two models on one
+    test set demand — two independent accuracy CIs (q_wilson_interval)
+    overlap or not tells you nothing when the errors are correlated.
+
+    Scale: one map-side-combinable aggregate; exact integer counts,
+    nullif-guarded for the zero-discordance degenerate case."""
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("truth"),
+        F.when(F.col("o_totalprice") >= KAPPA_VALUE_CUT, 1).otherwise(0).alias("pred_b"),
+        F.when(F.col("o_totalprice") >= 100000.0, 1).otherwise(0).alias("pred_c"),
+    )
+    d = r.agg(
+        F.sum(
+            F.when((F.col("pred_b") == F.col("truth")) & (F.col("pred_c") != F.col("truth")), 1).otherwise(0)
+        ).alias("n10"),
+        F.sum(
+            F.when((F.col("pred_b") != F.col("truth")) & (F.col("pred_c") == F.col("truth")), 1).otherwise(0)
+        ).alias("n01"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    chi2 = F.pow(F.abs(F.col("n10") - F.col("n01")) - 1.0, F.lit(2)) / F.nullif(
+        F.col("n10") + F.col("n01"), F.lit(0)
+    )
+    return d.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n10").cast("long").alias("only_b_correct"),
+        F.col("n01").cast("long").alias("only_c_correct"),
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+        (chi2 > 3.841459).alias("reject_95"),
+    )

@@ -326,3 +326,148 @@ def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("start_seg").cast("long").alias("first_start_seg"),
         (F.count(F.lit(1)) >= 2).alias("is_motif"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_combination — Bates-Granger inverse-MSE pooling
+# ---------------------------------------------------------------------------
+
+FC_START = 13  # evaluate from the first month with all three forecasts
+
+
+@query(
+    "q_forecast_combination",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    f AS (
+      SELECT a.i, a.z,
+             n1.z AS f_naive,
+             n12.z AS f_snaive,
+             (SELECT round(avg(b.z), 8) FROM idx b WHERE b.i < a.i) AS f_mean
+      FROM idx a
+      JOIN idx n1 ON n1.i = a.i - 1
+      JOIN idx n12 ON n12.i = a.i - 12
+      WHERE a.i >= {FC_START}
+    ),
+    mse AS (
+      SELECT round(avg((z - f_naive) * (z - f_naive)), 8) AS m1,
+             round(avg((z - f_snaive) * (z - f_snaive)), 8) AS m2,
+             round(avg((z - f_mean) * (z - f_mean)), 8) AS m3,
+             count(*) AS n
+      FROM f
+    ),
+    w AS (
+      SELECT n, m1, m2, m3,
+             (1.0 / m1) / (1.0 / m1 + 1.0 / m2 + 1.0 / m3) AS w1,
+             (1.0 / m2) / (1.0 / m1 + 1.0 / m2 + 1.0 / m3) AS w2,
+             (1.0 / m3) / (1.0 / m1 + 1.0 / m2 + 1.0 / m3) AS w3
+      FROM mse
+    ),
+    comb AS (
+      SELECT round(avg(pow(f.z - (w.w1 * f.f_naive + w.w2 * f.f_snaive + w.w3 * f.f_mean), 2)), 8)
+               AS mc, max(w.w1) AS w1, max(w.w2) AS w2, max(w.w3) AS w3,
+             max(w.m1) AS m1, max(w.m2) AS m2, max(w.m3) AS m3, max(w.n) AS n
+      FROM f CROSS JOIN w
+    )
+    SELECT model, round(mse, 6) AS mse, round(weight, 6) AS weight
+    FROM (
+      SELECT 'naive' AS model, m1 AS mse, w1 AS weight FROM comb
+      UNION ALL SELECT 'seasonal_naive', m2, w2 FROM comb
+      UNION ALL SELECT 'expanding_mean', m3, w3 FROM comb
+      UNION ALL SELECT 'combined', mc, 1.0 FROM comb
+    )
+    """,
+    tags=("timeseries", "forecast"),
+)
+def forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bates-Granger forecast combination over three model-free monthly
+    forecasters — naive (last month), seasonal naive (same month last
+    year), expanding mean — pooled with inverse-MSE weights, reporting
+    each model's one-step in-sample MSE, its weight, and the combined
+    forecast's MSE. The empirical point the combination literature
+    hammers: the pool is routinely better than every member, and the
+    weights double as an interpretable model ranking (q_forecast_backtest
+    evaluates ONE model out-of-sample; this is the pooling step above
+    it).
+
+    Scale: the corpus reduces to the O(calendar) monthly series; lags are
+    equi-joins on the month index (from the two-phase global rank, no
+    single-partition window), the expanding mean is an O(months^2) ~ 3k
+    bounded correlated prefix, and MSEs/weights are closed forms of
+    8-dp-rounded errors, rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    a = idx.select(F.col("i").alias("i"), F.col("z").alias("z"))
+    n1 = idx.select((F.col("i") + 1).alias("i"), F.col("z").alias("f_naive"))
+    n12 = idx.select((F.col("i") + 12).alias("i"), F.col("z").alias("f_snaive"))
+    prior = idx.select(F.col("i").alias("j"), F.col("z").alias("zj"))
+    fmean = (
+        a.join(prior, F.col("j") < F.col("i"))
+        .groupBy("i")
+        .agg(F.round(F.avg("zj"), 8).alias("f_mean"))
+    )
+    f = (
+        a.join(n1, "i")
+        .join(n12, "i")
+        .join(fmean, "i")
+        .filter(F.col("i") >= FC_START)
+    )
+    mse = f.agg(
+        F.round(F.avg((F.col("z") - F.col("f_naive")) * (F.col("z") - F.col("f_naive"))), 8).alias("m1"),
+        F.round(F.avg((F.col("z") - F.col("f_snaive")) * (F.col("z") - F.col("f_snaive"))), 8).alias("m2"),
+        F.round(F.avg((F.col("z") - F.col("f_mean")) * (F.col("z") - F.col("f_mean"))), 8).alias("m3"),
+    )
+    inv = 1.0 / F.col("m1") + 1.0 / F.col("m2") + 1.0 / F.col("m3")
+    w = mse.select(
+        "m1",
+        "m2",
+        "m3",
+        ((1.0 / F.col("m1")) / inv).alias("w1"),
+        ((1.0 / F.col("m2")) / inv).alias("w2"),
+        ((1.0 / F.col("m3")) / inv).alias("w3"),
+    )
+    comb = f.crossJoin(F.broadcast(w)).agg(
+        F.round(
+            F.avg(
+                F.pow(
+                    F.col("z")
+                    - (
+                        F.col("w1") * F.col("f_naive")
+                        + F.col("w2") * F.col("f_snaive")
+                        + F.col("w3") * F.col("f_mean")
+                    ),
+                    F.lit(2),
+                )
+            ),
+            8,
+        ).alias("mc"),
+        F.max("w1").alias("w1"),
+        F.max("w2").alias("w2"),
+        F.max("w3").alias("w3"),
+        F.max("m1").alias("m1"),
+        F.max("m2").alias("m2"),
+        F.max("m3").alias("m3"),
+    )
+    rows = []
+    for model, m_col, w_col in (
+        ("naive", "m1", "w1"),
+        ("seasonal_naive", "m2", "w2"),
+        ("expanding_mean", "m3", "w3"),
+    ):
+        rows.append(
+            comb.select(
+                F.lit(model).alias("model"),
+                F.round(F.col(m_col), 6).alias("mse"),
+                F.round(F.col(w_col), 6).alias("weight"),
+            )
+        )
+    rows.append(
+        comb.select(
+            F.lit("combined").alias("model"),
+            F.round(F.col("mc"), 6).alias("mse"),
+            F.lit(1.0).alias("weight"),
+        )
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -202,6 +202,9 @@ QUERIES = [
     "q_nb_overdispersion",
     "q_cohens_kappa",
     "q_linear_shap",
+    "q_mcnemar_test",
+    "q_evt_block_maxima",
+    "q_forecast_combination",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
