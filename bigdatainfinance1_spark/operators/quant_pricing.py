@@ -599,3 +599,215 @@ def efficient_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("min_var_w"),
         F.col("n").cast("long").alias("n_months"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_price_elasticity — log-log demand elasticity per brand
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_price_elasticity",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand AS brand,
+             ln(l.l_extendedprice / l.l_quantity) AS lx,
+             ln(l.l_quantity) AS ly
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0
+    ),
+    mo AS (
+      SELECT brand, count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * lx) AS sxx, sum(lx * ly) AS sxy, sum(ly * ly) AS syy
+      FROM f GROUP BY brand
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_lines,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) < -1.0 AS is_elastic
+    FROM mo
+    """,
+    tags=("finance", "econ"),
+)
+def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price demand elasticity per brand by the log-log regression
+    ln(quantity) on ln(unit price): the slope IS the elasticity
+    (percent quantity change per percent price change), with R^2 and the
+    |e| > 1 elastic flag — the pricing-power read every revenue-management
+    stack starts from, and the economically-interpretable sibling of the
+    level-space q_regr_by_brand. (TPC-H quantity is independent of price,
+    so elasticity ~ 0 with R^2 ~ 0 — the machinery, as everywhere, is the
+    verified artifact.)
+
+    Scale: one fact-dim join + one map-side-combinable per-brand moment
+    aggregate; the slope is the same closed-form Pearson algebra as
+    q_regr_beta on log-transformed columns, rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    f = (
+        li.filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(part.select("p_partkey", "p_brand")), li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("lx"),
+            F.log("l_quantity").alias("ly"),
+        )
+    )
+    mo = f.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mo.select(
+        "brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(slope, 6).alias("elasticity"),
+        F.round(
+            F.pow(n * F.col("sxy") - F.col("sx") * F.col("sy"), F.lit(2))
+            / (
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+        (slope < -1.0).alias("is_elastic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_tail_dependence — empirical upper/lower tail dependence of two series
+# ---------------------------------------------------------------------------
+
+TAIL_Q = 0.8  # tail threshold quantile (empirical, via rank counts)
+
+
+@query(
+    "q_tail_dependence",
+    oracle=f"""
+    WITH rr AS (
+      SELECT r.r_name, date_trunc('month', o.o_orderdate) AS month,
+             round(sum(o.o_totalprice), 2) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('EUROPE', 'ASIA')
+      GROUP BY r.r_name, date_trunc('month', o.o_orderdate)
+    ),
+    ret AS (
+      SELECT r_name, month,
+             round(rev / lag(rev) OVER (PARTITION BY r_name ORDER BY month) - 1, 6) AS r
+      FROM rr
+    ),
+    j AS (
+      SELECT a.month, a.r AS x, b.r AS y
+      FROM ret a JOIN ret b ON a.month = b.month
+      WHERE a.r_name = 'EUROPE' AND b.r_name = 'ASIA'
+        AND a.r IS NOT NULL AND b.r IS NOT NULL
+    ),
+    ranked AS (
+      SELECT month, x, y,
+             (SELECT count(*) FROM j b WHERE b.x < a.x
+                 OR (b.x = a.x AND b.month < a.month)) + 1 AS rx,
+             (SELECT count(*) FROM j b WHERE b.y < a.y
+                 OR (b.y = a.y AND b.month < a.month)) + 1 AS ry,
+             (SELECT count(*) FROM j) AS n
+      FROM j a
+    ),
+    s AS (
+      SELECT max(n) AS n,
+             sum(CASE WHEN rx > {TAIL_Q} * n AND ry > {TAIL_Q} * n THEN 1 ELSE 0 END) AS both_up,
+             sum(CASE WHEN rx > {TAIL_Q} * n THEN 1 ELSE 0 END) AS x_up,
+             sum(CASE WHEN rx <= (1 - {TAIL_Q}) * n AND ry <= (1 - {TAIL_Q}) * n THEN 1 ELSE 0 END) AS both_dn,
+             sum(CASE WHEN rx <= (1 - {TAIL_Q}) * n THEN 1 ELSE 0 END) AS x_dn
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(both_up AS BIGINT) AS joint_upper_exceed,
+           round(both_up * 1.0 / nullif(x_up, 0), 6) AS upper_tail_dep,
+           CAST(both_dn AS BIGINT) AS joint_lower_exceed,
+           round(both_dn * 1.0 / nullif(x_dn, 0), 6) AS lower_tail_dep
+    FROM s
+    """,
+    tags=("finance", "risk", "dependence"),
+)
+def tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail dependence between EUROPE and ASIA monthly returns:
+    lambda_U ~ P(Y in its top {q} tail | X in its top tail) and the lower
+    analog, from exact integer rank counts — the co-crash measure
+    correlation misses entirely (a Gaussian copula has lambda = 0 at ANY
+    correlation; portfolios discover this in drawdowns). Complements
+    q_rolling_corr / q_portfolio_cov with the dependence-structure view
+    that drives joint-stress assumptions (q_stress_scenarios).
+
+    Scale: the calendar-bounded return join (~80 months); ranks via
+    count-of-smaller comparisons with the month as total-order tie-break
+    (exact integers, no window); tail flags and the conditional ratios
+    are closed forms, nullif-guarded for empty tails."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rr = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("EUROPE", "ASIA"))
+        .groupBy("r_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("r_name").orderBy("month")
+    ret = rr.select(
+        "r_name", "month", F.round(F.col("rev") / F.lag("rev").over(w) - 1, 6).alias("r")
+    )
+    a = ret.filter(F.col("r_name") == "EUROPE").select("month", F.col("r").alias("x"))
+    b = ret.filter(F.col("r_name") == "ASIA").select("month", F.col("r").alias("y"))
+    j = a.join(b, "month").filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+
+    def rank_on(col: str, out: str) -> DataFrame:
+        lhs = j.select(F.col("month").alias("m"), F.col(col).alias("va"))
+        rhs = j.select(F.col("month").alias("m_b"), F.col(col).alias("vb"))
+        return (
+            lhs.join(
+                F.broadcast(rhs),
+                (F.col("vb") < F.col("va"))
+                | ((F.col("vb") == F.col("va")) & (F.col("m_b") < F.col("m"))),
+                "left",
+            )
+            .groupBy("m")
+            .agg((F.count(F.col("m_b")) + 1).alias(out))
+        )
+    nn = j.count()
+    ranked = rank_on("x", "rx").join(rank_on("y", "ry"), "m")
+    s = ranked.agg(
+        F.sum(
+            F.when((F.col("rx") > TAIL_Q * nn) & (F.col("ry") > TAIL_Q * nn), 1).otherwise(0)
+        ).alias("both_up"),
+        F.sum(F.when(F.col("rx") > TAIL_Q * nn, 1).otherwise(0)).alias("x_up"),
+        F.sum(
+            F.when(
+                (F.col("rx") <= (1 - TAIL_Q) * nn) & (F.col("ry") <= (1 - TAIL_Q) * nn), 1
+            ).otherwise(0)
+        ).alias("both_dn"),
+        F.sum(F.when(F.col("rx") <= (1 - TAIL_Q) * nn, 1).otherwise(0)).alias("x_dn"),
+    )
+    return s.select(
+        F.lit(nn).cast("long").alias("n_months"),
+        F.col("both_up").cast("long").alias("joint_upper_exceed"),
+        F.round(F.col("both_up") * 1.0 / F.nullif(F.col("x_up"), F.lit(0)), 6).alias(
+            "upper_tail_dep"
+        ),
+        F.col("both_dn").cast("long").alias("joint_lower_exceed"),
+        F.round(F.col("both_dn") * 1.0 / F.nullif(F.col("x_dn"), F.lit(0)), 6).alias(
+            "lower_tail_dep"
+        ),
+    )

@@ -205,6 +205,8 @@ QUERIES = [
     "q_mcnemar_test",
     "q_evt_block_maxima",
     "q_forecast_combination",
+    "q_price_elasticity",
+    "q_tail_dependence",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
