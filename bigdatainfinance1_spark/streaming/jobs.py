@@ -1371,3 +1371,52 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(agg, "complete")
+
+
+@query(
+    "q_stream_vwap",
+    oracle="""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS bar_start,
+             round(value, 4) AS px,
+             (event_id % 100) + 1 AS sz
+      FROM events
+    )
+    SELECT bar_start,
+           CAST(sum(sz) AS BIGINT) AS volume,
+           round(sum(px * sz) / sum(sz), 6) AS vwap,
+           round(avg(px), 6) AS twap_naive
+    FROM e GROUP BY bar_start
+    """,
+    tags=("streaming", "events", "finance"),
+)
+def stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1+ (execution benchmark): hourly volume-weighted average price as
+    a REAL Structured Streaming job — the live benchmark execution desks
+    compare fills against, maintained incrementally as two running sums
+    (sum px x sz, sum sz) in the state store; the naive per-tick mean
+    rides alongside to show the size-weighting difference. Tick size is
+    derived deterministically from the event id (the corpus carries no
+    size column); price is the 4-dp-rounded event value.
+
+    availableNow replay makes the result batch-equivalent, so the batch
+    SQL is a FULL value-hash oracle (the q_stream_tumbling precedent).
+    The weighted sums are integer-weighted 4-dp values — ulp noise far
+    under the 6-dp rounding. Scale: state is O(open windows); the
+    aggregation is map-side-combinable before the state update."""
+    ev = read_events_stream(spark, sf_dir)
+    e = ev.select(
+        F.window("ts", "1 hour").alias("w"),
+        F.round("value", 4).alias("px"),
+        ((F.col("event_id") % 100) + 1).alias("sz"),
+    )
+    agg = (
+        e.groupBy("w")
+        .agg(
+            F.sum("sz").cast("long").alias("volume"),
+            F.round(F.sum(F.col("px") * F.col("sz")) / F.sum("sz"), 6).alias("vwap"),
+            F.round(F.avg("px"), 6).alias("twap_naive"),
+        )
+        .select(F.col("w.start").alias("bar_start"), "volume", "vwap", "twap_naive")
+    )
+    return run_to_table(agg, "complete")

@@ -207,6 +207,7 @@ QUERIES = [
     "q_forecast_combination",
     "q_price_elasticity",
     "q_tail_dependence",
+    "q_stream_vwap",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
