@@ -701,3 +701,27 @@ def test_round4_mining_and_metrics_wave_plans(spark):
     for name in ("q_deflated_sharpe", "q_degree_assortativity", "q_span_corruption"):
         plan = formatted(SPECS[name].fn(spark, SF_DIR))
         assert "partial_" in plan, name
+
+
+def test_round4_endgame_wave_plans(spark):
+    """The closing statistics/finance/forecast/XAI additions: no
+    cartesians, no Python eval; the single-aggregate queries show
+    map-side partial aggregation."""
+    for name in (
+        "q_kendalls_w",
+        "q_theil_decomposition",
+        "q_nb_overdispersion",
+        "q_cohens_kappa",
+        "q_linear_shap",
+        "q_mcnemar_test",
+        "q_evt_block_maxima",
+        "q_forecast_combination",
+        "q_price_elasticity",
+        "q_tail_dependence",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    for name in ("q_cohens_kappa", "q_mcnemar_test", "q_evt_block_maxima", "q_price_elasticity"):
+        plan = formatted(SPECS[name].fn(spark, SF_DIR))
+        assert "partial_" in plan, name
