@@ -401,7 +401,10 @@ def forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n12 = idx.select((F.col("i") + 12).alias("i"), F.col("z").alias("f_snaive"))
     prior = idx.select(F.col("i").alias("j"), F.col("z").alias("zj"))
     fmean = (
-        a.join(prior, F.col("j") < F.col("i"))
+        # explicit broadcast: the prior-months side is calendar-bounded, and
+        # without the hint this non-equi join degrades to a cartesian when
+        # session state has auto-broadcast disabled (the plan-suite catch)
+        a.join(F.broadcast(prior), F.col("j") < F.col("i"))
         .groupBy("i")
         .agg(F.round(F.avg("zj"), 8).alias("f_mean"))
     )
