@@ -984,3 +984,172 @@ def ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tsy") / F.col("tn") - F.col("csy") / F.col("cn"), 4).alias("naive_diff"),
         F.round(F.col("tsw") / (F.col("tn") + F.col("cn")), 6).alias("treated_ess_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_iv_regression — two-stage least squares with weak-instrument diagnostic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_iv_regression",
+    oracle="""
+    WITH f AS (
+      SELECT l.l_extendedprice / 1000.0 AS y,
+             l.l_quantity * 1.0 AS x,
+             p.p_size * 1.0 AS z
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    mo AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(z * x) AS szx, sum(z * y) AS szy, sum(z * z) AS szz,
+             sum(x * x) AS sxx
+      FROM f
+    ),
+    c AS (
+      SELECT n,
+             szx / n - (sz / n) * (sx / n) AS c_zx,
+             szy / n - (sz / n) * (sy / n) AS c_zy,
+             szz / n - (sz / n) * (sz / n) AS c_zz,
+             sxx / n - (sx / n) * (sx / n) AS c_xx
+      FROM mo
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(c_zy / c_zx, 6) AS beta_iv,
+           round(c_zx / c_zz, 6) AS first_stage_slope,
+           round((n - 2.0) * (c_zx * c_zx / (c_zz * c_xx))
+                 / (1.0 - c_zx * c_zx / (c_zz * c_xx)), 4) AS first_stage_f,
+           (n - 2.0) * (c_zx * c_zx / (c_zz * c_xx))
+             / (1.0 - c_zx * c_zx / (c_zz * c_xx)) < 10.0 AS weak_instrument
+    FROM c
+    """,
+    tags=("experimentation", "causal", "econ"),
+)
+def iv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variables (2SLS, just-identified) estimate of the
+    effect of line quantity on line revenue, instrumented by part size:
+    beta_IV = cov(z, y)/cov(z, x), with the FIRST-STAGE F statistic and
+    the F < 10 weak-instrument flag that decides whether beta_IV is
+    usable at all — the Stock-Yogo discipline. (Part size and quantity
+    are independent in this corpus, so the flag FIRES and the query's
+    honest output is "this instrument is too weak to identify anything" —
+    exactly what an IV pipeline must detect before reporting a number.)
+    Completes the causal toolkit next to q_ipw_ate / q_aipw_ate /
+    q_diff_in_diff: IV is the tool for UNOBSERVED confounding, where
+    propensity methods cannot help.
+
+    Scale: one fact-dim join + ONE map-side-combinable moment aggregate;
+    beta and F are closed forms of the centered moments, rounded at
+    6/4."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    f = li.join(F.broadcast(part.select("p_partkey", "p_size")), li.l_partkey == F.col("p_partkey")).select(
+        (F.col("l_extendedprice") / 1000.0).alias("y"),
+        (F.col("l_quantity") * 1.0).alias("x"),
+        (F.col("p_size") * 1.0).alias("z"),
+    )
+    mo = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("x")).alias("szx"),
+        F.sum(F.col("z") * F.col("y")).alias("szy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    c_zx = F.col("szx") / n - (F.col("sz") / n) * (F.col("sx") / n)
+    c_zy = F.col("szy") / n - (F.col("sz") / n) * (F.col("sy") / n)
+    c_zz = F.col("szz") / n - (F.col("sz") / n) * (F.col("sz") / n)
+    c_xx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    r2 = c_zx * c_zx / (c_zz * c_xx)
+    fstat = (n - 2.0) * r2 / (1.0 - r2)
+    return mo.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(c_zy / c_zx, 6).alias("beta_iv"),
+        F.round(c_zx / c_zz, 6).alias("first_stage_slope"),
+        F.round(fstat, 4).alias("first_stage_f"),
+        (fstat < 10.0).alias("weak_instrument"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_regression_discontinuity — sharp RD at a value cutoff
+# ---------------------------------------------------------------------------
+
+RD_CUTOFF = 225000.0
+RD_BANDWIDTH = 50000.0
+
+
+@query(
+    "q_regression_discontinuity",
+    oracle=f"""
+    WITH w AS (
+      SELECT CASE WHEN o_totalprice >= {RD_CUTOFF} THEN 1 ELSE 0 END AS above,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+      WHERE o_totalprice >= {RD_CUTOFF} - {RD_BANDWIDTH}
+        AND o_totalprice < {RD_CUTOFF} + {RD_BANDWIDTH}
+    ),
+    s AS (
+      SELECT sum(CASE WHEN above = 1 THEN y ELSE 0 END) AS y1,
+             sum(CASE WHEN above = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN above = 0 THEN y ELSE 0 END) AS y0,
+             sum(CASE WHEN above = 0 THEN 1 ELSE 0 END) AS n0
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above,
+           CAST(n0 AS BIGINT) AS n_below,
+           round(y1 * 1.0 / n1, 6) AS rate_above,
+           round(y0 * 1.0 / n0, 6) AS rate_below,
+           round(y1 * 1.0 / n1 - y0 * 1.0 / n0, 6) AS rd_jump,
+           round((y1 * 1.0 / n1 - y0 * 1.0 / n0)
+                 / sqrt((y1 * 1.0 / n1) * (1 - y1 * 1.0 / n1) / n1
+                        + (y0 * 1.0 / n0) * (1 - y0 * 1.0 / n0) / n0), 4) AS z_stat
+    FROM s
+    """,
+    tags=("experimentation", "causal"),
+)
+def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at the {cut} order-value cutoff:
+    compare the finished-order rate just above vs just below within a
+    +-{bw} bandwidth — the local jump is the causal effect of crossing
+    the threshold IF units can't precisely sort around it, the design
+    behind every "discount kicks in at X" / "credit limit at Y" analysis.
+    Reports the two local rates, the jump, and its two-proportion z.
+    (No policy lives at this cutoff in TPC-H, so jump ~ 0 — the
+    machinery, bandwidth discipline included, is the artifact.) With IV
+    and IPW/AIPW/DiD this completes the applied-causal toolbox: RD is
+    the tool when assignment is a known deterministic threshold.
+
+    Scale: the bandwidth predicate pushes down to the scan; one integer
+    contingency aggregate; closed forms rounded at 6/4."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.filter(
+        (F.col("o_totalprice") >= RD_CUTOFF - RD_BANDWIDTH)
+        & (F.col("o_totalprice") < RD_CUTOFF + RD_BANDWIDTH)
+    ).select(
+        F.when(F.col("o_totalprice") >= RD_CUTOFF, 1).otherwise(0).alias("above"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    s = w.agg(
+        F.sum(F.when(F.col("above") == 1, F.col("y")).otherwise(0)).alias("y1"),
+        F.sum(F.when(F.col("above") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("above") == 0, F.col("y")).otherwise(0)).alias("y0"),
+        F.sum(F.when(F.col("above") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    p1 = F.col("y1") * 1.0 / F.col("n1")
+    p0 = F.col("y0") * 1.0 / F.col("n0")
+    return s.select(
+        F.col("n1").cast("long").alias("n_above"),
+        F.col("n0").cast("long").alias("n_below"),
+        F.round(p1, 6).alias("rate_above"),
+        F.round(p0, 6).alias("rate_below"),
+        F.round(p1 - p0, 6).alias("rd_jump"),
+        F.round(
+            (p1 - p0)
+            / F.sqrt(p1 * (1 - p1) / F.col("n1") + p0 * (1 - p0) / F.col("n0")),
+            4,
+        ).alias("z_stat"),
+    )

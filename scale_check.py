@@ -208,6 +208,8 @@ QUERIES = [
     "q_price_elasticity",
     "q_tail_dependence",
     "q_stream_vwap",
+    "q_iv_regression",
+    "q_regression_discontinuity",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
