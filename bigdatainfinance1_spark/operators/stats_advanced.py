@@ -1134,3 +1134,149 @@ def nb_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(v > mu, mu * mu / (v - mu)), 6).alias("nb_r"),
         F.round(F.when(v > mu, mu / v), 6).alias("nb_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_survival_rmst — restricted mean survival time from the KM curve
+# ---------------------------------------------------------------------------
+
+RMST_TAU = 365  # restriction horizon (days)
+
+
+@query(
+    "q_survival_rmst",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    maxd AS (SELECT max(o_orderdate) AS maxdate FROM orders),
+    durations AS (
+      SELECT f.seg,
+             CASE WHEN s.o_custkey IS NOT NULL
+                  THEN datediff('day', f.o_orderdate, s.o_orderdate)
+                  ELSE datediff('day', f.o_orderdate, m.maxdate) END AS t,
+             CASE WHEN s.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM ranked f
+      LEFT JOIN ranked s ON f.o_custkey = s.o_custkey AND s.rn = 2
+      CROSS JOIN maxd m
+      WHERE f.rn = 1
+    ),
+    grid AS (
+      SELECT seg, t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS at_t
+      FROM durations GROUP BY seg, t
+    ),
+    risk AS (
+      SELECT seg, t, d,
+             CAST(sum(at_t) OVER (PARTITION BY seg ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+      FROM grid
+    ),
+    km AS (
+      SELECT seg, t,
+             round(exp(sum(ln(1e0 - d * 1e0 / n_risk)) OVER (
+               PARTITION BY seg ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 8) AS s
+      FROM risk WHERE d > 0 AND d < n_risk AND t <= {RMST_TAU}
+    ),
+    steps AS (
+      SELECT seg, t, s,
+             lead(t, 1, {RMST_TAU}) OVER (PARTITION BY seg ORDER BY t) AS t_next,
+             lag(s) OVER (PARTITION BY seg ORDER BY t) AS s_prev,
+             min(t) OVER (PARTITION BY seg) AS t_first
+      FROM km
+    )
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_event_times,
+           round(max(t_first) * 1.0
+                 + sum(s * (least(t_next, {RMST_TAU}) - t)), 4) AS rmst_days,
+           round(max(t_first) * 1.0
+                 + sum(s * (least(t_next, {RMST_TAU}) - t)), 4) / {RMST_TAU} AS rmst_frac
+    FROM steps GROUP BY seg
+    """,
+    tags=("stats", "survival"),
+)
+def survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time to tau = {tau} days per market
+    segment — the area under the Kaplan-Meier curve up to the horizon:
+    "expected repeat-purchase-free days in the first year". RMST is the
+    estimand regulators increasingly prefer over hazard ratios (it needs
+    no proportional-hazards assumption and reads in DAYS), and it
+    completes the survival arc: estimate (q_kaplan_meier /
+    q_nelson_aalen) -> compare (q_logrank_test) -> summarize (this).
+    Computed as the exact step integral: S = 1 before the first event
+    time (contributing t_first days), then each KM step S(t_i) holds for
+    (t_(i+1) - t_i) days, truncated at tau.
+
+    Scale: the KM posture end to end — per-customer window, then every
+    computation on the bounded per-segment event-time grid with
+    partitioned windows; the integral is one ordered prefix-product and
+    one sum over that grid, with S rounded at 8 before the area sum
+    (O(grid) summands against the 4-dp output rounding)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(wc).alias("rn"),
+    )
+    first = ranked.filter(F.col("rn") == 1).select(
+        "seg", F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("d1")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderdate").alias("d2")
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("maxdate"))
+    durations = (
+        first.join(second, "ck", "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "seg",
+            F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+            .otherwise(F.datediff("maxdate", "d1"))
+            .alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    grid = durations.groupBy("seg", "t").agg(
+        F.sum("ev").cast("long").alias("d"), F.count(F.lit(1)).alias("at_t")
+    )
+    wdesc = Window.partitionBy("seg").orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grid.select(
+        "seg", "t", "d", F.sum("at_t").over(wdesc).cast("long").alias("n_risk")
+    )
+    wasc = Window.partitionBy("seg").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = (
+        risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")) & (F.col("t") <= RMST_TAU))
+        .select(
+            "seg",
+            "t",
+            F.round(
+                F.exp(F.sum(F.log(1e0 - F.col("d") * 1e0 / F.col("n_risk"))).over(wasc)), 8
+            ).alias("s"),
+        )
+    )
+    wseg = Window.partitionBy("seg").orderBy("t")
+    steps = km.select(
+        "seg",
+        "t",
+        "s",
+        F.lead("t", 1, RMST_TAU).over(wseg).alias("t_next"),
+        F.min("t").over(Window.partitionBy("seg")).alias("t_first"),
+    )
+    rmst = F.max("t_first") * 1.0 + F.sum(
+        F.col("s") * (F.least(F.col("t_next"), F.lit(RMST_TAU)) - F.col("t"))
+    )
+    return steps.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_event_times"),
+        F.round(rmst, 4).alias("rmst_days"),
+        (F.round(rmst, 4) / RMST_TAU).alias("rmst_frac"),
+    )

@@ -210,6 +210,7 @@ QUERIES = [
     "q_stream_vwap",
     "q_iv_regression",
     "q_regression_discontinuity",
+    "q_survival_rmst",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
