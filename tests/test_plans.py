@@ -725,3 +725,15 @@ def test_round4_endgame_wave_plans(spark):
     for name in ("q_cohens_kappa", "q_mcnemar_test", "q_evt_block_maxima", "q_price_elasticity"):
         plan = formatted(SPECS[name].fn(spark, SF_DIR))
         assert "partial_" in plan, name
+
+
+def test_round4_causal_and_survival_close_plans(spark):
+    """IV / RD / RMST / streaming-VWAP close: no cartesians, no Python
+    eval; RD's bandwidth predicate reaches the parquet scan."""
+    for name in ("q_iv_regression", "q_regression_discontinuity", "q_survival_rmst"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = formatted(SPECS["q_regression_discontinuity"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:400]
