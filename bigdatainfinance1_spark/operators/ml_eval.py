@@ -1105,3 +1105,250 @@ def lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_pos") * 1.0 / F.col("p")) / (F.col("cum_n") * 1.0 / F.col("nt")), 6
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_brier_decomposition — Murphy decomposition of the Brier score
+# ---------------------------------------------------------------------------
+
+_BRIER_F_SQL = """CASE substr(o_orderpriority, 1, 1)
+             WHEN '1' THEN 0.9 WHEN '2' THEN 0.7 WHEN '3' THEN 0.5
+             WHEN '4' THEN 0.3 ELSE 0.1 END"""
+
+
+@query(
+    "q_brier_decomposition",
+    oracle=f"""
+    WITH r AS (
+      SELECT CAST({_BRIER_F_SQL} AS DOUBLE) AS f,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    b AS (
+      SELECT f, count(*) AS nk, sum(y) AS yk FROM r GROUP BY f
+    ),
+    tot AS (SELECT sum(nk) AS n, sum(yk) AS ny FROM b),
+    parts AS (
+      SELECT tot.n, tot.ny * 1.0 / tot.n AS obar,
+             sum(b.nk * (b.f - b.yk * 1.0 / b.nk) * (b.f - b.yk * 1.0 / b.nk)) / tot.n
+               AS reliability,
+             sum(b.nk * (b.yk * 1.0 / b.nk - tot.ny * 1.0 / tot.n)
+                       * (b.yk * 1.0 / b.nk - tot.ny * 1.0 / tot.n)) / tot.n
+               AS resolution
+      FROM b CROSS JOIN tot GROUP BY tot.n, tot.ny
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(obar, 6) AS base_rate,
+           round(reliability, 6) AS reliability,
+           round(resolution, 6) AS resolution,
+           round(obar * (1.0 - obar), 6) AS uncertainty,
+           round(reliability - resolution + obar * (1.0 - obar), 6) AS brier_score
+    FROM parts
+    """,
+    tags=("ml", "eval", "calibration"),
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for a 5-level probability
+    forecaster (priority digit mapped to P(order finished)):
+    Brier = reliability - resolution + uncertainty, where reliability
+    punishes miscalibration (forecast vs realized rate per bin),
+    resolution rewards bins that separate outcomes, and uncertainty is
+    the irreducible base-rate variance — the decomposition that says WHY
+    a probabilistic score is bad, where q_calibration_bins only shows the
+    reliability diagram and q_brier-less accuracy metrics can't
+    distinguish sharp-but-wrong from vague-but-calibrated.
+
+    Scale: one (forecast-bin) integer aggregate; the identity
+    brier = rel - res + unc is exact in this binned form (verified by
+    construction — the output computes the right side). All closed forms
+    of integer counts, rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.expr(_BRIER_F_SQL).cast("double").alias("f"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    b = r.groupBy("f").agg(F.count(F.lit(1)).alias("nk"), F.sum("y").alias("yk"))
+    tot = b.agg(F.sum("nk").alias("n"), F.sum("yk").alias("ny"))
+    j = b.crossJoin(F.broadcast(tot))
+    ok = F.col("yk") * 1.0 / F.col("nk")
+    obar = F.col("ny") * 1.0 / F.col("n")
+    parts = j.groupBy("n", "ny").agg(
+        F.sum(F.col("nk") * (F.col("f") - ok) * (F.col("f") - ok)).alias("rel_num"),
+        F.sum(F.col("nk") * (ok - obar) * (ok - obar)).alias("res_num"),
+    )
+    obar2 = F.col("ny") * 1.0 / F.col("n")
+    rel = F.col("rel_num") / F.col("n")
+    res = F.col("res_num") / F.col("n")
+    return parts.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(obar2, 6).alias("base_rate"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(obar2 * (1.0 - obar2), 6).alias("uncertainty"),
+        F.round(rel - res + obar2 * (1.0 - obar2), 6).alias("brier_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_conformal_interval — split-conformal prediction interval + coverage
+# ---------------------------------------------------------------------------
+
+CONF_ALPHA = 0.1  # target 90% coverage
+
+
+@query(
+    "q_conformal_interval",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey, o_orderkey % 3 AS fold,
+             (year(o_orderdate) - 1998) * 12.0 / 42.0
+               + (month(o_orderdate) - 1) / 42.0 AS x1,
+             (CAST(substr(o_orderpriority, 1, 1) AS INT) - 3.0) / 2.0 AS x2,
+             o_totalprice / 500000.0 AS y
+      FROM orders
+    ),
+    mo AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM f WHERE fold = 0
+    ),
+    c AS (
+      SELECT s11 - s1 * s1 / n AS c11, s12 - s1 * s2 / n AS c12,
+             s22 - s2 * s2 / n AS c22, s1y - s1 * sy / n AS c1y,
+             s2y - s2 * sy / n AS c2y,
+             s1 / n AS m1, s2 / n AS m2, sy / n AS my
+      FROM mo
+    ),
+    beta AS (
+      SELECT m1, m2, my,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+      FROM c
+    ),
+    resid AS (
+      SELECT f.o_orderkey, f.fold,
+             round(abs(f.y - (beta.my + beta.b1 * (f.x1 - beta.m1)
+                              + beta.b2 * (f.x2 - beta.m2))), 8) AS ar
+      FROM f CROSS JOIN beta WHERE f.fold IN (1, 2)
+    ),
+    cal AS (
+      SELECT ar, row_number() OVER (ORDER BY ar, o_orderkey) AS rn,
+             count(*) OVER () AS n_cal
+      FROM resid WHERE fold = 1
+    ),
+    qhat AS (
+      SELECT n_cal,
+             min(CASE WHEN rn = least(CAST(ceil((n_cal + 1) * {1 - CONF_ALPHA}) AS BIGINT), n_cal)
+                      THEN ar END) AS q
+      FROM cal GROUP BY n_cal
+    )
+    SELECT CAST(qhat.n_cal AS BIGINT) AS n_calibration,
+           round(qhat.q, 8) AS qhat_halfwidth,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(sum(CASE WHEN r.ar <= qhat.q THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS test_coverage,
+           {1 - CONF_ALPHA} AS target_coverage
+    FROM resid r CROSS JOIN qhat
+    WHERE r.fold = 2
+    GROUP BY qhat.n_cal, qhat.q
+    """,
+    tags=("ml", "eval", "uncertainty"),
+)
+def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the order-value regression
+    (the q_ridge_path feature set at lambda = 0): fit on fold 0,
+    calibrate the half-width as the ceil((n+1)(1-alpha))-th smallest
+    absolute residual on fold 1 — the finite-sample-valid quantile, NOT
+    the naive empirical one — and report realized coverage on held-out
+    fold 2. Conformal's guarantee (coverage >= 1 - alpha for ANY model,
+    any distribution, under exchangeability) is the distribution-free
+    uncertainty statement q_dkw_band makes for CDFs, here for
+    per-prediction intervals — the modern UQ layer over the point models.
+
+    Scale: one moment aggregate (fit) + one residual pass with the 1-row
+    beta relation broadcast; the order statistic comes from the
+    two-phase global rank (no single-partition window Spark-side), with
+    residuals rounded at 8 before ranking and the order key as tie-break
+    so the selected value is engine-exact; coverage is an integer
+    count."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 3).alias("fold"),
+        (
+            (F.year("o_orderdate") - 1998) * 12.0 / 42.0
+            + (F.month("o_orderdate") - 1) / 42.0
+        ).alias("x1"),
+        ((F.substring("o_orderpriority", 1, 1).cast("int") - 3.0) / 2.0).alias("x2"),
+        (F.col("o_totalprice") / 500000.0).alias("y"),
+    )
+    mo = f.filter(F.col("fold") == 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    c = mo.select(
+        (F.col("s11") - F.col("s1") * F.col("s1") / n).alias("c11"),
+        (F.col("s12") - F.col("s1") * F.col("s2") / n).alias("c12"),
+        (F.col("s22") - F.col("s2") * F.col("s2") / n).alias("c22"),
+        (F.col("s1y") - F.col("s1") * F.col("sy") / n).alias("c1y"),
+        (F.col("s2y") - F.col("s2") * F.col("sy") / n).alias("c2y"),
+        (F.col("s1") / n).alias("m1"),
+        (F.col("s2") / n).alias("m2"),
+        (F.col("sy") / n).alias("my"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    beta = c.select(
+        "m1",
+        "m2",
+        "my",
+        ((F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det).alias("b1"),
+        ((F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias("b2"),
+    )
+    resid = (
+        f.filter(F.col("fold").isin(1, 2))
+        .crossJoin(F.broadcast(beta))
+        .select(
+            "o_orderkey",
+            "fold",
+            F.round(
+                F.abs(
+                    F.col("y")
+                    - (
+                        F.col("my")
+                        + F.col("b1") * (F.col("x1") - F.col("m1"))
+                        + F.col("b2") * (F.col("x2") - F.col("m2"))
+                    )
+                ),
+                8,
+            ).alias("ar"),
+        )
+    )
+    cal = resid.filter(F.col("fold") == 1)
+    n_cal = cal.count()  # O(1) driver scalar — sizes the conformal rank
+    import math
+
+    k = min(int(math.ceil((n_cal + 1) * (1 - CONF_ALPHA))), n_cal)
+    ranked = global_row_number(cal, [F.col("ar").asc(), F.col("o_orderkey").asc()], rn_col="rn")
+    qhat = ranked.filter(F.col("rn") == k).select(F.col("ar").alias("q"))
+    test = resid.filter(F.col("fold") == 2).crossJoin(F.broadcast(qhat))
+    return test.groupBy("q").agg(
+        F.lit(n_cal).cast("long").alias("n_calibration"),
+        F.round(F.first("q"), 8).alias("qhat_halfwidth"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(
+            F.sum(F.when(F.col("ar") <= F.col("q"), 1).otherwise(0)) * 1.0 / F.count(F.lit(1)),
+            6,
+        ).alias("test_coverage"),
+        F.lit(1 - CONF_ALPHA).alias("target_coverage"),
+    ).drop("q")

@@ -211,6 +211,8 @@ QUERIES = [
     "q_iv_regression",
     "q_regression_discontinuity",
     "q_survival_rmst",
+    "q_brier_decomposition",
+    "q_conformal_interval",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
