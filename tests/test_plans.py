@@ -737,3 +737,7 @@ def test_round4_causal_and_survival_close_plans(spark):
     plan = formatted(SPECS["q_regression_discontinuity"].fn(spark, SF_DIR))
     assert "PushedFilters" in plan
     assert "o_totalprice" in plan.split("PushedFilters")[1][:400]
+    for name in ("q_brier_decomposition", "q_conformal_interval"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
