@@ -114,3 +114,74 @@ def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("c") * F.log("p")) / F.sum("c"), 6).alias("avg_logp"),
         F.round(F.exp(-F.sum(F.col("c") * F.log("p")) / F.sum("c")), 4).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_chao1_vocabulary — unseen-vocabulary estimation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_chao1_vocabulary",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY lang, term),
+    s AS (
+      SELECT lang,
+             count(*) AS v_obs,
+             sum(c) AS n_tokens,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+             sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+      FROM tf GROUP BY lang
+    )
+    SELECT lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(v_obs AS BIGINT) AS vocab_observed,
+           CAST(f1 AS BIGINT) AS singletons,
+           CAST(f2 AS BIGINT) AS doubletons,
+           round(v_obs + f1 * 1.0 * f1 / (2.0 * nullif(f2, 0)), 2) AS chao1_vocab,
+           round(v_obs / (v_obs + f1 * 1.0 * f1 / (2.0 * nullif(f2, 0))), 6)
+             AS vocab_coverage,
+           round(f1 * 1.0 / n_tokens, 6) AS good_turing_unseen_mass
+    FROM s
+    """,
+    tags=("text", "llm", "stats"),
+)
+def chao1_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation per language: the Chao1 lower bound
+    V_obs + F1^2/(2 F2) from singleton/doubleton type counts — "how many
+    word types exist that this crawl hasn't seen yet" — with the implied
+    coverage ratio and the Good-Turing unseen probability mass F1/N (the
+    chance the NEXT token is a brand-new type). The
+    capture-recapture-style answer to "is more crawling worth it" that
+    q_heaps_law approaches by curve extrapolation; here it comes from
+    the frequency-of-frequencies spectrum instead, and the two should
+    agree in order of magnitude — a built-in cross-check.
+
+    Scale: one token explode + one (lang, term) count + one
+    frequency-spectrum aggregate; all closed forms of exact integers,
+    nullif-guarded for the no-doubletons corner."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    s = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    chao = F.col("v_obs") + F.col("f1") * 1.0 * F.col("f1") / (
+        2.0 * F.nullif(F.col("f2"), F.lit(0))
+    )
+    return s.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("v_obs").cast("long").alias("vocab_observed"),
+        F.col("f1").cast("long").alias("singletons"),
+        F.col("f2").cast("long").alias("doubletons"),
+        F.round(chao, 2).alias("chao1_vocab"),
+        F.round(F.col("v_obs") / chao, 6).alias("vocab_coverage"),
+        F.round(F.col("f1") * 1.0 / F.col("n_tokens"), 6).alias("good_turing_unseen_mass"),
+    )

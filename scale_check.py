@@ -213,6 +213,7 @@ QUERIES = [
     "q_survival_rmst",
     "q_brier_decomposition",
     "q_conformal_interval",
+    "q_chao1_vocabulary",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
