@@ -474,3 +474,102 @@ def forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_pacf — partial autocorrelation at lags 1..3 (Durbin-Levinson closed forms)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pacf",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    gmom AS (
+      SELECT count(*) AS n, round(avg(z), 8) AS mu FROM idx
+    ),
+    xc AS (
+      SELECT idx.i, round(idx.z - gmom.mu, 8) AS x, gmom.n FROM idx CROSS JOIN gmom
+    ),
+    g AS (
+      SELECT max(a.n) AS n,
+             sum(a.x * a.x) / max(a.n) AS g0,
+             sum(CASE WHEN b1.x IS NOT NULL THEN a.x * b1.x END) / max(a.n) AS g1,
+             sum(CASE WHEN b2.x IS NOT NULL THEN a.x * b2.x END) / max(a.n) AS g2,
+             sum(CASE WHEN b3.x IS NOT NULL THEN a.x * b3.x END) / max(a.n) AS g3
+      FROM xc a
+      LEFT JOIN xc b1 ON b1.i = a.i + 1
+      LEFT JOIN xc b2 ON b2.i = a.i + 2
+      LEFT JOIN xc b3 ON b3.i = a.i + 3
+    ),
+    rho AS (
+      SELECT n, g1 / g0 AS r1, g2 / g0 AS r2, g3 / g0 AS r3 FROM g
+    ),
+    dl AS (
+      SELECT n, r1, r2, r3,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+      FROM rho
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round(r1, 6) AS pacf_1,
+           round(phi22, 6) AS pacf_2,
+           round((r3 - (r1 * (1.0 - phi22)) * r2 - phi22 * r1)
+                 / (1.0 - (r1 * (1.0 - phi22)) * r1 - phi22 * r2), 6) AS pacf_3,
+           round(1.959964 / sqrt(n), 6) AS white_noise_band
+    FROM dl
+    """,
+    tags=("timeseries", "stats"),
+)
+def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of monthly revenue at lags 1-3 via the
+    Durbin-Levinson closed forms (phi11 = rho1, phi22 =
+    (rho2 - rho1^2)/(1 - rho1^2), phi33 from the level-2 coefficients) —
+    THE AR-order diagnostic: PACF cuts off after lag p for an AR(p),
+    where the raw ACF (q_autocorrelation) decays and cannot separate
+    direct from inherited correlation. The +-1.96/sqrt(n) white-noise
+    band rides along so the cutoff read is immediate.
+
+    Scale: the monthly aggregate, three lag equi-joins on the month
+    index (no windows), one moment aggregate, closed forms — all
+    calendar-bounded. Deviations round at 8 before the products; the
+    autocovariances share one fixed divisor n so the rho ratios are
+    engine-identical to ulp, rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    gmom = idx.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("z"), 8).alias("mu"))
+    xc = idx.crossJoin(F.broadcast(gmom)).select(
+        "i", F.round(F.col("z") - F.col("mu"), 8).alias("x"), "n"
+    )
+    a = xc.select("i", F.col("x").alias("xa"), "n")
+    for k in (1, 2, 3):
+        a = a.join(
+            F.broadcast(xc.select((F.col("i") - k).alias("i"), F.col("x").alias(f"xl{k}"))),
+            "i",
+            "left",
+        )
+    g = a.agg(
+        F.max("n").alias("n"),
+        (F.sum(F.col("xa") * F.col("xa")) / F.max("n")).alias("g0"),
+        (F.sum(F.col("xa") * F.col("xl1")) / F.max("n")).alias("g1"),
+        (F.sum(F.col("xa") * F.col("xl2")) / F.max("n")).alias("g2"),
+        (F.sum(F.col("xa") * F.col("xl3")) / F.max("n")).alias("g3"),
+    )
+    rho = g.select(
+        "n",
+        (F.col("g1") / F.col("g0")).alias("r1"),
+        (F.col("g2") / F.col("g0")).alias("r2"),
+        (F.col("g3") / F.col("g0")).alias("r3"),
+    )
+    phi22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (1.0 - F.col("r1") * F.col("r1"))
+    dl = rho.select("n", "r1", "r2", "r3", phi22.alias("phi22"))
+    phi21 = F.col("r1") * (1.0 - F.col("phi22"))
+    return dl.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(F.col("r1"), 6).alias("pacf_1"),
+        F.round(F.col("phi22"), 6).alias("pacf_2"),
+        F.round(
+            (F.col("r3") - phi21 * F.col("r2") - F.col("phi22") * F.col("r1"))
+            / (1.0 - phi21 * F.col("r1") - F.col("phi22") * F.col("r2")),
+            6,
+        ).alias("pacf_3"),
+        F.round(1.959964 / F.sqrt(F.col("n").cast("double")), 6).alias("white_noise_band"),
+    )

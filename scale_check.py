@@ -214,6 +214,7 @@ QUERIES = [
     "q_brier_decomposition",
     "q_conformal_interval",
     "q_chao1_vocabulary",
+    "q_pacf",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
