@@ -215,6 +215,17 @@ QUERIES = [
     "q_conformal_interval",
     "q_chao1_vocabulary",
     "q_pacf",
+    # round-4 econometric-diagnostics wave (all calendar-bounded)
+    "q_jarque_bera",
+    "q_durbin_watson",
+    "q_breusch_pagan",
+    "q_ljung_box",
+    "q_adf_test",
+    "q_variance_ratio",
+    "q_newey_west",
+    "q_runs_test",
+    "q_granger_causality",
+    "q_engle_granger",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

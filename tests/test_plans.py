@@ -741,3 +741,29 @@ def test_round4_causal_and_survival_close_plans(spark):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_econometrics_wave_plans(spark):
+    """The econometric-diagnostics battery: every query collapses to the
+    O(calendar) monthly aggregate before any lag join, so plans must show
+    map-side partial aggregation, no CartesianProduct (the only
+    cross-joins carry broadcast 1-row moment relations), and no Python
+    eval anywhere."""
+    for name in (
+        "q_jarque_bera",
+        "q_durbin_watson",
+        "q_breusch_pagan",
+        "q_ljung_box",
+        "q_adf_test",
+        "q_variance_ratio",
+        "q_newey_west",
+        "q_runs_test",
+        "q_granger_causality",
+        "q_engle_granger",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    for name in ("q_jarque_bera", "q_adf_test", "q_granger_causality"):
+        plan = formatted(SPECS[name].fn(spark, SF_DIR))
+        assert "partial_" in plan, name
