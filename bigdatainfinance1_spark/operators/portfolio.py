@@ -1,0 +1,569 @@
+"""Portfolio / performance analytics (round 4 wave): the risk-adjusted
+metric suite a fund or treasury desk computes per book — CAPM Jensen
+alpha + Treynor (q_jensen_alpha), downside-risk Sortino
+(q_sortino_ratio), drawdown-based Calmar + Ulcer/Martin
+(q_calmar_ulcer), Omega + Kelly (q_omega_ratio), benchmark-relative
+information ratio (q_information_ratio), and market-microstructure
+Amihud illiquidity (q_amihud_illiquidity). The "books" are the 25
+customer nations, their "NAV" the monthly nation revenue, the "market"
+the total monthly revenue — a deterministic panel the DuckDB oracle
+reproduces exactly.
+
+Scale notes: every query reduces the corpus to the O(nations × calendar)
+nation-month panel (~2k rows) in ONE orders⋈customer aggregate (the join
+is fact-to-dimension; customer is broadcast-sized per nation at test SF
+and hash-joins at scale), or the O(days) daily series for Amihud; all
+downstream work — return lag joins, per-nation moments, drawdown
+windows — is panel-bounded and corpus-size-independent.
+
+Determinism: panel values round at 6 before returns; returns round at 8
+before any product; per-nation moments divide by fixed per-group n;
+drawdowns round at 8 before squaring. Output rounds at 6 — orders above
+the ulp noise of ≤80-term sums. Degenerate groups (zero losses, zero
+drawdown, zero beta) go through nullif so both engines emit NULL, never
+a division error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+MIN_MONTHS = 12  # drop nations with too-short return history for moments
+
+_PANEL_SQL = """
+    nrm AS (
+      SELECT c_nationkey AS nk,
+             CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY nk, mi
+    ),
+    nret AS (
+      SELECT a.nk, a.mi, round((a.v - b.v) / b.v, 8) AS r
+      FROM nrm a JOIN nrm b ON b.nk = a.nk AND b.mi = a.mi - 1
+    ),
+    mrm AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS v
+      FROM orders GROUP BY mi
+    ),
+    mret AS (
+      SELECT a.mi, round((a.v - b.v) / b.v, 8) AS m
+      FROM mrm a JOIN mrm b ON b.mi = a.mi - 1
+    )
+"""
+
+
+def _nation_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-month return panel: (nk, mi, r) with r the consecutive-month
+    pct change of 6-dp monthly nation revenue, rounded at 8."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nrm = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            ),
+        )
+        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("v"))
+    )
+    prev = nrm.select("nk", (F.col("mi") + 1).alias("mi"), F.col("v").alias("pv"))
+    return (
+        nrm.join(prev, ["nk", "mi"])
+        .select("nk", "mi", F.round((F.col("v") - F.col("pv")) / F.col("pv"), 8).alias("r"))
+    )
+
+
+def _market_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mrm = orders.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("v"))
+    prev = mrm.select((F.col("mi") + 1).alias("mi"), F.col("v").alias("pv"))
+    return mrm.join(F.broadcast(prev), "mi").select(
+        "mi", F.round((F.col("v") - F.col("pv")) / F.col("pv"), 8).alias("m")
+    )
+
+
+def _nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_jensen_alpha — per-nation CAPM alpha, beta, Treynor vs the market
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_jensen_alpha",
+    oracle=f"""
+    WITH {_PANEL_SQL},
+    j AS (
+      SELECT nret.nk, nret.r, mret.m FROM nret JOIN mret ON nret.mi = mret.mi
+    ),
+    mom AS (
+      SELECT nk, count(*) AS n, sum(r) AS sr, sum(m) AS sm,
+             sum(r * m) AS srm, sum(m * m) AS smm
+      FROM j GROUP BY nk
+    ),
+    fit AS (
+      SELECT nk, n,
+             (n * srm - sr * sm) / (n * smm - sm * sm) AS beta,
+             sr / n AS mean_r, sm / n AS mean_m
+      FROM mom WHERE n >= {MIN_MONTHS}
+    )
+    SELECT nation.n_name AS n_name,
+           CAST(fit.n AS BIGINT) AS n_obs,
+           round(fit.beta, 6) AS beta,
+           round(fit.mean_r - fit.beta * fit.mean_m, 6) AS jensen_alpha,
+           round(fit.mean_r / nullif(fit.beta, 0.0), 6) AS treynor
+    FROM fit JOIN nation ON nation.n_nationkey = fit.nk
+    ORDER BY n_name
+    """,
+    tags=("finance", "analytics", "timeseries"),
+)
+def jensen_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation CAPM regression against the total-revenue market
+    return: β from the single-factor OLS closed form, Jensen's α =
+    mean(r) − β·mean(m) (the above/below-market monthly excess), and
+    the Treynor ratio mean(r)/β — the classic performance attribution
+    triple, computed for all 25 books in one pass (q_rolling_beta gives
+    the time-varying β; this gives the full-sample inference panel).
+
+    Scale: one fact-dim aggregate to the O(nations × calendar) panel,
+    one broadcast market join, one per-nation 5-moment aggregate,
+    closed forms. Per-group moments share the group's fixed n; both
+    engines evaluate identical 8-dp inputs, rounded at 6."""
+    nret = _nation_returns(spark, sf_dir)
+    mret = _market_returns(spark, sf_dir)
+    j = nret.join(F.broadcast(mret), "mi").select("nk", "r", "m")
+    mom = j.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("r") * F.col("m")).alias("srm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    )
+    beta = (F.col("n") * F.col("srm") - F.col("sr") * F.col("sm")) / (
+        F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
+    )
+    fit = mom.filter(F.col("n") >= MIN_MONTHS).select(
+        "nk",
+        "n",
+        beta.alias("beta"),
+        (F.col("sr") / F.col("n")).alias("mean_r"),
+        (F.col("sm") / F.col("n")).alias("mean_m"),
+    )
+    return (
+        fit.join(F.broadcast(_nation_names(spark, sf_dir)), "nk")
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(F.col("beta"), 6).alias("beta"),
+            F.round(F.col("mean_r") - F.col("beta") * F.col("mean_m"), 6).alias(
+                "jensen_alpha"
+            ),
+            F.round(
+                F.col("mean_r") / F.nullif(F.col("beta"), F.lit(0.0)), 6
+            ).alias("treynor"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sortino_ratio — per-nation downside deviation and Sortino
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sortino_ratio",
+    oracle=f"""
+    WITH {_PANEL_SQL},
+    s AS (
+      SELECT nk, count(*) AS n, sum(r) / count(*) AS mean_r,
+             sqrt(sum(CASE WHEN r < 0 THEN r * r ELSE 0 END) / count(*)) AS dd
+      FROM nret GROUP BY nk HAVING count(*) >= {MIN_MONTHS}
+    )
+    SELECT nation.n_name AS n_name,
+           CAST(s.n AS BIGINT) AS n_obs,
+           round(s.mean_r, 6) AS mean_monthly,
+           round(s.dd, 6) AS downside_dev,
+           round(s.mean_r / nullif(s.dd, 0.0), 6) AS sortino
+    FROM s JOIN nation ON nation.n_nationkey = s.nk
+    ORDER BY n_name
+    """,
+    tags=("finance", "analytics"),
+)
+def sortino_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Sortino ratio: mean monthly return over the downside
+    deviation sqrt(Σ min(r,0)²/n) — the Sharpe variant that only charges
+    for harmful volatility (q_sharpe_by_nation is the symmetric twin;
+    books with skewed return profiles reorder between the two, which is
+    the point of reporting both).
+
+    Scale: the panel aggregate plus ONE per-nation moment pass — no
+    windows, no joins past the panel build. Monthly values at 6 dp,
+    returns at 8 dp, one expression shape both engines, rounded at 6."""
+    nret = _nation_returns(spark, sf_dir)
+    s = (
+        nret.groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("r") / F.count(F.lit(1))).alias("mean_r"),
+            F.sqrt(
+                F.sum(
+                    F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0)
+                )
+                / F.count(F.lit(1))
+            ).alias("dd"),
+        )
+        .filter(F.col("n") >= MIN_MONTHS)
+    )
+    return (
+        s.join(F.broadcast(_nation_names(spark, sf_dir)), "nk")
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(F.col("mean_r"), 6).alias("mean_monthly"),
+            F.round(F.col("dd"), 6).alias("downside_dev"),
+            F.round(F.col("mean_r") / F.nullif(F.col("dd"), F.lit(0.0)), 6).alias(
+                "sortino"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_calmar_ulcer — drawdown-based performance per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_calmar_ulcer",
+    oracle=f"""
+    WITH {_PANEL_SQL},
+    cum AS (
+      SELECT nk, mi,
+             sum(ln(1.0 + r)) OVER (PARTITION BY nk ORDER BY mi) AS li,
+             count(*) OVER (PARTITION BY nk) AS n,
+             sum(r) OVER (PARTITION BY nk) AS sr
+      FROM nret
+    ),
+    ddown AS (
+      SELECT nk, n, sr,
+             round(1.0 - exp(li - max(li) OVER (PARTITION BY nk ORDER BY mi)), 8)
+               AS d
+      FROM cum
+    ),
+    agg AS (
+      SELECT nk, max(n) AS n, max(sr) / max(n) * 12.0 AS ann_ret,
+             max(d) AS mdd, sqrt(sum(d * d) / max(n)) AS ulcer
+      FROM ddown GROUP BY nk HAVING max(n) >= {MIN_MONTHS}
+    )
+    SELECT nation.n_name AS n_name,
+           CAST(agg.n AS BIGINT) AS n_obs,
+           round(agg.ann_ret, 6) AS ann_return,
+           round(agg.mdd, 6) AS max_drawdown,
+           round(agg.ulcer, 6) AS ulcer_index,
+           round(agg.ann_ret / nullif(agg.mdd, 0.0), 6) AS calmar,
+           round(agg.ann_ret / nullif(agg.ulcer, 0.0), 6) AS martin
+    FROM agg JOIN nation ON nation.n_nationkey = agg.nk
+    ORDER BY n_name
+    """,
+    tags=("finance", "analytics", "window"),
+)
+def calmar_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation drawdown metrics off the compounded return index:
+    running-peak drawdowns via cumulative log-return windows, maximum
+    drawdown, the Ulcer index sqrt(mean d²) (which charges for drawdown
+    DURATION, not just depth), and the Calmar (ann. return / MDD) and
+    Martin (ann. return / Ulcer) ratios — the q_max_drawdown machinery
+    generalized to a per-book panel with depth-AND-duration pricing.
+
+    Scale: panel aggregate, then per-nation ordered windows over ≤80
+    rows per partition (cumsum of ln(1+r), running max) and one
+    per-nation aggregate — panel-bounded. ln(1+r) is exact on 8-dp r >
+    −1; drawdowns round at 8 before squaring; annualization is the
+    arithmetic mean × 12 (documented; CAGR would change semantics, not
+    machinery), rounded at 6."""
+    nret = _nation_returns(spark, sf_dir)
+    wcum = Window.partitionBy("nk").orderBy("mi")
+    wall = Window.partitionBy("nk")
+    cum = nret.select(
+        "nk",
+        "mi",
+        F.sum(F.log(1.0 + F.col("r"))).over(wcum).alias("li"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("r").over(wall).alias("sr"),
+    )
+    ddown = cum.select(
+        "nk",
+        "n",
+        "sr",
+        F.round(1.0 - F.exp(F.col("li") - F.max("li").over(wcum)), 8).alias("d"),
+    )
+    agg = (
+        ddown.groupBy("nk")
+        .agg(
+            F.max("n").alias("n"),
+            (F.max("sr") / F.max("n") * 12.0).alias("ann_ret"),
+            F.max("d").alias("mdd"),
+            F.sqrt(F.sum(F.col("d") * F.col("d")) / F.max("n")).alias("ulcer"),
+        )
+        .filter(F.col("n") >= MIN_MONTHS)
+    )
+    return (
+        agg.join(F.broadcast(_nation_names(spark, sf_dir)), "nk")
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(F.col("ann_ret"), 6).alias("ann_return"),
+            F.round(F.col("mdd"), 6).alias("max_drawdown"),
+            F.round(F.col("ulcer"), 6).alias("ulcer_index"),
+            F.round(F.col("ann_ret") / F.nullif(F.col("mdd"), F.lit(0.0)), 6).alias(
+                "calmar"
+            ),
+            F.round(F.col("ann_ret") / F.nullif(F.col("ulcer"), F.lit(0.0)), 6).alias(
+                "martin"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_omega_ratio — gains-over-losses and the Kelly fraction per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_omega_ratio",
+    oracle=f"""
+    WITH {_PANEL_SQL},
+    base AS (
+      SELECT nk, count(*) AS n, round(avg(r), 8) AS mu FROM nret GROUP BY nk
+    ),
+    s AS (
+      SELECT nret.nk, max(base.n) AS n,
+             sum(CASE WHEN nret.r > 0 THEN nret.r ELSE 0 END) AS gains,
+             sum(CASE WHEN nret.r < 0 THEN -nret.r ELSE 0 END) AS losses,
+             max(base.mu) AS mu,
+             sum((nret.r - base.mu) * (nret.r - base.mu)) / max(base.n) AS var_r
+      FROM nret JOIN base ON base.nk = nret.nk
+      GROUP BY nret.nk HAVING max(base.n) >= {MIN_MONTHS}
+    )
+    SELECT nation.n_name AS n_name,
+           CAST(s.n AS BIGINT) AS n_obs,
+           round(s.gains / nullif(s.losses, 0.0), 6) AS omega,
+           round(s.mu / nullif(s.var_r, 0.0), 6) AS kelly
+    FROM s JOIN nation ON nation.n_nationkey = s.nk
+    ORDER BY n_name
+    """,
+    tags=("finance", "analytics"),
+)
+def omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Omega ratio at threshold zero (Σ gains / Σ losses —
+    the full-distribution performance measure that needs no moment
+    assumptions) beside the Kelly fraction μ/σ² (the log-optimal
+    leverage under the quadratic approximation) — the sizing companion:
+    Omega ranks the books, Kelly says how much of each to hold.
+
+    Scale: panel aggregate + one per-nation mean pass + one per-nation
+    moment pass (the mean is computed first and rounded at 8 so the
+    variance pass demeans identical values on both engines) — no work
+    past the panel. Rounded at 6."""
+    nret = _nation_returns(spark, sf_dir)
+    base = nret.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("r"), 8).alias("mu")
+    )
+    s = (
+        nret.join(base, "nk")
+        .groupBy("nk")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0.0)).alias("gains"),
+            F.sum(F.when(F.col("r") < 0, -F.col("r")).otherwise(0.0)).alias("losses"),
+            F.max("mu").alias("mu"),
+            (
+                F.sum((F.col("r") - F.col("mu")) * (F.col("r") - F.col("mu")))
+                / F.max("n")
+            ).alias("var_r"),
+        )
+        .filter(F.col("n") >= MIN_MONTHS)
+    )
+    return (
+        s.join(F.broadcast(_nation_names(spark, sf_dir)), "nk")
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(F.col("gains") / F.nullif(F.col("losses"), F.lit(0.0)), 6).alias(
+                "omega"
+            ),
+            F.round(F.col("mu") / F.nullif(F.col("var_r"), F.lit(0.0)), 6).alias(
+                "kelly"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_information_ratio — benchmark-relative active performance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_information_ratio",
+    oracle=f"""
+    WITH {_PANEL_SQL},
+    act AS (
+      SELECT nret.nk, round(nret.r - mret.m, 8) AS a
+      FROM nret JOIN mret ON nret.mi = mret.mi
+    ),
+    base AS (
+      SELECT nk, count(*) AS n, round(avg(a), 8) AS mean_a FROM act GROUP BY nk
+    ),
+    s AS (
+      SELECT act.nk, max(base.n) AS n, max(base.mean_a) AS mean_a,
+             sqrt(sum((act.a - base.mean_a) * (act.a - base.mean_a))
+                  / (max(base.n) - 1)) AS te
+      FROM act JOIN base ON base.nk = act.nk
+      GROUP BY act.nk HAVING max(base.n) >= {MIN_MONTHS}
+    )
+    SELECT nation.n_name AS n_name,
+           CAST(s.n AS BIGINT) AS n_obs,
+           round(s.mean_a, 6) AS active_mean,
+           round(s.te, 6) AS tracking_error,
+           round(s.mean_a / nullif(s.te, 0.0), 6) AS info_ratio
+    FROM s JOIN nation ON nation.n_nationkey = s.nk
+    ORDER BY n_name
+    """,
+    tags=("finance", "analytics"),
+)
+def information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation information ratio: mean active return (nation minus
+    market, month-matched) over its tracking error (sample stddev,
+    n−1) — the benchmark-relative skill measure that complements the
+    absolute-risk family (q_sharpe_by_nation, q_sortino_ratio): a book
+    can look strong standalone and still show zero active skill.
+
+    Scale: panel + broadcast market join + two per-nation moment passes
+    (mean first, rounded at 8, so the deviations demean identical
+    values) — panel-bounded. Rounded at 6."""
+    nret = _nation_returns(spark, sf_dir)
+    mret = _market_returns(spark, sf_dir)
+    act = nret.join(F.broadcast(mret), "mi").select(
+        "nk", F.round(F.col("r") - F.col("m"), 8).alias("a")
+    )
+    base = act.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("a"), 8).alias("mean_a")
+    )
+    s = (
+        act.join(base, "nk")
+        .groupBy("nk")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mean_a").alias("mean_a"),
+            F.sqrt(
+                F.sum((F.col("a") - F.col("mean_a")) * (F.col("a") - F.col("mean_a")))
+                / (F.max("n") - 1)
+            ).alias("te"),
+        )
+        .filter(F.col("n") >= MIN_MONTHS)
+    )
+    return (
+        s.join(F.broadcast(_nation_names(spark, sf_dir)), "nk")
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_obs"),
+            F.round(F.col("mean_a"), 6).alias("active_mean"),
+            F.round(F.col("te"), 6).alias("tracking_error"),
+            F.round(F.col("mean_a") / F.nullif(F.col("te"), F.lit(0.0)), 6).alias(
+                "info_ratio"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_amihud_illiquidity — monthly price-impact proxy from the daily tape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_amihud_illiquidity",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS rev
+      FROM orders GROUP BY d
+    ),
+    dret AS (
+      SELECT a.d,
+             CAST(year(a.d) AS BIGINT) * 12 + month(a.d) AS mi,
+             round(abs(a.rev - b.rev) / b.rev, 8) / a.rev AS impact
+      FROM daily a JOIN daily b ON b.d = a.d - INTERVAL 1 DAY
+    ),
+    m AS (
+      SELECT mi, count(*) AS n_days,
+             round(avg(impact) * 1000.0, 6) AS amihud
+      FROM dret GROUP BY mi HAVING count(*) >= 5
+    )
+    SELECT CAST(mi AS BIGINT) AS mi,
+           CAST(n_days AS BIGINT) AS n_days,
+           amihud
+    FROM m ORDER BY mi
+    """,
+    tags=("finance", "timeseries", "analytics"),
+)
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Amihud illiquidity: the month's average of |daily
+    return| / daily dollar volume (revenue standing in for both the
+    price path and the volume, as in the classic ILLIQ = avg |r_d| /
+    DVOL_d), ×1000 for readability — the standard price-impact proxy;
+    months with a thin tape (<5 consecutive-day pairs) are dropped
+    rather than reported on noise.
+
+    Scale: one map-side-combinable daily aggregate (O(days) ≈ 2.4k
+    rows), one consecutive-calendar-day self equi-join, one monthly
+    aggregate — day-bounded past the scan. |Δrev|/rev rounds at 8
+    before the volume division; the monthly mean divides identical
+    doubles, rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("rev")
+    )
+    prev = daily.select(F.date_add(F.col("d"), 1).alias("d"), F.col("rev").alias("pv"))
+    dret = daily.join(F.broadcast(prev), "d").select(
+        (F.year("d").cast("long") * 12 + F.month("d")).alias("mi"),
+        (
+            F.round(F.abs(F.col("rev") - F.col("pv")) / F.col("pv"), 8) / F.col("rev")
+        ).alias("impact"),
+    )
+    m = (
+        dret.groupBy("mi")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("impact") * 1000.0, 6).alias("amihud"),
+        )
+        .filter(F.col("n_days") >= 5)
+    )
+    return m.select(
+        F.col("mi").cast("long").alias("mi"),
+        F.col("n_days").cast("long").alias("n_days"),
+        "amihud",
+    ).orderBy("mi")

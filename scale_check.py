@@ -226,6 +226,13 @@ QUERIES = [
     "q_runs_test",
     "q_granger_causality",
     "q_engle_granger",
+    # round-4 portfolio-metrics wave (panel-bounded)
+    "q_jensen_alpha",
+    "q_sortino_ratio",
+    "q_calmar_ulcer",
+    "q_omega_ratio",
+    "q_information_ratio",
+    "q_amihud_illiquidity",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

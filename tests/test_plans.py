@@ -767,3 +767,29 @@ def test_econometrics_wave_plans(spark):
     for name in ("q_jarque_bera", "q_adf_test", "q_granger_causality"):
         plan = formatted(SPECS[name].fn(spark, SF_DIR))
         assert "partial_" in plan, name
+
+
+def test_portfolio_wave_plans(spark):
+    """Portfolio metrics: the fact-dim customer join must broadcast, the
+    drawdown windows must be partitioned (nk), no cartesians, no Python
+    eval, map-side partial aggregation on the panel build."""
+    for name in (
+        "q_jensen_alpha",
+        "q_sortino_ratio",
+        "q_calmar_ulcer",
+        "q_omega_ratio",
+        "q_information_ratio",
+        "q_amihud_illiquidity",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_jensen_alpha"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    plan = formatted(SPECS["q_calmar_ulcer"].fn(spark, SF_DIR))
+    assert "partial_" in plan
+    # every Window in the drawdown query is partitioned
+    wplan = plan_of(SPECS["q_calmar_ulcer"].fn(spark, SF_DIR))
+    for line in wplan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "nk" in line, line
