@@ -1,0 +1,472 @@
+"""Inter-rater agreement and distribution-shape closers (round 4):
+Fleiss' kappa over three deterministic document-quality raters
+(q_fleiss_kappa — the multi-rater generalization of q_cohens_kappa),
+Cochran's Q over the month×region binary success panel (q_cochran_q —
+the k-treatment generalization of q_mcnemar_test), the Grubbs maximum
+outlier test (q_grubbs_test), and the Anderson-Darling normality test
+(q_anderson_darling — the tail-weighted EDF complement to
+q_jarque_bera's moment test and q_ks_test's sup-distance).
+
+Scale notes: Fleiss reduces the corpus to integer per-document category
+counts in one linear pass + one global aggregate; Cochran/Grubbs/AD
+reduce to the O(calendar) or O(calendar × regions) panel first; AD's
+rank self-join is O(months²) ≈ 6.4k pairs — calendar-bounded. Nothing
+past the first aggregate grows with the corpus.
+
+Determinism: raters are integer character/token predicates (identical
+text semantics both engines); panel values round at 6, standardized
+values at 8; the normal CDF is the shared A&S 26.2.17 Horner chain
+(quant_pricing._norm_cdf_sql / stats_advanced._norm_cdf_col) so both
+engines evaluate the identical polynomial; ranks break ties on the
+month index. Critical values are fixed literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.operators.quant_pricing import _norm_cdf_sql
+from bigdatainfinance1_spark.operators.stats_advanced import _norm_cdf_col
+from bigdatainfinance1_spark.operators.ts_mining import _MONTHLY_SQL, _monthly
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+CHI2_4_95 = 9.487729  # chi-square 4 df, 5%
+GRUBBS_CRIT_80 = 3.305  # two-sided 5% Grubbs critical value for n = 80
+AD_CRIT_5 = 0.787  # Anderson-Darling 5% (case 3: mean and variance estimated)
+
+# The three deterministic "raters": integer predicates on the document text
+# (identical character/token semantics in Spark and DuckDB).
+_RATER_SQL = """
+    rated AS (
+      SELECT doc_id,
+             CASE WHEN length(text) > 200 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(string_split(text, ' ')) > 40 THEN 1 ELSE 0 END AS rb,
+             CASE WHEN position('.' IN text) > 0 THEN 1 ELSE 0 END AS rc
+      FROM documents
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_fleiss_kappa — multi-rater agreement on document quality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fleiss_kappa",
+    oracle=f"""
+    WITH {_RATER_SQL},
+    cnt AS (
+      SELECT doc_id, ra + rb + rc AS np, 3 - (ra + rb + rc) AS nf FROM rated
+    ),
+    agg AS (
+      SELECT count(*) AS n_docs,
+             sum(np) AS total_pass,
+             sum(np * (np - 1) + nf * (nf - 1)) AS agree_pairs
+      FROM cnt
+    ),
+    k AS (
+      SELECT n_docs,
+             total_pass / (3.0 * n_docs) AS p_pass,
+             agree_pairs / (6.0 * n_docs) AS p_bar
+      FROM agg
+    ),
+    kk AS (
+      SELECT n_docs, p_pass, p_bar,
+             p_pass * p_pass + (1.0 - p_pass) * (1.0 - p_pass) AS p_e
+      FROM k
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           round(p_pass, 6) AS p_pass,
+           round(p_bar, 6) AS p_bar,
+           round(p_e, 6) AS p_e,
+           round((p_bar - p_e) / (1.0 - p_e), 6) AS fleiss_kappa,
+           CASE WHEN (p_bar - p_e) / (1.0 - p_e) > 0.6 THEN 'substantial'
+                WHEN (p_bar - p_e) / (1.0 - p_e) > 0.2 THEN 'fair_to_moderate'
+                ELSE 'slight' END AS agreement
+    FROM kk
+    """,
+    tags=("stats", "text", "quality", "llm"),
+)
+def fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three deterministic document-quality raters
+    (length > 200 chars, > 40 whitespace tokens, contains a period):
+    per-item agreement P̄ = E[Σⱼ nᵢⱼ(nᵢⱼ−1)]/(n(n−1)) against the
+    chance agreement P̄ₑ = Σⱼ pⱼ² — the multi-rater generalization of
+    q_cohens_kappa, and the standard way to audit whether an ensemble
+    of quality heuristics (the q_gopher_rules / q_text_quality family)
+    actually measures one construct before their votes are combined.
+
+    Scale: one linear corpus pass to integer per-document counts, one
+    global 3-sum aggregate, closed forms on a 1-row relation. Every
+    intermediate is an exact integer until the final ratios, rounded
+    at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.when(F.length("text") > 200, 1).otherwise(0).alias("ra"),
+        F.when(F.size(F.split("text", " ")) > 40, 1).otherwise(0).alias("rb"),
+        F.when(F.instr("text", ".") > 0, 1).otherwise(0).alias("rc"),
+    )
+    cnt = rated.select(
+        (F.col("ra") + F.col("rb") + F.col("rc")).alias("np"),
+    ).select("np", (3 - F.col("np")).alias("nf"))
+    agg = cnt.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("np").alias("total_pass"),
+        F.sum(
+            F.col("np") * (F.col("np") - 1) + F.col("nf") * (F.col("nf") - 1)
+        ).alias("agree_pairs"),
+    )
+    k = agg.select(
+        "n_docs",
+        (F.col("total_pass") / (3.0 * F.col("n_docs"))).alias("p_pass"),
+        (F.col("agree_pairs") / (6.0 * F.col("n_docs"))).alias("p_bar"),
+    )
+    kk = k.select(
+        "n_docs",
+        "p_pass",
+        "p_bar",
+        (
+            F.col("p_pass") * F.col("p_pass")
+            + (1.0 - F.col("p_pass")) * (1.0 - F.col("p_pass"))
+        ).alias("p_e"),
+    )
+    kappa = (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e"))
+    return kk.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("p_pass"), 6).alias("p_pass"),
+        F.round(F.col("p_bar"), 6).alias("p_bar"),
+        F.round(F.col("p_e"), 6).alias("p_e"),
+        F.round(kappa, 6).alias("fleiss_kappa"),
+        F.when(kappa > 0.6, F.lit("substantial"))
+        .when(kappa > 0.2, F.lit("fair_to_moderate"))
+        .otherwise(F.lit("slight"))
+        .alias("agreement"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cochran_q — k-treatment binary panel test (month × region)
+# ---------------------------------------------------------------------------
+
+_REGION_PANEL_SQL = """
+    rp AS (
+      SELECT r.r_regionkey AS rk,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
+             round(round(sum(o.o_totalprice), 2) / 1000.0, 6) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY rk, mi
+    ),
+    full_months AS (
+      SELECT mi FROM rp GROUP BY mi HAVING count(*) = 5
+    ),
+    x AS (
+      SELECT rp.rk, rp.mi,
+             CASE WHEN rp.v > blockmean.bm THEN 1 ELSE 0 END AS s
+      FROM rp
+      JOIN full_months USING (mi)
+      JOIN (SELECT mi, avg(v) AS bm FROM rp GROUP BY mi) blockmean USING (mi)
+    )
+"""
+
+
+@query(
+    "q_cochran_q",
+    oracle=f"""
+    WITH {_REGION_PANEL_SQL},
+    cols AS (SELECT rk, sum(s) AS cj FROM x GROUP BY rk),
+    rows_ AS (SELECT mi, sum(s) AS rt FROM x GROUP BY mi),
+    tot AS (
+      SELECT (SELECT count(*) FROM rows_) AS n_blocks,
+             (SELECT sum(cj) FROM cols) AS big_n,
+             (SELECT sum(cj * cj) FROM cols) AS sum_cj2,
+             (SELECT sum(rt * rt) FROM rows_) AS sum_rt2
+    ),
+    q AS (
+      SELECT n_blocks,
+             (5 - 1) * (5 * sum_cj2 - big_n * big_n) * 1.0
+               / nullif(5 * big_n - sum_rt2, 0) AS q_stat
+      FROM tot
+    )
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(4 AS BIGINT) AS df,
+           round(q_stat, 6) AS q_stat,
+           CASE WHEN q_stat > {CHI2_4_95} THEN 'regions_differ'
+                ELSE 'no_difference' END AS verdict
+    FROM q
+    """,
+    tags=("stats", "analytics"),
+)
+def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q on the month × region binary success panel (success =
+    the region's monthly revenue beat that month's cross-region mean):
+    Q = (k−1)(kΣCⱼ² − N²)/(kN − ΣRₜ²) against chi-square(k−1) — the
+    k-treatment generalization of q_mcnemar_test, asking whether the
+    five regions have equal probability of an above-average month once
+    block (month) effects are removed.
+
+    Scale: one fact-to-dimension-chain aggregate to the O(months × 5)
+    panel (all three dims broadcast), then integer row/column totals
+    and one closed form. Only complete blocks (all 5 regions present)
+    enter, so k is the fixed literal 5. Exact integers until the final
+    ratio, rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    rp = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_regionkey").alias("rk"),
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            ),
+        )
+        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("v"))
+    )
+    full_months = rp.groupBy("mi").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") == 5
+    )
+    blockmean = rp.groupBy("mi").agg(F.avg("v").alias("bm"))
+    x = (
+        rp.join(F.broadcast(full_months.select("mi")), "mi")
+        .join(F.broadcast(blockmean), "mi")
+        .select(
+            "rk", "mi", F.when(F.col("v") > F.col("bm"), 1).otherwise(0).alias("s")
+        )
+    )
+    cols = x.groupBy("rk").agg(F.sum("s").alias("cj"))
+    rows_ = x.groupBy("mi").agg(F.sum("s").alias("rt"))
+    tot = (
+        cols.agg(
+            F.sum("cj").alias("big_n"), F.sum(F.col("cj") * F.col("cj")).alias("sum_cj2")
+        )
+        .crossJoin(
+            F.broadcast(
+                rows_.agg(
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum(F.col("rt") * F.col("rt")).alias("sum_rt2"),
+                )
+            )
+        )
+    )
+    qstat = (
+        (5 - 1)
+        * (5 * F.col("sum_cj2") - F.col("big_n") * F.col("big_n"))
+        * 1.0
+        / F.nullif(5 * F.col("big_n") - F.col("sum_rt2"), F.lit(0))
+    )
+    return tot.select(
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.lit(4).cast("long").alias("df"),
+        F.round(qstat, 6).alias("q_stat"),
+        F.when(qstat > CHI2_4_95, F.lit("regions_differ"))
+        .otherwise(F.lit("no_difference"))
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_grubbs_test — maximum-deviation outlier on the monthly series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_grubbs_test",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    gmom AS (
+      SELECT count(*) AS n, round(avg(z), 8) AS mu FROM idx
+    ),
+    sd AS (
+      SELECT max(gmom.n) AS n, max(gmom.mu) AS mu,
+             sqrt(sum((idx.z - gmom.mu) * (idx.z - gmom.mu)) / (max(gmom.n) - 1))
+               AS s
+      FROM idx CROSS JOIN gmom
+    ),
+    dev AS (
+      SELECT idx.mi, idx.z, round(abs(idx.z - sd.mu), 8) AS d, sd.n, sd.s
+      FROM idx CROSS JOIN sd
+    ),
+    top AS (
+      SELECT * FROM dev ORDER BY d DESC, mi LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(mi AS BIGINT) AS outlier_mi,
+           z AS outlier_value,
+           round(d / s, 6) AS g_stat,
+           CASE WHEN d / s > {GRUBBS_CRIT_80} THEN 'outlier'
+                ELSE 'no_outlier' END AS verdict
+    FROM top
+    """,
+    tags=("stats", "timeseries", "quality"),
+)
+def grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-deviation outlier test on monthly revenue: G =
+    max|zᵢ−μ̂|/s against the two-sided 5% critical value for n = 80
+    (3.305, the tabulated value for the fixed 80-month calendar) — the
+    formal single-outlier complement to the robust screens
+    (q_iqr_outliers, q_mad_outliers), which flag but don't test.
+
+    Scale: monthly aggregate, one moment pass, one deviation pass, one
+    top-1 TakeOrdered with an explicit (deviation DESC, month) tie-break
+    — calendar-bounded. Deviations round at 8 before the argmax so both
+    engines pick the identical month; rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    gmom = idx.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("z"), 8).alias("mu"))
+    sd = idx.crossJoin(F.broadcast(gmom)).agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu"),
+        F.sqrt(
+            F.sum((F.col("z") - F.col("mu")) * (F.col("z") - F.col("mu")))
+            / (F.max("n") - 1)
+        ).alias("s"),
+    )
+    dev = idx.crossJoin(F.broadcast(sd)).select(
+        "mi", "z", F.round(F.abs(F.col("z") - F.col("mu")), 8).alias("d"), "n", "s"
+    )
+    top = dev.orderBy(F.col("d").desc(), F.col("mi")).limit(1)
+    g = F.col("d") / F.col("s")
+    return top.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.col("mi").cast("long").alias("outlier_mi"),
+        F.col("z").alias("outlier_value"),
+        F.round(g, 6).alias("g_stat"),
+        F.when(g > GRUBBS_CRIT_80, F.lit("outlier"))
+        .otherwise(F.lit("no_outlier"))
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_anderson_darling — tail-weighted EDF normality test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_anderson_darling",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    gmom AS (
+      SELECT count(*) AS n, round(avg(z), 8) AS mu FROM idx
+    ),
+    sd AS (
+      SELECT max(gmom.n) AS n, max(gmom.mu) AS mu,
+             round(sqrt(sum((idx.z - gmom.mu) * (idx.z - gmom.mu))
+                        / (max(gmom.n) - 1)), 8) AS s
+      FROM idx CROSS JOIN gmom
+    ),
+    std AS (
+      SELECT idx.mi, round((idx.z - sd.mu) / sd.s, 8) AS zs, sd.n
+      FROM idx CROSS JOIN sd
+    ),
+    ranked AS (
+      SELECT a.mi, a.zs, a.n,
+             1 + sum(CASE WHEN b.zs < a.zs OR (b.zs = a.zs AND b.mi < a.mi)
+                          THEN 1 ELSE 0 END) AS r
+      FROM std a CROSS JOIN std b
+      GROUP BY a.mi, a.zs, a.n
+    ),
+    terms AS (
+      SELECT n,
+             (2 * r - 1) * ln({_norm_cdf_sql('zs')})
+             + (2 * (n - r) + 1) * ln(1.0 - {_norm_cdf_sql('zs')}) AS t
+      FROM ranked
+    ),
+    a2 AS (
+      SELECT max(n) AS n, -max(n) - sum(t) / max(n) AS a2 FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round(a2, 6) AS a2,
+           round(a2 * (1.0 + 0.75 / n + 2.25 / (n * n)), 6) AS a2_star,
+           CASE WHEN a2 * (1.0 + 0.75 / n + 2.25 / (n * n)) > {AD_CRIT_5}
+                THEN 'non_normal' ELSE 'normal' END AS verdict
+    FROM a2
+    """,
+    tags=("stats", "timeseries"),
+)
+def anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality test on standardized monthly revenue:
+    A² = −n − (1/n)Σᵢ[(2rᵢ−1)ln Φ(zᵢ) + (2(n−rᵢ)+1)ln(1−Φ(zᵢ))] with the
+    case-3 small-sample correction A*² = A²(1 + 0.75/n + 2.25/n²) and
+    its 0.787 critical value — the tail-weighted EDF test that catches
+    departures q_jarque_bera's two moments and q_ks_test's central
+    sup-distance both miss.
+
+    Scale: monthly aggregate, moment pass, an O(months²) ≈ 6.4k-pair
+    rank self-join (calendar-bounded; ties broken on month index), one
+    per-row closed form through the shared A&S normal CDF, one sum.
+    Standardized values round at 8 before ranking and the CDF, so both
+    engines rank identically and evaluate the identical Horner chain,
+    rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    gmom = idx.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("z"), 8).alias("mu"))
+    sd = idx.crossJoin(F.broadcast(gmom)).agg(
+        F.max("n").alias("n"),
+        F.max("mu").alias("mu"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("z") - F.col("mu")) * (F.col("z") - F.col("mu")))
+                / (F.max("n") - 1)
+            ),
+            8,
+        ).alias("s"),
+    )
+    std = idx.crossJoin(F.broadcast(sd)).select(
+        "mi", F.round((F.col("z") - F.col("mu")) / F.col("s"), 8).alias("zs"), "n"
+    )
+    b = std.select(F.col("mi").alias("mj"), F.col("zs").alias("zj"))
+    ranked = (
+        std.crossJoin(F.broadcast(b))
+        .groupBy("mi", "zs", "n")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("zj") < F.col("zs"))
+                        | ((F.col("zj") == F.col("zs")) & (F.col("mj") < F.col("mi"))),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("r")
+        )
+    )
+    phi = _norm_cdf_col(F.col("zs"))
+    terms = ranked.select(
+        "n",
+        (
+            (2 * F.col("r") - 1) * F.log(phi)
+            + (2 * (F.col("n") - F.col("r")) + 1) * F.log(1.0 - phi)
+        ).alias("t"),
+    )
+    a2 = terms.agg(
+        F.max("n").alias("n"), (-F.max("n") - F.sum("t") / F.max("n")).alias("a2")
+    )
+    astar = F.col("a2") * (
+        1.0 + 0.75 / F.col("n") + 2.25 / (F.col("n") * F.col("n"))
+    )
+    return a2.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(F.col("a2"), 6).alias("a2"),
+        F.round(astar, 6).alias("a2_star"),
+        F.when(astar > AD_CRIT_5, F.lit("non_normal"))
+        .otherwise(F.lit("normal"))
+        .alias("verdict"),
+    )

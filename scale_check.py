@@ -233,6 +233,11 @@ QUERIES = [
     "q_omega_ratio",
     "q_information_ratio",
     "q_amihud_illiquidity",
+    # round-4 agreement/shape wave
+    "q_fleiss_kappa",
+    "q_cochran_q",
+    "q_grubbs_test",
+    "q_anderson_darling",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

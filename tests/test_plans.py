@@ -793,3 +793,21 @@ def test_portfolio_wave_plans(spark):
     for line in wplan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "nk" in line, line
+
+
+def test_agreement_wave_plans(spark):
+    """Agreement/shape closers: no cartesian on corpus-sized relations
+    (AD's rank self-join rides a broadcast of the 80-row monthly
+    relation — BroadcastNestedLoop, never CartesianProduct), no Python
+    eval; Fleiss' corpus pass partial-aggregates map-side."""
+    for name in (
+        "q_fleiss_kappa",
+        "q_cochran_q",
+        "q_grubbs_test",
+        "q_anderson_darling",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = formatted(SPECS["q_fleiss_kappa"].fn(spark, SF_DIR))
+    assert "partial_" in plan
