@@ -1330,3 +1330,115 @@ def mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("mcnemar_chi2"),
         (chi2 > 3.841459).alias("reject_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pr_auc — average precision + trapezoidal ROC AUC on the threshold ladder
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pr_auc",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / {ROC_BUCKET}), {ROC_MAX_BUCKET}) AS BIGINT) AS bkt,
+             sum(CASE WHEN {_POS_SQL} THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN {_POS_SQL} THEN 0 ELSE 1 END) AS neg
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM b),
+    thr AS (SELECT unnest(range(0, {ROC_MAX_BUCKET} + 1)) AS t),
+    pts AS (
+      SELECT t.t,
+             coalesce(sum(CASE WHEN b.bkt >= t.t THEN b.pos END), 0) AS tp,
+             coalesce(sum(CASE WHEN b.bkt >= t.t THEN b.neg END), 0) AS fp
+      FROM thr t LEFT JOIN b ON true
+      GROUP BY t.t
+    ),
+    steps AS (
+      SELECT a.t,
+             (a.tp - coalesce(bb.tp, 0)) * 1.0 / tot.p AS dr,
+             a.tp * 1.0 / nullif(a.tp + a.fp, 0) AS prec,
+             (a.fp - coalesce(bb.fp, 0)) * 1.0 / tot.n AS dfpr,
+             (a.tp + coalesce(bb.tp, 0)) * 0.5 / tot.p AS mid_tpr
+      FROM pts a
+      LEFT JOIN pts bb ON bb.t = a.t + 1
+      CROSS JOIN tot
+    )
+    SELECT round(sum(dr * coalesce(prec, 1.0)), 6) AS pr_auc,
+           round(sum(dfpr * mid_tpr), 6) AS roc_auc_trap,
+           CAST(max(tot.p) AS BIGINT) AS n_pos,
+           CAST(max(tot.n) AS BIGINT) AS n_neg
+    FROM steps CROSS JOIN tot
+    """,
+    tags=("ml", "eval"),
+)
+def pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-integral PR-AUC) and trapezoidal ROC AUC
+    on q_roc_curve's fixed 21-point threshold ladder: walking thresholds
+    from strict to lenient, AP = Σ ΔR·P and AUC = Σ ΔFPR·mean(TPR) —
+    the single-number summaries of the curve that q_roc_curve emits
+    point-by-point (and the PR view is the one that stays informative
+    under the heavy class imbalance typical of quality-filter labels;
+    q_auc_by_month gives the exact rank-based AUC, this the bucketed
+    curve integral).
+
+    Scale: identical posture to q_roc_curve — ONE map-side-combinable
+    bucket aggregate off the fact scan, then suffix sums and a 21-term
+    step integral on the bounded grid. Exact integers until the final
+    ratios, rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_pos = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    b = orders.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / ROC_BUCKET), F.lit(ROC_MAX_BUCKET))
+        .cast("long")
+        .alias("bkt")
+    ).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).alias("neg"),
+    )
+    tot = b.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+    thr = spark.range(0, ROC_MAX_BUCKET + 1).select(F.col("id").alias("t"))
+    pts = (
+        thr.join(F.broadcast(b), F.lit(True), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("pos"))), F.lit(0)
+            ).alias("tp"),
+            F.coalesce(
+                F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("neg"))), F.lit(0)
+            ).alias("fp"),
+        )
+    )
+    nxt = pts.select(
+        (F.col("t") - 1).alias("t"), F.col("tp").alias("ptp"), F.col("fp").alias("pfp")
+    )
+    steps = (
+        pts.join(F.broadcast(nxt), "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("tp") - F.coalesce(F.col("ptp"), F.lit(0))) * 1.0 / F.col("p")
+            ).alias("dr"),
+            (
+                F.col("tp") * 1.0 / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+            ).alias("prec"),
+            (
+                (F.col("fp") - F.coalesce(F.col("pfp"), F.lit(0))) * 1.0 / F.col("n")
+            ).alias("dfpr"),
+            (
+                (F.col("tp") + F.coalesce(F.col("ptp"), F.lit(0))) * 0.5 / F.col("p")
+            ).alias("mid_tpr"),
+            "p",
+            "n",
+        )
+    )
+    return steps.agg(
+        F.round(F.sum(F.col("dr") * F.coalesce(F.col("prec"), F.lit(1.0))), 6).alias(
+            "pr_auc"
+        ),
+        F.round(F.sum(F.col("dfpr") * F.col("mid_tpr")), 6).alias("roc_auc_trap"),
+        F.max("p").cast("long").alias("n_pos"),
+        F.max("n").cast("long").alias("n_neg"),
+    )

@@ -1,0 +1,307 @@
+"""Text-evaluation metrics (round 4): ROUGE-N recall/F1 over the
+adjacent-document pairing (q_rouge_n — the summarization-eval twin of
+q_bleu_pairs' precision view) and TextRank keyword extraction
+(q_textrank — PageRank over the word co-occurrence graph, the classic
+graph-based alternative to q_rake_keywords' phrase scoring).
+
+Scale notes: ROUGE is the q_bleu_pairs posture — linear gram explode,
+per-document-pair clip join keyed (pair, n, gram), never cross-document.
+TextRank's graph is VOCABULARY-sized (distinct adjacent content-word
+pairs with support ≥ 2), so the 3 PageRank iterations are joins over a
+bounded model relation — the corpus is scanned once to build the edge
+list; iterations never rescan it.
+
+Determinism: all gram/edge counts are exact integers; ROUGE ratios and
+rank values are single closed forms rounded at 6; top-k orders by the
+ROUNDED rank with an explicit word tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+TR_ITERS = 3
+TR_DAMP = 0.85
+TR_MIN_LEN = 4  # content-word filter: tokens with >= 4 chars
+TR_MIN_SUPPORT = 2  # edge sparsifier: adjacent pair seen at least twice
+
+
+# ---------------------------------------------------------------------------
+# q_rouge_n — ROUGE-1/2 recall and F1 for adjacent same-language pairs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_rouge_n",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.doc_id AS ref_doc, b.doc_id AS cand_doc, a.lang,
+             string_split(a.text, ' ') AS rt, string_split(b.text, ' ') AS ct
+      FROM documents a JOIN documents b
+        ON b.doc_id = a.doc_id + 1 AND b.lang = a.lang
+      WHERE a.doc_id % 2 = 0
+    ),
+    rg AS (
+      SELECT ref_doc, 1 AS n, unnest(rt) AS gram FROM pairs
+      UNION ALL
+      SELECT ref_doc, 2 AS n,
+             list_extract(rt, i) || ' ' || list_extract(rt, i + 1) AS gram
+      FROM pairs, unnest(range(1, len(rt))) AS t(i)
+    ),
+    cg AS (
+      SELECT ref_doc, 1 AS n, unnest(ct) AS gram FROM pairs
+      UNION ALL
+      SELECT ref_doc, 2 AS n,
+             list_extract(ct, i) || ' ' || list_extract(ct, i + 1) AS gram
+      FROM pairs, unnest(range(1, len(ct))) AS t(i)
+    ),
+    rc AS (SELECT ref_doc, n, gram, count(*) AS r FROM rg GROUP BY 1, 2, 3),
+    cc AS (SELECT ref_doc, n, gram, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+    ov AS (
+      SELECT rc.ref_doc,
+             sum(CASE WHEN rc.n = 1 THEN least(rc.r, coalesce(cc.c, 0)) ELSE 0 END) AS ov1,
+             sum(CASE WHEN rc.n = 1 THEN rc.r ELSE 0 END) AS rt1,
+             sum(CASE WHEN rc.n = 2 THEN least(rc.r, coalesce(cc.c, 0)) ELSE 0 END) AS ov2,
+             sum(CASE WHEN rc.n = 2 THEN rc.r ELSE 0 END) AS rt2
+      FROM rc LEFT JOIN cc ON cc.ref_doc = rc.ref_doc AND cc.n = rc.n AND cc.gram = rc.gram
+      GROUP BY rc.ref_doc
+    ),
+    ct AS (
+      SELECT ref_doc,
+             sum(CASE WHEN n = 1 THEN c ELSE 0 END) AS ct1,
+             sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS ct2
+      FROM cc GROUP BY ref_doc
+    )
+    SELECT CAST(p.ref_doc AS BIGINT) AS ref_doc,
+           CAST(p.cand_doc AS BIGINT) AS cand_doc,
+           p.lang,
+           round(ov.ov1 * 1.0 / ov.rt1, 6) AS rouge1_recall,
+           round(2.0 * ov.ov1 / (ov.rt1 + ct.ct1), 6) AS rouge1_f1,
+           round(ov.ov2 * 1.0 / nullif(ov.rt2, 0), 6) AS rouge2_recall,
+           round(2.0 * ov.ov2 / nullif(ov.rt2 + ct.ct2, 0), 6) AS rouge2_f1
+    FROM pairs p
+    JOIN ov ON ov.ref_doc = p.ref_doc
+    JOIN ct ON ct.ref_doc = p.ref_doc
+    ORDER BY ref_doc
+    """,
+    tags=("text", "eval", "llm"),
+)
+def rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 recall and F1 between adjacent same-language document
+    pairs (even doc = reference, odd successor = candidate — the
+    q_bleu_pairs pairing): clipped n-gram overlap over REFERENCE totals
+    (recall — what BLEU's precision view misses) plus the balanced F1.
+    Together with q_bleu_pairs this completes the two classic
+    generation-eval views of the same overlap counts.
+
+    Scale: linear gram explode; the clip join keys on (pair, n, gram)
+    with per-document group sizes — never cross-document. All counts
+    exact integers; ratios rounded at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("ref_doc"), "lang", F.split("text", " ").alias("rt")
+    ).filter(F.col("ref_doc") % 2 == 0)
+    b = docs.select(
+        F.col("doc_id").alias("cand_doc"),
+        F.col("lang").alias("lang_b"),
+        F.split("text", " ").alias("ct"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cand_doc") == F.col("ref_doc") + 1) & (F.col("lang") == F.col("lang_b")),
+    ).select("ref_doc", "cand_doc", "lang", "rt", "ct")
+
+    def grams(col: str) -> DataFrame:
+        uni = pairs.select("ref_doc", F.lit(1).alias("n"), F.explode(col).alias("gram"))
+        bi = pairs.select(
+            "ref_doc",
+            F.lit(2).alias("n"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({col}) - 1),"
+                    f" i -> concat(element_at({col}, i), ' ', element_at({col}, i + 1)))"
+                )
+            ).alias("gram"),
+        )
+        return uni.unionByName(bi)
+
+    rc = grams("rt").groupBy("ref_doc", "n", "gram").agg(F.count(F.lit(1)).alias("r"))
+    cc = grams("ct").groupBy("ref_doc", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    ov = (
+        rc.join(cc, ["ref_doc", "n", "gram"], "left")
+        .groupBy("ref_doc")
+        .agg(
+            F.sum(
+                F.when(F.col("n") == 1, F.least(F.col("r"), F.coalesce(F.col("c"), F.lit(0)))).otherwise(0)
+            ).alias("ov1"),
+            F.sum(F.when(F.col("n") == 1, F.col("r")).otherwise(0)).alias("rt1"),
+            F.sum(
+                F.when(F.col("n") == 2, F.least(F.col("r"), F.coalesce(F.col("c"), F.lit(0)))).otherwise(0)
+            ).alias("ov2"),
+            F.sum(F.when(F.col("n") == 2, F.col("r")).otherwise(0)).alias("rt2"),
+        )
+    )
+    ct = cc.groupBy("ref_doc").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c")).otherwise(0)).alias("ct1"),
+        F.sum(F.when(F.col("n") == 2, F.col("c")).otherwise(0)).alias("ct2"),
+    )
+    return (
+        pairs.select("ref_doc", "cand_doc", "lang")
+        .join(ov, "ref_doc")
+        .join(ct, "ref_doc")
+        .select(
+            F.col("ref_doc").cast("long").alias("ref_doc"),
+            F.col("cand_doc").cast("long").alias("cand_doc"),
+            "lang",
+            F.round(F.col("ov1") * 1.0 / F.col("rt1"), 6).alias("rouge1_recall"),
+            F.round(2.0 * F.col("ov1") / (F.col("rt1") + F.col("ct1")), 6).alias(
+                "rouge1_f1"
+            ),
+            F.round(
+                F.col("ov2") * 1.0 / F.nullif(F.col("rt2"), F.lit(0)), 6
+            ).alias("rouge2_recall"),
+            F.round(
+                2.0 * F.col("ov2") / F.nullif(F.col("rt2") + F.col("ct2"), F.lit(0)), 6
+            ).alias("rouge2_f1"),
+        )
+        .orderBy("ref_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_textrank — PageRank keyword extraction on the word co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+def _textrank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank over the adjacency word graph
+    (the q_pagerank_copurchase CTE pattern on a vocabulary-sized model)."""
+    head = f"""
+    WITH toks AS (
+      SELECT doc_id, i,
+             list_extract(string_split(lower(text), ' '), i) AS tok
+      FROM documents, unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS t(i)
+    ),
+    adj AS (
+      SELECT CASE WHEN a.tok < b.tok THEN a.tok ELSE b.tok END AS w1,
+             CASE WHEN a.tok < b.tok THEN b.tok ELSE a.tok END AS w2
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE length(a.tok) >= {TR_MIN_LEN} AND length(b.tok) >= {TR_MIN_LEN}
+        AND a.tok <> b.tok
+    ),
+    pairs AS (
+      SELECT w1, w2, count(*) AS w FROM adj GROUP BY w1, w2
+      HAVING count(*) >= {TR_MIN_SUPPORT}
+    ),
+    edges AS (
+      SELECT w1 AS u, w2 AS v, w FROM pairs
+      UNION ALL SELECT w2, w1, w FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS c, sum(w) AS wsum FROM edges GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT u AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)
+    """
+    steps = "".join(
+        f""",
+    r{i + 1} AS (
+      SELECT e.v AS node,
+             (1 - {TR_DAMP}) / (SELECT n FROM nn)
+             + {TR_DAMP} * sum(r{i}.r * e.w / dg.wsum) AS r
+      FROM edges e
+      JOIN r{i} ON r{i}.node = e.u
+      JOIN deg dg ON dg.u = e.u
+      GROUP BY e.v
+    )"""
+        for i in range(TR_ITERS)
+    )
+    return f"""
+    {head}{steps}
+    SELECT node AS word,
+           round(r * (SELECT n FROM nn), 6) AS rel_rank,
+           CAST((SELECT c FROM deg WHERE deg.u = node) AS BIGINT) AS degree
+    FROM r{TR_ITERS}
+    ORDER BY rel_rank DESC, word
+    LIMIT 20
+    """
+
+
+@query("q_textrank", oracle=_textrank_oracle(), tags=("text", "llm", "iterative"))
+def textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: WEIGHTED PageRank (3 fixed
+    iterations, d=0.85, edge weight = adjacency count, contributions
+    row-normalized by node strength — the formulation of the original
+    paper) over the undirected word co-occurrence graph: content words
+    (≥4 chars) linked when ADJACENT in a document, edges kept at support
+    ≥ 2; top-20 words by N-normalized rank. The classic graph-centrality
+    alternative to q_rake_keywords' degree/frequency phrase scoring —
+    and on this corpus the weights are load-bearing: the sparsified
+    adjacency graph is COMPLETE over its 24-word content vocabulary, so
+    the unweighted walk is uniform by symmetry and only the
+    co-occurrence weights differentiate the keywords.
+
+    Scale: ONE corpus token pass builds the vocabulary-sized edge list
+    (adjacent-position equi-join on (doc_id, i)); the PageRank loop then
+    joins only model-sized relations (the q_pagerank_copurchase shape —
+    the driver holds the iteration counter and vocabulary count, data
+    stays distributed). Rank ulps across 3 iterations sit ~1e-12, far
+    under the 6-dp output rounding; ties break on the word."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "tok")
+    nxt = toks.select("doc_id", (F.col("i") - 1).alias("i"), F.col("tok").alias("tok2"))
+    adj = (
+        toks.join(nxt, ["doc_id", "i"])
+        .filter(
+            (F.length("tok") >= TR_MIN_LEN)
+            & (F.length("tok2") >= TR_MIN_LEN)
+            & (F.col("tok") != F.col("tok2"))
+        )
+        .select(
+            F.least("tok", "tok2").alias("w1"), F.greatest("tok", "tok2").alias("w2")
+        )
+    )
+    pairs = (
+        adj.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= TR_MIN_SUPPORT)
+    )
+    edges = pairs.select(
+        F.col("w1").alias("u"), F.col("w2").alias("v"), "w"
+    ).unionByName(pairs.select(F.col("w2").alias("u"), F.col("w1").alias("v"), "w"))
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("w").alias("wsum"))
+        .persist()
+    )
+    n = deg.count()  # bounded driver scalar: vocabulary size
+    ranks = deg.select(F.col("u").alias("node"), (F.lit(1.0) / n).alias("r"))
+    edges_deg = edges.join(deg, "u").persist()
+    for _ in range(TR_ITERS):
+        contrib = (
+            edges_deg.join(ranks, edges_deg.u == ranks.node)
+            .select("v", (F.col("r") * F.col("w") / F.col("wsum")).alias("contrib"))
+            .groupBy("v")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("v").alias("node"), ((1 - TR_DAMP) / n + TR_DAMP * F.col("s")).alias("r")
+        )
+    out = (
+        ranks.join(deg, ranks.node == deg.u)
+        .select(
+            F.col("node").alias("word"),
+            F.round(F.col("r") * n, 6).alias("rel_rank"),
+            F.col("c").cast("long").alias("degree"),
+        )
+        .orderBy(F.col("rel_rank").desc(), "word")
+        .limit(20)
+    )
+    out = out.localCheckpoint(eager=True)
+    edges_deg.unpersist()
+    deg.unpersist()
+    return out

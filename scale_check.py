@@ -238,6 +238,10 @@ QUERIES = [
     "q_cochran_q",
     "q_grubbs_test",
     "q_anderson_darling",
+    # round-4 text-metrics + curve-integral wave
+    "q_rouge_n",
+    "q_textrank",
+    "q_pr_auc",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -811,3 +811,15 @@ def test_agreement_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = formatted(SPECS["q_fleiss_kappa"].fn(spark, SF_DIR))
     assert "partial_" in plan
+
+
+def test_text_metrics_and_prauc_plans(spark):
+    """ROUGE / TextRank / PR-AUC: no cartesians, no Python eval; the
+    ROUGE clip join and TextRank adjacency join are equi-joins; PR-AUC's
+    bucket aggregate partial-aggregates map-side."""
+    for name in ("q_rouge_n", "q_textrank", "q_pr_auc"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = formatted(SPECS["q_pr_auc"].fn(spark, SF_DIR))
+    assert "partial_" in plan
