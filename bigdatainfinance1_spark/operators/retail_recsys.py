@@ -696,3 +696,278 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_newsvendor — critical-fractile stocking targets per brand
+# ---------------------------------------------------------------------------
+
+NV_CU = 3.0  # unit underage cost (lost margin)
+NV_CO = 1.0  # unit overage cost (holding/salvage loss)
+NV_CR = NV_CU / (NV_CU + NV_CO)  # critical ratio = 0.75
+
+
+@query(
+    "q_newsvendor",
+    oracle=f"""
+    WITH dem AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(l.l_shipdate) AS BIGINT) * 12 + month(l.l_shipdate) AS mi,
+             CAST(sum(l.l_quantity) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY brand, mi
+    ),
+    ranked AS (
+      SELECT brand, mi, d,
+             row_number() OVER (PARTITION BY brand ORDER BY d, mi) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n
+      FROM dem
+    ),
+    qstar AS (
+      SELECT brand, max(n) AS n,
+             min(CASE WHEN rn = CAST(ceil({NV_CR} * n) AS BIGINT) THEN d END) AS q
+      FROM ranked GROUP BY brand
+    ),
+    cost AS (
+      SELECT dem.brand, max(qstar.n) AS n, max(qstar.q) AS q,
+             sum(CASE WHEN qstar.q > dem.d THEN qstar.q - dem.d ELSE 0 END)
+               * 1.0 / max(qstar.n) AS e_over,
+             sum(CASE WHEN dem.d > qstar.q THEN dem.d - qstar.q ELSE 0 END)
+               * 1.0 / max(qstar.n) AS e_under
+      FROM dem JOIN qstar ON qstar.brand = dem.brand
+      GROUP BY dem.brand
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_months,
+           CAST(q AS BIGINT) AS q_star,
+           round(e_over, 6) AS e_overstock,
+           round(e_under, 6) AS e_understock,
+           round({NV_CO} * e_over + {NV_CU} * e_under, 6) AS e_cost
+    FROM cost ORDER BY brand
+    """,
+    tags=("analytics", "finance", "agg"),
+)
+def newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking targets per brand: the critical-fractile
+    order quantity Q* = F⁻¹(cu/(cu+co)) = the 0.75-quantile of the
+    brand's empirical monthly demand (discrete quantile at rank
+    ⌈0.75·n⌉, the q_percentile_disc rank formulation so both engines
+    pick the identical month), with the expected overstock/understock
+    units and expected cost at Q* evaluated against the same empirical
+    distribution — the foundational stochastic-inventory operator that
+    turns the demand history (q_abc_xyz classifies it) into an order
+    policy.
+
+    Scale: one fact-dim aggregate to the O(brands × calendar) demand
+    panel (part broadcast); per-brand window ranks over ≤80-row
+    partitions; one closed-form cost pass. Demands are exact BIGINT
+    month sums (l_quantity is integer-valued), so quantiles and cost
+    sums are exact integers until the final averages, rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dem = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("d"))
+    )
+    w = Window.partitionBy("brand").orderBy("d", "mi")
+    wb = Window.partitionBy("brand")
+    ranked = dem.select(
+        "brand",
+        "d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wb).alias("n"),
+    )
+    qstar = ranked.groupBy("brand").agg(
+        F.max("n").alias("n"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(NV_CR) * F.col("n")).cast("long"),
+                F.col("d"),
+            )
+        ).alias("q"),
+    )
+    cost = (
+        dem.join(F.broadcast(qstar), "brand")
+        .groupBy("brand")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q").alias("q"),
+            (
+                F.sum(
+                    F.when(F.col("q") > F.col("d"), F.col("q") - F.col("d")).otherwise(0)
+                )
+                * 1.0
+                / F.max("n")
+            ).alias("e_over"),
+            (
+                F.sum(
+                    F.when(F.col("d") > F.col("q"), F.col("d") - F.col("q")).otherwise(0)
+                )
+                * 1.0
+                / F.max("n")
+            ).alias("e_under"),
+        )
+    )
+    return cost.select(
+        "brand",
+        F.col("n").cast("long").alias("n_months"),
+        F.col("q").cast("long").alias("q_star"),
+        F.round(F.col("e_over"), 6).alias("e_overstock"),
+        F.round(F.col("e_under"), 6).alias("e_understock"),
+        F.round(NV_CO * F.col("e_over") + NV_CU * F.col("e_under"), 6).alias("e_cost"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q_bass_diffusion — innovation/imitation adoption-curve fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_bass_diffusion",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate)) AS mi
+      FROM orders GROUP BY o_custkey
+    ),
+    adopt AS (SELECT mi, count(*) AS a FROM firsts GROUP BY mi),
+    cum AS (
+      SELECT x.mi, x.a,
+             CAST(coalesce(sum(y.a), 0) AS BIGINT) AS n_prev
+      FROM adopt x LEFT JOIN adopt y ON y.mi < x.mi
+      GROUP BY x.mi, x.a
+    ),
+    obs AS (
+      SELECT a * 1.0 AS y, n_prev * 1.0 AS x1, n_prev * 1.0 * n_prev AS x2
+      FROM cum WHERE n_prev > 0
+    ),
+    mm AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM obs
+    ),
+    c AS (
+      SELECT n,
+             n * s11 - s1 * s1 AS a11, n * s12 - s1 * s2 AS a12,
+             n * s22 - s2 * s2 AS a22,
+             n * s1y - s1 * sy AS b1, n * s2y - s2 * sy AS b2,
+             s1, s2, sy
+      FROM mm
+    ),
+    fit AS (
+      SELECT n,
+             (sy - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * s1
+                 - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * s2) / n AS ca,
+             (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS cb,
+             (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS cc
+      FROM c
+    ),
+    bass AS (
+      SELECT n, ca, cb, cc,
+             CASE WHEN cb * cb - 4 * ca * cc >= 0 AND cc < 0
+                  THEN (-cb - sqrt(cb * cb - 4 * ca * cc)) / (2 * cc) END AS m
+      FROM fit
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(ca, 6) AS coef_a,
+           round(cb, 6) AS coef_b,
+           round(cc, 9) AS coef_c,
+           round(m, 2) AS m_hat,
+           round(ca / m, 6) AS p_hat,
+           round(-cc * m, 6) AS q_hat,
+           round(ln((-cc * m) / (ca / m)) / (ca / m + (-cc * m)), 2) AS peak_month
+    FROM bass
+    """,
+    tags=("analytics", "timeseries", "model"),
+)
+def bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion fit on customer adoption (first-order month):
+    the discrete Bass regression nₜ = a + b·Nₜ₋₁ + c·Nₜ₋₁² solved by the
+    closed-form two-factor normal equations (the q_ols_two_factor
+    Cramer shape), then the structural parameters — market potential m
+    as the economically meaningful root of c·m² + b·m + a = 0,
+    innovation p = a/m, imitation q = −c·m, and the implied adoption
+    peak t* = ln(q/p)/(p+q) — the canonical growth-curve operator over
+    exactly the new-customer series q_growth_accounting reports
+    descriptively.
+
+    Scale: one first-touch aggregate (map-side combinable min per
+    customer), one O(calendar) adopters relation; the cumulative-prior
+    join is triangular over ≤80 broadcast rows; one 9-moment aggregate
+    and closed forms. The m root is guarded (discriminant ≥ 0 and
+    c < 0), so a non-S-shaped panel yields NULL structural parameters
+    identically on both engines rather than a NaN."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(
+            F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")
+        ).alias("mi")
+    )
+    adopt = firsts.groupBy("mi").agg(F.count(F.lit(1)).alias("a"))
+    prior = adopt.select(F.col("mi").alias("mj"), F.col("a").alias("aj"))
+    cum = (
+        adopt.join(F.broadcast(prior), F.col("mj") < F.col("mi"), "left")
+        .groupBy("mi", "a")
+        .agg(F.coalesce(F.sum("aj"), F.lit(0)).cast("long").alias("n_prev"))
+    )
+    obs = cum.filter(F.col("n_prev") > 0).select(
+        (F.col("a") * 1.0).alias("y"),
+        (F.col("n_prev") * 1.0).alias("x1"),
+        (F.col("n_prev") * 1.0 * F.col("n_prev")).alias("x2"),
+    )
+    mm = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    c = mm.select(
+        "n",
+        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).alias("a11"),
+        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).alias("a12"),
+        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).alias("a22"),
+        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).alias("b1"),
+        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).alias("b2"),
+        "s1",
+        "s2",
+        "sy",
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    cb = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
+    cc_ = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det
+    fit = c.select(
+        "n",
+        ((F.col("sy") - cb * F.col("s1") - cc_ * F.col("s2")) / F.col("n")).alias("ca"),
+        cb.alias("cb"),
+        cc_.alias("cc"),
+    )
+    disc = F.col("cb") * F.col("cb") - 4 * F.col("ca") * F.col("cc")
+    m = F.when(
+        (disc >= 0) & (F.col("cc") < 0),
+        (-F.col("cb") - F.sqrt(disc)) / (2 * F.col("cc")),
+    )
+    bass = fit.select("n", "ca", "cb", "cc", m.alias("m"))
+    p = F.col("ca") / F.col("m")
+    q = -F.col("cc") * F.col("m")
+    return bass.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(F.col("ca"), 6).alias("coef_a"),
+        F.round(F.col("cb"), 6).alias("coef_b"),
+        F.round(F.col("cc"), 9).alias("coef_c"),
+        F.round(F.col("m"), 2).alias("m_hat"),
+        F.round(p, 6).alias("p_hat"),
+        F.round(q, 6).alias("q_hat"),
+        F.round(F.log(q / p) / (p + q), 2).alias("peak_month"),
+    )

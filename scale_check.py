@@ -242,6 +242,9 @@ QUERIES = [
     "q_rouge_n",
     "q_textrank",
     "q_pr_auc",
+    # round-4 inventory/growth wave
+    "q_newsvendor",
+    "q_bass_diffusion",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

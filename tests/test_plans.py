@@ -823,3 +823,17 @@ def test_text_metrics_and_prauc_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = formatted(SPECS["q_pr_auc"].fn(spark, SF_DIR))
     assert "partial_" in plan
+
+
+def test_inventory_growth_wave_plans(spark):
+    """Newsvendor / Bass: part dim broadcast, per-brand windows
+    partitioned, no cartesians, no Python eval."""
+    for name in ("q_newsvendor", "q_bass_diffusion"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_newsvendor"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "brand" in line, line
