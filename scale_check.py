@@ -245,6 +245,10 @@ QUERIES = [
     # round-4 inventory/growth wave
     "q_newsvendor",
     "q_bass_diffusion",
+    # round-4 portfolio-construction wave
+    "q_cov_shrinkage",
+    "q_risk_parity",
+    "q_brinson_attribution",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -837,3 +837,16 @@ def test_inventory_growth_wave_plans(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "brand" in line, line
+
+
+def test_portfolio_construction_wave_plans(spark):
+    """LW shrinkage / risk parity / Brinson: dims broadcast, no
+    cartesian on corpus-sized inputs, no Python eval; Brinson's two-year
+    predicate reaches the orders scan."""
+    for name in ("q_cov_shrinkage", "q_risk_parity", "q_brinson_attribution"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = formatted(SPECS["q_brinson_attribution"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "o_orderdate" in plan
