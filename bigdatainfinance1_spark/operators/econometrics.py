@@ -1134,3 +1134,219 @@ def engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_cointegration"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_chow_test — structural break in the revenue trend at the sample midpoint
+# ---------------------------------------------------------------------------
+
+F_2_CRIT_5 = 3.117  # F(2, ~76) 5% — the fixed 80-month calendar's df
+
+
+@query(
+    "q_chow_test",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    half AS (
+      SELECT idx.i, idx.z,
+             CASE WHEN idx.i <= (SELECT count(*) / 2 FROM idx) THEN 1 ELSE 2 END AS h
+      FROM idx
+    ),
+    gm AS (
+      SELECT h, count(*) AS n, sum(i * 1.0) AS si, sum(z) AS sz,
+             sum(i * 1.0 * i) AS sii, sum(i * z) AS siz,
+             sum(z * z) AS szz
+      FROM half GROUP BY h
+    ),
+    gssr AS (
+      SELECT h, n,
+             ((n * szz - sz * sz)
+              - ((n * siz - si * sz) / (n * sii - si * si)) * (n * siz - si * sz)) / n
+               AS ssr
+      FROM gm
+    ),
+    pooled AS (
+      SELECT count(*) AS n, sum(i * 1.0) AS si, sum(z) AS sz,
+             sum(i * 1.0 * i) AS sii, sum(i * z) AS siz, sum(z * z) AS szz
+      FROM half
+    ),
+    pssr AS (
+      SELECT n,
+             ((n * szz - sz * sz)
+              - ((n * siz - si * sz) / (n * sii - si * si)) * (n * siz - si * sz)) / n
+               AS ssr
+      FROM pooled
+    ),
+    stat AS (
+      SELECT pssr.n,
+             pssr.ssr AS ssr_pooled,
+             (SELECT sum(ssr) FROM gssr) AS ssr_split,
+             ((pssr.ssr - (SELECT sum(ssr) FROM gssr)) / 2.0)
+               / (((SELECT sum(ssr) FROM gssr)) / (pssr.n - 4)) AS f
+      FROM pssr
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round(ssr_pooled, 6) AS ssr_pooled,
+           round(ssr_split, 6) AS ssr_split,
+           round(f, 6) AS f_stat,
+           CASE WHEN f > {F_2_CRIT_5} THEN 'structural_break'
+                ELSE 'stable' END AS verdict
+    FROM stat
+    """,
+    tags=("stats", "timeseries"),
+)
+def chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the monthly-revenue trend at
+    the sample midpoint: F = [(SSR_pooled − ΣSSR_half)/k] /
+    [ΣSSR_half/(n−2k)] with k = 2 (intercept + slope) against F(2,
+    n−4) — the TEST companion to the monitoring detectors
+    (q_cusum_changepoint and q_page_hinkley flag when a break happens;
+    this says whether the two regimes' trend lines differ significantly
+    at a known split).
+
+    Scale: monthly aggregate, then per-half and pooled 6-moment
+    aggregates with the same closed-form SSR shape as q_adf_test —
+    calendar-bounded. One expression shape both engines, rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    nn = idx.agg((F.count(F.lit(1)) / 2).alias("half_n"))
+    half = idx.crossJoin(F.broadcast(nn)).select(
+        "i", "z", F.when(F.col("i") <= F.col("half_n"), 1).otherwise(2).alias("h")
+    )
+
+    def ssr_of(df: DataFrame, keys: list[str]) -> DataFrame:
+        g = (df.groupBy(*keys) if keys else df).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("i") * 1.0).alias("si"),
+            F.sum("z").alias("sz"),
+            F.sum(F.col("i") * 1.0 * F.col("i")).alias("sii"),
+            F.sum(F.col("i") * F.col("z")).alias("siz"),
+            F.sum(F.col("z") * F.col("z")).alias("szz"),
+        )
+        siz_c = F.col("n") * F.col("siz") - F.col("si") * F.col("sz")
+        szz_c = F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")
+        sii_c = F.col("n") * F.col("sii") - F.col("si") * F.col("si")
+        return g.select(
+            *keys,
+            "n",
+            ((szz_c - (siz_c / sii_c) * siz_c) / F.col("n")).alias("ssr"),
+        )
+
+    gssr = ssr_of(half, ["h"]).agg(F.sum("ssr").alias("ssr_split"))
+    pssr = ssr_of(half, [])
+    stat = pssr.crossJoin(F.broadcast(gssr)).select(
+        "n",
+        F.col("ssr").alias("ssr_pooled"),
+        "ssr_split",
+        (
+            ((F.col("ssr") - F.col("ssr_split")) / 2.0)
+            / (F.col("ssr_split") / (F.col("n") - 4))
+        ).alias("f"),
+    )
+    return stat.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(F.col("ssr_pooled"), 6).alias("ssr_pooled"),
+        F.round(F.col("ssr_split"), 6).alias("ssr_split"),
+        F.round(F.col("f"), 6).alias("f_stat"),
+        F.when(F.col("f") > F_2_CRIT_5, F.lit("structural_break"))
+        .otherwise(F.lit("stable"))
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_arch_lm — ARCH effects (volatility clustering) in revenue changes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_arch_lm",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    {_RET_SQL},
+    e2 AS (
+      SELECT r.i, round((r.r - rmom.mu) * (r.r - rmom.mu), 8) AS e2
+      FROM r CROSS JOIN rmom
+    ),
+    d AS (
+      SELECT a.i, a.e2 AS y, b.e2 AS x
+      FROM e2 a JOIN e2 b ON b.i = a.i - 1
+    ),
+    mm AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM d
+    ),
+    r2 AS (
+      SELECT n,
+             ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      FROM mm
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(r2, 6) AS aux_r2,
+           round(n * r2, 6) AS lm_stat,
+           CASE WHEN n * r2 > {CHI2_1_95} THEN 'arch_effects'
+                ELSE 'no_arch' END AS verdict
+    FROM r2
+    """,
+    tags=("stats", "timeseries", "finance"),
+)
+def arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH-LM test at lag 1 on monthly revenue changes: regress
+    the squared demeaned change e²ₜ on e²ₜ₋₁ and report LM = n·R²
+    against chi-square(1) — the volatility-CLUSTERING test that
+    q_breusch_pagan (trend heteroskedasticity) and q_ljung_box (mean
+    autocorrelation) don't cover, and the standard gate before fitting
+    any GARCH-family volatility model.
+
+    Scale: monthly aggregate → return series → one squared-deviation
+    pass, one broadcast lag equi-join, one 6-moment aggregate, closed
+    forms — calendar-bounded. e² rounds at 8 before the regression so
+    both engines see identical inputs, rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    r = (
+        idx.select("i", F.col("z").alias("za"))
+        .join(
+            F.broadcast(
+                idx.select((F.col("i") + 1).alias("i"), F.col("z").alias("zb"))
+            ),
+            "i",
+        )
+        .select("i", F.round(F.col("za") - F.col("zb"), 6).alias("r"))
+    )
+    rmom = r.agg(F.count(F.lit(1)).alias("nr"), F.round(F.avg("r"), 8).alias("mu"))
+    e2 = r.crossJoin(F.broadcast(rmom)).select(
+        "i",
+        F.round((F.col("r") - F.col("mu")) * (F.col("r") - F.col("mu")), 8).alias("e2"),
+    )
+    d = e2.select("i", F.col("e2").alias("y")).join(
+        F.broadcast(e2.select((F.col("i") + 1).alias("i"), F.col("e2").alias("x"))),
+        "i",
+    )
+    mm = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    sxy_c = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r2 = mm.select(
+        "n",
+        (
+            (sxy_c * sxy_c)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )
+    return r2.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(F.col("r2"), 6).alias("aux_r2"),
+        F.round(F.col("n") * F.col("r2"), 6).alias("lm_stat"),
+        F.when(F.col("n") * F.col("r2") > CHI2_1_95, F.lit("arch_effects"))
+        .otherwise(F.lit("no_arch"))
+        .alias("verdict"),
+    )

@@ -249,6 +249,9 @@ QUERIES = [
     "q_cov_shrinkage",
     "q_risk_parity",
     "q_brinson_attribution",
+    # round-4 break/volatility diagnostics
+    "q_chow_test",
+    "q_arch_lm",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -850,3 +850,15 @@ def test_portfolio_construction_wave_plans(spark):
     plan = formatted(SPECS["q_brinson_attribution"].fn(spark, SF_DIR))
     assert "PushedFilters" in plan
     assert "o_orderdate" in plan
+
+
+def test_break_and_arch_plans(spark):
+    """Chow / ARCH-LM: calendar-bounded closed forms — no cartesian on
+    corpus relations, no Python eval, map-side partials on the monthly
+    aggregate."""
+    for name in ("q_chow_test", "q_arch_lm"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        fplan = formatted(SPECS[name].fn(spark, SF_DIR))
+        assert "partial_" in fplan, name
