@@ -1,0 +1,421 @@
+"""Event alignment and seasonal anomaly composites (round 4):
+q_seasonal_esd (deseasonalize then iterated Grubbs/ESD — the
+S-H-ESD-style anomaly pipeline), q_event_study (align nation panels on
+each book's own event month and average abnormal returns across books —
+the classic event-study CAR), and q_forecast_reconciliation (bottom-up
+vs proportional top-down reconciliation of naive seasonal forecasts over
+the nation → region → total hierarchy).
+
+Scale notes: all three reduce to the O(nations × calendar) panel or the
+O(calendar) monthly series in one fact(-dim) aggregate; event alignment
+is a per-nation argmax plus a ±3-month relative join; the ESD rounds
+are a FIXED 2-iteration unroll (each round one moment pass + one
+argmax); reconciliation is three aggregates over the same panel.
+Nothing downstream of the first aggregate grows with the corpus.
+
+Determinism: panel values round at 6; residuals/deviations at 8 before
+any argmax or product; argmaxes order by (rounded value, month index);
+the ESD removal set is decided on rounded deviations so both engines
+drop the identical point between rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.operators.ts_mining import _MONTHLY_SQL, _monthly
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+ESD_CRIT = 3.2  # approximate two-sided 5% Grubbs critical value, n ~ 78-80
+EVENT_WIN = 3  # event window: tau in [-3, +3]
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_esd — deseasonalized two-round ESD outlier hunt
+# ---------------------------------------------------------------------------
+
+
+def _esd_round_sql(src: str, rnd: int) -> str:
+    """One unrolled ESD round over relation ``src`` (mi, e): moment pass,
+    argmax by (|e − mu| rounded 8 DESC, mi), Grubbs statistic."""
+    return f"""
+    mom{rnd} AS (
+      SELECT count(*) AS n, round(avg(e), 8) AS mu FROM {src}
+    ),
+    sd{rnd} AS (
+      SELECT max(mom{rnd}.n) AS n, max(mom{rnd}.mu) AS mu,
+             sqrt(sum(({src}.e - mom{rnd}.mu) * ({src}.e - mom{rnd}.mu))
+                  / (max(mom{rnd}.n) - 1)) AS s
+      FROM {src} CROSS JOIN mom{rnd}
+    ),
+    top{rnd} AS (
+      SELECT {src}.mi, {src}.e,
+             round(abs({src}.e - sd{rnd}.mu), 8) AS d,
+             sd{rnd}.n, sd{rnd}.s
+      FROM {src} CROSS JOIN sd{rnd}
+      ORDER BY d DESC, {src}.mi LIMIT 1
+    )"""
+
+
+@query(
+    "q_seasonal_esd",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    seas AS (
+      SELECT mi % 12 AS moy, round(avg(z), 8) AS sz
+      FROM idx GROUP BY mi % 12
+    ),
+    resid AS (
+      SELECT idx.mi, round(idx.z - seas.sz, 8) AS e
+      FROM idx JOIN seas ON seas.moy = idx.mi % 12
+    ),
+    {_esd_round_sql('resid', 1)},
+    resid2 AS (
+      SELECT resid.mi, resid.e FROM resid CROSS JOIN top1
+      WHERE resid.mi <> top1.mi
+    ),
+    {_esd_round_sql('resid2', 2)}
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS esd_round, CAST(mi AS BIGINT) AS mi,
+             e AS residual, round(d / s, 6) AS g_stat,
+             CASE WHEN d / s > {ESD_CRIT} THEN 'outlier' ELSE 'not_significant' END
+               AS verdict
+      FROM top1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), CAST(mi AS BIGINT), e, round(d / s, 6),
+             CASE WHEN d / s > {ESD_CRIT} THEN 'outlier' ELSE 'not_significant' END
+      FROM top2
+    ) ORDER BY esd_round
+    """,
+    tags=("stats", "timeseries", "quality"),
+)
+def seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-hybrid ESD (two unrolled rounds): remove the
+    month-of-year seasonal means from monthly revenue, then run the
+    generalized ESD — each round computes the Grubbs statistic of the
+    most extreme residual and REMOVES that point before the next round,
+    which is exactly what lets ESD find a second outlier that the first
+    one's inflated variance would mask (the q_grubbs_test single-shot
+    can't). The S-H-ESD shape used in production anomaly detection,
+    expressed as a fixed 2-round unroll.
+
+    Scale: monthly aggregate, a 12-row seasonal model join, then two
+    rounds of (moment pass + top-1 TakeOrdered) over ≤80 rows —
+    calendar-bounded. Residuals and deviations round at 8 so both
+    engines drop the identical point between rounds; rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    seas = idx.groupBy((F.col("mi") % 12).alias("moy")).agg(
+        F.round(F.avg("z"), 8).alias("sz")
+    )
+    resid = idx.join(F.broadcast(seas), idx.mi % 12 == F.col("moy")).select(
+        "mi", F.round(F.col("z") - F.col("sz"), 8).alias("e")
+    )
+
+    def esd_round(src: DataFrame, rnd: int) -> DataFrame:
+        mom = src.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("e"), 8).alias("mu"))
+        sd = src.crossJoin(F.broadcast(mom)).agg(
+            F.max("n").alias("n"),
+            F.max("mu").alias("mu"),
+            F.sqrt(
+                F.sum((F.col("e") - F.col("mu")) * (F.col("e") - F.col("mu")))
+                / (F.max("n") - 1)
+            ).alias("s"),
+        )
+        top = (
+            src.crossJoin(F.broadcast(sd))
+            .select(
+                "mi",
+                "e",
+                F.round(F.abs(F.col("e") - F.col("mu")), 8).alias("d"),
+                "n",
+                "s",
+            )
+            .orderBy(F.col("d").desc(), F.col("mi"))
+            .limit(1)
+        )
+        g = F.col("d") / F.col("s")
+        return top.select(
+            F.lit(rnd).cast("long").alias("esd_round"),
+            F.col("mi").cast("long").alias("mi"),
+            F.col("e").alias("residual"),
+            F.round(g, 6).alias("g_stat"),
+            F.when(g > ESD_CRIT, F.lit("outlier"))
+            .otherwise(F.lit("not_significant"))
+            .alias("verdict"),
+        )
+
+    r1 = esd_round(resid, 1)
+    resid2 = resid.join(
+        F.broadcast(r1.select(F.col("mi").alias("drop_mi"))),
+        resid.mi == F.col("drop_mi"),
+        "left_anti",
+    )
+    r2 = esd_round(resid2, 2)
+    return r1.unionByName(r2).orderBy("esd_round")
+
+
+# ---------------------------------------------------------------------------
+# q_event_study — abnormal returns aligned on each nation's peak month
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_study",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT c_nationkey AS nk,
+             CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY nk, mi
+    ),
+    nret AS (
+      SELECT a.nk, a.mi, round((a.v - b.v) / b.v, 8) AS r
+      FROM nrm a JOIN nrm b ON b.nk = a.nk AND b.mi = a.mi - 1
+    ),
+    mrm AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS v
+      FROM orders GROUP BY mi
+    ),
+    mret AS (
+      SELECT a.mi, round((a.v - b.v) / b.v, 8) AS m
+      FROM mrm a JOIN mrm b ON b.mi = a.mi - 1
+    ),
+    ev AS (
+      SELECT nk, mi AS emi FROM (
+        SELECT nk, mi, row_number() OVER (PARTITION BY nk ORDER BY v DESC, mi) AS rn
+        FROM nrm
+      ) WHERE rn = 1
+    ),
+    ar AS (
+      SELECT nret.nk, nret.mi - ev.emi AS tau,
+             round(nret.r - mret.m, 8) AS a
+      FROM nret
+      JOIN ev ON ev.nk = nret.nk
+      JOIN mret ON mret.mi = nret.mi
+      WHERE nret.mi - ev.emi BETWEEN -{EVENT_WIN} AND {EVENT_WIN}
+    ),
+    mar AS (
+      SELECT tau, count(*) AS n_nations, round(avg(a), 8) AS mean_ar
+      FROM ar GROUP BY tau
+    )
+    SELECT CAST(a.tau AS BIGINT) AS tau,
+           CAST(a.n_nations AS BIGINT) AS n_nations,
+           round(a.mean_ar, 6) AS mean_ar,
+           round(sum(b.mean_ar), 6) AS car
+    FROM mar a JOIN mar b ON b.tau <= a.tau
+    GROUP BY a.tau, a.n_nations, a.mean_ar
+    ORDER BY tau
+    """,
+    tags=("finance", "timeseries", "analytics"),
+)
+def event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study around each nation's peak-revenue month: abnormal
+    return = nation return − market return, aligned on relative month
+    τ ∈ [−3, +3] from each book's OWN event date, averaged across books,
+    with the cumulative abnormal return — the standard event-alignment
+    operator (earnings dates, incidents, launches) whose point is that
+    calendar joins can't see effects that only line up in EVENT time.
+    (Aligned on the peak itself, the τ=0 spike and the mean-reverting
+    post-window are the expected signature — visible in the CAR.)
+
+    Scale: the nation panel build, a per-nation argmax (partitioned
+    window, tie-break on month), one relative-time join (the ±3 window
+    predicate on the month delta), one per-τ aggregate, and a 7-row
+    triangular join for the CAR prefix sum (no unpartitioned window).
+    Panel-bounded; rounded at 6."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nrm = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            ),
+        )
+        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("v"))
+    )
+    prev = nrm.select("nk", (F.col("mi") + 1).alias("mi"), F.col("v").alias("pv"))
+    nret = nrm.join(prev, ["nk", "mi"]).select(
+        "nk", "mi", F.round((F.col("v") - F.col("pv")) / F.col("pv"), 8).alias("r")
+    )
+    mrm = orders.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("v"))
+    mprev = mrm.select((F.col("mi") + 1).alias("mi"), F.col("v").alias("pv"))
+    mret = mrm.join(F.broadcast(mprev), "mi").select(
+        "mi", F.round((F.col("v") - F.col("pv")) / F.col("pv"), 8).alias("m")
+    )
+    w = Window.partitionBy("nk").orderBy(F.col("v").desc(), F.col("mi"))
+    ev = (
+        nrm.select("nk", "mi", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("nk", F.col("mi").alias("emi"))
+    )
+    ar = (
+        nret.join(F.broadcast(ev), "nk")
+        .join(F.broadcast(mret), "mi")
+        .select("nk", (F.col("mi") - F.col("emi")).alias("tau"), F.round(F.col("r") - F.col("m"), 8).alias("a"))
+        .filter(F.col("tau").between(-EVENT_WIN, EVENT_WIN))
+    )
+    mar = ar.groupBy("tau").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.round(F.avg("a"), 8).alias("mean_ar")
+    )
+    b = mar.select(F.col("tau").alias("tb"), F.col("mean_ar").alias("mb"))
+    return (
+        mar.join(F.broadcast(b), F.col("tb") <= F.col("tau"))
+        .groupBy("tau", "n_nations", "mean_ar")
+        .agg(F.round(F.sum("mb"), 6).alias("car"))
+        .select(
+            F.col("tau").cast("long").alias("tau"),
+            F.col("n_nations").cast("long").alias("n_nations"),
+            F.round(F.col("mean_ar"), 6).alias("mean_ar"),
+            "car",
+        )
+        .orderBy("tau")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_reconciliation — bottom-up vs top-down over the geo hierarchy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_forecast_reconciliation",
+    oracle="""
+    WITH base AS (
+      SELECT n.n_regionkey AS rk, c.c_nationkey AS nk,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
+             round(sum(o.o_totalprice), 2) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY rk, nk, mi
+    ),
+    lastm AS (SELECT max(mi) AS lm FROM base),
+    hist AS (SELECT base.* FROM base CROSS JOIN lastm WHERE base.mi < lastm.lm),
+    nf AS (
+      SELECT rk, nk, round(avg(v), 6) AS f
+      FROM hist CROSS JOIN lastm
+      WHERE hist.mi % 12 = lastm.lm % 12
+      GROUP BY rk, nk
+    ),
+    rf AS (
+      SELECT h.rk, round(avg(s), 6) AS f FROM (
+        SELECT rk, mi, sum(v) AS s FROM hist GROUP BY rk, mi
+      ) h CROSS JOIN lastm
+      WHERE h.mi % 12 = lastm.lm % 12
+      GROUP BY h.rk
+    ),
+    tf AS (
+      SELECT round(avg(s), 6) AS f FROM (
+        SELECT mi, sum(v) AS s FROM hist GROUP BY mi
+      ) h CROSS JOIN lastm
+      WHERE h.mi % 12 = lastm.lm % 12
+    ),
+    bu AS (SELECT rk, round(sum(f), 6) AS bottom_up FROM nf GROUP BY rk),
+    shares AS (
+      SELECT rk, sum(v) AS rv,
+             sum(sum(v)) OVER () AS tv
+      FROM hist GROUP BY rk
+    )
+    SELECT r.r_name AS region,
+           round(rf.f, 2) AS base_forecast,
+           round(bu.bottom_up, 2) AS bottom_up,
+           round(tf.f * shares.rv / shares.tv, 2) AS top_down,
+           round(bu.bottom_up - rf.f, 2) AS coherence_gap
+    FROM rf
+    JOIN bu ON bu.rk = rf.rk
+    JOIN shares ON shares.rk = rf.rk
+    JOIN region r ON r.r_regionkey = rf.rk
+    CROSS JOIN tf
+    ORDER BY region
+    """,
+    tags=("finance", "timeseries", "analytics"),
+)
+def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation over nation → region →
+    total: the naive seasonal forecast (mean of the same calendar month
+    over history) computed INDEPENDENTLY at each level, then reconciled
+    two ways — bottom-up (sum the 25 nation forecasts into regions) and
+    proportional top-down (split the total forecast by historical
+    revenue shares). The coherence gap (bottom-up − base) is the
+    incoherence that independent per-level forecasting always produces
+    and that reconciliation exists to remove — the forecasting-at-scale
+    operator for any rollup hierarchy (org, product, geo).
+
+    Scale: one fact-dim-chain aggregate to the O(nations × calendar)
+    panel; every forecast level is an aggregate of that panel filtered
+    to the target calendar month; shares are one more panel aggregate.
+    Revenue stays exact cents until the final 6/2-dp rounds."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    base = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_regionkey").alias("rk"),
+            F.col("c_nationkey").alias("nk"),
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            ),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+    )
+    lastm = base.agg(F.max("mi").alias("lm"))
+    hist = base.crossJoin(F.broadcast(lastm)).filter(F.col("mi") < F.col("lm"))
+    target_moy = F.col("mi") % 12 == F.col("lm") % 12
+    nf = (
+        hist.filter(target_moy)
+        .groupBy("rk", "nk")
+        .agg(F.round(F.avg("v"), 6).alias("f"))
+    )
+    rsum = hist.groupBy("rk", "mi", "lm").agg(F.sum("v").alias("s"))
+    rf = (
+        rsum.filter(F.col("mi") % 12 == F.col("lm") % 12)
+        .groupBy("rk")
+        .agg(F.round(F.avg("s"), 6).alias("f"))
+    )
+    tsum = hist.groupBy("mi", "lm").agg(F.sum("v").alias("s"))
+    tf = (
+        tsum.filter(F.col("mi") % 12 == F.col("lm") % 12)
+        .agg(F.round(F.avg("s"), 6).alias("tfv"))
+    )
+    bu = nf.groupBy("rk").agg(F.round(F.sum("f"), 6).alias("bottom_up"))
+    rv = hist.groupBy("rk").agg(F.sum("v").alias("rv"))
+    tv = rv.agg(F.sum("rv").alias("tv"))
+    return (
+        rf.join(bu, "rk")
+        .join(rv, "rk")
+        .crossJoin(F.broadcast(tv))
+        .crossJoin(F.broadcast(tf))
+        .join(
+            F.broadcast(reg.select(F.col("r_regionkey").alias("rk"), "r_name")), "rk"
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.round(F.col("f"), 2).alias("base_forecast"),
+            F.round(F.col("bottom_up"), 2).alias("bottom_up"),
+            F.round(F.col("tfv") * F.col("rv") / F.col("tv"), 2).alias("top_down"),
+            F.round(F.col("bottom_up") - F.col("f"), 2).alias("coherence_gap"),
+        )
+        .orderBy("region")
+    )

@@ -252,6 +252,10 @@ QUERIES = [
     # round-4 break/volatility diagnostics
     "q_chow_test",
     "q_arch_lm",
+    # round-4 event/anomaly/reconciliation wave
+    "q_seasonal_esd",
+    "q_event_study",
+    "q_forecast_reconciliation",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

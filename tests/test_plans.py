@@ -862,3 +862,17 @@ def test_break_and_arch_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         fplan = formatted(SPECS[name].fn(spark, SF_DIR))
         assert "partial_" in fplan, name
+
+
+def test_event_anomaly_wave_plans(spark):
+    """Seasonal-ESD / event study / reconciliation: event argmax window
+    partitioned by nation, dims broadcast, no cartesian on corpus
+    relations, no Python eval."""
+    for name in ("q_seasonal_esd", "q_event_study", "q_forecast_reconciliation"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_event_study"].fn(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "nk" in line, line
