@@ -747,3 +747,83 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_hits_authority — HITS on the bipartite customer→part purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hits_authority",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY p),
+    hub AS (
+      SELECT e.u, CAST(sum(deg.d) AS BIGINT) AS s
+      FROM e JOIN deg ON deg.p = e.p GROUP BY e.u
+    ),
+    auth AS (
+      SELECT e.p, CAST(sum(hub.s) AS BIGINT) AS a
+      FROM e JOIN hub ON hub.u = e.u GROUP BY e.p
+    ),
+    tot AS (SELECT sum(a) AS ta FROM auth)
+    SELECT CAST(auth.p AS BIGINT) AS part_id,
+           CAST(deg.d AS BIGINT) AS in_degree,
+           CAST(auth.a AS BIGINT) AS auth_raw,
+           round(auth.a * 1.0 / tot.ta, 8) AS authority
+    FROM auth JOIN deg ON deg.p = auth.p CROSS JOIN tot
+    ORDER BY auth_raw DESC, part_id
+    LIMIT 15
+    """,
+    tags=("analytics", "graph", "iterative"),
+)
+def hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the bipartite customer→part purchase graph,
+    two iterations with normalization DEFERRED so every score stays an
+    exact integer: authority⁰ = in-degree, hub = Σ authority⁰ over the
+    customer's parts, authority = Σ hub over the part's buyers — the
+    mutual-reinforcement ranking ("important parts are bought by
+    well-connected customers") that PageRank's single-score random walk
+    (q_pagerank_copurchase) cannot express on a bipartite graph.
+    Top-15 authorities with the final L1-normalized score.
+
+    Scale: the edge list is one distinct over the fact join (equi-join
+    on orderkey); each iteration is one edges⋈scores equi-join + sum —
+    the q_pagerank_copurchase job shape, but with BIGINT scores so the
+    ranking has zero float ambiguity; the only division is the final
+    display normalization, rounded at 8."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hub = (
+        e.join(deg, "p")
+        .groupBy("u")
+        .agg(F.sum("d").cast("long").alias("s"))
+    )
+    auth = (
+        e.join(hub, "u")
+        .groupBy("p")
+        .agg(F.sum("s").cast("long").alias("a"))
+    )
+    tot = auth.agg(F.sum("a").alias("ta"))
+    return (
+        auth.join(deg, "p")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p").cast("long").alias("part_id"),
+            F.col("d").cast("long").alias("in_degree"),
+            F.col("a").cast("long").alias("auth_raw"),
+            F.round(F.col("a") * 1.0 / F.col("ta"), 8).alias("authority"),
+        )
+        .orderBy(F.col("auth_raw").desc(), "part_id")
+        .limit(15)
+    )

@@ -256,6 +256,7 @@ QUERIES = [
     "q_seasonal_esd",
     "q_event_study",
     "q_forecast_reconciliation",
+    "q_hits_authority",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

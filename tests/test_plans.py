@@ -876,3 +876,12 @@ def test_event_anomaly_wave_plans(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "nk" in line, line
+
+
+def test_hits_plan(spark):
+    """HITS: equi-joins only, integer scores, no Python eval; the final
+    top-15 is a TakeOrdered, not a global sort."""
+    plan = plan_of(SPECS["q_hits_authority"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrdered" in plan
