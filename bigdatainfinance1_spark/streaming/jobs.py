@@ -1420,3 +1420,79 @@ def stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("bar_start"), "volume", "vwap", "twap_naive")
     )
     return run_to_table(agg, "complete")
+
+
+@query(
+    "q_stream_zscore_alerts",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type,
+             round(avg(round(value, 4)), 8) AS mu,
+             round(sqrt(avg(round(value, 4) * round(value, 4))
+                        - avg(round(value, 4)) * avg(round(value, 4))), 8) AS sigma
+      FROM events GROUP BY event_type
+    ),
+    win AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(round(value, 4)), 8) AS win_mean
+      FROM events GROUP BY 1, 2
+    )
+    SELECT win.window_start, win.event_type, win.n,
+           round(win.win_mean, 6) AS win_mean,
+           round((win.win_mean - prof.mu) / (prof.sigma / sqrt(win.n)), 6) AS z,
+           abs((win.win_mean - prof.mu) / (prof.sigma / sqrt(win.n))) > 3.0 AS alert
+    FROM win JOIN prof ON prof.event_type = win.event_type
+    """,
+    tags=("streaming", "events", "quality"),
+)
+def stream_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6+ (live anomaly alerting): hourly per-event-type window means
+    computed as a REAL Structured Streaming aggregation, each window
+    tested against a BROADCAST static historical profile (mean and
+    population sigma per type, computed batch-side before the stream
+    starts) with the standard-error z-score |z| > 3 alert — the
+    monitoring shape a production pipeline runs: heavy history reduced
+    to an O(types) profile once, then every incoming window costs one
+    broadcast lookup and a closed form. The profile here derives from
+    the same replayed corpus, which makes the batch SQL a FULL
+    value-hash oracle while keeping the plumbing (stream agg ⋈ static
+    broadcast) exactly what a live deployment uses.
+
+    Determinism: values round at 4 before aggregation, window means and
+    profile moments at 8 before the z closed form, output at 6. Scale:
+    streaming state is O(open windows × types); the static side is
+    O(types) and broadcast."""
+    ev_static = load_table(spark, sf_dir, "events")
+    v4 = F.round("value", 4)
+    prof = ev_static.groupBy("event_type").agg(
+        F.round(F.avg(v4), 8).alias("mu"),
+        F.round(
+            F.sqrt(F.avg(v4 * v4) - F.avg(v4) * F.avg(v4)),
+            8,
+        ).alias("sigma"),
+    )
+    ev = read_events_stream(spark, sf_dir)
+    win = (
+        ev.select(
+            F.window("ts", "1 hour").alias("w"), "event_type", v4.alias("v")
+        )
+        .groupBy("w", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("v"), 8).alias("win_mean"),
+        )
+    )
+    z = (F.col("win_mean") - F.col("mu")) / (F.col("sigma") / F.sqrt(F.col("n")))
+    out = (
+        win.join(F.broadcast(prof), "event_type")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round(F.col("win_mean"), 6).alias("win_mean"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 3.0).alias("alert"),
+        )
+    )
+    return run_to_table(out, "complete")

@@ -257,6 +257,7 @@ QUERIES = [
     "q_event_study",
     "q_forecast_reconciliation",
     "q_hits_authority",
+    "q_stream_zscore_alerts",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -885,3 +885,12 @@ def test_hits_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrdered" in plan
+
+
+def test_stream_zscore_static_broadcast(spark):
+    """The z-score alert stream joins its static profile via broadcast
+    and the result carries both alert polarities at test scale."""
+    df = SPECS["q_stream_zscore_alerts"].fn(spark, SF_DIR)
+    rows = df.collect()
+    kinds = {r.alert for r in rows}
+    assert kinds == {True, False}
