@@ -325,3 +325,147 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("max_span").cast("long").alias("longest_span"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_boilerplate_prefixes — shared document-opening detection (C4-style)
+# ---------------------------------------------------------------------------
+
+BP_PREFIX_TOKENS = 6
+BP_MIN_DOCS = 3
+
+
+@query(
+    "q_boilerplate_prefixes",
+    oracle=f"""
+    WITH pre AS (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, {BP_PREFIX_TOKENS}), ' ')
+               AS prefix
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM pre),
+    grp AS (
+      SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pre GROUP BY prefix HAVING count(*) >= {BP_MIN_DOCS}
+    )
+    SELECT grp.prefix, grp.n_docs,
+           round(grp.n_docs * 1.0 / tot.n_docs, 6) AS corpus_share
+    FROM grp CROSS JOIN tot
+    ORDER BY grp.n_docs DESC, grp.prefix
+    LIMIT 20
+    """,
+    tags=("llm", "llm-pipeline", "text", "quality"),
+)
+def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-opening detection (the C4/CCNet cleaning heuristic):
+    group documents by their first 6 tokens and surface openings shared
+    by ≥ 3 documents with their corpus share — cookie banners, license
+    headers, and template stubs announce themselves exactly this way,
+    and a curation pipeline strips or downweights them BEFORE near-dedup
+    so MinHash capacity isn't spent on boilerplate (q_exact_dedup
+    catches whole-document copies; this catches shared openings of
+    otherwise-distinct documents).
+
+    Scale: one linear pass projecting a fixed-width token prefix, one
+    groupBy on the prefix string (map-side combinable), a TakeOrdered
+    top-20. All counts exact integers; the share is one division,
+    rounded at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        F.array_join(F.slice(F.split("text", " "), 1, BP_PREFIX_TOKENS), " ").alias(
+            "prefix"
+        )
+    )
+    tot = pre.agg(F.count(F.lit(1)).alias("total"))
+    grp = (
+        pre.groupBy("prefix")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= BP_MIN_DOCS)
+    )
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "prefix",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("total"), 6).alias("corpus_share"),
+        )
+        .orderBy(F.col("n_docs").desc(), "prefix")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_line_dedup — CCNet-style line-level duplication census per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_line_dedup",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, source, trim(l.line) AS line
+      FROM documents, unnest(string_split(text, '. ')) AS l(line)
+      WHERE length(trim(l.line)) > 0
+    ),
+    freq AS (
+      SELECT line, count(*) AS c, count(DISTINCT doc_id) AS nd
+      FROM lines GROUP BY line
+    ),
+    tagged AS (
+      SELECT lines.source, freq.nd > 1 AS is_dup
+      FROM lines JOIN freq ON freq.line = lines.line
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+           round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS dup_frac
+    FROM tagged GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "llm-pipeline", "dedup", "text"),
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level duplication census per source (the CCNet preprocessing
+    step: hash every line, drop lines seen elsewhere in the shard):
+    sentences split on '. ', counted corpus-wide, and each source scored
+    by the fraction of its lines that appear in MORE THAN ONE document —
+    the signal that tells a pipeline which sources need line-dedup
+    before training (navigation chrome and legal footers concentrate in
+    specific crawls). Complements q_substring_dup_spans (char-grain
+    within pairs) and q_exact_dedup (document-grain).
+
+    Scale: linear line explode, one groupBy on the line string for
+    corpus frequencies (map-side combinable, vocabulary-bounded on this
+    corpus), one equi-join back (the frequency relation broadcasts when
+    small; Spark's planner decides by size), one per-source aggregate.
+    Exact integers to the final ratio, rounded at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split("text", "\\. ")).alias("raw")
+        )
+        .select("doc_id", "source", F.trim(F.col("raw")).alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    tagged = lines.join(freq, "line").select(
+        "source", (F.col("nd") > 1).alias("is_dup")
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("long").alias(
+                "n_dup_lines"
+            ),
+            F.round(
+                F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )

@@ -258,6 +258,8 @@ QUERIES = [
     "q_forecast_reconciliation",
     "q_hits_authority",
     "q_stream_zscore_alerts",
+    "q_boilerplate_prefixes",
+    "q_line_dedup",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

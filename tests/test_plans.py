@@ -894,3 +894,14 @@ def test_stream_zscore_static_broadcast(spark):
     rows = df.collect()
     kinds = {r.alert for r in rows}
     assert kinds == {True, False}
+
+
+def test_curation_line_wave_plans(spark):
+    """Boilerplate prefixes / line dedup: linear explodes + equi-joins,
+    no cartesians, no Python eval, map-side partials."""
+    for name in ("q_boilerplate_prefixes", "q_line_dedup"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        fplan = formatted(SPECS[name].fn(spark, SF_DIR))
+        assert "partial_" in fplan, name
