@@ -1153,3 +1153,111 @@ def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_jackknife_ratio — delete-1 jackknife SE for the same ratio metric
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_jackknife_ratio",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS y_cents,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y_cents) AS BIGINT) AS ty,
+             CAST(sum(x) AS BIGINT) AS tx
+      FROM cust
+    ),
+    loo AS (
+      SELECT (tot.ty - cust.y_cents) * 1.0 / ((tot.tx - cust.x) * 100.0) AS ri,
+             tot.n, tot.ty, tot.tx
+      FROM cust CROSS JOIN tot
+    ),
+    jk AS (
+      SELECT max(n) AS n,
+             max(ty) * 1.0 / (max(tx) * 100.0) AS r_full,
+             round(avg(ri), 8) AS r_bar
+      FROM loo
+    ),
+    se AS (
+      SELECT jk.n, jk.r_full, jk.r_bar,
+             sqrt((jk.n - 1.0) / jk.n
+                  * sum((loo.ri - jk.r_bar) * (loo.ri - jk.r_bar))) AS se_jack
+      FROM loo CROSS JOIN jk
+      GROUP BY jk.n, jk.r_full, jk.r_bar
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(r_full, 6) AS revenue_per_order,
+           round(n * r_full - (n - 1) * r_bar, 6) AS jackknife_estimate,
+           round(se_jack, 6) AS se_jack
+    FROM se
+    """,
+    tags=("stats", "experimentation", "analytics"),
+)
+def jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-1 jackknife for the revenue-per-order ratio at the
+    customer grain: every leave-one-customer-out replicate Rᵢ =
+    (Y−yᵢ)/(X−xᵢ) is a CLOSED FORM of the broadcast totals — so the
+    "n refits" collapse into one distributed pass — giving the
+    bias-corrected estimate n·R − (n−1)·R̄ and the jackknife standard
+    error. The empirical companion to q_ratio_delta_method's analytic
+    SE (they should approximately agree; divergence flags influential
+    units) and to q_poisson_bootstrap's resampling (jackknife is
+    deterministic — no seed in sight).
+
+    Scale: one customer-grain aggregate, a broadcast 1-row totals
+    relation, one replicate pass, one moment pass. Totals are exact
+    integer cents/counts, so every replicate is a division of exact
+    integers; R̄ rounds at 8 before the deviation pass; rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("y_cents"),
+        F.count(F.lit(1)).cast("long").alias("x"),
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y_cents").cast("long").alias("ty"),
+        F.sum("x").cast("long").alias("tx"),
+    )
+    loo = cust.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("ty") - F.col("y_cents"))
+            * 1.0
+            / ((F.col("tx") - F.col("x")) * 100.0)
+        ).alias("ri"),
+        "n",
+        "ty",
+        "tx",
+    )
+    jk = loo.agg(
+        F.max("n").alias("n"),
+        (F.max("ty") * 1.0 / (F.max("tx") * 100.0)).alias("r_full"),
+        F.round(F.avg("ri"), 8).alias("r_bar"),
+    )
+    loo = loo.select("ri")
+    se = (
+        loo.crossJoin(F.broadcast(jk))
+        .groupBy("n", "r_full", "r_bar")
+        .agg(
+            F.sqrt(
+                (F.col("n") - 1.0)
+                / F.col("n")
+                * F.sum((F.col("ri") - F.col("r_bar")) * (F.col("ri") - F.col("r_bar")))
+            ).alias("se_jack")
+        )
+    )
+    return se.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("r_full"), 6).alias("revenue_per_order"),
+        F.round(
+            F.col("n") * F.col("r_full") - (F.col("n") - 1) * F.col("r_bar"), 6
+        ).alias("jackknife_estimate"),
+        F.round(F.col("se_jack"), 6).alias("se_jack"),
+    )

@@ -260,6 +260,7 @@ QUERIES = [
     "q_stream_zscore_alerts",
     "q_boilerplate_prefixes",
     "q_line_dedup",
+    "q_jackknife_ratio",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

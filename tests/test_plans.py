@@ -905,3 +905,14 @@ def test_curation_line_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         fplan = formatted(SPECS[name].fn(spark, SF_DIR))
         assert "partial_" in fplan, name
+
+
+def test_jackknife_plan(spark):
+    """Jackknife: one customer aggregate + broadcast totals; the
+    replicate pass is a BroadcastNestedLoop over a 1-row relation, never
+    a CartesianProduct; map-side partials on the grain aggregate."""
+    plan = plan_of(SPECS["q_jackknife_ratio"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    fplan = formatted(SPECS["q_jackknife_ratio"].fn(spark, SF_DIR))
+    assert "partial_" in fplan
