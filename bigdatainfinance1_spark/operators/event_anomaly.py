@@ -419,3 +419,158 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_median_polish — Tukey two-way robust decomposition (2 unrolled sweeps)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_median_polish",
+    oracle="""
+    WITH cells AS (
+      SELECT t.moy, t.region, round(avg(t.v), 6) AS v FROM (
+        SELECT (CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate)) % 12
+                 AS moy,
+               r.r_name AS region,
+               round(sum(o.o_totalprice), 2) / 1000.0 AS v
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2, CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate)
+      ) t GROUP BY t.moy, t.region
+    ),
+    rm1 AS (
+      SELECT moy, min(CASE WHEN rn = 3 THEN v END) AS m FROM (
+        SELECT moy, v, row_number() OVER (PARTITION BY moy ORDER BY v, region) AS rn
+        FROM cells
+      ) GROUP BY moy
+    ),
+    res1 AS (
+      SELECT cells.moy, cells.region, cells.v, cells.v - rm1.m AS e, rm1.m AS re1
+      FROM cells JOIN rm1 ON rm1.moy = cells.moy
+    ),
+    cm1 AS (
+      SELECT region, min(CASE WHEN rn = 6 THEN e END) AS m FROM (
+        SELECT region, e, row_number() OVER (PARTITION BY region ORDER BY e, moy) AS rn
+        FROM res1
+      ) GROUP BY region
+    ),
+    res2 AS (
+      SELECT res1.moy, res1.region, res1.v, res1.re1, res1.e - cm1.m AS e,
+             cm1.m AS ce1
+      FROM res1 JOIN cm1 ON cm1.region = res1.region
+    ),
+    rm2 AS (
+      SELECT moy, min(CASE WHEN rn = 3 THEN e END) AS m FROM (
+        SELECT moy, e, row_number() OVER (PARTITION BY moy ORDER BY e, region) AS rn
+        FROM res2
+      ) GROUP BY moy
+    ),
+    res3 AS (
+      SELECT res2.moy, res2.region, res2.v, res2.re1 + rm2.m AS row_eff,
+             res2.ce1, res2.e - rm2.m AS e
+      FROM res2 JOIN rm2 ON rm2.moy = res2.moy
+    ),
+    cm2 AS (
+      SELECT region, min(CASE WHEN rn = 6 THEN e END) AS m FROM (
+        SELECT region, e, row_number() OVER (PARTITION BY region ORDER BY e, moy) AS rn
+        FROM res3
+      ) GROUP BY region
+    )
+    SELECT CAST(res3.moy AS BIGINT) AS moy,
+           res3.region AS region,
+           round(res3.v, 6) AS cell,
+           round(res3.row_eff, 6) AS row_eff,
+           round(res3.ce1 + cm2.m, 6) AS col_eff,
+           round(res3.e - cm2.m, 6) AS residual
+    FROM res3 JOIN cm2 ON cm2.region = res3.region
+    ORDER BY moy, res3.region
+    """,
+    tags=("stats", "analytics", "quality"),
+)
+def median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey median polish (two unrolled sweeps) of the month-of-year ×
+    region average-revenue table: alternately subtract row and column
+    LOWER MEDIANS (the rank-⌊(n+1)/2⌋ element with an explicit tie-break,
+    so the pick is exact on both engines) to decompose each cell into
+    row effect + column effect + residual — the robust alternative to
+    the two-way-ANOVA means decomposition: one anomalous region-month
+    cannot drag its whole row and column effect the way a mean would,
+    so the residual table is where outliers stand isolated (feeding
+    q_seasonal_esd-style hunts on two-way data).
+
+    Scale: one dim-chain aggregate to the 12×5 cell table, then four
+    partitioned window ranks + equi-joins over that 60-row relation.
+    Every median is an exact element pick of 6-dp values and every
+    residual a difference of them — zero float ambiguity anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    from pyspark.sql import Window
+
+    monthly = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            ),
+            F.col("r_name").alias("region"),
+        )
+        .agg((F.round(F.sum("o_totalprice"), 2) / 1000.0).alias("v"))
+    )
+    cells = (
+        monthly.groupBy((F.col("mi") % 12).alias("moy"), "region")
+        .agg(F.round(F.avg("v"), 6).alias("v"))
+    )
+
+    def group_median(df: DataFrame, part: str, val: str, tie: str, rank: int) -> DataFrame:
+        w = Window.partitionBy(part).orderBy(F.col(val), F.col(tie))
+        return (
+            df.select(part, val, tie)
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy(part)
+            .agg(F.min(F.when(F.col("rn") == rank, F.col(val))).alias("m"))
+        )
+
+    rm1 = group_median(cells, "moy", "v", "region", 3)
+    res1 = cells.join(F.broadcast(rm1), "moy").select(
+        "moy", "region", "v", (F.col("v") - F.col("m")).alias("e"), F.col("m").alias("re1")
+    )
+    cm1 = group_median(res1, "region", "e", "moy", 6)
+    res2 = res1.join(F.broadcast(cm1), "region").select(
+        "moy", "region", "v", "re1", (F.col("e") - F.col("m")).alias("e"),
+        F.col("m").alias("ce1"),
+    )
+    rm2 = group_median(res2, "moy", "e", "region", 3)
+    res3 = res2.join(F.broadcast(rm2), "moy").select(
+        "moy", "region", "v", (F.col("re1") + F.col("m")).alias("row_eff"), "ce1",
+        (F.col("e") - F.col("m")).alias("e"),
+    )
+    cm2 = group_median(res3, "region", "e", "moy", 6)
+    return (
+        res3.join(F.broadcast(cm2), "region")
+        .select(
+            F.col("moy").cast("long").alias("moy"),
+            "region",
+            F.round(F.col("v"), 6).alias("cell"),
+            F.round(F.col("row_eff"), 6).alias("row_eff"),
+            F.round(F.col("ce1") + F.col("m"), 6).alias("col_eff"),
+            F.round(F.col("e") - F.col("m"), 6).alias("residual"),
+        )
+        .orderBy("moy", "region")
+    )

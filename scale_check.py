@@ -261,6 +261,7 @@ QUERIES = [
     "q_boilerplate_prefixes",
     "q_line_dedup",
     "q_jackknife_ratio",
+    "q_median_polish",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -916,3 +916,18 @@ def test_jackknife_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     fplan = formatted(SPECS["q_jackknife_ratio"].fn(spark, SF_DIR))
     assert "partial_" in fplan
+
+
+def test_median_polish_plan_and_reconstruction(spark):
+    """Median polish: partitioned window ranks only; every cell must
+    reconstruct as row_eff + col_eff + residual exactly (6-dp grain)."""
+    plan = plan_of(SPECS["q_median_polish"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert ("moy" in line) or ("region" in line), line
+    rows = SPECS["q_median_polish"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert abs(r.cell - (r.row_eff + r.col_eff + r.residual)) < 1e-6, r
