@@ -1280,3 +1280,143 @@ def survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rmst, 4).alias("rmst_days"),
         (F.round(rmst, 4) / RMST_TAU).alias("rmst_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kruskal_wallis — nonparametric k-group ANOVA per month across regions
+# ---------------------------------------------------------------------------
+
+KW_CHI2_4_95 = 9.487729  # chi-square 4 df, 5%
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
+             r.r_name AS rg, round(o.o_totalprice, 2) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    ranked AS (
+      SELECT mi, rg,
+             rank() OVER (PARTITION BY mi ORDER BY v)
+               + (count(*) OVER (PARTITION BY mi, v) - 1) / 2e0 AS midrank,
+             CAST(count(*) OVER (PARTITION BY mi, v) AS BIGINT) AS tie_c
+      FROM obs
+    ),
+    grp AS (
+      SELECT mi, rg, count(*) AS nj, sum(midrank) AS rj
+      FROM ranked GROUP BY mi, rg
+    ),
+    ties AS (
+      SELECT mi, sum(t * t * t - t) AS tie_term FROM (
+        SELECT mi, v, CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY mi, v
+      ) GROUP BY mi
+    ),
+    hstat AS (
+      SELECT grp.mi, CAST(sum(grp.nj) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             12.0 / (sum(grp.nj) * (sum(grp.nj) + 1.0))
+               * sum(grp.rj * grp.rj / grp.nj)
+               - 3.0 * (sum(grp.nj) + 1.0) AS h
+      FROM grp GROUP BY grp.mi HAVING count(*) = 5
+    )
+    SELECT hstat.mi, hstat.n,
+           round(hstat.h, 6) AS h,
+           round(hstat.h / (1.0 - ties.tie_term
+                 / (hstat.n * 1.0 * hstat.n * hstat.n - hstat.n)), 6) AS h_corrected,
+           hstat.h / (1.0 - ties.tie_term
+                 / (hstat.n * 1.0 * hstat.n * hstat.n - hstat.n)) > {KW_CHI2_4_95}
+             AS reject_95
+    FROM hstat JOIN ties ON ties.mi = hstat.mi
+    ORDER BY hstat.mi
+    """,
+    tags=("stats", "analytics"),
+)
+def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H per month across the five customer regions on
+    order values: H = 12/(N(N+1))·ΣR²ⱼ/nⱼ − 3(N+1) from partitioned
+    midranks, with the tie correction 1 − Σ(t³−t)/(N³−N) — the
+    nonparametric ANOVA that q_anova_f's normal-theory F cannot replace
+    when order values are heavy-tailed (they are: q_jarque_bera). The
+    q_mann_whitney midrank identity generalized from 2 groups to k=5;
+    months missing any region are excluded so df is the fixed 4.
+
+    Scale: dim-chain broadcast joins, ONE partitioned rank window (by
+    month — never a global sort), integer/‌.5-granular midranks summed
+    per group, closed forms. Midranks are exact; H divides identical
+    doubles on both engines, rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    obs = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            ),
+            F.col("r_name").alias("rg"),
+            F.round("o_totalprice", 2).alias("v"),
+        )
+    )
+    w_rank = Window.partitionBy("mi").orderBy("v")
+    w_tie = Window.partitionBy("mi", "v")
+    ranked = obs.select(
+        "mi",
+        "rg",
+        (
+            F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
+        ).alias("midrank"),
+    )
+    grp = ranked.groupBy("mi", "rg").agg(
+        F.count(F.lit(1)).alias("nj"), F.sum("midrank").alias("rj")
+    )
+    ties = (
+        obs.groupBy("mi", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("mi")
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"))
+    )
+    hstat = (
+        grp.groupBy("mi")
+        .agg(
+            F.sum("nj").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            (
+                12.0
+                / (F.sum("nj") * (F.sum("nj") + 1.0))
+                * F.sum(F.col("rj") * F.col("rj") / F.col("nj"))
+                - 3.0 * (F.sum("nj") + 1.0)
+            ).alias("h"),
+        )
+        .filter(F.col("k") == 5)
+    )
+    corr = 1.0 - F.col("tie_term") / (
+        F.col("n") * 1.0 * F.col("n") * F.col("n") - F.col("n")
+    )
+    return (
+        hstat.join(ties, "mi")
+        .select(
+            "mi",
+            "n",
+            F.round(F.col("h"), 6).alias("h"),
+            F.round(F.col("h") / corr, 6).alias("h_corrected"),
+            (F.col("h") / corr > KW_CHI2_4_95).alias("reject_95"),
+        )
+        .orderBy("mi")
+    )

@@ -262,6 +262,7 @@ QUERIES = [
     "q_line_dedup",
     "q_jackknife_ratio",
     "q_median_polish",
+    "q_kruskal_wallis",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

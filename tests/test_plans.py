@@ -931,3 +931,14 @@ def test_median_polish_plan_and_reconstruction(spark):
     assert len(rows) == 60
     for r in rows:
         assert abs(r.cell - (r.row_eff + r.col_eff + r.residual)) < 1e-6, r
+
+
+def test_kruskal_wallis_plan(spark):
+    """KW: the rank window is partitioned by month (no global sort), dims
+    broadcast, no Python eval."""
+    plan = plan_of(SPECS["q_kruskal_wallis"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "mi" in line, line
