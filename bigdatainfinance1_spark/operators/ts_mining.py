@@ -573,3 +573,243 @@ def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pacf_3"),
         F.round(1.959964 / F.sqrt(F.col("n").cast("double")), 6).alias("white_noise_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gpd_pot — peaks-over-threshold GPD tail fit (method of moments)
+# ---------------------------------------------------------------------------
+
+POT_Q = 0.95  # threshold quantile
+POT_VAR_P = 0.999  # reported tail VaR level
+
+
+@query(
+    "q_gpd_pot",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS x
+      FROM orders GROUP BY d
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, d) AS rn, count(*) OVER () AS n
+      FROM daily
+    ),
+    thr AS (
+      SELECT min(CASE WHEN rn = CAST(ceil({POT_Q} * n) AS BIGINT) THEN x END) AS u,
+             max(n) AS n
+      FROM ranked
+    ),
+    exc AS (
+      SELECT round(daily.x - thr.u, 8) AS e, thr.u, thr.n
+      FROM daily CROSS JOIN thr WHERE daily.x > thr.u
+    ),
+    mom AS (
+      SELECT max(u) AS u, max(n) AS n, count(*) AS ne,
+             avg(e) AS m, avg(e * e) - avg(e) * avg(e) AS s2
+      FROM exc
+    ),
+    fit AS (
+      SELECT u, n, ne, m, s2,
+             0.5 * (1.0 - m * m / s2) AS xi,
+             0.5 * m * (m * m / s2 + 1.0) AS beta
+      FROM mom
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(ne AS BIGINT) AS n_exceed,
+           round(u, 6) AS threshold,
+           round(xi, 6) AS xi,
+           round(beta, 6) AS beta,
+           round(u + beta / xi
+                 * (pow(n * (1.0 - {POT_VAR_P}) / ne, -xi) - 1.0), 6) AS var_999
+    FROM fit
+    """,
+    tags=("finance", "stats", "timeseries", "risk"),
+)
+def gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold extreme-value fit on daily revenue: excesses
+    over the exact 95th-percentile threshold (rank ⌈0.95·n⌉, the
+    q_percentile_disc formulation) fitted to a generalized Pareto by
+    method of moments — ξ = ½(1 − m²/s²), β = ½m(m²/s² + 1) — with the
+    implied 99.9% VaR u + β/ξ·((n·p/nᵤ)^−ξ − 1). The OTHER standard EVT
+    estimator next to q_evt_block_maxima's quarterly-maxima Gumbel fit:
+    POT uses every tail observation instead of one per block, which is
+    what makes it the production choice for capital models.
+
+    Scale: one daily aggregate (O(days)), the distributed two-phase
+    global rank for the threshold, one excess pass, one moment pass,
+    closed forms. Excesses round at 8; rounded at 6."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("x")
+    )
+    n = daily.count()  # bounded driver scalar: number of days
+    import math
+
+    target = math.ceil(POT_Q * n)
+    ranked = global_row_number(daily, ["x", "d"], rn_col="rn")
+    thr = ranked.agg(
+        F.min(F.when(F.col("rn") == target, F.col("x"))).alias("u"),
+    )
+    exc = (
+        daily.crossJoin(F.broadcast(thr))
+        .filter(F.col("x") > F.col("u"))
+        .select(F.round(F.col("x") - F.col("u"), 8).alias("e"), "u")
+    )
+    mom = exc.agg(
+        F.max("u").alias("u"),
+        F.count(F.lit(1)).alias("ne"),
+        F.avg("e").alias("m"),
+        (F.avg(F.col("e") * F.col("e")) - F.avg("e") * F.avg("e")).alias("s2"),
+    )
+    xi = 0.5 * (1.0 - F.col("m") * F.col("m") / F.col("s2"))
+    beta = 0.5 * F.col("m") * (F.col("m") * F.col("m") / F.col("s2") + 1.0)
+    fit = mom.select(
+        "u", "ne", xi.alias("xi"), beta.alias("beta")
+    )
+    return fit.select(
+        F.lit(n).cast("long").alias("n_days"),
+        F.col("ne").cast("long").alias("n_exceed"),
+        F.round(F.col("u"), 6).alias("threshold"),
+        F.round(F.col("xi"), 6).alias("xi"),
+        F.round(F.col("beta"), 6).alias("beta"),
+        F.round(
+            F.col("u")
+            + F.col("beta")
+            / F.col("xi")
+            * (
+                F.pow(F.lit(n) * (1.0 - POT_VAR_P) / F.col("ne"), -F.col("xi"))
+                - 1.0
+            ),
+            6,
+        ).alias("var_999"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_ts_feature_vector — STL-style strength-of-trend/seasonality features
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ts_feature_vector",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    mom AS (
+      SELECT count(*) AS n, sum(i * 1.0) AS si, sum(z) AS sz,
+             sum(i * 1.0 * i) AS sii, sum(i * z) AS siz
+      FROM idx
+    ),
+    fit AS (
+      SELECT n, (n * siz - si * sz) / (n * sii - si * si) AS beta,
+             (sz - (n * siz - si * sz) / (n * sii - si * si) * si) / n AS alpha
+      FROM mom
+    ),
+    detr AS (
+      SELECT idx.mi, idx.i, idx.z,
+             round(idx.z - fit.alpha - fit.beta * idx.i, 8) AS dt
+      FROM idx CROSS JOIN fit
+    ),
+    seas AS (
+      SELECT mi % 12 AS moy, round(avg(dt), 8) AS s FROM detr GROUP BY mi % 12
+    ),
+    parts AS (
+      SELECT detr.i, detr.z, detr.dt, seas.s,
+             round(detr.dt - seas.s, 8) AS r
+      FROM detr JOIN seas ON seas.moy = detr.mi % 12
+    ),
+    vars_ AS (
+      SELECT count(*) AS n,
+             avg(z * z) - avg(z) * avg(z) AS vz,
+             avg(dt * dt) - avg(dt) * avg(dt) AS vdt,
+             avg(r * r) - avg(r) * avg(r) AS vr,
+             avg((z - dt) * (z - dt)) - avg(z - dt) * avg(z - dt) AS vtrendpart
+      FROM parts
+    ),
+    acf AS (
+      SELECT sum(a.r * b.r) / sum(a.r * a.r) AS acf1
+      FROM parts a JOIN parts b ON b.i = a.i - 1
+    )
+    SELECT CAST(vars_.n AS BIGINT) AS n_months,
+           round(greatest(0.0, 1.0 - vars_.vr / vars_.vdt), 6) AS f_seasonal,
+           round(greatest(0.0, 1.0 - vars_.vr / (vars_.vr + vars_.vtrendpart)), 6)
+             AS f_trend_proxy,
+           round(acf.acf1, 6) AS resid_acf1,
+           round(sqrt(vars_.vr) / sqrt(vars_.vz), 6) AS noise_share
+    FROM vars_ CROSS JOIN acf
+    """,
+    tags=("timeseries", "stats", "ml"),
+)
+def ts_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-based forecasting descriptors of monthly revenue (the
+    tsfeatures/M4 screening layer): strength of seasonality F_seas =
+    max(0, 1 − Var(R)/Var(S+R)) from the OLS-detrended series and its
+    month-of-year means, a trend-strength proxy from the fitted trend
+    component, the residual lag-1 autocorrelation, and the noise share —
+    the one-row fingerprint a pipeline computes for THOUSANDS of series
+    to route each to the right model family (seasonal-naive vs ETS vs
+    flat) before fitting anything (q_holt_winters and friends are the
+    downstream consumers).
+
+    Scale: monthly aggregate, one trend fit, a 12-row seasonal model
+    join, two moment passes and one lag join — calendar-bounded.
+    Components round at 8 at each subtraction; variances share
+    expression shape; rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    mom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i") * 1.0).alias("si"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("i") * 1.0 * F.col("i")).alias("sii"),
+        F.sum(F.col("i") * F.col("z")).alias("siz"),
+    )
+    beta = (F.col("n") * F.col("siz") - F.col("si") * F.col("sz")) / (
+        F.col("n") * F.col("sii") - F.col("si") * F.col("si")
+    )
+    fit = mom.select(
+        beta.alias("beta"),
+        ((F.col("sz") - beta * F.col("si")) / F.col("n")).alias("alpha"),
+    )
+    detr = idx.crossJoin(F.broadcast(fit)).select(
+        "mi",
+        "i",
+        "z",
+        F.round(F.col("z") - F.col("alpha") - F.col("beta") * F.col("i"), 8).alias("dt"),
+    )
+    seas = detr.groupBy((F.col("mi") % 12).alias("moy")).agg(
+        F.round(F.avg("dt"), 8).alias("s")
+    )
+    parts = detr.join(F.broadcast(seas), detr.mi % 12 == F.col("moy")).select(
+        "i", "z", "dt", F.round(F.col("dt") - F.col("s"), 8).alias("r")
+    )
+    vars_ = parts.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.avg(F.col("z") * F.col("z")) - F.avg("z") * F.avg("z")).alias("vz"),
+        (F.avg(F.col("dt") * F.col("dt")) - F.avg("dt") * F.avg("dt")).alias("vdt"),
+        (F.avg(F.col("r") * F.col("r")) - F.avg("r") * F.avg("r")).alias("vr"),
+        (
+            F.avg((F.col("z") - F.col("dt")) * (F.col("z") - F.col("dt")))
+            - F.avg(F.col("z") - F.col("dt")) * F.avg(F.col("z") - F.col("dt"))
+        ).alias("vtrendpart"),
+    )
+    b = parts.select((F.col("i") + 1).alias("i"), F.col("r").alias("rb"))
+    acf = (
+        parts.join(F.broadcast(b), "i")
+        .agg((F.sum(F.col("r") * F.col("rb")) / F.sum(F.col("r") * F.col("r"))).alias("acf1"))
+    )
+    return vars_.crossJoin(F.broadcast(acf)).select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vdt")), 6).alias(
+            "f_seasonal"
+        ),
+        F.round(
+            F.greatest(
+                F.lit(0.0), 1.0 - F.col("vr") / (F.col("vr") + F.col("vtrendpart"))
+            ),
+            6,
+        ).alias("f_trend_proxy"),
+        F.round(F.col("acf1"), 6).alias("resid_acf1"),
+        F.round(F.sqrt(F.col("vr")) / F.sqrt(F.col("vz")), 6).alias("noise_share"),
+    )

@@ -263,6 +263,8 @@ QUERIES = [
     "q_jackknife_ratio",
     "q_median_polish",
     "q_kruskal_wallis",
+    "q_gpd_pot",
+    "q_ts_feature_vector",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -942,3 +942,13 @@ def test_kruskal_wallis_plan(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "mi" in line, line
+
+
+def test_evt_and_tsfeatures_plans(spark):
+    """GPD-POT / ts features: global rank via the bucketed two-phase
+    machinery (windows partitioned by _pid), no cartesians on corpus
+    relations, no Python eval."""
+    for name in ("q_gpd_pot", "q_ts_feature_vector"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
