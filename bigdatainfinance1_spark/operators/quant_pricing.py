@@ -811,3 +811,217 @@ def tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lower_tail_dep"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_implied_vol — Newton inversion of Black-Scholes (5 unrolled iterations)
+# ---------------------------------------------------------------------------
+
+IV_ITERS = 5
+IV_SIGMA0 = 0.2  # Newton starting point
+
+
+def _iv_sql() -> str:
+    """One SQL text (runs verbatim on both engines): market call prices
+    from the q_black_scholes ladder, then 5 unrolled Newton steps
+    sig <- sig - (BS(sig) - P)/vega(sig) as chained CTEs."""
+    sqT = f"sqrt({BS_TENOR})"
+    disc = f"exp(-{BS_RATE} * {BS_TENOR})"
+
+    def d1(sig: str) -> str:
+        return (
+            f"((ln(s / k) + ({BS_RATE} + {sig} * {sig} / 2.0) * {BS_TENOR})"
+            f" / ({sig} * {sqT}))"
+        )
+
+    def step(i: int) -> str:
+        sig = f"sig{i}"
+        d1e, d2e = f"d1_{i}", f"d2_{i}"
+        return f""",
+    it{i} AS (
+      SELECT p_partkey, s, k, p_mkt, sig0_true, {sig},
+             {d1(sig)} AS {d1e},
+             {d1(sig)} - {sig} * {sqT} AS {d2e}
+      FROM v{i}
+    ),
+    v{i + 1} AS (
+      SELECT p_partkey, s, k, p_mkt, sig0_true,
+             greatest(0.01, least(2.0,
+               {sig} - (s * {_norm_cdf_sql(d1e)} - k * {disc} * {_norm_cdf_sql(d2e)}
+                        - p_mkt)
+                 / greatest(1e-8,
+                     s * exp(-{d1e} * {d1e} / 2.0) / sqrt(2.0 * pi()) * {sqT})
+             )) AS sig{i + 1}
+      FROM it{i}
+    )"""
+
+    steps = "".join(step(i) for i in range(IV_ITERS))
+    return f"""
+    WITH opt AS (
+      SELECT p_partkey,
+             p_retailprice AS s,
+             CAST(CAST(round(p_retailprice * 100) AS BIGINT)
+                  * (90 + (p_partkey % 21)) AS DOUBLE) / 10000.0 AS k,
+             CAST(0.15 + 0.01 * (p_size % 20) AS DOUBLE) AS sig0_true
+      FROM part
+      WHERE p_partkey <= {BS_PART_CAP}
+    ),
+    mkt AS (
+      SELECT p_partkey, s, k, sig0_true,
+             {d1("sig0_true")} AS d1m,
+             {d1("sig0_true")} - sig0_true * {sqT} AS d2m
+      FROM opt
+    ),
+    v0 AS (
+      SELECT p_partkey, s, k, sig0_true,
+             s * {_norm_cdf_sql("d1m")} - k * {disc} * {_norm_cdf_sql("d2m")} AS p_mkt,
+             CAST({IV_SIGMA0} AS DOUBLE) AS sig0
+      FROM mkt
+    ){steps}
+    SELECT p_partkey,
+           round(p_mkt, 4) AS market_price,
+           round(sig0_true, 2) AS true_sigma,
+           round(sig{IV_ITERS}, 6) AS implied_vol,
+           abs(sig{IV_ITERS} - sig0_true) < 1e-4 AS converged
+    FROM v{IV_ITERS}
+    """
+
+
+@query("q_implied_vol", oracle=_iv_sql(), tags=("finance", "pricing", "iterative"))
+def implied_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implied volatility by Newton-Raphson, 5 iterations UNROLLED as
+    chained CTEs: market prices are the q_black_scholes ladder evaluated
+    at each option's true σ, then σₖ₊₁ = σₖ − (BS(σₖ) − P)/vega(σₖ)
+    starting from 0.2 with a [0.01, 2.0] clamp and a vega floor — the
+    root-find every options desk runs millions of times a day, expressed
+    as a fixed-depth dataflow instead of a per-row loop (same posture as
+    the unrolled Lloyd iterations backing q_kmeans_embeddings). The
+    `converged` column asserts the solver actually recovers the known σ
+    to 1e-4 — a built-in end-to-end proof, not just a hash match.
+
+    Determinism: ONE SQL text runs verbatim on both engines; per-row
+    closed forms, zero shuffles, embarrassingly parallel at any corpus
+    size; libm ulps absorbed by the 6-dp round (Newton converges to
+    ~1e-10 by iteration 5, far inside it)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_iv_sql())
+
+
+# ---------------------------------------------------------------------------
+# q_almgren_chriss — optimal execution schedule from corpus-estimated vol
+# ---------------------------------------------------------------------------
+
+AC_SLICES = 20
+AC_SHARES = 1_000_000.0
+AC_URGENCY = 5.0  # kappa = urgency x relative daily vol (stylized units)
+
+_AC_SQL = f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS x
+      FROM orders GROUP BY d
+    ),
+    ret AS (
+      SELECT round(a.x - b.x, 6) AS r
+      FROM daily a JOIN daily b ON b.d = a.d - INTERVAL 1 DAY
+    ),
+    sig AS (
+      SELECT round(sqrt(avg(ret.r * ret.r) - avg(ret.r) * avg(ret.r))
+                   / (SELECT avg(x) FROM daily), 8) AS sigma
+      FROM ret
+    ),
+    kap AS (
+      SELECT sigma, {AC_URGENCY} * sigma AS kappa FROM sig
+    ),
+    grid AS (
+      SELECT g.j, kap.sigma, kap.kappa,
+             CAST(g.j AS DOUBLE) / {AC_SLICES} AS t
+      FROM kap, (SELECT unnest(range(0, {AC_SLICES} + 1)) AS j) g
+    ),
+    sched AS (
+      SELECT j, sigma, kappa, t,
+             {AC_SHARES}
+               * ((exp(kappa * (1.0 - t)) - exp(-kappa * (1.0 - t))) / 2.0)
+               / ((exp(kappa) - exp(-kappa)) / 2.0) AS holdings
+      FROM grid
+    )
+    SELECT CAST(a.j AS BIGINT) AS slice,
+           round(a.sigma, 6) AS sigma_daily,
+           round(a.kappa, 6) AS kappa,
+           round(a.holdings, 2) AS holdings,
+           round(b.holdings - a.holdings, 2) AS trade,
+           round((b.holdings - a.holdings) / {AC_SHARES}, 6) AS trade_frac
+    FROM sched a JOIN sched b ON b.j = a.j - 1
+    ORDER BY slice
+"""
+
+
+@query("q_almgren_chriss", oracle=_AC_SQL, tags=("finance", "pricing", "timeseries"))
+def almgren_chriss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Almgren-Chriss optimal liquidation schedule: holdings x(t) =
+    X·sinh(κ(T−t))/sinh(κT) over a 20-slice day, with the urgency
+    κ = 5·σ_rel fed by the CORPUS-estimated RELATIVE daily volatility
+    (std/mean of the same daily series q_gpd_pot and
+    q_amihud_illiquidity read; the stylized urgency constant stands in
+    for √(λ/η) whose $-units the revenue proxy can't supply) — risk-averse
+    front-loading falls out of the closed form: early slices trade more
+    than 1/N, late slices less, and the whole curve steepens with σ.
+    sinh is spelled (eˣ−e⁻ˣ)/2 so both engines evaluate the identical
+    expression shape (the grid itself is engine-native: spark.range vs
+    unnest(range), the q_bond_duration pattern).
+
+    Scale: one daily aggregate + consecutive-day join for σ, then an
+    O(slices) grid of per-row closed forms — corpus cost is the single
+    scan; the schedule itself is corpus-size-independent."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("x")
+    )
+    prev = daily.select(F.date_add(F.col("d"), 1).alias("d"), F.col("x").alias("px"))
+    ret = daily.join(F.broadcast(prev), "d").select(
+        F.round(F.col("x") - F.col("px"), 6).alias("r")
+    )
+    mean_rev = daily.agg(F.avg("x").alias("mx"))
+    sig = ret.crossJoin(F.broadcast(mean_rev)).agg(
+        F.round(
+            F.sqrt(F.avg(F.col("r") * F.col("r")) - F.avg("r") * F.avg("r"))
+            / F.max("mx"),
+            8,
+        ).alias("sigma")
+    )
+    kap = sig.select("sigma", (AC_URGENCY * F.col("sigma")).alias("kappa"))
+    grid = (
+        spark.range(0, AC_SLICES + 1)
+        .select(F.col("id").alias("j"))
+        .crossJoin(F.broadcast(kap))
+        .select("j", "sigma", "kappa", (F.col("j") * 1.0 / AC_SLICES).alias("t"))
+    )
+
+    def sinh(x):
+        return (F.exp(x) - F.exp(-x)) / 2.0
+
+    sched = grid.select(
+        "j",
+        "sigma",
+        "kappa",
+        (
+            AC_SHARES
+            * sinh(F.col("kappa") * (1.0 - F.col("t")))
+            / sinh(F.col("kappa"))
+        ).alias("holdings"),
+    )
+    b = sched.select((F.col("j") + 1).alias("j"), F.col("holdings").alias("ph"))
+    return (
+        sched.join(F.broadcast(b), "j")
+        .select(
+            F.col("j").cast("long").alias("slice"),
+            F.round(F.col("sigma"), 6).alias("sigma_daily"),
+            F.round(F.col("kappa"), 6).alias("kappa"),
+            F.round(F.col("holdings"), 2).alias("holdings"),
+            F.round(F.col("ph") - F.col("holdings"), 2).alias("trade"),
+            F.round((F.col("ph") - F.col("holdings")) / AC_SHARES, 6).alias(
+                "trade_frac"
+            ),
+        )
+        .orderBy("slice")
+    )

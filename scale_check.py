@@ -265,6 +265,8 @@ QUERIES = [
     "q_kruskal_wallis",
     "q_gpd_pot",
     "q_ts_feature_vector",
+    "q_implied_vol",
+    "q_almgren_chriss",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -952,3 +952,16 @@ def test_evt_and_tsfeatures_plans(spark):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_quant_solver_wave_plans(spark):
+    """Implied vol / Almgren-Chriss: per-row closed forms off a
+    pushed-down scan (IV) and an O(slices) grid (AC) — no cartesian on
+    corpus relations, no Python eval; the IV solver must actually
+    converge on every option."""
+    for name in ("q_implied_vol", "q_almgren_chriss"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    rows = SPECS["q_implied_vol"].fn(spark, SF_DIR).collect()
+    assert all(r.converged for r in rows), "Newton failed to recover sigma"
