@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
 from bigdatainfinance1_spark.registry import query
-from bigdatainfinance1_spark.sources.catalog import load_table
+from bigdatainfinance1_spark.sources.catalog import load_table, register_views
 
 
 @query(
@@ -432,4 +432,86 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         GROUP BY order_tier(o_totalprice)
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_lateral_column_alias — reference a select-list alias in the same SELECT
+# ---------------------------------------------------------------------------
+
+_LCA_SQL = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(revenue / n_orders, 2) AS avg_order,
+           round(avg_order / 1000.0, 4) AS avg_order_k
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@query("q_lateral_column_alias", oracle=_LCA_SQL, tags=("spark4", "sql", "relational"))
+def lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+/ANSI step beyond standard SQL):
+    `avg_order` is defined from the sibling aliases `revenue`/`n_orders`
+    in the SAME select list and then itself referenced by `avg_order_k`
+    — the deduplication-of-expressions surface that otherwise forces
+    nested subqueries or repeated aggregate expressions. DuckDB supports
+    the identical syntax, so ONE SQL text runs verbatim on both engines.
+
+    Scale: one map-side-combinable aggregate; the alias chaining is
+    purely analysis-time (the analyzer inlines it — the optimized plan
+    is identical to the repeated-expression form)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LCA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_parameterized_sql — named-parameter queries (spark.sql(..., args))
+# ---------------------------------------------------------------------------
+
+PARAM_SEGMENT = "BUILDING"
+PARAM_MIN_ORDERS = 5
+
+
+@query(
+    "q_parameterized_sql",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(s.rev), 2) AS segment_revenue
+    FROM (
+      SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey HAVING count(*) >= {PARAM_MIN_ORDERS}
+    ) s JOIN customer c ON c.c_custkey = s.o_custkey
+    WHERE c.c_mktsegment = '{PARAM_SEGMENT}'
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("spark4", "sql", "relational"),
+)
+def parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (Spark 3.4+ `spark.sql(query, args=...)`):
+    the segment and the minimum-order threshold arrive as BOUND
+    PARAMETERS (`:segment`, `:min_orders`), not string interpolation —
+    the injection-safe templating surface a multi-tenant analytics
+    service needs. The oracle is the same query with the parameters
+    inlined as literals, proving bind-vs-literal equivalence.
+
+    Scale: the parameter binding is analysis-time only — the bound plan
+    is identical to the literal plan (same pushdown, same aggregates)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               round(sum(s.rev), 2) AS segment_revenue
+        FROM (
+          SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS rev
+          FROM orders GROUP BY o_custkey HAVING count(*) >= :min_orders
+        ) s JOIN customer c ON c.c_custkey = s.o_custkey
+        WHERE c.c_mktsegment = :segment
+        GROUP BY c.c_mktsegment
+        """,
+        args={"segment": PARAM_SEGMENT, "min_orders": PARAM_MIN_ORDERS},
     )

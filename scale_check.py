@@ -267,6 +267,8 @@ QUERIES = [
     "q_ts_feature_vector",
     "q_implied_vol",
     "q_almgren_chriss",
+    "q_lateral_column_alias",
+    "q_parameterized_sql",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -965,3 +965,15 @@ def test_quant_solver_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     rows = SPECS["q_implied_vol"].fn(spark, SF_DIR).collect()
     assert all(r.converged for r in rows), "Newton failed to recover sigma"
+
+
+def test_sql_surface_wave_plans(spark):
+    """Lateral aliases / parameterized SQL: both are analysis-time
+    surfaces — the optimized plans show ordinary pushdown + partial
+    aggregation, no Python eval."""
+    for name in ("q_lateral_column_alias", "q_parameterized_sql"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = formatted(SPECS["q_parameterized_sql"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan and "c_mktsegment" in plan
