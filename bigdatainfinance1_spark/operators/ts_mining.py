@@ -813,3 +813,225 @@ def ts_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("acf1"), 6).alias("resid_acf1"),
         F.round(F.sqrt(F.col("vr")) / F.sqrt(F.col("vz")), 6).alias("noise_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ou_halflife — mean-reversion half-life from the AR(1) fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ou_halflife",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    d AS (
+      SELECT a.i, b.z AS x, a.z AS y
+      FROM idx a JOIN idx b ON b.i = a.i - 1
+    ),
+    mm AS (
+      SELECT count(*) AS nd, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM d
+    ),
+    fit AS (
+      SELECT nd, (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS phi
+      FROM mm
+    )
+    SELECT CAST(nd AS BIGINT) AS n_obs,
+           round(phi, 6) AS ar1_phi,
+           round(CASE WHEN phi > 0.0 AND phi < 1.0
+                      THEN -ln(2.0) / ln(phi) END, 6) AS halflife_months,
+           CASE WHEN phi <= 0.0 THEN 'overshooting'
+                WHEN phi >= 1.0 THEN 'non_reverting'
+                WHEN -ln(2.0) / ln(phi) <= 3.0 THEN 'fast_reversion'
+                ELSE 'slow_reversion' END AS regime
+    FROM fit
+    """,
+    tags=("timeseries", "finance", "stats"),
+)
+def ou_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ornstein-Uhlenbeck mean-reversion half-life of monthly revenue
+    from the AR(1) fit zₜ = α + φzₜ₋₁: HL = −ln2/lnφ months — the
+    number a stat-arb desk actually trades on (q_adf_test says WHETHER
+    the series reverts; this says HOW FAST, which sets the holding
+    period), with guarded regimes for φ ≤ 0 (overshooting — reversion
+    within one period) and φ ≥ 1 (no reversion, HL undefined → NULL on
+    both engines).
+
+    Scale: monthly aggregate, one lag equi-join, one 5-moment
+    closed-form slope — calendar-bounded, rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    d = idx.select("i", F.col("z").alias("y")).join(
+        F.broadcast(idx.select((F.col("i") + 1).alias("i"), F.col("z").alias("x"))),
+        "i",
+    )
+    mm = d.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    phi = (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = mm.select("nd", phi.alias("phi"))
+    hl = -F.log(F.lit(2.0)) / F.log(F.col("phi"))
+    return fit.select(
+        F.col("nd").cast("long").alias("n_obs"),
+        F.round(F.col("phi"), 6).alias("ar1_phi"),
+        F.round(
+            F.when((F.col("phi") > 0.0) & (F.col("phi") < 1.0), hl), 6
+        ).alias("halflife_months"),
+        F.when(F.col("phi") <= 0.0, F.lit("overshooting"))
+        .when(F.col("phi") >= 1.0, F.lit("non_reverting"))
+        .when(hl <= 3.0, F.lit("fast_reversion"))
+        .otherwise(F.lit("slow_reversion"))
+        .alias("regime"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_gaussian_copula — rank-based dependence fit of revenue vs quantity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_gaussian_copula",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    xm AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) * 12 + month(l_shipdate) AS mi,
+             round(sum(l_quantity) / 1000.0, 6) AS x
+      FROM lineitem GROUP BY mi
+    ),
+    pairs AS (
+      SELECT m.mi, m.z AS y, xm.x FROM m JOIN xm ON xm.mi = m.mi
+    ),
+    ranked AS (
+      SELECT a.mi, a.y, a.x,
+             (SELECT count(*) FROM pairs b
+              WHERE b.y < a.y OR (b.y = a.y AND b.mi < a.mi)) + 1 AS ry,
+             (SELECT count(*) FROM pairs b
+              WHERE b.x < a.x OR (b.x = a.x AND b.mi < a.mi)) + 1 AS rx
+      FROM pairs a
+    ),
+    rho AS (
+      SELECT count(*) AS n,
+             1.0 - 6.0 * sum((ry - rx) * 1.0 * (ry - rx))
+               / (count(*) * (count(*) * 1.0 * count(*) - 1.0)) AS rho_s
+      FROM ranked
+    ),
+    cop AS (
+      SELECT n, rho_s,
+             2.0 * sin(pi() * rho_s / 6.0) AS rho_gauss
+      FROM rho
+    ),
+    tails AS (
+      SELECT max(cop.n) AS n, max(cop.rho_s) AS rho_s,
+             max(cop.rho_gauss) AS rho_gauss,
+             sum(CASE WHEN ranked.ry > 0.9 * cop.n AND ranked.rx > 0.9 * cop.n
+                      THEN 1 ELSE 0 END) * 1.0 / max(cop.n) AS joint_upper_emp
+      FROM ranked CROSS JOIN cop
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round(rho_s, 6) AS spearman_rho,
+           round(rho_gauss, 6) AS copula_rho,
+           round(joint_upper_emp, 6) AS joint_upper_emp,
+           round(0.01, 6) AS indep_upper_expect
+    FROM tails
+    """,
+    tags=("finance", "stats", "timeseries"),
+)
+def gaussian_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian-copula dependence fit between monthly revenue and
+    shipped quantity: Spearman's ρ from exact tie-broken ranks, mapped
+    to the copula parameter by the CLOSED FORM ρ_gauss = 2·sin(πρ_s/6)
+    (the exact Spearman↔Pearson relation under the Gaussian copula — no
+    optimizer needed), beside the EMPIRICAL joint-upper-decile
+    probability P(both above their 90th percentile) against the 1%
+    independence benchmark — the dependence-modeling layer above
+    q_spearman_corr (marginal-free correlation) and q_tail_dependence
+    (asymptotic tails): the copula parameter is what a risk engine
+    simulates from.
+
+    Scale: two monthly aggregates, month equi-join, rank-by-count over
+    the ~80-row broadcast relation, closed forms — calendar-bounded.
+    Ranks are exact integers with (value, month) tie-breaks; rounded at
+    6."""
+    idx_y = _monthly(spark, sf_dir).select("mi", F.col("z").alias("y"))
+    li = load_table(spark, sf_dir, "lineitem")
+    xm = li.groupBy(
+        (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi")
+    ).agg(F.round(F.sum("l_quantity") / 1000.0, 6).alias("x"))
+    pairs = idx_y.join(xm, "mi")
+    b = pairs.select(
+        F.col("mi").alias("mj"), F.col("y").alias("yj"), F.col("x").alias("xj")
+    )
+    ranked = (
+        pairs.crossJoin(F.broadcast(b))
+        .groupBy("mi", "y", "x")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("yj") < F.col("y"))
+                        | ((F.col("yj") == F.col("y")) & (F.col("mj") < F.col("mi"))),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            ).alias("ry"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("xj") < F.col("x"))
+                        | ((F.col("xj") == F.col("x")) & (F.col("mj") < F.col("mi"))),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            ).alias("rx"),
+        )
+    )
+    rho = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            1.0
+            - 6.0
+            * F.sum((F.col("ry") - F.col("rx")) * 1.0 * (F.col("ry") - F.col("rx")))
+            / (
+                F.count(F.lit(1))
+                * (F.count(F.lit(1)) * 1.0 * F.count(F.lit(1)) - 1.0)
+            )
+        ).alias("rho_s"),
+    )
+    import math
+
+    cop = rho.select(
+        "n",
+        "rho_s",
+        (2.0 * F.sin(F.lit(math.pi) * F.col("rho_s") / 6.0)).alias("rho_gauss"),
+    )
+    tails = ranked.crossJoin(F.broadcast(cop)).agg(
+        F.max("n").alias("n"),
+        F.max("rho_s").alias("rho_s"),
+        F.max("rho_gauss").alias("rho_gauss"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("ry") > 0.9 * F.col("n")) & (F.col("rx") > 0.9 * F.col("n")),
+                    1,
+                ).otherwise(0)
+            )
+            * 1.0
+            / F.max("n")
+        ).alias("joint_upper_emp"),
+    )
+    return tails.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(F.col("rho_s"), 6).alias("spearman_rho"),
+        F.round(F.col("rho_gauss"), 6).alias("copula_rho"),
+        F.round(F.col("joint_upper_emp"), 6).alias("joint_upper_emp"),
+        F.round(F.lit(0.01), 6).alias("indep_upper_expect"),
+    )

@@ -269,6 +269,8 @@ QUERIES = [
     "q_almgren_chriss",
     "q_lateral_column_alias",
     "q_parameterized_sql",
+    "q_ou_halflife",
+    "q_gaussian_copula",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

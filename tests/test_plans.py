@@ -977,3 +977,12 @@ def test_sql_surface_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = formatted(SPECS["q_parameterized_sql"].fn(spark, SF_DIR))
     assert "PushedFilters" in plan and "c_mktsegment" in plan
+
+
+def test_dependence_reversion_wave_plans(spark):
+    """OU half-life / Gaussian copula: calendar-bounded closed forms, no
+    cartesian on corpus relations, no Python eval."""
+    for name in ("q_ou_halflife", "q_gaussian_copula"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
