@@ -574,3 +574,74 @@ def median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("moy", "region")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_l28_engagement — the L28 active-days histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_l28_engagement",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d28 FROM events),
+    act AS (
+      SELECT e.user_id, count(DISTINCT CAST(e.ts AS DATE)) AS active_days
+      FROM events e CROSS JOIN anchor
+      WHERE CAST(e.ts AS DATE) > anchor.d28 - INTERVAL 28 DAY
+      GROUP BY e.user_id
+    ),
+    tot AS (SELECT count(*) AS n_users FROM act)
+    SELECT CAST(act.active_days AS BIGINT) AS active_days,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(count(*) * 1.0 / tot.n_users, 6) AS share,
+           CASE WHEN act.active_days >= 15 THEN 'core'
+                WHEN act.active_days >= 5 THEN 'regular'
+                ELSE 'casual' END AS tier
+    FROM act CROSS JOIN tot
+    GROUP BY act.active_days, tot.n_users
+    ORDER BY active_days
+    """,
+    tags=("events", "analytics", "product"),
+)
+def l28_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L28 engagement histogram: for each user, the count of
+    distinct active days in the trailing 28-day window anchored at the
+    corpus's last event date, bucketed into the classic
+    casual (1-4) / regular (5-14) / core (15-28) tiers — THE
+    engagement-quality distribution (how users spread across it, not the
+    single DAU/MAU ratio q_stickiness reports, is what distinguishes a
+    habit product from a spiky one; q_power_user_curve is its cumulative
+    cousin).
+
+    Scale: the window predicate (vs a broadcast 1-row anchor) prunes the
+    scan; one per-user distinct-date aggregate, one histogram groupBy —
+    both map-side combinable. Exact integers until the share division,
+    rounded at 6. (The synthetic corpus is dense — every user lands in
+    the core tier with 25-28 active days; the thresholds keep their
+    standard industry semantics rather than being tuned to split this
+    particular corpus.)"""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d28"))
+    act = (
+        ev.crossJoin(F.broadcast(anchor))
+        .filter(F.to_date("ts") > F.date_sub(F.col("d28"), 28))
+        .groupBy("user_id")
+        .agg(F.countDistinct(F.to_date("ts")).alias("active_days"))
+    )
+    tot = act.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        act.crossJoin(F.broadcast(tot))
+        .groupBy("active_days", "n_users")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("active_days").cast("long").alias("active_days"),
+            F.col("cnt").alias("n_users"),
+            F.round(F.col("cnt") * 1.0 / F.col("n_users"), 6).alias("share"),
+            F.when(F.col("active_days") >= 15, F.lit("core"))
+            .when(F.col("active_days") >= 5, F.lit("regular"))
+            .otherwise(F.lit("casual"))
+            .alias("tier"),
+        )
+        .orderBy("active_days")
+    )

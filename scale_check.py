@@ -271,6 +271,7 @@ QUERIES = [
     "q_parameterized_sql",
     "q_ou_halflife",
     "q_gaussian_copula",
+    "q_l28_engagement",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

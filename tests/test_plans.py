@@ -986,3 +986,12 @@ def test_dependence_reversion_wave_plans(spark):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_l28_plan(spark):
+    """L28: anchor-pruned scan, two map-side-combinable aggregates."""
+    plan = plan_of(SPECS["q_l28_engagement"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    fplan = formatted(SPECS["q_l28_engagement"].fn(spark, SF_DIR))
+    assert "partial_" in fplan
