@@ -54,7 +54,15 @@ def global_row_number(
     cols = _as_columns(order_cols)
     d = _bucketed(df, cols, n_buckets)
     w = Window.partitionBy("_pid").orderBy(*cols)
-    d = d.withColumn("_local_rn", F.row_number().over(w))
+    # persist: the bucketed relation feeds BOTH the per-bucket totals and
+    # the output join. RangePartitioner samples its boundaries with a
+    # per-execution seed, so if the optimizer ever plans the two branches
+    # as separate exchanges (observed once AQE + a broadcast-heavy parent
+    # query suppressed exchange reuse: q_systematic_sample returned 751
+    # rows for a 1-in-20 systematic design), the two sides disagree on
+    # _pid and ranks shift. One materialization makes both branches read
+    # identical bucket assignments regardless of plan reuse decisions.
+    d = d.withColumn("_local_rn", F.row_number().over(w)).persist()
     totals = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
     offs = _prefix_offsets(totals, "_tot")
     return (
@@ -80,7 +88,8 @@ def global_running_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    d = d.withColumn("_local_sum", F.sum(value_col).over(w))
+    # persist for the same branch-consistency reason as global_row_number
+    d = d.withColumn("_local_sum", F.sum(value_col).over(w)).persist()
     totals = d.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
     offs = _prefix_offsets(totals, "_tot")
     return (

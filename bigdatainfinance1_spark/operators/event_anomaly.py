@@ -645,3 +645,172 @@ def l28_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("active_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_systematic_sample — every-k-th selection in deterministic hash space
+# ---------------------------------------------------------------------------
+
+SYS_K = 20  # sampling interval in hash space
+SYS_OFFSET = 7  # fixed residue class
+
+
+def _hexfold(h: str, digits: int = 5) -> str:
+    """SQL folding the first ``digits`` hex chars of ``h`` into an integer
+    — identical text for both engines (instr/substr agree)."""
+    terms = [
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (digits - 1 - i)}"
+        for i in range(digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q_systematic_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT o_totalprice,
+             {_hexfold("md5(CAST(o_orderkey AS VARCHAR))")} AS hv
+      FROM orders
+    ),
+    samp AS (
+      SELECT * FROM hashed WHERE hv % {SYS_K} = {SYS_OFFSET}
+    ),
+    pop AS (
+      SELECT count(*) AS n_pop, round(avg(o_totalprice), 4) AS pop_mean
+      FROM orders
+    )
+    SELECT CAST(pop.n_pop AS BIGINT) AS n_pop,
+           CAST(count(*) AS BIGINT) AS n_sample,
+           round(avg(samp.o_totalprice), 4) AS sample_mean,
+           pop.pop_mean,
+           round(abs(avg(samp.o_totalprice) - pop.pop_mean) / pop.pop_mean, 6)
+             AS rel_error
+    FROM samp CROSS JOIN pop
+    GROUP BY pop.n_pop, pop.pop_mean
+    """,
+    tags=("sample", "sampling", "analytics"),
+)
+def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic sampling in deterministic hash space: fold the first 5
+    hex digits of md5(orderkey) into an integer and keep one fixed
+    residue class mod 20 — an equal-probability design (up to the
+    documented 16^5 % 20 = 16/1048576 residue nonuniformity) that is
+    PURELY ROW-LOCAL: any worker decides membership from the key alone,
+    no rank, no shuffle, no coordination — the only systematic-sampling
+    shape that survives 100 TB. The sample-vs-population mean and
+    relative error ride along as the built-in unbiasedness check.
+    (First cut ranked by hash via the global-row-number machinery and
+    took every 20th rank — correct semantics, but the rank exchange's
+    sampled range boundaries made the two plan branches disagree under
+    AQE, observed as a 751-row "1-in-20" sample; the hazard is now also
+    hardened in functions/ranks.py, and this operator uses the stronger
+    coordination-free design.)
+
+    Scale: one scan with a row-local predicate + two map-side
+    aggregates. The hex fold is exact integer arithmetic on both
+    engines; rounded at 4/6."""
+    orders = load_table(spark, sf_dir, "orders")
+    hv = F.expr(_hexfold("md5(CAST(o_orderkey AS STRING))"))
+    samp = orders.filter(hv % SYS_K == SYS_OFFSET)
+    pop = orders.agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.round(F.avg("o_totalprice"), 4).alias("pop_mean"),
+    )
+    return (
+        samp.crossJoin(F.broadcast(pop))
+        .groupBy("n_pop", "pop_mean")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sample"),
+            F.round(F.avg("o_totalprice"), 4).alias("sample_mean"),
+        )
+        .select(
+            F.col("n_pop").cast("long").alias("n_pop"),
+            "n_sample",
+            "sample_mean",
+            "pop_mean",
+            F.round(
+                F.abs(F.col("sample_mean") - F.col("pop_mean")) / F.col("pop_mean"), 6
+            ).alias("rel_error"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_neyman_allocation — optimal stratified sample allocation
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000
+
+
+@query(
+    "q_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+      SELECT c_mktsegment AS segment,
+             count(*) AS nh,
+             round(sqrt(avg(c_acctbal * c_acctbal) - avg(c_acctbal) * avg(c_acctbal)), 8)
+               AS sh
+      FROM customer GROUP BY c_mktsegment
+    ),
+    tot AS (
+      SELECT sum(nh) AS n_pop, sum(nh * sh) AS sum_ns FROM strata
+    )
+    SELECT strata.segment,
+           CAST(strata.nh AS BIGINT) AS n_pop_stratum,
+           round(strata.sh, 4) AS stratum_std,
+           CAST(round({NEYMAN_BUDGET} * strata.nh * strata.sh / tot.sum_ns)
+                AS BIGINT) AS neyman_n,
+           CAST(round({NEYMAN_BUDGET} * strata.nh * 1.0 / tot.n_pop) AS BIGINT)
+             AS proportional_n
+    FROM strata CROSS JOIN tot
+    ORDER BY segment
+    """,
+    tags=("sample", "sampling", "stats"),
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation of a 1000-unit sample budget
+    across market segments: nₕ ∝ Nₕ·Sₕ (stratum size × stratum standard
+    deviation of account balance) beside the naive proportional
+    allocation — the survey-sampling design theorem that says volatile
+    strata deserve MORE than their population share; the gap between the
+    two columns is exactly the variance the proportional design wastes.
+    Feeds q_stratified_sample, which executes whatever allocation it is
+    given.
+
+    Scale: one map-side-combinable per-stratum moment aggregate over the
+    customer scan + a broadcast 1-row total; closed forms. Stds round at
+    8 before the allocation products; counts exact, rounded to integer
+    allocations identically on both engines (half-away on positive
+    values)."""
+    cust = load_table(spark, sf_dir, "customer")
+    strata = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.round(
+            F.sqrt(
+                F.avg(F.col("c_acctbal") * F.col("c_acctbal"))
+                - F.avg("c_acctbal") * F.avg("c_acctbal")
+            ),
+            8,
+        ).alias("sh"),
+    )
+    tot = strata.agg(
+        F.sum("nh").alias("n_pop"), F.sum(F.col("nh") * F.col("sh")).alias("sum_ns")
+    )
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            F.col("nh").cast("long").alias("n_pop_stratum"),
+            F.round(F.col("sh"), 4).alias("stratum_std"),
+            F.round(
+                NEYMAN_BUDGET * F.col("nh") * F.col("sh") / F.col("sum_ns")
+            )
+            .cast("long")
+            .alias("neyman_n"),
+            F.round(NEYMAN_BUDGET * F.col("nh") * 1.0 / F.col("n_pop"))
+            .cast("long")
+            .alias("proportional_n"),
+        )
+        .orderBy("segment")
+    )

@@ -312,3 +312,57 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("doubled").cast("long").alias("doubled_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_udf_arrow_optimized — Spark 3.5+/4 Arrow-serialized scalar Python UDF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_udf_arrow_optimized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(round(sqrt(o_totalprice) * ln(1.0 + o_totalprice), 6)), 4)
+             AS score_sum
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("udf", "analytics"),
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+ (Spark 3.5/4 surface): a scalar PYTHON udf with
+    ``useArrow=True`` — Arrow-serialized row batches instead of pickled
+    rows, the middle rung between the legacy pickle UDF (q_sql_registered
+    _udf's demo) and the fully vectorized pandas UDF (q_udf_pandas
+    _revenue). The scoring function is plain libm arithmetic
+    (√x·ln(1+x), rounded at 6 inside the UDF via the shared
+    rnd_half_away helper — Python's banker's round() would flip exact
+    .5 boundaries against DuckDB's half-away round, the q_holt_smoothing
+    lesson) so the oracle evaluates the identical expression and
+    value-hashes the aggregate.
+
+    Scale: Arrow transfer amortizes serialization per BATCH; still a
+    Python hot path — the U-surface exists to prove the capability, and
+    every production query in this repo keeps such logic JVM-side (the
+    plan-assert suite forbids ArrowEvalPython outside these demos)."""
+    import math
+
+    from pyspark.sql.functions import udf
+
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away
+
+    @udf("double", useArrow=True)
+    def score(x: float) -> float:
+        return rnd_half_away(math.sqrt(x) * math.log(1.0 + x), 6)
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderpriority", score(F.col("o_totalprice")).alias("s"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("s"), 4).alias("score_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )

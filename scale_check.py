@@ -272,6 +272,9 @@ QUERIES = [
     "q_ou_halflife",
     "q_gaussian_copula",
     "q_l28_engagement",
+    "q_udf_arrow_optimized",
+    "q_systematic_sample",
+    "q_neyman_allocation",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

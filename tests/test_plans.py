@@ -995,3 +995,17 @@ def test_l28_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     fplan = formatted(SPECS["q_l28_engagement"].fn(spark, SF_DIR))
     assert "partial_" in fplan
+
+
+def test_sampling_design_wave(spark):
+    """Systematic sample must be deterministic across executions (the
+    row-local hash-fold design — regression test for the rank-exchange
+    nondeterminism this replaced); Neyman shifts budget toward volatile
+    strata; Arrow UDF demo allowed its ArrowEvalPython."""
+    a = SPECS["q_systematic_sample"].fn(spark, SF_DIR).collect()
+    b = SPECS["q_systematic_sample"].fn(spark, SF_DIR).collect()
+    assert a == b
+    plan = plan_of(SPECS["q_systematic_sample"].fn(spark, SF_DIR))
+    assert "Exchange rangepartitioning" not in plan  # row-local membership
+    rows = SPECS["q_neyman_allocation"].fn(spark, SF_DIR).collect()
+    assert sum(r.neyman_n for r in rows) >= 990  # budget ~preserved
