@@ -635,3 +635,257 @@ def deflated_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sr_benchmark"), 6).alias("expected_max_sr_null"),
         F.round(_norm_cdf_col(z), 6).alias("deflated_sharpe_prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_qini_curve — uplift-model evaluation by cumulative incremental gains
+# ---------------------------------------------------------------------------
+
+QINI_DISC = 0.06  # an order is "treated" if any line carries >= 6% discount
+QINI_BUCKET = 1000.0  # acctbal score bucket width
+QINI_MAX_BUCKET = 10
+
+
+@query(
+    "q_qini_curve",
+    oracle=f"""
+    WITH treated AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount >= {QINI_DISC}
+    ),
+    obs AS (
+      SELECT least(greatest(floor(c.c_acctbal / {QINI_BUCKET}), 0),
+                   {QINI_MAX_BUCKET}) AS bkt,
+             CASE WHEN t.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS treat,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      LEFT JOIN treated t ON t.l_orderkey = o.o_orderkey
+    ),
+    b AS (
+      SELECT bkt,
+             CAST(sum(treat) AS BIGINT) AS nt,
+             CAST(sum(1 - treat) AS BIGINT) AS nc,
+             CAST(sum(CASE WHEN treat = 1 THEN y_cents ELSE 0 END) AS BIGINT) AS yt,
+             CAST(sum(CASE WHEN treat = 0 THEN y_cents ELSE 0 END) AS BIGINT) AS yc
+      FROM obs GROUP BY bkt
+    ),
+    cum AS (
+      SELECT a.bkt,
+             sum(b.nt) AS cnt, sum(b.nc) AS cnc,
+             sum(b.yt) AS cyt, sum(b.yc) AS cyc
+      FROM b a JOIN b ON b.bkt >= a.bkt
+      GROUP BY a.bkt
+    )
+    SELECT CAST(bkt AS BIGINT) AS score_bucket,
+           CAST(cnt AS BIGINT) AS cum_treated,
+           CAST(cnc AS BIGINT) AS cum_control,
+           round(cyt / 100.0, 2) AS cum_y_treated,
+           round(cyc / 100.0, 2) AS cum_y_control,
+           round((cyt - cyc * 1.0 * cnt / nullif(cnc, 0)) / 100.0, 2) AS qini
+    FROM cum ORDER BY score_bucket DESC
+    """,
+    tags=("ml", "eval", "experimentation", "analytics"),
+)
+def qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift evaluation: orders ranked by the customer
+    account-balance score (descending buckets), treatment = any line
+    discounted ≥ 6%, and at each cutoff the cumulative incremental gain
+    Qini(k) = Yₜ(k) − Y_c(k)·Nₜ(k)/N_c(k) — THE metric for promotion
+    targeting models, because accuracy-style metrics (q_roc_curve) are
+    blind to the counterfactual: a model can rank responders perfectly
+    and still target people who'd have bought anyway. All counts and
+    revenue stay exact integers (cents) until the final scaling.
+
+    Scale: one semi-annotating LEFT join on orderkey (equi-shuffle),
+    one bucket aggregate (map-side combinable), an 11-row triangular
+    cumulative join. Corpus cost = the one fact join; everything after
+    is O(buckets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    treated = li.filter(F.col("l_discount") >= QINI_DISC).select("l_orderkey").distinct()
+    obs = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_acctbal")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            treated.withColumn("is_t", F.lit(1)),
+            orders.o_orderkey == treated.l_orderkey,
+            "left",
+        )
+        .select(
+            F.least(
+                F.greatest(F.floor(F.col("c_acctbal") / QINI_BUCKET), F.lit(0)),
+                F.lit(QINI_MAX_BUCKET),
+            ).alias("bkt"),
+            F.coalesce(F.col("is_t"), F.lit(0)).alias("treat"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y_cents"),
+        )
+    )
+    b = obs.groupBy("bkt").agg(
+        F.sum("treat").cast("long").alias("nt"),
+        F.sum(1 - F.col("treat")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y_cents")).otherwise(0))
+        .cast("long")
+        .alias("yt"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y_cents")).otherwise(0))
+        .cast("long")
+        .alias("yc"),
+    )
+    hi = b.select(
+        F.col("bkt").alias("hb"),
+        F.col("nt").alias("hnt"),
+        F.col("nc").alias("hnc"),
+        F.col("yt").alias("hyt"),
+        F.col("yc").alias("hyc"),
+    )
+    cum = (
+        b.select("bkt")
+        .join(F.broadcast(hi), F.col("hb") >= F.col("bkt"))
+        .groupBy("bkt")
+        .agg(
+            F.sum("hnt").alias("cnt"),
+            F.sum("hnc").alias("cnc"),
+            F.sum("hyt").alias("cyt"),
+            F.sum("hyc").alias("cyc"),
+        )
+    )
+    return cum.select(
+        F.col("bkt").cast("long").alias("score_bucket"),
+        F.col("cnt").cast("long").alias("cum_treated"),
+        F.col("cnc").cast("long").alias("cum_control"),
+        F.round(F.col("cyt") / 100.0, 2).alias("cum_y_treated"),
+        F.round(F.col("cyc") / 100.0, 2).alias("cum_y_control"),
+        F.round(
+            (
+                F.col("cyt")
+                - F.col("cyc") * 1.0 * F.col("cnt") / F.nullif(F.col("cnc"), F.lit(0))
+            )
+            / 100.0,
+            2,
+        ).alias("qini"),
+    ).orderBy(F.col("score_bucket").desc())
+
+
+# ---------------------------------------------------------------------------
+# q_pinball_loss — quantile-forecast evaluation (the M5 metric)
+# ---------------------------------------------------------------------------
+
+PINBALL_TEST_MONTHS = 12
+
+
+@query(
+    "q_pinball_loss",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS z
+      FROM orders GROUP BY mi
+    ),
+    anchor AS (SELECT max(mi) - {PINBALL_TEST_MONTHS} AS cut FROM m),
+    hist AS (SELECT m.mi, m.mi % 12 AS moy, m.z FROM m CROSS JOIN anchor
+             WHERE m.mi <= anchor.cut),
+    test AS (SELECT m.mi, m.mi % 12 AS moy, m.z FROM m CROSS JOIN anchor
+             WHERE m.mi > anchor.cut),
+    ranked AS (
+      SELECT moy, z,
+             row_number() OVER (PARTITION BY moy ORDER BY z, mi) AS rn,
+             count(*) OVER (PARTITION BY moy) AS n
+      FROM hist
+    ),
+    taus AS (SELECT unnest([0.1, 0.5, 0.9]) AS tau),
+    qf AS (
+      SELECT ranked.moy, taus.tau,
+             min(CASE WHEN ranked.rn = CAST(ceil(taus.tau * ranked.n) AS BIGINT)
+                      THEN ranked.z END) AS q
+      FROM ranked CROSS JOIN taus
+      GROUP BY ranked.moy, taus.tau
+    ),
+    loss AS (
+      SELECT qf.tau,
+             avg(CASE WHEN test.z >= qf.q THEN qf.tau * (test.z - qf.q)
+                      ELSE (1.0 - qf.tau) * (qf.q - test.z) END) AS pinball,
+             avg(CASE WHEN test.z <= qf.q THEN 1.0 ELSE 0.0 END) AS coverage,
+             count(*) AS n_test
+      FROM test JOIN qf ON qf.moy = test.moy
+      GROUP BY qf.tau
+    )
+    SELECT round(tau, 1) AS tau,
+           CAST(n_test AS BIGINT) AS n_test,
+           round(pinball, 6) AS pinball,
+           round(coverage, 6) AS coverage
+    FROM loss ORDER BY tau
+    """,
+    tags=("timeseries", "ml", "eval", "finance"),
+)
+def pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of a seasonal-quantile forecaster: hold
+    out the last 12 months, forecast each month's revenue quantiles
+    (τ = 0.1/0.5/0.9) as the DISCRETE same-month-of-year historical
+    quantile (rank ⌈τ·n⌉ — the q_percentile_disc formulation), and score
+    with Lτ = τ(y−q)⁺ + (1−τ)(q−y)⁺ plus empirical coverage — the M5
+    forecasting-competition metric that q_forecast_backtest's point
+    metrics (MAPE-family) cannot express: it prices UNDER- vs
+    OVER-prediction asymmetrically per quantile.
+
+    Scale: monthly aggregate, month-of-year-partitioned rank windows
+    over ≤7-row partitions, a 3-row τ grid, one evaluation join —
+    calendar-bounded. Quantiles are exact element picks of 6-dp values;
+    losses are closed forms, rounded at 6."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("z"))
+    anchor = m.agg((F.max("mi") - PINBALL_TEST_MONTHS).alias("cut"))
+    mm = m.crossJoin(F.broadcast(anchor))
+    hist = mm.filter(F.col("mi") <= F.col("cut")).select(
+        "mi", (F.col("mi") % 12).alias("moy"), "z"
+    )
+    test = mm.filter(F.col("mi") > F.col("cut")).select(
+        "mi", (F.col("mi") % 12).alias("moy"), "z"
+    )
+    w = Window.partitionBy("moy").orderBy("z", "mi")
+    wn = Window.partitionBy("moy")
+    ranked = hist.select(
+        "moy",
+        "z",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    taus = spark.createDataFrame([(0.1,), (0.5,), (0.9,)], ["tau"])
+    qf = (
+        ranked.crossJoin(F.broadcast(taus))
+        .groupBy("moy", "tau")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("tau") * F.col("n")).cast("long"),
+                    F.col("z"),
+                )
+            ).alias("q")
+        )
+    )
+    loss = (
+        test.join(F.broadcast(qf), "moy")
+        .groupBy("tau")
+        .agg(
+            F.avg(
+                F.when(
+                    F.col("z") >= F.col("q"), F.col("tau") * (F.col("z") - F.col("q"))
+                ).otherwise((1.0 - F.col("tau")) * (F.col("q") - F.col("z")))
+            ).alias("pinball"),
+            F.avg(F.when(F.col("z") <= F.col("q"), 1.0).otherwise(0.0)).alias(
+                "coverage"
+            ),
+            F.count(F.lit(1)).alias("n_test"),
+        )
+    )
+    return loss.select(
+        F.round(F.col("tau"), 1).alias("tau"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(F.col("pinball"), 6).alias("pinball"),
+        F.round(F.col("coverage"), 6).alias("coverage"),
+    ).orderBy("tau")

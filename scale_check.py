@@ -275,6 +275,8 @@ QUERIES = [
     "q_udf_arrow_optimized",
     "q_systematic_sample",
     "q_neyman_allocation",
+    "q_qini_curve",
+    "q_pinball_loss",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

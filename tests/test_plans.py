@@ -1009,3 +1009,17 @@ def test_sampling_design_wave(spark):
     assert "Exchange rangepartitioning" not in plan  # row-local membership
     rows = SPECS["q_neyman_allocation"].fn(spark, SF_DIR).collect()
     assert sum(r.neyman_n for r in rows) >= 990  # budget ~preserved
+
+
+def test_uplift_forecast_eval_plans(spark):
+    """Qini / pinball: bucket aggregates + bounded cumulative joins; the
+    pinball rank window is partitioned by month-of-year; no cartesian on
+    corpus relations, no Python eval."""
+    for name in ("q_qini_curve", "q_pinball_loss"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_pinball_loss"].fn(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "moy" in line, line
