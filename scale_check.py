@@ -277,6 +277,8 @@ QUERIES = [
     "q_neyman_allocation",
     "q_qini_curve",
     "q_pinball_loss",
+    "q_tukey_hsd",
+    "q_meta_analysis",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

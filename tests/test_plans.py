@@ -1023,3 +1023,15 @@ def test_uplift_forecast_eval_plans(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "moy" in line, line
+
+
+def test_posthoc_meta_wave_plans(spark):
+    """Tukey HSD / meta-analysis: dim-chain broadcasts, bounded model
+    self-joins, no cartesian on corpus relations, no Python eval; the
+    meta-analysis FE weights must sum to 1."""
+    for name in ("q_tukey_hsd", "q_meta_analysis"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    rows = SPECS["q_meta_analysis"].fn(spark, SF_DIR).collect()
+    assert abs(sum(r.fe_weight for r in rows) - 1.0) < 1e-4
