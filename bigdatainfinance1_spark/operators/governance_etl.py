@@ -944,3 +944,266 @@ def dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the scan."""
     register_views(spark, sf_dir)
     return spark.sql(_DP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_process_capability — Cp/Cpk per brand against global spec limits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_process_capability",
+    oracle="""
+    WITH spec AS (
+      SELECT 1.0 AS lsl, 50.0 AS usl
+    ),
+    g AS (
+      SELECT p.p_brand AS brand, count(*) AS n, avg(l.l_quantity) AS mu,
+             sqrt((sum(l.l_quantity * l.l_quantity)
+                   - count(*) * avg(l.l_quantity) * avg(l.l_quantity))
+                  / (count(*) - 1)) AS s
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT g.brand,
+           CAST(g.n AS BIGINT) AS n,
+           round(g.mu, 4) AS mean_qty,
+           round(g.s, 4) AS std_qty,
+           round((spec.usl - spec.lsl) / (6.0 * g.s), 6) AS cp,
+           round(least(spec.usl - g.mu, g.mu - spec.lsl) / (3.0 * g.s), 6) AS cpk,
+           CASE WHEN least(spec.usl - g.mu, g.mu - spec.lsl) / (3.0 * g.s) >= 1.33
+                THEN 'capable'
+                WHEN least(spec.usl - g.mu, g.mu - spec.lsl) / (3.0 * g.s) >= 1.0
+                THEN 'marginal' ELSE 'incapable' END AS verdict
+    FROM g CROSS JOIN spec
+    ORDER BY brand
+    """,
+    tags=("quality", "analytics", "stats"),
+)
+def process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process capability indices per brand: Cp = (USL−LSL)/6σ (potential
+    capability of the order-quantity "process" against the fixed 1-50
+    spec window) and Cpk = min(USL−μ, μ−LSL)/3σ (actual capability,
+    penalizing off-center means), with the standard 1.33/1.0 verdict
+    bands — the manufacturing-quality reading of the same per-group
+    moments the control charts monitor (q_control_chart watches the
+    series; Cp/Cpk grade the distribution).
+
+    Scale: one fact-dim broadcast join + per-brand moment aggregate
+    (map-side combinable), closed forms on 25 rows. Quantities are
+    exact small integers so the moment identity is exact; rounded at
+    4/6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    lsl, usl = 1.0, 50.0
+    g = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("l_quantity").alias("mu"),
+            F.sqrt(
+                (
+                    F.sum(F.col("l_quantity") * F.col("l_quantity"))
+                    - F.count(F.lit(1)) * F.avg("l_quantity") * F.avg("l_quantity")
+                )
+                / (F.count(F.lit(1)) - 1)
+            ).alias("s"),
+        )
+    )
+    cpk = F.least(usl - F.col("mu"), F.col("mu") - lsl) / (3.0 * F.col("s"))
+    return g.select(
+        "brand",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mu"), 4).alias("mean_qty"),
+        F.round(F.col("s"), 4).alias("std_qty"),
+        F.round((usl - lsl) / (6.0 * F.col("s")), 6).alias("cp"),
+        F.round(cpk, 6).alias("cpk"),
+        F.when(cpk >= 1.33, F.lit("capable"))
+        .when(cpk >= 1.0, F.lit("marginal"))
+        .otherwise(F.lit("incapable"))
+        .alias("verdict"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q_fd_discovery — functional-dependency verification (profiling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fd_discovery",
+    oracle="""
+    WITH checks AS (
+      SELECT 'customer.c_custkey->c_nationkey' AS fd,
+             count(*) AS n_groups,
+             sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS violations
+      FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS d
+            FROM customer GROUP BY c_custkey)
+      UNION ALL
+      SELECT 'orders.o_custkey->o_orderpriority',
+             count(*), sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS d
+            FROM orders GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->l_returnflag',
+             count(*), sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+      FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS d
+            FROM lineitem GROUP BY l_orderkey)
+      UNION ALL
+      SELECT 'part.p_brand->p_type',
+             count(*), sum(CASE WHEN d > 1 THEN 1 ELSE 0 END)
+      FROM (SELECT p_brand, count(DISTINCT p_type) AS d
+            FROM part GROUP BY p_brand)
+    )
+    SELECT fd,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(violations AS BIGINT) AS violating_groups,
+           violations = 0 AS holds
+    FROM checks ORDER BY fd
+    """,
+    tags=("quality", "etl", "governance"),
+)
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency verification over four candidate FDs (the
+    Metanome/data-profiling primitive): for each LHS→RHS candidate,
+    count LHS groups whose RHS is not single-valued — zero violations
+    means the FD holds and the column is derivable/normalizable; a
+    violation count is the exact denormalization measure. The first two
+    candidates are true key dependencies (hold by schema); the second
+    two are plausible-but-false (an order mixes return flags, a brand
+    spans types) — the discovery outcome, not the assumption, is the
+    output.
+
+    Scale: each candidate is ONE map-side-combinable
+    groupBy(countDistinct) — the same shape regardless of table size;
+    candidates run as a union of independent aggregates (Spark
+    schedules them concurrently). All integers."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def check(df: DataFrame, name: str, lhs: str, rhs: str) -> DataFrame:
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("d"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_groups"),
+        )
+
+    out = (
+        check(cust, "customer.c_custkey->c_nationkey", "c_custkey", "c_nationkey")
+        .unionByName(
+            check(orders, "orders.o_custkey->o_orderpriority", "o_custkey", "o_orderpriority")
+        )
+        .unionByName(
+            check(li, "lineitem.l_orderkey->l_returnflag", "l_orderkey", "l_returnflag")
+        )
+        .unionByName(check(part, "part.p_brand->p_type", "p_brand", "p_type"))
+    )
+    return out.select(
+        "fd", "n_groups", "violating_groups", (F.col("violating_groups") == 0).alias("holds")
+    ).orderBy("fd")
+
+
+# ---------------------------------------------------------------------------
+# q_inclusion_dependencies — foreign-key discovery by containment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_inclusion_dependencies",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders.o_custkey<=customer.c_custkey' AS ind,
+             (SELECT count(DISTINCT o_custkey) FROM orders) AS n_distinct,
+             (SELECT count(*) FROM (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))) AS missing
+      UNION ALL
+      SELECT 'lineitem.l_orderkey<=orders.o_orderkey',
+             (SELECT count(DISTINCT l_orderkey) FROM lineitem),
+             (SELECT count(*) FROM (
+                SELECT DISTINCT l_orderkey FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+      UNION ALL
+      SELECT 'lineitem.l_partkey<=part.p_partkey',
+             (SELECT count(DISTINCT l_partkey) FROM lineitem),
+             (SELECT count(*) FROM (
+                SELECT DISTINCT l_partkey FROM lineitem
+                WHERE l_partkey NOT IN (SELECT p_partkey FROM part)))
+      UNION ALL
+      SELECT 'customer.c_custkey<=orders.o_custkey',
+             (SELECT count(DISTINCT c_custkey) FROM customer),
+             (SELECT count(*) FROM (
+                SELECT DISTINCT c_custkey FROM customer
+                WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)))
+    )
+    SELECT ind,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(missing AS BIGINT) AS missing,
+           round((n_distinct - missing) * 1.0 / n_distinct, 6) AS containment,
+           missing = 0 AS is_fk_candidate
+    FROM checks ORDER BY ind
+    """,
+    tags=("quality", "etl", "governance", "join"),
+)
+def inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery by containment: for
+    each candidate A ⊆ B, the fraction of A's distinct values present in
+    B via a distinct + left-anti join — full containment marks an FK
+    candidate. The reverse direction (customer ⊆ orders) is the
+    discriminating probe: it fails wherever customers exist without
+    orders; on this dense corpus every customer HAS orders, so all four
+    candidates report full containment and the containment fraction —
+    not an assumption — is the discovery output. The profiling
+    complement to q_fd_discovery (intra-table) — together they recover
+    the star schema from data alone.
+
+    Scale: each candidate is a distinct projection + broadcast/shuffle
+    anti-join on the key — the standard referential-integrity shape
+    (q_dq_checks uses it for assertion; this uses it for discovery).
+    All integers; one ratio, rounded at 6."""
+    tables = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+        "part": load_table(spark, sf_dir, "part"),
+    }
+    cands = [
+        ("orders.o_custkey<=customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey<=orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey<=part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.c_custkey<=orders.o_custkey", "customer", "c_custkey", "orders", "o_custkey"),
+    ]
+    outs = []
+    for name, ta, ca, tb, cb in cands:
+        a = tables[ta].select(F.col(ca).alias("k")).distinct()
+        b = tables[tb].select(F.col(cb).alias("k")).distinct()
+        nd = a.agg(F.count(F.lit(1)).alias("n_distinct"))
+        miss = a.join(b, "k", "left_anti").agg(F.count(F.lit(1)).alias("missing"))
+        outs.append(
+            nd.crossJoin(F.broadcast(miss)).select(
+                F.lit(name).alias("ind"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                F.col("missing").cast("long").alias("missing"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "ind",
+        "n_distinct",
+        "missing",
+        F.round(
+            (F.col("n_distinct") - F.col("missing")) * 1.0 / F.col("n_distinct"), 6
+        ).alias("containment"),
+        (F.col("missing") == 0).alias("is_fk_candidate"),
+    ).orderBy("ind")

@@ -279,6 +279,9 @@ QUERIES = [
     "q_pinball_loss",
     "q_tukey_hsd",
     "q_meta_analysis",
+    "q_process_capability",
+    "q_fd_discovery",
+    "q_inclusion_dependencies",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

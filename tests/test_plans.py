@@ -1035,3 +1035,15 @@ def test_posthoc_meta_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     rows = SPECS["q_meta_analysis"].fn(spark, SF_DIR).collect()
     assert abs(sum(r.fe_weight for r in rows) - 1.0) < 1e-4
+
+
+def test_schema_profiling_wave_plans(spark):
+    """Cp/Cpk / FD discovery / IND discovery: map-side aggregates and
+    anti-joins only; FD discovery must surface BOTH outcomes (a holding
+    key dependency and violated candidates) — discovery, not assertion."""
+    for name in ("q_process_capability", "q_fd_discovery", "q_inclusion_dependencies"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    rows = SPECS["q_fd_discovery"].fn(spark, SF_DIR).collect()
+    assert {r.holds for r in rows} == {True, False}
