@@ -8,6 +8,7 @@ unchanged — git follows the move via --find-copies.
 from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from bigdatainfinance1_spark.operators.quant_pricing import _norm_cdf_sql
 from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
 from bigdatainfinance1_spark.registry import query
 from bigdatainfinance1_spark.sources.catalog import load_table
@@ -1261,3 +1262,238 @@ def jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jackknife_estimate"),
         F.round(F.col("se_jack"), 6).alias("se_jack"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tost_equivalence — two one-sided tests: prove SAMENESS, not difference
+# ---------------------------------------------------------------------------
+
+TOST_SEG_A = "BUILDING"
+TOST_SEG_B = "MACHINERY"
+TOST_MARGIN_FRAC = 0.05  # equivalence margin: ±5% of the pooled mean
+TOST_Z_90 = 1.644854  # one-sided 5% normal
+
+
+@query(
+    "q_tost_equivalence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS seg, o.o_totalprice / 1000.0 AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{TOST_SEG_A}', '{TOST_SEG_B}')
+    ),
+    g AS (
+      SELECT seg, count(*) AS n, avg(y) AS m,
+             (sum(y * y) - count(*) * avg(y) * avg(y)) / (count(*) - 1) AS s2
+      FROM obs GROUP BY seg
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN seg = '{TOST_SEG_A}' THEN n END) AS n1,
+        max(CASE WHEN seg = '{TOST_SEG_A}' THEN m END) AS m1,
+        max(CASE WHEN seg = '{TOST_SEG_A}' THEN s2 END) AS s21,
+        max(CASE WHEN seg = '{TOST_SEG_B}' THEN n END) AS n2,
+        max(CASE WHEN seg = '{TOST_SEG_B}' THEN m END) AS m2,
+        max(CASE WHEN seg = '{TOST_SEG_B}' THEN s2 END) AS s22
+      FROM g
+    ),
+    t AS (
+      SELECT n1, n2, m1 - m2 AS d,
+             sqrt(s21 / n1 + s22 / n2) AS se,
+             {TOST_MARGIN_FRAC} * (n1 * m1 + n2 * m2) / (n1 + n2) AS delta
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           round(d, 6) AS mean_diff,
+           round(delta, 6) AS margin,
+           round((d + delta) / se, 6) AS t_lower,
+           round((delta - d) / se, 6) AS t_upper,
+           least((d + delta) / se, (delta - d) / se) > {TOST_Z_90} AS equivalent
+    FROM t
+    """,
+    tags=("stats", "experimentation"),
+)
+def tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test between the BUILDING and MACHINERY
+    segments' mean order values: two one-sided z-tests against the ±5%-
+    of-pooled-mean margin — `equivalent` is TRUE only when BOTH
+    one-sided statistics clear 1.645, i.e. the data actively RULES OUT
+    a difference larger than the margin. The inference mode every A/A
+    test, parity migration, and "no regression" claim actually needs:
+    q_welch_ttest failing to reject proves nothing; TOST proves
+    sameness.
+
+    Scale: one pushed-down two-segment scan, per-group moments, closed
+    forms — the q_welch_ttest shape with the margin arithmetic on top.
+    Rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    obs = (
+        orders.join(
+            F.broadcast(
+                cust.select("c_custkey", "c_mktsegment").filter(
+                    F.col("c_mktsegment").isin(TOST_SEG_A, TOST_SEG_B)
+                )
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(F.col("c_mktsegment").alias("seg"), (F.col("o_totalprice") / 1000.0).alias("y"))
+    )
+    g = obs.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("m"),
+        (
+            (F.sum(F.col("y") * F.col("y")) - F.count(F.lit(1)) * F.avg("y") * F.avg("y"))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("s2"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("seg") == TOST_SEG_A, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("seg") == TOST_SEG_A, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("seg") == TOST_SEG_A, F.col("s2"))).alias("s21"),
+        F.max(F.when(F.col("seg") == TOST_SEG_B, F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("seg") == TOST_SEG_B, F.col("m"))).alias("m2"),
+        F.max(F.when(F.col("seg") == TOST_SEG_B, F.col("s2"))).alias("s22"),
+    )
+    t = w.select(
+        "n1",
+        "n2",
+        (F.col("m1") - F.col("m2")).alias("d"),
+        F.sqrt(F.col("s21") / F.col("n1") + F.col("s22") / F.col("n2")).alias("se"),
+        (
+            TOST_MARGIN_FRAC
+            * (F.col("n1") * F.col("m1") + F.col("n2") * F.col("m2"))
+            / (F.col("n1") + F.col("n2"))
+        ).alias("delta"),
+    )
+    tl = (F.col("d") + F.col("delta")) / F.col("se")
+    tu = (F.col("delta") - F.col("d")) / F.col("se")
+    return t.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.round(F.col("d"), 6).alias("mean_diff"),
+        F.round(F.col("delta"), 6).alias("margin"),
+        F.round(tl, 6).alias("t_lower"),
+        F.round(tu, 6).alias("t_upper"),
+        (F.least(tl, tu) > TOST_Z_90).alias("equivalent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_beta_binomial_ab — Bayesian conversion posteriors per region
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_beta_binomial_ab",
+    oracle=f"""
+    WITH obs AS (
+      SELECT r.r_name AS region,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS conv
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    g AS (
+      SELECT region, count(*) AS n, sum(conv) AS s FROM obs GROUP BY region
+    ),
+    pool AS (
+      SELECT sum(n) AS n, sum(s) AS s FROM g
+    ),
+    post AS (
+      SELECT g.region, g.n, g.s,
+             (1.0 + g.s) / (2.0 + g.n) AS mu,
+             (1.0 + g.s) * (1.0 + g.n - g.s)
+               / ((2.0 + g.n) * (2.0 + g.n) * (3.0 + g.n)) AS var_r,
+             (1.0 + pool.s) / (2.0 + pool.n) AS mu_p,
+             (1.0 + pool.s) * (1.0 + pool.n - pool.s)
+               / ((2.0 + pool.n) * (2.0 + pool.n) * (3.0 + pool.n)) AS var_p
+      FROM g CROSS JOIN pool
+    ),
+    z AS (
+      SELECT region, n, s, mu, var_r, mu_p,
+             (mu - mu_p) / sqrt(var_r + var_p) AS zst
+      FROM post
+    )
+    SELECT region,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(s AS BIGINT) AS n_conv,
+           round(mu, 6) AS post_mean,
+           round(sqrt(var_r), 6) AS post_sd,
+           round({_norm_cdf_sql('zst')}, 6) AS p_beats_pooled
+    FROM z ORDER BY region
+    """,
+    tags=("stats", "experimentation", "analytics"),
+)
+def beta_binomial_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian conversion analysis per region under a Beta(1,1) prior:
+    exact posterior mean (1+s)/(2+n) and variance for each region's
+    urgent-order rate, and the probability the region beats the pooled
+    rate via the normal approximation to the difference of Beta
+    posteriors through the shared A&S CDF — the decision-ready Bayesian
+    reading (P(better) is directly actionable) beside the frequentist
+    battery (q_two_proportion_ztest answers a different question with a
+    p-value).
+
+    Scale: one dim-chain aggregate to 5 (n, s) integer pairs + a
+    broadcast pooled row; posterior moments are closed forms of exact
+    integers, rounded at 6."""
+    from bigdatainfinance1_spark.operators.stats_advanced import _norm_cdf_col
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    obs = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+    )
+    g = obs.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("s")
+    )
+    pool = g.agg(F.sum("n").alias("np"), F.sum("s").alias("sp"))
+    post = g.crossJoin(F.broadcast(pool)).select(
+        "region",
+        "n",
+        "s",
+        ((1.0 + F.col("s")) / (2.0 + F.col("n"))).alias("mu"),
+        (
+            (1.0 + F.col("s"))
+            * (1.0 + F.col("n") - F.col("s"))
+            / ((2.0 + F.col("n")) * (2.0 + F.col("n")) * (3.0 + F.col("n")))
+        ).alias("var_r"),
+        ((1.0 + F.col("sp")) / (2.0 + F.col("np"))).alias("mu_p"),
+        (
+            (1.0 + F.col("sp"))
+            * (1.0 + F.col("np") - F.col("sp"))
+            / ((2.0 + F.col("np")) * (2.0 + F.col("np")) * (3.0 + F.col("np")))
+        ).alias("var_p"),
+    )
+    zst = (F.col("mu") - F.col("mu_p")) / F.sqrt(F.col("var_r") + F.col("var_p"))
+    return post.select(
+        "region",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("long").alias("n_conv"),
+        F.round(F.col("mu"), 6).alias("post_mean"),
+        F.round(F.sqrt(F.col("var_r")), 6).alias("post_sd"),
+        F.round(_norm_cdf_col(zst), 6).alias("p_beats_pooled"),
+    ).orderBy("region")

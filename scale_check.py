@@ -282,6 +282,8 @@ QUERIES = [
     "q_process_capability",
     "q_fd_discovery",
     "q_inclusion_dependencies",
+    "q_tost_equivalence",
+    "q_beta_binomial_ab",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

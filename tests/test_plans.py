@@ -1047,3 +1047,14 @@ def test_schema_profiling_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     rows = SPECS["q_fd_discovery"].fn(spark, SF_DIR).collect()
     assert {r.holds for r in rows} == {True, False}
+
+
+def test_equivalence_bayes_wave_plans(spark):
+    """TOST / Beta-Binomial: pushed-down scans, group moments, closed
+    forms; no cartesian on corpus relations, no Python eval."""
+    for name in ("q_tost_equivalence", "q_beta_binomial_ab"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = formatted(SPECS["q_tost_equivalence"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan and "c_mktsegment" in plan
