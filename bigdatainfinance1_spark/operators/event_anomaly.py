@@ -814,3 +814,223 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_seasonal_mann_kendall — trend test robust to the seasonal cycle
+# ---------------------------------------------------------------------------
+
+SMK_Z95 = 1.959964
+
+
+@query(
+    "q_seasonal_mann_kendall",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+      FROM orders GROUP BY mi
+    ),
+    s AS (
+      SELECT a.mi % 12 AS moy,
+             sum(CASE WHEN b.z > a.z THEN 1 WHEN b.z < a.z THEN -1 ELSE 0 END) AS sm,
+             count(DISTINCT a.mi) AS nm_pairs
+      FROM m a JOIN m b ON b.mi > a.mi AND b.mi % 12 = a.mi % 12
+      GROUP BY a.mi % 12
+    ),
+    nm AS (
+      SELECT mi % 12 AS moy, count(*) AS n FROM m GROUP BY mi % 12
+    ),
+    stat AS (
+      SELECT sum(s.sm) AS s_total,
+             sum(nm.n * (nm.n - 1.0) * (2 * nm.n + 5) / 18.0) AS var_total,
+             count(*) AS k_seasons
+      FROM s JOIN nm ON nm.moy = s.moy
+    )
+    SELECT CAST(k_seasons AS BIGINT) AS k_seasons,
+           CAST(s_total AS BIGINT) AS s,
+           round(var_total, 6) AS var_s,
+           round(CASE WHEN s_total > 0 THEN (s_total - 1) / sqrt(var_total)
+                      WHEN s_total < 0 THEN (s_total + 1) / sqrt(var_total)
+                      ELSE 0.0 END, 6) AS z_stat,
+           CASE WHEN s_total > 0 AND (s_total - 1) / sqrt(var_total) > {SMK_Z95}
+                THEN 'increasing'
+                WHEN s_total < 0 AND (s_total + 1) / sqrt(var_total) < -{SMK_Z95}
+                THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM stat
+    """,
+    tags=("stats", "timeseries"),
+)
+def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test: the sign statistic S computed
+    WITHIN each month-of-year season (January vs later Januaries only,
+    never January vs July) and summed with the per-season variances —
+    the Hirsch-Slack test that keeps q_mann_kendall's distribution-free
+    trend call from being confounded by the seasonal cycle itself (a
+    pure seasonal pattern scores S ≈ 0 here while inflating the plain
+    MK pair count).
+
+    Scale: monthly aggregate, a season-restricted pair join (12 groups
+    of ≤7 observations → ~250 pairs, calendar-bounded), per-season
+    closed-form variances, one sum. S is an exact integer; ties are
+    impossible at 6-dp revenue, and the tie term is retained as zero by
+    construction. Rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z"))
+    a = m.select((F.col("mi") % 12).alias("moy"), F.col("mi").alias("ma"), F.col("z").alias("za"))
+    b = m.select((F.col("mi") % 12).alias("moy"), F.col("mi").alias("mb"), F.col("z").alias("zb"))
+    s = (
+        a.join(F.broadcast(b), "moy")
+        .filter(F.col("mb") > F.col("ma"))
+        .groupBy("moy")
+        .agg(
+            F.sum(
+                F.when(F.col("zb") > F.col("za"), 1)
+                .when(F.col("zb") < F.col("za"), -1)
+                .otherwise(0)
+            ).alias("sm")
+        )
+    )
+    nm = m.groupBy((F.col("mi") % 12).alias("moy")).agg(F.count(F.lit(1)).alias("n"))
+    stat = s.join(nm, "moy").agg(
+        F.sum("sm").alias("s_total"),
+        F.sum(F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) / 18.0).alias(
+            "var_total"
+        ),
+        F.count(F.lit(1)).alias("k_seasons"),
+    )
+    zc = (
+        F.when(F.col("s_total") > 0, (F.col("s_total") - 1) / F.sqrt(F.col("var_total")))
+        .when(F.col("s_total") < 0, (F.col("s_total") + 1) / F.sqrt(F.col("var_total")))
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        F.col("k_seasons").cast("long").alias("k_seasons"),
+        F.col("s_total").cast("long").alias("s"),
+        F.round(F.col("var_total"), 6).alias("var_s"),
+        F.round(zc, 6).alias("z_stat"),
+        F.when((F.col("s_total") > 0) & (zc > SMK_Z95), F.lit("increasing"))
+        .when((F.col("s_total") < 0) & (zc < -SMK_Z95), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend"))
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_binary_segmentation — locate the best single changepoint
+# ---------------------------------------------------------------------------
+
+BSEG_MIN_SEG = 6  # minimum months on each side of a candidate split
+
+
+@query(
+    "q_binary_segmentation",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    tot AS (
+      SELECT count(*) AS n, sum(z) AS sz, sum(z * z) AS szz FROM idx
+    ),
+    pre AS (
+      SELECT a.i AS t,
+             sum(b.z) AS psz, sum(b.z * b.z) AS pszz, count(*) AS pn
+      FROM idx a JOIN idx b ON b.i <= a.i
+      GROUP BY a.i
+    ),
+    cand AS (
+      SELECT pre.t, tot.n,
+             (tot.szz - tot.sz * tot.sz / tot.n)
+             - ((pre.pszz - pre.psz * pre.psz / pre.pn)
+                + ((tot.szz - pre.pszz)
+                   - (tot.sz - pre.psz) * (tot.sz - pre.psz) / (tot.n - pre.pn)))
+               AS gain
+      FROM pre CROSS JOIN tot
+      WHERE pre.t >= {BSEG_MIN_SEG} AND pre.t <= tot.n - {BSEG_MIN_SEG}
+    ),
+    best AS (
+      SELECT t, n, round(gain, 8) AS gain FROM cand
+      ORDER BY round(gain, 8) DESC, t LIMIT 1
+    ),
+    named AS (
+      SELECT best.t, best.n, best.gain, idx.mi AS break_mi
+      FROM best JOIN idx ON idx.i = best.t
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(t AS BIGINT) AS break_index,
+           CAST(break_mi AS BIGINT) AS break_mi,
+           round(gain, 6) AS ssr_gain
+    FROM named
+    """,
+    tags=("timeseries", "stats", "quality"),
+)
+def binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation, one level: scan every admissible split t of
+    the monthly series and pick the one maximizing the SSR decrease
+    SSR_total − (SSR_left + SSR_right) under a mean-shift model — the
+    changepoint LOCATOR that complements the detectors (q_cusum
+    _changepoint flags drift online, q_chow_test tests a KNOWN split;
+    this finds the split). Each candidate's left/right SSRs are closed
+    forms of the prefix sums, so the whole scan is O(months) closed
+    forms, not O(months) regressions.
+
+    Scale: monthly aggregate, a triangular prefix join over the ~80-row
+    broadcast relation, per-candidate closed forms, one top-1
+    TakeOrdered with (rounded gain DESC, index) tie-break —
+    calendar-bounded. The gain rounds at 8 before the argmax so both
+    engines pick the identical split; rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    tot = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    b = idx.select(F.col("i").alias("j"), F.col("z").alias("zj"))
+    pre = (
+        idx.select("i")
+        .join(F.broadcast(b), F.col("j") <= F.col("i"))
+        .groupBy(F.col("i").alias("t"))
+        .agg(
+            F.sum("zj").alias("psz"),
+            F.sum(F.col("zj") * F.col("zj")).alias("pszz"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("t") >= BSEG_MIN_SEG) & (F.col("t") <= F.col("n") - BSEG_MIN_SEG)
+        )
+        .select(
+            "t",
+            "n",
+            (
+                (F.col("szz") - F.col("sz") * F.col("sz") / F.col("n"))
+                - (
+                    (F.col("pszz") - F.col("psz") * F.col("psz") / F.col("pn"))
+                    + (
+                        (F.col("szz") - F.col("pszz"))
+                        - (F.col("sz") - F.col("psz"))
+                        * (F.col("sz") - F.col("psz"))
+                        / (F.col("n") - F.col("pn"))
+                    )
+                )
+            ).alias("gain"),
+        )
+    )
+    best = (
+        cand.select("t", "n", F.round(F.col("gain"), 8).alias("gain"))
+        .orderBy(F.col("gain").desc(), F.col("t"))
+        .limit(1)
+    )
+    named = best.join(
+        F.broadcast(idx.select(F.col("i").alias("t"), F.col("mi").alias("break_mi"))),
+        "t",
+    )
+    return named.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.col("t").cast("long").alias("break_index"),
+        F.col("break_mi").cast("long").alias("break_mi"),
+        F.round(F.col("gain"), 6).alias("ssr_gain"),
+    )

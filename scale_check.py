@@ -284,6 +284,8 @@ QUERIES = [
     "q_inclusion_dependencies",
     "q_tost_equivalence",
     "q_beta_binomial_ab",
+    "q_seasonal_mann_kendall",
+    "q_binary_segmentation",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -1058,3 +1058,15 @@ def test_equivalence_bayes_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = formatted(SPECS["q_tost_equivalence"].fn(spark, SF_DIR))
     assert "PushedFilters" in plan and "c_mktsegment" in plan
+
+
+def test_seasonal_trend_changepoint_plans(spark):
+    """Seasonal MK / binary segmentation: season-restricted pair joins
+    and triangular prefix joins over broadcast calendar relations; no
+    cartesian on corpus inputs, no Python eval."""
+    for name in ("q_seasonal_mann_kendall", "q_binary_segmentation"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_binary_segmentation"].fn(spark, SF_DIR))
+    assert "TakeOrdered" in plan
