@@ -1034,3 +1034,315 @@ def binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("break_mi").cast("long").alias("break_mi"),
         F.round(F.col("gain"), 6).alias("ssr_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_atkinson_index — welfare-weighted inequality per market segment
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_atkinson_index",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_mktsegment AS segment, sum(o.o_totalprice) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey, c.c_mktsegment
+    ),
+    g AS (
+      SELECT segment, count(*) AS n, avg(y) AS mean_y,
+             exp(avg(ln(y))) AS geo_y,
+             count(*) / sum(1.0 / y) AS harm_y
+      FROM cust GROUP BY segment
+    )
+    SELECT segment,
+           CAST(n AS BIGINT) AS n_customers,
+           round(mean_y, 2) AS mean_spend,
+           round(1.0 - geo_y / mean_y, 6) AS atkinson_e1,
+           round(1.0 - harm_y / mean_y, 6) AS atkinson_e2
+    FROM g ORDER BY segment
+    """,
+    tags=("analytics", "stats", "finance"),
+)
+def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality of customer spend per market segment at two
+    aversion levels: A(ε=1) = 1 − geometric/arithmetic mean and A(ε=2) =
+    1 − harmonic/arithmetic mean — the welfare-founded inequality family
+    (each index answers "what fraction of total spend could be discarded
+    if it were distributed equally, at this inequality aversion"), the
+    normative complement to the descriptive q_gini_revenue /
+    q_theil_decomposition / q_lorenz_curve stack. ε=2 weights the poor
+    tail harder, so A(ε=2) ≥ A(ε=1) everywhere — a built-in sanity
+    ordering.
+
+    Scale: one customer-grain aggregate, one per-segment moment pass
+    (ln/reciprocal sums are map-side combinable), closed forms on 5
+    rows. Spend > 0 by construction. Rounded at 2/6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    cust = (
+        orders.join(
+            F.broadcast(cu.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("segment"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    g = cust.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mean_y"),
+        F.exp(F.avg(F.log("y"))).alias("geo_y"),
+        (F.count(F.lit(1)) / F.sum(1.0 / F.col("y"))).alias("harm_y"),
+    )
+    return g.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("mean_y"), 2).alias("mean_spend"),
+        F.round(1.0 - F.col("geo_y") / F.col("mean_y"), 6).alias("atkinson_e1"),
+        F.round(1.0 - F.col("harm_y") / F.col("mean_y"), 6).alias("atkinson_e2"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# q_partial_correlation — revenue vs quantity with the trend partialled out
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_partial_correlation",
+    oracle=f"""
+    WITH {_MONTHLY_SQL},
+    xm AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) * 12 + month(l_shipdate) AS mi,
+             round(sum(l_quantity) / 1000.0, 6) AS x
+      FROM lineitem GROUP BY mi
+    ),
+    p AS (
+      SELECT idx.i * 1.0 AS t, idx.z AS y, xm.x
+      FROM idx JOIN xm ON xm.mi = idx.mi
+    ),
+    mom AS (
+      SELECT count(*) AS n,
+             sum(y) AS sy, sum(x) AS sx, sum(t) AS st,
+             sum(y * y) AS syy, sum(x * x) AS sxx, sum(t * t) AS stt,
+             sum(x * y) AS sxy, sum(t * y) AS sty, sum(t * x) AS stx
+      FROM p
+    ),
+    r AS (
+      SELECT n,
+             (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+             (n * sty - st * sy) / sqrt((n * stt - st * st) * (n * syy - sy * sy)) AS rty,
+             (n * stx - st * sx) / sqrt((n * stt - st * st) * (n * sxx - sx * sx)) AS rtx
+      FROM mom
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round(rxy, 6) AS r_raw,
+           round(rty, 6) AS r_trend_y,
+           round(rtx, 6) AS r_trend_x,
+           round((rxy - rtx * rty) / sqrt((1.0 - rtx * rtx) * (1.0 - rty * rty)), 6)
+             AS r_partial
+    FROM r
+    """,
+    tags=("stats", "timeseries"),
+)
+def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation between monthly revenue and
+    shipped quantity CONTROLLING for the time index: r_xy·t =
+    (r_xy − r_xt·r_yt)/√((1−r_xt²)(1−r_yt²)) — the one-line answer to
+    "do these two series actually co-move, or do they merely share a
+    trend?", which the raw correlation (and q_rolling_corr) cannot
+    distinguish and spurious-regression folklore exists to warn about
+    (q_engle_granger is the unit-root-rigorous version of the same
+    question).
+
+    Scale: two monthly aggregates, one month equi-join, one 10-moment
+    pass, closed forms — calendar-bounded, rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    xm = li.groupBy(
+        (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi")
+    ).agg(F.round(F.sum("l_quantity") / 1000.0, 6).alias("x"))
+    p = idx.join(xm, "mi").select(
+        (F.col("i") * 1.0).alias("t"), F.col("z").alias("y"), "x"
+    )
+    mom = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("x").alias("sx"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("x")).alias("stx"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)) / F.sqrt(
+            (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa))
+            * (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    r = mom.select(
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sty", "st", "sy", "stt", "syy").alias("rty"),
+        corr("stx", "st", "sx", "stt", "sxx").alias("rtx"),
+    )
+    return r.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(F.col("rxy"), 6).alias("r_raw"),
+        F.round(F.col("rty"), 6).alias("r_trend_y"),
+        F.round(F.col("rtx"), 6).alias("r_trend_x"),
+        F.round(
+            (F.col("rxy") - F.col("rtx") * F.col("rty"))
+            / F.sqrt(
+                (1.0 - F.col("rtx") * F.col("rtx"))
+                * (1.0 - F.col("rty") * F.col("rty"))
+            ),
+            6,
+        ).alias("r_partial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_mincer_zarnowitz — forecast rationality (unbiasedness) regression
+# ---------------------------------------------------------------------------
+
+MZ_TEST_MONTHS = 12
+MZ_F_2_10_95 = 4.102821  # F(2, 10) 5%
+
+
+@query(
+    "q_mincer_zarnowitz",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+      FROM orders GROUP BY mi
+    ),
+    anchor AS (SELECT max(mi) - {MZ_TEST_MONTHS} AS cut FROM m),
+    hist AS (SELECT m.mi, m.mi % 12 AS moy, m.z FROM m CROSS JOIN anchor
+             WHERE m.mi <= anchor.cut),
+    test AS (SELECT m.mi, m.mi % 12 AS moy, m.z AS y FROM m CROSS JOIN anchor
+             WHERE m.mi > anchor.cut),
+    ranked AS (
+      SELECT moy, z, row_number() OVER (PARTITION BY moy ORDER BY z, mi) AS rn,
+             count(*) OVER (PARTITION BY moy) AS n
+      FROM hist
+    ),
+    fc AS (
+      SELECT moy,
+             min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN z END) AS f
+      FROM ranked GROUP BY moy
+    ),
+    obs AS (
+      SELECT test.y, fc.f FROM test JOIN fc ON fc.moy = test.moy
+    ),
+    mm AS (
+      SELECT count(*) AS n, sum(f) AS sf, sum(y) AS sy,
+             sum(f * f) AS sff, sum(f * y) AS sfy, sum(y * y) AS syy,
+             sum((y - f) * (y - f)) AS ssr_r
+      FROM obs
+    ),
+    fit AS (
+      SELECT n, ssr_r,
+             (n * sfy - sf * sy) / (n * sff - sf * sf) AS beta,
+             (sy - (n * sfy - sf * sy) / (n * sff - sf * sf) * sf) / n AS alpha,
+             ((n * syy - sy * sy)
+              - ((n * sfy - sf * sy) / (n * sff - sf * sf)) * (n * sfy - sf * sy)) / n
+               AS ssr_u
+      FROM mm
+    )
+    SELECT CAST(n AS BIGINT) AS n_test,
+           round(alpha, 6) AS alpha,
+           round(beta, 6) AS beta,
+           round(ssr_r, 6) AS ssr_restricted,
+           round(ssr_u, 6) AS ssr_unrestricted,
+           round(((ssr_r - ssr_u) / 2.0) / (ssr_u / (n - 2)), 6) AS f_stat,
+           CASE WHEN ((ssr_r - ssr_u) / 2.0) / (ssr_u / (n - 2)) > {MZ_F_2_10_95}
+                THEN 'biased' ELSE 'rational' END AS verdict
+    FROM fit
+    """,
+    tags=("timeseries", "ml", "eval", "stats"),
+)
+def mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mincer-Zarnowitz forecast-rationality regression on the
+    seasonal-median forecaster's 12-month holdout: regress actuals on
+    forecasts and jointly test (α, β) = (0, 1) with F = [(SSR₀ −
+    SSR)/2]/[SSR/(n−2)], SSR₀ = Σ(y−f)² — the inference layer of
+    forecast evaluation: q_pinball_loss prices the errors, this asks
+    whether the forecaster is systematically BIASED (α≠0) or
+    mis-scaled (β≠1) and therefore fixable by a linear recalibration.
+
+    Scale: shares q_pinball_loss's machinery (monthly aggregate,
+    moy-partitioned median ranks, holdout join) + one 7-moment closed
+    form — calendar-bounded, rounded at 6."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z"))
+    anchor = m.agg((F.max("mi") - MZ_TEST_MONTHS).alias("cut"))
+    mm_ = m.crossJoin(F.broadcast(anchor))
+    hist = mm_.filter(F.col("mi") <= F.col("cut")).select(
+        "mi", (F.col("mi") % 12).alias("moy"), "z"
+    )
+    test = mm_.filter(F.col("mi") > F.col("cut")).select(
+        (F.col("mi") % 12).alias("moy"), F.col("z").alias("y")
+    )
+    w = Window.partitionBy("moy").orderBy("z", "mi")
+    wn = Window.partitionBy("moy")
+    ranked = hist.select(
+        "moy",
+        "z",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    fc = ranked.groupBy("moy").agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("z"))
+        ).alias("f")
+    )
+    obs = test.join(F.broadcast(fc), "moy").select("y", "f")
+    mm = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f").alias("sf"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("f") * F.col("f")).alias("sff"),
+        F.sum(F.col("f") * F.col("y")).alias("sfy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum((F.col("y") - F.col("f")) * (F.col("y") - F.col("f"))).alias("ssr_r"),
+    )
+    beta = (F.col("n") * F.col("sfy") - F.col("sf") * F.col("sy")) / (
+        F.col("n") * F.col("sff") - F.col("sf") * F.col("sf")
+    )
+    fit = mm.select(
+        "n",
+        "ssr_r",
+        beta.alias("beta"),
+        ((F.col("sy") - beta * F.col("sf")) / F.col("n")).alias("alpha"),
+        (
+            (
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                - beta * (F.col("n") * F.col("sfy") - F.col("sf") * F.col("sy"))
+            )
+            / F.col("n")
+        ).alias("ssr_u"),
+    )
+    fstat = ((F.col("ssr_r") - F.col("ssr_u")) / 2.0) / (
+        F.col("ssr_u") / (F.col("n") - 2)
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_test"),
+        F.round(F.col("alpha"), 6).alias("alpha"),
+        F.round(F.col("beta"), 6).alias("beta"),
+        F.round(F.col("ssr_r"), 6).alias("ssr_restricted"),
+        F.round(F.col("ssr_u"), 6).alias("ssr_unrestricted"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.when(fstat > MZ_F_2_10_95, F.lit("biased"))
+        .otherwise(F.lit("rational"))
+        .alias("verdict"),
+    )

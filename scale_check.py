@@ -286,6 +286,9 @@ QUERIES = [
     "q_beta_binomial_ab",
     "q_seasonal_mann_kendall",
     "q_binary_segmentation",
+    "q_atkinson_index",
+    "q_partial_correlation",
+    "q_mincer_zarnowitz",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -1070,3 +1070,15 @@ def test_seasonal_trend_changepoint_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = plan_of(SPECS["q_binary_segmentation"].fn(spark, SF_DIR))
     assert "TakeOrdered" in plan
+
+
+def test_welfare_partial_mz_plans(spark):
+    """Atkinson / partial correlation / Mincer-Zarnowitz: aggregates +
+    closed forms; Atkinson's aversion ordering A(e2) >= A(e1) holds."""
+    for name in ("q_atkinson_index", "q_partial_correlation", "q_mincer_zarnowitz"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    rows = SPECS["q_atkinson_index"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.atkinson_e2 >= r.atkinson_e1 - 1e-9, r
