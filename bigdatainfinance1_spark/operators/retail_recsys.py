@@ -971,3 +971,238 @@ def bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("q_hat"),
         F.round(F.log(q / p) / (p + q), 2).alias("peak_month"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gibrat_law — is customer growth independent of size?
+# ---------------------------------------------------------------------------
+
+GIBRAT_Y1 = 1999
+GIBRAT_Y2 = 2000
+GIBRAT_Z95 = 1.959964
+
+
+@query(
+    "q_gibrat_law",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             sum(CASE WHEN year(o_orderdate) = {GIBRAT_Y1} THEN o_totalprice END) AS s1,
+             sum(CASE WHEN year(o_orderdate) = {GIBRAT_Y2} THEN o_totalprice END) AS s2
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{GIBRAT_Y1}-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '{GIBRAT_Y2 + 1}-01-01 00:00:00'
+      GROUP BY o_custkey
+    ),
+    obs AS (
+      SELECT round(ln(s1), 8) AS x, round(ln(s2 / s1), 8) AS y
+      FROM spend WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+    ),
+    mm AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM obs
+    ),
+    fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
+             ((n * syy - sy * sy)
+              - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (n * sxy - sx * sy)) / n
+               AS ssr,
+             (n * sxx - sx * sx) / n AS sxx_dev
+      FROM mm
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(beta, 6) AS beta_size,
+           round(beta / sqrt((ssr / (n - 2)) / sxx_dev), 6) AS t_stat,
+           CASE WHEN abs(beta / sqrt((ssr / (n - 2)) / sxx_dev)) > {GIBRAT_Z95}
+                THEN 'size_dependent_growth' ELSE 'gibrat_holds' END AS verdict
+    FROM fit
+    """,
+    tags=("analytics", "stats", "finance"),
+)
+def gibrat_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gibrat's law test on customer spend: regress log growth
+    ln(s₂/s₁) on log size ln(s₁) across customers active in both years —
+    β = 0 means growth is independent of size (Gibrat holds and the
+    size distribution drifts lognormal, the q_heaps_law/q_zipf_terms
+    cousin for firm dynamics); β < 0 is the mean-reversion-of-size
+    signature. Customers present in only one year drop out (entry/exit
+    is the regression's documented censoring).
+
+    Scale: one two-year pushed-down aggregate at customer grain, one
+    6-moment closed-form OLS with t — fact-scan bounded. Logs round at
+    8; rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{GIBRAT_Y1}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{GIBRAT_Y2 + 1}-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.year("o_orderdate") == GIBRAT_Y1, F.col("o_totalprice"))
+            ).alias("s1"),
+            F.sum(
+                F.when(F.year("o_orderdate") == GIBRAT_Y2, F.col("o_totalprice"))
+            ).alias("s2"),
+        )
+    )
+    obs = spend.filter(F.col("s1").isNotNull() & F.col("s2").isNotNull()).select(
+        F.round(F.log("s1"), 8).alias("x"),
+        F.round(F.log(F.col("s2") / F.col("s1")), 8).alias("y"),
+    )
+    mm = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = mm.select(
+        "n",
+        beta.alias("beta"),
+        (
+            (
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                - beta * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / F.col("n")
+        ).alias("ssr"),
+        ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / F.col("n")).alias(
+            "sxx_dev"
+        ),
+    )
+    t = F.col("beta") / F.sqrt((F.col("ssr") / (F.col("n") - 2)) / F.col("sxx_dev"))
+    return fit.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("beta"), 6).alias("beta_size"),
+        F.round(t, 6).alias("t_stat"),
+        F.when(F.abs(t) > GIBRAT_Z95, F.lit("size_dependent_growth"))
+        .otherwise(F.lit("gibrat_holds"))
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_taylor_power_law — demand variance-vs-mean scaling across brands
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_taylor_power_law",
+    oracle="""
+    WITH dem AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(l.l_shipdate) AS BIGINT) * 12 + month(l.l_shipdate) AS mi,
+             CAST(sum(l.l_quantity) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY brand, mi
+    ),
+    g AS (
+      SELECT brand, count(*) AS n, avg(d) AS m,
+             (sum(d * 1.0 * d) - count(*) * avg(d) * avg(d)) / (count(*) - 1) AS v
+      FROM dem GROUP BY brand
+    ),
+    obs AS (
+      SELECT round(ln(m), 8) AS x, round(ln(v), 8) AS y FROM g
+    ),
+    mm AS (
+      SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM obs
+    ),
+    fit AS (
+      SELECT k,
+             (k * sxy - sx * sy) / (k * sxx - sx * sx) AS b,
+             (sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k AS a,
+             (k * sxy - sx * sy) * (k * sxy - sx * sy)
+               / ((k * sxx - sx * sx) * (k * syy - sy * sy)) AS r2
+      FROM mm
+    )
+    SELECT CAST(k AS BIGINT) AS n_brands,
+           round(b, 6) AS taylor_exponent,
+           round(exp(a), 6) AS taylor_coef,
+           round(r2, 6) AS r_squared,
+           CASE WHEN b < 1.0 THEN 'sub_poisson'
+                WHEN b <= 2.0 THEN 'poisson_to_clustered'
+                ELSE 'super_clustered' END AS regime
+    FROM fit
+    """,
+    tags=("analytics", "stats", "timeseries"),
+)
+def taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law across brands: fit Var(demand) = a·Mean(demand)^b
+    on the log-log scatter of per-brand monthly demand moments — the
+    variance-scaling exponent b is THE demand-aggregation planning
+    number (b≈1 Poisson-like, 1<b≤2 clustered — safety stock scales as
+    mean^(b/2), so q_newsvendor's fractiles tighten or widen with it);
+    the classic empirical law across ecology, trading volume, and
+    retail demand.
+
+    Scale: one fact-dim broadcast aggregate to the brand-month panel,
+    per-brand moments, then a 25-point log-log closed-form OLS. Demands
+    are exact BIGINTs; logs round at 8; rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dem = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("d"))
+    )
+    g = dem.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("d").alias("m"),
+        (
+            (F.sum(F.col("d") * 1.0 * F.col("d")) - F.count(F.lit(1)) * F.avg("d") * F.avg("d"))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("v"),
+    )
+    obs = g.select(
+        F.round(F.log("m"), 8).alias("x"), F.round(F.log("v"), 8).alias("y")
+    )
+    mm = obs.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    b = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = mm.select(
+        "k",
+        b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / F.col("k")).alias("a"),
+        (
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )
+    return fit.select(
+        F.col("k").cast("long").alias("n_brands"),
+        F.round(F.col("b"), 6).alias("taylor_exponent"),
+        F.round(F.exp(F.col("a")), 6).alias("taylor_coef"),
+        F.round(F.col("r2"), 6).alias("r_squared"),
+        F.when(F.col("b") < 1.0, F.lit("sub_poisson"))
+        .when(F.col("b") <= 2.0, F.lit("poisson_to_clustered"))
+        .otherwise(F.lit("super_clustered"))
+        .alias("regime"),
+    )

@@ -289,6 +289,8 @@ QUERIES = [
     "q_atkinson_index",
     "q_partial_correlation",
     "q_mincer_zarnowitz",
+    "q_gibrat_law",
+    "q_taylor_power_law",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -1082,3 +1082,14 @@ def test_welfare_partial_mz_plans(spark):
     rows = SPECS["q_atkinson_index"].fn(spark, SF_DIR).collect()
     for r in rows:
         assert r.atkinson_e2 >= r.atkinson_e1 - 1e-9, r
+
+
+def test_scaling_laws_wave_plans(spark):
+    """Gibrat / Taylor: pushed-down aggregates + closed-form log-log OLS;
+    no cartesian on corpus relations, no Python eval."""
+    for name in ("q_gibrat_law", "q_taylor_power_law"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = formatted(SPECS["q_gibrat_law"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan and "o_orderdate" in plan
