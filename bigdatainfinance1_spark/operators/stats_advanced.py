@@ -1280,436 +1280,3 @@ def survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rmst, 4).alias("rmst_days"),
         (F.round(rmst, 4) / RMST_TAU).alias("rmst_frac"),
     )
-
-
-# ---------------------------------------------------------------------------
-# q_kruskal_wallis — nonparametric k-group ANOVA per month across regions
-# ---------------------------------------------------------------------------
-
-KW_CHI2_4_95 = 9.487729  # chi-square 4 df, 5%
-
-
-@query(
-    "q_kruskal_wallis",
-    oracle=f"""
-    WITH obs AS (
-      SELECT CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
-             r.r_name AS rg, round(o.o_totalprice, 2) AS v
-      FROM orders o
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN nation n ON c.c_nationkey = n.n_nationkey
-      JOIN region r ON n.n_regionkey = r.r_regionkey
-    ),
-    ranked AS (
-      SELECT mi, rg,
-             rank() OVER (PARTITION BY mi ORDER BY v)
-               + (count(*) OVER (PARTITION BY mi, v) - 1) / 2e0 AS midrank,
-             CAST(count(*) OVER (PARTITION BY mi, v) AS BIGINT) AS tie_c
-      FROM obs
-    ),
-    grp AS (
-      SELECT mi, rg, count(*) AS nj, sum(midrank) AS rj
-      FROM ranked GROUP BY mi, rg
-    ),
-    ties AS (
-      SELECT mi, sum(t * t * t - t) AS tie_term FROM (
-        SELECT mi, v, CAST(count(*) AS BIGINT) AS t FROM obs GROUP BY mi, v
-      ) GROUP BY mi
-    ),
-    hstat AS (
-      SELECT grp.mi, CAST(sum(grp.nj) AS BIGINT) AS n,
-             CAST(count(*) AS BIGINT) AS k,
-             12.0 / (sum(grp.nj) * (sum(grp.nj) + 1.0))
-               * sum(grp.rj * grp.rj / grp.nj)
-               - 3.0 * (sum(grp.nj) + 1.0) AS h
-      FROM grp GROUP BY grp.mi HAVING count(*) = 5
-    )
-    SELECT hstat.mi, hstat.n,
-           round(hstat.h, 6) AS h,
-           round(hstat.h / (1.0 - ties.tie_term
-                 / (hstat.n * 1.0 * hstat.n * hstat.n - hstat.n)), 6) AS h_corrected,
-           hstat.h / (1.0 - ties.tie_term
-                 / (hstat.n * 1.0 * hstat.n * hstat.n - hstat.n)) > {KW_CHI2_4_95}
-             AS reject_95
-    FROM hstat JOIN ties ON ties.mi = hstat.mi
-    ORDER BY hstat.mi
-    """,
-    tags=("stats", "analytics"),
-)
-def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kruskal-Wallis H per month across the five customer regions on
-    order values: H = 12/(N(N+1))·ΣR²ⱼ/nⱼ − 3(N+1) from partitioned
-    midranks, with the tie correction 1 − Σ(t³−t)/(N³−N) — the
-    nonparametric ANOVA that q_anova_f's normal-theory F cannot replace
-    when order values are heavy-tailed (they are: q_jarque_bera). The
-    q_mann_whitney midrank identity generalized from 2 groups to k=5;
-    months missing any region are excluded so df is the fixed 4.
-
-    Scale: dim-chain broadcast joins, ONE partitioned rank window (by
-    month — never a global sort), integer/‌.5-granular midranks summed
-    per group, closed forms. Midranks are exact; H divides identical
-    doubles on both engines, rounded at 6."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region")
-    obs = (
-        orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
-            orders.o_custkey == F.col("c_custkey"),
-        )
-        .join(
-            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            F.broadcast(reg.select("r_regionkey", "r_name")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select(
-            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
-                "mi"
-            ),
-            F.col("r_name").alias("rg"),
-            F.round("o_totalprice", 2).alias("v"),
-        )
-    )
-    w_rank = Window.partitionBy("mi").orderBy("v")
-    w_tie = Window.partitionBy("mi", "v")
-    ranked = obs.select(
-        "mi",
-        "rg",
-        (
-            F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / F.lit(2.0)
-        ).alias("midrank"),
-    )
-    grp = ranked.groupBy("mi", "rg").agg(
-        F.count(F.lit(1)).alias("nj"), F.sum("midrank").alias("rj")
-    )
-    ties = (
-        obs.groupBy("mi", "v")
-        .agg(F.count(F.lit(1)).cast("long").alias("t"))
-        .groupBy("mi")
-        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"))
-    )
-    hstat = (
-        grp.groupBy("mi")
-        .agg(
-            F.sum("nj").cast("long").alias("n"),
-            F.count(F.lit(1)).cast("long").alias("k"),
-            (
-                12.0
-                / (F.sum("nj") * (F.sum("nj") + 1.0))
-                * F.sum(F.col("rj") * F.col("rj") / F.col("nj"))
-                - 3.0 * (F.sum("nj") + 1.0)
-            ).alias("h"),
-        )
-        .filter(F.col("k") == 5)
-    )
-    corr = 1.0 - F.col("tie_term") / (
-        F.col("n") * 1.0 * F.col("n") * F.col("n") - F.col("n")
-    )
-    return (
-        hstat.join(ties, "mi")
-        .select(
-            "mi",
-            "n",
-            F.round(F.col("h"), 6).alias("h"),
-            F.round(F.col("h") / corr, 6).alias("h_corrected"),
-            (F.col("h") / corr > KW_CHI2_4_95).alias("reject_95"),
-        )
-        .orderBy("mi")
-    )
-
-
-# ---------------------------------------------------------------------------
-# q_tukey_hsd — post-hoc pairwise comparisons after the ANOVA
-# ---------------------------------------------------------------------------
-
-TUKEY_Q_5_INF = 3.858  # studentized range q(0.05; k=5, df -> inf)
-
-
-@query(
-    "q_tukey_hsd",
-    oracle=f"""
-    WITH obs AS (
-      SELECT r.r_name AS rg, o.o_totalprice AS y
-      FROM orders o
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN nation n ON c.c_nationkey = n.n_nationkey
-      JOIN region r ON n.n_regionkey = r.r_regionkey
-    ),
-    g AS (
-      SELECT rg, count(*) AS n, avg(y) AS m,
-             (sum(y * y) - count(*) * avg(y) * avg(y)) / (count(*) - 1) AS s2
-      FROM obs GROUP BY rg
-    ),
-    mse AS (
-      SELECT sum((n - 1) * s2) / (sum(n) - count(*)) AS mse FROM g
-    )
-    SELECT a.rg AS region_i, b.rg AS region_j,
-           CAST(a.n AS BIGINT) AS n_i, CAST(b.n AS BIGINT) AS n_j,
-           round(a.m - b.m, 4) AS mean_diff,
-           round(abs(a.m - b.m)
-                 / sqrt(mse.mse / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6) AS q_stat,
-           abs(a.m - b.m) / sqrt(mse.mse / 2.0 * (1.0 / a.n + 1.0 / b.n))
-             > {TUKEY_Q_5_INF} AS significant
-    FROM g a JOIN g b ON a.rg < b.rg CROSS JOIN mse
-    ORDER BY region_i, region_j
-    """,
-    tags=("stats", "analytics"),
-)
-def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey's honest significant difference: all 10 pairwise region
-    mean comparisons with the studentized-range statistic q =
-    |mᵢ−mⱼ|/√(MSE/2·(1/nᵢ+1/nⱼ)) against q₀.₀₅(5, ∞) = 3.858 — the
-    post-hoc layer q_anova_f needs (an omnibus rejection says SOME
-    means differ; HSD says WHICH, with family-wise error control that
-    10 naive t-tests would blow).
-
-    Scale: one dim-chain aggregate to 5 group-moment rows, a 10-pair
-    self-join on that bounded relation, closed forms. Group variances
-    use the n·mean² identity on exact sums; rounded at 4/6."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region")
-    obs = (
-        orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
-            orders.o_custkey == F.col("c_custkey"),
-        )
-        .join(
-            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            F.broadcast(reg.select("r_regionkey", "r_name")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select(F.col("r_name").alias("rg"), F.col("o_totalprice").alias("y"))
-    )
-    g = obs.groupBy("rg").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("y").alias("m"),
-        (
-            (F.sum(F.col("y") * F.col("y")) - F.count(F.lit(1)) * F.avg("y") * F.avg("y"))
-            / (F.count(F.lit(1)) - 1)
-        ).alias("s2"),
-    )
-    mse = g.agg(
-        (
-            F.sum((F.col("n") - 1) * F.col("s2"))
-            / (F.sum("n") - F.count(F.lit(1)))
-        ).alias("mse")
-    )
-    b = g.select(
-        F.col("rg").alias("rgb"),
-        F.col("n").alias("nb"),
-        F.col("m").alias("mb"),
-    )
-    se = F.sqrt(
-        F.col("mse") / 2.0 * (1.0 / F.col("n") + 1.0 / F.col("nb"))
-    )
-    q = F.abs(F.col("m") - F.col("mb")) / se
-    return (
-        g.join(F.broadcast(b), F.col("rg") < F.col("rgb"))
-        .crossJoin(F.broadcast(mse))
-        .select(
-            F.col("rg").alias("region_i"),
-            F.col("rgb").alias("region_j"),
-            F.col("n").cast("long").alias("n_i"),
-            F.col("nb").cast("long").alias("n_j"),
-            F.round(F.col("m") - F.col("mb"), 4).alias("mean_diff"),
-            F.round(q, 6).alias("q_stat"),
-            (q > TUKEY_Q_5_INF).alias("significant"),
-        )
-        .orderBy("region_i", "region_j")
-    )
-
-
-# ---------------------------------------------------------------------------
-# q_meta_analysis — inverse-variance pooling across region "studies"
-# ---------------------------------------------------------------------------
-
-META_DISC = 0.06  # treatment: any line discounted >= 6% (the q_qini_curve arm)
-
-
-@query(
-    "q_meta_analysis",
-    oracle=f"""
-    WITH treated AS (
-      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_discount >= {META_DISC}
-    ),
-    obs AS (
-      SELECT r.r_name AS rg,
-             CASE WHEN t.l_orderkey IS NOT NULL THEN 1 ELSE 0 END AS tr,
-             o.o_totalprice / 1000.0 AS y
-      FROM orders o
-      JOIN customer c ON o.o_custkey = c.c_custkey
-      JOIN nation n ON c.c_nationkey = n.n_nationkey
-      JOIN region r ON n.n_regionkey = r.r_regionkey
-      LEFT JOIN treated t ON t.l_orderkey = o.o_orderkey
-    ),
-    arm AS (
-      SELECT rg, tr, count(*) AS n, avg(y) AS m,
-             (sum(y * y) - count(*) * avg(y) * avg(y)) / (count(*) - 1) AS s2
-      FROM obs GROUP BY rg, tr
-    ),
-    study AS (
-      SELECT a.rg,
-             round(a.m - b.m, 8) AS d,
-             round(a.s2 / a.n + b.s2 / b.n, 8) AS v
-      FROM arm a JOIN arm b ON b.rg = a.rg AND a.tr = 1 AND b.tr = 0
-    ),
-    fe AS (
-      SELECT count(*) AS k,
-             sum(d / v) / sum(1.0 / v) AS theta_fe,
-             sum(1.0 / v) AS sw,
-             sum(1.0 / (v * v)) AS sw2
-      FROM study
-    ),
-    het AS (
-      SELECT fe.k, fe.theta_fe, fe.sw, fe.sw2,
-             (SELECT sum((study.d - fe.theta_fe) * (study.d - fe.theta_fe) / study.v)
-              FROM study) AS q_het
-      FROM fe
-    ),
-    re AS (
-      SELECT k, theta_fe, q_het,
-             greatest(0.0, (q_het - (k - 1)) / (sw - sw2 / sw)) AS tau2,
-             greatest(0.0, (q_het - (k - 1)) / nullif(q_het, 0.0)) AS i2
-      FROM het
-    )
-    SELECT study.rg AS region,
-           round(study.d, 6) AS effect,
-           round(sqrt(study.v), 6) AS se,
-           round((1.0 / study.v) / re_sw.sw_fe, 6) AS fe_weight,
-           round(re.theta_fe, 6) AS pooled_fe,
-           round((SELECT sum(s.d / (s.v + re.tau2)) / sum(1.0 / (s.v + re.tau2))
-                  FROM study s), 6) AS pooled_re,
-           round(re.q_het, 6) AS q_het,
-           round(re.i2, 6) AS i_squared
-    FROM study
-    CROSS JOIN re
-    CROSS JOIN (SELECT sum(1.0 / v) AS sw_fe FROM study) re_sw
-    ORDER BY region
-    """,
-    tags=("stats", "experimentation", "analytics"),
-)
-def meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Meta-analysis of the discount effect across the five region
-    "studies": per-region treated-minus-control mean difference with its
-    variance, inverse-variance fixed-effect pooling, Cochran's Q
-    heterogeneity, I², the DerSimonian-Laird τ², and the random-effects
-    pooled estimate — the multi-site experiment readout (was the promo
-    effect consistent across regions, and what is the honest pooled
-    number if it wasn't?) that single-population tools (q_welch_ttest,
-    q_ipw_ate) cannot answer.
-
-    Scale: one annotated fact join + a (region, arm) moment aggregate;
-    everything downstream runs on the 5-row study relation. Effects and
-    variances round at 8 before pooling; closed forms, rounded at 6."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    nat = load_table(spark, sf_dir, "nation")
-    reg = load_table(spark, sf_dir, "region")
-    treated = li.filter(F.col("l_discount") >= META_DISC).select("l_orderkey").distinct()
-    obs = (
-        orders.join(
-            F.broadcast(cust.select("c_custkey", "c_nationkey")),
-            orders.o_custkey == F.col("c_custkey"),
-        )
-        .join(
-            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .join(
-            F.broadcast(reg.select("r_regionkey", "r_name")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .join(
-            treated.withColumn("is_t", F.lit(1)),
-            orders.o_orderkey == treated.l_orderkey,
-            "left",
-        )
-        .select(
-            F.col("r_name").alias("rg"),
-            F.coalesce(F.col("is_t"), F.lit(0)).alias("tr"),
-            (F.col("o_totalprice") / 1000.0).alias("y"),
-        )
-    )
-    arm = obs.groupBy("rg", "tr").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("y").alias("m"),
-        (
-            (F.sum(F.col("y") * F.col("y")) - F.count(F.lit(1)) * F.avg("y") * F.avg("y"))
-            / (F.count(F.lit(1)) - 1)
-        ).alias("s2"),
-    )
-    t_arm = arm.filter(F.col("tr") == 1).select(
-        "rg", F.col("n").alias("nt"), F.col("m").alias("mt"), F.col("s2").alias("st")
-    )
-    c_arm = arm.filter(F.col("tr") == 0).select(
-        "rg", F.col("n").alias("nc"), F.col("m").alias("mc"), F.col("s2").alias("sc")
-    )
-    study = t_arm.join(c_arm, "rg").select(
-        "rg",
-        F.round(F.col("mt") - F.col("mc"), 8).alias("d"),
-        F.round(F.col("st") / F.col("nt") + F.col("sc") / F.col("nc"), 8).alias("v"),
-    )
-    study = study.localCheckpoint(eager=True)  # 5-row model branched 4 ways
-    fe = study.agg(
-        F.count(F.lit(1)).alias("k"),
-        (F.sum(F.col("d") / F.col("v")) / F.sum(1.0 / F.col("v"))).alias("theta_fe"),
-        F.sum(1.0 / F.col("v")).alias("sw"),
-        F.sum(1.0 / (F.col("v") * F.col("v"))).alias("sw2"),
-    )
-    het = study.crossJoin(F.broadcast(fe)).agg(
-        F.max("k").alias("k"),
-        F.max("theta_fe").alias("theta_fe"),
-        F.max("sw").alias("sw"),
-        F.max("sw2").alias("sw2"),
-        F.sum(
-            (F.col("d") - F.col("theta_fe"))
-            * (F.col("d") - F.col("theta_fe"))
-            / F.col("v")
-        ).alias("q_het"),
-    )
-    re = het.select(
-        "k",
-        "theta_fe",
-        "sw",
-        "q_het",
-        F.greatest(
-            F.lit(0.0),
-            (F.col("q_het") - (F.col("k") - 1))
-            / (F.col("sw") - F.col("sw2") / F.col("sw")),
-        ).alias("tau2"),
-        F.greatest(
-            F.lit(0.0),
-            (F.col("q_het") - (F.col("k") - 1)) / F.nullif(F.col("q_het"), F.lit(0.0)),
-        ).alias("i2"),
-    )
-    pooled_re = study.crossJoin(F.broadcast(re)).agg(
-        (
-            F.sum(F.col("d") / (F.col("v") + F.col("tau2")))
-            / F.sum(1.0 / (F.col("v") + F.col("tau2")))
-        ).alias("theta_re")
-    )
-    return (
-        study.crossJoin(F.broadcast(re))
-        .crossJoin(F.broadcast(pooled_re))
-        .select(
-            F.col("rg").alias("region"),
-            F.round(F.col("d"), 6).alias("effect"),
-            F.round(F.sqrt(F.col("v")), 6).alias("se"),
-            F.round((1.0 / F.col("v")) / F.col("sw"), 6).alias("fe_weight"),
-            F.round(F.col("theta_fe"), 6).alias("pooled_fe"),
-            F.round(F.col("theta_re"), 6).alias("pooled_re"),
-            F.round(F.col("q_het"), 6).alias("q_het"),
-            F.round(F.col("i2"), 6).alias("i_squared"),
-        )
-        .orderBy("region")
-    )
