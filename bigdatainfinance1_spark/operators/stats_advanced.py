@@ -1280,3 +1280,136 @@ def survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rmst, 4).alias("rmst_days"),
         (F.round(rmst, 4) / RMST_TAU).alias("rmst_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_weibull_fit — parametric time-to-repurchase via median-rank regression
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_weibull_fit",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders GROUP BY o_custkey
+    ),
+    seconds AS (
+      SELECT o.o_custkey,
+             min(CAST(o.o_orderdate AS DATE)) AS d2
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+      WHERE CAST(o.o_orderdate AS DATE) > f.d1
+      GROUP BY o.o_custkey
+    ),
+    gaps AS (
+      SELECT f.o_custkey, datediff('day', f.d1, s.d2) AS t
+      FROM firsts f JOIN seconds s ON s.o_custkey = f.o_custkey
+      WHERE datediff('day', f.d1, s.d2) > 0
+    ),
+    ranked AS (
+      SELECT t, row_number() OVER (ORDER BY t, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM gaps
+    ),
+    obs AS (
+      SELECT round(ln(t), 8) AS x,
+             round(ln(-ln(1.0 - (i - 0.3) / (n + 0.4))), 8) AS y
+      FROM ranked
+    ),
+    mm AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM obs
+    ),
+    fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS k,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS c,
+             (n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+      FROM mm
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(k, 6) AS shape_k,
+           round(exp(-c / k), 4) AS scale_days,
+           round(r2, 6) AS r_squared,
+           CASE WHEN k < 1.0 THEN 'decreasing_hazard'
+                WHEN k > 1.0 THEN 'increasing_hazard'
+                ELSE 'exponential' END AS hazard_regime
+    FROM fit
+    """,
+    tags=("stats", "analytics", "timeseries"),
+)
+def weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of time-to-second-purchase by median-rank regression:
+    plot ln(−ln(1−F̂ᵢ)) against ln tᵢ with Bernard's median ranks
+    (i−0.3)/(n+0.4) — on Weibull data this is a straight line whose
+    slope IS the shape k and whose intercept gives the scale λ =
+    exp(−c/k); k < 1 means decreasing hazard (the longer a customer
+    waits, the less likely they repurchase — churn-risk reading), k > 1
+    increasing. The closed-form parametric tier above the
+    nonparametric survival stack (q_kaplan_meier, q_nelson_aalen,
+    q_survival_rmst), with R² as the straightness check.
+
+    Scale: two first/second-order aggregates, the distributed global
+    rank for the plotting positions, one 6-moment log-log OLS —
+    fact-scan bounded. Gaps are exact integer days (> 0); logs round at
+    8; rounded at 6/4."""
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(F.min(F.to_date("o_orderdate")).alias("d1"))
+    seconds = (
+        orders.join(firsts, "o_custkey")
+        .filter(F.to_date("o_orderdate") > F.col("d1"))
+        .groupBy("o_custkey")
+        .agg(F.min(F.to_date("o_orderdate")).alias("d2"))
+    )
+    gaps = (
+        firsts.join(seconds, "o_custkey")
+        .select("o_custkey", F.datediff("d2", "d1").alias("t"))
+        .filter(F.col("t") > 0)
+    )
+    n = gaps.count()  # bounded driver scalar: customers with a repurchase
+    ranked = global_row_number(gaps, ["t", "o_custkey"], rn_col="i")
+    obs = ranked.select(
+        F.round(F.log(F.col("t").cast("double")), 8).alias("x"),
+        F.round(
+            F.log(-F.log(1.0 - (F.col("i") - 0.3) / (n + 0.4))), 8
+        ).alias("y"),
+    )
+    mm = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    k = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = mm.select(
+        "n",
+        k.alias("k"),
+        ((F.col("sy") - k * F.col("sx")) / F.col("n")).alias("c"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("k"), 6).alias("shape_k"),
+        F.round(F.exp(-F.col("c") / F.col("k")), 4).alias("scale_days"),
+        F.round(F.col("r2"), 6).alias("r_squared"),
+        F.when(F.col("k") < 1.0, F.lit("decreasing_hazard"))
+        .when(F.col("k") > 1.0, F.lit("increasing_hazard"))
+        .otherwise(F.lit("exponential"))
+        .alias("hazard_regime"),
+    )

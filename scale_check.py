@@ -291,6 +291,7 @@ QUERIES = [
     "q_mincer_zarnowitz",
     "q_gibrat_law",
     "q_taylor_power_law",
+    "q_weibull_fit",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

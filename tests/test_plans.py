@@ -1093,3 +1093,15 @@ def test_scaling_laws_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = formatted(SPECS["q_gibrat_law"].fn(spark, SF_DIR))
     assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_weibull_plan(spark):
+    """Weibull median-rank regression: global rank via bucketed two-phase
+    machinery, closed-form OLS; no cartesian, no Python eval; the fit
+    must be straight (R^2 > 0.9) for the parametric claim to mean
+    anything."""
+    plan = plan_of(SPECS["q_weibull_fit"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    row = SPECS["q_weibull_fit"].fn(spark, SF_DIR).collect()[0]
+    assert row.r_squared > 0.9
