@@ -1350,3 +1350,96 @@ def arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_arch"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cross_correlation — the full lead-lag CCF between revenue and quantity
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 3
+
+
+@query(
+    "q_cross_correlation",
+    oracle=f"""
+    WITH {_TWO_SERIES_SQL},
+    ymu AS (SELECT count(*) AS n, round(avg(y), 8) AS muy FROM ym),
+    xmu AS (SELECT round(avg(x), 8) AS mux FROM xm),
+    yd AS (
+      SELECT ym.mi, round(ym.y - ymu.muy, 8) AS dy, ymu.n
+      FROM ym CROSS JOIN ymu
+    ),
+    xd AS (
+      SELECT xm.mi, round(xm.x - xmu.mux, 8) AS dx
+      FROM xm CROSS JOIN xmu
+    ),
+    denom AS (
+      SELECT sqrt((SELECT sum(dy * dy) FROM yd) * (SELECT sum(dx * dx) FROM xd))
+        AS den
+    ),
+    lags AS (SELECT unnest(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1)) AS lag),
+    ccf AS (
+      SELECT lags.lag,
+             sum(yd.dy * xd.dx) AS num,
+             count(*) AS n_pairs
+      FROM lags
+      JOIN yd ON true
+      JOIN xd ON xd.mi = yd.mi + lags.lag
+      GROUP BY lags.lag
+    )
+    SELECT CAST(ccf.lag AS BIGINT) AS lag,
+           CAST(ccf.n_pairs AS BIGINT) AS n_pairs,
+           round(ccf.num / denom.den, 6) AS ccf
+    FROM ccf CROSS JOIN denom
+    ORDER BY lag
+    """,
+    tags=("timeseries", "stats", "finance"),
+)
+def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-correlation function between monthly revenue and
+    shipped quantity at lags −3..+3 (positive lag = quantity LEADS
+    revenue): the full lead-lag profile whose single best lag
+    q_granger_causality then tests formally — CCF is the scouting view
+    (which direction, which delay), Granger the inference. Normalized
+    by the full-sample √(Σdy²·Σdx²) so all seven values share one
+    denominator and are comparable.
+
+    Scale: two monthly aggregates, demeaning passes, a 7-row lag grid
+    joined on the shifted month index — calendar-bounded. Deviations
+    round at 8; one shared denominator; rounded at 6."""
+    ym, xm = _two_series(spark, sf_dir)
+    ymu = ym.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("y"), 8).alias("muy"))
+    xmu = xm.agg(F.round(F.avg("x"), 8).alias("mux"))
+    yd = ym.crossJoin(F.broadcast(ymu)).select(
+        "mi", F.round(F.col("y") - F.col("muy"), 8).alias("dy")
+    )
+    xd = xm.crossJoin(F.broadcast(xmu)).select(
+        "mi", F.round(F.col("x") - F.col("mux"), 8).alias("dx")
+    )
+    den = (
+        yd.agg(F.sum(F.col("dy") * F.col("dy")).alias("sdy"))
+        .crossJoin(F.broadcast(xd.agg(F.sum(F.col("dx") * F.col("dx")).alias("sdx"))))
+        .select(F.sqrt(F.col("sdy") * F.col("sdx")).alias("den"))
+    )
+    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    pairs = (
+        lags.crossJoin(yd)
+        .join(
+            F.broadcast(xd.select(F.col("mi").alias("xmi"), "dx")),
+            F.col("xmi") == F.col("mi") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("dy") * F.col("dx")).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("num") / F.col("den"), 6).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

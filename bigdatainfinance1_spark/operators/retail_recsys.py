@@ -1206,3 +1206,136 @@ def taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("super_clustered"))
         .alias("regime"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cross_price_elasticity — does brand A's price move brand B's demand?
+# ---------------------------------------------------------------------------
+
+XPE_BRAND_A = "Brand#11"  # price side
+XPE_BRAND_B = "Brand#12"  # quantity side
+XPE_Z95 = 1.959964
+
+
+@query(
+    "q_cross_price_elasticity",
+    oracle=f"""
+    WITH pa AS (
+      SELECT CAST(year(l.l_shipdate) AS BIGINT) * 12 + month(l.l_shipdate) AS mi,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)) / sum(l.l_quantity), 6)
+               AS price_a
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = '{XPE_BRAND_A}'
+      GROUP BY mi
+    ),
+    qb AS (
+      SELECT CAST(year(l.l_shipdate) AS BIGINT) * 12 + month(l.l_shipdate) AS mi,
+             CAST(sum(l.l_quantity) AS BIGINT) AS qty_b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = '{XPE_BRAND_B}'
+      GROUP BY mi
+    ),
+    obs AS (
+      SELECT round(ln(pa.price_a), 8) AS x, round(ln(qb.qty_b), 8) AS y
+      FROM pa JOIN qb ON qb.mi = pa.mi
+    ),
+    mm AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM obs
+    ),
+    fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS el,
+             ((n * syy - sy * sy)
+              - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (n * sxy - sx * sy)) / n
+               AS ssr,
+             (n * sxx - sx * sx) / n AS sxx_dev
+      FROM mm
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round(el, 6) AS cross_elasticity,
+           round(el / sqrt((ssr / (n - 2)) / sxx_dev), 6) AS t_stat,
+           CASE WHEN el / sqrt((ssr / (n - 2)) / sxx_dev) > {XPE_Z95}
+                THEN 'substitutes'
+                WHEN el / sqrt((ssr / (n - 2)) / sxx_dev) < -{XPE_Z95}
+                THEN 'complements'
+                ELSE 'independent' END AS relationship
+    FROM fit
+    """,
+    tags=("analytics", "finance", "timeseries"),
+)
+def cross_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-price elasticity: regress ln(monthly quantity of Brand#12)
+    on ln(monthly effective price of Brand#11) — positive and
+    significant means substitutes (A's price rise pushes demand to B),
+    negative means complements — the pricing-strategy quantity
+    q_price_elasticity's OWN-price slope cannot see. Effective price is
+    revenue-after-discount over quantity, the realized transaction
+    price.
+
+    Scale: two brand-filtered monthly aggregates (predicate reaches the
+    part dim, the join prunes the fact side), month equi-join, one
+    6-moment closed-form OLS + t — calendar-bounded past the scans.
+    Logs round at 8; rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def monthly(brand: str, price_side: bool) -> DataFrame:
+        j = li.join(
+            F.broadcast(part.filter(F.col("p_brand") == brand).select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        ).groupBy(
+            (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi")
+        )
+        if price_side:
+            return j.agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    / F.sum("l_quantity"),
+                    6,
+                ).alias("price_a")
+            )
+        return j.agg(F.sum("l_quantity").cast("long").alias("qty_b"))
+
+    pa = monthly(XPE_BRAND_A, True)
+    qb = monthly(XPE_BRAND_B, False)
+    obs = pa.join(qb, "mi").select(
+        F.round(F.log("price_a"), 8).alias("x"),
+        F.round(F.log(F.col("qty_b").cast("double")), 8).alias("y"),
+    )
+    mm = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    el = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = mm.select(
+        "n",
+        el.alias("el"),
+        (
+            (
+                (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                - el * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / F.col("n")
+        ).alias("ssr"),
+        ((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / F.col("n")).alias(
+            "sxx_dev"
+        ),
+    )
+    t = F.col("el") / F.sqrt((F.col("ssr") / (F.col("n") - 2)) / F.col("sxx_dev"))
+    return fit.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(F.col("el"), 6).alias("cross_elasticity"),
+        F.round(t, 6).alias("t_stat"),
+        F.when(t > XPE_Z95, F.lit("substitutes"))
+        .when(t < -XPE_Z95, F.lit("complements"))
+        .otherwise(F.lit("independent"))
+        .alias("relationship"),
+    )

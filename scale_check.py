@@ -292,6 +292,8 @@ QUERIES = [
     "q_gibrat_law",
     "q_taylor_power_law",
     "q_weibull_fit",
+    "q_cross_price_elasticity",
+    "q_cross_correlation",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -1105,3 +1105,12 @@ def test_weibull_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     row = SPECS["q_weibull_fit"].fn(spark, SF_DIR).collect()[0]
     assert row.r_squared > 0.9
+
+
+def test_crossprice_ccf_wave_plans(spark):
+    """Cross-elasticity / CCF: brand-filtered dim-pruned aggregates and a
+    7-row lag grid; no cartesian on corpus relations, no Python eval."""
+    for name in ("q_cross_price_elasticity", "q_cross_correlation"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
