@@ -996,3 +996,263 @@ def brinson_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("wp") - F.col("wb")) * (F.col("rp") - F.col("rb")), 6
         ).alias("interaction"),
     ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# q_fama_macbeth — the cross-sectional test of the CAPM's second pass
+# ---------------------------------------------------------------------------
+
+FM_Z95 = 1.959964
+
+
+@query(
+    "q_fama_macbeth",
+    oracle=f"""
+    WITH {_PANEL_SQL},
+    j AS (
+      SELECT nret.nk, nret.r, mret.m FROM nret JOIN mret ON nret.mi = mret.mi
+    ),
+    mom AS (
+      SELECT nk, count(*) AS n, sum(r) AS sr, sum(m) AS sm,
+             sum(r * m) AS srm, sum(m * m) AS smm
+      FROM j GROUP BY nk
+    ),
+    firstpass AS (
+      SELECT nk,
+             (n * srm - sr * sm) / (n * smm - sm * sm) AS beta,
+             sr / n AS mean_r
+      FROM mom WHERE n >= {MIN_MONTHS}
+    ),
+    xs AS (
+      SELECT count(*) AS k, sum(beta) AS sb, sum(mean_r) AS sy,
+             sum(beta * beta) AS sbb, sum(beta * mean_r) AS sby,
+             sum(mean_r * mean_r) AS syy
+      FROM firstpass
+    ),
+    fit AS (
+      SELECT k,
+             (k * sby - sb * sy) / (k * sbb - sb * sb) AS g1,
+             (sy - (k * sby - sb * sy) / (k * sbb - sb * sb) * sb) / k AS g0,
+             ((k * syy - sy * sy)
+              - ((k * sby - sb * sy) / (k * sbb - sb * sb)) * (k * sby - sb * sy)) / k
+               AS ssr,
+             (k * sbb - sb * sb) / k AS sbb_dev
+      FROM xs
+    ),
+    mkt AS (SELECT round(avg(m), 8) AS mean_m FROM mret)
+    SELECT CAST(fit.k AS BIGINT) AS n_nations,
+           round(fit.g0, 6) AS gamma0_zero_beta,
+           round(fit.g1, 6) AS gamma1_risk_premium,
+           round(fit.g1 / sqrt((fit.ssr / (fit.k - 2)) / fit.sbb_dev), 6) AS t_gamma1,
+           round(mkt.mean_m, 6) AS mean_market,
+           abs(fit.g1 / sqrt((fit.ssr / (fit.k - 2)) / fit.sbb_dev)) > {FM_Z95}
+             AS beta_priced
+    FROM fit CROSS JOIN mkt
+    """,
+    tags=("finance", "stats", "analytics"),
+)
+def fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fama-MacBeth second pass: regress each nation's mean return on
+    its first-pass CAPM beta ACROSS the cross-section — γ₁ estimates
+    the market price of beta risk (the CAPM says γ₁ ≈ mean market
+    excess return and γ₀ ≈ the zero-beta rate; `beta_priced` reports
+    whether beta is significantly priced at all) — the methodology
+    behind every factor-model test, run here on the 25-book panel whose
+    first pass is exactly q_jensen_alpha's regression.
+
+    Scale: the panel machinery plus one per-nation 5-moment aggregate
+    (first pass) and one 6-moment closed form over ≤25 rows (second
+    pass) — panel-bounded, rounded at 6."""
+    nret = _nation_returns(spark, sf_dir)
+    mret = _market_returns(spark, sf_dir)
+    j = nret.join(F.broadcast(mret), "mi").select("nk", "r", "m")
+    mom = j.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("r") * F.col("m")).alias("srm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    )
+    beta = (F.col("n") * F.col("srm") - F.col("sr") * F.col("sm")) / (
+        F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
+    )
+    firstpass = mom.filter(F.col("n") >= MIN_MONTHS).select(
+        beta.alias("beta"), (F.col("sr") / F.col("n")).alias("mean_r")
+    )
+    xs = firstpass.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("beta").alias("sb"),
+        F.sum("mean_r").alias("sy"),
+        F.sum(F.col("beta") * F.col("beta")).alias("sbb"),
+        F.sum(F.col("beta") * F.col("mean_r")).alias("sby"),
+        F.sum(F.col("mean_r") * F.col("mean_r")).alias("syy"),
+    )
+    g1 = (F.col("k") * F.col("sby") - F.col("sb") * F.col("sy")) / (
+        F.col("k") * F.col("sbb") - F.col("sb") * F.col("sb")
+    )
+    fit = xs.select(
+        "k",
+        g1.alias("g1"),
+        ((F.col("sy") - g1 * F.col("sb")) / F.col("k")).alias("g0"),
+        (
+            (
+                (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+                - g1 * (F.col("k") * F.col("sby") - F.col("sb") * F.col("sy"))
+            )
+            / F.col("k")
+        ).alias("ssr"),
+        ((F.col("k") * F.col("sbb") - F.col("sb") * F.col("sb")) / F.col("k")).alias(
+            "sbb_dev"
+        ),
+    )
+    mkt = mret.agg(F.round(F.avg("m"), 8).alias("mean_m"))
+    t = F.col("g1") / F.sqrt((F.col("ssr") / (F.col("k") - 2)) / F.col("sbb_dev"))
+    return fit.crossJoin(F.broadcast(mkt)).select(
+        F.col("k").cast("long").alias("n_nations"),
+        F.round(F.col("g0"), 6).alias("gamma0_zero_beta"),
+        F.round(F.col("g1"), 6).alias("gamma1_risk_premium"),
+        F.round(t, 6).alias("t_gamma1"),
+        F.round(F.col("mean_m"), 6).alias("mean_market"),
+        (F.abs(t) > FM_Z95).alias("beta_priced"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_momentum_spread — cross-sectional momentum long-short backtest
+# ---------------------------------------------------------------------------
+
+MOM_LOOKBACK = 3  # formation window (months)
+MOM_MIN_BOOKS = 8  # require at least this many books with signal AND next-month return
+# leg size = max(2, cm // 4): quartile legs that adapt to the tradable universe
+
+
+@query(
+    "q_momentum_spread",
+    oracle=f"""
+    WITH {_PANEL_SQL},
+    sig AS (
+      SELECT nk, mi,
+             round(sum(r) OVER (PARTITION BY nk ORDER BY mi
+                                ROWS BETWEEN {MOM_LOOKBACK - 1} PRECEDING
+                                         AND CURRENT ROW), 8) AS s,
+             count(*) OVER (PARTITION BY nk ORDER BY mi
+                            ROWS BETWEEN {MOM_LOOKBACK - 1} PRECEDING
+                                     AND CURRENT ROW) AS w
+      FROM nret
+    ),
+    tradable AS (
+      SELECT sig.nk, sig.mi, sig.s, nxt.r AS rn
+      FROM sig JOIN nret nxt ON nxt.nk = sig.nk AND nxt.mi = sig.mi + 1
+      WHERE sig.w = {MOM_LOOKBACK}
+    ),
+    full_months AS (
+      SELECT mi, count(*) AS cm FROM tradable
+      GROUP BY mi HAVING count(*) >= {MOM_MIN_BOOKS}
+    ),
+    ranked AS (
+      SELECT t.mi, t.rn, fm.cm,
+             row_number() OVER (PARTITION BY t.mi ORDER BY t.s DESC, t.nk) AS rnk
+      FROM tradable t JOIN full_months fm ON fm.mi = t.mi
+    ),
+    legs AS (
+      SELECT mi,
+             avg(CASE WHEN rnk <= greatest(2, cm // 4) THEN rn END) AS long_r,
+             avg(CASE WHEN rnk > cm - greatest(2, cm // 4) THEN rn END) AS short_r
+      FROM ranked
+      GROUP BY mi
+    ),
+    spread AS (
+      SELECT mi, round(long_r - short_r, 8) AS sp FROM legs
+    ),
+    agg AS (
+      SELECT count(*) AS n, avg(sp) AS mu,
+             sqrt((sum(sp * sp) - count(*) * avg(sp) * avg(sp))
+                  / nullif(count(*) - 1, 0)) AS sd,
+             avg(CASE WHEN sp > 0 THEN 1.0 ELSE 0.0 END) AS hit
+      FROM spread
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round(mu, 6) AS mean_spread,
+           round(mu / nullif(sd / sqrt(n), 0.0), 6) AS t_stat,
+           round(hit, 6) AS hit_rate,
+           CASE WHEN mu / nullif(sd / sqrt(n), 0.0) > {FM_Z95} THEN 'momentum'
+                WHEN mu / nullif(sd / sqrt(n), 0.0) < -{FM_Z95} THEN 'reversal'
+                ELSE 'no_effect' END AS verdict
+    FROM agg
+    """,
+    tags=("finance", "timeseries", "analytics", "window"),
+)
+def momentum_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum backtest on the nation panel: each
+    month, rank books by trailing 3-month return over the TRADABLE
+    universe (books with a full formation window AND a next-month
+    return; months with ≥8 such books), go long the top quartile and
+    short the bottom quartile (leg size max(2, ⌊cm/4⌋), adapting to
+    the universe), hold one month — mean spread, t-statistic, hit rate, and the momentum /
+    reversal / no-effect verdict. The portfolio-formation backtest
+    pattern (formation window → cross-sectional rank → forward return)
+    that none of the single-series diagnostics express; q_variance
+    _ratio's mean-reversion read gets its cross-sectional counterpart.
+
+    Scale: panel build, per-book rolling windows (partitioned by nk),
+    per-month rank windows (partitioned by mi), one forward-month
+    equi-join, closed-form t — panel-bounded. Signals round at 8 before
+    ranking with nk tie-breaks; spreads at 8; rounded at 6."""
+    nret = _nation_returns(spark, sf_dir)
+    wroll = (
+        Window.partitionBy("nk").orderBy("mi").rowsBetween(-(MOM_LOOKBACK - 1), 0)
+    )
+    sig = nret.select(
+        "nk",
+        "mi",
+        F.round(F.sum("r").over(wroll), 8).alias("s"),
+        F.count(F.lit(1)).over(wroll).alias("w"),
+    ).filter(F.col("w") == MOM_LOOKBACK)
+    nxt = nret.select("nk", (F.col("mi") - 1).alias("mi"), F.col("r").alias("rn"))
+    tradable = sig.join(nxt, ["nk", "mi"])
+    full_months = tradable.groupBy("mi").agg(F.count(F.lit(1)).alias("cm")).filter(
+        F.col("cm") >= MOM_MIN_BOOKS
+    )
+    wr = Window.partitionBy("mi").orderBy(F.col("s").desc(), F.col("nk"))
+    ranked = tradable.join(F.broadcast(full_months), "mi").select(
+        "mi", "rn", "cm", F.row_number().over(wr).alias("rnk")
+    )
+    legs = ranked.groupBy("mi").agg(
+        F.avg(
+            F.when(
+                F.col("rnk")
+                <= F.greatest(F.lit(2), (F.col("cm") / 4).cast("long")),
+                F.col("rn"),
+            )
+        ).alias("long_r"),
+        F.avg(
+            F.when(
+                F.col("rnk")
+                > F.col("cm") - F.greatest(F.lit(2), (F.col("cm") / 4).cast("long")),
+                F.col("rn"),
+            )
+        ).alias("short_r"),
+    )
+    spread = legs.select(F.round(F.col("long_r") - F.col("short_r"), 8).alias("sp"))
+    agg = spread.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("sp").alias("mu"),
+        F.sqrt(
+            (F.sum(F.col("sp") * F.col("sp")) - F.count(F.lit(1)) * F.avg("sp") * F.avg("sp"))
+            / F.nullif(F.count(F.lit(1)) - 1, F.lit(0))
+        ).alias("sd"),
+        F.avg(F.when(F.col("sp") > 0, 1.0).otherwise(0.0)).alias("hit"),
+    )
+    t = F.col("mu") / F.nullif(
+        F.col("sd") / F.sqrt(F.col("n").cast("double")), F.lit(0.0)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(F.col("mu"), 6).alias("mean_spread"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(F.col("hit"), 6).alias("hit_rate"),
+        F.when(t > FM_Z95, F.lit("momentum"))
+        .when(t < -FM_Z95, F.lit("reversal"))
+        .otherwise(F.lit("no_effect"))
+        .alias("verdict"),
+    )

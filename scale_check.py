@@ -294,6 +294,8 @@ QUERIES = [
     "q_weibull_fit",
     "q_cross_price_elasticity",
     "q_cross_correlation",
+    "q_fama_macbeth",
+    "q_momentum_spread",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -1114,3 +1114,17 @@ def test_crossprice_ccf_wave_plans(spark):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_asset_pricing_wave_plans(spark):
+    """Fama-MacBeth / momentum: panel machinery + partitioned rolling
+    and rank windows; no cartesian on corpus relations, no Python
+    eval."""
+    for name in ("q_fama_macbeth", "q_momentum_spread"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_momentum_spread"].fn(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert ("nk" in line) or ("mi" in line), line
