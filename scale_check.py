@@ -296,6 +296,8 @@ QUERIES = [
     "q_cross_correlation",
     "q_fama_macbeth",
     "q_momentum_spread",
+    "q_roll_measure",
+    "q_garman_klass",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -1128,3 +1128,15 @@ def test_asset_pricing_wave_plans(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert ("nk" in line) or ("mi" in line), line
+
+
+def test_microstructure_wave_plans(spark):
+    """Roll / Garman-Klass: day/bar aggregates + closed forms; no
+    cartesian, no Python eval; GK's positive-value predicate pushes to
+    the events scan."""
+    for name in ("q_roll_measure", "q_garman_klass"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = formatted(SPECS["q_garman_klass"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan and "value" in plan
