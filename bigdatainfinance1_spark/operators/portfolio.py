@@ -1256,3 +1256,121 @@ def momentum_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("no_effect"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_information_coefficient — signal-level factor evaluation (rank IC)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_information_coefficient",
+    oracle=f"""
+    WITH {_PANEL_SQL},
+    sig AS (
+      SELECT nk, mi,
+             round(sum(r) OVER (PARTITION BY nk ORDER BY mi
+                                ROWS BETWEEN {MOM_LOOKBACK - 1} PRECEDING
+                                         AND CURRENT ROW), 8) AS s,
+             count(*) OVER (PARTITION BY nk ORDER BY mi
+                            ROWS BETWEEN {MOM_LOOKBACK - 1} PRECEDING
+                                     AND CURRENT ROW) AS w
+      FROM nret
+    ),
+    tradable AS (
+      SELECT sig.nk, sig.mi, sig.s, nxt.r AS rn
+      FROM sig JOIN nret nxt ON nxt.nk = sig.nk AND nxt.mi = sig.mi + 1
+      WHERE sig.w = {MOM_LOOKBACK}
+    ),
+    full_months AS (
+      SELECT mi, count(*) AS cm FROM tradable
+      GROUP BY mi HAVING count(*) >= {MOM_MIN_BOOKS}
+    ),
+    ranked AS (
+      SELECT t.mi, fm.cm,
+             row_number() OVER (PARTITION BY t.mi ORDER BY t.s, t.nk) AS rs,
+             row_number() OVER (PARTITION BY t.mi ORDER BY t.rn, t.nk) AS rr
+      FROM tradable t JOIN full_months fm ON fm.mi = t.mi
+    ),
+    ic AS (
+      SELECT mi,
+             round(1.0 - 6.0 * sum((rs - rr) * 1.0 * (rs - rr))
+                   / (max(cm) * (max(cm) * 1.0 * max(cm) - 1.0)), 8) AS ic
+      FROM ranked GROUP BY mi
+    ),
+    agg AS (
+      SELECT count(*) AS n, avg(ic) AS mu,
+             sqrt((sum(ic * ic) - count(*) * avg(ic) * avg(ic))
+                  / nullif(count(*) - 1, 0)) AS sd,
+             avg(CASE WHEN ic > 0 THEN 1.0 ELSE 0.0 END) AS pos
+      FROM ic
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round(mu, 6) AS mean_ic,
+           round(mu / nullif(sd / sqrt(n), 0.0), 6) AS ic_t_stat,
+           round(pos, 6) AS pct_positive,
+           round(mu / nullif(sd, 0.0), 6) AS ic_ir
+    FROM agg
+    """,
+    tags=("finance", "ml", "eval", "analytics"),
+)
+def information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank information coefficient of the trailing-3-month momentum
+    signal: per month, the Spearman correlation between signal ranks
+    and NEXT-month return ranks over the tradable universe; reported as
+    mean IC, its t-statistic, the hit rate, and the IC information
+    ratio (mean/σ — the signal's "IR" in factor-research convention).
+    This is SIGNAL-level evaluation — q_momentum_spread tests a
+    portfolio construction; IC tests the raw ranking power that every
+    construction inherits, which is why factor research leads with it.
+
+    Scale: the q_momentum_spread tradable machinery + two per-month
+    rank windows (partitioned, nk tie-breaks) + the per-month Spearman
+    closed form on exact integer ranks — panel-bounded, rounded at 6."""
+    nret = _nation_returns(spark, sf_dir)
+    wroll = Window.partitionBy("nk").orderBy("mi").rowsBetween(-(MOM_LOOKBACK - 1), 0)
+    sig = nret.select(
+        "nk",
+        "mi",
+        F.round(F.sum("r").over(wroll), 8).alias("s"),
+        F.count(F.lit(1)).over(wroll).alias("w"),
+    ).filter(F.col("w") == MOM_LOOKBACK)
+    nxt = nret.select("nk", (F.col("mi") - 1).alias("mi"), F.col("r").alias("rn"))
+    tradable = sig.join(nxt, ["nk", "mi"])
+    full_months = tradable.groupBy("mi").agg(F.count(F.lit(1)).alias("cm")).filter(
+        F.col("cm") >= MOM_MIN_BOOKS
+    )
+    ws = Window.partitionBy("mi").orderBy("s", "nk")
+    wr = Window.partitionBy("mi").orderBy("rn", "nk")
+    ranked = tradable.join(F.broadcast(full_months), "mi").select(
+        "mi",
+        "cm",
+        F.row_number().over(ws).alias("rs"),
+        F.row_number().over(wr).alias("rr"),
+    )
+    ic = ranked.groupBy("mi").agg(
+        F.round(
+            1.0
+            - 6.0
+            * F.sum((F.col("rs") - F.col("rr")) * 1.0 * (F.col("rs") - F.col("rr")))
+            / (F.max("cm") * (F.max("cm") * 1.0 * F.max("cm") - 1.0)),
+            8,
+        ).alias("ic")
+    )
+    agg = ic.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("ic").alias("mu"),
+        F.sqrt(
+            (F.sum(F.col("ic") * F.col("ic")) - F.count(F.lit(1)) * F.avg("ic") * F.avg("ic"))
+            / F.nullif(F.count(F.lit(1)) - 1, F.lit(0))
+        ).alias("sd"),
+        F.avg(F.when(F.col("ic") > 0, 1.0).otherwise(0.0)).alias("pos"),
+    )
+    t = F.col("mu") / F.nullif(F.col("sd") / F.sqrt(F.col("n").cast("double")), F.lit(0.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n_months"),
+        F.round(F.col("mu"), 6).alias("mean_ic"),
+        F.round(t, 6).alias("ic_t_stat"),
+        F.round(F.col("pos"), 6).alias("pct_positive"),
+        F.round(F.col("mu") / F.nullif(F.col("sd"), F.lit(0.0)), 6).alias("ic_ir"),
+    )

@@ -298,6 +298,7 @@ QUERIES = [
     "q_momentum_spread",
     "q_roll_measure",
     "q_garman_klass",
+    "q_information_coefficient",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

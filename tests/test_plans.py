@@ -1140,3 +1140,14 @@ def test_microstructure_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = formatted(SPECS["q_garman_klass"].fn(spark, SF_DIR))
     assert "PushedFilters" in plan and "value" in plan
+
+
+def test_information_coefficient_plan(spark):
+    """Rank IC: all windows partitioned (nk rolling, mi ranks); no
+    cartesian, no Python eval."""
+    plan = plan_of(SPECS["q_information_coefficient"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert ("nk" in line) or ("mi" in line), line
