@@ -1443,3 +1443,121 @@ def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_panel_within_estimator — two-way fixed effects by double demeaning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_panel_within_estimator",
+    oracle="""
+    WITH panel AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
+             round(round(sum(o.o_totalprice), 2) / 1000.0, 6) AS y,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY nk, mi
+    ),
+    nmean AS (SELECT nk, avg(y) AS ybar_n, avg(x) AS xbar_n FROM panel GROUP BY nk),
+    mmean AS (SELECT mi, avg(y) AS ybar_m, avg(x) AS xbar_m FROM panel GROUP BY mi),
+    gmean AS (SELECT avg(y) AS ybar, avg(x) AS xbar FROM panel),
+    within AS (
+      SELECT round(p.y - n.ybar_n - m.ybar_m + g.ybar, 8) AS yt,
+             round(p.x - n.xbar_n - m.xbar_m + g.xbar, 8) AS xt,
+             p.y, p.x
+      FROM panel p
+      JOIN nmean n ON n.nk = p.nk
+      JOIN mmean m ON m.mi = p.mi
+      CROSS JOIN gmean g
+    ),
+    fit AS (
+      SELECT count(*) AS n,
+             sum(xt * yt) / sum(xt * xt) AS beta_fe,
+             (count(*) * sum(x * y) - sum(x) * sum(y))
+               / (count(*) * sum(x * x) - sum(x) * sum(x)) AS beta_pooled
+      FROM within
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(beta_pooled, 6) AS beta_pooled,
+           round(beta_fe, 6) AS beta_fixed_effects,
+           round(beta_pooled - beta_fe, 6) AS confound_gap
+    FROM fit
+    """,
+    tags=("stats", "analytics", "timeseries"),
+)
+def panel_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way fixed-effects (within) estimator on the nation × month
+    revenue panel: double-demean y (monthly revenue) and x (order
+    count) by nation means, month means, plus the grand mean, then
+    β_FE = Σx̃ỹ/Σx̃² — the panel-econometrics workhorse that sweeps out
+    every time-invariant nation effect and every nation-invariant month
+    shock, reported against the pooled OLS slope; the confound gap IS
+    the bias those fixed effects were absorbing. (q_diff_in_diff is the
+    2×2 special case; this is the full-panel generalization.)
+
+    Scale: one fact-dim aggregate to the O(nations × calendar) panel,
+    two group-mean joins + a broadcast grand mean, one moment pass —
+    panel-bounded. Demeaned values round at 8; the within slope is a
+    ratio of identical sums, rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    panel = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            ),
+        )
+        .agg(
+            F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("y"),
+            F.count(F.lit(1)).cast("long").alias("x"),
+        )
+    )
+    nmean = panel.groupBy("nk").agg(
+        F.avg("y").alias("ybar_n"), F.avg("x").alias("xbar_n")
+    )
+    mmean = panel.groupBy("mi").agg(
+        F.avg("y").alias("ybar_m"), F.avg("x").alias("xbar_m")
+    )
+    gmean = panel.agg(F.avg("y").alias("ybar"), F.avg("x").alias("xbar"))
+    within = (
+        panel.join(F.broadcast(nmean), "nk")
+        .join(F.broadcast(mmean), "mi")
+        .crossJoin(F.broadcast(gmean))
+        .select(
+            F.round(
+                F.col("y") - F.col("ybar_n") - F.col("ybar_m") + F.col("ybar"), 8
+            ).alias("yt"),
+            F.round(
+                F.col("x") - F.col("xbar_n") - F.col("xbar_m") + F.col("xbar"), 8
+            ).alias("xt"),
+            "y",
+            "x",
+        )
+    )
+    fit = within.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("xt") * F.col("yt")) / F.sum(F.col("xt") * F.col("xt"))).alias(
+            "beta_fe"
+        ),
+        (
+            (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            )
+        ).alias("beta_pooled"),
+    )
+    return fit.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(F.col("beta_pooled"), 6).alias("beta_pooled"),
+        F.round(F.col("beta_fe"), 6).alias("beta_fixed_effects"),
+        F.round(F.col("beta_pooled") - F.col("beta_fe"), 6).alias("confound_gap"),
+    )

@@ -1339,3 +1339,89 @@ def cross_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("independent"))
         .alias("relationship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_price_dispersion — law-of-one-price violations per part
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_price_dispersion",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey AS pk,
+             round(l_extendedprice / l_quantity, 4) AS up
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    g AS (
+      SELECT pk, count(*) AS n, avg(up) AS mu,
+             sqrt((sum(up * up) - count(*) * avg(up) * avg(up))
+                  / nullif(count(*) - 1, 0)) AS sd
+      FROM unit GROUP BY pk HAVING count(*) >= 5
+    ),
+    cv AS (
+      SELECT pk, n, round(sd / mu, 8) AS cv FROM g
+    ),
+    ranked AS (
+      SELECT pk, n, cv,
+             row_number() OVER (ORDER BY cv DESC, pk) AS rnk,
+             count(*) OVER () AS k,
+             avg(cv) OVER () AS mean_cv
+    FROM cv
+    )
+    SELECT CAST(pk AS BIGINT) AS part_id,
+           CAST(n AS BIGINT) AS n_sales,
+           round(cv, 6) AS price_cv,
+           round(mean_cv, 6) AS corpus_mean_cv
+    FROM ranked WHERE rnk <= 15
+    ORDER BY price_cv DESC, part_id
+    """,
+    tags=("analytics", "finance"),
+)
+def price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price dispersion per part: the coefficient of variation of
+    realized unit prices (extendedprice/quantity) across that part's
+    sales — the law-of-one-price audit: identical goods transacting at
+    CV > 0 quantifies search frictions or discriminatory pricing; the
+    top-15 most-dispersed parts are the repricing/leakage worklist,
+    with the corpus mean CV as context. (q_duplicate_payments hunts
+    exact anomalies; this measures the systematic spread.)
+
+    Scale: one linear unit-price projection, a per-part moment
+    aggregate (map-side combinable, parts ≥ 5 sales), a top-15
+    TakeOrdered on the 8-dp-rounded CV with part tie-break. Rounded at
+    6."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4).alias("up"),
+    )
+    g = (
+        unit.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("up").alias("mu"),
+            F.sqrt(
+                (
+                    F.sum(F.col("up") * F.col("up"))
+                    - F.count(F.lit(1)) * F.avg("up") * F.avg("up")
+                )
+                / F.nullif(F.count(F.lit(1)) - 1, F.lit(0))
+            ).alias("sd"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    cv = g.select("pk", "n", F.round(F.col("sd") / F.col("mu"), 8).alias("cv"))
+    mean_cv = cv.agg(F.avg("cv").alias("mean_cv"))
+    return (
+        cv.crossJoin(F.broadcast(mean_cv))
+        .orderBy(F.col("cv").desc(), F.col("pk"))
+        .limit(15)
+        .select(
+            F.col("pk").cast("long").alias("part_id"),
+            F.col("n").cast("long").alias("n_sales"),
+            F.round(F.col("cv"), 6).alias("price_cv"),
+            F.round(F.col("mean_cv"), 6).alias("corpus_mean_cv"),
+        )
+    )

@@ -299,6 +299,8 @@ QUERIES = [
     "q_roll_measure",
     "q_garman_klass",
     "q_information_coefficient",
+    "q_panel_within_estimator",
+    "q_price_dispersion",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -1151,3 +1151,15 @@ def test_information_coefficient_plan(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert ("nk" in line) or ("mi" in line), line
+
+
+def test_panel_dispersion_wave_plans(spark):
+    """Panel FE / price dispersion: group-mean broadcast joins + moment
+    passes; dispersion's top-15 is TakeOrdered; no cartesian on corpus
+    relations, no Python eval."""
+    for name in ("q_panel_within_estimator", "q_price_dispersion"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_price_dispersion"].fn(spark, SF_DIR))
+    assert "TakeOrdered" in plan
