@@ -448,3 +448,198 @@ def meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_wilcoxon_signed_rank — paired nonparametric year-over-year test
+# ---------------------------------------------------------------------------
+
+WSR_Y1 = 1999
+WSR_Y2 = 2000
+WSR_Z95 = 1.959964
+
+
+@query(
+    "q_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(round(sum(CASE WHEN year(o.o_orderdate) = {WSR_Y1}
+                                 THEN o.o_totalprice END) * 100) AS BIGINT) AS s1,
+             CAST(round(sum(CASE WHEN year(o.o_orderdate) = {WSR_Y2}
+                                 THEN o.o_totalprice END) * 100) AS BIGINT) AS s2
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderdate >= TIMESTAMP '{WSR_Y1}-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '{WSR_Y2 + 1}-01-01 00:00:00'
+      GROUP BY nk
+      HAVING s1 IS NOT NULL AND s2 IS NOT NULL AND s2 <> s1
+    ),
+    d AS (
+      SELECT nk, s2 - s1 AS d, abs(s2 - s1) AS ad FROM pairs
+    ),
+    ranked AS (
+      SELECT nk, d, row_number() OVER (ORDER BY ad, nk) AS rnk,
+             count(*) OVER () AS n
+      FROM d
+    ),
+    stat AS (
+      SELECT max(n) AS n,
+             sum(CASE WHEN d > 0 THEN rnk ELSE 0 END) AS w_plus,
+             sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_pos
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(w_plus AS BIGINT) AS w_plus,
+           CAST(n_pos AS BIGINT) AS n_positive,
+           round((w_plus - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0), 6) AS z_wilcoxon,
+           round((n_pos - n / 2.0) / sqrt(n / 4.0), 6) AS z_sign,
+           abs((w_plus - n * (n + 1) / 4.0)
+               / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0)) > {WSR_Z95}
+             AS reject_95
+    FROM stat
+    """,
+    tags=("stats", "analytics"),
+)
+def wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired nation revenues ({WSR_Y1} vs
+    the next year): W⁺ = sum of |difference| ranks where the later year
+    won, against E[W] = n(n+1)/4 — the PAIRED nonparametric test
+    (q_mann_whitney is the unpaired twin; q_welch_ttest the parametric
+    one), with the cruder sign test riding along to show what ranking
+    the magnitudes buys. Differences are exact integer cents; zero
+    differences drop per the standard procedure.
+
+    Scale: one two-year pushed-down aggregate to ≤25 pairs, one
+    global rank over that broadcast-sized relation (nk tie-break),
+    closed forms — dimension-bounded past the scan. Rounded at 6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pairs = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{WSR_Y1}-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{WSR_Y2 + 1}-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.year("o_orderdate") == WSR_Y1, F.col("o_totalprice"))
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("s1"),
+            F.round(
+                F.sum(
+                    F.when(F.year("o_orderdate") == WSR_Y2, F.col("o_totalprice"))
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("s2"),
+        )
+        .filter(
+            F.col("s1").isNotNull()
+            & F.col("s2").isNotNull()
+            & (F.col("s2") != F.col("s1"))
+        )
+    )
+    d = pairs.select(
+        "nk", (F.col("s2") - F.col("s1")).alias("d"), F.abs(F.col("s2") - F.col("s1")).alias("ad")
+    )
+    from bigdatainfinance1_spark.functions.ranks import global_row_number
+
+    ranked = global_row_number(d, ["ad", "nk"], rn_col="rnk")
+    nn = ranked.agg(F.count(F.lit(1)).alias("n"))
+    stat = ranked.crossJoin(F.broadcast(nn)).agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("rnk")).otherwise(0)).alias("w_plus"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("n_pos"),
+    )
+    zw = (F.col("w_plus") - F.col("n") * (F.col("n") + 1) / 4.0) / F.sqrt(
+        F.col("n") * (F.col("n") + 1.0) * (2 * F.col("n") + 1) / 24.0
+    )
+    zs = (F.col("n_pos") - F.col("n") / 2.0) / F.sqrt(F.col("n") / 4.0)
+    return stat.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("w_plus").cast("long").alias("w_plus"),
+        F.col("n_pos").cast("long").alias("n_positive"),
+        F.round(zw, 6).alias("z_wilcoxon"),
+        F.round(zs, 6).alias("z_sign"),
+        (F.abs(zw) > WSR_Z95).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cronbach_alpha — internal consistency of the quality-rater battery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cronbach_alpha",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN length(text) > 200 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN len(string_split(text, ' ')) > 40 THEN 1 ELSE 0 END AS rb,
+             CASE WHEN position('.' IN text) > 0 THEN 1 ELSE 0 END AS rc
+      FROM documents
+    ),
+    v AS (
+      SELECT count(*) AS n,
+             avg(ra * 1.0) * (1.0 - avg(ra * 1.0)) AS va,
+             avg(rb * 1.0) * (1.0 - avg(rb * 1.0)) AS vb,
+             avg(rc * 1.0) * (1.0 - avg(rc * 1.0)) AS vc,
+             avg((ra + rb + rc) * (ra + rb + rc) * 1.0)
+               - avg((ra + rb + rc) * 1.0) * avg((ra + rb + rc) * 1.0) AS vt
+      FROM rated
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round(va + vb + vc, 6) AS sum_item_var,
+           round(vt, 6) AS total_var,
+           round(1.5 * (1.0 - (va + vb + vc) / vt), 6) AS cronbach_alpha,
+           1.5 * (1.0 - (va + vb + vc) / vt) >= 0.7 AS acceptable
+    FROM v
+    """,
+    tags=("stats", "text", "quality", "llm"),
+)
+def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α (equivalently KR-20 for these binary items) of the
+    three document-quality raters: α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total) with
+    k = 3 — the internal-consistency reliability of the battery:
+    q_fleiss_kappa asks whether raters AGREE per item; α asks whether
+    the raters form ONE scale whose sum is a reliable quality score
+    (the precondition for using the vote total as a filter threshold).
+    Binary item variances are the exact p(1−p) closed form.
+
+    Scale: one linear pass to integer predicates, one moment aggregate,
+    closed forms on a 1-row relation — all map-side combinable.
+    Rounded at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.when(F.length("text") > 200, 1).otherwise(0).alias("ra"),
+        F.when(F.size(F.split("text", " ")) > 40, 1).otherwise(0).alias("rb"),
+        F.when(F.instr("text", ".") > 0, 1).otherwise(0).alias("rc"),
+    )
+    tot = (F.col("ra") + F.col("rb") + F.col("rc")) * 1.0
+    v = rated.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.avg(F.col("ra") * 1.0) * (1.0 - F.avg(F.col("ra") * 1.0))).alias("va"),
+        (F.avg(F.col("rb") * 1.0) * (1.0 - F.avg(F.col("rb") * 1.0))).alias("vb"),
+        (F.avg(F.col("rc") * 1.0) * (1.0 - F.avg(F.col("rc") * 1.0))).alias("vc"),
+        (F.avg(tot * tot) - F.avg(tot) * F.avg(tot)).alias("vt"),
+    )
+    alpha = 1.5 * (
+        1.0 - (F.col("va") + F.col("vb") + F.col("vc")) / F.col("vt")
+    )
+    return v.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("va") + F.col("vb") + F.col("vc"), 6).alias("sum_item_var"),
+        F.round(F.col("vt"), 6).alias("total_var"),
+        F.round(alpha, 6).alias("cronbach_alpha"),
+        (alpha >= 0.7).alias("acceptable"),
+    )

@@ -301,6 +301,8 @@ QUERIES = [
     "q_information_coefficient",
     "q_panel_within_estimator",
     "q_price_dispersion",
+    "q_wilcoxon_signed_rank",
+    "q_cronbach_alpha",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

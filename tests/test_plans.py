@@ -1163,3 +1163,14 @@ def test_panel_dispersion_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = plan_of(SPECS["q_price_dispersion"].fn(spark, SF_DIR))
     assert "TakeOrdered" in plan
+
+
+def test_paired_reliability_wave_plans(spark):
+    """Wilcoxon SR / Cronbach alpha: pushed-down two-year scan and one
+    linear pass respectively; no cartesian, no Python eval."""
+    for name in ("q_wilcoxon_signed_rank", "q_cronbach_alpha"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = formatted(SPECS["q_wilcoxon_signed_rank"].fn(spark, SF_DIR))
+    assert "PushedFilters" in plan and "o_orderdate" in plan
