@@ -1561,3 +1561,109 @@ def panel_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("beta_fe"), 6).alias("beta_fixed_effects"),
         F.round(F.col("beta_pooled") - F.col("beta_fe"), 6).alias("confound_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_distance_correlation — nonlinear dependence via double-centered distances
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_distance_correlation",
+    oracle=f"""
+    WITH {_TWO_SERIES_SQL},
+    p AS (
+      SELECT ym.mi, ym.y, xm.x FROM ym JOIN xm ON xm.mi = ym.mi
+    ),
+    pairs AS (
+      SELECT a.mi AS j, b.mi AS k,
+             round(abs(a.y - b.y), 6) AS ad,
+             round(abs(a.x - b.x), 6) AS bd
+      FROM p a CROSS JOIN p b
+    ),
+    rowm AS (
+      SELECT j, avg(ad) AS am, avg(bd) AS bm FROM pairs GROUP BY j
+    ),
+    grand AS (
+      SELECT avg(ad) AS ag, avg(bd) AS bg, count(*) AS n2 FROM pairs
+    ),
+    centered AS (
+      SELECT round(pairs.ad - rj.am - rk.am + grand.ag, 8) AS ac,
+             round(pairs.bd - rj.bm - rk.bm + grand.bg, 8) AS bc,
+             grand.n2
+      FROM pairs
+      JOIN rowm rj ON rj.j = pairs.j
+      JOIN rowm rk ON rk.j = pairs.k
+      CROSS JOIN grand
+    ),
+    mom AS (
+      SELECT max(n2) AS n2,
+             sum(ac * bc) / max(n2) AS dcov2,
+             sum(ac * ac) / max(n2) AS dvary2,
+             sum(bc * bc) / max(n2) AS dvarx2
+      FROM centered
+    )
+    SELECT CAST(CAST(sqrt(n2) AS BIGINT) AS BIGINT) AS n_months,
+           round(dcov2, 6) AS dcov_sq,
+           round(sqrt(dcov2 / sqrt(dvary2 * dvarx2)), 6) AS dcor
+    FROM mom
+    """,
+    tags=("stats", "timeseries"),
+)
+def distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance correlation (Székely-Rizzo) between monthly revenue and
+    shipped quantity: double-center the pairwise |Δ| matrices of each
+    series and correlate them — dCor = 0 characterizes INDEPENDENCE
+    (not just uncorrelatedness), so it detects the nonlinear and
+    non-monotone dependence that Pearson (q_partial_correlation's raw
+    r) and even rank measures (q_spearman_corr, q_gaussian_copula) can
+    miss entirely.
+
+    Scale: the pair matrix is O(months²) ≈ 6.4k rows over the broadcast
+    80-row joined series — calendar-bounded, corpus-independent past
+    the two monthly aggregates. Distances are exact at 6 dp; centered
+    values round at 8 before the products; dCor is one closed form,
+    rounded at 6."""
+    ym, xm = _two_series(spark, sf_dir)
+    p = ym.join(xm, "mi")
+    b = p.select(
+        F.col("mi").alias("k"), F.col("y").alias("yk"), F.col("x").alias("xk")
+    )
+    pairs = p.crossJoin(F.broadcast(b)).select(
+        F.col("mi").alias("j"),
+        "k",
+        F.round(F.abs(F.col("y") - F.col("yk")), 6).alias("ad"),
+        F.round(F.abs(F.col("x") - F.col("xk")), 6).alias("bd"),
+    )
+    rowm = pairs.groupBy("j").agg(F.avg("ad").alias("am"), F.avg("bd").alias("bm"))
+    grand = pairs.agg(
+        F.avg("ad").alias("ag"), F.avg("bd").alias("bg"), F.count(F.lit(1)).alias("n2")
+    )
+    rk = rowm.select(F.col("j").alias("k"), F.col("am").alias("amk"), F.col("bm").alias("bmk"))
+    centered = (
+        pairs.join(F.broadcast(rowm), "j")
+        .join(F.broadcast(rk), "k")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.round(
+                F.col("ad") - F.col("am") - F.col("amk") + F.col("ag"), 8
+            ).alias("ac"),
+            F.round(
+                F.col("bd") - F.col("bm") - F.col("bmk") + F.col("bg"), 8
+            ).alias("bc"),
+            "n2",
+        )
+    )
+    mom = centered.agg(
+        F.max("n2").alias("n2"),
+        (F.sum(F.col("ac") * F.col("bc")) / F.max("n2")).alias("dcov2"),
+        (F.sum(F.col("ac") * F.col("ac")) / F.max("n2")).alias("dvary2"),
+        (F.sum(F.col("bc") * F.col("bc")) / F.max("n2")).alias("dvarx2"),
+    )
+    return mom.select(
+        F.sqrt(F.col("n2")).cast("long").alias("n_months"),
+        F.round(F.col("dcov2"), 6).alias("dcov_sq"),
+        F.round(
+            F.sqrt(F.col("dcov2") / F.sqrt(F.col("dvary2") * F.col("dvarx2"))), 6
+        ).alias("dcor"),
+    )

@@ -303,6 +303,7 @@ QUERIES = [
     "q_price_dispersion",
     "q_wilcoxon_signed_rank",
     "q_cronbach_alpha",
+    "q_distance_correlation",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

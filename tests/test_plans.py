@@ -1174,3 +1174,14 @@ def test_paired_reliability_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = formatted(SPECS["q_wilcoxon_signed_rank"].fn(spark, SF_DIR))
     assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_distance_correlation_plan(spark):
+    """dCor: the O(months^2) pair matrix rides a broadcast of the 80-row
+    joined series (BroadcastNestedLoop, not CartesianProduct); no Python
+    eval; dCor must land in [0, 1]."""
+    plan = plan_of(SPECS["q_distance_correlation"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    row = SPECS["q_distance_correlation"].fn(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row.dcor <= 1.0
