@@ -643,3 +643,233 @@ def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha, 6).alias("cronbach_alpha"),
         (alpha >= 0.7).alias("acceptable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_indirect_standardization — mix-adjusted performance (SMR per region)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_indirect_standardization",
+    oracle="""
+    WITH obs AS (
+      SELECT r.r_name AS region, c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS conv
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    std AS (
+      SELECT seg, sum(conv) * 1.0 / count(*) AS rate FROM obs GROUP BY seg
+    ),
+    cells AS (
+      SELECT region, seg, count(*) AS n, sum(conv) AS o FROM obs GROUP BY region, seg
+    ),
+    smr AS (
+      SELECT cells.region,
+             CAST(sum(cells.o) AS BIGINT) AS observed,
+             sum(cells.n * std.rate) AS expected
+      FROM cells JOIN std ON std.seg = cells.seg
+      GROUP BY cells.region
+    )
+    SELECT region, observed,
+           round(expected, 4) AS expected,
+           round(observed / expected, 6) AS smr,
+           round((observed - expected) / sqrt(expected), 6) AS z_byar,
+           abs((observed - expected) / sqrt(expected)) > 1.959964 AS significant
+    FROM smr ORDER BY region
+    """,
+    tags=("stats", "analytics", "experimentation"),
+)
+def indirect_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirect standardization of region conversion (urgent-order
+    rate): expected conversions = Σ (corpus-wide segment rate × the
+    region's segment exposure), SMR = observed/expected with the
+    Poisson z ≈ (O−E)/√E — the epidemiology machinery answering the
+    business question "does this region over/under-perform AFTER
+    adjusting for its customer mix?", which raw rate comparisons
+    (q_beta_binomial_ab) conflate with composition.
+
+    Scale: one dim-chain aggregate to (region × segment) integer cells
+    + broadcast segment rates; closed forms on 25 cells. Rounded at
+    4/6."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    obs = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+    )
+    std = obs.groupBy("seg").agg(
+        (F.sum("conv") * 1.0 / F.count(F.lit(1))).alias("rate")
+    )
+    cells = obs.groupBy("region", "seg").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("o")
+    )
+    smr = (
+        cells.join(F.broadcast(std), "seg")
+        .groupBy("region")
+        .agg(
+            F.sum("o").cast("long").alias("observed"),
+            F.sum(F.col("n") * F.col("rate")).alias("expected"),
+        )
+    )
+    z = (F.col("observed") - F.col("expected")) / F.sqrt(F.col("expected"))
+    return smr.select(
+        "region",
+        "observed",
+        F.round(F.col("expected"), 4).alias("expected"),
+        F.round(F.col("observed") / F.col("expected"), 6).alias("smr"),
+        F.round(z, 6).alias("z_byar"),
+        (F.abs(z) > 1.959964).alias("significant"),
+    ).orderBy("region")
+
+
+# ---------------------------------------------------------------------------
+# q_oaxaca_kitagawa — mix-effect vs rate-effect decomposition
+# ---------------------------------------------------------------------------
+
+OK_REGION_A = "EUROPE"
+OK_REGION_B = "ASIA"
+
+
+@query(
+    "q_oaxaca_kitagawa",
+    oracle=f"""
+    WITH obs AS (
+      SELECT r.r_name AS region, c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS conv
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('{OK_REGION_A}', '{OK_REGION_B}')
+    ),
+    cells AS (
+      SELECT region, seg, count(*) AS n, sum(conv) * 1.0 / count(*) AS rate
+      FROM obs GROUP BY region, seg
+    ),
+    tot AS (
+      SELECT region, sum(n) AS nt FROM cells GROUP BY region
+    ),
+    wr AS (
+      SELECT cells.region, cells.seg,
+             cells.n * 1.0 / tot.nt AS w, cells.rate
+      FROM cells JOIN tot ON tot.region = cells.region
+    ),
+    sides AS (
+      SELECT a.seg, a.w AS wa, a.rate AS ra, b.w AS wb, b.rate AS rb
+      FROM (SELECT * FROM wr WHERE region = '{OK_REGION_A}') a
+      JOIN (SELECT * FROM wr WHERE region = '{OK_REGION_B}') b ON b.seg = a.seg
+    ),
+    dec AS (
+      SELECT sum(wa * ra) - sum(wb * rb) AS gap,
+             sum((wa - wb) * (ra + rb) / 2.0) AS mix_effect,
+             sum(((wa + wb) / 2.0) * (ra - rb)) AS rate_effect
+      FROM sides
+    )
+    SELECT round(gap, 6) AS total_gap,
+           round(mix_effect, 6) AS mix_effect,
+           round(rate_effect, 6) AS rate_effect,
+           round(mix_effect + rate_effect - gap, 9) AS residual_check
+    FROM dec
+    """,
+    tags=("stats", "analytics", "experimentation"),
+)
+def oaxaca_kitagawa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kitagawa/Oaxaca-Blinder decomposition of the EUROPE-vs-ASIA
+    conversion gap: split the total rate difference into the MIX effect
+    Σ(wₐ−w_b)·r̄ (different segment composition) and the RATE effect
+    Σw̄·(rₐ−r_b) (different within-segment performance), using the
+    symmetric midpoint weighting so the two components sum EXACTLY to
+    the gap (residual_check ≈ 0 by construction, emitted as proof) —
+    the standard answer to "is the difference who they sell to, or how
+    well they sell?".
+
+    Scale: one two-region pushed aggregate to 10 (region, segment)
+    cells; closed forms. Rounded at 6/9."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    obs = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                reg.filter(F.col("r_name").isin(OK_REGION_A, OK_REGION_B)).select(
+                    "r_regionkey", "r_name"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)
+            .alias("conv"),
+        )
+    )
+    cells = obs.groupBy("region", "seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("conv") * 1.0 / F.count(F.lit(1))).alias("rate"),
+    )
+    tot = cells.groupBy("region").agg(F.sum("n").alias("nt"))
+    wr = cells.join(F.broadcast(tot), "region").select(
+        "region", "seg", (F.col("n") * 1.0 / F.col("nt")).alias("w"), "rate"
+    )
+    a = wr.filter(F.col("region") == OK_REGION_A).select(
+        "seg", F.col("w").alias("wa"), F.col("rate").alias("ra")
+    )
+    b = wr.filter(F.col("region") == OK_REGION_B).select(
+        "seg", F.col("w").alias("wb"), F.col("rate").alias("rb")
+    )
+    sides = a.join(b, "seg")
+    dec = sides.agg(
+        (
+            F.sum(F.col("wa") * F.col("ra")) - F.sum(F.col("wb") * F.col("rb"))
+        ).alias("gap"),
+        F.sum((F.col("wa") - F.col("wb")) * (F.col("ra") + F.col("rb")) / 2.0).alias(
+            "mix_effect"
+        ),
+        F.sum(((F.col("wa") + F.col("wb")) / 2.0) * (F.col("ra") - F.col("rb"))).alias(
+            "rate_effect"
+        ),
+    )
+    return dec.select(
+        F.round(F.col("gap"), 6).alias("total_gap"),
+        F.round(F.col("mix_effect"), 6).alias("mix_effect"),
+        F.round(F.col("rate_effect"), 6).alias("rate_effect"),
+        F.round(
+            F.col("mix_effect") + F.col("rate_effect") - F.col("gap"), 9
+        ).alias("residual_check"),
+    )

@@ -304,6 +304,8 @@ QUERIES = [
     "q_wilcoxon_signed_rank",
     "q_cronbach_alpha",
     "q_distance_correlation",
+    "q_indirect_standardization",
+    "q_oaxaca_kitagawa",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

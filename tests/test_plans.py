@@ -1185,3 +1185,14 @@ def test_distance_correlation_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     row = SPECS["q_distance_correlation"].fn(spark, SF_DIR).collect()[0]
     assert 0.0 <= row.dcor <= 1.0
+
+
+def test_standardization_decomposition_plans(spark):
+    """SMR / Kitagawa: dim-chain cell aggregates + closed forms; Kitagawa
+    must reconcile exactly (mix + rate = gap)."""
+    for name in ("q_indirect_standardization", "q_oaxaca_kitagawa"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    row = SPECS["q_oaxaca_kitagawa"].fn(spark, SF_DIR).collect()[0]
+    assert abs(row.residual_check) < 1e-8
