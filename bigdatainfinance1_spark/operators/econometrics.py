@@ -861,282 +861,6 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_granger_causality — does shipped quantity lead revenue?
-# ---------------------------------------------------------------------------
-
-_TWO_SERIES_SQL = """
-    ym AS (
-      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS y
-      FROM orders GROUP BY mi
-    ),
-    xm AS (
-      SELECT CAST(year(l_shipdate) AS BIGINT) * 12 + month(l_shipdate) AS mi,
-             round(sum(l_quantity) / 1000.0, 6) AS x
-      FROM lineitem GROUP BY mi
-    )
-"""
-
-
-def _two_series(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    ym = orders.groupBy(
-        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("y"))
-    xm = li.groupBy(
-        (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi")
-    ).agg(F.round(F.sum("l_quantity") / 1000.0, 6).alias("x"))
-    return ym, xm
-
-
-@query(
-    "q_granger_causality",
-    oracle=f"""
-    WITH {_TWO_SERIES_SQL},
-    obs AS (
-      SELECT a.mi, a.y, b.y AS ylag, c.x AS xlag
-      FROM ym a JOIN ym b ON b.mi = a.mi - 1 JOIN xm c ON c.mi = a.mi - 1
-    ),
-    mm AS (
-      SELECT count(*) AS n,
-             sum(ylag) AS s1, sum(xlag) AS s2, sum(y) AS sy,
-             sum(ylag * ylag) AS s11, sum(xlag * xlag) AS s22,
-             sum(ylag * xlag) AS s12,
-             sum(ylag * y) AS s1y, sum(xlag * y) AS s2y, sum(y * y) AS syy
-      FROM obs
-    ),
-    c AS (
-      SELECT n,
-             n * s11 - s1 * s1 AS a11, n * s12 - s1 * s2 AS a12,
-             n * s22 - s2 * s2 AS a22,
-             n * s1y - s1 * sy AS b1, n * s2y - s2 * sy AS b2,
-             n * syy - sy * sy AS syy_c
-      FROM mm
-    ),
-    fit AS (
-      SELECT n,
-             (syy_c - (b1 / a11) * b1) / n AS ssr_r,
-             (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) AS beta_ylag,
-             (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) AS beta_xlag,
-             (syy_c
-              - (b1 * a22 - b2 * a12) / (a11 * a22 - a12 * a12) * b1
-              - (b2 * a11 - b1 * a12) / (a11 * a22 - a12 * a12) * b2) / n AS ssr_u
-      FROM c
-    )
-    SELECT CAST(n AS BIGINT) AS n_obs,
-           round(beta_ylag, 6) AS beta_ylag,
-           round(beta_xlag, 6) AS beta_xlag,
-           round(ssr_r, 6) AS ssr_restricted,
-           round(ssr_u, 6) AS ssr_unrestricted,
-           round((ssr_r - ssr_u) * (n - 3) / ssr_u, 6) AS f_stat,
-           CASE WHEN (ssr_r - ssr_u) * (n - 3) / ssr_u > {F_1_CRIT_5}
-                THEN 'x_granger_causes_y' ELSE 'no_causality' END AS verdict
-    FROM fit
-    """,
-    tags=("stats", "timeseries", "finance"),
-)
-def granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Granger causality (1 lag) from monthly shipped quantity to monthly
-    revenue: F-test of the xₜ₋₁ term by comparing SSR of the restricted
-    AR(1) (y on yₜ₋₁) against the unrestricted bivariate model (y on
-    yₜ₋₁, xₜ₋₁) over the SAME observations — the standard lead-lag
-    screen before using one series to forecast another. Both models come
-    from ONE moment aggregate (the restricted fit is a sub-expression of
-    the unrestricted normal equations).
-
-    Scale: two map-side-combinable monthly aggregates (orders, lineitem),
-    two broadcast lag equi-joins on the dense month index, one 10-moment
-    aggregate, Cramer's-rule closed forms — calendar-bounded past the
-    scans. Both engines evaluate the identical expression shape over
-    identical 6-dp inputs, rounded at 6."""
-    ym, xm = _two_series(spark, sf_dir)
-    obs = (
-        ym.select("mi", "y")
-        .join(
-            F.broadcast(ym.select((F.col("mi") + 1).alias("mi"), F.col("y").alias("ylag"))),
-            "mi",
-        )
-        .join(
-            F.broadcast(xm.select((F.col("mi") + 1).alias("mi"), F.col("x").alias("xlag"))),
-            "mi",
-        )
-    )
-    mm = obs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("ylag").alias("s1"),
-        F.sum("xlag").alias("s2"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("ylag") * F.col("ylag")).alias("s11"),
-        F.sum(F.col("xlag") * F.col("xlag")).alias("s22"),
-        F.sum(F.col("ylag") * F.col("xlag")).alias("s12"),
-        F.sum(F.col("ylag") * F.col("y")).alias("s1y"),
-        F.sum(F.col("xlag") * F.col("y")).alias("s2y"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    c = mm.select(
-        "n",
-        (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).alias("a11"),
-        (F.col("n") * F.col("s12") - F.col("s1") * F.col("s2")).alias("a12"),
-        (F.col("n") * F.col("s22") - F.col("s2") * F.col("s2")).alias("a22"),
-        (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).alias("b1"),
-        (F.col("n") * F.col("s2y") - F.col("s2") * F.col("sy")).alias("b2"),
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("syy_c"),
-    )
-    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
-    b1u = (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")) / det
-    b2u = (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")) / det
-    fit = c.select(
-        "n",
-        ((F.col("syy_c") - (F.col("b1") / F.col("a11")) * F.col("b1")) / F.col("n")).alias(
-            "ssr_r"
-        ),
-        b1u.alias("beta_ylag"),
-        b2u.alias("beta_xlag"),
-        (
-            (F.col("syy_c") - b1u * F.col("b1") - b2u * F.col("b2")) / F.col("n")
-        ).alias("ssr_u"),
-    )
-    fstat = (F.col("ssr_r") - F.col("ssr_u")) * (F.col("n") - 3) / F.col("ssr_u")
-    return fit.select(
-        F.col("n").cast("long").alias("n_obs"),
-        F.round(F.col("beta_ylag"), 6).alias("beta_ylag"),
-        F.round(F.col("beta_xlag"), 6).alias("beta_xlag"),
-        F.round(F.col("ssr_r"), 6).alias("ssr_restricted"),
-        F.round(F.col("ssr_u"), 6).alias("ssr_unrestricted"),
-        F.round(fstat, 6).alias("f_stat"),
-        F.when(fstat > F_1_CRIT_5, F.lit("x_granger_causes_y"))
-        .otherwise(F.lit("no_causality"))
-        .alias("verdict"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q_engle_granger — cointegration of revenue and shipped quantity
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q_engle_granger",
-    oracle=f"""
-    WITH {_TWO_SERIES_SQL},
-    lv AS (
-      SELECT a.mi, a.y, b.x FROM ym a JOIN xm b ON b.mi = a.mi
-    ),
-    mm AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy
-      FROM lv
-    ),
-    fit AS (
-      SELECT n,
-             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta,
-             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS alpha
-      FROM mm
-    ),
-    resid AS (
-      SELECT lv.mi, round(lv.y - fit.alpha - fit.beta * lv.x, 8) AS e, fit.n,
-             round(fit.beta, 6) AS beta6
-      FROM lv CROSS JOIN fit
-    ),
-    d AS (
-      SELECT a.mi, b.e AS el, a.e - b.e AS de, a.n, a.beta6
-      FROM resid a JOIN resid b ON b.mi = a.mi - 1
-    ),
-    dm AS (
-      SELECT max(n) AS n_months, max(beta6) AS beta6, count(*) AS nd,
-             sum(el * de) AS sed, sum(el * el) AS see, sum(de * de) AS sdd
-      FROM d
-    ),
-    tt AS (
-      SELECT n_months, beta6, nd, sed / see AS gamma,
-             (sdd - (sed / see) * sed) / (nd - 1) AS s2, see
-      FROM dm
-    )
-    SELECT CAST(n_months AS BIGINT) AS n_months,
-           beta6 AS beta_coint,
-           round(gamma, 6) AS gamma,
-           round(gamma / sqrt(s2 / see), 6) AS t_stat,
-           CASE WHEN gamma / sqrt(s2 / see) < {EG_CRIT_5}
-                THEN 'cointegrated' ELSE 'no_cointegration' END AS verdict
-    FROM tt
-    """,
-    tags=("stats", "timeseries", "finance"),
-)
-def engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engle-Granger two-step cointegration test between monthly revenue
-    and monthly shipped quantity: OLS of y on x in LEVELS, then a
-    Dickey-Fuller regression (no constant) on the residuals — t(γ̂)
-    below the −3.37 Engle-Granger 5% critical value means the two
-    trending series share a common stochastic trend (the foundation of
-    pairs trading and error-correction forecasting; q_adf_test supplies
-    the single-series prerequisite).
-
-    Scale: two monthly aggregates, one equi-join on month, one 5-moment
-    fit, one residual pass, one broadcast lag equi-join, closed forms —
-    calendar-bounded past the scans. Residuals round at 8; Δe is a
-    difference of 8-dp values (exact); one expression shape both
-    engines, rounded at 6."""
-    ym, xm = _two_series(spark, sf_dir)
-    lv = ym.join(xm, "mi")
-    mm = lv.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    fit = mm.select(
-        "n",
-        beta.alias("beta"),
-        ((F.col("sy") - beta * F.col("sx")) / F.col("n")).alias("alpha"),
-    )
-    resid = lv.crossJoin(F.broadcast(fit)).select(
-        "mi",
-        F.round(F.col("y") - F.col("alpha") - F.col("beta") * F.col("x"), 8).alias("e"),
-        "n",
-        F.round(F.col("beta"), 6).alias("beta6"),
-    )
-    d = resid.select("mi", F.col("e").alias("ea"), "n", "beta6").join(
-        F.broadcast(
-            resid.select((F.col("mi") + 1).alias("mi"), F.col("e").alias("el"))
-        ),
-        "mi",
-    )
-    d = d.select("mi", "el", (F.col("ea") - F.col("el")).alias("de"), "n", "beta6")
-    dm = d.agg(
-        F.max("n").alias("n_months"),
-        F.max("beta6").alias("beta6"),
-        F.count(F.lit(1)).alias("nd"),
-        F.sum(F.col("el") * F.col("de")).alias("sed"),
-        F.sum(F.col("el") * F.col("el")).alias("see"),
-        F.sum(F.col("de") * F.col("de")).alias("sdd"),
-    )
-    gamma = F.col("sed") / F.col("see")
-    tt = dm.select(
-        "n_months",
-        "beta6",
-        "nd",
-        gamma.alias("gamma"),
-        ((F.col("sdd") - gamma * F.col("sed")) / (F.col("nd") - 1)).alias("s2"),
-        "see",
-    )
-    t = F.col("gamma") / F.sqrt(F.col("s2") / F.col("see"))
-    return tt.select(
-        F.col("n_months").cast("long").alias("n_months"),
-        F.col("beta6").alias("beta_coint"),
-        F.round(F.col("gamma"), 6).alias("gamma"),
-        F.round(t, 6).alias("t_stat"),
-        F.when(t < EG_CRIT_5, F.lit("cointegrated"))
-        .otherwise(F.lit("no_cointegration"))
-        .alias("verdict"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # q_chow_test — structural break in the revenue trend at the sample midpoint
 # ---------------------------------------------------------------------------
 
@@ -1353,99 +1077,6 @@ def arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_cross_correlation — the full lead-lag CCF between revenue and quantity
-# ---------------------------------------------------------------------------
-
-CCF_MAX_LAG = 3
-
-
-@query(
-    "q_cross_correlation",
-    oracle=f"""
-    WITH {_TWO_SERIES_SQL},
-    ymu AS (SELECT count(*) AS n, round(avg(y), 8) AS muy FROM ym),
-    xmu AS (SELECT round(avg(x), 8) AS mux FROM xm),
-    yd AS (
-      SELECT ym.mi, round(ym.y - ymu.muy, 8) AS dy, ymu.n
-      FROM ym CROSS JOIN ymu
-    ),
-    xd AS (
-      SELECT xm.mi, round(xm.x - xmu.mux, 8) AS dx
-      FROM xm CROSS JOIN xmu
-    ),
-    denom AS (
-      SELECT sqrt((SELECT sum(dy * dy) FROM yd) * (SELECT sum(dx * dx) FROM xd))
-        AS den
-    ),
-    lags AS (SELECT unnest(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1)) AS lag),
-    ccf AS (
-      SELECT lags.lag,
-             sum(yd.dy * xd.dx) AS num,
-             count(*) AS n_pairs
-      FROM lags
-      JOIN yd ON true
-      JOIN xd ON xd.mi = yd.mi + lags.lag
-      GROUP BY lags.lag
-    )
-    SELECT CAST(ccf.lag AS BIGINT) AS lag,
-           CAST(ccf.n_pairs AS BIGINT) AS n_pairs,
-           round(ccf.num / denom.den, 6) AS ccf
-    FROM ccf CROSS JOIN denom
-    ORDER BY lag
-    """,
-    tags=("timeseries", "stats", "finance"),
-)
-def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cross-correlation function between monthly revenue and
-    shipped quantity at lags −3..+3 (positive lag = quantity LEADS
-    revenue): the full lead-lag profile whose single best lag
-    q_granger_causality then tests formally — CCF is the scouting view
-    (which direction, which delay), Granger the inference. Normalized
-    by the full-sample √(Σdy²·Σdx²) so all seven values share one
-    denominator and are comparable.
-
-    Scale: two monthly aggregates, demeaning passes, a 7-row lag grid
-    joined on the shifted month index — calendar-bounded. Deviations
-    round at 8; one shared denominator; rounded at 6."""
-    ym, xm = _two_series(spark, sf_dir)
-    ymu = ym.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("y"), 8).alias("muy"))
-    xmu = xm.agg(F.round(F.avg("x"), 8).alias("mux"))
-    yd = ym.crossJoin(F.broadcast(ymu)).select(
-        "mi", F.round(F.col("y") - F.col("muy"), 8).alias("dy")
-    )
-    xd = xm.crossJoin(F.broadcast(xmu)).select(
-        "mi", F.round(F.col("x") - F.col("mux"), 8).alias("dx")
-    )
-    den = (
-        yd.agg(F.sum(F.col("dy") * F.col("dy")).alias("sdy"))
-        .crossJoin(F.broadcast(xd.agg(F.sum(F.col("dx") * F.col("dx")).alias("sdx"))))
-        .select(F.sqrt(F.col("sdy") * F.col("sdx")).alias("den"))
-    )
-    lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(F.col("id").alias("lag"))
-    pairs = (
-        lags.crossJoin(yd)
-        .join(
-            F.broadcast(xd.select(F.col("mi").alias("xmi"), "dx")),
-            F.col("xmi") == F.col("mi") + F.col("lag"),
-        )
-        .groupBy("lag")
-        .agg(
-            F.sum(F.col("dy") * F.col("dx")).alias("num"),
-            F.count(F.lit(1)).alias("n_pairs"),
-        )
-    )
-    return (
-        pairs.crossJoin(F.broadcast(den))
-        .select(
-            F.col("lag").cast("long").alias("lag"),
-            F.col("n_pairs").cast("long").alias("n_pairs"),
-            F.round(F.col("num") / F.col("den"), 6).alias("ccf"),
-        )
-        .orderBy("lag")
-    )
-
-
-# ---------------------------------------------------------------------------
 # q_panel_within_estimator — two-way fixed effects by double demeaning
 # ---------------------------------------------------------------------------
 
@@ -1560,110 +1191,4 @@ def panel_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("beta_pooled"), 6).alias("beta_pooled"),
         F.round(F.col("beta_fe"), 6).alias("beta_fixed_effects"),
         F.round(F.col("beta_pooled") - F.col("beta_fe"), 6).alias("confound_gap"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# q_distance_correlation — nonlinear dependence via double-centered distances
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "q_distance_correlation",
-    oracle=f"""
-    WITH {_TWO_SERIES_SQL},
-    p AS (
-      SELECT ym.mi, ym.y, xm.x FROM ym JOIN xm ON xm.mi = ym.mi
-    ),
-    pairs AS (
-      SELECT a.mi AS j, b.mi AS k,
-             round(abs(a.y - b.y), 6) AS ad,
-             round(abs(a.x - b.x), 6) AS bd
-      FROM p a CROSS JOIN p b
-    ),
-    rowm AS (
-      SELECT j, avg(ad) AS am, avg(bd) AS bm FROM pairs GROUP BY j
-    ),
-    grand AS (
-      SELECT avg(ad) AS ag, avg(bd) AS bg, count(*) AS n2 FROM pairs
-    ),
-    centered AS (
-      SELECT round(pairs.ad - rj.am - rk.am + grand.ag, 8) AS ac,
-             round(pairs.bd - rj.bm - rk.bm + grand.bg, 8) AS bc,
-             grand.n2
-      FROM pairs
-      JOIN rowm rj ON rj.j = pairs.j
-      JOIN rowm rk ON rk.j = pairs.k
-      CROSS JOIN grand
-    ),
-    mom AS (
-      SELECT max(n2) AS n2,
-             sum(ac * bc) / max(n2) AS dcov2,
-             sum(ac * ac) / max(n2) AS dvary2,
-             sum(bc * bc) / max(n2) AS dvarx2
-      FROM centered
-    )
-    SELECT CAST(CAST(sqrt(n2) AS BIGINT) AS BIGINT) AS n_months,
-           round(dcov2, 6) AS dcov_sq,
-           round(sqrt(dcov2 / sqrt(dvary2 * dvarx2)), 6) AS dcor
-    FROM mom
-    """,
-    tags=("stats", "timeseries"),
-)
-def distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distance correlation (Székely-Rizzo) between monthly revenue and
-    shipped quantity: double-center the pairwise |Δ| matrices of each
-    series and correlate them — dCor = 0 characterizes INDEPENDENCE
-    (not just uncorrelatedness), so it detects the nonlinear and
-    non-monotone dependence that Pearson (q_partial_correlation's raw
-    r) and even rank measures (q_spearman_corr, q_gaussian_copula) can
-    miss entirely.
-
-    Scale: the pair matrix is O(months²) ≈ 6.4k rows over the broadcast
-    80-row joined series — calendar-bounded, corpus-independent past
-    the two monthly aggregates. Distances are exact at 6 dp; centered
-    values round at 8 before the products; dCor is one closed form,
-    rounded at 6."""
-    ym, xm = _two_series(spark, sf_dir)
-    p = ym.join(xm, "mi")
-    b = p.select(
-        F.col("mi").alias("k"), F.col("y").alias("yk"), F.col("x").alias("xk")
-    )
-    pairs = p.crossJoin(F.broadcast(b)).select(
-        F.col("mi").alias("j"),
-        "k",
-        F.round(F.abs(F.col("y") - F.col("yk")), 6).alias("ad"),
-        F.round(F.abs(F.col("x") - F.col("xk")), 6).alias("bd"),
-    )
-    rowm = pairs.groupBy("j").agg(F.avg("ad").alias("am"), F.avg("bd").alias("bm"))
-    grand = pairs.agg(
-        F.avg("ad").alias("ag"), F.avg("bd").alias("bg"), F.count(F.lit(1)).alias("n2")
-    )
-    rk = rowm.select(F.col("j").alias("k"), F.col("am").alias("amk"), F.col("bm").alias("bmk"))
-    centered = (
-        pairs.join(F.broadcast(rowm), "j")
-        .join(F.broadcast(rk), "k")
-        .crossJoin(F.broadcast(grand))
-        .select(
-            F.round(
-                F.col("ad") - F.col("am") - F.col("amk") + F.col("ag"), 8
-            ).alias("ac"),
-            F.round(
-                F.col("bd") - F.col("bm") - F.col("bmk") + F.col("bg"), 8
-            ).alias("bc"),
-            "n2",
-        )
-    )
-    mom = centered.agg(
-        F.max("n2").alias("n2"),
-        (F.sum(F.col("ac") * F.col("bc")) / F.max("n2")).alias("dcov2"),
-        (F.sum(F.col("ac") * F.col("ac")) / F.max("n2")).alias("dvary2"),
-        (F.sum(F.col("bc") * F.col("bc")) / F.max("n2")).alias("dvarx2"),
-    )
-    return mom.select(
-        F.sqrt(F.col("n2")).cast("long").alias("n_months"),
-        F.round(F.col("dcov2"), 6).alias("dcov_sq"),
-        F.round(
-            F.sqrt(F.col("dcov2") / F.sqrt(F.col("dvary2") * F.col("dvarx2"))), 6
-        ).alias("dcor"),
     )
