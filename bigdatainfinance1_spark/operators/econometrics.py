@@ -1192,3 +1192,197 @@ def panel_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("beta_fe"), 6).alias("beta_fixed_effects"),
         F.round(F.col("beta_pooled") - F.col("beta_fe"), 6).alias("confound_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_vif — multicollinearity check for the two-factor price regression
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_vif",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 10000) AS BIGINT) AS x2
+      FROM lineitem
+    ),
+    mm AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12
+      FROM obs
+    ),
+    r AS (
+      SELECT n,
+             (n * 1e0 * s12 - s1 * 1e0 * s2) * (n * 1e0 * s12 - s1 * 1e0 * s2)
+               / ((n * 1e0 * s11 - s1 * 1e0 * s1)
+                  * (n * 1e0 * s22 - s2 * 1e0 * s2)) AS r2
+      FROM mm
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           round(r2, 6) AS r2_between_regressors,
+           round(1.0 / (1.0 - r2), 6) AS vif,
+           1.0 / (1.0 - r2) > 5.0 AS collinearity_concern
+    FROM r
+    """,
+    tags=("stats", "ml"),
+)
+def vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance inflation factor for q_ols_two_factor's regressors
+    (quantity, discount basis points): VIF = 1/(1−R²) of one regressor
+    on the other — the multicollinearity diagnostic that says how much
+    the betas' variance is inflated by regressor overlap (VIF > 5 is
+    the standard concern flag; with two regressors the auxiliary R² is
+    just their squared correlation, so the whole check is one moment
+    pass over exact integers).
+
+    Scale: one map-side-combinable 6-moment aggregate; centered
+    products in double with identical expression shape (the
+    q_ols_two_factor int64-overflow posture). Rounded at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+    )
+    mm = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+    )
+    num = F.col("n") * 1.0 * F.col("s12") - F.col("s1") * 1.0 * F.col("s2")
+    r2 = (
+        num
+        * num
+        / (
+            (F.col("n") * 1.0 * F.col("s11") - F.col("s1") * 1.0 * F.col("s1"))
+            * (F.col("n") * 1.0 * F.col("s22") - F.col("s2") * 1.0 * F.col("s2"))
+        )
+    )
+    r = mm.select("n", r2.alias("r2"))
+    return r.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(F.col("r2"), 6).alias("r2_between_regressors"),
+        F.round(1.0 / (1.0 - F.col("r2")), 6).alias("vif"),
+        (1.0 / (1.0 - F.col("r2")) > 5.0).alias("collinearity_concern"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_influence_diagnostics — leverage and Cook's D on the trend regression
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_influence_diagnostics",
+    oracle=f"""
+    WITH {_DW_RESID_SQL},
+    sxx AS (
+      SELECT count(*) AS n, avg(i * 1.0) AS ibar,
+             sum(i * 1.0 * i) - count(*) * avg(i * 1.0) * avg(i * 1.0) AS sxx_c,
+             sum(e * e) AS sse
+      FROM resid
+    ),
+    diag AS (
+      SELECT resid.i, resid.e,
+             1.0 / sxx.n + (resid.i - sxx.ibar) * (resid.i - sxx.ibar) / sxx.sxx_c
+               AS h,
+             sxx.sse / (sxx.n - 2) AS mse, sxx.n
+      FROM resid CROSS JOIN sxx
+    ),
+    cooks AS (
+      SELECT idx.mi, diag.e, diag.h,
+             round(diag.e * diag.e / (2.0 * diag.mse) * diag.h
+                   / ((1.0 - diag.h) * (1.0 - diag.h)), 8) AS d,
+             diag.n
+      FROM diag JOIN idx ON idx.i = diag.i
+    )
+    SELECT CAST(mi AS BIGINT) AS mi,
+           round(e, 6) AS residual,
+           round(h, 6) AS leverage,
+           round(d, 6) AS cooks_d,
+           d > 4.0 / n AS influential
+    FROM cooks
+    ORDER BY d DESC, mi LIMIT 10
+    """,
+    tags=("stats", "timeseries", "quality"),
+)
+def influence_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence diagnostics on the monthly-revenue trend regression:
+    leverage hᵢ = 1/n + (xᵢ−x̄)²/Sxx and Cook's distance Dᵢ =
+    eᵢ²hᵢ/(p·MSE·(1−hᵢ)²) per month, top-10 by D with the 4/n flag —
+    WHICH observations the fitted trend actually hinges on (endpoint
+    months carry the leverage; spike months carry the residual;
+    Cook's D is their product, and q_grubbs_test's outlier is only
+    influential if it also has leverage).
+
+    Scale: shares q_durbin_watson's residual machinery + one closed
+    form per month + top-10 TakeOrdered on 8-dp-rounded D with month
+    tie-break — calendar-bounded. Rounded at 6."""
+    idx = _monthly(spark, sf_dir)
+    mom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i") * 1.0).alias("si"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("i") * 1.0 * F.col("i")).alias("sii"),
+        F.sum(F.col("i") * F.col("z")).alias("siz"),
+    )
+    beta = (F.col("n") * F.col("siz") - F.col("si") * F.col("sz")) / (
+        F.col("n") * F.col("sii") - F.col("si") * F.col("si")
+    )
+    fit = mom.select(
+        "n",
+        beta.alias("beta"),
+        ((F.col("sz") - beta * F.col("si")) / F.col("n")).alias("alpha"),
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "mi",
+        "i",
+        F.round(F.col("z") - F.col("alpha") - F.col("beta") * F.col("i"), 8).alias("e"),
+    )
+    # 80-row relation branched 3 ways (count, moments, per-row diag) — one
+    # materialization instead of three re-runs of the orders scan
+    resid = resid.localCheckpoint(eager=True)
+    sxx = resid.crossJoin(
+        F.broadcast(resid.agg(F.count(F.lit(1)).alias("n")))
+    ).agg(
+        F.max("n").alias("n"),
+        F.avg(F.col("i") * 1.0).alias("ibar"),
+        (
+            F.sum(F.col("i") * 1.0 * F.col("i"))
+            - F.count(F.lit(1)) * F.avg(F.col("i") * 1.0) * F.avg(F.col("i") * 1.0)
+        ).alias("sxx_c"),
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+    )
+    diag = resid.crossJoin(F.broadcast(sxx)).select(
+        "mi",
+        "e",
+        (
+            1.0 / F.col("n")
+            + (F.col("i") - F.col("ibar")) * (F.col("i") - F.col("ibar")) / F.col("sxx_c")
+        ).alias("h"),
+        (F.col("sse") / (F.col("n") - 2)).alias("mse"),
+        "n",
+    )
+    d = F.round(
+        F.col("e")
+        * F.col("e")
+        / (2.0 * F.col("mse"))
+        * F.col("h")
+        / ((1.0 - F.col("h")) * (1.0 - F.col("h"))),
+        8,
+    )
+    cooks = diag.select("mi", "e", "h", d.alias("d"), "n")
+    return (
+        cooks.orderBy(F.col("d").desc(), F.col("mi"))
+        .limit(10)
+        .select(
+            F.col("mi").cast("long").alias("mi"),
+            F.round(F.col("e"), 6).alias("residual"),
+            F.round(F.col("h"), 6).alias("leverage"),
+            F.round(F.col("d"), 6).alias("cooks_d"),
+            (F.col("d") > 4.0 / F.col("n")).alias("influential"),
+        )
+    )

@@ -306,6 +306,8 @@ QUERIES = [
     "q_distance_correlation",
     "q_indirect_standardization",
     "q_oaxaca_kitagawa",
+    "q_vif",
+    "q_influence_diagnostics",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -1196,3 +1196,14 @@ def test_standardization_decomposition_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     row = SPECS["q_oaxaca_kitagawa"].fn(spark, SF_DIR).collect()[0]
     assert abs(row.residual_check) < 1e-8
+
+
+def test_regression_diagnostics_wave_plans(spark):
+    """VIF / influence: one moment pass and the DW residual machinery +
+    TakeOrdered top-10; no cartesian, no Python eval."""
+    for name in ("q_vif", "q_influence_diagnostics"):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    plan = plan_of(SPECS["q_influence_diagnostics"].fn(spark, SF_DIR))
+    assert "TakeOrdered" in plan
