@@ -889,3 +889,149 @@ def pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pinball"), 6).alias("pinball"),
         F.round(F.col("coverage"), 6).alias("coverage"),
     ).orderBy("tau")
+
+
+# ---------------------------------------------------------------------------
+# q_forecast_skill_dm — Theil's U and the Diebold-Mariano comparison
+# ---------------------------------------------------------------------------
+
+DM_TEST_MONTHS = 12
+DM_Z95 = 1.959964
+
+
+@query(
+    "q_forecast_skill_dm",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+      FROM orders GROUP BY mi
+    ),
+    anchor AS (SELECT max(mi) - {DM_TEST_MONTHS} AS cut FROM m),
+    hist AS (SELECT m.mi, m.mi % 12 AS moy, m.z FROM m CROSS JOIN anchor
+             WHERE m.mi <= anchor.cut),
+    test AS (SELECT m.mi, m.mi % 12 AS moy, m.z AS y FROM m CROSS JOIN anchor
+             WHERE m.mi > anchor.cut),
+    ranked AS (
+      SELECT moy, z, row_number() OVER (PARTITION BY moy ORDER BY z, mi) AS rn,
+             count(*) OVER (PARTITION BY moy) AS n
+      FROM hist
+    ),
+    seasonal AS (
+      SELECT moy,
+             min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN z END) AS f
+      FROM ranked GROUP BY moy
+    ),
+    lastv AS (
+      SELECT z AS f_naive FROM hist CROSS JOIN anchor WHERE hist.mi = anchor.cut
+    ),
+    losses AS (
+      SELECT test.mi,
+             (test.y - seasonal.f) * (test.y - seasonal.f) AS l_model,
+             (test.y - lastv.f_naive) * (test.y - lastv.f_naive) AS l_naive
+      FROM test
+      JOIN seasonal ON seasonal.moy = test.moy
+      CROSS JOIN lastv
+    ),
+    dstat AS (
+      SELECT count(*) AS n,
+             sqrt(avg(l_model)) AS rmse_model,
+             sqrt(avg(l_naive)) AS rmse_naive,
+             avg(l_model - l_naive) AS dbar,
+             sqrt((sum((l_model - l_naive) * (l_model - l_naive))
+                   - count(*) * avg(l_model - l_naive) * avg(l_model - l_naive))
+                  / nullif(count(*) - 1, 0)) AS sd
+      FROM losses
+    )
+    SELECT CAST(n AS BIGINT) AS n_test,
+           round(rmse_model, 6) AS rmse_model,
+           round(rmse_naive, 6) AS rmse_naive,
+           round(rmse_model / rmse_naive, 6) AS theils_u2,
+           round(dbar / nullif(sd / sqrt(n), 0.0), 6) AS dm_t,
+           CASE WHEN dbar / nullif(sd / sqrt(n), 0.0) < -{DM_Z95}
+                THEN 'model_better'
+                WHEN dbar / nullif(sd / sqrt(n), 0.0) > {DM_Z95}
+                THEN 'naive_better'
+                ELSE 'indistinguishable' END AS verdict
+    FROM dstat
+    """,
+    tags=("timeseries", "ml", "eval", "finance"),
+)
+def forecast_skill_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast skill on the 12-month holdout: Theil's U₂ = RMSE(seasonal
+    -median model)/RMSE(naive last-value) — below 1 means the model earns
+    its keep — plus the Diebold-Mariano test on the squared-loss
+    differentials (mean/SE of per-month loss gaps), the standard answer
+    to "is this forecaster SIGNIFICANTLY better or just luckier on this
+    sample?". Completes the forecast-eval stack: q_pinball_loss prices
+    quantiles, q_mincer_zarnowitz tests bias, this compares models.
+
+    Scale: the pinball machinery + one broadcast naive scalar + a
+    12-row loss pass with closed forms — calendar-bounded, rounded at
+    6 (series in millions so squared losses stay O(1))."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z"))
+    anchor = m.agg((F.max("mi") - DM_TEST_MONTHS).alias("cut"))
+    mm_ = m.crossJoin(F.broadcast(anchor))
+    hist = mm_.filter(F.col("mi") <= F.col("cut")).select(
+        "mi", (F.col("mi") % 12).alias("moy"), "z"
+    )
+    test = mm_.filter(F.col("mi") > F.col("cut")).select(
+        "mi", (F.col("mi") % 12).alias("moy"), F.col("z").alias("y")
+    )
+    w = Window.partitionBy("moy").orderBy("z", "mi")
+    wn = Window.partitionBy("moy")
+    ranked = hist.select(
+        "moy",
+        "z",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    seasonal = ranked.groupBy("moy").agg(
+        F.min(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("z"))
+        ).alias("f")
+    )
+    lastv = (
+        hist.join(F.broadcast(anchor), hist.mi == F.col("cut"))
+        .select(F.col("z").alias("f_naive"))
+    )
+    losses = (
+        test.join(F.broadcast(seasonal), "moy")
+        .crossJoin(F.broadcast(lastv))
+        .select(
+            ((F.col("y") - F.col("f")) * (F.col("y") - F.col("f"))).alias("l_model"),
+            (
+                (F.col("y") - F.col("f_naive")) * (F.col("y") - F.col("f_naive"))
+            ).alias("l_naive"),
+        )
+    )
+    d = F.col("l_model") - F.col("l_naive")
+    dstat = losses.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sqrt(F.avg("l_model")).alias("rmse_model"),
+        F.sqrt(F.avg("l_naive")).alias("rmse_naive"),
+        F.avg(d).alias("dbar"),
+        F.sqrt(
+            (F.sum(d * d) - F.count(F.lit(1)) * F.avg(d) * F.avg(d))
+            / F.nullif(F.count(F.lit(1)) - 1, F.lit(0))
+        ).alias("sd"),
+    )
+    t = F.col("dbar") / F.nullif(
+        F.col("sd") / F.sqrt(F.col("n").cast("double")), F.lit(0.0)
+    )
+    return dstat.select(
+        F.col("n").cast("long").alias("n_test"),
+        F.round(F.col("rmse_model"), 6).alias("rmse_model"),
+        F.round(F.col("rmse_naive"), 6).alias("rmse_naive"),
+        F.round(F.col("rmse_model") / F.col("rmse_naive"), 6).alias("theils_u2"),
+        F.round(t, 6).alias("dm_t"),
+        F.when(t < -DM_Z95, F.lit("model_better"))
+        .when(t > DM_Z95, F.lit("naive_better"))
+        .otherwise(F.lit("indistinguishable"))
+        .alias("verdict"),
+    )

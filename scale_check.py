@@ -308,6 +308,7 @@ QUERIES = [
     "q_oaxaca_kitagawa",
     "q_vif",
     "q_influence_diagnostics",
+    "q_forecast_skill_dm",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently

@@ -1207,3 +1207,14 @@ def test_regression_diagnostics_wave_plans(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
     plan = plan_of(SPECS["q_influence_diagnostics"].fn(spark, SF_DIR))
     assert "TakeOrdered" in plan
+
+
+def test_forecast_skill_plan(spark):
+    """DM/Theil: pinball machinery + broadcast naive scalar + 12-row loss
+    pass; moy-partitioned windows only."""
+    plan = plan_of(SPECS["q_forecast_skill_dm"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "moy" in line, line
