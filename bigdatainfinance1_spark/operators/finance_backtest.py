@@ -1035,3 +1035,268 @@ def forecast_skill_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("indistinguishable"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_christoffersen_test — VaR breach independence + conditional coverage
+# ---------------------------------------------------------------------------
+
+CHI2_2_95 = 5.991465  # chi2(2) 95% critical value (conditional coverage)
+
+
+@query(
+    "q_christoffersen_test",
+    oracle=f"""
+    WITH {_DAILY_RET_SQL},
+    insample AS (
+      SELECT r FROM rets WHERE r IS NOT NULL AND day < TIMESTAMP '{KUPIEC_SPLIT}'
+    ),
+    v AS (SELECT round(quantile_cont(r, {KUPIEC_P}), 6) AS var05 FROM insample),
+    test AS (
+      SELECT t.day, CASE WHEN t.r < v.var05 THEN 1 ELSE 0 END AS br
+      FROM rets t CROSS JOIN v
+      WHERE t.r IS NOT NULL AND t.day >= TIMESTAMP '{KUPIEC_SPLIT}'
+    ),
+    tr AS (
+      SELECT p.br AS i, t.br AS j
+      FROM test t JOIN test p ON p.day + INTERVAL 1 DAY = t.day
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((1 - i) * (1 - j)) AS BIGINT) AS n00,
+             CAST(sum((1 - i) * j) AS BIGINT)       AS n01,
+             CAST(sum(i * (1 - j)) AS BIGINT)       AS n10,
+             CAST(sum(i * j) AS BIGINT)             AS n11
+      FROM tr
+    ),
+    p AS (
+      SELECT n, n00, n01, n10, n11,
+             (n01 + n11) * 1.0 / n AS pi,
+             CASE WHEN n00 + n01 = 0 THEN 0.0 ELSE n01 * 1.0 / (n00 + n01) END AS pi01,
+             CASE WHEN n10 + n11 = 0 THEN 0.0 ELSE n11 * 1.0 / (n10 + n11) END AS pi11
+      FROM c
+    ),
+    ll AS (
+      SELECT n, n00, n01, n10, n11, pi, pi01, pi11,
+             (CASE WHEN n00 + n10 = 0 OR pi = 1.0 THEN 0.0
+                   ELSE (n00 + n10) * ln(1 - pi) END)
+             + (CASE WHEN n01 + n11 = 0 THEN 0.0
+                     ELSE (n01 + n11) * ln(pi) END) AS ll_null,
+             (CASE WHEN n00 = 0 THEN 0.0 ELSE n00 * ln(1 - pi01) END)
+             + (CASE WHEN n01 = 0 THEN 0.0 ELSE n01 * ln(pi01) END)
+             + (CASE WHEN n10 = 0 THEN 0.0 ELSE n10 * ln(1 - pi11) END)
+             + (CASE WHEN n11 = 0 THEN 0.0 ELSE n11 * ln(pi11) END) AS ll_markov,
+             (n - n01 - n11) * ln(1 - {KUPIEC_P}) + (n01 + n11) * ln({KUPIEC_P})
+             - (CASE WHEN n01 + n11 = n THEN 0.0
+                     ELSE (n - n01 - n11) * ln(1 - (n01 + n11) * 1.0 / n) END)
+             - (CASE WHEN n01 + n11 = 0 THEN 0.0
+                     ELSE (n01 + n11) * ln((n01 + n11) * 1.0 / n) END) AS ll_pof
+      FROM p
+    )
+    SELECT n AS n_pairs, n00, n01, n10, n11,
+           round(pi01, 6) AS pi01,
+           round(pi11, 6) AS pi11,
+           round(-2 * (ll_null - ll_markov), 6) AS lr_ind,
+           round(-2 * (ll_null - ll_markov), 6) > {KUPIEC_CHI2_95} AS reject_ind_95,
+           round(-2 * ll_pof - 2 * (ll_null - ll_markov), 6) AS lr_cc,
+           round(-2 * ll_pof - 2 * (ll_null - ll_markov), 6) > {CHI2_2_95} AS reject_cc_95
+    FROM ll
+    """,
+    tags=("finance", "risk", "backtest"),
+)
+def christoffersen_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Christoffersen's VaR backtest: breach-clustering (independence) and
+    conditional-coverage LR tests on the out-of-sample 95%-VaR exceedance
+    indicator series. Transitions are counted over strictly consecutive
+    calendar days (a gap breaks the chain — the standard treatment);
+    LR_ind compares the first-order Markov likelihood (pi01, pi11) against
+    the i.i.d. null (one pooled pi) with chi2(1); LR_cc = LR_pof + LR_ind
+    with chi2(2) answers "right breach COUNT and no clustering" in one
+    statistic — the half of VaR validation q_kupiec_var_backtest cannot
+    see (a model can breach exactly 5% of days yet breach five days in a
+    row).
+
+    Determinism: the breach indicator compares 6-dp-rounded returns to the
+    6-dp-rounded in-sample quantile, so (n00, n01, n10, n11) are exact
+    integers on both engines; every likelihood term is a closed-form
+    expression of those integers with identical zero-count CASE guards,
+    rounded at 6 dp. Scale: the corpus scan reduces to O(calendar) daily
+    rows; the transition pairing is a self equi-join on day+1 over that
+    bounded relation; all state past the scan is calendar-bounded."""
+    rets = _daily_returns(spark, sf_dir).filter(F.col("r").isNotNull())
+    split = F.lit(KUPIEC_SPLIT).cast("timestamp")
+    v = rets.filter(F.col("day") < split).agg(
+        F.round(F.expr(f"percentile(r, {KUPIEC_P})"), 6).alias("var05")
+    )
+    test = (
+        rets.filter(F.col("day") >= split)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "day", F.when(F.col("r") < F.col("var05"), 1).otherwise(0).alias("br")
+        )
+    )
+    prev = test.select(
+        (F.col("day") + F.expr("INTERVAL 1 DAY")).alias("day"),
+        F.col("br").alias("i"),
+    )
+    tr = test.withColumnRenamed("br", "j").join(prev, "day")
+    i, j = F.col("i"), F.col("j")
+    c = tr.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((1 - i) * (1 - j)).cast("long").alias("n00"),
+        F.sum((1 - i) * j).cast("long").alias("n01"),
+        F.sum(i * (1 - j)).cast("long").alias("n10"),
+        F.sum(i * j).cast("long").alias("n11"),
+    )
+    n, n00, n01, n10, n11 = (F.col(x) for x in ("n", "n00", "n01", "n10", "n11"))
+    pi = (n01 + n11) * 1.0 / n
+    pi01 = F.when(n00 + n01 == 0, F.lit(0.0)).otherwise(n01 * 1.0 / (n00 + n01))
+    pi11 = F.when(n10 + n11 == 0, F.lit(0.0)).otherwise(n11 * 1.0 / (n10 + n11))
+    p = c.select(
+        n, n00, n01, n10, n11, pi.alias("pi"), pi01.alias("pi01"), pi11.alias("pi11")
+    )
+    cpi, cpi01, cpi11 = F.col("pi"), F.col("pi01"), F.col("pi11")
+    ll_null = F.when((n00 + n10 == 0) | (cpi == 1.0), F.lit(0.0)).otherwise(
+        (n00 + n10) * F.log(1 - cpi)
+    ) + F.when(n01 + n11 == 0, F.lit(0.0)).otherwise((n01 + n11) * F.log(cpi))
+    ll_markov = (
+        F.when(n00 == 0, F.lit(0.0)).otherwise(n00 * F.log(1 - cpi01))
+        + F.when(n01 == 0, F.lit(0.0)).otherwise(n01 * F.log(cpi01))
+        + F.when(n10 == 0, F.lit(0.0)).otherwise(n10 * F.log(1 - cpi11))
+        + F.when(n11 == 0, F.lit(0.0)).otherwise(n11 * F.log(cpi11))
+    )
+    x = n01 + n11
+    ll_pof = (
+        (n - x) * F.log(F.lit(1 - KUPIEC_P))
+        + x * F.log(F.lit(KUPIEC_P))
+        - F.when(x == n, F.lit(0.0)).otherwise((n - x) * F.log(1 - x * 1.0 / n))
+        - F.when(x == 0, F.lit(0.0)).otherwise(x * F.log(x * 1.0 / n))
+    )
+    lr_ind = F.round(-2 * (ll_null - ll_markov), 6)
+    lr_cc = F.round(-2 * ll_pof - 2 * (ll_null - ll_markov), 6)
+    return p.select(
+        n.alias("n_pairs"), n00, n01, n10, n11,
+        F.round(cpi01, 6).alias("pi01"),
+        F.round(cpi11, 6).alias("pi11"),
+        lr_ind.alias("lr_ind"),
+        (lr_ind > KUPIEC_CHI2_95).alias("reject_ind_95"),
+        lr_cc.alias("lr_cc"),
+        (lr_cc > CHI2_2_95).alias("reject_cc_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_pairs_trading — distance-method pair selection + spread z-score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pairs_trading",
+    oracle="""
+    WITH bm AS (
+      SELECT p.p_brand AS b,
+             CAST(year(l.l_shipdate) AS BIGINT) * 12 + month(l.l_shipdate) AS mi,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_quantity * 1000) AS BIGINT)) AS DOUBLE) AS px
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY b, mi
+    ),
+    f AS (SELECT b, min_by(px, mi) AS px0 FROM bm GROUP BY b),
+    ix AS (
+      SELECT bm.b, bm.mi,
+             CAST(round(bm.px / f.px0 * 1000000) AS BIGINT) AS i6
+      FROM bm JOIN f ON bm.b = f.b
+    ),
+    pm AS (
+      SELECT a.b AS brand_a, c.b AS brand_b, a.mi, a.i6 - c.i6 AS d
+      FROM ix a JOIN ix c ON a.mi = c.mi AND a.b < c.b
+    ),
+    agg AS (
+      SELECT brand_a, brand_b,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS sd,
+             CAST(sum(d * d) AS BIGINT) AS sd2,
+             CAST(max_by(d, mi) AS BIGINT) AS dl
+      FROM pm GROUP BY brand_a, brand_b
+    ),
+    sel AS (
+      SELECT * FROM agg ORDER BY sd2, brand_a, brand_b LIMIT 5
+    )
+    SELECT brand_a, brand_b, n AS n_months,
+           round(sd2 / 1e12, 6) AS ssd,
+           round(sd * 1.0 / n / 1e6, 6) AS spread_mean,
+           round(sqrt((n * sd2 - sd * sd) * 1.0 / (n * (n - 1))) / 1e6, 6)
+             AS spread_std,
+           round((dl - sd * 1.0 / n)
+                 / nullif(sqrt((n * sd2 - sd * sd) * 1.0 / (n * (n - 1))), 0.0), 4)
+             AS z_last
+    FROM sel
+    """,
+    tags=("finance", "backtest", "pairs"),
+)
+def pairs_trading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-method pairs-trading screen (Gatev-Goetzmann-Rouwenhorst):
+    normalize each brand's monthly unit price to its first-month level,
+    rank brand pairs by sum of squared differences of the normalized
+    index over shared months, and report the 5 closest pairs with their
+    spread mean/std and the latest-month spread z-score — the classic
+    "find two series that historically track, trade the divergence"
+    selection relation.
+
+    Determinism: unit price is a ratio of exact integer cent/milli-unit
+    sums; the normalized index is scaled to an exact BIGINT at 1e-6
+    resolution BEFORE pairing, so SSD and all spread moments are exact
+    integer arithmetic on both engines (summation-order-proof) — doubles
+    appear only in final closed forms, rounded at 6/4 dp. Top-5 is fully
+    ordered by (ssd, brand_a, brand_b). Scale: the fact scan reduces to
+    O(brands x months); the pair join is O(brands^2 x months) over that
+    dimension/calendar-bounded broadcast relation — invariant to fact-row
+    growth, so the plan is replication-proof by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bm = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("b"),
+            (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi"),
+        )
+        .agg(
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+                / F.sum(F.round(F.col("l_quantity") * 1000).cast("long")).cast("double")
+            ).alias("px")
+        )
+    )
+    f = bm.groupBy("b").agg(F.min_by("px", "mi").alias("px0"))
+    ix = bm.join(F.broadcast(f), "b").select(
+        "b", "mi", F.round(F.col("px") / F.col("px0") * 1e6).cast("long").alias("i6")
+    )
+    a, c = ix.alias("a"), ix.alias("c")
+    pm = a.join(
+        F.broadcast(c),
+        (F.col("a.mi") == F.col("c.mi")) & (F.col("a.b") < F.col("c.b")),
+    ).select(
+        F.col("a.b").alias("brand_a"),
+        F.col("c.b").alias("brand_b"),
+        F.col("a.mi").alias("mi"),
+        (F.col("a.i6") - F.col("c.i6")).alias("d"),
+    )
+    d = F.col("d")
+    agg = pm.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).cast("long").alias("sd"),
+        F.sum(d * d).cast("long").alias("sd2"),
+        F.max_by("d", "mi").cast("long").alias("dl"),
+    )
+    sel = agg.orderBy("sd2", "brand_a", "brand_b").limit(5)
+    n, sd, sd2, dl = (F.col(x) for x in ("n", "sd", "sd2", "dl"))
+    std = F.sqrt((n * sd2 - sd * sd) * 1.0 / (n * (n - 1)))
+    return sel.select(
+        "brand_a",
+        "brand_b",
+        n.alias("n_months"),
+        F.round(sd2 / F.lit(1e12), 6).alias("ssd"),
+        F.round(sd * 1.0 / n / 1e6, 6).alias("spread_mean"),
+        F.round(std / 1e6, 6).alias("spread_std"),
+        F.round((dl - sd * 1.0 / n) / F.nullif(std, F.lit(0.0)), 4).alias("z_last"),
+    )

@@ -309,6 +309,8 @@ QUERIES = [
     "q_vif",
     "q_influence_diagnostics",
     "q_forecast_skill_dm",
+    "q_christoffersen_test",
+    "q_pairs_trading",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
