@@ -311,6 +311,11 @@ QUERIES = [
     "q_forecast_skill_dm",
     "q_christoffersen_test",
     "q_pairs_trading",
+    "q_pca_2d",
+    "q_mahalanobis_outliers",
+    "q_hotelling_t2",
+    "q_fisher_lda",
+    "q_logistic_irls",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
