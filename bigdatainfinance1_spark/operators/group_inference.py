@@ -873,3 +873,486 @@ def oaxaca_kitagawa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mix_effect") + F.col("rate_effect") - F.col("gap"), 9
         ).alias("residual_check"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_friedman_test — randomized-block nonparametric k-treatment test
+# ---------------------------------------------------------------------------
+
+FRIEDMAN_K = 5  # treatments = the five event types; blocks = January days
+
+
+@query(
+    "q_friedman_test",
+    oracle=f"""
+    WITH cell AS (
+      SELECT date_trunc('day', ts) AS blk, event_type AS trt,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY blk, trt
+    ),
+    complete AS (
+      SELECT blk FROM cell GROUP BY blk HAVING count(*) = {FRIEDMAN_K}
+    ),
+    ranked AS (
+      SELECT c.blk, c.trt,
+             2 * rank() OVER (PARTITION BY c.blk ORDER BY c.cents)
+             + count(*) OVER (PARTITION BY c.blk, c.cents) - 1 AS mr2
+      FROM cell c JOIN complete b ON c.blk = b.blk
+    ),
+    rj AS (
+      SELECT trt, CAST(sum(mr2) AS BIGINT) AS r2 FROM ranked GROUP BY trt
+    ),
+    s AS (
+      SELECT CAST(sum(r2 * r2) AS BIGINT) AS s2,
+             (SELECT CAST(count(*) AS BIGINT) FROM complete) AS n
+      FROM rj
+    )
+    SELECT n AS n_blocks, CAST({FRIEDMAN_K} AS BIGINT) AS k_treatments,
+           round(3.0 * s2 / (n * {FRIEDMAN_K} * ({FRIEDMAN_K} + 1))
+                 - 3.0 * n * ({FRIEDMAN_K} + 1), 6) AS chi2_f,
+           round(3.0 * s2 / (n * {FRIEDMAN_K} * ({FRIEDMAN_K} + 1))
+                 - 3.0 * n * ({FRIEDMAN_K} + 1), 6) > {KW_CHI2_4_95} AS reject_95
+    FROM s
+    """,
+    tags=("stats", "inference"),
+)
+def friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's randomized-block test: do the five event types differ in
+    daily revenue once the DAY is controlled for? Each January day is a
+    block; within a block the five event-type cent totals are midranked
+    (1..5) and chi2_F = 12/(nk(k+1)) SUM R_j^2 - 3n(k+1) tests equal mean
+    rank — the repeated-measures counterpart of q_kruskal_wallis (which
+    ranks across independent groups, not within matched blocks). Only
+    complete blocks (all k treatments present) enter, per the textbook
+    design.
+
+    Determinism: cell totals are exact integer cents, midranks are exact
+    half-integers carried as 2x-integers (2*rank + ties - 1), so R_j and
+    SUM R_j^2 are exact BIGINTs; the statistic is one closed form of
+    those integers. Scale: one map-side-combinable aggregate to
+    O(days x types) cells; ranking windows partition per block over k=5
+    rows each — bounded state, no global window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.date_trunc("day", "ts").alias("blk"), F.col("event_type").alias("trt")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    wcnt = Window.partitionBy("blk")
+    wrank = Window.partitionBy("blk").orderBy("cents")
+    wtie = Window.partitionBy("blk", "cents")
+    ranked = (
+        cell.withColumn("_k", F.count(F.lit(1)).over(wcnt))
+        .filter(F.col("_k") == FRIEDMAN_K)
+        .select(
+            "trt",
+            (2 * F.rank().over(wrank) + F.count(F.lit(1)).over(wtie) - 1).alias("mr2"),
+        )
+    )
+    rj = ranked.groupBy("trt").agg(F.sum("mr2").cast("long").alias("r2"))
+    s = rj.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("long").alias("s2"),
+        (F.sum("r2") / F.lit(FRIEDMAN_K * (FRIEDMAN_K + 1))).cast("long").alias("n"),
+    )
+    n, s2 = F.col("n"), F.col("s2")
+    chi2 = F.round(
+        3.0 * s2 / (n * FRIEDMAN_K * (FRIEDMAN_K + 1)) - 3.0 * n * (FRIEDMAN_K + 1), 6
+    )
+    return s.select(
+        n.alias("n_blocks"),
+        F.lit(FRIEDMAN_K).cast("long").alias("k_treatments"),
+        chi2.alias("chi2_f"),
+        (chi2 > KW_CHI2_4_95).alias("reject_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bartlett_test — k-group variance homogeneity (the ANOVA precondition)
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _bartlett_sql() -> str:
+    """Pivot the five priority groups to ONE row so every cross-group sum
+    is an explicitly ordered a+b+c+d+e expression — no engine-ordered
+    double summation anywhere (the q_hotelling_t2 pivot posture)."""
+    cols = []
+    for idx, pr in enumerate(_PRIORITIES):
+        cols.append(
+            f"max(CASE WHEN g = '{pr}' THEN n END) AS n{idx},\n"
+            f"        max(CASE WHEN g = '{pr}' THEN sy END) AS sy{idx},\n"
+            f"        max(CASE WHEN g = '{pr}' THEN syy END) AS syy{idx}"
+        )
+    piv = ",\n        ".join(cols)
+    s2 = {
+        i: f"((n{i} * 1e0 * syy{i} - sy{i} * 1e0 * sy{i}) / (n{i} * 1e0 * (n{i} - 1)))"
+        for i in range(5)
+    }
+    nsum = " + ".join(f"n{i}" for i in range(5))
+    pooled_num = " + ".join(f"(n{i} - 1) * {s2[i]}" for i in range(5))
+    lnsum = " + ".join(f"(n{i} - 1) * ln({s2[i]})" for i in range(5))
+    invsum = " + ".join(f"1e0 / (n{i} - 1)" for i in range(5))
+    return f"""
+    WITH g AS (
+      SELECT o_orderpriority AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)
+                      * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS syy
+      FROM orders GROUP BY 1
+    ),
+    piv AS (
+      SELECT {piv}
+      FROM g
+    ),
+    calc AS (
+      SELECT ({nsum}) AS nn,
+             ({pooled_num}) / (({nsum}) - 5) AS sp2,
+             ({lnsum}) AS lns,
+             ({invsum}) AS invs
+      FROM piv
+    )
+    SELECT CAST(5 AS BIGINT) AS k_groups, nn AS n_obs,
+           round(sp2, 2) AS pooled_var,
+           round(1e0 + (invs - 1e0 / (nn - 5)) / (3e0 * 4), 6) AS correction_c,
+           round(((nn - 5) * ln(sp2) - lns)
+                 / (1e0 + (invs - 1e0 / (nn - 5)) / (3e0 * 4)), 6) AS bartlett_t,
+           round(((nn - 5) * ln(sp2) - lns)
+                 / (1e0 + (invs - 1e0 / (nn - 5)) / (3e0 * 4)), 6) > {KW_CHI2_4_95}
+             AS reject_95
+    FROM calc
+    """
+
+
+@query("q_bartlett_test", oracle=_bartlett_sql(), tags=("stats", "inference"))
+def bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the five order
+    priorities — the precondition check for pooled-variance ANOVA
+    (q_anova_f assumes it; q_brown_forsythe is the robust alternative):
+    T = [(N-k) ln Sp^2 - SUM (n_g-1) ln s_g^2] / C with the standard
+    small-sample correction C, against chi2(k-1).
+
+    ONE SQL text runs verbatim on both engines. Determinism: per-group
+    moments are exact integer dollars (sum y^2 stays under 2^63 even at
+    100x replication at that granularity); the five groups pivot to a
+    single row so every cross-group combination is an explicitly ordered
+    expression, never an engine-ordered double sum; ln/closed forms run
+    on identical doubles, rounded at 6. Scale: one map-side-combinable
+    5-group aggregate; everything after is O(1)."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_bartlett_sql())
+
+
+# ---------------------------------------------------------------------------
+# q_cochran_armitage — trend in proportions over ordered exposure tiers
+# ---------------------------------------------------------------------------
+
+CA_TIER_STEP = 100000.0  # order-value tier width; 5 ordered tiers 0..4
+CA_Z95_SQ = 3.841459  # chi2(1) = z^2 at 5%
+
+
+@query(
+    "q_cochran_armitage",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(least(floor(o_totalprice / {CA_TIER_STEP}), 4) AS BIGINT) AS s,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END
+               AS pos
+      FROM orders
+    ),
+    g AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS r
+      FROM t GROUP BY s
+    ),
+    m AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+             CAST(sum(s * r) AS BIGINT) AS sr, CAST(sum(s * n) AS BIGINT) AS sn,
+             CAST(sum(s * s * n) AS BIGINT) AS ssn
+      FROM g
+    )
+    SELECT nn AS n_total, rr AS n_pos,
+           round((nn * 1e0 * sr - rr * 1e0 * sn)
+                 / sqrt(rr * 1e0 * (nn - rr) * (nn * 1e0 * ssn - sn * 1e0 * sn) / nn),
+                 6) AS ca_z,
+           round(pow((nn * 1e0 * sr - rr * 1e0 * sn), 2)
+                 / (rr * 1e0 * (nn - rr) * (nn * 1e0 * ssn - sn * 1e0 * sn) / nn),
+                 6) AS ca_chi2,
+           round(pow((nn * 1e0 * sr - rr * 1e0 * sn), 2)
+                 / (rr * 1e0 * (nn - rr) * (nn * 1e0 * ssn - sn * 1e0 * sn) / nn),
+                 6) > {CA_Z95_SQ} AS reject_95,
+           CASE WHEN nn * 1e0 * sr - rr * 1e0 * sn > 0 THEN 'increasing'
+                WHEN nn * 1e0 * sr - rr * 1e0 * sn < 0 THEN 'decreasing'
+                ELSE 'flat' END AS trend
+    FROM m
+    """,
+    tags=("stats", "inference"),
+)
+def cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: does the urgent-priority share rise or
+    fall MONOTONICALLY across ordered order-value tiers? The 2xk
+    chi-square (q_chi2_independence) only asks "any difference"; this
+    spends its single degree of freedom on the ordered alternative with
+    integer scores s = 0..4, so a steady drift that chi2 dilutes across
+    k-1 df shows up at full power.
+
+    Determinism: tier counts (n_i, r_i) and the score moments are exact
+    BIGINTs; numerator and variance are the standard closed forms
+    evaluated in double with the identical expression shape on both
+    engines (products of exact ints — the q_ols_two_factor posture),
+    rounded at 6. Scale: one map-side 5-group aggregate; O(1) after."""
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        F.least(F.floor(F.col("o_totalprice") / CA_TIER_STEP), F.lit(4))
+        .cast("long")
+        .alias("s"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    g = t.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("pos").cast("long").alias("r")
+    )
+    m = g.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("r").cast("long").alias("rr"),
+        F.sum(F.col("s") * F.col("r")).cast("long").alias("sr"),
+        F.sum(F.col("s") * F.col("n")).cast("long").alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).cast("long").alias("ssn"),
+    )
+    nn, rr, sr, sn, ssn = (F.col(x) for x in ("nn", "rr", "sr", "sn", "ssn"))
+    num = nn * F.lit(1.0) * sr - rr * F.lit(1.0) * sn
+    var = rr * F.lit(1.0) * (nn - rr) * (nn * F.lit(1.0) * ssn - sn * F.lit(1.0) * sn) / nn
+    chi2 = F.round(F.pow(num, F.lit(2.0)) / var, 6)
+    return m.select(
+        nn.alias("n_total"),
+        rr.alias("n_pos"),
+        F.round(num / F.sqrt(var), 6).alias("ca_z"),
+        chi2.alias("ca_chi2"),
+        (chi2 > CA_Z95_SQ).alias("reject_95"),
+        F.when(num > 0, F.lit("increasing"))
+        .when(num < 0, F.lit("decreasing"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cvm_test — two-sample Cramer-von Mises distribution test
+# ---------------------------------------------------------------------------
+
+CVM_CRIT_5 = 0.461  # asymptotic 5% critical value of the two-sample omega^2
+
+
+@query(
+    "q_cvm_test",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT value,
+        (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2
+          AS grp
+      FROM events WHERE event_type = 'purchase'
+    ),
+    byval AS (
+      SELECT value,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      FROM assigned GROUP BY value
+    ),
+    cum AS (
+      SELECT cnt_a, cnt_b,
+             sum(cnt_a) OVER w AS ca, sum(cnt_b) OVER w AS cb,
+             sum(cnt_a) OVER () AS na, sum(cnt_b) OVER () AS nb
+      FROM byval
+      WINDOW w AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT CAST(min(na) AS BIGINT) AS na, CAST(min(nb) AS BIGINT) AS nb,
+             CAST(sum((cnt_a + cnt_b) * ca * ca) AS BIGINT) AS aa,
+             CAST(sum((cnt_a + cnt_b) * ca * cb) AS BIGINT) AS ab,
+             CAST(sum((cnt_a + cnt_b) * cb * cb) AS BIGINT) AS bb
+      FROM cum
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(na * 1e0 * nb / ((na + nb) * 1e0 * (na + nb))
+                 * (nb * 1e0 * nb * aa - 2e0 * na * nb * ab + na * 1e0 * na * bb)
+                 / (na * 1e0 * na * nb * nb), 6) AS cvm_t,
+           round(na * 1e0 * nb / ((na + nb) * 1e0 * (na + nb))
+                 * (nb * 1e0 * nb * aa - 2e0 * na * nb * ab + na * 1e0 * na * bb)
+                 / (na * 1e0 * na * nb * nb), 6) > {CVM_CRIT_5} AS reject_95
+    FROM s
+    """,
+    tags=("stats", "inference"),
+)
+def cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises test between the md5-assigned A/B arms
+    of purchase values: T = nm/(n+m)^2 * SUM over all observations of
+    (F_A(x) - F_B(x))^2 — the whole-ECDF-area companion to q_ks_test
+    (KS sees only the single worst gap; CvM integrates every gap, so many
+    small consistent deviations register). Evaluated exactly at distinct
+    values weighted by multiplicity — the standard tied-data form.
+
+    Determinism: the ECDF gap numerator ca*nb - cb*na is expanded so the
+    three accumulated terms SUM cnt*ca^2, SUM cnt*ca*cb, SUM cnt*cb^2 are
+    EXACT BIGINTs (under 2^63 through 10x replication); the statistic is
+    one closed-form double of those integers, rounded at 6. Scale: one
+    value-histogram aggregate, then the repo's range-bucketed distributed
+    running sum (functions/ranks.py — no single-partition window); the
+    final fold is one aggregate."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    grp = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("long") % 2
+    )
+    byval = (
+        ev.select("value", F.when(grp == 0, 1).otherwise(0).alias("ia"))
+        .groupBy("value")
+        .agg(
+            F.sum("ia").cast("long").alias("cnt_a"),
+            F.sum(1 - F.col("ia")).cast("long").alias("cnt_b"),
+        )
+    )
+    c1 = global_running_sum(byval, ["value"], "cnt_a", "ca")
+    c2 = global_running_sum(c1, ["value"], "cnt_b", "cb")
+    s = c2.agg(
+        F.sum("cnt_a").cast("long").alias("na"),
+        F.sum("cnt_b").cast("long").alias("nb"),
+        F.sum((F.col("cnt_a") + F.col("cnt_b")) * F.col("ca") * F.col("ca"))
+        .cast("long")
+        .alias("aa"),
+        F.sum((F.col("cnt_a") + F.col("cnt_b")) * F.col("ca") * F.col("cb"))
+        .cast("long")
+        .alias("ab"),
+        F.sum((F.col("cnt_a") + F.col("cnt_b")) * F.col("cb") * F.col("cb"))
+        .cast("long")
+        .alias("bb"),
+    )
+    na, nb, aa, ab, bb = (F.col(x) for x in ("na", "nb", "aa", "ab", "bb"))
+    t = F.round(
+        na * F.lit(1.0) * nb / ((na + nb) * F.lit(1.0) * (na + nb))
+        * (nb * F.lit(1.0) * nb * aa - F.lit(2.0) * na * nb * ab + na * F.lit(1.0) * na * bb)
+        / (na * F.lit(1.0) * na * nb * nb),
+        6,
+    )
+    return s.select(
+        na.alias("n_a"), nb.alias("n_b"), t.alias("cvm_t"), (t > CVM_CRIT_5).alias("reject_95")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_effect_sizes — standardized mean-difference family for two segments
+# ---------------------------------------------------------------------------
+
+ES_SEG_A = "BUILDING"
+ES_SEG_B = "AUTOMOBILE"
+
+
+@query(
+    "q_effect_sizes",
+    oracle=f"""
+    WITH obs AS (
+      SELECT c.c_mktsegment AS g, CAST(round(o.o_totalprice) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{ES_SEG_A}', '{ES_SEG_B}')
+    ),
+    gm AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM obs GROUP BY g
+    ),
+    piv AS (
+      SELECT max(CASE WHEN g = '{ES_SEG_A}' THEN n END) AS n1,
+             max(CASE WHEN g = '{ES_SEG_A}' THEN sy END) AS sy1,
+             max(CASE WHEN g = '{ES_SEG_A}' THEN syy END) AS syy1,
+             max(CASE WHEN g = '{ES_SEG_B}' THEN n END) AS n2,
+             max(CASE WHEN g = '{ES_SEG_B}' THEN sy END) AS sy2,
+             max(CASE WHEN g = '{ES_SEG_B}' THEN syy END) AS syy2
+      FROM gm
+    ),
+    c AS (
+      SELECT n1, n2,
+             sy1 * 1e0 / n1 - sy2 * 1e0 / n2 AS diff,
+             (n1 * 1e0 * syy1 - sy1 * 1e0 * sy1) / (n1 * 1e0 * (n1 - 1)) AS v1,
+             (n2 * 1e0 * syy2 - sy2 * 1e0 * sy2) / (n2 * 1e0 * (n2 - 1)) AS v2
+      FROM piv
+    ),
+    d AS (
+      SELECT n1, n2, diff, v1, v2,
+             sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) AS sp,
+             diff / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) AS cohen_d
+      FROM c
+    )
+    SELECT n1 AS n_{ES_SEG_A.lower()}, n2 AS n_{ES_SEG_B.lower()},
+           round(diff, 4) AS mean_diff,
+           round(sp, 4) AS pooled_sd,
+           round(cohen_d, 6) AS cohens_d,
+           round(cohen_d * (1 - 3.0 / (4 * (n1 + n2 - 2) - 1)), 6) AS hedges_g,
+           round(diff / sqrt(v2), 6) AS glass_delta,
+           round(cohen_d - 1.959964 * sqrt((n1 + n2) * 1e0 / (n1 * 1e0 * n2)
+                 + cohen_d * cohen_d / (2.0 * (n1 + n2))), 6) AS d_ci_lo,
+           round(cohen_d + 1.959964 * sqrt((n1 + n2) * 1e0 / (n1 * 1e0 * n2)
+                 + cohen_d * cohen_d / (2.0 * (n1 + n2))), 6) AS d_ci_hi
+    FROM d
+    """,
+    tags=("stats", "inference", "experimentation"),
+)
+def effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standardized effect-size family for the BUILDING-vs-AUTOMOBILE
+    order-value gap: Cohen's d (pooled SD), Hedges' g (the small-sample
+    J-corrected d), Glass's delta (control-group SD — right when the
+    treatment changes the variance too), and the 95% CI of d — the
+    magnitude layer that q_welch_ttest's p-value deliberately does not
+    report (with n in the thousands, trivial differences are
+    "significant"; d says whether anyone should care).
+
+    Determinism: group moments are exact integer dollars pivoted to one
+    row (explicitly ordered combinations, no engine-ordered double sums);
+    every estimator is one closed-form double of those integers, rounded
+    at 4/6. Scale: one broadcast dim join + one 2-group aggregate; O(1)
+    after."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    obs = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("c_mktsegment").isin(ES_SEG_A, ES_SEG_B))
+        .select(
+            F.col("c_mktsegment").alias("g"),
+            F.round(F.col("o_totalprice")).cast("long").alias("y"),
+        )
+    )
+    gm = obs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+
+    def pick(col: str, seg: str):
+        return F.max(F.when(F.col("g") == seg, F.col(col)))
+
+    piv = gm.agg(
+        *[pick(c, ES_SEG_A).alias(c + "1") for c in ("n", "sy", "syy")],
+        *[pick(c, ES_SEG_B).alias(c + "2") for c in ("n", "sy", "syy")],
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    diff = F.col("sy1") * 1.0 / n1 - F.col("sy2") * 1.0 / n2
+    v1 = (n1 * F.lit(1.0) * F.col("syy1") - F.col("sy1") * F.lit(1.0) * F.col("sy1")) / (
+        n1 * F.lit(1.0) * (n1 - 1)
+    )
+    v2 = (n2 * F.lit(1.0) * F.col("syy2") - F.col("sy2") * F.lit(1.0) * F.col("sy2")) / (
+        n2 * F.lit(1.0) * (n2 - 1)
+    )
+    sp = F.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    d = diff / sp
+    se = F.sqrt((n1 + n2) * F.lit(1.0) / (n1 * F.lit(1.0) * n2) + d * d / (F.lit(2.0) * (n1 + n2)))
+    return piv.select(
+        n1.alias(f"n_{ES_SEG_A.lower()}"),
+        n2.alias(f"n_{ES_SEG_B.lower()}"),
+        F.round(diff, 4).alias("mean_diff"),
+        F.round(sp, 4).alias("pooled_sd"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1 - 3.0 / (4 * (n1 + n2 - 2) - 1)), 6).alias("hedges_g"),
+        F.round(diff / F.sqrt(v2), 6).alias("glass_delta"),
+        F.round(d - F.lit(1.959964) * se, 6).alias("d_ci_lo"),
+        F.round(d + F.lit(1.959964) * se, 6).alias("d_ci_hi"),
+    )

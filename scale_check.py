@@ -316,6 +316,11 @@ QUERIES = [
     "q_hotelling_t2",
     "q_fisher_lda",
     "q_logistic_irls",
+    "q_friedman_test",
+    "q_bartlett_test",
+    "q_cochran_armitage",
+    "q_cvm_test",
+    "q_effect_sizes",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
