@@ -185,3 +185,183 @@ def chao1_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v_obs") / chao, 6).alias("vocab_coverage"),
         F.round(F.col("f1") * 1.0 / F.col("n_tokens"), 6).alias("good_turing_unseen_mass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_good_turing — count-of-counts frequency re-estimation (trigram spectrum)
+# ---------------------------------------------------------------------------
+
+GT_SPECTRUM_ROWS = 8  # report the sparse head of the frequency spectrum
+
+
+@query(
+    "q_good_turing",
+    oracle=f"""
+    WITH tri AS (
+      SELECT unnest(
+        list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      ) AS g
+      FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0)
+      WHERE len(t) >= 3
+    ),
+    tc AS (SELECT g, CAST(count(*) AS BIGINT) AS r FROM tri GROUP BY g),
+    n AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens FROM tc),
+    coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY r),
+    head AS (SELECT r, n_r FROM coc ORDER BY r LIMIT {GT_SPECTRUM_ROWS}),
+    gt AS (
+      SELECT a.r, a.n_r, coalesce(b.n_r, 0) AS n_r1
+      FROM head a LEFT JOIN coc b ON b.r = a.r + 1
+    )
+    SELECT g.r, g.n_r, g.n_r1 AS n_r_plus_1,
+           round((g.r + 1) * 1e0 * g.n_r1 / g.n_r, 6) AS r_star,
+           round((g.r + 1) * 1e0 * g.n_r1 / g.n_r / n.n_tokens, 9) AS p_gt,
+           round(g.r * 1e0 / n.n_tokens, 9) AS p_mle
+    FROM gt g CROSS JOIN n
+    ORDER BY g.r
+    """,
+    tags=("text", "llm-pipeline", "lm"),
+)
+def good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation over the even-doc trigram
+    spectrum: for each of the smallest observed counts r, the adjusted
+    count r* = (r+1) N_{r+1} / N_r from the count-of-counts relation —
+    the classical smoothing estimate (r=1's deflation IS the unseen-mass
+    N_1/N transfer) completing the repo's LM-smoothing ladder beside the
+    MLE, stupid-backoff, and Kneser-Ney tiers. Trigrams, not unigrams:
+    the corpus vocabulary is 31 types with every count deep in the
+    hundreds, so only the n-gram spectrum has the sparse low-r head GT
+    exists to fix; taking the 8 SMALLEST r present (rather than r <= 8)
+    keeps the relation non-vacuous at every scale factor. p_gt vs p_mle
+    per row shows exactly how much mass each band gives up.
+
+    Determinism: shingle counts, the spectrum, and N are exact BIGINTs;
+    r* and the probabilities are closed-form ratios of those integers,
+    rounded at 6/9. Scale: one shingle explode -> two map-side
+    aggregates; the spectrum relation is O(distinct counts) — tiny — and
+    both the head selection and the r+1 self-join run on it, never the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    tri = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("g")
+    )
+    tc = tri.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    n = tc.agg(F.sum("r").cast("long").alias("n_tokens"))
+    coc = tc.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    head = coc.orderBy("r").limit(GT_SPECTRUM_ROWS)
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    gt = head.join(F.broadcast(nxt), "r", "left").na.fill({"n_r1": 0})
+    r, n_r, n_r1 = F.col("r"), F.col("n_r"), F.col("n_r1")
+    r_star = (r + 1) * F.lit(1.0) * n_r1 / n_r
+    return (
+        gt.crossJoin(F.broadcast(n))
+        .select(
+            r,
+            n_r,
+            n_r1.alias("n_r_plus_1"),
+            F.round(r_star, 6).alias("r_star"),
+            F.round(r_star / F.col("n_tokens"), 9).alias("p_gt"),
+            F.round(r * F.lit(1.0) / F.col("n_tokens"), 9).alias("p_mle"),
+        )
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_oov_rate — held-out vocabulary coverage per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_oov_rate",
+    oracle="""
+    WITH train AS (
+      SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    test AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    tt AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+      FROM test GROUP BY lang, term
+    ),
+    j AS (
+      SELECT tt.lang, tt.term, tt.cnt,
+             CASE WHEN tr.term IS NULL THEN 1 ELSE 0 END AS is_oov
+      FROM tt LEFT JOIN train tr ON tt.lang = tr.lang AND tt.term = tr.term
+    ),
+    v AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_train_types FROM train GROUP BY lang
+    )
+    SELECT j.lang,
+           v.n_train_types,
+           CAST(sum(j.cnt) AS BIGINT) AS n_test_tokens,
+           CAST(sum(j.is_oov * j.cnt) AS BIGINT) AS n_oov_tokens,
+           round(sum(j.is_oov * j.cnt) * 1e0 / sum(j.cnt), 6) AS oov_token_rate,
+           CAST(count(*) AS BIGINT) AS n_test_types,
+           CAST(sum(j.is_oov) AS BIGINT) AS n_oov_types,
+           round(sum(j.is_oov) * 1e0 / count(*), 6) AS oov_type_rate
+    FROM j JOIN v ON j.lang = v.lang
+    GROUP BY j.lang, v.n_train_types
+    ORDER BY j.lang
+    """,
+    tags=("text", "llm-pipeline", "lm"),
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language: train a type vocabulary on the
+    even-doc half, measure what fraction of held-out (odd-doc) tokens and
+    types fall outside it — the vocabulary-coverage QA metric that decides
+    tokenizer vocab size and flags language/domain shift between corpus
+    slices (the open-vocabulary problem q_bpe_train exists to solve; this
+    query quantifies how bad the closed-vocab baseline is).
+
+    Determinism: all eight reported quantities are exact integer counts or
+    single ratios of them, rounded at 6. Scale: two token explodes, a
+    distinct per (lang, term), and a (lang, term)-keyed left join — all
+    linear, key-partitioned shapes; per-language output is 5 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    tt = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    j = tt.join(
+        train.withColumn("_hit", F.lit(1)), ["lang", "term"], "left"
+    ).select(
+        "lang", "cnt", F.when(F.col("_hit").isNull(), 1).otherwise(0).alias("is_oov")
+    )
+    v = train.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_train_types"))
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_test_tokens"),
+            F.sum(F.col("is_oov") * F.col("cnt")).cast("long").alias("n_oov_tokens"),
+            F.round(
+                F.sum(F.col("is_oov") * F.col("cnt")) * F.lit(1.0) / F.sum("cnt"), 6
+            ).alias("oov_token_rate"),
+            F.count(F.lit(1)).cast("long").alias("n_test_types"),
+            F.sum("is_oov").cast("long").alias("n_oov_types"),
+            F.round(F.sum("is_oov") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "oov_type_rate"
+            ),
+        )
+        .join(F.broadcast(v), "lang")
+        .select(
+            "lang", "n_train_types", "n_test_tokens", "n_oov_tokens",
+            "oov_token_rate", "n_test_types", "n_oov_types", "oov_type_rate",
+        )
+        .orderBy("lang")
+    )

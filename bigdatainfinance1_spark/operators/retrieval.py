@@ -513,3 +513,97 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         selected, "rnk long, vec_id long, sim_to_query double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_err_ranking — expected reciprocal rank (cascade click model)
+# ---------------------------------------------------------------------------
+
+ERR_DEPTH = 10  # evaluate the top-10 ranking, like q_ndcg
+
+
+def _err_terms() -> tuple[str, str]:
+    """(pivot_cols, err_expr): the ERR sum unrolled over 10 explicit
+    positions so the position-ordered product chain is ONE fixed
+    expression — no engine-ordered aggregation of doubles anywhere. R_p
+    values are dyadic rationals (2^g - 1)/8, so every partial product is
+    exact in double; only the final /p divisions round."""
+    pivots = ",\n        ".join(
+        f"coalesce(max(CASE WHEN pos = {p} THEN rel END), 0) AS g{p}"
+        for p in range(1, ERR_DEPTH + 1)
+    )
+    terms = []
+    stop = []  # running (1 - R_i) factors
+    for p in range(1, ERR_DEPTH + 1):
+        rp = f"((power(2, g{p}) - 1) / 8e0)"
+        prefix = " * ".join(stop) if stop else "1e0"
+        terms.append(f"({prefix}) * {rp} / {p}")
+        stop.append(f"(1e0 - {rp})")
+    err = "\n        + ".join(terms)
+    return pivots, err
+
+
+@query(
+    "q_err_ranking",
+    oracle=(
+        lambda pivots_err=_err_terms(): f"""
+    WITH {_CAND_SQL},
+    graded AS (
+      SELECT c.term, c.doc_id, c.bm25,
+             CAST(substr(d.source, 4) AS INT) % 4 AS rel
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    sys AS (
+      SELECT term, rel,
+             row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS pos
+      FROM graded
+    ),
+    piv AS (
+      SELECT term,
+        {pivots_err[0]},
+        CAST(count(*) AS BIGINT) AS n_cands
+      FROM sys GROUP BY term
+    )
+    SELECT term, n_cands,
+           round({pivots_err[1]}, 6) AS err
+    FROM piv
+    """
+    )(),
+    tags=("text", "llm-pipeline", "retrieval"),
+)
+def err_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected reciprocal rank (ERR@10) per query term under the cascade
+    click model (Chapelle et al. 2009): a user scans down the BM25
+    ranking, stops at position p with probability R_p = (2^g - 1)/2^gmax,
+    and ERR = SUM (1/p) R_p PROD_{{i<p}} (1 - R_i) — unlike q_ndcg's
+    position discount, a highly-relevant document at rank 1 SUPPRESSES
+    the value of everything below it, which is how users actually behave.
+    Grades are the same source-derived {{0..3}} scheme as q_ndcg.
+
+    Determinism: the ranking pivots to one row per term (grades at 10
+    explicit positions), and the ERR sum is a FIXED unrolled expression —
+    the product chain evaluates exact dyadic doubles left-to-right
+    identically on both engines; rounded at 6. Scale: the q_ndcg plan
+    (term-partitioned windows over bounded candidate sets) plus an O(1)
+    pivot per term."""
+    pivots, err_expr = _err_terms()
+    cand = _candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    graded = cand.join(docs, "doc_id").select(
+        "term",
+        "doc_id",
+        "bm25",
+        (F.substring("source", 4, 10).cast("int") % 4).alias("rel"),
+    )
+    w_sys = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    sys = graded.select("term", "rel", F.row_number().over(w_sys).alias("pos"))
+    piv = sys.groupBy("term").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("pos") == p, F.col("rel"))), F.lit(0)
+            ).alias(f"g{p}")
+            for p in range(1, ERR_DEPTH + 1)
+        ],
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+    )
+    return piv.select("term", "n_cands", F.round(F.expr(err_expr), 6).alias("err"))

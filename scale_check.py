@@ -321,6 +321,9 @@ QUERIES = [
     "q_cochran_armitage",
     "q_cvm_test",
     "q_effect_sizes",
+    "q_good_turing",
+    "q_oov_rate",
+    "q_err_ranking",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
