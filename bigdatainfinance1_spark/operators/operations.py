@@ -1,0 +1,196 @@
+"""Operations-research operators: per-brand inventory policy (EOQ,
+safety stock, reorder point) and Erlang-C contact-center staffing — the
+supply/capacity planning layer beside the demand-side analytics
+(q_newsvendor's single-period quantile, q_croston_forecast's
+intermittent-demand smoothing, q_abc_xyz's classification).
+
+Scale posture: both queries reduce the fact scan to bounded relations
+(brands x days; one arrival-rate scalar) with exact integer moments, then
+run closed forms or a fixed-length recursive accumulation — O(model), not
+O(rows), past the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table, register_views
+
+# ---------------------------------------------------------------------------
+# q_eoq_policy — economic order quantity + safety stock per brand
+# ---------------------------------------------------------------------------
+
+EOQ_ORDER_COST = 100.0  # fixed cost per replenishment order, dollars
+EOQ_HOLD_RATE = 0.2  # annual holding cost as a fraction of unit cost
+EOQ_YEARS = 7.0  # demand window span (1995-2001) for annualization
+EOQ_LEAD_DAYS = 7.0  # replenishment lead time
+EOQ_Z95 = 1.644854  # 95% cycle-service-level z
+
+
+@query(
+    "q_eoq_policy",
+    oracle=f"""
+    WITH bd AS (
+      SELECT p.p_brand AS brand, date_trunc('day', l.l_shipdate) AS day,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY brand, day
+    ),
+    b AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(q) AS BIGINT) AS d_total,
+             CAST(sum(q * q) AS BIGINT) AS d_sq,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM bd GROUP BY brand
+    ),
+    calc AS (
+      SELECT brand, n_days, d_total,
+             cents * 1e0 / 100 / d_total AS unit_price,
+             d_total * 1e0 / {EOQ_YEARS} AS d_annual,
+             d_total * 1e0 / n_days AS mu_daily,
+             sqrt((n_days * 1e0 * d_sq - d_total * 1e0 * d_total)
+                  / (n_days * 1e0 * (n_days - 1))) AS sigma_daily
+      FROM b
+    )
+    SELECT brand, d_total AS total_demand,
+           round(unit_price, 4) AS unit_price,
+           round(d_annual, 2) AS annual_demand,
+           round(sqrt(2e0 * d_annual * {EOQ_ORDER_COST}
+                      / ({EOQ_HOLD_RATE} * unit_price)), 4) AS eoq_units,
+           round(mu_daily, 6) AS mean_daily_demand,
+           round(sigma_daily, 6) AS sigma_daily_demand,
+           round({EOQ_Z95} * sigma_daily * sqrt({EOQ_LEAD_DAYS}), 4) AS safety_stock,
+           round(mu_daily * {EOQ_LEAD_DAYS}
+                 + {EOQ_Z95} * sigma_daily * sqrt({EOQ_LEAD_DAYS}), 4)
+             AS reorder_point
+    FROM calc
+    ORDER BY brand
+    """,
+    tags=("operations", "finance"),
+)
+def eoq_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand inventory policy from first principles: EOQ =
+    sqrt(2DK/h) on annualized demand (K = $100/order, h = 20% of the
+    brand's realized unit price), plus the service-level layer — daily
+    demand sigma from exact integer moments, safety stock z*sigma*sqrt(LT)
+    at 95% service over a 7-day lead time, reorder point = lead-time
+    demand + safety stock. The complete "how much to order and when"
+    relation a planner reads per brand.
+
+    Determinism: daily quantities and cents are exact BIGINTs; unit
+    price, sigma, and every policy number are closed-form doubles of
+    those integers (identical expression both engines), rounded at 2-6.
+    Scale: one fact-dim broadcast join reduced to O(brands x days) cells
+    map-side, then O(brands) closed forms — replication grows cell
+    heights, not the relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bd = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_trunc("day", "l_shipdate").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    b = bd.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("q").cast("long").alias("d_total"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("d_sq"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    n_days, d_total = F.col("n_days"), F.col("d_total")
+    unit_price = F.col("cents") * F.lit(1.0) / 100 / d_total
+    d_annual = d_total * F.lit(1.0) / EOQ_YEARS
+    mu_daily = d_total * F.lit(1.0) / n_days
+    sigma = F.sqrt(
+        (n_days * F.lit(1.0) * F.col("d_sq") - d_total * F.lit(1.0) * d_total)
+        / (n_days * F.lit(1.0) * (n_days - 1))
+    )
+    ss = F.lit(EOQ_Z95) * sigma * F.sqrt(F.lit(EOQ_LEAD_DAYS))
+    return b.select(
+        "brand",
+        d_total.alias("total_demand"),
+        F.round(unit_price, 4).alias("unit_price"),
+        F.round(d_annual, 2).alias("annual_demand"),
+        F.round(
+            F.sqrt(F.lit(2.0) * d_annual * EOQ_ORDER_COST / (F.lit(EOQ_HOLD_RATE) * unit_price)),
+            4,
+        ).alias("eoq_units"),
+        F.round(mu_daily, 6).alias("mean_daily_demand"),
+        F.round(sigma, 6).alias("sigma_daily_demand"),
+        F.round(ss, 4).alias("safety_stock"),
+        F.round(mu_daily * EOQ_LEAD_DAYS + ss, 4).alias("reorder_point"),
+    ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# q_erlang_c — contact-center staffing table (recursive factorial walk)
+# ---------------------------------------------------------------------------
+
+ERLANG_WINDOW_HOURS = 720.0  # the events table spans 30 days
+ERLANG_MU = 12.0  # service rate per agent-hour (5-minute average handle time)
+ERLANG_MAX_C = 15  # staffing levels evaluated
+ERLANG_T_SEC = 20.0  # service-level threshold (answer within 20 s)
+
+_ERLANG_SQL = f"""
+    WITH RECURSIVE lamr AS (
+      SELECT count(*) * 1e0 / {ERLANG_WINDOW_HOURS} AS lam
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ld AS (SELECT lam, lam / {ERLANG_MU} AS a FROM lamr),
+    erl(c, term, csum) AS (
+      SELECT 0, CAST(1e0 AS DOUBLE), CAST(0e0 AS DOUBLE) FROM ld
+      UNION ALL
+      SELECT e.c + 1, e.term * l.a / (e.c + 1), e.csum + e.term
+      FROM erl e CROSS JOIN ld l WHERE e.c < {ERLANG_MAX_C}
+    ),
+    pw AS (
+      SELECT e.c, l.lam, l.a,
+             (e.term * e.c / (e.c - l.a))
+             / (e.csum + e.term * e.c / (e.c - l.a)) AS p_wait
+      FROM erl e CROSS JOIN ld l
+      WHERE e.c >= 1 AND e.c > l.a
+    )
+    SELECT CAST(c AS BIGINT) AS c_agents,
+           round(a, 4) AS offered_load,
+           round(p_wait, 6) AS p_wait,
+           round(p_wait / (c * {ERLANG_MU} - lam) * 3600e0, 4) AS asa_seconds,
+           round(1e0 - p_wait * exp(-(c * {ERLANG_MU} - lam)
+                                    * ({ERLANG_T_SEC} / 3600e0)), 6)
+             AS service_level_20s
+    FROM pw
+    ORDER BY c_agents
+"""
+
+
+@query("q_erlang_c", oracle=_ERLANG_SQL, tags=("operations", "recursive"))
+def erlang_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing table for the purchase-event arrival stream:
+    with lambda measured from the corpus (arrivals / 720 h) and a 5-min
+    average handle time, the probability an arrival must queue,
+    the average speed of answer, and the 20-second service level for
+    every staffing level c above the offered load — the capacity-planning
+    relation behind every "how many agents do we need" decision. The
+    a^c/c! ladder is a RECURSIVE accumulation (term_{{c+1}} =
+    term_c * a/(c+1), partial sums carried alongside), so there is no
+    factorial overflow and no engine-ordered summation.
+
+    ONE recursive-CTE SQL text runs verbatim on both engines (the
+    q_amortization_schedule pattern). Determinism: lambda is an exact
+    integer count over a fixed constant; every recursion step is the same
+    double arithmetic in the same order on both engines, rounded at 4/6.
+    Scale: the corpus pass is one count; the recursion is O(c_max) rows
+    of O(1) state."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ERLANG_SQL)

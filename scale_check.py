@@ -324,6 +324,8 @@ QUERIES = [
     "q_good_turing",
     "q_oov_rate",
     "q_err_ranking",
+    "q_eoq_policy",
+    "q_erlang_c",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
