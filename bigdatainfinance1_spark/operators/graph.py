@@ -827,3 +827,139 @@ def hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("auth_raw").desc(), "part_id")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_label_propagation — semi-supervised label spread with clamped seeds
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 3
+LP_SEED_MOD = 4  # parts with p_partkey % 4 == 0 are labeled seeds (~25%)
+
+
+def _lp_oracle() -> str:
+    """The same {LP_ROUNDS} synchronous rounds unrolled as chained CTEs
+    (the q_pagerank_copurchase pattern): each round, every NON-SEED node
+    takes the majority label of its labeled neighbors (count desc, label
+    asc tiebreak); seeds stay clamped; an unreached node stays unlabeled."""
+    head = f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (SELECT p1 AS u, p2 AS v FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    seeds AS (
+      SELECT n.node, p.p_brand AS label
+      FROM nodes n JOIN part p ON n.node = p.p_partkey
+      WHERE n.node % {LP_SEED_MOD} = 0
+    ),
+    l0 AS (SELECT node, label FROM seeds)
+    """
+    steps = []
+    for r in range(1, LP_ROUNDS + 1):
+        steps.append(f""",
+    cand{r} AS (
+      SELECT e.v AS node, l.label, count(*) AS cnt
+      FROM edges e JOIN l{r - 1} l ON l.node = e.u
+      WHERE e.v % {LP_SEED_MOD} <> 0
+      GROUP BY e.v, l.label
+    ),
+    pick{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rk
+        FROM cand{r}
+      ) WHERE rk = 1
+    ),
+    l{r} AS (SELECT node, label FROM seeds UNION ALL SELECT node, label FROM pick{r})""")
+    rounds = "".join(steps)
+    metrics = " UNION ALL ".join(
+        f"""
+    SELECT CAST({r} AS BIGINT) AS round,
+           CAST(count(*) AS BIGINT) AS n_labeled_nonseed,
+           CAST(sum(CASE WHEN pk.label = p.p_brand THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN pk.label = p.p_brand THEN 1 ELSE 0 END) * 1e0
+                 / count(*), 6) AS accuracy
+    FROM pick{r} pk JOIN part p ON pk.node = p.p_partkey"""
+        for r in range(1, LP_ROUNDS + 1)
+    )
+    return head + rounds + "\n" + metrics + "\n    ORDER BY round"
+
+
+@query("q_label_propagation", oracle=_lp_oracle(), tags=("analytics", "iterative", "graph", "ml"))
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the co-purchase part graph:
+    a quarter of the parts (p_partkey % 4 == 0) keep their true brand as
+    a clamped seed label; for 3 synchronous rounds every other node takes
+    the majority label among its labeled neighbors (count desc, label asc
+    tiebreak). Because the TRUE brand of every part is known, the output
+    is a real evaluation: per round, how many non-seed nodes are reached
+    and what fraction of propagated labels match the actual brand — the
+    graph-homophily probe behind weak supervision ("can neighbors label
+    the unlabeled 75%?"), the transductive counterpart of
+    q_knn_label_eval's feature-space test.
+
+    Determinism: majority picks rank on exact integer counts with the
+    label string as total-order tiebreak; seed choice is a pure key
+    predicate. The oracle unrolls the identical 3 rounds as chained CTEs.
+    Scale: each round is one edges-to-labels equi-join + per-node count
+    (key-partitioned, linear in edges) — the q_pagerank_copurchase job
+    shape with labels instead of ranks; round count is a constant of the
+    operator."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey").filter(F.col("p1") < F.col("p2")).select("p1", "p2").distinct()
+    )
+    edges = pairs.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).persist()
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    seeds = (
+        nodes.filter(F.col("node") % LP_SEED_MOD == 0)
+        .join(F.broadcast(part), F.col("node") == F.col("p_partkey"))
+        .select("node", F.col("p_brand").alias("label"))
+    )
+    truth = part.select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("brand"))
+    labels = seeds
+    summaries = []
+    for r in range(1, LP_ROUNDS + 1):
+        cand = (
+            edges.join(labels.withColumnRenamed("node", "u"), "u")
+            .filter(F.col("v") % LP_SEED_MOD != 0)
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+        pick = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+        summaries.append(
+            pick.join(F.broadcast(truth), "node").agg(
+                F.lit(r).cast("long").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_labeled_nonseed"),
+                F.sum(F.when(F.col("label") == F.col("brand"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_correct"),
+                F.round(
+                    F.sum(F.when(F.col("label") == F.col("brand"), 1).otherwise(0))
+                    * F.lit(1.0)
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("accuracy"),
+            )
+        )
+        labels = seeds.unionByName(pick)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    out = out.orderBy("round").localCheckpoint(eager=True)
+    edges.unpersist()
+    return out

@@ -326,6 +326,8 @@ QUERIES = [
     "q_err_ranking",
     "q_eoq_policy",
     "q_erlang_c",
+    "q_scd2_pit_join",
+    "q_label_propagation",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
