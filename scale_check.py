@@ -328,6 +328,8 @@ QUERIES = [
     "q_erlang_c",
     "q_scd2_pit_join",
     "q_label_propagation",
+    "q_random_projection",
+    "q_embedding_pq",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
