@@ -1025,3 +1025,380 @@ def almgren_chriss(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("slice")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_binomial_option — CRR binomial pricing, converging to Black-Scholes
+# ---------------------------------------------------------------------------
+
+CRR_STEPS = 16
+
+
+def _binomial_sql() -> str:
+    """European CRR price as the closed-form terminal sum
+    disc * SUM_k C(n,k) p^k q^(n-k) max(S u^k d^(n-k) - K, 0), unrolled
+    over the 17 terminal nodes with explicit multiplication chains (no
+    libm pow), so both engines evaluate the identical expression
+    left-to-right. Shares q_black_scholes' option grid and reports the
+    convergence gap to the closed-form BS price."""
+    n = CRR_STEPS
+    from math import comb
+
+    def chain(sym: str, k: int) -> str:
+        return "1e0" if k == 0 else "(" + " * ".join([sym] * k) + ")"
+
+    terms = []
+    for k in range(n + 1):
+        terms.append(
+            f"({comb(n, k)} * {chain('p', k)} * {chain('q', n - k)}"
+            f" * greatest(s * {chain('u', k)} * {chain('dn', n - k)} - k_, 0e0))"
+        )
+    tree_sum = "\n             + ".join(terms)
+    return f"""
+    WITH opt AS (
+      SELECT p_partkey,
+             p_retailprice AS s,
+             CAST(CAST(round(p_retailprice * 100) AS BIGINT)
+                  * (90 + (p_partkey % 21)) AS DOUBLE) / 10000.0 AS k_,
+             CAST(0.15 + 0.01 * (p_size % 20) AS DOUBLE) AS sigma
+      FROM part
+      WHERE p_partkey <= {BS_PART_CAP}
+    ),
+    ud AS (
+      SELECT p_partkey, s, k_, sigma,
+             exp(sigma * sqrt({BS_TENOR} / {n}.0)) AS u,
+             1e0 / exp(sigma * sqrt({BS_TENOR} / {n}.0)) AS dn
+      FROM opt
+    ),
+    pq AS (
+      SELECT p_partkey, s, k_, sigma, u, dn,
+             (exp({BS_RATE} * {BS_TENOR} / {n}.0) - dn) / (u - dn) AS p,
+             1e0 - (exp({BS_RATE} * {BS_TENOR} / {n}.0) - dn) / (u - dn) AS q
+      FROM ud
+    ),
+    crr AS (
+      SELECT p_partkey, s, k_, sigma,
+             exp(-{BS_RATE} * {BS_TENOR}) * (
+               {tree_sum}
+             ) AS price
+      FROM pq
+    ),
+    bs AS (
+      SELECT p_partkey,
+             (ln(s / k_) + ({BS_RATE} + sigma * sigma / 2.0) * {BS_TENOR})
+               / (sigma * sqrt({BS_TENOR})) AS d1,
+             (ln(s / k_) + ({BS_RATE} + sigma * sigma / 2.0) * {BS_TENOR})
+               / (sigma * sqrt({BS_TENOR})) - sigma * sqrt({BS_TENOR}) AS d2,
+             s, k_, sigma
+      FROM opt
+    ),
+    bsp AS (
+      SELECT p_partkey,
+             s * {_norm_cdf_sql('d1')}
+             - k_ * exp(-{BS_RATE} * {BS_TENOR}) * {_norm_cdf_sql('d2')} AS bs_price
+      FROM bs
+    )
+    SELECT c.p_partkey, c.s AS spot, round(c.k_, 4) AS strike,
+           round(c.sigma, 2) AS sigma,
+           round(c.price, 4) AS crr_price,
+           round(b.bs_price, 4) AS bs_price,
+           round(abs(c.price - b.bs_price), 4) AS abs_gap
+    FROM crr c JOIN bsp b ON c.p_partkey = b.p_partkey
+    """
+
+
+@query("q_binomial_option", oracle=_binomial_sql(), tags=("finance", "pricing"))
+def binomial_option(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Ross-Rubinstein binomial option pricing ({CRR_STEPS} steps) on
+    the q_black_scholes option grid, priced as the closed-form terminal
+    sum disc * SUM C(n,k) p^k q^(n-k) payoff(S u^k d^(n-k)) — for a
+    European call the backward induction collapses to this single
+    expectation, so the whole 17-node tree is ONE expression per option.
+    The output reports the CRR price beside the closed-form Black-Scholes
+    price and their gap — the discrete-to-continuous convergence check
+    (O(1/n) for CRR) every pricing library validates.
+
+    ONE SQL text runs verbatim on both engines; binomial coefficients
+    are exact integer literals, and every power is an explicit
+    multiplication chain (never libm pow), so both engines walk the
+    identical double arithmetic; rounded at 4. Scale: pure map-side
+    arithmetic over the part grid — no joins, no shuffles past the
+    scan."""
+    from bigdatainfinance1_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_binomial_sql())
+
+
+# ---------------------------------------------------------------------------
+# q_riskmetrics_vol — EWMA volatility recursion + parametric VaR
+# ---------------------------------------------------------------------------
+
+RM_LAMBDA = 0.94
+RM_Z95 = 1.644854
+RM_TAIL_MONTHS = 12
+
+_RM_SQL = f"""
+    WITH RECURSIVE mm AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY mi
+    ),
+    rr AS (
+      SELECT a.mi,
+             CAST(round((a.cents * 1e0 / b.cents - 1e0) * 1000000) AS BIGINT) AS r6
+      FROM mm a JOIN mm b ON b.mi = a.mi - 1
+    ),
+    idx AS (
+      SELECT r.mi - x.mn + 1 AS t, r.mi, r.r6
+      FROM rr r CROSS JOIN (SELECT min(mi) AS mn FROM rr) x
+    ),
+    seed AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             round(sum(r6 * r6) / 12e0 / 1e12, 12) AS s2
+      FROM idx WHERE t <= 12
+    ),
+    nn AS (SELECT CAST(max(t) AS BIGINT) AS n FROM idx),
+    rec(t, n, sig2) AS (
+      SELECT CAST(12 AS BIGINT), nn.n, seed.s2 FROM seed CROSS JOIN nn
+      UNION ALL
+      SELECT rec.t + 1, rec.n,
+             round({RM_LAMBDA} * rec.sig2
+                   + (1e0 - {RM_LAMBDA}) * (i.r6 * 1e0 * i.r6 / 1e12), 12)
+      FROM rec JOIN idx i ON i.t = rec.t
+      WHERE rec.t < rec.n
+    )
+    SELECT i.mi AS month_index,
+           round(i.r6 / 1e6, 6) AS ret,
+           round(sqrt(rec.sig2), 6) AS ewma_vol,
+           round(-{RM_Z95} * sqrt(rec.sig2), 6) AS var95,
+           i.r6 / 1e6 < -{RM_Z95} * sqrt(rec.sig2) AS breach
+    FROM rec JOIN idx i ON i.t = rec.t
+    WHERE rec.t > rec.n - {RM_TAIL_MONTHS}
+    ORDER BY month_index
+"""
+
+
+@query("q_riskmetrics_vol", oracle=_RM_SQL, tags=("finance", "risk", "recursive"))
+def riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RiskMetrics EWMA volatility (lambda = 0.94) over the monthly
+    revenue return series: sig2_t = lambda sig2_{{t-1}} +
+    (1-lambda) r^2_{{t-1}}, seeded with the first year's mean square —
+    the decay-weighted vol every parametric VaR desk runs because it
+    reacts to regime shifts the equal-weight q_stats_volatility window
+    cannot. The last 12 months report the one-step-ahead vol, the
+    parametric 95% VaR (-1.645 sigma), and whether the realized return
+    breached it (the input q_kupiec_var_backtest consumes).
+
+    Spark side follows the q_kalman_level driver-bounded-model pattern:
+    ONE corpus pass reduces to the O(calendar) monthly cents, collected
+    (bounded model state, never O(rows)), and the recursion runs on the
+    driver with rnd_half_away so every state transition visits doubles
+    bit-identical to the oracle's recursive-CTE round(x, 12). (A first
+    cut ran the recursion as a Spark recursive CTE — correct, but Spark
+    re-evaluated the monthly aggregate every iteration, ~70 corpus scans
+    = 39 s at sf0.01; the driver-bounded model is one scan.) Returns are
+    exact 1e-6-grain BIGINTs from exact cents; the seed is an exact
+    integer ratio. The DuckDB oracle keeps the CTE form."""
+    import math
+
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .orderBy("mi")
+        .collect()  # O(calendar months) — bounded model state, never O(rows)
+    )
+    r6s = []  # (t, mi, r6) with t = 1.. over the contiguous return months
+    for prev, cur in zip(monthly, monthly[1:]):
+        ratio = (cur["cents"] * 1.0 / prev["cents"] - 1.0) * 1000000
+        r6s.append((len(r6s) + 1, cur["mi"], int(rnd(ratio, 0))))
+    n = len(r6s)
+    seed = rnd(sum(r6 * r6 for _, _, r6 in r6s[:12]) / 12.0 / 1e12, 12)
+    sig2 = {12: seed}
+    for t in range(12, n):
+        _, _, r6 = r6s[t - 1]  # r6 at index t (1-based) = r6s[t-1]
+        sig2[t + 1] = rnd(RM_LAMBDA * sig2[t] + (1.0 - RM_LAMBDA) * (r6 * 1.0 * r6 / 1e12), 12)
+    rows = []
+    for t, mi, r6 in r6s:
+        if t <= n - RM_TAIL_MONTHS or t not in sig2:
+            continue
+        vol = math.sqrt(sig2[t])
+        rows.append(
+            (mi, rnd(r6 / 1e6, 6), rnd(vol, 6), rnd(-RM_Z95 * vol, 6), r6 / 1e6 < -RM_Z95 * vol)
+        )
+    return spark.createDataFrame(
+        rows,
+        "month_index bigint, ret double, ewma_vol double, var95 double, breach boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_rebalance_drift — calendar rebalancing vs buy-and-hold
+# ---------------------------------------------------------------------------
+
+REB_W_A = 0.6  # target weight, asset A (EUROPE revenue index)
+REB_EVERY = 3  # rebalance every 3rd month (quarterly)
+
+_REB_SQL = f"""
+    WITH RECURSIVE rm AS (
+      SELECT r.r_name AS region,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('EUROPE', 'ASIA')
+      GROUP BY region, mi
+    ),
+    rr AS (
+      SELECT a.mi,
+             CAST(round((a.cents * 1e0 / b.cents - 1e0) * 1000000) AS BIGINT) AS ra6
+      FROM rm a JOIN rm b ON b.mi = a.mi - 1 AND a.region = 'EUROPE'
+            AND b.region = 'EUROPE'
+    ),
+    rr2 AS (
+      SELECT a.mi,
+             CAST(round((a.cents * 1e0 / b.cents - 1e0) * 1000000) AS BIGINT) AS rb6
+      FROM rm a JOIN rm b ON b.mi = a.mi - 1 AND a.region = 'ASIA'
+            AND b.region = 'ASIA'
+    ),
+    rj AS (SELECT rr.mi, rr.ra6, rr2.rb6 FROM rr JOIN rr2 ON rr.mi = rr2.mi),
+    idx AS (
+      -- dense month index via a bounded triangular join (region series can
+      -- skip months; a raw mi offset would break the recursion chain)
+      SELECT CAST(count(*) AS BIGINT) AS t, a.mi, min(a.ra6) AS ra6,
+             min(a.rb6) AS rb6
+      FROM rj a JOIN rj b ON b.mi <= a.mi
+      GROUP BY a.mi
+    ),
+    nn AS (SELECT CAST(max(t) AS BIGINT) AS n FROM idx),
+    rec(t, n, wa, wb, bha, bhb, turn, nreb) AS (
+      SELECT CAST(0 AS BIGINT), nn.n,
+             CAST({REB_W_A} AS DOUBLE), CAST({1 - REB_W_A} AS DOUBLE),
+             CAST({REB_W_A} AS DOUBLE), CAST({1 - REB_W_A} AS DOUBLE),
+             CAST(0e0 AS DOUBLE), CAST(0 AS BIGINT)
+      FROM nn
+      UNION ALL
+      SELECT rec.t + 1, rec.n,
+             CASE WHEN (rec.t + 1) % {REB_EVERY} = 0
+                  THEN round({REB_W_A} * (round(rec.wa * (1e0 + i.ra6 / 1e6), 12)
+                                          + round(rec.wb * (1e0 + i.rb6 / 1e6), 12)), 12)
+                  ELSE round(rec.wa * (1e0 + i.ra6 / 1e6), 12) END,
+             CASE WHEN (rec.t + 1) % {REB_EVERY} = 0
+                  THEN round({1 - REB_W_A} * (round(rec.wa * (1e0 + i.ra6 / 1e6), 12)
+                                              + round(rec.wb * (1e0 + i.rb6 / 1e6), 12)), 12)
+                  ELSE round(rec.wb * (1e0 + i.rb6 / 1e6), 12) END,
+             round(rec.bha * (1e0 + i.ra6 / 1e6), 12),
+             round(rec.bhb * (1e0 + i.rb6 / 1e6), 12),
+             CASE WHEN (rec.t + 1) % {REB_EVERY} = 0
+                  THEN round(rec.turn
+                             + abs({REB_W_A} * (round(rec.wa * (1e0 + i.ra6 / 1e6), 12)
+                                                + round(rec.wb * (1e0 + i.rb6 / 1e6), 12))
+                                   - round(rec.wa * (1e0 + i.ra6 / 1e6), 12)), 12)
+                  ELSE rec.turn END,
+             rec.nreb + CASE WHEN (rec.t + 1) % {REB_EVERY} = 0 THEN 1 ELSE 0 END
+      FROM rec JOIN idx i ON i.t = rec.t + 1
+      WHERE rec.t < rec.n
+    )
+    SELECT CAST(n AS BIGINT) AS n_months,
+           CAST(nreb AS BIGINT) AS n_rebalances,
+           round(wa + wb, 6) AS wealth_rebalanced,
+           round(bha + bhb, 6) AS wealth_buyhold,
+           round((wa + wb) - (bha + bhb), 6) AS rebalancing_gain,
+           round(turn, 6) AS one_way_turnover,
+           round(bha / (bha + bhb), 6) AS drifted_weight_a
+    FROM rec WHERE t = n
+"""
+
+
+@query("q_rebalance_drift", oracle=_REB_SQL, tags=("finance", "portfolio", "recursive"))
+def rebalance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly-rebalanced 60/40 two-asset portfolio (EUROPE / ASIA
+    monthly revenue indices) walked against buy-and-hold in ONE
+    recursion: wealth drifts with each month's returns, snaps back to
+    target every third month (one-way turnover accumulated, the real
+    trading-cost driver), while the buy-and-hold legs compound untouched
+    — the rebalancing-premium / weight-drift relation behind every
+    policy-portfolio governance review. Reports final wealth both ways,
+    the rebalancing gain, turnover, rebalance count, and how far
+    buy-and-hold drifted from the 60% target.
+
+    Spark side follows the q_kalman_level driver-bounded-model pattern:
+    one dim-chain corpus pass reduces to the O(calendar) per-region
+    monthly cents, collected (bounded model state), and the walk runs on
+    the driver with rnd_half_away(x, 12) at every state transition —
+    bit-identical to the oracle's recursive-CTE round(x, 12), which the
+    DuckDB side keeps. (The recursive-CTE form on Spark re-scanned the
+    monthly aggregate per iteration — 63 s at sf0.01; the driver-bounded
+    model is one scan.) Returns are exact 1e-6-grain BIGINTs from exact
+    cents; the dense month index tolerates calendar gaps in either
+    region's series."""
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rm = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("EUROPE", "ASIA"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .orderBy("region", "mi")
+        .collect()  # O(2 x calendar months) — bounded model state
+    )
+    series = {"EUROPE": {}, "ASIA": {}}
+    for r in rm:
+        series[r["region"]][r["mi"]] = r["cents"]
+
+    def rets(cents_by_mi):
+        out = {}
+        for mi, c in cents_by_mi.items():
+            if mi - 1 in cents_by_mi:
+                out[mi] = int(rnd((c * 1.0 / cents_by_mi[mi - 1] - 1.0) * 1000000, 0))
+        return out
+
+    ra, rb = rets(series["EUROPE"]), rets(series["ASIA"])
+    months = sorted(set(ra) & set(rb))
+    n = len(months)
+    wa, wb = REB_W_A, 1 - REB_W_A
+    bha, bhb = REB_W_A, 1 - REB_W_A
+    turn, nreb = 0.0, 0
+    for t, mi in enumerate(months, start=1):
+        ga = rnd(wa * (1.0 + ra[mi] / 1e6), 12)
+        gb = rnd(wb * (1.0 + rb[mi] / 1e6), 12)
+        if t % REB_EVERY == 0:
+            wa = rnd(REB_W_A * (ga + gb), 12)
+            wb = rnd((1 - REB_W_A) * (ga + gb), 12)
+            turn = rnd(turn + abs(REB_W_A * (ga + gb) - ga), 12)
+            nreb += 1
+        else:
+            wa, wb = ga, gb
+        bha = rnd(bha * (1.0 + ra[mi] / 1e6), 12)
+        bhb = rnd(bhb * (1.0 + rb[mi] / 1e6), 12)
+    row = (
+        n,
+        nreb,
+        rnd(wa + wb, 6),
+        rnd(bha + bhb, 6),
+        rnd((wa + wb) - (bha + bhb), 6),
+        rnd(turn, 6),
+        rnd(bha / (bha + bhb), 6),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_months bigint, n_rebalances bigint, wealth_rebalanced double, "
+        "wealth_buyhold double, rebalancing_gain double, one_way_turnover double, "
+        "drifted_weight_a double",
+    )

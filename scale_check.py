@@ -330,6 +330,9 @@ QUERIES = [
     "q_label_propagation",
     "q_random_projection",
     "q_embedding_pq",
+    "q_binomial_option",
+    "q_riskmetrics_vol",
+    "q_rebalance_drift",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
