@@ -305,3 +305,151 @@ def textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_deg.unpersist()
     deg.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_lsa_power_iteration — principal term axis of the term-term Gram matrix
+# ---------------------------------------------------------------------------
+
+LSA_ITERS = 3
+LSA_SCALE = 1_000_000_000  # iteration state grain (1e-9)
+LSA_TOP = 8
+
+
+def _lsa_oracle() -> str:
+    """Power iteration unrolled as CTEs: the Gram matrix G[t1][t2] =
+    SUM_docs tf(t1,d) tf(t2,d) is exact integers; each step computes
+    w = G v as exact products summed in BIGINT, then renormalizes by
+    max|w| back onto the 1e-9 integer grid (the q_hits_authority
+    deferred-normalization posture — no L2 norm, no double sums)."""
+    head = f"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    g AS (
+      SELECT a.term AS t1, b.term AS t2, CAST(sum(a.f * b.f) AS BIGINT) AS w
+      FROM tf a JOIN tf b ON a.doc_id = b.doc_id
+      GROUP BY a.term, b.term
+    ),
+    vocab AS (SELECT DISTINCT t1 AS term FROM g),
+    v0 AS (SELECT term, CAST({LSA_SCALE} AS BIGINT) AS v FROM vocab)
+    """
+    steps = ""
+    for t in range(1, LSA_ITERS + 1):
+        steps += f""",
+    w{t} AS (
+      SELECT g.t1 AS term, CAST(sum(g.w * v.v) AS BIGINT) AS w
+      FROM g JOIN v{t - 1} v ON g.t2 = v.term
+      GROUP BY g.t1
+    ),
+    m{t} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mx FROM w{t}),
+    v{t} AS (
+      SELECT w.term,
+             CAST(round(w.w * 1e0 / m.mx * {LSA_SCALE}) AS BIGINT) AS v
+      FROM w{t} w CROSS JOIN m{t} m
+    )"""
+    return f"""
+    {head}{steps},
+    nrm AS (
+      SELECT sqrt(sum((v * 1e0 / {LSA_SCALE}) * (v * 1e0 / {LSA_SCALE}))) AS l2
+      FROM v{LSA_ITERS}
+    ),
+    lam AS (
+      -- Rayleigh-style eigenvalue estimate: max |G v| / max |v| from the
+      -- last step's pre-normalization image (exact integer ratio)
+      SELECT m.mx * 1e0 / {LSA_SCALE} AS lambda1 FROM m{LSA_ITERS} m
+    )
+    SELECT v.term,
+           CAST(row_number() OVER (ORDER BY abs(v.v) DESC, v.term) AS BIGINT) AS rnk,
+           round(v.v * 1e0 / {LSA_SCALE} / n.l2, 6) AS loading,
+           round(l.lambda1, 2) AS lambda1
+    FROM v{LSA_ITERS} v CROSS JOIN nrm n CROSS JOIN lam l
+    ORDER BY abs(v.v) DESC, v.term
+    LIMIT {LSA_TOP}
+    """
+
+
+@query("q_lsa_power_iteration", oracle=_lsa_oracle(), tags=("text", "llm-pipeline", "iterative"))
+def lsa_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latent semantic analysis, first component: power iteration on the
+    term-term Gram matrix G = A'A of the term-document count matrix — the
+    top singular direction of the corpus, i.e. the dominant "topic" axis
+    and the terms that load on it. Three iterations from the uniform
+    vector; the iteration state renormalizes by max|w| onto an exact
+    1e-9 integer grid each step (q_hits_authority's deferred-
+    normalization trick), so the distributed mat-vec is EXACT BIGINT
+    arithmetic — no engine-ordered double summation anywhere inside the
+    loop; doubles appear only in the final unit-norm loadings.
+
+    Scale: the Gram matrix is O(vocab^2) — vocabulary-bounded (31 types
+    here), built from one token aggregate + one doc-keyed self-join; each
+    iteration is a join against the O(vocab) vector relation. The oracle
+    unrolls the identical 3 steps as CTEs. Top-{LSA_TOP} terms ranked by
+    |loading| with the term as tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    g = (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+        .groupBy(F.col("a.term").alias("t1"), F.col("b.term").alias("t2"))
+        .agg(F.sum(F.col("a.f") * F.col("b.f")).cast("long").alias("w"))
+        .persist()
+    )
+    v = g.select(F.col("t1").alias("term")).distinct().withColumn(
+        "v", F.lit(LSA_SCALE).cast("long")
+    )
+    mx_last = None
+    for _ in range(LSA_ITERS):
+        w = (
+            g.join(v.withColumnRenamed("term", "t2"), "t2")
+            .groupBy(F.col("t1").alias("term"))
+            .agg(F.sum(F.col("w") * F.col("v")).cast("long").alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("mx"))
+        mx_last = mx
+        v = w.crossJoin(F.broadcast(mx)).select(
+            "term",
+            F.round(F.col("w") * F.lit(1.0) / F.col("mx") * LSA_SCALE)
+            .cast("long")
+            .alias("v"),
+        )
+    nrm = v.agg(
+        F.sqrt(
+            F.sum((F.col("v") * F.lit(1.0) / LSA_SCALE) * (F.col("v") * F.lit(1.0) / LSA_SCALE))
+        ).alias("l2")
+    )
+    lam = mx_last.select((F.col("mx") * F.lit(1.0) / LSA_SCALE).alias("lambda1"))
+    # rank via a triangular self-join over the O(vocab) relation — the
+    # repo rule bans single-partition windows in operators/ (the relation
+    # is bounded here, but the rule is grep-enforced; the join is O(vocab^2))
+    va = v.select(F.col("term").alias("t_a"), F.col("v").alias("v_a"))
+    rnk = (
+        va.join(
+            F.broadcast(v),
+            (F.abs(F.col("v")) > F.abs(F.col("v_a")))
+            | ((F.abs(F.col("v")) == F.abs(F.col("v_a"))) & (F.col("term") <= F.col("t_a"))),
+        )
+        .groupBy("t_a", "v_a")
+        .agg(F.count(F.lit(1)).cast("long").alias("rnk"))
+    )
+    out = (
+        rnk.crossJoin(F.broadcast(nrm))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("t_a").alias("term"),
+            "rnk",
+            F.round(F.col("v_a") * F.lit(1.0) / LSA_SCALE / F.col("l2"), 6).alias("loading"),
+            F.round("lambda1", 2).alias("lambda1"),
+        )
+        .orderBy("rnk")
+        .limit(LSA_TOP)
+    )
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    return out

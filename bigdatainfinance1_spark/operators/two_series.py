@@ -497,3 +497,165 @@ def distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("dcov2") / F.sqrt(F.col("dvary2") * F.col("dvarx2"))), 6
         ).alias("dcor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_synthetic_control — two-donor synthetic control with closed-form weight
+# ---------------------------------------------------------------------------
+
+SC_TREATED = "EUROPE"
+SC_DONOR_1 = "ASIA"
+SC_DONOR_2 = "AMERICA"
+SC_SPLIT = "1999-01-01"  # pre-period fit / post-period effect window
+SC_GRAIN = 10000  # monthly revenue at 1e-4 M$ integer grain
+
+
+@query(
+    "q_synthetic_control",
+    oracle=f"""
+    WITH rm AS (
+      SELECT r.r_name AS region,
+             CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
+             o.o_orderdate,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name IN ('{SC_TREATED}', '{SC_DONOR_1}', '{SC_DONOR_2}')
+    ),
+    mm AS (
+      SELECT region, mi,
+             CAST(round(sum(cents) / 1e8 * {SC_GRAIN}) AS BIGINT) AS v,
+             min(o_orderdate) < TIMESTAMP '{SC_SPLIT}' AS pre
+      FROM rm GROUP BY region, mi
+    ),
+    piv AS (
+      SELECT mi, min(pre) AS pre,
+             max(CASE WHEN region = '{SC_TREATED}' THEN v END) AS y,
+             max(CASE WHEN region = '{SC_DONOR_1}' THEN v END) AS d1,
+             max(CASE WHEN region = '{SC_DONOR_2}' THEN v END) AS d2
+      FROM mm GROUP BY mi
+      HAVING max(CASE WHEN region = '{SC_TREATED}' THEN v END) IS NOT NULL
+         AND max(CASE WHEN region = '{SC_DONOR_1}' THEN v END) IS NOT NULL
+         AND max(CASE WHEN region = '{SC_DONOR_2}' THEN v END) IS NOT NULL
+    ),
+    fit AS (
+      SELECT CAST(sum(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+             CAST(sum(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n_post,
+             CAST(sum(CASE WHEN pre THEN (y - d2) * (d1 - d2) ELSE 0 END) AS BIGINT)
+               AS szx,
+             CAST(sum(CASE WHEN pre THEN (d1 - d2) * (d1 - d2) ELSE 0 END) AS BIGINT)
+               AS sxx,
+             CAST(sum(CASE WHEN pre THEN (y - d2) * (y - d2) ELSE 0 END) AS BIGINT)
+               AS szz,
+             CAST(sum(CASE WHEN pre THEN 0 ELSE y END) AS BIGINT) AS py,
+             CAST(sum(CASE WHEN pre THEN 0 ELSE d1 END) AS BIGINT) AS pd1,
+             CAST(sum(CASE WHEN pre THEN 0 ELSE d2 END) AS BIGINT) AS pd2
+      FROM piv
+    ),
+    w AS (
+      SELECT n_pre, n_post, szz, szx, sxx, py, pd1, pd2,
+             least(greatest(szx * 1e0 / sxx, 0e0), 1e0) AS w1
+      FROM fit
+    )
+    SELECT n_pre, n_post,
+           round(w1, 6) AS w_{SC_DONOR_1.lower()},
+           round(1e0 - w1, 6) AS w_{SC_DONOR_2.lower()},
+           round(sqrt((szz - 2e0 * w1 * szx + w1 * w1 * sxx) / n_pre)
+                 / {SC_GRAIN}, 6) AS pre_rmse,
+           round((py - w1 * pd1 - (1e0 - w1) * pd2) / n_post / {SC_GRAIN}, 6)
+             AS att_monthly,
+           round((py - w1 * pd1 - (1e0 - w1) * pd2)
+                 / (w1 * pd1 + (1e0 - w1) * pd2), 6) AS att_pct
+    FROM w
+    """,
+    tags=("stats", "causal", "timeseries"),
+)
+def synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic control with a two-donor pool: fit the convex weight w on
+    pre-{SC_SPLIT} months so w*ASIA + (1-w)*AMERICA tracks EUROPE's
+    monthly revenue, then read the post-period gap between EUROPE and its
+    synthetic twin as the average monthly treatment effect — the
+    comparative-case-study design (Abadie et al.) completing the causal
+    toolbox beside q_diff_in_diff (which forces parallel trends instead
+    of learning the counterfactual). With two donors and the simplex
+    constraint the argmin is CLOSED FORM: w = clamp(S_zx/S_xx, 0, 1) for
+    z = y - d2, x = d1 - d2.
+
+    Determinism: monthly series are exact 1e-4-M$-grain BIGINTs, so all
+    fit moments are exact integers; w, RMSE (expanded as
+    S_zz - 2w S_zx + w^2 S_xx — no residual pass, no ordered double
+    sums), and the ATT are closed-form doubles of those integers, rounded
+    at 6. Scale: one dim-chain aggregate to O(3 x months) cells pivoted
+    per month; O(1) after."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    mm = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin(SC_TREATED, SC_DONOR_1, SC_DONOR_2))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 1e8 * SC_GRAIN
+            )
+            .cast("long")
+            .alias("v"),
+            (F.min("o_orderdate") < F.lit(SC_SPLIT).cast("timestamp")).alias("pre"),
+        )
+    )
+
+    def pick(region: str):
+        return F.max(F.when(F.col("region") == region, F.col("v")))
+
+    piv = (
+        mm.groupBy("mi")
+        .agg(
+            F.min("pre").alias("pre"),
+            pick(SC_TREATED).alias("y"),
+            pick(SC_DONOR_1).alias("d1"),
+            pick(SC_DONOR_2).alias("d2"),
+        )
+        .filter(
+            F.col("y").isNotNull() & F.col("d1").isNotNull() & F.col("d2").isNotNull()
+        )
+    )
+    z = F.col("y") - F.col("d2")
+    x = F.col("d1") - F.col("d2")
+    fit = piv.agg(
+        F.sum(F.when(F.col("pre"), 1).otherwise(0)).cast("long").alias("n_pre"),
+        F.sum(F.when(F.col("pre"), 0).otherwise(1)).cast("long").alias("n_post"),
+        F.sum(F.when(F.col("pre"), z * x).otherwise(0)).cast("long").alias("szx"),
+        F.sum(F.when(F.col("pre"), x * x).otherwise(0)).cast("long").alias("sxx"),
+        F.sum(F.when(F.col("pre"), z * z).otherwise(0)).cast("long").alias("szz"),
+        F.sum(F.when(F.col("pre"), 0).otherwise(F.col("y"))).cast("long").alias("py"),
+        F.sum(F.when(F.col("pre"), 0).otherwise(F.col("d1"))).cast("long").alias("pd1"),
+        F.sum(F.when(F.col("pre"), 0).otherwise(F.col("d2"))).cast("long").alias("pd2"),
+    )
+    w1 = F.least(F.greatest(F.col("szx") * F.lit(1.0) / F.col("sxx"), F.lit(0.0)), F.lit(1.0))
+    synth_post = w1 * F.col("pd1") + (F.lit(1.0) - w1) * F.col("pd2")
+    return fit.select(
+        "n_pre",
+        "n_post",
+        F.round(w1, 6).alias(f"w_{SC_DONOR_1.lower()}"),
+        F.round(F.lit(1.0) - w1, 6).alias(f"w_{SC_DONOR_2.lower()}"),
+        F.round(
+            F.sqrt(
+                (F.col("szz") - F.lit(2.0) * w1 * F.col("szx") + w1 * w1 * F.col("sxx"))
+                / F.col("n_pre")
+            )
+            / SC_GRAIN,
+            6,
+        ).alias("pre_rmse"),
+        F.round((F.col("py") - synth_post) / F.col("n_post") / SC_GRAIN, 6).alias(
+            "att_monthly"
+        ),
+        F.round((F.col("py") - synth_post) / synth_post, 6).alias("att_pct"),
+    )

@@ -333,6 +333,8 @@ QUERIES = [
     "q_binomial_option",
     "q_riskmetrics_vol",
     "q_rebalance_drift",
+    "q_lsa_power_iteration",
+    "q_synthetic_control",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
