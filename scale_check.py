@@ -335,6 +335,7 @@ QUERIES = [
     "q_rebalance_drift",
     "q_lsa_power_iteration",
     "q_synthetic_control",
+    "q_ucb_replay",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
