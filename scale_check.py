@@ -336,6 +336,7 @@ QUERIES = [
     "q_lsa_power_iteration",
     "q_synthetic_control",
     "q_ucb_replay",
+    "q_isotonic_calibration",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
