@@ -1,0 +1,248 @@
+"""Clustering-quality diagnostics over the labeled embedding space:
+simplified silhouette and the Davies-Bouldin index — the "are these
+clusters any good" layer the clustering operators themselves
+(q_kmeans_embeddings, q_semdedup's Lloyd core, the IVF coarse quantizer)
+need before anyone trusts their assignments.
+
+Both queries share one centroid relation (per-label per-dim means,
+6-dp-rounded so downstream distances are computed from identical doubles
+on both engines) and stay linear: member-to-centroid distances are a
+join of the exploded vectors against the O(labels x dims) centroid
+relation — never vector-vector pairs (the full silhouette's O(n^2)
+pairwise form is exactly what the simplified variant exists to avoid at
+corpus scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+# Shared DuckDB prefix: exploded vectors, 6-dp centroids, and the
+# 12-dp-rounded squared distance of every vector to every label centroid.
+_DIST_SQL = """
+    x AS (
+      SELECT vec_id, label, s.i AS i, CAST(embedding[s.i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) s(i)
+    ),
+    cent AS (
+      SELECT label AS cl, i, round(avg(v), 6) AS c
+      FROM x GROUP BY label, i
+    ),
+    d2 AS (
+      SELECT x.vec_id, x.label, c.cl,
+             round(sum((x.v - c.c) * (x.v - c.c)), 12) AS d2
+      FROM x JOIN cent c ON x.i = c.i
+      GROUP BY x.vec_id, x.label, c.cl
+    )
+"""
+
+
+def _dist_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, cl, d2): 12-dp squared distance of each vector to
+    each label centroid (centroids 6-dp-rounded first)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("i0", "vf"),
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), F.col("vf").cast("double").alias("v"))
+    cent = x.groupBy(F.col("label").alias("cl"), "i").agg(F.round(F.avg("v"), 6).alias("c"))
+    return (
+        x.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "cl")
+        .agg(F.round(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 12).alias("d2"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_silhouette — simplified (centroid-based) silhouette per label
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_silhouette",
+    oracle=f"""
+    WITH {_DIST_SQL},
+    ab AS (
+      SELECT vec_id, label,
+             sqrt(min(CASE WHEN cl = label THEN d2 END)) AS a,
+             sqrt(min(CASE WHEN cl <> label THEN d2 END)) AS b
+      FROM d2 GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT vec_id, label,
+             CAST(round((b - a) / greatest(a, b) * 1000000) AS BIGINT) AS s6
+      FROM ab WHERE greatest(a, b) > 0
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(sum(s6) * 1e0 / count(*) / 1e6, 6) AS mean_silhouette,
+           round(min(s6) / 1e6, 6) AS min_silhouette,
+           CAST(sum(CASE WHEN s6 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
+    FROM s GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "ml", "eval", "llm"),
+)
+def silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per embedding label: a = distance to the own
+    centroid, b = distance to the nearest OTHER centroid, s = (b-a)/
+    max(a,b) — the standard linear-time surrogate for the O(n^2)
+    pairwise silhouette (identical ranking behavior, corpus-scale
+    feasible). Negative s marks vectors sitting closer to a foreign
+    centroid than their own — the per-label n_misplaced count is the
+    direct mislabeling screen q_embedding_outliers' distance-only view
+    cannot give (an outlier can still be on the right side; a negative
+    silhouette cannot).
+
+    Determinism: centroids are 6-dp-rounded before any distance, squared
+    distances re-round at 12 dp (the q_ann_ivf_topk contract), and each
+    vector's score snaps to an exact 1e-6-grain BIGINT before the
+    per-label aggregate — no engine-ordered double summation. Scale: one
+    explode + one join against the O(labels x dims) broadcast centroid
+    relation; everything per-vector is map-side after that join."""
+    d2 = _dist_relation(spark, sf_dir)
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.sqrt(F.min(F.when(F.col("cl") == F.col("label"), F.col("d2")))).alias("a"),
+        F.sqrt(F.min(F.when(F.col("cl") != F.col("label"), F.col("d2")))).alias("b"),
+    )
+    s = ab.filter(F.greatest("a", "b") > 0).select(
+        "label",
+        F.round((F.col("b") - F.col("a")) / F.greatest("a", "b") * 1e6)
+        .cast("long")
+        .alias("s6"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.sum("s6") * F.lit(1.0) / F.count(F.lit(1)) / 1e6, 6).alias(
+                "mean_silhouette"
+            ),
+            F.round(F.min("s6") / F.lit(1e6), 6).alias("min_silhouette"),
+            F.sum(F.when(F.col("s6") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_misplaced"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_davies_bouldin — worst-partner cluster separation index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_davies_bouldin",
+    oracle=f"""
+    WITH {_DIST_SQL},
+    scat AS (
+      SELECT label,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(sqrt(d2) * 1000000) AS BIGINT)) AS BIGINT) AS sd6
+      FROM d2 WHERE cl = label GROUP BY label
+    ),
+    sl AS (SELECT label, n, sd6 * 1e0 / n / 1e6 AS s FROM scat),
+    cc AS (
+      SELECT a.cl AS l1, b.cl AS l2,
+             round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 12) AS m
+      FROM cent a JOIN cent b ON a.i = b.i AND a.cl <> b.cl
+      GROUP BY a.cl, b.cl
+    ),
+    ratio AS (
+      SELECT a.label, a.s AS s_own, cc.l2 AS partner, b.s AS s_partner, cc.m,
+             (a.s + b.s) / cc.m AS r
+      FROM sl a JOIN cc ON cc.l1 = a.label JOIN sl b ON b.label = cc.l2
+    ),
+    worst AS (
+      SELECT label, s_own, partner, r FROM (
+        SELECT label, s_own, partner, r,
+               row_number() OVER (PARTITION BY label
+                                  ORDER BY round(r, 9) DESC, partner) AS rk
+        FROM ratio
+      ) WHERE rk = 1
+    ),
+    db AS (SELECT round(avg(r), 6) AS db_index FROM worst)
+    SELECT w.label, round(w.s_own, 6) AS scatter, w.partner AS worst_partner,
+           round(w.r, 6) AS worst_ratio, d.db_index
+    FROM worst w CROSS JOIN db d
+    ORDER BY w.label
+    """,
+    tags=("similarity", "ml", "eval", "llm"),
+)
+def davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index over the embedding labels: per-cluster scatter
+    S_l (mean member-to-centroid distance), pairwise centroid separation
+    M_lm, and for each cluster its WORST partner by (S_l + S_m)/M_lm —
+    the index is the mean worst ratio (lower = tighter, better-separated
+    clusters). The per-label worst-partner column tells you WHICH two
+    clusters to merge or re-split — the actionable half the single
+    number hides.
+
+    Determinism: scatter sums snap each distance to an exact 1e-6-grain
+    BIGINT; centroid separations compute from 6-dp-rounded centroids and
+    re-round at 12 dp; the worst-partner pick ranks on round(r, 9) with
+    the partner label as tiebreak. The final db_index averages k=10
+    doubles inside one bounded group (identical values both engines,
+    rounded at 6). Scale: member distances are the shared linear
+    centroid join; everything else is O(labels^2)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("i0", "vf"),
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), F.col("vf").cast("double").alias("v"))
+    cent = x.groupBy(F.col("label").alias("cl"), "i").agg(F.round(F.avg("v"), 6).alias("c"))
+    cent_o = cent.select(F.col("cl"), F.col("i").alias("ci"), F.col("c"))
+    d2own = (
+        x.join(F.broadcast(cent_o), (F.col("i") == F.col("ci")) & (F.col("label") == F.col("cl")))
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 12).alias("d2"))
+    )
+    scat = d2own.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.sqrt("d2") * 1e6).cast("long")).cast("long").alias("sd6"),
+    )
+    sl = scat.select("label", "n", (F.col("sd6") * F.lit(1.0) / F.col("n") / 1e6).alias("s"))
+    ca = cent.select(F.col("cl").alias("l1"), "i", F.col("c").alias("c1"))
+    cb = cent.select(F.col("cl").alias("l2"), F.col("i").alias("i2"), F.col("c").alias("c2"))
+    cc = (
+        ca.join(F.broadcast(cb), (F.col("i") == F.col("i2")) & (F.col("l1") != F.col("l2")))
+        .groupBy("l1", "l2")
+        .agg(F.round(F.sqrt(F.sum((F.col("c1") - F.col("c2")) * (F.col("c1") - F.col("c2")))), 12).alias("m"))
+    )
+    ratio = (
+        sl.withColumnRenamed("label", "l1")
+        .withColumnRenamed("s", "s_own")
+        .join(F.broadcast(cc), "l1")
+        .join(
+            F.broadcast(sl.select(F.col("label").alias("l2"), F.col("s").alias("s_partner"))),
+            "l2",
+        )
+        .select(
+            F.col("l1").alias("label"),
+            "s_own",
+            F.col("l2").alias("partner"),
+            ((F.col("s_own") + F.col("s_partner")) / F.col("m")).alias("r"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("label").orderBy(F.round(F.col("r"), 9).desc(), "partner")
+    worst = ratio.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") == 1)
+    db = worst.agg(F.round(F.avg("r"), 6).alias("db_index"))
+    return (
+        worst.crossJoin(F.broadcast(db))
+        .select(
+            "label",
+            F.round("s_own", 6).alias("scatter"),
+            F.col("partner").alias("worst_partner"),
+            F.round("r", 6).alias("worst_ratio"),
+            "db_index",
+        )
+        .orderBy("label")
+    )

@@ -337,6 +337,8 @@ QUERIES = [
     "q_synthetic_control",
     "q_ucb_replay",
     "q_isotonic_calibration",
+    "q_silhouette",
+    "q_davies_bouldin",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
