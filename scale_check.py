@@ -339,6 +339,7 @@ QUERIES = [
     "q_isotonic_calibration",
     "q_silhouette",
     "q_davies_bouldin",
+    "q_als_factorization",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
