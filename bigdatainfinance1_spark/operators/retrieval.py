@@ -607,3 +607,107 @@ def err_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cands"),
     )
     return piv.select("term", "n_cands", F.round(F.expr(err_expr), 6).alias("err"))
+
+
+# ---------------------------------------------------------------------------
+# q_rocchio_expansion — pseudo-relevance-feedback query expansion
+# ---------------------------------------------------------------------------
+
+PRF_TOP_DOCS = 5  # feedback depth
+PRF_TOP_TERMS = 5  # expansion terms reported per query
+PRF_BETA = 0.75  # Rocchio feedback weight
+
+
+@query(
+    "q_rocchio_expansion",
+    oracle=f"""
+    WITH {_CAND_SQL},
+    fb AS (
+      SELECT term AS q, doc_id FROM (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id) AS rk
+        FROM cand
+      ) WHERE rk <= {PRF_TOP_DOCS}
+    ),
+    toks2 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf2 AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM toks2 GROUP BY doc_id, t
+    ),
+    dfall AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY t),
+    w AS (
+      SELECT fb.q, tf2.t,
+             round({PRF_BETA} * sum(tf2.tf * ln((SELECT count(*) FROM documents)
+                                                 * 1e0 / dfall.df))
+                   / {PRF_TOP_DOCS}, 6) AS weight
+      FROM fb
+      JOIN tf2 ON fb.doc_id = tf2.doc_id
+      JOIN dfall ON tf2.t = dfall.t
+      WHERE tf2.t <> fb.q
+      GROUP BY fb.q, tf2.t, dfall.df
+    )
+    SELECT q AS query_term, t AS expansion_term, weight,
+           CAST(rk AS BIGINT) AS rnk
+    FROM (
+      SELECT q, t, weight,
+             row_number() OVER (PARTITION BY q ORDER BY weight DESC, t) AS rk
+      FROM w
+    ) WHERE rk <= {PRF_TOP_TERMS}
+    ORDER BY query_term, rnk
+    """,
+    tags=("text", "llm-pipeline", "retrieval"),
+)
+def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback: for each query term, assume the
+    BM25 top-{PRF_TOP_DOCS} documents are relevant, score every term
+    they contain by beta * mean tf-idf over the feedback set, and report
+    the top-{PRF_TOP_TERMS} expansion terms — the classic close-the-
+    vocabulary-gap step between first-pass retrieval (q_bm25_topk) and
+    the rerank tier, and the sparse ancestor of dense query encoders.
+
+    Determinism: feedback sets rank on 6-dp BM25 with doc_id tiebreaks
+    (the shared _candidates contract); expansion weights are tf (exact
+    int) x ln(N/df) (ratio of exact ints — identical libm input both
+    engines), averaged over the FIXED feedback count and rounded at 6;
+    the final cut ranks on the rounded weight with the term as tiebreak.
+    Scale: the q_bm25_topk plan plus one (doc_id)-keyed join of the
+    bounded feedback set against the token stream — linear, no pair
+    joins."""
+    cand = _candidates(spark, sf_dir)
+    w_fb = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    fb = (
+        cand.withColumn("rk", F.row_number().over(w_fb))
+        .filter(F.col("rk") <= PRF_TOP_DOCS)
+        .select(F.col("term").alias("q"), "doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    toks2 = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf2 = toks2.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfall = tf2.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    w = (
+        fb.join(tf2, "doc_id")
+        .filter(F.col("t") != F.col("q"))
+        .join(F.broadcast(dfall), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "contrib", F.col("tf") * F.log(F.col("nd") * F.lit(1.0) / F.col("df"))
+        )
+        .groupBy("q", "t", "df")
+        .agg(
+            F.round(F.lit(PRF_BETA) * F.sum("contrib") / PRF_TOP_DOCS, 6).alias("weight")
+        )
+    )
+    w_rk = Window.partitionBy("q").orderBy(F.col("weight").desc(), "t")
+    return (
+        w.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= PRF_TOP_TERMS)
+        .select(
+            F.col("q").alias("query_term"),
+            F.col("t").alias("expansion_term"),
+            "weight",
+            F.col("rk").cast("long").alias("rnk"),
+        )
+        .orderBy("query_term", "rnk")
+    )

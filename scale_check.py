@@ -340,6 +340,8 @@ QUERIES = [
     "q_silhouette",
     "q_davies_bouldin",
     "q_als_factorization",
+    "q_rocchio_expansion",
+    "q_theta_method",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
