@@ -246,3 +246,198 @@ def davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lof_outliers — local outlier factor over a bounded query sample
+# ---------------------------------------------------------------------------
+
+LOF_K = 5
+LOF_N_QUERIES = 20  # vec_id < 20 are scored
+LOF_CUT = 1.5  # conventional outlier threshold
+
+
+def _lof_oracle() -> str:
+    knn = """
+      SELECT pid, nid, d, rn FROM (
+        SELECT p.vec_id AS pid, e.vec_id AS nid,
+               round(sqrt(round(list_sum(list_transform(range(1, 65), i ->
+                 (CAST(p.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                 * (CAST(p.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)))),
+                 12)), 12) AS d,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY round(list_sum(list_transform(range(1, 65), i ->
+                                    (CAST(p.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+                                    * (CAST(p.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)))),
+                                    12), e.vec_id) AS rn
+        FROM {probe} p JOIN embeddings e ON e.vec_id <> p.vec_id
+      ) WHERE rn <= {k}
+    """
+    return f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {LOF_N_QUERIES}),
+    knnq AS ({knn.format(probe="q", k=LOF_K)}),
+    p1 AS (
+      SELECT DISTINCT e.vec_id, e.embedding
+      FROM knnq JOIN embeddings e ON knnq.nid = e.vec_id
+    ),
+    knn1 AS ({knn.format(probe="p1", k=LOF_K)}),
+    s AS (
+      SELECT DISTINCT e.vec_id, e.embedding FROM knn1
+      JOIN embeddings e ON knn1.nid = e.vec_id
+      UNION
+      SELECT vec_id, embedding FROM p1
+    ),
+    knns AS ({knn.format(probe="s", k=LOF_K)}),
+    kdist AS (SELECT pid AS id, d AS kd FROM knns WHERE rn = {LOF_K}),
+    lrd1 AS (
+      -- local reachability density of every first-hop neighbor
+      SELECT knn1.pid AS id,
+             {LOF_K}e0 * 1000000 /
+             greatest(sum(CAST(round(greatest(knn1.d, kd.kd) * 1000000) AS BIGINT)), 1)
+               AS lrd
+      FROM knn1 JOIN kdist kd ON knn1.nid = kd.id
+      GROUP BY knn1.pid
+    ),
+    lrdq AS (
+      SELECT knnq.pid AS id,
+             {LOF_K}e0 * 1000000 /
+             greatest(sum(CAST(round(greatest(knnq.d, kd.kd) * 1000000) AS BIGINT)), 1)
+               AS lrd
+      FROM knnq JOIN kdist kd ON knnq.nid = kd.id
+      GROUP BY knnq.pid
+    ),
+    lof AS (
+      SELECT knnq.pid AS vec_id,
+             sum(CAST(round(l1.lrd * 1000000) AS BIGINT)) * 1e0
+             / {LOF_K} / CAST(round(lq.lrd * 1000000) AS BIGINT) AS lof
+      FROM knnq
+      JOIN lrd1 l1 ON knnq.nid = l1.id
+      JOIN lrdq lq ON knnq.pid = lq.id
+      GROUP BY knnq.pid, lq.lrd
+    )
+    SELECT l.vec_id, e.label,
+           round(kd.kd, 6) AS k_distance,
+           round(lq.lrd, 6) AS lrd,
+           round(l.lof, 4) AS lof,
+           round(l.lof, 4) > {LOF_CUT} AS is_outlier
+    FROM lof l
+    JOIN embeddings e ON l.vec_id = e.vec_id
+    JOIN kdist kd ON l.vec_id = kd.id
+    JOIN lrdq lq ON l.vec_id = lq.id
+    ORDER BY l.vec_id
+    """
+
+
+@query("q_lof_outliers", oracle=_lof_oracle(), tags=("similarity", "ml", "quality", "llm"))
+def lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local outlier factor (k=5) for a bounded query sample of
+    embeddings: LOF(q) = mean over q's neighbors o of lrd(o)/lrd(q),
+    where lrd is the inverse mean REACHABILITY distance
+    max(d(a,b), k-distance(b)) — the density-RELATIVE outlier score that
+    flags points in locally sparse territory even when the global
+    distance screens (q_mahalanobis_outliers, q_embedding_outliers) see
+    nothing, because it compares each point's density to its OWN
+    neighborhood's. Needs 2-hop neighborhoods, so three probe-vs-corpus
+    passes: N(Q), N(N(Q)), and the k-distances of that closure — each
+    probe set bounded by k^h |Q|, never corpus x corpus.
+
+    Determinism: squared distances round at 12 dp inside the fold and
+    ranks tie on neighbor id; reachability distances and lrds snap to
+    exact 1e-6-grain BIGINTs before every mean, so no engine-ordered
+    double summation. Reach sums floor at one 1e-6 grain — the standard
+    duplicate-point degeneracy guard (exact-duplicate vectors make a
+    neighborhood's reachability zero; the 10x replication stress hits
+    this by construction). Scale: probe-bounded scans (|probe| x corpus map
+    work with partitioned top-k windows); the LSH/IVF bucketed paths are
+    the corpus-wide variant of the same semantics."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d2f = (
+        "round(aggregate(zip_with(pe, embedding, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 12)"
+    )
+
+    def knn(probe: DataFrame) -> DataFrame:
+        p = probe.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("pe"))
+        pairs = (
+            F.broadcast(p)
+            .crossJoin(emb)
+            .filter(F.col("vec_id") != F.col("pid"))
+            .select(
+                "pid",
+                F.col("vec_id").alias("nid"),
+                F.expr(d2f).alias("d2"),
+            )
+        )
+        w = Window.partitionBy("pid").orderBy("d2", "nid")
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= LOF_K)
+            .select("pid", "nid", F.round(F.sqrt("d2"), 12).alias("d"), "rn")
+        )
+
+    from pyspark.sql import Window
+
+    q = emb.filter(F.col("vec_id") < LOF_N_QUERIES)
+    knnq = knn(q).localCheckpoint(eager=True)
+    p1 = emb.join(
+        knnq.select(F.col("nid").alias("vec_id")).distinct(), "vec_id"
+    )
+    knn1 = knn(p1).localCheckpoint(eager=True)
+    s = emb.join(
+        knn1.select(F.col("nid").alias("vec_id"))
+        .union(knn1.select(F.col("pid").alias("vec_id")))
+        .distinct(),
+        "vec_id",
+    )
+    knns = knn(s)
+    kdist = knns.filter(F.col("rn") == LOF_K).select(
+        F.col("pid").alias("id"), F.col("d").alias("kd")
+    ).localCheckpoint(eager=True)
+
+    def lrd(knn_rel: DataFrame) -> DataFrame:
+        return (
+            knn_rel.join(kdist.withColumnRenamed("id", "nid"), "nid")
+            .groupBy("pid")
+            .agg(
+                (
+                    F.lit(float(LOF_K)) * 1000000
+                    / F.greatest(
+                        F.sum(F.round(F.greatest("d", "kd") * 1000000).cast("long")),
+                        F.lit(1),
+                    )
+                ).alias("lrd")
+            )
+            .select(F.col("pid").alias("id"), "lrd")
+        )
+
+    lrd1 = lrd(knn1)
+    lrdq = lrd(knnq)
+    lof = (
+        knnq.join(lrd1.withColumnRenamed("id", "nid").withColumnRenamed("lrd", "lrd_n"), "nid")
+        .join(lrdq.withColumnRenamed("id", "pid").withColumnRenamed("lrd", "lrd_q"), "pid")
+        .groupBy("pid", "lrd_q")
+        .agg(
+            (
+                F.sum(F.round(F.col("lrd_n") * 1000000).cast("long"))
+                * F.lit(1.0)
+                / LOF_K
+                / F.round(F.col("lrd_q") * 1000000).cast("long")
+            ).alias("lof")
+        )
+    )
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        lof.select(F.col("pid").alias("vec_id"), "lrd_q", "lof")
+        .join(F.broadcast(labels), "vec_id")
+        .join(F.broadcast(kdist.withColumnRenamed("id", "vec_id")), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            F.round("kd", 6).alias("k_distance"),
+            F.round("lrd_q", 6).alias("lrd"),
+            F.round("lof", 4).alias("lof"),
+            (F.round("lof", 4) > LOF_CUT).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )

@@ -342,6 +342,7 @@ QUERIES = [
     "q_als_factorization",
     "q_rocchio_expansion",
     "q_theta_method",
+    "q_lof_outliers",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
