@@ -343,6 +343,7 @@ QUERIES = [
     "q_rocchio_expansion",
     "q_theta_method",
     "q_lof_outliers",
+    "q_fellegi_sunter",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
