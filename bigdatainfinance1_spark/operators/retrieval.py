@@ -711,3 +711,157 @@ def rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_term", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_team_draft_interleave — online ranker comparison by interleaving
+# ---------------------------------------------------------------------------
+
+TDI_DEPTH = 10  # interleaved list length (5 draft rounds)
+TDI_POOL = 12  # per-ranker candidate depth fed to the draft
+TDI_REL_CLICK = 2  # cascade click: user clicks docs with grade >= 2
+
+
+def _tdi_pick(list_pfx: str, n_prior: int) -> str:
+    """First candidate from {list_pfx}1..{TDI_POOL} not among the already-
+    drafted columns p1..p{n_prior} (NULL-safe; exhausted lists fall
+    through to NULL). References PRIOR PICKS AS COLUMNS — each pick lives
+    in its own select layer, so expressions stay linear (a first cut
+    inlined prior picks and the text grew ~12^n)."""
+    cases = " ".join(
+        f"WHEN {list_pfx}{i} IS NOT NULL AND "
+        + (
+            " AND ".join(
+                f"{list_pfx}{i} <> coalesce(p{j}, -1)" for j in range(1, n_prior + 1)
+            )
+            if n_prior
+            else "true"
+        )
+        + f" THEN {list_pfx}{i}"
+        for i in range(1, TDI_POOL + 1)
+    )
+    return f"CASE {cases} END"
+
+
+def _tdi_oracle() -> str:
+    piv_a = ", ".join(
+        f"max(CASE WHEN ra = {i} THEN doc_id END) AS a{i}" for i in range(1, TDI_POOL + 1)
+    )
+    piv_b = ", ".join(
+        f"max(CASE WHEN rb = {i} THEN doc_id END) AS b{i}" for i in range(1, TDI_POOL + 1)
+    )
+    layers = ""
+    for pos in range(1, TDI_DEPTH + 1):
+        pfx = "a" if pos % 2 == 1 else "b"
+        layers += f""",
+    d{pos} AS (SELECT *, ({_tdi_pick(pfx, pos - 1)}) AS p{pos} FROM d{pos - 1})"""
+    unions = " UNION ALL ".join(
+        f"SELECT term, '{'A' if pos % 2 == 1 else 'B'}' AS team, p{pos} AS doc_id"
+        f" FROM d{TDI_DEPTH}"
+        for pos in range(1, TDI_DEPTH + 1)
+    )
+    return f"""
+    WITH {_CAND_SQL},
+    ranked AS (
+      SELECT c.term, c.doc_id,
+        row_number() OVER (PARTITION BY c.term ORDER BY c.bm25 DESC, c.doc_id) AS ra,
+        row_number() OVER (PARTITION BY c.term ORDER BY d.n_chars DESC, c.doc_id) AS rb
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    d0 AS (
+      SELECT term, {piv_a}, {piv_b}
+      FROM ranked GROUP BY term
+    ){layers},
+    long AS ({unions}),
+    clicked AS (
+      SELECT l.term, l.team,
+             CASE WHEN CAST(substr(d.source, 4) AS INT) % 4 >= {TDI_REL_CLICK}
+                  THEN 1 ELSE 0 END AS click
+      FROM long l JOIN documents d ON l.doc_id = d.doc_id
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS n_interleaved,
+           CAST(sum(CASE WHEN team = 'A' THEN click ELSE 0 END) AS BIGINT) AS clicks_a,
+           CAST(sum(CASE WHEN team = 'B' THEN click ELSE 0 END) AS BIGINT) AS clicks_b,
+           CASE WHEN sum(CASE WHEN team = 'A' THEN click ELSE 0 END)
+                     > sum(CASE WHEN team = 'B' THEN click ELSE 0 END) THEN 'A'
+                WHEN sum(CASE WHEN team = 'A' THEN click ELSE 0 END)
+                     < sum(CASE WHEN team = 'B' THEN click ELSE 0 END) THEN 'B'
+                ELSE 'tie' END AS winner
+    FROM clicked GROUP BY term ORDER BY term
+    """
+
+
+@query(
+    "q_team_draft_interleave",
+    oracle=_tdi_oracle(),
+    tags=("text", "llm-pipeline", "retrieval", "eval"),
+)
+def team_draft_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Team-draft interleaving (Radlinski et al.) between the BM25 ranker
+    and the length-prior ranker: the two rankings alternately draft their
+    best not-yet-picked document into one interleaved top-{TDI_DEPTH}
+    (A drafts odd slots, B even), simulated users click relevant results
+    (source-derived grade >= {TDI_REL_CLICK}), and each click credits
+    the team that drafted the document — the ONLINE ranker-comparison
+    design that needs ~10x less traffic than an A/B split because every
+    impression carries both systems. The offline twins are q_ndcg /
+    q_err_ranking; interleaving is how you validate them in production.
+
+    Determinism: both rankings tie-break on doc_id; the draft is a fixed
+    chain of 10 pick layers, each referencing prior picks as COLUMNS
+    (identical SQL-generated expressions on both engines, linear size);
+    clicks are exact integer counts. Scale: the q_rrf_fusion plan
+    (term-partitioned windows) + an O(1)-per-term pivot and pick chain.
+    The pick→long melt is ONE stack() pass — a first cut melted via 10
+    unionByName branches, which replicated the pick-chain plan 10× and
+    sent Catalyst into a multi-minute optimization spiral; stack keeps
+    the chain in the plan exactly once."""
+    cand = _candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars", "source")
+    w_a = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    w_b = Window.partitionBy("term").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = cand.join(docs.select("doc_id", "n_chars"), "doc_id").select(
+        "term",
+        "doc_id",
+        F.row_number().over(w_a).alias("ra"),
+        F.row_number().over(w_b).alias("rb"),
+    )
+    drafted = ranked.groupBy("term").agg(
+        *[
+            F.max(F.when(F.col("ra") == i, F.col("doc_id"))).alias(f"a{i}")
+            for i in range(1, TDI_POOL + 1)
+        ],
+        *[
+            F.max(F.when(F.col("rb") == i, F.col("doc_id"))).alias(f"b{i}")
+            for i in range(1, TDI_POOL + 1)
+        ],
+    )
+    for pos in range(1, TDI_DEPTH + 1):
+        pfx = "a" if pos % 2 == 1 else "b"
+        drafted = drafted.withColumn(f"p{pos}", F.expr(_tdi_pick(pfx, pos - 1)))
+    stack_args = ", ".join(
+        f"'{'A' if pos % 2 == 1 else 'B'}', p{pos}" for pos in range(1, TDI_DEPTH + 1)
+    )
+    long = drafted.select(
+        "term", F.expr(f"stack({TDI_DEPTH}, {stack_args}) AS (team, doc_id)")
+    )
+    clicked = long.join(docs.select("doc_id", "source"), "doc_id").select(
+        "term",
+        "team",
+        F.when(
+            (F.substring("source", 4, 10).cast("int") % 4) >= TDI_REL_CLICK, 1
+        ).otherwise(0).alias("click"),
+    )
+    ca = F.sum(F.when(F.col("team") == "A", F.col("click")).otherwise(0))
+    cb = F.sum(F.when(F.col("team") == "B", F.col("click")).otherwise(0))
+    return (
+        clicked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_interleaved"),
+            ca.cast("long").alias("clicks_a"),
+            cb.cast("long").alias("clicks_b"),
+            F.when(ca > cb, F.lit("A")).when(ca < cb, F.lit("B")).otherwise(F.lit("tie")).alias("winner"),
+        )
+        .orderBy("term")
+    )

@@ -344,6 +344,8 @@ QUERIES = [
     "q_theta_method",
     "q_lof_outliers",
     "q_fellegi_sunter",
+    "q_gumbel_topk_sample",
+    "q_team_draft_interleave",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
