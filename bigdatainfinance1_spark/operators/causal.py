@@ -1,0 +1,427 @@
+"""Causal-effect estimation beyond randomized experiments (round 4):
+instrumental variables (Wald / two-stage least squares with the
+Staiger-Stock weak-instrument diagnostic) and, below it, the
+removal-effect layer of q_markov_transitions. Sits beside
+experimentation.py's design-based estimators (CUPED, diff-in-diff,
+IPW/AIPW, regression discontinuity): those need an assignment mechanism;
+the IV layer is what's left when treatment is endogenous and all you
+have is an upstream shifter.
+
+Determinism: every estimator reduces the fact scan to exact-integer
+moment sums (cents / binary indicators; decimal(38,0) where squares can
+pass 2^63), then composes them through identical double expressions on
+both engines, rounding outputs at 6 — the econometrics.py posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# q_iv_wald_2sls — instrumental-variable estimate with a binary instrument
+# ---------------------------------------------------------------------------
+
+IV_WEAK_F = 10.0  # Staiger-Stock rule of thumb: first-stage F < 10 => weak
+
+_IV_SQL = f"""
+    WITH pmed AS (
+      SELECT CAST(round(2 * median(CAST(round(p_retailprice * 100) AS BIGINT)))
+                  AS BIGINT) AS m2
+      FROM part
+    ),
+    obs AS (
+      SELECT r.r_name AS rg,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS x,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS y,
+             CASE WHEN 2 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                       > pmed.m2 THEN 1 ELSE 0 END AS z
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      CROSS JOIN pmed
+    ),
+    mom AS (
+      SELECT rg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS BIGINT) AS sz,
+             CAST(CAST(sum(x) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxx,
+             CAST(CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0))
+                  AS DOUBLE) AS sxy,
+             CAST(CAST(sum(CASE WHEN z = 1 THEN x ELSE 0 END) AS DECIMAL(38,0))
+                  AS DOUBLE) AS szx,
+             CAST(CAST(sum(CASE WHEN z = 1 THEN y ELSE 0 END) AS DECIMAL(38,0))
+                  AS DOUBLE) AS szy
+      FROM obs GROUP BY rg
+    ),
+    est AS (
+      SELECT rg, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta_ols,
+             (n * szy - sz * sy) / (n * szx - sz * sx) AS beta_iv,
+             (n * szx - sz * sx) * (n * szx - sz * sx)
+               / ((sz * 1e0 * (n - sz)) * (n * sxx - sx * sx)) AS r2_fs
+      FROM mom
+    )
+    SELECT rg, n,
+           round(beta_ols, 6) AS beta_ols,
+           round(beta_iv, 6) AS beta_iv,
+           round((n - 2) * r2_fs / (1 - r2_fs), 2) AS first_stage_f,
+           round((n - 2) * r2_fs / (1 - r2_fs), 2) < {IV_WEAK_F}
+             AS weak_instrument
+    FROM est ORDER BY rg
+"""
+
+
+@query("q_iv_wald_2sls", oracle=_IV_SQL, tags=("stats", "analytics", "finance"))
+def iv_wald_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable estimate of net-revenue response to list
+    value per customer region, instrumented by a binary cost shifter.
+    OLS of y (discounted revenue) on x (list value) is confounded
+    wherever the discount decision responds to x; the part's base retail
+    price is set upstream of any per-order discounting, so z = (part
+    retail price above the corpus median) shifts x without entering y
+    except through x. With one binary instrument, 2SLS collapses to the
+    Wald estimator beta_iv = cov(z,y)/cov(z,x) = (E[y|z=1]-E[y|z=0]) /
+    (E[x|z=1]-E[x|z=0]); the first-stage F = (n-2) r^2/(1-r^2) on
+    corr(z,x), with the Staiger-Stock rule flagging F < {IV_WEAK_F} as a
+    weak instrument (the regime where IV bias exceeds OLS bias).
+
+    Determinism: x, y are exact integer cents; z is exact (2*retail
+    cents vs 2*median — both engines interpolate even medians to .5
+    granularity, so m2 is an exact integer); all moments are exact
+    integer sums (decimal(38,0) where x*x can pass 2^63 at larger SFs —
+    DuckDB's BIGINT sums widen to HUGEINT on their own, Spark is told
+    to), converted ONCE to double and composed through the identical
+    expression, rounded at 6/2. The weak flag compares the ROUNDED F.
+
+    Scale: one fact-fact shuffle (lineitem x orders on orderkey); every
+    dimension including part rides broadcast; the median is one
+    O(|part|) aggregate reduced to a 1-row broadcast scalar; everything
+    after mom is O(regions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    pmed = part.select(
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("rp")
+    ).agg(F.round(2 * F.median("rp")).cast("long").alias("m2"))
+    obs = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .crossJoin(F.broadcast(pmed))
+        .select(
+            F.col("r_name").alias("rg"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("y"),
+            F.when(
+                2 * F.round(F.col("p_retailprice") * 100).cast("long") > F.col("m2"), 1
+            )
+            .otherwise(0)
+            .alias("z"),
+        )
+    )
+
+    def dsum(expr):
+        return F.sum(expr.cast("decimal(19,0)")).cast("decimal(38,0)").cast("double")
+
+    mom = obs.groupBy("rg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("z").cast("long").alias("sz"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxy"),
+        dsum(F.when(F.col("z") == 1, F.col("x")).otherwise(0)).alias("szx"),
+        dsum(F.when(F.col("z") == 1, F.col("y")).otherwise(0)).alias("szy"),
+    )
+    n, sz = F.col("n"), F.col("sz")
+    sx, sy = F.col("sx"), F.col("sy")
+    beta_ols = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    beta_iv = (n * F.col("szy") - sz * sy) / (n * F.col("szx") - sz * sx)
+    r2_fs = ((n * F.col("szx") - sz * sx) * (n * F.col("szx") - sz * sx)) / (
+        (sz * F.lit(1.0) * (n - sz)) * (n * F.col("sxx") - sx * sx)
+    )
+    fstat = F.round((n - 2) * r2_fs / (1 - r2_fs), 2)
+    return mom.select(
+        "rg",
+        "n",
+        F.round(beta_ols, 6).alias("beta_ols"),
+        F.round(beta_iv, 6).alias("beta_iv"),
+        fstat.alias("first_stage_f"),
+        (fstat < IV_WEAK_F).alias("weak_instrument"),
+    ).orderBy("rg")
+
+
+# ---------------------------------------------------------------------------
+# q_markov_removal_attribution — multi-touch attribution by removal effects
+# ---------------------------------------------------------------------------
+
+MRA_ITERS = 16
+MRA_CHANNELS = ("click", "error", "signup", "view")  # the non-conversion
+# event alphabet of the synthetic events table, standing in for marketing
+# channels; 'purchase' is the conversion (absorbing) state.
+MRA_GAP_US = 30 * 60 * 1000000  # the repo's 30-minute session cut
+
+
+def _mra_chain(tag: str, removed: str | None) -> str:
+    """One truncated absorbing-chain solve as {MRA_ITERS} chained CTEs:
+    v_k(f) = round(b_f + sum_t q(f,t) v_{k-1}(t), 12), with channel
+    `removed` excluded from both the state set and the targets (its
+    incoming mass is simply lost — the removal-effect convention, no
+    renormalization)."""
+    drop = f" AND f <> '{removed}'" if removed else ""
+    dropt = f" AND t <> '{removed}'" if removed else ""
+    head = f""",
+    b_{tag} AS MATERIALIZED (
+      SELECT f, coalesce(max(CASE WHEN t = 'purchase' THEN p END), 0) AS bp
+      FROM tp WHERE 1=1{drop} GROUP BY f
+    ),
+    q_{tag} AS MATERIALIZED (
+      SELECT f, t, p FROM tp
+      WHERE t NOT IN ('purchase', 'DROP'){drop}{dropt}
+    ),
+    v_{tag}_0 AS (SELECT f, 0.0 AS vp FROM b_{tag})"""
+    steps = ""
+    for k in range(1, MRA_ITERS + 1):
+        steps += f""",
+    v_{tag}_{k} AS (
+      SELECT b.f, round(b.bp + coalesce(sum(q.p * v.vp), 0), 12) AS vp
+      FROM b_{tag} b
+      LEFT JOIN q_{tag} q ON q.f = b.f
+      LEFT JOIN v_{tag}_{k - 1} v ON q.t = v.f
+      GROUP BY b.f, b.bp
+    )"""
+    return head + steps
+
+
+def _mra_oracle() -> str:
+    chains = _mra_chain("base", None)
+    scen_rows = []
+    for c in MRA_CHANNELS:
+        chains += _mra_chain(c, c)
+        scen_rows.append(
+            f"SELECT '{c}' AS channel,"
+            f" (SELECT vp FROM v_base_{MRA_ITERS} WHERE f = 'START') AS v_full,"
+            f" (SELECT vp FROM v_{c}_{MRA_ITERS} WHERE f = 'START') AS v_removed"
+        )
+    scen = " UNION ALL ".join(scen_rows)
+    return f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {MRA_GAP_US}
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+      FROM flagged
+    ),
+    rowed AS (
+      SELECT user_id, sid, event_type,
+        row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+      FROM sessions
+    ),
+    numbered AS (
+      SELECT user_id, sid, event_type, rn,
+        min(CASE WHEN event_type = 'purchase' THEN rn END)
+          OVER (PARTITION BY user_id, sid) AS prn
+      FROM rowed
+    ),
+    kept AS (
+      SELECT user_id, sid, event_type, rn,
+        lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY rn) AS nxt
+      FROM numbered WHERE prn IS NULL OR rn <= prn
+    ),
+    edges AS (
+      SELECT 'START' AS f, event_type AS t FROM kept WHERE rn = 1
+      UNION ALL
+      SELECT event_type AS f, coalesce(nxt, 'DROP') AS t
+      FROM kept WHERE event_type <> 'purchase'
+    ),
+    tp AS MATERIALIZED (
+      -- MATERIALIZED: tp is referenced by all 10 per-scenario b/q CTEs;
+      -- inlining would re-run the whole sessionization pipeline each time
+      SELECT f, t,
+        round(count(*) * 1e0 / sum(count(*)) OVER (PARTITION BY f), 12) AS p
+      FROM edges GROUP BY f, t
+    ){chains},
+    conv AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_conv FROM (
+        SELECT DISTINCT user_id, sid FROM numbered WHERE prn IS NOT NULL
+      )
+    ),
+    re AS (
+      SELECT channel, round((v_full - v_removed) / v_full, 12) AS re
+      FROM ({scen})
+    )
+    SELECT channel,
+           round(re, 6) AS removal_effect,
+           round(re / sum(re) OVER (), 6) AS attribution_share,
+           round(round(re / sum(re) OVER (), 6) * n_conv, 2)
+             AS attributed_conversions
+    FROM re CROSS JOIN conv
+    ORDER BY channel
+    """
+
+
+@query(
+    "q_markov_removal_attribution",
+    oracle=_mra_oracle(),
+    tags=("analytics", "events", "iterative"),
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov multi-touch attribution by removal effects
+    (Anderl et al. 2016): journeys are 30-minute sessions truncated at
+    the first purchase, states are START / the four channel event types /
+    purchase (absorbing) / DROP (session ends unconverted). For each
+    channel c, re-solve the chain with c's incoming transitions lost (no
+    renormalization) and score RE_c = (V - V_c)/V where V is
+    P(START -> purchase); attribution shares normalize the REs and split
+    the session-conversion count. Answers what last-touch and q_shapley_
+    attribution answer with different credit logic — the Markov variant
+    prices a channel by how much conversion DISAPPEARS without it. The
+    synthetic event alphabet stands in for channels (yes, 'error' earns
+    credit whenever journeys route through it — mechanics demo).
+
+    Execution is the q_markov_absorption bounded-model pattern: one
+    user-keyed sequence shuffle builds the <=6x6 12-dp transition matrix;
+    it collects to the driver (O(states^2), never O(rows)) for 5
+    scenario solves of {MRA_ITERS} rounded fixed-point steps each, while
+    the DuckDB oracle unrolls the IDENTICAL iterations as 80 chained
+    CTEs — both engines walk bit-identical 12-dp state (half-away
+    rounding shared via rnd_half_away; shares re-round at 6; the
+    attributed split multiplies the ROUNDED share by the exact BIGINT
+    conversion count). At 100 TB the session pass is the cost; solves
+    are O(states^2) regardless of rows."""
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w_user).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_user))
+                > MRA_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    run = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("sid", F.sum("new_session").over(run))
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    w_part = Window.partitionBy("user_id", "sid")
+    numbered = sessions.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(w_sess).alias("rn"),
+    ).withColumn(
+        "prn",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).over(w_part),
+    )
+    w_kept = Window.partitionBy("user_id", "sid").orderBy("rn")
+    kept = numbered.filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    ).withColumn("nxt", F.lead("event_type").over(w_kept))
+    edges = (
+        kept.filter(F.col("rn") == 1)
+        .select(F.lit("START").alias("f"), F.col("event_type").alias("t"))
+        .unionByName(
+            kept.filter(F.col("event_type") != "purchase").select(
+                F.col("event_type").alias("f"),
+                F.coalesce("nxt", F.lit("DROP")).alias("t"),
+            )
+        )
+    )
+    wf = Window.partitionBy("f")
+    tp = (
+        edges.groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("p", F.round(F.col("n") * 1.0 / F.sum("n").over(wf), 12))
+        .select("f", "t", "p")
+    )
+    rows = tp.collect()  # <= states^2 rows — O(model), never O(data)
+    n_conv = (
+        numbered.filter(F.col("prn").isNotNull())
+        .select("user_id", "sid")
+        .distinct()
+        .count()
+    )
+    P = {(r["f"], r["t"]): r["p"] for r in rows}
+    all_states = ["START", *MRA_CHANNELS]
+
+    def solve(removed: str | None) -> float:
+        states = [s for s in all_states if s != removed]
+        v = {s: 0.0 for s in states}
+        for _ in range(MRA_ITERS):
+            v = {
+                s: rnd(
+                    P.get((s, "purchase"), 0.0)
+                    + sum(P.get((s, t), 0.0) * v[t] for t in states),
+                    12,
+                )
+                for s in states
+            }
+        return v["START"]
+
+    v_full = solve(None)
+    re = {c: rnd((v_full - solve(c)) / v_full, 12) for c in MRA_CHANNELS}
+    total = sum(re[c] for c in MRA_CHANNELS)
+    out = []
+    for c in MRA_CHANNELS:
+        share = rnd(re[c] / total, 6)
+        out.append((c, rnd(re[c], 6), share, rnd(share * n_conv, 2)))
+    return spark.createDataFrame(
+        out,
+        "channel string, removal_effect double, attribution_share double,"
+        " attributed_conversions double",
+    )

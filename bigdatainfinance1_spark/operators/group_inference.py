@@ -1356,3 +1356,148 @@ def effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d - F.lit(1.959964) * se, 6).alias("d_ci_lo"),
         F.round(d + F.lit(1.959964) * se, 6).alias("d_ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_levene_test — Brown-Forsythe variance-homogeneity test per month
+# ---------------------------------------------------------------------------
+
+LEV_F4_INF_95 = 2.371945  # F(4, inf) upper 5% — asymptotic critical value,
+# the same declared-approximation posture as q_kruskal_wallis's chi-square.
+
+_LEVENE_SQL = f"""
+    WITH obs AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
+             r.r_name AS rg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    med AS (
+      SELECT mi, rg, CAST(round(2 * median(v)) AS BIGINT) AS m2
+      FROM obs GROUP BY mi, rg
+    ),
+    dev AS (
+      SELECT obs.mi, obs.rg, abs(2 * obs.v - med.m2) AS t
+      FROM obs JOIN med ON obs.mi = med.mi AND obs.rg = med.rg
+    ),
+    grp AS (
+      SELECT mi, rg, CAST(count(*) AS BIGINT) AS nj,
+             CAST(sum(t) AS BIGINT) AS sj,
+             CAST(sum(t * t) AS DOUBLE) AS qj
+      FROM dev GROUP BY mi, rg
+    ),
+    terms AS (
+      SELECT mi, rg, nj, sj, qj,
+             CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE) / nj AS bj
+      FROM grp
+    ),
+    month AS (
+      SELECT mi, CAST(sum(nj) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             sum(bj) AS sum_b, sum(qj - bj) AS ssw4,
+             CAST(sum(sj) AS DOUBLE) AS s_all
+      FROM terms GROUP BY mi HAVING count(*) = 5
+    ),
+    wstat AS (
+      SELECT mi, n,
+             round((n - 5) / 4e0 * (sum_b - s_all * s_all / n) / ssw4, 6) AS w
+      FROM month WHERE ssw4 > 0
+    )
+    SELECT mi, n, w, w > {LEV_F4_INF_95} AS reject_95
+    FROM wstat ORDER BY mi
+"""
+
+
+@query("q_levene_test", oracle=_LEVENE_SQL, tags=("stats", "analytics"))
+def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test per month across the
+    five customer regions on order values: z_ij = |y_ij - median_j|, then
+    the one-way ANOVA F on the z's — W = ((N-k)/(k-1)) * SSB(z)/SSW(z).
+    THE pre-check for q_anova_f / q_tukey_hsd, whose pooled-variance
+    arithmetic assumes homogeneity; the median centering (Brown-Forsythe
+    1974) keeps the test level under the heavy tails q_jarque_bera
+    demonstrates, where mean-centered Levene over-rejects. Rejection at
+    the asymptotic F(4, inf) 5% point, q_kruskal_wallis's declared
+    approximation posture (per-month df2 ~ N-5 >> 120).
+
+    Determinism: v is exact integer cents; both engines interpolate
+    even-count medians to .5 granularity, so m2 = 2*median and the
+    deviations t = |2v - m2| are EXACT integers. Group sums sj (BIGINT)
+    and qj = sum(t^2) are exact (qj sums 1.4e16-scale integers — DuckDB
+    HUGEINT / Spark decimal(38,0), converted to double once at the end);
+    W composes the same exact integers through identical double
+    expressions, rounded at 6 (the 5-term group-sum reorder is absorbed,
+    q_ccnet_ppl_buckets posture); reject_95 compares the ROUNDED w so the
+    flag cannot straddle an ulp. The 4x scale of 2v cancels in SSB/SSW.
+
+    Scale: dim-chain broadcast joins; medians are per-(month, region)
+    partial aggregates (no global sort); everything after grp is
+    O(months) rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    obs = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            ),
+            F.col("r_name").alias("rg"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    med = obs.groupBy("mi", "rg").agg(
+        F.round(2 * F.median("v")).cast("long").alias("m2")
+    )
+    dev = obs.join(F.broadcast(med), ["mi", "rg"]).select(
+        "mi", "rg", F.abs(2 * F.col("v") - F.col("m2")).alias("t")
+    )
+    grp = dev.groupBy("mi", "rg").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("t").cast("long").alias("sj"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("qj"),
+    )
+    bj = (F.col("sj").cast("double") * F.col("sj").cast("double") / F.col("nj")).alias(
+        "bj"
+    )
+    terms = grp.select("mi", "rg", "nj", "sj", "qj", bj)
+    month = (
+        terms.groupBy("mi")
+        .agg(
+            F.sum("nj").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("bj").alias("sum_b"),
+            F.sum(F.col("qj") - F.col("bj")).alias("ssw4"),
+            F.sum("sj").cast("double").alias("s_all"),
+        )
+        .filter(F.col("k") == 5)
+    )
+    w = F.round(
+        (F.col("n") - 5)
+        / F.lit(4.0)
+        * (F.col("sum_b") - F.col("s_all") * F.col("s_all") / F.col("n"))
+        / F.col("ssw4"),
+        6,
+    ).alias("w")
+    return (
+        month.filter(F.col("ssw4") > 0)
+        .select("mi", "n", w)
+        .select("mi", "n", "w", (F.col("w") > LEV_F4_INF_95).alias("reject_95"))
+        .orderBy("mi")
+    )

@@ -346,6 +346,9 @@ QUERIES = [
     "q_fellegi_sunter",
     "q_gumbel_topk_sample",
     "q_team_draft_interleave",
+    "q_levene_test",
+    "q_iv_wald_2sls",
+    "q_markov_removal_attribution",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
