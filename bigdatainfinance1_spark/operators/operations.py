@@ -12,7 +12,7 @@ O(rows), past the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.registry import query
@@ -365,4 +365,213 @@ def ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "arm string, arm_idx bigint, n_pulls bigint, total_reward double, "
         "avg_reward double, best_arm string, policy_regret double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_cr4_concentration — four-firm concentration + HHI banding by brand market
+# ---------------------------------------------------------------------------
+
+HHI_MODERATE = 1500.0  # DOJ/FTC horizontal-merger guideline cutpoints on the
+HHI_HIGH = 2500.0      # 0-10000 scale
+
+_HHI_SQL = f"""
+    WITH rev AS (
+      SELECT p.p_brand AS market, l.l_suppkey AS supp,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ),
+    ranked AS (
+      SELECT market, supp, r,
+             row_number() OVER (PARTITION BY market ORDER BY r DESC, supp) AS rk
+      FROM rev
+    ),
+    mkt AS (
+      SELECT market,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(r) AS BIGINT) AS total,
+             CAST(sum(r * r) AS DOUBLE) AS sum_sq,
+             CAST(sum(CASE WHEN rk <= 4 THEN r ELSE 0 END) AS BIGINT) AS top4
+      FROM ranked GROUP BY market
+    ),
+    scored AS (
+      SELECT market, n_suppliers,
+             round(1e4 * sum_sq / (CAST(total AS DOUBLE) * total), 4) AS hhi,
+             round(top4 * 1e0 / total, 6) AS cr4
+      FROM mkt
+    )
+    SELECT market, n_suppliers, hhi, cr4,
+           CASE WHEN hhi < {HHI_MODERATE} THEN 'unconcentrated'
+                WHEN hhi < {HHI_HIGH} THEN 'moderate'
+                ELSE 'high' END AS concentration
+    FROM scored ORDER BY market
+"""
+
+
+@query("q_cr4_concentration", oracle=_HHI_SQL, tags=("analytics", "finance"))
+def cr4_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-firm concentration ratio CR4 per brand market, with the
+    10000-scale HHI banded at the DOJ/FTC 1500/2500 cutpoints — the
+    supplier-market companion to q_hhi_concentration (which screens
+    CUSTOMER revenue concentration per nation, share-squared in
+    floats). Here the HHI
+    composes from EXACT integers: sum(r^2) over per-supplier revenue
+    cents (DuckDB widens BIGINT sums to HUGEINT; Spark sums
+    decimal(38,0)) divided by total^2, so no float accumulates across
+    suppliers — share^2 summed as doubles would reorder. cr4 is a ratio
+    of exact BIGINTs; the class CASE reads the ROUNDED hhi.
+
+    Scale: one fact scan pre-aggregated to (brand, supplier) — 2500
+    rows regardless of corpus size; the rank window partitions by
+    market (never global); everything after mkt is O(markets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == F.col("p_partkey"))
+        .select(
+            F.col("p_brand").alias("market"),
+            F.col("l_suppkey").alias("supp"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("market", "supp")
+        .agg(F.sum("cents").cast("long").alias("r"))
+    )
+    w = Window.partitionBy("market").orderBy(F.col("r").desc(), "supp")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    mkt = ranked.groupBy("market").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("r").cast("long").alias("total"),
+        F.sum((F.col("r").cast("decimal(19,0)") * F.col("r")))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sum_sq"),
+        F.sum(F.when(F.col("rk") <= 4, F.col("r")).otherwise(0))
+        .cast("long")
+        .alias("top4"),
+    )
+    hhi = F.round(
+        1e4 * F.col("sum_sq") / (F.col("total").cast("double") * F.col("total")), 4
+    ).alias("hhi")
+    scored = mkt.select(
+        "market",
+        "n_suppliers",
+        hhi,
+        F.round(F.col("top4") * F.lit(1.0) / F.col("total"), 6).alias("cr4"),
+    )
+    return scored.select(
+        "market",
+        "n_suppliers",
+        "hhi",
+        "cr4",
+        F.when(F.col("hhi") < HHI_MODERATE, "unconcentrated")
+        .when(F.col("hhi") < HHI_HIGH, "moderate")
+        .otherwise("high")
+        .alias("concentration"),
+    ).orderBy("market")
+
+
+# ---------------------------------------------------------------------------
+# q_abc_inventory — Pareto ABC classification of parts by revenue
+# ---------------------------------------------------------------------------
+
+_ABC_SQL = """
+    WITH rev AS (
+      SELECT l.l_partkey AS pk,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem l GROUP BY l.l_partkey
+    ),
+    cum AS (
+      SELECT pk, r,
+             CAST(sum(r) OVER (ORDER BY r DESC, pk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(sum(r) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS n_total
+      FROM rev
+    ),
+    classed AS (
+      SELECT pk, r, total, n_total,
+             CASE WHEN 5 * (c - r) < 4 * total THEN 'A'
+                  WHEN 20 * (c - r) < 19 * total THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(count(*) * 1e0 / max(n_total), 6) AS share_of_parts,
+           round(CAST(sum(r) AS BIGINT) * 1e0 / max(total), 6) AS share_of_revenue
+    FROM classed GROUP BY abc ORDER BY abc
+"""
+
+
+@query("q_abc_inventory", oracle=_ABC_SQL, tags=("analytics",))
+def abc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: rank parts by revenue,
+    class A = items before the cumulative 80% mark, B = to 95%, C =
+    the tail, reporting each class's item share vs revenue share — the
+    80/20 screen every inventory policy (q_eoq_policy's ordering costs,
+    cycle-count frequency) keys off. An item is classed by the
+    cumulative total BEFORE it (c - r), so the item that crosses a
+    boundary stays in the upper class — the textbook convention.
+
+    Determinism: revenue is exact integer cents; the cumulative sum
+    runs over the total order (r DESC, pk) so every prefix is exact;
+    class boundaries are pure BIGINT comparisons (5*(c-r) < 4*total),
+    no float thresholds anywhere — only the two reported shares divide,
+    at the very end, rounded 6.
+
+    Scale: the fact scan reduces to one row per part BEFORE any
+    ordering, and the cumulative sum is functions/ranks.py's
+    range-partitioned two-pass prefix sum — no single-partition window
+    even at a 100 TB catalog; the grand totals are one broadcast
+    scalar."""
+    from bigdatainfinance1_spark.functions.ranks import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.select(
+            F.col("l_partkey").alias("pk"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("pk")
+        .agg(F.sum("cents").cast("long").alias("r"))
+    )
+    totals = rev.agg(
+        F.sum("r").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    cum = (
+        global_running_sum(rev, [F.col("r").desc(), F.col("pk")], "r", "c")
+        .withColumn("c", F.col("c").cast("long"))
+        .crossJoin(F.broadcast(totals))
+    )
+    classed = cum.select(
+        "pk",
+        "r",
+        "total",
+        "n_total",
+        F.when(5 * (F.col("c") - F.col("r")) < 4 * F.col("total"), "A")
+        .when(20 * (F.col("c") - F.col("r")) < 19 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.count(F.lit(1)) * F.lit(1.0) / F.max("n_total"), 6).alias(
+                "share_of_parts"
+            ),
+            F.round(F.sum("r").cast("long") * F.lit(1.0) / F.max("total"), 6).alias(
+                "share_of_revenue"
+            ),
+        )
+        .orderBy("abc")
     )

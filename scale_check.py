@@ -349,6 +349,8 @@ QUERIES = [
     "q_levene_test",
     "q_iv_wald_2sls",
     "q_markov_removal_attribution",
+    "q_cr4_concentration",
+    "q_abc_inventory",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
