@@ -523,3 +523,130 @@ def gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_GTK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q_doremi_weights — excess-loss domain reweighting (DoReMi, one EG step)
+# ---------------------------------------------------------------------------
+
+DOREMI_TEMP = 1.0  # exponentiated-gradient step size (eta)
+DOREMI_EPS = 0.01  # uniform smoothing (DoReMi's non-zero-weight floor)
+DOREMI_K = 20  # domain count of the synthetic documents table
+
+_DOREMI_SQL = f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cd AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cdt
+           FROM toks GROUP BY source, tok),
+    cdom AS (SELECT source, CAST(sum(cdt) AS BIGINT) AS cdn FROM cd GROUP BY source),
+    cc AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks),
+    lr AS (
+      SELECT cd.source, cd.cdt,
+             round(ln((cd.cdt + 1.0) / (cdom.cdn + tot.v))
+                   - ln((cc.ct + 1.0) / (tot.n + tot.v)), 12) AS lw
+      FROM cd
+      JOIN cdom ON cd.source = cdom.source
+      JOIN cc ON cd.tok = cc.tok
+      CROSS JOIN tot
+    ),
+    excess AS (
+      SELECT lr.source, cdom.cdn,
+             round(sum(lr.cdt * lr.lw) / cdom.cdn, 6) AS xl
+      FROM lr JOIN cdom ON lr.source = cdom.source
+      GROUP BY lr.source, cdom.cdn
+    ),
+    raw AS (
+      SELECT source, cdn, xl,
+             (cdn * 1e0 / (SELECT n FROM tot)) * exp(xl / {DOREMI_TEMP}) AS wr
+      FROM excess
+    )
+    SELECT source,
+           cdn AS n_tokens,
+           round(cdn * 1e0 / (SELECT n FROM tot), 6) AS token_share,
+           xl AS excess_loss,
+           round((1 - {DOREMI_EPS}) * wr / sum(wr) OVER ()
+                 + {DOREMI_EPS} / {DOREMI_K}, 6) AS doremi_weight
+    FROM raw ORDER BY source
+"""
+
+
+@query(
+    "q_doremi_weights",
+    oracle=_DOREMI_SQL,
+    tags=("llm-pipeline", "text", "mixture"),
+)
+def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting by excess loss (DoReMi — Xie et al.
+    2023, arXiv:2305.10429, made deterministic): DoReMi upweights the
+    domains where a reference model still has the most to teach a proxy
+    (excess loss), via exponentiated-gradient steps on the mixture. Here
+    the proxy/reference pair collapses to a closed form — excess_d =
+    CE_d(corpus unigram LM) - CE_d(own-domain unigram LM) = KL(p_d ||
+    p_corpus), the per-token divergence of the domain from the corpus
+    average — and the mixture takes ONE EG step from the token-share
+    baseline: w_d ∝ share_d * exp(excess_d / eta), then DoReMi's uniform
+    smoothing (1-eps)w + eps/K. Distinctive domains gain weight; domains
+    that mirror the corpus average keep their share. Complements
+    q_unimax_mixture (budget caps) / q_temperature_mixture (flattening) /
+    q_dsir_select (per-document importance) as the fourth mixture law.
+
+    Determinism: per-token log-ratios round at 12 before the c_dt-weighted
+    sum (q_dsir_select posture); the per-domain sum reorders at ~1e-13 and
+    rounds at 6; exp then sees identical doubles on both engines; the
+    final weights normalize over the bounded domain relation and round at
+    6. Scale: ONE token-explode scan feeds the domain-token, domain, and
+    corpus count relations (vocabulary-sized model state, the
+    q_ccnet_ppl_buckets shape); the EG step is O(domains)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    cd = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("cdt"))
+    cdom = cd.groupBy("source").agg(F.sum("cdt").cast("long").alias("cdn"))
+    cc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("tok").cast("long").alias("v"),
+    )
+    lr = (
+        cd.join(F.broadcast(cdom), "source")
+        .join(cc, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "cdt",
+            "cdn",
+            "n",
+            F.round(
+                F.log((F.col("cdt") + 1.0) / (F.col("cdn") + F.col("v")))
+                - F.log((F.col("ct") + 1.0) / (F.col("n") + F.col("v"))),
+                12,
+            ).alias("lw"),
+        )
+    )
+    excess = lr.groupBy("source", "cdn", "n").agg(
+        F.round(F.sum(F.col("cdt") * F.col("lw")) / F.first("cdn"), 6).alias("xl")
+    )
+    raw = excess.select(
+        "source",
+        "cdn",
+        "n",
+        "xl",
+        (
+            (F.col("cdn") * F.lit(1.0) / F.col("n"))
+            * F.exp(F.col("xl") / F.lit(DOREMI_TEMP))
+        ).alias("wr"),
+    )
+    w_all = Window.partitionBy()
+    return raw.select(
+        "source",
+        F.col("cdn").alias("n_tokens"),
+        F.round(F.col("cdn") * F.lit(1.0) / F.col("n"), 6).alias("token_share"),
+        F.col("xl").alias("excess_loss"),
+        F.round(
+            (1 - DOREMI_EPS) * F.col("wr") / F.sum("wr").over(w_all)
+            + DOREMI_EPS / DOREMI_K,
+            6,
+        ).alias("doremi_weight"),
+    ).orderBy("source")

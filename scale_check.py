@@ -351,6 +351,7 @@ QUERIES = [
     "q_markov_removal_attribution",
     "q_cr4_concentration",
     "q_abc_inventory",
+    "q_doremi_weights",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
