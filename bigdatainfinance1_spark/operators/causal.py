@@ -425,3 +425,145 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, removal_effect double, attribution_share double,"
         " attributed_conversions double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_simpsons_paradox — aggregation-reversal audit (confounder decomposition)
+# ---------------------------------------------------------------------------
+
+SIMPSON_EPS = 0.0001  # slope magnitude floor: |slope| below this is "flat",
+# and flat-vs-flat sign flips are noise, not a reversal
+
+
+def _simpson_sql() -> str:
+    return f"""
+    WITH obs AS (
+      SELECT p.p_brand AS market, r.r_name AS rg,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+             CAST(l.l_quantity AS BIGINT) AS y
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    g AS (
+      SELECT market, rg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM obs GROUP BY market, rg
+    ),
+    brand AS (
+      SELECT market,
+             CAST(sum(n) AS BIGINT) AS n,
+             (CAST(sum(n) AS DOUBLE) * sum(sxy) - CAST(sum(sx) AS DOUBLE) * sum(sy))
+               / (CAST(sum(n) AS DOUBLE) * sum(sxx)
+                  - CAST(sum(sx) AS DOUBLE) * sum(sx)) AS so,
+             sum(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+               / sum(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS sw
+      FROM g GROUP BY market
+    ),
+    rounded AS (
+      SELECT market, n, round(so, 6) AS slope_overall, round(sw, 6) AS slope_within
+      FROM brand
+    )
+    SELECT market, n, slope_overall, slope_within,
+           round(slope_overall - slope_within, 6) AS confounding_gap,
+           abs(slope_overall) > {SIMPSON_EPS} AND abs(slope_within) > {SIMPSON_EPS}
+             AND sign(slope_overall) <> sign(slope_within) AS reversal
+    FROM rounded ORDER BY market
+    """
+
+
+@query("q_simpsons_paradox", oracle=_simpson_sql(), tags=("stats", "analytics"))
+def simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-reversal (Simpson's paradox) audit per brand market:
+    the discount->quantity slope computed on POOLED data vs the
+    stratum-pooled within-region slope (sum of within-region
+    cross-moments over sum of within-region x-variation — the
+    fixed-effects estimator q_panel_within_estimator uses at panel
+    grain). A sign flip between the two means the region mix, not the
+    discount, drives the pooled association — the audit every
+    observational readout should pass before q_iv_wald_2sls-grade
+    machinery is even considered. Flat slopes (|b| <= {SIMPSON_EPS})
+    are excluded from flagging: sign(noise) vs sign(noise) is not a
+    reversal.
+
+    Determinism: x (discount points) and y (quantity) are small exact
+    integers, so every group moment is an exact BIGINT; the two slopes
+    combine them in identical double expressions (the within sum runs
+    over 5 region terms — reorder noise ~1e-13, rounded at 6, the
+    q_kruskal_wallis posture), and the reversal flag reads only ROUNDED
+    slopes. Scale: one lineitem-orders shuffle (part/customer/nation/
+    region broadcast); everything after g is O(markets x regions)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    obs = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("p_brand").alias("market"),
+            F.col("r_name").alias("rg"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+    )
+    g = obs.groupBy("market", "rg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    nn = F.sum("n").cast("double")
+    so = (nn * F.sum("sxy") - F.sum("sx").cast("double") * F.sum("sy")) / (
+        nn * F.sum("sxx") - F.sum("sx").cast("double") * F.sum("sx")
+    )
+    sw = F.sum(
+        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / F.sum(
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    )
+    brand = g.groupBy("market").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(so, 6).alias("slope_overall"),
+        F.round(sw, 6).alias("slope_within"),
+    )
+    return brand.select(
+        "market",
+        "n",
+        "slope_overall",
+        "slope_within",
+        F.round(F.col("slope_overall") - F.col("slope_within"), 6).alias(
+            "confounding_gap"
+        ),
+        (
+            (F.abs(F.col("slope_overall")) > SIMPSON_EPS)
+            & (F.abs(F.col("slope_within")) > SIMPSON_EPS)
+            & (F.signum("slope_overall") != F.signum("slope_within"))
+        ).alias("reversal"),
+    ).orderBy("market")

@@ -575,3 +575,95 @@ def abc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ndr_grr — net / gross revenue retention by customer base year
+# ---------------------------------------------------------------------------
+
+_NDR_SQL = """
+    WITH rev AS (
+      SELECT o_custkey AS ck, CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS r
+      FROM orders GROUP BY o_custkey, year(o_orderdate)
+    ),
+    paired AS (
+      SELECT a.y, a.ck, a.r AS r0, coalesce(b.r, 0) AS r1
+      FROM rev a LEFT JOIN rev b ON a.ck = b.ck AND b.y = a.y + 1
+    ),
+    yr AS (
+      SELECT y,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(CASE WHEN r1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+             CAST(sum(r0) AS BIGINT) AS base,
+             CAST(sum(CASE WHEN r1 < r0 THEN r1 ELSE r0 END) AS BIGINT) AS kept,
+             CAST(sum(r1) AS BIGINT) AS next
+      FROM paired GROUP BY y
+    )
+    SELECT y AS base_year, n_customers,
+           round(base / 100.0, 2) AS base_revenue,
+           round(kept * 1e0 / base, 6) AS grr,
+           round(next * 1e0 / base, 6) AS ndr,
+           round(n_churned * 1e0 / n_customers, 6) AS churn_rate
+    FROM yr
+    WHERE y < (SELECT max(y) FROM rev)
+    ORDER BY y
+"""
+
+
+@query("q_ndr_grr", oracle=_NDR_SQL, tags=("analytics", "finance"))
+def ndr_grr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net and gross revenue retention per base year — the SaaS board
+    metrics over the order book: take every customer with revenue in
+    year y, then GRR = sum(min(r_y, r_{y+1}))/sum(r_y) (contraction and
+    churn only — expansion capped at last year's level) and NDR =
+    sum(r_{y+1})/sum(r_y) (expansion counted), plus the logo churn
+    rate. The REVENUE companion to q_cohort_retention (activity counts)
+    and q_growth_accounting (user flows): NDR > 1 with positive churn
+    is the 'expansion outruns churn' regime every retention review
+    hunts for. The last year is excluded (its y+1 is unobserved, which
+    would read as 100% churn).
+
+    Determinism: pure exact-integer-cents arithmetic end to end — the
+    min() capping, the churn counts, and the three final ratios all
+    compose BIGINTs; only the last division produces doubles, rounded
+    at 6/2. Scale: one customer-year aggregate (map-side combinable),
+    one self equi-join on (custkey, year+1) — both sides pre-reduced to
+    customer-grain, so the join is dimension-sized; O(years) after."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        F.col("o_custkey").alias("ck"),
+        F.year("o_orderdate").cast("long").alias("y"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("r")
+    )
+    b = rev.select(F.col("ck"), (F.col("y") - 1).alias("y"), F.col("r").alias("r1"))
+    paired = (
+        rev.join(b, ["ck", "y"], "left")
+        .select("y", "ck", F.col("r").alias("r0"), F.coalesce("r1", F.lit(0)).alias("r1"))
+    )
+    max_y = rev.agg(F.max("y").alias("my"))
+    yr = paired.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("r1") == 0, 1).otherwise(0)).cast("long").alias("n_churned"),
+        F.sum("r0").cast("long").alias("base"),
+        F.sum(F.least("r0", "r1")).cast("long").alias("kept"),
+        F.sum("r1").cast("long").alias("next"),
+    )
+    return (
+        yr.crossJoin(F.broadcast(max_y))
+        .filter(F.col("y") < F.col("my"))
+        .select(
+            F.col("y").alias("base_year"),
+            "n_customers",
+            F.round(F.col("base") / 100.0, 2).alias("base_revenue"),
+            F.round(F.col("kept") * F.lit(1.0) / F.col("base"), 6).alias("grr"),
+            F.round(F.col("next") * F.lit(1.0) / F.col("base"), 6).alias("ndr"),
+            F.round(F.col("n_churned") * F.lit(1.0) / F.col("n_customers"), 6).alias(
+                "churn_rate"
+            ),
+        )
+        .orderBy("y")
+    )

@@ -21,7 +21,7 @@ tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.registry import query
@@ -1034,4 +1034,174 @@ def gaussian_copula(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rho_gauss"), 6).alias("copula_rho"),
         F.round(F.col("joint_upper_emp"), 6).alias("joint_upper_emp"),
         F.round(F.lit(0.01), 6).alias("indep_upper_expect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_sequential_patterns — eventually-follows association rules over sessions
+# ---------------------------------------------------------------------------
+
+SEQPAT_GAP_US = 30 * 60 * 1000000  # the repo's 30-minute session cut
+
+_SEQPAT_SQL = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SEQPAT_GAP_US}
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+        sum(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+      FROM flagged
+    ),
+    rowed AS (
+      SELECT user_id, sid, event_type,
+        row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+      FROM sessions
+    ),
+    spans AS (
+      SELECT user_id, sid, event_type,
+             CAST(min(rn) AS BIGINT) AS first_rn,
+             CAST(max(rn) AS BIGINT) AS last_rn
+      FROM rowed GROUP BY user_id, sid, event_type
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM (
+        SELECT DISTINCT user_id, sid FROM rowed
+      )
+    ),
+    present AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_with
+      FROM spans GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(count(*) AS BIGINT) AS n_pattern
+      FROM spans a
+      JOIN spans b ON a.user_id = b.user_id AND a.sid = b.sid
+                  AND a.event_type <> b.event_type
+                  AND a.first_rn < b.last_rn
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.antecedent, p.consequent, p.n_pattern,
+           round(p.n_pattern * 1e0 / tot.n_sessions, 6) AS support,
+           round(p.n_pattern * 1e0 / pa.n_with, 6) AS confidence,
+           round((p.n_pattern * 1e0 / pa.n_with)
+                 / (pb.n_with * 1e0 / tot.n_sessions), 6) AS lift
+    FROM pairs p
+    JOIN present pa ON p.antecedent = pa.event_type
+    JOIN present pb ON p.consequent = pb.event_type
+    CROSS JOIN tot
+    ORDER BY p.n_pattern DESC, p.antecedent, p.consequent
+"""
+
+
+@query(
+    "q_sequential_patterns",
+    oracle=_SEQPAT_SQL,
+    tags=("analytics", "events"),
+)
+def sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules with EVENTUALLY-FOLLOWS semantics: a
+    session supports a -> b when some occurrence of b comes after some
+    occurrence of a (first(a) < last(b)) — any gap allowed, unlike
+    q_markov_transitions' adjacent-step matrix and q_session_paths'
+    exact contiguous paths. Support / confidence / lift follow
+    q_assoc_rules (the unordered basket twin): confidence conditions on
+    sessions containing a, lift divides by the consequent's base rate.
+    The PrefixSpan-style length-2 layer — at 100 TB you mine pairs
+    first and extend only the survivors (anti-monotone support).
+
+    Determinism: counting, not floating — per-session (type, first_rn,
+    last_rn) spans make 'eventually follows' a pure integer comparison;
+    the three ratios divide exact BIGINTs and round at 6; output
+    totally ordered (n DESC, pair). Scale: one user-keyed session
+    shuffle; spans is <=|alphabet| rows per session; the pair join is
+    session-keyed (never cross-session) and emits <=k^2 combos per
+    session before the global rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w_user).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_user))
+                > SEQPAT_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    run = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("sid", F.sum("new_session").over(run))
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    rowed = sessions.select(
+        "user_id", "sid", "event_type", F.row_number().over(w_sess).alias("rn")
+    )
+    spans = rowed.groupBy("user_id", "sid", "event_type").agg(
+        F.min("rn").cast("long").alias("first_rn"),
+        F.max("rn").cast("long").alias("last_rn"),
+    )
+    tot = rowed.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    present = spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_with")
+    )
+    a = spans.select(
+        "user_id",
+        "sid",
+        F.col("event_type").alias("antecedent"),
+        F.col("first_rn").alias("a_first"),
+    )
+    b = spans.select(
+        "user_id",
+        "sid",
+        F.col("event_type").alias("consequent"),
+        F.col("last_rn").alias("b_last"),
+    )
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("a_first") < F.col("b_last"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pattern"))
+    )
+    pa = present.select(
+        F.col("event_type").alias("antecedent"), F.col("n_with").alias("na")
+    )
+    pb = present.select(
+        F.col("event_type").alias("consequent"), F.col("n_with").alias("nb")
+    )
+    conf = F.col("n_pattern") * F.lit(1.0) / F.col("na")
+    return (
+        pairs.join(F.broadcast(pa), "antecedent")
+        .join(F.broadcast(pb), "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_pattern",
+            F.round(F.col("n_pattern") * F.lit(1.0) / F.col("n_sessions"), 6).alias(
+                "support"
+            ),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("nb") * F.lit(1.0) / F.col("n_sessions")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pattern").desc(), "antecedent", "consequent")
     )

@@ -352,6 +352,9 @@ QUERIES = [
     "q_cr4_concentration",
     "q_abc_inventory",
     "q_doremi_weights",
+    "q_sequential_patterns",
+    "q_simpsons_paradox",
+    "q_ndr_grr",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
