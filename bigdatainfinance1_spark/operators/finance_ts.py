@@ -1041,93 +1041,6 @@ def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_control_chart",
-    oracle="""
-    WITH daily AS (
-      SELECT c.c_nationkey AS nk,
-             datediff('day', DATE '1970-01-01', o.o_orderdate) AS d,
-             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY nk, d
-    ),
-    mr AS (
-      SELECT nk, d, cents,
-             abs(cents - lag(cents) OVER (PARTITION BY nk ORDER BY d)) AS moving_range
-      FROM daily
-    ),
-    limits AS (
-      SELECT nk,
-             CAST(count(*) AS BIGINT)       AS n_days,
-             CAST(sum(cents) AS BIGINT)     AS s_cents,
-             CAST(sum(moving_range) AS BIGINT) AS s_mr,
-             CAST(count(moving_range) AS BIGINT) AS n_mr
-      FROM mr GROUP BY nk
-    ),
-    judged AS (
-      SELECT m.nk,
-             CASE WHEN m.cents * 1e0 > l.s_cents * 1e0 / l.n_days
-                       + 2.66e0 * l.s_mr / l.n_mr THEN 1
-                  WHEN m.cents * 1e0 < l.s_cents * 1e0 / l.n_days
-                       - 2.66e0 * l.s_mr / l.n_mr THEN 1
-                  ELSE 0 END AS breach
-      FROM mr m JOIN limits l ON m.nk = l.nk
-    )
-    SELECT
-      j.nk AS nationkey,
-      CAST(count(*) AS BIGINT)        AS n_days,
-      CAST(sum(j.breach) AS BIGINT)   AS n_breaches,
-      round(max(l.s_cents * 1e0 / l.n_days + 2.66e0 * l.s_mr / l.n_mr) / 100, 4) AS ucl_dollars,
-      round(max(l.s_cents * 1e0 / l.n_days - 2.66e0 * l.s_mr / l.n_mr) / 100, 4) AS lcl_dollars
-    FROM judged j JOIN limits l ON j.nk = l.nk
-    GROUP BY j.nk
-    """,
-    tags=("analytics", "quality", "timeseries"),
-)
-def control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """XmR (individuals / moving-range) control chart per nation's daily
-    revenue — the SPC monitor that flags special-cause variation: limits =
-    mean ± 2.66·mean(|Δ|), the classic Shewhart constant. Sums of cents
-    and of integer moving ranges are exact BIGINTs, so the limit
-    expressions divide identical integers on both engines and the breach
-    comparison is engine-stable without pre-rounding (2.66·s_mr/n_mr is
-    one double product of exact inputs). Scale: the lag runs in the
-    nation-partitioned window (25-way parallel), limits are a 25-row
-    aggregate joined back broadcast-style — two shuffles total, the
-    monitoring shape you'd run per metric per stream at 100 TB."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    daily = (
-        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
-                    orders["o_custkey"] == F.col("c_custkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("nk"),
-            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("d"),
-        )
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents"))
-    )
-    w = Window.partitionBy("nk").orderBy("d")
-    mr = daily.withColumn("moving_range", F.abs(F.col("cents") - F.lag("cents").over(w)))
-    limits = mr.groupBy("nk").agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum("cents").cast("long").alias("s_cents"),
-        F.sum("moving_range").cast("long").alias("s_mr"),
-        F.count("moving_range").cast("long").alias("n_mr"),
-    )
-    ucl = F.col("s_cents") * F.lit(1.0) / F.col("n_days") + F.lit(2.66) * F.col("s_mr") / F.col("n_mr")
-    lcl = F.col("s_cents") * F.lit(1.0) / F.col("n_days") - F.lit(2.66) * F.col("s_mr") / F.col("n_mr")
-    judged = mr.join(limits, "nk").withColumn(
-        "breach",
-        F.when((F.col("cents") * F.lit(1.0) > ucl) | (F.col("cents") * F.lit(1.0) < lcl), 1).otherwise(0),
-    )
-    return judged.groupBy(F.col("nk").alias("nationkey")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum("breach").cast("long").alias("n_breaches"),
-        F.round(F.max(ucl) / 100, 4).alias("ucl_dollars"),
-        F.round(F.max(lcl) / 100, 4).alias("lcl_dollars"),
-    )
-
-
 HOLT_ALPHA, HOLT_BETA = 0.3, 0.1
 
 

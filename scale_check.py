@@ -355,6 +355,8 @@ QUERIES = [
     "q_sequential_patterns",
     "q_simpsons_paradox",
     "q_ndr_grr",
+    "q_western_electric",
+    "q_blocking_quality",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
