@@ -1424,17 +1424,13 @@ def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: v is exact integer cents; both engines interpolate
     even-count medians to .5 granularity, so m2 = 2*median and the
-    deviations t = |2v - m2| are EXACT integers. Group sums sj (BIGINT)
-    and qj = sum(t^2) are exact (qj sums 1.4e16-scale integers — DuckDB
-    HUGEINT / Spark decimal(38,0), converted to double once at the end);
-    W composes the same exact integers through identical double
-    expressions, rounded at 6 (the 5-term group-sum reorder is absorbed,
-    q_ccnet_ppl_buckets posture); reject_95 compares the ROUNDED w so the
-    flag cannot straddle an ulp. The 4x scale of 2v cancels in SSB/SSW.
-
+    deviations t = |2v - m2| are EXACT integers, as are sj and
+    qj = sum(t^2) (DuckDB HUGEINT / Spark decimal(38,0), to double once
+    at the end); W composes them through identical double expressions
+    rounded at 6, and reject_95 compares the ROUNDED w so the flag
+    cannot straddle an ulp. The 4x scale of 2v cancels in SSB/SSW.
     Scale: dim-chain broadcast joins; medians are per-(month, region)
-    partial aggregates (no global sort); everything after grp is
-    O(months) rows."""
+    partial aggregates (no global sort); O(months) after grp."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
