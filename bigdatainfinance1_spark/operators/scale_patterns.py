@@ -343,3 +343,162 @@ def weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("es_key", 9).alias("es_key"),
         "population_avg_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_consistent_hash_rebalance — key movement under mod vs ring sharding
+# ---------------------------------------------------------------------------
+
+CH_N1 = 8  # current shard count
+CH_N2 = 9  # shard count after adding one node
+CH_VNODES = 16  # virtual nodes per shard on the ring
+
+_CH_SQL = f"""
+    WITH keys AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS kh FROM documents
+    ),
+    ring AS (
+      SELECT node, v, md5('node:' || node || ':' || v) AS rh
+      FROM range({CH_N2}) AS n(node), range({CH_VNODES}) AS vv(v)
+    ),
+    wrap AS (
+      SELECT max_by(node, rh) FILTER (WHERE node < {CH_N1}) AS w1_hi,
+             min_by(node, rh) FILTER (WHERE node < {CH_N1}) AS w1_lo_node,
+             min(rh) FILTER (WHERE node < {CH_N1}) AS w1_lo,
+             min_by(node, rh) AS w2_lo_node,
+             min(rh) AS w2_lo
+      FROM ring
+    ),
+    assigned AS (
+      SELECT k.doc_id,
+             coalesce(
+               min_by(r.node, r.rh) FILTER (WHERE r.node < {CH_N1} AND r.rh >= k.kh),
+               w.w1_lo_node) AS ring1,
+             coalesce(
+               min_by(r.node, r.rh) FILTER (WHERE r.rh >= k.kh),
+               w.w2_lo_node) AS ring2,
+             k.doc_id % {CH_N1} AS mod1,
+             k.doc_id % {CH_N2} AS mod2
+      FROM keys k CROSS JOIN ring r CROSS JOIN wrap w
+      GROUP BY k.doc_id, k.kh, w.w1_lo_node, w.w2_lo_node
+    ),
+    moved AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN mod1 <> mod2 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved,
+             CAST(sum(CASE WHEN ring1 <> ring2 THEN 1 ELSE 0 END) AS BIGINT) AS ring_moved
+      FROM assigned
+    ),
+    balance AS (
+      SELECT CAST(max(c) AS BIGINT) AS max_load, CAST(min(c) AS BIGINT) AS min_load
+      FROM (SELECT ring2, count(*) AS c FROM assigned GROUP BY ring2)
+    )
+    SELECT m.n_keys,
+           round(m.mod_moved * 1e0 / m.n_keys, 6) AS mod_moved_frac,
+           round(m.ring_moved * 1e0 / m.n_keys, 6) AS ring_moved_frac,
+           round(1e0 / {CH_N2}, 6) AS ring_theoretical,
+           b.max_load, b.min_load,
+           round(b.max_load * 1e0 / b.min_load, 4) AS ring_skew
+    FROM moved m CROSS JOIN balance b
+"""
+
+
+@query(
+    "q_consistent_hash_rebalance",
+    oracle=_CH_SQL,
+    tags=("scale", "layout"),
+)
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalance audit: what fraction of keys MOVE when a shard is
+    added ({CH_N1} -> {CH_N2}), under modulo placement vs a consistent-
+    hash ring (Karger et al.) with {CH_VNODES} virtual nodes per shard.
+    Modulo reshuffles ~1 - 1/{CH_N2} of all keys (every key whose id
+    mod changes); the ring moves only keys landing in the new node's
+    arcs — ~1/{CH_N2} — which is WHY distributed stores rebalance with
+    rings; ring_skew (max/min shard load) shows what the virtual nodes
+    buy. This is the same placement math behind shuffle partitioning
+    and q_media_shard_manifest's shard assignment, audited as a
+    relation.
+
+    Determinism: positions are md5 hex strings (both engines produce
+    identical digests — the repo's md5-oracle-twin convention), so
+    clockwise successor = lexicographic min over rh >= kh, tie-free
+    because digests are distinct; wraparound falls back to the ring's
+    global min. All counts are exact integers; ratios round at 6/4.
+    Scale: the ring is an O(shards x vnodes) relation broadcast to one
+    pass over the keys (the aggregate-over-cross-join is {CH_N2} x
+    {CH_VNODES} = {CH_N2 * CH_VNODES} rows per key, map-side, no
+    shuffle until the final count); at a real 100 TB table the same
+    plan assigns every row its shard in one broadcast pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    keys = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("kh")
+    )
+    ring = (
+        spark.range(CH_N2)
+        .select(F.col("id").alias("node"))
+        .crossJoin(spark.range(CH_VNODES).select(F.col("id").alias("v")))
+        .select(
+            "node",
+            "v",
+            F.md5(
+                F.concat(F.lit("node:"), F.col("node"), F.lit(":"), F.col("v"))
+            ).alias("rh"),
+        )
+    )
+    old = F.col("node") < CH_N1
+    wrap = ring.agg(
+        F.min_by("node", F.when(old, F.col("rh"))).alias("w1_lo_node"),
+        F.min_by("node", "rh").alias("w2_lo_node"),
+    )
+    assigned = (
+        keys.crossJoin(F.broadcast(ring))
+        .crossJoin(F.broadcast(wrap))
+        .groupBy("doc_id", "kh", "w1_lo_node", "w2_lo_node")
+        .agg(
+            F.min_by(
+                "node", F.when(old & (F.col("rh") >= F.col("kh")), F.col("rh"))
+            ).alias("r1"),
+            F.min_by("node", F.when(F.col("rh") >= F.col("kh"), F.col("rh"))).alias(
+                "r2"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.coalesce("r1", "w1_lo_node").alias("ring1"),
+            F.coalesce("r2", "w2_lo_node").alias("ring2"),
+            (F.col("doc_id") % CH_N1).alias("mod1"),
+            (F.col("doc_id") % CH_N2).alias("mod2"),
+        )
+    )
+    moved = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("mod1") != F.col("mod2"), 1).otherwise(0))
+        .cast("long")
+        .alias("mod_moved"),
+        F.sum(F.when(F.col("ring1") != F.col("ring2"), 1).otherwise(0))
+        .cast("long")
+        .alias("ring_moved"),
+    )
+    balance = (
+        assigned.groupBy("ring2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.max("c").cast("long").alias("max_load"),
+            F.min("c").cast("long").alias("min_load"),
+        )
+    )
+    return moved.crossJoin(F.broadcast(balance)).select(
+        "n_keys",
+        F.round(F.col("mod_moved") * F.lit(1.0) / F.col("n_keys"), 6).alias(
+            "mod_moved_frac"
+        ),
+        F.round(F.col("ring_moved") * F.lit(1.0) / F.col("n_keys"), 6).alias(
+            "ring_moved_frac"
+        ),
+        F.round(F.lit(1.0) / CH_N2, 6).alias("ring_theoretical"),
+        "max_load",
+        "min_load",
+        F.round(F.col("max_load") * F.lit(1.0) / F.col("min_load"), 4).alias(
+            "ring_skew"
+        ),
+    )

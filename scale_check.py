@@ -357,6 +357,7 @@ QUERIES = [
     "q_ndr_grr",
     "q_western_electric",
     "q_blocking_quality",
+    "q_consistent_hash_rebalance",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
