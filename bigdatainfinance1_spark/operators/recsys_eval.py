@@ -1,0 +1,197 @@
+"""Recommendation-list evaluation: item-item CF top-k generation and the
+beyond-accuracy metrics (catalog coverage, novelty, popularity bias)
+that q_ndcg/q_mrr-style relevance numbers miss — a recommender can score
+high on accuracy while recommending the same 50 bestsellers to everyone;
+this layer measures that failure directly. Sits beside
+retail_recsys.py's q_user_cf_neighbors (user-user neighborhoods) and
+q_copurchase_pairs (the co-occurrence relation these lists score with).
+
+Determinism: CF scores are exact integer co-purchase counts summed as
+integers, every ranking totally ordered by (score DESC, item id); the
+metrics divide exact BIGINTs, with novelty's log2 mixture rounded at 4
+(the only float accumulation, orders above reorder noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# q_recsys_list_metrics — coverage / novelty / popularity bias of CF top-k
+# ---------------------------------------------------------------------------
+
+RL_TOP_PARTNERS = 20  # per-item co-purchase partners kept (model pruning)
+RL_K = 5  # recommendation list length
+
+_RL_SQL = f"""
+    WITH baskets AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ob AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS i FROM lineitem
+    ),
+    cop AS (
+      SELECT a.i AS j, b.i AS i, CAST(count(*) AS BIGINT) AS c
+      FROM ob a JOIN ob b ON a.ok = b.ok AND a.i <> b.i
+      GROUP BY a.i, b.i
+    ),
+    model AS (
+      SELECT j, i, c FROM (
+        SELECT j, i, c,
+               row_number() OVER (PARTITION BY j ORDER BY c DESC, i) AS rn
+        FROM cop
+      ) WHERE rn <= {RL_TOP_PARTNERS}
+    ),
+    scored AS (
+      SELECT b.u, m.i, CAST(sum(m.c) AS BIGINT) AS score
+      FROM baskets b JOIN model m ON b.i = m.j
+      LEFT JOIN baskets own ON own.u = b.u AND own.i = m.i
+      WHERE own.i IS NULL
+      GROUP BY b.u, m.i
+    ),
+    recs AS (
+      SELECT u, i FROM (
+        SELECT u, i,
+               row_number() OVER (PARTITION BY u ORDER BY score DESC, i) AS rn
+        FROM scored
+      ) WHERE rn <= {RL_K}
+    ),
+    pop AS (SELECT i, CAST(count(*) AS BIGINT) AS pop FROM baskets GROUP BY i),
+    uni AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users FROM baskets),
+    cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog,
+                   CAST(sum(pop) AS BIGINT) AS pop_total FROM pop),
+    ritem AS (
+      SELECT r.i, CAST(count(*) AS BIGINT) AS rc, max(p.pop) AS pop
+      FROM recs r JOIN pop p ON r.i = p.i GROUP BY r.i
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rec_items,
+             CAST(sum(rc) AS BIGINT) AS total_recs,
+             CAST(sum(rc * pop) AS BIGINT) AS rec_pop,
+             sum(rc * (ln(u.n_users * 1e0 / pop) / ln(2))) AS nov
+      FROM ritem CROSS JOIN uni u
+      GROUP BY u.n_users
+    )
+    SELECT (SELECT count(DISTINCT u) FROM recs) AS n_users_served,
+           a.total_recs, a.n_rec_items, c.n_catalog,
+           round(a.n_rec_items * 1e0 / c.n_catalog, 6) AS catalog_coverage,
+           round(a.nov / a.total_recs, 4) AS avg_novelty_bits,
+           round((a.rec_pop * 1e0 / a.total_recs)
+                 / (c.pop_total * 1e0 / c.n_catalog), 6) AS popularity_bias
+    FROM agg a CROSS JOIN cat c
+"""
+
+
+@query(
+    "q_recsys_list_metrics",
+    oracle=_RL_SQL,
+    tags=("analytics", "ml-eval"),
+)
+def recsys_list_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy evaluation of an item-item CF recommender: build
+    top-{RL_K} lists (score = sum of co-purchase counts from the user's
+    basket over each item's top-{RL_TOP_PARTNERS} partners, owned items
+    excluded), then measure catalog coverage (share of the catalog that
+    is EVER recommended), novelty (mean self-information
+    -log2(pop_i / users) of recommended items — bits of 'surprise'), and
+    popularity bias (mean popularity of recommendations vs the catalog
+    mean — >1 means the lists over-serve bestsellers). The aggregate
+    health checks that catch a recommender collapsing onto its head.
+
+    Determinism: scores are exact integer count sums; both rankings
+    totally ordered by (value DESC, item id); coverage and bias divide
+    exact BIGINTs (rc*pop stays far under 2^63); novelty is the one
+    float mixture — integer rec-counts times log2 of exact integer
+    ratios, grouped per item then summed, rounded at 4 (noise ~1e-7).
+    Scale: the co-purchase model prunes to {RL_TOP_PARTNERS} partners
+    per item BEFORE scoring (the standard item-CF cap — unpruned fanout
+    is what kills these joins at catalog scale); scoring is one
+    (basket x model) equi-join on the item key; every window partitions
+    by item or user."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    baskets = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    ob = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("i")).distinct()
+    cop = (
+        ob.selectExpr("ok", "i AS j")
+        .join(ob, "ok")
+        .filter(F.col("j") != F.col("i"))
+        .groupBy("j", "i")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wj = Window.partitionBy("j").orderBy(F.col("c").desc(), "i")
+    model = cop.withColumn("rn", F.row_number().over(wj)).filter(
+        F.col("rn") <= RL_TOP_PARTNERS
+    ).select("j", "i", "c")
+    own = baskets.selectExpr("u AS ou", "i AS oi")
+    scored = (
+        baskets.selectExpr("u", "i AS j")
+        .join(model, "j")
+        .join(
+            own,
+            (F.col("u") == F.col("ou")) & (F.col("i") == F.col("oi")),
+            "left_anti",
+        )
+        .groupBy("u", "i")
+        .agg(F.sum("c").cast("long").alias("score"))
+    )
+    wu = Window.partitionBy("u").orderBy(F.col("score").desc(), "i")
+    recs = scored.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= RL_K
+    ).select("u", "i")
+    pop = baskets.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("pop"))
+    uni = baskets.agg(F.count_distinct("u").cast("long").alias("n_users"))
+    cat = pop.agg(
+        F.count(F.lit(1)).cast("long").alias("n_catalog"),
+        F.sum("pop").cast("long").alias("pop_total"),
+    )
+    ritem = (
+        recs.join(pop, "i")
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("long").alias("rc"), F.max("pop").alias("pop"))
+    )
+    agg = (
+        ritem.crossJoin(F.broadcast(uni))
+        .groupBy("n_users")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rec_items"),
+            F.sum("rc").cast("long").alias("total_recs"),
+            F.sum(F.col("rc") * F.col("pop")).cast("long").alias("rec_pop"),
+            F.sum(
+                F.col("rc")
+                * (F.log(F.col("n_users") * F.lit(1.0) / F.col("pop")) / F.log(F.lit(2.0)))
+            ).alias("nov"),
+        )
+    )
+    served = recs.agg(F.count_distinct("u").cast("long").alias("n_users_served"))
+    return (
+        agg.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(served))
+        .select(
+            "n_users_served",
+            "total_recs",
+            "n_rec_items",
+            "n_catalog",
+            F.round(F.col("n_rec_items") * F.lit(1.0) / F.col("n_catalog"), 6).alias(
+                "catalog_coverage"
+            ),
+            F.round(F.col("nov") / F.col("total_recs"), 4).alias("avg_novelty_bits"),
+            F.round(
+                (F.col("rec_pop") * F.lit(1.0) / F.col("total_recs"))
+                / (F.col("pop_total") * F.lit(1.0) / F.col("n_catalog")),
+                6,
+            ).alias("popularity_bias"),
+        )
+    )

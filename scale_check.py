@@ -358,6 +358,7 @@ QUERIES = [
     "q_western_electric",
     "q_blocking_quality",
     "q_consistent_hash_rebalance",
+    "q_recsys_list_metrics",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
