@@ -195,3 +195,143 @@ def recsys_list_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("popularity_bias"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_frequent_itemsets — apriori-pruned brand triples with support and lift
+# ---------------------------------------------------------------------------
+
+FI_MINSUP = 0.004  # minimum support (fraction of orders) for pairs/triples
+# (brand-triple supports top out near 1% on this corpus — 2% was vacuous)
+FI_TOP = 15  # triples reported
+
+_FI_SQL = f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS b
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM ob),
+    l1 AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY b
+    ),
+    l2 AS (
+      SELECT x.b AS a, y.b AS b, CAST(count(*) AS BIGINT) AS c
+      FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+      CROSS JOIN tot
+      GROUP BY x.b, y.b, tot.n
+      HAVING count(*) >= {FI_MINSUP} * tot.n
+    ),
+    c3 AS (
+      SELECT p.a, p.b, q.b AS c
+      FROM l2 p JOIN l2 q ON p.a = q.a AND p.b < q.b
+      JOIN l2 r ON r.a = p.b AND r.b = q.b
+    ),
+    t3 AS (
+      SELECT x.b AS a, y.b AS b, z.b AS c, CAST(count(*) AS BIGINT) AS cnt
+      FROM ob x
+      JOIN ob y ON x.ok = y.ok AND x.b < y.b
+      JOIN ob z ON x.ok = z.ok AND y.b < z.b
+      JOIN c3 ON c3.a = x.b AND c3.b = y.b AND c3.c = z.b
+      GROUP BY x.b, y.b, z.b
+    ),
+    scored AS (
+      SELECT t.a, t.b, t.c, t.cnt,
+             round(t.cnt * 1e0 / tot.n, 6) AS support,
+             round((t.cnt * 1e0 / tot.n)
+                   / ((la.c * 1e0 / tot.n) * (lb.c * 1e0 / tot.n)
+                      * (lc.c * 1e0 / tot.n)), 4) AS lift
+      FROM t3 t
+      JOIN l1 la ON la.b = t.a JOIN l1 lb ON lb.b = t.b JOIN l1 lc ON lc.b = t.c
+      CROSS JOIN tot
+      WHERE t.cnt >= {FI_MINSUP} * tot.n
+    )
+    SELECT a, b, c, cnt, support, lift
+    FROM scored
+    ORDER BY cnt DESC, a, b, c
+    LIMIT {FI_TOP}
+"""
+
+
+@query("q_frequent_itemsets", oracle=_FI_SQL, tags=("analytics", "mining"))
+def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent 3-itemsets over order baskets at brand grain:
+    frequent pairs (support >= {FI_MINSUP}) generate candidate triples
+    by prefix join, the apriori property prunes any candidate whose
+    third face pair is infrequent (anti-monotonicity — the pruning that
+    makes market-basket mining tractable: triples are counted ONLY for
+    surviving candidates), then the basket triple-join counts supports
+    and lift vs three-way independence. Extends q_assoc_rules (pairs)
+    one level up the lattice — the length-3 layer of the same
+    PrefixSpan-style grow-and-prune posture as q_sequential_patterns.
+
+    Determinism: pure integer counting; support/lift divide exact
+    BIGINTs, rounded 6/4; output totally ordered (cnt DESC, triple) and
+    capped at {FI_TOP}. Scale: baskets reduce to distinct (order,
+    brand) first; the triple join is candidate-gated (the broadcastable
+    c3 relation shrinks the 3-way self-join to surviving combinations);
+    every count is map-side combinable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = ob.select("ok").distinct().count()  # O(1) driver scalar (order count)
+    l1 = ob.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    x = ob.selectExpr("ok", "b AS ba")
+    y = ob.selectExpr("ok", "b AS bb")
+    z = ob.selectExpr("ok", "b AS bc")
+    l2 = (
+        x.join(y, "ok")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= FI_MINSUP * n)
+    )
+    p2 = l2.selectExpr("ba AS a", "bb AS b")
+    c3 = (
+        p2.selectExpr("a", "b")
+        .join(p2.selectExpr("a", "b AS c"), "a")
+        .filter(F.col("b") < F.col("c"))
+        .join(
+            p2.selectExpr("a AS b", "b AS c"),
+            ["b", "c"],
+            "left_semi",
+        )
+    )
+    t3 = (
+        x.join(y, "ok")
+        .filter(F.col("ba") < F.col("bb"))
+        .join(z, "ok")
+        .filter(F.col("bb") < F.col("bc"))
+        .join(
+            F.broadcast(c3.selectExpr("a AS ba", "b AS bb", "c AS bc")),
+            ["ba", "bb", "bc"],
+            "left_semi",
+        )
+        .groupBy("ba", "bb", "bc")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= FI_MINSUP * n)
+    )
+    sup = F.col("cnt") * F.lit(1.0) / n
+    ind = (
+        (F.col("ca") * F.lit(1.0) / n)
+        * (F.col("cb") * F.lit(1.0) / n)
+        * (F.col("cc") * F.lit(1.0) / n)
+    )
+    return (
+        t3.join(F.broadcast(l1.selectExpr("b AS ba", "c AS ca")), "ba")
+        .join(F.broadcast(l1.selectExpr("b AS bb", "c AS cb")), "bb")
+        .join(F.broadcast(l1.selectExpr("b AS bc", "c AS cc")), "bc")
+        .select(
+            F.col("ba").alias("a"),
+            F.col("bb").alias("b"),
+            F.col("bc").alias("c"),
+            "cnt",
+            F.round(sup, 6).alias("support"),
+            F.round(sup / ind, 4).alias("lift"),
+        )
+        .orderBy(F.col("cnt").desc(), "a", "b", "c")
+        .limit(FI_TOP)
+    )

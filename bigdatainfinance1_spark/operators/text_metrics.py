@@ -18,7 +18,7 @@ ROUNDED rank with an explicit word tie-break.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.registry import query
@@ -453,3 +453,208 @@ def lsa_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     g.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# q_readability — Flesch reading ease / FK grade per source
+# ---------------------------------------------------------------------------
+
+READ_WPS = 15  # pseudo-sentence length: the synthetic corpus has no
+# punctuation, so sentences := ceil(words / 15) — the convention is named in
+# the output; on real text you'd split on terminal punctuation instead.
+
+_READ_SQL = f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    syl AS (
+      SELECT source, tok,
+             greatest(len(regexp_extract_all(tok, '[aeiouy]+')), 1) AS s
+      FROM toks
+    ),
+    docs_per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS words,
+             CAST(sum(s) AS BIGINT) AS syllables
+      FROM syl GROUP BY source
+    ),
+    calc AS (
+      SELECT a.source, d.n_docs, a.words, a.syllables,
+             CAST(ceil(a.words * 1e0 / {READ_WPS}) AS BIGINT) AS sentences
+      FROM agg a JOIN docs_per d ON a.source = d.source
+    )
+    SELECT source, n_docs, words, syllables, sentences,
+           round(syllables * 1e0 / words, 6) AS syl_per_word,
+           round(206.835e0 - 1.015e0 * (words * 1e0 / sentences)
+                 - 84.6e0 * (syllables * 1e0 / words), 4) AS flesch_ease,
+           round(0.39e0 * (words * 1e0 / sentences)
+                 + 11.8e0 * (syllables * 1e0 / words) - 15.59e0, 4)
+             AS fk_grade
+    FROM calc ORDER BY source
+"""
+
+
+@query("q_readability", oracle=_READ_SQL, tags=("text", "llm-pipeline", "quality"))
+def readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease and Flesch-Kincaid grade per source: the two
+    classic readability formulas over syllables/word and words/sentence —
+    the quality-scoring signal (beside q_gopher_rules' structural gates
+    and q_ccnet_ppl_buckets' LM tier) that filters content by audience
+    complexity in curation pipelines. Syllables are counted as vowel-
+    group runs ([aeiouy]+) floored at 1 per token — the standard cheap
+    approximation; the synthetic corpus has no punctuation, so sentences
+    are fixed {READ_WPS}-word pseudo-sentences (named in the docstring
+    and constant — on real text, split on terminal punctuation).
+
+    Determinism: words, syllables, and sentences are exact BIGINTs
+    (regex vowel runs count identically on both engines; ceil of an
+    exact ratio of integers is engine-stable); both formulas are single
+    double expressions of those integers, rounded at 4/6. Scale: ONE
+    token-explode scan with map-side combinable per-source sums —
+    O(sources) after."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    syl = toks.select(
+        "source",
+        F.greatest(
+            F.size(F.regexp_extract_all("tok", F.lit("[aeiouy]+"), 0)), F.lit(1)
+        ).alias("s"),
+    )
+    docs_per = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    agg = syl.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("words"),
+        F.sum("s").cast("long").alias("syllables"),
+    )
+    calc = agg.join(F.broadcast(docs_per), "source").withColumn(
+        "sentences",
+        F.ceil(F.col("words") * F.lit(1.0) / READ_WPS).cast("long"),
+    )
+    wps = F.col("words") * F.lit(1.0) / F.col("sentences")
+    spw = F.col("syllables") * F.lit(1.0) / F.col("words")
+    return calc.select(
+        "source",
+        "n_docs",
+        "words",
+        "syllables",
+        "sentences",
+        F.round(spw, 6).alias("syl_per_word"),
+        F.round(F.lit(206.835) - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+        F.round(F.lit(0.39) * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q_burrows_delta — stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+BD_MFW = 15  # most-frequent corpus words forming the style fingerprint
+
+_BD_SQL = f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    mfw AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        FROM toks GROUP BY tok
+      ) WHERE rn <= {BD_MFW}
+    ),
+    st AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY source),
+    cnt AS (
+      SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks t JOIN mfw ON t.tok = mfw.tok
+      GROUP BY t.source, t.tok
+    ),
+    f AS (
+      SELECT st.source, mfw.tok,
+             round(coalesce(cnt.c, 0) * 1e0 / st.n, 12) AS f
+      FROM st CROSS JOIN mfw
+      LEFT JOIN cnt ON cnt.source = st.source AND cnt.tok = mfw.tok
+    ),
+    mom AS (
+      SELECT tok, count(*) AS k, avg(f) AS mu,
+             sqrt(avg(f * f) - avg(f) * avg(f)) AS sd
+      FROM f GROUP BY tok
+    ),
+    z AS (
+      SELECT f.source, f.tok, round((f.f - m.mu) / m.sd, 6) AS z
+      FROM f JOIN mom m ON f.tok = m.tok WHERE m.sd > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+    FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+"""
+
+
+@query("q_burrows_delta", oracle=_BD_SQL, tags=("text", "llm-pipeline"))
+def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (2002) — the standard stylometric distance for
+    authorship/provenance analysis: z-score each source's relative
+    frequency of the {BD_MFW} most frequent corpus words (function words
+    carry style, not topic), then Delta(a,b) = mean |z_a - z_b|. In a
+    curation pipeline this is the provenance screen — two 'different'
+    sources with near-zero Delta are the same generator/mirror wearing
+    different names (the style-level complement of q_cross_source_dedup's
+    content matching and q_langid_profile's language tiers).
+
+    Determinism: relative frequencies are exact-integer ratios rounded
+    at 12; per-word mean/sd aggregate the 20-source relation (reorder
+    noise ~1e-16, absorbed by rounding z at 6); Delta averages {BD_MFW}
+    6-dp values, rounded at 6. Scale: ONE token-explode scan produces
+    the MFW list and the (source x word) counts — both vocabulary/
+    source-bounded model relations; the pair join is O(sources^2 x
+    {BD_MFW})."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    w_all = Window.partitionBy(F.lit(1)).orderBy(F.col("c").desc(), "tok")
+    mfw = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w_all))
+        .filter(F.col("rn") <= BD_MFW)
+        .select("tok")
+    )
+    st = toks.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cnt = (
+        toks.join(F.broadcast(mfw), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    f = (
+        st.crossJoin(F.broadcast(mfw))
+        .join(cnt, ["source", "tok"], "left")
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.coalesce("c", F.lit(0)) * F.lit(1.0) / F.col("n"), 12
+            ).alias("f"),
+        )
+    )
+    mom = f.groupBy("tok").agg(
+        F.avg("f").alias("mu"),
+        F.sqrt(F.avg(F.col("f") * F.col("f")) - F.avg("f") * F.avg("f")).alias("sd"),
+    )
+    z = (
+        f.join(F.broadcast(mom), "tok")
+        .filter(F.col("sd") > 0)
+        .select(
+            "source", "tok", F.round((F.col("f") - F.col("mu")) / F.col("sd"), 6).alias("z")
+        )
+    )
+    a = z.select(F.col("source").alias("source_a"), "tok", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "tok", F.col("z").alias("zb"))
+    return (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
+        .orderBy("source_a", "source_b")
+    )

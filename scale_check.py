@@ -359,6 +359,9 @@ QUERIES = [
     "q_blocking_quality",
     "q_consistent_hash_rebalance",
     "q_recsys_list_metrics",
+    "q_readability",
+    "q_burrows_delta",
+    "q_frequent_itemsets",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
