@@ -26,7 +26,7 @@ strings are pure CASE over already-identical doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.operators.ts_mining import _MONTHLY_SQL, _monthly
@@ -1386,3 +1386,79 @@ def influence_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") > 4.0 / F.col("n")).alias("influential"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_boxcox_lambda — transformation selection by profile likelihood
+# ---------------------------------------------------------------------------
+
+BOXCOX_GRID = (-1.0, -0.5, 0.0, 0.5, 1.0)
+
+_BOXCOX_SQL = f"""
+    WITH {_MONTHLY_SQL},
+    lams(lam) AS (VALUES {", ".join(f"({v})" for v in BOXCOX_GRID)}),
+    tx AS (
+      SELECT l.lam, m.mi,
+             round(CASE WHEN l.lam = 0 THEN ln(m.z)
+                        ELSE (power(m.z, l.lam) - 1) / l.lam END, 8) AS t,
+             round(ln(m.z), 8) AS lz
+      FROM m CROSS JOIN lams l
+    ),
+    ll AS (
+      SELECT lam, count(*) AS n,
+             round(-count(*) / 2e0
+                     * ln(avg(t * t) - avg(t) * avg(t))
+                   + (lam - 1) * sum(lz), 6) AS loglik
+      FROM tx GROUP BY lam
+    )
+    SELECT lam, CAST(n AS BIGINT) AS n_months, loglik,
+           loglik = max(loglik) OVER () AS is_best
+    FROM ll ORDER BY lam
+"""
+
+
+@query("q_boxcox_lambda", oracle=_BOXCOX_SQL, tags=("stats", "timeseries"))
+def boxcox_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box-Cox transformation selection over the monthly revenue series:
+    profile log-likelihood ll(lam) = -(n/2) ln sigma^2(y_lam) +
+    (lam-1) sum(ln y) on the grid {BOXCOX_GRID} (lam = 0 is the log
+    transform) — the pre-modeling step that decides whether
+    q_dickey_fuller / q_holt_winters should see levels, square roots,
+    or logs. The winner is flagged per row so the relation IS the
+    decision.
+
+    Determinism: the monthly z is the shared 6-dp series; transformed
+    values and ln y round at 8 before the 80-term moment sums (reorder
+    noise orders below the 6-dp loglik rounding); is_best compares
+    ROUNDED logliks over the bounded grid. Scale: one monthly aggregate
+    scan, then O(grid x months) — corpus-size-independent past the
+    scan (the econometrics.py posture)."""
+    m = _monthly(spark, sf_dir).select("mi", "z")
+    lams = spark.createDataFrame([(v,) for v in BOXCOX_GRID], "lam double")
+    tx = m.crossJoin(F.broadcast(lams)).select(
+        "lam",
+        F.round(
+            F.when(F.col("lam") == 0, F.log("z")).otherwise(
+                (F.pow("z", F.col("lam")) - 1) / F.col("lam")
+            ),
+            8,
+        ).alias("t"),
+        F.round(F.log("z"), 8).alias("lz"),
+    )
+    ll = tx.groupBy("lam").agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.round(
+            -F.count(F.lit(1))
+            / F.lit(2.0)
+            * F.log(F.avg(F.col("t") * F.col("t")) - F.avg("t") * F.avg("t"))
+            + (F.col("lam") - 1) * F.sum("lz"),
+            6,
+        ).alias("loglik"),
+    )
+    w = Window.partitionBy()
+    return ll.select(
+        "lam",
+        "n_months",
+        "loglik",
+        (F.col("loglik") == F.max("loglik").over(w)).alias("is_best"),
+    ).orderBy("lam")

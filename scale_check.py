@@ -362,6 +362,8 @@ QUERIES = [
     "q_readability",
     "q_burrows_delta",
     "q_frequent_itemsets",
+    "q_huber_mean",
+    "q_boxcox_lambda",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
