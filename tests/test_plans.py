@@ -1218,3 +1218,39 @@ def test_forecast_skill_plan(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "moy" in line, line
+
+
+def test_round4_session_wave_plans(spark):
+    """The causal / market-structure / mining / SPC wave: no cartesian on
+    corpus relations, no Python eval in any hot path; the IV moments ride
+    broadcast dims over the single fact-fact shuffle; the MMR-style pick
+    chains (team draft) stay off BroadcastNestedLoop."""
+    for name in (
+        "q_iv_wald_2sls",
+        "q_simpsons_paradox",
+        "q_sequential_patterns",
+        "q_ndr_grr",
+        "q_cr4_concentration",
+        "q_abc_inventory",
+        "q_doremi_weights",
+        "q_western_electric",
+        "q_frequent_itemsets",
+        "q_recsys_list_metrics",
+        "q_burrows_delta",
+        "q_readability",
+        "q_boxcox_lambda",
+        "q_huber_mean",
+        "q_team_draft_interleave",
+        "q_gumbel_topk_sample",
+    ):
+        plan = plan_of(SPECS[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # IV: every dimension broadcast, exactly one fact-fact shuffle pair
+    plan = formatted(SPECS["q_iv_wald_2sls"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the blocking audit: the truth-set co-shingle join is an equi-join and
+    # Python never enters; its one CartesianProduct is the sanctioned
+    # single-row scalar spine (stats x magg), not a corpus pair join
+    plan = plan_of(SPECS["q_blocking_quality"].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
