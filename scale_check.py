@@ -364,6 +364,7 @@ QUERIES = [
     "q_frequent_itemsets",
     "q_huber_mean",
     "q_boxcox_lambda",
+    "q_cdc_chunking",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
