@@ -659,3 +659,178 @@ def synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round((F.col("py") - synth_post) / synth_post, 6).alias("att_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dtw_distance — dynamic time warping between the two quarterly series
+# ---------------------------------------------------------------------------
+
+DTW_BAND = 4  # Sakoe-Chiba band half-width (quarters)
+DTW_MAXQ = 30  # diagonals generated for up to this many quarters per series
+DTW_INF = 1e18
+
+_DTW_QSER = """
+    qa1 AS (
+      SELECT qi, v, row_number() OVER (ORDER BY qi) AS i FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) * 4 + quarter(o_orderdate) AS qi,
+               round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS v
+        FROM orders GROUP BY qi
+      )
+    ),
+    qb1 AS (
+      SELECT qi, v, row_number() OVER (ORDER BY qi) AS i FROM (
+        SELECT CAST(year(l_shipdate) AS BIGINT) * 4 + quarter(l_shipdate) AS qi,
+               round(sum(l_quantity) / 1000.0, 6) AS v
+        FROM lineitem GROUP BY qi
+      )
+    ),
+    sa AS (SELECT count(*) AS n, avg(v) AS mu,
+                  sqrt(avg(v * v) - avg(v) * avg(v)) AS sd FROM qa1),
+    sb AS (SELECT count(*) AS n, avg(v) AS mu,
+                  sqrt(avg(v * v) - avg(v) * avg(v)) AS sd FROM qb1),
+    qa AS (SELECT i, round((v - mu) / sd, 8) AS z FROM qa1 CROSS JOIN sa),
+    qb AS (SELECT i, round((v - mu) / sd, 8) AS z FROM qb1 CROSS JOIN sb)
+"""
+
+
+def _dtw_oracle() -> str:
+    layers = ""
+    for k in range(3, 2 * DTW_MAXQ + 1):
+        d_join = (
+            f"""
+      LEFT JOIN f{k - 2} d ON d.i = cost.i - 1"""
+            if k >= 4
+            else ""
+        )
+        d_term = f"coalesce(d.v, {DTW_INF})" if k >= 4 else f"{DTW_INF}"
+        layers += f""",
+    f{k} AS MATERIALIZED (
+      SELECT cost.i,
+             round(cost.c + least(coalesce(a.v, {DTW_INF}),
+                                  coalesce(b.v, {DTW_INF}),
+                                  {d_term}), 8) AS v
+      FROM cost
+      LEFT JOIN f{k - 1} a ON a.i = cost.i - 1
+      LEFT JOIN f{k - 1} b ON b.i = cost.i{d_join}
+      WHERE cost.i + cost.j = {k} AND cost.i + cost.j > 2
+    )"""
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS k, i, v FROM f{k}" for k in range(2, 2 * DTW_MAXQ + 1)
+    )
+    return f"""
+    WITH {_DTW_QSER},
+    cost AS MATERIALIZED (
+      SELECT a.i, b.i AS j, round(abs(a.z - b.z), 8) AS c
+      FROM qa a JOIN qb b ON abs(a.i - b.i) <= {DTW_BAND}
+    ),
+    f2 AS MATERIALIZED (
+      SELECT i, c AS v FROM cost WHERE i = 1 AND j = 1
+    ){layers},
+    frontier AS ({union}),
+    dims AS (SELECT (SELECT count(*) FROM qa1) AS na,
+                    (SELECT count(*) FROM qb1) AS nb),
+    euc AS (
+      SELECT round(sqrt(sum(c * c)), 6) AS euclid
+      FROM cost WHERE i = j
+    )
+    SELECT d.na, d.nb,
+           round(f.v, 6) AS dtw_distance,
+           round(f.v / (d.na + d.nb), 6) AS dtw_per_step,
+           e.euclid AS euclid_diag,
+           round(f.v / e.euclid, 4) AS dtw_vs_euclid
+    FROM dims d
+    JOIN frontier f ON f.k = d.na + d.nb AND f.i = d.na
+    CROSS JOIN euc e
+    """
+
+
+@query("q_dtw_distance", oracle=_dtw_oracle(), tags=("timeseries", "iterative"))
+def dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping between the z-normalized quarterly revenue
+    and shipped-quantity series (Sakoe-Chiba band r = {DTW_BAND}): the
+    alignment-invariant distance that q_cross_correlation's fixed-lag
+    scan cannot provide when the lead-lag relationship DRIFTS — DTW
+    finds the optimal monotone warp and its per-step cost, with the
+    banded diagonal Euclid as the no-warp reference (dtw_vs_euclid < 1
+    = warping explains real phase drift). The classic dynamic-program
+    expressed two ways: the DuckDB oracle unrolls the banded DP as one
+    MATERIALIZED CTE per anti-diagonal (each frontier is referenced
+    three times — twice by the next diagonal, once by the one after —
+    so materialization is what keeps the plan linear instead of 2^56),
+    while Spark collects the two O(calendar) z-series (<= {DTW_MAXQ}
+    points, the q_markov_absorption bounded-model posture) and walks
+    the identical 8-dp-rounded recurrence in Python.
+
+    Determinism: quarterly values round at 6 from exact cents/counts;
+    z-scores and cell costs round at 8 (28-term moment sums reorder at
+    ~1e-15, orders below); every DP cell re-rounds at 8, so both
+    engines walk bit-identical frontiers; outputs round 6/4. Scale:
+    two map-side quarterly aggregates; the DP is O(n x band) on
+    calendar-bounded state — corpus-size-independent past the scans."""
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qa1 = (
+        orders.groupBy(
+            (F.year("o_orderdate").cast("long") * 4 + F.quarter("o_orderdate")).alias(
+                "qi"
+            )
+        )
+        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("v"))
+        .orderBy("qi")
+    )
+    qb1 = (
+        li.groupBy(
+            (F.year("l_shipdate").cast("long") * 4 + F.quarter("l_shipdate")).alias(
+                "qi"
+            )
+        )
+        .agg(F.round(F.sum("l_quantity") / 1000.0, 6).alias("v"))
+        .orderBy("qi")
+    )
+
+    def zser(df) -> list[float]:
+        rows = df.collect()  # O(calendar) quarters — bounded model state
+        vs = [r["v"] for r in rows]
+        n = len(vs)
+        mu = sum(vs) / n
+        sd = (sum(v * v for v in vs) / n - mu * mu) ** 0.5
+        return [rnd((v - mu) / sd, 8) for v in vs]
+
+    za, zb = zser(qa1), zser(qb1)
+    na, nb = len(za), len(zb)
+    INF = DTW_INF
+    dp: dict[tuple[int, int], float] = {}
+    euc_sq = 0.0
+    for i in range(1, na + 1):
+        for j in range(max(1, i - DTW_BAND), min(nb, i + DTW_BAND) + 1):
+            c = rnd(abs(za[i - 1] - zb[j - 1]), 8)
+            if i == j:
+                euc_sq += c * c
+            if i == 1 and j == 1:
+                dp[(1, 1)] = c
+            else:
+                best = min(
+                    dp.get((i - 1, j), INF),
+                    dp.get((i, j - 1), INF),
+                    dp.get((i - 1, j - 1), INF),
+                )
+                dp[(i, j)] = rnd(c + best, 8)
+    dtw = dp[(na, nb)]
+    euclid = rnd(euc_sq ** 0.5, 6)
+    out = [
+        (
+            na,
+            nb,
+            rnd(dtw, 6),
+            rnd(dtw / (na + nb), 6),
+            euclid,
+            rnd(dtw / euclid, 4),
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "na bigint, nb bigint, dtw_distance double, dtw_per_step double,"
+        " euclid_diag double, dtw_vs_euclid double",
+    )

@@ -365,6 +365,7 @@ QUERIES = [
     "q_huber_mean",
     "q_boxcox_lambda",
     "q_cdc_chunking",
+    "q_dtw_distance",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
