@@ -441,3 +441,257 @@ def lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_grid_dbscan — density clustering via grid cells + connected components
+# ---------------------------------------------------------------------------
+
+DB_CELL = 10.0  # grid cell size in degrees (the eps analogue)
+DB_MINPTS = 15  # core threshold on the 3x3 neighborhood count
+DB_CC_ITERS = 64  # min-label cap (grid diameter <= 18+36; loud failure past)
+
+_DB_SQL = f"""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey AS k,
+        ((c_custkey * 2654435761) % 4294967296) % 1800 / 10e0 - 90e0  AS lat,
+        ((c_custkey * 2246822519) % 4294967296) % 3600 / 10e0 - 180e0 AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor(lat / {DB_CELL}) AS BIGINT) AS cx,
+             CAST(floor(lon / {DB_CELL}) AS BIGINT) AS cy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY cx, cy
+    ),
+    probes(dx, dy) AS (
+      VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+    ),
+    nbhd AS (
+      SELECT c.cx, c.cy, c.n,
+             CAST(sum(x.n) AS BIGINT) AS nbr_n
+      FROM cells c
+      JOIN probes p ON true
+      JOIN cells x ON x.cx = c.cx + p.dx AND x.cy = c.cy + p.dy
+      GROUP BY c.cx, c.cy, c.n
+    ),
+    core AS (
+      SELECT cx, cy, n, (cx + 9) * 100 + (cy + 18) AS cid
+      FROM nbhd WHERE nbr_n >= {DB_MINPTS}
+    ),
+    edges AS (
+      SELECT a.cid AS s, b.cid AS t
+      FROM core a JOIN probes p ON true
+      JOIN core b ON b.cx = a.cx + p.dx AND b.cy = a.cy + p.dy
+    ),
+    reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ),
+    lbl AS (
+      SELECT s AS cid, CAST(min(t) AS BIGINT) AS cluster_id FROM reach GROUP BY s
+    ),
+    border AS (
+      SELECT nb.cx, nb.cy, nb.n,
+             CAST(min(l.cluster_id) AS BIGINT) AS cluster_id
+      FROM nbhd nb
+      JOIN probes p ON true
+      JOIN core c ON c.cx = nb.cx + p.dx AND c.cy = nb.cy + p.dy
+      JOIN lbl l ON l.cid = c.cid
+      WHERE nb.nbr_n < {DB_MINPTS}
+      GROUP BY nb.cx, nb.cy, nb.n
+    ),
+    clustered AS (
+      SELECT l.cluster_id, c.n, 1 AS is_core
+      FROM core c JOIN lbl l ON l.cid = c.cid
+      UNION ALL
+      SELECT cluster_id, n, 0 FROM border
+    ),
+    summary AS (
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(CASE WHEN is_core = 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_core_points,
+             CAST(sum(CASE WHEN is_core = 0 THEN n ELSE 0 END) AS BIGINT)
+               AS n_border_points
+      FROM clustered GROUP BY cluster_id
+    ),
+    noise AS (
+      SELECT CAST(-1 AS BIGINT) AS cluster_id,
+             CAST(0 AS BIGINT) AS n_cells,
+             CAST(0 AS BIGINT) AS n_core_points,
+             CAST(coalesce(sum(nb.n), 0) AS BIGINT) AS n_border_points
+      FROM nbhd nb
+      WHERE nb.nbr_n < {DB_MINPTS}
+        AND NOT EXISTS (
+          SELECT 1 FROM probes p JOIN core c
+            ON c.cx = nb.cx + p.dx AND c.cy = nb.cy + p.dy
+        )
+    )
+    SELECT * FROM (
+      SELECT * FROM summary
+      UNION ALL
+      SELECT * FROM noise
+    )
+    ORDER BY n_core_points + n_border_points DESC, cluster_id
+    LIMIT 10
+"""
+
+
+@query("q_grid_dbscan", oracle=_DB_SQL, tags=("ml", "clustering", "iterative"))
+def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell DBSCAN over the synthetic customer coordinates (the
+    q_geo_grid_knn hash recipe): cells of {DB_CELL} degrees play eps,
+    a cell is CORE when its 3x3 neighborhood holds >= {DB_MINPTS}
+    points, clusters are connected components over adjacent core cells,
+    non-core cells touching a core cell join as border mass, the rest
+    is noise (reported as cluster_id -1). This is the grid tier of
+    DBSCAN — the shape density clustering takes at 100 TB, where
+    point-level eps-neighbor joins are infeasible but cell histograms
+    are one aggregate; the exact refinement (point-level eps check
+    inside boundary cells) is the named follow-up pass. Complements
+    the centroid family (q_kmeans_embeddings needs k and convex blobs;
+    density clustering needs neither).
+
+    Determinism: everything through the census is exact integer
+    counting on hash-derived grids; components resolve to the MINIMUM
+    cell id (total order); the top-10 orders by (points DESC, id).
+    The oracle closes the adjacency with a recursive CTE (the grid has
+    <= 648 cells, so transitive closure is trivially bounded); Spark
+    runs the q_dup_clusters min-label loop to convergence with the
+    same loud non-convergence failure. Scale: ONE aggregate turns
+    points into cells; everything after is O(cells)."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        (
+            ((F.col("c_custkey") * F.lit(2654435761)) % F.lit(4294967296)) % 1800
+            / F.lit(10.0)
+            - 90.0
+        ).alias("lat"),
+        (
+            ((F.col("c_custkey") * F.lit(2246822519)) % F.lit(4294967296)) % 3600
+            / F.lit(10.0)
+            - 180.0
+        ).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / DB_CELL).cast("long").alias("cx"),
+        F.floor(F.col("lon") / DB_CELL).cast("long").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    probes = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    x = cells.selectExpr("cx AS xx", "cy AS xy", "n AS xn")
+    nbhd = (
+        cells.crossJoin(F.broadcast(probes))
+        .join(
+            x,
+            (F.col("xx") == F.col("cx") + F.col("dx"))
+            & (F.col("xy") == F.col("cy") + F.col("dy")),
+        )
+        .groupBy("cx", "cy", "n")
+        .agg(F.sum("xn").cast("long").alias("nbr_n"))
+    ).localCheckpoint()  # O(cells) relation scanned by core/border/noise
+    core = nbhd.filter(F.col("nbr_n") >= DB_MINPTS).select(
+        "cx", "cy", "n", ((F.col("cx") + 9) * 100 + (F.col("cy") + 18)).alias("cid")
+    )
+    cb = core.selectExpr("cx AS bx", "cy AS by", "cid AS t")
+    edges = (
+        core.crossJoin(F.broadcast(probes))
+        .join(
+            cb,
+            (F.col("bx") == F.col("cx") + F.col("dx"))
+            & (F.col("by") == F.col("cy") + F.col("dy")),
+        )
+        .select(F.col("cid").alias("s"), "t")
+    ).localCheckpoint()
+    labels = core.select(F.col("cid").alias("node"), F.col("cid").alias("lbl"))
+    for it in range(DB_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges.t == labels.node)
+            .groupBy("s")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        stepped = labels.join(nbr, labels.node == nbr.s, "left").select(
+            "node", F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl")
+        )
+        # pointer jumping (hash-to-min): also adopt the label OF the label,
+        # collapsing chains in O(log diameter) rounds instead of O(diameter)
+        # (the giant percolation component at sf0.1 has ~40-hop chains)
+        jump = labels.selectExpr("node AS jn", "lbl AS jl")
+        new_labels = (
+            stepped.join(jump, stepped.lbl == F.col("jn"), "left")
+            .select("node", F.least("lbl", F.coalesce("jl", "lbl")).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        moving = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.lbl") != F.col("b.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if moving == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"grid_dbscan: min-label did not converge in {DB_CC_ITERS} rounds"
+        )
+    lbl = labels.selectExpr("node AS cid", "lbl AS cluster_id")
+    core_l = core.join(F.broadcast(lbl), "cid").select(
+        "cluster_id", "n", F.lit(1).alias("is_core")
+    )
+    ca = core.selectExpr("cx AS bx", "cy AS by", "cid AS ccid")
+    border = (
+        nbhd.filter(F.col("nbr_n") < DB_MINPTS)
+        .crossJoin(F.broadcast(probes))
+        .join(
+            ca,
+            (F.col("bx") == F.col("cx") + F.col("dx"))
+            & (F.col("by") == F.col("cy") + F.col("dy")),
+        )
+        .join(F.broadcast(lbl.selectExpr("cid AS ccid", "cluster_id")), "ccid")
+        .groupBy("cx", "cy", "n")
+        .agg(F.min("cluster_id").cast("long").alias("cluster_id"))
+        .select("cluster_id", "n", F.lit(0).alias("is_core"))
+    )
+    clustered = core_l.unionByName(border)
+    summary = clustered.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum(F.when(F.col("is_core") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_core_points"),
+        F.sum(F.when(F.col("is_core") == 0, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_border_points"),
+    )
+    touched = (
+        nbhd.filter(F.col("nbr_n") < DB_MINPTS)
+        .crossJoin(F.broadcast(probes))
+        .join(
+            ca,
+            (F.col("bx") == F.col("cx") + F.col("dx"))
+            & (F.col("by") == F.col("cy") + F.col("dy")),
+            "left_semi",
+        )
+        .select("cx", "cy")
+    )
+    noise = (
+        nbhd.filter(F.col("nbr_n") < DB_MINPTS)
+        .join(touched, ["cx", "cy"], "left_anti")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_border_points"))
+        .select(
+            F.lit(-1).cast("long").alias("cluster_id"),
+            F.lit(0).cast("long").alias("n_cells"),
+            F.lit(0).cast("long").alias("n_core_points"),
+            "n_border_points",
+        )
+    )
+    return (
+        summary.unionByName(noise)
+        .orderBy(
+            (F.col("n_core_points") + F.col("n_border_points")).desc(), "cluster_id"
+        )
+        .limit(10)
+    )

@@ -366,6 +366,7 @@ QUERIES = [
     "q_boxcox_lambda",
     "q_cdc_chunking",
     "q_dtw_distance",
+    "q_grid_dbscan",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
