@@ -1205,3 +1205,108 @@ def sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pattern").desc(), "antecedent", "consequent")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_haar_wavelet — multi-resolution energy decomposition of monthly revenue
+# ---------------------------------------------------------------------------
+
+HAAR_N = 64  # dyadic window: first 64 months
+HAAR_LEVELS = 6  # log2(HAAR_N)
+
+
+def _haar_oracle() -> str:
+    levels = ""
+    for lv in range(1, HAAR_LEVELS + 1):
+        levels += f""",
+    l{lv} AS (
+      SELECT CAST((o.k + 1) / 2 AS BIGINT) AS k,
+             (o.a + e.a) / 2 AS a, (o.a - e.a) / 2 AS d
+      FROM l{lv - 1} o JOIN l{lv - 1} e ON e.k = o.k + 1
+      WHERE o.k % 2 = 1
+    )"""
+    bands = " UNION ALL ".join(
+        f"""SELECT 'detail_{lv}' AS band, CAST(count(*) AS BIGINT) AS n_coeffs,
+               round({2 ** lv} * sum(d * d), 6) AS energy FROM l{lv}"""
+        for lv in range(1, HAAR_LEVELS + 1)
+    )
+    return f"""
+    WITH {_MONTHLY_SQL},
+    l0 AS (SELECT i AS k, z AS a FROM idx WHERE i <= {HAAR_N}){levels},
+    bands AS (
+      {bands}
+      UNION ALL
+      SELECT 'approx', CAST(count(*) AS BIGINT),
+             round({2 ** HAAR_LEVELS} * sum(a * a), 6) FROM l{HAAR_LEVELS}
+    )
+    SELECT band, n_coeffs, energy,
+           round(energy / sum(energy) OVER (), 6) AS energy_share
+    FROM bands ORDER BY band
+"""
+
+
+@query("q_haar_wavelet", oracle=_haar_oracle(), tags=("timeseries", "spectral"))
+def haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy decomposition of the first {HAAR_N} months of
+    revenue: {HAAR_LEVELS} levels of pairwise average/difference
+    (a = (x+y)/2, d = (x-y)/2), reporting each detail band's energy
+    2^l * sum(d^2) and the coarse approximation — an EXACT Parseval
+    split (x^2 + y^2 = 2a^2 + 2d^2 at every level) of total variance
+    into time scales: detail_1 is month-to-month noise, detail_4-6 are
+    the annual-and-slower movements q_periodogram sees as low
+    frequencies, but localized in TIME (a wavelet band can place a
+    regime break; a Fourier bin cannot). The where-q_periodogram-is-the
+    -what companion.
+
+    Determinism: the 6-dp monthly z feeds pure halving arithmetic —
+    identical doubles on both engines at every level (each value is a
+    fixed dyadic combination of the same inputs); band energies sum
+    <= 32 terms and round at 6. Scale: one monthly aggregate scan, then
+    O(n) total work across levels — corpus-independent past the scan."""
+    idx = _monthly(spark, sf_dir)
+    # each level reads the previous TWICE (odd and even sides) — without a
+    # materialization barrier the monthly-scan subplan doubles per level
+    # (2^6 copies; observed 74 s at sf0.001). The frame is <= 64 rows.
+    lv = (
+        idx.filter(F.col("i") <= HAAR_N)
+        .select(F.col("i").alias("k"), F.col("z").alias("a"))
+        .localCheckpoint()
+    )
+    bands = []
+    for level in range(1, HAAR_LEVELS + 1):
+        o = lv.filter(F.col("k") % 2 == 1).selectExpr("k AS ko", "a AS ao")
+        e = lv.selectExpr("k AS ke", "a AS ae")
+        paired = o.join(e, F.col("ke") == F.col("ko") + 1).select(
+            ((F.col("ko") + 1) / 2).cast("long").alias("k"),
+            ((F.col("ao") + F.col("ae")) / 2).alias("a"),
+            ((F.col("ao") - F.col("ae")) / 2).alias("d"),
+        )
+        bands.append(
+            paired.agg(
+                F.lit(f"detail_{level}").alias("band"),
+                F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+                F.round(
+                    F.lit(float(2 ** level)) * F.sum(F.col("d") * F.col("d")), 6
+                ).alias("energy"),
+            )
+        )
+        lv = paired.select("k", "a").localCheckpoint()
+    bands.append(
+        lv.agg(
+            F.lit("approx").alias("band"),
+            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+            F.round(
+                F.lit(float(2 ** HAAR_LEVELS)) * F.sum(F.col("a") * F.col("a")), 6
+            ).alias("energy"),
+        )
+    )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    w = Window.partitionBy(F.lit(1))
+    return out.select(
+        "band",
+        "n_coeffs",
+        "energy",
+        F.round(F.col("energy") / F.sum("energy").over(w), 6).alias("energy_share"),
+    ).orderBy("band")

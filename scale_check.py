@@ -367,6 +367,7 @@ QUERIES = [
     "q_cdc_chunking",
     "q_dtw_distance",
     "q_grid_dbscan",
+    "q_haar_wavelet",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
