@@ -368,6 +368,9 @@ QUERIES = [
     "q_dtw_distance",
     "q_grid_dbscan",
     "q_haar_wavelet",
+    "q_bitmap_index_and",
+    "q_rle_audit",
+    "q_zone_map_prune",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
