@@ -658,3 +658,135 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_umass_coherence — topic coherence of each source's signature terms
+# ---------------------------------------------------------------------------
+
+UC_TOPK = 5  # signature terms per source forming the "topic"
+UC_MIN_DF = 3  # signature terms must appear in >= this many docs overall
+
+_UC_SQL = f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS d FROM toks
+           GROUP BY tok),
+    sdf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS sd FROM toks
+            GROUP BY source, tok),
+    ndocs AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents
+              GROUP BY source),
+    scored AS (
+      SELECT s.source, s.tok,
+             round(s.sd * 1e0 / n.nd, 12)
+               / round(df.d * 1e0 / (SELECT count(*) FROM documents), 12) AS lift
+      FROM sdf s JOIN ndocs n ON s.source = n.source
+      JOIN df ON s.tok = df.tok
+      WHERE df.d >= {UC_MIN_DF}
+    ),
+    topk AS (
+      SELECT source, tok FROM (
+        SELECT source, tok,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY lift DESC, tok) AS rn
+        FROM scored
+      ) WHERE rn <= {UC_TOPK}
+    ),
+    pairs AS (
+      SELECT a.source, a.tok AS wi, b.tok AS wj
+      FROM topk a JOIN topk b ON a.source = b.source AND a.tok < b.tok
+    ),
+    codf AS (
+      SELECT p.source, p.wi, p.wj, CAST(count(DISTINCT x.doc_id) AS BIGINT) AS dij
+      FROM pairs p
+      JOIN toks x ON x.tok = p.wi
+      JOIN toks y ON y.tok = p.wj AND y.doc_id = x.doc_id
+      GROUP BY p.source, p.wi, p.wj
+    )
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(ln((coalesce(c.dij, 0) + 1.0) / dj.d)), 6) AS umass_coherence
+    FROM pairs p
+    JOIN df dj ON p.wj = dj.tok
+    LEFT JOIN codf c ON c.source = p.source AND c.wi = p.wi AND c.wj = p.wj
+    GROUP BY p.source
+    ORDER BY p.source
+"""
+
+
+@query("q_umass_coherence", oracle=_UC_SQL, tags=("text", "llm-pipeline"))
+def umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMass topic coherence (Mimno et al. 2011) of each source's
+    signature vocabulary: take the {UC_TOPK} highest-LIFT terms per
+    source (in-source doc rate over corpus doc rate, df >= {UC_MIN_DF})
+    as the source's 'topic', then score sum over ordered pairs of
+    ln((D(wi,wj)+1)/D(wj)) — high when the signature words actually
+    CO-OCCUR in documents (a coherent theme), strongly negative when
+    the top-lift list is an artifact of disjoint sub-corpora. The
+    standard intrinsic eval for any topic decomposition
+    (q_lsa_power_iteration's axes, cluster keyword lists) without
+    needing human ratings.
+
+    Determinism: doc frequencies and co-document counts are exact
+    integers on DISTINCT (doc, token) pairs; lift ranks with tok
+    tie-breaks after 12-dp rounding; the coherence sum spans <=
+    C({UC_TOPK},2) pairs and rounds at 6. Scale: one distinct-token
+    scan feeds df/sdf (vocabulary-sized); the co-df join probes the
+    token stream only for the O(sources x k^2) signature pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    n_total = docs.count()  # O(1) driver scalar
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").cast("long").alias("d"))
+    sdf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("long").alias("sd"))
+    ndocs = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    scored = (
+        sdf.join(F.broadcast(ndocs), "source")
+        .join(df, "tok")
+        .filter(F.col("d") >= UC_MIN_DF)
+        .select(
+            "source",
+            "tok",
+            (
+                F.round(F.col("sd") * F.lit(1.0) / F.col("nd"), 12)
+                / F.round(F.col("d") * F.lit(1.0) / n_total, 12)
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("lift").desc(), "tok")
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= UC_TOPK)
+        .select("source", "tok")
+    )
+    pairs = (
+        topk.selectExpr("source", "tok AS wi")
+        .join(topk.selectExpr("source", "tok AS wj"), "source")
+        .filter(F.col("wi") < F.col("wj"))
+    )
+    x = toks.selectExpr("doc_id", "tok AS wi")
+    y = toks.selectExpr("doc_id", "tok AS wj")
+    codf = (
+        pairs.join(x, "wi")
+        .join(y, ["doc_id", "wj"])
+        .groupBy("source", "wi", "wj")
+        .agg(F.count_distinct("doc_id").cast("long").alias("dij"))
+    )
+    return (
+        pairs.join(df.selectExpr("tok AS wj", "d"), "wj")
+        .join(codf, ["source", "wi", "wj"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(
+                    F.log((F.coalesce("dij", F.lit(0)) + F.lit(1.0)) / F.col("d"))
+                ),
+                6,
+            ).alias("umass_coherence"),
+        )
+        .orderBy("source")
+    )

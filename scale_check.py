@@ -371,6 +371,7 @@ QUERIES = [
     "q_bitmap_index_and",
     "q_rle_audit",
     "q_zone_map_prune",
+    "q_umass_coherence",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
