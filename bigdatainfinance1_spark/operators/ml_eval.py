@@ -1352,3 +1352,134 @@ def conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("test_coverage"),
         F.lit(1 - CONF_ALPHA).alias("target_coverage"),
     ).drop("q")
+
+
+# ---------------------------------------------------------------------------
+# q_mutual_information — MI / NMI between two categorical columns
+# ---------------------------------------------------------------------------
+
+_MI_SQL = """
+    WITH obs AS (
+      SELECT r.r_name AS a, o.o_orderpriority AS b
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    jt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS nij FROM obs GROUP BY a, b),
+    ma AS (SELECT a, CAST(sum(nij) AS BIGINT) AS ni FROM jt GROUP BY a),
+    mb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj FROM jt GROUP BY b),
+    tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM jt),
+    mi AS (
+      SELECT round(sum((jt.nij * 1e0 / tot.n)
+                       * ln(jt.nij * 1e0 * tot.n / (ma.ni * 1e0 * mb.nj))), 6)
+               AS mi_nats,
+             max(tot.n) AS n
+      FROM jt JOIN ma ON jt.a = ma.a JOIN mb ON jt.b = mb.b CROSS JOIN tot
+    ),
+    ha AS (SELECT round(-sum((ni * 1e0 / tot.n) * ln(ni * 1e0 / tot.n)), 6) AS h
+           FROM ma CROSS JOIN tot),
+    hb AS (SELECT round(-sum((nj * 1e0 / tot.n) * ln(nj * 1e0 / tot.n)), 6) AS h
+           FROM mb CROSS JOIN tot)
+    SELECT CAST(mi.n AS BIGINT) AS n,
+           mi.mi_nats,
+           ha.h AS h_region,
+           hb.h AS h_priority,
+           round(mi.mi_nats / sqrt(ha.h * hb.h), 6) AS nmi,
+           round(2 * mi.n * mi.mi_nats, 4) AS g_statistic
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
+@query("q_mutual_information", oracle=_MI_SQL, tags=("stats", "ml"))
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between customer region and order priority:
+    I = sum p_ij ln(p_ij / (p_i p_j)) with marginal entropies and the
+    normalized MI I/sqrt(H_a H_b) — the model-free dependence measure
+    feature selection ranks by (q_woe_iv is the binary-target special
+    case; q_chi2_independence tests the same table, and G = 2N*I IS its
+    likelihood-ratio twin, reported for the cross-check). Zero cells
+    contribute zero by construction (the join enumerates observed cells
+    only), matching the MLE plug-in estimator.
+
+    Determinism: every probability is a ratio of exact BIGINT counts;
+    the MI sum spans the <= 25-cell contingency relation and rounds at
+    6 (the q_kruskal_wallis small-sum posture); NMI divides already-
+    rounded entropies. Scale: one fact shuffle to the contingency
+    table; everything after is O(cells)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    obs = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("r_name").alias("a"), F.col("o_orderpriority").alias("b"))
+    )
+    jt = obs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    jt = jt.localCheckpoint()  # O(cells); feeds marginals + MI + entropies
+    ma = jt.groupBy("a").agg(F.sum("nij").cast("long").alias("ni"))
+    mb = jt.groupBy("b").agg(F.sum("nij").cast("long").alias("nj"))
+    tot = jt.agg(F.sum("nij").cast("long").alias("n"))
+    mi = (
+        jt.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("nij") * F.lit(1.0) / F.col("n"))
+                    * F.log(
+                        F.col("nij")
+                        * F.lit(1.0)
+                        * F.col("n")
+                        / (F.col("ni") * F.lit(1.0) * F.col("nj"))
+                    )
+                ),
+                6,
+            ).alias("mi_nats"),
+            F.max("n").alias("n"),
+        )
+    )
+    ha = ma.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum(
+                (F.col("ni") * F.lit(1.0) / F.col("n"))
+                * F.log(F.col("ni") * F.lit(1.0) / F.col("n"))
+            ),
+            6,
+        ).alias("h_region")
+    )
+    hb = mb.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum(
+                (F.col("nj") * F.lit(1.0) / F.col("n"))
+                * F.log(F.col("nj") * F.lit(1.0) / F.col("n"))
+            ),
+            6,
+        ).alias("h_priority")
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "mi_nats",
+            "h_region",
+            "h_priority",
+            F.round(
+                F.col("mi_nats") / F.sqrt(F.col("h_region") * F.col("h_priority")), 6
+            ).alias("nmi"),
+            F.round(2 * F.col("n") * F.col("mi_nats"), 4).alias("g_statistic"),
+        )
+    )

@@ -372,6 +372,7 @@ QUERIES = [
     "q_rle_audit",
     "q_zone_map_prune",
     "q_umass_coherence",
+    "q_mutual_information",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
