@@ -23,7 +23,7 @@ month index. Critical values are fixed literals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.operators.quant_pricing import _norm_cdf_sql
@@ -469,4 +469,252 @@ def anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(astar > AD_CRIT_5, F.lit("non_normal"))
         .otherwise(F.lit("normal"))
         .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_bland_altman — method agreement between two revenue pipelines
+# ---------------------------------------------------------------------------
+
+BA_Z95 = 1.959964
+
+_BA_SQL = f"""
+    WITH ym AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS y
+      FROM orders GROUP BY mi
+    ),
+    xm AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) * 12 + month(l_shipdate) AS mi,
+             round(round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   / 1000000.0, 6) AS x
+      FROM lineitem GROUP BY mi
+    ),
+    p AS (SELECT ym.mi, xm.x, ym.y, xm.x - ym.y AS d
+          FROM ym JOIN xm ON ym.mi = xm.mi),
+    mom AS (
+      SELECT count(*) AS n,
+             avg(d) AS bias, sqrt(avg(d * d) - avg(d) * avg(d)) AS sd,
+             avg(x) AS mx, avg(y) AS my,
+             avg(x * x) - avg(x) * avg(x) AS vx,
+             avg(y * y) - avg(y) * avg(y) AS vy,
+             avg(x * y) - avg(x) * avg(y) AS cxy
+      FROM p
+    ),
+    lim AS (
+      SELECT n, bias, sd,
+             bias - {BA_Z95} * sd AS lo, bias + {BA_Z95} * sd AS hi,
+             2 * cxy / (vx + vy + (mx - my) * (mx - my)) AS ccc,
+             cxy / sqrt(vx * vy) AS r
+      FROM mom
+    )
+    SELECT CAST(l.n AS BIGINT) AS n_months,
+           round(l.bias, 6) AS bias,
+           round(l.lo, 6) AS loa_lo,
+           round(l.hi, 6) AS loa_hi,
+           CAST((SELECT count(*) FROM p CROSS JOIN lim
+                 WHERE p.d < lim.lo OR p.d > lim.hi) AS BIGINT) AS n_outside_loa,
+           round(l.r, 6) AS pearson_r,
+           round(l.ccc, 6) AS lin_ccc
+    FROM lim l
+"""
+
+
+@query("q_bland_altman", oracle=_BA_SQL, tags=("stats", "quality"))
+def bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement + Lin's concordance between two pipelines
+    measuring 'monthly revenue': the order-book path (o_totalprice by
+    order date) vs the shipment path (discounted extendedprice by ship
+    date). Bias, 95% limits of agreement (bias +/- {BA_Z95} sd of the
+    differences), months outside the limits, and Lin's CCC =
+    2*cov/(vx+vy+(mx-my)^2) — which penalizes both scatter AND the
+    systematic offset Pearson's r is blind to. The method-comparison
+    readout for any two ETL paths that should agree: r ~ 1 with CCC
+    well below says the pipelines track but are biased.
+
+    Determinism: both monthly series are 6-dp rounds of exact sums;
+    moments are ~80-term double sums (reorder ~1e-14, outputs round at
+    6); the outside-LoA count compares each 6-dp difference against
+    limits derived from identical doubles. Scale: two map-side monthly
+    aggregates; O(months) after."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ym = orders.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
+    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("y"))
+    xm = li.groupBy(
+        (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi")
+    ).agg(
+        F.round(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            / 1000000.0,
+            6,
+        ).alias("x")
+    )
+    p = ym.join(xm, "mi").select(
+        "mi", "x", "y", (F.col("x") - F.col("y")).alias("d")
+    ).localCheckpoint()  # O(months); feeds moments AND the outside-LoA count
+    mom = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("d").alias("bias"),
+        F.sqrt(F.avg(F.col("d") * F.col("d")) - F.avg("d") * F.avg("d")).alias("sd"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        (F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")).alias("vx"),
+        (F.avg(F.col("y") * F.col("y")) - F.avg("y") * F.avg("y")).alias("vy"),
+        (F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")).alias("cxy"),
+    )
+    lim = mom.select(
+        "n",
+        "bias",
+        (F.col("bias") - BA_Z95 * F.col("sd")).alias("lo"),
+        (F.col("bias") + BA_Z95 * F.col("sd")).alias("hi"),
+        (
+            2
+            * F.col("cxy")
+            / (
+                F.col("vx")
+                + F.col("vy")
+                + (F.col("mx") - F.col("my")) * (F.col("mx") - F.col("my"))
+            )
+        ).alias("ccc"),
+        (F.col("cxy") / F.sqrt(F.col("vx") * F.col("vy"))).alias("r"),
+    )
+    outside = (
+        p.crossJoin(F.broadcast(lim.select("lo", "hi")))
+        .filter((F.col("d") < F.col("lo")) | (F.col("d") > F.col("hi")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_outside_loa"))
+    )
+    return lim.crossJoin(F.broadcast(outside)).select(
+        F.col("n").alias("n_months"),
+        F.round("bias", 6).alias("bias"),
+        F.round("lo", 6).alias("loa_lo"),
+        F.round("hi", 6).alias("loa_hi"),
+        "n_outside_loa",
+        F.round("r", 6).alias("pearson_r"),
+        F.round("ccc", 6).alias("lin_ccc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_threshold_metrics — F1 / MCC / Youden's J across the score grid
+# ---------------------------------------------------------------------------
+
+TM_POS = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+TM_BUCKET = 25000.0
+TM_MAX = 20
+
+_TM_SQL = f"""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / {TM_BUCKET}), {TM_MAX}) AS BIGINT)
+               AS bkt,
+             CAST(sum(CASE WHEN {TM_POS} THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN {TM_POS} THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM orders GROUP BY 1
+    ),
+    thr AS (SELECT unnest(range(0, {TM_MAX} + 1)) AS t),
+    cm AS (
+      SELECT thr.t,
+             CAST(coalesce(sum(CASE WHEN b.bkt >= thr.t THEN b.pos END), 0)
+                  AS BIGINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN b.bkt >= thr.t THEN b.neg END), 0)
+                  AS BIGINT) AS fp,
+             CAST(coalesce(sum(CASE WHEN b.bkt < thr.t THEN b.pos END), 0)
+                  AS BIGINT) AS fn,
+             CAST(coalesce(sum(CASE WHEN b.bkt < thr.t THEN b.neg END), 0)
+                  AS BIGINT) AS tn
+      FROM thr CROSS JOIN b GROUP BY thr.t
+    ),
+    m AS (
+      SELECT CAST(t AS BIGINT) AS threshold_bucket, tp, fp, fn, tn,
+             round(tp * 1e0 / nullif(tp + fp, 0), 6) AS precision,
+             round(tp * 1e0 / nullif(tp + fn, 0), 6) AS recall,
+             round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1,
+             round((tp * 1e0 * tn - fp * 1e0 * fn)
+                   / nullif(sqrt((tp + fp) * 1e0 * (tp + fn))
+                            * sqrt((tn + fp) * 1e0 * (tn + fn)), 0), 6) AS mcc,
+             round(tp * 1e0 / nullif(tp + fn, 0)
+                   + tn * 1e0 / nullif(tn + fp, 0) - 1, 6) AS youden_j
+      FROM cm
+    )
+    SELECT m.*, m.f1 = (SELECT max(f1) FROM m) AS is_best_f1
+    FROM m ORDER BY threshold_bucket
+"""
+
+
+@query("q_threshold_metrics", oracle=_TM_SQL, tags=("ml", "eval"))
+def threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification operating-point metrics across the whole score
+    grid: precision/recall, F1, Matthews correlation, and Youden's J
+    at every threshold of q_roc_curve's bucketed score — the relation
+    an operating-point review reads next to the threshold-free curves
+    (q_roc_curve ranks, q_pr_auc integrates; this table says where to
+    CUT, with is_best_f1 flagging the F1-optimal bucket). MCC is the
+    one metric here that survives the 2:1 class imbalance unchanged —
+    the reason it is reported beside F1 rather than instead of it.
+
+    Determinism: confusion counts are exact BIGINT cumulative bucket
+    sums (one bucketed aggregate, thresholds swept over the 21-row
+    bucket relation, never re-scanning orders); every metric composes
+    exact integers in identical double expressions rounded at 6; the
+    flag compares ROUNDED F1. Scale: one fact scan to 21 buckets,
+    O(thresholds x buckets) after."""
+    orders = load_table(spark, sf_dir, "orders")
+    pos = F.expr(TM_POS)
+    b = orders.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / TM_BUCKET), F.lit(TM_MAX))
+        .cast("long")
+        .alias("bkt")
+    ).agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("pos"),
+        F.sum(F.when(pos, 0).otherwise(1)).cast("long").alias("neg"),
+    )
+    thr = spark.range(0, TM_MAX + 1).select(F.col("id").alias("t"))
+    cm = (
+        thr.crossJoin(F.broadcast(b))
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("pos"))), F.lit(0))
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("neg"))), F.lit(0))
+            .cast("long")
+            .alias("fp"),
+            F.coalesce(F.sum(F.when(F.col("bkt") < F.col("t"), F.col("pos"))), F.lit(0))
+            .cast("long")
+            .alias("fn"),
+            F.coalesce(F.sum(F.when(F.col("bkt") < F.col("t"), F.col("neg"))), F.lit(0))
+            .cast("long")
+            .alias("tn"),
+        )
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    m = cm.select(
+        F.col("t").cast("long").alias("threshold_bucket"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp * F.lit(1.0) / F.nullif(tp + fp, F.lit(0)), 6).alias("precision"),
+        F.round(tp * F.lit(1.0) / F.nullif(tp + fn, F.lit(0)), 6).alias("recall"),
+        F.round(F.lit(2.0) * tp / F.nullif(2 * tp + fp + fn, F.lit(0)), 6).alias("f1"),
+        F.round(
+            (tp * F.lit(1.0) * tn - fp * F.lit(1.0) * fn)
+            / F.nullif(
+                F.sqrt((tp + fp) * F.lit(1.0) * (tp + fn))
+                * F.sqrt((tn + fp) * F.lit(1.0) * (tn + fn)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("mcc"),
+        F.round(
+            tp * F.lit(1.0) / F.nullif(tp + fn, F.lit(0))
+            + tn * F.lit(1.0) / F.nullif(tn + fp, F.lit(0))
+            - 1,
+            6,
+        ).alias("youden_j"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return m.withColumn("is_best_f1", F.col("f1") == F.max("f1").over(w)).orderBy(
+        "threshold_bucket"
     )

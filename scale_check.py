@@ -373,6 +373,8 @@ QUERIES = [
     "q_zone_map_prune",
     "q_umass_coherence",
     "q_mutual_information",
+    "q_bland_altman",
+    "q_threshold_metrics",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
