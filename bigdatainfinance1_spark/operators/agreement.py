@@ -718,3 +718,103 @@ def threshold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.withColumn("is_best_f1", F.col("f1") == F.max("f1").over(w)).orderBy(
         "threshold_bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_icc — intraclass correlation ICC(1,1) of quantity within brands
+# ---------------------------------------------------------------------------
+
+_ICC_SQL = """
+    WITH obs AS (
+      SELECT p.p_brand AS g, CAST(l.l_quantity AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS q
+      FROM obs GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s) AS BIGINT) AS ss,
+             sum(CAST(q AS DOUBLE)) AS qq,
+             sum(CAST(s AS DOUBLE) * s / n) AS sb,
+             sum(CAST(n AS DOUBLE) * n) AS n2
+      FROM grp
+    ),
+    ms AS (
+      SELECT k, nn,
+             (sb - CAST(ss AS DOUBLE) * ss / nn) / (k - 1) AS msb,
+             (qq - sb) / (nn - k) AS msw,
+             (nn - n2 / nn) / (k - 1) AS k0
+      FROM tot
+    )
+    SELECT k AS n_groups, nn AS n_obs,
+           round(msb, 6) AS msb, round(msw, 6) AS msw,
+           round(k0, 4) AS k0,
+           round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1
+    FROM ms
+"""
+
+
+@query("q_icc", oracle=_ICC_SQL, tags=("stats", "reliability"))
+def icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation ICC(1,1) — the share of quantity variance
+    attributable to the brand grouping, from the one-way ANOVA
+    decomposition with the unequal-group correction k0 = (N - sum n^2/N)
+    / (k-1): ICC = (MSB - MSW)/(MSB + (k0-1) MSW). The RELIABILITY
+    counterpart of q_anova_f's significance test (F answers 'is there
+    any group effect'; ICC answers 'how much does knowing the group
+    tell you about a single observation') and the continuous-data
+    sibling of q_cohens_kappa / q_cronbach_alpha. Near-zero here means
+    brand is a useless blocking factor for quantity — a negative result
+    the relation states exactly.
+
+    Determinism: quantities are small exact integers, so every group
+    moment is an exact BIGINT (sums of squares widened through DOUBLE
+    from exact values); MSB/MSW/k0/ICC compose them through identical
+    double expressions over the bounded group relation, rounded 4/6.
+    Scale: one fact-dim broadcast join reduced map-side to O(brands)
+    moments; O(1) after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey")).select(
+        F.col("p_brand").alias("g"), F.col("l_quantity").cast("long").alias("y")
+    )
+    grp = obs.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.sum(F.col("q").cast("double")).alias("qq"),
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias("sb"),
+        F.sum(F.col("n").cast("double") * F.col("n")).alias("n2"),
+    )
+    ms = tot.select(
+        "k",
+        "nn",
+        (
+            (F.col("sb") - F.col("ss").cast("double") * F.col("ss") / F.col("nn"))
+            / (F.col("k") - 1)
+        ).alias("msb"),
+        ((F.col("qq") - F.col("sb")) / (F.col("nn") - F.col("k"))).alias("msw"),
+        ((F.col("nn") - F.col("n2") / F.col("nn")) / (F.col("k") - 1)).alias("k0"),
+    )
+    return ms.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_obs"),
+        F.round("msb", 6).alias("msb"),
+        F.round("msw", 6).alias("msw"),
+        F.round("k0", 4).alias("k0"),
+        F.round(
+            (F.col("msb") - F.col("msw"))
+            / (F.col("msb") + (F.col("k0") - 1) * F.col("msw")),
+            6,
+        ).alias("icc1"),
+    )

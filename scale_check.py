@@ -375,6 +375,7 @@ QUERIES = [
     "q_mutual_information",
     "q_bland_altman",
     "q_threshold_metrics",
+    "q_icc",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
