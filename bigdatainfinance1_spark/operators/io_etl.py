@@ -632,3 +632,77 @@ def compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("checksum_cents"),
         ).withColumn("codec", F.lit(codec))
     return out["snappy"].unionByName(out["zstd"]).select("codec", "n_rows", "checksum_cents")
+
+
+# ---------------------------------------------------------------------------
+# q_python_datasink — custom Python DataSource WRITER round-trip
+# ---------------------------------------------------------------------------
+
+_SINK_SQL = """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+"""
+
+
+@query("q_python_datasink", oracle=_SINK_SQL, tags=("io", "spark4", "connector"))
+def python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the custom-connector surface (q_python_datasource
+    is the read half): per-nation order counts and revenue cents are
+    written through the Spark-4 Python DataSource writer
+    (sources/jsonl_sink.py — one JSON-lines file per partition on the
+    executors, two-phase commit with a driver-side manifest), then read
+    BACK from the sink's files and returned — so the hash-checked result
+    has physically passed through the custom sink. The payload carries
+    integers only (cents, counts, names); the 2-dp dollars are computed
+    after readback, so JSON round-tripping is exact by construction.
+
+    Scale: the aggregate reduces map-side before the sink sees rows; the
+    sink itself is embarrassingly parallel (one file per partition, no
+    driver funnel) — the structure that matters when the 'sink' is a
+    vendor API taking 100 TB of results. The temp dir is wiped first so
+    reruns and other scale factors can't cross-contaminate."""
+    import shutil
+
+    from bigdatainfinance1_spark.sources import jsonl_sink
+
+    jsonl_sink.register(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    agg = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    path = os.path.join(
+        "/tmp/spark_graft_jsonl_sink", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    agg.write.format("jsonl_sink").option("path", path).mode("append").save()
+    back = spark.read.schema("n_name string, n_orders bigint, rev_cents bigint").json(
+        os.path.join(path, "part-*.jsonl")
+    )
+    return back.select(
+        "n_name",
+        "n_orders",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+    ).orderBy("n_name")

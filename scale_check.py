@@ -376,6 +376,7 @@ QUERIES = [
     "q_bland_altman",
     "q_threshold_metrics",
     "q_icc",
+    "q_python_datasink",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
