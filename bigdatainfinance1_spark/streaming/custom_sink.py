@@ -1,0 +1,149 @@
+"""Streaming custom Python sink (Spark 4 DataSourceStreamWriter) — the
+streaming half of the custom-connector write surface (sources/
+jsonl_sink.py is the batch half): every micro-batch's partitions write
+JSON-lines files on the executors; `commit(messages, batchId)` runs on
+the driver once per micro-batch and appends to a manifest — the
+per-batch two-phase commit that gives a foreachBatch-class sink
+exactly-once semantics without foreachBatch's driver lambda.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
+)
+
+from bigdatainfinance1_spark.registry import query
+from bigdatainfinance1_spark.streaming.jobs import read_events_stream
+
+
+class StreamSinkCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int) -> None:
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class JsonLinesStreamSink(DataSource):
+    """df.writeStream.format("jsonl_stream_sink").option("path", dir)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_stream_sink"
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonLinesStreamWriter":
+        return JsonLinesStreamWriter(self.options, [f.name for f in schema.fields])
+
+
+class JsonLinesStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options, columns) -> None:
+        self.path = options["path"]
+        self.columns = list(columns)
+
+    def write(self, iterator) -> StreamSinkCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(
+            self.path, f"part-{ctx.taskAttemptId():08d}-{ctx.partitionId():04d}.jsonl"
+        )
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.columns, row)), sort_keys=True))
+                f.write("\n")
+                n += 1
+        return StreamSinkCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        with open(os.path.join(self.path, "_MANIFEST.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "batch": batchId,
+                        "files": sorted(
+                            m.filename for m in messages if m is not None
+                        ),
+                        "rows": sum(m.n_rows for m in messages if m is not None),
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.filename):
+                os.remove(m.filename)
+
+
+_SS_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+@query(
+    "q_stream_python_sink",
+    oracle=_SS_SQL,
+    tags=("streaming", "io", "spark4", "connector"),
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST surface x custom connector: the events STREAM flows through the
+    Spark-4 Python DataSourceStreamWriter (one JSON-lines file per
+    micro-batch partition, per-batch two-phase commit with a driver
+    manifest), then the files are read back and aggregated per event
+    type — so the hash-checked result physically traversed the custom
+    streaming sink across multiple micro-batches (the staged replay
+    yields 2 batches). The payload is integers only (event_id, type,
+    value cents), so JSON round-trips exactly and the FULL batch oracle
+    applies — the rare full-value-hash check for a streaming sink.
+
+    Scale: append-mode passthrough (no stateful operator), executor-side
+    files, O(1) driver work per batch — the structure of a production
+    feed push; exactly-once comes from the file-source replay plus the
+    per-batch commit."""
+    import shutil
+
+    spark.dataSource.register(JsonLinesStreamSink)
+    base = os.path.join(
+        "/tmp/spark_graft_jsonl_stream",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    path, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = (
+        ev.writeStream.format("jsonl_stream_sink")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema("event_id bigint, event_type string, cents bigint").json(
+        os.path.join(path, "part-*.jsonl")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )

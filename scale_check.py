@@ -377,6 +377,7 @@ QUERIES = [
     "q_threshold_metrics",
     "q_icc",
     "q_python_datasink",
+    "q_stream_python_sink",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
