@@ -18,7 +18,12 @@ Design points the API demands at scale:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 TICK_ROWS = 20_000
 TICK_PARTS = 8
@@ -47,6 +52,11 @@ class SyntheticTicksDataSource(DataSource):
     def reader(self, schema) -> "SyntheticTicksReader":
         return SyntheticTicksReader(self.options)
 
+    def streamReader(self, schema) -> "SyntheticTicksStreamReader":
+        # the SAME format serves batch and streaming — the dual-mode
+        # connector shape (one adapter, spark.read OR spark.readStream)
+        return SyntheticTicksStreamReader(self.options)
+
 
 class SyntheticTicksReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -59,6 +69,37 @@ class SyntheticTicksReader(DataSourceReader):
     def read(self, partition: InputPartition):
         for i in range(partition.value, self.n_rows, self.n_parts):
             yield (i, partition.value, tick_price(i), tick_qty(i))
+
+
+class SyntheticTicksStreamReader(DataSourceStreamReader):
+    """Offset-tracked replay of the same deterministic feed: offsets are
+    plain tick counts ({"tick": n}); `partitions(start, end)` strides the
+    pending range across executors (reads never touch the driver — the
+    full DataSourceStreamReader, not the driver-side Simple variant);
+    `commit` is a no-op because the generator is pure. An availableNow
+    run drains to the declared feed end in one scheduled batch."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("rows", TICK_ROWS))
+        self.n_parts = int(options.get("parts", TICK_PARTS))
+
+    def initialOffset(self) -> dict:
+        return {"tick": 0}
+
+    def latestOffset(self) -> dict:
+        return {"tick": self.n_rows}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["tick"], end["tick"]
+        return [InputPartition((lo + p, hi, self.n_parts)) for p in range(self.n_parts)]
+
+    def read(self, partition: InputPartition):
+        lo, hi, stride = partition.value
+        for i in range(lo, hi, stride):
+            yield (i, i % self.n_parts, tick_price(i), tick_qty(i))
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register(spark) -> None:

@@ -147,3 +147,72 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_python_source — custom Python STREAMING source round-trip
+# ---------------------------------------------------------------------------
+
+_SRC_SQL = """
+    WITH ticks AS (
+      SELECT
+        i % 8                                                        AS part_id,
+        100.0 + ((1103515245 * i + 12345) % 2147483648)
+                / 2147483648.0 * 10.0                                AS price,
+        ((69069 * i + 1) % 97) + 1                                   AS qty
+      FROM range(20000) t(i)
+    )
+    SELECT CAST(part_id AS BIGINT) AS part_id,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           round(sum(price * qty), 2) AS notional
+    FROM ticks GROUP BY part_id ORDER BY part_id
+"""
+
+
+@query(
+    "q_stream_python_source",
+    oracle=_SRC_SQL,
+    tags=("streaming", "io", "spark4", "connector"),
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth quadrant of the custom-connector matrix (batch read =
+    q_python_datasource, batch write = q_python_datasink, stream write =
+    q_stream_python_sink): the SAME synthetic-ticks format consumed as a
+    STREAM through the Spark-4 DataSourceStreamReader — tick-count
+    offsets, pending ranges strided into executor-side partitions (the
+    full reader, never the driver-side Simple variant), drained with an
+    availableNow trigger into a memory sink and aggregated per stream
+    partition. The generator's IEEE-exact LCG arithmetic gives the
+    streaming source a FULL value-hash oracle against DuckDB's range().
+
+    Scale: offsets are O(1) driver state; every read happens in a
+    partition task; the aggregate is map-side combinable — a real feed
+    adapter (exchange multicast, vendor websocket) keeps exactly this
+    shape with offsets per upstream shard."""
+    import uuid
+
+    from bigdatainfinance1_spark.sources import ticks as ticks_src
+
+    ticks_src.register(spark)
+    stream = spark.readStream.format("synthetic_ticks").load()
+    agg = stream.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.round(F.sum(F.col("price") * F.col("qty")), 2).alias("notional"),
+    )
+    sink = f"tick_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.col("part_id").cast("long").alias("part_id"),
+        F.col("n_ticks").cast("long").alias("n_ticks"),
+        "total_qty",
+        "notional",
+    ).orderBy("part_id")

@@ -378,6 +378,7 @@ QUERIES = [
     "q_icc",
     "q_python_datasink",
     "q_stream_python_sink",
+    "q_stream_python_source",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
