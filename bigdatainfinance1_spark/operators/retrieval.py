@@ -865,3 +865,111 @@ def team_draft_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_best_snippet — keyword-in-context window extraction for top hits
+# ---------------------------------------------------------------------------
+
+SNIP_W = 10  # tumbling window width (tokens)
+SNIP_DOCS = 3  # top BM25 docs per term to snippet
+
+_SNIP_SQL = f"""
+    WITH {_CAND_SQL},
+    top AS (
+      SELECT term, doc_id FROM (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM cand
+      ) WHERE rnk <= {SNIP_DOCS}
+    ),
+    pos AS (
+      SELECT t.term, t.doc_id, u.i - 1 AS p, d.t[u.i] AS tok
+      FROM top t
+      JOIN (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d
+        ON t.doc_id = d.doc_id,
+      unnest(range(1, len(d.t) + 1)) AS u(i)
+    ),
+    wins AS (
+      SELECT term, doc_id, p // {SNIP_W} AS w,
+             CAST(sum(CASE WHEN tok IN {_TERMS!r} THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits
+      FROM pos GROUP BY term, doc_id, p // {SNIP_W}
+    ),
+    best AS (
+      SELECT term, doc_id,
+             CAST(min_by(w, -hits * 1000000 + w) AS BIGINT) AS w,
+             CAST(max(hits) AS BIGINT) AS n_hits
+      FROM wins GROUP BY term, doc_id
+    )
+    SELECT b.term, b.doc_id, b.w AS win_idx, b.n_hits,
+           array_to_string(list_slice(string_split(d.text, ' '),
+                                      b.w * {SNIP_W} + 1,
+                                      b.w * {SNIP_W} + {SNIP_W}), ' ') AS snippet
+    FROM best b JOIN documents d ON b.doc_id = d.doc_id
+    ORDER BY b.term, b.doc_id
+"""
+
+
+@query("q_best_snippet", oracle=_SNIP_SQL, tags=("text", "retrieval"))
+def best_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippet extraction for the top-{SNIP_DOCS}
+    BM25 hits per query term: tile each document into {SNIP_W}-token
+    tumbling windows, score every window by how many QUERY-TERM tokens
+    it contains (all three terms count — a window dense in the whole
+    query beats one repeating a single term), and return the best
+    window's text — the SERP-snippet / RAG-context-selection step
+    between ranking (q_bm25_topk) and presentation, where sending whole
+    documents to a context window wastes the token budget the snippet
+    exists to protect.
+
+    Determinism: window scores are exact integer counts; the argmax
+    rides one integer key (-hits * 1e6 + w, so ties prefer the earliest
+    window); the snippet text is a pure slice-and-join of the identical
+    whitespace tokenization both engines use everywhere. Scale: only
+    the top hits' documents are tokenized with positions (the candidate
+    relation gates the explode); windows are one keyed aggregate."""
+    cand = _candidates(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("term").orderBy(F.col("bm25").desc(), "doc_id")
+    top = (
+        cand.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= SNIP_DOCS)
+        .select("term", "doc_id")
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    pos = top.join(toks, "doc_id").select(
+        "term",
+        "doc_id",
+        F.posexplode("t").alias("p", "tok"),
+    )
+    wins = pos.groupBy(
+        "term", "doc_id", F.floor(F.col("p") / SNIP_W).alias("w")
+    ).agg(
+        F.sum(F.when(F.col("tok").isin(*_TERMS), 1).otherwise(0))
+        .cast("long")
+        .alias("hits")
+    )
+    best = wins.groupBy("term", "doc_id").agg(
+        F.min_by("w", -F.col("hits") * 1000000 + F.col("w")).cast("long").alias("w"),
+        F.max("hits").cast("long").alias("n_hits"),
+    )
+    return (
+        best.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "term",
+            "doc_id",
+            F.col("w").alias("win_idx"),
+            "n_hits",
+            F.array_join(
+                F.slice(
+                    F.split("text", " "),
+                    (F.col("w") * SNIP_W + 1).cast("int"),
+                    SNIP_W,
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+        .orderBy("term", "doc_id")
+    )

@@ -24,7 +24,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.registry import query
@@ -502,3 +502,114 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ring_skew"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_key_skew_audit — shuffle-key skew diagnosis before choosing a join plan
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_SHARE = 0.01  # top-key share above this => salt
+SKEW_SMALL_DISTINCT = 1000  # distinct keys below this => broadcast the dim
+
+_SKEW_SQL = f"""
+    WITH keys AS (
+      SELECT 'orders.o_custkey' AS key_name, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+      UNION ALL
+      SELECT 'events.user_id', user_id FROM events
+    ),
+    kc AS (
+      SELECT key_name, k, CAST(count(*) AS BIGINT) AS c
+      FROM keys GROUP BY key_name, k
+    ),
+    ranked AS (
+      SELECT key_name, c,
+             row_number() OVER (PARTITION BY key_name ORDER BY c DESC, k) AS rn
+      FROM kc
+    ),
+    prof AS (
+      SELECT key_name,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top1,
+             CAST(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS BIGINT) AS top10,
+             sum(CAST(c AS DOUBLE) * c) AS c2
+      FROM ranked GROUP BY key_name
+    )
+    SELECT key_name, n_rows, n_distinct,
+           round(top1 * 1e0 / n_rows, 6) AS top1_share,
+           round(top10 * 1e0 / n_rows, 6) AS top10_share,
+           round(sqrt(c2 / n_distinct
+                      - (n_rows * 1e0 / n_distinct) * (n_rows * 1e0 / n_distinct))
+                 / (n_rows * 1e0 / n_distinct), 4) AS count_cv,
+           CASE WHEN n_distinct < {SKEW_SMALL_DISTINCT} THEN 'broadcast_dim'
+                WHEN top1 * 1e0 / n_rows > {SKEW_TOP_SHARE} THEN 'salt_keys'
+                ELSE 'plain_shuffle' END AS suggested_strategy
+    FROM prof ORDER BY key_name
+"""
+
+
+@query("q_key_skew_audit", oracle=_SKEW_SQL, tags=("scale", "layout"))
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis for the repo's workhorse join keys:
+    per key, cardinality, top-1/top-10 key shares, and the coefficient
+    of variation of per-key counts — then the decision CASE every join
+    plan here actually follows (distinct < {SKEW_SMALL_DISTINCT} =>
+    broadcast the dimension; top key > {SKEW_TOP_SHARE:.0%} of rows =>
+    salt, the q_salted_join path; else a plain hash shuffle + AQE skew
+    split). This is the 'measure before you salt' audit — salting an
+    unskewed key pays the replication cost for nothing, and broadcast
+    decisions belong to key statistics, not table names.
+
+    Determinism: pure integer counting; shares/CV are exact-integer
+    ratios rounded 6/4 (sum of c^2 widens through DOUBLE from exact
+    counts); the strategy CASE reads unrounded exact ratios of the same
+    integers on both engines. Scale: one pass per audited key to a
+    distinct-key relation; the rank window partitions per key_name."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    keys = (
+        orders.select(
+            F.lit("orders.o_custkey").alias("key_name"), F.col("o_custkey").alias("k")
+        )
+        .unionByName(
+            li.select(F.lit("lineitem.l_partkey").alias("key_name"), F.col("l_partkey").alias("k"))
+        )
+        .unionByName(
+            li.select(F.lit("lineitem.l_suppkey").alias("key_name"), F.col("l_suppkey").alias("k"))
+        )
+        .unionByName(
+            ev.select(F.lit("events.user_id").alias("key_name"), F.col("user_id").alias("k"))
+        )
+    )
+    kc = keys.groupBy("key_name", "k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("key_name").orderBy(F.col("c").desc(), "k")
+    ranked = kc.withColumn("rn", F.row_number().over(w))
+    prof = ranked.groupBy("key_name").agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).cast("long").alias("top1"),
+        F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("top10"),
+        F.sum(F.col("c").cast("double") * F.col("c")).alias("c2"),
+    )
+    mean = F.col("n_rows") * F.lit(1.0) / F.col("n_distinct")
+    return prof.select(
+        "key_name",
+        "n_rows",
+        "n_distinct",
+        F.round(F.col("top1") * F.lit(1.0) / F.col("n_rows"), 6).alias("top1_share"),
+        F.round(F.col("top10") * F.lit(1.0) / F.col("n_rows"), 6).alias("top10_share"),
+        F.round(
+            F.sqrt(F.col("c2") / F.col("n_distinct") - mean * mean) / mean, 4
+        ).alias("count_cv"),
+        F.when(F.col("n_distinct") < SKEW_SMALL_DISTINCT, "broadcast_dim")
+        .when(F.col("top1") * F.lit(1.0) / F.col("n_rows") > SKEW_TOP_SHARE, "salt_keys")
+        .otherwise("plain_shuffle")
+        .alias("suggested_strategy"),
+    ).orderBy("key_name")

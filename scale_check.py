@@ -379,6 +379,8 @@ QUERIES = [
     "q_python_datasink",
     "q_stream_python_sink",
     "q_stream_python_source",
+    "q_key_skew_audit",
+    "q_best_snippet",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
