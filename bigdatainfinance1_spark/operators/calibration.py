@@ -136,3 +136,143 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# q_fairness_metrics — group fairness audit of the priority classifier
+# ---------------------------------------------------------------------------
+
+FAIR_THRESHOLD = 200000.0  # score cut: predict urgent when totalprice >= this
+FAIR_POS = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+FAIR_DI_FLOOR = 0.8  # the four-fifths (80%) disparate-impact rule
+
+_FAIR_SQL = f"""
+    WITH scored AS (
+      SELECT r.r_name AS grp,
+             CASE WHEN o.o_totalprice >= {FAIR_THRESHOLD} THEN 1 ELSE 0 END AS yhat,
+             CASE WHEN {FAIR_POS} THEN 1 ELSE 0 END AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(yhat) AS BIGINT) AS npred,
+             CAST(sum(y) AS BIGINT) AS npos,
+             CAST(sum(yhat * y) AS BIGINT) AS tp,
+             CAST(sum(yhat * (1 - y)) AS BIGINT) AS fp
+      FROM scored GROUP BY grp
+    ),
+    rates AS (
+      SELECT grp, n,
+             round(npred * 1e0 / n, 6) AS positive_rate,
+             round(tp * 1e0 / npos, 6) AS tpr,
+             round(fp * 1e0 / (n - npos), 6) AS fpr
+      FROM g
+    ),
+    ref AS (
+      SELECT max(positive_rate) AS max_pr,
+             max(tpr) AS max_tpr, min(tpr) AS min_tpr,
+             max(fpr) AS max_fpr, min(fpr) AS min_fpr
+      FROM rates
+    )
+    SELECT r.grp, r.n, r.positive_rate, r.tpr, r.fpr,
+           round(r.positive_rate / f.max_pr, 6) AS disparate_impact,
+           round(r.positive_rate / f.max_pr, 6) < {FAIR_DI_FLOOR}
+             AS fails_four_fifths,
+           round(f.max_tpr - f.min_tpr, 6) AS equal_opportunity_gap,
+           round(greatest(f.max_tpr - f.min_tpr, f.max_fpr - f.min_fpr), 6)
+             AS equalized_odds_gap
+    FROM rates r CROSS JOIN ref f
+    ORDER BY r.grp
+"""
+
+
+@query("q_fairness_metrics", oracle=_FAIR_SQL, tags=("ml", "eval", "governance"))
+def fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of the threshold classifier (predict urgent
+    when order value >= {FAIR_THRESHOLD}) across customer regions as the
+    protected attribute: per-group positive rate (demographic parity),
+    TPR/FPR, disparate impact vs the most-favored group with the EEOC
+    four-fifths flag, and the corpus-level equal-opportunity (max TPR
+    spread) and equalized-odds gaps — the standard audit battery
+    (Hardt et al. 2016; Feldman et al. 2015) a model-governance review
+    runs before q_threshold_metrics' accuracy numbers mean anything.
+    Complements the privacy layer (q_k_anonymity, q_dp_histogram): DP
+    protects individuals, this measures group-level treatment.
+
+    Determinism: confusion cells are exact integer counts; every rate
+    divides exact BIGINTs, rounded 6, and the four-fifths flag compares
+    ROUNDED ratios. Scale: one fact shuffle (dims broadcast) to
+    O(groups) confusion moments; O(1) after."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    scored = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("grp"),
+            F.when(F.col("o_totalprice") >= FAIR_THRESHOLD, 1).otherwise(0).alias("yhat"),
+            F.expr(f"CASE WHEN {FAIR_POS} THEN 1 ELSE 0 END").alias("y"),
+        )
+    )
+    g = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yhat").cast("long").alias("npred"),
+        F.sum("y").cast("long").alias("npos"),
+        F.sum(F.col("yhat") * F.col("y")).cast("long").alias("tp"),
+        F.sum(F.col("yhat") * (1 - F.col("y"))).cast("long").alias("fp"),
+    )
+    rates = g.select(
+        "grp",
+        "n",
+        F.round(F.col("npred") * F.lit(1.0) / F.col("n"), 6).alias("positive_rate"),
+        F.round(F.col("tp") * F.lit(1.0) / F.col("npos"), 6).alias("tpr"),
+        F.round(F.col("fp") * F.lit(1.0) / (F.col("n") - F.col("npos")), 6).alias(
+            "fpr"
+        ),
+    )
+    ref = rates.agg(
+        F.max("positive_rate").alias("max_pr"),
+        F.max("tpr").alias("max_tpr"),
+        F.min("tpr").alias("min_tpr"),
+        F.max("fpr").alias("max_fpr"),
+        F.min("fpr").alias("min_fpr"),
+    )
+    di = F.round(F.col("positive_rate") / F.col("max_pr"), 6)
+    return (
+        rates.crossJoin(F.broadcast(ref))
+        .select(
+            "grp",
+            "n",
+            "positive_rate",
+            "tpr",
+            "fpr",
+            di.alias("disparate_impact"),
+            (di < FAIR_DI_FLOOR).alias("fails_four_fifths"),
+            F.round(F.col("max_tpr") - F.col("min_tpr"), 6).alias(
+                "equal_opportunity_gap"
+            ),
+            F.round(
+                F.greatest(
+                    F.col("max_tpr") - F.col("min_tpr"),
+                    F.col("max_fpr") - F.col("min_fpr"),
+                ),
+                6,
+            ).alias("equalized_odds_gap"),
+        )
+        .orderBy("grp")
+    )

@@ -381,6 +381,7 @@ QUERIES = [
     "q_stream_python_source",
     "q_key_skew_audit",
     "q_best_snippet",
+    "q_fairness_metrics",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
