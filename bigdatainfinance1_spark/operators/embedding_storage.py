@@ -352,3 +352,164 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sub")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kcenter_coreset — greedy k-center selection over a hash-sampled pool
+# ---------------------------------------------------------------------------
+
+KC_POOL = 16  # deterministic hash-sampled candidate pool size
+KC_K = 5  # centers selected
+KC_KNUTH = 2654435761
+KC_MOD = 2147483648
+
+_KC_COS = """
+      list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))))
+"""
+
+
+def _kc_oracle() -> str:
+    layers = ""
+    for j in range(2, KC_K + 1):
+        d_joins = "".join(
+            f"""
+      JOIN dists d{i} ON d{i}.a = c.vec_id AND d{i}.b = s.p{i}"""
+            for i in range(1, j)
+        )
+        mind = (
+            "d1.d"
+            if j == 2
+            else "least(" + ", ".join(f"d{i}.d" for i in range(1, j)) + ")"
+        )
+        not_in = ", ".join(f"s.p{i}" for i in range(1, j))
+        carry = ", ".join(
+            [f"s.p{i}" for i in range(1, j)]
+            + [f"s.r{i}" for i in range(1, j)]
+        )
+        layers += f""",
+    sel{j} AS MATERIALIZED (
+      SELECT {carry},
+             max_by(c.vec_id,
+                    CAST(round({mind} * 1e8) AS BIGINT) * 100000000 - c.vec_id)
+               AS p{j},
+             round(max({mind}), 8) AS r{j}
+      FROM sel{j - 1} s
+      JOIN pool c ON c.vec_id NOT IN ({not_in})
+      {d_joins}
+      GROUP BY {carry}
+    )"""
+    melt = " UNION ALL ".join(
+        f"SELECT {j} AS rnk, p{j} AS vec_id, r{j} AS min_dist_to_selected FROM sel{KC_K}"
+        for j in range(1, KC_K + 1)
+    )
+    return f"""
+    WITH pool AS MATERIALIZED (
+      SELECT vec_id, embedding FROM (
+        SELECT vec_id, embedding,
+               row_number() OVER (
+                 ORDER BY (vec_id * {KC_KNUTH} + 7) % {KC_MOD}, vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {KC_POOL}
+    ),
+    dists AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             round(1 - ({_KC_COS}), 8) AS d
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT min_by(vec_id, (vec_id * {KC_KNUTH} + 7) % {KC_MOD}) AS p1,
+             CAST(NULL AS DOUBLE) AS r1
+      FROM pool
+    ){layers}
+    SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, min_dist_to_selected
+    FROM ({melt})
+    ORDER BY rnk
+    """
+
+
+@query("q_kcenter_coreset", oracle=_kc_oracle(), tags=("similarity", "llm-pipeline"))
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Sener & Savarese 2018, the
+    coreset active-learning/data-selection primitive): over a
+    deterministic hash-sampled pool of {KC_POOL} vectors, repeatedly
+    pick the candidate FARTHEST (cosine distance) from everything
+    already selected — a 2-approximation of the k-center cover, the
+    selection that maximizes coverage diversity where q_mmr_rerank
+    trades relevance against redundancy and q_semdedup prunes
+    redundancy outright. Sample-then-greedy is the corpus-scale
+    posture: the greedy chain is inherently sequential, so production
+    selection runs it on a bounded sketch of the data (here the hashed
+    pool), exactly as expressed.
+
+    Determinism: the pool rides the repo's SplitMix-style hash order
+    with vec_id tie-breaks; pairwise distances round at 8; every greedy
+    argmax rides one exact BIGINT key (8-dp distance scaled, vec_id
+    tie-break). Both engines walk identical chains — Spark through
+    localCheckpointed {KC_POOL}-row relations, the oracle through
+    MATERIALIZED CTEs (each layer re-reads dists j-1 times). Scale: the
+    only corpus pass is the hash ranking; everything after is
+    O(pool^2)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from pyspark.sql import Window as W
+
+    from bigdatainfinance1_spark.functions.vector import cosine_sim
+
+    h = (F.col("vec_id") * KC_KNUTH + 7) % KC_MOD
+    w = W.partitionBy(F.lit(1)).orderBy(h, "vec_id")
+    pool = (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KC_POOL)
+        .select("vec_id", "embedding")
+        .localCheckpoint()  # O(pool) rows
+    )
+    a = pool.selectExpr("vec_id AS a", "embedding AS va")
+    b = pool.selectExpr("vec_id AS b", "embedding AS vb")
+    dists = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b", F.round(1 - cosine_sim("va", "vb"), 8).alias("d"))
+        .localCheckpoint()  # O(pool^2) rows
+    )
+    sel = pool.agg(
+        F.min_by("vec_id", (F.col("vec_id") * KC_KNUTH + 7) % KC_MOD).alias("p1"),
+        F.lit(None).cast("double").alias("r1"),
+    )
+    for j in range(2, KC_K + 1):
+        joined = sel.crossJoin(pool.select(F.col("vec_id")))
+        for i in range(1, j):
+            joined = joined.filter(F.col("vec_id") != F.col(f"p{i}"))
+        for i in range(1, j):
+            di = dists.selectExpr(f"a AS da{i}", f"b AS db{i}", f"d AS dd{i}")
+            joined = joined.join(
+                di,
+                (F.col(f"da{i}") == F.col("vec_id"))
+                & (F.col(f"db{i}") == F.col(f"p{i}")),
+            )
+        mind = (
+            F.col("dd1")
+            if j == 2
+            else F.least(*[F.col(f"dd{i}") for i in range(1, j)])
+        )
+        key = F.round(mind * 1e8).cast("long") * 100000000 - F.col("vec_id")
+        carry = [f"p{i}" for i in range(1, j)] + [f"r{i}" for i in range(1, j)]
+        sel = joined.groupBy(*carry).agg(
+            F.max_by("vec_id", key).alias(f"p{j}"),
+            F.round(F.max(mind), 8).alias(f"r{j}"),
+        )
+    stack_args = ", ".join(f"{j}, p{j}, r{j}" for j in range(1, KC_K + 1))
+    return (
+        sel.select(
+            F.expr(
+                f"stack({KC_K}, {stack_args}) AS (rnk, vec_id, min_dist_to_selected)"
+            )
+        )
+        .select(
+            F.col("rnk").cast("long").alias("rnk"),
+            "vec_id",
+            "min_dist_to_selected",
+        )
+        .orderBy("rnk")
+    )

@@ -382,6 +382,7 @@ QUERIES = [
     "q_key_skew_audit",
     "q_best_snippet",
     "q_fairness_metrics",
+    "q_kcenter_coreset",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
