@@ -790,3 +790,112 @@ def umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_uncertainty_sampling — margin-based active-learning selection
+# ---------------------------------------------------------------------------
+
+US_K = 20  # docs selected for labeling
+
+_US_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    lang_term AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term),
+    profile AS (
+      SELECT lang AS p_lang, term
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+        FROM lang_term
+      )
+      WHERE rnk <= 20
+    ),
+    doc_votes AS (
+      SELECT t.doc_id, p.p_lang, CAST(count(*) AS BIGINT) AS overlap
+      FROM (SELECT DISTINCT doc_id, term FROM tok) t
+      JOIN profile p USING (term)
+      GROUP BY t.doc_id, p.p_lang
+    ),
+    ranked AS (
+      SELECT doc_id, p_lang, overlap,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY overlap DESC, p_lang) AS rnk
+      FROM doc_votes
+    ),
+    margins AS (
+      SELECT doc_id,
+             max(CASE WHEN rnk = 1 THEN p_lang END) AS best_lang,
+             CAST(max(CASE WHEN rnk = 1 THEN overlap END) AS BIGINT) AS best_overlap,
+             CAST(coalesce(max(CASE WHEN rnk = 2 THEN overlap END), 0) AS BIGINT)
+               AS second_overlap
+      FROM ranked GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.best_lang, m.best_overlap, m.second_overlap,
+           m.best_overlap - m.second_overlap AS margin,
+           d.lang AS true_lang,
+           m.best_lang = d.lang AS classifier_correct
+    FROM margins m JOIN documents d ON m.doc_id = d.doc_id
+    ORDER BY margin, m.doc_id
+    LIMIT {US_K}
+"""
+
+
+@query("q_uncertainty_sampling", oracle=_US_SQL, tags=("text", "llm-pipeline", "ml"))
+def uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based active-learning selection over q_langid_profile's
+    corpus-profile classifier: per document, the gap between the best
+    and second-best language-profile overlap is the classifier's
+    confidence margin; the {US_K} smallest-margin documents are the
+    ones a labeling budget buys the most from (Lewis & Gale 1994 —
+    uncertainty sampling). The true label rides along so the relation
+    itself shows the point: classifier errors concentrate exactly in
+    the low-margin set. q_kcenter_coreset is the diversity-driven
+    complement; real selection loops blend both.
+
+    Determinism: overlaps and margins are exact integer counts; the
+    vote ranking ties on language name, the final cut totally orders by
+    (margin, doc_id). Scale: the same broadcast-profile equi-join as
+    q_langid_profile (one token scan; vocabulary-sized profiles), then
+    a doc-partitioned rank and a global top-k (TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    lang_term = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    profile = (
+        lang_term.withColumn("rnk", F.row_number().over(w_prof))
+        .filter(F.col("rnk") <= 20)
+        .select(F.col("lang").alias("p_lang"), "term")
+    )
+    votes = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .join(F.broadcast(profile), "term")
+        .groupBy("doc_id", "p_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), "p_lang")
+    ranked = votes.withColumn("rnk", F.row_number().over(w_doc))
+    margins = ranked.groupBy("doc_id").agg(
+        F.max(F.when(F.col("rnk") == 1, F.col("p_lang"))).alias("best_lang"),
+        F.max(F.when(F.col("rnk") == 1, F.col("overlap")))
+        .cast("long")
+        .alias("best_overlap"),
+        F.coalesce(F.max(F.when(F.col("rnk") == 2, F.col("overlap"))), F.lit(0))
+        .cast("long")
+        .alias("second_overlap"),
+    )
+    return (
+        margins.join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select(
+            "doc_id",
+            "best_lang",
+            "best_overlap",
+            "second_overlap",
+            (F.col("best_overlap") - F.col("second_overlap")).alias("margin"),
+            "true_lang",
+            (F.col("best_lang") == F.col("true_lang")).alias("classifier_correct"),
+        )
+        .orderBy("margin", "doc_id")
+        .limit(US_K)
+    )

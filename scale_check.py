@@ -383,6 +383,7 @@ QUERIES = [
     "q_best_snippet",
     "q_fairness_metrics",
     "q_kcenter_coreset",
+    "q_uncertainty_sampling",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
