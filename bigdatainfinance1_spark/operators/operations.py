@@ -667,3 +667,150 @@ def ndr_grr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("y")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_optimal_assignment — exact assignment of supplier cohorts to regions
+# ---------------------------------------------------------------------------
+
+OA_GROUPS = 5  # supplier cohorts (s_suppkey % 5) assigned to the 5 regions
+
+_OA_SQL = f"""
+    WITH cost AS (
+      SELECT l.l_suppkey % {OA_GROUPS} AS g, r.r_name AS rg,
+             round(sum(datediff('day', o.o_orderdate, l.l_shipdate))
+                   * 1e0 / count(*), 6) AS c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY g, rg
+    ),
+    regions AS (
+      SELECT rg, row_number() OVER (ORDER BY rg) AS i FROM (
+        SELECT DISTINCT rg FROM cost
+      )
+    ),
+    c AS (SELECT regions.i, cost.g, cost.c FROM cost JOIN regions USING (rg)),
+    perms AS (
+      SELECT c1.g AS g1, c2.g AS g2, c3.g AS g3, c4.g AS g4, c5.g AS g5,
+             round(c1.c + c2.c + c3.c + c4.c + c5.c, 6) AS total
+      FROM c c1
+      JOIN c c2 ON c2.i = 2 AND c2.g <> c1.g
+      JOIN c c3 ON c3.i = 3 AND c3.g NOT IN (c1.g, c2.g)
+      JOIN c c4 ON c4.i = 4 AND c4.g NOT IN (c1.g, c2.g, c3.g)
+      JOIN c c5 ON c5.i = 5 AND c5.g NOT IN (c1.g, c2.g, c3.g, c4.g)
+      WHERE c1.i = 1
+    ),
+    best AS (
+      SELECT g1, g2, g3, g4, g5, total FROM perms
+      ORDER BY total, g1, g2, g3, g4, g5 LIMIT 1
+    )
+    SELECT r.rg AS region,
+           CAST(CASE r.i WHEN 1 THEN b.g1 WHEN 2 THEN b.g2 WHEN 3 THEN b.g3
+                WHEN 4 THEN b.g4 ELSE b.g5 END AS BIGINT) AS supplier_group,
+           (SELECT round(c.c, 6) FROM c
+            WHERE c.i = r.i AND c.g = CASE r.i WHEN 1 THEN b.g1 WHEN 2 THEN b.g2
+              WHEN 3 THEN b.g3 WHEN 4 THEN b.g4 ELSE b.g5 END) AS pair_cost,
+           b.total AS optimal_total
+    FROM regions r CROSS JOIN best b
+    ORDER BY region
+"""
+
+
+@query("q_optimal_assignment", oracle=_OA_SQL, tags=("operations", "analytics"))
+def optimal_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact assignment problem: match the {OA_GROUPS} supplier cohorts
+    one-to-one to the 5 customer regions minimizing total mean
+    fulfillment latency (ship date minus order date) — the linear
+    assignment problem solved EXACTLY by enumerating all 5! = 120
+    permutations as a chain of inequality-filtered joins over the
+    cost matrix (the brute-force tier; at real m x n scale the
+    Hungarian algorithm or an auction LP replaces the enumeration, but
+    the 120-row relation IS the proof of optimality here, and
+    assignment instances in practice are matrix-sized, not
+    corpus-sized). The 'which vendor serves which market' planning
+    question behind q_eoq_policy's per-brand policies.
+
+    Determinism: latencies are exact integer day sums over exact
+    counts, rounded 6; permutation totals re-round at 6 and the argmin
+    totally orders by (total, assignment vector). Scale: one fact
+    shuffle reduces to the 25-cell cost matrix; the permutation join is
+    O(5!) on broadcast cells."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cost = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            (F.col("l_suppkey") % OA_GROUPS).alias("g"),
+            F.col("r_name").alias("rg"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.datediff("l_shipdate", "o_orderdate"))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+        .localCheckpoint()  # 25-cell cost matrix
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("rg")
+    regions = (
+        cost.select("rg").distinct().withColumn("i", F.row_number().over(w))
+    ).localCheckpoint()
+    c = cost.join(F.broadcast(regions), "rg").select("i", "g", "c")
+    sides = [
+        c.filter(F.col("i") == k).selectExpr(f"g AS g{k}", f"c AS c{k}")
+        for k in range(1, 6)
+    ]
+    perms = sides[0]
+    for k in range(2, 6):
+        cond = [F.col(f"g{k}") != F.col(f"g{j}") for j in range(1, k)]
+        filt = cond[0]
+        for x in cond[1:]:
+            filt = filt & x
+        perms = perms.crossJoin(F.broadcast(sides[k - 1])).filter(filt)
+    perms = perms.withColumn(
+        "total",
+        F.round(sum(F.col(f"c{k}") for k in range(1, 6)), 6),
+    )
+    best = perms.orderBy(
+        "total", "g1", "g2", "g3", "g4", "g5"
+    ).limit(1).localCheckpoint()
+    assigned = F.when(F.col("i") == 1, F.col("g1"))
+    for k in range(2, 6):
+        assigned = assigned.when(F.col("i") == k, F.col(f"g{k}"))
+    out = regions.crossJoin(F.broadcast(best)).select(
+        F.col("rg").alias("region"),
+        assigned.cast("long").alias("supplier_group"),
+        "i",
+        F.col("total").alias("optimal_total"),
+    )
+    return (
+        out.join(
+            c.selectExpr("i", "g AS supplier_group", "round(c, 6) AS pair_cost"),
+            ["i", "supplier_group"],
+        )
+        .select("region", "supplier_group", "pair_cost", "optimal_total")
+        .orderBy("region")
+    )

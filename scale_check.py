@@ -384,6 +384,7 @@ QUERIES = [
     "q_fairness_metrics",
     "q_kcenter_coreset",
     "q_uncertainty_sampling",
+    "q_optimal_assignment",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
