@@ -814,3 +814,192 @@ def optimal_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("region", "supplier_group", "pair_cost", "optimal_total")
         .orderBy("region")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stable_matching — Gale-Shapley deferred acceptance, cohorts x regions
+# ---------------------------------------------------------------------------
+
+_SM_SQL = f"""
+    WITH cost AS (
+      SELECT l.l_suppkey % {OA_GROUPS} AS g, r.r_name AS rg,
+             round(sum(datediff('day', o.o_orderdate, l.l_shipdate))
+                   * 1e0 / count(*), 6) AS c
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer cu ON o.o_custkey = cu.c_custkey
+      JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY g, rg
+    ),
+    grank AS (
+      SELECT g, rg,
+             row_number() OVER (PARTITION BY g ORDER BY c, rg) AS gr
+      FROM cost
+    ),
+    rrank AS (
+      SELECT g, rg,
+             row_number() OVER (PARTITION BY rg ORDER BY c, g) AS rr
+      FROM cost
+    ),
+    regions AS (
+      SELECT rg, row_number() OVER (ORDER BY rg) AS i FROM (
+        SELECT DISTINCT rg FROM cost
+      )
+    ),
+    gcell AS (
+      SELECT r.i, k.g, k.gr, rr.rr
+      FROM grank k JOIN regions r USING (rg) JOIN rrank rr USING (g, rg)
+    ),
+    perms AS (
+      SELECT c1.g AS g1, c2.g AS g2, c3.g AS g3, c4.g AS g4, c5.g AS g5,
+             c1.gr + c2.gr + c3.gr + c4.gr + c5.gr AS grank_total
+      FROM gcell c1
+      JOIN gcell c2 ON c2.i = 2 AND c2.g <> c1.g
+      JOIN gcell c3 ON c3.i = 3 AND c3.g NOT IN (c1.g, c2.g)
+      JOIN gcell c4 ON c4.i = 4 AND c4.g NOT IN (c1.g, c2.g, c3.g)
+      JOIN gcell c5 ON c5.i = 5 AND c5.g NOT IN (c1.g, c2.g, c3.g, c4.g)
+      WHERE c1.i = 1
+    ),
+    assigned AS (
+      SELECT p.*, r.i, r.rg,
+             CASE r.i WHEN 1 THEN p.g1 WHEN 2 THEN p.g2 WHEN 3 THEN p.g3
+                  WHEN 4 THEN p.g4 ELSE p.g5 END AS g
+      FROM perms p CROSS JOIN regions r
+    ),
+    aranked AS (
+      SELECT a.g1, a.g2, a.g3, a.g4, a.g5, a.grank_total,
+             a.i, a.rg, a.g, gc.gr, gc.rr
+      FROM assigned a JOIN gcell gc ON gc.i = a.i AND gc.g = a.g
+    ),
+    stable AS (
+      -- a matching is stable iff NO (group, region) pair both strictly
+      -- prefer each other to their assigned partners
+      SELECT g1, g2, g3, g4, g5, grank_total
+      FROM aranked m
+      GROUP BY g1, g2, g3, g4, g5, grank_total
+      HAVING NOT EXISTS (
+        SELECT 1
+        FROM gcell cand
+        JOIN aranked mg ON mg.g1 = m.g1 AND mg.g2 = m.g2 AND mg.g3 = m.g3
+                       AND mg.g4 = m.g4 AND mg.g5 = m.g5 AND mg.g = cand.g
+        JOIN aranked mr ON mr.g1 = m.g1 AND mr.g2 = m.g2 AND mr.g3 = m.g3
+                       AND mr.g4 = m.g4 AND mr.g5 = m.g5 AND mr.i = cand.i
+        WHERE cand.gr < mg.gr AND cand.rr < mr.rr
+      )
+    ),
+    best AS (
+      SELECT * FROM stable
+      ORDER BY grank_total, g1, g2, g3, g4, g5 LIMIT 1
+    )
+    SELECT a.rg AS region,
+           CAST(a.g AS BIGINT) AS supplier_group,
+           CAST(a.gr AS BIGINT) AS group_pref_rank,
+           CAST(a.rr AS BIGINT) AS region_pref_rank,
+           CAST(b.grank_total AS BIGINT) AS group_rank_total
+    FROM best b
+    JOIN aranked a ON a.g1 = b.g1 AND a.g2 = b.g2 AND a.g3 = b.g3
+                  AND a.g4 = b.g4 AND a.g5 = b.g5
+    ORDER BY region
+"""
+
+
+@query("q_stable_matching", oracle=_SM_SQL, tags=("operations", "iterative"))
+def stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gale-Shapley deferred acceptance between the supplier cohorts and
+    the regions: both sides rank partners by the fulfillment-latency
+    matrix (q_optimal_assignment's costs — that query minimizes TOTAL
+    latency; this one guarantees NO blocking pair, the fairness notion
+    markets actually need: no cohort-region pair would jointly defect).
+    Spark runs the classic proposal algorithm on the collected 25-cell
+    matrix (O(model) driver state, the q_markov_absorption posture; the
+    proposal loop is inherently sequential and <= n^2 rounds). The
+    DuckDB oracle never simulates proposals: it enumerates all 5!
+    matchings, keeps those with NO blocking pair via the stability
+    definition, and selects the proposer-optimal one — which uniquely
+    minimizes every proposer's rank among stable matchings, hence the
+    rank total. Algorithm vs declarative characterization, hash-checked
+    against each other.
+
+    Determinism: preference ranks are total orders (cost rounded 6,
+    name/id tie-breaks); everything after is exact integer comparison.
+    Scale: one fact shuffle to the cost matrix; both solves are
+    O(model)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    cost = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(reg.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            (F.col("l_suppkey") % OA_GROUPS).alias("g"),
+            F.col("r_name").alias("rg"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.datediff("l_shipdate", "o_orderdate"))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+    )
+    rows = cost.collect()  # 25 cells — O(model), never O(rows)
+    groups = sorted({r["g"] for r in rows})
+    regions = sorted({r["rg"] for r in rows})
+    cmat = {(r["g"], r["rg"]): r["c"] for r in rows}
+    gpref = {
+        g: sorted(regions, key=lambda rg: (cmat[(g, rg)], rg)) for g in groups
+    }
+    rrank = {
+        rg: {
+            g: rank
+            for rank, g in enumerate(
+                sorted(groups, key=lambda g: (cmat[(g, rg)], g)), start=1
+            )
+        }
+        for rg in regions
+    }
+    next_prop = {g: 0 for g in groups}
+    engaged: dict[str, int] = {}
+    free = list(groups)
+    while free:
+        g = free.pop(0)
+        rg = gpref[g][next_prop[g]]
+        next_prop[g] += 1
+        if rg not in engaged:
+            engaged[rg] = g
+        elif rrank[rg][g] < rrank[rg][engaged[rg]]:
+            free.append(engaged[rg])
+            engaged[rg] = g
+        else:
+            free.append(g)
+    grank = {
+        g: {rg: rank for rank, rg in enumerate(gpref[g], start=1)} for g in groups
+    }
+    total = sum(grank[g][rg] for rg, g in engaged.items())
+    out = [
+        (rg, engaged[rg], grank[engaged[rg]][rg], rrank[rg][engaged[rg]], total)
+        for rg in sorted(engaged)
+    ]
+    return spark.createDataFrame(
+        out,
+        "region string, supplier_group bigint, group_pref_rank bigint,"
+        " region_pref_rank bigint, group_rank_total bigint",
+    )

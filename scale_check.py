@@ -385,6 +385,7 @@ QUERIES = [
     "q_kcenter_coreset",
     "q_uncertainty_sampling",
     "q_optimal_assignment",
+    "q_stable_matching",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
