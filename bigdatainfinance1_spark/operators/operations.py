@@ -1003,3 +1003,141 @@ def stable_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region string, supplier_group bigint, group_pref_rank bigint,"
         " region_pref_rank bigint, group_rank_total bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_knapsack — 0/1 budgeted selection with exact DP + bitmask reconstruction
+# ---------------------------------------------------------------------------
+
+KS_CAP = 40  # weight capacity (scaled units)
+KS_TARGET_W = 80.0  # weights scale so the 25 brands sum to ~this
+KS_N = 25  # brand count (mask bits)
+KS_KEY = 33554432  # 2^25: value-major, min-mask tiebreak encoding
+
+
+def _ks_oracle() -> str:
+    layers = ""
+    for j in range(1, KS_N + 1):
+        layers += f""",
+    it{j} AS (SELECT wt, v, bit FROM items WHERE idx = {j}),
+    c{j} AS (
+      SELECT w, v, mask FROM d{j - 1}
+      UNION ALL
+      SELECT p.w + i.wt, p.v + i.v, p.mask + i.bit
+      FROM d{j - 1} p CROSS JOIN it{j} i
+      WHERE p.w + i.wt <= {KS_CAP}
+    ),
+    d{j} AS MATERIALIZED (
+      SELECT w,
+             max_by(v, v * {KS_KEY} - mask) AS v,
+             max_by(mask, v * {KS_KEY} - mask) AS mask
+      FROM c{j} GROUP BY w
+    )"""
+    return f"""
+    WITH raw AS (
+      SELECT p.p_brand AS brand,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        / 100.0) AS BIGINT) AS v
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ),
+    tot AS (SELECT CAST(sum(qty) AS BIGINT) AS tq FROM raw),
+    items AS MATERIALIZED (
+      SELECT brand,
+             CAST(row_number() OVER (ORDER BY brand) AS BIGINT) AS idx,
+             greatest(1, CAST(round(qty / (tot.tq / {KS_TARGET_W})) AS BIGINT))
+               AS wt,
+             v,
+             CAST(power(2, row_number() OVER (ORDER BY brand) - 1) AS BIGINT)
+               AS bit
+      FROM raw CROSS JOIN tot
+    ),
+    d0 AS (SELECT CAST(0 AS BIGINT) AS w, CAST(0 AS BIGINT) AS v,
+                  CAST(0 AS BIGINT) AS mask){layers},
+    best AS (
+      SELECT w, v, mask FROM d{KS_N}
+      ORDER BY v DESC, mask, w LIMIT 1
+    )
+    SELECT i.brand,
+           i.wt AS weight,
+           i.v AS value_dollars,
+           b.w AS total_weight,
+           b.v AS total_value,
+           CAST({KS_CAP} AS BIGINT) AS capacity
+    FROM best b JOIN items i ON (b.mask & i.bit) <> 0
+    ORDER BY i.brand
+"""
+
+
+@query("q_knapsack", oracle=_ks_oracle(), tags=("operations", "iterative"))
+def knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0/1 knapsack over the brand catalog: pick brands maximizing total
+    revenue under a stocking-capacity budget (weights = demand-scaled
+    quantity units summing to ~{KS_TARGET_W}, capacity {KS_CAP}) — the
+    exact budgeted-selection DP behind assortment and campaign-budget
+    decisions (q_eoq_policy sizes orders per brand; this decides WHICH
+    brands make the constrained cut). Every DP state carries a BITMASK
+    of its chosen set, so the optimum reconstructs declaratively — no
+    backtracking pass — and ties resolve to the lexicographically
+    smallest mask, a total order.
+
+    The oracle unrolls one MATERIALIZED CTE per item (25 layers x <=
+    {KS_CAP}+1 capacity rows, argmax by the exact integer key
+    v*2^25 - mask); Spark collects the 25-item model (O(model), the
+    q_markov_absorption posture) and walks the identical recurrence.
+    Determinism: weights/values are exact integers (dollar-rounded
+    revenue; demand scaling is one exact double ratio rounded to
+    integer units); the DP is pure integer arithmetic end to end.
+    Scale: one fact-dim join to O(brands) items; both solves are
+    O(items x capacity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    raw = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    rows = raw.orderBy("brand").collect()  # O(brands) — model, never rows
+    tq = sum(r["qty"] for r in rows)
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    items = []
+    for idx, r in enumerate(rows, start=1):
+        wt = max(1, int(rnd(r["qty"] / (tq / KS_TARGET_W), 0)))
+        items.append((r["brand"], idx, wt, r["v"], 1 << (idx - 1)))
+    dp = {0: (0, 0)}  # w -> (v, mask)
+    for brand, idx, wt, v, bit in items:
+        nxt = dict(dp)
+        for w, (pv, pmask) in dp.items():
+            nw = w + wt
+            if nw > KS_CAP:
+                continue
+            cand = (pv + v, pmask + bit)
+            cur = nxt.get(nw)
+            if (
+                cur is None
+                or cand[0] * KS_KEY - cand[1] > cur[0] * KS_KEY - cur[1]
+            ):
+                nxt[nw] = cand
+        dp = nxt
+    best_w, (best_v, best_mask) = max(
+        dp.items(), key=lambda kv: (kv[1][0] * KS_KEY - kv[1][1], -kv[0])
+    )
+    out = [
+        (brand, wt, v, best_w, best_v, KS_CAP)
+        for brand, idx, wt, v, bit in items
+        if best_mask & bit
+    ]
+    return spark.createDataFrame(
+        out,
+        "brand string, weight bigint, value_dollars bigint,"
+        " total_weight bigint, total_value bigint, capacity bigint",
+    )

@@ -386,6 +386,7 @@ QUERIES = [
     "q_uncertainty_sampling",
     "q_optimal_assignment",
     "q_stable_matching",
+    "q_knapsack",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
