@@ -164,3 +164,166 @@ def huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rg")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_permutation_test — distribution-free two-sample test, deterministic draws
+# ---------------------------------------------------------------------------
+
+PT_B = 200  # permutations
+PT_SEG_A, PT_SEG_B = "BUILDING", "MACHINERY"
+PT_KNUTH = 2654435761
+PT_MOD = 2147483648
+
+_PT_SQL = f"""
+    WITH obs AS (
+      SELECT o.o_custkey AS id, c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('{PT_SEG_A}', '{PT_SEG_B}')
+    ),
+    base AS (
+      SELECT CAST(sum(CASE WHEN seg = '{PT_SEG_A}' THEN y ELSE 0 END) AS BIGINT)
+               AS sa,
+             CAST(sum(CASE WHEN seg = '{PT_SEG_A}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN seg = '{PT_SEG_B}' THEN y ELSE 0 END) AS BIGINT)
+               AS sb,
+             CAST(sum(CASE WHEN seg = '{PT_SEG_B}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM obs
+    ),
+    bs AS (SELECT unnest(range(1, {PT_B} + 1)) AS b),
+    perm AS (
+      SELECT bs.b,
+             CAST(sum(CASE WHEN (obs.id * {PT_KNUTH} + bs.b * 7919) % {PT_MOD}
+                                < {PT_MOD} / 2 THEN obs.y ELSE 0 END) AS BIGINT)
+               AS sa,
+             CAST(sum(CASE WHEN (obs.id * {PT_KNUTH} + bs.b * 7919) % {PT_MOD}
+                                < {PT_MOD} / 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(obs.y) AS BIGINT) AS st,
+             CAST(count(*) AS BIGINT) AS nt
+      FROM bs CROSS JOIN obs
+      GROUP BY bs.b
+    ),
+    pd AS (
+      SELECT b, abs(sa * 1e0 / na - (st - sa) * 1e0 / (nt - na)) AS adiff
+      FROM perm WHERE na > 0 AND na < nt
+    ),
+    od AS (
+      SELECT abs(sa * 1e0 / na - sb * 1e0 / nb) AS adiff,
+             round(sa * 1e0 / na / 100 - sb * 1e0 / nb / 100, 4) AS observed_diff,
+             na, nb
+      FROM base
+    )
+    SELECT od.na AS n_a, od.nb AS n_b, od.observed_diff,
+           CAST((SELECT count(*) FROM pd) AS BIGINT) AS n_perms,
+           CAST((SELECT count(*) FROM pd CROSS JOIN od o2
+                 WHERE pd.adiff >= o2.adiff) AS BIGINT) AS n_as_extreme,
+           round(((SELECT count(*) FROM pd CROSS JOIN od o2
+                   WHERE pd.adiff >= o2.adiff) + 1.0)
+                 / ((SELECT count(*) FROM pd) + 1.0), 6) AS p_value
+    FROM od
+"""
+
+
+@query("q_permutation_test", oracle=_PT_SQL, tags=("stats", "iterative"))
+def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test of mean order value, {PT_SEG_A} vs
+    {PT_SEG_B}: re-randomize the group labels {PT_B} times and count how
+    often the permuted |mean difference| reaches the observed one — the
+    distribution-free alternative whose validity needs NO normal theory
+    (q_welch_ttest's t-distribution is the asymptotic shortcut; when
+    tails are heavy or n is small, this is the reference answer), with
+    the add-one (B+1) p-value that keeps the test exact. Permutations
+    use the repo's SplitMix-style deterministic uniforms keyed by
+    (customer id, permutation index) — the q_poisson_bootstrap posture —
+    so both engines draw IDENTICAL reassignments and the whole null
+    distribution is hash-verifiable.
+
+    Determinism: group sums per permutation are exact integer cents
+    (one conditional aggregate per b, no float accumulation); mean
+    differences are ratios of exact integers; the extremeness count
+    compares identical doubles. Scale: one fact scan exploded x{PT_B}
+    (the bootstrap cost shape, map-side combinable); everything after
+    is O(B)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    obs = (
+        orders.join(
+            F.broadcast(
+                cust.select("c_custkey", "c_mktsegment").filter(
+                    F.col("c_mktsegment").isin(PT_SEG_A, PT_SEG_B)
+                )
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("id"),
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        )
+    )
+    base = obs.agg(
+        F.sum(F.when(F.col("seg") == PT_SEG_A, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("seg") == PT_SEG_A, 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("seg") == PT_SEG_B, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(F.when(F.col("seg") == PT_SEG_B, 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    bs = spark.range(1, PT_B + 1).select(F.col("id").alias("b"))
+    flip = ((F.col("id") * PT_KNUTH + F.col("b") * 7919) % PT_MOD) < PT_MOD / 2
+    perm = (
+        obs.crossJoin(F.broadcast(bs))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(flip, F.col("y")).otherwise(0)).cast("long").alias("sa"),
+            F.sum(F.when(flip, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum("y").cast("long").alias("st"),
+            F.count(F.lit(1)).cast("long").alias("nt"),
+        )
+        .filter((F.col("na") > 0) & (F.col("na") < F.col("nt")))
+        .select(
+            F.abs(
+                F.col("sa") * F.lit(1.0) / F.col("na")
+                - (F.col("st") - F.col("sa")) * F.lit(1.0) / (F.col("nt") - F.col("na"))
+            ).alias("adiff")
+        )
+    )
+    od = base.select(
+        "na",
+        "nb",
+        F.abs(
+            F.col("sa") * F.lit(1.0) / F.col("na")
+            - F.col("sb") * F.lit(1.0) / F.col("nb")
+        ).alias("oadiff"),
+        F.round(
+            F.col("sa") * F.lit(1.0) / F.col("na") / 100
+            - F.col("sb") * F.lit(1.0) / F.col("nb") / 100,
+            4,
+        ).alias("observed_diff"),
+    )
+    stats = perm.crossJoin(F.broadcast(od)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_perms"),
+        F.sum(F.when(F.col("adiff") >= F.col("oadiff"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_as_extreme"),
+    )
+    return od.crossJoin(F.broadcast(stats)).select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "observed_diff",
+        "n_perms",
+        "n_as_extreme",
+        F.round(
+            (F.col("n_as_extreme") + 1.0) / (F.col("n_perms") + 1.0), 6
+        ).alias("p_value"),
+    )

@@ -387,6 +387,7 @@ QUERIES = [
     "q_optimal_assignment",
     "q_stable_matching",
     "q_knapsack",
+    "q_permutation_test",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
