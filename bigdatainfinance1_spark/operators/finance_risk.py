@@ -1200,3 +1200,130 @@ def garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.avg("park")), 6).alias("parkinson_vol"),
         F.round(F.avg("n_ticks"), 2).alias("avg_ticks_per_bar"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_garch_grid — GARCH(1,1) quasi-likelihood fit by variance-targeted grid
+# ---------------------------------------------------------------------------
+
+GARCH_GRID = ((0.05, 0.5), (0.05, 0.7), (0.05, 0.9),
+              (0.1, 0.5), (0.1, 0.7), (0.2, 0.5), (0.2, 0.7))
+# (alpha, beta) candidates with alpha + beta <= 0.95; omega comes from
+# variance targeting, so the grid IS the whole parameter space.
+
+_GARCH_SQL = f"""
+    WITH RECURSIVE mm AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY mi
+    ),
+    rr AS (
+      SELECT a.mi,
+             CAST(round((a.cents * 1e0 / b.cents - 1e0) * 1000000) AS BIGINT) AS r6
+      FROM mm a JOIN mm b ON b.mi = a.mi - 1
+    ),
+    idx AS (
+      SELECT r.mi - x.mn + 1 AS t, r.r6
+      FROM rr r CROSS JOIN (SELECT min(mi) AS mn FROM rr) x
+    ),
+    nn AS (SELECT CAST(max(t) AS BIGINT) AS n FROM idx),
+    vbar AS (
+      SELECT round(sum(r6 * 1e0 * r6) / count(*) / 1e12, 12) AS v FROM idx
+    ),
+    grid(a, b) AS (VALUES {", ".join(f"({a}, {b})" for a, b in GARCH_GRID)}),
+    rec(a, b, t, sig2, ll) AS (
+      SELECT g.a, g.b, CAST(1 AS BIGINT), vbar.v, 0e0
+      FROM grid g CROSS JOIN vbar
+      UNION ALL
+      SELECT rec.a, rec.b, rec.t + 1,
+             round(vb.v * (1 - rec.a - rec.b)
+                   + rec.a * (ip.r6 * 1e0 * ip.r6 / 1e12)
+                   + rec.b * rec.sig2, 12),
+             round(rec.ll
+                   - (ln(round(vb.v * (1 - rec.a - rec.b)
+                               + rec.a * (ip.r6 * 1e0 * ip.r6 / 1e12)
+                               + rec.b * rec.sig2, 12))
+                      + (ic.r6 * 1e0 * ic.r6 / 1e12)
+                        / round(vb.v * (1 - rec.a - rec.b)
+                                + rec.a * (ip.r6 * 1e0 * ip.r6 / 1e12)
+                                + rec.b * rec.sig2, 12)), 12)
+      FROM rec
+      JOIN idx ip ON ip.t = rec.t
+      JOIN idx ic ON ic.t = rec.t + 1
+      CROSS JOIN vbar vb
+      CROSS JOIN nn
+      WHERE rec.t < nn.n
+    ),
+    fin AS (
+      SELECT rec.a, rec.b, round(rec.ll, 6) AS loglik
+      FROM rec CROSS JOIN nn WHERE rec.t = nn.n
+    )
+    SELECT f.a AS alpha, f.b AS beta,
+           round(vbar.v * (1 - f.a - f.b), 12) AS omega,
+           round(f.a + f.b, 2) AS persistence,
+           f.loglik,
+           f.loglik = (SELECT max(loglik) FROM fin) AS is_best
+    FROM fin f CROSS JOIN vbar
+    ORDER BY alpha, beta
+"""
+
+
+@query("q_garch_grid", oracle=_GARCH_SQL, tags=("finance", "risk", "recursive"))
+def garch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) volatility fit over the monthly return series by
+    quasi-log-likelihood grid search with VARIANCE TARGETING (omega =
+    vbar(1-alpha-beta), so the long-run variance is pinned to the
+    sample and the grid over (alpha, beta) IS the whole parameter
+    space): sig2_t = omega + alpha r^2_{{t-1}} + beta sig2_{{t-1}},
+    ll = -sum(ln sig2_t + r_t^2/sig2_t). The conditional-
+    heteroskedasticity model q_arch_lm tests FOR and q_riskmetrics_vol
+    hard-codes (EWMA is the alpha+beta=1, omega=0 boundary); the
+    persistence column alpha+beta is the half-life readout a risk desk
+    quotes. Full MLE refines the grid winner with a few Newton steps —
+    the grid tier keeps every quantity hash-verifiable.
+
+    Determinism: returns are exact 1e-6-grain BIGINTs; vbar rounds at
+    12; every recursion step re-rounds sig2 and the ll accumulator at
+    12 (the q_riskmetrics_vol recursive-CTE walk, 7 grid points in the
+    same recursion); is_best compares ROUNDED logliks. Spark runs the
+    identical recursion on the collected O(calendar) series (driver-
+    bounded model — the recursive-CTE-in-Spark version re-scans the
+    corpus per step). Scale: one monthly aggregate; O(grid x months)
+    after."""
+    import math
+
+    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias(
+                "mi"
+            )
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+        .orderBy("mi")
+    )
+    rows = monthly.collect()  # O(calendar) months — bounded model state
+    cents = [r["cents"] for r in rows]
+    r6 = [
+        int(rnd((cents[i] / cents[i - 1] - 1.0) * 1000000, 0))
+        for i in range(1, len(cents))
+    ]
+    n = len(r6)
+    vbar = rnd(sum(x * 1.0 * x for x in r6) / n / 1e12, 12)
+    out = []
+    for a, b in GARCH_GRID:
+        omega = vbar * (1 - a - b)
+        sig2, ll = vbar, 0.0
+        for t in range(1, n):
+            sig2 = rnd(omega + a * (r6[t - 1] * 1.0 * r6[t - 1] / 1e12) + b * sig2, 12)
+            ll = rnd(ll - (math.log(sig2) + (r6[t] * 1.0 * r6[t] / 1e12) / sig2), 12)
+        out.append((a, b, rnd(omega, 12), rnd(a + b, 2), rnd(ll, 6)))
+    best = max(o[4] for o in out)
+    final = [(a, b, w, p, l, l == best) for a, b, w, p, l in out]
+    return spark.createDataFrame(
+        sorted(final),
+        "alpha double, beta double, omega double, persistence double,"
+        " loglik double, is_best boolean",
+    )

@@ -388,6 +388,7 @@ QUERIES = [
     "q_stable_matching",
     "q_knapsack",
     "q_permutation_test",
+    "q_garch_grid",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
