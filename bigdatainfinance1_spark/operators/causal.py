@@ -1,7 +1,7 @@
 """Causal-effect estimation beyond randomized experiments (round 4):
 instrumental variables (Wald / two-stage least squares with the
-Staiger-Stock weak-instrument diagnostic) and, below it, the
-removal-effect layer of q_markov_transitions. Sits beside
+Staiger-Stock weak-instrument diagnostic) and the Simpson's-paradox
+aggregation-reversal audit. Sits beside
 experimentation.py's design-based estimators (CUPED, diff-in-diff,
 IPW/AIPW, regression discontinuity): those need an assignment mechanism;
 the IV layer is what's left when treatment is endogenous and all you
@@ -186,245 +186,6 @@ def iv_wald_2sls(spark: SparkSession, sf_dir: str) -> DataFrame:
         fstat.alias("first_stage_f"),
         (fstat < IV_WEAK_F).alias("weak_instrument"),
     ).orderBy("rg")
-
-
-# ---------------------------------------------------------------------------
-# q_markov_removal_attribution — multi-touch attribution by removal effects
-# ---------------------------------------------------------------------------
-
-MRA_ITERS = 16
-MRA_CHANNELS = ("click", "error", "signup", "view")  # the non-conversion
-# event alphabet of the synthetic events table, standing in for marketing
-# channels; 'purchase' is the conversion (absorbing) state.
-MRA_GAP_US = 30 * 60 * 1000000  # the repo's 30-minute session cut
-
-
-def _mra_chain(tag: str, removed: str | None) -> str:
-    """One truncated absorbing-chain solve as {MRA_ITERS} chained CTEs:
-    v_k(f) = round(b_f + sum_t q(f,t) v_{k-1}(t), 12), with channel
-    `removed` excluded from both the state set and the targets (its
-    incoming mass is simply lost — the removal-effect convention, no
-    renormalization)."""
-    drop = f" AND f <> '{removed}'" if removed else ""
-    dropt = f" AND t <> '{removed}'" if removed else ""
-    head = f""",
-    b_{tag} AS MATERIALIZED (
-      SELECT f, coalesce(max(CASE WHEN t = 'purchase' THEN p END), 0) AS bp
-      FROM tp WHERE 1=1{drop} GROUP BY f
-    ),
-    q_{tag} AS MATERIALIZED (
-      SELECT f, t, p FROM tp
-      WHERE t NOT IN ('purchase', 'DROP'){drop}{dropt}
-    ),
-    v_{tag}_0 AS (SELECT f, 0.0 AS vp FROM b_{tag})"""
-    steps = ""
-    for k in range(1, MRA_ITERS + 1):
-        steps += f""",
-    v_{tag}_{k} AS (
-      SELECT b.f, round(b.bp + coalesce(sum(q.p * v.vp), 0), 12) AS vp
-      FROM b_{tag} b
-      LEFT JOIN q_{tag} q ON q.f = b.f
-      LEFT JOIN v_{tag}_{k - 1} v ON q.t = v.f
-      GROUP BY b.f, b.bp
-    )"""
-    return head + steps
-
-
-def _mra_oracle() -> str:
-    chains = _mra_chain("base", None)
-    scen_rows = []
-    for c in MRA_CHANNELS:
-        chains += _mra_chain(c, c)
-        scen_rows.append(
-            f"SELECT '{c}' AS channel,"
-            f" (SELECT vp FROM v_base_{MRA_ITERS} WHERE f = 'START') AS v_full,"
-            f" (SELECT vp FROM v_{c}_{MRA_ITERS} WHERE f = 'START') AS v_removed"
-        )
-    scen = " UNION ALL ".join(scen_rows)
-    return f"""
-    WITH flagged AS (
-      SELECT user_id, ts, event_id, event_type,
-        CASE WHEN lag(ts) OVER w IS NULL
-               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {MRA_GAP_US}
-             THEN 1 ELSE 0 END AS new_session
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sessions AS (
-      SELECT user_id, ts, event_id, event_type,
-        sum(new_session) OVER (
-          PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS sid
-      FROM flagged
-    ),
-    rowed AS (
-      SELECT user_id, sid, event_type,
-        row_number() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
-      FROM sessions
-    ),
-    numbered AS (
-      SELECT user_id, sid, event_type, rn,
-        min(CASE WHEN event_type = 'purchase' THEN rn END)
-          OVER (PARTITION BY user_id, sid) AS prn
-      FROM rowed
-    ),
-    kept AS (
-      SELECT user_id, sid, event_type, rn,
-        lead(event_type) OVER (PARTITION BY user_id, sid ORDER BY rn) AS nxt
-      FROM numbered WHERE prn IS NULL OR rn <= prn
-    ),
-    edges AS (
-      SELECT 'START' AS f, event_type AS t FROM kept WHERE rn = 1
-      UNION ALL
-      SELECT event_type AS f, coalesce(nxt, 'DROP') AS t
-      FROM kept WHERE event_type <> 'purchase'
-    ),
-    tp AS MATERIALIZED (
-      -- MATERIALIZED: tp is referenced by all 10 per-scenario b/q CTEs;
-      -- inlining would re-run the whole sessionization pipeline each time
-      SELECT f, t,
-        round(count(*) * 1e0 / sum(count(*)) OVER (PARTITION BY f), 12) AS p
-      FROM edges GROUP BY f, t
-    ){chains},
-    conv AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_conv FROM (
-        SELECT DISTINCT user_id, sid FROM numbered WHERE prn IS NOT NULL
-      )
-    ),
-    re AS (
-      SELECT channel, round((v_full - v_removed) / v_full, 12) AS re
-      FROM ({scen})
-    )
-    SELECT channel,
-           round(re, 6) AS removal_effect,
-           round(re / sum(re) OVER (), 6) AS attribution_share,
-           round(round(re / sum(re) OVER (), 6) * n_conv, 2)
-             AS attributed_conversions
-    FROM re CROSS JOIN conv
-    ORDER BY channel
-    """
-
-
-@query(
-    "q_markov_removal_attribution",
-    oracle=_mra_oracle(),
-    tags=("analytics", "events", "iterative"),
-)
-def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-order Markov multi-touch attribution by removal effects
-    (Anderl et al. 2016): journeys are 30-minute sessions truncated at
-    the first purchase, states are START / the four channel event types /
-    purchase (absorbing) / DROP (session ends unconverted). For each
-    channel c, re-solve the chain with c's incoming transitions lost (no
-    renormalization) and score RE_c = (V - V_c)/V where V is
-    P(START -> purchase); attribution shares normalize the REs and split
-    the session-conversion count. Answers what last-touch and q_shapley_
-    attribution answer with different credit logic — the Markov variant
-    prices a channel by how much conversion DISAPPEARS without it. The
-    synthetic event alphabet stands in for channels (yes, 'error' earns
-    credit whenever journeys route through it — mechanics demo).
-
-    Execution is the q_markov_absorption bounded-model pattern: one
-    user-keyed sequence shuffle builds the <=6x6 12-dp transition matrix;
-    it collects to the driver (O(states^2), never O(rows)) for 5
-    scenario solves of {MRA_ITERS} rounded fixed-point steps each, while
-    the DuckDB oracle unrolls the IDENTICAL iterations as 80 chained
-    CTEs — both engines walk bit-identical 12-dp state (half-away
-    rounding shared via rnd_half_away; shares re-round at 6; the
-    attributed split multiplies the ROUNDED share by the exact BIGINT
-    conversion count). At 100 TB the session pass is the cost; solves
-    are O(states^2) regardless of rows."""
-    from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
-
-    ev = load_table(spark, sf_dir, "events")
-    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.when(
-            F.lag("ts").over(w_user).isNull()
-            | (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_user))
-                > MRA_GAP_US
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    run = w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessions = flagged.withColumn("sid", F.sum("new_session").over(run))
-    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
-    w_part = Window.partitionBy("user_id", "sid")
-    numbered = sessions.select(
-        "user_id",
-        "sid",
-        "event_type",
-        F.row_number().over(w_sess).alias("rn"),
-    ).withColumn(
-        "prn",
-        F.min(F.when(F.col("event_type") == "purchase", F.col("rn"))).over(w_part),
-    )
-    w_kept = Window.partitionBy("user_id", "sid").orderBy("rn")
-    kept = numbered.filter(
-        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
-    ).withColumn("nxt", F.lead("event_type").over(w_kept))
-    edges = (
-        kept.filter(F.col("rn") == 1)
-        .select(F.lit("START").alias("f"), F.col("event_type").alias("t"))
-        .unionByName(
-            kept.filter(F.col("event_type") != "purchase").select(
-                F.col("event_type").alias("f"),
-                F.coalesce("nxt", F.lit("DROP")).alias("t"),
-            )
-        )
-    )
-    wf = Window.partitionBy("f")
-    tp = (
-        edges.groupBy("f", "t")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("p", F.round(F.col("n") * 1.0 / F.sum("n").over(wf), 12))
-        .select("f", "t", "p")
-    )
-    rows = tp.collect()  # <= states^2 rows — O(model), never O(data)
-    n_conv = (
-        numbered.filter(F.col("prn").isNotNull())
-        .select("user_id", "sid")
-        .distinct()
-        .count()
-    )
-    P = {(r["f"], r["t"]): r["p"] for r in rows}
-    all_states = ["START", *MRA_CHANNELS]
-
-    def solve(removed: str | None) -> float:
-        states = [s for s in all_states if s != removed]
-        v = {s: 0.0 for s in states}
-        for _ in range(MRA_ITERS):
-            v = {
-                s: rnd(
-                    P.get((s, "purchase"), 0.0)
-                    + sum(P.get((s, t), 0.0) * v[t] for t in states),
-                    12,
-                )
-                for s in states
-            }
-        return v["START"]
-
-    v_full = solve(None)
-    re = {c: rnd((v_full - solve(c)) / v_full, 12) for c in MRA_CHANNELS}
-    total = sum(re[c] for c in MRA_CHANNELS)
-    out = []
-    for c in MRA_CHANNELS:
-        share = rnd(re[c] / total, 6)
-        out.append((c, rnd(re[c], 6), share, rnd(share * n_conv, 2)))
-    return spark.createDataFrame(
-        out,
-        "channel string, removal_effect double, attribution_share double,"
-        " attributed_conversions double",
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -348,7 +348,6 @@ QUERIES = [
     "q_team_draft_interleave",
     "q_levene_test",
     "q_iv_wald_2sls",
-    "q_markov_removal_attribution",
     "q_cr4_concentration",
     "q_abc_inventory",
     "q_doremi_weights",
