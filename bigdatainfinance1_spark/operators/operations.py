@@ -476,108 +476,6 @@ def cr4_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_abc_inventory — Pareto ABC classification of parts by revenue
-# ---------------------------------------------------------------------------
-
-_ABC_SQL = """
-    WITH rev AS (
-      SELECT l.l_partkey AS pk,
-             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                           AS BIGINT)) AS BIGINT) AS r
-      FROM lineitem l GROUP BY l.l_partkey
-    ),
-    cum AS (
-      SELECT pk, r,
-             CAST(sum(r) OVER (ORDER BY r DESC, pk
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
-             CAST(sum(r) OVER () AS BIGINT) AS total,
-             CAST(count(*) OVER () AS BIGINT) AS n_total
-      FROM rev
-    ),
-    classed AS (
-      SELECT pk, r, total, n_total,
-             CASE WHEN 5 * (c - r) < 4 * total THEN 'A'
-                  WHEN 20 * (c - r) < 19 * total THEN 'B'
-                  ELSE 'C' END AS abc
-      FROM cum
-    )
-    SELECT abc,
-           CAST(count(*) AS BIGINT) AS n_parts,
-           round(count(*) * 1e0 / max(n_total), 6) AS share_of_parts,
-           round(CAST(sum(r) AS BIGINT) * 1e0 / max(total), 6) AS share_of_revenue
-    FROM classed GROUP BY abc ORDER BY abc
-"""
-
-
-@query("q_abc_inventory", oracle=_ABC_SQL, tags=("analytics",))
-def abc_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ABC (Pareto) inventory classification: rank parts by revenue,
-    class A = items before the cumulative 80% mark, B = to 95%, C =
-    the tail, reporting each class's item share vs revenue share — the
-    80/20 screen every inventory policy (q_eoq_policy's ordering costs,
-    cycle-count frequency) keys off. An item is classed by the
-    cumulative total BEFORE it (c - r), so the item that crosses a
-    boundary stays in the upper class — the textbook convention.
-
-    Determinism: revenue is exact integer cents; the cumulative sum
-    runs over the total order (r DESC, pk) so every prefix is exact;
-    class boundaries are pure BIGINT comparisons (5*(c-r) < 4*total),
-    no float thresholds anywhere — only the two reported shares divide,
-    at the very end, rounded 6.
-
-    Scale: the fact scan reduces to one row per part BEFORE any
-    ordering, and the cumulative sum is functions/ranks.py's
-    range-partitioned two-pass prefix sum — no single-partition window
-    even at a 100 TB catalog; the grand totals are one broadcast
-    scalar."""
-    from bigdatainfinance1_spark.functions.ranks import global_running_sum
-
-    li = load_table(spark, sf_dir, "lineitem")
-    rev = (
-        li.select(
-            F.col("l_partkey").alias("pk"),
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-            .cast("long")
-            .alias("cents"),
-        )
-        .groupBy("pk")
-        .agg(F.sum("cents").cast("long").alias("r"))
-    )
-    totals = rev.agg(
-        F.sum("r").cast("long").alias("total"),
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-    )
-    cum = (
-        global_running_sum(rev, [F.col("r").desc(), F.col("pk")], "r", "c")
-        .withColumn("c", F.col("c").cast("long"))
-        .crossJoin(F.broadcast(totals))
-    )
-    classed = cum.select(
-        "pk",
-        "r",
-        "total",
-        "n_total",
-        F.when(5 * (F.col("c") - F.col("r")) < 4 * F.col("total"), "A")
-        .when(20 * (F.col("c") - F.col("r")) < 19 * F.col("total"), "B")
-        .otherwise("C")
-        .alias("abc"),
-    )
-    return (
-        classed.groupBy("abc")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_parts"),
-            F.round(F.count(F.lit(1)) * F.lit(1.0) / F.max("n_total"), 6).alias(
-                "share_of_parts"
-            ),
-            F.round(F.sum("r").cast("long") * F.lit(1.0) / F.max("total"), 6).alias(
-                "share_of_revenue"
-            ),
-        )
-        .orderBy("abc")
-    )
-
-
-# ---------------------------------------------------------------------------
 # q_ndr_grr — net / gross revenue retention by customer base year
 # ---------------------------------------------------------------------------
 

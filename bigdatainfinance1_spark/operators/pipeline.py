@@ -472,60 +472,6 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_gumbel_topk_sample — deterministic weighted sampling without replacement
-# ---------------------------------------------------------------------------
-
-GTK_K = 20
-GTK_KNUTH = 2654435761  # the repo's SplitMix-style deterministic uniform
-GTK_SALT = 98765
-GTK_MOD = 2147483648
-
-_GTK_SQL = f"""
-    WITH keyed AS (
-      SELECT doc_id, source, n_chars,
-             ((doc_id * {GTK_KNUTH} + {GTK_SALT}) % {GTK_MOD} + 1) * 1e0
-               / ({GTK_MOD} + 1) AS u
-      FROM documents
-    ),
-    scored AS (
-      SELECT doc_id, source, n_chars,
-             round(ln(n_chars) - ln(-ln(u)), 6) AS gkey
-      FROM keyed
-    )
-    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
-           gkey AS gumbel_key
-    FROM scored
-    ORDER BY gkey DESC, doc_id
-    LIMIT {GTK_K}
-"""
-
-
-@query("q_gumbel_topk_sample", oracle=_GTK_SQL, tags=("llm-pipeline", "sampling"))
-def gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling WITHOUT replacement via the Gumbel-top-k trick:
-    score every document ln(w) + Gumbel(0,1) with w = n_chars and keep
-    the global top-{GTK_K} — distributionally identical to sequential
-    draw-remove-renormalize sampling proportional to w, but expressed as
-    one embarrassingly-parallel map + TakeOrdered, the ONLY shape
-    sequential weighted sampling can take at 100 TB (the same trick in
-    reverse makes q_dsir_select's importance resampling tractable). The
-    Gumbel noise comes from the repo's SplitMix-style deterministic
-    uniform (-ln(-ln(u)), u strictly inside (0,1)), so the 'random'
-    draw itself is reproducible and hash-verifiable engine-to-engine —
-    the q_poisson_bootstrap posture.
-
-    ONE SQL text runs verbatim on both engines. Determinism: u is an
-    exact integer ratio (products < 2^53), ln/ln compose on identical
-    doubles, keys round at 6 dp, and the cut orders by (key, doc_id) —
-    total order. Scale: one map pass + a top-k; no shuffle beyond
-    TakeOrdered."""
-    from bigdatainfinance1_spark.sources.catalog import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(_GTK_SQL)
-
-
-# ---------------------------------------------------------------------------
 # q_doremi_weights — excess-loss domain reweighting (DoReMi, one EG step)
 # ---------------------------------------------------------------------------
 

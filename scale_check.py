@@ -344,12 +344,10 @@ QUERIES = [
     "q_theta_method",
     "q_lof_outliers",
     "q_fellegi_sunter",
-    "q_gumbel_topk_sample",
     "q_team_draft_interleave",
     "q_levene_test",
     "q_iv_wald_2sls",
     "q_cr4_concentration",
-    "q_abc_inventory",
     "q_doremi_weights",
     "q_sequential_patterns",
     "q_simpsons_paradox",

@@ -1231,7 +1231,6 @@ def test_round4_session_wave_plans(spark):
         "q_sequential_patterns",
         "q_ndr_grr",
         "q_cr4_concentration",
-        "q_abc_inventory",
         "q_doremi_weights",
         "q_western_electric",
         "q_frequent_itemsets",
@@ -1241,7 +1240,6 @@ def test_round4_session_wave_plans(spark):
         "q_boxcox_lambda",
         "q_huber_mean",
         "q_team_draft_interleave",
-        "q_gumbel_topk_sample",
     ):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
