@@ -73,6 +73,11 @@ HEADLINE = [
     # (blocked levenshtein + iterative CC) and the winnowing fingerprint
     # pass (gram explode + per-doc window min + df-capped partner join)
     "q_entity_resolution",
+    # Round-4 closing heavies: item-CF list-metrics (co-purchase model +
+    # basket scoring join) and grid DBSCAN (cell census + pointer-jumping
+    # connected components)
+    "q_recsys_list_metrics",
+    "q_grid_dbscan",
     "q_winnowing_fingerprint",
 ]
 
