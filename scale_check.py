@@ -386,6 +386,8 @@ QUERIES = [
     "q_knapsack",
     "q_permutation_test",
     "q_garch_grid",
+    "q_interarrival_burstiness",
+    "q_competing_risks",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
