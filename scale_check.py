@@ -388,6 +388,7 @@ QUERIES = [
     "q_garch_grid",
     "q_interarrival_burstiness",
     "q_competing_risks",
+    "q_bs_greeks",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
