@@ -1327,3 +1327,109 @@ def garch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alpha double, beta double, omega double, persistence double,"
         " loglik double, is_best boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_kyle_lambda — price impact per venue over the custom tick feed
+# ---------------------------------------------------------------------------
+
+KL_M31 = 2147483648  # 2^31: tick prices are exact multiples of 10/2^31
+
+_KL_SQL = f"""
+    WITH ticks AS (
+      SELECT i AS tick_id, i % 8 AS venue,
+             CAST(round((100.0 + ((1103515245 * i + 12345) % {KL_M31})
+                         / {KL_M31}.0 * 10.0) * {KL_M31}) AS BIGINT) AS p31,
+             ((69069 * i + 1) % 97) + 1 AS qty
+      FROM range(20000) t(i)
+    ),
+    seq AS (
+      SELECT venue, p31, qty,
+             p31 - lag(p31) OVER (PARTITION BY venue ORDER BY tick_id) AS dp
+      FROM ticks
+    ),
+    signed AS (
+      SELECT venue, dp,
+             CASE WHEN dp > 0 THEN qty WHEN dp < 0 THEN -qty ELSE 0 END AS sv
+      FROM seq WHERE dp IS NOT NULL
+    ),
+    mom AS (
+      SELECT venue, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(sv) AS BIGINT) AS sx,
+             CAST(sum(dp) AS BIGINT) AS sy,
+             CAST(sum(sv * sv) AS BIGINT) AS sxx,
+             CAST(sum(sv * dp) AS BIGINT) AS sxy,
+             sum(CAST(dp AS DOUBLE) * dp) AS syy
+      FROM signed GROUP BY venue
+    )
+    SELECT CAST(venue AS BIGINT) AS venue, n,
+           round((n * 1e0 * sxy - sx * 1e0 * sy)
+                 / (n * 1e0 * sxx - sx * 1e0 * sx)
+                 / {KL_M31} * 1000, 8) AS lambda_per_1k_shares,
+           round((n * 1e0 * sxy - sx * 1e0 * sy)
+                 / (sqrt(n * 1e0 * sxx - sx * 1e0 * sx)
+                    * sqrt(n * syy - sy * 1e0 * sy)), 6) AS flow_price_corr
+    FROM mom ORDER BY venue
+"""
+
+
+@query("q_kyle_lambda", oracle=_KL_SQL, tags=("finance", "microstructure", "connector"))
+def kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's lambda — price impact per unit of signed order flow — per
+    venue over the custom synthetic tick feed (sources/ticks.py, the
+    same generator q_python_datasource reads): classify each tick's
+    direction by the tick rule (sign of the price change), regress
+    price changes on signed volume, and report lambda per 1000 shares
+    with the flow-price correlation. On this uncorrelated generator
+    lambda ~ 0 — the calibrated NULL a real feed's impact estimate is
+    judged against; q_roll_measure infers spread from the SAME price
+    series' autocovariance, lambda prices its depth.
+
+    Determinism: prices are exact multiples of 10/2^31, so p31 = round
+    (price * 2^31) is an EXACT BIGINT on both engines (DuckDB's range
+    arithmetic reproduces the generator bit-for-bit — the
+    q_python_datasource oracle trick); every regression moment is an
+    exact integer sum; lambda composes them in one double expression
+    rounded 8/6. Scale: venue-partitioned lag windows (the generator
+    strides ticks across venues), O(venues) after — tick regressions
+    shard by instrument exactly like this at any scale."""
+    from bigdatainfinance1_spark.sources import ticks as ticks_src
+
+    ticks_src.register(spark)
+    t = spark.read.format("synthetic_ticks").load()
+    ticks = t.select(
+        "tick_id",
+        F.col("part_id").cast("long").alias("venue"),
+        F.round(F.col("price") * KL_M31).cast("long").alias("p31"),
+        F.col("qty").cast("long").alias("qty"),
+    )
+    w = Window.partitionBy("venue").orderBy("tick_id")
+    seq = ticks.withColumn("dp", F.col("p31") - F.lag("p31").over(w)).filter(
+        F.col("dp").isNotNull()
+    )
+    signed = seq.select(
+        "venue",
+        "dp",
+        F.when(F.col("dp") > 0, F.col("qty"))
+        .when(F.col("dp") < 0, -F.col("qty"))
+        .otherwise(0)
+        .alias("sv"),
+    )
+    mom = signed.groupBy("venue").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("sv").cast("long").alias("sx"),
+        F.sum("dp").cast("long").alias("sy"),
+        F.sum(F.col("sv") * F.col("sv")).cast("long").alias("sxx"),
+        F.sum(F.col("sv") * F.col("dp")).cast("long").alias("sxy"),
+        F.sum(F.col("dp").cast("double") * F.col("dp")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = n * F.lit(1.0) * F.col("sxy") - sx * F.lit(1.0) * sy
+    varx = n * F.lit(1.0) * F.col("sxx") - sx * F.lit(1.0) * sx
+    vary = n * F.col("syy") - sy * F.lit(1.0) * sy
+    return mom.select(
+        F.col("venue").cast("long").alias("venue"),
+        "n",
+        F.round(cov / varx / KL_M31 * 1000, 8).alias("lambda_per_1k_shares"),
+        F.round(cov / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("flow_price_corr"),
+    ).orderBy("venue")

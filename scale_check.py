@@ -389,6 +389,7 @@ QUERIES = [
     "q_interarrival_burstiness",
     "q_competing_risks",
     "q_bs_greeks",
+    "q_kyle_lambda",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
