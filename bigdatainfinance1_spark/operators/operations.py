@@ -1039,3 +1039,95 @@ def knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand string, weight bigint, value_dollars bigint,"
         " total_weight bigint, total_value bigint, capacity bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fulfillment_aging — aging buckets for order completion, the AR-style report
+# ---------------------------------------------------------------------------
+
+_AGING_SQL = """
+    WITH done AS (
+      SELECT o.o_orderkey, o.o_orderpriority AS priority,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             datediff('day', o.o_orderdate, max(l.l_shipdate)) AS age_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_totalprice, o.o_orderdate
+    ),
+    bucketed AS (
+      SELECT priority, cents, age_days,
+             CASE WHEN age_days <= 30 THEN '0-30'
+                  WHEN age_days <= 60 THEN '31-60'
+                  WHEN age_days <= 90 THEN '61-90'
+                  ELSE '90+' END AS bucket
+      FROM done
+    )
+    SELECT priority, bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS value,
+           round(sum(cents) * 1e0
+                 / sum(sum(cents)) OVER (PARTITION BY priority), 6)
+             AS share_of_priority,
+           CAST(max(age_days) AS BIGINT) AS max_age_days
+    FROM bucketed
+    GROUP BY priority, bucket
+    ORDER BY priority, bucket
+"""
+
+
+@query("q_fulfillment_aging", oracle=_AGING_SQL, tags=("analytics", "operations"))
+def fulfillment_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report on order fulfillment: each order's age = days from
+    order date to its LAST shipped line, bucketed into the classic
+    0-30/31-60/61-90/90+ bands per order priority with counts, value,
+    and each band's share of its priority lane — the accounts-
+    receivable-style aging mechanics (bucket, subtotal, share-of-lane)
+    applied to the fulfillment book, where a fat 90+ band in an URGENT
+    lane is the operational red flag. Complements q_scd2_intervals'
+    point-in-time state with a closed-book aging census.
+
+    Determinism: ages are exact day diffs, value is exact cents, the
+    lane share divides exact sums (window over the bounded
+    priority-bucket relation), rounded 2/6. Scale: one fact-fact join
+    pre-aggregated per order (map-side max over ship dates), then an
+    O(priorities x buckets) rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    done = (
+        orders.join(
+            li.select("l_orderkey", "l_shipdate"),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderdate",
+        )
+        .agg(F.datediff(F.max("l_shipdate"), F.first("o_orderdate")).alias("age_days"))
+    )
+    bucketed = done.select(
+        "priority",
+        "cents",
+        "age_days",
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("priority")
+    agg = bucketed.groupBy("priority", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("c"),
+        F.max("age_days").cast("long").alias("max_age_days"),
+    )
+    return agg.select(
+        "priority",
+        "bucket",
+        "n_orders",
+        F.round(F.col("c") / 100.0, 2).alias("value"),
+        F.round(F.col("c") * F.lit(1.0) / F.sum("c").over(w), 6).alias(
+            "share_of_priority"
+        ),
+        "max_age_days",
+    ).orderBy("priority", "bucket")

@@ -390,6 +390,7 @@ QUERIES = [
     "q_competing_risks",
     "q_bs_greeks",
     "q_kyle_lambda",
+    "q_fulfillment_aging",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
