@@ -899,3 +899,151 @@ def uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("margin", "doc_id")
         .limit(US_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_learning_curve — classifier accuracy vs training-set size
+# ---------------------------------------------------------------------------
+
+LC_CUTS = (20, 40, 60, 80)  # train on the first k% of doc ids, eval the rest
+
+_LC_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM documents),
+    cuts AS (
+      SELECT k, mx.m * k // 100 AS cut
+      FROM (SELECT unnest(ARRAY{list(LC_CUTS)}) AS k) kk CROSS JOIN mx
+    ),
+    lt AS (
+      SELECT c.k, t.lang, t.term, count(*) AS n
+      FROM tok t JOIN cuts c ON t.doc_id <= c.cut
+      GROUP BY c.k, t.lang, t.term
+    ),
+    profile AS (
+      SELECT k, lang AS p_lang, term FROM (
+        SELECT k, lang, term,
+               row_number() OVER (PARTITION BY k, lang
+                                  ORDER BY n DESC, term) AS rn
+        FROM lt
+      ) WHERE rn <= 20
+    ),
+    holdout AS (
+      SELECT c.k, t.doc_id, t.term
+      FROM (SELECT DISTINCT doc_id, term FROM tok) t
+      JOIN cuts c ON t.doc_id > c.cut
+    ),
+    votes AS (
+      SELECT h.k, h.doc_id, p.p_lang, CAST(count(*) AS BIGINT) AS overlap
+      FROM holdout h
+      JOIN profile p ON p.k = h.k AND p.term = h.term
+      GROUP BY h.k, h.doc_id, p.p_lang
+    ),
+    guess AS (
+      SELECT k, doc_id, p_lang FROM (
+        SELECT k, doc_id, p_lang,
+               row_number() OVER (PARTITION BY k, doc_id
+                                  ORDER BY overlap DESC, p_lang) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    ),
+    train_n AS (
+      SELECT c.k, CAST(count(*) AS BIGINT) AS n_train
+      FROM documents d JOIN cuts c ON d.doc_id <= c.cut GROUP BY c.k
+    )
+    SELECT g.k AS train_pct, t.n_train,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN g.p_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN g.p_lang = d.lang THEN 1 ELSE 0 END) * 1e0
+                 / count(*), 6) AS accuracy
+    FROM guess g
+    JOIN documents d ON g.doc_id = d.doc_id
+    JOIN train_n t ON t.k = g.k
+    GROUP BY g.k, t.n_train
+    ORDER BY train_pct
+"""
+
+
+@query("q_learning_curve", oracle=_LC_SQL, tags=("ml", "llm-pipeline", "text"))
+def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-efficiency curve of the corpus-profile language classifier:
+    train on the first {LC_CUTS}% of documents (by id — the arrival
+    order of a crawl), evaluate on every LATER document, and report
+    holdout accuracy per training fraction — the data-scaling question
+    ('do we need more labeled data, or are we saturated?') answered as
+    one relation. Marginal accuracy between cuts is the VALUE of the
+    extra data — the macro complement of q_uncertainty_sampling's
+    per-document selection; pairs with q_heaps_law (vocabulary growth
+    is what feeds the profiles).
+
+    Determinism: profiles and votes are exact integer counts with the
+    q_langid_profile tie-breaks, per training cut; accuracies divide
+    exact BIGINTs, rounded 6. Scale: ONE token scan fans out to all
+    cuts via the cutoff join (no per-cut re-scan); profiles stay
+    vocabulary-sized per cut; windows partition by (cut, lang) and
+    (cut, doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    m = docs.agg(F.max("doc_id").cast("long").alias("m"))
+    cuts = (
+        spark.createDataFrame([(k,) for k in LC_CUTS], "k long")
+        .crossJoin(F.broadcast(m))
+        .select("k", F.floor(F.col("m") * F.col("k") / 100).cast("long").alias("cut"))
+        .localCheckpoint()  # 4 rows
+    )
+    lt = (
+        tok.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("cut"))
+        .groupBy("k", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_prof = Window.partitionBy("k", "lang").orderBy(F.col("n").desc(), "term")
+    profile = (
+        lt.withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= 20)
+        .select("k", F.col("lang").alias("p_lang"), "term")
+    )
+    holdout = (
+        tok.select("doc_id", "term")
+        .distinct()
+        .crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") > F.col("cut"))
+        .select("k", "doc_id", "term")
+    )
+    votes = holdout.join(F.broadcast(profile), ["k", "term"]).groupBy(
+        "k", "doc_id", "p_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    w_g = Window.partitionBy("k", "doc_id").orderBy(F.col("overlap").desc(), "p_lang")
+    guess = (
+        votes.withColumn("rn", F.row_number().over(w_g))
+        .filter(F.col("rn") == 1)
+        .select("k", "doc_id", "p_lang")
+    )
+    train_n = (
+        docs.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") <= F.col("cut"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    )
+    correct = F.when(F.col("p_lang") == F.col("lang"), 1).otherwise(0)
+    return (
+        guess.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(correct).cast("long").alias("n_correct"),
+        )
+        .join(F.broadcast(train_n), "k")
+        .select(
+            F.col("k").alias("train_pct"),
+            "n_train",
+            "n_eval",
+            "n_correct",
+            F.round(F.col("n_correct") * F.lit(1.0) / F.col("n_eval"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("train_pct")
+    )

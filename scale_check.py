@@ -391,6 +391,7 @@ QUERIES = [
     "q_bs_greeks",
     "q_kyle_lambda",
     "q_fulfillment_aging",
+    "q_learning_curve",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
