@@ -673,3 +673,45 @@ def test_ridge_path_shrinks_toward_zero(spark):
     for a, b in zip(lams, lams[1:]):
         assert abs(rows[b]["beta_trend"]) <= abs(rows[a]["beta_trend"]) + 1e-9
         assert abs(rows[b]["beta_priority"]) <= abs(rows[a]["beta_priority"]) + 1e-9
+
+
+_DOC_PREDS = st.builds(
+    lambda lang, thresh: (lang, thresh),
+    st.sampled_from(["en", "de", "fr", "es", "ja"]),
+    st.integers(min_value=0, max_value=900),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=_DOC_PREDS)
+def test_fuzz_bitmap_index_identity(spark, p):
+    """q_bitmap_index_and's machinery must hold for ARBITRARY predicate
+    pairs, not just the registered one: popcount(bitmap_a AND bitmap_b)
+    == the direct conjunctive scan count, for random (lang, n_chars)
+    predicates. Guards the shift/sign-bit arithmetic (32-bit words keep
+    bit 31 off the BIGINT sign position) against predicate drift."""
+    from pyspark.sql import functions as F
+
+    lang, thresh = p
+    docs = spark.table("documents")
+    base = docs.select(
+        F.floor(F.col("doc_id") / 32).cast("long").alias("w"),
+        (F.col("doc_id") % 32).cast("long").alias("b"),
+        F.when(F.col("lang") == lang, 1).otherwise(0).alias("pa"),
+        F.when(F.col("n_chars") > thresh, 1).otherwise(0).alias("pb"),
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
+    words = base.groupBy("w").agg(
+        F.bit_or(F.when(F.col("pa") == 1, mask).otherwise(F.lit(0).cast("long"))).alias("wa"),
+        F.bit_or(F.when(F.col("pb") == 1, mask).otherwise(F.lit(0).cast("long"))).alias("wb"),
+    )
+    via_bitmap = words.agg(
+        F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))).alias("c")
+    ).collect()[0]["c"]
+    direct = base.filter((F.col("pa") == 1) & (F.col("pb") == 1)).count()
+    assert via_bitmap == direct
