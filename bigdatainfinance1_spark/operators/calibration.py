@@ -11,7 +11,7 @@ relation only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.registry import query
@@ -276,3 +276,103 @@ def fairness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_profit_curve — cost-sensitive operating point over the score grid
+# ---------------------------------------------------------------------------
+
+PC_B_TP = 100  # benefit of a caught urgent order (expedite margin), dollars
+PC_C_FP = 20  # cost of needlessly expediting
+PC_C_FN = 60  # cost of a missed urgent order
+PC_BUCKET = 25000.0
+PC_MAX = 20
+PC_POS = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+_PC_SQL = f"""
+    WITH b AS (
+      SELECT CAST(least(floor(o_totalprice / {PC_BUCKET}), {PC_MAX}) AS BIGINT)
+               AS bkt,
+             CAST(sum(CASE WHEN {PC_POS} THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN {PC_POS} THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      FROM orders GROUP BY 1
+    ),
+    thr AS (SELECT unnest(range(0, {PC_MAX} + 1)) AS t),
+    cm AS (
+      SELECT thr.t,
+             CAST(coalesce(sum(CASE WHEN b.bkt >= thr.t THEN b.pos END), 0)
+                  AS BIGINT) AS tp,
+             CAST(coalesce(sum(CASE WHEN b.bkt >= thr.t THEN b.neg END), 0)
+                  AS BIGINT) AS fp,
+             CAST(coalesce(sum(CASE WHEN b.bkt < thr.t THEN b.pos END), 0)
+                  AS BIGINT) AS fn
+      FROM thr CROSS JOIN b GROUP BY thr.t
+    ),
+    p AS (
+      SELECT CAST(t AS BIGINT) AS threshold_bucket, tp, fp, fn,
+             CAST({PC_B_TP} * tp - {PC_C_FP} * fp - {PC_C_FN} * fn AS BIGINT)
+               AS expected_profit
+      FROM cm
+    )
+    SELECT p.*,
+           p.expected_profit = (SELECT max(expected_profit) FROM p)
+             AS is_profit_optimal
+    FROM p ORDER BY threshold_bucket
+"""
+
+
+@query("q_profit_curve", oracle=_PC_SQL, tags=("ml", "eval", "finance"))
+def profit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-sensitive operating-point selection: expected profit
+    {PC_B_TP}*TP - {PC_C_FP}*FP - {PC_C_FN}*FN at every threshold of
+    the bucketed score — the DECISION layer q_threshold_metrics'
+    statistical metrics feed into (the profit-optimal cut moves with
+    the cost matrix while F1 stays put, which is exactly why ops teams
+    tune on money, not F1; with a 3:1 FN:FP cost ratio the optimum
+    sits well below the F1 cut). The curve is the deployment artifact:
+    re-derive it whenever the cost matrix changes, without rescoring.
+
+    Determinism: confusion counts are exact BIGINT cumulative bucket
+    sums and profit is pure integer arithmetic — nothing floats
+    anywhere; the flag compares exact integers. Scale: one fact scan
+    to 21 buckets; O(thresholds x buckets) after."""
+    orders = load_table(spark, sf_dir, "orders")
+    pos = F.expr(PC_POS)
+    b = orders.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / PC_BUCKET), F.lit(PC_MAX))
+        .cast("long")
+        .alias("bkt")
+    ).agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("pos"),
+        F.sum(F.when(pos, 0).otherwise(1)).cast("long").alias("neg"),
+    )
+    thr = spark.range(0, PC_MAX + 1).select(F.col("id").alias("t"))
+    cm = (
+        thr.crossJoin(F.broadcast(b))
+        .groupBy("t")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("pos"))), F.lit(0))
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(F.sum(F.when(F.col("bkt") >= F.col("t"), F.col("neg"))), F.lit(0))
+            .cast("long")
+            .alias("fp"),
+            F.coalesce(F.sum(F.when(F.col("bkt") < F.col("t"), F.col("pos"))), F.lit(0))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    p = cm.select(
+        F.col("t").cast("long").alias("threshold_bucket"),
+        "tp",
+        "fp",
+        "fn",
+        (PC_B_TP * F.col("tp") - PC_C_FP * F.col("fp") - PC_C_FN * F.col("fn"))
+        .cast("long")
+        .alias("expected_profit"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    return p.withColumn(
+        "is_profit_optimal",
+        F.col("expected_profit") == F.max("expected_profit").over(w),
+    ).orderBy("threshold_bucket")

@@ -328,3 +328,158 @@ def simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.signum("slope_overall") != F.signum("slope_within"))
         ).alias("reversal"),
     ).orderBy("market")
+
+
+# ---------------------------------------------------------------------------
+# q_placebo_did — randomization inference for a unit-level DiD
+# ---------------------------------------------------------------------------
+
+PLACEBO_TREATED = "NATION_7"  # the designated pseudo-treated unit
+PLACEBO_POST_YEAR = 1998  # post-period starts here
+
+_PLACEBO_SQL = f"""
+    WITH cells AS (
+      SELECT n.n_name AS unit,
+             CASE WHEN year(o.o_orderdate) >= {PLACEBO_POST_YEAR}
+                  THEN 'post' ELSE 'pre' END AS period,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY unit, period
+    ),
+    tot AS (
+      SELECT period, CAST(sum(cents) AS BIGINT) AS cents,
+             CAST(sum(n) AS BIGINT) AS n
+      FROM cells GROUP BY period
+    ),
+    unit_did AS (
+      SELECT u.unit,
+             round(
+               ((up.cents * 1e0 / up.n) - (ur.cents * 1e0 / ur.n))
+               - (((tp.cents - up.cents) * 1e0 / (tp.n - up.n))
+                  - ((tr.cents - ur.cents) * 1e0 / (tr.n - ur.n))), 4) / 100 AS did
+      FROM (SELECT DISTINCT unit FROM cells) u
+      JOIN cells up ON up.unit = u.unit AND up.period = 'post'
+      JOIN cells ur ON ur.unit = u.unit AND ur.period = 'pre'
+      CROSS JOIN (SELECT * FROM tot WHERE period = 'post') tp
+      CROSS JOIN (SELECT * FROM tot WHERE period = 'pre') tr
+    ),
+    ranked AS (
+      SELECT unit, round(did, 6) AS did,
+             row_number() OVER (ORDER BY abs(did) DESC, unit) AS extremeness_rank,
+             CAST(count(*) OVER () AS BIGINT) AS n_units
+      FROM unit_did
+    )
+    SELECT unit, did, CAST(extremeness_rank AS BIGINT) AS extremeness_rank,
+           unit = '{PLACEBO_TREATED}' AS is_designated,
+           round((SELECT extremeness_rank FROM ranked
+                  WHERE unit = '{PLACEBO_TREATED}') * 1e0 / n_units, 6)
+             AS placebo_p_value
+    FROM ranked ORDER BY extremeness_rank, unit
+"""
+
+
+@query("q_placebo_did", oracle=_PLACEBO_SQL, tags=("stats", "analytics"))
+def placebo_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization inference for a unit-level DiD (Abadie et al.'s
+    placebo test, the standard companion to q_synthetic_control and
+    q_diff_in_diff): compute the leave-one-out DiD — (unit post - pre)
+    minus (all-other-units post - pre) — for EVERY nation as if IT were
+    treated, then judge the designated unit ({PLACEBO_TREATED},
+    post >= {PLACEBO_POST_YEAR}) by where its |effect| ranks among the
+    25 placebo effects. placebo_p = rank/N is the exact randomization
+    p-value — the inference that survives when parallel-trends standard
+    errors cannot be trusted. On this null corpus the designated unit
+    should rank unremarkably: the A/A posture q_diff_in_diff documents.
+
+    Determinism: all cell means are ratios of exact BIGINT cents/counts
+    (leave-one-out via subtraction from pooled totals — one pass, no
+    per-unit re-scan); effects round at 4 cents-digits then 6; the rank
+    orders by (|did| DESC, unit). Scale: one fact shuffle to O(units x
+    2) cells; O(units) after."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cells = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("unit"),
+            F.when(F.year("o_orderdate") >= PLACEBO_POST_YEAR, "post")
+            .otherwise("pre")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .localCheckpoint()  # O(units x 2)
+    )
+    tot = cells.groupBy("period").agg(
+        F.sum("cents").cast("long").alias("tc"), F.sum("n").cast("long").alias("tn")
+    )
+    post = cells.filter(F.col("period") == "post").selectExpr(
+        "unit", "cents AS pc", "n AS pn"
+    )
+    pre = cells.filter(F.col("period") == "pre").selectExpr(
+        "unit", "cents AS rc", "n AS rn"
+    )
+    tp = tot.filter(F.col("period") == "post").selectExpr("tc AS tpc", "tn AS tpn")
+    tr = tot.filter(F.col("period") == "pre").selectExpr("tc AS trc", "tn AS trn")
+    did = (
+        post.join(pre, "unit")
+        .crossJoin(F.broadcast(tp))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "unit",
+            (
+                F.round(
+                    (F.col("pc") * F.lit(1.0) / F.col("pn")
+                     - F.col("rc") * F.lit(1.0) / F.col("rn"))
+                    - (
+                        (F.col("tpc") - F.col("pc"))
+                        * F.lit(1.0)
+                        / (F.col("tpn") - F.col("pn"))
+                        - (F.col("trc") - F.col("rc"))
+                        * F.lit(1.0)
+                        / (F.col("trn") - F.col("rn"))
+                    ),
+                    4,
+                )
+                / 100
+            ).alias("did0"),
+        )
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.abs(F.col("did0")).desc(), "unit")
+    wall = Window.partitionBy(F.lit(1))
+    ranked = did.select(
+        "unit",
+        F.round("did0", 6).alias("did"),
+        F.row_number().over(w).cast("long").alias("extremeness_rank"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_units"),
+    )
+    des = ranked.filter(F.col("unit") == PLACEBO_TREATED).select(
+        (F.col("extremeness_rank") * F.lit(1.0) / F.col("n_units")).alias("p0")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(des))
+        .select(
+            "unit",
+            "did",
+            "extremeness_rank",
+            (F.col("unit") == PLACEBO_TREATED).alias("is_designated"),
+            F.round("p0", 6).alias("placebo_p_value"),
+        )
+        .orderBy("extremeness_rank", "unit")
+    )

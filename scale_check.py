@@ -392,6 +392,8 @@ QUERIES = [
     "q_kyle_lambda",
     "q_fulfillment_aging",
     "q_learning_curve",
+    "q_placebo_did",
+    "q_profit_curve",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
