@@ -366,3 +366,91 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cogroup_gap_stats — cogrouped applyInPandas (the two-sided grouped map)
+# ---------------------------------------------------------------------------
+
+COGROUP_CUST_CAP = 100  # bounded key range so the relation stays auditable
+
+_COGROUP_SQL = f"""
+    WITH o AS (
+      SELECT o_custkey AS ck, o_orderdate FROM orders
+      WHERE o_custkey <= {COGROUP_CUST_CAP}
+    ),
+    gaps AS (
+      SELECT ck,
+             datediff('day',
+               lag(o_orderdate) OVER (PARTITION BY ck ORDER BY o_orderdate),
+               o_orderdate) AS gap
+      FROM o
+    ),
+    g AS (
+      SELECT ck, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(round(2 * median(gap)) AS BIGINT) AS med2
+      FROM gaps WHERE gap IS NOT NULL GROUP BY ck
+    )
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           g.n_gaps + 1 AS n_orders,
+           round(g.med2 / 2e0, 1) AS median_gap_days
+    FROM g JOIN customer c ON g.ck = c.c_custkey
+    ORDER BY custkey
+"""
+
+
+@query("q_cogroup_gap_stats", oracle=_COGROUP_SQL, tags=("udf", "analytics"))
+def cogroup_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-surface completion: COGROUPED applyInPandas — the two-sided
+    grouped map (`a.groupBy(k).cogroup(b.groupBy(k)).applyInPandas`)
+    that hands each key BOTH its dimension row (customer) and its fact
+    rows (orders) as separate pandas frames, here computing each
+    customer's inter-purchase gap census (count, exact median days)
+    with the segment carried from the dim side. The API every
+    pandas-side as-of merge / panel alignment uses when neither side
+    alone suffices; the other five U-surfaces (scalar, grouped-agg,
+    grouped-map, UDTF, SQL-registered, plus mapInArrow) are its
+    siblings.
+
+    Determinism: gaps are exact integer day diffs; pandas' interpolated
+    median on integers lands on the same .5 grid as DuckDB's median (the
+    2x-doubling trick makes it an exact integer compare); keys capped at
+    {COGROUP_CUST_CAP} for an auditable relation. Scale: cogroup
+    shuffles both sides by the key once — the partition-local pandas
+    work is bounded per key, the canonical applyInPandas posture."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") <= COGROUP_CUST_CAP
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= COGROUP_CUST_CAP
+    )
+
+    def gap_stats(cust_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cust_pdf.empty or len(orders_pdf) < 2:
+            return pd.DataFrame(
+                columns=["custkey", "segment", "n_orders", "median_gap_days"]
+            )
+        dates = orders_pdf["o_orderdate"].sort_values().reset_index(drop=True)
+        gaps = dates.diff().dropna().dt.days
+        med2 = round(2 * gaps.median())
+        return pd.DataFrame(
+            {
+                "custkey": [int(cust_pdf["c_custkey"].iloc[0])],
+                "segment": [cust_pdf["c_mktsegment"].iloc[0]],
+                "n_orders": [len(orders_pdf)],
+                "median_gap_days": [round(med2 / 2.0, 1)],
+            }
+        )
+
+    out = (
+        cust.select("c_custkey", "c_mktsegment")
+        .groupBy("c_custkey")
+        .cogroup(orders.select("o_custkey", "o_orderdate").groupBy("o_custkey"))
+        .applyInPandas(
+            gap_stats,
+            "custkey long, segment string, n_orders long, median_gap_days double",
+        )
+    )
+    return out.orderBy("custkey")

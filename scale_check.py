@@ -394,6 +394,7 @@ QUERIES = [
     "q_learning_curve",
     "q_placebo_did",
     "q_profit_curve",
+    "q_cogroup_gap_stats",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
