@@ -395,6 +395,7 @@ QUERIES = [
     "q_placebo_did",
     "q_profit_curve",
     "q_cogroup_gap_stats",
+    "q_chain_ladder",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
