@@ -1240,6 +1240,41 @@ def test_round4_session_wave_plans(spark):
         "q_boxcox_lambda",
         "q_huber_mean",
         "q_team_draft_interleave",
+        "q_cdc_chunking",
+        "q_dtw_distance",
+        "q_grid_dbscan",
+        "q_haar_wavelet",
+        "q_bitmap_index_and",
+        "q_rle_audit",
+        "q_zone_map_prune",
+        "q_key_skew_audit",
+        "q_best_snippet",
+        "q_fairness_metrics",
+        "q_kcenter_coreset",
+        "q_uncertainty_sampling",
+        "q_optimal_assignment",
+        "q_knapsack",
+        "q_permutation_test",
+        "q_garch_grid",
+        "q_interarrival_burstiness",
+        "q_competing_risks",
+        "q_bs_greeks",
+        "q_kyle_lambda",
+        "q_fulfillment_aging",
+        "q_learning_curve",
+        "q_placebo_did",
+        "q_profit_curve",
+        "q_chain_ladder",
+        "q_umass_coherence",
+        "q_mutual_information",
+        "q_bland_altman",
+        "q_threshold_metrics",
+        "q_icc",
+        "q_huber_mean",
+        "q_boxcox_lambda",
+        "q_frequent_itemsets",
+        "q_recsys_list_metrics",
+        "q_consistent_hash_rebalance",
     ):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
