@@ -294,3 +294,99 @@ def competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_watermark_design — out-of-orderness census that sizes the watermark
+# ---------------------------------------------------------------------------
+
+_WM_SQL = """
+    WITH arr AS (
+      SELECT event_type,
+             greatest(CAST(0 AS BIGINT),
+               max(epoch_us(ts)) OVER (PARTITION BY event_type
+                 ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - epoch_us(ts)) AS late_us
+      FROM events
+    ),
+    lat AS (
+      SELECT event_type, late_us // 1000000 AS late_s FROM arr
+      WHERE late_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) * 1e0
+                 / count(*), 6) AS frac_out_of_order,
+           CAST(quantile_disc(late_s, 0.50) AS BIGINT) AS late_p50_s,
+           CAST(quantile_disc(late_s, 0.95) AS BIGINT) AS late_p95_s,
+           CAST(quantile_disc(late_s, 0.99) AS BIGINT) AS late_p99_s,
+           CAST(max(late_s) AS BIGINT) AS late_max_s,
+           CAST(quantile_disc(late_s, 0.99) + 60 AS BIGINT)
+             AS recommended_watermark_s
+    FROM lat GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("q_watermark_design", oracle=_WM_SQL, tags=("streaming", "events", "scale"))
+def watermark_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The census that SIZES a watermark: replay each event stream in
+    arrival order (event_id — the ingestion sequence) and measure every
+    event's lateness against the running max event time seen before it;
+    report the out-of-order fraction, the lateness percentiles, and a
+    recommended watermark = p99 + 60 s. This is the measurement that
+    turns q_stream_watermarked's delay parameter from folklore into a
+    number — too small drops the p99 tail, too large inflates state by
+    the same seconds times the key cardinality. Exact discrete
+    percentiles (no interpolation) keep every statistic an integer.
+
+    Determinism: lateness is exact integer microseconds from a running
+    max over the total (type, event_id) arrival order, floored to whole
+    seconds; quantile_disc / percentile_disc pick exact order statistics
+    with identical semantics; only the out-of-order fraction divides,
+    rounded 6. Scale: one type-partitioned running-max window (the
+    arrival replay), then a bounded per-type percentile aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "event_type",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+        ).alias("late_us"),
+    ).filter(F.col("late_us").isNotNull())
+    lat = arr.select(
+        "event_type", F.floor(F.col("late_us") / 1000000).cast("long").alias("late_s")
+    )
+    return (
+        lat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_out_of_order"),
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY late_s)")
+            .cast("long")
+            .alias("late_p50_s"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY late_s)")
+            .cast("long")
+            .alias("late_p95_s"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY late_s)")
+            .cast("long")
+            .alias("late_p99_s"),
+            F.max("late_s").cast("long").alias("late_max_s"),
+            (
+                F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY late_s)") + 60
+            )
+            .cast("long")
+            .alias("recommended_watermark_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -396,6 +396,7 @@ QUERIES = [
     "q_profit_curve",
     "q_cogroup_gap_stats",
     "q_chain_ladder",
+    "q_watermark_design",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
