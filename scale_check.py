@@ -397,6 +397,7 @@ QUERIES = [
     "q_cogroup_gap_stats",
     "q_chain_ladder",
     "q_watermark_design",
+    "q_bornhuetter_ferguson",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
