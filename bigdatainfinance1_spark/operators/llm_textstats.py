@@ -1427,3 +1427,74 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("backed_off").cast("long").alias("n_backoffs"),
         F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_word_subsampling — word2vec-style frequent-word downsampling law
+# ---------------------------------------------------------------------------
+
+WS_T = 1e-4  # the word2vec subsampling threshold
+WS_TOP = 25  # report the most-downsampled words
+
+_WS_SQL = f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    freq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    law AS (
+      SELECT f.tok, f.c,
+             round(f.c * 1e0 / tot.n, 8) AS rel_freq,
+             round(greatest(0e0,
+               1e0 - sqrt({WS_T} / (f.c * 1e0 / tot.n))), 6) AS p_discard,
+             CAST(round(f.c * (1e0 - round(greatest(0e0,
+               1e0 - sqrt({WS_T} / (f.c * 1e0 / tot.n))), 6))) AS BIGINT)
+               AS kept_tokens
+      FROM freq f CROSS JOIN tot
+    )
+    SELECT tok, c AS n_tokens, rel_freq, p_discard, kept_tokens
+    FROM law
+    ORDER BY p_discard DESC, tok
+    LIMIT {WS_TOP}
+"""
+
+
+@query("q_word_subsampling", oracle=_WS_SQL, tags=("llm-pipeline", "text", "mixture"))
+def word_subsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-word subsampling (Mikolov et al. 2013): discard each
+    occurrence of word w with p = 1 - sqrt(t/f(w)), t = {WS_T} — the
+    token-LEVEL thinning law embedding/LM pipelines apply before
+    windowing so 'the' stops dominating every context (the
+    within-document counterpart of the corpus-level mixture laws:
+    q_temperature_mixture flattens LANGUAGES, q_doremi_weights
+    reweights DOMAINS, this thins TOKENS). The top-{WS_TOP} relation is
+    the audit: which words lose how much mass, and the kept-token
+    budget after thinning.
+
+    Determinism: counts are exact integers; rel_freq rounds at 8,
+    p_discard at 6, and kept_tokens multiplies the exact count by the
+    ROUNDED probability before integer rounding. Scale: one
+    token-explode scan to the vocabulary relation; O(vocab) law;
+    TakeOrdered cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    rel = F.col("c") * F.lit(1.0) / F.col("n")
+    p_discard = F.round(
+        F.greatest(F.lit(0.0), 1.0 - F.sqrt(F.lit(WS_T) / rel)), 6
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.col("c").alias("n_tokens"),
+            F.round(rel, 8).alias("rel_freq"),
+            p_discard.alias("p_discard"),
+            F.round(F.col("c") * (1.0 - p_discard)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy(F.col("p_discard").desc(), "tok")
+        .limit(WS_TOP)
+    )

@@ -398,6 +398,7 @@ QUERIES = [
     "q_chain_ladder",
     "q_watermark_design",
     "q_bornhuetter_ferguson",
+    "q_word_subsampling",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
