@@ -390,3 +390,168 @@ def watermark_design(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q_rmst — restricted mean survival time from the Kaplan-Meier curve
+# ---------------------------------------------------------------------------
+
+RMST_TAU = 90  # restriction horizon, days
+
+_RMST_SQL = f"""
+    WITH ranked AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    maxd AS (SELECT max(o_orderdate) AS maxdate FROM orders),
+    durations AS (
+      SELECT f.seg,
+             CASE WHEN s.o_custkey IS NOT NULL
+                  THEN datediff('day', f.o_orderdate, s.o_orderdate)
+                  ELSE datediff('day', f.o_orderdate, m.maxdate) END AS t,
+             CASE WHEN s.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM ranked f
+      LEFT JOIN ranked s ON f.o_custkey = s.o_custkey AND s.rn = 2
+      CROSS JOIN maxd m
+      WHERE f.rn = 1
+    ),
+    grid AS (
+      SELECT seg, t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS at_t
+      FROM durations GROUP BY seg, t
+    ),
+    risk AS (
+      SELECT seg, t, d,
+             CAST(sum(at_t) OVER (PARTITION BY seg ORDER BY t DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+      FROM grid
+    ),
+    km AS (
+      SELECT seg, t,
+             round(exp(sum(ln(1e0 - d * 1e0 / n_risk)) OVER (
+               PARTITION BY seg ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS s
+      FROM risk WHERE d > 0 AND d < n_risk
+    ),
+    steps AS (
+      SELECT seg, t, s,
+             coalesce(lag(t) OVER (PARTITION BY seg ORDER BY t), 0) AS pt,
+             coalesce(lag(s) OVER (PARTITION BY seg ORDER BY t), 1e0) AS ps
+      FROM km WHERE t <= {RMST_TAU}
+    ),
+    area AS (
+      SELECT seg,
+             sum(ps * (t - pt)) AS body,
+             max(t) AS last_t, min_by(s, -t) AS last_s
+      FROM steps GROUP BY seg
+    ),
+    nsub AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM durations GROUP BY seg)
+    SELECT a.seg, n.n AS n_subjects,
+           CAST({RMST_TAU} AS BIGINT) AS tau_days,
+           round(a.body + a.last_s * ({RMST_TAU} - a.last_t), 4) AS rmst_days,
+           round((a.body + a.last_s * ({RMST_TAU} - a.last_t))
+                 / {RMST_TAU}, 6) AS rmst_share
+    FROM area a JOIN nsub n ON a.seg = n.seg
+    ORDER BY a.seg
+"""
+
+
+@query("q_rmst", oracle=_RMST_SQL, tags=("stats", "survival"))
+def rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau = {RMST_TAU} days from
+    q_kaplan_meier's repeat-purchase curve: the area under S(t) up to
+    the horizon — expected event-free days within the window, the
+    single-number estimand now preferred over hazard ratios because it
+    needs NO proportional-hazards assumption and reads in days, not
+    ratios (rmst_share is the fraction of the window spent
+    'surviving'). One step-integration CTE on top of the existing KM
+    grid: each interval contributes prev_S x width, plus the tail from
+    the last event time to tau.
+
+    Determinism: KM probabilities re-round at 6 BEFORE any area math;
+    widths are exact integer days; the per-segment area sums <= tau
+    terms and rounds at 4. Scale: the q_kaplan_meier shape — one
+    customer-grain window pass, then everything on the bounded
+    per-segment day grid."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(wc).alias("rn"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("maxdate"))
+    f_ = ranked.filter(F.col("rn") == 1).selectExpr(
+        "seg", "o_custkey AS ck", "o_orderdate AS d1"
+    )
+    s_ = ranked.filter(F.col("rn") == 2).selectExpr("o_custkey AS ck", "o_orderdate AS d2")
+    durations = (
+        f_.join(s_, "ck", "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "seg",
+            F.when(
+                F.col("d2").isNotNull(), F.datediff("d2", "d1")
+            ).otherwise(F.datediff("maxdate", "d1")).alias("t"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    ).localCheckpoint()  # O(customers) durations feed grid AND counts
+    grid = durations.groupBy("seg", "t").agg(
+        F.sum("ev").cast("long").alias("d"), F.count(F.lit(1)).alias("at_t")
+    )
+    w_desc = (
+        Window.partitionBy("seg")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grid.withColumn("n_risk", F.sum("at_t").over(w_desc).cast("long"))
+    w_asc = (
+        Window.partitionBy("seg")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    km = (
+        risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+        .withColumn(
+            "s",
+            F.round(
+                F.exp(
+                    F.sum(F.log(1.0 - F.col("d") * F.lit(1.0) / F.col("n_risk"))).over(
+                        w_asc
+                    )
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("t") <= RMST_TAU)
+    )
+    w_lag = Window.partitionBy("seg").orderBy("t")
+    steps = km.select(
+        "seg",
+        "t",
+        "s",
+        F.coalesce(F.lag("t").over(w_lag), F.lit(0)).alias("pt"),
+        F.coalesce(F.lag("s").over(w_lag), F.lit(1.0)).alias("ps"),
+    )
+    area = steps.groupBy("seg").agg(
+        F.sum(F.col("ps") * (F.col("t") - F.col("pt"))).alias("body"),
+        F.max("t").alias("last_t"),
+        F.min_by("s", -F.col("t")).alias("last_s"),
+    )
+    nsub = durations.groupBy("seg").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = F.col("body") + F.col("last_s") * (RMST_TAU - F.col("last_t"))
+    return (
+        area.join(nsub, "seg")
+        .select(
+            "seg",
+            F.col("n").alias("n_subjects"),
+            F.lit(RMST_TAU).cast("long").alias("tau_days"),
+            F.round(total, 4).alias("rmst_days"),
+            F.round(total / RMST_TAU, 6).alias("rmst_share"),
+        )
+        .orderBy("seg")
+    )

@@ -399,6 +399,7 @@ QUERIES = [
     "q_watermark_design",
     "q_bornhuetter_ferguson",
     "q_word_subsampling",
+    "q_rmst",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
