@@ -698,8 +698,10 @@ def python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(path, ignore_errors=True)
     agg.write.format("jsonl_sink").option("path", path).mode("append").save()
-    back = spark.read.schema("n_name string, n_orders bigint, rev_cents bigint").json(
-        os.path.join(path, "part-*.jsonl")
+    # manifest-driven readback (NOT a glob): only the files commit()
+    # recorded count — orphaned retry/speculation attempt files are inert.
+    back = jsonl_sink.read_committed(
+        spark, path, "n_name string, n_orders bigint, rev_cents bigint"
     )
     return back.select(
         "n_name",

@@ -84,6 +84,23 @@ class JsonLinesStreamWriter(DataSourceStreamWriter):
                 os.remove(m.filename)
 
 
+def committed_stream_files(path: str) -> list[str]:
+    """All files committed across micro-batches, read from _MANIFEST.jsonl
+    (one line per batch commit). Attempt-id-named files from losing
+    retry/speculative attempts sit in the directory but never in the
+    manifest — a glob would double-count them; this reader cannot. If the
+    same batch id appears twice (a batch REPLAYED after a driver failure
+    between sink-commit and checkpoint-commit), the LAST line per batch
+    wins — that is the replay's file set, and counting both would
+    double-count the batch."""
+    last_per_batch: dict[int, list[str]] = {}
+    with open(os.path.join(path, "_MANIFEST.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            last_per_batch[rec["batch"]] = list(rec["files"])
+    return [fn for _, files in sorted(last_per_batch.items()) for fn in files]
+
+
 _SS_SQL = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -136,8 +153,15 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    back = spark.read.schema("event_id bigint, event_type string, cents bigint").json(
-        os.path.join(path, "part-*.jsonl")
+    # manifest-driven readback: only files recorded by per-batch commit()
+    # lines count (losing-attempt orphans and replayed-batch duplicates are
+    # excluded by committed_stream_files, not by filename luck).
+    schema = "event_id bigint, event_type string, cents bigint"
+    files = committed_stream_files(path)
+    back = (
+        spark.read.schema(schema).json(files)
+        if files
+        else spark.createDataFrame([], schema)
     )
     return (
         back.groupBy("event_type")

@@ -243,3 +243,54 @@ def test_python_sink_two_phase_commit_artifacts(spark):
     ]
     assert len(batches) >= 2, "staged replay should commit >= 2 micro-batches"
     assert sum(b["rows"] for b in batches) == sum(r["n_events"] for r in rows)
+
+
+def test_sink_readback_ignores_orphan_attempt_files(spark):
+    """Exactly-once under task retry/speculation: a losing attempt leaves an
+    orphan part file next to the committed ones (attempt-id filenames mean
+    it can't clobber a winner). The manifest-driven readback must not count
+    it — and a directory glob WOULD, which is exactly the bug this guards
+    against (round-4 ADVICE, jsonl_sink.py)."""
+    import glob as _glob
+    import json
+    import os
+
+    from bigdatainfinance1_spark.registry import load_all_queries
+    from bigdatainfinance1_spark.sources import jsonl_sink
+    from bigdatainfinance1_spark.streaming import custom_sink
+
+    specs = load_all_queries()
+    # --- batch sink ---
+    out = specs["q_python_datasink"].fn(spark, SF_DIR).collect()
+    base = os.path.join(
+        "/tmp/spark_graft_jsonl_sink", os.path.basename(os.path.normpath(SF_DIR))
+    )
+    orphan = os.path.join(base, "part-00000-99999999.jsonl")
+    with open(orphan, "w") as f:
+        f.write(json.dumps({"n_name": "ZOMBIE", "n_orders": 1, "rev_cents": 1}) + "\n")
+    committed = jsonl_sink.committed_files(base)
+    assert orphan not in committed
+    assert len(_glob.glob(os.path.join(base, "part-*.jsonl"))) == len(committed) + 1
+    back = jsonl_sink.read_committed(
+        spark, base, "n_name string, n_orders bigint, rev_cents bigint"
+    )
+    assert back.count() == len(out)
+    assert back.filter("n_name = 'ZOMBIE'").count() == 0
+
+    # --- streaming sink: orphan file + replayed-batch manifest line ---
+    specs["q_stream_python_sink"].fn(spark, SF_DIR).collect()
+    sbase = os.path.join(
+        "/tmp/spark_graft_jsonl_stream",
+        os.path.basename(os.path.normpath(SF_DIR)),
+        "out",
+    )
+    sorphan = os.path.join(sbase, "part-99999999-0000.jsonl")
+    open(sorphan, "w").write(json.dumps({"event_id": -1, "event_type": "z", "cents": 0}) + "\n")
+    files = custom_sink.committed_stream_files(sbase)
+    assert sorphan not in files
+    # replay of batch 0 (driver died between sink-commit and checkpoint
+    # commit): last manifest line per batch id wins, no double count
+    first = json.loads(open(os.path.join(sbase, "_MANIFEST.jsonl")).readline())
+    with open(os.path.join(sbase, "_MANIFEST.jsonl"), "a") as f:
+        f.write(json.dumps(first, sort_keys=True) + "\n")
+    assert custom_sink.committed_stream_files(sbase) == files
