@@ -54,15 +54,20 @@ def global_row_number(
     cols = _as_columns(order_cols)
     d = _bucketed(df, cols, n_buckets)
     w = Window.partitionBy("_pid").orderBy(*cols)
-    # persist: the bucketed relation feeds BOTH the per-bucket totals and
-    # the output join. RangePartitioner samples its boundaries with a
+    # materialize: the bucketed relation feeds BOTH the per-bucket totals
+    # and the output join. RangePartitioner samples its boundaries with a
     # per-execution seed, so if the optimizer ever plans the two branches
     # as separate exchanges (observed once AQE + a broadcast-heavy parent
     # query suppressed exchange reuse: q_systematic_sample returned 751
     # rows for a 1-in-20 systematic design), the two sides disagree on
     # _pid and ranks shift. One materialization makes both branches read
     # identical bucket assignments regardless of plan reuse decisions.
-    d = d.withColumn("_local_rn", F.row_number().over(w)).persist()
+    # localCheckpoint, NOT persist: this helper is called by ~18 operator
+    # modules with no unpersist hook, and CacheManager entries outlive the
+    # query (round-4 ADVICE: cached plans accumulated for the whole
+    # session). Checkpointed RDDs are reclaimed by ContextCleaner once the
+    # Python/JVM refs drop — the q_kcore pattern.
+    d = d.withColumn("_local_rn", F.row_number().over(w)).localCheckpoint(eager=True)
     totals = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
     offs = _prefix_offsets(totals, "_tot")
     return (
@@ -88,8 +93,9 @@ def global_running_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # persist for the same branch-consistency reason as global_row_number
-    d = d.withColumn("_local_sum", F.sum(value_col).over(w)).persist()
+    # localCheckpoint for the same branch-consistency + no-session-leak
+    # reasons as global_row_number
+    d = d.withColumn("_local_sum", F.sum(value_col).over(w)).localCheckpoint(eager=True)
     totals = d.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
     offs = _prefix_offsets(totals, "_tot")
     return (

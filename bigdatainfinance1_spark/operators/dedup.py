@@ -1393,9 +1393,10 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("na").alias("src"), F.col("nb").alias("dst")).union(
         pairs.select(F.col("nb").alias("src"), F.col("na").alias("dst"))
     ).persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+    labels0 = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     ).persist()
+    labels = labels0
     for _ in range(MAX_CC_ITERATIONS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -1420,6 +1421,11 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"entity_resolution: CC did not converge in {MAX_CC_ITERATIONS} iterations"
         )
+    # the final labels are localCheckpointed (lineage truncated), so the
+    # loop-scoped caches can go now — leaving them cached leaks CacheManager
+    # entries for the rest of the session (round-4 ADVICE)
+    edges.unpersist()
+    labels0.unpersist()
     return (
         labels.groupBy(F.col("lbl").alias("canonical_name"))
         .agg(

@@ -49,16 +49,28 @@ _CL_SQL = f"""
     -- censor at the valuation date: cohort m observes ages <= 12 - m
     tri AS (SELECT origin, dev, c FROM cum WHERE dev <= 12 - origin),
     f AS (
+      -- HAVING guards the zero-denominator cohort-sum: both engines treat
+      -- it as a MISSING factor (filled 1.0 below) instead of diverging
+      -- (DuckDB x/0 -> inf, Spark -> NULL) — round-4 ADVICE
       SELECT a.dev,
              CAST(sum(b.c) AS BIGINT) * 1e0 / CAST(sum(a.c) AS BIGINT) AS fac
       FROM tri a JOIN tri b ON b.origin = a.origin AND b.dev = a.dev + 1
       GROUP BY a.dev
+      HAVING CAST(sum(a.c) AS BIGINT) > 0
+    ),
+    -- dense factor vector: a dev age with no observed transition keeps
+    -- factor 1.0 on BOTH engines; recursing over the sparse f would HALT
+    -- the tail product at the gap and silently drop lower ages
+    fd AS (
+      SELECT d.dev, coalesce(f.fac, 1e0) AS fac
+      FROM (SELECT unnest(range(0, {CL_MAX_DEV})) AS dev) d
+      LEFT JOIN f ON f.dev = d.dev
     ),
     tailprod(dev, prod) AS (
       SELECT {CL_MAX_DEV}, 1e0
       UNION ALL
-      SELECT t.dev - 1, f.fac * t.prod
-      FROM tailprod t JOIN f ON f.dev = t.dev - 1
+      SELECT t.dev - 1, fd.fac * t.prod
+      FROM tailprod t JOIN fd ON fd.dev = t.dev - 1
       WHERE t.dev > 0
     ),
     latest AS (
@@ -132,14 +144,19 @@ def chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = cum.filter(F.col("dev") <= 12 - F.col("origin")).localCheckpoint()
     a = tri.selectExpr("origin", "dev", "c AS ca")
     b = tri.selectExpr("origin", "dev - 1 AS dev", "c AS cb")
+    # zero-denominator cohort sums become MISSING factors (dropped here,
+    # filled 1.0 in the driver walk below) — identical to the oracle's
+    # HAVING den > 0 + dense coalesce(fac, 1.0) fill, so the engines agree
+    # even in the degenerate cases (round-4 ADVICE)
     f = (
         a.join(b, ["origin", "dev"])
         .groupBy("dev")
         .agg(
-            (F.sum("cb").cast("long") * F.lit(1.0) / F.sum("ca").cast("long")).alias(
-                "fac"
-            )
+            F.sum("ca").cast("long").alias("den"),
+            F.sum("cb").cast("long").alias("num"),
         )
+        .filter(F.col("den") > 0)
+        .select("dev", (F.col("num") * F.lit(1.0) / F.col("den")).alias("fac"))
     )
     facs = {r["dev"]: r["fac"] for r in f.collect()}  # <= 11 factors — O(model)
     prod = {CL_MAX_DEV: 1.0}
@@ -200,16 +217,28 @@ _BF_SQL = f"""
     ),
     tri AS (SELECT origin, dev, c FROM cum WHERE dev <= 12 - origin),
     f AS (
+      -- HAVING guards the zero-denominator cohort-sum: both engines treat
+      -- it as a MISSING factor (filled 1.0 below) instead of diverging
+      -- (DuckDB x/0 -> inf, Spark -> NULL) — round-4 ADVICE
       SELECT a.dev,
              CAST(sum(b.c) AS BIGINT) * 1e0 / CAST(sum(a.c) AS BIGINT) AS fac
       FROM tri a JOIN tri b ON b.origin = a.origin AND b.dev = a.dev + 1
       GROUP BY a.dev
+      HAVING CAST(sum(a.c) AS BIGINT) > 0
+    ),
+    -- dense factor vector: a dev age with no observed transition keeps
+    -- factor 1.0 on BOTH engines; recursing over the sparse f would HALT
+    -- the tail product at the gap and silently drop lower ages
+    fd AS (
+      SELECT d.dev, coalesce(f.fac, 1e0) AS fac
+      FROM (SELECT unnest(range(0, {CL_MAX_DEV})) AS dev) d
+      LEFT JOIN f ON f.dev = d.dev
     ),
     tailprod(dev, prod) AS (
       SELECT {CL_MAX_DEV}, 1e0
       UNION ALL
-      SELECT t.dev - 1, f.fac * t.prod
-      FROM tailprod t JOIN f ON f.dev = t.dev - 1
+      SELECT t.dev - 1, fd.fac * t.prod
+      FROM tailprod t JOIN fd ON fd.dev = t.dev - 1
       WHERE t.dev > 0
     ),
     elr AS (
@@ -305,14 +334,19 @@ def bornhuetter_ferguson(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = cum.filter(F.col("dev") <= 12 - F.col("origin")).localCheckpoint()
     a = tri.selectExpr("origin", "dev", "c AS ca")
     b = tri.selectExpr("origin", "dev - 1 AS dev", "c AS cb")
+    # zero-denominator cohort sums become MISSING factors (dropped here,
+    # filled 1.0 in the driver walk below) — identical to the oracle's
+    # HAVING den > 0 + dense coalesce(fac, 1.0) fill, so the engines agree
+    # even in the degenerate cases (round-4 ADVICE)
     f = (
         a.join(b, ["origin", "dev"])
         .groupBy("dev")
         .agg(
-            (F.sum("cb").cast("long") * F.lit(1.0) / F.sum("ca").cast("long")).alias(
-                "fac"
-            )
+            F.sum("ca").cast("long").alias("den"),
+            F.sum("cb").cast("long").alias("num"),
         )
+        .filter(F.col("den") > 0)
+        .select("dev", (F.col("num") * F.lit(1.0) / F.col("den")).alias("fac"))
     )
     facs = {r["dev"]: r["fac"] for r in f.collect()}  # O(model)
     prod = {CL_MAX_DEV: 1.0}
