@@ -1258,6 +1258,13 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PREFIX_JOIN_T = 0.7  # Jaccard threshold for the prefix-filtered join
+# Candidate-pair budget for the prefix join (round-4 verdict task 6): the
+# method is LOSSLESS, so on a mass-duplicated corpus its candidate count —
+# and the true answer — grows quadratically. Above this budget the query
+# falls back to the banded MinHash-LSH candidate path (sub-quadratic,
+# probabilistic) and SAYS SO in the `method` column, exactly the
+# q_jaccard_neardup gate contract.
+PREFIX_PAIR_BUDGET = 20_000_000
 
 
 @query(
@@ -1272,7 +1279,8 @@ PREFIX_JOIN_T = 0.7  # Jaccard threshold for the prefix-filtered join
     )
     SELECT
       i.doc_id_1, i.doc_id_2,
-      round(i.n_common * 1.0 / (x.n + y.n - i.n_common), 4) AS jaccard
+      round(i.n_common * 1.0 / (x.n + y.n - i.n_common), 4) AS jaccard,
+      'prefix_exact' AS method
     FROM inter i
     JOIN sz x ON i.doc_id_1 = x.doc_id
     JOIN sz y ON i.doc_id_2 = y.doc_id
@@ -1299,7 +1307,17 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-driven verification (O(candidates x shingles/doc), the
     _verify_jaccard_pairs gate path). Hot tokens — the quadratic fan-out —
     sit at the END of the rarest-first order and never enter the prefix
-    at any corpus size."""
+    at any corpus size. BUT losslessness itself is the residual risk: on
+    a mass-duplicated corpus the true pair set (hence the candidate set
+    of ANY lossless method) is quadratic, so the exact per-token
+    candidate count Σ c·(c−1)/2 over the materialized prefix postings is
+    compared against PREFIX_PAIR_BUDGET before the self-join; above it
+    the query warns and falls back to the banded MinHash-LSH candidate
+    path (sub-quadratic, may miss a small tail of borderline pairs), and
+    the constant `method` column records which semantics produced the
+    pairs — the q_jaccard_neardup gate contract. The oracle pins the
+    exact tier ('prefix_exact'); gate scales never trip the budget
+    (asserted in tests/test_dedup.py)."""
     ds = _doc_shingle_hashes(spark, sf_dir)
     dfh = ds.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1310,7 +1328,30 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sz, "doc_id")
         .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(PREFIX_JOIN_T) * F.col("n")) + 1)
         .select("doc_id", "h")
+        # materialize once: the budget estimate AND both self-join sides
+        # read it (localCheckpoint -> ContextCleaner-reclaimable)
+        .localCheckpoint(eager=True)
     )
+    est = (
+        prefix.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) / 2")).alias("pairs"))
+        .collect()[0]["pairs"]
+        or 0
+    )
+    if est > PREFIX_PAIR_BUDGET:
+        import warnings
+
+        warnings.warn(
+            f"q_prefix_filter_join: {est} prefix candidate pairs exceeds "
+            f"budget {PREFIX_PAIR_BUDGET}; switching to MinHash-LSH "
+            "candidates (sub-quadratic, probabilistic)",
+            stacklevel=2,
+        )
+        cand = _lsh_candidate_pairs(spark, sf_dir)
+        return _verify_jaccard_pairs(ds, PREFIX_JOIN_T, candidates=cand).withColumn(
+            "method", F.lit("lsh_prefilter")
+        )
     cand = (
         prefix.select(F.col("doc_id").alias("doc_id_1"), "h")
         .join(prefix.select(F.col("doc_id").alias("doc_id_2"), "h"), "h")
@@ -1318,7 +1359,9 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
-    return _verify_jaccard_pairs(ds, PREFIX_JOIN_T, candidates=cand)
+    return _verify_jaccard_pairs(ds, PREFIX_JOIN_T, candidates=cand).withColumn(
+        "method", F.lit("prefix_exact")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,34 @@ def test_jaccard_gate_switches_to_lsh_and_warns(spark, monkeypatch):
     assert gated  # non-vacuous
 
 
+def test_prefix_join_budget_not_tripped_at_gate_scale(spark):
+    """The driver must check the EXACT ('prefix_exact') tier: oracle-gate
+    corpora stay under PREFIX_PAIR_BUDGET."""
+    df = SPECS["q_prefix_filter_join"].fn(spark, SF_DIR)
+    assert {r["method"] for r in df.select("method").distinct().collect()} == {
+        "prefix_exact"
+    }
+
+
+def test_prefix_join_gate_switches_to_lsh_and_warns(spark, monkeypatch):
+    """Forcing the budget to trip must (a) warn, (b) flip the method column
+    to 'lsh_prefilter' (no silent semantics change), and (c) still recover
+    the same J>=0.7 pairs on this corpus (its true pairs are near-verbatim
+    twins, which collide in >=1 band deterministically)."""
+    exact = _pair_set(SPECS["q_prefix_filter_join"].fn(spark, SF_DIR))
+    monkeypatch.setattr(dedup, "PREFIX_PAIR_BUDGET", 1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        gated_df = SPECS["q_prefix_filter_join"].fn(spark, SF_DIR)
+        assert {r["method"] for r in gated_df.select("method").distinct().collect()} == {
+            "lsh_prefilter"
+        }
+        gated = _pair_set(gated_df)
+    assert any("MinHash-LSH" in str(w.message) for w in caught)
+    assert gated == exact
+    assert gated  # non-vacuous
+
+
 def test_minhash_families_equivalent(spark):
     """Round-2 verdict task 4 'done' criterion: the xxhash64 production path
     (q_minhash_lsh_fast) and the md5 oracle twin (q_minhash_lsh) must yield
