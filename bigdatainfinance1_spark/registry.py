@@ -47,84 +47,90 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness run caps at the FIRST 50 entries of
-# ``queries()`` in dict order. Rounds 1-3 drove 136 distinct queries green
-# (r1∪r2∪r3 disjoint); this round-4 window rotates to 50 more
-# NEVER-driver-checked names, following VERDICT.md round 3 "Next round"
-# task 1: the flagships that run the production scale paths
-# (q_minhash_lsh_fast — the xxhash64 dedup path, q_semdedup,
-# q_knn_label_eval, q_stream_minhash_dedup), the paper-backed curation
-# layer (DSIR, Gopher, CCNet, exact-substring spans, SoftDeDup), the
-# auditable end-to-end composite q_dedup_funnel (verdict task 8 —
-# q_curation_pipeline already has its r1 driver row), 3 TPC-H picks,
-# and at least one representative per remaining analytics wave. All 50
-# carry full DuckDB value-hash oracles. Everything not listed follows in
-# registration order, so the r1/r2/r3 windows remain reproducible from
-# git history.
+# ``queries()`` in dict order. Rounds 1-4 drove 186 distinct queries green
+# (windows mutually disjoint); this round-5 window rotates to 50 more
+# NEVER-driver-checked names, following VERDICT.md round 4 "Next round"
+# task 1: the heavy-tail bench queries that carry round 4's engineering
+# weight (ann_nprobe_sweep, prefix_filter_join — budget-gated this round,
+# winnowing, amortization, entity_resolution, recsys_list_metrics), the
+# three graph queries whose hub mitigation landed this round
+# (adamic_adar's deg cap, the degree-oriented triangle paths), the
+# reserving pair whose oracle degenerate-case fix landed this round, the
+# remaining THREE custom-connector queries (task 8 — q_python_datasource
+# got its row in r1; the sink halves changed this round: attempt-id
+# filenames + manifest readback), three more TPC-H picks, and one
+# representative per remaining analytics wave. All 50 carry full DuckDB
+# value-hash oracles and none has a prior CORRECTNESS row (tripwire test
+# enforces both). Everything not listed follows in registration order,
+# so the r1-r4 windows remain reproducible from git history.
 DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    # Verdict-named flagships: production dedup / semantic / ANN paths
-    "q_minhash_lsh_fast",         # xxhash64 banded LSH — THE production dedup path
-    "q_semdedup",                 # semantic dedup (k now corpus-derived, task 4)
-    "q_knn_label_eval",           # exact LOO 5-NN on block matmul
-    "q_stream_minhash_dedup",     # in-stream signatures vs broadcast static index
-    "q_tfidf_cosine_pairs",       # round-3 weak marks fixed this round (tasks 2+3)
-    "q_lsh_band_sweep",           # band/recall trade-off audit
-    "q_ann_ivf_topk",             # IVF scale path, full unrolled-Lloyd oracle
-    "q_embedding_quantize",       # int8 quantization recall
-    "q_matryoshka_recall",        # prefix-dim recall curve
-    "q_embedding_outliers",       # centroid-distance outlier tier
-    # Paper-backed curation layer + composites (verdict tasks 1+8)
-    "q_dedup_funnel",             # end-to-end dedup census composite
-    "q_dsir_select",              # importance resampling selection
-    "q_substring_dup_spans",      # exact-substring duplicate spans
-    "q_softdedup_weights",        # soft dedup loss weights
-    "q_gopher_rules",             # Gopher quality rule gates
-    "q_ccnet_ppl_buckets",        # CCNet perplexity buckets
-    "q_pii_redaction",            # PII scrub pass
-    "q_token_stats",              # L4 token accounting
-    "q_doc_fingerprint",          # rolling-hash fingerprints
-    "q_zipf_terms",               # corpus Zipf fit
-    # TPC-H picks (verdict: 3-4 of the 14)
-    "q_tpch_q5",
-    "q_tpch_q6",
-    "q_tpch_q18",
-    # Heavy/bench tail + money correctness
-    "q_poisson_bootstrap",
-    "q_decimal_money",
-    # Sampling wave (full-oracle tiers)
-    "q_stratified_sample",
-    "q_pps_sample",
-    # Stats / experimentation wave
-    "q_cuped_adjustment",
-    "q_diff_in_diff",
-    "q_srm_check",
-    "q_ks_test",
-    "q_benford",
-    "q_kaplan_meier",
-    # Finance / time-series wave (incl. task-6 scale stragglers)
-    "q_portfolio_cov",
-    "q_rsi_daily",
-    "q_holt_smoothing",
-    "q_croston_forecast",
-    "q_lorenz_curve",
-    # Governance / data-quality wave
-    "q_scd2_intervals",
-    "q_dq_checks",
-    "q_k_anonymity",
-    "q_duplicate_payments",
-    # IO / format wave
-    "q_csv_malformed",
-    # Join strategies wave
-    "q_salted_join",
-    # Spark-4 SQL surface
-    "q_group_by_all",
-    # Product-analytics wave
-    "q_dau_wau",
-    "q_markov_transitions",
-    # ML feature wave
-    "q_woe_iv",
-    # Streaming wave 3
-    "q_stream_file_sink",
-    "q_stream_window_topk",
+    # Heavy-tail / bench flagships (round-4 engineering weight)
+    "q_ann_nprobe_sweep",         # IVF nprobe/recall sweep, one trained index
+    "q_prefix_filter_join",       # lossless PPJoin — candidate budget gate NEW this round
+    "q_winnowing_fingerprint",    # MOSS window-min fingerprints
+    "q_amortization_schedule",    # recursive-CTE loan schedule
+    "q_entity_resolution",        # blocked fuzzy match -> CC -> golden records
+    "q_grid_dbscan",              # grid-bucketed density clustering
+    "q_recsys_list_metrics",      # item-CF top-20 partner pruning
+    # Graph wave — hub mitigation implemented this round (verdict task 2)
+    "q_adamic_adar",              # AA_DEG_CAP wedge bound, 21x -> 1.5x at 10x
+    "q_kcore",                    # iterative peeling, localCheckpoint loop
+    "q_clustering_coefficient",   # (degree,id)-oriented triangle path
+    # Reserving pair — oracle degenerate-case fix this round (ADVICE)
+    "q_chain_ladder",
+    "q_bornhuetter_ferguson",
+    # Quant pricing / filtering wave
+    "q_black_scholes",
+    "q_irr_bisection",
+    "q_kalman_level",
+    "q_implied_vol",
+    # Eval / ranking / attribution wave
+    "q_kneser_ney_perplexity",
+    "q_bradley_terry",
+    "q_pass_at_k",
+    "q_shapley_attribution",
+    "q_mmr_rerank",
+    "q_rrf_fusion",
+    "q_isotonic_calibration",
+    # Governance / multimodal
+    "q_dp_histogram",
+    "q_audio_vad_windows",
+    # Forecast / time-series mining
+    "q_holt_winters",
+    "q_matrix_profile",
+    # Custom-connector matrix (verdict task 8; sink code changed this round)
+    "q_python_datasink",
+    "q_stream_python_sink",
+    "q_stream_python_source",
+    # TPC-H picks
+    "q_tpch_q7",
+    "q_tpch_q17",
+    "q_tpch_q22",
+    # Streaming wave
+    "q_stream_session_funnel",
+    "q_stream_stream_left_join",
+    # Arrow / UDF surface
+    "q_map_in_arrow",
+    "q_cogroup_gap_stats",
+    # Econometrics / factor models
+    "q_granger_causality",
+    "q_fama_macbeth",
+    # Inference / survival
+    "q_benjamini_hochberg",
+    "q_nelson_aalen",
+    # Iterative ML / linear algebra
+    "q_logistic_irls",
+    "q_pca_power_iteration",
+    "q_textrank",
+    # Sampling / product / temporal
+    "q_weighted_reservoir_es",
+    "q_markov_absorption",
+    "q_scd2_pit_join",
+    # Physical-layout / join-strategy wave
+    "q_bucketed_join",
+    "q_zone_map_prune",
+    # Combinatorial optimization
+    "q_stable_matching",
 )
 
 
