@@ -17,10 +17,27 @@ is the global order).
 
 from __future__ import annotations
 
+from collections import deque
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 16
+
+# Observability escrow: localCheckpoint truncates lineage, so the UPSTREAM
+# plan — where scan pushdown/pruning is visible — disappears from the final
+# query's explain. Capture the formatted upstream plan at materialization
+# time so plan tests (tests/test_plans.py) can still assert pushdown for
+# queries that pass through these helpers. Bounded; newest last.
+LAST_UPSTREAM_PLANS: deque = deque(maxlen=4)
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    spark = df.sparkSession
+    LAST_UPSTREAM_PLANS.append(
+        spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    )
+    return df.localCheckpoint(eager=True)
 
 
 def _as_columns(order_cols) -> list[Column]:
@@ -67,7 +84,7 @@ def global_row_number(
     # query (round-4 ADVICE: cached plans accumulated for the whole
     # session). Checkpointed RDDs are reclaimed by ContextCleaner once the
     # Python/JVM refs drop — the q_kcore pattern.
-    d = d.withColumn("_local_rn", F.row_number().over(w)).localCheckpoint(eager=True)
+    d = _checkpoint(d.withColumn("_local_rn", F.row_number().over(w)))
     totals = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_tot"))
     offs = _prefix_offsets(totals, "_tot")
     return (
@@ -95,7 +112,7 @@ def global_running_sum(
     )
     # localCheckpoint for the same branch-consistency + no-session-leak
     # reasons as global_row_number
-    d = d.withColumn("_local_sum", F.sum(value_col).over(w)).localCheckpoint(eager=True)
+    d = _checkpoint(d.withColumn("_local_sum", F.sum(value_col).over(w)))
     totals = d.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
     offs = _prefix_offsets(totals, "_tot")
     return (

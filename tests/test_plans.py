@@ -1167,13 +1167,21 @@ def test_panel_dispersion_wave_plans(spark):
 
 def test_paired_reliability_wave_plans(spark):
     """Wilcoxon SR / Cronbach alpha: pushed-down two-year scan and one
-    linear pass respectively; no cartesian, no Python eval."""
+    linear pass respectively; no cartesian, no Python eval. The wilcoxon
+    scan sits UPSTREAM of global_row_number's localCheckpoint (lineage
+    truncated in the final explain), so the pushdown is asserted on the
+    upstream plan the ranks helper escrows at materialization time."""
+    from bigdatainfinance1_spark.functions import ranks
+
     for name in ("q_wilcoxon_signed_rank", "q_cronbach_alpha"):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
-    plan = formatted(SPECS["q_wilcoxon_signed_rank"].fn(spark, SF_DIR))
-    assert "PushedFilters" in plan and "o_orderdate" in plan
+    ranks.LAST_UPSTREAM_PLANS.clear()
+    SPECS["q_wilcoxon_signed_rank"].fn(spark, SF_DIR)
+    assert ranks.LAST_UPSTREAM_PLANS, "ranks helper did not run"
+    up = ranks.LAST_UPSTREAM_PLANS[-1]
+    assert "PushedFilters" in up and "o_orderdate" in up
 
 
 def test_distance_correlation_plan(spark):
