@@ -592,7 +592,8 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     ee = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
-    nodes = ee.select(F.col("u").alias("node")).distinct().persist()
+    nodes0 = ee.select(F.col("u").alias("node")).distinct().persist()
+    nodes = nodes0
     prev_n = nodes.count()
     for _ in range(KCORE_MAX_PEELS):
         kept_edges = (
@@ -617,12 +618,19 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_n = n
     else:
         raise RuntimeError(f"kcore: peeling did not converge in {KCORE_MAX_PEELS} rounds")
-    return (
+    out = (
         ee.join(nodes.select(F.col("node").alias("u")), "u")
         .join(nodes.select(F.col("node").alias("v")), "v")
         .groupBy(F.col("u").alias("part_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+    # materialize before dropping the loop-scoped caches (the q_pagerank
+    # pattern at the top of this module) — otherwise they leak in
+    # CacheManager for the session (round-4 ADVICE leak class)
+    out = out.localCheckpoint(eager=True)
+    ee.unpersist()
+    nodes0.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

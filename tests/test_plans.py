@@ -560,14 +560,98 @@ def test_round4_second_wave_plans(spark):
         plan = plan_of(SPECS[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    # q_adamic_adar's wedge/degree/anti joins sit UPSTREAM of
+    # global_row_number's localCheckpoint (lineage truncated in the final
+    # plan), so assert on the upstream plan the ranks helper escrows at
+    # materialization time; the final plan keeps only ranks' bounded
+    # bucket-prefix nested loop (keyed on _pid).
+    from bigdatainfinance1_spark.functions import ranks
+
+    ranks.LAST_UPSTREAM_PLANS.clear()
     plan = plan_of(SPECS["q_adamic_adar"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    # the only nested loop allowed is ranks.py's bounded bucket-prefix
-    # self-join (keyed on _pid); the wedge/degree/anti joins stay equi-joins
     for ln in plan.splitlines():
         if "BroadcastNestedLoopJoin" in ln:
             assert "_pid" in ln, ln
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert ranks.LAST_UPSTREAM_PLANS, "rank helper did not run"
+    up = ranks.LAST_UPSTREAM_PLANS[-1]
+    assert "CartesianProduct" not in up
+    assert "BatchEvalPython" not in up and "ArrowEvalPython" not in up
+    # the round-5 hub cap must be IN the wedge plan: a semi-join restricts
+    # the wedge endpoint to capped-degree nodes BEFORE the join fans out
+    assert "LeftSemi" in up, "AA_DEG_CAP semi-join missing from the wedge plan"
+
+
+def test_ranks_upstream_plans_stay_clean(spark):
+    """global_row_number/global_running_sum localCheckpoint (round-5 leak
+    fix) truncates lineage, so the FINAL plan of every ranks-using query
+    no longer shows its pre-rank stage — the other plan tests on those
+    queries silently assert only the post-rank tail. This sweep re-asserts
+    the no-cartesian / no-Python-eval invariants on the ESCROWED upstream
+    plans for one representative ranks consumer per wave."""
+    from bigdatainfinance1_spark.functions import ranks
+
+    for name in (
+        "q_rfm_segmentation",   # windows wave
+        "q_lorenz_curve",       # finance wave (global_running_sum)
+        "q_sequence_packing",   # pipeline wave (global_running_sum)
+        "q_global_shuffle",     # pipeline wave (global_row_number)
+    ):
+        ranks.LAST_UPSTREAM_PLANS.clear()
+        SPECS[name].fn(spark, SF_DIR)
+        assert ranks.LAST_UPSTREAM_PLANS, f"{name}: rank helper did not run"
+        for up in ranks.LAST_UPSTREAM_PLANS:
+            assert "CartesianProduct" not in up, name
+            assert "BatchEvalPython" not in up and "ArrowEvalPython" not in up, name
+
+
+def test_degree_orient_preserves_edges_and_bounds_fanout(spark):
+    """_degree_orient (round-5): re-orienting by (degree, id) must keep
+    exactly the same undirected edge set (each edge once), and on a
+    hub-and-spoke graph the hub's orientation OUT-degree must collapse to
+    ~0 — the property that bounds the wedge join on power-law graphs.
+    Triangle-count equivalence is separately proven by the id-oriented
+    DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from bigdatainfinance1_spark.operators.graph import _degree_orient
+
+    # star: hub 0 connected to 1..9, plus one rim edge (1,2)
+    edges = spark.createDataFrame(
+        [(0, v) for v in range(1, 10)] + [(1, 2)], "u long, v long"
+    )
+    oriented = _degree_orient(edges).collect()
+    orig = {(r["u"], r["v"]) for r in edges.collect()}
+    got = {tuple(sorted((r["src"], r["dst"]))) for r in oriented}
+    assert got == orig and len(oriented) == len(orig)  # same set, each once
+    hub_out = sum(1 for r in oriented if r["src"] == 0)
+    assert hub_out == 0, "hub must be the wedge SINK, never the fan-out source"
+
+
+def test_adamic_adar_cap_has_headroom_at_gate_scale(spark):
+    """AA_DEG_CAP must exceed the max co-purchase degree at the oracle
+    tier, so the hash oracle verifies the UNCAPPED scores (the cap only
+    engages on denser-than-test graphs). Mirrors the jaccard
+    budget-not-tripped-at-gate-scale contract."""
+    from pyspark.sql import functions as F
+
+    from bigdatainfinance1_spark.operators.graph import AA_DEG_CAP
+    from bigdatainfinance1_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    e = und.select("u").unionByName(und.select(F.col("v").alias("u")))
+    max_deg = e.groupBy("u").count().agg(F.max("count")).collect()[0][0]
+    assert max_deg < AA_DEG_CAP, (max_deg, AA_DEG_CAP)
 
 
 def test_round4_quant_and_ml_wave_plans(spark):
