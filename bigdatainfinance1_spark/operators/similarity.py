@@ -687,12 +687,23 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "nrm",
         F.element_at(nearest_lists(1), 1).alias("list_id"),
-    )
-    q_base = with_lists.filter(F.col("vec_id") < 10).select(
+    # materialize ONCE: the k x dim quantizer-distance transform per corpus
+    # row (~k*dim flops) would otherwise recompute for the ground-truth
+    # pass AND each of the 4 probe joins — 5 passes of the most expensive
+    # narrow map in the query. localCheckpoint (not persist) so the blocks
+    # are ContextCleaner-reclaimable after the sweep returns.
+    ).localCheckpoint(eager=True)
+    # materialize the 10-row query panel WITH its per-centroid distance
+    # vector: the k x dim centroid literal array otherwise re-enters (and
+    # re-codegens in) every sweep branch — at small SF that compile cost,
+    # not the data, dominates the query.
+    q_panel = with_lists.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-    )
+        "dists",
+    ).localCheckpoint(eager=True)
+    q_base = q_panel.select("query_id", "q_emb", "q_nrm")
     cos = dot("q_emb", "embedding") / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0))
     w3 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     exact3 = (
@@ -704,10 +715,10 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for np_ in NPROBE_SWEEP:
-        probes = with_lists.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
+        probes = q_panel.select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
             F.explode(nearest_lists(np_)).alias("list_id"),
         )
         cand = (
