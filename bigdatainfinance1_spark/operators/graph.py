@@ -264,9 +264,14 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-    return dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
+    out = dist.groupBy(F.col("dist").cast("long").alias("dist")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+    # materialize, then release the loop-scoped edge cache (round-4 ADVICE
+    # leak class: cached plans otherwise persist for the whole session)
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
 
 
 @query(
@@ -334,7 +339,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(oriented, (F.col("src") == F.col("t_u")) & (F.col("dst") == F.col("w_v")))
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
-    return (
+    out = (
         deg.crossJoin(F.broadcast(tri))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -346,6 +351,10 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_cc"),
         )
     )
+    # materialize the 1-row result, then release the edge cache
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
 
 
 # Declarative multi-hop reachability via WITH RECURSIVE (Spark 4 finally

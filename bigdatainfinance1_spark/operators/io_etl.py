@@ -515,6 +515,7 @@ def csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_good = permissive.filter(F.col("_corrupt").isNull()).count()
     n_corrupt = permissive.filter(F.col("_corrupt").isNotNull()).count()
+    permissive.unpersist()  # both counts taken; don't leak the cache
     # .count() would let the CSV reader prune every column and parse nothing,
     # so DROPMALFORMED would drop nothing (upstream behavior: malformation is
     # only detected for columns actually read). collect() forces full rows.
