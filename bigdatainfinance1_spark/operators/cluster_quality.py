@@ -449,7 +449,6 @@ def lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DB_CELL = 10.0  # grid cell size in degrees (the eps analogue)
 DB_MINPTS = 15  # core threshold on the 3x3 neighborhood count
-DB_CC_ITERS = 64  # min-label cap (grid diameter <= 18+36; loud failure past)
 
 _DB_SQL = f"""
     WITH RECURSIVE pts AS (
@@ -559,9 +558,10 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id (total order); the top-10 orders by (points DESC, id).
     The oracle closes the adjacency with a recursive CTE (the grid has
     <= 648 cells, so transitive closure is trivially bounded); Spark
-    runs the q_dup_clusters min-label loop to convergence with the
-    same loud non-convergence failure. Scale: ONE aggregate turns
-    points into cells; everything after is O(cells)."""
+    collects the (bounded, grid-sized) core-cell graph and resolves
+    components with a driver-local min-union-find — see the inline
+    rationale. Scale: ONE aggregate turns points into cells; everything
+    after is O(cells)."""
     cust = load_table(spark, sf_dir, "customer")
     pts = cust.select(
         (
@@ -605,40 +605,34 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("by") == F.col("cy") + F.col("dy")),
         )
         .select(F.col("cid").alias("s"), "t")
-    ).localCheckpoint()
-    labels = core.select(F.col("cid").alias("node"), F.col("cid").alias("lbl"))
-    for it in range(DB_CC_ITERS):
-        nbr = (
-            edges.join(labels, edges.t == labels.node)
-            .groupBy("s")
-            .agg(F.min("lbl").alias("nl"))
-        )
-        stepped = labels.join(nbr, labels.node == nbr.s, "left").select(
-            "node", F.least("lbl", F.coalesce("nl", "lbl")).alias("lbl")
-        )
-        # pointer jumping (hash-to-min): also adopt the label OF the label,
-        # collapsing chains in O(log diameter) rounds instead of O(diameter)
-        # (the giant percolation component at sf0.1 has ~40-hop chains)
-        jump = labels.selectExpr("node AS jn", "lbl AS jl")
-        new_labels = (
-            stepped.join(jump, stepped.lbl == F.col("jn"), "left")
-            .select("node", F.least("lbl", F.coalesce("jl", "lbl")).alias("lbl"))
-            .localCheckpoint(eager=True)
-        )
-        moving = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "node")
-            .filter(F.col("a.lbl") != F.col("b.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if moving == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"grid_dbscan: min-label did not converge in {DB_CC_ITERS} rounds"
-        )
-    lbl = labels.selectExpr("node AS cid", "lbl AS cluster_id")
+    )
+    # Connected components over CORE CELLS, not points: the graph is bounded
+    # by the GRID, not the corpus — 18×36 = 648 possible cells at any data
+    # scale (at 100 TB the census still lands in the same ≤648 cells), so
+    # this is an O(cells) driver-local union-find, the same bounded-collect
+    # class as a centroid pull — not a multi-job distributed label loop
+    # (which this replaced, round 5: 5.1 -> ~2 s at sf0.1; the distributed
+    # min-label machinery for UNBOUNDED graphs remains q_dup_clusters /
+    # q_entity_resolution). Union toward the MINIMUM id reproduces the
+    # min-label fixpoint (cluster_id = min cell id in the component) exactly.
+    core_ids = [r["cid"] for r in core.select("cid").collect()]  # ≤ 648 rows
+    edge_rows = edges.collect()  # ≤ 648 × 9 rows by construction
+    parent = {c: c for c in core_ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in edge_rows:
+        ra, rb = find(r["s"]), find(r["t"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    lbl = spark.createDataFrame(
+        [(int(c), int(find(c))) for c in core_ids], "cid bigint, cluster_id bigint"
+    )
     core_l = core.join(F.broadcast(lbl), "cid").select(
         "cluster_id", "n", F.lit(1).alias("is_core")
     )
