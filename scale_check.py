@@ -32,8 +32,11 @@ from bigdatainfinance1_spark.session import get_spark
 from bigdatainfinance1_spark.sources.catalog import TABLES, load_table
 
 BASE_SF = "/root/testdata/sf0.1"
-STAGE = "/tmp/bigdatainfinance1_sfx10"
-COPIES = 10
+# SPARK_GRAFT_SCALE_COPIES=100 builds a ~sf10 stage (100x replication) for
+# spot-stressing the flagship linear paths one decade further; default is
+# the standard 10x (~sf1) sweep. Each copy count stages to its own dir.
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+STAGE = f"/tmp/bigdatainfinance1_sfx{COPIES}"
 
 # (table, columns to shift per copy) — keys shifted by i*stride stay unique
 SHIFTS = {
@@ -468,8 +471,9 @@ def main() -> None:
             json.dumps(
                 {
                     "query": name,
+                    "copies": COPIES,
                     "sf0.1_sec": round(t_base, 3),
-                    "sf1_sec": round(t_10x, 3),
+                    f"sf{COPIES / 10:g}_sec": round(t_10x, 3),
                     "scaling_factor": round(t_10x / t_base, 2),
                 }
             )
