@@ -44,3 +44,17 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; null-safe for zero-norm vectors via nullif."""
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def double_matrix_literal(rows: list[list[float]]) -> Column:
+    """A small (k×dim, O(model)-sized) double matrix as ONE parsed SQL
+    nested-array literal. Building this with k×dim nested F.lit/F.array
+    calls costs one py4j round-trip per element (~0.5 s driver time at
+    8×64, measured round 5 in the Lloyd loop); one expr string is ~0.2 s
+    and bit-identical — repr() of a Python float is its shortest exact
+    round-trip form, and Spark SQL parses scientific-notation numerics as
+    DOUBLE literals."""
+    inner = ",".join(
+        "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in r) + ")" for r in rows
+    )
+    return F.expr(f"array({inner})")

@@ -27,18 +27,12 @@ DIM = 64
 
 
 def _centroid_literal(cents: list[list[float]]):
-    """k×64 centroid matrix as a nested array literal baked into the plan.
+    """k×64 centroid matrix as a nested array literal baked into the plan —
+    one parsed expr instead of k×64 py4j F.lit crossings (~0.5 s/iteration
+    at k=8, measured round 5); see double_matrix_literal."""
+    from bigdatainfinance1_spark.functions.vector import double_matrix_literal
 
-    Built as ONE SQL expression string instead of k×64 nested F.lit/F.array
-    calls: each F.lit is a py4j round-trip, and at k=8 the 512 crossings cost
-    ~0.5 s of driver time PER Lloyd iteration (measured round 5); one parsed
-    expr string is ~0.2 s. repr() of a Python float is its shortest exact
-    round-trip form, and Spark SQL parses scientific-notation numerics as
-    DOUBLE literals, so the values are bit-identical to the F.lit path."""
-    inner = ",".join(
-        "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in c) + ")" for c in cents
-    )
-    return F.expr(f"array({inner})")
+    return double_matrix_literal(cents)
 
 
 # Above this k, the plan-literal assignment expression (k x 64 literals

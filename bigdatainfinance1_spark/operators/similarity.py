@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdatainfinance1_spark.functions.vector import dot, l2_norm
+from bigdatainfinance1_spark.functions.vector import dot, double_matrix_literal, l2_norm
 from bigdatainfinance1_spark.registry import query
 from bigdatainfinance1_spark.sources.catalog import load_table
 
@@ -296,10 +296,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # hyperplanes baked into the plan as literals — constant-folded once,
     # NOT recomputed per row (the previous per-row xxhash64 formulation cost
-    # 512 hashes per vector; this costs zero).
-    planes = F.array(
-        *[F.array(*[F.lit(float(w)) for w in plane_mat[p]]) for p in range(8)]
-    )
+    # 512 hashes per vector; this costs zero). One parsed expr, not 512
+    # py4j F.lit crossings (double_matrix_literal, round 5).
+    planes = double_matrix_literal([list(plane_mat[p]) for p in range(8)])
     with_bucket = emb.withColumn("planes", planes).withColumn(
         "bucket",
         F.expr(
@@ -524,7 +523,7 @@ def _ivf_with_lists(spark: SparkSession, sf_dir: str, k: int = 16, iters: int = 
             if len(members):
                 cents[c] = np.round(members.mean(axis=0), 12)
 
-    cents_lit = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    cents_lit = double_matrix_literal([list(c) for c in cents])
     dists = F.expr(
         f"transform(sequence(0, {k - 1}), c -> round(aggregate("
         "zip_with(embedding, cents[c], (x, m) -> (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),"
