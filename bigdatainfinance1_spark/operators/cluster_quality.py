@@ -450,6 +450,30 @@ def lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 DB_CELL = 10.0  # grid cell size in degrees (the eps analogue)
 DB_MINPTS = 15  # core threshold on the 3x3 neighborhood count
 
+
+def min_label_components(nodes: list[int], edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-local connected components over a BOUNDED graph: label every
+    node with the MINIMUM node id in its component (the same fixpoint the
+    distributed min-label loop of q_dup_clusters converges to). Union-find
+    with path halving, union toward the smaller root so the root IS the
+    min — used by q_grid_dbscan, whose cell graph is grid-bounded (≤ 648
+    nodes at any corpus size). Property-tested against a BFS reference in
+    tests/test_fuzz.py."""
+    parent = {c: c for c in nodes}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t in edges:
+        ra, rb = find(s), find(t)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {c: find(c) for c in nodes}
+
 _DB_SQL = f"""
     WITH RECURSIVE pts AS (
       SELECT c_custkey AS k,
@@ -616,22 +640,10 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # q_entity_resolution). Union toward the MINIMUM id reproduces the
     # min-label fixpoint (cluster_id = min cell id in the component) exactly.
     core_ids = [r["cid"] for r in core.select("cid").collect()]  # ≤ 648 rows
-    edge_rows = edges.collect()  # ≤ 648 × 9 rows by construction
-    parent = {c: c for c in core_ids}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in edge_rows:
-        ra, rb = find(r["s"]), find(r["t"])
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    edge_rows = [(r["s"], r["t"]) for r in edges.collect()]  # ≤ 648 × 9 rows
+    labels = min_label_components(core_ids, edge_rows)
     lbl = spark.createDataFrame(
-        [(int(c), int(find(c))) for c in core_ids], "cid bigint, cluster_id bigint"
+        [(int(c), int(l)) for c, l in labels.items()], "cid bigint, cluster_id bigint"
     )
     core_l = core.join(F.broadcast(lbl), "cid").select(
         "cluster_id", "n", F.lit(1).alias("is_core")

@@ -715,3 +715,45 @@ def test_fuzz_bitmap_index_identity(spark, p):
     ).collect()[0]["c"]
     direct = base.filter((F.col("pa") == 1) & (F.col("pb") == 1)).count()
     assert via_bitmap == direct
+
+
+@given(
+    n=st.integers(min_value=1, max_value=40),
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=39), st.integers(min_value=0, max_value=39)),
+        max_size=120,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_min_union_find_equals_bfs_reference(n, edges):
+    """q_grid_dbscan's driver-local union-find labels every node with the
+    MINIMUM node id of its component — verified against a plain BFS
+    reference on arbitrary graphs (self-loops, duplicates, out-of-range
+    endpoints filtered the same way the cell join bounds them)."""
+    from bigdatainfinance1_spark.operators.cluster_quality import min_label_components
+
+    nodes = list(range(n))
+    es = [(s, t) for s, t in edges if s < n and t < n]
+    got = min_label_components(nodes, es)
+    # BFS reference
+    adj = {v: set() for v in nodes}
+    for s, t in es:
+        adj[s].add(t)
+        adj[t].add(s)
+    want, seen = {}, set()
+    for v in nodes:
+        if v in seen:
+            continue
+        comp, queue = [], [v]
+        seen.add(v)
+        while queue:
+            u = queue.pop()
+            comp.append(u)
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    queue.append(w)
+        m = min(comp)
+        for u in comp:
+            want[u] = m
+    assert got == want
