@@ -616,20 +616,27 @@ def user_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = informative.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     a = informative.select(F.col("cust").alias("c1"), "part")
     b = informative.select(F.col("cust").alias("c2"), "part")
+    # common feeds BOTH union branches; without materialization the
+    # Σ min(B,50)² pair join + aggregation executes twice (two full
+    # SortMergeJoin subtrees in the physical plan — caught round 5).
     common = (
         a.join(b, "part")
         .filter(F.col("c1") < F.col("c2"))
         .groupBy("c1", "c2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .localCheckpoint(eager=True)
     )
     both_dirs = common.unionByName(
         common.select(F.col("c2").alias("c1"), F.col("c1").alias("c2"), "n_common")
     )
+    # sizes is O(customers) — broadcast both aliases so the ~9 M pair rows
+    # are never exchange-sorted for these lookups; the only remaining pair
+    # shuffle is the ranking window's partition by customer.
     s1 = sizes.select(F.col("cust").alias("c1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("cust").alias("c2"), F.col("sz").alias("sz2"))
     scored = (
-        both_dirs.join(s1, "c1")
-        .join(s2, "c2")
+        both_dirs.join(F.broadcast(s1), "c1")
+        .join(F.broadcast(s2), "c2")
         .select(
             "c1",
             "c2",
