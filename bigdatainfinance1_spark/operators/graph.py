@@ -66,11 +66,16 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    # pairs is the expensive corpus pass and feeds both persists below
+    # (deg and edges_deg) through the un-materialized flip union — without
+    # this checkpoint the lineitem pair join executes twice (round-5
+    # double-execution audit).
     pairs = (
         a.join(b, "l_orderkey")
         .filter(F.col("p1") < F.col("p2"))
         .select("p1", "p2")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     edges = pairs.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
@@ -165,6 +170,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # edges feeds the degree census (twice, via the endpoint union), the
+    # orientation join, and n_edges — four consumers; oriented feeds the
+    # wedge join twice plus the closing join. Both checkpoints run the
+    # pair join / orientation exactly once (round-5 double-execution
+    # audit: un-materialized, the lineitem pair join executed 4x).
     edges = (
         a.join(b, "l_orderkey")
         .filter(F.col("u") < F.col("v"))
@@ -172,8 +182,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
-    oriented = _degree_orient(edges)
+    oriented = _degree_orient(edges).localCheckpoint(eager=True)
     e1 = oriented.select(F.col("src").alias("t_u"), F.col("dst").alias("t_v"))
     e2 = oriented.select(F.col("src").alias("w_u"), F.col("dst").alias("w_v"))
     wedges = e1.join(e2, F.col("t_v") == F.col("w_u"))
@@ -331,7 +342,9 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    oriented = _degree_orient(und)
+    # oriented feeds the wedge join twice plus the closing join; the
+    # checkpoint runs the orientation once over the cached edge set.
+    oriented = _degree_orient(und).localCheckpoint(eager=True)
     e1 = oriented.select(F.col("src").alias("t_u"), F.col("dst").alias("t_v"))
     e2 = oriented.select(F.col("src").alias("w_u"), F.col("dst").alias("w_v"))
     tri = (
@@ -481,6 +494,9 @@ def adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    # und feeds the flip union (→ deg, x, y) and the existing-edge
+    # anti-join — five pair-join executions without this checkpoint
+    # (round-5 double-execution audit).
     und = (
         a.join(b, "ok")
         .filter(F.col("u") < F.col("v"))
@@ -488,6 +504,7 @@ def adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     e = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))

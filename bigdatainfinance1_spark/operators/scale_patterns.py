@@ -263,9 +263,18 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream needed.
     # canonical orientation first: the earlier-starting side flips day to
     # day, so (u,v) and (v,u) would otherwise both survive to the union
-    edges = pairs.groupBy(
-        F.least("x_user", "y_user").alias("u1"), F.greatest("x_user", "y_user").alias("u2")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # edges feeds BOTH branches of the direction union below; without
+    # materialization the full 34 M-pair cell join + aggregation subtree is
+    # duplicated in the physical plan (ReuseExchange does not fire across
+    # the differing parent projections — the q_user_cf_neighbors round-5
+    # finding). One eager checkpoint runs the pair pipeline once.
+    edges = (
+        pairs.groupBy(
+            F.least("x_user", "y_user").alias("u1"), F.greatest("x_user", "y_user").alias("u2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     both = edges.select(
         F.col("u1").alias("user_id"), F.col("u2").alias("peer"), "n"
     ).unionByName(

@@ -265,10 +265,14 @@ def textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("tok", "tok2").alias("w1"), F.greatest("tok", "tok2").alias("w2")
         )
     )
+    # pairs (vocabulary-sized) feeds both persists below through the
+    # un-materialized flip union; the checkpoint runs the corpus token
+    # pass once instead of twice (round-5 double-execution audit).
     pairs = (
         adj.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= TR_MIN_SUPPORT)
+        .localCheckpoint(eager=True)
     )
     edges = pairs.select(
         F.col("w1").alias("u"), F.col("w2").alias("v"), "w"
