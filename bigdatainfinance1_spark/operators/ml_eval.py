@@ -872,10 +872,12 @@ def pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     task average. Scale: one groupBy of the fact table, then three
     aggregations over the task relation — O(tasks) rows, no join at all."""
     ev = load_table(spark, sf_dir, "events")
+    # base (O(tasks) rows) is aggregated once per k below; the checkpoint
+    # runs the event scan once instead of len(PASS_AT_K) times.
     base = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c"),
-    )
+    ).localCheckpoint(eager=True)
     out = None
     for k in PASS_AT_K:
         prod = F.expr(

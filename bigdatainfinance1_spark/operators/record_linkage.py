@@ -179,13 +179,16 @@ def fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).alias("f_length"),
         F.when(F.col("fa") == F.col("fb"), 1).otherwise(0).alias("f_first_token"),
     )
+    # agg is a 2-row relation consumed once per feature field below (4
+    # consumers); without materialization the whole shingle-intersection
+    # match pipeline re-executes per field (round-5 double-execution audit).
     agg = feat.groupBy("kind").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("f_lang").cast("long").alias("a_lang"),
         F.sum("f_source").cast("long").alias("a_source"),
         F.sum("f_length").cast("long").alias("a_length"),
         F.sum("f_first_token").cast("long").alias("a_first_token"),
-    )
+    ).localCheckpoint(eager=True)
     rows = []
     for field in ("lang", "source", "length", "first_token"):
         rows.append(

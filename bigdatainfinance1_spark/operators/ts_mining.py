@@ -449,7 +449,10 @@ def forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("m1").alias("m1"),
         F.max("m2").alias("m2"),
         F.max("m3").alias("m3"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ comb is ONE row consumed by the four model rows below; without the
+    # checkpoint the whole backtest pipeline re-executes per row (round-5
+    # double-execution audit).
     rows = []
     for model, m_col, w_col in (
         ("naive", "m1", "w1"),

@@ -682,7 +682,12 @@ def ohlc_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    daily = rollup(hourly, "day")
+    # hourly feeds its own output row AND the day rollup (and day feeds
+    # week) — without materialization the two event-level window passes
+    # re-execute once per grain (round-5 double-execution audit); the
+    # checkpoints make the hierarchy genuinely hierarchical.
+    hourly = hourly.localCheckpoint(eager=True)
+    daily = rollup(hourly, "day").localCheckpoint(eager=True)
     weekly = rollup(daily, "week")
     out = None
     for grain, bars in (("hour", hourly), ("day", daily), ("week", weekly)):
