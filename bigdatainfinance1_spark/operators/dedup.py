@@ -895,6 +895,12 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bar by q_minhash_lsh_fast's ground-truth oracle plus the pair-set
     equivalence test in tests/test_dedup.py."""
     ds_h = _doc_shingle_hashes(spark, sf_dir)
+    # exact and cand each feed the hits join AND their own count; measured
+    # round 5: eager checkpoints here make the query SLOWER (7.1 -> 8.3 s
+    # at sf0.1) — the duplicated subtrees are projection-identical, so
+    # ReuseExchange already shares them, and materialization only adds
+    # write cost. Contrast the flip-union family (differing projections
+    # defeat reuse), where the checkpoint wins.
     exact = _verify_jaccard_pairs(ds_h, threshold=0.7).select("doc_id_1", "doc_id_2")
     cand = _lsh_candidate_pairs(spark, sf_dir, sig_family="md5")
     hits = exact.join(cand, ["doc_id_1", "doc_id_2"])
