@@ -960,7 +960,14 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = load_table(spark, sf_dir, "embeddings").count()  # parquet metadata count
     k = max(8, -(-n // SEMDEDUP_TARGET_CLUSTER))
-    assigned = lloyd_assignments(spark, sf_dir, k=k).withColumn("nrm", l2_norm("embedding"))
+    # assigned feeds both sides of the within-cluster pair join AND the
+    # final ledger join (3 consumers with differing projections — reuse
+    # does not fire); the checkpoint runs the final assignment pass once.
+    assigned = (
+        lloyd_assignments(spark, sf_dir, k=k)
+        .withColumn("nrm", l2_norm("embedding"))
+        .localCheckpoint(eager=True)
+    )
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
         F.col("nrm").alias("n1"),
