@@ -128,7 +128,14 @@ def recsys_list_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    ob = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("i")).distinct()
+    # ob self-joins under a renamed projection, which defeats ReuseExchange
+    # (verified: two lineitem scans / two distinct aggregations in the
+    # un-materialized plan); checkpoint runs the distinct once.
+    ob = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     cop = (
         ob.selectExpr("ok", "i AS j")
         .join(ob, "ok")
