@@ -213,7 +213,13 @@ def _verify_jaccard_pairs(
 ) -> DataFrame:
     """Exact-Jaccard pair verification over hashed shingles ``ds``
     (doc_id, h). With ``candidates`` (doc_id_1, doc_id_2), only those pairs
-    are scored; otherwise all pairs sharing any shingle."""
+    are scored; otherwise all pairs sharing any shingle.
+
+    ds is consumed three times under DIFFERING projections (the size
+    census and both intersection sides), which defeats ReuseExchange —
+    the checkpoint runs the shingle explode+distinct once (round-5
+    multi-consumer audit)."""
+    ds = ds.localCheckpoint(eager=True)
     sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
         # Candidate-driven intersection: expand candidates by the left doc's
