@@ -63,6 +63,10 @@ QUERIES = [
     "q_ohlc_multigrain",
     "q_doc_chunking",
     "q_triangle_count",
+    # round-5 audit additions: remaining pair/iterative graph shapes
+    "q_pagerank_copurchase",
+    "q_clustering_coefficient",
+    "q_lsh_recall_audit",
     "q_concurrency_sweep",
     # round-2 third wave: pair-emitting / explode-heavy newcomers
     "q_interval_overlap_bucketed",
