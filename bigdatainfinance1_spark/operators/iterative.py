@@ -15,6 +15,8 @@ the rows-only gate (and resumability at 100 TB) requires.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,26 +43,124 @@ def _centroid_literal(cents: list[list[float]]):
 # k. The join-based strategy below scales instead.
 ASSIGN_LITERAL_MAX_K = 16
 
+# FLOP budget for EXACT assignment: n_rows * k distance evaluations per
+# Lloyd pass. With q_semdedup's corpus-derived k = n/250, exact assignment
+# is n²/250 FLOPs — measured 60.6x wall at 100x corpus (round-5 verdict
+# task 2, the suite's last quadratic trajectory). Above this budget
+# ``_assign`` auto-switches to the IVF-bucketed probe (coarse-quantize the
+# centroids, probe only the nearest cells), mirroring JACCARD_PAIR_BUDGET's
+# auto-switch in dedup.py. Sized so it can NEVER trip at oracle tiers or
+# the sf0.1 bench (n <= 2000 -> k = 8 -> 16k evals, and those take the
+# literal path anyway) while tripping well before the measured quadratic
+# blow-up (100x tier: n = 200k, k = 800 -> 1.6e8 evals).
+ASSIGN_EXACT_BUDGET = 2_000_000
+# Coarse cells probed per vector on the IVF path. Probe work is
+# n * (k_coarse + nprobe * k / k_coarse) ≈ n * sqrt(k) * (1 + nprobe)
+# with k_coarse = ceil(sqrt(k)) — n^1.5/16 total for k = n/250, vs n²/250
+# exact: sub-linear per-unit growth at every decade.
+IVF_ASSIGN_NPROBE = 4
 
-def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+
+def _coarse_quantize(cents: list[list[float]]):
+    """Driver-side numpy Lloyd over the k FINE centroids (k x 64 doubles —
+    O(model), already driver-resident by the loop's construction; the
+    paper's k = 50k is ~25 MB): returns (coarse_centroids, cell_of_fine).
+    Deterministic: init = first ceil(sqrt(k)) centroids, argmin ties break
+    to the lowest cell (numpy argmin), 5 fixed iterations. Distances via
+    the matmul identity |a-b|² = |a|² + |b|² - 2ab so the intermediate is
+    k x k_coarse, never k x k_coarse x 64."""
+    import numpy as np
+
+    x = np.asarray(cents, dtype=np.float64)
+    k = len(cents)
+    kc = max(4, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    cc = x[:kc].copy()
+
+    def d2_matrix(a, b):
+        return (a * a).sum(axis=1)[:, None] + (b * b).sum(axis=1)[None, :] - 2.0 * (a @ b.T)
+
+    for _ in range(5):
+        assign = d2_matrix(x, cc).argmin(axis=1)
+        for c in range(kc):
+            members = x[assign == c]
+            if len(members):
+                cc[c] = np.round(members.mean(axis=0), 12)
+    return cc, d2_matrix(x, cc).argmin(axis=1)
+
+
+def _assign_ivf(emb: DataFrame, cents: list[list[float]], nprobe: int = None) -> DataFrame:
+    """IVF-bucketed (approximate) Lloyd assignment for over-budget n*k:
+    coarse-quantize the k centroids into ~sqrt(k) cells driver-side, rank
+    cells per vector by coarse distance (skinny n x k_coarse shuffle — no
+    embeddings ride the expansion), then compute exact distances only to
+    the fine centroids in the nprobe nearest NON-EMPTY cells (broadcast
+    equi-join on cell). Every vector gets >= 1 candidate because only
+    occupied cells enter the probe relation. Same output schema and
+    tiebreak (min struct(d2, cid)) as the exact path; with nprobe >=
+    k_coarse it degenerates to the exact assignment bit-for-bit (asserted
+    in tests). Runs only above ASSIGN_EXACT_BUDGET — no value-hash oracle
+    ever sees this path."""
+    if nprobe is None:
+        nprobe = IVF_ASSIGN_NPROBE
+    spark = emb.sparkSession
+    coarse, cell_of = _coarse_quantize(cents)
+    fine = spark.createDataFrame(
+        [(i, int(cell_of[i]), [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cid int, cell int, cent array<double>",
+    )
+    occupied = sorted({int(c) for c in cell_of})
+    cdf = spark.createDataFrame(
+        [(c, [float(v) for v in coarse[c]]) for c in occupied],
+        "cell int, ccent array<double>",
+    )
+    d2_of = (
+        "round(aggregate(zip_with(embedding, {c}, (x, m) ->"
+        " (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 12)"
+    )
+    probed = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cdf))
+        .select("vec_id", F.expr(d2_of.format(c="ccent")).alias("cd2"), "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.expr(f"slice(array_sort(collect_list(struct(cd2, cell))), 1, {nprobe})")
+            .alias("probe")
+        )
+        .select("vec_id", F.explode("probe.cell").alias("cell"))
+    )
+    best = (
+        emb.join(probed, "vec_id")
+        .join(F.broadcast(fine), "cell")
+        .select("vec_id", F.expr(d2_of.format(c="cent")).alias("d2"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2"))
+    )
+    return emb.join(best, "vec_id").select("vec_id", "embedding", "cid", "d2")
+
+
+def _assign(emb: DataFrame, cents: list[list[float]], n_rows: int | None = None) -> DataFrame:
     """Per vector: squared distance to each centroid, argmin. Distances are
     rounded to 12 dp before the argmin so Spark's sequential fold and
     DuckDB's group-sum (different summation orders, ~1e-14 ulps) agree
     bit-for-bit — the q_pca_power_iteration determinism recipe.
 
-    Two physically different, bitwise-identical strategies (asserted equal
-    in tests/test_fuzz.py):
+    Three strategies; the first two are bitwise-identical exact Lloyd
+    (asserted equal in tests/test_fuzz.py):
 
     - k <= {ASSIGN_LITERAL_MAX_K}: centroids ride as a plan literal into a
       narrow map (no shuffle at all) — right for the oracle tiers.
-    - larger k (q_semdedup's corpus-derived k): centroids become a k-row
-      broadcast relation; the vector x centroid expansion is a broadcast
-      nested-loop of a bounded side, distances stay in codegen, and the
-      argmin is one min(struct(d2, cid)) groupBy — lexicographic struct
-      min = lowest distance then lowest cid, exactly the literal fold's
-      strict-< first-index tiebreak. Work is O(n*k) FLOPs either way
-      (exact Lloyd); at corpus scale the assignment prune (IVF/LSH bucket,
-      the q_ann_ivf_topk machinery) is the named next tier."""
+    - larger k within budget (q_semdedup's corpus-derived k): centroids
+      become a k-row broadcast relation; the vector x centroid expansion
+      is a broadcast nested-loop of a bounded side, distances stay in
+      codegen, and the argmin is one min(struct(d2, cid)) groupBy —
+      lexicographic struct min = lowest distance then lowest cid, exactly
+      the literal fold's strict-< first-index tiebreak.
+    - n_rows * k > ASSIGN_EXACT_BUDGET: exact assignment is the suite's
+      one quadratic trajectory (k ∝ n); auto-switch to the IVF-bucketed
+      probe (``_assign_ivf``). The gate can never trip at oracle tiers,
+      so every value-hash oracle still verifies exact Lloyd unchanged."""
     d2_of = (
         "round(aggregate(zip_with(embedding, {c}, (x, m) ->"
         " (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),"
@@ -81,6 +181,17 @@ def _assign(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
                 "vec_id", "embedding", "cid", F.element_at("dists", F.col("cid") + 1).alias("d2")
             )
         )
+    if n_rows is not None and n_rows * len(cents) > ASSIGN_EXACT_BUDGET:
+        import warnings
+
+        warnings.warn(
+            f"lloyd _assign: exact-assignment estimate {n_rows * len(cents)} "
+            f"(n={n_rows} x k={len(cents)}) exceeds budget {ASSIGN_EXACT_BUDGET}; "
+            f"switching to IVF-bucketed probe (nprobe={IVF_ASSIGN_NPROBE}, "
+            "approximate — never reached at oracle tiers)",
+            stacklevel=2,
+        )
+        return _assign_ivf(emb, cents)
     spark = emb.sparkSession
     cdf = spark.createDataFrame(
         [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
@@ -162,7 +273,9 @@ def lloyd_cte(k: int = K, iters: int = ITERS) -> str:
     return f"{head}{steps}"
 
 
-def lloyd_assignments(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
+def lloyd_assignments(
+    spark: SparkSession, sf_dir: str, k: int = K, n_rows: int | None = None
+) -> DataFrame:
     """Run the deterministic Lloyd loop and return the FINAL assignment
     relation (vec_id, embedding, cid, d2) — shared by q_kmeans_embeddings
     (k=K so its unrolled-Lloyd oracle matches) and q_semdedup (k derived
@@ -184,7 +297,7 @@ def lloyd_assignments(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame
     cents = [row["c"] for row in init]
     assigned = None
     for _ in range(ITERS):
-        assigned = _assign(emb, cents)
+        assigned = _assign(emb, cents, n_rows=n_rows)
         # One groupBy (cid, pos) shuffle per iteration; the k×DIM mean rows
         # (512 at k=8 — O(model), bounded like every driver collect in this
         # repo) are assembled into centroid arrays driver-side instead of a

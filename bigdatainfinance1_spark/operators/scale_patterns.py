@@ -305,15 +305,20 @@ ES_KNUTH, ES_SALT, ES_MOD = 2654435761, 424243, 2147483648
                 / ({ES_MOD} + 1.0)) / o_totalprice AS es_key
       FROM orders
     ),
-    pop AS (SELECT avg(o_totalprice) AS pop_avg FROM orders),
+    pop AS (
+      SELECT (2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*))
+             // (2 * count(*)) AS population_avg_cents
+      FROM orders
+    ),
     top AS (
-      SELECT o_orderkey, o_totalprice, es_key
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY es_key DESC, o_orderkey) AS sample_rank
       FROM keyed ORDER BY es_key DESC, o_orderkey LIMIT {ES_K}
     )
     SELECT top.o_orderkey,
            top.o_totalprice AS weight,
-           round(top.es_key, 9) AS es_key,
-           round(pop.pop_avg, 2) AS population_avg_value
+           top.sample_rank,
+           pop.population_avg_cents
     FROM top CROSS JOIN pop
     """,
     tags=("sample", "scale"),
@@ -332,9 +337,14 @@ def weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     the order key (exact BIGINT arithmetic, identical on both engines);
     ln and the division are correctly-rounded IEEE on identical inputs,
     and keys of distinct rows are well-separated random reals, so the
-    top-k set is engine-exact; the emitted key rounds at 9. The
-    population average rides along to make the size bias visible (the
-    sample over-represents large orders by construction)."""
+    top-k SET and its ORDER are engine-exact. The float key itself is an
+    internal sampling device and is NOT emitted (round(es_key, 9) carried
+    the project's only red driver row, a 1-ulp boundary flip); the emitted
+    sample_rank is the row_number over that engine-exact order. The
+    population average rides along in exact integer cents — half-up via
+    (2*sum_cents + n) DIV (2n), pure BIGINT arithmetic on both engines —
+    to make the size bias visible (the sample over-represents large
+    orders by construction)."""
     orders = load_table(spark, sf_dir, "orders")
     u = (
         (F.col("o_orderkey") * ES_KNUTH + ES_SALT) % ES_MOD + 1.0
@@ -344,14 +354,22 @@ def weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         (F.log(u) / F.col("o_totalprice")).alias("es_key"),
     )
-    pop = orders.agg(F.round(F.avg("o_totalprice"), 2).alias("population_avg_value"))
+    pop = orders.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).select(
+        # exact BIGINT division; positive operands so Spark's truncating
+        # `div` equals DuckDB's flooring `//`
+        F.expr("(2 * s + n) div (2 * n)").cast("long").alias("population_avg_cents")
+    )
     top = keyed.orderBy(F.col("es_key").desc(), F.col("o_orderkey").asc()).limit(ES_K)
-    return top.crossJoin(F.broadcast(pop)).select(
+    w = Window.orderBy(F.col("es_key").desc(), F.col("o_orderkey").asc())
+    ranked = top.select(
         "o_orderkey",
         F.col("o_totalprice").alias("weight"),
-        F.round("es_key", 9).alias("es_key"),
-        "population_avg_value",
+        F.row_number().over(w).cast("long").alias("sample_rank"),
     )
+    return ranked.crossJoin(F.broadcast(pop))
 
 
 # ---------------------------------------------------------------------------

@@ -950,7 +950,12 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob is k, and it is WIRED: k = max(8, ceil(n / target-cluster-size))
     grows ∝ corpus (the paper runs k=50k on LAION) so cluster sizes — and
     thus per-task pair blocks — stay bounded and total pair work stays
-    ~linear. At the oracle tiers (n ≤ 2000) k resolves to 8, matching the
+    ~linear. The assignment side is gated too: exact Lloyd assignment is
+    n·k = n²/250 FLOPs with this k, so above ASSIGN_EXACT_BUDGET each
+    Lloyd pass probes an IVF index over the centroids instead
+    (iterative._assign_ivf — n·sqrt(k)·(1+nprobe) work), the same
+    auto-switch posture as JACCARD_PAIR_BUDGET. At the oracle tiers
+    (n ≤ 2000) k resolves to 8, matching the
     shared q_kmeans_embeddings clustering, so both oracles unroll ONE
     Lloyd loop. Cosines are sequential double folds on both engines
     (bit-identical, the q_embedding_neardup precedent); cluster assignment
@@ -963,8 +968,11 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assigned feeds both sides of the within-cluster pair join AND the
     # final ledger join (3 consumers with differing projections — reuse
     # does not fire); the checkpoint runs the final assignment pass once.
+    # n_rows arms the ASSIGN_EXACT_BUDGET gate: above it (k ∝ n makes
+    # exact assignment n²/250 FLOPs) the Lloyd passes probe an IVF index
+    # instead — never reached at oracle tiers (n <= 2000 -> literal path).
     assigned = (
-        lloyd_assignments(spark, sf_dir, k=k)
+        lloyd_assignments(spark, sf_dir, k=k, n_rows=n)
         .withColumn("nrm", l2_norm("embedding"))
         .localCheckpoint(eager=True)
     )

@@ -477,6 +477,73 @@ def test_lloyd_assign_strategies_bitwise_equal(spark, monkeypatch):
     assert join_rows == lit_rows
 
 
+def test_lloyd_assign_budget_gate_trips_to_ivf(spark, monkeypatch):
+    """Round-5 verdict task 2: above ASSIGN_EXACT_BUDGET, _assign must
+    auto-switch to the IVF-bucketed probe (warning emitted), and the
+    approximate assignment must still be a TOTAL function — every vector
+    assigned exactly once to an in-range centroid with a 12-dp distance."""
+    import warnings
+
+    from bigdatainfinance1_spark.operators import iterative
+    from bigdatainfinance1_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    cents = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(20).collect()
+    ]
+    monkeypatch.setattr(iterative, "ASSIGN_EXACT_BUDGET", 1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows = iterative._assign(emb, cents, n_rows=n).collect()
+    assert any("IVF-bucketed probe" in str(w.message) for w in caught)
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    assert all(0 <= r["cid"] < len(cents) and r["d2"] >= 0.0 for r in rows)
+
+
+def test_assign_ivf_full_probe_equals_exact(spark):
+    """With nprobe >= the number of occupied coarse cells, the IVF probe
+    considers every fine centroid, so it must reproduce the exact
+    assignment bit-for-bit (same 12-dp fold, same (d2, cid) struct-min
+    tiebreak) — the recall knob degrades gracefully to exactness."""
+    from bigdatainfinance1_spark.operators import iterative
+    from bigdatainfinance1_spark.sources.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    cents = [
+        [float(v) for v in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(20).collect()
+    ]
+    exact = {
+        r["vec_id"]: (r["cid"], r["d2"])
+        for r in iterative._assign(emb, cents).select("vec_id", "cid", "d2").collect()
+    }
+    approx = {
+        r["vec_id"]: (r["cid"], r["d2"])
+        for r in iterative._assign_ivf(emb, cents, nprobe=len(cents))
+        .select("vec_id", "cid", "d2")
+        .collect()
+    }
+    assert exact == approx
+
+
+def test_assign_budget_gate_cannot_trip_at_oracle_tiers():
+    """The driver compares at sf0.01 (500 embeddings) and the bench runs
+    sf0.1 (2000): with k = max(8, ceil(n/250)), n*k stays orders of
+    magnitude under ASSIGN_EXACT_BUDGET at every oracle tier, so the
+    value-hash oracles always verify the EXACT Lloyd semantics."""
+    from bigdatainfinance1_spark.operators import iterative
+    from bigdatainfinance1_spark.operators.similarity import SEMDEDUP_TARGET_CLUSTER
+
+    for n in (500, 2000):
+        k = max(8, -(-n // SEMDEDUP_TARGET_CLUSTER))
+        assert n * k <= iterative.ASSIGN_EXACT_BUDGET
+
+
 @settings(max_examples=200, deadline=None, derandomize=True)
 @given(
     sets=st.lists(
