@@ -33,6 +33,7 @@ def decode_features_schema() -> T.StructType:
             T.StructField("lang", T.StringType()),
             T.StructField("n_bytes", T.LongType()),
             T.StructField("feat_mean", T.DoubleType()),
+            T.StructField("feat_grain", T.LongType()),
             T.StructField("feat_dim", T.IntegerType()),
         ]
     )
@@ -60,19 +61,43 @@ def fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     return stripes
 
 
+FEAT_GRAIN = 10**9  # exact-integer grain of fake_grain (cross-engine rule)
+
+
+def fake_grain(payload: bytes, dim: int = 8) -> int:
+    """Exact-INTEGER companion of fake_decode: per stripe,
+    floor(FEAT_GRAIN * stripe_sum / (256 * stripe_len)) — pure integer
+    arithmetic — summed over stripes. Order-insensitive and reproducible
+    bit-for-bit by any SQL engine with integer division, so aggregates of
+    it are immune to the engine-ordered double-summation flake class
+    (feat_grain / dim / FEAT_GRAIN ≈ mean of fake_decode's stripes)."""
+    if not payload:
+        return 0
+    total = 0
+    for s in range(dim):
+        stripe = payload[s::dim]
+        if stripe:
+            total += (FEAT_GRAIN * sum(stripe)) // (256 * len(stripe))
+    return total
+
+
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: iterate Arrow batches of (doc_id, lang, payload),
     emit per-row decoded feature stats. Uses fake_decode unless the real
     path is explicitly opted into (see _USE_REAL_DECODE)."""
     decode = real_decode if _USE_REAL_DECODE else fake_decode
     for pdf in batches:
-        feats = [decode(bytes(p)) for p in pdf["payload"]]
+        payloads = [bytes(p) for p in pdf["payload"]]
+        feats = [decode(p) for p in payloads]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "lang": pdf["lang"],
-                "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                "n_bytes": [len(p) for p in payloads],
                 "feat_mean": [sum(f) / len(f) if f else 0.0 for f in feats],
+                "feat_grain": pd.Series(
+                    [fake_grain(p) for p in payloads], dtype="int64"
+                ),
                 "feat_dim": [len(f) for f in feats],
             }
         )

@@ -90,54 +90,85 @@ def _coarse_quantize(cents: list[list[float]]):
 
 def _assign_ivf(emb: DataFrame, cents: list[list[float]], nprobe: int = None) -> DataFrame:
     """IVF-bucketed (approximate) Lloyd assignment for over-budget n*k:
-    coarse-quantize the k centroids into ~sqrt(k) cells driver-side, rank
-    cells per vector by coarse distance (skinny n x k_coarse shuffle — no
-    embeddings ride the expansion), then compute exact distances only to
-    the fine centroids in the nprobe nearest NON-EMPTY cells (broadcast
-    equi-join on cell). Every vector gets >= 1 candidate because only
-    occupied cells enter the probe relation. Same output schema and
-    tiebreak (min struct(d2, cid)) as the exact path; with nprobe >=
-    k_coarse it degenerates to the exact assignment bit-for-bit (asserted
-    in tests). Runs only above ASSIGN_EXACT_BUDGET — no value-hash oracle
-    ever sees this path."""
+    coarse-quantize the k centroids into ~sqrt(k) cells driver-side, then
+    ONE narrow Arrow mapInPandas pass over the corpus — zero shuffles —
+    where numpy ranks the occupied cells per vector by coarse distance and
+    computes exact distances only to the fine centroids of the nprobe
+    nearest cells. Dense distance linear algebra is the documented
+    exception to the built-ins-first rule (the kNN-label-eval block-matmul
+    precedent): the SQL higher-order-function fold runs interpreted per
+    element, measured 124 s for the 5-pass loop at n=200k/k=800, vs
+    vectorized numpy at memory bandwidth.
+
+    Accumulation is sequential over dims (see _seq_d2) — the same
+    left-to-right correctly-rounded IEEE steps as the exact fold — but d2
+    is NOT re-rounded to 12 dp here: the rounding exists for cross-engine
+    oracle agreement, and no value-hash oracle ever sees this path (it
+    runs only above ASSIGN_EXACT_BUDGET). Ties break to the lowest cid,
+    like the exact path. Every vector gets >= 1 candidate because only
+    occupied cells are ranked; with nprobe >= #occupied cells the probe
+    covers every centroid and reproduces the exact argmin (asserted in
+    tests up to d2 rounding). Centroids travel inside the serialized
+    worker function — O(k x 64) doubles, ~25 MB at the SemDeDup paper's
+    k=50k, the same O(model) bound as the driver's centroid state."""
+    import numpy as np
+    import pandas as pd
+
     if nprobe is None:
         nprobe = IVF_ASSIGN_NPROBE
-    spark = emb.sparkSession
     coarse, cell_of = _coarse_quantize(cents)
-    fine = spark.createDataFrame(
-        [(i, int(cell_of[i]), [float(v) for v in c]) for i, c in enumerate(cents)],
-        "cid int, cell int, cent array<double>",
-    )
+    fine_mat = np.asarray(cents, dtype=np.float64)
     occupied = sorted({int(c) for c in cell_of})
-    cdf = spark.createDataFrame(
-        [(c, [float(v) for v in coarse[c]]) for c in occupied],
-        "cell int, ccent array<double>",
+    coarse_mat = coarse[occupied]
+    # fine centroid ids per occupied cell, ascending (argmin first-hit =
+    # lowest cid, matching the exact path's struct-min tiebreak)
+    cell_members = [np.nonzero(cell_of == c)[0] for c in occupied]
+    nprobe_eff = min(nprobe, len(occupied))
+
+    def _seq_d2(x: "np.ndarray", m: "np.ndarray") -> "np.ndarray":
+        """(n x d) vs (c x d) -> n x c squared distances, accumulated
+        left-to-right over dims: per-element the identical IEEE add/mul
+        sequence as the SQL fold, vectorized over rows."""
+        acc = np.zeros((x.shape[0], m.shape[0]), dtype=np.float64)
+        for d in range(x.shape[1]):
+            diff = x[:, d, None] - m[None, :, d]
+            acc = acc + diff * diff
+        return acc
+
+    def assign_batches(batches):
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = x.shape[0]
+            cd2 = _seq_d2(x, coarse_mat)
+            order = np.argsort(cd2, axis=1, kind="stable")[:, :nprobe_eff]
+            best_d = np.full(n, np.inf)
+            best_c = np.full(n, 2**31 - 1, dtype=np.int64)
+            for j in range(len(occupied)):
+                rows = np.nonzero((order == j).any(axis=1))[0]
+                if not len(rows):
+                    continue
+                fd2 = _seq_d2(x[rows], fine_mat[cell_members[j]])
+                loc = fd2.argmin(axis=1)  # ties -> first = lowest cid
+                d = fd2[np.arange(len(rows)), loc]
+                cid = cell_members[j][loc]
+                upd = (d < best_d[rows]) | (
+                    (d == best_d[rows]) & (cid < best_c[rows])
+                )
+                best_d[rows] = np.where(upd, d, best_d[rows])
+                best_c[rows] = np.where(upd, cid, best_c[rows])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "embedding": pdf["embedding"],
+                    "cid": best_c.astype("int32"),
+                    "d2": best_d,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign_batches,
+        schema="vec_id long, embedding array<double>, cid int, d2 double",
     )
-    d2_of = (
-        "round(aggregate(zip_with(embedding, {c}, (x, m) ->"
-        " (CAST(x AS DOUBLE) - m) * (CAST(x AS DOUBLE) - m)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 12)"
-    )
-    probed = (
-        emb.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cdf))
-        .select("vec_id", F.expr(d2_of.format(c="ccent")).alias("cd2"), "cell")
-        .groupBy("vec_id")
-        .agg(
-            F.expr(f"slice(array_sort(collect_list(struct(cd2, cell))), 1, {nprobe})")
-            .alias("probe")
-        )
-        .select("vec_id", F.explode("probe.cell").alias("cell"))
-    )
-    best = (
-        emb.join(probed, "vec_id")
-        .join(F.broadcast(fine), "cell")
-        .select("vec_id", F.expr(d2_of.format(c="cent")).alias("d2"), "cid")
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cid")).alias("b"))
-        .select("vec_id", F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2"))
-    )
-    return emb.join(best, "vec_id").select("vec_id", "embedding", "cid", "d2")
 
 
 def _assign(emb: DataFrame, cents: list[list[float]], n_rows: int | None = None) -> DataFrame:
@@ -221,7 +252,8 @@ def _kmeans_oracle(k: int = K, iters: int = ITERS) -> str:
     SELECT
       CAST(cid AS BIGINT)       AS cid,
       CAST(count(*) AS BIGINT)  AS n_vecs,
-      round(avg(sqrt(d2)), 4)   AS avg_dist
+      round(sum(CAST(round(sqrt(d2) * 1e6) AS BIGINT)) * 1.0 / count(*) / 1e6, 4)
+                                AS avg_dist
     FROM a{iters}
     GROUP BY cid
     """
@@ -329,12 +361,24 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines converge on bit-identical assignments. The loop itself (and
     its corpus-persist caching discipline) lives in ``lloyd_assignments``,
     shared with q_semdedup."""
+    # Emission hardening (round-6 window rule): snap each per-vector
+    # distance to an exact 1e-6-grain BIGINT before the mean — sqrt(d2) is
+    # bit-identical on both engines (d2 is 12-dp state), so the snapped sum
+    # is order-insensitive integer arithmetic and the final round sees
+    # identical inputs (kills the engine-ordered double-summation flake
+    # class, the r5 q_weighted_reservoir_es lesson).
     return (
         lloyd_assignments(spark, sf_dir)
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
+            F.round(
+                F.sum(F.round(F.sqrt("d2") * 1e6).cast("long"))
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+                / 1e6,
+                4,
+            ).alias("avg_dist"),
         )
         .withColumn("cid", F.col("cid").cast("long"))
     )

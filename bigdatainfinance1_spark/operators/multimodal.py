@@ -101,18 +101,18 @@ def binary_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stripes AS (
       SELECT doc_id, lang, n_bytes, stripe,
-             sum(v) * 1.0 / count(*) / 256 AS sm
+             (1000000000 * sum(v)) // (256 * count(*)) AS q
       FROM bytes GROUP BY doc_id, lang, n_bytes, stripe
     ),
     docfeat AS (
-      SELECT doc_id, lang, n_bytes, sum(sm) / 8 AS feat_mean
+      SELECT doc_id, lang, n_bytes, sum(q) AS feat_grain
       FROM stripes GROUP BY doc_id, lang, n_bytes
     )
     SELECT
       lang,
       count(*)                   AS n_media,
       round(avg(n_bytes), 4)     AS avg_bytes,
-      round(avg(feat_mean), 6)   AS avg_feat_mean
+      round(sum(feat_grain) * 1.0 / count(*) / 8 / 1e9, 6) AS avg_feat_mean
     FROM docfeat GROUP BY lang
     """,
     tags=("multimodal", "llm", "pandas-udf"),
@@ -132,6 +132,13 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     strlen/octet_length hash match already proves), so DuckDB reproduces the
     whole decode numerically and this query is value-hash-checked instead of
     rows-only. Output: per-lang mean fake-feature stats.
+
+    Emission hardening (round-6 window rule): the per-lang feature mean
+    aggregates feat_grain — fake_grain's exact-INTEGER stripe statistic
+    (pure integer division per stripe, order-insensitive BIGINT sum) —
+    instead of the double feat_mean, whose 8-stripe float sum is
+    summation-order-sensitive across engines. avg_bytes stays: n_bytes is
+    integer-valued so its sum is exact in either order.
     """
     from bigdatainfinance1_spark.functions.media import decode_features_schema, extract_features
 
@@ -141,7 +148,9 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
-        F.round(F.avg("feat_mean"), 6).alias("avg_feat_mean"),
+        F.round(
+            F.sum("feat_grain") * F.lit(1.0) / F.count(F.lit(1)) / 8 / 1e9, 6
+        ).alias("avg_feat_mean"),
     )
 
 

@@ -59,16 +59,33 @@ def test_window_rotation_spends_no_slot_on_checked_queries():
     which would trivially make every slot look "already checked". An
     artifact whose name-set is a subset of the current window IS the
     current window's own evidence — exclude it; only rows from *prior*
-    windows count as wasted slots."""
+    windows count as wasted slots.
+
+    Retry-aware (round-5 verdict tasks 1 + 3): a slot on an
+    already-checked query is LEGITIMATE when that query's most recent
+    driver row is non-green (err, or any match flag false) — re-greening
+    a red is exactly what a slot is for. Only green re-checks waste."""
     window = set(list(load_all_queries())[:DRIVER_CAP])
-    checked: set[str] = set()
+    latest: dict[str, tuple[int, dict]] = {}
     for f in REPO.glob("CORRECTNESS_r*.json"):
-        names = set(json.loads(f.read_text()))
-        if names <= window:  # the artifact this window itself produced
+        names = json.loads(f.read_text())
+        if set(names) <= window:  # the artifact this window itself produced
             continue
-        checked |= names
-    rechecks = sorted(window & checked)
-    assert not rechecks, f"window slots wasted on already-checked queries: {rechecks}"
+        rnd = int(f.stem.split("_r")[1])
+        for n, row in names.items():
+            if n not in latest or rnd > latest[n][0]:
+                latest[n] = (rnd, row)
+
+    def green(row: dict) -> bool:
+        return (
+            row.get("err") is None
+            and row.get("rows_match") is True
+            and row.get("schema_match") is True
+            and row.get("hash_match") is True
+        )
+
+    rechecks = sorted(n for n in window if n in latest and green(latest[n][1]))
+    assert not rechecks, f"window slots wasted on already-GREEN queries: {rechecks}"
 
 
 def test_every_family_has_driver_evidence():
