@@ -53,8 +53,25 @@ def double_matrix_literal(rows: list[list[float]]) -> Column:
     8×64, measured round 5 in the Lloyd loop); one expr string is ~0.2 s
     and bit-identical — repr() of a Python float is its shortest exact
     round-trip form, and Spark SQL parses scientific-notation numerics as
-    DOUBLE literals."""
+    DOUBLE literals.
+
+    Non-finite guard (round-5 ADVICE): repr(nan)/repr(inf) would parse as
+    identifiers (AnalysisException) and None would raise a bare TypeError
+    in float(); NaN/±Infinity get their SQL string-cast spelling instead,
+    and None raises a diagnosable ValueError naming the cell."""
+    import math
+
+    def cell(i: int, j: int, v) -> str:
+        if v is None:
+            raise ValueError(f"double_matrix_literal: None at row {i}, pos {j}")
+        x = float(v)
+        if math.isfinite(x):
+            return f"CAST({x!r} AS DOUBLE)"
+        s = "NaN" if math.isnan(x) else ("Infinity" if x > 0 else "-Infinity")
+        return f"CAST('{s}' AS DOUBLE)"
+
     inner = ",".join(
-        "array(" + ",".join(f"CAST({float(v)!r} AS DOUBLE)" for v in r) + ")" for r in rows
+        "array(" + ",".join(cell(i, j, v) for j, v in enumerate(r)) + ")"
+        for i, r in enumerate(rows)
     )
     return F.expr(f"array({inner})")

@@ -209,7 +209,10 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verify_jaccard_pairs(
-    ds: DataFrame, threshold: float, candidates: DataFrame | None = None
+    ds: DataFrame,
+    threshold: float,
+    candidates: DataFrame | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact-Jaccard pair verification over hashed shingles ``ds``
     (doc_id, h). With ``candidates`` (doc_id_1, doc_id_2), only those pairs
@@ -217,9 +220,16 @@ def _verify_jaccard_pairs(
 
     ds is consumed three times under DIFFERING projections (the size
     census and both intersection sides), which defeats ReuseExchange —
-    the checkpoint runs the shingle explode+distinct once (round-5
-    multi-consumer audit)."""
-    ds = ds.localCheckpoint(eager=True)
+    the checkpoint runs the shingle explode+distinct once. Measured for
+    BOTH caller classes (round-5 ADVICE asked for the candidates= side):
+    with the checkpoint vs without at sf0.1 (median-of-3, round 6) the
+    candidate-driven callers read q_prefix_filter_join 7.25 vs 11.09 s and
+    q_minhash_lsh_fast 5.25 vs 5.56 s — the three-consumer re-execution
+    dominates the lineage-truncation cost in every caller, so it defaults
+    ON; ``checkpoint=False`` is the documented escape hatch for a caller
+    whose ds is already materialized (none today)."""
+    if checkpoint:
+        ds = ds.localCheckpoint(eager=True)
     sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if candidates is not None:
         # Candidate-driven intersection: expand candidates by the left doc's

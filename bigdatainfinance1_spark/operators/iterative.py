@@ -346,6 +346,19 @@ def lloyd_assignments(
         by_id: dict[int, list[float]] = {}
         for row in new:
             by_id.setdefault(row["cid"], [None] * DIM)[row["pos"]] = row["m"]
+        # round-5 ADVICE: a hole here (short embedding array or an all-null
+        # position averaging to null) would crash double_matrix_literal a
+        # whole iteration later with an opaque TypeError — fail HERE naming
+        # the slot instead.
+        for cid, cent in by_id.items():
+            holes = [p for p, m in enumerate(cent) if m is None]
+            if holes:
+                raise ValueError(
+                    f"lloyd_assignments: centroid {cid} missing positions "
+                    f"{holes[:5]}{'...' if len(holes) > 5 else ''} after the "
+                    f"update pass — embeddings shorter than DIM={DIM} or an "
+                    "all-null position"
+                )
         cents = [by_id.get(i, cents[i]) for i in range(k)]
     emb.unpersist()
     return assigned

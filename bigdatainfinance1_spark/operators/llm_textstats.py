@@ -110,7 +110,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc.source,
       CAST(count(*) AS BIGINT)                                  AS n_docs,
-      round(avg(p.n_novel * 1e0 / p.n_shingles), 4)             AS avg_novelty,
+      round(sum(CAST(round(p.n_novel * 1000000.0 / p.n_shingles) AS BIGINT))
+            * 1.0 / count(*) / 1e6, 4)                          AS avg_novelty,
       CAST(sum(CASE WHEN p.n_novel = p.n_shingles THEN 1 ELSE 0 END) AS BIGINT)
                                                                 AS n_fully_novel
     FROM per_doc p JOIN documents doc ON p.doc_id = doc.doc_id
@@ -129,7 +130,9 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup module's shingle relation; the ownership pass is one
     groupBy(min) over the shingle key plus a join back — linear in corpus
     shingle count, the same shuffle shape as q_exact_dedup. Novelty ratios
-    divide exact integers; only the per-source avg needs its 4-dp round."""
+    divide exact integers and snap to 1e-6-grain BIGINTs before the
+    per-source mean (round-6 window rule: an engine-ordered double AVG
+    could flip at the 4-dp round boundary)."""
     from bigdatainfinance1_spark.operators.dedup import _doc_shingle_hashes
 
     ds = _doc_shingle_hashes(spark, sf_dir)
@@ -150,9 +153,17 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg(F.col("n_novel") * F.lit(1.0) / F.col("n_shingles")), 4).alias(
-                "avg_novelty"
-            ),
+            F.round(
+                F.sum(
+                    F.round(F.col("n_novel") * 1000000.0 / F.col("n_shingles")).cast(
+                        "long"
+                    )
+                )
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+                / 1e6,
+                4,
+            ).alias("avg_novelty"),
             F.sum(F.when(F.col("n_novel") == F.col("n_shingles"), 1).otherwise(0))
             .cast("long")
             .alias("n_fully_novel"),
@@ -173,16 +184,17 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM freq GROUP BY doc_id),
     ent AS (
       SELECT f.doc_id,
-             -sum((f.c * 1e0 / t.n) * ln(f.c * 1e0 / t.n) / ln(2)) AS h
+             sum(CAST(round(-((f.c * 1e0 / t.n) * ln(f.c * 1e0 / t.n) / ln(2))
+                            * 1e9) AS BIGINT)) AS h9
       FROM freq f JOIN tot t ON f.doc_id = t.doc_id
       GROUP BY f.doc_id
     )
     SELECT
       d.source,
-      CAST(count(*) AS BIGINT)  AS n_docs,
-      round(avg(e.h), 4)        AS avg_entropy,
-      round(min(e.h), 4)        AS min_entropy,
-      round(max(e.h), 4)        AS max_entropy
+      CAST(count(*) AS BIGINT)                       AS n_docs,
+      round(sum(e.h9) * 1.0 / count(*) / 1e9, 4)     AS avg_entropy,
+      round(min(e.h9) / 1e9, 4)                      AS min_entropy,
+      round(max(e.h9) / 1e9, 4)                      AS max_entropy
     FROM ent e JOIN documents d ON e.doc_id = d.doc_id
     GROUP BY d.source
     """,
@@ -194,8 +206,11 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs (low entropy → repeated filler; high → random noise or
     encodings), complementing q_text_quality's token-level ratios.
     Entropy terms use p·log₂p with identical expression shape from exact
-    integer counts; per-doc sums differ only in summation order (≤1-ulp
-    terms), absorbed by the 4-dp rounds after the per-source reduce.
+    integer counts, and each term snaps to a 1e-9-grain BIGINT before the
+    per-doc sum (round-6 window rule: "absorbed by the 4-dp round" was
+    the flake class, not absorption — order-sensitive double sums can
+    land exactly on a rounding boundary), so per-doc entropies are exact
+    integers on both engines.
     Scale: explode to characters is a narrow map (no shuffle); the
     (doc, char) frequency groupBy keys are high-cardinality and uniform —
     the same shape as the token-stats family, no Python anywhere."""
@@ -211,7 +226,11 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = (
         freq.join(tot, "doc_id")
         .groupBy("doc_id")
-        .agg((-F.sum(p * F.log(p) / F.log(F.lit(2.0)))).alias("h"))
+        .agg(
+            F.sum(F.round(-(p * F.log(p) / F.log(F.lit(2.0))) * 1e9).cast("long")).alias(
+                "h9"
+            )
+        )
     )
     src = docs.select("doc_id", "source")
     return (
@@ -219,9 +238,11 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg("h"), 4).alias("avg_entropy"),
-            F.round(F.min("h"), 4).alias("min_entropy"),
-            F.round(F.max("h"), 4).alias("max_entropy"),
+            F.round(F.sum("h9") * F.lit(1.0) / F.count(F.lit(1)) / 1e9, 4).alias(
+                "avg_entropy"
+            ),
+            F.round(F.min("h9") / 1e9, 4).alias("min_entropy"),
+            F.round(F.max("h9") / 1e9, 4).alias("max_entropy"),
         )
     )
 
@@ -481,8 +502,10 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc_id,
       CAST(count(*) AS BIGINT)                         AS n_bigrams,
-      round(sum(lp) / count(*), 6)                     AS avg_logprob,
-      round(exp(-round(sum(lp) / count(*), 6)), 4)     AS perplexity
+      round(sum(CAST(round(lp * 1e12) AS BIGINT)) * 1.0 / 1e12 / count(*), 6)
+                                                       AS avg_logprob,
+      round(exp(-round(sum(CAST(round(lp * 1e12) AS BIGINT)) * 1.0 / 1e12
+                       / count(*), 6)), 4)             AS perplexity
     FROM scored GROUP BY doc_id
     """,
     tags=("text", "llm", "quality"),
@@ -521,7 +544,16 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select("doc_id", F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"))
     )
-    avg_lp = F.round(F.sum("lp") / F.count(F.lit(1)), 6)
+    # 1e-12-grain BIGINT snap per bigram logprob (round-6 window rule):
+    # lp is identical per row on both engines (log of exact-integer
+    # ratios), so the snapped per-doc sum is exact in any order; the
+    # rounded mean then feeds exp on identical doubles.
+    avg_lp = F.round(
+        F.sum(F.round(F.col("lp") * 1e12).cast("long")) * F.lit(1.0)
+        / 1e12
+        / F.count(F.lit(1)),
+        6,
+    )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         avg_lp.alias("avg_logprob"),
@@ -1364,7 +1396,8 @@ SB_LAMBDA = 0.4  # stupid-backoff discount (the Brants et al. constant)
       doc_id,
       CAST(count(*) AS BIGINT)                      AS n_bigrams,
       CAST(sum(backed_off) AS BIGINT)               AS n_backoffs,
-      round(sum(lp) / count(*), 6)                  AS avg_logscore
+      round(sum(CAST(round(lp * 1e12) AS BIGINT)) * 1.0 / 1e12 / count(*), 6)
+                                                    AS avg_logscore
     FROM scored GROUP BY doc_id
     """,
     tags=("text", "llm", "quality"),
@@ -1387,7 +1420,9 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't have to), scoring is a LEFT equi-join (unseen bigrams survive
     as backoffs) + two broadcast-ish model joins + one per-doc
     aggregation. Ratios are exact-integer divisions; ln of identical
-    doubles both engines; 6-dp round absorbs sum-order ulps."""
+    doubles both engines; each score snaps to a 1e-12-grain BIGINT before
+    the per-doc sum (round-6 window rule) so the mean's round sees
+    identical inputs regardless of summation order."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 2)
     bge = toks.select(
@@ -1425,7 +1460,12 @@ def stupid_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("backed_off").cast("long").alias("n_backoffs"),
-        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logscore"),
+        F.round(
+            F.sum(F.round(F.col("lp") * 1e12).cast("long")) * F.lit(1.0)
+            / 1e12
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_logscore"),
     )
 
 

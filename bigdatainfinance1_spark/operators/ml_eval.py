@@ -1373,15 +1373,18 @@ _MI_SQL = """
     mb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS nj FROM jt GROUP BY b),
     tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM jt),
     mi AS (
-      SELECT round(sum((jt.nij * 1e0 / tot.n)
-                       * ln(jt.nij * 1e0 * tot.n / (ma.ni * 1e0 * mb.nj))), 6)
+      SELECT round(sum(CAST(round((jt.nij * 1e0 / tot.n)
+                       * ln(jt.nij * 1e0 * tot.n / (ma.ni * 1e0 * mb.nj))
+                       * 1e12) AS BIGINT)) * 1.0 / 1e12, 6)
                AS mi_nats,
              max(tot.n) AS n
       FROM jt JOIN ma ON jt.a = ma.a JOIN mb ON jt.b = mb.b CROSS JOIN tot
     ),
-    ha AS (SELECT round(-sum((ni * 1e0 / tot.n) * ln(ni * 1e0 / tot.n)), 6) AS h
+    ha AS (SELECT round(sum(CAST(round(-((ni * 1e0 / tot.n) * ln(ni * 1e0 / tot.n))
+                                 * 1e12) AS BIGINT)) * 1.0 / 1e12, 6) AS h
            FROM ma CROSS JOIN tot),
-    hb AS (SELECT round(-sum((nj * 1e0 / tot.n) * ln(nj * 1e0 / tot.n)), 6) AS h
+    hb AS (SELECT round(sum(CAST(round(-((nj * 1e0 / tot.n) * ln(nj * 1e0 / tot.n))
+                                 * 1e12) AS BIGINT)) * 1.0 / 1e12, 6) AS h
            FROM mb CROSS JOIN tot)
     SELECT CAST(mi.n AS BIGINT) AS n,
            mi.mi_nats,
@@ -1433,6 +1436,10 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = jt.groupBy("a").agg(F.sum("nij").cast("long").alias("ni"))
     mb = jt.groupBy("b").agg(F.sum("nij").cast("long").alias("nj"))
     tot = jt.agg(F.sum("nij").cast("long").alias("n"))
+    # 1e-12-grain BIGINT snap per contingency term (round-6 window rule):
+    # each term is identical on both engines (ratios of exact counts, one
+    # ln), so the snapped sums are exact in any order — the old raw double
+    # sums could flip at the 6-dp round boundary.
     mi = (
         jt.join(F.broadcast(ma), "a")
         .join(F.broadcast(mb), "b")
@@ -1440,14 +1447,19 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    (F.col("nij") * F.lit(1.0) / F.col("n"))
-                    * F.log(
-                        F.col("nij")
-                        * F.lit(1.0)
-                        * F.col("n")
-                        / (F.col("ni") * F.lit(1.0) * F.col("nj"))
-                    )
-                ),
+                    F.round(
+                        (F.col("nij") * F.lit(1.0) / F.col("n"))
+                        * F.log(
+                            F.col("nij")
+                            * F.lit(1.0)
+                            * F.col("n")
+                            / (F.col("ni") * F.lit(1.0) * F.col("nj"))
+                        )
+                        * 1e12
+                    ).cast("long")
+                )
+                * F.lit(1.0)
+                / 1e12,
                 6,
             ).alias("mi_nats"),
             F.max("n").alias("n"),
@@ -1455,19 +1467,33 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ha = ma.crossJoin(F.broadcast(tot)).agg(
         F.round(
-            -F.sum(
-                (F.col("ni") * F.lit(1.0) / F.col("n"))
-                * F.log(F.col("ni") * F.lit(1.0) / F.col("n"))
-            ),
+            F.sum(
+                F.round(
+                    -(
+                        (F.col("ni") * F.lit(1.0) / F.col("n"))
+                        * F.log(F.col("ni") * F.lit(1.0) / F.col("n"))
+                    )
+                    * 1e12
+                ).cast("long")
+            )
+            * F.lit(1.0)
+            / 1e12,
             6,
         ).alias("h_region")
     )
     hb = mb.crossJoin(F.broadcast(tot)).agg(
         F.round(
-            -F.sum(
-                (F.col("nj") * F.lit(1.0) / F.col("n"))
-                * F.log(F.col("nj") * F.lit(1.0) / F.col("n"))
-            ),
+            F.sum(
+                F.round(
+                    -(
+                        (F.col("nj") * F.lit(1.0) / F.col("n"))
+                        * F.log(F.col("nj") * F.lit(1.0) / F.col("n"))
+                    )
+                    * 1e12
+                ).cast("long")
+            )
+            * F.lit(1.0)
+            / 1e12,
             6,
         ).alias("h_priority")
     )

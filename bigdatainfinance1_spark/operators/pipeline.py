@@ -491,8 +491,9 @@ _DOREMI_SQL = f"""
                    CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks),
     lr AS (
       SELECT cd.source, cd.cdt,
-             round(ln((cd.cdt + 1.0) / (cdom.cdn + tot.v))
-                   - ln((cc.ct + 1.0) / (tot.n + tot.v)), 12) AS lw
+             CAST(round((ln((cd.cdt + 1.0) / (cdom.cdn + tot.v))
+                         - ln((cc.ct + 1.0) / (tot.n + tot.v))) * 1e12)
+                  AS BIGINT) AS lw12
       FROM cd
       JOIN cdom ON cd.source = cdom.source
       JOIN cc ON cd.tok = cc.tok
@@ -500,20 +501,22 @@ _DOREMI_SQL = f"""
     ),
     excess AS (
       SELECT lr.source, cdom.cdn,
-             round(sum(lr.cdt * lr.lw) / cdom.cdn, 6) AS xl
+             round(CAST(sum(CAST(lr.cdt AS HUGEINT) * lr.lw12) AS DOUBLE)
+                   / 1e12 / cdom.cdn, 6) AS xl
       FROM lr JOIN cdom ON lr.source = cdom.source
       GROUP BY lr.source, cdom.cdn
     ),
     raw AS (
       SELECT source, cdn, xl,
-             (cdn * 1e0 / (SELECT n FROM tot)) * exp(xl / {DOREMI_TEMP}) AS wr
+             CAST(round((cdn * 1e0 / (SELECT n FROM tot))
+                        * exp(xl / {DOREMI_TEMP}) * 1e9) AS BIGINT) AS wr9
       FROM excess
     )
     SELECT source,
            cdn AS n_tokens,
            round(cdn * 1e0 / (SELECT n FROM tot), 6) AS token_share,
            xl AS excess_loss,
-           round((1 - {DOREMI_EPS}) * wr / sum(wr) OVER ()
+           round((1 - {DOREMI_EPS}) * wr9 / sum(wr9) OVER ()
                  + {DOREMI_EPS} / {DOREMI_K}, 6) AS doremi_weight
     FROM raw ORDER BY source
 """
@@ -539,11 +542,12 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_unimax_mixture (budget caps) / q_temperature_mixture (flattening) /
     q_dsir_select (per-document importance) as the fourth mixture law.
 
-    Determinism: per-token log-ratios round at 12 before the c_dt-weighted
-    sum (q_dsir_select posture); the per-domain sum reorders at ~1e-13 and
-    rounds at 6; exp then sees identical doubles on both engines; the
-    final weights normalize over the bounded domain relation and round at
-    6. Scale: ONE token-explode scan feeds the domain-token, domain, and
+    Determinism (hardened, round-6 window rule): per-token log-ratios
+    snap to 1e-12-grain BIGINTs, so the c_dt-weighted excess sum is
+    exact integer arithmetic in any order; exp sees identical doubles;
+    the EG weights snap to 1e-9-grain BIGINTs so the normalizer is an
+    exact integer sum too — every emitted round() operates on identical
+    inputs on both engines. Scale: ONE token-explode scan feeds the domain-token, domain, and
     corpus count relations (vocabulary-sized model state, the
     q_ccnet_ppl_buckets shape); the EG step is O(domains)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -555,6 +559,12 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.count_distinct("tok").cast("long").alias("v"),
     )
+    # Hardened (round-6 window rule): the per-token log-ratio snaps to a
+    # 1e-12-grain BIGINT (lw12) so the cdt-weighted excess sum is exact
+    # integer arithmetic (decimal(38,0) here, HUGEINT in the oracle — cdt
+    # x lw12 overflows 64 bits at corpus scale), and the EG weights snap
+    # to 1e-9-grain BIGINTs (wr9) so the normalizing sum is exact too —
+    # no engine-ordered double summation reaches an emitted round().
     lr = (
         cd.join(F.broadcast(cdom), "source")
         .join(cc, "tok")
@@ -565,24 +575,37 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cdn",
             "n",
             F.round(
-                F.log((F.col("cdt") + 1.0) / (F.col("cdn") + F.col("v")))
-                - F.log((F.col("ct") + 1.0) / (F.col("n") + F.col("v"))),
-                12,
-            ).alias("lw"),
+                (
+                    F.log((F.col("cdt") + 1.0) / (F.col("cdn") + F.col("v")))
+                    - F.log((F.col("ct") + 1.0) / (F.col("n") + F.col("v")))
+                )
+                * 1e12
+            )
+            .cast("long")
+            .alias("lw12"),
         )
     )
     excess = lr.groupBy("source", "cdn", "n").agg(
-        F.round(F.sum(F.col("cdt") * F.col("lw")) / F.first("cdn"), 6).alias("xl")
+        F.round(
+            F.sum((F.col("cdt") * F.col("lw12")).cast("decimal(38,0)"))
+            .cast("double")
+            / 1e12
+            / F.first("cdn"),
+            6,
+        ).alias("xl")
     )
     raw = excess.select(
         "source",
         "cdn",
         "n",
         "xl",
-        (
+        F.round(
             (F.col("cdn") * F.lit(1.0) / F.col("n"))
             * F.exp(F.col("xl") / F.lit(DOREMI_TEMP))
-        ).alias("wr"),
+            * 1e9
+        )
+        .cast("long")
+        .alias("wr9"),
     )
     w_all = Window.partitionBy()
     return raw.select(
@@ -591,7 +614,7 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cdn") * F.lit(1.0) / F.col("n"), 6).alias("token_share"),
         F.col("xl").alias("excess_loss"),
         F.round(
-            (1 - DOREMI_EPS) * F.col("wr") / F.sum("wr").over(w_all)
+            (1 - DOREMI_EPS) * F.col("wr9") / F.sum("wr9").over(w_all)
             + DOREMI_EPS / DOREMI_K,
             6,
         ).alias("doremi_weight"),

@@ -573,11 +573,18 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Region return panel (complete months only) — shared by the covariance wave
 # ---------------------------------------------------------------------------
 
+# Hardened (round-6 window rule): monthly revenue sums exact integer
+# cents; the return mean sums 1e-8-grain BIGINTs; the covariance moments
+# sum exact integer products of 1e-8-grain deviations (HUGEINT here,
+# decimal(38,0) on the Spark side — x8^4 <= 1e36 and T <= ~80 keep the
+# m22 sum under 1e38) — no engine-ordered double summation anywhere in
+# the shared prefix.
 _RRET_SQL = """
     rrm AS (
       SELECT r.r_name AS rg,
              CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
-             round(round(sum(o.o_totalprice), 2) / 1000.0, 6) AS v
+             round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   / 100.0 / 1000.0, 6) AS v
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -592,15 +599,23 @@ _RRET_SQL = """
       JOIN cm x ON x.mi = a.mi
       JOIN cm y ON y.mi = a.mi - 1
     ),
-    rmu AS (SELECT rg, count(*) AS t, round(avg(r), 8) AS mu FROM rret GROUP BY rg),
+    rmu AS (SELECT rg, count(*) AS t,
+                   round(sum(CAST(round(r * 1e8) AS BIGINT)) * 1.0
+                         / count(*) / 1e8, 8) AS mu
+            FROM rret GROUP BY rg),
     xdev AS (
-      SELECT rret.rg, rret.mi, round(rret.r - rmu.mu, 8) AS x, rmu.t
+      SELECT rret.rg, rret.mi, round(rret.r - rmu.mu, 8) AS x,
+             CAST(round(round(rret.r - rmu.mu, 8) * 1e8) AS BIGINT) AS x8,
+             CAST(round(round(rret.r - rmu.mu, 8) * 1e6) AS BIGINT) AS x6,
+             rmu.t
       FROM rret JOIN rmu ON rmu.rg = rret.rg
     ),
     cpair AS (
       SELECT a.rg AS ri, b.rg AS rj, max(a.t) AS t,
-             sum(a.x * b.x) / max(a.t) AS s,
-             sum(a.x * a.x * b.x * b.x) / max(a.t) AS m22
+             CAST(sum(CAST(a.x8 AS HUGEINT) * b.x8) AS DOUBLE)
+               / 1e16 / max(a.t) AS s,
+             CAST(sum(CAST(a.x6 AS HUGEINT) * a.x6 * b.x6 * b.x6) AS DOUBLE)
+               / 1e24 / max(a.t) AS m22
       FROM xdev a JOIN xdev b ON b.mi = a.mi AND b.rg >= a.rg
       GROUP BY a.rg, b.rg
     )
@@ -634,7 +649,14 @@ def _region_cov_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mi"
             ),
         )
-        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("v"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+                / 1000.0,
+                6,
+            ).alias("v")
+        )
     )
     cm = rrm.groupBy("mi").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") == 5)
     prev = rrm.select("rg", (F.col("mi") + 1).alias("mi"), F.col("v").alias("pv"))
@@ -644,24 +666,48 @@ def _region_cov_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cm.select((F.col("mi") + 1).alias("mi"))), "mi")
         .select("rg", "mi", F.round((F.col("v") - F.col("pv")) / F.col("pv"), 8).alias("r"))
     )
+    # Hardened like the oracle's _RRET_SQL (see its comment): exact-integer
+    # sums everywhere a reduction feeds a rounded emission.
     rmu = rret.groupBy("rg").agg(
-        F.count(F.lit(1)).alias("t"), F.round(F.avg("r"), 8).alias("mu")
+        F.count(F.lit(1)).alias("t"),
+        F.round(
+            F.sum(F.round(F.col("r") * 1e8).cast("long")) * F.lit(1.0)
+            / F.count(F.lit(1))
+            / 1e8,
+            8,
+        ).alias("mu"),
     )
+    x_expr = F.round(F.col("r") - F.col("mu"), 8)
     xdev = rret.join(F.broadcast(rmu), "rg").select(
-        "rg", "mi", F.round(F.col("r") - F.col("mu"), 8).alias("x"), "t"
+        "rg",
+        "mi",
+        x_expr.alias("x"),
+        F.round(x_expr * 1e8).cast("long").alias("x8"),
+        # coarser grain for the 4th-power moment: x8^4 overflows
+        # decimal(38,0)/HUGEINT when sparse months make |x| large
+        F.round(x_expr * 1e6).cast("long").alias("x6"),
+        "t",
     )
     b = xdev.select(
-        F.col("rg").alias("rj"), F.col("mi").alias("mi"), F.col("x").alias("xj")
+        F.col("rg").alias("rj"),
+        F.col("mi").alias("mi"),
+        F.col("x8").alias("xj8"),
+        F.col("x6").alias("xj6"),
     )
+    x8d = F.col("x8").cast("decimal(19,0)")
+    x6d = F.col("x6").cast("decimal(19,0)")
+    xj6d = F.col("xj6").cast("decimal(19,0)")
     cp = (
         xdev.join(F.broadcast(b), "mi")
         .filter(F.col("rj") >= F.col("rg"))
         .groupBy(F.col("rg").alias("ri"), "rj")
         .agg(
             F.max("t").alias("t"),
-            (F.sum(F.col("x") * F.col("xj")) / F.max("t")).alias("s"),
+            (F.sum(x8d * F.col("xj8")).cast("double") / 1e16 / F.max("t")).alias("s"),
             (
-                F.sum(F.col("x") * F.col("x") * F.col("xj") * F.col("xj"))
+                F.sum((x6d * F.col("x6")) * (xj6d * F.col("xj6")))
+                .cast("double")
+                / 1e24
                 / F.max("t")
             ).alias("m22"),
         )
@@ -683,15 +729,19 @@ def _region_cov_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_RRET_SQL},
     mu AS (
-      SELECT avg(s) AS mu_diag FROM cpair WHERE ri = rj
+      SELECT sum(CAST(round(s * 1e14) AS BIGINT)) * 1.0 / count(*) / 1e14
+               AS mu_diag
+      FROM cpair WHERE ri = rj
     ),
     consts AS (
       SELECT max(cp.t) AS t,
-             sum(CASE WHEN cp.ri = cp.rj
+             sum(CAST(round((CASE WHEN cp.ri = cp.rj
                       THEN (cp.s - mu.mu_diag) * (cp.s - mu.mu_diag)
-                      ELSE 2 * cp.s * cp.s END) AS d2,
-             sum(CASE WHEN cp.ri = cp.rj THEN (cp.m22 - cp.s * cp.s)
-                      ELSE 2 * (cp.m22 - cp.s * cp.s) END) / max(cp.t) AS b2raw,
+                      ELSE 2 * cp.s * cp.s END) * 1e12) AS BIGINT)) * 1.0 / 1e12
+               AS d2,
+             sum(CAST(round((CASE WHEN cp.ri = cp.rj THEN (cp.m22 - cp.s * cp.s)
+                      ELSE 2 * (cp.m22 - cp.s * cp.s) END) * 1e12) AS BIGINT)) * 1.0
+               / 1e12 / max(cp.t) AS b2raw,
              max(mu.mu_diag) AS mu_diag
       FROM cpair cp CROSS JOIN mu
     ),
@@ -726,21 +776,45 @@ def cov_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments are one aggregate over 15 pair rows. Deviations round at 8;
     all moments share the fixed divisor T; rounded at 8/6."""
     cp = _region_cov_pairs(spark, sf_dir)
-    mu = cp.filter(F.col("ri") == F.col("rj")).agg(F.avg("s").alias("mu_diag"))
+    # Hardened (round-6 window rule): the LW moments are sums over the
+    # 15-pair relation — snap each term to an exact integer grain (1e-14
+    # for the diagonal mean, 1e-12 for d2/b2raw (sparse-tier terms reach ~1e3; 1e-16 overflowed BIGINT)) so the reductions are
+    # order-insensitive; mirrors the oracle's mu/consts CTEs exactly.
+    mu = cp.filter(F.col("ri") == F.col("rj")).agg(
+        (
+            F.sum(F.round(F.col("s") * 1e14).cast("long")) * F.lit(1.0)
+            / F.count(F.lit(1))
+            / 1e14
+        ).alias("mu_diag")
+    )
     consts = cp.crossJoin(F.broadcast(mu)).agg(
         F.max("t").alias("t"),
-        F.sum(
-            F.when(
-                F.col("ri") == F.col("rj"),
-                (F.col("s") - F.col("mu_diag")) * (F.col("s") - F.col("mu_diag")),
-            ).otherwise(2 * F.col("s") * F.col("s"))
+        (
+            F.sum(
+                F.round(
+                    F.when(
+                        F.col("ri") == F.col("rj"),
+                        (F.col("s") - F.col("mu_diag"))
+                        * (F.col("s") - F.col("mu_diag")),
+                    ).otherwise(2 * F.col("s") * F.col("s"))
+                    * 1e12
+                ).cast("long")
+            )
+            * F.lit(1.0)
+            / 1e12
         ).alias("d2"),
         (
             F.sum(
-                F.when(
-                    F.col("ri") == F.col("rj"), F.col("m22") - F.col("s") * F.col("s")
-                ).otherwise(2 * (F.col("m22") - F.col("s") * F.col("s")))
+                F.round(
+                    F.when(
+                        F.col("ri") == F.col("rj"),
+                        F.col("m22") - F.col("s") * F.col("s"),
+                    ).otherwise(2 * (F.col("m22") - F.col("s") * F.col("s")))
+                    * 1e12
+                ).cast("long")
             )
+            * F.lit(1.0)
+            / 1e12
             / F.max("t")
         ).alias("b2raw"),
         F.max("mu_diag").alias("mu_diag"),

@@ -536,6 +536,14 @@ def topk_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Row bound for force-broadcasting the O(customers) `sizes` lookup in
+# q_user_cf_neighbors (round-5 ADVICE: unconditional broadcast of a
+# corpus-proportional relation risks OOM). ~16 B/row -> ~32 MB at the
+# bound, comfortably inside a production driver/executor; above it AQE
+# picks the join strategy.
+SIZES_BROADCAST_MAX_ROWS = 2_000_000
+
+
 @query(
     "q_user_cf_neighbors",
     oracle="""
@@ -629,14 +637,19 @@ def user_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     both_dirs = common.unionByName(
         common.select(F.col("c2").alias("c1"), F.col("c1").alias("c2"), "n_common")
     )
-    # sizes is O(customers) — broadcast both aliases so the ~9 M pair rows
-    # are never exchange-sorted for these lookups; the only remaining pair
-    # shuffle is the ranking window's partition by customer.
+    # sizes is O(customers) — broadcasting both aliases keeps the ~9 M pair
+    # rows from being exchange-sorted for these lookups, but an
+    # unconditional hint risks executor OOM at large SF (round-5 ADVICE:
+    # the relation is corpus-proportional). Gate on a measured row bound
+    # (sizes reads the checkpointed `informative`, so the count is one
+    # cheap job); above it, drop the hint and let AQE choose the join.
+    n_cust = sizes.count()
+    bc = F.broadcast if n_cust <= SIZES_BROADCAST_MAX_ROWS else (lambda df: df)
     s1 = sizes.select(F.col("cust").alias("c1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("cust").alias("c2"), F.col("sz").alias("sz2"))
     scored = (
-        both_dirs.join(F.broadcast(s1), "c1")
-        .join(F.broadcast(s2), "c2")
+        both_dirs.join(bc(s1), "c1")
+        .join(bc(s2), "c2")
         .select(
             "c1",
             "c2",

@@ -669,11 +669,19 @@ DTW_BAND = 4  # Sakoe-Chiba band half-width (quarters)
 DTW_MAXQ = 30  # diagonals generated for up to this many quarters per series
 DTW_INF = 1e18
 
+# Emission/state hardening (round-6 window rule): the revenue series sums
+# exact integer CENTS (the old round(sum(double), 2) was engine-order-
+# sensitive), and the z-scores derive from exact 1e-6-grain integer moments
+# (v6, s1 = sum v6, s2 = sum v6^2 as HUGEINT) so mu/sd see identical
+# inputs on both engines — the float ops (x*1.0/n, sqrt, divisions) are
+# then correctly-rounded IEEE on identical operands. The Python walk in
+# dtw_distance mirrors this arithmetic step for step.
 _DTW_QSER = """
     qa1 AS (
       SELECT qi, v, row_number() OVER (ORDER BY qi) AS i FROM (
         SELECT CAST(year(o_orderdate) AS BIGINT) * 4 + quarter(o_orderdate) AS qi,
-               round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS v
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     / 100.0 / 1000000.0, 6) AS v
         FROM orders GROUP BY qi
       )
     ),
@@ -684,12 +692,20 @@ _DTW_QSER = """
         FROM lineitem GROUP BY qi
       )
     ),
-    sa AS (SELECT count(*) AS n, avg(v) AS mu,
-                  sqrt(avg(v * v) - avg(v) * avg(v)) AS sd FROM qa1),
-    sb AS (SELECT count(*) AS n, avg(v) AS mu,
-                  sqrt(avg(v * v) - avg(v) * avg(v)) AS sd FROM qb1),
-    qa AS (SELECT i, round((v - mu) / sd, 8) AS z FROM qa1 CROSS JOIN sa),
-    qb AS (SELECT i, round((v - mu) / sd, 8) AS z FROM qb1 CROSS JOIN sb)
+    qa6 AS (SELECT i, CAST(round(v * 1e6) AS BIGINT) AS v6 FROM qa1),
+    qb6 AS (SELECT i, CAST(round(v * 1e6) AS BIGINT) AS v6 FROM qb1),
+    sa AS (SELECT count(*) AS n, sum(v6) AS s1,
+                  sum(CAST(v6 AS HUGEINT) * v6) AS s2 FROM qa6),
+    sb AS (SELECT count(*) AS n, sum(v6) AS s1,
+                  sum(CAST(v6 AS HUGEINT) * v6) AS s2 FROM qb6),
+    qa AS (SELECT i, round((v6 - s1 * 1.0 / n)
+                           / sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)),
+                           8) AS z
+           FROM qa6 CROSS JOIN sa),
+    qb AS (SELECT i, round((v6 - s1 * 1.0 / n)
+                           / sqrt(s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)),
+                           8) AS z
+           FROM qb6 CROSS JOIN sb)
 """
 
 
@@ -730,7 +746,9 @@ def _dtw_oracle() -> str:
     dims AS (SELECT (SELECT count(*) FROM qa1) AS na,
                     (SELECT count(*) FROM qb1) AS nb),
     euc AS (
-      SELECT round(sqrt(sum(c * c)), 6) AS euclid
+      SELECT round(sqrt(CAST(sum(CAST(round(c * 1e8) AS HUGEINT)
+                                 * CAST(round(c * 1e8) AS BIGINT)) AS DOUBLE))
+                   / 1e8, 6) AS euclid
       FROM cost WHERE i = j
     )
     SELECT d.na, d.nb,
@@ -761,10 +779,13 @@ def dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     points, the q_markov_absorption bounded-model posture) and walks
     the identical 8-dp-rounded recurrence in Python.
 
-    Determinism: quarterly values round at 6 from exact cents/counts;
-    z-scores and cell costs round at 8 (28-term moment sums reorder at
-    ~1e-15, orders below); every DP cell re-rounds at 8, so both
-    engines walk bit-identical frontiers; outputs round 6/4. Scale:
+    Determinism (hardened, round-6 window rule): quarterly values round
+    at 6 from exact integer cents/counts; z-scores derive from exact
+    1e-6-grain integer moments (no engine-ordered double summation —
+    see zser), cell costs round at 8 on identical z inputs; every DP
+    cell re-rounds at 8, so both engines walk bit-identical frontiers;
+    the diagonal Euclid sums exact (1e8-grain cost)^2 integers; outputs
+    round 6/4 on identical inputs. Scale:
     two map-side quarterly aggregates; the DP is O(n x band) on
     calendar-bounded state — corpus-size-independent past the scans."""
     from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
@@ -777,7 +798,14 @@ def dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "qi"
             )
         )
-        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("v"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0
+                / 1000000.0,
+                6,
+            ).alias("v")
+        )
         .orderBy("qi")
     )
     qb1 = (
@@ -791,23 +819,34 @@ def dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def zser(df) -> list[float]:
+        """z-scores from exact 1e-6-grain integer moments, mirroring the
+        oracle's qa6/sa CTEs arithmetic step for step: v6 snaps the 6-dp
+        values to BIGINT, s1/s2 are exact integer sums (Python ints —
+        the oracle uses HUGEINT), and each float op (float(s)/n, sqrt,
+        the final division) is correctly-rounded IEEE on identical
+        operands — no engine-ordered double summation anywhere."""
+        import math
+
         rows = df.collect()  # O(calendar) quarters — bounded model state
-        vs = [r["v"] for r in rows]
-        n = len(vs)
-        mu = sum(vs) / n
-        sd = (sum(v * v for v in vs) / n - mu * mu) ** 0.5
-        return [rnd((v - mu) / sd, 8) for v in vs]
+        v6 = [int(round(r["v"] * 1e6)) for r in rows]
+        n = len(v6)
+        s1, s2 = sum(v6), sum(x * x for x in v6)
+        mu = float(s1) / n  # matches SQL s1 * 1.0 / n (convert, then divide)
+        sd = math.sqrt(float(s2) / n - mu * mu)
+        return [rnd((x - mu) / sd, 8) for x in v6]
 
     za, zb = zser(qa1), zser(qb1)
+    import math
+
     na, nb = len(za), len(zb)
     INF = DTW_INF
     dp: dict[tuple[int, int], float] = {}
-    euc_sq = 0.0
+    euc_sq8 = 0  # exact integer sum of (1e8-grain cost)^2 — order-free
     for i in range(1, na + 1):
         for j in range(max(1, i - DTW_BAND), min(nb, i + DTW_BAND) + 1):
             c = rnd(abs(za[i - 1] - zb[j - 1]), 8)
             if i == j:
-                euc_sq += c * c
+                euc_sq8 += int(round(c * 1e8)) ** 2
             if i == 1 and j == 1:
                 dp[(1, 1)] = c
             else:
@@ -818,7 +857,7 @@ def dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 dp[(i, j)] = rnd(c + best, 8)
     dtw = dp[(na, nb)]
-    euclid = rnd(euc_sq ** 0.5, 6)
+    euclid = rnd(math.sqrt(float(euc_sq8)) / 1e8, 6)
     out = [
         (
             na,

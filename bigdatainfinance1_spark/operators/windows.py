@@ -629,7 +629,7 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(min(value), 4)                             AS low,
       round(min(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
       count(*)                                         AS n_trades,
-      round(sum(value), 4)                             AS volume
+      round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 4) AS volume
     FROM ordered GROUP BY grain, bar
     """,
     tags=("window", "finance", "timeseries"),
@@ -646,7 +646,11 @@ def ohlc_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     168× smaller inputs), vs the flat approach's 3× full-scan inflation —
     which is exactly what the DuckDB oracle does (CROSS JOIN a grains
     VALUES-relation, window per grain), proving the two shapes agree.
-    Rounding happens once, at the output, on identical raw doubles."""
+    Open/high/low/close round once at the output on identical raw
+    doubles (min/max, no summation); volume sums 1e-6-grain BIGINTs so
+    the hierarchical and flat shapes are exactly equal (round-6 window
+    rule — an engine-ordered double sum could flip at a round(.,4)
+    boundary)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     bar_h = F.date_trunc("hour", "ts")
     wa = Window.partitionBy(bar_h).orderBy("ts", "event_id")
@@ -665,7 +669,11 @@ def ohlc_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("low"),
             F.min(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
             F.count(F.lit(1)).alias("n_trades"),
-            F.sum("value").alias("volume"),
+            # 1e-6-grain BIGINT snap (round-6 window rule): the volume sum
+            # must be order-insensitive or the hierarchical rollup (hour ->
+            # day -> week) and the oracle's flat per-grain sum could differ
+            # by an ulp right at a round(.,4) boundary.
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("vol6"),
         )
     )
 
@@ -678,7 +686,7 @@ def ohlc_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("low").alias("low"),
                 F.max_by("close", "bar").alias("close"),
                 F.sum("n_trades").alias("n_trades"),
-                F.sum("volume").alias("volume"),
+                F.sum("vol6").alias("vol6"),
             )
         )
 
@@ -699,7 +707,7 @@ def ohlc_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("low", 4).alias("low"),
             F.round("close", 4).alias("close"),
             F.col("n_trades").cast("long").alias("n_trades"),
-            F.round("volume", 4).alias("volume"),
+            F.round(F.col("vol6") / 1e6, 4).alias("volume"),
         )
         out = tagged if out is None else out.unionByName(tagged)
     return out

@@ -294,3 +294,49 @@ def test_sink_readback_ignores_orphan_attempt_files(spark):
     with open(os.path.join(sbase, "_MANIFEST.jsonl"), "a") as f:
         f.write(json.dumps(first, sort_keys=True) + "\n")
     assert custom_sink.committed_stream_files(sbase) == files
+
+
+def test_batch_sink_two_concurrent_attempts_same_partition(spark, monkeypatch, tmp_path):
+    """The batch twin of the orphan test ABOVE the readback layer (round-5
+    verdict task 7): two attempts of the SAME partition actually run the
+    writer — speculation/retry race. Attempt-id filenames must give each a
+    private path (no mid-write clobbering is possible because the paths
+    are disjoint, which this asserts directly), commit() must record only
+    the attempt Spark declared the winner, and the manifest readback must
+    count the winner's rows exactly once even though the loser wrote
+    identical data to the same directory."""
+    import json
+    import os
+
+    import pyspark
+
+    from bigdatainfinance1_spark.sources import jsonl_sink
+
+    class Ctx:
+        def __init__(self, pid: int, aid: int) -> None:
+            self._p, self._a = pid, aid
+
+        def partitionId(self) -> int:
+            return self._p
+
+        def taskAttemptId(self) -> int:
+            return self._a
+
+    path = str(tmp_path / "race")
+    w = jsonl_sink.JsonLinesWriter({"path": path}, ["k", "v"])
+    rows = [(1, "a"), (2, "b")]
+    monkeypatch.setattr(pyspark.TaskContext, "get", staticmethod(lambda: Ctx(0, 7)))
+    winner = w.write(iter(rows))
+    monkeypatch.setattr(pyspark.TaskContext, "get", staticmethod(lambda: Ctx(0, 8)))
+    loser = w.write(iter(rows))  # same partition, new attempt id
+    assert winner.filename != loser.filename, "attempts must never share a path"
+    assert os.path.exists(winner.filename) and os.path.exists(loser.filename)
+    # winner's bytes are intact after the loser finished writing
+    assert [json.loads(line) for line in open(winner.filename)] == [
+        {"k": 1, "v": "a"},
+        {"k": 2, "v": "b"},
+    ]
+    w.commit([winner])  # Spark reports only the winning attempt's message
+    assert jsonl_sink.committed_files(path) == [winner.filename]
+    back = jsonl_sink.read_committed(spark, path, "k bigint, v string")
+    assert back.count() == len(rows)  # loser's identical rows count ZERO times
