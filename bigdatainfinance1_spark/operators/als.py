@@ -144,15 +144,22 @@ def als_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def solve(key: str, fac: str, prev: DataFrame) -> DataFrame:
+        # cast ONE operand to decimal BEFORE each product: long*long would
+        # overflow 2^63 first (caught by the round-6 100x tier — factor
+        # magnitudes grow with per-pair rating mass under replication);
+        # decimal(19,0)*long widens to decimal(38,0), exact
+        f1d = F.col("f1").cast("decimal(19,0)")
+        f2d = F.col("f2").cast("decimal(19,0)")
+        rd = F.col("r").cast("decimal(19,0)")
         stats = (
             ratings.join(F.broadcast(prev) if fac == "brand" else prev, fac)
             .groupBy(key)
             .agg(
-                F.sum((F.col("f1") * F.col("f1")).cast("decimal(19,0)")).alias("s11"),
-                F.sum((F.col("f1") * F.col("f2")).cast("decimal(19,0)")).alias("s12"),
-                F.sum((F.col("f2") * F.col("f2")).cast("decimal(19,0)")).alias("s22"),
-                F.sum((F.col("r") * F.col("f1")).cast("decimal(19,0)")).alias("b1"),
-                F.sum((F.col("r") * F.col("f2")).cast("decimal(19,0)")).alias("b2"),
+                F.sum(f1d * F.col("f1")).alias("s11"),
+                F.sum(f1d * F.col("f2")).alias("s12"),
+                F.sum(f2d * F.col("f2")).alias("s22"),
+                F.sum(rd * F.col("f1")).alias("b1"),
+                F.sum(rd * F.col("f2")).alias("b2"),
             )
         )
         a11 = F.col("s11").cast("double") / ALS_G / ALS_G + ALS_LAMBDA

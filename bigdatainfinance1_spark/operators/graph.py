@@ -1028,10 +1028,16 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "label")
+        # pick feeds TWO consumers with differing projections (this round's
+        # accuracy summary and next round's labels union) and the lineage
+        # compounds round over round — without materialization round r's
+        # plan re-executes every earlier round's propagation (the
+        # multi-consumer rule, SURVEY §5; measured 36.0 -> 10.0 s at sf0.1).
         pick = (
             cand.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .select("node", "label")
+            .localCheckpoint(eager=True)
         )
         summaries.append(
             pick.join(F.broadcast(truth), "node").agg(

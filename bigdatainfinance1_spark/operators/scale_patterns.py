@@ -363,7 +363,11 @@ def weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(2 * s + n) div (2 * n)").cast("long").alias("population_avg_cents")
     )
     top = keyed.orderBy(F.col("es_key").desc(), F.col("o_orderkey").asc()).limit(ES_K)
-    w = Window.orderBy(F.col("es_key").desc(), F.col("o_orderkey").asc())
+    # single-partition window is safe here: its input is the {ES_K}-row
+    # TakeOrdered result, not the corpus (lit(1) partition per house rule)
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("es_key").desc(), F.col("o_orderkey").asc()
+    )
     ranked = top.select(
         "o_orderkey",
         F.col("o_totalprice").alias("weight"),

@@ -59,6 +59,7 @@ QUERIES = [
     "q_cosine_topk",
     "q_embedding_neardup",
     "q_stream_tumbling",
+    "q_stream_session_funnel",  # stateful applyInPandasWithState (r6 100x tier)
     # round-2 late additions: the ops with nontrivial cost curves
     "q_ohlc_multigrain",
     "q_doc_chunking",
