@@ -10,6 +10,9 @@ q_weighted_reservoir_es r5 flake class). Round-6 window swept clean:
 50/50 stable (BASELINE.md "Round-6 gates").
 
 Usage: python tools_order_check.py [query ...]   (default: whole window)
+       python tools_order_check.py --all          (every registered query
+       with a batch-deterministic result — streaming rows-only queries
+       replay a staged stream and are checked by their own harness)
 """
 from __future__ import annotations
 
@@ -44,7 +47,10 @@ def main() -> None:
     spark = get_spark(app_name="bigdatainfinance1_spark-order-check")
     specs = load_all_queries()
     picked = [a for a in sys.argv[1:] if not a.startswith("-")]
-    names = picked or list(DRIVER_WINDOW_ORDER)
+    if "--all" in sys.argv:
+        names = list(specs)
+    else:
+        names = picked or list(DRIVER_WINDOW_ORDER)
     unknown = [n for n in names if n not in specs]
     if unknown:
         sys.exit(f"order_check: unknown query name(s): {', '.join(unknown)}")
