@@ -56,7 +56,7 @@ def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       date_trunc('month', o_orderdate) AS order_month,
       count(DISTINCT o_custkey)        AS n_custs,
       count(*)                         AS n_orders,
-      round(sum(o_totalprice), 2)      AS total
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2)      AS total
     FROM orders
     GROUP BY order_month
     """,
@@ -70,7 +70,7 @@ def distinct_agg_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_custs"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
         )
     )
 
@@ -156,7 +156,7 @@ def stats_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(r.r_name, 'ALL')                             AS region_name,
       coalesce(n.n_name, 'ALL')                             AS nation_name,
       CAST(grouping(r.r_name) * 2 + grouping(n.n_name) AS BIGINT) AS gid,
-      round(sum(o.o_totalprice), 2)                         AS revenue,
+      round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2)                         AS revenue,
       count(*)                                              AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -183,7 +183,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("r_name", "n_name")
         .agg(
             F.grouping_id().cast("long").alias("gid"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -203,7 +203,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       coalesce(o_orderstatus, 'ALL')   AS status,
       coalesce(o_orderpriority, 'ALL') AS priority,
       count(*)                         AS n_orders,
-      round(sum(o_totalprice), 2)      AS total
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2)      AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -216,7 +216,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -286,10 +286,10 @@ def collect_set_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderstatus,
       count(*)                                                              AS n_orders,
       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
-      round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2)
+      round(sum(CAST(round((CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END) * 100) AS BIGINT)) / 100e0, 2)
                                                                             AS urgent_total,
-      round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END)
-            / sum(o_totalprice), 6)                                         AS urgent_share
+      round(sum(CAST(round((CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END) * 100) AS BIGINT)) * 1.0
+            / sum(CAST(round(o_totalprice * 100) AS BIGINT)), 6)            AS urgent_share
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -300,11 +300,14 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     is_urgent = F.col("o_orderpriority") == "1-URGENT"
     urgent_price = F.when(is_urgent, F.col("o_totalprice")).otherwise(F.lit(0.0))
+    # exact integer cents on both sides of the ratio (round-6 emission rule)
+    urgent_cents = F.sum(F.round(urgent_price * 100).cast("long"))
+    total_cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     return orders.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.when(is_urgent, 1).otherwise(0)).alias("n_urgent"),
-        F.round(F.sum(urgent_price), 2).alias("urgent_total"),
-        F.round(F.sum(urgent_price) / F.sum("o_totalprice"), 6).alias("urgent_share"),
+        F.round(urgent_cents / 100.0, 2).alias("urgent_total"),
+        F.round(urgent_cents * F.lit(1.0) / total_cents, 6).alias("urgent_share"),
     )
 
 
@@ -313,7 +316,7 @@ _GROUPING_SETS_SQL = """
       coalesce(o_orderpriority, 'ALL') AS priority,
       coalesce(o_orderstatus, 'ALL')   AS status,
       count(*)                         AS n_orders,
-      round(sum(o_totalprice), 2)      AS total_price
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2)      AS total_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
@@ -707,7 +710,7 @@ _TIME_ROLLUP_SQL = """
       CAST(grouping(year(o_orderdate)) * 4 + grouping(quarter(o_orderdate)) * 2
            + grouping(month(o_orderdate)) AS BIGINT) AS gid,
       count(*)                             AS n_orders,
-      round(sum(o_totalprice), 2)          AS revenue
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2)          AS revenue
     FROM orders
     GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
 """

@@ -155,7 +155,8 @@ _REGION_PANEL_SQL = """
     rp AS (
       SELECT r.r_regionkey AS rk,
              CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
-             round(round(sum(o.o_totalprice), 2) / 1000.0, 6) AS v
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000.0, 6) AS v
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -238,7 +239,7 @@ def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mi"
             ),
         )
-        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("v"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000.0, 6).alias("v"))
     )
     full_months = rp.groupBy("mi").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") == 5
@@ -481,13 +482,14 @@ BA_Z95 = 1.959964
 _BA_SQL = f"""
     WITH ym AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS y
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS y
       FROM orders GROUP BY mi
     ),
     xm AS (
       SELECT CAST(year(l_shipdate) AS BIGINT) * 12 + month(l_shipdate) AS mi,
-             round(round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   / 1000000.0, 6) AS x
+             round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS x
       FROM lineitem GROUP BY mi
     ),
     p AS (SELECT ym.mi, xm.x, ym.y, xm.x - ym.y AS d
@@ -541,15 +543,11 @@ def bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     ym = orders.groupBy(
         (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("y"))
+    ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("y"))
     xm = li.groupBy(
         (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi")
     ).agg(
-        F.round(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            / 1000000.0,
-            6,
-        ).alias("x")
+        F.round(F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("x")
     )
     p = ym.join(xm, "mi").select(
         "mi", "x", "y", (F.col("x") - F.col("y")).alias("d")

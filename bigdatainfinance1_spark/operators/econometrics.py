@@ -1087,7 +1087,8 @@ def arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH panel AS (
       SELECT c.c_nationkey AS nk,
              CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
-             round(round(sum(o.o_totalprice), 2) / 1000.0, 6) AS y,
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000.0, 6) AS y,
              CAST(count(*) AS BIGINT) AS x
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY nk, mi
@@ -1147,7 +1148,7 @@ def panel_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .agg(
-            F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("y"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000.0, 6).alias("y"),
             F.count(F.lit(1)).cast("long").alias("x"),
         )
     )

@@ -167,7 +167,8 @@ def seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH nrm AS (
       SELECT c_nationkey AS nk,
              CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS v
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000.0, 6) AS v
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY nk, mi
     ),
@@ -177,7 +178,8 @@ def seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mrm AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS v
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS v
       FROM orders GROUP BY mi
     ),
     mret AS (
@@ -242,7 +244,7 @@ def event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mi"
             ),
         )
-        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("v"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000.0, 6).alias("v"))
     )
     prev = nrm.select("nk", (F.col("mi") + 1).alias("mi"), F.col("v").alias("pv"))
     nret = nrm.join(prev, ["nk", "mi"]).select(
@@ -250,7 +252,7 @@ def event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mrm = orders.groupBy(
         (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("v"))
+    ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("v"))
     mprev = mrm.select((F.col("mi") + 1).alias("mi"), F.col("v").alias("pv"))
     mret = mrm.join(F.broadcast(mprev), "mi").select(
         "mi", F.round((F.col("v") - F.col("pv")) / F.col("pv"), 8).alias("m")
@@ -296,7 +298,7 @@ def event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT n.n_regionkey AS rk, c.c_nationkey AS nk,
              CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
-             round(sum(o.o_totalprice), 2) AS v
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS v
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -378,7 +380,7 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mi"
             ),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("v"))
     )
     lastm = base.agg(F.max("mi").alias("lm"))
     hist = base.crossJoin(F.broadcast(lastm)).filter(F.col("mi") < F.col("lm"))
@@ -434,7 +436,7 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT (CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate)) % 12
                  AS moy,
                r.r_name AS region,
-               round(sum(o.o_totalprice), 2) / 1000.0 AS v
+               round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) / 1000.0 AS v
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -531,7 +533,7 @@ def median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("r_name").alias("region"),
         )
-        .agg((F.round(F.sum("o_totalprice"), 2) / 1000.0).alias("v"))
+        .agg((F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2) / 1000.0).alias("v"))
     )
     cells = (
         monthly.groupBy((F.col("mi") % 12).alias("moy"), "region")
@@ -828,7 +830,8 @@ SMK_Z95 = 1.959964
     oracle=f"""
     WITH m AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS z
       FROM orders GROUP BY mi
     ),
     s AS (
@@ -879,7 +882,7 @@ def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z"))
+    ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("z"))
     a = m.select((F.col("mi") % 12).alias("moy"), F.col("mi").alias("ma"), F.col("z").alias("za"))
     b = m.select((F.col("mi") % 12).alias("moy"), F.col("mi").alias("mb"), F.col("z").alias("zb"))
     s = (
@@ -1219,7 +1222,8 @@ MZ_F_2_10_95 = 4.102821  # F(2, 10) 5%
     oracle=f"""
     WITH m AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS z
       FROM orders GROUP BY mi
     ),
     anchor AS (SELECT max(mi) - {MZ_TEST_MONTHS} AS cut FROM m),
@@ -1284,7 +1288,7 @@ def mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z"))
+    ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("z"))
     anchor = m.agg((F.max("mi") - MZ_TEST_MONTHS).alias("cut"))
     mm_ = m.crossJoin(F.broadcast(anchor))
     hist = mm_.filter(F.col("mi") <= F.col("cut")).select(

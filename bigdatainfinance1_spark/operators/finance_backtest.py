@@ -35,7 +35,7 @@ def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
         .withColumn("_yr", F.year("day"))
     )
     w = Window.partitionBy("_yr").orderBy("day")
@@ -52,7 +52,7 @@ def _daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DAILY_RET_SQL = """
     daily AS (
-      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
     rets AS (
@@ -159,7 +159,7 @@ def kupiec_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT n.n_name, date_trunc('day', o.o_orderdate) AS day,
-             round(sum(o.o_totalprice), 2) AS rev
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -212,7 +212,7 @@ def sharpe_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
     )
     w = Window.partitionBy("n_name").orderBy("day")
     rets = daily.select(
@@ -242,7 +242,7 @@ def sharpe_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_drawdown_duration",
     oracle="""
     WITH daily AS (
-      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
     pk AS (
@@ -292,7 +292,7 @@ def drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
         .withColumn("_yr", F.year("day"))
     )
     wy = Window.partitionBy("_yr").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
@@ -339,7 +339,7 @@ ROLLING_BETA_WIN = 30  # trading-day beta window
     oracle=f"""
     WITH rdaily AS (
       SELECT r.r_name, date_trunc('day', o.o_orderdate) AS day,
-             round(sum(o.o_totalprice), 2) AS rev
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -401,7 +401,7 @@ def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
     )
     mdaily = rdaily.groupBy("day").agg(F.round(F.sum("rev"), 2).alias("mrev"))
     wr = Window.partitionBy("r_name").orderBy("day")
@@ -780,7 +780,8 @@ PINBALL_TEST_MONTHS = 12
     oracle=f"""
     WITH m AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS z
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000.0, 6) AS z
       FROM orders GROUP BY mi
     ),
     anchor AS (SELECT max(mi) - {PINBALL_TEST_MONTHS} AS cut FROM m),
@@ -838,7 +839,7 @@ def pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("z"))
+    ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000.0, 6).alias("z"))
     anchor = m.agg((F.max("mi") - PINBALL_TEST_MONTHS).alias("cut"))
     mm = m.crossJoin(F.broadcast(anchor))
     hist = mm.filter(F.col("mi") <= F.col("cut")).select(
@@ -904,7 +905,8 @@ DM_Z95 = 1.959964
     oracle=f"""
     WITH m AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS z
       FROM orders GROUP BY mi
     ),
     anchor AS (SELECT max(mi) - {DM_TEST_MONTHS} AS cut FROM m),
@@ -974,7 +976,7 @@ def forecast_skill_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z"))
+    ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("z"))
     anchor = m.agg((F.max("mi") - DM_TEST_MONTHS).alias("cut"))
     mm_ = m.crossJoin(F.broadcast(anchor))
     hist = mm_.filter(F.col("mi") <= F.col("cut")).select(

@@ -17,7 +17,7 @@ from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
     "q_gini_revenue",
     oracle="""
     WITH m AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS monetary
+      SELECT o_custkey, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -47,7 +47,7 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatainfinance1_spark.functions.ranks import global_row_number
 
     orders = load_table(spark, sf_dir, "orders")
-    m = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+    m = orders.groupBy("o_custkey").agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("monetary"))
     ranked = global_row_number(m, ["monetary", "o_custkey"], rn_col="i")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -64,7 +64,7 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pareto_revenue",
     oracle="""
     WITH m AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS monetary
+      SELECT o_custkey, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS monetary
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -100,7 +100,7 @@ def pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
-    m = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("monetary"))
+    m = orders.groupBy("o_custkey").agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("monetary"))
     order_cols = [F.col("monetary").desc(), F.col("o_custkey")]
     ranked = global_row_number(m, order_cols, rn_col="i")
     with_cum = global_running_sum(ranked, order_cols, "monetary", "cum")
@@ -163,7 +163,7 @@ def interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_var_cvar",
     oracle="""
     WITH daily AS (
-      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
     ret AS (
@@ -199,7 +199,7 @@ def var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
         .withColumn("_yr", F.year("day"))
     )
     w = Window.partitionBy("_yr").orderBy("day")
@@ -234,7 +234,7 @@ def var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHARE_SQL = """
     WITH nat AS (
-      SELECT r.r_name, n.n_name, round(sum(o.o_totalprice), 2) AS rev
+      SELECT r.r_name, n.n_name, round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -962,7 +962,8 @@ EVT_RETURN_PERIOD = 100  # quarters
     oracle=f"""
     WITH daily AS (
       SELECT date_trunc('day', o_orderdate) AS day,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS rev
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
     blocks AS (
@@ -1008,7 +1009,7 @@ def evt_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     written identically on both engines)."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("rev")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("rev")
     )
     blocks = daily.groupBy(F.date_trunc("quarter", "day").alias("qtr")).agg(
         F.max("rev").alias("mx")
@@ -1046,7 +1047,8 @@ def evt_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS p
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000.0, 6) AS p
       FROM orders GROUP BY d
     ),
     dp AS (
@@ -1088,7 +1090,7 @@ def roll_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference of 6-dp values; rounded at 6."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("p")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000.0, 6).alias("p")
     )
     prev = daily.select(F.date_add("d", 1).alias("d"), F.col("p").alias("pp"))
     dp = daily.join(F.broadcast(prev), "d").select(

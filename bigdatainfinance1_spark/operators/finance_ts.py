@@ -17,7 +17,7 @@ from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
     "q_cum_return",
     oracle="""
     WITH daily AS (
-      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY day
     ),
     rets AS (
@@ -46,7 +46,7 @@ def cum_return(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev")
     ).withColumn("_yr", F.year("day"))
     w = Window.partitionBy("_yr").orderBy("day")
     carry = (
@@ -142,7 +142,7 @@ def ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dow_seasonality",
     oracle="""
     WITH daily AS (
-      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
     tot AS (SELECT avg(rev) AS mu FROM daily)
@@ -165,7 +165,7 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     global mean rides in as a broadcast 1-row cross join."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev")
     )
     tot = daily.agg(F.avg("rev").alias("mu"))
     dow = ((F.datediff(F.col("day"), F.lit("1995-01-02").cast("date")) % 7 + 7) % 7).cast("long")
@@ -185,7 +185,7 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             round(sum(o_totalprice), 2) AS rev
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
     stats AS (SELECT avg(rev) AS mu FROM daily),
@@ -223,7 +223,7 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("day")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
     stats = daily.agg(F.avg("rev").alias("mu"))
     denom = daily.crossJoin(F.broadcast(stats)).agg(
         F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias("ss")
@@ -254,7 +254,7 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cusum_changepoint",
     oracle="""
     WITH daily AS (
-      SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+      SELECT date_trunc('day', o_orderdate) AS day, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
     mu AS (SELECT avg(rev) AS mu FROM daily),
@@ -288,7 +288,7 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev")
     )
     mu = daily.agg(F.avg("rev").alias("mu"))
     dev = daily.crossJoin(F.broadcast(mu)).select(
@@ -1249,7 +1249,8 @@ PH_LAMBDA = 2.0  # alarm threshold (M$)
     oracle=f"""
     WITH RECURSIVE m AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS x
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS x
       FROM orders GROUP BY mi
     ),
     idx AS (SELECT mi, x, row_number() OVER (ORDER BY mi) AS i FROM m),
@@ -1295,7 +1296,7 @@ def page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(
             (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
         )
-        .agg((F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6)).alias("x"))
+        .agg((F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6)).alias("x"))
         .orderBy("mi")
         .collect()  # O(calendar months) — bounded model state, never O(rows)
     )

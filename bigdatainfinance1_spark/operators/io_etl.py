@@ -85,7 +85,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderstatus,
       count(*)                  AS n_orders,
-      round(sum(o_totalprice), 2) AS total_price,
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS total_price,
       min(o_orderkey)           AS min_orderkey,
       max(o_orderkey)           AS max_orderkey
     FROM orders
@@ -106,7 +106,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_json(spark, path, schema=orders.schema)
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total_price"),
         F.min("o_orderkey").alias("min_orderkey"),
         F.max("o_orderkey").alias("max_orderkey"),
     )
@@ -118,7 +118,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(month(o_orderdate) AS BIGINT) AS o_month,
       count(*)                           AS n_orders,
-      round(sum(o_totalprice), 2)        AS total_price,
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2)        AS total_price,
       count(DISTINCT o_custkey)          AS n_custs
     FROM orders
     WHERE year(o_orderdate) = 1996
@@ -143,7 +143,7 @@ def partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.month("o_orderdate").cast("long").alias("o_month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total_price"),
             F.countDistinct("o_custkey").alias("n_custs"),
         )
     )
@@ -153,7 +153,7 @@ _SHARED_SQL = """
     SELECT
       o_orderpriority,
       count(*) AS n_orders,
-      round(sum(o_totalprice), 2) AS total_price
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS total_price
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -181,7 +181,7 @@ SNAPSHOT_MAX_KEY = 1000
       SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= {SNAPSHOT_MAX_KEY}
     ),
     delta AS (
-      SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS open_total
+      SELECT o_custkey AS custkey, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS open_total
       FROM orders WHERE o_orderstatus = 'O'
       GROUP BY o_custkey
     )
@@ -212,7 +212,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = (
         orders.filter(F.col("o_orderstatus") == "O")
         .groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("open_total"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("open_total"))
     )
     joined = base.join(delta, base.c_custkey == delta.custkey, "outer")
     return joined.select(
@@ -278,7 +278,7 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderpriority,
       count(*)                    AS n_orders,
-      round(sum(o_totalprice), 2) AS total_price,
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS total_price,
       min(o_orderdate)            AS first_date,
       max(o_orderdate)            AS last_date
     FROM orders
@@ -301,7 +301,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(path)
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total_price"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
@@ -313,7 +313,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o_orderpriority,
       count(*)                    AS n_orders,
-      round(sum(o_totalprice), 2) AS revenue
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS revenue
     FROM orders
     GROUP BY o_orderpriority
     """,

@@ -28,7 +28,7 @@ from bigdatainfinance1_spark.sources.catalog import load_table
     SELECT
       r.r_name,
       n.n_name,
-      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 100) AS BIGINT)) / 100e0, 2) AS revenue,
       count(*)                                              AS n_lines
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -52,8 +52,16 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    # exact integer cents through the partial aggregate (round-6 emission
+    # rule): the per-order partial and the final per-nation sum are then
+    # order-insensitive, and the two-level shape equals the oracle's flat
+    # sum exactly
     per_order = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.sum(
+            F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast(
+                "long"
+            )
+        ).alias("rev_c"),
         F.count(F.lit(1)).alias("nl"),
     )
     return (
@@ -63,7 +71,7 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.round(F.sum("rev_c") / 100.0, 2).alias("revenue"),
             F.sum("nl").alias("n_lines"),
         )
     )

@@ -728,7 +728,8 @@ MK_Z95 = 1.959964  # two-sided 5% normal critical value
     oracle="""
     WITH m AS (
       SELECT date_trunc('month', o_orderdate) AS month,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS z
       FROM orders GROUP BY date_trunc('month', o_orderdate)
     ),
     s AS (
@@ -776,7 +777,7 @@ def mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
-        F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("z")
     )
     a = m.select(F.col("month").alias("ma"), F.col("z").alias("za"))
     b = m.select(F.col("month").alias("mb"), F.col("z").alias("zb"))

@@ -38,7 +38,8 @@ _PANEL_SQL = """
     nrm AS (
       SELECT c_nationkey AS nk,
              CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS v
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000.0, 6) AS v
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY nk, mi
     ),
@@ -48,7 +49,8 @@ _PANEL_SQL = """
     ),
     mrm AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS v
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS v
       FROM orders GROUP BY mi
     ),
     mret AS (
@@ -74,7 +76,7 @@ def _nation_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mi"
             ),
         )
-        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("v"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000.0, 6).alias("v"))
     )
     prev = nrm.select("nk", (F.col("mi") + 1).alias("mi"), F.col("v").alias("pv"))
     return (
@@ -87,7 +89,7 @@ def _market_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     mrm = orders.groupBy(
         (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("v"))
+    ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("v"))
     prev = mrm.select((F.col("mi") + 1).alias("mi"), F.col("v").alias("pv"))
     return mrm.join(F.broadcast(prev), "mi").select(
         "mi", F.round((F.col("v") - F.col("pv")) / F.col("pv"), 8).alias("m")
@@ -509,7 +511,8 @@ def information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS rev
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000.0, 6) AS rev
       FROM orders GROUP BY d
     ),
     dret AS (
@@ -545,7 +548,7 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, rounded at 6."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("rev")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000.0, 6).alias("rev")
     )
     prev = daily.select(F.date_add(F.col("d"), 1).alias("d"), F.col("rev").alias("pv"))
     dret = daily.join(F.broadcast(prev), "d").select(
@@ -584,7 +587,7 @@ _RRET_SQL = """
       SELECT r.r_name AS rg,
              CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate) AS mi,
              round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
-                   / 100.0 / 1000.0, 6) AS v
+                   / 100e0 / 1000.0, 6) AS v
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -948,7 +951,7 @@ BRINSON_PORT_REGION = "EUROPE"
       SELECT c.c_mktsegment AS segment,
              CAST(year(o.o_orderdate) AS BIGINT) AS yr,
              CASE WHEN r.r_name = '{BRINSON_PORT_REGION}' THEN 1 ELSE 0 END AS in_port,
-             round(sum(o.o_totalprice), 2) AS rev
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1030,7 +1033,7 @@ def brinson_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "in_port"
             ),
         )
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
     )
     b = seg.groupBy("segment").agg(
         F.sum(F.when(F.col("yr") == BRINSON_PRIOR_YEAR, F.col("rev")).otherwise(0)).alias("prior"),

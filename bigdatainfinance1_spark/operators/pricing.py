@@ -29,9 +29,9 @@ CUTOFF = "1998-09-02 00:00:00"
       l_returnflag,
       l_linestatus,
       round(sum(l_quantity), 2)                                        AS sum_qty,
-      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      round(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) / 100e0, 2)                                   AS sum_base_price,
+      round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100e0, 2)                AS sum_disc_price,
+      round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) / 100e0, 2)  AS sum_charge,
       round(avg(l_quantity), 4)                                        AS avg_qty,
       round(avg(l_extendedprice), 4)                                   AS avg_price,
       round(avg(l_discount), 4)                                        AS avg_disc,
@@ -53,9 +53,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(F.round(disc_price * 100).cast("long")) / 100.0, 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.sum(F.round(charge * 100).cast("long")) / 100.0, 2).alias(
+                "sum_charge"
+            ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -73,7 +77,7 @@ PRIORITY_CUTOFF = "1997-06-15 00:00:00"
     oracle=f"""
     SELECT
       l_orderkey,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100e0, 2) AS revenue,
       o_orderdate,
       o_orderpriority
     FROM customer
@@ -117,7 +121,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100).cast("long")) / 100.0, 2).alias(
                 "revenue"
             )
         )

@@ -287,7 +287,7 @@ CVAR_Z95 = 1.644854  # one-sided 95% normal quantile
     WITH nd AS (
       SELECT c.c_nationkey AS nationkey,
              date_trunc('day', o.o_orderdate) AS day,
-             round(sum(o.o_totalprice), 2) / 1000000.0 AS x
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) / 1000000.0 AS x
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE year(o.o_orderdate) = {CVAR_YEAR}
       GROUP BY c.c_nationkey, date_trunc('day', o.o_orderdate)
@@ -346,7 +346,7 @@ def component_var(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nationkey"),
             F.date_trunc("day", "o_orderdate").alias("day"),
         )
-        .agg((F.round(F.sum("o_totalprice"), 2) / 1000000.0).alias("x"))
+        .agg((F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2) / 1000000.0).alias("x"))
     )
     days = nd.select("day").distinct()
     grid = (
@@ -393,7 +393,8 @@ _KALMAN_SQL = f"""
       SELECT CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS rn, month, z
       FROM (
         SELECT date_trunc('month', o_orderdate) AS month,
-               round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+               round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS z
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '{KALMAN_FROM}'
           AND o_orderdate < TIMESTAMP '{KALMAN_TO}'
@@ -449,7 +450,7 @@ def kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(KALMAN_TO).cast("timestamp"))
         )
         .groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("z"))
         .orderBy("month")
         .collect()  # O(calendar months) — bounded model state, never O(rows)
     )
@@ -482,7 +483,7 @@ EF_REGIONS = ("EUROPE", "ASIA")  # the two assets
     oracle=f"""
     WITH rr AS (
       SELECT r.r_name, date_trunc('month', o.o_orderdate) AS month,
-             round(sum(o.o_totalprice), 2) AS rev
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -550,7 +551,7 @@ def efficient_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name").isin(*EF_REGIONS))
         .groupBy("r_name", F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
     )
     w = Window.partitionBy("r_name").orderBy("month")
     ret = rr.select(
@@ -695,7 +696,7 @@ TAIL_Q = 0.8  # tail threshold quantile (empirical, via rank counts)
     oracle=f"""
     WITH rr AS (
       SELECT r.r_name, date_trunc('month', o.o_orderdate) AS month,
-             round(sum(o.o_totalprice), 2) AS rev
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -763,7 +764,7 @@ def tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .filter(F.col("r_name").isin("EUROPE", "ASIA"))
         .groupBy("r_name", F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
     )
     w = Window.partitionBy("r_name").orderBy("month")
     ret = rr.select(
@@ -918,7 +919,8 @@ AC_URGENCY = 5.0  # kappa = urgency x relative daily vol (stylized units)
 _AC_SQL = f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS x
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000.0, 6) AS x
       FROM orders GROUP BY d
     ),
     ret AS (
@@ -975,7 +977,7 @@ def almgren_chriss(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; the schedule itself is corpus-size-independent."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("x")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000.0, 6).alias("x")
     )
     prev = daily.select(F.date_add(F.col("d"), 1).alias("d"), F.col("x").alias("px"))
     ret = daily.join(F.broadcast(prev), "d").select(

@@ -75,7 +75,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            ELSE 'large' END                                 AS tier,
       o_orderstatus,
       count(*)                                              AS n_orders,
-      round(sum(o_totalprice), 2)                           AS total
+      round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2)                           AS total
     FROM orders
     GROUP BY tier, o_orderstatus
     """,
@@ -94,7 +94,7 @@ def case_when_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("total"),
         )
     )
 

@@ -293,7 +293,7 @@ _RFM_YEAR_SQL = """
         o_custkey                   AS custkey,
         max(o_orderdate)            AS last_order,
         count(*)                    AS freq,
-        round(sum(o_totalprice), 2) AS monetary
+        round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS monetary
       FROM orders
       WHERE year(o_orderdate) IN (1999, 2000)
       GROUP BY yr, custkey

@@ -63,7 +63,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     SELECT
       o.o_orderpriority,
       count(*)                    AS n_lines,
-      round(sum(l.l_extendedprice), 2) AS total_price
+      round(sum(CAST(round((l.l_extendedprice) * 100) AS BIGINT)) / 100e0, 2) AS total_price
     FROM orders o
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority
@@ -83,7 +83,7 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 2).alias("total_price"),
         )
     )
 

@@ -442,7 +442,7 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LCA_SQL = """
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue,
+           round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS revenue,
            round(revenue / n_orders, 2) AS avg_order,
            round(avg_order / 1000.0, 4) AS avg_order_k
     FROM orders

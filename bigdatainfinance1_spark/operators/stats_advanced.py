@@ -885,7 +885,7 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH met AS (
       SELECT c.c_nationkey AS nationkey,
-             round(sum(o.o_totalprice), 2) AS revenue,
+             round(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS revenue,
              count(*) * 1.0 AS n_orders,
              count(DISTINCT o.o_custkey) * 1.0 AS n_customers
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -934,7 +934,7 @@ def kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("revenue"),
             (F.count(F.lit(1)) * 1.0).alias("n_orders"),
             (F.countDistinct("o_custkey") * 1.0).alias("n_customers"),
         )

@@ -296,7 +296,7 @@ def regr_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT date_trunc('day', o_orderdate) AS day,
-             round(sum(o_totalprice), 2) AS rev,
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev,
              count(*) AS n_orders
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
@@ -334,7 +334,7 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     rx = global_row_number(daily, ["rev", "day"], rn_col="rx")

@@ -27,10 +27,16 @@ from pyspark.sql import functions as F
 from bigdatainfinance1_spark.registry import query
 from bigdatainfinance1_spark.sources.catalog import load_table
 
+# Hardened (round-6 emission rule, SURVEY §5): the monthly series sums
+# exact integer CENTS — the old round(sum(double), 2) was summation-order
+# sensitive across engines, and this prefix feeds ~15 downstream series
+# queries (econometrics, ts_mining, two_series) including driver-window
+# names. Shared-prefix emissions count as emissions.
 _MONTHLY_SQL = """
     m AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS z
+             round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS z
       FROM orders GROUP BY mi
     ),
     idx AS (SELECT mi, z, row_number() OVER (ORDER BY mi) AS i FROM m)
@@ -43,7 +49,14 @@ def _monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy(
         (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("z"))
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100.0
+            / 1000000.0,
+            6,
+        ).alias("z")
+    )
     return global_row_number(m, ["mi"], rn_col="i")
 
 
@@ -591,7 +604,8 @@ POT_VAR_P = 0.999  # reported tail VaR level
     oracle=f"""
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d,
-             round(round(sum(o_totalprice), 2) / 1000.0, 6) AS x
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000.0, 6) AS x
       FROM orders GROUP BY d
     ),
     ranked AS (
@@ -646,7 +660,7 @@ def gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
-        F.round(F.round(F.sum("o_totalprice"), 2) / 1000.0, 6).alias("x")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000.0, 6).alias("x")
     )
     n = daily.count()  # bounded driver scalar: number of days
     import math

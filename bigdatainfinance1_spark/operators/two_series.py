@@ -27,7 +27,8 @@ from bigdatainfinance1_spark.sources.catalog import load_table
 _TWO_SERIES_SQL = """
     ym AS (
       SELECT CAST(year(o_orderdate) AS BIGINT) * 12 + month(o_orderdate) AS mi,
-             round(round(sum(o_totalprice), 2) / 1000000.0, 6) AS y
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT))
+                   / 100e0 / 1000000.0, 6) AS y
       FROM orders GROUP BY mi
     ),
     xm AS (
@@ -43,7 +44,7 @@ def _two_series(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     li = load_table(spark, sf_dir, "lineitem")
     ym = orders.groupBy(
         (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate")).alias("mi")
-    ).agg(F.round(F.round(F.sum("o_totalprice"), 2) / 1000000.0, 6).alias("y"))
+    ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100e0 / 1000000.0, 6).alias("y"))
     xm = li.groupBy(
         (F.year("l_shipdate").cast("long") * 12 + F.month("l_shipdate")).alias("mi")
     ).agg(F.round(F.sum("l_quantity") / 1000.0, 6).alias("x"))
@@ -681,7 +682,7 @@ _DTW_QSER = """
       SELECT qi, v, row_number() OVER (ORDER BY qi) AS i FROM (
         SELECT CAST(year(o_orderdate) AS BIGINT) * 4 + quarter(o_orderdate) AS qi,
                round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
-                     / 100.0 / 1000000.0, 6) AS v
+                     / 100e0 / 1000000.0, 6) AS v
         FROM orders GROUP BY qi
       )
     ),

@@ -51,7 +51,7 @@ def _weighted_avg_disc_udf():
     oracle="""
     SELECT
       l_returnflag,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100e0, 2) AS revenue,
       count(*)                                          AS n_lines
     FROM lineitem
     GROUP BY l_returnflag
@@ -66,7 +66,9 @@ def udf_pandas_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumn("revenue_row", _revenue_udf()("l_extendedprice", "l_discount"))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.sum("revenue_row"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.round(F.col("revenue_row") * 100).cast("long")) / 100.0, 2
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -194,7 +196,7 @@ def udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       l_linestatus,
-      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100e0, 2) AS revenue
     FROM lineitem
     GROUP BY l_returnflag, l_linestatus
     """,
@@ -212,7 +214,7 @@ def sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
           l_returnflag,
           l_linestatus,
-          round(sum(udf_revenue(l_extendedprice, l_discount)), 2) AS revenue
+          round(sum(CAST(round((udf_revenue(l_extendedprice, l_discount)) * 100) AS BIGINT)) / 100e0, 2) AS revenue
         FROM lineitem_for_udf
         GROUP BY l_returnflag, l_linestatus
         """

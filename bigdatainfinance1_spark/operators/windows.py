@@ -25,12 +25,12 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
     )
 
 
 _DAILY_REVENUE_SQL = """
-    SELECT date_trunc('day', o_orderdate) AS day, round(sum(o_totalprice), 2) AS rev
+    SELECT date_trunc('day', o_orderdate) AS day, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
     FROM orders GROUP BY day
 """
 
@@ -405,7 +405,8 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_partkey,
       CAST(sum(l_quantity) AS DOUBLE)                              AS total_qty,
-      round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS vwap,
+      round(sum(CAST(round((l_extendedprice * l_quantity) * 100) AS BIGINT))
+            / 100e0 / sum(l_quantity), 4)                           AS vwap,
       count(*)                                                      AS n_trades
     FROM lineitem
     WHERE l_partkey < 200
@@ -415,14 +416,23 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Finance: volume-weighted average price per part (lineitem rows as
-    trades: extendedprice × quantity / total quantity). Quantities are small
-    integers, so the weighted sums are order-exact in double; only the final
-    ratio is rounded. One map-side-combined groupBy."""
+    trades: extendedprice × quantity / total quantity). The quantity sum is
+    integer-exact in any order; the price×qty sum snaps to exact integer
+    cents first (round-6 emission rule — the 2-dp product sum was
+    summation-order-sensitive); only the final ratio is rounded. One
+    map-side-combined groupBy."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
     return li.groupBy("l_partkey").agg(
         F.sum("l_quantity").cast("double").alias("total_qty"),
         F.round(
-            F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity"), 4
+            F.sum(
+                F.round((F.col("l_extendedprice") * F.col("l_quantity")) * 100).cast(
+                    "long"
+                )
+            )
+            / 100.0
+            / F.sum("l_quantity"),
+            4,
         ).alias("vwap"),
         F.count(F.lit(1)).alias("n_trades"),
     )
@@ -432,7 +442,7 @@ def vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_max_drawdown",
     oracle="""
     WITH daily AS (
-      SELECT o_orderdate AS d, round(sum(o_totalprice), 2) AS rev
+      SELECT o_orderdate AS d, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders
       GROUP BY d
     ),
@@ -462,7 +472,7 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     same recomposition a 100 TB per-instrument series would use."""
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.round(F.sum("o_totalprice"), 2).alias("rev")
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev")
     ).withColumn("_yr", F.year("d"))
     w = (
         Window.partitionBy("_yr")
@@ -502,7 +512,7 @@ GAPFILL_START, GAPFILL_END = "1995-01-01 00:00:00", "1995-03-31 00:00:00"
     pri AS (SELECT DISTINCT o_orderpriority FROM orders),
     daily AS (
       SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
-             round(sum(o_totalprice), 2) AS revenue
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS revenue
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '{GAPFILL_START}'
         AND o_orderdate <  TIMESTAMP '{GAPFILL_END}' + INTERVAL 1 DAY
@@ -546,7 +556,7 @@ def gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < end + F.expr("INTERVAL 1 DAY"))
         )
         .groupBy("o_orderpriority", F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("revenue"))
     )
     spine = pri.crossJoin(cal)
     w = (
@@ -785,7 +795,7 @@ _RFM_SQL = """
         o_custkey                   AS custkey,
         max(o_orderdate)            AS last_order,
         count(*)                    AS freq,
-        round(sum(o_totalprice), 2) AS monetary
+        round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS monetary
       FROM orders
       GROUP BY o_custkey
     ),
@@ -824,7 +834,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("monetary"),
     )
     n = base.count()
     scored = base.select("custkey", "last_order", "freq", "monetary")
@@ -853,7 +863,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pri AS (SELECT DISTINCT o_orderpriority FROM orders),
     daily AS (
       SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
-             round(sum(o_totalprice), 2) AS revenue
+             round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS revenue
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '{GAPFILL_START}'
         AND o_orderdate <  TIMESTAMP '{GAPFILL_END}' + INTERVAL 1 DAY
@@ -912,7 +922,7 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < end + F.expr("INTERVAL 1 DAY"))
         )
         .groupBy("o_orderpriority", F.date_trunc("day", "o_orderdate").alias("day"))
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("revenue"))
     )
     spine = pri.crossJoin(cal)
     w_run = (
