@@ -67,15 +67,20 @@ def _with_lags(idx: DataFrame, lags: int, col: str = "z") -> DataFrame:
     "q_jarque_bera",
     oracle=f"""
     WITH {_MONTHLY_SQL},
-    gmom AS (SELECT count(*) AS n, round(avg(z), 8) AS mu FROM idx),
+    gmom AS (SELECT count(*) AS n,
+                    round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                          / count(*) / 1e6, 8) AS mu
+             FROM idx),
     xc AS (
-      SELECT round(idx.z - gmom.mu, 8) AS x, gmom.n FROM idx CROSS JOIN gmom
+      SELECT CAST(round(round(idx.z - gmom.mu, 8) * 1e6) AS BIGINT) AS x6, gmom.n
+      FROM idx CROSS JOIN gmom
     ),
     mom AS (
       SELECT max(n) AS n,
-             sum(x * x) / max(n) AS m2,
-             sum(x * x * x) / max(n) AS m3,
-             sum(x * x * x * x) / max(n) AS m4
+             CAST(sum(CAST(x6 AS HUGEINT) * x6) AS DOUBLE) / 1e12 / max(n) AS m2,
+             CAST(sum(CAST(x6 AS HUGEINT) * x6 * x6) AS DOUBLE) / 1e18 / max(n) AS m3,
+             CAST(sum(CAST(x6 AS HUGEINT) * x6 * x6 * x6) AS DOUBLE) / 1e24 / max(n)
+               AS m4
       FROM xc
     ),
     sk AS (
@@ -104,18 +109,36 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row relation. Deviations round at 8 before powers; all four
     moments share the fixed divisor n, so S and K are engine-identical
     to ulp, rounded at 6."""
+    # Integer-moments recipe (round-6 emission rule): deviations snap to
+    # 1e-6-grain BIGINTs; the power sums are exact decimal(38,0)/HUGEINT
+    # integers, then divide by the grain power FIRST, then n — identical
+    # doubles on both engines in any summation order.
     idx = _monthly(spark, sf_dir)
-    gmom = idx.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("z"), 8).alias("mu"))
-    xc = idx.crossJoin(F.broadcast(gmom)).select(
-        F.round(F.col("z") - F.col("mu"), 8).alias("x"), "n"
+    gmom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("z") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            8,
+        ).alias("mu"),
     )
+    xc = idx.crossJoin(F.broadcast(gmom)).select(
+        F.round(F.round(F.col("z") - F.col("mu"), 8) * 1e6).cast("long").alias("x6"),
+        "n",
+    )
+    x6d = F.col("x6").cast("decimal(19,0)")
     mom = xc.agg(
         F.max("n").alias("n"),
-        (F.sum(F.col("x") * F.col("x")) / F.max("n")).alias("m2"),
-        (F.sum(F.col("x") * F.col("x") * F.col("x")) / F.max("n")).alias("m3"),
-        (F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")) / F.max("n")).alias(
-            "m4"
+        (F.sum(x6d * F.col("x6")).cast("double") / 1e12 / F.max("n")).alias("m2"),
+        (F.sum(x6d * F.col("x6") * F.col("x6")).cast("double") / 1e18 / F.max("n")).alias(
+            "m3"
         ),
+        (
+            F.sum(x6d * F.col("x6") * F.col("x6") * F.col("x6")).cast("double")
+            / 1e24
+            / F.max("n")
+        ).alias("m4"),
     )
     sk = mom.select(
         "n",
@@ -138,11 +161,34 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q_durbin_watson — serial correlation of trend-regression residuals
 # ---------------------------------------------------------------------------
 
+def _trend_moments(idx: DataFrame) -> DataFrame:
+    """Spark twin of _DW_RESID_SQL's hardened `mom` CTE (see its comment):
+    i-only sums are exact integer-valued doubles; the z-bearing sums snap
+    z to 1e-6-grain BIGINTs (exact in any order), then divide by the
+    grain. Shared by durbin_watson / breusch_pagan / influence."""
+    z6 = F.round(F.col("z") * 1e6).cast("long")
+    return idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i") * 1.0).alias("si"),
+        (F.sum(z6).cast("double") / 1e6).alias("sz"),
+        F.sum(F.col("i") * 1.0 * F.col("i")).alias("sii"),
+        (F.sum(F.col("i") * z6).cast("double") / 1e6).alias("siz"),
+    )
+
+
+# Integer-moments hardening (round-6 emission rule): i-only sums are
+# exact integers in double; the z-bearing sums (sz, siz) snap z to a
+# 1e-6-grain BIGINT first so they are exact in any order, then divide by
+# the grain — identical doubles on both engines. Shared by durbin_watson,
+# breusch_pagan and influence_diagnostics (their Spark twins mirror it
+# via _trend_moments).
 _DW_RESID_SQL = f"""
     {_MONTHLY_SQL},
     mom AS (
-      SELECT count(*) AS n, sum(i * 1.0) AS si, sum(z) AS sz,
-             sum(i * 1.0 * i) AS sii, sum(i * z) AS siz
+      SELECT count(*) AS n, sum(i * 1.0) AS si,
+             CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sz,
+             sum(i * 1.0 * i) AS sii,
+             CAST(sum(i * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS siz
       FROM idx
     ),
     fit AS (
@@ -164,8 +210,11 @@ _DW_RESID_SQL = f"""
     WITH {_DW_RESID_SQL},
     dw AS (
       SELECT max(a.n) AS n, max(a.beta6) AS beta6,
-             sum(CASE WHEN b.e IS NOT NULL THEN (a.e - b.e) * (a.e - b.e) END)
-               / sum(a.e * a.e) AS d
+             CAST(sum(CASE WHEN b.e IS NOT NULL THEN
+                    CAST(round((a.e - b.e) * 1e8) AS HUGEINT)
+                    * CAST(round((a.e - b.e) * 1e8) AS BIGINT) END) AS DOUBLE)
+               / CAST(sum(CAST(round(a.e * 1e8) AS HUGEINT)
+                          * CAST(round(a.e * 1e8) AS BIGINT)) AS DOUBLE) AS d
       FROM resid a LEFT JOIN resid b ON b.i = a.i - 1
     )
     SELECT CAST(n AS BIGINT) AS n_months,
@@ -190,13 +239,7 @@ def durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     Residuals round at 8 before the squared-difference products; the
     ratio divides identical doubles, rounded at 6."""
     idx = _monthly(spark, sf_dir)
-    mom = idx.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("i") * 1.0).alias("si"),
-        F.sum("z").alias("sz"),
-        F.sum(F.col("i") * 1.0 * F.col("i")).alias("sii"),
-        F.sum(F.col("i") * F.col("z")).alias("siz"),
-    )
+    mom = _trend_moments(idx)
     beta = (F.col("n") * F.col("siz") - F.col("si") * F.col("sz")) / (
         F.col("n") * F.col("sii") - F.col("si") * F.col("si")
     )
@@ -216,17 +259,18 @@ def durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         "left",
     )
+    # exact integer squared sums (1e-8-grain residuals, decimal/HUGEINT
+    # products) — the ratio's grains cancel, both engines divide the same
+    # exact-int-derived doubles
+    de8 = F.round((F.col("ea") - F.col("eb")) * 1e8).cast("long")
+    e8 = F.round(F.col("ea") * 1e8).cast("long")
     dw = lagged.agg(
         F.max("n").alias("n"),
         F.max("beta6").alias("beta6"),
         (
-            F.sum(
-                F.when(
-                    F.col("eb").isNotNull(),
-                    (F.col("ea") - F.col("eb")) * (F.col("ea") - F.col("eb")),
-                )
-            )
-            / F.sum(F.col("ea") * F.col("ea"))
+            F.sum(F.when(F.col("eb").isNotNull(), de8.cast("decimal(19,0)") * de8))
+            .cast("double")
+            / F.sum(e8.cast("decimal(19,0)") * e8).cast("double")
         ).alias("d"),
     )
     return dw.select(
@@ -252,8 +296,22 @@ def durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     aux AS (
       SELECT max(n) AS n,
              count(*) * sum(i * 1.0 * i) - sum(i * 1.0) * sum(i * 1.0) AS sii_c,
-             count(*) * sum(i * (e * e)) - sum(i * 1.0) * sum(e * e) AS siy_c,
-             count(*) * sum(e * e * e * e) - sum(e * e) * sum(e * e) AS syy_c
+             count(*) * (CAST(sum(i * (CAST(round(e * 1e6) AS HUGEINT)
+                                       * CAST(round(e * 1e6) AS BIGINT))) AS DOUBLE)
+                         / 1e12)
+               - sum(i * 1.0)
+                 * (CAST(sum(CAST(round(e * 1e6) AS HUGEINT)
+                             * CAST(round(e * 1e6) AS BIGINT)) AS DOUBLE) / 1e12)
+               AS siy_c,
+             count(*) * (CAST(sum(CAST(round(e * 1e6) AS HUGEINT)
+                                  * CAST(round(e * 1e6) AS BIGINT)
+                                  * CAST(round(e * 1e6) AS BIGINT)
+                                  * CAST(round(e * 1e6) AS BIGINT)) AS DOUBLE) / 1e24)
+               - (CAST(sum(CAST(round(e * 1e6) AS HUGEINT)
+                           * CAST(round(e * 1e6) AS BIGINT)) AS DOUBLE) / 1e12)
+                 * (CAST(sum(CAST(round(e * 1e6) AS HUGEINT)
+                             * CAST(round(e * 1e6) AS BIGINT)) AS DOUBLE) / 1e12)
+               AS syy_c
       FROM resid
     ),
     bp AS (
@@ -281,13 +339,7 @@ def breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 before squaring, so e² is engine-identical; the R² ratio divides
     identical doubles, rounded at 6."""
     idx = _monthly(spark, sf_dir)
-    mom = idx.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("i") * 1.0).alias("si"),
-        F.sum("z").alias("sz"),
-        F.sum(F.col("i") * 1.0 * F.col("i")).alias("sii"),
-        F.sum(F.col("i") * F.col("z")).alias("siz"),
-    )
+    mom = _trend_moments(idx)
     beta = (F.col("n") * F.col("siz") - F.col("si") * F.col("sz")) / (
         F.col("n") * F.col("sii") - F.col("si") * F.col("si")
     )
@@ -301,18 +353,22 @@ def breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z") - F.col("alpha") - F.col("beta") * F.col("i"), 8).alias("e"),
         "n",
     )
-    e2 = F.col("e") * F.col("e")
+    # integer aux moments (1e-6-grain residuals; decimal/HUGEINT powers;
+    # divide by the grain power BEFORE the centering combination) — exact
+    # in any order, mirrors the oracle's aux CTE term for term
+    e6 = F.round(F.col("e") * 1e6).cast("long")
+    e6d = e6.cast("decimal(19,0)")
+    s_e2 = F.sum(e6d * e6).cast("double") / 1e12
+    s_ie2 = F.sum(F.col("i") * (e6d * e6)).cast("double") / 1e12
+    s_e4 = F.sum(e6d * e6 * e6 * e6).cast("double") / 1e24
     aux = resid.agg(
         F.max("n").alias("n"),
         (
             F.count(F.lit(1)) * F.sum(F.col("i") * 1.0 * F.col("i"))
             - F.sum(F.col("i") * 1.0) * F.sum(F.col("i") * 1.0)
         ).alias("sii_c"),
-        (
-            F.count(F.lit(1)) * F.sum(F.col("i") * e2)
-            - F.sum(F.col("i") * 1.0) * F.sum(e2)
-        ).alias("siy_c"),
-        (F.count(F.lit(1)) * F.sum(e2 * e2) - F.sum(e2) * F.sum(e2)).alias("syy_c"),
+        (F.count(F.lit(1)) * s_ie2 - F.sum(F.col("i") * 1.0) * s_e2).alias("siy_c"),
+        (F.count(F.lit(1)) * s_e4 - s_e2 * s_e2).alias("syy_c"),
     )
     bp = aux.select(
         "n",
@@ -341,17 +397,24 @@ LB_LAGS = 6
     "q_ljung_box",
     oracle=f"""
     WITH {_MONTHLY_SQL},
-    gmom AS (SELECT count(*) AS n, round(avg(z), 8) AS mu FROM idx),
+    gmom AS (SELECT count(*) AS n,
+                    round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                          / count(*) / 1e6, 8) AS mu
+             FROM idx),
     xc AS (
-      SELECT idx.i, round(idx.z - gmom.mu, 8) AS x, gmom.n
+      SELECT idx.i,
+             CAST(round(round(idx.z - gmom.mu, 8) * 1e8) AS BIGINT) AS x8,
+             gmom.n
       FROM idx CROSS JOIN gmom
     ),
     g AS (
       SELECT max(a.n) AS n,
-             sum(a.x * a.x) / max(a.n) AS g0,
+             CAST(sum(CAST(a.x8 AS HUGEINT) * a.x8) AS DOUBLE) / 1e16 / max(a.n)
+               AS g0,
              {", ".join(
-                 f"sum(CASE WHEN b{k}.x IS NOT NULL THEN a.x * b{k}.x END)"
-                 f" / max(a.n) AS g{k}" for k in range(1, LB_LAGS + 1)
+                 f"CAST(sum(CASE WHEN b{k}.x8 IS NOT NULL THEN"
+                 f" CAST(a.x8 AS HUGEINT) * b{k}.x8 END) AS DOUBLE)"
+                 f" / 1e16 / max(a.n) AS g{k}" for k in range(1, LB_LAGS + 1)
              )}
       FROM xc a
       {" ".join(f"LEFT JOIN xc b{k} ON b{k}.i = a.i - {k}" for k in range(1, LB_LAGS + 1))}
@@ -386,18 +449,36 @@ def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deviations round at 8; autocovariances share the fixed divisor n so
     each r_k is engine-identical to ulp, rounded at 6."""
     idx = _monthly(spark, sf_dir)
-    gmom = idx.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("z"), 8).alias("mu"))
-    xc = idx.crossJoin(F.broadcast(gmom)).select(
-        "i", F.round(F.col("z") - F.col("mu"), 8).alias("x"), "n"
+    gmom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("z") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            8,
+        ).alias("mu"),
     )
-    a = _with_lags(xc, LB_LAGS, col="x")
+    # 1e-8-grain integer deviations; autocovariance products are exact
+    # decimal/HUGEINT sums divided by grain^2 then n — order-free,
+    # mirroring the oracle's xc/g CTEs (round-6 emission rule)
+    xc = idx.crossJoin(F.broadcast(gmom)).select(
+        "i",
+        F.round(F.round(F.col("z") - F.col("mu"), 8) * 1e8).cast("long").alias("x8"),
+        "n",
+    )
+    a = _with_lags(xc, LB_LAGS, col="x8")
     a = a.join(F.broadcast(xc.select("i", "n")), "i")
+    z0d = F.col("z0").cast("decimal(19,0)")
     aggs = [
         F.max("n").alias("n"),
-        (F.sum(F.col("z0") * F.col("z0")) / F.max("n")).alias("g0"),
+        (F.sum(z0d * F.col("z0")).cast("double") / 1e16 / F.max("n")).alias("g0"),
     ]
     for k in range(1, LB_LAGS + 1):
-        aggs.append((F.sum(F.col("z0") * F.col(f"zl{k}")) / F.max("n")).alias(f"g{k}"))
+        aggs.append(
+            (F.sum(z0d * F.col(f"zl{k}")).cast("double") / 1e16 / F.max("n")).alias(
+                f"g{k}"
+            )
+        )
     g = a.agg(*aggs)
     qsum = None
     for k in range(1, LB_LAGS + 1):
@@ -430,12 +511,17 @@ def ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_MONTHLY_SQL},
     d AS (
-      SELECT a.i, b.z AS x, round(a.z - b.z, 6) AS dy
+      SELECT a.i, CAST(round(b.z * 1e6) AS BIGINT) AS x6,
+             CAST(round(round(a.z - b.z, 6) * 1e6) AS BIGINT) AS dy6
       FROM idx a JOIN idx b ON b.i = a.i - 1
     ),
     mm AS (
-      SELECT count(*) AS nd, sum(x) AS sx, sum(dy) AS sy,
-             sum(x * x) AS sxx, sum(x * dy) AS sxy, sum(dy * dy) AS syy
+      SELECT count(*) AS nd,
+             CAST(sum(x6) AS DOUBLE) / 1e6 AS sx,
+             CAST(sum(dy6) AS DOUBLE) / 1e6 AS sy,
+             CAST(sum(CAST(x6 AS HUGEINT) * x6) AS DOUBLE) / 1e12 AS sxx,
+             CAST(sum(CAST(x6 AS HUGEINT) * dy6) AS DOUBLE) / 1e12 AS sxy,
+             CAST(sum(CAST(dy6 AS HUGEINT) * dy6) AS DOUBLE) / 1e12 AS syy
       FROM d
     ),
     c AS (
@@ -475,21 +561,32 @@ def adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     centered moments, SSR and t are one expression shape of identical
     doubles on both engines, rounded at 6."""
     idx = _monthly(spark, sf_dir)
+    # 1e-6-grain integer moments (round-6 emission rule), mirroring the
+    # oracle's d/mm CTEs: exact sums in any order, divide by the grain
+    # power, then the closed forms see identical doubles on both engines
     d = (
         idx.select("i", F.col("z").alias("za"))
         .join(
             F.broadcast(idx.select((F.col("i") + 1).alias("i"), F.col("z").alias("x"))),
             "i",
         )
-        .select("i", "x", F.round(F.col("za") - F.col("x"), 6).alias("dy"))
+        .select(
+            "i",
+            F.round(F.col("x") * 1e6).cast("long").alias("x6"),
+            F.round(F.round(F.col("za") - F.col("x"), 6) * 1e6)
+            .cast("long")
+            .alias("dy6"),
+        )
     )
+    x6d = F.col("x6").cast("decimal(19,0)")
+    dy6d = F.col("dy6").cast("decimal(19,0)")
     m = d.agg(
         F.count(F.lit(1)).alias("nd"),
-        F.sum("x").alias("sx"),
-        F.sum("dy").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("dy")).alias("sxy"),
-        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        (F.sum("x6").cast("double") / 1e6).alias("sx"),
+        (F.sum("dy6").cast("double") / 1e6).alias("sy"),
+        (F.sum(x6d * F.col("x6")).cast("double") / 1e12).alias("sxx"),
+        (F.sum(x6d * F.col("dy6")).cast("double") / 1e12).alias("sxy"),
+        (F.sum(dy6d * F.col("dy6")).cast("double") / 1e12).alias("syy"),
     )
     c = m.select(
         "nd",
@@ -523,12 +620,31 @@ def adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VR_Q = 4
 
+def _ret_moments(r) -> DataFrame:
+    """Spark twin of _RET_SQL's hardened rmom: the return mean sums exact
+    1e-6-grain BIGINTs (round-6 emission rule)."""
+    return r.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.round(
+            F.sum(F.round(F.col("r") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            8,
+        ).alias("mu"),
+    )
+
+
+# mu hardened to an exact integer sum (round-6 emission rule); Spark
+# twins mirror via _ret_moments
 _RET_SQL = """
     r AS (
       SELECT a.i, round(a.z - b.z, 6) AS r
       FROM idx a JOIN idx b ON b.i = a.i - 1
     ),
-    rmom AS (SELECT count(*) AS nr, round(avg(r), 8) AS mu FROM r)
+    rmom AS (SELECT count(*) AS nr,
+                    round(CAST(sum(CAST(round(r * 1e6) AS BIGINT)) AS DOUBLE)
+                          / count(*) / 1e6, 8) AS mu
+             FROM r)
 """
 
 
@@ -538,7 +654,9 @@ _RET_SQL = """
     WITH {_MONTHLY_SQL},
     {_RET_SQL},
     v1 AS (
-      SELECT sum((r.r - rmom.mu) * (r.r - rmom.mu)) / (max(rmom.nr) - 1) AS var1,
+      SELECT CAST(sum(CAST(round((r.r - rmom.mu) * 1e8) AS HUGEINT)
+                      * CAST(round((r.r - rmom.mu) * 1e8) AS BIGINT)) AS DOUBLE)
+               / 1e16 / (max(rmom.nr) - 1) AS var1,
              max(rmom.nr) AS nr, max(rmom.mu) AS mu
       FROM r CROSS JOIN rmom
     ),
@@ -550,8 +668,10 @@ _RET_SQL = """
       JOIN r b3 ON b3.i = a.i + 3
     ),
     v4 AS (
-      SELECT sum((s4.s - {VR_Q} * v1.mu) * (s4.s - {VR_Q} * v1.mu))
-               / (count(*) - 1) AS var4,
+      SELECT CAST(sum(CAST(round((s4.s - {VR_Q} * v1.mu) * 1e8) AS HUGEINT)
+                      * CAST(round((s4.s - {VR_Q} * v1.mu) * 1e8) AS BIGINT))
+                  AS DOUBLE)
+               / 1e16 / (count(*) - 1) AS var4,
              max(v1.var1) AS var1, max(v1.nr) AS nr
       FROM s4 CROSS JOIN v1
     ),
@@ -598,10 +718,12 @@ def variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("i", F.round(F.col("za") - F.col("zb"), 6).alias("r"))
     )
-    rmom = r.agg(F.count(F.lit(1)).alias("nr"), F.round(F.avg("r"), 8).alias("mu"))
+    rmom = _ret_moments(r)
+    d8 = F.round((F.col("r") - F.col("mu")) * 1e8).cast("long")
     v1 = r.crossJoin(F.broadcast(rmom)).agg(
         (
-            F.sum((F.col("r") - F.col("mu")) * (F.col("r") - F.col("mu")))
+            F.sum(d8.cast("decimal(19,0)") * d8).cast("double")
+            / 1e16
             / (F.max("nr") - 1)
         ).alias("var1"),
         F.max("nr").alias("nr"),
@@ -616,9 +738,11 @@ def variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 = s4.select(
         "i", (F.col("r0") + F.col("r1") + F.col("r2") + F.col("r3")).alias("s")
     )
+    s8 = F.round((F.col("s") - VR_Q * F.col("mu")) * 1e8).cast("long")
     v4 = s4.crossJoin(F.broadcast(v1)).agg(
         (
-            F.sum((F.col("s") - VR_Q * F.col("mu")) * (F.col("s") - VR_Q * F.col("mu")))
+            F.sum(s8.cast("decimal(19,0)") * s8).cast("double")
+            / 1e16
             / (F.count(F.lit(1)) - 1)
         ).alias("var4"),
         F.max("var1").alias("var1"),
@@ -651,15 +775,23 @@ NW_LAGS = 3
     WITH {_MONTHLY_SQL},
     {_RET_SQL},
     xc AS (
-      SELECT r.i, round(r.r - rmom.mu, 8) AS x, rmom.nr, rmom.mu
+      SELECT r.i, CAST(round(round(r.r - rmom.mu, 8) * 1e8) AS BIGINT) AS x8,
+             rmom.nr, rmom.mu
       FROM r CROSS JOIN rmom
     ),
     g AS (
       SELECT max(a.nr) AS nr, max(a.mu) AS mu,
-             sum(a.x * a.x) / max(a.nr) AS g0,
-             sum(CASE WHEN b1.x IS NOT NULL THEN a.x * b1.x END) / max(a.nr) AS g1,
-             sum(CASE WHEN b2.x IS NOT NULL THEN a.x * b2.x END) / max(a.nr) AS g2,
-             sum(CASE WHEN b3.x IS NOT NULL THEN a.x * b3.x END) / max(a.nr) AS g3
+             CAST(sum(CAST(a.x8 AS HUGEINT) * a.x8) AS DOUBLE)
+               / 1e16 / max(a.nr) AS g0,
+             CAST(sum(CASE WHEN b1.x8 IS NOT NULL THEN
+                  CAST(a.x8 AS HUGEINT) * b1.x8 END) AS DOUBLE)
+               / 1e16 / max(a.nr) AS g1,
+             CAST(sum(CASE WHEN b2.x8 IS NOT NULL THEN
+                  CAST(a.x8 AS HUGEINT) * b2.x8 END) AS DOUBLE)
+               / 1e16 / max(a.nr) AS g2,
+             CAST(sum(CASE WHEN b3.x8 IS NOT NULL THEN
+                  CAST(a.x8 AS HUGEINT) * b3.x8 END) AS DOUBLE)
+               / 1e16 / max(a.nr) AS g3
       FROM xc a
       LEFT JOIN xc b1 ON b1.i = a.i - 1
       LEFT JOIN xc b2 ON b2.i = a.i - 2
@@ -704,18 +836,26 @@ def newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("i", F.round(F.col("za") - F.col("zb"), 6).alias("r"))
     )
-    rmom = r.agg(F.count(F.lit(1)).alias("nr"), F.round(F.avg("r"), 8).alias("mu"))
+    rmom = _ret_moments(r)
+    # 1e-8-grain integer autocovariances (round-6 emission rule),
+    # mirroring the oracle's xc/g CTEs
     xc = r.crossJoin(F.broadcast(rmom)).select(
-        "i", F.round(F.col("r") - F.col("mu"), 8).alias("x"), "nr", "mu"
+        "i",
+        F.round(F.round(F.col("r") - F.col("mu"), 8) * 1e8).cast("long").alias("x8"),
+        "nr",
+        "mu",
     )
-    a = _with_lags(xc, NW_LAGS, col="x").join(F.broadcast(xc.select("i", "nr", "mu")), "i")
+    a = _with_lags(xc, NW_LAGS, col="x8").join(
+        F.broadcast(xc.select("i", "nr", "mu")), "i"
+    )
+    z0d = F.col("z0").cast("decimal(19,0)")
     g = a.agg(
         F.max("nr").alias("nr"),
         F.max("mu").alias("mu"),
-        (F.sum(F.col("z0") * F.col("z0")) / F.max("nr")).alias("g0"),
-        (F.sum(F.col("z0") * F.col("zl1")) / F.max("nr")).alias("g1"),
-        (F.sum(F.col("z0") * F.col("zl2")) / F.max("nr")).alias("g2"),
-        (F.sum(F.col("z0") * F.col("zl3")) / F.max("nr")).alias("g3"),
+        (F.sum(z0d * F.col("z0")).cast("double") / 1e16 / F.max("nr")).alias("g0"),
+        (F.sum(z0d * F.col("zl1")).cast("double") / 1e16 / F.max("nr")).alias("g1"),
+        (F.sum(z0d * F.col("zl2")).cast("double") / 1e16 / F.max("nr")).alias("g2"),
+        (F.sum(z0d * F.col("zl3")).cast("double") / 1e16 / F.max("nr")).alias("g3"),
     )
     lrv = g.select(
         "nr",
@@ -804,7 +944,7 @@ def runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("i", F.round(F.col("za") - F.col("zb"), 6).alias("r"))
     )
-    rmom = r.agg(F.count(F.lit(1)).alias("nr"), F.round(F.avg("r"), 8).alias("mu"))
+    rmom = _ret_moments(r)
     s = r.crossJoin(F.broadcast(rmom)).select(
         "i", F.when(F.col("r") > F.col("mu"), 1).otherwise(0).alias("pos"), "nr"
     )
@@ -877,9 +1017,12 @@ F_2_CRIT_5 = 3.117  # F(2, ~76) 5% — the fixed 80-month calendar's df
       FROM idx
     ),
     gm AS (
-      SELECT h, count(*) AS n, sum(i * 1.0) AS si, sum(z) AS sz,
-             sum(i * 1.0 * i) AS sii, sum(i * z) AS siz,
-             sum(z * z) AS szz
+      SELECT h, count(*) AS n, sum(i * 1.0) AS si,
+             CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sz,
+             sum(i * 1.0 * i) AS sii,
+             CAST(sum(i * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS siz,
+             CAST(sum(CAST(round(z * 1e6) AS HUGEINT)
+                      * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS szz
       FROM half GROUP BY h
     ),
     gssr AS (
@@ -890,8 +1033,12 @@ F_2_CRIT_5 = 3.117  # F(2, ~76) 5% — the fixed 80-month calendar's df
       FROM gm
     ),
     pooled AS (
-      SELECT count(*) AS n, sum(i * 1.0) AS si, sum(z) AS sz,
-             sum(i * 1.0 * i) AS sii, sum(i * z) AS siz, sum(z * z) AS szz
+      SELECT count(*) AS n, sum(i * 1.0) AS si,
+             CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sz,
+             sum(i * 1.0 * i) AS sii,
+             CAST(sum(i * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS siz,
+             CAST(sum(CAST(round(z * 1e6) AS HUGEINT)
+                      * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS szz
       FROM half
     ),
     pssr AS (
@@ -938,13 +1085,17 @@ def chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ssr_of(df: DataFrame, keys: list[str]) -> DataFrame:
+        # 1e-6-grain integer z-moments (round-6 emission rule), mirroring
+        # the oracle's gm/pooled CTEs
+        z6 = F.round(F.col("z") * 1e6).cast("long")
+        z6d = z6.cast("decimal(19,0)")
         g = (df.groupBy(*keys) if keys else df).agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("i") * 1.0).alias("si"),
-            F.sum("z").alias("sz"),
+            (F.sum(z6).cast("double") / 1e6).alias("sz"),
             F.sum(F.col("i") * 1.0 * F.col("i")).alias("sii"),
-            F.sum(F.col("i") * F.col("z")).alias("siz"),
-            F.sum(F.col("z") * F.col("z")).alias("szz"),
+            (F.sum(F.col("i") * z6).cast("double") / 1e6).alias("siz"),
+            (F.sum(z6d * z6).cast("double") / 1e12).alias("szz"),
         )
         siz_c = F.col("n") * F.col("siz") - F.col("si") * F.col("sz")
         szz_c = F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")
@@ -992,12 +1143,17 @@ def chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r CROSS JOIN rmom
     ),
     d AS (
-      SELECT a.i, a.e2 AS y, b.e2 AS x
+      SELECT a.i, CAST(round(a.e2 * 1e8) AS BIGINT) AS y8,
+             CAST(round(b.e2 * 1e8) AS BIGINT) AS x8
       FROM e2 a JOIN e2 b ON b.i = a.i - 1
     ),
     mm AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      SELECT count(*) AS n,
+             CAST(sum(x8) AS DOUBLE) / 1e8 AS sx,
+             CAST(sum(y8) AS DOUBLE) / 1e8 AS sy,
+             CAST(sum(CAST(x8 AS HUGEINT) * x8) AS DOUBLE) / 1e16 AS sxx,
+             CAST(sum(CAST(x8 AS HUGEINT) * y8) AS DOUBLE) / 1e16 AS sxy,
+             CAST(sum(CAST(y8 AS HUGEINT) * y8) AS DOUBLE) / 1e16 AS syy
       FROM d
     ),
     r2 AS (
@@ -1038,22 +1194,33 @@ def arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("i", F.round(F.col("za") - F.col("zb"), 6).alias("r"))
     )
-    rmom = r.agg(F.count(F.lit(1)).alias("nr"), F.round(F.avg("r"), 8).alias("mu"))
+    rmom = _ret_moments(r)
     e2 = r.crossJoin(F.broadcast(rmom)).select(
         "i",
         F.round((F.col("r") - F.col("mu")) * (F.col("r") - F.col("mu")), 8).alias("e2"),
     )
-    d = e2.select("i", F.col("e2").alias("y")).join(
-        F.broadcast(e2.select((F.col("i") + 1).alias("i"), F.col("e2").alias("x"))),
+    # 1e-8-grain integer moments of the squared-residual series (round-6
+    # emission rule), mirroring the oracle's d/mm CTEs
+    d = e2.select(
+        "i", F.round(F.col("e2") * 1e8).cast("long").alias("y8")
+    ).join(
+        F.broadcast(
+            e2.select(
+                (F.col("i") + 1).alias("i"),
+                F.round(F.col("e2") * 1e8).cast("long").alias("x8"),
+            )
+        ),
         "i",
     )
+    x8d = F.col("x8").cast("decimal(19,0)")
+    y8d = F.col("y8").cast("decimal(19,0)")
     mm = d.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        (F.sum("x8").cast("double") / 1e8).alias("sx"),
+        (F.sum("y8").cast("double") / 1e8).alias("sy"),
+        (F.sum(x8d * F.col("x8")).cast("double") / 1e16).alias("sxx"),
+        (F.sum(x8d * F.col("y8")).cast("double") / 1e16).alias("sxy"),
+        (F.sum(y8d * F.col("y8")).cast("double") / 1e16).alias("syy"),
     )
     sxy_c = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     r2 = mm.select(
@@ -1093,9 +1260,17 @@ def arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY nk, mi
     ),
-    nmean AS (SELECT nk, avg(y) AS ybar_n, avg(x) AS xbar_n FROM panel GROUP BY nk),
-    mmean AS (SELECT mi, avg(y) AS ybar_m, avg(x) AS xbar_m FROM panel GROUP BY mi),
-    gmean AS (SELECT avg(y) AS ybar, avg(x) AS xbar FROM panel),
+    nmean AS (SELECT nk,
+                     CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1e6 AS ybar_n,
+                     avg(x) AS xbar_n FROM panel GROUP BY nk),
+    mmean AS (SELECT mi,
+                     CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1e6 AS ybar_m,
+                     avg(x) AS xbar_m FROM panel GROUP BY mi),
+    gmean AS (SELECT CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1e6 AS ybar,
+                     avg(x) AS xbar FROM panel),
     within AS (
       SELECT round(p.y - n.ybar_n - m.ybar_m + g.ybar, 8) AS yt,
              round(p.x - n.xbar_n - m.xbar_m + g.xbar, 8) AS xt,
@@ -1107,8 +1282,13 @@ def arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fit AS (
       SELECT count(*) AS n,
-             sum(xt * yt) / sum(xt * xt) AS beta_fe,
-             (count(*) * sum(x * y) - sum(x) * sum(y))
+             CAST(sum(CAST(round(xt * 1e8) AS HUGEINT)
+                      * CAST(round(yt * 1e8) AS BIGINT)) AS DOUBLE)
+               / CAST(sum(CAST(round(xt * 1e8) AS HUGEINT)
+                          * CAST(round(xt * 1e8) AS BIGINT)) AS DOUBLE) AS beta_fe,
+             (count(*) * (CAST(sum(x * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE)
+                          / 1e6)
+              - sum(x) * (CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6))
                / (count(*) * sum(x * x) - sum(x) * sum(x)) AS beta_pooled
       FROM within
     )
@@ -1152,13 +1332,17 @@ def panel_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("x"),
         )
     )
+    # y-means from exact 1e-6-grain integer sums (round-6 emission rule,
+    # mirrors the oracle); x is integer-valued so avg(x) is already exact
+    y6 = F.round(F.col("y") * 1e6).cast("long")
+    ybar = lambda: (F.sum(y6).cast("double") / F.count(F.lit(1)) / 1e6)  # noqa: E731
     nmean = panel.groupBy("nk").agg(
-        F.avg("y").alias("ybar_n"), F.avg("x").alias("xbar_n")
+        ybar().alias("ybar_n"), F.avg("x").alias("xbar_n")
     )
     mmean = panel.groupBy("mi").agg(
-        F.avg("y").alias("ybar_m"), F.avg("x").alias("xbar_m")
+        ybar().alias("ybar_m"), F.avg("x").alias("xbar_m")
     )
-    gmean = panel.agg(F.avg("y").alias("ybar"), F.avg("x").alias("xbar"))
+    gmean = panel.agg(ybar().alias("ybar"), F.avg("x").alias("xbar"))
     within = (
         panel.join(F.broadcast(nmean), "nk")
         .join(F.broadcast(mmean), "mi")
@@ -1174,13 +1358,19 @@ def panel_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             "x",
         )
     )
+    xt8 = F.round(F.col("xt") * 1e8).cast("long")
+    yt8 = F.round(F.col("yt") * 1e8).cast("long")
     fit = within.agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum(F.col("xt") * F.col("yt")) / F.sum(F.col("xt") * F.col("xt"))).alias(
-            "beta_fe"
-        ),
         (
-            (F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            F.sum(xt8.cast("decimal(19,0)") * yt8).cast("double")
+            / F.sum(xt8.cast("decimal(19,0)") * xt8).cast("double")
+        ).alias("beta_fe"),
+        (
+            (
+                F.count(F.lit(1)) * (F.sum(F.col("x") * y6).cast("double") / 1e6)
+                - F.sum("x") * (F.sum(y6).cast("double") / 1e6)
+            )
             / (
                 F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
                 - F.sum("x") * F.sum("x")
@@ -1283,7 +1473,8 @@ def vif(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx AS (
       SELECT count(*) AS n, avg(i * 1.0) AS ibar,
              sum(i * 1.0 * i) - count(*) * avg(i * 1.0) * avg(i * 1.0) AS sxx_c,
-             sum(e * e) AS sse
+             CAST(sum(CAST(round(e * 1e8) AS HUGEINT)
+                      * CAST(round(e * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS sse
       FROM resid
     ),
     diag AS (
@@ -1323,13 +1514,7 @@ def influence_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     form per month + top-10 TakeOrdered on 8-dp-rounded D with month
     tie-break — calendar-bounded. Rounded at 6."""
     idx = _monthly(spark, sf_dir)
-    mom = idx.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("i") * 1.0).alias("si"),
-        F.sum("z").alias("sz"),
-        F.sum(F.col("i") * 1.0 * F.col("i")).alias("sii"),
-        F.sum(F.col("i") * F.col("z")).alias("siz"),
-    )
+    mom = _trend_moments(idx)
     beta = (F.col("n") * F.col("siz") - F.col("si") * F.col("sz")) / (
         F.col("n") * F.col("sii") - F.col("si") * F.col("si")
     )
@@ -1355,7 +1540,13 @@ def influence_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("i") * 1.0 * F.col("i"))
             - F.count(F.lit(1)) * F.avg(F.col("i") * 1.0) * F.avg(F.col("i") * 1.0)
         ).alias("sxx_c"),
-        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        (
+            F.sum(
+                F.round(F.col("e") * 1e8).cast("long").cast("decimal(19,0)")
+                * F.round(F.col("e") * 1e8).cast("long")
+            ).cast("double")
+            / 1e16
+        ).alias("sse"),
     )
     diag = resid.crossJoin(F.broadcast(sxx)).select(
         "mi",
@@ -1408,8 +1599,16 @@ _BOXCOX_SQL = f"""
     ll AS (
       SELECT lam, count(*) AS n,
              round(-count(*) / 2e0
-                     * ln(avg(t * t) - avg(t) * avg(t))
-                   + (lam - 1) * sum(lz), 6) AS loglik
+                     * ln(CAST(sum(CAST(round(t * 1e8) AS HUGEINT)
+                                   * CAST(round(t * 1e8) AS BIGINT)) AS DOUBLE)
+                            / 1e16 / count(*)
+                          - (CAST(sum(CAST(round(t * 1e8) AS BIGINT)) AS DOUBLE)
+                             / count(*) / 1e8)
+                            * (CAST(sum(CAST(round(t * 1e8) AS BIGINT)) AS DOUBLE)
+                               / count(*) / 1e8))
+                   + (lam - 1)
+                     * (CAST(sum(CAST(round(lz * 1e8) AS BIGINT)) AS DOUBLE) / 1e8),
+                   6) AS loglik
       FROM tx GROUP BY lam
     )
     SELECT lam, CAST(n AS BIGINT) AS n_months, loglik,
@@ -1446,13 +1645,23 @@ def boxcox_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
         F.round(F.log("z"), 8).alias("lz"),
     )
+    # 1e-8-grain integer moments (round-6 emission rule), mirroring the
+    # oracle's ll CTE term for term
+    t8 = F.round(F.col("t") * 1e8).cast("long")
+    lz8 = F.round(F.col("lz") * 1e8).cast("long")
+    avg_t = F.sum(t8).cast("double") / F.count(F.lit(1)) / 1e8
     ll = tx.groupBy("lam").agg(
         F.count(F.lit(1)).cast("long").alias("n_months"),
         F.round(
             -F.count(F.lit(1))
             / F.lit(2.0)
-            * F.log(F.avg(F.col("t") * F.col("t")) - F.avg("t") * F.avg("t"))
-            + (F.col("lam") - 1) * F.sum("lz"),
+            * F.log(
+                F.sum(t8.cast("decimal(19,0)") * t8).cast("double")
+                / 1e16
+                / F.count(F.lit(1))
+                - avg_t * avg_t
+            )
+            + (F.col("lam") - 1) * (F.sum(lz8).cast("double") / 1e8),
             6,
         ).alias("loglik"),
     )
