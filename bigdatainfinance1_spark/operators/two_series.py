@@ -61,10 +61,21 @@ def _two_series(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     ),
     mm AS (
       SELECT count(*) AS n,
-             sum(ylag) AS s1, sum(xlag) AS s2, sum(y) AS sy,
-             sum(ylag * ylag) AS s11, sum(xlag * xlag) AS s22,
-             sum(ylag * xlag) AS s12,
-             sum(ylag * y) AS s1y, sum(xlag * y) AS s2y, sum(y * y) AS syy
+             CAST(sum(CAST(round(ylag * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS s1,
+             CAST(sum(CAST(round(xlag * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS s2,
+             CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+             CAST(sum(CAST(round(ylag * 1e6) AS HUGEINT)
+                      * CAST(round(ylag * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS s11,
+             CAST(sum(CAST(round(xlag * 1e6) AS HUGEINT)
+                      * CAST(round(xlag * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS s22,
+             CAST(sum(CAST(round(ylag * 1e6) AS HUGEINT)
+                      * CAST(round(xlag * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS s12,
+             CAST(sum(CAST(round(ylag * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS s1y,
+             CAST(sum(CAST(round(xlag * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS s2y,
+             CAST(sum(CAST(round(y * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS syy
       FROM obs
     ),
     c AS (
@@ -123,17 +134,24 @@ def granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi",
         )
     )
+    # integer moments (round-6 emission rule), mirroring the oracle's mm
+    yl6 = F.round(F.col("ylag") * 1e6).cast("long")
+    xl6 = F.round(F.col("xlag") * 1e6).cast("long")
+    yy6 = F.round(F.col("y") * 1e6).cast("long")
+    yl6d = yl6.cast("decimal(19,0)")
+    xl6d = xl6.cast("decimal(19,0)")
+    yy6d = yy6.cast("decimal(19,0)")
     mm = obs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("ylag").alias("s1"),
-        F.sum("xlag").alias("s2"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("ylag") * F.col("ylag")).alias("s11"),
-        F.sum(F.col("xlag") * F.col("xlag")).alias("s22"),
-        F.sum(F.col("ylag") * F.col("xlag")).alias("s12"),
-        F.sum(F.col("ylag") * F.col("y")).alias("s1y"),
-        F.sum(F.col("xlag") * F.col("y")).alias("s2y"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        (F.sum(yl6).cast("double") / 1e6).alias("s1"),
+        (F.sum(xl6).cast("double") / 1e6).alias("s2"),
+        (F.sum(yy6).cast("double") / 1e6).alias("sy"),
+        (F.sum(yl6d * yl6).cast("double") / 1e12).alias("s11"),
+        (F.sum(xl6d * xl6).cast("double") / 1e12).alias("s22"),
+        (F.sum(yl6d * xl6).cast("double") / 1e12).alias("s12"),
+        (F.sum(yl6d * yy6).cast("double") / 1e12).alias("s1y"),
+        (F.sum(xl6d * yy6).cast("double") / 1e12).alias("s2y"),
+        (F.sum(yy6d * yy6).cast("double") / 1e12).alias("syy"),
     )
     c = mm.select(
         "n",
@@ -185,8 +203,13 @@ def granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.mi, a.y, b.x FROM ym a JOIN xm b ON b.mi = a.mi
     ),
     mm AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+             CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+             CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                      * CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sxx,
+             CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sxy
       FROM lv
     ),
     fit AS (
@@ -206,7 +229,12 @@ def granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dm AS (
       SELECT max(n) AS n_months, max(beta6) AS beta6, count(*) AS nd,
-             sum(el * de) AS sed, sum(el * el) AS see, sum(de * de) AS sdd
+             CAST(sum(CAST(round(el * 1e8) AS HUGEINT)
+                      * CAST(round(de * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS sed,
+             CAST(sum(CAST(round(el * 1e8) AS HUGEINT)
+                      * CAST(round(el * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS see,
+             CAST(sum(CAST(round(de * 1e8) AS HUGEINT)
+                      * CAST(round(de * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS sdd
       FROM d
     ),
     tt AS (
@@ -240,12 +268,16 @@ def engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, rounded at 6."""
     ym, xm = _two_series(spark, sf_dir)
     lv = ym.join(xm, "mi")
+    # integer moments (round-6 emission rule), mirroring the oracle's mm
+    x6 = F.round(F.col("x") * 1e6).cast("long")
+    y6 = F.round(F.col("y") * 1e6).cast("long")
+    x6d = x6.cast("decimal(19,0)")
     mm = lv.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        (F.sum(x6).cast("double") / 1e6).alias("sx"),
+        (F.sum(y6).cast("double") / 1e6).alias("sy"),
+        (F.sum(x6d * x6).cast("double") / 1e12).alias("sxx"),
+        (F.sum(x6d * y6).cast("double") / 1e12).alias("sxy"),
     )
     beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -268,13 +300,17 @@ def engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mi",
     )
     d = d.select("mi", "el", (F.col("ea") - F.col("el")).alias("de"), "n", "beta6")
+    el8 = F.round(F.col("el") * 1e8).cast("long")
+    de8 = F.round(F.col("de") * 1e8).cast("long")
+    el8d = el8.cast("decimal(19,0)")
+    de8d = de8.cast("decimal(19,0)")
     dm = d.agg(
         F.max("n").alias("n_months"),
         F.max("beta6").alias("beta6"),
         F.count(F.lit(1)).alias("nd"),
-        F.sum(F.col("el") * F.col("de")).alias("sed"),
-        F.sum(F.col("el") * F.col("el")).alias("see"),
-        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+        (F.sum(el8d * de8).cast("double") / 1e16).alias("sed"),
+        (F.sum(el8d * el8).cast("double") / 1e16).alias("see"),
+        (F.sum(de8d * de8).cast("double") / 1e16).alias("sdd"),
     )
     gamma = F.col("sed") / F.col("see")
     tt = dm.select(
@@ -310,8 +346,11 @@ CCF_MAX_LAG = 3
     "q_cross_correlation",
     oracle=f"""
     WITH {_TWO_SERIES_SQL},
-    ymu AS (SELECT count(*) AS n, round(avg(y), 8) AS muy FROM ym),
-    xmu AS (SELECT round(avg(x), 8) AS mux FROM xm),
+    ymu AS (SELECT count(*) AS n,
+                   round(CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE)
+                         / count(*) / 1e6, 8) AS muy FROM ym),
+    xmu AS (SELECT round(CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE)
+                         / count(*) / 1e6, 8) AS mux FROM xm),
     yd AS (
       SELECT ym.mi, round(ym.y - ymu.muy, 8) AS dy, ymu.n
       FROM ym CROSS JOIN ymu
@@ -321,13 +360,20 @@ CCF_MAX_LAG = 3
       FROM xm CROSS JOIN xmu
     ),
     denom AS (
-      SELECT sqrt((SELECT sum(dy * dy) FROM yd) * (SELECT sum(dx * dx) FROM xd))
+      SELECT sqrt((SELECT CAST(sum(CAST(round(dy * 1e8) AS HUGEINT)
+                                 * CAST(round(dy * 1e8) AS BIGINT)) AS DOUBLE) / 1e16
+                   FROM yd)
+                  * (SELECT CAST(sum(CAST(round(dx * 1e8) AS HUGEINT)
+                                     * CAST(round(dx * 1e8) AS BIGINT)) AS DOUBLE)
+                       / 1e16
+                     FROM xd))
         AS den
     ),
     lags AS (SELECT unnest(range(-{CCF_MAX_LAG}, {CCF_MAX_LAG} + 1)) AS lag),
     ccf AS (
       SELECT lags.lag,
-             sum(yd.dy * xd.dx) AS num,
+             CAST(sum(CAST(round(yd.dy * 1e8) AS HUGEINT)
+                      * CAST(round(xd.dx * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS num,
              count(*) AS n_pairs
       FROM lags
       JOIN yd ON true
@@ -355,17 +401,43 @@ def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined on the shifted month index — calendar-bounded. Deviations
     round at 8; one shared denominator; rounded at 6."""
     ym, xm = _two_series(spark, sf_dir)
-    ymu = ym.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("y"), 8).alias("muy"))
-    xmu = xm.agg(F.round(F.avg("x"), 8).alias("mux"))
+    # integer means/products (round-6 emission rule), mirroring the oracle
+    ymu = ym.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("y") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            8,
+        ).alias("muy"),
+    )
+    xmu = xm.agg(
+        F.round(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            8,
+        ).alias("mux")
+    )
     yd = ym.crossJoin(F.broadcast(ymu)).select(
         "mi", F.round(F.col("y") - F.col("muy"), 8).alias("dy")
     )
     xd = xm.crossJoin(F.broadcast(xmu)).select(
         "mi", F.round(F.col("x") - F.col("mux"), 8).alias("dx")
     )
+    dy8 = F.round(F.col("dy") * 1e8).cast("long")
+    dx8 = F.round(F.col("dx") * 1e8).cast("long")
     den = (
-        yd.agg(F.sum(F.col("dy") * F.col("dy")).alias("sdy"))
-        .crossJoin(F.broadcast(xd.agg(F.sum(F.col("dx") * F.col("dx")).alias("sdx"))))
+        yd.agg((F.sum(dy8.cast("decimal(19,0)") * dy8).cast("double") / 1e16).alias("sdy"))
+        .crossJoin(
+            F.broadcast(
+                xd.agg(
+                    (F.sum(dx8.cast("decimal(19,0)") * dx8).cast("double") / 1e16).alias(
+                        "sdx"
+                    )
+                )
+            )
+        )
         .select(F.sqrt(F.col("sdy") * F.col("sdx")).alias("den"))
     )
     lags = spark.range(-CCF_MAX_LAG, CCF_MAX_LAG + 1).select(F.col("id").alias("lag"))
@@ -377,7 +449,7 @@ def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("lag")
         .agg(
-            F.sum(F.col("dy") * F.col("dx")).alias("num"),
+            (F.sum(dy8.cast("decimal(19,0)") * dx8).cast("double") / 1e16).alias("num"),
             F.count(F.lit(1)).alias("n_pairs"),
         )
     )
@@ -413,10 +485,19 @@ def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p a CROSS JOIN p b
     ),
     rowm AS (
-      SELECT j, avg(ad) AS am, avg(bd) AS bm FROM pairs GROUP BY j
+      SELECT j,
+             CAST(sum(CAST(round(ad * 1e6) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6 AS am,
+             CAST(sum(CAST(round(bd * 1e6) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6 AS bm
+      FROM pairs GROUP BY j
     ),
     grand AS (
-      SELECT avg(ad) AS ag, avg(bd) AS bg, count(*) AS n2 FROM pairs
+      SELECT CAST(sum(CAST(round(ad * 1e6) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6 AS ag,
+             CAST(sum(CAST(round(bd * 1e6) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e6 AS bg,
+             count(*) AS n2 FROM pairs
     ),
     centered AS (
       SELECT round(pairs.ad - rj.am - rk.am + grand.ag, 8) AS ac,
@@ -429,9 +510,15 @@ def cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mom AS (
       SELECT max(n2) AS n2,
-             sum(ac * bc) / max(n2) AS dcov2,
-             sum(ac * ac) / max(n2) AS dvary2,
-             sum(bc * bc) / max(n2) AS dvarx2
+             CAST(sum(CAST(round(ac * 1e8) AS HUGEINT)
+                      * CAST(round(bc * 1e8) AS BIGINT)) AS DOUBLE)
+               / 1e16 / max(n2) AS dcov2,
+             CAST(sum(CAST(round(ac * 1e8) AS HUGEINT)
+                      * CAST(round(ac * 1e8) AS BIGINT)) AS DOUBLE)
+               / 1e16 / max(n2) AS dvary2,
+             CAST(sum(CAST(round(bc * 1e8) AS HUGEINT)
+                      * CAST(round(bc * 1e8) AS BIGINT)) AS DOUBLE)
+               / 1e16 / max(n2) AS dvarx2
       FROM centered
     )
     SELECT CAST(CAST(sqrt(n2) AS BIGINT) AS BIGINT) AS n_months,
@@ -466,9 +553,13 @@ def distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("y") - F.col("yk")), 6).alias("ad"),
         F.round(F.abs(F.col("x") - F.col("xk")), 6).alias("bd"),
     )
-    rowm = pairs.groupBy("j").agg(F.avg("ad").alias("am"), F.avg("bd").alias("bm"))
+    # integer means/products (round-6 emission rule), mirroring the oracle
+    ad6 = F.round(F.col("ad") * 1e6).cast("long")
+    bd6 = F.round(F.col("bd") * 1e6).cast("long")
+    mean6 = lambda c: F.sum(c).cast("double") / F.count(F.lit(1)) / 1e6  # noqa: E731
+    rowm = pairs.groupBy("j").agg(mean6(ad6).alias("am"), mean6(bd6).alias("bm"))
     grand = pairs.agg(
-        F.avg("ad").alias("ag"), F.avg("bd").alias("bg"), F.count(F.lit(1)).alias("n2")
+        mean6(ad6).alias("ag"), mean6(bd6).alias("bg"), F.count(F.lit(1)).alias("n2")
     )
     rk = rowm.select(F.col("j").alias("k"), F.col("am").alias("amk"), F.col("bm").alias("bmk"))
     centered = (
@@ -485,11 +576,15 @@ def distance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n2",
         )
     )
+    ac8 = F.round(F.col("ac") * 1e8).cast("long")
+    bc8 = F.round(F.col("bc") * 1e8).cast("long")
+    ac8d = ac8.cast("decimal(19,0)")
+    bc8d = bc8.cast("decimal(19,0)")
     mom = centered.agg(
         F.max("n2").alias("n2"),
-        (F.sum(F.col("ac") * F.col("bc")) / F.max("n2")).alias("dcov2"),
-        (F.sum(F.col("ac") * F.col("ac")) / F.max("n2")).alias("dvary2"),
-        (F.sum(F.col("bc") * F.col("bc")) / F.max("n2")).alias("dvarx2"),
+        (F.sum(ac8d * bc8).cast("double") / 1e16 / F.max("n2")).alias("dcov2"),
+        (F.sum(ac8d * ac8).cast("double") / 1e16 / F.max("n2")).alias("dvary2"),
+        (F.sum(bc8d * bc8).cast("double") / 1e16 / F.max("n2")).alias("dvarx2"),
     )
     return mom.select(
         F.sqrt(F.col("n2")).cast("long").alias("n_months"),
