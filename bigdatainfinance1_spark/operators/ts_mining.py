@@ -167,8 +167,16 @@ PGRAM_MAX_K = 12  # frequencies 1..12 cycles over the series
     oracle=f"""
     WITH {_MONTHLY_SQL},
     gmom AS (
-      SELECT count(*) AS n, round(avg(z), 8) AS mu,
-             round(sqrt(avg(z * z) - avg(z) * avg(z)), 8) AS sd
+      SELECT count(*) AS n,
+             round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e6, 8) AS mu,
+             round(sqrt(CAST(sum(CAST(round(z * 1e6) AS HUGEINT)
+                                 * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                          / 1e12 / count(*)
+                        - (CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                           / count(*) / 1e6)
+                          * (CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                             / count(*) / 1e6)), 8) AS sd
       FROM idx
     ),
     xn AS (
@@ -178,8 +186,10 @@ PGRAM_MAX_K = 12  # frequencies 1..12 cycles over the series
     freq AS (SELECT k FROM range(1, {PGRAM_MAX_K} + 1) AS r(k)),
     spec AS (
       SELECT f.k, max(xn.n) AS n,
-             sum(xn.x * cos(2.0 * pi() * f.k * xn.i / xn.n)) AS c,
-             sum(xn.x * sin(2.0 * pi() * f.k * xn.i / xn.n)) AS s
+             CAST(sum(CAST(round(xn.x * cos(2.0 * pi() * f.k * xn.i / xn.n)
+                                 * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS c,
+             CAST(sum(CAST(round(xn.x * sin(2.0 * pi() * f.k * xn.i / xn.n)
+                                 * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS s
       FROM freq f CROSS JOIN xn
       GROUP BY f.k
     ),
@@ -207,10 +217,21 @@ def periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ulp noise ~1e-13 against the 6-dp rounding), and the peak flag
     compares already-rounded powers."""
     idx = _monthly(spark, sf_dir)
+    # integer z-moments (round-6 emission rule), mirroring the oracle
+    z6 = F.round(F.col("z") * 1e6).cast("long")
+    mu_d = F.sum(z6).cast("double") / F.count(F.lit(1)) / 1e6
     gmom = idx.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("z"), 8).alias("mu"),
-        F.round(F.sqrt(F.avg(F.col("z") * F.col("z")) - F.avg("z") * F.avg("z")), 8).alias("sd"),
+        F.round(mu_d, 8).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.sum(z6.cast("decimal(19,0)") * z6).cast("double")
+                / 1e12
+                / F.count(F.lit(1))
+                - mu_d * mu_d
+            ),
+            8,
+        ).alias("sd"),
     )
     xn = idx.crossJoin(F.broadcast(gmom)).select(
         "i", "n", F.round((F.col("z") - F.col("mu")) / F.col("sd"), 8).alias("x")
@@ -223,8 +244,16 @@ def periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(
             F.max("n").alias("n"),
-            F.sum(F.col("x") * F.cos(ang)).alias("c"),
-            F.sum(F.col("x") * F.sin(ang)).alias("s"),
+            (
+                F.sum(F.round(F.col("x") * F.cos(ang) * 1e12).cast("long"))
+                .cast("double")
+                / 1e12
+            ).alias("c"),
+            (
+                F.sum(F.round(F.col("x") * F.sin(ang) * 1e12).cast("long"))
+                .cast("double")
+                / 1e12
+            ).alias("s"),
         )
     )
     p = spec.select(
@@ -502,17 +531,28 @@ def forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_MONTHLY_SQL},
     gmom AS (
-      SELECT count(*) AS n, round(avg(z), 8) AS mu FROM idx
+      SELECT count(*) AS n,
+             round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e6, 8) AS mu FROM idx
     ),
     xc AS (
-      SELECT idx.i, round(idx.z - gmom.mu, 8) AS x, gmom.n FROM idx CROSS JOIN gmom
+      SELECT idx.i, CAST(round(round(idx.z - gmom.mu, 8) * 1e8) AS BIGINT) AS x8,
+             gmom.n
+      FROM idx CROSS JOIN gmom
     ),
     g AS (
       SELECT max(a.n) AS n,
-             sum(a.x * a.x) / max(a.n) AS g0,
-             sum(CASE WHEN b1.x IS NOT NULL THEN a.x * b1.x END) / max(a.n) AS g1,
-             sum(CASE WHEN b2.x IS NOT NULL THEN a.x * b2.x END) / max(a.n) AS g2,
-             sum(CASE WHEN b3.x IS NOT NULL THEN a.x * b3.x END) / max(a.n) AS g3
+             CAST(sum(CAST(a.x8 AS HUGEINT) * a.x8) AS DOUBLE)
+               / 1e16 / max(a.n) AS g0,
+             CAST(sum(CASE WHEN b1.x8 IS NOT NULL THEN
+                  CAST(a.x8 AS HUGEINT) * b1.x8 END) AS DOUBLE)
+               / 1e16 / max(a.n) AS g1,
+             CAST(sum(CASE WHEN b2.x8 IS NOT NULL THEN
+                  CAST(a.x8 AS HUGEINT) * b2.x8 END) AS DOUBLE)
+               / 1e16 / max(a.n) AS g2,
+             CAST(sum(CASE WHEN b3.x8 IS NOT NULL THEN
+                  CAST(a.x8 AS HUGEINT) * b3.x8 END) AS DOUBLE)
+               / 1e16 / max(a.n) AS g3
       FROM xc a
       LEFT JOIN xc b1 ON b1.i = a.i + 1
       LEFT JOIN xc b2 ON b2.i = a.i + 2
@@ -551,9 +591,18 @@ def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     autocovariances share one fixed divisor n so the rho ratios are
     engine-identical to ulp, rounded at 6."""
     idx = _monthly(spark, sf_dir)
-    gmom = idx.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("z"), 8).alias("mu"))
+    # integer moments (round-6 emission rule), mirroring the oracle
+    z6 = F.round(F.col("z") * 1e6).cast("long")
+    gmom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(z6).cast("double") / F.count(F.lit(1)) / 1e6, 8
+        ).alias("mu"),
+    )
     xc = idx.crossJoin(F.broadcast(gmom)).select(
-        "i", F.round(F.col("z") - F.col("mu"), 8).alias("x"), "n"
+        "i",
+        F.round(F.round(F.col("z") - F.col("mu"), 8) * 1e8).cast("long").alias("x"),
+        "n",
     )
     a = xc.select("i", F.col("x").alias("xa"), "n")
     for k in (1, 2, 3):
@@ -562,12 +611,13 @@ def pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "left",
         )
+    xad = F.col("xa").cast("decimal(19,0)")
     g = a.agg(
         F.max("n").alias("n"),
-        (F.sum(F.col("xa") * F.col("xa")) / F.max("n")).alias("g0"),
-        (F.sum(F.col("xa") * F.col("xl1")) / F.max("n")).alias("g1"),
-        (F.sum(F.col("xa") * F.col("xl2")) / F.max("n")).alias("g2"),
-        (F.sum(F.col("xa") * F.col("xl3")) / F.max("n")).alias("g3"),
+        (F.sum(xad * F.col("xa")).cast("double") / 1e16 / F.max("n")).alias("g0"),
+        (F.sum(xad * F.col("xl1")).cast("double") / 1e16 / F.max("n")).alias("g1"),
+        (F.sum(xad * F.col("xl2")).cast("double") / 1e16 / F.max("n")).alias("g2"),
+        (F.sum(xad * F.col("xl3")).cast("double") / 1e16 / F.max("n")).alias("g3"),
     )
     rho = g.select(
         "n",
@@ -623,7 +673,15 @@ POT_VAR_P = 0.999  # reported tail VaR level
     ),
     mom AS (
       SELECT max(u) AS u, max(n) AS n, count(*) AS ne,
-             avg(e) AS m, avg(e * e) - avg(e) * avg(e) AS s2
+             CAST(sum(CAST(round(e * 1e8) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e8 AS m,
+             CAST(sum(CAST(round(e * 1e8) AS HUGEINT)
+                      * CAST(round(e * 1e8) AS BIGINT)) AS DOUBLE)
+               / 1e16 / count(*)
+               - (CAST(sum(CAST(round(e * 1e8) AS BIGINT)) AS DOUBLE)
+                  / count(*) / 1e8)
+                 * (CAST(sum(CAST(round(e * 1e8) AS BIGINT)) AS DOUBLE)
+                    / count(*) / 1e8) AS s2
       FROM exc
     ),
     fit AS (
@@ -678,8 +736,29 @@ def gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
     mom = exc.agg(
         F.max("u").alias("u"),
         F.count(F.lit(1)).alias("ne"),
-        F.avg("e").alias("m"),
-        (F.avg(F.col("e") * F.col("e")) - F.avg("e") * F.avg("e")).alias("s2"),
+        (
+            F.sum(F.round(F.col("e") * 1e8).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e8
+        ).alias("m"),
+        (
+            F.sum(
+                F.round(F.col("e") * 1e8).cast("long").cast("decimal(19,0)")
+                * F.round(F.col("e") * 1e8).cast("long")
+            ).cast("double")
+            / 1e16
+            / F.count(F.lit(1))
+            - (
+                F.sum(F.round(F.col("e") * 1e8).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e8
+            )
+            * (
+                F.sum(F.round(F.col("e") * 1e8).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e8
+            )
+        ).alias("s2"),
     )
     xi = 0.5 * (1.0 - F.col("m") * F.col("m") / F.col("s2"))
     beta = 0.5 * F.col("m") * (F.col("m") * F.col("m") / F.col("s2") + 1.0)
@@ -846,8 +925,13 @@ def ts_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM idx a JOIN idx b ON b.i = a.i - 1
     ),
     mm AS (
-      SELECT count(*) AS nd, sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy
+      SELECT count(*) AS nd,
+             CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+             CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+             CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                      * CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sxx,
+             CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sxy
       FROM d
     ),
     fit AS (
@@ -882,12 +966,16 @@ def ou_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(idx.select((F.col("i") + 1).alias("i"), F.col("z").alias("x"))),
         "i",
     )
+    # integer moments (round-6 emission rule), mirroring the oracle's mm
+    x6 = F.round(F.col("x") * 1e6).cast("long")
+    y6 = F.round(F.col("y") * 1e6).cast("long")
+    x6d = x6.cast("decimal(19,0)")
     mm = d.agg(
         F.count(F.lit(1)).alias("nd"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        (F.sum(x6).cast("double") / 1e6).alias("sx"),
+        (F.sum(y6).cast("double") / 1e6).alias("sy"),
+        (F.sum(x6d * x6).cast("double") / 1e12).alias("sxx"),
+        (F.sum(x6d * y6).cast("double") / 1e12).alias("sxy"),
     )
     phi = (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
