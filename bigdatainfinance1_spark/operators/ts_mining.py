@@ -286,13 +286,22 @@ SAX_BP = (-0.6745, 0.0, 0.6745)
     oracle=f"""
     WITH {_MONTHLY_SQL},
     gmom AS (
-      SELECT round(avg(z), 8) AS mu,
-             round(sqrt(avg(z * z) - avg(z) * avg(z)), 8) AS sd
+      SELECT round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e6, 8) AS mu,
+             round(sqrt(CAST(sum(CAST(round(z * 1e6) AS HUGEINT)
+                                 * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                          / 1e12 / count(*)
+                        - (CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                           / count(*) / 1e6)
+                          * (CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                             / count(*) / 1e6)), 8) AS sd
       FROM idx
     ),
     paa AS (
       SELECT ((idx.i - 1) // {SAX_SEG}) AS seg,
-             round(avg(round((idx.z - gmom.mu) / gmom.sd, 8)), 8) AS v,
+             round(CAST(sum(CAST(round(round((idx.z - gmom.mu) / gmom.sd, 8)
+                                       * 1e8) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e8, 8) AS v,
              count(*) AS n_in_seg
       FROM idx CROSS JOIN gmom
       GROUP BY ((idx.i - 1) // {SAX_SEG})
@@ -333,18 +342,37 @@ def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the breakpoint comparisons (symbols are then exact), and word
     assembly/counting is pure string/integer work."""
     idx = _monthly(spark, sf_dir)
+    # integer z-moments + per-segment integer means (round-6 emission
+    # rule), mirroring the oracle's gmom/paa CTEs
+    z6 = F.round(F.col("z") * 1e6).cast("long")
+    mu_d = F.sum(z6).cast("double") / F.count(F.lit(1)) / 1e6
     gmom = idx.agg(
-        F.round(F.avg("z"), 8).alias("mu"),
-        F.round(F.sqrt(F.avg(F.col("z") * F.col("z")) - F.avg("z") * F.avg("z")), 8).alias("sd"),
+        F.round(mu_d, 8).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.sum(z6.cast("decimal(19,0)") * z6).cast("double")
+                / 1e12
+                / F.count(F.lit(1))
+                - mu_d * mu_d
+            ),
+            8,
+        ).alias("sd"),
     )
     paa = (
         idx.crossJoin(F.broadcast(gmom))
         .select(
             ((F.col("i") - 1) / SAX_SEG).cast("long").alias("seg"),
-            F.round((F.col("z") - F.col("mu")) / F.col("sd"), 8).alias("x"),
+            F.round(F.round((F.col("z") - F.col("mu")) / F.col("sd"), 8) * 1e8)
+            .cast("long")
+            .alias("x8"),
         )
         .groupBy("seg")
-        .agg(F.round(F.avg("x"), 8).alias("v"), F.count(F.lit(1)).alias("n_in_seg"))
+        .agg(
+            F.round(
+                F.sum("x8").cast("double") / F.count(F.lit(1)) / 1e8, 8
+            ).alias("v"),
+            F.count(F.lit(1)).alias("n_in_seg"),
+        )
         .filter(F.col("n_in_seg") == SAX_SEG)
     )
     sym = paa.select(
@@ -1332,7 +1360,10 @@ def _haar_oracle() -> str:
     )"""
     bands = " UNION ALL ".join(
         f"""SELECT 'detail_{lv}' AS band, CAST(count(*) AS BIGINT) AS n_coeffs,
-               round({2 ** lv} * sum(d * d), 6) AS energy FROM l{lv}"""
+               round({2 ** lv} * (CAST(sum(CAST(round(d * 1e8) AS HUGEINT)
+                                             * CAST(round(d * 1e8) AS BIGINT))
+                                         AS DOUBLE) / 1e16), 6)
+                 AS energy FROM l{lv}"""
         for lv in range(1, HAAR_LEVELS + 1)
     )
     return f"""
@@ -1342,10 +1373,15 @@ def _haar_oracle() -> str:
       {bands}
       UNION ALL
       SELECT 'approx', CAST(count(*) AS BIGINT),
-             round({2 ** HAAR_LEVELS} * sum(a * a), 6) FROM l{HAAR_LEVELS}
+             round({2 ** HAAR_LEVELS}
+                   * (CAST(sum(CAST(round(a * 1e8) AS HUGEINT)
+                               * CAST(round(a * 1e8) AS BIGINT)) AS DOUBLE)
+                      / 1e16), 6) FROM l{HAAR_LEVELS}
     )
     SELECT band, n_coeffs, energy,
-           round(energy / sum(energy) OVER (), 6) AS energy_share
+           round(energy * 1e0
+                 / (sum(CAST(round(energy * 1e6) AS BIGINT)) OVER () / 1e6), 6)
+             AS energy_share
     FROM bands ORDER BY band
 """
 
@@ -1391,7 +1427,17 @@ def haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"detail_{level}").alias("band"),
                 F.count(F.lit(1)).cast("long").alias("n_coeffs"),
                 F.round(
-                    F.lit(float(2 ** level)) * F.sum(F.col("d") * F.col("d")), 6
+                    F.lit(float(2 ** level))
+                    * (
+                        F.sum(
+                            F.round(F.col("d") * 1e8)
+                            .cast("long")
+                            .cast("decimal(19,0)")
+                            * F.round(F.col("d") * 1e8).cast("long")
+                        ).cast("double")
+                        / 1e16
+                    ),
+                    6,
                 ).alias("energy"),
             )
         )
@@ -1401,7 +1447,15 @@ def haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("approx").alias("band"),
             F.count(F.lit(1)).cast("long").alias("n_coeffs"),
             F.round(
-                F.lit(float(2 ** HAAR_LEVELS)) * F.sum(F.col("a") * F.col("a")), 6
+                F.lit(float(2 ** HAAR_LEVELS))
+                * (
+                    F.sum(
+                        F.round(F.col("a") * 1e8).cast("long").cast("decimal(19,0)")
+                        * F.round(F.col("a") * 1e8).cast("long")
+                    ).cast("double")
+                    / 1e16
+                ),
+                6,
             ).alias("energy"),
         )
     )
@@ -1413,5 +1467,9 @@ def haar_wavelet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "n_coeffs",
         "energy",
-        F.round(F.col("energy") / F.sum("energy").over(w), 6).alias("energy_share"),
+        F.round(
+            F.col("energy") * F.lit(1.0)
+            / (F.sum(F.round(F.col("energy") * 1e6).cast("long")).over(w) / 1e6),
+            6,
+        ).alias("energy_share"),
     ).orderBy("band")
