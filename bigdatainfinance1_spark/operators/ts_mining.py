@@ -413,16 +413,24 @@ FC_START = 13  # evaluate from the first month with all three forecasts
       SELECT a.i, a.z,
              n1.z AS f_naive,
              n12.z AS f_snaive,
-             (SELECT round(avg(b.z), 8) FROM idx b WHERE b.i < a.i) AS f_mean
+             (SELECT round(CAST(sum(CAST(round(b.z * 1e6) AS BIGINT)) AS DOUBLE)
+                           / count(*) / 1e6, 8)
+              FROM idx b WHERE b.i < a.i) AS f_mean
       FROM idx a
       JOIN idx n1 ON n1.i = a.i - 1
       JOIN idx n12 ON n12.i = a.i - 12
       WHERE a.i >= {FC_START}
     ),
     mse AS (
-      SELECT round(avg((z - f_naive) * (z - f_naive)), 8) AS m1,
-             round(avg((z - f_snaive) * (z - f_snaive)), 8) AS m2,
-             round(avg((z - f_mean) * (z - f_mean)), 8) AS m3,
+      SELECT round(CAST(sum(CAST(round((z - f_naive) * 1e8) AS HUGEINT)
+                            * CAST(round((z - f_naive) * 1e8) AS BIGINT)) AS DOUBLE)
+                   / 1e16 / count(*), 8) AS m1,
+             round(CAST(sum(CAST(round((z - f_snaive) * 1e8) AS HUGEINT)
+                            * CAST(round((z - f_snaive) * 1e8) AS BIGINT)) AS DOUBLE)
+                   / 1e16 / count(*), 8) AS m2,
+             round(CAST(sum(CAST(round((z - f_mean) * 1e8) AS HUGEINT)
+                            * CAST(round((z - f_mean) * 1e8) AS BIGINT)) AS DOUBLE)
+                   / 1e16 / count(*), 8) AS m3,
              count(*) AS n
       FROM f
     ),
@@ -434,7 +442,15 @@ FC_START = 13  # evaluate from the first month with all three forecasts
       FROM mse
     ),
     comb AS (
-      SELECT round(avg(pow(f.z - (w.w1 * f.f_naive + w.w2 * f.f_snaive + w.w3 * f.f_mean), 2)), 8)
+      SELECT round(CAST(sum(CAST(round((f.z - (w.w1 * f.f_naive
+                                               + w.w2 * f.f_snaive
+                                               + w.w3 * f.f_mean)) * 1e8)
+                                 AS HUGEINT)
+                            * CAST(round((f.z - (w.w1 * f.f_naive
+                                                 + w.w2 * f.f_snaive
+                                                 + w.w3 * f.f_mean)) * 1e8)
+                                   AS BIGINT)) AS DOUBLE)
+                   / 1e16 / count(*), 8)
                AS mc, max(w.w1) AS w1, max(w.w2) AS w2, max(w.w3) AS w3,
              max(w.m1) AS m1, max(w.m2) AS m2, max(w.m3) AS m3, max(w.n) AS n
       FROM f CROSS JOIN w
@@ -476,7 +492,14 @@ def forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
         # session state has auto-broadcast disabled (the plan-suite catch)
         a.join(F.broadcast(prior), F.col("j") < F.col("i"))
         .groupBy("i")
-        .agg(F.round(F.avg("zj"), 8).alias("f_mean"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("zj") * 1e6).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                8,
+            ).alias("f_mean")
+        )
     )
     f = (
         a.join(n1, "i")
@@ -484,10 +507,19 @@ def forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fmean, "i")
         .filter(F.col("i") >= FC_START)
     )
+    def _mse_of(err):
+        e8 = F.round(err * 1e8).cast("long")
+        return F.round(
+            F.sum(e8.cast("decimal(19,0)") * e8).cast("double")
+            / 1e16
+            / F.count(F.lit(1)),
+            8,
+        )
+
     mse = f.agg(
-        F.round(F.avg((F.col("z") - F.col("f_naive")) * (F.col("z") - F.col("f_naive"))), 8).alias("m1"),
-        F.round(F.avg((F.col("z") - F.col("f_snaive")) * (F.col("z") - F.col("f_snaive"))), 8).alias("m2"),
-        F.round(F.avg((F.col("z") - F.col("f_mean")) * (F.col("z") - F.col("f_mean"))), 8).alias("m3"),
+        _mse_of(F.col("z") - F.col("f_naive")).alias("m1"),
+        _mse_of(F.col("z") - F.col("f_snaive")).alias("m2"),
+        _mse_of(F.col("z") - F.col("f_mean")).alias("m3"),
     )
     inv = 1.0 / F.col("m1") + 1.0 / F.col("m2") + 1.0 / F.col("m3")
     w = mse.select(
@@ -498,21 +530,13 @@ def forecast_combination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((1.0 / F.col("m2")) / inv).alias("w2"),
         ((1.0 / F.col("m3")) / inv).alias("w3"),
     )
+    comb_err = F.col("z") - (
+        F.col("w1") * F.col("f_naive")
+        + F.col("w2") * F.col("f_snaive")
+        + F.col("w3") * F.col("f_mean")
+    )
     comb = f.crossJoin(F.broadcast(w)).agg(
-        F.round(
-            F.avg(
-                F.pow(
-                    F.col("z")
-                    - (
-                        F.col("w1") * F.col("f_naive")
-                        + F.col("w2") * F.col("f_snaive")
-                        + F.col("w3") * F.col("f_mean")
-                    ),
-                    F.lit(2),
-                )
-            ),
-            8,
-        ).alias("mc"),
+        _mse_of(comb_err).alias("mc"),
         F.max("w1").alias("w1"),
         F.max("w2").alias("w2"),
         F.max("w3").alias("w3"),
@@ -822,8 +846,10 @@ def gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_MONTHLY_SQL},
     mom AS (
-      SELECT count(*) AS n, sum(i * 1.0) AS si, sum(z) AS sz,
-             sum(i * 1.0 * i) AS sii, sum(i * z) AS siz
+      SELECT count(*) AS n, sum(i * 1.0) AS si,
+             CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sz,
+             sum(i * 1.0 * i) AS sii,
+             CAST(sum(i * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS siz
       FROM idx
     ),
     fit AS (
@@ -837,7 +863,10 @@ def gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM idx CROSS JOIN fit
     ),
     seas AS (
-      SELECT mi % 12 AS moy, round(avg(dt), 8) AS s FROM detr GROUP BY mi % 12
+      SELECT mi % 12 AS moy,
+             round(CAST(sum(CAST(round(dt * 1e8) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e8, 8) AS s
+      FROM detr GROUP BY mi % 12
     ),
     parts AS (
       SELECT detr.i, detr.z, detr.dt, seas.s,
@@ -846,14 +875,41 @@ def gpd_pot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vars_ AS (
       SELECT count(*) AS n,
-             avg(z * z) - avg(z) * avg(z) AS vz,
-             avg(dt * dt) - avg(dt) * avg(dt) AS vdt,
-             avg(r * r) - avg(r) * avg(r) AS vr,
-             avg((z - dt) * (z - dt)) - avg(z - dt) * avg(z - dt) AS vtrendpart
+             CAST(sum(CAST(round(z * 1e6) AS HUGEINT)
+                      * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+               / 1e12 / count(*)
+             - (CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                / count(*) / 1e6)
+               * (CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                  / count(*) / 1e6) AS vz,
+             CAST(sum(CAST(round(dt * 1e8) AS HUGEINT)
+                      * CAST(round(dt * 1e8) AS BIGINT)) AS DOUBLE)
+               / 1e16 / count(*)
+             - (CAST(sum(CAST(round(dt * 1e8) AS BIGINT)) AS DOUBLE)
+                / count(*) / 1e8)
+               * (CAST(sum(CAST(round(dt * 1e8) AS BIGINT)) AS DOUBLE)
+                  / count(*) / 1e8) AS vdt,
+             CAST(sum(CAST(round(r * 1e8) AS HUGEINT)
+                      * CAST(round(r * 1e8) AS BIGINT)) AS DOUBLE)
+               / 1e16 / count(*)
+             - (CAST(sum(CAST(round(r * 1e8) AS BIGINT)) AS DOUBLE)
+                / count(*) / 1e8)
+               * (CAST(sum(CAST(round(r * 1e8) AS BIGINT)) AS DOUBLE)
+                  / count(*) / 1e8) AS vr,
+             CAST(sum(CAST(round((z - dt) * 1e8) AS HUGEINT)
+                      * CAST(round((z - dt) * 1e8) AS BIGINT)) AS DOUBLE)
+               / 1e16 / count(*)
+             - (CAST(sum(CAST(round((z - dt) * 1e8) AS BIGINT)) AS DOUBLE)
+                / count(*) / 1e8)
+               * (CAST(sum(CAST(round((z - dt) * 1e8) AS BIGINT)) AS DOUBLE)
+                  / count(*) / 1e8) AS vtrendpart
       FROM parts
     ),
     acf AS (
-      SELECT sum(a.r * b.r) / sum(a.r * a.r) AS acf1
+      SELECT CAST(sum(CAST(round(a.r * 1e8) AS HUGEINT)
+                     * CAST(round(b.r * 1e8) AS BIGINT)) AS DOUBLE)
+               / CAST(sum(CAST(round(a.r * 1e8) AS HUGEINT)
+                          * CAST(round(a.r * 1e8) AS BIGINT)) AS DOUBLE) AS acf1
       FROM parts a JOIN parts b ON b.i = a.i - 1
     )
     SELECT CAST(vars_.n AS BIGINT) AS n_months,
@@ -882,12 +938,15 @@ def ts_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     Components round at 8 at each subtraction; variances share
     expression shape; rounded at 6."""
     idx = _monthly(spark, sf_dir)
+    # integer moments everywhere (round-6 emission rule), mirroring the
+    # oracle CTE for CTE
+    z6g = F.round(F.col("z") * 1e6).cast("long")
     mom = idx.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("i") * 1.0).alias("si"),
-        F.sum("z").alias("sz"),
+        (F.sum(z6g).cast("double") / 1e6).alias("sz"),
         F.sum(F.col("i") * 1.0 * F.col("i")).alias("sii"),
-        F.sum(F.col("i") * F.col("z")).alias("siz"),
+        (F.sum(F.col("i") * z6g).cast("double") / 1e6).alias("siz"),
     )
     beta = (F.col("n") * F.col("siz") - F.col("si") * F.col("sz")) / (
         F.col("n") * F.col("sii") - F.col("si") * F.col("si")
@@ -903,25 +962,40 @@ def ts_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z") - F.col("alpha") - F.col("beta") * F.col("i"), 8).alias("dt"),
     )
     seas = detr.groupBy((F.col("mi") % 12).alias("moy")).agg(
-        F.round(F.avg("dt"), 8).alias("s")
+        F.round(
+            F.sum(F.round(F.col("dt") * 1e8).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e8,
+            8,
+        ).alias("s")
     )
     parts = detr.join(F.broadcast(seas), detr.mi % 12 == F.col("moy")).select(
         "i", "z", "dt", F.round(F.col("dt") - F.col("s"), 8).alias("r")
     )
+    def _var_of(col, grain, g2):
+        gi = F.round(col * grain).cast("long")
+        a = F.sum(gi.cast("decimal(19,0)") * gi).cast("double") / g2 / F.count(F.lit(1))
+        b_ = F.sum(gi).cast("double") / F.count(F.lit(1)) / grain
+        return a - b_ * b_
+
     vars_ = parts.agg(
         F.count(F.lit(1)).alias("n"),
-        (F.avg(F.col("z") * F.col("z")) - F.avg("z") * F.avg("z")).alias("vz"),
-        (F.avg(F.col("dt") * F.col("dt")) - F.avg("dt") * F.avg("dt")).alias("vdt"),
-        (F.avg(F.col("r") * F.col("r")) - F.avg("r") * F.avg("r")).alias("vr"),
-        (
-            F.avg((F.col("z") - F.col("dt")) * (F.col("z") - F.col("dt")))
-            - F.avg(F.col("z") - F.col("dt")) * F.avg(F.col("z") - F.col("dt"))
-        ).alias("vtrendpart"),
+        _var_of(F.col("z"), 1e6, 1e12).alias("vz"),
+        _var_of(F.col("dt"), 1e8, 1e16).alias("vdt"),
+        _var_of(F.col("r"), 1e8, 1e16).alias("vr"),
+        _var_of(F.col("z") - F.col("dt"), 1e8, 1e16).alias("vtrendpart"),
     )
     b = parts.select((F.col("i") + 1).alias("i"), F.col("r").alias("rb"))
+    r8 = F.round(F.col("r") * 1e8).cast("long")
+    rb8 = F.round(F.col("rb") * 1e8).cast("long")
     acf = (
         parts.join(F.broadcast(b), "i")
-        .agg((F.sum(F.col("r") * F.col("rb")) / F.sum(F.col("r") * F.col("r"))).alias("acf1"))
+        .agg(
+            (
+                F.sum(r8.cast("decimal(19,0)") * rb8).cast("double")
+                / F.sum(r8.cast("decimal(19,0)") * r8).cast("double")
+            ).alias("acf1")
+        )
     )
     return vars_.crossJoin(F.broadcast(acf)).select(
         F.col("n").cast("long").alias("n_months"),
