@@ -42,12 +42,16 @@ def _esd_round_sql(src: str, rnd: int) -> str:
     argmax by (|e − mu| rounded 8 DESC, mi), Grubbs statistic."""
     return f"""
     mom{rnd} AS (
-      SELECT count(*) AS n, round(avg(e), 8) AS mu FROM {src}
+      SELECT count(*) AS n,
+             round(CAST(sum(CAST(round(e * 1e8) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e8, 8) AS mu FROM {src}
     ),
     sd{rnd} AS (
       SELECT max(mom{rnd}.n) AS n, max(mom{rnd}.mu) AS mu,
-             sqrt(sum(({src}.e - mom{rnd}.mu) * ({src}.e - mom{rnd}.mu))
-                  / (max(mom{rnd}.n) - 1)) AS s
+             sqrt(CAST(sum(CAST(round(({src}.e - mom{rnd}.mu) * 1e8) AS HUGEINT)
+                           * CAST(round(({src}.e - mom{rnd}.mu) * 1e8) AS BIGINT))
+                       AS DOUBLE)
+                  / 1e16 / (max(mom{rnd}.n) - 1)) AS s
       FROM {src} CROSS JOIN mom{rnd}
     ),
     top{rnd} AS (
@@ -64,7 +68,9 @@ def _esd_round_sql(src: str, rnd: int) -> str:
     oracle=f"""
     WITH {_MONTHLY_SQL},
     seas AS (
-      SELECT mi % 12 AS moy, round(avg(z), 8) AS sz
+      SELECT mi % 12 AS moy,
+             round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e6, 8) AS sz
       FROM idx GROUP BY mi % 12
     ),
     resid AS (
@@ -106,20 +112,29 @@ def seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded. Residuals and deviations round at 8 so both
     engines drop the identical point between rounds; rounded at 6."""
     idx = _monthly(spark, sf_dir)
+    # integer-moments rule: snap z to its 1e-6 grain so the seasonal mean
+    # is an exact integer sum on both engines
+    z6 = F.round(F.col("z") * 1e6).cast("long")
     seas = idx.groupBy((F.col("mi") % 12).alias("moy")).agg(
-        F.round(F.avg("z"), 8).alias("sz")
+        F.round(F.sum(z6).cast("double") / F.count(F.lit(1)) / 1e6, 8).alias("sz")
     )
     resid = idx.join(F.broadcast(seas), idx.mi % 12 == F.col("moy")).select(
         "mi", F.round(F.col("z") - F.col("sz"), 8).alias("e")
     )
 
     def esd_round(src: DataFrame, rnd: int) -> DataFrame:
-        mom = src.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("e"), 8).alias("mu"))
+        e8 = F.round(F.col("e") * 1e8).cast("long")
+        mom = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(e8).cast("double") / F.count(F.lit(1)) / 1e8, 8).alias("mu"),
+        )
+        d8 = F.round((F.col("e") - F.col("mu")) * 1e8).cast("long")
         sd = src.crossJoin(F.broadcast(mom)).agg(
             F.max("n").alias("n"),
             F.max("mu").alias("mu"),
             F.sqrt(
-                F.sum((F.col("e") - F.col("mu")) * (F.col("e") - F.col("mu")))
+                F.sum(d8.cast("decimal(19,0)") * d8).cast("double")
+                / 1e16
                 / (F.max("n") - 1)
             ).alias("s"),
         )
@@ -201,13 +216,16 @@ def seasonal_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE nret.mi - ev.emi BETWEEN -{EVENT_WIN} AND {EVENT_WIN}
     ),
     mar AS (
-      SELECT tau, count(*) AS n_nations, round(avg(a), 8) AS mean_ar
+      SELECT tau, count(*) AS n_nations,
+             round(CAST(sum(CAST(round(a * 1e8) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e8, 8) AS mean_ar
       FROM ar GROUP BY tau
     )
     SELECT CAST(a.tau AS BIGINT) AS tau,
            CAST(a.n_nations AS BIGINT) AS n_nations,
            round(a.mean_ar, 6) AS mean_ar,
-           round(sum(b.mean_ar), 6) AS car
+           round(CAST(sum(CAST(round(b.mean_ar * 1e8) AS BIGINT)) AS DOUBLE)
+                 / 1e8, 6) AS car
     FROM mar a JOIN mar b ON b.tau <= a.tau
     GROUP BY a.tau, a.n_nations, a.mean_ar
     ORDER BY tau
@@ -269,14 +287,20 @@ def event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nk", (F.col("mi") - F.col("emi")).alias("tau"), F.round(F.col("r") - F.col("m"), 8).alias("a"))
         .filter(F.col("tau").between(-EVENT_WIN, EVENT_WIN))
     )
+    a8 = F.round(F.col("a") * 1e8).cast("long")
     mar = ar.groupBy("tau").agg(
-        F.count(F.lit(1)).alias("n_nations"), F.round(F.avg("a"), 8).alias("mean_ar")
+        F.count(F.lit(1)).alias("n_nations"),
+        F.round(F.sum(a8).cast("double") / F.count(F.lit(1)) / 1e8, 8).alias("mean_ar"),
     )
     b = mar.select(F.col("tau").alias("tb"), F.col("mean_ar").alias("mb"))
     return (
         mar.join(F.broadcast(b), F.col("tb") <= F.col("tau"))
         .groupBy("tau", "n_nations", "mean_ar")
-        .agg(F.round(F.sum("mb"), 6).alias("car"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("mb") * 1e8).cast("long")).cast("double") / 1e8, 6
+            ).alias("car")
+        )
         .select(
             F.col("tau").cast("long").alias("tau"),
             F.col("n_nations").cast("long").alias("n_nations"),
@@ -307,28 +331,38 @@ def event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
     lastm AS (SELECT max(mi) AS lm FROM base),
     hist AS (SELECT base.* FROM base CROSS JOIN lastm WHERE base.mi < lastm.lm),
     nf AS (
-      SELECT rk, nk, round(avg(v), 6) AS f
+      SELECT rk, nk,
+             round(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100, 6) AS f
       FROM hist CROSS JOIN lastm
       WHERE hist.mi % 12 = lastm.lm % 12
       GROUP BY rk, nk
     ),
     rf AS (
-      SELECT h.rk, round(avg(s), 6) AS f FROM (
-        SELECT rk, mi, sum(v) AS s FROM hist GROUP BY rk, mi
+      SELECT h.rk,
+             round(CAST(sum(h.s) AS DOUBLE) / count(*) / 100, 6) AS f FROM (
+        SELECT rk, mi, sum(CAST(round(v * 100) AS BIGINT)) AS s
+        FROM hist GROUP BY rk, mi
       ) h CROSS JOIN lastm
       WHERE h.mi % 12 = lastm.lm % 12
       GROUP BY h.rk
     ),
     tf AS (
-      SELECT round(avg(s), 6) AS f FROM (
-        SELECT mi, sum(v) AS s FROM hist GROUP BY mi
+      SELECT round(CAST(sum(h.s) AS DOUBLE) / count(*) / 100, 6) AS f FROM (
+        SELECT mi, sum(CAST(round(v * 100) AS BIGINT)) AS s
+        FROM hist GROUP BY mi
       ) h CROSS JOIN lastm
       WHERE h.mi % 12 = lastm.lm % 12
     ),
-    bu AS (SELECT rk, round(sum(f), 6) AS bottom_up FROM nf GROUP BY rk),
+    bu AS (
+      SELECT rk,
+             round(CAST(sum(CAST(round(f * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6)
+               AS bottom_up
+      FROM nf GROUP BY rk
+    ),
     shares AS (
-      SELECT rk, sum(v) AS rv,
-             sum(sum(v)) OVER () AS tv
+      SELECT rk, sum(CAST(round(v * 100) AS BIGINT)) AS rv,
+             sum(sum(CAST(round(v * 100) AS BIGINT))) OVER () AS tv
       FROM hist GROUP BY rk
     )
     SELECT r.r_name AS region,
@@ -385,24 +419,33 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lastm = base.agg(F.max("mi").alias("lm"))
     hist = base.crossJoin(F.broadcast(lastm)).filter(F.col("mi") < F.col("lm"))
     target_moy = F.col("mi") % 12 == F.col("lm") % 12
+    # integer-moments rule: v is exact 2-dp money — sum its cents exactly
+    vc = F.round(F.col("v") * 100).cast("long")
     nf = (
         hist.filter(target_moy)
         .groupBy("rk", "nk")
-        .agg(F.round(F.avg("v"), 6).alias("f"))
+        .agg(
+            F.round(F.sum(vc).cast("double") / F.count(F.lit(1)) / 100, 6).alias("f")
+        )
     )
-    rsum = hist.groupBy("rk", "mi", "lm").agg(F.sum("v").alias("s"))
+    rsum = hist.groupBy("rk", "mi", "lm").agg(F.sum(vc).alias("s"))
     rf = (
         rsum.filter(F.col("mi") % 12 == F.col("lm") % 12)
         .groupBy("rk")
-        .agg(F.round(F.avg("s"), 6).alias("f"))
+        .agg(
+            F.round(F.sum("s").cast("double") / F.count(F.lit(1)) / 100, 6).alias("f")
+        )
     )
-    tsum = hist.groupBy("mi", "lm").agg(F.sum("v").alias("s"))
-    tf = (
-        tsum.filter(F.col("mi") % 12 == F.col("lm") % 12)
-        .agg(F.round(F.avg("s"), 6).alias("tfv"))
+    tsum = hist.groupBy("mi", "lm").agg(F.sum(vc).alias("s"))
+    tf = tsum.filter(F.col("mi") % 12 == F.col("lm") % 12).agg(
+        F.round(F.sum("s").cast("double") / F.count(F.lit(1)) / 100, 6).alias("tfv")
     )
-    bu = nf.groupBy("rk").agg(F.round(F.sum("f"), 6).alias("bottom_up"))
-    rv = hist.groupBy("rk").agg(F.sum("v").alias("rv"))
+    bu = nf.groupBy("rk").agg(
+        F.round(
+            F.sum(F.round(F.col("f") * 1e6).cast("long")).cast("double") / 1e6, 6
+        ).alias("bottom_up")
+    )
+    rv = hist.groupBy("rk").agg(F.sum(vc).alias("rv"))
     tv = rv.agg(F.sum("rv").alias("tv"))
     return (
         rf.join(bu, "rk")
@@ -432,7 +475,9 @@ def forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_median_polish",
     oracle="""
     WITH cells AS (
-      SELECT t.moy, t.region, round(avg(t.v), 6) AS v FROM (
+      SELECT t.moy, t.region,
+             round(CAST(sum(CAST(round(t.v * 1e5) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e5, 6) AS v FROM (
         SELECT (CAST(year(o.o_orderdate) AS BIGINT) * 12 + month(o.o_orderdate)) % 12
                  AS moy,
                r.r_name AS region,
@@ -535,9 +580,13 @@ def median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2) / 1000.0).alias("v"))
     )
-    cells = (
-        monthly.groupBy((F.col("mi") % 12).alias("moy"), "region")
-        .agg(F.round(F.avg("v"), 6).alias("v"))
+    cells = monthly.groupBy((F.col("mi") % 12).alias("moy"), "region").agg(
+        F.round(
+            F.sum(F.round(F.col("v") * 1e5).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e5,
+            6,
+        ).alias("v")
     )
 
     def group_median(df: DataFrame, part: str, val: str, tie: str, rank: int) -> DataFrame:
@@ -679,17 +728,25 @@ def _hexfold(h: str, digits: int = 5) -> str:
       SELECT * FROM hashed WHERE hv % {SYS_K} = {SYS_OFFSET}
     ),
     pop AS (
-      SELECT count(*) AS n_pop, round(avg(o_totalprice), 4) AS pop_mean
+      SELECT count(*) AS n_pop,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100, 4) AS pop_mean
       FROM orders
+    ),
+    sm AS (
+      SELECT pop.n_pop, count(*) AS n_sample,
+             round(CAST(sum(CAST(round(samp.o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / count(*) / 100, 4) AS sample_mean,
+             pop.pop_mean
+      FROM samp CROSS JOIN pop
+      GROUP BY pop.n_pop, pop.pop_mean
     )
-    SELECT CAST(pop.n_pop AS BIGINT) AS n_pop,
-           CAST(count(*) AS BIGINT) AS n_sample,
-           round(avg(samp.o_totalprice), 4) AS sample_mean,
-           pop.pop_mean,
-           round(abs(avg(samp.o_totalprice) - pop.pop_mean) / pop.pop_mean, 6)
-             AS rel_error
-    FROM samp CROSS JOIN pop
-    GROUP BY pop.n_pop, pop.pop_mean
+    SELECT CAST(n_pop AS BIGINT) AS n_pop,
+           CAST(n_sample AS BIGINT) AS n_sample,
+           sample_mean,
+           pop_mean,
+           round(abs(sample_mean - pop_mean) / pop_mean, 6) AS rel_error
+    FROM sm
     """,
     tags=("sample", "sampling", "analytics"),
 )
@@ -715,16 +772,21 @@ def systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     hv = F.expr(_hexfold("md5(CAST(o_orderkey AS STRING))"))
     samp = orders.filter(hv % SYS_K == SYS_OFFSET)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     pop = orders.agg(
         F.count(F.lit(1)).alias("n_pop"),
-        F.round(F.avg("o_totalprice"), 4).alias("pop_mean"),
+        F.round(F.sum(cents).cast("double") / F.count(F.lit(1)) / 100, 4).alias(
+            "pop_mean"
+        ),
     )
     return (
         samp.crossJoin(F.broadcast(pop))
         .groupBy("n_pop", "pop_mean")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sample"),
-            F.round(F.avg("o_totalprice"), 4).alias("sample_mean"),
+            F.round(F.sum(cents).cast("double") / F.count(F.lit(1)) / 100, 4).alias(
+                "sample_mean"
+            ),
         )
         .select(
             F.col("n_pop").cast("long").alias("n_pop"),
@@ -751,12 +813,21 @@ NEYMAN_BUDGET = 1000
     WITH strata AS (
       SELECT c_mktsegment AS segment,
              count(*) AS nh,
-             round(sqrt(avg(c_acctbal * c_acctbal) - avg(c_acctbal) * avg(c_acctbal)), 8)
+             round(sqrt(CAST(sum(CAST(round(c_acctbal * 100) AS HUGEINT)
+                                 * CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                          / 1e4 / count(*)
+                        - (CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                           / count(*) / 100)
+                          * (CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                             / count(*) / 100)), 8)
                AS sh
       FROM customer GROUP BY c_mktsegment
     ),
     tot AS (
-      SELECT sum(nh) AS n_pop, sum(nh * sh) AS sum_ns FROM strata
+      SELECT sum(nh) AS n_pop,
+             CAST(sum(nh * CAST(round(sh * 1e8) AS HUGEINT)) AS DOUBLE) / 1e8
+               AS sum_ns
+      FROM strata
     )
     SELECT strata.segment,
            CAST(strata.nh AS BIGINT) AS n_pop_stratum,
@@ -786,18 +857,30 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     allocations identically on both engines (half-away on positive
     values)."""
     cust = load_table(spark, sf_dir, "customer")
+    # integer-moments rule: acctbal is exact 2-dp money — moments in cents
+    c100 = F.round(F.col("c_acctbal") * 100).cast("long")
+    mean_b = F.sum(c100).cast("double") / F.count(F.lit(1)) / 100
     strata = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("nh"),
         F.round(
             F.sqrt(
-                F.avg(F.col("c_acctbal") * F.col("c_acctbal"))
-                - F.avg("c_acctbal") * F.avg("c_acctbal")
+                F.sum(c100.cast("decimal(19,0)") * c100).cast("double")
+                / 1e4
+                / F.count(F.lit(1))
+                - mean_b * mean_b
             ),
             8,
         ).alias("sh"),
     )
     tot = strata.agg(
-        F.sum("nh").alias("n_pop"), F.sum(F.col("nh") * F.col("sh")).alias("sum_ns")
+        F.sum("nh").alias("n_pop"),
+        (
+            F.sum(
+                F.col("nh").cast("decimal(18,0)")
+                * F.round(F.col("sh") * 1e8).cast("decimal(20,0)")
+            ).cast("double")
+            / 1e8
+        ).alias("sum_ns"),
     )
     return (
         strata.crossJoin(F.broadcast(tot))
@@ -846,7 +929,8 @@ SMK_Z95 = 1.959964
     ),
     stat AS (
       SELECT sum(s.sm) AS s_total,
-             sum(nm.n * (nm.n - 1.0) * (2 * nm.n + 5) / 18.0) AS var_total,
+             CAST(sum(nm.n * (nm.n - 1) * (2 * nm.n + 5)) AS DOUBLE) / 18.0
+               AS var_total,
              count(*) AS k_seasons
       FROM s JOIN nm ON nm.moy = s.moy
     )
@@ -900,9 +984,10 @@ def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nm = m.groupBy((F.col("mi") % 12).alias("moy")).agg(F.count(F.lit(1)).alias("n"))
     stat = s.join(nm, "moy").agg(
         F.sum("sm").alias("s_total"),
-        F.sum(F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) / 18.0).alias(
-            "var_total"
-        ),
+        (
+            F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)).cast("double")
+            / 18.0
+        ).alias("var_total"),
         F.count(F.lit(1)).alias("k_seasons"),
     )
     zc = (
@@ -934,11 +1019,18 @@ BSEG_MIN_SEG = 6  # minimum months on each side of a candidate split
     oracle=f"""
     WITH {_MONTHLY_SQL},
     tot AS (
-      SELECT count(*) AS n, sum(z) AS sz, sum(z * z) AS szz FROM idx
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sz,
+             CAST(sum(CAST(round(z * 1e6) AS HUGEINT)
+                      * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS szz
+      FROM idx
     ),
     pre AS (
       SELECT a.i AS t,
-             sum(b.z) AS psz, sum(b.z * b.z) AS pszz, count(*) AS pn
+             CAST(sum(CAST(round(b.z * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS psz,
+             CAST(sum(CAST(round(b.z * 1e6) AS HUGEINT)
+                      * CAST(round(b.z * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS pszz,
+             count(*) AS pn
       FROM idx a JOIN idx b ON b.i <= a.i
       GROUP BY a.i
     ),
@@ -984,19 +1076,24 @@ def binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded. The gain rounds at 8 before the argmax so both
     engines pick the identical split; rounded at 6."""
     idx = _monthly(spark, sf_dir)
+    # integer-moments rule: z is 6-dp — exact grain sums for the prefix SSRs
+    z6 = F.round(F.col("z") * 1e6).cast("long")
     tot = idx.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("z").alias("sz"),
-        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        (F.sum(z6).cast("double") / 1e6).alias("sz"),
+        (F.sum(z6.cast("decimal(19,0)") * z6).cast("double") / 1e12).alias("szz"),
     )
     b = idx.select(F.col("i").alias("j"), F.col("z").alias("zj"))
+    zj6 = F.round(F.col("zj") * 1e6).cast("long")
     pre = (
         idx.select("i")
         .join(F.broadcast(b), F.col("j") <= F.col("i"))
         .groupBy(F.col("i").alias("t"))
         .agg(
-            F.sum("zj").alias("psz"),
-            F.sum(F.col("zj") * F.col("zj")).alias("pszz"),
+            (F.sum(zj6).cast("double") / 1e6).alias("psz"),
+            (F.sum(zj6.cast("decimal(19,0)") * zj6).cast("double") / 1e12).alias(
+                "pszz"
+            ),
             F.count(F.lit(1)).alias("pn"),
         )
     )
@@ -1048,14 +1145,18 @@ def binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_atkinson_index",
     oracle="""
     WITH cust AS (
-      SELECT c.c_mktsegment AS segment, sum(o.o_totalprice) AS y
+      SELECT c.c_mktsegment AS segment,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS yc
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY o.o_custkey, c.c_mktsegment
     ),
     g AS (
-      SELECT segment, count(*) AS n, avg(y) AS mean_y,
-             exp(avg(ln(y))) AS geo_y,
-             count(*) / sum(1.0 / y) AS harm_y
+      SELECT segment, count(*) AS n,
+             CAST(sum(yc) AS DOUBLE) / count(*) / 100 AS mean_y,
+             exp(CAST(sum(CAST(round(ln(yc / 100e0) * 1e12) AS HUGEINT)) AS DOUBLE)
+                 / count(*) / 1e12) AS geo_y,
+             count(*) / (CAST(sum(CAST(round(1e15 / (yc / 100e0)) AS HUGEINT))
+                              AS DOUBLE) / 1e15) AS harm_y
       FROM cust GROUP BY segment
     )
     SELECT segment,
@@ -1089,13 +1190,26 @@ def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.o_custkey == F.col("c_custkey"),
         )
         .groupBy("o_custkey", F.col("c_mktsegment").alias("segment"))
-        .agg(F.sum("o_totalprice").alias("y"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("yc"))
     )
+    # integer-moments rule: spend is exact cents; ln / reciprocal terms snap
+    # to 1e-12 / 1e-15 grains so the per-segment sums are order-exact
+    y = F.col("yc") / F.lit(100.0)
     g = cust.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("y").alias("mean_y"),
-        F.exp(F.avg(F.log("y"))).alias("geo_y"),
-        (F.count(F.lit(1)) / F.sum(1.0 / F.col("y"))).alias("harm_y"),
+        (F.sum("yc").cast("double") / F.count(F.lit(1)) / 100).alias("mean_y"),
+        F.exp(
+            F.sum(F.round(F.log(y) * 1e12).cast("decimal(20,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1e12
+        ).alias("geo_y"),
+        (
+            F.count(F.lit(1))
+            / (
+                F.sum(F.round(F.lit(1e15) / y).cast("decimal(20,0)")).cast("double")
+                / 1e15
+            )
+        ).alias("harm_y"),
     )
     return g.select(
         "segment",
@@ -1126,9 +1240,20 @@ def atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mom AS (
       SELECT count(*) AS n,
-             sum(y) AS sy, sum(x) AS sx, sum(t) AS st,
-             sum(y * y) AS syy, sum(x * x) AS sxx, sum(t * t) AS stt,
-             sum(x * y) AS sxy, sum(t * y) AS sty, sum(t * x) AS stx
+             CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+             CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+             sum(t) AS st,
+             CAST(sum(CAST(round(y * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS syy,
+             CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                      * CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sxx,
+             sum(t * t) AS stt,
+             CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sxy,
+             CAST(sum(CAST(t AS BIGINT) * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS sty,
+             CAST(sum(CAST(t AS BIGINT) * CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS stx
       FROM p
     ),
     r AS (
@@ -1168,17 +1293,21 @@ def partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = idx.join(xm, "mi").select(
         (F.col("i") * 1.0).alias("t"), F.col("z").alias("y"), "x"
     )
+    # integer-moments rule: y, x are 6-dp; t integer-valued — exact grain sums
+    y6 = F.round(F.col("y") * 1e6).cast("long")
+    x6 = F.round(F.col("x") * 1e6).cast("long")
+    tl = F.col("t").cast("long")
     mom = p.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("y").alias("sy"),
-        F.sum("x").alias("sx"),
+        (F.sum(y6).cast("double") / 1e6).alias("sy"),
+        (F.sum(x6).cast("double") / 1e6).alias("sx"),
         F.sum("t").alias("st"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        (F.sum(y6.cast("decimal(19,0)") * y6).cast("double") / 1e12).alias("syy"),
+        (F.sum(x6.cast("decimal(19,0)") * x6).cast("double") / 1e12).alias("sxx"),
         F.sum(F.col("t") * F.col("t")).alias("stt"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("t") * F.col("y")).alias("sty"),
-        F.sum(F.col("t") * F.col("x")).alias("stx"),
+        (F.sum(x6.cast("decimal(19,0)") * y6).cast("double") / 1e12).alias("sxy"),
+        (F.sum(tl * y6).cast("double") / 1e6).alias("sty"),
+        (F.sum(tl * x6).cast("double") / 1e6).alias("stx"),
     )
 
     def corr(sab, sa, sb, saa, sbb):
@@ -1245,9 +1374,18 @@ MZ_F_2_10_95 = 4.102821  # F(2, 10) 5%
       SELECT test.y, fc.f FROM test JOIN fc ON fc.moy = test.moy
     ),
     mm AS (
-      SELECT count(*) AS n, sum(f) AS sf, sum(y) AS sy,
-             sum(f * f) AS sff, sum(f * y) AS sfy, sum(y * y) AS syy,
-             sum((y - f) * (y - f)) AS ssr_r
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(f * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sf,
+             CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+             CAST(sum(CAST(round(f * 1e6) AS HUGEINT)
+                      * CAST(round(f * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sff,
+             CAST(sum(CAST(round(f * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sfy,
+             CAST(sum(CAST(round(y * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS syy,
+             CAST(sum(CAST(round((y - f) * 1e6) AS HUGEINT)
+                      * CAST(round((y - f) * 1e6) AS BIGINT)) AS DOUBLE) / 1e12
+               AS ssr_r
       FROM obs
     ),
     fit AS (
@@ -1311,14 +1449,18 @@ def mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f")
     )
     obs = test.join(F.broadcast(fc), "moy").select("y", "f")
+    # integer-moments rule: f, y are 6-dp — exact grain sums for the fit
+    f6 = F.round(F.col("f") * 1e6).cast("long")
+    yy6 = F.round(F.col("y") * 1e6).cast("long")
+    d6 = F.round((F.col("y") - F.col("f")) * 1e6).cast("long")
     mm = obs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("f").alias("sf"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("f") * F.col("f")).alias("sff"),
-        F.sum(F.col("f") * F.col("y")).alias("sfy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum((F.col("y") - F.col("f")) * (F.col("y") - F.col("f"))).alias("ssr_r"),
+        (F.sum(f6).cast("double") / 1e6).alias("sf"),
+        (F.sum(yy6).cast("double") / 1e6).alias("sy"),
+        (F.sum(f6.cast("decimal(19,0)") * f6).cast("double") / 1e12).alias("sff"),
+        (F.sum(f6.cast("decimal(19,0)") * yy6).cast("double") / 1e12).alias("sfy"),
+        (F.sum(yy6.cast("decimal(19,0)") * yy6).cast("double") / 1e12).alias("syy"),
+        (F.sum(d6.cast("decimal(19,0)") * d6).cast("double") / 1e12).alias("ssr_r"),
     )
     beta = (F.col("n") * F.col("sfy") - F.col("sf") * F.col("sy")) / (
         F.col("n") * F.col("sff") - F.col("sf") * F.col("sf")

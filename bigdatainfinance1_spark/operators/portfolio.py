@@ -60,6 +60,22 @@ _PANEL_SQL = """
 """
 
 
+def _capm_moment_aggs() -> list:
+    """Integer-moments rule (round-6): the per-nation CAPM moment block
+    over 8-dp returns (r, m) — snap each to its 1e-8 grain and sum exact
+    integers (decimal(38) for the products) so no emission depends on
+    double summation order. Twin of the hardened `mom` CTE shared by
+    q_jensen_alpha and q_fama_macbeth."""
+    r8 = F.round(F.col("r") * 1e8).cast("long")
+    m8 = F.round(F.col("m") * 1e8).cast("long")
+    return [
+        (F.sum(r8).cast("double") / 1e8).alias("sr"),
+        (F.sum(m8).cast("double") / 1e8).alias("sm"),
+        (F.sum(r8.cast("decimal(19,0)") * m8).cast("double") / 1e16).alias("srm"),
+        (F.sum(m8.cast("decimal(19,0)") * m8).cast("double") / 1e16).alias("smm"),
+    ]
+
+
 def _nation_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nation-month return panel: (nk, mi, r) with r the consecutive-month
     pct change of 6-dp monthly nation revenue, rounded at 8."""
@@ -115,8 +131,13 @@ def _nation_names(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT nret.nk, nret.r, mret.m FROM nret JOIN mret ON nret.mi = mret.mi
     ),
     mom AS (
-      SELECT nk, count(*) AS n, sum(r) AS sr, sum(m) AS sm,
-             sum(r * m) AS srm, sum(m * m) AS smm
+      SELECT nk, count(*) AS n,
+             CAST(sum(CAST(round(r * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sr,
+             CAST(sum(CAST(round(m * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sm,
+             CAST(sum(CAST(round(r * 1e8) AS HUGEINT)
+                      * CAST(round(m * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS srm,
+             CAST(sum(CAST(round(m * 1e8) AS HUGEINT)
+                      * CAST(round(m * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS smm
       FROM j GROUP BY nk
     ),
     fit AS (
@@ -151,11 +172,7 @@ def jensen_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     mret = _market_returns(spark, sf_dir)
     j = nret.join(F.broadcast(mret), "mi").select("nk", "r", "m")
     mom = j.groupBy("nk").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("r").alias("sr"),
-        F.sum("m").alias("sm"),
-        F.sum(F.col("r") * F.col("m")).alias("srm"),
-        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.count(F.lit(1)).alias("n"), *_capm_moment_aggs()
     )
     beta = (F.col("n") * F.col("srm") - F.col("sr") * F.col("sm")) / (
         F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
@@ -1090,8 +1107,13 @@ FM_Z95 = 1.959964
       SELECT nret.nk, nret.r, mret.m FROM nret JOIN mret ON nret.mi = mret.mi
     ),
     mom AS (
-      SELECT nk, count(*) AS n, sum(r) AS sr, sum(m) AS sm,
-             sum(r * m) AS srm, sum(m * m) AS smm
+      SELECT nk, count(*) AS n,
+             CAST(sum(CAST(round(r * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sr,
+             CAST(sum(CAST(round(m * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sm,
+             CAST(sum(CAST(round(r * 1e8) AS HUGEINT)
+                      * CAST(round(m * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS srm,
+             CAST(sum(CAST(round(m * 1e8) AS HUGEINT)
+                      * CAST(round(m * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS smm
       FROM j GROUP BY nk
     ),
     firstpass AS (
@@ -1101,9 +1123,17 @@ FM_Z95 = 1.959964
       FROM mom WHERE n >= {MIN_MONTHS}
     ),
     xs AS (
-      SELECT count(*) AS k, sum(beta) AS sb, sum(mean_r) AS sy,
-             sum(beta * beta) AS sbb, sum(beta * mean_r) AS sby,
-             sum(mean_r * mean_r) AS syy
+      SELECT count(*) AS k,
+             CAST(sum(CAST(round(beta * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS sb,
+             CAST(sum(CAST(round(mean_r * 1e12) AS BIGINT)) AS DOUBLE) / 1e12 AS sy,
+             CAST(sum(CAST(round(beta * 1e12) AS HUGEINT)
+                      * CAST(round(beta * 1e12) AS BIGINT)) AS DOUBLE) / 1e24 AS sbb,
+             CAST(sum(CAST(round(beta * 1e12) AS HUGEINT)
+                      * CAST(round(mean_r * 1e12) AS BIGINT)) AS DOUBLE) / 1e24
+               AS sby,
+             CAST(sum(CAST(round(mean_r * 1e12) AS HUGEINT)
+                      * CAST(round(mean_r * 1e12) AS BIGINT)) AS DOUBLE) / 1e24
+               AS syy
       FROM firstpass
     ),
     fit AS (
