@@ -211,8 +211,13 @@ def jensen_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PANEL_SQL},
     s AS (
-      SELECT nk, count(*) AS n, sum(r) / count(*) AS mean_r,
-             sqrt(sum(CASE WHEN r < 0 THEN r * r ELSE 0 END) / count(*)) AS dd
+      SELECT nk, count(*) AS n,
+             CAST(sum(CAST(round(r * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 / count(*)
+               AS mean_r,
+             sqrt(CAST(sum(CASE WHEN r < 0 THEN
+                             CAST(round(r * 1e8) AS HUGEINT)
+                             * CAST(round(r * 1e8) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE) / 1e16 / count(*)) AS dd
       FROM nret GROUP BY nk HAVING count(*) >= {MIN_MONTHS}
     )
     SELECT nation.n_name AS n_name,
@@ -236,15 +241,19 @@ def sortino_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows, no joins past the panel build. Monthly values at 6 dp,
     returns at 8 dp, one expression shape both engines, rounded at 6."""
     nret = _nation_returns(spark, sf_dir)
+    r8 = F.round(F.col("r") * 1e8).cast("long")
     s = (
         nret.groupBy("nk")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum("r") / F.count(F.lit(1))).alias("mean_r"),
+            (F.sum(r8).cast("double") / 1e8 / F.count(F.lit(1))).alias("mean_r"),
             F.sqrt(
                 F.sum(
-                    F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0)
-                )
+                    F.when(
+                        F.col("r") < 0, r8.cast("decimal(19,0)") * r8
+                    ).otherwise(F.lit(0).cast("decimal(19,0)"))
+                ).cast("double")
+                / 1e16
                 / F.count(F.lit(1))
             ).alias("dd"),
         )
@@ -278,18 +287,22 @@ def sortino_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT nk, mi,
              sum(ln(1.0 + r)) OVER (PARTITION BY nk ORDER BY mi) AS li,
              count(*) OVER (PARTITION BY nk) AS n,
-             sum(r) OVER (PARTITION BY nk) AS sr
+             sum(CAST(round(r * 1e8) AS BIGINT)) OVER (PARTITION BY nk) AS sr8
       FROM nret
     ),
     ddown AS (
-      SELECT nk, n, sr,
+      SELECT nk, n, sr8,
              round(1.0 - exp(li - max(li) OVER (PARTITION BY nk ORDER BY mi)), 8)
                AS d
       FROM cum
     ),
     agg AS (
-      SELECT nk, max(n) AS n, max(sr) / max(n) * 12.0 AS ann_ret,
-             max(d) AS mdd, sqrt(sum(d * d) / max(n)) AS ulcer
+      SELECT nk, max(n) AS n,
+             CAST(max(sr8) AS DOUBLE) / 1e8 / max(n) * 12.0 AS ann_ret,
+             max(d) AS mdd,
+             sqrt(CAST(sum(CAST(round(d * 1e8) AS HUGEINT)
+                           * CAST(round(d * 1e8) AS BIGINT)) AS DOUBLE)
+                  / 1e16 / max(n)) AS ulcer
       FROM ddown GROUP BY nk HAVING max(n) >= {MIN_MONTHS}
     )
     SELECT nation.n_name AS n_name,
@@ -326,21 +339,27 @@ def calmar_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mi",
         F.sum(F.log(1.0 + F.col("r"))).over(wcum).alias("li"),
         F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("r").over(wall).alias("sr"),
+        # integer-moments rule: the unordered partition sum of 8-dp r
+        # snaps to its exact 1e-8 grain (the ordered cumsum li is
+        # sequential on both engines and stays double)
+        F.sum(F.round(F.col("r") * 1e8).cast("long")).over(wall).alias("sr8"),
     )
     ddown = cum.select(
         "nk",
         "n",
-        "sr",
+        "sr8",
         F.round(1.0 - F.exp(F.col("li") - F.max("li").over(wcum)), 8).alias("d"),
     )
+    d8 = F.round(F.col("d") * 1e8).cast("long")
     agg = (
         ddown.groupBy("nk")
         .agg(
             F.max("n").alias("n"),
-            (F.max("sr") / F.max("n") * 12.0).alias("ann_ret"),
+            (F.max("sr8").cast("double") / 1e8 / F.max("n") * 12.0).alias("ann_ret"),
             F.max("d").alias("mdd"),
-            F.sqrt(F.sum(F.col("d") * F.col("d")) / F.max("n")).alias("ulcer"),
+            F.sqrt(
+                F.sum(d8.cast("decimal(19,0)") * d8).cast("double") / 1e16 / F.max("n")
+            ).alias("ulcer"),
         )
         .filter(F.col("n") >= MIN_MONTHS)
     )
@@ -373,14 +392,22 @@ def calmar_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PANEL_SQL},
     base AS (
-      SELECT nk, count(*) AS n, round(avg(r), 8) AS mu FROM nret GROUP BY nk
+      SELECT nk, count(*) AS n,
+             round(CAST(sum(CAST(round(r * 1e8) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e8, 8) AS mu FROM nret GROUP BY nk
     ),
     s AS (
       SELECT nret.nk, max(base.n) AS n,
-             sum(CASE WHEN nret.r > 0 THEN nret.r ELSE 0 END) AS gains,
-             sum(CASE WHEN nret.r < 0 THEN -nret.r ELSE 0 END) AS losses,
+             CAST(sum(CASE WHEN nret.r > 0 THEN
+                        CAST(round(nret.r * 1e8) AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / 1e8 AS gains,
+             CAST(sum(CASE WHEN nret.r < 0 THEN
+                        -CAST(round(nret.r * 1e8) AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / 1e8 AS losses,
              max(base.mu) AS mu,
-             sum((nret.r - base.mu) * (nret.r - base.mu)) / max(base.n) AS var_r
+             CAST(sum(CAST(round((nret.r - base.mu) * 1e8) AS HUGEINT)
+                      * CAST(round((nret.r - base.mu) * 1e8) AS BIGINT)) AS DOUBLE)
+               / 1e16 / max(base.n) AS var_r
       FROM nret JOIN base ON base.nk = nret.nk
       GROUP BY nret.nk HAVING max(base.n) >= {MIN_MONTHS}
     )
@@ -405,20 +432,28 @@ def omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance pass demeans identical values on both engines) — no work
     past the panel. Rounded at 6."""
     nret = _nation_returns(spark, sf_dir)
+    r8 = F.round(F.col("r") * 1e8).cast("long")
     base = nret.groupBy("nk").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("r"), 8).alias("mu")
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(r8).cast("double") / F.count(F.lit(1)) / 1e8, 8).alias("mu"),
     )
+    d8 = F.round((F.col("r") - F.col("mu")) * 1e8).cast("long")
     s = (
         nret.join(base, "nk")
         .groupBy("nk")
         .agg(
             F.max("n").alias("n"),
-            F.sum(F.when(F.col("r") > 0, F.col("r")).otherwise(0.0)).alias("gains"),
-            F.sum(F.when(F.col("r") < 0, -F.col("r")).otherwise(0.0)).alias("losses"),
+            (
+                F.sum(F.when(F.col("r") > 0, r8).otherwise(F.lit(0))).cast("double")
+                / 1e8
+            ).alias("gains"),
+            (
+                F.sum(F.when(F.col("r") < 0, -r8).otherwise(F.lit(0))).cast("double")
+                / 1e8
+            ).alias("losses"),
             F.max("mu").alias("mu"),
             (
-                F.sum((F.col("r") - F.col("mu")) * (F.col("r") - F.col("mu")))
-                / F.max("n")
+                F.sum(d8.cast("decimal(19,0)") * d8).cast("double") / 1e16 / F.max("n")
             ).alias("var_r"),
         )
         .filter(F.col("n") >= MIN_MONTHS)
@@ -453,12 +488,16 @@ def omega_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nret JOIN mret ON nret.mi = mret.mi
     ),
     base AS (
-      SELECT nk, count(*) AS n, round(avg(a), 8) AS mean_a FROM act GROUP BY nk
+      SELECT nk, count(*) AS n,
+             round(CAST(sum(CAST(round(a * 1e8) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e8, 8) AS mean_a FROM act GROUP BY nk
     ),
     s AS (
       SELECT act.nk, max(base.n) AS n, max(base.mean_a) AS mean_a,
-             sqrt(sum((act.a - base.mean_a) * (act.a - base.mean_a))
-                  / (max(base.n) - 1)) AS te
+             sqrt(CAST(sum(CAST(round((act.a - base.mean_a) * 1e8) AS HUGEINT)
+                           * CAST(round((act.a - base.mean_a) * 1e8) AS BIGINT))
+                       AS DOUBLE)
+                  / 1e16 / (max(base.n) - 1)) AS te
       FROM act JOIN base ON base.nk = act.nk
       GROUP BY act.nk HAVING max(base.n) >= {MIN_MONTHS}
     )
@@ -487,9 +526,14 @@ def information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     act = nret.join(F.broadcast(mret), "mi").select(
         "nk", F.round(F.col("r") - F.col("m"), 8).alias("a")
     )
+    a8 = F.round(F.col("a") * 1e8).cast("long")
     base = act.groupBy("nk").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("a"), 8).alias("mean_a")
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(a8).cast("double") / F.count(F.lit(1)) / 1e8, 8).alias(
+            "mean_a"
+        ),
     )
+    d8 = F.round((F.col("a") - F.col("mean_a")) * 1e8).cast("long")
     s = (
         act.join(base, "nk")
         .groupBy("nk")
@@ -497,7 +541,8 @@ def information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").alias("n"),
             F.max("mean_a").alias("mean_a"),
             F.sqrt(
-                F.sum((F.col("a") - F.col("mean_a")) * (F.col("a") - F.col("mean_a")))
+                F.sum(d8.cast("decimal(19,0)") * d8).cast("double")
+                / 1e16
                 / (F.max("n") - 1)
             ).alias("te"),
         )
@@ -540,7 +585,8 @@ def information_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT mi, count(*) AS n_days,
-             round(avg(impact) * 1000.0, 6) AS amihud
+             round(CAST(sum(CAST(round(impact * 1e12) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e12 * 1000.0, 6) AS amihud
       FROM dret GROUP BY mi HAVING count(*) >= 5
     )
     SELECT CAST(mi AS BIGINT) AS mi,
@@ -578,7 +624,13 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         dret.groupBy("mi")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.avg("impact") * 1000.0, 6).alias("amihud"),
+            F.round(
+                F.sum(F.round(F.col("impact") * 1e12).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e12
+                * 1000.0,
+                6,
+            ).alias("amihud"),
         )
         .filter(F.col("n_days") >= 5)
     )
@@ -978,18 +1030,29 @@ BRINSON_PORT_REGION = "EUROPE"
     ),
     b AS (
       SELECT segment,
-             sum(CASE WHEN yr = {BRINSON_PRIOR_YEAR} THEN rev ELSE 0 END) AS prior,
-             sum(CASE WHEN yr = {BRINSON_CURR_YEAR} THEN rev ELSE 0 END) AS curr
+             CAST(sum(CASE WHEN yr = {BRINSON_PRIOR_YEAR}
+                      THEN CAST(round(rev * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / 100 AS prior,
+             CAST(sum(CASE WHEN yr = {BRINSON_CURR_YEAR}
+                      THEN CAST(round(rev * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / 100 AS curr
       FROM seg GROUP BY segment
     ),
     p AS (
       SELECT segment,
-             sum(CASE WHEN yr = {BRINSON_PRIOR_YEAR} THEN rev ELSE 0 END) AS prior,
-             sum(CASE WHEN yr = {BRINSON_CURR_YEAR} THEN rev ELSE 0 END) AS curr
+             CAST(sum(CASE WHEN yr = {BRINSON_PRIOR_YEAR}
+                      THEN CAST(round(rev * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / 100 AS prior,
+             CAST(sum(CASE WHEN yr = {BRINSON_CURR_YEAR}
+                      THEN CAST(round(rev * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+               / 100 AS curr
       FROM seg WHERE in_port = 1 GROUP BY segment
     ),
     tots AS (
-      SELECT (SELECT sum(prior) FROM b) AS bt, (SELECT sum(prior) FROM p) AS pt
+      SELECT (SELECT CAST(sum(CAST(round(prior * 100) AS BIGINT)) AS DOUBLE) / 100
+              FROM b) AS bt,
+             (SELECT CAST(sum(CAST(round(prior * 100) AS BIGINT)) AS DOUBLE) / 100
+              FROM p) AS pt
     ),
     eff AS (
       SELECT b.segment,
@@ -1052,20 +1115,51 @@ def brinson_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
     )
+    revc = F.round(F.col("rev") * 100).cast("long")
     b = seg.groupBy("segment").agg(
-        F.sum(F.when(F.col("yr") == BRINSON_PRIOR_YEAR, F.col("rev")).otherwise(0)).alias("prior"),
-        F.sum(F.when(F.col("yr") == BRINSON_CURR_YEAR, F.col("rev")).otherwise(0)).alias("curr"),
+        (
+            F.sum(
+                F.when(F.col("yr") == BRINSON_PRIOR_YEAR, revc).otherwise(F.lit(0))
+            ).cast("double")
+            / 100
+        ).alias("prior"),
+        (
+            F.sum(
+                F.when(F.col("yr") == BRINSON_CURR_YEAR, revc).otherwise(F.lit(0))
+            ).cast("double")
+            / 100
+        ).alias("curr"),
     )
     p = (
         seg.filter(F.col("in_port") == 1)
         .groupBy("segment")
         .agg(
-            F.sum(F.when(F.col("yr") == BRINSON_PRIOR_YEAR, F.col("rev")).otherwise(0)).alias("pprior"),
-            F.sum(F.when(F.col("yr") == BRINSON_CURR_YEAR, F.col("rev")).otherwise(0)).alias("pcurr"),
+            (
+                F.sum(
+                    F.when(F.col("yr") == BRINSON_PRIOR_YEAR, revc).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / 100
+            ).alias("pprior"),
+            (
+                F.sum(
+                    F.when(F.col("yr") == BRINSON_CURR_YEAR, revc).otherwise(F.lit(0))
+                ).cast("double")
+                / 100
+            ).alias("pcurr"),
         )
     )
-    bt = b.agg(F.sum("prior").alias("bt"))
-    pt = p.agg(F.sum("pprior").alias("pt"))
+    bt = b.agg(
+        (
+            F.sum(F.round(F.col("prior") * 100).cast("long")).cast("double") / 100
+        ).alias("bt")
+    )
+    pt = p.agg(
+        (
+            F.sum(F.round(F.col("pprior") * 100).cast("long")).cast("double") / 100
+        ).alias("pt")
+    )
     eff = (
         b.join(p, "segment")
         .crossJoin(F.broadcast(bt))
@@ -1146,7 +1240,8 @@ FM_Z95 = 1.959964
              (k * sbb - sb * sb) / k AS sbb_dev
       FROM xs
     ),
-    mkt AS (SELECT round(avg(m), 8) AS mean_m FROM mret)
+    mkt AS (SELECT round(CAST(sum(CAST(round(m * 1e8) AS BIGINT)) AS DOUBLE)
+                         / count(*) / 1e8, 8) AS mean_m FROM mret)
     SELECT CAST(fit.k AS BIGINT) AS n_nations,
            round(fit.g0, 6) AS gamma0_zero_beta,
            round(fit.g1, 6) AS gamma1_risk_premium,
@@ -1174,11 +1269,7 @@ def fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
     mret = _market_returns(spark, sf_dir)
     j = nret.join(F.broadcast(mret), "mi").select("nk", "r", "m")
     mom = j.groupBy("nk").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("r").alias("sr"),
-        F.sum("m").alias("sm"),
-        F.sum(F.col("r") * F.col("m")).alias("srm"),
-        F.sum(F.col("m") * F.col("m")).alias("smm"),
+        F.count(F.lit(1)).alias("n"), *_capm_moment_aggs()
     )
     beta = (F.col("n") * F.col("srm") - F.col("sr") * F.col("sm")) / (
         F.col("n") * F.col("smm") - F.col("sm") * F.col("sm")
@@ -1186,13 +1277,18 @@ def fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
     firstpass = mom.filter(F.col("n") >= MIN_MONTHS).select(
         beta.alias("beta"), (F.col("sr") / F.col("n")).alias("mean_r")
     )
+    # second-pass cross-section moments: beta/mean_r are raw doubles —
+    # snap at a 1e-12 grain (identical on both engines once the first
+    # pass is exact) so the k<=25-term sums are order-exact
+    b12 = F.round(F.col("beta") * 1e12).cast("long")
+    y12 = F.round(F.col("mean_r") * 1e12).cast("long")
     xs = firstpass.agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum("beta").alias("sb"),
-        F.sum("mean_r").alias("sy"),
-        F.sum(F.col("beta") * F.col("beta")).alias("sbb"),
-        F.sum(F.col("beta") * F.col("mean_r")).alias("sby"),
-        F.sum(F.col("mean_r") * F.col("mean_r")).alias("syy"),
+        (F.sum(b12).cast("double") / 1e12).alias("sb"),
+        (F.sum(y12).cast("double") / 1e12).alias("sy"),
+        (F.sum(b12.cast("decimal(19,0)") * b12).cast("double") / 1e24).alias("sbb"),
+        (F.sum(b12.cast("decimal(19,0)") * y12).cast("double") / 1e24).alias("sby"),
+        (F.sum(y12.cast("decimal(19,0)") * y12).cast("double") / 1e24).alias("syy"),
     )
     g1 = (F.col("k") * F.col("sby") - F.col("sb") * F.col("sy")) / (
         F.col("k") * F.col("sbb") - F.col("sb") * F.col("sb")
@@ -1212,7 +1308,14 @@ def fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sbb_dev"
         ),
     )
-    mkt = mret.agg(F.round(F.avg("m"), 8).alias("mean_m"))
+    mkt = mret.agg(
+        F.round(
+            F.sum(F.round(F.col("m") * 1e8).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e8,
+            8,
+        ).alias("mean_m")
+    )
     t = F.col("g1") / F.sqrt((F.col("ssr") / (F.col("k") - 2)) / F.col("sbb_dev"))
     return fit.crossJoin(F.broadcast(mkt)).select(
         F.col("k").cast("long").alias("n_nations"),
@@ -1263,20 +1366,33 @@ MOM_MIN_BOOKS = 8  # require at least this many books with signal AND next-month
     ),
     legs AS (
       SELECT mi,
-             avg(CASE WHEN rnk <= greatest(2, cm // 4) THEN rn END) AS long_r,
-             avg(CASE WHEN rnk > cm - greatest(2, cm // 4) THEN rn END) AS short_r
+             CAST(sum(CASE WHEN rnk <= greatest(2, cm // 4)
+                      THEN CAST(round(rn * 1e8) AS BIGINT) END) AS DOUBLE) / 1e8
+               / count(CASE WHEN rnk <= greatest(2, cm // 4) THEN 1 END) AS long_r,
+             CAST(sum(CASE WHEN rnk > cm - greatest(2, cm // 4)
+                      THEN CAST(round(rn * 1e8) AS BIGINT) END) AS DOUBLE) / 1e8
+               / count(CASE WHEN rnk > cm - greatest(2, cm // 4) THEN 1 END)
+               AS short_r
       FROM ranked
       GROUP BY mi
     ),
     spread AS (
       SELECT mi, round(long_r - short_r, 8) AS sp FROM legs
     ),
-    agg AS (
-      SELECT count(*) AS n, avg(sp) AS mu,
-             sqrt((sum(sp * sp) - count(*) * avg(sp) * avg(sp))
-                  / nullif(count(*) - 1, 0)) AS sd,
+    aggm AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(sp * 1e8) AS BIGINT)) AS DOUBLE) / count(*) / 1e8
+               AS mu,
+             CAST(sum(CAST(round(sp * 1e8) AS HUGEINT)
+                      * CAST(round(sp * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS spp,
              avg(CASE WHEN sp > 0 THEN 1.0 ELSE 0.0 END) AS hit
       FROM spread
+    ),
+    agg AS (
+      SELECT n, mu,
+             sqrt((spp - n * mu * mu) / nullif(n - 1, 0)) AS sd,
+             hit
+      FROM aggm
     )
     SELECT CAST(n AS BIGINT) AS n_months,
            round(mu, 6) AS mean_spread,
@@ -1324,31 +1440,39 @@ def momentum_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = tradable.join(F.broadcast(full_months), "mi").select(
         "mi", "rn", "cm", F.row_number().over(wr).alias("rnk")
     )
+    rn8 = F.round(F.col("rn") * 1e8).cast("long")
+    long_cond = F.col("rnk") <= F.greatest(F.lit(2), (F.col("cm") / 4).cast("long"))
+    short_cond = F.col("rnk") > F.col("cm") - F.greatest(
+        F.lit(2), (F.col("cm") / 4).cast("long")
+    )
     legs = ranked.groupBy("mi").agg(
-        F.avg(
-            F.when(
-                F.col("rnk")
-                <= F.greatest(F.lit(2), (F.col("cm") / 4).cast("long")),
-                F.col("rn"),
-            )
+        (
+            F.sum(F.when(long_cond, rn8)).cast("double")
+            / 1e8
+            / F.count(F.when(long_cond, F.lit(1)))
         ).alias("long_r"),
-        F.avg(
-            F.when(
-                F.col("rnk")
-                > F.col("cm") - F.greatest(F.lit(2), (F.col("cm") / 4).cast("long")),
-                F.col("rn"),
-            )
+        (
+            F.sum(F.when(short_cond, rn8)).cast("double")
+            / 1e8
+            / F.count(F.when(short_cond, F.lit(1)))
         ).alias("short_r"),
     )
     spread = legs.select(F.round(F.col("long_r") - F.col("short_r"), 8).alias("sp"))
-    agg = spread.agg(
+    sp8 = F.round(F.col("sp") * 1e8).cast("long")
+    aggm = spread.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("sp").alias("mu"),
-        F.sqrt(
-            (F.sum(F.col("sp") * F.col("sp")) - F.count(F.lit(1)) * F.avg("sp") * F.avg("sp"))
-            / F.nullif(F.count(F.lit(1)) - 1, F.lit(0))
-        ).alias("sd"),
+        (F.sum(sp8).cast("double") / F.count(F.lit(1)) / 1e8).alias("mu"),
+        (F.sum(sp8.cast("decimal(19,0)") * sp8).cast("double") / 1e16).alias("spp"),
         F.avg(F.when(F.col("sp") > 0, 1.0).otherwise(0.0)).alias("hit"),
+    )
+    agg = aggm.select(
+        "n",
+        "mu",
+        F.sqrt(
+            (F.col("spp") - F.col("n") * F.col("mu") * F.col("mu"))
+            / F.nullif(F.col("n") - 1, F.lit(0))
+        ).alias("sd"),
+        "hit",
     )
     t = F.col("mu") / F.nullif(
         F.col("sd") / F.sqrt(F.col("n").cast("double")), F.lit(0.0)
@@ -1405,12 +1529,20 @@ def momentum_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (max(cm) * (max(cm) * 1.0 * max(cm) - 1.0)), 8) AS ic
       FROM ranked GROUP BY mi
     ),
-    agg AS (
-      SELECT count(*) AS n, avg(ic) AS mu,
-             sqrt((sum(ic * ic) - count(*) * avg(ic) * avg(ic))
-                  / nullif(count(*) - 1, 0)) AS sd,
+    aggm AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(ic * 1e8) AS BIGINT)) AS DOUBLE) / count(*) / 1e8
+               AS mu,
+             CAST(sum(CAST(round(ic * 1e8) AS HUGEINT)
+                      * CAST(round(ic * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS icc,
              avg(CASE WHEN ic > 0 THEN 1.0 ELSE 0.0 END) AS pos
       FROM ic
+    ),
+    agg AS (
+      SELECT n, mu,
+             sqrt((icc - n * mu * mu) / nullif(n - 1, 0)) AS sd,
+             pos
+      FROM aggm
     )
     SELECT CAST(n AS BIGINT) AS n_months,
            round(mu, 6) AS mean_ic,
@@ -1464,14 +1596,21 @@ def information_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("ic")
     )
-    agg = ic.agg(
+    ic8 = F.round(F.col("ic") * 1e8).cast("long")
+    aggm = ic.agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("ic").alias("mu"),
-        F.sqrt(
-            (F.sum(F.col("ic") * F.col("ic")) - F.count(F.lit(1)) * F.avg("ic") * F.avg("ic"))
-            / F.nullif(F.count(F.lit(1)) - 1, F.lit(0))
-        ).alias("sd"),
+        (F.sum(ic8).cast("double") / F.count(F.lit(1)) / 1e8).alias("mu"),
+        (F.sum(ic8.cast("decimal(19,0)") * ic8).cast("double") / 1e16).alias("icc"),
         F.avg(F.when(F.col("ic") > 0, 1.0).otherwise(0.0)).alias("pos"),
+    )
+    agg = aggm.select(
+        "n",
+        "mu",
+        F.sqrt(
+            (F.col("icc") - F.col("n") * F.col("mu") * F.col("mu"))
+            / F.nullif(F.col("n") - 1, F.lit(0))
+        ).alias("sd"),
+        "pos",
     )
     t = F.col("mu") / F.nullif(F.col("sd") / F.sqrt(F.col("n").cast("double")), F.lit(0.0))
     return agg.select(
