@@ -55,7 +55,8 @@ KW_CHI2_4_95 = 9.487729  # chi-square 4 df, 5%
       SELECT grp.mi, CAST(sum(grp.nj) AS BIGINT) AS n,
              CAST(count(*) AS BIGINT) AS k,
              12.0 / (sum(grp.nj) * (sum(grp.nj) + 1.0))
-               * sum(grp.rj * grp.rj / grp.nj)
+               * (CAST(sum(CAST(round(grp.rj * grp.rj / grp.nj * 1e6) AS HUGEINT))
+                       AS DOUBLE) / 1e6)
                - 3.0 * (sum(grp.nj) + 1.0) AS h
       FROM grp GROUP BY grp.mi HAVING count(*) = 5
     )
@@ -135,7 +136,17 @@ def kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 12.0
                 / (F.sum("nj") * (F.sum("nj") + 1.0))
-                * F.sum(F.col("rj") * F.col("rj") / F.col("nj"))
+                # integer-moments rule: the 5-term R_j^2/n_j sum snaps to a
+                # 1e-6 grain (midranks are exact halves, so the per-group
+                # term is an identical double on both engines)
+                * (
+                    F.sum(
+                        F.round(
+                            F.col("rj") * F.col("rj") / F.col("nj") * 1e6
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 1e6
+                )
                 - 3.0 * (F.sum("nj") + 1.0)
             ).alias("h"),
         )
@@ -175,12 +186,21 @@ TUKEY_Q_5_INF = 3.858  # studentized range q(0.05; k=5, df -> inf)
       JOIN region r ON n.n_regionkey = r.r_regionkey
     ),
     g AS (
-      SELECT rg, count(*) AS n, avg(y) AS m,
-             (sum(y * y) - count(*) * avg(y) * avg(y)) / (count(*) - 1) AS s2
+      SELECT rg, count(*) AS n,
+             CAST(sum(CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100
+               AS m,
+             (CAST(sum(CAST(round(y * 100) AS HUGEINT)
+                       * CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / 1e4
+              - count(*) * (CAST(sum(CAST(round(y * 100) AS BIGINT)) AS DOUBLE)
+                            / count(*) / 100)
+                         * (CAST(sum(CAST(round(y * 100) AS BIGINT)) AS DOUBLE)
+                            / count(*) / 100))
+               / (count(*) - 1) AS s2
       FROM obs GROUP BY rg
     ),
     mse AS (
-      SELECT sum((n - 1) * s2) / (sum(n) - count(*)) AS mse FROM g
+      SELECT CAST(sum(CAST(round((n - 1) * s2) AS HUGEINT)) AS DOUBLE)
+               / (sum(n) - count(*)) AS mse FROM g
     )
     SELECT a.rg AS region_i, b.rg AS region_j,
            CAST(a.n AS BIGINT) AS n_i, CAST(b.n AS BIGINT) AS n_j,
@@ -224,17 +244,26 @@ def tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("r_name").alias("rg"), F.col("o_totalprice").alias("y"))
     )
+    # integer-moments rule: y is exact 2-dp money — group moments in cents,
+    # and the 5-term MSE sum snaps to its integer part (relative error
+    # ~1e-18 of the term scale, far under the 6-dp emission)
+    yc = F.round(F.col("y") * 100).cast("long")
+    mean_y = F.sum(yc).cast("double") / F.count(F.lit(1)) / 100
     g = obs.groupBy("rg").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("y").alias("m"),
+        mean_y.alias("m"),
         (
-            (F.sum(F.col("y") * F.col("y")) - F.count(F.lit(1)) * F.avg("y") * F.avg("y"))
+            (
+                F.sum(yc.cast("decimal(19,0)") * yc).cast("double") / 1e4
+                - F.count(F.lit(1)) * mean_y * mean_y
+            )
             / (F.count(F.lit(1)) - 1)
         ).alias("s2"),
     )
     mse = g.agg(
         (
-            F.sum((F.col("n") - 1) * F.col("s2"))
+            F.sum(F.round((F.col("n") - 1) * F.col("s2")).cast("decimal(38,0)"))
+            .cast("double")
             / (F.sum("n") - F.count(F.lit(1)))
         ).alias("mse")
     )
@@ -287,8 +316,16 @@ META_DISC = 0.06  # treatment: any line discounted >= 6% (the q_qini_curve arm)
       LEFT JOIN treated t ON t.l_orderkey = o.o_orderkey
     ),
     arm AS (
-      SELECT rg, tr, count(*) AS n, avg(y) AS m,
-             (sum(y * y) - count(*) * avg(y) * avg(y)) / (count(*) - 1) AS s2
+      SELECT rg, tr, count(*) AS n,
+             CAST(sum(CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE) / count(*) / 1e5
+               AS m,
+             (CAST(sum(CAST(round(y * 1e5) AS HUGEINT)
+                       * CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE) / 1e10
+              - count(*) * (CAST(sum(CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE)
+                            / count(*) / 1e5)
+                         * (CAST(sum(CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE)
+                            / count(*) / 1e5))
+               / (count(*) - 1) AS s2
       FROM obs GROUP BY rg, tr
     ),
     study AS (
@@ -299,14 +336,20 @@ META_DISC = 0.06  # treatment: any line discounted >= 6% (the q_qini_curve arm)
     ),
     fe AS (
       SELECT count(*) AS k,
-             sum(d / v) / sum(1.0 / v) AS theta_fe,
-             sum(1.0 / v) AS sw,
-             sum(1.0 / (v * v)) AS sw2
+             (CAST(sum(CAST(round(d / v * 1e12) AS HUGEINT)) AS DOUBLE) / 1e12)
+               / (CAST(sum(CAST(round(1e12 / v) AS HUGEINT)) AS DOUBLE) / 1e12)
+               AS theta_fe,
+             CAST(sum(CAST(round(1e12 / v) AS HUGEINT)) AS DOUBLE) / 1e12 AS sw,
+             CAST(sum(CAST(round(1e12 / (v * v)) AS HUGEINT)) AS DOUBLE) / 1e12
+               AS sw2
       FROM study
     ),
     het AS (
       SELECT fe.k, fe.theta_fe, fe.sw, fe.sw2,
-             (SELECT sum((study.d - fe.theta_fe) * (study.d - fe.theta_fe) / study.v)
+             (SELECT CAST(sum(CAST(round((study.d - fe.theta_fe)
+                                         * (study.d - fe.theta_fe)
+                                         / study.v * 1e12) AS HUGEINT)) AS DOUBLE)
+                / 1e12
               FROM study) AS q_het
       FROM fe
     ),
@@ -321,13 +364,17 @@ META_DISC = 0.06  # treatment: any line discounted >= 6% (the q_qini_curve arm)
            round(sqrt(study.v), 6) AS se,
            round((1.0 / study.v) / re_sw.sw_fe, 6) AS fe_weight,
            round(re.theta_fe, 6) AS pooled_fe,
-           round((SELECT sum(s.d / (s.v + re.tau2)) / sum(1.0 / (s.v + re.tau2))
+           round((SELECT (CAST(sum(CAST(round(s.d / (s.v + re.tau2) * 1e12)
+                                        AS HUGEINT)) AS DOUBLE) / 1e12)
+                         / (CAST(sum(CAST(round(1e12 / (s.v + re.tau2))
+                                          AS HUGEINT)) AS DOUBLE) / 1e12)
                   FROM study s), 6) AS pooled_re,
            round(re.q_het, 6) AS q_het,
            round(re.i2, 6) AS i_squared
     FROM study
     CROSS JOIN re
-    CROSS JOIN (SELECT sum(1.0 / v) AS sw_fe FROM study) re_sw
+    CROSS JOIN (SELECT CAST(sum(CAST(round(1e12 / v) AS HUGEINT)) AS DOUBLE) / 1e12
+                AS sw_fe FROM study) re_sw
     ORDER BY region
     """,
     tags=("stats", "experimentation", "analytics"),
@@ -375,11 +422,18 @@ def meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") / 1000.0).alias("y"),
         )
     )
+    # integer-moments rule: y = totalprice/1000 is an exact multiple of
+    # 1e-5 — arm moments sum exact 1e-5-grain integers
+    y5 = F.round(F.col("y") * 1e5).cast("long")
+    mean_y = F.sum(y5).cast("double") / F.count(F.lit(1)) / 1e5
     arm = obs.groupBy("rg", "tr").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("y").alias("m"),
+        mean_y.alias("m"),
         (
-            (F.sum(F.col("y") * F.col("y")) - F.count(F.lit(1)) * F.avg("y") * F.avg("y"))
+            (
+                F.sum(y5.cast("decimal(19,0)") * y5).cast("double") / 1e10
+                - F.count(F.lit(1)) * mean_y * mean_y
+            )
             / (F.count(F.lit(1)) - 1)
         ).alias("s2"),
     )
@@ -395,18 +449,25 @@ def meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("st") / F.col("nt") + F.col("sc") / F.col("nc"), 8).alias("v"),
     )
     study = study.localCheckpoint(eager=True)  # 5-row model branched 4 ways
+    # 5-study pooling sums snap each term at a 1e-12 grain (d, v are 8-dp
+    # by construction, so every per-study term is an identical double)
+    def _snap12(term):
+        return F.sum(F.round(term * 1e12).cast("decimal(38,0)")).cast("double") / 1e12
+
     fe = study.agg(
         F.count(F.lit(1)).alias("k"),
-        (F.sum(F.col("d") / F.col("v")) / F.sum(1.0 / F.col("v"))).alias("theta_fe"),
-        F.sum(1.0 / F.col("v")).alias("sw"),
-        F.sum(1.0 / (F.col("v") * F.col("v"))).alias("sw2"),
+        (_snap12(F.col("d") / F.col("v")) / _snap12(1.0 / F.col("v"))).alias(
+            "theta_fe"
+        ),
+        _snap12(1.0 / F.col("v")).alias("sw"),
+        _snap12(1.0 / (F.col("v") * F.col("v"))).alias("sw2"),
     )
     het = study.crossJoin(F.broadcast(fe)).agg(
         F.max("k").alias("k"),
         F.max("theta_fe").alias("theta_fe"),
         F.max("sw").alias("sw"),
         F.max("sw2").alias("sw2"),
-        F.sum(
+        _snap12(
             (F.col("d") - F.col("theta_fe"))
             * (F.col("d") - F.col("theta_fe"))
             / F.col("v")
@@ -429,8 +490,8 @@ def meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pooled_re = study.crossJoin(F.broadcast(re)).agg(
         (
-            F.sum(F.col("d") / (F.col("v") + F.col("tau2")))
-            / F.sum(1.0 / (F.col("v") + F.col("tau2")))
+            _snap12(F.col("d") / (F.col("v") + F.col("tau2")))
+            / _snap12(1.0 / (F.col("v") + F.col("tau2")))
         ).alias("theta_re")
     )
     return (
@@ -671,7 +732,8 @@ def cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     smr AS (
       SELECT cells.region,
              CAST(sum(cells.o) AS BIGINT) AS observed,
-             sum(cells.n * std.rate) AS expected
+             CAST(sum(CAST(round(cells.n * std.rate * 1e6) AS HUGEINT)) AS DOUBLE)
+               / 1e6 AS expected
       FROM cells JOIN std ON std.seg = cells.seg
       GROUP BY cells.region
     )
@@ -732,7 +794,12 @@ def indirect_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region")
         .agg(
             F.sum("o").cast("long").alias("observed"),
-            F.sum(F.col("n") * F.col("rate")).alias("expected"),
+            (
+                F.sum(
+                    F.round(F.col("n") * F.col("rate") * 1e6).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e6
+            ).alias("expected"),
         )
     )
     z = (F.col("observed") - F.col("expected")) / F.sqrt(F.col("expected"))
@@ -785,9 +852,13 @@ OK_REGION_B = "ASIA"
       JOIN (SELECT * FROM wr WHERE region = '{OK_REGION_B}') b ON b.seg = a.seg
     ),
     dec AS (
-      SELECT sum(wa * ra) - sum(wb * rb) AS gap,
-             sum((wa - wb) * (ra + rb) / 2.0) AS mix_effect,
-             sum(((wa + wb) / 2.0) * (ra - rb)) AS rate_effect
+      SELECT CAST(sum(CAST(round(wa * ra * 1e15) AS BIGINT)) AS DOUBLE) / 1e15
+             - CAST(sum(CAST(round(wb * rb * 1e15) AS BIGINT)) AS DOUBLE) / 1e15
+               AS gap,
+             CAST(sum(CAST(round((wa - wb) * (ra + rb) / 2.0 * 1e15) AS BIGINT))
+                  AS DOUBLE) / 1e15 AS mix_effect,
+             CAST(sum(CAST(round(((wa + wb) / 2.0) * (ra - rb) * 1e15) AS BIGINT))
+                  AS DOUBLE) / 1e15 AS rate_effect
       FROM sides
     )
     SELECT round(gap, 6) AS total_gap,
@@ -854,16 +925,21 @@ def oaxaca_kitagawa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg", F.col("w").alias("wb"), F.col("rate").alias("rb")
     )
     sides = a.join(b, "seg")
+    # integer-moments rule: the 5-segment product sums snap at a 1e-15
+    # grain (weights/rates are <= 1, so the terms stay far under 2^63)
+    def _snap15(term):
+        return F.sum(F.round(term * 1e15).cast("long")).cast("double") / 1e15
+
     dec = sides.agg(
         (
-            F.sum(F.col("wa") * F.col("ra")) - F.sum(F.col("wb") * F.col("rb"))
+            _snap15(F.col("wa") * F.col("ra")) - _snap15(F.col("wb") * F.col("rb"))
         ).alias("gap"),
-        F.sum((F.col("wa") - F.col("wb")) * (F.col("ra") + F.col("rb")) / 2.0).alias(
+        _snap15((F.col("wa") - F.col("wb")) * (F.col("ra") + F.col("rb")) / 2.0).alias(
             "mix_effect"
         ),
-        F.sum(((F.col("wa") + F.col("wb")) / 2.0) * (F.col("ra") - F.col("rb"))).alias(
-            "rate_effect"
-        ),
+        _snap15(
+            ((F.col("wa") + F.col("wb")) / 2.0) * (F.col("ra") - F.col("rb"))
+        ).alias("rate_effect"),
     )
     return dec.select(
         F.round(F.col("gap"), 6).alias("total_gap"),
@@ -1396,7 +1472,8 @@ _LEVENE_SQL = f"""
     ),
     month AS (
       SELECT mi, CAST(sum(nj) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
-             sum(bj) AS sum_b, sum(qj - bj) AS ssw4,
+             CAST(sum(CAST(round(bj) AS HUGEINT)) AS DOUBLE) AS sum_b,
+             CAST(sum(CAST(round(qj - bj) AS HUGEINT)) AS DOUBLE) AS ssw4,
              CAST(sum(sj) AS DOUBLE) AS s_all
       FROM terms GROUP BY mi HAVING count(*) = 5
     ),
@@ -1478,8 +1555,15 @@ def levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("nj").cast("long").alias("n"),
             F.count(F.lit(1)).cast("long").alias("k"),
-            F.sum("bj").alias("sum_b"),
-            F.sum(F.col("qj") - F.col("bj")).alias("ssw4"),
+            # integer-moments rule: bj/ssw4 terms are ~1e18-scale doubles —
+            # snapping to their integer part makes the 5-term sums exact
+            # (relative error ~1e-18, far below the 6-dp emission of w)
+            F.sum(F.round(F.col("bj")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sum_b"),
+            F.sum(F.round(F.col("qj") - F.col("bj")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("ssw4"),
             F.sum("sj").cast("double").alias("s_all"),
         )
         .filter(F.col("k") == 5)
