@@ -655,7 +655,9 @@ def _shapley_oracle() -> str:
       JOIN stats s0 ON (s0.cmask & c.bit) = 0
       JOIN stats s1 ON s1.cmask = s0.cmask + c.bit
     )
-    SELECT channel, round(sum(term) / 100, 4) AS shapley_revenue
+    SELECT channel,
+           round(CAST(sum(CAST(round(term * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / 100,
+                 4) AS shapley_revenue
     FROM contrib GROUP BY channel
     """
 
@@ -729,7 +731,12 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("channel", (w * (F.col("v1") - F.col("v0"))).alias("term"))
     )
     return contrib.groupBy("channel").agg(
-        F.round(F.sum("term") / 100, 4).alias("shapley_revenue")
+        F.round(
+            F.sum(F.round(F.col("term") * 1e6).cast("long")).cast("double")
+            / 1e6
+            / 100,
+            4,
+        ).alias("shapley_revenue")
     )
 
 
@@ -920,7 +927,10 @@ IPW_TREAT_SEG = "BUILDING"  # the "treated" market segment
       FROM base b JOIN prop p USING (nationkey)
     ),
     arms AS (
-      SELECT tr, count(*) AS n, sum(wt) AS sw, sum(wt * y) AS swy, sum(y) AS sy
+      SELECT tr, count(*) AS n,
+             CAST(sum(CAST(round(wt * 1e9) AS HUGEINT)) AS DOUBLE) / 1e9 AS sw,
+             CAST(sum(CAST(round(wt * y * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6 AS swy,
+             CAST(sum(CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / 100 AS sy
       FROM w GROUP BY tr
     )
     SELECT CAST(t.n AS BIGINT) AS n_treated,
@@ -966,11 +976,24 @@ def ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 / (1.0 - F.col("e"))
         ).alias("wt"),
     )
+    # integer-moments rule: the arm reductions snap each term to an exact
+    # integer grain (wt at 1e-9, wt*y at 1e-6, y at cents) so the fact-
+    # table-sized sums are order-exact on both engines
     arms = w.groupBy("tr").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("wt").alias("sw"),
-        F.sum(F.col("wt") * F.col("y")).alias("swy"),
-        F.sum("y").alias("sy"),
+        (
+            F.sum(F.round(F.col("wt") * 1e9).cast("decimal(38,0)")).cast("double")
+            / 1e9
+        ).alias("sw"),
+        (
+            F.sum(
+                F.round(F.col("wt") * F.col("y") * 1e6).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+        ).alias("swy"),
+        (
+            F.sum(F.round(F.col("y") * 100).cast("long")).cast("double") / 100
+        ).alias("sy"),
     )
     t = arms.filter(F.col("tr") == 1).select(
         F.col("n").alias("tn"), F.col("sw").alias("tsw"), F.col("swy").alias("tswy"), F.col("sy").alias("tsy")
@@ -1002,8 +1025,13 @@ def ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     ),
     mo AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
-             sum(z * x) AS szx, sum(z * y) AS szy, sum(z * z) AS szz,
+      SELECT count(*) AS n, sum(x) AS sx,
+             CAST(sum(CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE) / 1e5 AS sy,
+             sum(z) AS sz,
+             sum(z * x) AS szx,
+             CAST(sum(CAST(z AS HUGEINT) * CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE)
+               / 1e5 AS szy,
+             sum(z * z) AS szz,
              sum(x * x) AS sxx
       FROM f
     ),
@@ -1049,13 +1077,18 @@ def iv_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") * 1.0).alias("x"),
         (F.col("p_size") * 1.0).alias("z"),
     )
+    # integer-moments rule: x, z are integer-valued (exact double sums);
+    # y = extendedprice/1000 is an exact 1e-5 multiple — snap its sums
+    y5 = F.round(F.col("y") * 1e5).cast("long")
     mo = f.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
+        (F.sum(y5).cast("double") / 1e5).alias("sy"),
         F.sum("z").alias("sz"),
         F.sum(F.col("z") * F.col("x")).alias("szx"),
-        F.sum(F.col("z") * F.col("y")).alias("szy"),
+        (
+            F.sum(F.col("z").cast("decimal(19,0)") * y5).cast("double") / 1e5
+        ).alias("szy"),
         F.sum(F.col("z") * F.col("z")).alias("szz"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
@@ -1184,13 +1217,16 @@ def regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
     jk AS (
       SELECT max(n) AS n,
              max(ty) * 1.0 / (max(tx) * 100.0) AS r_full,
-             round(avg(ri), 8) AS r_bar
+             round(CAST(sum(CAST(round(ri * 1e9) AS HUGEINT)) AS DOUBLE)
+                   / count(*) / 1e9, 8) AS r_bar
       FROM loo
     ),
     se AS (
       SELECT jk.n, jk.r_full, jk.r_bar,
              sqrt((jk.n - 1.0) / jk.n
-                  * sum((loo.ri - jk.r_bar) * (loo.ri - jk.r_bar))) AS se_jack
+                  * (CAST(sum(CAST(round((loo.ri - jk.r_bar) * 1e9) AS HUGEINT)
+                              * CAST(round((loo.ri - jk.r_bar) * 1e9) AS BIGINT))
+                          AS DOUBLE) / 1e18)) AS se_jack
       FROM loo CROSS JOIN jk
       GROUP BY jk.n, jk.r_full, jk.r_bar
     )
@@ -1237,12 +1273,20 @@ def jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ty",
         "tx",
     )
+    # integer-moments rule: the replicate mean / deviation sums snap at a
+    # 1e-9 grain (every ri is an identical exact-integer ratio)
     jk = loo.agg(
         F.max("n").alias("n"),
         (F.max("ty") * 1.0 / (F.max("tx") * 100.0)).alias("r_full"),
-        F.round(F.avg("ri"), 8).alias("r_bar"),
+        F.round(
+            F.sum(F.round(F.col("ri") * 1e9).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            8,
+        ).alias("r_bar"),
     )
     loo = loo.select("ri")
+    d9 = F.round((F.col("ri") - F.col("r_bar")) * 1e9).cast("long")
     se = (
         loo.crossJoin(F.broadcast(jk))
         .groupBy("n", "r_full", "r_bar")
@@ -1250,7 +1294,7 @@ def jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(
                 (F.col("n") - 1.0)
                 / F.col("n")
-                * F.sum((F.col("ri") - F.col("r_bar")) * (F.col("ri") - F.col("r_bar")))
+                * (F.sum(d9.cast("decimal(19,0)") * d9).cast("double") / 1e18)
             ).alias("se_jack")
         )
     )
@@ -1283,8 +1327,16 @@ TOST_Z_90 = 1.644854  # one-sided 5% normal
       WHERE c.c_mktsegment IN ('{TOST_SEG_A}', '{TOST_SEG_B}')
     ),
     g AS (
-      SELECT seg, count(*) AS n, avg(y) AS m,
-             (sum(y * y) - count(*) * avg(y) * avg(y)) / (count(*) - 1) AS s2
+      SELECT seg, count(*) AS n,
+             CAST(sum(CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE) / count(*) / 1e5
+               AS m,
+             (CAST(sum(CAST(round(y * 1e5) AS HUGEINT)
+                       * CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE) / 1e10
+              - count(*) * (CAST(sum(CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE)
+                            / count(*) / 1e5)
+                         * (CAST(sum(CAST(round(y * 1e5) AS BIGINT)) AS DOUBLE)
+                            / count(*) / 1e5))
+               / (count(*) - 1) AS s2
       FROM obs GROUP BY seg
     ),
     w AS (
@@ -1340,11 +1392,17 @@ def tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_mktsegment").alias("seg"), (F.col("o_totalprice") / 1000.0).alias("y"))
     )
+    # integer-moments rule: y = totalprice/1000 is an exact 1e-5 multiple
+    y5 = F.round(F.col("y") * 1e5).cast("long")
+    mean_y = F.sum(y5).cast("double") / F.count(F.lit(1)) / 1e5
     g = obs.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("y").alias("m"),
+        mean_y.alias("m"),
         (
-            (F.sum(F.col("y") * F.col("y")) - F.count(F.lit(1)) * F.avg("y") * F.avg("y"))
+            (
+                F.sum(y5.cast("decimal(19,0)") * y5).cast("double") / 1e10
+                - F.count(F.lit(1)) * mean_y * mean_y
+            )
             / (F.count(F.lit(1)) - 1)
         ).alias("s2"),
     )
