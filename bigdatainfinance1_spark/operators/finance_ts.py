@@ -75,7 +75,8 @@ def cum_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       user_id,
-      round(sum(value * dur_us) / nullif(sum(dur_us), 0), 4) AS twap,
+      round(CAST(sum(CAST(round(value * 100) AS HUGEINT) * dur_us) AS DOUBLE)
+            / 100 / nullif(sum(dur_us), 0), 4) AS twap,
       CAST(sum(dur_us) AS BIGINT)                            AS total_us
     FROM iv
     WHERE dur_us > 0
@@ -96,7 +97,12 @@ def twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = ev.select("user_id", "value", dur.alias("dur_us")).filter(F.col("dur_us") > 0)
     return iv.groupBy("user_id").agg(
         F.round(
-            F.sum(F.col("value") * F.col("dur_us")) / F.nullif(F.sum("dur_us"), F.lit(0)), 4
+            F.sum(
+                F.round(F.col("value") * 100).cast("decimal(19,0)") * F.col("dur_us")
+            ).cast("double")
+            / 100
+            / F.nullif(F.sum("dur_us"), F.lit(0)),
+            4,
         ).alias("twap"),
         F.sum("dur_us").cast("long").alias("total_us"),
     )
@@ -145,12 +151,15 @@ def ewma_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('day', o_orderdate) AS day, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
-    tot AS (SELECT avg(rev) AS mu FROM daily)
+    tot AS (SELECT CAST(sum(CAST(round(rev * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 100 AS mu FROM daily)
     SELECT
       CAST((datediff('day', DATE '1995-01-02', day) % 7 + 7) % 7 AS BIGINT) AS dow_idx,
       count(*) AS n_days,
-      round(avg(rev), 4) AS avg_rev,
-      round(avg(rev) / min(tot.mu), 6) AS seasonal_idx
+      round(CAST(sum(CAST(round(rev * 100) AS BIGINT)) AS DOUBLE)
+            / count(*) / 100, 4) AS avg_rev,
+      round(CAST(sum(CAST(round(rev * 100) AS BIGINT)) AS DOUBLE)
+            / count(*) / 100 / min(tot.mu), 6) AS seasonal_idx
     FROM daily CROSS JOIN tot
     GROUP BY (datediff('day', DATE '1995-01-02', day) % 7 + 7) % 7
     """,
@@ -167,15 +176,18 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev")
     )
-    tot = daily.agg(F.avg("rev").alias("mu"))
+    # integer-moments rule: rev is exact 2-dp — means sum exact cents
+    revc = F.round(F.col("rev") * 100).cast("long")
+    mean_rev = F.sum(revc).cast("double") / F.count(F.lit(1)) / 100
+    tot = daily.agg(mean_rev.alias("mu"))
     dow = ((F.datediff(F.col("day"), F.lit("1995-01-02").cast("date")) % 7 + 7) % 7).cast("long")
     return (
         daily.crossJoin(F.broadcast(tot))
         .groupBy(dow.alias("dow_idx"))
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.avg("rev"), 4).alias("avg_rev"),
-            F.round(F.avg("rev") / F.min("mu"), 6).alias("seasonal_idx"),
+            F.round(mean_rev, 4).alias("avg_rev"),
+            F.round(mean_rev / F.min("mu"), 6).alias("seasonal_idx"),
         )
     )
 
@@ -188,9 +200,11 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
-    stats AS (SELECT avg(rev) AS mu FROM daily),
+    stats AS (SELECT CAST(sum(CAST(round(rev * 100) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 100 AS mu FROM daily),
     denom AS (
-      SELECT sum((rev - mu) * (rev - mu)) AS ss
+      SELECT CAST(sum(CAST(round((rev - mu) * (rev - mu) * 1e4) AS HUGEINT))
+                  AS DOUBLE) / 1e4 AS ss
       FROM daily CROSS JOIN stats
     ),
     lags(k) AS (VALUES (1), (7), (30)),
@@ -204,7 +218,8 @@ def dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(p.k AS BIGINT) AS lag_k,
       count(*) AS n_pairs,
-      round(sum(p.prod) / min(d.ss), 6) AS acf
+      round(CAST(sum(CAST(round(p.prod * 1e4) AS HUGEINT)) AS DOUBLE) / 1e4
+            / min(d.ss), 6) AS acf
     FROM pairs p CROSS JOIN denom d
     GROUP BY p.k
     """,
@@ -224,9 +239,24 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(
         F.date_trunc("day", "o_orderdate").cast("date").alias("day")
     ).agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
-    stats = daily.agg(F.avg("rev").alias("mu"))
+    # integer-moments rule: rev is exact 2-dp; the mean sums exact cents
+    # and the centered sums snap each term at a 1e-4 grain
+    stats = daily.agg(
+        (
+            F.sum(F.round(F.col("rev") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 100
+        ).alias("mu")
+    )
     denom = daily.crossJoin(F.broadcast(stats)).agg(
-        F.sum((F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu"))).alias("ss")
+        (
+            F.sum(
+                F.round(
+                    (F.col("rev") - F.col("mu")) * (F.col("rev") - F.col("mu")) * 1e4
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e4
+        ).alias("ss")
     )
     lags = spark.createDataFrame([(1,), (7,), (30,)], "k int")
     a = daily.select(F.col("day").alias("day_a"), F.col("rev").alias("rev_a"))
@@ -245,7 +275,14 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("k").cast("long").alias("lag_k"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum("prod") / F.min("ss"), 6).alias("acf"),
+            F.round(
+                F.sum(F.round(F.col("prod") * 1e4).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / 1e4
+                / F.min("ss"),
+                6,
+            ).alias("acf"),
         )
     )
 
@@ -257,7 +294,8 @@ def autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT date_trunc('day', o_orderdate) AS day, round(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) / 100e0, 2) AS rev
       FROM orders GROUP BY date_trunc('day', o_orderdate)
     ),
-    mu AS (SELECT avg(rev) AS mu FROM daily),
+    mu AS (SELECT CAST(sum(CAST(round(rev * 100) AS BIGINT)) AS DOUBLE)
+                  / count(*) / 100 AS mu FROM daily),
     cusum AS (
       SELECT day,
         round(sum(rev - mu) OVER (
@@ -290,7 +328,13 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
         F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev")
     )
-    mu = daily.agg(F.avg("rev").alias("mu"))
+    mu = daily.agg(
+        (
+            F.sum(F.round(F.col("rev") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 100
+        ).alias("mu")
+    )
     dev = daily.crossJoin(F.broadcast(mu)).select(
         "day", (F.col("rev") - F.col("mu")).alias("dev")
     )
@@ -750,8 +794,10 @@ def pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
       flag,
       CAST(count(*) AS BIGINT)                             AS n_days,
       round(avg(abs(err)) / 100e0, 2)                      AS mae,
-      round(sqrt(avg((err / 100e0) * (err / 100e0))), 2)   AS rmse,
-      round(avg(abs(err) * 1e0 / cents), 6)                AS mape
+      round(sqrt(CAST(sum(CAST(err AS HUGEINT) * err) AS DOUBLE)
+                 / 1e4 / count(*)), 2)                     AS rmse,
+      round(CAST(sum(CAST(round(abs(err) * 1e12 / cents) AS HUGEINT)) AS DOUBLE)
+            / 1e12 / count(*), 6)                          AS mape
     FROM scored GROUP BY flag
     """,
     tags=("analytics", "finance", "windows"),
@@ -786,8 +832,24 @@ def forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("flag").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
         F.round(F.avg(F.abs("err")) / 100.0, 2).alias("mae"),
-        F.round(F.sqrt(F.avg((F.col("err") / 100.0) * (F.col("err") / 100.0))), 2).alias("rmse"),
-        F.round(F.avg(F.abs("err") * F.lit(1.0) / F.col("cents")), 6).alias("mape"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("err").cast("decimal(19,0)") * F.col("err")).cast("double")
+                / 1e4
+                / F.count(F.lit(1))
+            ),
+            2,
+        ).alias("rmse"),
+        F.round(
+            F.sum(
+                F.round(F.abs("err") * F.lit(1e12) / F.col("cents")).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 1e12
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mape"),
     )
 
 
@@ -843,14 +905,22 @@ _HURST_SQL = """
       WHERE CAST(sxx AS DOUBLE) / n - (t * 1e0 / n) * (t * 1e0 / n) > 0e0
     ),
     points AS (
-      SELECT nk, n, ln(CAST(n AS DOUBLE)) AS lx, ln(avg(ratio)) AS ly
+      SELECT nk, n, ln(CAST(n AS DOUBLE)) AS lx,
+             ln(CAST(sum(CAST(round(ratio * 1e9) AS BIGINT)) AS DOUBLE)
+                / count(*) / 1e9) AS ly
       FROM rs GROUP BY nk, n
     ),
     fit AS (
       SELECT nk,
              CAST(count(*) AS BIGINT) AS n_points,
-             (sum(lx * ly) - sum(lx) * sum(ly) / count(*))
-             / (sum(lx * lx) - sum(lx) * sum(lx) / count(*)) AS slope
+             (CAST(sum(CAST(round(lx * ly * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+              - (CAST(sum(CAST(round(lx * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                * (CAST(sum(CAST(round(ly * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                / count(*))
+             / (CAST(sum(CAST(round(lx * lx * 1e12) AS BIGINT)) AS DOUBLE) / 1e12
+                - (CAST(sum(CAST(round(lx * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                  * (CAST(sum(CAST(round(lx * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                  / count(*)) AS slope
       FROM points GROUP BY nk
     )
     SELECT nk AS nationkey, n_points, round(slope, 4) AS hurst
