@@ -117,15 +117,29 @@ def benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         value
       FROM events WHERE event_type = 'purchase'
     ),
-    m AS (
+    m0 AS (
       SELECT
         count(CASE WHEN grp = 0 THEN 1 END)    AS n_a,
         count(CASE WHEN grp = 1 THEN 1 END)    AS n_b,
-        avg(CASE WHEN grp = 0 THEN value END)  AS mean_a_raw,
-        avg(CASE WHEN grp = 1 THEN value END)  AS mean_b_raw,
-        var_samp(CASE WHEN grp = 0 THEN value END) AS var_a,
-        var_samp(CASE WHEN grp = 1 THEN value END) AS var_b
+        sum(CASE WHEN grp = 0 THEN CAST(round(value * 100) AS BIGINT) END) AS sa,
+        sum(CASE WHEN grp = 1 THEN CAST(round(value * 100) AS BIGINT) END) AS sb,
+        sum(CASE WHEN grp = 0 THEN CAST(round(value * 100) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT) END) AS saa,
+        sum(CASE WHEN grp = 1 THEN CAST(round(value * 100) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT) END) AS sbb
       FROM assigned
+    ),
+    m AS (
+      SELECT n_a, n_b,
+        CAST(sa AS DOUBLE) / n_a / 100 AS mean_a_raw,
+        CAST(sb AS DOUBLE) / n_b / 100 AS mean_b_raw,
+        (CAST(saa AS DOUBLE) / 1e4
+         - n_a * (CAST(sa AS DOUBLE) / n_a / 100) * (CAST(sa AS DOUBLE) / n_a / 100))
+          / (n_a - 1) AS var_a,
+        (CAST(sbb AS DOUBLE) / 1e4
+         - n_b * (CAST(sb AS DOUBLE) / n_b / 100) * (CAST(sb AS DOUBLE) / n_b / 100))
+          / (n_b - 1) AS var_b
+      FROM m0
     )
     SELECT
       n_a, n_b,
@@ -153,13 +167,31 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
         .cast("long") % 2
     )
-    m = ev.select(grp.alias("grp"), "value").agg(
+    # integer-moments rule: value is exact 2-dp — per-arm moments in cents
+    vc = F.round(F.col("value") * 100).cast("long")
+    m0 = ev.select(grp.alias("grp"), "value").agg(
         F.count(F.when(F.col("grp") == 0, 1)).alias("n_a"),
         F.count(F.when(F.col("grp") == 1, 1)).alias("n_b"),
-        F.avg(F.when(F.col("grp") == 0, F.col("value"))).alias("mean_a_raw"),
-        F.avg(F.when(F.col("grp") == 1, F.col("value"))).alias("mean_b_raw"),
-        F.var_samp(F.when(F.col("grp") == 0, F.col("value"))).alias("var_a"),
-        F.var_samp(F.when(F.col("grp") == 1, F.col("value"))).alias("var_b"),
+        F.sum(F.when(F.col("grp") == 0, vc)).alias("sa"),
+        F.sum(F.when(F.col("grp") == 1, vc)).alias("sb"),
+        F.sum(F.when(F.col("grp") == 0, vc.cast("decimal(19,0)") * vc)).alias("saa"),
+        F.sum(F.when(F.col("grp") == 1, vc.cast("decimal(19,0)") * vc)).alias("sbb"),
+    )
+    mean_a = F.col("sa").cast("double") / F.col("n_a") / 100
+    mean_b = F.col("sb").cast("double") / F.col("n_b") / 100
+    m = m0.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a_raw"),
+        mean_b.alias("mean_b_raw"),
+        (
+            (F.col("saa").cast("double") / 1e4 - F.col("n_a") * mean_a * mean_a)
+            / (F.col("n_a") - 1)
+        ).alias("var_a"),
+        (
+            (F.col("sbb").cast("double") / 1e4 - F.col("n_b") * mean_b * mean_b)
+            / (F.col("n_b") - 1)
+        ).alias("var_b"),
     )
     se2_a = F.col("var_a") / F.col("n_a")
     se2_b = F.col("var_b") / F.col("n_b")
@@ -194,7 +226,9 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
       count(CASE WHEN l.l_quantity < c.p05 THEN 1 END) AS n_clipped_low,
       count(CASE WHEN l.l_quantity > c.p95 THEN 1 END) AS n_clipped_high,
       round(avg(l.l_quantity), 4) AS raw_mean,
-      round(avg(greatest(c.p05, least(c.p95, l.l_quantity))), 4) AS winsorized_mean
+      round(CAST(sum(CAST(round(greatest(c.p05, least(c.p95, l.l_quantity)) * 1e6)
+                          AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 4)
+        AS winsorized_mean
     FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
     GROUP BY l.l_returnflag
     """,
@@ -222,7 +256,14 @@ def winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("l_quantity") < F.col("p05"), 1)).alias("n_clipped_low"),
             F.count(F.when(F.col("l_quantity") > F.col("p95"), 1)).alias("n_clipped_high"),
             F.round(F.avg("l_quantity"), 4).alias("raw_mean"),
-            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            # integer-moments rule: clipped values are interpolated
+            # percentile doubles — snap the mean's terms at a 1e-6 grain
+            F.round(
+                F.sum(F.round(clipped * 1e6).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                4,
+            ).alias("winsorized_mean"),
         )
     )
 
@@ -244,7 +285,8 @@ _CHI2_SQL = """
       LEFT JOIN obs ON obs.seg = rt.seg AND obs.pri = ct.pri
     )
     SELECT
-      round(sum((o_ij - e_ij) * (o_ij - e_ij) / e_ij), 4)  AS chi2,
+      round(CAST(sum(CAST(round((o_ij - e_ij) * (o_ij - e_ij) / e_ij * 1e8)
+                          AS DECIMAL(38,0))) AS DOUBLE) / 1e8, 4) AS chi2,
       CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS BIGINT) AS dof,
       CAST(sum(o_ij) AS BIGINT)                            AS n_obs
     FROM cells
@@ -475,24 +517,39 @@ _ANOVA_SQL = """
     WITH g AS (
       SELECT c.c_mktsegment AS seg,
         count(*)            AS n_g,
-        sum(o.o_totalprice) AS s_g,
-        sum(o.o_totalprice * o.o_totalprice) AS ss_g
+        sum(CAST(round(o.o_totalprice * 100) AS DECIMAL(19,0))) AS sc_g,
+        sum(CAST(round(o.o_totalprice * 100) AS DECIMAL(19,0))
+            * CAST(round(o.o_totalprice * 100) AS DECIMAL(19,0))) AS ssc_g
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_mktsegment
     ),
+    gd AS (
+      SELECT seg, n_g,
+             CAST(sc_g AS DOUBLE) / 100 AS s_g,
+             CAST(ssc_g AS DOUBLE) / 1e4 AS ss_g
+      FROM g
+    ),
     tot AS (
-      SELECT sum(n_g) AS n, sum(s_g) AS s, sum(ss_g) AS ss, count(*) AS k FROM g
+      SELECT sum(n_g) AS n,
+             CAST(sum(sc_g) AS DOUBLE) / 100 AS s,
+             CAST(sum(ssc_g) AS DOUBLE) / 1e4 AS ss,
+             count(*) AS k
+      FROM g
+    ),
+    bsum AS (
+      SELECT CAST(sum(CAST(round(s_g * s_g / n_g) AS DECIMAL(38,0))) AS DOUBLE) AS sb
+      FROM gd
     )
     SELECT
       CAST(min(t.k) AS BIGINT) AS k_groups,
       CAST(min(t.n) AS BIGINT) AS n_obs,
-      round((sum(g.s_g * g.s_g / g.n_g) - min(t.s * t.s / t.n)) / 1e6, 2) AS ss_between_m,
-      round((min(t.ss) - sum(g.s_g * g.s_g / g.n_g)) / 1e6, 2)            AS ss_within_m,
+      round((min(b.sb) - min(t.s * t.s / t.n)) / 1e6, 2) AS ss_between_m,
+      round((min(t.ss) - min(b.sb)) / 1e6, 2)            AS ss_within_m,
       round(
-        ((sum(g.s_g * g.s_g / g.n_g) - min(t.s * t.s / t.n)) / (min(t.k) - 1))
-        / ((min(t.ss) - sum(g.s_g * g.s_g / g.n_g)) / (min(t.n) - min(t.k))),
+        ((min(b.sb) - min(t.s * t.s / t.n)) / (min(t.k) - 1))
+        / ((min(t.ss) - min(b.sb)) / (min(t.n) - min(t.k))),
         6) AS f_stat
-    FROM g CROSS JOIN tot t
+    FROM tot t CROSS JOIN bsum b
 """
 
 
@@ -842,13 +899,17 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     bucket_means AS (
-      SELECT decile, avg(value) AS norm_value FROM bucketed GROUP BY decile
+      SELECT decile,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS norm_value
+      FROM bucketed GROUP BY decile
     )
     SELECT
       b.event_type,
       CAST(b.decile AS BIGINT)     AS decile,
       CAST(count(*) AS BIGINT)     AS n,
-      round(avg(b.value), 4)       AS orig_avg,
+      round(CAST(sum(CAST(round(b.value * 100) AS BIGINT)) AS DOUBLE)
+            / count(*) / 100, 4)   AS orig_avg,
       round(min(m.norm_value), 4)  AS norm_avg
     FROM bucketed b JOIN bucket_means m ON b.decile = m.decile
     GROUP BY b.event_type, b.decile
@@ -869,13 +930,16 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     bucketed = ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
-    means = bucketed.groupBy("decile").agg(F.avg("value").alias("norm_value"))
+    # integer-moments rule: value is exact 2-dp — means sum exact cents
+    vc = F.round(F.col("value") * 100).cast("long")
+    cmean = F.sum(vc).cast("double") / F.count(F.lit(1)) / 100
+    means = bucketed.groupBy("decile").agg(cmean.alias("norm_value"))
     return (
         bucketed.join(F.broadcast(means), "decile")
         .groupBy("event_type", "decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg("value"), 4).alias("orig_avg"),
+            F.round(cmean, 4).alias("orig_avg"),
             F.round(F.min("norm_value"), 4).alias("norm_avg"),
         )
         .select(
@@ -983,18 +1047,27 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                           CAST(b AS VARCHAR)), 1, 1)) - 1) % 2 = 0
     ),
     reps AS (
-      SELECT event_type, b, avg(value) AS rep_mean, count(*) AS n_b
+      SELECT event_type, b,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS rep_mean,
+             count(*) AS n_b
       FROM kept GROUP BY event_type, b
     ),
     full_mean AS (
-      SELECT event_type, avg(value) AS mu, count(*) AS n FROM events GROUP BY event_type
+      SELECT event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / count(*) / 100 AS mu,
+             count(*) AS n
+      FROM events GROUP BY event_type
     )
     SELECT
       f.event_type,
       CAST(f.n AS BIGINT)                       AS n,
       round(f.mu, 4)                            AS mean_value,
       CAST(count(*) AS BIGINT)                  AS n_replicates,
-      round(sqrt(avg((r.rep_mean - f.mu) * (r.rep_mean - f.mu))), 4) AS half_sample_se
+      round(sqrt(CAST(sum(CAST(round((r.rep_mean - f.mu) * (r.rep_mean - f.mu)
+                                     * 1e12) AS HUGEINT)) AS DOUBLE)
+                 / 1e12 / count(*)), 4) AS half_sample_se
     FROM reps r JOIN full_mean f ON r.event_type = f.event_type
     GROUP BY f.event_type, f.n, f.mu
     """,
@@ -1023,17 +1096,26 @@ def halfsample_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nib = F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(key), 1, 1)) - 1
     kept = assigned.filter(nib % 2 == 0)
-    reps = kept.groupBy("event_type", "b").agg(F.avg("value").alias("rep_mean"))
+    # integer-moments rule: value is exact 2-dp — means sum exact cents;
+    # the 16-replicate deviation sum snaps at a 1e-12 grain
+    vc = F.round(F.col("value") * 100).cast("long")
+    cmean = F.sum(vc).cast("double") / F.count(F.lit(1)) / 100
+    reps = kept.groupBy("event_type", "b").agg(cmean.alias("rep_mean"))
     full = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.count(F.lit(1)).cast("long").alias("n")
+        cmean.alias("mu"), F.count(F.lit(1)).cast("long").alias("n")
     )
+    dsq = (F.col("rep_mean") - F.col("mu")) * (F.col("rep_mean") - F.col("mu"))
     return (
         reps.join(full, "event_type")
         .groupBy("event_type", "n", "mu")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_replicates"),
             F.round(
-                F.sqrt(F.avg((F.col("rep_mean") - F.col("mu")) * (F.col("rep_mean") - F.col("mu")))),
+                F.sqrt(
+                    F.sum(F.round(dsq * 1e12).cast("decimal(38,0)")).cast("double")
+                    / 1e12
+                    / F.count(F.lit(1))
+                ),
                 4,
             ).alias("half_sample_se"),
         )
@@ -1059,20 +1141,26 @@ def halfsample_se(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN med m ON e.event_type = m.event_type
     ),
     g AS (
-      SELECT event_type, count(*) AS n_g, avg(z) AS zbar_g, sum(z) AS zsum_g
+      SELECT event_type, count(*) AS n_g,
+             CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6
+               AS zbar_g,
+             sum(CAST(round(z * 1e6) AS BIGINT)) AS zsum6_g
       FROM dev GROUP BY event_type
     ),
     tot AS (
-      SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(zsum_g) / sum(n_g) AS zbar,
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(zsum6_g) AS DOUBLE) / sum(n_g) / 1e6 AS zbar,
              CAST(count(*) AS BIGINT) AS k
       FROM g
     ),
     between_ss AS (
-      SELECT sum(n_g * (zbar_g - t.zbar) * (zbar_g - t.zbar)) AS ssb
+      SELECT CAST(sum(CAST(round(n_g * (zbar_g - t.zbar) * (zbar_g - t.zbar) * 1e6)
+                           AS HUGEINT)) AS DOUBLE) / 1e6 AS ssb
       FROM g CROSS JOIN tot t
     ),
     within_ss AS (
-      SELECT sum((d.z - g.zbar_g) * (d.z - g.zbar_g)) AS ssw
+      SELECT CAST(sum(CAST(round((d.z - g.zbar_g) * (d.z - g.zbar_g) * 1e6)
+                           AS HUGEINT)) AS DOUBLE) / 1e6 AS ssw
       FROM dev d JOIN g ON d.event_type = g.event_type
     )
     SELECT
@@ -1101,25 +1189,49 @@ def brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
     )
+    # integer-moments rule: z = |value - 6-dp median| is an exact 1e-6
+    # multiple — group means sum exact grains; SS terms snap at 1e-6
+    z6 = F.round(F.col("z") * 1e6).cast("long")
     g = dev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_g"), F.avg("z").alias("zbar_g"), F.sum("z").alias("zsum_g")
+        F.count(F.lit(1)).alias("n_g"),
+        (F.sum(z6).cast("double") / F.count(F.lit(1)) / 1e6).alias("zbar_g"),
+        F.sum(z6).alias("zsum6_g"),
     )
     tot = g.agg(
         F.sum("n_g").cast("long").alias("n"),
-        (F.sum("zsum_g") / F.sum("n_g")).alias("zbar"),
+        (F.sum("zsum6_g").cast("double") / F.sum("n_g") / 1e6).alias("zbar"),
         F.count(F.lit(1)).cast("long").alias("k"),
     )
     ssb = (
         g.crossJoin(F.broadcast(tot))
         .agg(
-            F.sum(
-                F.col("n_g") * (F.col("zbar_g") - F.col("zbar")) * (F.col("zbar_g") - F.col("zbar"))
+            (
+                F.sum(
+                    F.round(
+                        F.col("n_g")
+                        * (F.col("zbar_g") - F.col("zbar"))
+                        * (F.col("zbar_g") - F.col("zbar"))
+                        * 1e6
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e6
             ).alias("ssb")
         )
     )
     ssw = (
         dev.join(F.broadcast(g.select("event_type", "zbar_g")), "event_type")
-        .agg(F.sum((F.col("z") - F.col("zbar_g")) * (F.col("z") - F.col("zbar_g"))).alias("ssw"))
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("z") - F.col("zbar_g"))
+                        * (F.col("z") - F.col("zbar_g"))
+                        * 1e6
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e6
+            ).alias("ssw")
+        )
     )
     return (
         tot.crossJoin(F.broadcast(ssb))
@@ -1203,9 +1315,10 @@ def power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(sum(x) AS BIGINT) AS tx,
         CAST(sum(n) AS BIGINT) AS tn,
         CAST(count(*) AS BIGINT) AS k,
-        sum((x * 1e0 / n) * (x * 1e0 / n)) AS srr,
-        sum(x * 1e0 / n)                   AS sr,
-        sum(1e0 / n)                       AS sinv
+        CAST(sum(CAST(round((x * 1e0 / n) * (x * 1e0 / n) * 1e12) AS BIGINT))
+             AS DOUBLE) / 1e12 AS srr,
+        CAST(sum(CAST(round(x * 1e12 / n) AS BIGINT)) AS DOUBLE) / 1e12 AS sr,
+        CAST(sum(CAST(round(1e12 / n) AS BIGINT)) AS DOUBLE) / 1e12 AS sinv
       FROM cells
     ),
     prior AS (
@@ -1264,9 +1377,20 @@ def eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("tx"),
         F.sum("n").cast("long").alias("tn"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum(r * r).alias("srr"),
-        F.sum(r).alias("sr"),
-        F.sum(F.lit(1.0) / F.col("n")).alias("sinv"),
+        # integer-moments rule: the ~125-cell rate sums snap at 1e-12
+        (F.sum(F.round(r * r * 1e12).cast("long")).cast("double") / 1e12).alias(
+            "srr"
+        ),
+        (
+            F.sum(F.round(F.col("x") * F.lit(1e12) / F.col("n")).cast("long")).cast(
+                "double"
+            )
+            / 1e12
+        ).alias("sr"),
+        (
+            F.sum(F.round(F.lit(1e12) / F.col("n")).cast("long")).cast("double")
+            / 1e12
+        ).alias("sinv"),
     )
     m = F.col("tx") * F.lit(1.0) / F.col("tn")
     var_b = F.greatest(
@@ -1323,7 +1447,8 @@ def _poisson_bootstrap_sql() -> str:
     )
     SELECT
       CAST(count(*) AS BIGINT)         AS n_replicates,
-      round(avg(m), 4)                 AS boot_mean,
+      round(CAST(sum(CAST(round(m * 1e9) AS HUGEINT)) AS DOUBLE)
+            / count(*) / 1e9, 4)       AS boot_mean,
       round(quantile_cont(m, 0.025), 4) AS ci_lo,
       round(quantile_cont(m, 0.975), 4) AS ci_hi
     FROM rep_means
@@ -1372,7 +1497,12 @@ def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rep.agg(
         F.count(F.lit(1)).cast("long").alias("n_replicates"),
-        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(
+            F.sum(F.round(F.col("m") * 1e9).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            4,
+        ).alias("boot_mean"),
         F.round(F.percentile("m", F.lit(0.025)), 4).alias("ci_lo"),
         F.round(F.percentile("m", F.lit(0.975)), 4).alias("ci_hi"),
     )
