@@ -729,8 +729,7 @@ def ohlc_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT
         date_trunc('day', o_orderdate) AS day,
-        sum(o_totalprice)              AS rev,
-        CAST(count(*) AS DOUBLE)       AS nd,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
         count(*)                       AS n_orders
       FROM orders
       GROUP BY date_trunc('day', o_orderdate)
@@ -738,11 +737,11 @@ def ohlc_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     win AS (
       SELECT day, n_orders,
         CAST(count(*) OVER w AS DOUBLE) AS n,
-        sum(rev) OVER w       AS sx,
-        sum(nd) OVER w        AS sy,
-        sum(rev * rev) OVER w AS sxx,
-        sum(nd * nd) OVER w   AS syy,
-        sum(rev * nd) OVER w  AS sxy
+        CAST(sum(cents) OVER w AS DOUBLE) / 100 AS sx,
+        CAST(sum(n_orders) OVER w AS DOUBLE) AS sy,
+        CAST(sum(CAST(cents AS HUGEINT) * cents) OVER w AS DOUBLE) / 1e4 AS sxx,
+        CAST(sum(n_orders * n_orders) OVER w AS DOUBLE) AS syy,
+        CAST(sum(cents * n_orders) OVER w AS DOUBLE) / 100 AS sxy
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
     )
@@ -765,19 +764,26 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     series ⇒ single-partition window here; in production the window
     partitions by instrument, which bounds state and parallelizes."""
     orders = load_table(spark, sf_dir, "orders")
+    # integer-moments rule: the windowed moment sums run over exact
+    # integers (cents / counts), so they are exact under any summation
+    # tree; doubles appear only in the closed form
     daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
-        F.sum("o_totalprice").alias("rev"),
-        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
     def corr_cols(w):
         n = F.count(F.lit(1)).over(w).cast("double")
-        sx = F.sum("rev").over(w)
-        sy = F.sum("nd").over(w)
-        sxx = F.sum(F.col("rev") * F.col("rev")).over(w)
-        syy = F.sum(F.col("nd") * F.col("nd")).over(w)
-        sxy = F.sum(F.col("rev") * F.col("nd")).over(w)
+        sx = F.sum("cents").over(w).cast("double") / 100
+        sy = F.sum("n_orders").over(w).cast("double")
+        sxx = (
+            F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents"))
+            .over(w)
+            .cast("double")
+            / 1e4
+        )
+        syy = F.sum(F.col("n_orders") * F.col("n_orders")).over(w).cast("double")
+        sxy = F.sum(F.col("cents") * F.col("n_orders")).over(w).cast("double") / 100
         denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         return [
             F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 4).alias("corr_30d")
@@ -964,15 +970,32 @@ def gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_bollinger_bands",
     oracle=f"""
+    WITH win AS (
+      SELECT
+        day,
+        rev,
+        count(*) OVER w AS n,
+        CAST(sum(CAST(round(rev * 100) AS BIGINT)) OVER w AS DOUBLE)
+          / count(*) OVER w / 100 AS ma,
+        CAST(sum(CAST(round(rev * 100) AS HUGEINT)
+                 * CAST(round(rev * 100) AS BIGINT)) OVER w AS DOUBLE) / 1e4 AS ss
+      FROM ({_DAILY_REVENUE_SQL})
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    bands AS (
+      SELECT day, rev, ma,
+             CASE WHEN n < 2 THEN NULL
+                  ELSE sqrt((ss - n * ma * ma) / (n - 1)) END AS sd
+      FROM win
+    )
     SELECT
       day,
       rev,
-      round(avg(rev) OVER w, 4)                          AS ma20,
-      round(stddev_samp(rev) OVER w, 4)                  AS sd20,
-      round(avg(rev) OVER w + 2 * stddev_samp(rev) OVER w, 4) AS upper_band,
-      round(avg(rev) OVER w - 2 * stddev_samp(rev) OVER w, 4) AS lower_band
-    FROM ({_DAILY_REVENUE_SQL})
-    WINDOW w AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      round(ma, 4)              AS ma20,
+      round(sd, 4)              AS sd20,
+      round(ma + 2 * sd, 4)     AS upper_band,
+      round(ma - 2 * sd, 4)     AS lower_band
+    FROM bands
     """,
     tags=("window", "finance", "timeseries"),
 )
@@ -983,10 +1006,17 @@ def bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     values equal the global window with no single-partition sort. Bands
     derive from the UNROUNDED moments and round once at the output; the
     series head (< 2 rows) yields NULL sd on both engines."""
-    raw_ma = lambda w: [
-        F.avg("rev").over(w).alias("_ma"),
-        F.stddev_samp("rev").over(w).alias("_sd"),
-    ]
+    # integer-moments rule: the frame moments run over exact integer cents
+    # (exact under any frame-evaluation order); sd is the closed form
+    def raw_ma(w):
+        c = F.round(F.col("rev") * 100).cast("long")
+        n = F.count(F.lit(1)).over(w)
+        m = F.sum(c).over(w).cast("double") / n / 100
+        ss = F.sum(c.cast("decimal(19,0)") * c).over(w).cast("double") / 1e4
+        sd = F.when(n < 2, F.lit(None).cast("double")).otherwise(
+            F.sqrt((ss - n * m * m) / (n - 1))
+        )
+        return [m.alias("_ma"), sd.alias("_sd")]
     out = _overlapped_daily_window(
         _daily_revenue(spark, sf_dir),
         n_context=19,
