@@ -293,11 +293,15 @@ def cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_MONTHLY_SQL},
     gmom AS (
-      SELECT count(*) AS n, round(avg(z), 8) AS mu FROM idx
+      SELECT count(*) AS n,
+             round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e6, 8) AS mu FROM idx
     ),
     sd AS (
       SELECT max(gmom.n) AS n, max(gmom.mu) AS mu,
-             sqrt(sum((idx.z - gmom.mu) * (idx.z - gmom.mu)) / (max(gmom.n) - 1))
+             sqrt(CAST(sum(CAST(round((idx.z - gmom.mu) * 1e8) AS HUGEINT)
+                           * CAST(round((idx.z - gmom.mu) * 1e8) AS BIGINT))
+                       AS DOUBLE) / 1e16 / (max(gmom.n) - 1))
                AS s
       FROM idx CROSS JOIN gmom
     ),
@@ -330,12 +334,22 @@ def grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     — calendar-bounded. Deviations round at 8 before the argmax so both
     engines pick the identical month; rounded at 6."""
     idx = _monthly(spark, sf_dir)
-    gmom = idx.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("z"), 8).alias("mu"))
+    gmom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("z") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            8,
+        ).alias("mu"),
+    )
+    d8 = F.round((F.col("z") - F.col("mu")) * 1e8).cast("long")
     sd = idx.crossJoin(F.broadcast(gmom)).agg(
         F.max("n").alias("n"),
         F.max("mu").alias("mu"),
         F.sqrt(
-            F.sum((F.col("z") - F.col("mu")) * (F.col("z") - F.col("mu")))
+            F.sum(d8.cast("decimal(19,0)") * d8).cast("double")
+            / 1e16
             / (F.max("n") - 1)
         ).alias("s"),
     )
@@ -365,11 +379,15 @@ def grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_MONTHLY_SQL},
     gmom AS (
-      SELECT count(*) AS n, round(avg(z), 8) AS mu FROM idx
+      SELECT count(*) AS n,
+             round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e6, 8) AS mu FROM idx
     ),
     sd AS (
       SELECT max(gmom.n) AS n, max(gmom.mu) AS mu,
-             round(sqrt(sum((idx.z - gmom.mu) * (idx.z - gmom.mu))
+             round(sqrt(CAST(sum(CAST(round((idx.z - gmom.mu) * 1e8) AS HUGEINT)
+                                 * CAST(round((idx.z - gmom.mu) * 1e8) AS BIGINT))
+                             AS DOUBLE) / 1e16
                         / (max(gmom.n) - 1)), 8) AS s
       FROM idx CROSS JOIN gmom
     ),
@@ -391,7 +409,10 @@ def grubbs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     ),
     a2 AS (
-      SELECT max(n) AS n, -max(n) - sum(t) / max(n) AS a2 FROM terms
+      SELECT max(n) AS n,
+             -max(n) - CAST(sum(CAST(round(t * 1e9) AS BIGINT)) AS DOUBLE)
+                       / 1e9 / max(n) AS a2
+      FROM terms
     )
     SELECT CAST(n AS BIGINT) AS n_months,
            round(a2, 6) AS a2,
@@ -417,13 +438,23 @@ def anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines rank identically and evaluate the identical Horner chain,
     rounded at 6."""
     idx = _monthly(spark, sf_dir)
-    gmom = idx.agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("z"), 8).alias("mu"))
+    gmom = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("z") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6,
+            8,
+        ).alias("mu"),
+    )
+    d8 = F.round((F.col("z") - F.col("mu")) * 1e8).cast("long")
     sd = idx.crossJoin(F.broadcast(gmom)).agg(
         F.max("n").alias("n"),
         F.max("mu").alias("mu"),
         F.round(
             F.sqrt(
-                F.sum((F.col("z") - F.col("mu")) * (F.col("z") - F.col("mu")))
+                F.sum(d8.cast("decimal(19,0)") * d8).cast("double")
+                / 1e16
                 / (F.max("n") - 1)
             ),
             8,
@@ -458,7 +489,13 @@ def anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     a2 = terms.agg(
-        F.max("n").alias("n"), (-F.max("n") - F.sum("t") / F.max("n")).alias("a2")
+        F.max("n").alias("n"),
+        (
+            -F.max("n")
+            - F.sum(F.round(F.col("t") * 1e9).cast("long")).cast("double")
+            / 1e9
+            / F.max("n")
+        ).alias("a2"),
     )
     astar = F.col("a2") * (
         1.0 + 0.75 / F.col("n") + 2.25 / (F.col("n") * F.col("n"))

@@ -29,16 +29,29 @@ _DIST_SQL = """
       FROM embeddings, generate_series(1, 64) s(i)
     ),
     cent AS (
-      SELECT label AS cl, i, round(avg(v), 6) AS c
+      SELECT label AS cl, i,
+             round(CAST(sum(CAST(round(v * 1e9) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e9, 6) AS c
       FROM x GROUP BY label, i
     ),
     d2 AS (
       SELECT x.vec_id, x.label, c.cl,
-             round(sum((x.v - c.c) * (x.v - c.c)), 12) AS d2
+             round(CAST(sum(CAST(round((x.v - c.c) * (x.v - c.c) * 1e12) AS BIGINT))
+                        AS DOUBLE) / 1e12, 12) AS d2
       FROM x JOIN cent c ON x.i = c.i
       GROUP BY x.vec_id, x.label, c.cl
     )
 """
+
+
+def _cent_mean():
+    """Integer-moments rule: centroid means sum 1e-9-grain integers."""
+    return F.round(
+        F.sum(F.round(F.col("v") * 1e9).cast("long")).cast("double")
+        / F.count(F.lit(1))
+        / 1e9,
+        6,
+    )
 
 
 def _dist_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,11 +63,21 @@ def _dist_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(F.col("embedding")).alias("i0", "vf"),
     ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), F.col("vf").cast("double").alias("v"))
-    cent = x.groupBy(F.col("label").alias("cl"), "i").agg(F.round(F.avg("v"), 6).alias("c"))
+    cent = x.groupBy(F.col("label").alias("cl"), "i").agg(_cent_mean().alias("c"))
     return (
         x.join(F.broadcast(cent), "i")
         .groupBy("vec_id", "label", "cl")
-        .agg(F.round(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 12).alias("d2"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("v") - F.col("c")) * (F.col("v") - F.col("c")) * 1e12
+                    ).cast("long")
+                ).cast("double")
+                / 1e12,
+                12,
+            ).alias("d2")
+        )
     )
 
 
@@ -149,7 +172,8 @@ def silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl AS (SELECT label, n, sd6 * 1e0 / n / 1e6 AS s FROM scat),
     cc AS (
       SELECT a.cl AS l1, b.cl AS l2,
-             round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 12) AS m
+             round(sqrt(CAST(sum(CAST(round((a.c - b.c) * (a.c - b.c) * 1e12)
+                                      AS BIGINT)) AS DOUBLE) / 1e12), 12) AS m
       FROM cent a JOIN cent b ON a.i = b.i AND a.cl <> b.cl
       GROUP BY a.cl, b.cl
     ),
@@ -166,7 +190,8 @@ def silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ratio
       ) WHERE rk = 1
     ),
-    db AS (SELECT round(avg(r), 6) AS db_index FROM worst)
+    db AS (SELECT round(CAST(sum(CAST(round(r * 1e12) AS BIGINT)) AS DOUBLE)
+                        / count(*) / 1e12, 6) AS db_index FROM worst)
     SELECT w.label, round(w.s_own, 6) AS scatter, w.partner AS worst_partner,
            round(w.r, 6) AS worst_ratio, d.db_index
     FROM worst w CROSS JOIN db d
@@ -196,12 +221,22 @@ def davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(F.col("embedding")).alias("i0", "vf"),
     ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), F.col("vf").cast("double").alias("v"))
-    cent = x.groupBy(F.col("label").alias("cl"), "i").agg(F.round(F.avg("v"), 6).alias("c"))
+    cent = x.groupBy(F.col("label").alias("cl"), "i").agg(_cent_mean().alias("c"))
     cent_o = cent.select(F.col("cl"), F.col("i").alias("ci"), F.col("c"))
     d2own = (
         x.join(F.broadcast(cent_o), (F.col("i") == F.col("ci")) & (F.col("label") == F.col("cl")))
         .groupBy("vec_id", "label")
-        .agg(F.round(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 12).alias("d2"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        (F.col("v") - F.col("c")) * (F.col("v") - F.col("c")) * 1e12
+                    ).cast("long")
+                ).cast("double")
+                / 1e12,
+                12,
+            ).alias("d2")
+        )
     )
     scat = d2own.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -213,7 +248,21 @@ def davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = (
         ca.join(F.broadcast(cb), (F.col("i") == F.col("i2")) & (F.col("l1") != F.col("l2")))
         .groupBy("l1", "l2")
-        .agg(F.round(F.sqrt(F.sum((F.col("c1") - F.col("c2")) * (F.col("c1") - F.col("c2")))), 12).alias("m"))
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(
+                            (F.col("c1") - F.col("c2"))
+                            * (F.col("c1") - F.col("c2"))
+                            * 1e12
+                        ).cast("long")
+                    ).cast("double")
+                    / 1e12
+                ),
+                12,
+            ).alias("m")
+        )
     )
     ratio = (
         sl.withColumnRenamed("label", "l1")
@@ -234,7 +283,14 @@ def davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wk = W.partitionBy("label").orderBy(F.round(F.col("r"), 9).desc(), "partner")
     worst = ratio.withColumn("rk", F.row_number().over(wk)).filter(F.col("rk") == 1)
-    db = worst.agg(F.round(F.avg("r"), 6).alias("db_index"))
+    db = worst.agg(
+        F.round(
+            F.sum(F.round(F.col("r") * 1e12).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e12,
+            6,
+        ).alias("db_index")
+    )
     return (
         worst.crossJoin(F.broadcast(db))
         .select(

@@ -953,9 +953,12 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc.source,
       CAST(count(*) AS BIGINT)                               AS n_docs,
-      round(avg(p.sum_df * 1.0 / p.n_shingles), 6)           AS avg_commonness,
-      round(sum(p.n_shingles * 1.0 / p.sum_df), 6)           AS effective_docs,
-      round(sum(p.n_shingles * 1.0 / p.sum_df) / count(*), 6) AS retention
+      round(CAST(sum(CAST(round(p.sum_df * 1e6 / p.n_shingles) AS HUGEINT))
+                 AS DOUBLE) / count(*) / 1e6, 6)             AS avg_commonness,
+      round(CAST(sum(CAST(round(p.n_shingles * 1e12 / p.sum_df) AS HUGEINT))
+                 AS DOUBLE) / 1e12, 6)                       AS effective_docs,
+      round(CAST(sum(CAST(round(p.n_shingles * 1e12 / p.sum_df) AS HUGEINT))
+                 AS DOUBLE) / 1e12 / count(*), 6)            AS retention
     FROM per_doc p JOIN documents doc ON p.doc_id = doc.doc_id
     GROUP BY doc.source
     """,
@@ -987,15 +990,30 @@ def softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shingles"), F.sum("df").alias("sum_df"))
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    w = F.col("n_shingles") * 1.0 / F.col("sum_df")
+    # integer-moments rule: weights/commonness are exact-integer ratios —
+    # snap at 1e-12 / 1e-6 grains so the per-source sums are order-exact
+    w12 = F.sum(
+        F.round(F.col("n_shingles") * F.lit(1e12) / F.col("sum_df")).cast(
+            "decimal(38,0)"
+        )
+    ).cast("double")
     return (
         per_doc.join(docs, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(F.col("sum_df") * 1.0 / F.col("n_shingles")), 6).alias("avg_commonness"),
-            F.round(F.sum(w), 6).alias("effective_docs"),
-            F.round(F.sum(w) / F.count(F.lit(1)), 6).alias("retention"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("sum_df") * F.lit(1e6) / F.col("n_shingles")
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("avg_commonness"),
+            F.round(w12 / 1e12, 6).alias("effective_docs"),
+            F.round(w12 / 1e12 / F.count(F.lit(1)), 6).alias("retention"),
         )
     )
 

@@ -24,13 +24,14 @@ from bigdatainfinance1_spark.operators.retrieval import _CAND_SQL, _candidates
       SELECT monetary,
              row_number() OVER (ORDER BY monetary, o_custkey) AS i,
              count(*) OVER ()                                 AS n,
-             sum(monetary) OVER ()                            AS tot
+             sum(CAST(round(monetary * 100) AS BIGINT)) OVER () AS totc
       FROM m
     )
     SELECT
       CAST(max(n) AS BIGINT)                       AS n_customers,
-      round(max(tot), 2)                           AS total_rev,
-      round(2.0 * sum(i * monetary) / (max(n) * max(tot))
+      round(CAST(max(totc) AS DOUBLE) / 100, 2)    AS total_rev,
+      round(2.0 * CAST(sum(i * CAST(round(monetary * 100) AS HUGEINT)) AS DOUBLE)
+            / (max(n) * CAST(max(totc) AS DOUBLE))
             - (max(n) + 1.0) / max(n), 6)          AS gini
     FROM ranked
     """,
@@ -49,11 +50,16 @@ def gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.groupBy("o_custkey").agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("monetary"))
     ranked = global_row_number(m, ["monetary", "o_custkey"], rn_col="i")
+    # integer-moments rule: monetary is exact 2-dp — the rank-weighted and
+    # total sums run in exact integer cents (the /100 cancels in G)
+    mc = F.round(F.col("monetary") * 100).cast("long")
     return ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.round(F.sum("monetary"), 2).alias("total_rev"),
+        F.round(F.sum(mc).cast("double") / 100, 2).alias("total_rev"),
         F.round(
-            2.0 * F.sum(F.col("i") * F.col("monetary")) / (F.count(F.lit(1)) * F.sum("monetary"))
+            2.0
+            * F.sum(F.col("i").cast("decimal(19,0)") * mc).cast("double")
+            / (F.count(F.lit(1)) * F.sum(mc).cast("double"))
             - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
             6,
         ).alias("gini"),
@@ -179,7 +185,9 @@ def interpurchase_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
       q.n_days,
       round(q.v05, 6) AS var05,
       round(q.v01, 6) AS var01,
-      round(avg(CASE WHEN r2.r <= q.v05 THEN r2.r END), 6) AS cvar05
+      round(CAST(sum(CASE WHEN r2.r <= q.v05
+                          THEN CAST(round(r2.r * 1e6) AS BIGINT) END) AS DOUBLE)
+            / count(CASE WHEN r2.r <= q.v05 THEN 1 END) / 1e6, 6) AS cvar05
     FROM r2 CROSS JOIN q
     GROUP BY q.n_days, q.v05, q.v01
     """,
@@ -222,7 +230,19 @@ def var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rets.crossJoin(F.broadcast(q))
         .groupBy("n_days", "v05", "v01")
-        .agg(F.round(F.avg(F.when(F.col("r") <= F.col("v05"), F.col("r"))), 6).alias("cvar05"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("r") <= F.col("v05"),
+                        F.round(F.col("r") * 1e6).cast("long"),
+                    )
+                ).cast("double")
+                / F.count(F.when(F.col("r") <= F.col("v05"), F.lit(1)))
+                / 1e6,
+                6,
+            ).alias("cvar05")
+        )
         .select(
             "n_days",
             F.round("v05", 6).alias("var05"),
@@ -285,8 +305,9 @@ def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
       n.n_name                                             AS n_name,
       CAST(count(*) AS BIGINT)                             AS n_custs,
       round(max(r.cents * 1e0 / t.tot_cents), 6)           AS top_share,
-      round(sum((r.cents * 1e0 / t.tot_cents)
-              * (r.cents * 1e0 / t.tot_cents)), 6)         AS hhi
+      round(CAST(sum(CAST(round((r.cents * 1e0 / t.tot_cents)
+              * (r.cents * 1e0 / t.tot_cents) * 1e12) AS HUGEINT)) AS DOUBLE)
+            / 1e12, 6)                                     AS hhi
     FROM cust_rev r
     JOIN tot t ON r.c_nationkey = t.c_nationkey
     JOIN nation n ON r.c_nationkey = n.n_nationkey
@@ -321,7 +342,13 @@ def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_custs"),
             F.round(F.max(share), 6).alias("top_share"),
-            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(
+                F.sum(F.round(share * share * 1e12).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / 1e12,
+                6,
+            ).alias("hhi"),
         )
     )
 
@@ -510,10 +537,20 @@ def stress_scenarios(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c.yr,
       CAST(count(*) AS BIGINT) AS n_parts,
-      round(sum(c.price_y * b.qty_b) / sum(b.price_b * b.qty_b), 6) AS laspeyres,
-      round(sum(c.price_y * c.qty_y) / sum(b.price_b * c.qty_y), 6) AS paasche,
-      round(sqrt((sum(c.price_y * b.qty_b) / sum(b.price_b * b.qty_b))
-               * (sum(c.price_y * c.qty_y) / sum(b.price_b * c.qty_y))), 6) AS fisher
+      round((CAST(sum(CAST(round(c.price_y * b.qty_b * 1e4) AS HUGEINT)) AS DOUBLE))
+            / (CAST(sum(CAST(round(b.price_b * b.qty_b * 1e4) AS HUGEINT))
+                    AS DOUBLE)), 6) AS laspeyres,
+      round((CAST(sum(CAST(round(c.price_y * c.qty_y * 1e4) AS HUGEINT)) AS DOUBLE))
+            / (CAST(sum(CAST(round(b.price_b * c.qty_y * 1e4) AS HUGEINT))
+                    AS DOUBLE)), 6) AS paasche,
+      round(sqrt(((CAST(sum(CAST(round(c.price_y * b.qty_b * 1e4) AS HUGEINT))
+                        AS DOUBLE))
+                  / (CAST(sum(CAST(round(b.price_b * b.qty_b * 1e4) AS HUGEINT))
+                          AS DOUBLE)))
+               * ((CAST(sum(CAST(round(c.price_y * c.qty_y * 1e4) AS HUGEINT))
+                        AS DOUBLE))
+                  / (CAST(sum(CAST(round(b.price_b * c.qty_y * 1e4) AS HUGEINT))
+                          AS DOUBLE)))), 6) AS fisher
     FROM cur c JOIN base b ON c.l_partkey = b.l_partkey
     GROUP BY c.yr
     """,
@@ -544,8 +581,15 @@ def price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = py.filter(F.col("yr") > 1995).select(
         "l_partkey", "yr", F.col("qty").alias("qty_y"), price.alias("price_y")
     )
-    lasp = F.sum(F.col("price_y") * F.col("qty_b")) / F.sum(F.col("price_b") * F.col("qty_b"))
-    paas = F.sum(F.col("price_y") * F.col("qty_y")) / F.sum(F.col("price_b") * F.col("qty_y"))
+    # integer-moments rule: basket terms (exact-ratio price x integer qty)
+    # snap at a 1e-4 grain so the per-year sums are order-exact
+    def _b4(a, b):
+        return F.sum(
+            F.round(F.col(a) * F.col(b) * 1e4).cast("decimal(38,0)")
+        ).cast("double")
+
+    lasp = _b4("price_y", "qty_b") / _b4("price_b", "qty_b")
+    paas = _b4("price_y", "qty_y") / _b4("price_b", "qty_y")
     return (
         cur.join(F.broadcast(base), "l_partkey")
         .groupBy("yr")
@@ -971,7 +1015,11 @@ EVT_RETURN_PERIOD = 100  # quarters
       FROM daily GROUP BY date_trunc('quarter', day)
     ),
     mo AS (
-      SELECT count(*) AS n, sum(mx) AS s1, sum(mx * mx) AS s2 FROM blocks
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(mx * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS s1,
+             CAST(sum(CAST(round(mx * 1e6) AS HUGEINT)
+                      * CAST(round(mx * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS s2
+      FROM blocks
     ),
     fit AS (
       SELECT n,
@@ -1014,10 +1062,12 @@ def evt_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = daily.groupBy(F.date_trunc("quarter", "day").alias("qtr")).agg(
         F.max("rev").alias("mx")
     )
+    # integer-moments rule: mx is 6-dp — exact grain sums for the MoM fit
+    mx6 = F.round(F.col("mx") * 1e6).cast("long")
     mo = blocks.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("mx").alias("s1"),
-        F.sum(F.col("mx") * F.col("mx")).alias("s2"),
+        (F.sum(mx6).cast("double") / 1e6).alias("s1"),
+        (F.sum(mx6.cast("decimal(19,0)") * mx6).cast("double") / 1e12).alias("s2"),
     )
     n = F.col("n").cast("double")
     sd = F.sqrt((F.col("s2") / n - (F.col("s1") / n) * (F.col("s1") / n)) * n / (n - 1.0))

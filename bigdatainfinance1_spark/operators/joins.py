@@ -82,7 +82,9 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       p.p_brand,
-      round(avg(l.l_extendedprice / p.p_retailprice), 6) AS avg_markup,
+      round(CAST(sum(CAST(round(l.l_extendedprice * 1e9 / p.p_retailprice)
+                          AS HUGEINT)) AS DOUBLE) / count(*) / 1e9, 6)
+        AS avg_markup,
       count(*)                                           AS n_lines
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -99,7 +101,16 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("p_retailprice")), 6).alias("avg_markup"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.lit(1e9) / F.col("p_retailprice")
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1e9,
+                6,
+            ).alias("avg_markup"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )

@@ -1155,9 +1155,20 @@ SHAP_LAMBDA = 1.0  # which point of the q_ridge_path to explain
       FROM orders
     ),
     mo AS (
-      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
-             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
-             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(x1 * 42) AS BIGINT)) AS DOUBLE) / 42 AS s1,
+             CAST(sum(CAST(round(x2 * 2) AS BIGINT)) AS DOUBLE) / 2 AS s2,
+             CAST(sum(CAST(round(y * 5e7) AS BIGINT)) AS DOUBLE) / 5e7 AS sy,
+             CAST(sum(CAST(round(x1 * 42) AS HUGEINT)
+                      * CAST(round(x1 * 42) AS BIGINT)) AS DOUBLE) / 1764 AS s11,
+             CAST(sum(CAST(round(x1 * 42) AS HUGEINT)
+                      * CAST(round(x2 * 2) AS BIGINT)) AS DOUBLE) / 84 AS s12,
+             CAST(sum(CAST(round(x2 * 2) AS HUGEINT)
+                      * CAST(round(x2 * 2) AS BIGINT)) AS DOUBLE) / 4 AS s22,
+             CAST(sum(CAST(round(x1 * 42) AS HUGEINT)
+                      * CAST(round(y * 5e7) AS BIGINT)) AS DOUBLE) / 42 / 5e7 AS s1y,
+             CAST(sum(CAST(round(x2 * 2) AS HUGEINT)
+                      * CAST(round(y * 5e7) AS BIGINT)) AS DOUBLE) / 2 / 5e7 AS s2y
       FROM f
     ),
     c AS (
@@ -1178,12 +1189,16 @@ SHAP_LAMBDA = 1.0  # which point of the q_ridge_path to explain
     ),
     shap AS (
       SELECT 'trend' AS feature,
-             round(avg(abs(beta.b1 * (f.x1 - beta.m1))), 6) AS mean_abs_shap,
+             round(CAST(sum(CAST(round(abs(beta.b1 * (f.x1 - beta.m1)) * 1e12)
+                                 AS HUGEINT)) AS DOUBLE) / count(*) / 1e12, 6)
+               AS mean_abs_shap,
              round(beta.b1, 6) AS beta
       FROM f CROSS JOIN beta GROUP BY beta.b1
       UNION ALL
       SELECT 'priority' AS feature,
-             round(avg(abs(beta.b2 * (f.x2 - beta.m2))), 6) AS mean_abs_shap,
+             round(CAST(sum(CAST(round(abs(beta.b2 * (f.x2 - beta.m2)) * 1e12)
+                                 AS HUGEINT)) AS DOUBLE) / count(*) / 1e12, 6)
+               AS mean_abs_shap,
              round(beta.b2, 6) AS beta
       FROM f CROSS JOIN beta GROUP BY beta.b2
     )
@@ -1218,16 +1233,21 @@ def linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.substring("o_orderpriority", 1, 1).cast("int") - 3.0) / 2.0).alias("x2"),
         (F.col("o_totalprice") / 500000.0).alias("y"),
     )
+    # integer-moments rule: x1 is a multiple of 1/42, x2 of 1/2, y of
+    # 1/5e7 (exact cents) — all moments sum exact integers
+    a1 = F.round(F.col("x1") * 42).cast("long")
+    a2 = F.round(F.col("x2") * 2).cast("long")
+    cy = F.round(F.col("y") * 5e7).cast("long")
     mo = f.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x1").alias("s1"),
-        F.sum("x2").alias("s2"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
-        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
-        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
-        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        (F.sum(a1).cast("double") / 42).alias("s1"),
+        (F.sum(a2).cast("double") / 2).alias("s2"),
+        (F.sum(cy).cast("double") / 5e7).alias("sy"),
+        (F.sum(a1.cast("decimal(19,0)") * a1).cast("double") / 1764).alias("s11"),
+        (F.sum(a1.cast("decimal(19,0)") * a2).cast("double") / 84).alias("s12"),
+        (F.sum(a2.cast("decimal(19,0)") * a2).cast("double") / 4).alias("s22"),
+        (F.sum(a1.cast("decimal(19,0)") * cy).cast("double") / 42 / 5e7).alias("s1y"),
+        (F.sum(a2.cast("decimal(19,0)") * cy).cast("double") / 2 / 5e7).alias("s2y"),
     )
     n = F.col("n").cast("double")
     c = mo.select(
@@ -1247,11 +1267,19 @@ def linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (((F.col("c11") + SHAP_LAMBDA) * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias("b2"),
     )
     j = f.crossJoin(F.broadcast(beta))
+    def _shap_mean(term):
+        return F.round(
+            F.sum(F.round(F.abs(term) * 1e12).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1e12,
+            6,
+        )
+
     s1 = j.groupBy("b1").agg(
-        F.round(F.avg(F.abs(F.col("b1") * (F.col("x1") - F.col("m1")))), 6).alias("mean_abs_shap")
+        _shap_mean(F.col("b1") * (F.col("x1") - F.col("m1"))).alias("mean_abs_shap")
     ).select(F.lit("trend").alias("feature"), F.round(F.col("b1"), 6).alias("beta"), "mean_abs_shap")
     s2 = j.groupBy("b2").agg(
-        F.round(F.avg(F.abs(F.col("b2") * (F.col("x2") - F.col("m2")))), 6).alias("mean_abs_shap")
+        _shap_mean(F.col("b2") * (F.col("x2") - F.col("m2"))).alias("mean_abs_shap")
     ).select(F.lit("priority").alias("feature"), F.round(F.col("b2"), 6).alias("beta"), "mean_abs_shap")
     from pyspark.sql import Window
 

@@ -154,7 +154,8 @@ def woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c.o_orderpriority,
       s.n,
-      round(avg((s.s - c.c) * 1e0 / (s.n - 1) / 100e0), 4)  AS avg_enc,
+      round(CAST(sum(CAST(round((s.s - c.c) * 1e0 / (s.n - 1) / 100e0 * 1e6)
+                          AS HUGEINT)) AS DOUBLE) / count(*) / 1e6, 4) AS avg_enc,
       round(min((s.s - c.c) * 1e0 / (s.n - 1) / 100e0), 4)  AS min_enc,
       round(max((s.s - c.c) * 1e0 / (s.n - 1) / 100e0), 4)  AS max_enc
     FROM cents c JOIN stats s ON c.o_orderpriority = s.o_orderpriority
@@ -184,7 +185,14 @@ def target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.join(F.broadcast(stats), "o_orderpriority")
         .groupBy("o_orderpriority", "n")
         .agg(
-            F.round(F.avg(enc), 4).alias("avg_enc"),
+            # integer-moments rule: encodings are identical exact-integer
+            # ratios — the only order-sensitive reduction snaps at 1e-6
+            F.round(
+                F.sum(F.round(enc * 1e6).cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                4,
+            ).alias("avg_enc"),
             F.round(F.min(enc), 4).alias("min_enc"),
             F.round(F.max(enc), 4).alias("max_enc"),
         )
@@ -418,14 +426,17 @@ def ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_outliers",
     oracle="""
     WITH cent AS (
-      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+      SELECT label, i,
+             round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9)
+                                 AS BIGINT)) AS DOUBLE) / count(*) / 1e9, 6) AS c
       FROM embeddings, generate_series(1, 64) s(i)
       GROUP BY label, i
     ),
     dists AS (
       SELECT e.vec_id, e.label,
-             sqrt(sum((CAST(e.embedding[s.i] AS DOUBLE) - c.c)
-                    * (CAST(e.embedding[s.i] AS DOUBLE) - c.c))) AS dist
+             sqrt(CAST(sum(CAST(round((CAST(e.embedding[s.i] AS DOUBLE) - c.c)
+                    * (CAST(e.embedding[s.i] AS DOUBLE) - c.c) * 1e12) AS BIGINT))
+                  AS DOUBLE) / 1e12) AS dist
       FROM embeddings e, generate_series(1, 64) s(i)
       JOIN cent c ON c.label = e.label AND c.i = s.i
       GROUP BY e.vec_id, e.label
@@ -465,11 +476,30 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode("embedding").alias("pos", "val"),
     ).select("vec_id", "label", (F.col("pos") + 1).alias("i"), F.col("val").cast("double").alias("val"))
-    cent = exploded.groupBy("label", "i").agg(F.round(F.avg("val"), 6).alias("c"))
+    # integer-moments rule: centroid means sum 1e-9-grain integers; the
+    # 64-term per-vector distance sums snap each squared term at 1e-12
+    cent = exploded.groupBy("label", "i").agg(
+        F.round(
+            F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            6,
+        ).alias("c")
+    )
     dists = (
         exploded.join(F.broadcast(cent), ["label", "i"])
         .groupBy("vec_id", "label")
-        .agg(F.sqrt(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")))).alias("dist"))
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+                        * 1e12
+                    ).cast("long")
+                ).cast("double")
+                / 1e12
+            ).alias("dist")
+        )
     )
     thr = dists.groupBy("label").agg(
         F.round(F.expr("percentile(dist, 0.95)"), 6).alias("p95")
@@ -840,9 +870,10 @@ def _pass_at_k_oracle() -> str:
         selects.append(f"""
     SELECT CAST({k} AS BIGINT) AS k,
            CAST(count(*) AS BIGINT) AS n_tasks,
-           round(avg(CASE WHEN n - c < {k} THEN 1.0
+           round(CAST(sum(CAST(round((CASE WHEN n - c < {k} THEN 1.0
                           ELSE 1 - list_product(list_transform(range({k}),
-                               i -> (n - c - i) * 1.0 / (n - i))) END), 6)
+                               i -> (n - c - i) * 1.0 / (n - i))) END) * 1e12)
+                          AS BIGINT)) AS DOUBLE) / count(*) / 1e12, 6)
              AS pass_at_k
     FROM base WHERE n >= {k}""")
     return f"""
@@ -889,7 +920,12 @@ def pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             base.filter(F.col("n") >= k)
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_tasks"),
-                F.round(F.avg(per_task), 6).alias("pass_at_k"),
+                F.round(
+                    F.sum(F.round(per_task * 1e12).cast("long")).cast("double")
+                    / F.count(F.lit(1))
+                    / 1e12,
+                    6,
+                ).alias("pass_at_k"),
             )
             .select(F.lit(k).cast("long").alias("k"), "n_tasks", "pass_at_k")
         )

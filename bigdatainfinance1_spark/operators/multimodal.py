@@ -432,7 +432,8 @@ VAD_RMS_THRESHOLD = 24.0  # frames with RMS >= this count as "speech"
              AS speech_frames,
            round(sum(CASE WHEN rms >= {VAD_RMS_THRESHOLD} THEN 1 ELSE 0 END) * 1.0
                  / count(*), 6) AS speech_ratio,
-           round(avg(rms), 6) AS avg_rms
+           round(CAST(sum(CAST(round(rms * 1e9) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e9, 6) AS avg_rms
     FROM frames GROUP BY lang
     """,
     tags=("multimodal", "llm", "pandas-udf", "audio"),
@@ -475,5 +476,12 @@ def audio_vad_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("speech_ratio"),
-        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        # integer-moments rule: per-frame RMS values are identical doubles
+        # on both engines — the mean snaps them at a 1e-9 grain
+        F.round(
+            F.sum(F.round(F.col("rms") * 1e9).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            6,
+        ).alias("avg_rms"),
     )

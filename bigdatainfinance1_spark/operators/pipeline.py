@@ -50,7 +50,8 @@ from bigdatainfinance1_spark.sources.catalog import load_table
       count(*)                 AS n_docs,
       count(DISTINCT lang)     AS n_langs,
       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-      round(avg(nrm), 4)       AS avg_norm
+      round(CAST(sum(CAST(round(nrm * 1e9) AS BIGINT)) AS DOUBLE)
+            / count(*) / 1e9, 4) AS avg_norm
     FROM joined
     GROUP BY source
     """,
@@ -77,7 +78,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        # integer-moments rule: snap norms at a 1e-9 grain
+        F.round(
+            F.sum(F.round(F.col("nrm") * 1e9).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            4,
+        ).alias("avg_norm"),
     )
 
 

@@ -33,8 +33,10 @@ CUTOFF = "1998-09-02 00:00:00"
       round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) / 100e0, 2)                AS sum_disc_price,
       round(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) / 100e0, 2)  AS sum_charge,
       round(avg(l_quantity), 4)                                        AS avg_qty,
-      round(avg(l_extendedprice), 4)                                   AS avg_price,
-      round(avg(l_discount), 4)                                        AS avg_disc,
+      round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+            / count(*) / 100, 4)                                       AS avg_price,
+      round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+            / count(*) / 100, 4)                                       AS avg_disc,
       count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
@@ -61,8 +63,22 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_charge"
             ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # integer-moments rule: price/discount are exact 2-dp — means
+            # sum exact cents (quantity is integer-valued, already exact)
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                / 100,
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 100).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 100,
+                4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -514,7 +514,8 @@ def interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       step,
       CAST(count(*) AS BIGINT)              AS n_users,
-      round(avg(sec), 4)                    AS avg_s,
+      round(CAST(sum(CAST(round(sec * 1e6) AS BIGINT)) AS DOUBLE)
+            / count(*) / 1e6, 4)            AS avg_s,
       round(quantile_cont(sec, 0.5), 4)     AS median_s,
       round(quantile_cont(sec, 0.9), 4)     AS p90_s
     FROM lat GROUP BY step
@@ -564,7 +565,14 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("step")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.round(F.avg("sec"), 4).alias("avg_s"),
+            # integer-moments rule: sec is an exact 1e-6 multiple (integer
+            # microseconds / 1e6) — the mean sums exact grains
+            F.round(
+                F.sum(F.round(F.col("sec") * 1e6).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                4,
+            ).alias("avg_s"),
             F.round(F.expr("percentile(sec, 0.5)"), 4).alias("median_s"),
             F.round(F.expr("percentile(sec, 0.9)"), 4).alias("p90_s"),
         )

@@ -52,10 +52,12 @@ def _huber_oracle() -> str:
         steps += f""",
     mu_{t} AS (
       SELECT o.rg,
-             CAST(round(sum(least(1e0, {HUBER_K} * sc.s
-                                       / nullif(abs(o.x - m.mu), 0)) * o.x)
-                        / sum(least(1e0, {HUBER_K} * sc.s
-                                         / nullif(abs(o.x - m.mu), 0))))
+             CAST(round((CAST(sum(CAST(round(least(1e0, {HUBER_K} * sc.s
+                                       / nullif(abs(o.x - m.mu), 0)) * o.x * 1e6)
+                                       AS HUGEINT)) AS DOUBLE) / 1e6)
+                        / (CAST(sum(CAST(round(least(1e0, {HUBER_K} * sc.s
+                                         / nullif(abs(o.x - m.mu), 0)) * 1e12)
+                                         AS HUGEINT)) AS DOUBLE) / 1e12))
                   AS BIGINT) AS mu
       FROM obs o
       JOIN mu_{t - 1} m ON o.rg = m.rg
@@ -145,7 +147,22 @@ def huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(scale.select("rg", "s")), "rg")
             .groupBy("rg")
             .agg(
-                F.round(F.sum(w * F.col("x")) / F.sum(w)).cast("long").alias("mu")
+                # integer-moments rule: snap the IRLS weighted sums (w*x at
+                # 1e-6, w at 1e-12) so each iteration's mu is order-exact
+                F.round(
+                    (
+                        F.sum(
+                            F.round(w * F.col("x") * 1e6).cast("decimal(38,0)")
+                        ).cast("double")
+                        / 1e6
+                    )
+                    / (
+                        F.sum(F.round(w * 1e12).cast("decimal(38,0)")).cast("double")
+                        / 1e12
+                    )
+                )
+                .cast("long")
+                .alias("mu")
             )
         )
     plain = obs.groupBy("rg").agg(

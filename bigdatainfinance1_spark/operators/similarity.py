@@ -344,7 +344,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       label,
       CAST(i AS BIGINT)                             AS dim_idx,
       count(*)                                      AS n_vecs,
-      round(avg(CAST(embedding[i] AS DOUBLE)), 6)   AS centroid_val
+      round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+                 AS DOUBLE) / count(*) / 1e9, 6)    AS centroid_val
     FROM embeddings, generate_series(1, 64) s(i)
     GROUP BY label, i
     """,
@@ -359,7 +360,14 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", (F.col("pos") + 1).cast("long").alias("dim_idx"), F.col("val").cast("double").alias("val"))
     return exploded.groupBy("label", "dim_idx").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("val"), 6).alias("centroid_val"),
+        # integer-moments rule: snap the float32 values at a 1e-9 grain so
+        # the per-dimension mean is an exact integer sum
+        F.round(
+            F.sum(F.round(F.col("val") * 1e9).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e9,
+            6,
+        ).alias("centroid_val"),
     )
 
 
@@ -375,8 +383,15 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       label,
       count(*)                    AS n_vecs,
-      round(avg(nrm), 6)          AS avg_norm,
-      round(stddev_samp(nrm), 6)  AS std_norm,
+      round(CAST(sum(CAST(round(nrm * 1e9) AS BIGINT)) AS DOUBLE)
+            / count(*) / 1e9, 6)  AS avg_norm,
+      round(sqrt((CAST(sum(CAST(round(nrm * 1e9) AS HUGEINT)
+                          * CAST(round(nrm * 1e9) AS BIGINT)) AS DOUBLE) / 1e18
+                  - count(*) * (CAST(sum(CAST(round(nrm * 1e9) AS BIGINT)) AS DOUBLE)
+                                / count(*) / 1e9)
+                             * (CAST(sum(CAST(round(nrm * 1e9) AS BIGINT)) AS DOUBLE)
+                                / count(*) / 1e9))
+                 / (count(*) - 1)), 6) AS std_norm,
       round(min(nrm), 6)          AS min_norm,
       round(max(nrm), 6)          AS max_norm
     FROM norms
@@ -386,14 +401,33 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L7: per-label norm dispersion (mean/std/min/max of L2 norms)."""
+
+    def _n9():
+        return F.round(F.col("nrm") * 1e9).cast("long")
+
+    def _n9_mean():
+        return F.sum(_n9()).cast("double") / F.count(F.lit(1)) / 1e9
+
     emb = load_table(spark, sf_dir, "embeddings")
     return (
         emb.withColumn("nrm", l2_norm("embedding"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("nrm"), 6).alias("avg_norm"),
-            F.round(F.stddev_samp("nrm"), 6).alias("std_norm"),
+            # integer-moments rule: snap norms at a 1e-9 grain; mean/std
+            # from exact integer sums (std via the closed form)
+            F.round(_n9_mean(), 6).alias("avg_norm"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.sum(_n9().cast("decimal(19,0)") * _n9()).cast("double")
+                        / 1e18
+                        - F.count(F.lit(1)) * _n9_mean() * _n9_mean()
+                    )
+                    / (F.count(F.lit(1)) - 1)
+                ),
+                6,
+            ).alias("std_norm"),
             F.round(F.min("nrm"), 6).alias("min_norm"),
             F.round(F.max("nrm"), 6).alias("max_norm"),
         )
@@ -765,7 +799,8 @@ def ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            count(*)                 AS n_vecs,
-           round(avg(mae), 6)       AS avg_mae,
+           round(CAST(sum(CAST(round(mae * 1e12) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e12, 6) AS avg_mae,
            round(max(mae), 6)       AS max_mae
     FROM err GROUP BY label
     """,
@@ -793,7 +828,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("mae"), 6).alias("avg_mae"),
+            F.round(
+                F.sum(F.round(F.col("mae") * 1e12).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e12,
+                6,
+            ).alias("avg_mae"),
             F.round(F.max("mae"), 6).alias("max_mae"),
         )
     )

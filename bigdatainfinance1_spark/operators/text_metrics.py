@@ -581,8 +581,16 @@ _BD_SQL = f"""
       LEFT JOIN cnt ON cnt.source = st.source AND cnt.tok = mfw.tok
     ),
     mom AS (
-      SELECT tok, count(*) AS k, avg(f) AS mu,
-             sqrt(avg(f * f) - avg(f) * avg(f)) AS sd
+      SELECT tok, count(*) AS k,
+             CAST(sum(CAST(round(f * 1e12) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e12 AS mu,
+             sqrt(CAST(sum(CAST(round(f * 1e12) AS HUGEINT)
+                           * CAST(round(f * 1e12) AS BIGINT)) AS DOUBLE)
+                    / 1e24 / count(*)
+                  - (CAST(sum(CAST(round(f * 1e12) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1e12)
+                    * (CAST(sum(CAST(round(f * 1e12) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1e12)) AS sd
       FROM f GROUP BY tok
     ),
     z AS (
@@ -590,7 +598,8 @@ _BD_SQL = f"""
       FROM f JOIN mom m ON f.tok = m.tok WHERE m.sd > 0
     )
     SELECT a.source AS source_a, b.source AS source_b,
-           round(avg(abs(a.z - b.z)), 6) AS delta
+           round(CAST(sum(CAST(round(abs(a.z - b.z) * 1e6) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e6, 6) AS delta
     FROM z a JOIN z b ON a.tok = b.tok AND a.source < b.source
     GROUP BY a.source, b.source
     ORDER BY source_a, source_b
@@ -642,9 +651,17 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f"),
         )
     )
+    # integer-moments rule: f is 12-dp — moments sum exact 1e-12 grains
+    f12 = F.round(F.col("f") * 1e12).cast("long")
+    mu_d = F.sum(f12).cast("double") / F.count(F.lit(1)) / 1e12
     mom = f.groupBy("tok").agg(
-        F.avg("f").alias("mu"),
-        F.sqrt(F.avg(F.col("f") * F.col("f")) - F.avg("f") * F.avg("f")).alias("sd"),
+        mu_d.alias("mu"),
+        F.sqrt(
+            F.sum(f12.cast("decimal(19,0)") * f12).cast("double")
+            / 1e24
+            / F.count(F.lit(1))
+            - mu_d * mu_d
+        ).alias("sd"),
     )
     z = (
         f.join(F.broadcast(mom), "tok")
@@ -659,7 +676,16 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "tok")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.round(F.avg(F.abs(F.col("za") - F.col("zb"))), 6).alias("delta"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.abs(F.col("za") - F.col("zb")) * 1e6).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1e6,
+                6,
+            ).alias("delta")
+        )
         .orderBy("source_a", "source_b")
     )
 

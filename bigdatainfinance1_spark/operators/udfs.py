@@ -243,7 +243,8 @@ def _zscore_iter_udf():
     SELECT
       o_orderpriority AS priority,
       CAST(count(*) AS BIGINT) AS n,
-      round(avg((o_totalprice - 38000e0) / 23000e0), 6) AS mean_z,
+      round(CAST(sum(CAST(round((o_totalprice - 38000e0) / 23000e0 * 1e12)
+                          AS HUGEINT)) AS DOUBLE) / count(*) / 1e12, 6) AS mean_z,
       round(max((o_totalprice - 38000e0) / 23000e0), 6) AS max_z
     FROM orders
     GROUP BY priority
@@ -267,7 +268,12 @@ def udf_iter_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = _zscore_iter_udf()(F.col("o_totalprice"))
     return orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg(z), 6).alias("mean_z"),
+        F.round(
+            F.sum(F.round(z * 1e12).cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 1e12,
+            6,
+        ).alias("mean_z"),
         F.round(F.max(z), 6).alias("max_z"),
     )
 

@@ -1384,8 +1384,10 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bar_start,
            CAST(sum(sz) AS BIGINT) AS volume,
-           round(sum(px * sz) / sum(sz), 6) AS vwap,
-           round(avg(px), 6) AS twap_naive
+           round(CAST(sum(CAST(round(px * 1e4) AS BIGINT) * sz) AS DOUBLE)
+                 / 1e4 / sum(sz), 6) AS vwap,
+           round(CAST(sum(CAST(round(px * 1e4) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1e4, 6) AS twap_naive
     FROM e GROUP BY bar_start
     """,
     tags=("streaming", "events", "finance"),
@@ -1414,8 +1416,22 @@ def stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("w")
         .agg(
             F.sum("sz").cast("long").alias("volume"),
-            F.round(F.sum(F.col("px") * F.col("sz")) / F.sum("sz"), 6).alias("vwap"),
-            F.round(F.avg("px"), 6).alias("twap_naive"),
+            # integer-moments rule: px is 4-dp — the weighted and naive
+            # means sum exact integer grains in the state store
+            F.round(
+                F.sum(F.round(F.col("px") * 1e4).cast("long") * F.col("sz")).cast(
+                    "double"
+                )
+                / 1e4
+                / F.sum("sz"),
+                6,
+            ).alias("vwap"),
+            F.round(
+                F.sum(F.round(F.col("px") * 1e4).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e4,
+                6,
+            ).alias("twap_naive"),
         )
         .select(F.col("w.start").alias("bar_start"), "volume", "vwap", "twap_naive")
     )
@@ -1427,15 +1443,22 @@ def stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH prof AS (
       SELECT event_type,
-             round(avg(round(value, 4)), 8) AS mu,
-             round(sqrt(avg(round(value, 4) * round(value, 4))
-                        - avg(round(value, 4)) * avg(round(value, 4))), 8) AS sigma
+             round(CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e4, 8) AS mu,
+             round(sqrt(CAST(sum(CAST(round(value * 1e4) AS HUGEINT)
+                                 * CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
+                          / 1e8 / count(*)
+                        - (CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
+                           / count(*) / 1e4)
+                          * (CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
+                             / count(*) / 1e4)), 8) AS sigma
       FROM events GROUP BY event_type
     ),
     win AS (
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              CAST(count(*) AS BIGINT) AS n,
-             round(avg(round(value, 4)), 8) AS win_mean
+             round(CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e4, 8) AS win_mean
       FROM events GROUP BY 1, 2
     )
     SELECT win.window_start, win.event_type, win.n,
@@ -1465,10 +1488,18 @@ def stream_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(types) and broadcast."""
     ev_static = load_table(spark, sf_dir, "events")
     v4 = F.round("value", 4)
+    # integer-moments rule: profile moments sum exact 1e-4-grain integers
+    vi = F.round(F.col("value") * 1e4).cast("long")
+    mu_d = F.sum(vi).cast("double") / F.count(F.lit(1)) / 1e4
     prof = ev_static.groupBy("event_type").agg(
-        F.round(F.avg(v4), 8).alias("mu"),
+        F.round(mu_d, 8).alias("mu"),
         F.round(
-            F.sqrt(F.avg(v4 * v4) - F.avg(v4) * F.avg(v4)),
+            F.sqrt(
+                F.sum(vi.cast("decimal(19,0)") * vi).cast("double")
+                / 1e8
+                / F.count(F.lit(1))
+                - mu_d * mu_d
+            ),
             8,
         ).alias("sigma"),
     )
@@ -1480,7 +1511,12 @@ def stream_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w", "event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.avg("v"), 8).alias("win_mean"),
+            F.round(
+                F.sum(F.round(F.col("v") * 1e4).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 1e4,
+                8,
+            ).alias("win_mean"),
         )
     )
     z = (F.col("win_mean") - F.col("mu")) / (F.col("sigma") / F.sqrt(F.col("n")))
