@@ -443,7 +443,8 @@ _RMST_SQL = f"""
     ),
     area AS (
       SELECT seg,
-             sum(ps * (t - pt)) AS body,
+             CAST(sum(CAST(round(ps * (t - pt) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+               AS body,
              max(t) AS last_t, min_by(s, -t) AS last_s
       FROM steps GROUP BY seg
     ),
@@ -538,7 +539,14 @@ def rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lag("s").over(w_lag), F.lit(1.0)).alias("ps"),
     )
     area = steps.groupBy("seg").agg(
-        F.sum(F.col("ps") * (F.col("t") - F.col("pt"))).alias("body"),
+        # integer-moments rule: ps is 6-dp, (t - pt) integer days — the
+        # trapezoid terms are exact 1e-6 multiples
+        (
+            F.sum(
+                F.round(F.col("ps") * (F.col("t") - F.col("pt")) * 1e6).cast("long")
+            ).cast("double")
+            / 1e6
+        ).alias("body"),
         F.max("t").alias("last_t"),
         F.min_by("s", -F.col("t")).alias("last_s"),
     )

@@ -173,9 +173,12 @@ def kupiec_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT n_name,
              CAST(count(*) AS DOUBLE) AS n,
-             sum(r)                   AS sx,
-             sum(r * r)               AS sxx,
-             sum(CASE WHEN r < 0 THEN r * r ELSE 0 END) AS sdd
+             CAST(sum(CAST(round(r * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+             CAST(sum(CAST(round(r * 1e6) AS HUGEINT)
+                      * CAST(round(r * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sxx,
+             CAST(sum(CASE WHEN r < 0 THEN CAST(round(r * 1e6) AS HUGEINT)
+                                           * CAST(round(r * 1e6) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE) / 1e12 AS sdd
       FROM rets WHERE r IS NOT NULL GROUP BY n_name
     )
     SELECT
@@ -218,11 +221,20 @@ def sharpe_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = daily.select(
         "n_name", F.round(F.col("rev") / F.lag("rev").over(w) - 1, 6).alias("r")
     ).filter(F.col("r").isNotNull())
+    # integer-moments rule: r is 6-dp — exact grain sums for the ratios
+    r6 = F.round(F.col("r") * 1e6).cast("long")
     m = rets.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("r").alias("sx"),
-        F.sum(F.col("r") * F.col("r")).alias("sxx"),
-        F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0)).alias("sdd"),
+        (F.sum(r6).cast("double") / 1e6).alias("sx"),
+        (F.sum(r6.cast("decimal(19,0)") * r6).cast("double") / 1e12).alias("sxx"),
+        (
+            F.sum(
+                F.when(
+                    F.col("r") < 0, r6.cast("decimal(19,0)") * r6
+                ).otherwise(F.lit(0).cast("decimal(19,0)"))
+            ).cast("double")
+            / 1e12
+        ).alias("sdd"),
     )
     n, sx, sxx, sdd = F.col("n"), F.col("sx"), F.col("sxx"), F.col("sdd")
     std = F.sqrt((n * sxx - sx * sx) / (n * (n - 1)))
@@ -347,7 +359,10 @@ ROLLING_BETA_WIN = 30  # trading-day beta window
       GROUP BY r.r_name, date_trunc('day', o.o_orderdate)
     ),
     mdaily AS (
-      SELECT day, round(sum(rev), 2) AS mrev FROM rdaily GROUP BY day
+      SELECT day,
+             round(CAST(sum(CAST(round(rev * 100) AS BIGINT)) AS DOUBLE) / 100, 2)
+               AS mrev
+      FROM rdaily GROUP BY day
     ),
     rr AS (
       SELECT r_name, day,
@@ -366,10 +381,12 @@ ROLLING_BETA_WIN = 30  # trading-day beta window
     win AS (
       SELECT r_name, day,
         CAST(count(*) OVER w AS DOUBLE) AS n,
-        sum(x) OVER w     AS sx,
-        sum(y) OVER w     AS sy,
-        sum(x * x) OVER w AS sxx,
-        sum(x * y) OVER w AS sxy
+        CAST(sum(CAST(round(x * 1e6) AS BIGINT)) OVER w AS DOUBLE) / 1e6 AS sx,
+        CAST(sum(CAST(round(y * 1e6) AS BIGINT)) OVER w AS DOUBLE) / 1e6 AS sy,
+        CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                 * CAST(round(x * 1e6) AS BIGINT)) OVER w AS DOUBLE) / 1e12 AS sxx,
+        CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                 * CAST(round(y * 1e6) AS BIGINT)) OVER w AS DOUBLE) / 1e12 AS sxy
       FROM j
       WINDOW w AS (PARTITION BY r_name ORDER BY day
                    ROWS BETWEEN {ROLLING_BETA_WIN - 1} PRECEDING AND CURRENT ROW)
@@ -403,7 +420,11 @@ def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", F.date_trunc("day", "o_orderdate").alias("day"))
         .agg(F.round(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 2).alias("rev"))
     )
-    mdaily = rdaily.groupBy("day").agg(F.round(F.sum("rev"), 2).alias("mrev"))
+    mdaily = rdaily.groupBy("day").agg(
+        F.round(
+            F.sum(F.round(F.col("rev") * 100).cast("long")).cast("double") / 100, 2
+        ).alias("mrev")
+    )
     wr = Window.partitionBy("r_name").orderBy("day")
     rr = rdaily.select(
         "r_name", "day", F.round(F.col("rev") / F.lag("rev").over(wr) - 1, 6).alias("y")
@@ -426,11 +447,15 @@ def rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("y").isNotNull() & F.col("x").isNotNull())
     )
     wb = Window.partitionBy("r_name").orderBy("day").rowsBetween(1 - ROLLING_BETA_WIN, 0)
+    # integer-moments rule: x, y are 6-dp — the frame moments sum exact
+    # integer grains (exact under any frame-evaluation order)
+    x6 = F.round(F.col("x") * 1e6).cast("long")
+    y6 = F.round(F.col("y") * 1e6).cast("long")
     n = F.count(F.lit(1)).over(wb).cast("double")
-    sx = F.sum("x").over(wb)
-    sy = F.sum("y").over(wb)
-    sxx = F.sum(F.col("x") * F.col("x")).over(wb)
-    sxy = F.sum(F.col("x") * F.col("y")).over(wb)
+    sx = F.sum(x6).over(wb).cast("double") / 1e6
+    sy = F.sum(y6).over(wb).cast("double") / 1e6
+    sxx = F.sum(x6.cast("decimal(19,0)") * x6).over(wb).cast("double") / 1e12
+    sxy = F.sum(x6.cast("decimal(19,0)") * y6).over(wb).cast("double") / 1e12
     return (
         j.select(
             "r_name",
@@ -533,8 +558,17 @@ def _dsr_oracle() -> str:
     return f"""
     WITH {_DAILY_RET_SQL},
     mo AS (
-      SELECT count(*) AS n, sum(r) AS s1, sum(r * r) AS s2,
-             sum(r * r * r) AS s3, sum(r * r * r * r) AS s4
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(r * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS s1,
+             CAST(sum(CAST(round(r * 1e6) AS HUGEINT)
+                      * CAST(round(r * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS s2,
+             CAST(sum(CAST(round(r * 1e6) AS HUGEINT)
+                      * CAST(round(r * 1e6) AS BIGINT)
+                      * CAST(round(r * 1e6) AS BIGINT)) AS DOUBLE) / 1e18 AS s3,
+             CAST(sum(CAST(round(r * 1e6) AS HUGEINT)
+                      * CAST(round(r * 1e6) AS BIGINT)
+                      * CAST(round(r * 1e6) AS BIGINT)
+                      * CAST(round(r * 1e6) AS BIGINT)) AS DOUBLE) / 1e24 AS s4
       FROM rets WHERE r IS NOT NULL
     ),
     st AS (
@@ -585,12 +619,16 @@ def deflated_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily-return relation; everything else is a closed form of those five
     sums, pushed through the shared A&S normal CDF and rounded at 6."""
     rets = _daily_returns(spark, sf_dir).filter(F.col("r").isNotNull())
+    # integer-moments rule: r is 6-dp — the four power sums run in exact
+    # integer grains (decimal(38,0) keeps r6^4 sums under the cap)
+    r6 = F.round(F.col("r") * 1e6).cast("long")
+    r6d = r6.cast("decimal(19,0)")
     mo = rets.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("r").alias("s1"),
-        F.sum(F.col("r") * F.col("r")).alias("s2"),
-        F.sum(F.col("r") * F.col("r") * F.col("r")).alias("s3"),
-        F.sum(F.col("r") * F.col("r") * F.col("r") * F.col("r")).alias("s4"),
+        (F.sum(r6).cast("double") / 1e6).alias("s1"),
+        (F.sum(r6d * r6).cast("double") / 1e12).alias("s2"),
+        (F.sum(r6d * r6 * r6).cast("double") / 1e18).alias("s3"),
+        (F.sum(r6d * r6 * r6 * r6).cast("double") / 1e24).alias("s4"),
     )
     n = F.col("n").cast("double")
     mu = F.col("s1") / n
@@ -805,8 +843,11 @@ PINBALL_TEST_MONTHS = 12
     ),
     loss AS (
       SELECT qf.tau,
-             avg(CASE WHEN test.z >= qf.q THEN qf.tau * (test.z - qf.q)
-                      ELSE (1.0 - qf.tau) * (qf.q - test.z) END) AS pinball,
+             CAST(sum(CAST(round((CASE WHEN test.z >= qf.q
+                                       THEN qf.tau * (test.z - qf.q)
+                                       ELSE (1.0 - qf.tau) * (qf.q - test.z) END)
+                                 * 1e12) AS BIGINT)) AS DOUBLE)
+               / count(*) / 1e12 AS pinball,
              avg(CASE WHEN test.z <= qf.q THEN 1.0 ELSE 0.0 END) AS coverage,
              count(*) AS n_test
       FROM test JOIN qf ON qf.moy = test.moy
@@ -873,10 +914,19 @@ def pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         test.join(F.broadcast(qf), "moy")
         .groupBy("tau")
         .agg(
-            F.avg(
-                F.when(
-                    F.col("z") >= F.col("q"), F.col("tau") * (F.col("z") - F.col("q"))
-                ).otherwise((1.0 - F.col("tau")) * (F.col("q") - F.col("z")))
+            # integer-moments rule: the per-month loss terms snap at 1e-12
+            (
+                F.sum(
+                    F.round(
+                        F.when(
+                            F.col("z") >= F.col("q"),
+                            F.col("tau") * (F.col("z") - F.col("q")),
+                        ).otherwise((1.0 - F.col("tau")) * (F.col("q") - F.col("z")))
+                        * 1e12
+                    ).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1))
+                / 1e12
             ).alias("pinball"),
             F.avg(F.when(F.col("z") <= F.col("q"), 1.0).otherwise(0.0)).alias(
                 "coverage"
@@ -937,11 +987,19 @@ DM_Z95 = 1.959964
     ),
     dstat AS (
       SELECT count(*) AS n,
-             sqrt(avg(l_model)) AS rmse_model,
-             sqrt(avg(l_naive)) AS rmse_naive,
-             avg(l_model - l_naive) AS dbar,
-             sqrt((sum((l_model - l_naive) * (l_model - l_naive))
-                   - count(*) * avg(l_model - l_naive) * avg(l_model - l_naive))
+             sqrt(CAST(sum(CAST(round(l_model * 1e12) AS HUGEINT)) AS DOUBLE)
+                  / 1e12 / count(*)) AS rmse_model,
+             sqrt(CAST(sum(CAST(round(l_naive * 1e12) AS HUGEINT)) AS DOUBLE)
+                  / 1e12 / count(*)) AS rmse_naive,
+             CAST(sum(CAST(round((l_model - l_naive) * 1e12) AS HUGEINT)) AS DOUBLE)
+               / 1e12 / count(*) AS dbar,
+             sqrt((CAST(sum(CAST(round((l_model - l_naive) * (l_model - l_naive)
+                                       * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6
+                   - count(*)
+                     * (CAST(sum(CAST(round((l_model - l_naive) * 1e12) AS HUGEINT))
+                             AS DOUBLE) / 1e12 / count(*))
+                     * (CAST(sum(CAST(round((l_model - l_naive) * 1e12) AS HUGEINT))
+                             AS DOUBLE) / 1e12 / count(*)))
                   / nullif(count(*) - 1, 0)) AS sd
       FROM losses
     )
@@ -1013,13 +1071,37 @@ def forecast_skill_dm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d = F.col("l_model") - F.col("l_naive")
+    # integer-moments rule: losses are exact 1e-12 multiples of 6-dp
+    # diffs — snap the reductions (d^2 at a 1e-6 grain, far under the
+    # 6-dp emission)
+    dbar_d = (
+        F.sum(F.round(d * 1e12).cast("decimal(38,0)")).cast("double")
+        / 1e12
+        / F.count(F.lit(1))
+    )
     dstat = losses.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sqrt(F.avg("l_model")).alias("rmse_model"),
-        F.sqrt(F.avg("l_naive")).alias("rmse_naive"),
-        F.avg(d).alias("dbar"),
         F.sqrt(
-            (F.sum(d * d) - F.count(F.lit(1)) * F.avg(d) * F.avg(d))
+            F.sum(F.round(F.col("l_model") * 1e12).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e12
+            / F.count(F.lit(1))
+        ).alias("rmse_model"),
+        F.sqrt(
+            F.sum(F.round(F.col("l_naive") * 1e12).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e12
+            / F.count(F.lit(1))
+        ).alias("rmse_naive"),
+        dbar_d.alias("dbar"),
+        F.sqrt(
+            (
+                F.sum(F.round(d * d * 1e6).cast("decimal(38,0)")).cast("double")
+                / 1e6
+                - F.count(F.lit(1)) * dbar_d * dbar_d
+            )
             / F.nullif(F.count(F.lit(1)) - 1, F.lit(0))
         ).alias("sd"),
     )

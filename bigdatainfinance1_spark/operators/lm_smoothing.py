@@ -57,8 +57,10 @@ KN_D = 0.75  # absolute discount
     )
     SELECT lang,
            CAST(sum(c) AS BIGINT) AS n_bigram_tokens,
-           round(sum(c * ln(p)) / sum(c), 6) AS avg_logp,
-           round(exp(-sum(c * ln(p)) / sum(c)), 4) AS perplexity
+           round(CAST(sum(CAST(round(c * ln(p) * 1e6) AS HUGEINT)) AS DOUBLE)
+                 / 1e6 / sum(c), 6) AS avg_logp,
+           round(exp(-CAST(sum(CAST(round(c * ln(p) * 1e6) AS HUGEINT)) AS DOUBLE)
+                     / 1e6 / sum(c)), 4) AS perplexity
     FROM scored GROUP BY lang
     """,
     tags=("text", "llm", "lm"),
@@ -111,8 +113,25 @@ def kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("lang").agg(
         F.sum("c").cast("long").alias("n_bigram_tokens"),
-        F.round(F.sum(F.col("c") * F.log("p")) / F.sum("c"), 6).alias("avg_logp"),
-        F.round(F.exp(-F.sum(F.col("c") * F.log("p")) / F.sum("c")), 4).alias("perplexity"),
+        # integer-moments rule: the weighted log-prob sum snaps at 1e-6
+        F.round(
+            F.sum(
+                F.round(F.col("c") * F.log("p") * 1e6).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+            / F.sum("c"),
+            6,
+        ).alias("avg_logp"),
+        F.round(
+            F.exp(
+                -F.sum(
+                    F.round(F.col("c") * F.log("p") * 1e6).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e6
+                / F.sum("c")
+            ),
+            4,
+        ).alias("perplexity"),
     )
 
 

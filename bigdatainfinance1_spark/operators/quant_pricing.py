@@ -146,9 +146,11 @@ BOND_FACE = 100.0
     ),
     s AS (
       SELECT n_nationkey,
-             sum(pv_t) AS price,
-             sum(t / 2.0 * pv_t) AS dur_num,
-             sum(t * (t + 1.0) * pv_t) AS conv_num
+             CAST(sum(CAST(round(pv_t * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS price,
+             CAST(sum(CAST(round(t / 2.0 * pv_t * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+               AS dur_num,
+             CAST(sum(CAST(round(t * (t + 1.0) * pv_t * 1e9) AS BIGINT)) AS DOUBLE)
+               / 1e9 AS conv_num
       FROM pv GROUP BY n_nationkey
     )
     SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
@@ -190,9 +192,24 @@ def bond_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = grid.select("n_nationkey", "t", "cpn", pv_t.alias("pv_t")).groupBy(
         "n_nationkey"
     ).agg(
-        F.sum("pv_t").alias("price_raw"),
-        F.sum(F.col("t") / 2.0 * F.col("pv_t")).alias("dur_num"),
-        F.sum(F.col("t") * (F.col("t") + F.lit(1.0)) * F.col("pv_t")).alias("conv_num"),
+        # integer-moments rule: snap each PV term at a 1e-9 grain
+        (
+            F.sum(F.round(F.col("pv_t") * 1e9).cast("long")).cast("double") / 1e9
+        ).alias("price_raw"),
+        (
+            F.sum(
+                F.round(F.col("t") / 2.0 * F.col("pv_t") * 1e9).cast("long")
+            ).cast("double")
+            / 1e9
+        ).alias("dur_num"),
+        (
+            F.sum(
+                F.round(
+                    F.col("t") * (F.col("t") + F.lit(1.0)) * F.col("pv_t") * 1e9
+                ).cast("long")
+            ).cast("double")
+            / 1e9
+        ).alias("conv_num"),
     )
     y1 = F.lit(1.0 + BOND_YIELD_SEMI)
     return s.select(
@@ -298,12 +315,18 @@ CVAR_Z95 = 1.644854  # one-sided 95% normal quantile
       FROM nation n CROSS JOIN days d
       LEFT JOIN nd ON nd.nationkey = n.n_nationkey AND nd.day = d.day
     ),
-    port AS (SELECT day, sum(x) AS p FROM grid GROUP BY day),
+    port AS (SELECT day,
+                    CAST(sum(CAST(round(x * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS p
+             FROM grid GROUP BY day),
     m AS (
       SELECT g.nationkey,
              count(*) AS n,
-             sum(g.x) AS sx, sum(p.p) AS sp,
-             sum(g.x * p.p) AS sxp, sum(p.p * p.p) AS spp
+             CAST(sum(CAST(round(g.x * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sx,
+             CAST(sum(CAST(round(p.p * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sp,
+             CAST(sum(CAST(round(g.x * 1e8) AS HUGEINT)
+                      * CAST(round(p.p * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS sxp,
+             CAST(sum(CAST(round(p.p * 1e8) AS HUGEINT)
+                      * CAST(round(p.p * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS spp
       FROM grid g JOIN port p ON g.day = p.day
       GROUP BY g.nationkey
     )
@@ -355,16 +378,28 @@ def component_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nd, ["nationkey", "day"], "left")
         .select("nationkey", "day", F.coalesce("x", F.lit(0.0)).alias("x"))
     )
-    port = grid.groupBy("day").agg(F.sum("x").alias("p"))
+    # integer-moments rule: x is an exact 1e-8 multiple (2-dp / 1e6) —
+    # the portfolio and moment sums run in exact integer grains
+    port = grid.groupBy("day").agg(
+        (
+            F.sum(F.round(F.col("x") * 1e8).cast("long")).cast("double") / 1e8
+        ).alias("p")
+    )
+    x8 = F.round(F.col("x") * 1e8).cast("long")
+    p8 = F.round(F.col("p") * 1e8).cast("long")
     m = (
         grid.join(port, "day")
         .groupBy("nationkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum("p").alias("sp"),
-            F.sum(F.col("x") * F.col("p")).alias("sxp"),
-            F.sum(F.col("p") * F.col("p")).alias("spp"),
+            (F.sum(x8).cast("double") / 1e8).alias("sx"),
+            (F.sum(p8).cast("double") / 1e8).alias("sp"),
+            (F.sum(x8.cast("decimal(19,0)") * p8).cast("double") / 1e16).alias(
+                "sxp"
+            ),
+            (F.sum(p8.cast("decimal(19,0)") * p8).cast("double") / 1e16).alias(
+                "spp"
+            ),
         )
     )
     n = F.col("n").cast("double")
@@ -503,8 +538,15 @@ EF_REGIONS = ("EUROPE", "ASIA")  # the two assets
         AND a.r IS NOT NULL AND b.r IS NOT NULL
     ),
     mo AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sx,
+             CAST(sum(CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+             CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                      * CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sxx,
+             CAST(sum(CAST(round(y * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS syy,
+             CAST(sum(CAST(round(x * 1e6) AS HUGEINT)
+                      * CAST(round(y * 1e6) AS BIGINT)) AS DOUBLE) / 1e12 AS sxy
       FROM j
     ),
     st AS (
@@ -564,13 +606,16 @@ def efficient_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month", F.col("r").alias("y")
     )
     j = a.join(b, "month").filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    # integer-moments rule: x, y are 6-dp — exact grain moment sums
+    x6 = F.round(F.col("x") * 1e6).cast("long")
+    y6 = F.round(F.col("y") * 1e6).cast("long")
     mo = j.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        (F.sum(x6).cast("double") / 1e6).alias("sx"),
+        (F.sum(y6).cast("double") / 1e6).alias("sy"),
+        (F.sum(x6.cast("decimal(19,0)") * x6).cast("double") / 1e12).alias("sxx"),
+        (F.sum(y6.cast("decimal(19,0)") * y6).cast("double") / 1e12).alias("syy"),
+        (F.sum(x6.cast("decimal(19,0)") * y6).cast("double") / 1e12).alias("sxy"),
     )
     n = F.col("n").cast("double")
     st = mo.select(
@@ -618,8 +663,15 @@ def efficient_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l.l_quantity > 0
     ),
     mo AS (
-      SELECT brand, count(*) AS n, sum(lx) AS sx, sum(ly) AS sy,
-             sum(lx * lx) AS sxx, sum(lx * ly) AS sxy, sum(ly * ly) AS syy
+      SELECT brand, count(*) AS n,
+             CAST(sum(CAST(round(lx * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sx,
+             CAST(sum(CAST(round(ly * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 AS sy,
+             CAST(sum(CAST(round(lx * 1e9) AS HUGEINT)
+                      * CAST(round(lx * 1e9) AS BIGINT)) AS DOUBLE) / 1e18 AS sxx,
+             CAST(sum(CAST(round(lx * 1e9) AS HUGEINT)
+                      * CAST(round(ly * 1e9) AS BIGINT)) AS DOUBLE) / 1e18 AS sxy,
+             CAST(sum(CAST(round(ly * 1e9) AS HUGEINT)
+                      * CAST(round(ly * 1e9) AS BIGINT)) AS DOUBLE) / 1e18 AS syy
       FROM f GROUP BY brand
     )
     SELECT brand,
@@ -656,13 +708,17 @@ def price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log("l_quantity").alias("ly"),
         )
     )
+    # integer-moments rule: snap the log terms at a 1e-9 grain so the
+    # per-brand moment sums are order-exact
+    lx9 = F.round(F.col("lx") * 1e9).cast("long")
+    ly9 = F.round(F.col("ly") * 1e9).cast("long")
     mo = f.groupBy("brand").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("lx").alias("sx"),
-        F.sum("ly").alias("sy"),
-        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
-        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
-        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        (F.sum(lx9).cast("double") / 1e9).alias("sx"),
+        (F.sum(ly9).cast("double") / 1e9).alias("sy"),
+        (F.sum(lx9.cast("decimal(19,0)") * lx9).cast("double") / 1e18).alias("sxx"),
+        (F.sum(lx9.cast("decimal(19,0)") * ly9).cast("double") / 1e18).alias("sxy"),
+        (F.sum(ly9.cast("decimal(19,0)") * ly9).cast("double") / 1e18).alias("syy"),
     )
     n = F.col("n").cast("double")
     slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
@@ -928,8 +984,15 @@ _AC_SQL = f"""
       FROM daily a JOIN daily b ON b.d = a.d - INTERVAL 1 DAY
     ),
     sig AS (
-      SELECT round(sqrt(avg(ret.r * ret.r) - avg(ret.r) * avg(ret.r))
-                   / (SELECT avg(x) FROM daily), 8) AS sigma
+      SELECT round(sqrt(CAST(sum(CAST(round(ret.r * 1e6) AS HUGEINT)
+                                 * CAST(round(ret.r * 1e6) AS BIGINT)) AS DOUBLE)
+                          / 1e12 / count(*)
+                        - (CAST(sum(CAST(round(ret.r * 1e6) AS BIGINT)) AS DOUBLE)
+                           / count(*) / 1e6)
+                          * (CAST(sum(CAST(round(ret.r * 1e6) AS BIGINT)) AS DOUBLE)
+                             / count(*) / 1e6))
+                   / (SELECT CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE)
+                             / count(*) / 1e6 FROM daily), 8) AS sigma
       FROM ret
     ),
     kap AS (
@@ -983,10 +1046,24 @@ def almgren_chriss(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret = daily.join(F.broadcast(prev), "d").select(
         F.round(F.col("x") - F.col("px"), 6).alias("r")
     )
-    mean_rev = daily.agg(F.avg("x").alias("mx"))
+    # integer-moments rule: x, r are 6-dp — exact grain sums for sigma
+    mean_rev = daily.agg(
+        (
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / 1e6
+        ).alias("mx")
+    )
+    rr6 = F.round(F.col("r") * 1e6).cast("long")
+    mu_r = F.sum(rr6).cast("double") / F.count(F.lit(1)) / 1e6
     sig = ret.crossJoin(F.broadcast(mean_rev)).agg(
         F.round(
-            F.sqrt(F.avg(F.col("r") * F.col("r")) - F.avg("r") * F.avg("r"))
+            F.sqrt(
+                F.sum(rr6.cast("decimal(19,0)") * rr6).cast("double")
+                / 1e12
+                / F.count(F.lit(1))
+                - mu_r * mu_r
+            )
             / F.max("mx"),
             8,
         ).alias("sigma")

@@ -869,8 +869,11 @@ def newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mm AS (
       SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
-             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22, sum(x1 * x2) AS s12,
-             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+             CAST(sum(CAST(round(x1 * x1) AS HUGEINT)) AS DOUBLE) AS s11,
+             CAST(sum(CAST(round(x2 * x2) AS HUGEINT)) AS DOUBLE) AS s22,
+             CAST(sum(CAST(round(x1 * x2) AS HUGEINT)) AS DOUBLE) AS s12,
+             CAST(sum(CAST(round(x1 * y) AS HUGEINT)) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(round(x2 * y) AS HUGEINT)) AS DOUBLE) AS s2y
       FROM obs
     ),
     c AS (
@@ -942,16 +945,28 @@ def bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_prev") * 1.0).alias("x1"),
         (F.col("n_prev") * 1.0 * F.col("n_prev")).alias("x2"),
     )
+    # integer-moments rule: x1/x2/y are integer-valued — the high-order
+    # product sums run in decimal so they stay exact past 2^53
     mm = obs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x1").alias("s1"),
         F.sum("x2").alias("s2"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
-        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
-        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
-        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.round(F.col("x1") * F.col("x1")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s11"),
+        F.sum(F.round(F.col("x2") * F.col("x2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s22"),
+        F.sum(F.round(F.col("x1") * F.col("x2")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s12"),
+        F.sum(F.round(F.col("x1") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s1y"),
+        F.sum(F.round(F.col("x2") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("s2y"),
     )
     c = mm.select(
         "n",
@@ -1007,20 +1022,30 @@ GIBRAT_Z95 = 1.959964
     oracle=f"""
     WITH spend AS (
       SELECT o_custkey,
-             sum(CASE WHEN year(o_orderdate) = {GIBRAT_Y1} THEN o_totalprice END) AS s1,
-             sum(CASE WHEN year(o_orderdate) = {GIBRAT_Y2} THEN o_totalprice END) AS s2
+             sum(CASE WHEN year(o_orderdate) = {GIBRAT_Y1}
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS s1,
+             sum(CASE WHEN year(o_orderdate) = {GIBRAT_Y2}
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS s2
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '{GIBRAT_Y1}-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '{GIBRAT_Y2 + 1}-01-01 00:00:00'
       GROUP BY o_custkey
     ),
     obs AS (
-      SELECT round(ln(s1), 8) AS x, round(ln(s2 / s1), 8) AS y
+      SELECT round(ln(s1 / 100e0), 8) AS x,
+             round(ln(s2 * 1e0 / s1), 8) AS y
       FROM spend WHERE s1 IS NOT NULL AND s2 IS NOT NULL
     ),
     mm AS (
-      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      SELECT count(*) AS n,
+             CAST(sum(CAST(round(x * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sx,
+             CAST(sum(CAST(round(y * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sy,
+             CAST(sum(CAST(round(x * 1e8) AS HUGEINT)
+                      * CAST(round(x * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS sxx,
+             CAST(sum(CAST(round(x * 1e8) AS HUGEINT)
+                      * CAST(round(y * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS sxy,
+             CAST(sum(CAST(round(y * 1e8) AS HUGEINT)
+                      * CAST(round(y * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS syy
       FROM obs
     ),
     fit AS (
@@ -1062,24 +1087,33 @@ def gibrat_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.sum(
-                F.when(F.year("o_orderdate") == GIBRAT_Y1, F.col("o_totalprice"))
+                F.when(
+                    F.year("o_orderdate") == GIBRAT_Y1,
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                )
             ).alias("s1"),
             F.sum(
-                F.when(F.year("o_orderdate") == GIBRAT_Y2, F.col("o_totalprice"))
+                F.when(
+                    F.year("o_orderdate") == GIBRAT_Y2,
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                )
             ).alias("s2"),
         )
     )
     obs = spend.filter(F.col("s1").isNotNull() & F.col("s2").isNotNull()).select(
-        F.round(F.log("s1"), 8).alias("x"),
-        F.round(F.log(F.col("s2") / F.col("s1")), 8).alias("y"),
+        F.round(F.log(F.col("s1") / F.lit(100.0)), 8).alias("x"),
+        F.round(F.log(F.col("s2") * F.lit(1.0) / F.col("s1")), 8).alias("y"),
     )
+    # integer-moments rule: x, y are 8-dp — exact grain moment sums
+    x8 = F.round(F.col("x") * 1e8).cast("long")
+    y8 = F.round(F.col("y") * 1e8).cast("long")
     mm = obs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        (F.sum(x8).cast("double") / 1e8).alias("sx"),
+        (F.sum(y8).cast("double") / 1e8).alias("sy"),
+        (F.sum(x8.cast("decimal(19,0)") * x8).cast("double") / 1e16).alias("sxx"),
+        (F.sum(x8.cast("decimal(19,0)") * y8).cast("double") / 1e16).alias("sxy"),
+        (F.sum(y8.cast("decimal(19,0)") * y8).cast("double") / 1e16).alias("syy"),
     )
     beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -1133,8 +1167,15 @@ def gibrat_law(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT round(ln(m), 8) AS x, round(ln(v), 8) AS y FROM g
     ),
     mm AS (
-      SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
-             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      SELECT count(*) AS k,
+             CAST(sum(CAST(round(x * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sx,
+             CAST(sum(CAST(round(y * 1e8) AS BIGINT)) AS DOUBLE) / 1e8 AS sy,
+             CAST(sum(CAST(round(x * 1e8) AS HUGEINT)
+                      * CAST(round(x * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS sxx,
+             CAST(sum(CAST(round(x * 1e8) AS HUGEINT)
+                      * CAST(round(y * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS sxy,
+             CAST(sum(CAST(round(y * 1e8) AS HUGEINT)
+                      * CAST(round(y * 1e8) AS BIGINT)) AS DOUBLE) / 1e16 AS syy
       FROM obs
     ),
     fit AS (
@@ -1192,13 +1233,16 @@ def taylor_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = g.select(
         F.round(F.log("m"), 8).alias("x"), F.round(F.log("v"), 8).alias("y")
     )
+    # integer-moments rule: x, y are 8-dp — exact grain moment sums
+    tx8 = F.round(F.col("x") * 1e8).cast("long")
+    ty8 = F.round(F.col("y") * 1e8).cast("long")
     mm = obs.agg(
         F.count(F.lit(1)).alias("k"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        (F.sum(tx8).cast("double") / 1e8).alias("sx"),
+        (F.sum(ty8).cast("double") / 1e8).alias("sy"),
+        (F.sum(tx8.cast("decimal(19,0)") * tx8).cast("double") / 1e16).alias("sxx"),
+        (F.sum(tx8.cast("decimal(19,0)") * ty8).cast("double") / 1e16).alias("sxy"),
+        (F.sum(ty8.cast("decimal(19,0)") * ty8).cast("double") / 1e16).alias("syy"),
     )
     b = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")

@@ -177,12 +177,17 @@ def _norm_cdf_col(x: Column) -> Column:
     oracle=f"""
     WITH g AS (
       SELECT c.c_nationkey AS nationkey,
-             count(*) AS n, sum(o.o_totalprice) AS s,
-             sum(o.o_totalprice * o.o_totalprice) AS ss
+             count(*) AS n,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS s,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS HUGEINT)
+                      * CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 1e4 AS ss
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY c.c_nationkey
     ),
-    gm AS (SELECT sum(s) / sum(n) AS mu FROM g),
+    gm AS (SELECT CAST(sum(CAST(round(s * 100) AS BIGINT)) AS DOUBLE) / 100 / sum(n)
+                  AS mu FROM g),
     z AS (
       SELECT nationkey, n,
              (s / n - gm.mu) / sqrt((ss / n - (s / n) * (s / n)) / n) AS z
@@ -241,11 +246,30 @@ def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").alias("s"),
-            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("s"),
+            (
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("decimal(19,0)")
+                    .alias("c19")
+                    * F.round(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / 1e4
+            ).alias("ss"),
         )
     )
-    glob = g.agg((F.sum("s") / F.sum("n")).alias("mu"))
+    glob = g.agg(
+        (
+            F.sum(F.round(F.col("s") * 100).cast("long")).cast("double")
+            / 100
+            / F.sum("n")
+        ).alias("mu")
+    )
     n = F.col("n").cast("double")
     zc = (F.col("s") / n - F.col("mu")) / F.sqrt(
         (F.col("ss") / n - (F.col("s") / n) * (F.col("s") / n)) / n
@@ -292,7 +316,8 @@ AIPW_TREAT_SEG = "BUILDING"  # must match q_ipw_ate's treatment definition
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ),
     cell AS (
-      SELECT nationkey, tr, count(*) AS n, sum(y) AS sy
+      SELECT nationkey, tr, count(*) AS n,
+             CAST(sum(CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / 100 AS sy
       FROM base GROUP BY nationkey, tr
     ),
     nat AS (
@@ -314,7 +339,8 @@ AIPW_TREAT_SEG = "BUILDING"  # must match q_ipw_ate's treatment definition
     ),
     tot AS (SELECT sum(nk) AS n FROM terms)
     SELECT CAST(tot.n AS BIGINT) AS n_matched,
-           round(sum(terms.nk * terms.contrast) / tot.n, 4) AS ate_aipw,
+           round(CAST(sum(CAST(round(terms.nk * terms.contrast * 1e6) AS HUGEINT))
+                      AS DOUBLE) / 1e6 / tot.n, 4) AS ate_aipw,
            CAST(count(*) AS BIGINT) AS n_nations_used
     FROM terms CROSS JOIN tot
     GROUP BY tot.n
@@ -345,7 +371,10 @@ def aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("y"),
     )
     cell = base.groupBy("nationkey", "tr").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("y") * 100).cast("long")).cast("double") / 100
+        ).alias("sy"),
     )
     nat = cell.groupBy("nationkey").agg(
         F.sum(F.when(F.col("tr") == 1, F.col("n")).otherwise(0)).alias("n1"),
@@ -362,9 +391,16 @@ def aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         terms.crossJoin(F.broadcast(tot))
         .groupBy("n")
         .agg(
-            F.round(F.sum(F.col("nk") * F.col("contrast")) / F.first("n"), 4).alias(
-                "ate_aipw"
-            ),
+            F.round(
+                F.sum(
+                    F.round(F.col("nk") * F.col("contrast") * 1e6).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 1e6
+                / F.first("n"),
+                4,
+            ).alias("ate_aipw"),
             F.count(F.lit(1)).alias("n_nations_used"),
         )
         .select(
@@ -634,7 +670,8 @@ WD_REGIONS = ("EUROPE", "ASIA")
       FROM grid g LEFT JOIN base b ON true
       GROUP BY g.t
     )
-    SELECT round(sum(abs(f1 - f2)) * {WD_STEP}, 2) AS wasserstein_1,
+    SELECT round(CAST(sum(CAST(round(abs(f1 - f2) * 1e12) AS HUGEINT)) AS DOUBLE)
+                 / 1e12 * {WD_STEP}, 2) AS wasserstein_1,
            round(max(abs(f1 - f2)), 6) AS ks_sup,
            CAST(count(*) AS BIGINT) AS n_grid_points
     FROM cdf
@@ -708,7 +745,16 @@ def wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cdf.agg(
-        F.round(F.sum(F.abs(F.col("f1") - F.col("f2"))) * WD_STEP, 2).alias("wasserstein_1"),
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("f1") - F.col("f2")) * 1e12).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / 1e12
+            * WD_STEP,
+            2,
+        ).alias("wasserstein_1"),
         F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_sup"),
         F.count(F.lit(1)).cast("long").alias("n_grid_points"),
     )
@@ -771,9 +817,12 @@ LOGRANK_CHI2_95 = 3.841459
     ),
     s AS (
       SELECT sum(d1) AS o1,
-             sum((d1 + d0) * 1.0 * n1 / (n1 + n0)) AS e1,
-             sum((d1 + d0) * 1.0 * n1 / (n1 + n0) * (1.0 - n1 * 1.0 / (n1 + n0))
-                 * (n1 + n0 - d1 - d0) / (n1 + n0 - 1.0)) AS v
+             CAST(sum(CAST(round((d1 + d0) * 1.0 * n1 / (n1 + n0) * 1e9)
+                           AS HUGEINT)) AS DOUBLE) / 1e9 AS e1,
+             CAST(sum(CAST(round((d1 + d0) * 1.0 * n1 / (n1 + n0)
+                                 * (1.0 - n1 * 1.0 / (n1 + n0))
+                                 * (n1 + n0 - d1 - d0) / (n1 + n0 - 1.0) * 1e9)
+                           AS HUGEINT)) AS DOUBLE) / 1e9 AS v
       FROM pooled
     )
     SELECT CAST(o1 AS BIGINT) AS observed_events_g1,
@@ -853,10 +902,20 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = F.col("d1") + F.col("d0")
     s = pooled.agg(
         F.sum("d1").alias("o1"),
-        F.sum(dt * 1.0 * F.col("n1") / nt).alias("e1"),
-        F.sum(
-            dt * 1.0 * F.col("n1") / nt * (1.0 - F.col("n1") * 1.0 / nt)
-            * (nt - dt) / (nt - 1.0)
+        (
+            F.sum(
+                F.round(dt * 1.0 * F.col("n1") / nt * 1e9).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e9
+        ).alias("e1"),
+        (
+            F.sum(
+                F.round(
+                    dt * 1.0 * F.col("n1") / nt * (1.0 - F.col("n1") * 1.0 / nt)
+                    * (nt - dt) / (nt - 1.0) * 1e9
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e9
         ).alias("v"),
     )
     # nullif guard: a fully-degenerate duration set (every subject events at
@@ -985,10 +1044,14 @@ def kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c.c_nationkey AS nationkey, o.o_totalprice AS y
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ),
-    g AS (SELECT count(*) AS n, sum(y) AS sy FROM base),
+    g AS (SELECT count(*) AS n,
+                 CAST(sum(CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / 100 AS sy
+          FROM base),
     nat AS (
-      SELECT nationkey, count(*) AS nk, sum(y) AS syk,
-             sum(y * ln(y)) AS sylny
+      SELECT nationkey, count(*) AS nk,
+             CAST(sum(CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / 100 AS syk,
+             CAST(sum(CAST(round(y * ln(y) * 1e6) AS HUGEINT)) AS DOUBLE) / 1e6
+               AS sylny
       FROM base GROUP BY nationkey
     ),
     terms AS (
@@ -1000,8 +1063,10 @@ def kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT max(n) AS n,
-             sum(syk / sy * t_within_k) AS within_part,
-             sum(syk / sy * ln((syk / sy) / (nk * 1.0 / n))) AS between_part
+             CAST(sum(CAST(round(syk / sy * t_within_k * 1e12) AS BIGINT))
+                  AS DOUBLE) / 1e12 AS within_part,
+             CAST(sum(CAST(round(syk / sy * ln((syk / sy) / (nk * 1.0 / n)) * 1e12)
+                           AS BIGINT)) AS DOUBLE) / 1e12 AS between_part
       FROM terms
     )
     SELECT CAST(n AS BIGINT) AS n_orders,
@@ -1032,11 +1097,20 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
         F.col("c_nationkey").alias("nationkey"), F.col("o_totalprice").alias("y")
     )
-    g = base.agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+    yc = F.round(F.col("y") * 100).cast("long")
+    g = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(yc).cast("double") / 100).alias("sy"),
+    )
     nat = base.groupBy("nationkey").agg(
         F.count(F.lit(1)).alias("nk"),
-        F.sum("y").alias("syk"),
-        F.sum(F.col("y") * F.log("y")).alias("sylny"),
+        (F.sum(yc).cast("double") / 100).alias("syk"),
+        (
+            F.sum(
+                F.round(F.col("y") * F.log("y") * 1e6).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+        ).alias("sylny"),
     )
     terms = nat.crossJoin(F.broadcast(g)).select(
         "nationkey",
@@ -1050,10 +1124,27 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = terms.agg(
         F.max("n").alias("n"),
-        F.sum(F.col("syk") / F.col("sy") * F.col("t_within_k")).alias("within_part"),
-        F.sum(
-            F.col("syk") / F.col("sy")
-            * F.log((F.col("syk") / F.col("sy")) / (F.col("nk") * 1.0 / F.col("n")))
+        (
+            F.sum(
+                F.round(
+                    F.col("syk") / F.col("sy") * F.col("t_within_k") * 1e12
+                ).cast("long")
+            ).cast("double")
+            / 1e12
+        ).alias("within_part"),
+        (
+            F.sum(
+                F.round(
+                    F.col("syk")
+                    / F.col("sy")
+                    * F.log(
+                        (F.col("syk") / F.col("sy"))
+                        / (F.col("nk") * 1.0 / F.col("n"))
+                    )
+                    * 1e12
+                ).cast("long")
+            ).cast("double")
+            / 1e12
         ).alias("between_part"),
     )
     return s.select(
