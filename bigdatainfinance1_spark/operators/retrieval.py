@@ -165,11 +165,15 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM graded
     ),
     d AS (
-      SELECT term, sum((power(2, rel) - 1) / (ln(pos + 1) / ln(2))) AS dcg
+      SELECT term,
+             CAST(sum(CAST(round((power(2, rel) - 1) / (ln(pos + 1) / ln(2)) * 1e12)
+                           AS BIGINT)) AS DOUBLE) / 1e12 AS dcg
       FROM sys WHERE pos <= 10 GROUP BY term
     ),
     i AS (
-      SELECT term, sum((power(2, rel) - 1) / (ln(pos + 1) / ln(2))) AS idcg
+      SELECT term,
+             CAST(sum(CAST(round((power(2, rel) - 1) / (ln(pos + 1) / ln(2)) * 1e12)
+                           AS BIGINT)) AS DOUBLE) / 1e12 AS idcg
       FROM ideal WHERE pos <= 10 GROUP BY term
     ),
     n AS (SELECT term, CAST(count(*) AS BIGINT) AS n_cands FROM graded GROUP BY term)
@@ -208,13 +212,21 @@ def ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         graded.select("term", "rel", F.row_number().over(w_sys).alias("pos"))
         .filter(F.col("pos") <= 10)
         .groupBy("term")
-        .agg(F.sum(gain).alias("dcg"))
+        .agg(
+            (
+                F.sum(F.round(gain * 1e12).cast("long")).cast("double") / 1e12
+            ).alias("dcg")
+        )
     )
     i = (
         graded.select("term", "rel", F.row_number().over(w_ideal).alias("pos"))
         .filter(F.col("pos") <= 10)
         .groupBy("term")
-        .agg(F.sum(gain).alias("idcg"))
+        .agg(
+            (
+                F.sum(F.round(gain * 1e12).cast("long")).cast("double") / 1e12
+            ).alias("idcg")
+        )
     )
     n = graded.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("n_cands"))
     return (
@@ -254,11 +266,11 @@ _BM25_TERMS = ("spark", "join", "fast")
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     scored AS (
       SELECT tf.doc_id,
-        sum(
+        CAST(sum(CAST(round(
           ln((n.n - df.df + 0.5e0) / (df.df + 0.5e0) + 1e0)
           * tf.tf * 2.2e0
-          / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.doclen / a.avgdl))
-        ) AS score
+          / (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.doclen / a.avgdl)) * 1e12
+        ) AS BIGINT)) AS DOUBLE) / 1e12 AS score
       FROM tf
       JOIN df ON tf.term = df.term
       JOIN dl ON tf.doc_id = dl.doc_id
@@ -305,7 +317,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(consts))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .agg(
+            F.round(
+                F.sum(F.round(contrib * 1e12).cast("long")).cast("double") / 1e12,
+                6,
+            ).alias("bm25")
+        )
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
