@@ -79,8 +79,16 @@ MP_EXCL = 3  # exclusion zone (m/2): skip trivial self-matches
       CROSS JOIN n WHERE w.i <= n.n - {MP_M - 1}
     ),
     mom AS (
-      SELECT w, round(avg(z), 8) AS mu,
-             round(sqrt(avg(z * z) - avg(z) * avg(z)), 8) AS sd
+      SELECT w,
+             round(CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                   / count(*) / 1e6, 8) AS mu,
+             round(sqrt(CAST(sum(CAST(round(z * 1e6) AS HUGEINT)
+                                 * CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                          / 1e12 / count(*)
+                        - (CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                           / count(*) / 1e6)
+                          * (CAST(sum(CAST(round(z * 1e6) AS BIGINT)) AS DOUBLE)
+                             / count(*) / 1e6)), 8) AS sd
       FROM win GROUP BY w
     ),
     nz AS (
@@ -89,7 +97,9 @@ MP_EXCL = 3  # exclusion zone (m/2): skip trivial self-matches
     ),
     d AS (
       SELECT a.w AS i, b.w AS j,
-             round(sqrt(sum((a.v - b.v) * (a.v - b.v))), 6) AS dist
+             round(sqrt(CAST(sum(CAST(round((a.v - b.v) * 1e8) AS HUGEINT)
+                                 * CAST(round((a.v - b.v) * 1e8) AS BIGINT))
+                             AS DOUBLE) / 1e16), 6) AS dist
       FROM nz a JOIN nz b ON a.k = b.k AND abs(a.w - b.w) >= {MP_EXCL}
       GROUP BY a.w, b.w
     )
@@ -130,9 +140,20 @@ def matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("i", F.col("w") + F.col("k"))
     )
     win = w.join(idx.select("i", "z"), "i").select("w", "k", "z")
+    # integer-moments rule: z is 6-dp — window moments sum exact grains
+    z6 = F.round(F.col("z") * 1e6).cast("long")
+    mu_d = F.sum(z6).cast("double") / F.count(F.lit(1)) / 1e6
     mom = win.groupBy("w").agg(
-        F.round(F.avg("z"), 8).alias("mu"),
-        F.round(F.sqrt(F.avg(F.col("z") * F.col("z")) - F.avg("z") * F.avg("z")), 8).alias("sd"),
+        F.round(mu_d, 8).alias("mu"),
+        F.round(
+            F.sqrt(
+                F.sum(z6.cast("decimal(19,0)") * z6).cast("double")
+                / 1e12
+                / F.count(F.lit(1))
+                - mu_d * mu_d
+            ),
+            8,
+        ).alias("sd"),
     )
     nz = (
         win.join(mom, "w")
@@ -144,7 +165,19 @@ def matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         a.join(b, (F.col("k") == F.col("kb")) & (F.abs(F.col("i") - F.col("j")) >= MP_EXCL))
         .groupBy("i", "j")
-        .agg(F.round(F.sqrt(F.sum((F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb")))), 6).alias("dist"))
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round((F.col("va") - F.col("vb")) * 1e8)
+                        .cast("decimal(19,0)")
+                        * F.round((F.col("va") - F.col("vb")) * 1e8).cast("long")
+                    ).cast("double")
+                    / 1e16
+                ),
+                6,
+            ).alias("dist")
+        )
     )
     # (dist, j) tie-break encoded as one BIGINT key — DuckDB 1.0's min_by
     # has no struct-key overload; dist is already a multiple of 1e-6

@@ -72,7 +72,8 @@ def rank_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       quartile,
       count(*)                 AS n_custs,
-      round(avg(c_acctbal), 4) AS avg_bal,
+      round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+            / count(*) / 100, 4) AS avg_bal,
       round(min(c_acctbal), 2) AS min_bal,
       round(max(c_acctbal), 2) AS max_bal
     FROM (
@@ -99,7 +100,13 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_custs"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            # integer-moments rule: acctbal is exact 2-dp — mean in cents
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / 100,
+                4,
+            ).alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
