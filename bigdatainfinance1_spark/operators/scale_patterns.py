@@ -287,12 +287,12 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q_weighted_reservoir_es — Efraimidis-Spirakis one-pass weighted sample
+# q_weighted_reservoir_es — one-pass weighted sample (priority sampling)
 # ---------------------------------------------------------------------------
 
 ES_K = 20  # sample size
 # SplitMix-style deterministic sub-uniform (the q_dp_histogram constants):
-# exact BIGINT arithmetic < 2^53 on both engines; +1 keeps u strictly in (0,1)
+# exact BIGINT arithmetic < 2^53 on both engines; +1 keeps m in [1, 2^31]
 ES_KNUTH, ES_SALT, ES_MOD = 2654435761, 424243, 2147483648
 
 
@@ -301,8 +301,9 @@ ES_KNUTH, ES_SALT, ES_MOD = 2654435761, 424243, 2147483648
     oracle=f"""
     WITH keyed AS (
       SELECT o_orderkey, o_totalprice,
-             ln(((o_orderkey * {ES_KNUTH} + {ES_SALT}) % {ES_MOD} + 1.0)
-                / ({ES_MOD} + 1.0)) / o_totalprice AS es_key
+             (CAST(round(o_totalprice * 100) AS BIGINT) * {ES_MOD})
+               // ((o_orderkey * {ES_KNUTH} + {ES_SALT}) % {ES_MOD} + 1)
+               AS priority_key
       FROM orders
     ),
     pop AS (
@@ -312,8 +313,9 @@ ES_KNUTH, ES_SALT, ES_MOD = 2654435761, 424243, 2147483648
     ),
     top AS (
       SELECT o_orderkey, o_totalprice,
-             row_number() OVER (ORDER BY es_key DESC, o_orderkey) AS sample_rank
-      FROM keyed ORDER BY es_key DESC, o_orderkey LIMIT {ES_K}
+             row_number() OVER (ORDER BY priority_key DESC, o_orderkey)
+               AS sample_rank
+      FROM keyed ORDER BY priority_key DESC, o_orderkey LIMIT {ES_K}
     )
     SELECT top.o_orderkey,
            top.o_totalprice AS weight,
@@ -324,35 +326,46 @@ ES_KNUTH, ES_SALT, ES_MOD = 2654435761, 424243, 2147483648
     tags=("sample", "scale"),
 )
 def weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Efraimidis-Spirakis weighted reservoir sampling (A-ES): each row
-    gets key = ln(u)/w for a per-row uniform u and weight w =
-    o_totalprice; the global top-{k} by key IS an exact
-    without-replacement sample with inclusion probability proportional to
-    weight. This is THE distributed weighted-sampling pattern — one scan,
-    one TakeOrdered top-k, no cumulative-weight line (contrast
-    q_pps_sample's systematic variant, which needs per-stratum prefix
-    sums) and no coordination, so it survives any corpus size and streams.
+    """One-pass weighted sampling without replacement via priority
+    sampling (Duffield-Lund-Thorup): each row gets priority w/u for a
+    per-row uniform u and weight w = o_totalprice; the global top-{k} by
+    priority is a weighted sample with inclusion probability increasing
+    in weight (the A-ES ln(u)/w key selects the identical distributionally
+    -equivalent family). This is THE distributed weighted-sampling
+    pattern — one scan, one TakeOrdered top-k, no cumulative-weight line
+    (contrast q_pps_sample's systematic variant, which needs per-stratum
+    prefix sums) and no coordination, so it survives any corpus size.
 
-    Determinism: u comes from the deterministic SplitMix sub-uniform of
-    the order key (exact BIGINT arithmetic, identical on both engines);
-    ln and the division are correctly-rounded IEEE on identical inputs,
-    and keys of distinct rows are well-separated random reals, so the
-    top-k SET and its ORDER are engine-exact. The float key itself is an
-    internal sampling device and is NOT emitted (round(es_key, 9) carried
-    the project's only red driver row, a 1-ulp boundary flip); the emitted
-    sample_rank is the row_number over that engine-exact order. The
-    population average rides along in exact integer cents — half-up via
-    (2*sum_cents + n) DIV (2n), pure BIGINT arithmetic on both engines —
-    to make the size bias visible (the sample over-represents large
-    orders by construction)."""
+    Determinism — the round-7 all-integer lineage: u = m / 2^31 with
+    m = (o_orderkey * knuth + salt) % 2^31 + 1, the deterministic
+    SplitMix sub-uniform, so priority w/u = w_cents * 2^31 / m. We order
+    by the truncated integer quotient (w_cents * 2^31) div m with
+    o_orderkey as tiebreak: every intermediate is exact BIGINT
+    arithmetic (max w_cents * 2^31 ≈ 1.2e17 << 2^63; operands positive
+    so Spark's truncating `div` equals DuckDB's flooring `//`), so the
+    top-k SET and its ORDER are engine-exact BY CONSTRUCTION — integer
+    arithmetic cannot diverge cross-engine. The earlier A-ES form kept a
+    transcendental (ln) in the selection lineage; Java's Math.log is only
+    1-ulp-bounded and DuckDB uses platform libm, so cross-engine equality
+    was merely overwhelmingly probable, not provable (it carried the
+    project's only red driver rows in r5/r6 despite 20/20 local tuple
+    equality). The float key is gone entirely; the emitted sample_rank is
+    the row_number over the integer order. The population average rides
+    along in exact integer cents — half-up via (2*sum_cents + n) DIV
+    (2n), pure BIGINT arithmetic on both engines — to make the size bias
+    visible (the sample over-represents large orders by construction)."""
     orders = load_table(spark, sf_dir, "orders")
-    u = (
-        (F.col("o_orderkey") * ES_KNUTH + ES_SALT) % ES_MOD + 1.0
-    ) / float(ES_MOD + 1)
+    m = (F.col("o_orderkey") * ES_KNUTH + ES_SALT) % ES_MOD + 1
+    w_cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     keyed = orders.select(
         "o_orderkey",
         "o_totalprice",
-        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+        (w_cents * F.lit(ES_MOD).cast("long")).alias("_num"),
+        m.cast("long").alias("_m"),
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.expr("_num div _m").cast("long").alias("priority_key"),
     )
     pop = orders.agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("s"),
@@ -362,11 +375,13 @@ def weighted_reservoir_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         # `div` equals DuckDB's flooring `//`
         F.expr("(2 * s + n) div (2 * n)").cast("long").alias("population_avg_cents")
     )
-    top = keyed.orderBy(F.col("es_key").desc(), F.col("o_orderkey").asc()).limit(ES_K)
+    top = keyed.orderBy(
+        F.col("priority_key").desc(), F.col("o_orderkey").asc()
+    ).limit(ES_K)
     # single-partition window is safe here: its input is the {ES_K}-row
     # TakeOrdered result, not the corpus (lit(1) partition per house rule)
     w = Window.partitionBy(F.lit(1)).orderBy(
-        F.col("es_key").desc(), F.col("o_orderkey").asc()
+        F.col("priority_key").desc(), F.col("o_orderkey").asc()
     )
     ranked = top.select(
         "o_orderkey",

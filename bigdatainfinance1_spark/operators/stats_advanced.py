@@ -254,9 +254,7 @@ def benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             (
                 F.sum(
-                    F.round(F.col("o_totalprice") * 100)
-                    .cast("decimal(19,0)")
-                    .alias("c19")
+                    F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)")
                     * F.round(F.col("o_totalprice") * 100).cast("long")
                 ).cast("double")
                 / 1e4

@@ -748,7 +748,7 @@ def ohlc_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(sum(n_orders) OVER w AS DOUBLE) AS sy,
         CAST(sum(CAST(cents AS HUGEINT) * cents) OVER w AS DOUBLE) / 1e4 AS sxx,
         CAST(sum(n_orders * n_orders) OVER w AS DOUBLE) AS syy,
-        CAST(sum(cents * n_orders) OVER w AS DOUBLE) / 100 AS sxy
+        CAST(sum(CAST(cents AS HUGEINT) * n_orders) OVER w AS DOUBLE) / 100 AS sxy
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
     )
@@ -790,7 +790,12 @@ def rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         )
         syy = F.sum(F.col("n_orders") * F.col("n_orders")).over(w).cast("double")
-        sxy = F.sum(F.col("cents") * F.col("n_orders")).over(w).cast("double") / 100
+        sxy = (
+            F.sum(F.col("cents").cast("decimal(19,0)") * F.col("n_orders"))
+            .over(w)
+            .cast("double")
+            / 100
+        )
         denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         return [
             F.round((n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 4).alias("corr_30d")

@@ -1384,7 +1384,7 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT bar_start,
            CAST(sum(sz) AS BIGINT) AS volume,
-           round(CAST(sum(CAST(round(px * 1e4) AS BIGINT) * sz) AS DOUBLE)
+           round(CAST(sum(CAST(round(px * 1e4) AS HUGEINT) * sz) AS DOUBLE)
                  / 1e4 / sum(sz), 6) AS vwap,
            round(CAST(sum(CAST(round(px * 1e4) AS BIGINT)) AS DOUBLE)
                  / count(*) / 1e4, 6) AS twap_naive
@@ -1419,9 +1419,12 @@ def stream_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer-moments rule: px is 4-dp — the weighted and naive
             # means sum exact integer grains in the state store
             F.round(
-                F.sum(F.round(F.col("px") * 1e4).cast("long") * F.col("sz")).cast(
-                    "double"
-                )
+                # decimal(38,0) product/sum: DuckDB's BIGINT sum auto-widens
+                # to HUGEINT while Spark's LongType would wrap silently —
+                # match the twap/rolling_corr overflow treatment
+                F.sum(
+                    F.round(F.col("px") * 1e4).cast("decimal(19,0)") * F.col("sz")
+                ).cast("double")
                 / 1e4
                 / F.sum("sz"),
                 6,
