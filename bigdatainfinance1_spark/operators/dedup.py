@@ -1197,6 +1197,16 @@ def dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LSH_SWEEP_BANDINGS = (4, 8, 16)  # bands over the 32-permutation signature
+# Bucket-pair budget for the sweep's candidate counting (round-6 verdict
+# task 4): the sweep COUNTS each banding's candidate pairs, and on a
+# mass-duplicated corpus that count — the true answer — grows
+# quadratically (measured 28.1x at 100x in BASELINE.md). Above the budget
+# the banding's count is taken inside a deterministic hash-sampled doc
+# stratum instead (1 in LSH_SWEEP_SAMPLE_MOD docs, so ~1/MOD^2 of pairs),
+# and the `method` column SAYS SO — the q_prefix_filter_join gate
+# contract. Never trips at oracle tiers (asserted in tests/test_dedup.py).
+LSH_SWEEP_PAIR_BUDGET = 20_000_000
+LSH_SWEEP_SAMPLE_MOD = 16
 
 
 def _lsh_sweep_oracle() -> str:
@@ -1227,7 +1237,8 @@ def _lsh_sweep_oracle() -> str:
     SELECT CAST(n_bands AS BIGINT) AS n_bands,
            CAST(rows_per_band AS BIGINT) AS rows_per_band,
            CAST(n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
-           round(pow(1.0 / n_bands, 1.0 / rows_per_band), 4) AS s50_threshold
+           round(pow(1.0 / n_bands, 1.0 / rows_per_band), 4) AS s50_threshold,
+           'exact' AS method
     FROM ({union})
     """
 
@@ -1244,7 +1255,18 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signature work is shared across the sweep — the expensive pass runs
     once, each banding adds only a band-key regroup and bucket self-join,
     all O(docs) shuffles. md5 signature family for DuckDB
-    reproducibility (the q_minhash_lsh oracle-twin posture)."""
+    reproducibility (the q_minhash_lsh oracle-twin posture).
+
+    Gate (round-6 verdict task 4): before each banding's bucket
+    self-join, the exact join fan-out Σ c·(c−1)/2 over bucket sizes is
+    computed with an O(docs) aggregate. Above LSH_SWEEP_PAIR_BUDGET —
+    possible only on a mass-duplicated corpus, where the candidate count
+    itself is quadratic — the banding's count is taken inside the
+    deterministic doc stratum pmod(xxhash64(doc_id), MOD) = 0 (~1/MOD of
+    docs, so ~1/MOD² of pairs) and the `method` column flips 'exact' →
+    'stratum_1_of_{MOD}'; no silent semantics change, and the run
+    completes instead of attempting billions of pairs. Oracle tiers
+    never trip (asserted in tests/test_dedup.py)."""
     from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
     ds = _doc_shingles(spark, sf_dir)
     sig = (
@@ -1279,6 +1301,34 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("band_key")
             )
         )
+        # exact join fan-out from bucket sizes — O(docs), no pairs built;
+        # decimal sum so a mass-duplicate bucket cannot wrap the estimate
+        est = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(
+                    F.col("c").cast("decimal(38,0)") * (F.col("c") - 1) / 2
+                ).alias("pairs")
+            )
+            .collect()[0]["pairs"]
+            or 0
+        )
+        if est > LSH_SWEEP_PAIR_BUDGET:
+            import warnings
+
+            warnings.warn(
+                f"q_lsh_band_sweep: banding {b}x{r} bucket fan-out {est} "
+                f"exceeds budget {LSH_SWEEP_PAIR_BUDGET}; counting inside "
+                f"the 1/{LSH_SWEEP_SAMPLE_MOD} hash-sampled doc stratum",
+                stacklevel=2,
+            )
+            bands = bands.filter(
+                F.pmod(F.xxhash64("doc_id"), F.lit(LSH_SWEEP_SAMPLE_MOD)) == 0
+            )
+            method = f"stratum_1_of_{LSH_SWEEP_SAMPLE_MOD}"
+        else:
+            method = "exact"
         x = bands.select("band", "band_key", F.col("doc_id").alias("d1"))
         y = bands.select("band", "band_key", F.col("doc_id").alias("d2"))
         n_pairs = (
@@ -1288,12 +1338,13 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .count()
         )
-        row = (b, r, n_pairs, rnd((1.0 / b) ** (1.0 / r), 4))
+        row = (b, r, n_pairs, rnd((1.0 / b) ** (1.0 / r), 4), method)
         out = (out or []) + [row]
     sig.unpersist()
     return spark.createDataFrame(
         out,
-        "n_bands long, rows_per_band long, n_candidate_pairs long, s50_threshold double",
+        "n_bands long, rows_per_band long, n_candidate_pairs long,"
+        " s50_threshold double, method string",
     )
 
 

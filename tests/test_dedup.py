@@ -83,6 +83,40 @@ def test_prefix_join_gate_switches_to_lsh_and_warns(spark, monkeypatch):
     assert gated  # non-vacuous
 
 
+def test_lsh_sweep_budget_not_tripped_at_gate_scale(spark):
+    """The driver must check the EXACT tier: every banding's bucket
+    fan-out stays under LSH_SWEEP_PAIR_BUDGET at oracle-gate scales."""
+    df = SPECS["q_lsh_band_sweep"].fn(spark, SF_DIR)
+    assert {r["method"] for r in df.select("method").distinct().collect()} == {
+        "exact"
+    }
+
+
+def test_lsh_sweep_gate_switches_to_stratum_and_warns(spark, monkeypatch):
+    """Forcing the budget to trip must (a) warn, (b) flip the method
+    column to the stratum tier (no silent semantics change), (c) report
+    counts no larger than the exact tier's (the stratum is a subset of
+    docs), and (d) keep the banding/threshold columns identical."""
+    exact = {
+        r["n_bands"]: r
+        for r in SPECS["q_lsh_band_sweep"].fn(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(dedup, "LSH_SWEEP_PAIR_BUDGET", -1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        gated = {
+            r["n_bands"]: r
+            for r in SPECS["q_lsh_band_sweep"].fn(spark, SF_DIR).collect()
+        }
+    assert any("hash-sampled doc stratum" in str(w.message) for w in caught)
+    assert set(gated) == set(exact)
+    for b, row in gated.items():
+        assert row["method"] == f"stratum_1_of_{dedup.LSH_SWEEP_SAMPLE_MOD}"
+        assert row["n_candidate_pairs"] <= exact[b]["n_candidate_pairs"]
+        assert row["rows_per_band"] == exact[b]["rows_per_band"]
+        assert row["s50_threshold"] == exact[b]["s50_threshold"]
+
+
 def test_minhash_families_equivalent(spark):
     """Round-2 verdict task 4 'done' criterion: the xxhash64 production path
     (q_minhash_lsh_fast) and the md5 oracle twin (q_minhash_lsh) must yield
