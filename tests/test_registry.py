@@ -10,7 +10,11 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from bigdatainfinance1_spark.registry import DRIVER_WINDOW_ORDER, load_all_queries
+from bigdatainfinance1_spark.registry import (
+    DRIVER_WINDOW_ORDER,
+    ROWS_ONLY_BY_DESIGN,
+    load_all_queries,
+)
 
 DRIVER_CAP = 50
 REPO = Path(__file__).resolve().parent.parent
@@ -106,6 +110,20 @@ def test_first_50_are_mostly_hash_checkable():
         f"only {len(with_oracle)}/{DRIVER_CAP} window queries have oracles: "
         f"rows-only = {sorted(set(window) - set(with_oracle))}"
     )
+
+
+def test_rows_only_set_is_exactly_the_declared_four():
+    """Rows-only is a DECLARED tier, not a drift direction: the set of
+    oracle-less registrations must equal ROWS_ONLY_BY_DESIGN (round-6
+    verdict task 6), each twin must itself carry a full oracle, and none
+    of the four may occupy a driver-window slot (the row would read
+    `err: no_oracle` forever — a wasted slot)."""
+    specs = load_all_queries()
+    rows_only = {n for n, s in specs.items() if s.oracle is None}
+    assert rows_only == set(ROWS_ONLY_BY_DESIGN)
+    for name, twin in ROWS_ONLY_BY_DESIGN.items():
+        assert specs[twin].oracle is not None, f"{name}'s twin {twin} lacks an oracle"
+    assert not rows_only & set(DRIVER_WINDOW_ORDER)
 
 
 def test_registry_still_contains_everything():
