@@ -408,6 +408,18 @@ QUERIES = [
     "q_bornhuetter_ferguson",
     "q_word_subsampling",
     "q_rmst",
+    # round-7 wave: driver-window newcomers with unmeasured cost curves
+    "q_rolling_corr",
+    "q_assoc_rules",
+    "q_skyline_parts",
+    "q_geo_grid_knn",
+    "q_l_diversity",
+    "q_structuring_screen",
+    "q_variant_props",
+    "q_bpe_encode",
+    "q_langid_profile",
+    "q_text_quality",
+    "q_embedding_dispersion",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
