@@ -146,6 +146,18 @@ def main() -> None:
         }
     total = round(sum(timings.values()), 3)
     r1_total = round(sum(timings[n] for n in HEADLINE[:R1_HEADLINE_N]), 3)
+    # Contention forensics: host load arrives in WAVES that inflate whole
+    # interleaved passes (observed r6/r7: alternate passes 2x slower with
+    # zero code change). Per-pass totals make a wave machine-visible, and
+    # the min-floor aggregates are the uncontended readings to compare
+    # round-over-round when the pass totals disagree by >1.5x.
+    pass_totals = [
+        round(sum(samples[n][r] for n in HEADLINE), 3) for r in range(runs)
+    ]
+    total_min = round(sum(d["min"] for d in dispersion.values()), 3)
+    r1_total_min = round(
+        sum(dispersion[n]["min"] for n in HEADLINE[:R1_HEADLINE_N]), 3
+    )
     print(
         json.dumps(
             {
@@ -160,6 +172,9 @@ def main() -> None:
                 "sf": sf,
                 "n_queries_registered": len(specs),
                 "r1_headline_seconds": r1_total,
+                "pass_totals": pass_totals,
+                "suite_seconds_min_floor": total_min,
+                "r1_headline_seconds_min_floor": r1_total_min,
                 "note": "headline set expanded in round 3 (13 -> 24) and round 4 (-> 29 queries); "
                 "compare r1_headline_seconds against the 19.3 s round-1 baseline, "
                 "per-query rows in BASELINE.md for the rest; per-query values are "
