@@ -91,7 +91,12 @@ def ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xv").cast("decimal(19,0)") * F.col("xv").cast("decimal(19,0)"))
         .cast("double")
         .alias("sxx"),
-        F.sum(F.col("xv") * F.col("yv")).cast("long").alias("sxy"),
+        # same widening as sxx: xv is total cents (~1e7/row) — a LongType
+        # product sum wraps silently at extreme row counts while DuckDB
+        # auto-widens to HUGEINT (the rolling_corr sxy class)
+        F.sum(F.col("xv").cast("decimal(19,0)") * F.col("yv"))
+        .cast("long")
+        .alias("sxy"),
         F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
     )
     mx = F.col("sx") * F.lit(1.0) / F.col("n")

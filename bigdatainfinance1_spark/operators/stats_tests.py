@@ -1442,7 +1442,7 @@ def _poisson_bootstrap_sql() -> str:
       ) h
     ),
     rep_means AS (
-      SELECT r, sum(w * cents) * 1.0 / sum(w) / 100 AS m
+      SELECT r, sum(CAST(w AS HUGEINT) * cents) * 1.0 / sum(w) / 100 AS m
       FROM weighted GROUP BY r HAVING sum(w) > 0
     )
     SELECT
@@ -1492,7 +1492,17 @@ def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = (
         fan.withColumn("w", w)
         .groupBy("r")
-        .agg((F.sum(F.col("w") * F.col("cents")) * 1.0 / F.sum("w") / 100).alias("m"))
+        # decimal widening: w*cents is ~3.6e8/row; a LongType sum wraps
+        # silently past 2^63 at extreme row counts while DuckDB's BIGINT
+        # sum auto-widens to HUGEINT (the rolling_corr/stream_vwap class)
+        .agg(
+            (
+                F.sum(F.col("w").cast("decimal(19,0)") * F.col("cents"))
+                * 1.0
+                / F.sum("w")
+                / 100
+            ).alias("m")
+        )
         .filter(F.col("m").isNotNull())
     )
     return rep.agg(
