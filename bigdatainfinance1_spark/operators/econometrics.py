@@ -75,13 +75,24 @@ def _with_lags(idx: DataFrame, lags: int, col: str = "z") -> DataFrame:
       SELECT CAST(round(round(idx.z - gmom.mu, 8) * 1e6) AS BIGINT) AS x6, gmom.n
       FROM idx CROSS JOIN gmom
     ),
+    sig AS (
+      SELECT max(n) AS n,
+             round(sqrt(CAST(sum(CAST(x6 AS HUGEINT) * x6) AS DOUBLE)
+                        / 1e12 / max(n)), 8) AS sigma
+      FROM xc
+    ),
+    uc AS (
+      SELECT CAST(round(round(idx.z - gmom.mu, 8) / sig.sigma * 1e6) AS BIGINT)
+               AS u6, sig.n
+      FROM idx CROSS JOIN gmom CROSS JOIN sig
+    ),
     mom AS (
       SELECT max(n) AS n,
-             CAST(sum(CAST(x6 AS HUGEINT) * x6) AS DOUBLE) / 1e12 / max(n) AS m2,
-             CAST(sum(CAST(x6 AS HUGEINT) * x6 * x6) AS DOUBLE) / 1e18 / max(n) AS m3,
-             CAST(sum(CAST(x6 AS HUGEINT) * x6 * x6 * x6) AS DOUBLE) / 1e24 / max(n)
+             CAST(sum(CAST(u6 AS HUGEINT) * u6) AS DOUBLE) / 1e12 / max(n) AS m2,
+             CAST(sum(CAST(u6 AS HUGEINT) * u6 * u6) AS DOUBLE) / 1e18 / max(n) AS m3,
+             CAST(sum(CAST(u6 AS HUGEINT) * u6 * u6 * u6) AS DOUBLE) / 1e24 / max(n)
                AS m4
-      FROM xc
+      FROM uc
     ),
     sk AS (
       SELECT n, m3 / (m2 * sqrt(m2)) AS s, m4 / (m2 * m2) - 3.0 AS k FROM mom
@@ -108,7 +119,18 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     to O(calendar) rows; moments and the statistic are closed forms on a
     1-row relation. Deviations round at 8 before powers; all four
     moments share the fixed divisor n, so S and K are engine-identical
-    to ulp, rounded at 6."""
+    to ulp, rounded at 6.
+
+    Round-7 overflow fix (caught by the 10x tier, the ALS-precedent):
+    the original 3rd/4th power sums ran on raw revenue deviations, whose
+    1e-6-grain integers GROW with corpus revenue — at 10x the quartic
+    sum exceeded Decimal(38,0) and ANSI Spark raised where DuckDB's
+    HUGEINT still fit. Skewness and kurtosis are scale-invariant, so the
+    power sums now run on STANDARDIZED deviations u = (z - mu)/sigma
+    (sigma from a quadratic-only first pass, rounded at 8; sqrt and the
+    division are correctly-rounded IEEE, so u's 1e-6-grain integer is
+    engine-identical): |u| <= sqrt(n) with n calendar-bounded, so
+    sum(u6^4) <= n * (sqrt(n)*1e6)^4 ~ 1e29 at any corpus size."""
     # Integer-moments recipe (round-6 emission rule): deviations snap to
     # 1e-6-grain BIGINTs; the power sums are exact decimal(38,0)/HUGEINT
     # integers, then divide by the grain power FIRST, then n — identical
@@ -127,15 +149,28 @@ def jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.round(F.col("z") - F.col("mu"), 8) * 1e6).cast("long").alias("x6"),
         "n",
     )
-    x6d = F.col("x6").cast("decimal(19,0)")
-    mom = xc.agg(
+    x6d = F.col("x6").cast("decimal(38,0)")
+    sig = xc.agg(
         F.max("n").alias("n"),
-        (F.sum(x6d * F.col("x6")).cast("double") / 1e12 / F.max("n")).alias("m2"),
-        (F.sum(x6d * F.col("x6") * F.col("x6")).cast("double") / 1e18 / F.max("n")).alias(
+        F.round(
+            F.sqrt(F.sum(x6d * F.col("x6")).cast("double") / 1e12 / F.max("n")), 8
+        ).alias("sigma"),
+    )
+    uc = idx.crossJoin(F.broadcast(gmom)).crossJoin(F.broadcast(sig.select("sigma"))).select(
+        F.round(F.round(F.col("z") - F.col("mu"), 8) / F.col("sigma") * 1e6)
+        .cast("long")
+        .alias("u6"),
+        "n",
+    )
+    u6d = F.col("u6").cast("decimal(38,0)")
+    mom = uc.agg(
+        F.max("n").alias("n"),
+        (F.sum(u6d * F.col("u6")).cast("double") / 1e12 / F.max("n")).alias("m2"),
+        (F.sum(u6d * F.col("u6") * F.col("u6")).cast("double") / 1e18 / F.max("n")).alias(
             "m3"
         ),
         (
-            F.sum(x6d * F.col("x6") * F.col("x6") * F.col("x6")).cast("double")
+            F.sum(u6d * F.col("u6") * F.col("u6") * F.col("u6")).cast("double")
             / 1e24
             / F.max("n")
         ).alias("m4"),
