@@ -328,26 +328,32 @@ def durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_breusch_pagan",
     oracle=f"""
     WITH {_DW_RESID_SQL},
+    sig AS (
+      SELECT max(n) AS n,
+             round(sqrt(CAST(sum(CAST(round(e * 1e6) AS HUGEINT)
+                                 * CAST(round(e * 1e6) AS BIGINT)) AS DOUBLE)
+                        / 1e12 / max(n)), 8) AS s
+      FROM resid
+    ),
+    u AS (
+      SELECT resid.i,
+             CAST(round(resid.e / sig.s * 1e6) AS BIGINT) AS u6,
+             sig.n
+      FROM resid CROSS JOIN sig
+    ),
     aux AS (
       SELECT max(n) AS n,
              count(*) * sum(i * 1.0 * i) - sum(i * 1.0) * sum(i * 1.0) AS sii_c,
-             count(*) * (CAST(sum(i * (CAST(round(e * 1e6) AS HUGEINT)
-                                       * CAST(round(e * 1e6) AS BIGINT))) AS DOUBLE)
-                         / 1e12)
+             count(*) * (CAST(sum(i * (CAST(u6 AS HUGEINT) * u6)) AS DOUBLE) / 1e12)
                - sum(i * 1.0)
-                 * (CAST(sum(CAST(round(e * 1e6) AS HUGEINT)
-                             * CAST(round(e * 1e6) AS BIGINT)) AS DOUBLE) / 1e12)
+                 * (CAST(sum(CAST(u6 AS HUGEINT) * u6) AS DOUBLE) / 1e12)
                AS siy_c,
-             count(*) * (CAST(sum(CAST(round(e * 1e6) AS HUGEINT)
-                                  * CAST(round(e * 1e6) AS BIGINT)
-                                  * CAST(round(e * 1e6) AS BIGINT)
-                                  * CAST(round(e * 1e6) AS BIGINT)) AS DOUBLE) / 1e24)
-               - (CAST(sum(CAST(round(e * 1e6) AS HUGEINT)
-                           * CAST(round(e * 1e6) AS BIGINT)) AS DOUBLE) / 1e12)
-                 * (CAST(sum(CAST(round(e * 1e6) AS HUGEINT)
-                             * CAST(round(e * 1e6) AS BIGINT)) AS DOUBLE) / 1e12)
+             count(*) * (CAST(sum(CAST(u6 AS HUGEINT) * u6 * u6 * u6) AS DOUBLE)
+                         / 1e24)
+               - (CAST(sum(CAST(u6 AS HUGEINT) * u6) AS DOUBLE) / 1e12)
+                 * (CAST(sum(CAST(u6 AS HUGEINT) * u6) AS DOUBLE) / 1e12)
                AS syy_c
-      FROM resid
+      FROM u
     ),
     bp AS (
       SELECT n, (siy_c * siy_c) / (sii_c * syy_c) AS r2 FROM aux
@@ -372,7 +378,17 @@ def breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate → 5-moment fit → residual pass); the auxiliary R² is one
     centered-moment closed form on a 1-row relation. Residuals round at
     8 before squaring, so e² is engine-identical; the R² ratio divides
-    identical doubles, rounded at 6."""
+    identical doubles, rounded at 6.
+
+    Round-7 overflow fix (the q_jarque_bera precedent, caught by the 10x
+    tier): the quartic sum ran on raw residual grains that grow with
+    corpus revenue and blew Decimal(38,0) at 10x on ANSI Spark. R² — and
+    hence LM = n·R² — is invariant under scaling the residuals, so the
+    aux moments now run on STANDARDIZED residuals u = e/s (s = RMS of e
+    from a quadratic-only pass, rounded at 8; sqrt/division are
+    correctly-rounded IEEE so u's 1e-6-grain integer is engine-
+    identical): |u| <= sqrt(n), n calendar-bounded, quartic sum ~1e29 at
+    any corpus size."""
     idx = _monthly(spark, sf_dir)
     mom = _trend_moments(idx)
     beta = (F.col("n") * F.col("siz") - F.col("si") * F.col("sz")) / (
@@ -388,14 +404,29 @@ def breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z") - F.col("alpha") - F.col("beta") * F.col("i"), 8).alias("e"),
         "n",
     )
-    # integer aux moments (1e-6-grain residuals; decimal/HUGEINT powers;
-    # divide by the grain power BEFORE the centering combination) — exact
-    # in any order, mirrors the oracle's aux CTE term for term
+    # integer aux moments (1e-6-grain STANDARDIZED residuals; decimal/
+    # HUGEINT powers; divide by the grain power BEFORE the centering
+    # combination) — exact in any order, mirrors the oracle term for term
     e6 = F.round(F.col("e") * 1e6).cast("long")
-    e6d = e6.cast("decimal(19,0)")
-    s_e2 = F.sum(e6d * e6).cast("double") / 1e12
-    s_ie2 = F.sum(F.col("i") * (e6d * e6)).cast("double") / 1e12
-    s_e4 = F.sum(e6d * e6 * e6 * e6).cast("double") / 1e24
+    e6d = e6.cast("decimal(38,0)")
+    sig = resid.agg(
+        F.round(
+            F.sqrt(
+                F.sum(e6d * e6).cast("double") / 1e12 / F.max("n")
+            ),
+            8,
+        ).alias("s")
+    )
+    resid = resid.crossJoin(F.broadcast(sig)).select(
+        "i",
+        F.round(F.col("e") / F.col("s") * 1e6).cast("long").alias("u6"),
+        "n",
+    )
+    u6 = F.col("u6")
+    u6d = u6.cast("decimal(38,0)")
+    s_e2 = F.sum(u6d * u6).cast("double") / 1e12
+    s_ie2 = F.sum(F.col("i") * (u6d * u6)).cast("double") / 1e12
+    s_e4 = F.sum(u6d * u6 * u6 * u6).cast("double") / 1e24
     aux = resid.agg(
         F.max("n").alias("n"),
         (
