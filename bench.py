@@ -22,6 +22,7 @@ preceding oracle sweep's memory pressure is not billed to the first query.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -102,8 +103,6 @@ def main() -> None:
     # untimed warmup: JVM + catalog + one tiny action, then quiesce so any
     # preceding process activity (the driver runs bench right after a
     # 20-minute oracle sweep) settles before the first timed pass
-    import gc
-
     specs["q_pricing_summary"].fn(spark, sf_dir).limit(1).collect()
     gc.collect()
     spark.sparkContext._jvm.System.gc()
@@ -123,8 +122,6 @@ def main() -> None:
             # heavy checkpointing (q_user_cf_neighbors) measure the
             # predecessor's memory pressure, not their own plan (observed:
             # q_minhash_lsh 56 s in-suite vs 11 s standalone).
-            import gc
-
             gc.collect()
             spark.sparkContext._jvm.System.gc()
 

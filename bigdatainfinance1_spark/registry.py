@@ -71,85 +71,91 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness run caps at the FIRST 50 entries of
-# ``queries()`` in dict order. Rounds 1-6 drove 283 distinct queries
-# (278 green on their latest row). This round-7 window follows VERDICT.md
-# round 6 "Next round" tasks 1 and 2: it opens with the ONE retry —
-# q_weighted_reservoir_es (hash-red in r5 AND r6 despite local 20/20
-# tuple equality; this round the selection key is rebuilt as exact
-# BIGINT priority sampling, so a green row closes the saga and a third
-# red is machine-proof of a driver-environment defect) — then 49
-# NEVER-checked names, heaviest/most distinctive first, drawn from the
-# verdict's named pre-hardened pools (stats_advanced, finance_backtest,
-# quant_pricing, retail_recsys, governance_etl, spark4_sql, text) plus
-# the two queries the round-7 ADVICE fixes touched (q_rolling_corr,
-# q_stream_vwap — fresh decimal-widened lineage deserves driver
-# evidence). All 50 carry full DuckDB value-hash oracles; the tripwire
-# test allows the retry precisely because its LATEST driver row is
-# non-green. Everything not listed follows in registration order, so the
-# r1-r6 windows remain reproducible from git history.
+# ``queries()`` in dict order. Rounds 1-7 drove 332 distinct queries (327
+# green on their latest row). This round-8 window follows VERDICT.md round 7
+# "Next round" tasks 1 and 3: it opens with the ONE retry —
+# q_weighted_reservoir_es (hash-red r5/r6/r7; the round-7 judge ROOT-CAUSED
+# the red to the oracle's population average typing as DuckDB HUGEINT →
+# pandas float64 while Spark emits LongType → int64 — same values, split
+# representation; this round the oracle CASTs the emission back to BIGINT,
+# so a green row closes the saga) — then 49 NEVER-checked names: the two
+# lineages this round's ADVICE fixes touched (q_ratio_delta_method sxy →
+# double landing) plus the two r7 overflow-fix lineages (q_jarque_bera,
+# q_breusch_pagan standardized quartics — fresh code deserves driver
+# evidence), then the verdict-named pre-measured pool (q_copurchase_pairs,
+# q_rfm_migration, q_ltv_tenure, q_erlang_c, q_team_draft_interleave,
+# q_rake_keywords, q_lof_outliers, q_synthetic_control), then
+# family-breadth picks across streaming/UDF/multimodal/IO/join/window/
+# aggregate/text/retrieval/sketch/storage backlog modules. All 50 carry
+# full DuckDB value-hash oracles; the tripwire test allows the retry
+# precisely because its LATEST driver row is non-green. Everything not
+# listed follows in registration order, so the r1-r7 windows remain
+# reproducible from git history.
 DRIVER_WINDOW_ORDER: tuple[str, ...] = (
     # Re-green retry (verdict task 1): latest driver row non-green
-    "q_weighted_reservoir_es",    # r5/r6 hash red -> all-integer priority key
-    # ADVICE-touched this round: decimal-widened moment sums
-    "q_rolling_corr",
-    "q_stream_vwap",
-    # stats_advanced — verdict-named pool
-    "q_wasserstein_drift",
-    "q_logrank_test",
-    "q_aipw_ate",
-    "q_capture_recapture",
-    "q_theil_decomposition",
-    # finance_backtest
-    "q_deflated_sharpe",
-    "q_kupiec_var_backtest",
-    "q_christoffersen_test",
-    "q_forecast_skill_dm",
-    "q_pairs_trading",
-    # quant pricing / greeks
-    "q_binomial_option",
-    "q_almgren_chriss",
-    "q_efficient_frontier",
-    "q_component_var",
-    "q_bs_greeks",
-    # retail_recsys
-    "q_assoc_rules",
-    "q_bass_diffusion",
-    "q_skyline_parts",
-    "q_geo_grid_knn",
-    # governance_etl
-    "q_t_closeness",
-    "q_l_diversity",
-    "q_structuring_screen",
-    "q_inclusion_dependencies",
-    # spark4_sql surface
-    "q_variant_props",
-    "q_lateral_column_alias",
-    "q_parameterized_sql",
-    "q_try_arithmetic",
-    # text / LLM pipeline
-    "q_bpe_encode",
-    "q_langid_profile",
-    "q_text_quality",
-    "q_heaps_law",
-    "q_span_corruption",
-    "q_line_dedup",
-    "q_triplet_mining",
-    "q_embedding_dispersion",
-    # econometrics / time series
-    "q_adf_test",
-    "q_newey_west",
-    "q_chow_test",
-    "q_gaussian_copula",
-    "q_gpd_pot",
-    "q_haar_wavelet",
-    # multivariate / graph / anomaly
-    "q_pca_2d",
-    "q_fisher_lda",
-    "q_hits_authority",
-    "q_seasonal_esd",
+    "q_weighted_reservoir_es",    # r5-r7 hash red -> oracle CAST AS BIGINT
+    # ADVICE-touched this round + r7 overflow-fix lineages
+    "q_ratio_delta_method",
+    "q_jarque_bera",
+    "q_breusch_pagan",
+    # verdict-named pre-measured pool
+    "q_copurchase_pairs",
+    "q_rfm_migration",
+    "q_ltv_tenure",
+    "q_erlang_c",
+    "q_team_draft_interleave",
+    "q_rake_keywords",
+    "q_lof_outliers",
+    "q_synthetic_control",
     # streaming (batch-equivalent availableNow, full SQL oracles)
-    "q_stream_zscore_alerts",
-    "q_stream_ohlc",
+    "q_stream_foreach_upsert",
+    "q_stream_slo_burn",
+    "q_stream_hll_users",
+    # UDF surface
+    "q_udf_iter_series",
+    "q_udf_arrow_optimized",
+    # multimodal + IO/ETL
+    "q_frame_sample",
+    "q_incremental_mv",
+    "q_compact_small_files",
+    # joins
+    "q_asof_tolerance",
+    "q_null_safe_join",
+    "q_not_in_nulls",
+    # relational / pagination
+    "q_dedup_keep_first",
+    "q_keyset_pagination",
+    # windows
+    "q_gapfill_ffill",
+    "q_bollinger_bands",
+    # aggregates
+    "q_equidepth_histogram",
+    "q_moments_skew_kurt",
+    # text / LLM pipeline
+    "q_pmi_bigrams",
+    "q_doc_repetition",
+    "q_tokenizer_fertility",
+    "q_mixture_rebalance",
+    "q_dataset_card",
+    "q_word_subsampling",
+    "q_good_turing",
+    "q_oov_rate",
+    "q_rouge_n",
+    "q_readability",
+    "q_umass_coherence",
+    # retrieval
+    "q_err_ranking",
+    "q_rocchio_expansion",
+    # sketches / layout / scale patterns
+    "q_join_cardinality_estimate",
+    "q_data_skew_report",
+    "q_zorder_layout",
+    "q_key_skew_audit",
+    "q_cdc_chunking",
+    # record linkage + time series + streaming-design twin
+    "q_blocking_quality",
+    "q_hurst_exponent",
+    "q_watermark_design",
 )
 
 

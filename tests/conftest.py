@@ -62,6 +62,64 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+def _dtype_class(series: pd.Series) -> str:
+    """Coarse representation class of a pandas column, for driver parity.
+
+    The driver's value-hash is representation-sensitive: int64 `389297` and
+    float64 `389297.0` hash differently even though Python `==` calls them
+    equal (the q_weighted_reservoir_es r5-r7 red, judge-root-caused to a
+    DuckDB HUGEINT widening). The local gate therefore asserts per-column
+    dtype-CLASS parity in addition to value equality. Classes are coarse on
+    purpose (int32 vs int64 both hash from the same repr family): integer /
+    float / bool / timestamp / date / string / array / decimal / binary.
+    """
+    dt = series.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "integer"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "timestamp"
+    # object columns: classify by the first non-null value
+    import datetime
+    import decimal
+
+    import numpy as np
+
+    for v in series:
+        if v is None:
+            continue
+        try:
+            if pd.isna(v):
+                continue
+        except (TypeError, ValueError):
+            pass  # array-valued cell — classified below
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "integer"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, (bytes, bytearray)):
+            return "binary"
+        if isinstance(v, pd.Timestamp) or isinstance(v, datetime.datetime):
+            return "timestamp"
+        if isinstance(v, datetime.date):
+            return "date"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array"
+        if isinstance(v, dict):
+            return "map"
+        return type(v).__name__
+    return "all-null"
+
+
 def assert_frames_match(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str) -> None:
     assert sorted(spark_df.columns) == sorted(duck_df.columns), (
         f"{name}: column names differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"
@@ -71,6 +129,14 @@ def assert_frames_match(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str
     )
     s = canonicalize(spark_df)
     d = canonicalize(duck_df)
+    for col in s.columns:
+        sc, dc = _dtype_class(s[col]), _dtype_class(d[col])
+        if "all-null" not in (sc, dc):
+            assert sc == dc, (
+                f"{name}: dtype-class mismatch col={col}: spark={sc} duck={dc} "
+                f"(driver hash is representation-sensitive — same values in "
+                f"different classes WILL red the driver row)"
+            )
     for col in s.columns:
         sv, dv = list(s[col]), list(d[col])
         for i, (a, b) in enumerate(zip(sv, dv)):

@@ -27,6 +27,25 @@ def test_query_matches_oracle(spark, duck, name):
     assert_frames_match(spark_pdf, duck_pdf, name)
 
 
+def test_no_oracle_emits_hugeint(duck):
+    """Registry-wide representation lint (round-7 verdict task 2).
+
+    DuckDB widens sum(BIGINT) to HUGEINT, which pandas converts to float64
+    while the Spark twin's LongType lands int64 — identical VALUES, split
+    REPRESENTATION, red driver hash (the q_weighted_reservoir_es r5-r7
+    saga). `rel.types` binds without executing, so this sweeps all ~600
+    oracles in seconds. Any oracle that needs an int128 intermediate must
+    CAST its emitted columns back to BIGINT (or emit double explicitly)."""
+    bad = []
+    for name, spec in sorted(SPECS.items()):
+        if spec.oracle is None:
+            continue
+        types = [str(t).upper() for t in duck.sql(spec.oracle).types]
+        if any("HUGEINT" in t for t in types):
+            bad.append((name, types))
+    assert not bad, f"oracles emitting HUGEINT (red-hash risk): {bad}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_query_runs(spark, name):
     spec = SPECS[name]
