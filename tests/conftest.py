@@ -71,7 +71,15 @@ def _dtype_class(series: pd.Series) -> str:
     DuckDB HUGEINT widening). The local gate therefore asserts per-column
     dtype-CLASS parity in addition to value equality. Classes are coarse on
     purpose (int32 vs int64 both hash from the same repr family): integer /
-    float / bool / timestamp / date / string / array / decimal / binary.
+    float / bool / temporal / string / array / decimal / binary.
+
+    DATE and TIMESTAMP are the SAME class ("temporal") — calibrated against
+    driver evidence, not guessed: q_date_funcs (r2), q_growth_accounting
+    (r3) and q_xml_roundtrip (r6) all emit Spark DateType against DuckDB
+    TIMESTAMP oracles and all three carry GREEN hash_match driver rows, so
+    the driver normalizes temporal values before hashing (as does this
+    comparator's pd.Timestamp branch); the int64-vs-float64 split, by
+    contrast, is proven red by the reservoir saga.
     """
     dt = series.dtype
     if pd.api.types.is_bool_dtype(dt):
@@ -81,7 +89,7 @@ def _dtype_class(series: pd.Series) -> str:
     if pd.api.types.is_float_dtype(dt):
         return "float"
     if pd.api.types.is_datetime64_any_dtype(dt):
-        return "timestamp"
+        return "temporal"
     # object columns: classify by the first non-null value
     import datetime
     import decimal
@@ -108,10 +116,8 @@ def _dtype_class(series: pd.Series) -> str:
             return "string"
         if isinstance(v, (bytes, bytearray)):
             return "binary"
-        if isinstance(v, pd.Timestamp) or isinstance(v, datetime.datetime):
-            return "timestamp"
-        if isinstance(v, datetime.date):
-            return "date"
+        if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+            return "temporal"
         if isinstance(v, (list, tuple, np.ndarray)):
             return "array"
         if isinstance(v, dict):
