@@ -373,8 +373,16 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Declarative multi-hop reachability via WITH RECURSIVE (Spark 4 finally
 # supports it; DuckDB always has) on the same support-≥2 co-purchase part
 # graph as q_bfs_hops / q_triangle_count. The dist < 3 cap bounds the
-# frontier expansion (UNION ALL recursion walks paths, not nodes; min(dist)
-# per node collapses them afterwards — the standard pattern).
+# DEPTH; the DISTINCT in the recursive term bounds the WIDTH: a bare
+# UNION ALL step walks paths, not nodes, and the path count from one seed
+# is edge-degree^depth — on the 10× stage the denser co-purchase graph
+# (10× more orders over the SAME part domain) blew Spark's 1,000,000-row
+# recursion limit (RECURSION_ROW_LIMIT_EXCEEDED, caught by the round-8
+# scale tier). With per-step DISTINCT each level holds ≤ |nodes| rows
+# (the part domain does not grow under fact replication — nor under
+# corpus growth at fixed catalog size), so total recursion output is
+# ≤ (cap+1)·|nodes| at ANY corpus scale. min(dist) per node afterwards is
+# unchanged: deduping (node, dist) within a level cannot change the min.
 _REACH_SQL = """
     WITH RECURSIVE und AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -390,7 +398,8 @@ _REACH_SQL = """
     walk(node, dist) AS (
       SELECT node, 0 AS dist FROM seed
       UNION ALL
-      SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node WHERE w.dist < 3
+      SELECT DISTINCT e.v, w.dist + 1
+      FROM walk w JOIN e ON e.u = w.node WHERE w.dist < 3
     ),
     reach AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY node)
     SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes FROM reach GROUP BY dist
@@ -402,13 +411,16 @@ def recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-hop reachability profile from the smallest part key, written as a
     RECURSIVE CTE — the declarative twin of q_bfs_hops' hand-unrolled
     frontier loop, possible since Spark 4 added WITH RECURSIVE. The
-    recursion emits (node, path-length) rows with the frontier join
-    re-planned by Catalyst each iteration; min(dist) per node collapses
-    path multiplicity after the cap. Scale: iteration count is the fixed
-    hop cap, each step an equi-join frontier×edges — identical shuffle
-    budget to the unrolled version, but the engine owns the loop (and at
-    100 TB the same text runs unchanged). One SQL text runs verbatim on
-    both engines."""
+    recursion emits per-level DISTINCT (node, dist) rows with the
+    frontier join re-planned by Catalyst each iteration; min(dist) per
+    node collapses cross-level multiplicity after the cap. Scale:
+    iteration count is the fixed hop cap, each step an equi-join
+    frontier×edges followed by a level-local dedup, so each level is
+    bounded by the part-catalog size regardless of fact-table volume —
+    without the DISTINCT the step walks paths and the row count is
+    degree^depth, which tripped Spark's recursion row limit on the 10×
+    stage (see _REACH_SQL comment). One SQL text runs verbatim on both
+    engines."""
     from bigdatainfinance1_spark.sources.catalog import register_views
 
     register_views(spark, sf_dir)
