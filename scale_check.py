@@ -420,6 +420,113 @@ QUERIES = [
     "q_langid_profile",
     "q_text_quality",
     "q_embedding_dispersion",
+    # round-8 wave: full-surface closure — every registered query now
+    # carries a measured 10x record (batches 1-3, BASELINE.md round 8)
+    "q_ratio_delta_method",
+    "q_copurchase_pairs",
+    "q_rfm_migration",
+    "q_ltv_tenure",
+    "q_stream_foreach_upsert",
+    "q_stream_slo_burn",
+    "q_stream_hll_users",
+    "q_udf_iter_series",
+    "q_frame_sample",
+    "q_incremental_mv",
+    "q_compact_small_files",
+    "q_asof_tolerance",
+    "q_null_safe_join",
+    "q_dedup_keep_first",
+    "q_gapfill_ffill",
+    "q_bollinger_bands",
+    "q_equidepth_histogram",
+    "q_moments_skew_kurt",
+    "q_pmi_bigrams",
+    "q_doc_repetition",
+    "q_tokenizer_fertility",
+    "q_mixture_rebalance",
+    "q_dataset_card",
+    "q_join_cardinality_estimate",
+    "q_data_skew_report",
+    "q_zorder_layout",
+    "q_hurst_exponent",
+    "q_bucketed_join",
+    "q_salted_join",
+    "q_full_outer_join",
+    "q_cross_join",
+    "q_pca_power_iteration",
+    "q_recursive_reachability",
+    "q_multimodal_join",
+    "q_binary_media_meta",
+    "q_media_features",
+    "q_train_val_split",
+    "q_sequence_packing",
+    "q_csv_roundtrip",
+    "q_json_roundtrip",
+    "q_orc_roundtrip",
+    "q_python_datasource",
+    "q_compression_codecs",
+    "q_fixed_width_ingest",
+    "q_rollup_revenue",
+    "q_cube_orders",
+    "q_pivot_status",
+    "q_grouping_sets",
+    "q_collect_set_events",
+    "q_gdpr_erasure",
+    "q_order_reconciliation",
+    "q_pipe_syntax",
+    "q_lateral_topn",
+    "q_unpivot_metrics",
+    "q_target_encoding",
+    "q_feature_hashing",
+    "q_kfold_ols",
+    "q_global_agg",
+    "q_distinct_agg_monthly",
+    "q_percentiles",
+    "q_stats_volatility",
+    "q_conditional_agg",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_cum_return",
+    "q_twap",
+    "q_ewma_orders",
+    "q_dow_seasonality",
+    "q_business_day_lag",
+    "q_rsi_daily",
+    "q_yoy_growth",
+    "q_pattern_vshape",
+    "q_forecast_backtest",
+    "q_masked_view",
+    "q_bfs_hops",
+    "q_sql_shared_text",
+    "q_csv_malformed",
+    "q_kmeans_embeddings",
+    "q_confusion_matrix",
+    "q_ols_two_factor",
+    "q_shipping_priority",
+    "q_projection_compute",
+    "q_filter_predicates",
+    "q_case_when_tiers",
+    "q_distinct",
+    "q_null_handling",
+    "q_sample_profile",
+    "q_top_revenue_orders",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect_custs",
+    "q_except_custs",
+    "q_set_ops_all",
+    "q_supplier_scorecard",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_array_funcs",
+    "q_json_funcs",
+    "q_hash_funcs",
+    "q_winsorized_mean",
+    "q_sql_registered_udf",
+    "q_session_window",
+    "q_stream_watermarked",
+    "q_stream_file_sink",
 ]
 
 # Tables sharing a key domain must shift by ONE stride or FK joins silently
