@@ -46,6 +46,39 @@ def test_no_oracle_emits_hugeint(duck):
     assert not bad, f"oracles emitting HUGEINT (red-hash risk): {bad}"
 
 
+def test_decimal_oracles_have_float_spark_twin(spark, duck):
+    """Pin the DECIMAL emitters' representation contract (r7 verdict task 2).
+
+    A DuckDB DECIMAL output pandas-converts to float64 and reaches the
+    driver hash as a float — green IFF the Spark twin also lands float64
+    (DoubleType/FloatType). A Spark DecimalType twin would pandas-convert
+    to object-of-decimal.Decimal and hash differently (the same
+    representation-split class as the HUGEINT saga, from the other side).
+    This lint binds both schemas WITHOUT executing either engine: DuckDB
+    `rel.types` and Spark's analyzed plan schema. Green driver rows for
+    several DECIMAL emitters (q_efficient_frontier r6, q_gaussian_copula
+    r7, q_garch_grid r6) prove the float64-vs-double pairing matches."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    bad = []
+    for name, spec in sorted(SPECS.items()):
+        if spec.oracle is None:
+            continue
+        rel = duck.sql(spec.oracle)
+        dec_cols = [
+            c for c, t in zip(rel.columns, rel.types) if "DECIMAL" in str(t).upper()
+        ]
+        if not dec_cols:
+            continue
+        schema = {f.name: f.dataType for f in spec.fn(spark, SF_DIR).schema.fields}
+        for c in dec_cols:
+            if not isinstance(schema.get(c), (DoubleType, FloatType)):
+                bad.append((name, c, str(schema.get(c))))
+    assert not bad, (
+        f"DECIMAL oracle columns whose Spark twin is not float (red-hash risk): {bad}"
+    )
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_query_runs(spark, name):
     spec = SPECS[name]
