@@ -13,7 +13,7 @@ pipeline, all expressed as DataFrame ops (explode/groupBy/join), no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatainfinance1_spark.registry import query
@@ -32,6 +32,15 @@ JACCARD_PAIR_BUDGET = 20_000_000
 # Min-label propagation cap for dup-cluster connected components; convergence
 # is asserted after the loop, so hitting the cap fails loudly.
 MAX_CC_ITERATIONS = 10
+
+# q_lsh_recall_audit's gate (round-8, after the 100× tier caught the audit's
+# ungated exact tier exhausting ~78 GB of shuffle spill): above the budget
+# the WHOLE audit (ground truth AND candidates) runs on a deterministic
+# 1/AUDIT_SAMPLE_MOD xxhash doc stratum — recall/precision measured within
+# the stratum estimate the corpus-wide rates, which is exactly the
+# "run on a SAMPLE in production" posture the docstring always named.
+LSH_AUDIT_PAIR_BUDGET = 20_000_000
+LSH_AUDIT_SAMPLE_MOD = 16
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,15 +191,7 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     relying on a Python warning that a notebook or scheduler swallows.
     tests/test_dedup.py exercises the tripped path by lowering the budget
     and asserts the column flips plus pair-set correctness."""
-    f = 0.1  # seeded doc-sample rate for the gate estimate
-    est = (
-        _shingle_hashes_raw(spark, sf_dir, sample_fraction=f, seed=42)
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg((F.sum(F.expr("c * (c - 1) / 2")) / (f * f)).alias("pairs"))
-        .collect()[0]["pairs"]
-        or 0
-    )
+    est = _estimate_exact_pair_fanout(spark, sf_dir)
     ds = _doc_shingle_hashes(spark, sf_dir)
     if est > JACCARD_PAIR_BUDGET:
         import warnings
@@ -206,6 +207,25 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "method", F.lit("lsh_prefilter")
         )
     return _verify_jaccard_pairs(ds, threshold=0.8).withColumn("method", F.lit("exact"))
+
+
+def _estimate_exact_pair_fanout(
+    spark: SparkSession, sf_dir: str, f: float = 0.1, seed: int = 42
+) -> float:
+    """Linear-cost estimate of the exact shingle-join candidate count,
+    Σ_bucket C(n,2), from a seeded f-fraction doc sample: Σ C(m,2)/f² is
+    unbiased under Binomial(n, f) bucket thinning and tight exactly in the
+    mass-duplication regime the budget gates exist to catch (big buckets).
+    Shared by q_jaccard_neardup's prefilter switch and q_lsh_recall_audit's
+    stratum gate, so both tiers trip on the same physics."""
+    return (
+        _shingle_hashes_raw(spark, sf_dir, sample_fraction=f, seed=seed)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg((F.sum(F.expr("c * (c - 1) / 2")) / (f * f)).alias("pairs"))
+        .collect()[0]["pairs"]
+        or 0
+    )
 
 
 def _verify_jaccard_pairs(
@@ -301,7 +321,12 @@ _MINHASH_SQL = f"""
 """
 
 
-def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig_family: str = "xxhash64") -> DataFrame:
+def _lsh_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    sig_family: str = "xxhash64",
+    doc_pred: Column | None = None,
+) -> DataFrame:
     """Banded-LSH candidate pairs (doc_id_1 < doc_id_2): shingle → 32 seeded
     minhashes → 8 bands × 4 rows → band-bucket equi-join. Signatures are
     constant-size per doc, so shuffle volume is O(docs).
@@ -320,9 +345,17 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig_family: str = "xx
       it to verification duty.
 
     tests/test_dedup.py asserts the two families yield the same verified
-    pair set on the test corpus."""
+    pair set on the test corpus.
+
+    ``doc_pred`` (q_lsh_recall_audit's stratum gate) restricts the corpus
+    BEFORE signature computation, so both the linear minhash pass and the
+    bucket self-join are bounded by the stratum, not just the output — a
+    doc's band keys depend only on its own shingles, so filtering early
+    yields exactly the pairs whose BOTH endpoints satisfy the predicate."""
     if sig_family == "md5":
         ds = _doc_shingles(spark, sf_dir)
+        if doc_pred is not None:
+            ds = ds.filter(doc_pred)
         sig = (
             ds.select(
                 "doc_id",
@@ -347,6 +380,8 @@ def _lsh_candidate_pairs(spark: SparkSession, sf_dir: str, sig_family: str = "xx
         )
     else:
         dh = _doc_shingle_hashes(spark, sf_dir)
+        if doc_pred is not None:
+            dh = dh.filter(doc_pred)
         sig = (
             dh.select(
                 "doc_id",
@@ -892,7 +927,8 @@ def containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       round((SELECT count(*) FROM hit) * 1e0
             / nullif((SELECT count(*) FROM exact), 0), 6) AS recall,
       round((SELECT count(*) FROM hit) * 1e0
-            / nullif((SELECT count(*) FROM cand), 0), 6)  AS precision
+            / nullif((SELECT count(*) FROM cand), 0), 6)  AS precision,
+      'exact' AS method
     """,
     tags=("dedup", "llm", "approx"),
 )
@@ -909,8 +945,34 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 signature family (the formulation DuckDB can recount
     candidates for); the xxhash64 production family is held to the same
     bar by q_minhash_lsh_fast's ground-truth oracle plus the pair-set
-    equivalence test in tests/test_dedup.py."""
+    equivalence test in tests/test_dedup.py.
+
+    The "SAMPLE in production" posture is ENFORCED, not advisory
+    (round-8, after the 100× tier caught the ungated exact tier
+    exhausting ~78 GB of shuffle spill): the same linear estimator that
+    gates q_jaccard_neardup is compared against LSH_AUDIT_PAIR_BUDGET,
+    and above it the whole audit — ground truth AND candidates — runs on
+    a deterministic 1/16 xxhash doc stratum, surfaced in the relation by
+    the ``method`` column ('exact' | 'stratum_1_of_16'). Recall and
+    precision are RATIOS, so the within-stratum rates estimate the
+    corpus-wide rates; the oracle tier never trips at driver scale
+    (asserted in tests/test_dedup.py)."""
+    est = _estimate_exact_pair_fanout(spark, sf_dir)
     ds_h = _doc_shingle_hashes(spark, sf_dir)
+    doc_pred = None
+    method = "exact"
+    if est > LSH_AUDIT_PAIR_BUDGET:
+        import warnings
+
+        warnings.warn(
+            f"q_lsh_recall_audit: estimated {est:.0f} exact ground-truth pairs "
+            f"exceeds budget {LSH_AUDIT_PAIR_BUDGET}; auditing recall/precision "
+            f"inside a deterministic 1/{LSH_AUDIT_SAMPLE_MOD} doc stratum",
+            stacklevel=2,
+        )
+        method = f"stratum_1_of_{LSH_AUDIT_SAMPLE_MOD}"
+        doc_pred = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(LSH_AUDIT_SAMPLE_MOD)) == 0
+        ds_h = ds_h.filter(doc_pred)
     # exact and cand each feed the hits join AND their own count; measured
     # round 5: eager checkpoints here make the query SLOWER (7.1 -> 8.3 s
     # at sf0.1) — the duplicated subtrees are projection-identical, so
@@ -918,7 +980,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write cost. Contrast the flip-union family (differing projections
     # defeat reuse), where the checkpoint wins.
     exact = _verify_jaccard_pairs(ds_h, threshold=0.7).select("doc_id_1", "doc_id_2")
-    cand = _lsh_candidate_pairs(spark, sf_dir, sig_family="md5")
+    cand = _lsh_candidate_pairs(spark, sf_dir, sig_family="md5", doc_pred=doc_pred)
     hits = exact.join(cand, ["doc_id_1", "doc_id_2"])
     return (
         exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
@@ -934,6 +996,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_hits") * F.lit(1.0) / F.nullif(F.col("n_candidates"), F.lit(0)), 6
             ).alias("precision"),
+            F.lit(method).alias("method"),
         )
     )
 

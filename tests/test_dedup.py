@@ -117,6 +117,36 @@ def test_lsh_sweep_gate_switches_to_stratum_and_warns(spark, monkeypatch):
         assert row["s50_threshold"] == exact[b]["s50_threshold"]
 
 
+def test_lsh_audit_budget_not_tripped_at_gate_scale(spark):
+    """The driver must check the EXACT (whole-corpus) audit: oracle-gate
+    corpora stay under LSH_AUDIT_PAIR_BUDGET."""
+    df = SPECS["q_lsh_recall_audit"].fn(spark, SF_DIR)
+    assert {r["method"] for r in df.select("method").distinct().collect()} == {
+        "exact"
+    }
+
+
+def test_lsh_audit_gate_switches_to_stratum_and_warns(spark, monkeypatch):
+    """Forcing the budget to trip must (a) warn, (b) flip the method
+    column to the stratum tier (no silent semantics change), (c) report
+    pair counts no larger than the exact tier's (the stratum restricts
+    BOTH the ground truth and the candidate generator to a doc subset),
+    and (d) keep recall/precision well-defined ratios in [0, 1]."""
+    exact = SPECS["q_lsh_recall_audit"].fn(spark, SF_DIR).collect()[0]
+    monkeypatch.setattr(dedup, "LSH_AUDIT_PAIR_BUDGET", -1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        gated = SPECS["q_lsh_recall_audit"].fn(spark, SF_DIR).collect()[0]
+    assert any("doc stratum" in str(w.message) for w in caught)
+    assert gated["method"] == f"stratum_1_of_{dedup.LSH_AUDIT_SAMPLE_MOD}"
+    assert gated["n_true_pairs"] <= exact["n_true_pairs"]
+    assert gated["n_candidates"] <= exact["n_candidates"]
+    assert gated["n_hits"] <= gated["n_candidates"]
+    for col in ("recall", "precision"):
+        if gated[col] is not None:
+            assert 0.0 <= gated[col] <= 1.0
+
+
 def test_minhash_families_equivalent(spark):
     """Round-2 verdict task 4 'done' criterion: the xxhash64 production path
     (q_minhash_lsh_fast) and the md5 oracle twin (q_minhash_lsh) must yield
