@@ -122,6 +122,62 @@ def global_running_sum(
     )
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """df + `out_col`: running sum of `value_col` up to AND INCLUDING the
+    current row, in `order_cols` order WITHIN each `group_cols` partition —
+    without `Window.partitionBy(group_cols)`, which serializes each group
+    onto one task and is exactly the low-cardinality-key bottleneck this
+    module exists to avoid (a 3-value PARTITION BY over a 100×-replicated
+    fact measured 45.0× in the round-8 scale tier; the grouped two-phase
+    form re-measured 10.4× — sub-linear, every bucket working in parallel).
+
+    Shape: range-partition on the COMPOSITE (group_cols + order_cols) key,
+    so one big group spans many ordered buckets while every bucket holds
+    contiguous key ranges; a window partitioned by (_pid, group) computes
+    local prefix sums (a boundary bucket holding two groups never mixes
+    them); per-(bucket, group) totals — at most n_buckets × |groups| rows —
+    are prefixed per group with the triangular self-join and broadcast
+    back. Exactness rules are global_running_sum's: `group_cols +
+    order_cols` must be a total order, integer value sums are exact.
+    `group_cols` must be column NAMES (they key the offset join)."""
+    gcols = _as_columns(group_cols)
+    ocols = _as_columns(order_cols)
+    d = _bucketed(df, gcols + ocols, n_buckets)
+    w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # localCheckpoint: same branch-consistency + no-session-leak rationale
+    # as global_row_number (both consumers must see one bucket assignment)
+    d = _checkpoint(d.withColumn("_local_sum", F.sum(value_col).over(w)))
+    totals = d.groupBy("_pid", *group_cols).agg(F.sum(value_col).alias("_tot"))
+    a, b = totals.alias("a"), totals.alias("b")
+    cond = F.col("b._pid") < F.col("a._pid")
+    for g in group_cols:
+        cond = cond & (F.col(f"b.{g}") == F.col(f"a.{g}"))
+    offs = (
+        a.join(b, cond, "left")
+        .groupBy(
+            F.col("a._pid").alias("_pid"),
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        )
+        .agg(F.coalesce(F.sum("b._tot"), F.lit(0)).alias("_off"))
+    )
+    return (
+        d.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(out_col, F.col("_off") + F.col("_local_sum"))
+        .drop("_pid", "_local_sum", "_off")
+    )
+
+
 def exact_ntile(rn_col: str, n_rows: int, k: int) -> Column:
     """SQL NTILE(k) from a global row number: the first n_rows % k tiles get
     one extra row. Pure expression; `n_rows` is a plan literal (one count()

@@ -191,6 +191,45 @@ def test_fuzz_global_rank_recomposition(spark, n, seed, buckets):
         assert got_sum[r[0]] == acc
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    buckets=st.integers(min_value=1, max_value=7),
+)
+def test_fuzz_grouped_running_sum_recomposition(spark, n, seed, buckets):
+    """Property: the range-bucketed GROUPED prefix sum (the q_weighted_median
+    scale fix — no Window.partitionBy on a low-cardinality group key) must
+    equal the per-group sequential reference for any data, any bucket count,
+    and any group cardinality (1 group = the degenerate global case; groups
+    with heavy key duplication exercise the boundary-bucket split)."""
+    import random
+
+    from bigdatainfinance1_spark.functions.ranks import grouped_running_sum
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 3), rng.randint(-50, 50), rng.randint(0, 1000))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp long, key long, val long")
+
+    summed = grouped_running_sum(
+        df, ["grp"], ["key", "id"], "val", "run", n_buckets=buckets
+    )
+    got = {r["id"]: r["run"] for r in summed.collect()}
+    assert len(got) == n
+    acc: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        acc[r[1]] = acc.get(r[1], 0) + r[3]
+        assert got[r[0]] == acc[r[1]]
+
+
 # ---------------------------------------------------------------------------
 # FIFO allocation property test: the interval-algebra formulation
 # (q_fifo_allocation) must agree with a reference imperative FIFO matcher on
