@@ -178,6 +178,97 @@ def grouped_running_sum(
     )
 
 
+def grouped_lag(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """df + `out_col`: LAG(value_col) in `order_cols` order within each
+    `group_cols` partition, without the single-task-per-group window
+    (q_weighted_median's defect class). Only bucket-FIRST rows need help:
+    a local lag runs per (bucket, group); each bucket's last value by
+    order — one `max_by` per (bucket, group) — is broadcast so the next
+    bucket's first row stitches across the boundary. NULL for the true
+    first row of each group, exactly like LAG. `group_cols + order_cols`
+    must be a total order; `group_cols` must be column NAMES."""
+    gcols = _as_columns(group_cols)
+    ocols = _as_columns(order_cols)
+    d = _bucketed(df, gcols + ocols, n_buckets)
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
+    d = _checkpoint(d.withColumn("_local_lag", F.lag(value_col).over(w)))
+    lasts = d.groupBy("_pid", *group_cols).agg(
+        F.max_by(value_col, F.struct(*ocols)).alias("_last")
+    )
+    a, b = lasts.alias("a"), lasts.alias("b")
+    cond = F.col("b._pid") < F.col("a._pid")
+    for g in group_cols:
+        cond = cond & (F.col(f"b.{g}") == F.col(f"a.{g}"))
+    offs = (
+        a.join(b, cond, "left")
+        .groupBy(
+            F.col("a._pid").alias("_pid"),
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        )
+        .agg(F.max_by("b._last", "b._pid").alias("_boundary"))
+    )
+    return (
+        d.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(out_col, F.coalesce(F.col("_local_lag"), F.col("_boundary")))
+        .drop("_pid", "_local_lag", "_boundary")
+    )
+
+
+def grouped_running_max(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    inclusive: bool = True,
+) -> DataFrame:
+    """df + `out_col`: running max of `value_col` in `order_cols` order
+    within each `group_cols` partition (over preceding rows only when
+    `inclusive=False`, matching ROWS BETWEEN UNBOUNDED PRECEDING AND -1),
+    without the single-task-per-group window. Max is associative, so the
+    prefix combine is `greatest(previous buckets' max, local running
+    max)`; Spark's `greatest` skips NULLs, which reproduces the plain
+    window's NULL for a group's first row under the exclusive frame.
+    `group_cols + order_cols` must be a total order for the exclusive
+    frame to be well-defined; `group_cols` must be column NAMES."""
+    gcols = _as_columns(group_cols)
+    ocols = _as_columns(order_cols)
+    d = _bucketed(df, gcols + ocols, n_buckets)
+    hi = Window.currentRow if inclusive else -1
+    w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    d = _checkpoint(d.withColumn("_local_max", F.max(value_col).over(w)))
+    totals = d.groupBy("_pid", *group_cols).agg(F.max(value_col).alias("_tot"))
+    a, b = totals.alias("a"), totals.alias("b")
+    cond = F.col("b._pid") < F.col("a._pid")
+    for g in group_cols:
+        cond = cond & (F.col(f"b.{g}") == F.col(f"a.{g}"))
+    offs = (
+        a.join(b, cond, "left")
+        .groupBy(
+            F.col("a._pid").alias("_pid"),
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        )
+        .agg(F.max("b._tot").alias("_off"))
+    )
+    return (
+        d.join(F.broadcast(offs), ["_pid", *group_cols])
+        .withColumn(out_col, F.greatest(F.col("_off"), F.col("_local_max")))
+        .drop("_pid", "_local_max", "_off")
+    )
+
+
 def exact_ntile(rn_col: str, n_rows: int, k: int) -> Column:
     """SQL NTILE(k) from a global row number: the first n_rows % k tiles get
     one extra row. Pure expression; `n_rows` is a plan literal (one count()

@@ -90,42 +90,48 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: gaps are exact floor-second integers from exact
     microsecond timestamps; all moments are exact-integer-derived
     (squares widened through DOUBLE from exact values); outputs round
-    2/6. Scale: one event-type-partitioned window pass for gaps, one
-    more for adjacency; O(types) after. At 100 TB the per-type sort
-    shards by (type, day) and stitches boundaries — the standard
-    sessionization posture."""
+    2/6. Scale: both sequential passes — arrival-order gaps and
+    sorted-gap adjacency — use the range-bucketed grouped lag
+    (functions/ranks.py:grouped_lag) instead of a window keyed on the
+    ~5-value event_type column, whose single-task-per-type sort measured
+    13.6× at 100× replication in the round-8 low-cardinality-window
+    audit (the q_weighted_median defect class). Each pass is one range
+    shuffle + a per-(bucket, type) local lag + an O(buckets×types)
+    boundary-stitch broadcast. The adjacency pair set {(v_i, v_{i+1})}
+    is read as (lag, current) instead of (current, lead) — the identical
+    multiset, so every moment is unchanged."""
+    from bigdatainfinance1_spark.functions.ranks import grouped_lag
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = ev.select(
+        "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
     gaps = (
-        ev.select(
-            "event_type",
-            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("dus"),
-        )
-        .filter(F.col("dus").isNotNull())
+        grouped_lag(base, ["event_type"], ["us", "event_id"], "us", "us_prev")
+        .filter(F.col("us_prev").isNotNull())
         .select(
-            "event_type", F.floor(F.col("dus") / 1000000).cast("long").alias("dt")
+            "event_type",
+            "event_id",
+            F.floor((F.col("us") - F.col("us_prev")) / 1000000)
+            .cast("long")
+            .alias("dt"),
         )
     )
-    w_rn = Window.partitionBy("event_type").orderBy("dt")
-    ranked = gaps.withColumn("dt_rn", F.row_number().over(w_rn))
-    w_adj = Window.partitionBy("event_type").orderBy("dt_rn")
-    paired = ranked.withColumn("dt2", F.lead("dt").over(w_adj))
+    paired = grouped_lag(
+        gaps, ["event_type"], ["dt", "event_id"], "dt", "dt_prev"
+    ).filter(F.col("dt_prev").isNotNull())
     mom = gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dt").cast("long").alias("s"),
         F.sum(F.col("dt").cast("double") * F.col("dt")).alias("q"),
     )
-    mom2 = (
-        paired.filter(F.col("dt2").isNotNull())
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n2"),
-            F.sum("dt").cast("long").alias("sx"),
-            F.sum("dt2").cast("long").alias("sy"),
-            F.sum(F.col("dt").cast("double") * F.col("dt2")).alias("sxy"),
-            F.sum(F.col("dt").cast("double") * F.col("dt")).alias("sxx"),
-            F.sum(F.col("dt2").cast("double") * F.col("dt2")).alias("syy"),
-        )
+    mom2 = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n2"),
+        F.sum("dt_prev").cast("long").alias("sx"),
+        F.sum("dt").cast("long").alias("sy"),
+        F.sum(F.col("dt_prev").cast("double") * F.col("dt")).alias("sxy"),
+        F.sum(F.col("dt_prev").cast("double") * F.col("dt_prev")).alias("sxx"),
+        F.sum(F.col("dt").cast("double") * F.col("dt")).alias("syy"),
     )
     mu = F.col("s") * F.lit(1.0) / F.col("n")
     sd = F.sqrt(F.col("q") / F.col("n") - mu * mu)
@@ -344,19 +350,24 @@ def watermark_design(spark: SparkSession, sf_dir: str) -> DataFrame:
     max over the total (type, event_id) arrival order, floored to whole
     seconds; quantile_disc / percentile_disc pick exact order statistics
     with identical semantics; only the out-of-order fraction divides,
-    rounded 6. Scale: one type-partitioned running-max window (the
-    arrival replay), then a bounded per-type percentile aggregate."""
+    rounded 6. Scale: the arrival replay uses the range-bucketed grouped
+    running max (functions/ranks.py:grouped_running_max, exclusive
+    frame) instead of a window keyed on the ~5-value event_type column,
+    whose single-task-per-type sort measured 9.2× at 100× replication in
+    the round-8 low-cardinality-window audit (the q_weighted_median
+    defect class); max is associative, so previous buckets fold in as a
+    broadcast `greatest`. Then a bounded per-type percentile
+    aggregate."""
+    from bigdatainfinance1_spark.functions.ranks import grouped_running_max
+
     ev = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    arr = ev.select(
+    base = ev.select("event_type", "event_id", F.unix_micros("ts").alias("us"))
+    arr = grouped_running_max(
+        base, ["event_type"], ["event_id"], "us", "max_prev_us", inclusive=False
+    ).select(
         "event_type",
         F.greatest(
-            F.lit(0).cast("long"),
-            F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+            F.lit(0).cast("long"), F.col("max_prev_us") - F.col("us")
         ).alias("late_us"),
     ).filter(F.col("late_us").isNotNull())
     lat = arr.select(

@@ -230,6 +230,53 @@ def test_fuzz_grouped_running_sum_recomposition(spark, n, seed, buckets):
         assert got[r[0]] == acc[r[1]]
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    buckets=st.integers(min_value=1, max_value=7),
+)
+def test_fuzz_grouped_lag_and_running_max(spark, n, seed, buckets):
+    """Property: the boundary-stitched grouped lag and the prefix-combined
+    grouped running max (the q_interarrival_burstiness /
+    q_watermark_design scale fixes) must equal the per-group sequential
+    reference — including NULL for each group's first row (lag, and the
+    exclusive-frame running max)."""
+    import random
+
+    from bigdatainfinance1_spark.functions.ranks import (
+        grouped_lag,
+        grouped_running_max,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.randint(0, 3), rng.randint(-50, 50), rng.randint(0, 1000))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp long, key long, val long")
+
+    lagged = grouped_lag(df, ["grp"], ["key", "id"], "val", "prev", n_buckets=buckets)
+    got_lag = {r["id"]: r["prev"] for r in lagged.collect()}
+    rmax = grouped_running_max(
+        df, ["grp"], ["key", "id"], "val", "mx", n_buckets=buckets, inclusive=False
+    )
+    got_max = {r["id"]: r["mx"] for r in rmax.collect()}
+    assert len(got_lag) == n and len(got_max) == n
+    last: dict[int, int] = {}
+    hi: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        assert got_lag[r[0]] == last.get(r[1])
+        assert got_max[r[0]] == hi.get(r[1])
+        last[r[1]] = r[3]
+        hi[r[1]] = max(hi.get(r[1], r[3]), r[3])
+
+
 # ---------------------------------------------------------------------------
 # FIFO allocation property test: the interval-algebra formulation
 # (q_fifo_allocation) must agree with a reference imperative FIFO matcher on
