@@ -454,15 +454,15 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     only corpus pass is the hash ranking; everything after is
     O(pool^2)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    from pyspark.sql import Window as W
-
     from bigdatainfinance1_spark.functions.vector import cosine_sim
 
+    # Pool pick is a distributed TakeOrdered (orderBy+limit → per-partition
+    # partial top-K, driver merges KC_POOL rows), NOT a single-partition
+    # row_number window — the corpus never sorts on one task.
     h = (F.col("vec_id") * KC_KNUTH + 7) % KC_MOD
-    w = W.partitionBy(F.lit(1)).orderBy(h, "vec_id")
     pool = (
-        emb.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KC_POOL)
+        emb.orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(KC_POOL)
         .select("vec_id", "embedding")
         .localCheckpoint()  # O(pool) rows
     )

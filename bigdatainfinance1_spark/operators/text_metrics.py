@@ -626,12 +626,15 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BD_MFW})."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
-    w_all = Window.partitionBy(F.lit(1)).orderBy(F.col("c").desc(), "tok")
+    # MFW pick is a distributed TakeOrdered over the vocabulary (orderBy+
+    # limit → per-partition partial top-K), not a single-partition
+    # row_number — the vocab (corpus^~0.5 under Heaps' law) never sorts on
+    # one task. Tie-break (c DESC, tok) matches the oracle's rn exactly.
     mfw = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rn", F.row_number().over(w_all))
-        .filter(F.col("rn") <= BD_MFW)
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(BD_MFW)
         .select("tok")
     )
     st = toks.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
