@@ -1434,12 +1434,21 @@ def panel_within_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("beta_fe"),
         (
             (
-                F.count(F.lit(1)) * (F.sum(F.col("x") * y6).cast("double") / 1e6)
+                # x*y6 widens to decimal(19,0) per row before summing: the
+                # long sum overflows int64 at ~100x corpus (ANSI raises;
+                # DuckDB's sum(BIGINT) silently widens to HUGEINT) — the
+                # jarque_bera/breusch_pagan overflow class. Consumed as
+                # double, so the decimal(38,0) sum lands on double.
+                F.count(F.lit(1))
+                * (F.sum(F.col("x").cast("decimal(19,0)") * y6).cast("double") / 1e6)
                 - F.sum("x") * (F.sum(y6).cast("double") / 1e6)
             )
             / (
-                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
-                - F.sum("x") * F.sum("x")
+                # same widening for the denominator moments: exact decimal
+                # sums landed on double at consumption, unbounded by corpus
+                F.count(F.lit(1))
+                * F.sum(F.col("x").cast("decimal(19,0)") * F.col("x")).cast("double")
+                - F.sum("x").cast("double") * F.sum("x").cast("double")
             )
         ).alias("beta_pooled"),
     )
