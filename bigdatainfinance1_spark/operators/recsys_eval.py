@@ -320,6 +320,15 @@ def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     t3 = (
         x.join(y, "ok")
         .filter(F.col("ba") < F.col("bb"))
+        # apriori pushdown: gate pairs on the frequent-prefix set BEFORE
+        # the z join — any triple surviving the c3 gate has a frequent
+        # (ba, bb), so this prunes identical rows one join earlier and the
+        # z join fans out only from frequent-prefix pairs
+        .join(
+            F.broadcast(p2.selectExpr("a AS ba", "b AS bb")),
+            ["ba", "bb"],
+            "left_semi",
+        )
         .join(z, "ok")
         .filter(F.col("bb") < F.col("bc"))
         .join(
