@@ -271,9 +271,22 @@ _BQ_SQL = f"""
              AS reduction_ratio,
            m.n_true AS n_true_matches,
            m.n_blocked AS n_matches_blocked,
-           round(m.n_blocked * 1e0 / m.n_true, 6) AS pairs_completeness
+           round(m.n_blocked * 1e0 / m.n_true, 6) AS pairs_completeness,
+           'exact' AS method
     FROM stats s CROSS JOIN magg m
 """
+
+# Truth-set pair budget for the blocking audit (the q_lsh_recall_audit
+# gate, same physics): the exact co-shingle ground-truth join is
+# output-bound under mass duplication, so above the budget the truth set
+# — and therefore pairs_completeness's numerator and denominator — is
+# measured inside a deterministic 1/BQ_SAMPLE_MOD xxhash doc stratum.
+# PC is a RATIO, so the within-stratum rate estimates the corpus rate;
+# the blocking side (reduction ratio, block census) stays full-corpus —
+# it is linear. The `method` column says which tier ran. Never trips at
+# oracle tiers (asserted in tests).
+BQ_TRUTH_PAIR_BUDGET = 20_000_000
+BQ_SAMPLE_MOD = 16
 
 
 @query(
@@ -296,14 +309,34 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: everything is exact integer counting; the two ratios
     divide exact BIGINTs (pair counts are even products halved in
     double, exact below 2^53), rounded 6. Scale: the truth set rides
-    the co-shingle equi-join (the exact tier — output-bound under mass
-    duplication like q_jaccard_neardup; the corpus-scale path swaps in
-    q_minhash_lsh_fast's banded signatures as the truth proxy); the
-    blocking side is two keyed aggregates, linear."""
+    the co-shingle equi-join — GATED (round-8, after the 100× tier
+    caught the ungated exact join OOMing the heap under mass
+    duplication): q_jaccard_neardup's linear fan-out estimator is
+    compared against BQ_TRUTH_PAIR_BUDGET, and above it the truth set
+    runs inside a deterministic 1/{BQ_SAMPLE_MOD} xxhash doc stratum
+    with the `method` column saying so — pairs completeness is a ratio,
+    so the within-stratum rate estimates the corpus rate (the
+    q_lsh_recall_audit posture). The blocking census / reduction-ratio
+    side is linear keyed aggregation and stays full-corpus exact."""
+    from bigdatainfinance1_spark.operators.dedup import _estimate_exact_pair_fanout
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= 3
     )
+    method = "exact"
+    est = _estimate_exact_pair_fanout(spark, sf_dir)
+    if est > BQ_TRUTH_PAIR_BUDGET:
+        import warnings
+
+        warnings.warn(
+            f"q_blocking_quality: estimated {est:.0f} truth-set pairs exceeds "
+            f"budget {BQ_TRUTH_PAIR_BUDGET}; measuring pairs completeness "
+            f"inside a deterministic 1/{BQ_SAMPLE_MOD} doc stratum",
+            stacklevel=2,
+        )
+        method = f"stratum_1_of_{BQ_SAMPLE_MOD}"
+        t = t.filter(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(BQ_SAMPLE_MOD)) == 0)
     ds = t.select(
         "doc_id",
         F.explode(
@@ -377,4 +410,5 @@ def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_blocked") * F.lit(1.0) / F.col("n_true"), 6).alias(
             "pairs_completeness"
         ),
+        F.lit(method).alias("method"),
     )

@@ -177,3 +177,35 @@ def test_gated_verify_plan_has_no_allpairs_shingle_join(spark, monkeypatch):
         m for m in re.findall(r"Join Inner, \(([^\n]+)\)", plan) if "doc_id" not in m
     ]
     assert not bare_h_joins, bare_h_joins
+
+
+def test_blocking_quality_budget_not_tripped_at_gate_scale(spark):
+    """The driver must check the EXACT (whole-corpus) truth set: oracle-gate
+    corpora stay under BQ_TRUTH_PAIR_BUDGET (the method column says so)."""
+    df = SPECS["q_blocking_quality"].fn(spark, SF_DIR)
+    assert {r["method"] for r in df.select("method").distinct().collect()} == {
+        "exact"
+    }
+
+
+def test_blocking_quality_gate_switches_to_stratum_and_warns(spark, monkeypatch):
+    """Forcing the budget to trip must (a) warn, (b) flip the method column
+    to the stratum tier (no silent semantics change), (c) keep the blocking
+    census (reduction-ratio side) full-corpus — those columns are linear and
+    must NOT shrink with the stratum — while the truth-set counts can only
+    shrink, and (d) keep pairs_completeness a well-defined ratio in [0, 1]."""
+    import bigdatainfinance1_spark.operators.record_linkage as rl
+
+    exact = SPECS["q_blocking_quality"].fn(spark, SF_DIR).collect()[0]
+    monkeypatch.setattr(rl, "BQ_TRUTH_PAIR_BUDGET", -1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        gated = SPECS["q_blocking_quality"].fn(spark, SF_DIR).collect()[0]
+    assert any("doc stratum" in str(w.message) for w in caught)
+    assert gated["method"] == f"stratum_1_of_{rl.BQ_SAMPLE_MOD}"
+    for col in ("n_docs", "n_blocks", "max_block", "total_pairs", "blocked_pairs"):
+        assert gated[col] == exact[col]
+    assert gated["n_true_matches"] <= exact["n_true_matches"]
+    assert gated["n_matches_blocked"] <= gated["n_true_matches"]
+    if gated["pairs_completeness"] is not None:
+        assert 0.0 <= gated["pairs_completeness"] <= 1.0
