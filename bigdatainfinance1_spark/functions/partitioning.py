@@ -1,0 +1,41 @@
+"""Scan-parallelism guard for per-row-heavy map stages.
+
+Spark sizes a parquet scan's task count from file splits
+(`spark.sql.files.maxPartitionBytes`), and a small single-row-group file
+yields exactly ONE split no matter how many cores the session has. Any
+expensive narrow work fused into that scan stage — 32 minhash permutations
+per shingle, md5 per bootstrap replicate, 64-dim distance folds per
+candidate — then serializes on one core while the rest of the cluster
+idles (guide §2.5 "input skew: one huge unsplittable file …; repartition
+immediately after the read", §6 input split size).
+
+`parallelize_scan` is the scale-adaptive form of that advice: it
+round-robin-repartitions ONLY when the input's actual split count is below
+the session's default parallelism. At production scale a corpus scan
+already yields thousands of splits, so the branch is a no-op and no
+corpus-wide shuffle is ever added; on a small-file layout it buys
+cores-way parallelism for the heavy map at the cost of shuffling the
+(small, pre-explosion) input once.
+
+Call it at the point where the heavy per-row work BEGINS — after
+projections/filters, never around `load_table` itself — so predicate
+pushdown and column pruning still reach the parquet scan (an Exchange
+between scan and filter would block both).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def parallelize_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition `df` round-robin to the session's default parallelism iff
+    its current partition count is lower — a no-op branch at production
+    split counts. Row-order effects: round-robin repartition is
+    retry-deterministic (sort-before-repartition, SPARK-23207), and every
+    caller feeds order-insensitive consumers (per-row hashes, distinct,
+    integer-grain aggregates)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

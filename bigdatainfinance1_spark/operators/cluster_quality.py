@@ -406,7 +406,14 @@ def lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     this by construction). Scale: probe-bounded scans (|probe| x corpus map
     work with partitioned top-k windows); the LSH/IVF bucketed paths are
     the corpus-wide variant of the same semantics."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from bigdatainfinance1_spark.functions.partitioning import parallelize_scan
+
+    # the probe-vs-corpus distance folds fuse into the corpus scan stage;
+    # a few-split embeddings layout serializes all |probe| x corpus x 64-dim
+    # work on one core (measured 19.3 s -> the fold is ~0.6 s of compute)
+    emb = parallelize_scan(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     d2f = (
         "round(aggregate(zip_with(pe, embedding, (x, y) ->"
         " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdatainfinance1_spark.functions.partitioning import parallelize_scan
 from bigdatainfinance1_spark.registry import query
 from bigdatainfinance1_spark.sources.catalog import load_table
 
@@ -47,7 +48,9 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-word shingles per doc (docs shorter than 3 tokens carry no
     shingles, mirrored in the oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    toks = parallelize_scan(
+        docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    )
     return toks.select(
         "doc_id",
         F.explode(
@@ -67,8 +70,13 @@ def _shingle_hashes_raw(
     estimate touches a fraction of the corpus; callers rescale by 1/f²."""
     docs = load_table(spark, sf_dir, "documents")
     if sample_fraction is not None:
+        # sample BEFORE the repartition: Bernoulli thinning is seeded per the
+        # scan's row order, so the sampled set is unchanged by what follows
         docs = docs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
-    toks = docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    # spread the shingle hash map across cores when the scan is few-split
+    toks = parallelize_scan(
+        docs.select(F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    )
     return toks.select(
         F.explode(
             F.expr(
@@ -90,7 +98,11 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (P ≈ n²/2⁶⁵ ≈ 1e-8 at sf0.1 — and the fixed testdata is verified
     collision-free by the oracle match)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    # the 32-permutation minhash pass and the shingle explode+hash fuse into
+    # this scan stage; a few-split layout would serialize them on one core
+    toks = parallelize_scan(
+        docs.select("doc_id", F.split("text", " ").alias("t")).filter(F.size("t") >= 3)
+    )
     return toks.select(
         "doc_id",
         F.explode(
@@ -202,10 +214,11 @@ def jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sub-quadratic, may miss <2% of J>=0.8 pairs)",
             stacklevel=2,
         )
-        candidates = _lsh_candidate_pairs(spark, sf_dir)
-        return _verify_jaccard_pairs(ds, threshold=0.8, candidates=candidates).withColumn(
-            "method", F.lit("lsh_prefilter")
-        )
+        ds = ds.localCheckpoint(eager=True)
+        candidates = _lsh_candidate_pairs(spark, sf_dir, dh=ds)
+        return _verify_jaccard_pairs(
+            ds, threshold=0.8, candidates=candidates, checkpoint=False
+        ).withColumn("method", F.lit("lsh_prefilter"))
     return _verify_jaccard_pairs(ds, threshold=0.8).withColumn("method", F.lit("exact"))
 
 
@@ -326,6 +339,7 @@ def _lsh_candidate_pairs(
     sf_dir: str,
     sig_family: str = "xxhash64",
     doc_pred: Column | None = None,
+    dh: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (doc_id_1 < doc_id_2): shingle → 32 seeded
     minhashes → 8 bands × 4 rows → band-bucket equi-join. Signatures are
@@ -379,7 +393,11 @@ def _lsh_candidate_pairs(
             )
         )
     else:
-        dh = _doc_shingle_hashes(spark, sf_dir)
+        # ``dh`` lets a caller that ALSO verifies over hashed shingles pass
+        # its already-materialized (doc_id, h) relation, so the shingle
+        # explode+distinct runs once for signatures AND verification.
+        if dh is None:
+            dh = _doc_shingle_hashes(spark, sf_dir)
         if doc_pred is not None:
             dh = dh.filter(doc_pred)
         sig = (
@@ -399,10 +417,17 @@ def _lsh_candidate_pairs(
             )
         )
     rows_per_band = N_PERM // N_BANDS
+    # band_sig (O(docs x bands) rows) feeds BOTH sides of the bucket
+    # self-join under differing projections, which defeats ReuseExchange —
+    # without materialization the whole signature pipeline (shingle explode
+    # + N_PERM-hash explode + min-agg) appears TWICE in the physical plan
+    # (verified in the formatted plan: two full Scan->Generate->agg
+    # subtrees). One eager checkpoint runs the expensive pass once.
     band_sig = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(band_key.alias("band_key"))
+        .localCheckpoint(eager=True)
     )
     left = band_sig.select("band", "band_key", F.col("doc_id").alias("doc_id_1"))
     right = band_sig.select("band", "band_key", F.col("doc_id").alias("doc_id_2"))
@@ -471,9 +496,11 @@ def minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-Jaccard, so their signatures agree on entire bands under any hash
     family), making this a genuine value-hash check of the whole pipeline —
     if banding ever dropped a true pair, the hash would go red."""
-    candidates = _lsh_candidate_pairs(spark, sf_dir)
-    dh = _doc_shingle_hashes(spark, sf_dir)
-    return _verify_jaccard_pairs(dh, threshold=0.7, candidates=candidates)
+    # one materialized shingle-hash relation serves BOTH the signature pass
+    # and the exact verifier — previously two full explode+distinct passes
+    dh = _doc_shingle_hashes(spark, sf_dir).localCheckpoint(eager=True)
+    candidates = _lsh_candidate_pairs(spark, sf_dir, dh=dh)
+    return _verify_jaccard_pairs(dh, threshold=0.7, candidates=candidates, checkpoint=False)
 
 
 # 60-bit simhash, banded for the Hamming<=6 pair join: 7 bands, so any pair
@@ -533,7 +560,8 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode bit positions → conditional agg → bit OR-fold."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        parallelize_scan(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("v", F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))

@@ -218,9 +218,17 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01). Grid width tunes fan-out vs selectivity exactly like the geo
     grid in q_geo_grid_knn."""
     ev = load_table(spark, sf_dir, "events")
-    iv = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
-        F.min(F.unix_micros("ts")).cast("long").alias("iv_s"),
-        F.max(F.unix_micros("ts")).cast("long").alias("iv_e"),
+    # iv feeds BOTH join sides (x fan-out and y start-cells) under differing
+    # projections — unmaterialized, the events scan + interval aggregation
+    # runs twice; one eager checkpoint of the (user, day)-grain relation
+    # (dimension-sized, far smaller than events) runs it once.
+    iv = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.min(F.unix_micros("ts")).cast("long").alias("iv_s"),
+            F.max(F.unix_micros("ts")).cast("long").alias("iv_e"),
+        )
+        .localCheckpoint(eager=True)
     )
     hour_us = 3_600_000_000
     # earlier side: all covered cells; later side: start cell only

@@ -571,10 +571,24 @@ def _ivf_with_lists(spark: SparkSession, sf_dir: str, k: int = 16, iters: int = 
             f" c -> named_struct('d', dists[c], 'i', c))), 1, {n}), s -> s.i)"
         )
 
+    from bigdatainfinance1_spark.functions.partitioning import parallelize_scan
+
+    # the k x 64-dim assignment folds fuse into the corpus scan stage; keep
+    # them spread across cores when the embeddings layout is few-split.
+    # MATERIALIZE the per-vector distance table once: the nested
+    # higher-order-function fold over the k x 64 centroid literal is not
+    # whole-stage-codegen-able, so every downstream consumer (q_ann_ivf_topk
+    # joins corpus + queries; q_ann_nprobe_sweep runs FIVE consumers) would
+    # otherwise re-interpret the fold — and rebuild the 1024-literal centroid
+    # array — per row per consumer (measured: the probe join alone went
+    # 4.7 -> 0.6 s once dists became plain data). At scale this is one
+    # corpus-sized materialization, the same budget as a single shuffle.
     with_lists = (
-        emb.withColumn("cents", cents_lit)
+        parallelize_scan(emb)
+        .withColumn("cents", cents_lit)
         .withColumn("dists", dists)
         .withColumn("nrm", l2_norm("embedding"))
+        .localCheckpoint(eager=True)
     )
     return with_lists, nearest_lists
 

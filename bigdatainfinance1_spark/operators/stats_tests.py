@@ -1514,9 +1514,13 @@ def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     `percentile` ≡ DuckDB `quantile_cont` over 100 identical doubles.
     Scale: fan-out ×100 on the scan, two aggregations (replicate, then
     summary), zero shuffles of the base data beyond the replicate key."""
+    from bigdatainfinance1_spark.functions.partitioning import parallelize_scan
+
     orders = load_table(spark, sf_dir, "orders")
-    base = orders.select(
-        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    base = parallelize_scan(
+        orders.select(
+            "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+        )
     )
     fan = base.select(
         "o_orderkey", "cents",
@@ -1528,9 +1532,15 @@ def poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         / F.lit(4294967296.0)
     )
+    # u lands in its OWN projection: referenced from all 6 CASE branch
+    # predicates below, an inlined u is re-hashed per branch (conditional
+    # subexpression elimination does not cover it — measured 26.4 -> 14.8 s
+    # at sf0.1), while CollapseProject keeps a multiply-referenced non-cheap
+    # alias in its own Project, so the md5 runs once per row.
+    fan = fan.select("cents", "r", u.alias("u"))
     w = F.lit(6)
     for k in range(len(_POISSON_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POISSON_CDF[k]), F.lit(k)).otherwise(w)
+        w = F.when(F.col("u") < F.lit(_POISSON_CDF[k]), F.lit(k)).otherwise(w)
     rep = (
         fan.withColumn("w", w)
         .groupBy("r")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdatainfinance1_spark.functions.partitioning import parallelize_scan
 from bigdatainfinance1_spark.registry import query
 from bigdatainfinance1_spark.sources.catalog import load_table
 
@@ -23,7 +24,10 @@ _TOKENS_SQL = "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    # spread the tokenize+explode across cores when the scan is few-split
+    return parallelize_scan(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
 
 
 @query(
@@ -1303,8 +1307,11 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash tier. At 100 TB the fingerprint relation is ~2/(w+1) of the
     gram count — the point of winnowing over full shingling."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
-        F.size("t") >= WINNOW_K + WINNOW_W - 1
+    # the md5-per-gram explode fuses into the scan stage; spread it
+    toks = parallelize_scan(
+        docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+            F.size("t") >= WINNOW_K + WINNOW_W - 1
+        )
     )
     g = toks.select(
         "doc_id",
@@ -1317,6 +1324,13 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gk"),
     ).select("doc_id", F.col("gk.pos").alias("pos"), F.col("gk.key").alias("key"))
+    # g (the md5-per-gram relation) feeds TWO consumers (the winnowing
+    # window and the stats anti-count join), and sel feeds two more (fp and
+    # sel_pos) — without materialization the gram hash pass appears twice in
+    # the physical plan and the window+distinct twice more. Two eager
+    # checkpoints run each expensive pass once (the q_user_cf_neighbors /
+    # _verify_jaccard_pairs pattern); both relations are shuffle-sized.
+    g = g.localCheckpoint(eager=True)
     wwin = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WINNOW_W - 1), 0)
     )
@@ -1325,6 +1339,7 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") >= WINNOW_W - 1)
         .select("doc_id", F.col("minkey").alias("key"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     fp = sel.select("doc_id", F.substring("key", 1, 32).alias("h")).distinct()
     df_ok = (

@@ -410,10 +410,16 @@ def lsa_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx_last = None
     for _ in range(LSA_ITERS):
+        # materialize the O(vocab)-row iteration state: w is referenced
+        # twice (mx and the renormalized v) and v feeds the next iteration
+        # plus three end-of-loop consumers, so a lazy loop re-plans and
+        # re-executes an exponentially duplicated mat-vec tree — the
+        # checkpointed-frontier rule every iterative op in this repo follows
         w = (
             g.join(v.withColumnRenamed("term", "t2"), "t2")
             .groupBy(F.col("t1").alias("term"))
             .agg(F.sum(F.col("w") * F.col("v")).cast("long").alias("w"))
+            .localCheckpoint(eager=True)
         )
         mx = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("mx"))
         mx_last = mx
@@ -1041,8 +1047,21 @@ def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts via the cutoff join (no per-cut re-scan); profiles stay
     vocabulary-sized per cut; windows partition by (cut, lang) and
     (cut, doc)."""
+    from bigdatainfinance1_spark.functions.partitioning import parallelize_scan
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+    # ONE corpus tokenize pass: tok previously fed two consumers (the
+    # per-cut profile counts and the distinct holdout terms), re-running the
+    # explode each time. Aggregating to (doc_id, lang, term, n) first —
+    # smaller than the raw token stream — serves both: profile counts sum n,
+    # holdout reads the distinct (doc_id, term) rows it already is.
+    tok = (
+        parallelize_scan(docs.select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tn"))
+        .localCheckpoint(eager=True)
+    )
     m = docs.agg(F.max("doc_id").cast("long").alias("m"))
     cuts = (
         spark.createDataFrame([(k,) for k in LC_CUTS], "k long")
@@ -1054,7 +1073,7 @@ def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.crossJoin(F.broadcast(cuts))
         .filter(F.col("doc_id") <= F.col("cut"))
         .groupBy("k", "lang", "term")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("tn").alias("n"))
     )
     w_prof = Window.partitionBy("k", "lang").orderBy(F.col("n").desc(), "term")
     profile = (
@@ -1063,8 +1082,7 @@ def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", F.col("lang").alias("p_lang"), "term")
     )
     holdout = (
-        tok.select("doc_id", "term")
-        .distinct()
+        tok.select("doc_id", "term")  # already distinct per (doc_id, term)
         .crossJoin(F.broadcast(cuts))
         .filter(F.col("doc_id") > F.col("cut"))
         .select("k", "doc_id", "term")
