@@ -559,9 +559,11 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sign of each sum forms the fingerprint. All JVM-side DataFrame ops:
     explode bit positions → conditional agg → bit OR-fold."""
     docs = load_table(spark, sf_dir, "documents")
+    # no parallelize_scan: the md5 vote hashing runs AFTER the (doc, tok)
+    # groupBy shuffle (already cores-parallel); pre-shuffle is a cheap
+    # split+explode, so an extra exchange would be pure overhead
     tf = (
-        parallelize_scan(docs.select("doc_id", "text"))
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("v", F.expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"))

@@ -319,7 +319,14 @@ def lloyd_assignments(
     vectors (at the paper's k=50k that is ~25 MB — at that size the
     centroid matrix should ride a broadcast join instead of a plan
     literal; the literal is right for the k ≤ O(100) tiers here)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
+    from bigdatainfinance1_spark.functions.partitioning import parallelize_scan
+
+    # the per-iteration assignment fold (k x DIM per row, interpreted HOF)
+    # runs in the persisted relation's partitions — spread a few-split scan
+    # across cores before persisting or all 5 passes serialize on one task
+    emb = parallelize_scan(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).persist()
     init = (
         emb.orderBy("vec_id")
         .limit(k)

@@ -23,11 +23,12 @@ _TOKENS_SQL = "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT parallelize_scan'd: the pre-shuffle work here is a plain
+    # split+explode (no hashing), so the extra exchange costs more than the
+    # single-split scan stage it would spread (measured +0.4 s on
+    # q_top_terms); the counting itself runs post-shuffle in parallel.
     docs = load_table(spark, sf_dir, "documents")
-    # spread the tokenize+explode across cores when the scan is few-split
-    return parallelize_scan(docs.select("doc_id", "lang", "text")).select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
-    )
+    return docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
 
 
 @query(

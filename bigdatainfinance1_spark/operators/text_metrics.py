@@ -1047,8 +1047,6 @@ def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts via the cutoff join (no per-cut re-scan); profiles stay
     vocabulary-sized per cut; windows partition by (cut, lang) and
     (cut, doc)."""
-    from bigdatainfinance1_spark.functions.partitioning import parallelize_scan
-
     docs = load_table(spark, sf_dir, "documents")
     # ONE corpus tokenize pass: tok previously fed two consumers (the
     # per-cut profile counts and the distinct holdout terms), re-running the
@@ -1056,8 +1054,7 @@ def learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # smaller than the raw token stream — serves both: profile counts sum n,
     # holdout reads the distinct (doc_id, term) rows it already is.
     tok = (
-        parallelize_scan(docs.select("doc_id", "lang", "text"))
-        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "lang", "term")
         .agg(F.count(F.lit(1)).alias("tn"))
         .localCheckpoint(eager=True)
