@@ -417,17 +417,29 @@ def _lsh_candidate_pairs(
             )
         )
     rows_per_band = N_PERM // N_BANDS
-    # band_sig (O(docs x bands) rows) feeds BOTH sides of the bucket
+    # sig (docs x N_PERM minhash rows) feeds BOTH sides of the bucket
     # self-join under differing projections, which defeats ReuseExchange —
     # without materialization the whole signature pipeline (shingle explode
     # + N_PERM-hash explode + min-agg) appears TWICE in the physical plan
-    # (verified in the formatted plan: two full Scan->Generate->agg
-    # subtrees). One eager checkpoint runs the expensive pass once.
+    # (two full Scan->Generate->agg subtrees). For the xxhash64 production
+    # family one eager checkpoint (8-byte longs) runs that pass once
+    # (sf0.1 8.7 -> 6.2 s; 100x re-measured at the verify-bound floor).
+    # Three checkpoint placements were measured and rejected:
+    # - band_sig: its exact materialized size stats slip under the
+    #   broadcast threshold at 100x and the broadcast BUILD blows up
+    #   ("Not enough memory to build and broadcast") — the guide §3.1
+    #   estimate-vs-build trap.
+    # - md5-family sig: the 32-char hex signatures are ~4x the bytes; the
+    #   barrier + UnknownPartitioning re-shuffles cost MORE at 100x than
+    #   the saved duplicate pass (480 -> 740 s measured), because at scale
+    #   the verify-side pair explosion, not the signature pass, dominates.
+    #   The md5 twin therefore keeps the unmaterialized two-subtree plan.
+    if sig_family != "md5":
+        sig = sig.localCheckpoint(eager=True)
     band_sig = (
         sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band")
         .agg(band_key.alias("band_key"))
-        .localCheckpoint(eager=True)
     )
     left = band_sig.select("band", "band_key", F.col("doc_id").alias("doc_id_1"))
     right = band_sig.select("band", "band_key", F.col("doc_id").alias("doc_id_2"))

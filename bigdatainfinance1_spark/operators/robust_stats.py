@@ -282,6 +282,12 @@ def permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
         )
     )
+    # the xB permutation fan-out + conditional aggregate fuse into this
+    # (broadcast-joined) scan stage; spread a few-split scan across cores
+    # or the whole fan runs on one task (guide §2.5)
+    from bigdatainfinance1_spark.functions.partitioning import parallelize_scan
+
+    obs = parallelize_scan(obs)
     base = obs.agg(
         F.sum(F.when(F.col("seg") == PT_SEG_A, F.col("y")).otherwise(0))
         .cast("long")

@@ -584,13 +584,28 @@ def main() -> None:
     # in given order) — a typo'd or missing name errors instead of silently
     # shrinking the run (round-2 ADVICE).
     to_run = ([n for n in QUERIES if n in picked] + [n for n in picked if n not in QUERIES]) if picked else QUERIES
+    import gc
+
+    def _quiesce() -> None:
+        # Same inter-query hygiene as bench.py: drop Python refs so the
+        # ContextCleaner reclaims localCheckpoint blocks and shuffle files
+        # the previous query left behind, and nudge the JVM to actually run
+        # the cleanup. Reclamation is ASYNC — without this, a 100x query
+        # following a checkpoint-heavy one can fail its broadcast build on
+        # storage that is about to be freed (observed: q_minhash_lsh_fast
+        # "Not enough memory to build and broadcast" in-batch, green alone).
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     for name in to_run:
         t0 = time.perf_counter()
         specs[name].fn(spark, BASE_SF).write.format("noop").mode("overwrite").save()
         t_base = time.perf_counter() - t0
+        _quiesce()
         t0 = time.perf_counter()
         specs[name].fn(spark, STAGE).write.format("noop").mode("overwrite").save()
         t_10x = time.perf_counter() - t0
+        _quiesce()
         print(
             json.dumps(
                 {
