@@ -155,30 +155,42 @@ def main() -> None:
     r1_total_min = round(
         sum(dispersion[n]["min"] for n in HEADLINE[:R1_HEADLINE_N]), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "dispersion": dispersion,
-                "runs_per_query": runs,
-                "aggregation": "median",
-                "sf": sf,
-                "n_queries_registered": len(specs),
-                "r1_headline_seconds": r1_total,
-                "pass_totals": pass_totals,
-                "suite_seconds_min_floor": total_min,
-                "r1_headline_seconds_min_floor": r1_total_min,
-                "note": "headline set expanded in round 3 (13 -> 24) and round 4 (-> 29 queries); "
-                "compare r1_headline_seconds against the 19.3 s round-1 baseline, "
-                "per-query rows in BASELINE.md for the rest; per-query values are "
-                "medians over runs_per_query interleaved passes",
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "samples": samples,
+            "dispersion": dispersion,
+            "runs_per_query": runs,
+            "aggregation": "median",
+            "sf": sf,
+            "n_queries_registered": len(specs),
+            "r1_headline_seconds": r1_total,
+            "pass_totals": pass_totals,
+            "suite_seconds_min_floor": total_min,
+            "r1_headline_seconds_min_floor": r1_total_min,
+            "note": "headline set expanded in round 3 (13 -> 24) and round 4 (-> 29 queries); "
+            "compare r1_headline_seconds against the 19.3 s round-1 baseline, "
+            "per-query rows in BASELINE.md for the rest; per-query values are "
+            "medians over runs_per_query interleaved passes",
+        }
     )
+    # Round-over-round contract hardening (VERDICT r8 task 2): BENCH_r07 was
+    # lost to stdout parsing (`parsed: null`) because nothing guaranteed the
+    # one JSON line was the LAST stdout line if a JVM message interleaved.
+    # (a) persist the identical payload to bench_out.json next to this file,
+    # (b) stop the Spark session and flush both streams BEFORE printing, so
+    # the JSON is emitted after every JVM stdout writer is gone.
+    Path(__file__).resolve().parent.joinpath("bench_out.json").write_text(
+        payload + "\n"
+    )
+    spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(payload)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -192,15 +192,28 @@ def grouped_lag(
     a local lag runs per (bucket, group); each bucket's last value by
     order — one `max_by` per (bucket, group) — is broadcast so the next
     bucket's first row stitches across the boundary. NULL for the true
-    first row of each group, exactly like LAG. `group_cols + order_cols`
-    must be a total order; `group_cols` must be column NAMES."""
+    first row of each group, exactly like LAG.
+
+    NULL-value contract (round-8 verdict task 7): a row is a
+    bucket-boundary row iff its LOCAL row_number is 1 — never inferred
+    from `_local_lag IS NULL`, which a NULL mid-group VALUE would fake —
+    and boundary values ride inside structs so a NULL last-value survives
+    both `max_by` hops. `value_col` may therefore contain NULLs anywhere;
+    the property test pins this against a sequential reference.
+    `group_cols + order_cols` must be a total order; `group_cols` must be
+    column NAMES."""
     gcols = _as_columns(group_cols)
     ocols = _as_columns(order_cols)
     d = _bucketed(df, gcols + ocols, n_buckets)
     w = Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
-    d = _checkpoint(d.withColumn("_local_lag", F.lag(value_col).over(w)))
+    # _local_rn shares the window sort with _local_lag (one Window exec)
+    d = _checkpoint(
+        d.withColumn("_local_lag", F.lag(value_col).over(w)).withColumn(
+            "_local_rn", F.row_number().over(w)
+        )
+    )
     lasts = d.groupBy("_pid", *group_cols).agg(
-        F.max_by(value_col, F.struct(*ocols)).alias("_last")
+        F.max_by(F.struct(F.col(value_col).alias("v")), F.struct(*ocols)).alias("_last")
     )
     a, b = lasts.alias("a"), lasts.alias("b")
     cond = F.col("b._pid") < F.col("a._pid")
@@ -212,12 +225,19 @@ def grouped_lag(
             F.col("a._pid").alias("_pid"),
             *[F.col(f"a.{g}").alias(g) for g in group_cols],
         )
+        # struct-wrapped so a genuinely-NULL boundary VALUE is carried;
+        # the struct itself is NULL only when no previous bucket exists
         .agg(F.max_by("b._last", "b._pid").alias("_boundary"))
     )
     return (
         d.join(F.broadcast(offs), ["_pid", *group_cols])
-        .withColumn(out_col, F.coalesce(F.col("_local_lag"), F.col("_boundary")))
-        .drop("_pid", "_local_lag", "_boundary")
+        .withColumn(
+            out_col,
+            F.when(F.col("_local_rn") == 1, F.col("_boundary.v")).otherwise(
+                F.col("_local_lag")
+            ),
+        )
+        .drop("_pid", "_local_lag", "_local_rn", "_boundary")
     )
 
 

@@ -259,8 +259,11 @@ def _verify_jaccard_pairs(
     candidate-driven callers read q_prefix_filter_join 7.25 vs 11.09 s and
     q_minhash_lsh_fast 5.25 vs 5.56 s — the three-consumer re-execution
     dominates the lineage-truncation cost in every caller, so it defaults
-    ON; ``checkpoint=False`` is the documented escape hatch for a caller
-    whose ds is already materialized (none today)."""
+    ON; ``checkpoint=False`` is the escape hatch for a caller whose ds is
+    already materialized — today q_minhash_lsh_fast and q_jaccard_neardup's
+    tripped LSH path, both of which checkpoint ds themselves so the shared
+    relation also feeds signature generation (round-8 ADVICE: keep this
+    list current)."""
     if checkpoint:
         ds = ds.localCheckpoint(eager=True)
     sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

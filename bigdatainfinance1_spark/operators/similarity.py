@@ -583,11 +583,15 @@ def _ivf_with_lists(spark: SparkSession, sf_dir: str, k: int = 16, iters: int = 
     # array — per row per consumer (measured: the probe join alone went
     # 4.7 -> 0.6 s once dists became plain data). At scale this is one
     # corpus-sized materialization, the same budget as a single shuffle.
+    # drop the k x 64 'cents' helper column BEFORE materializing: no consumer
+    # references it after 'dists' is computed, and keeping it inflates the
+    # checkpoint footprint ~10x over the useful payload (round-8 ADVICE).
     with_lists = (
         parallelize_scan(emb)
         .withColumn("cents", cents_lit)
         .withColumn("dists", dists)
         .withColumn("nrm", l2_norm("embedding"))
+        .drop("cents")
         .localCheckpoint(eager=True)
     )
     return with_lists, nearest_lists

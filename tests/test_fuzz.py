@@ -277,6 +277,51 @@ def test_fuzz_grouped_lag_and_running_max(spark, n, seed, buckets):
         hi[r[1]] = max(hi.get(r[1], r[3]), r[3])
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    buckets=st.integers(min_value=1, max_value=7),
+)
+def test_fuzz_grouped_lag_null_values(spark, n, seed, buckets):
+    """Property (round-8 verdict task 7): grouped_lag must equal LAG even
+    when the lagged VALUE column contains NULLs mid-group. The naive
+    boundary stitch `coalesce(_local_lag, _boundary)` fails this — it reads
+    a NULL lagged VALUE as "bucket-first row" and substitutes the previous
+    bucket's last value; the row_number-guarded form must not. NULLs are
+    placed adversarially often (~1/3 of rows) so bucket boundaries land on
+    them across the fuzzed bucket counts."""
+    import random
+
+    from bigdatainfinance1_spark.functions.ranks import grouped_lag
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.randint(0, 3),
+            rng.randint(-50, 50),
+            None if rng.random() < 1 / 3 else rng.randint(0, 1000),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp long, key long, val long")
+    lagged = grouped_lag(df, ["grp"], ["key", "id"], "val", "prev", n_buckets=buckets)
+    got = {r["id"]: r["prev"] for r in lagged.collect()}
+    assert len(got) == n
+    last: dict[int, int | None] = {}
+    seen: set[int] = set()
+    for r in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        assert got[r[0]] == (last.get(r[1]) if r[1] in seen else None)
+        last[r[1]] = r[3]
+        seen.add(r[1])
+
+
 # ---------------------------------------------------------------------------
 # FIFO allocation property test: the interval-algebra formulation
 # (q_fifo_allocation) must agree with a reference imperative FIFO matcher on
