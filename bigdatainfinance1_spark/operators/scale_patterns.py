@@ -231,10 +231,16 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     hour_us = 3_600_000_000
+    # Join payload is NARROWED to what the predicates/output actually read
+    # (guide §2.3 "project before the exchange"): with x_user != y_user
+    # enforced, the old day tiebreak branch (x_user == y_user & x_day <
+    # y_day) was unreachable, so neither side needs its day column, and the
+    # y side never reads y_e (overlap reduces to y_s <= x_e) — 9 join
+    # columns -> 7. Ordering stays total on distinct-user interval pairs:
+    # (start, user) since a user's daily intervals can't share a start.
     # earlier side: all covered cells; later side: start cell only
     x = iv.select(
         F.col("user_id").alias("x_user"),
-        F.col("day").alias("x_day"),
         F.col("iv_s").alias("x_s"),
         F.col("iv_e").alias("x_e"),
         F.explode(
@@ -245,20 +251,14 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     y = iv.select(
         F.col("user_id").alias("y_user"),
-        F.col("day").alias("y_day"),
         F.col("iv_s").alias("y_s"),
-        F.col("iv_e").alias("y_e"),
         (F.col("iv_s") / hour_us).cast("long").alias("cell"),
     )
-    # strict interval order (start, then user/day tiebreak) makes X the
+    # strict interval order (start, then user tiebreak) makes X the
     # earlier interval of the pair, so X's fan-out covers cell(Y.start);
     # overlap then reduces to Y.start <= X.end.
     earlier = (F.col("x_s") < F.col("y_s")) | (
-        (F.col("x_s") == F.col("y_s"))
-        & (
-            (F.col("x_user") < F.col("y_user"))
-            | ((F.col("x_user") == F.col("y_user")) & (F.col("x_day") < F.col("y_day")))
-        )
+        (F.col("x_s") == F.col("y_s")) & (F.col("x_user") < F.col("y_user"))
     )
     pairs = x.join(y, "cell").filter(
         (F.col("x_user") != F.col("y_user")) & earlier & (F.col("y_s") <= F.col("x_e"))
@@ -270,23 +270,22 @@ def interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain count, no count_distinct machinery (Expand) over the pair
     # stream needed.
     # canonical orientation first: the earlier-starting side flips day to
-    # day, so (u,v) and (v,u) would otherwise both survive to the union
-    # edges feeds BOTH branches of the direction union below; without
-    # materialization the full 34 M-pair cell join + aggregation subtree is
-    # duplicated in the physical plan (ReuseExchange does not fire across
-    # the differing parent projections — the q_user_cf_neighbors round-5
-    # finding). One eager checkpoint runs the pair pipeline once.
-    edges = (
-        pairs.groupBy(
-            F.least("x_user", "y_user").alias("u1"), F.greatest("x_user", "y_user").alias("u2")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    # day, so (u,v) and (v,u) would otherwise both survive to the fan-out.
+    # Round 9: the old shape eagerly checkpointed `edges` so the 34 M-pair
+    # subtree would not run once per direction-union branch; emitting BOTH
+    # orientations with one `inline` ON the aggregated edge stream (2 rows
+    # per unique (u1, u2) edge, produced inside the aggregation's output
+    # stage) keeps the pair pipeline single-consumer — no materialization
+    # barrier, no duplicated subtree, and the heavy pair stream is still
+    # map-side-combined exactly once (guide §2.4).
+    edges = pairs.groupBy(
+        F.least("x_user", "y_user").alias("u1"), F.greatest("x_user", "y_user").alias("u2")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     both = edges.select(
-        F.col("u1").alias("user_id"), F.col("u2").alias("peer"), "n"
-    ).unionByName(
-        edges.select(F.col("u2").alias("user_id"), F.col("u1").alias("peer"), "n")
+        F.expr(
+            "inline(array(named_struct('user_id', u1, 'peer', u2, 'n', n),"
+            " named_struct('user_id', u2, 'peer', u1, 'n', n)))"
+        )
     )
     return both.groupBy("user_id").agg(
         F.sum("n").cast("long").alias("n_overlaps"),
