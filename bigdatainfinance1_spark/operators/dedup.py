@@ -343,6 +343,7 @@ def _lsh_candidate_pairs(
     sig_family: str = "xxhash64",
     doc_pred: Column | None = None,
     dh: DataFrame | None = None,
+    ds: DataFrame | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs (doc_id_1 < doc_id_2): shingle → 32 seeded
     minhashes → 8 bands × 4 rows → band-bucket equi-join. Signatures are
@@ -370,7 +371,17 @@ def _lsh_candidate_pairs(
     doc's band keys depend only on its own shingles, so filtering early
     yields exactly the pairs whose BOTH endpoints satisfy the predicate."""
     if sig_family == "md5":
-        ds = _doc_shingles(spark, sf_dir)
+        # ``ds`` (the q_minhash_lsh caller's already-materialized string
+        # shingle relation, round-8 verdict task 6) lets both band-bucket
+        # self-join subtrees — which duplicate the whole signature pipeline
+        # under differing projections — read one materialized (doc_id, s)
+        # relation instead of re-running the corpus scan + shingle
+        # explode + distinct per subtree. Sharing stops BELOW the md5
+        # signatures on purpose: materializing the fat hex signatures
+        # themselves was measured 480 → 740 s at 100× (the re-shuffle trap
+        # documented at the sig checkpoint below).
+        if ds is None:
+            ds = _doc_shingles(spark, sf_dir)
         if doc_pred is not None:
             ds = ds.filter(doc_pred)
         sig = (
@@ -469,9 +480,19 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 longs, so round 3 (verdict task 4) demoted this formulation to
     verification duty: the production/scale path is q_minhash_lsh_fast
     (xxhash64 end-to-end), and tests/test_dedup.py asserts both families
-    produce the same verified pair set."""
-    candidates = _lsh_candidate_pairs(spark, sf_dir, sig_family="md5")
-    dh = _doc_shingle_hashes(spark, sf_dir)
+    produce the same verified pair set.
+
+    Round 9 (verdict task 6): ONE materialized string-shingle relation now
+    feeds all three corpus passes — both signature subtrees of the band
+    self-join (which duplicate the pipeline under differing projections)
+    and the exact verifier (whose hashed shingles are xxhash64 over the
+    same materialized strings — identical counts absent 64-bit collisions,
+    the caveat the oracle match itself checks). Sharing stays BELOW the
+    signatures, dodging the fat-hex re-shuffle that measured 480 → 740 s
+    at 100× when the sig relation itself was checkpointed."""
+    ds = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    candidates = _lsh_candidate_pairs(spark, sf_dir, sig_family="md5", ds=ds)
+    dh = ds.select("doc_id", F.xxhash64("s").alias("h"))
     return _verify_jaccard_pairs(dh, threshold=0.7, candidates=candidates)
 
 

@@ -71,91 +71,69 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's per-round correctness run caps at the FIRST 50 entries of
-# ``queries()`` in dict order. Rounds 1-7 drove 332 distinct queries (327
-# green on their latest row). This round-8 window follows VERDICT.md round 7
-# "Next round" tasks 1 and 3: it opens with the ONE retry —
-# q_weighted_reservoir_es (hash-red r5/r6/r7; the round-7 judge ROOT-CAUSED
-# the red to the oracle's population average typing as DuckDB HUGEINT →
-# pandas float64 while Spark emits LongType → int64 — same values, split
-# representation; this round the oracle CASTs the emission back to BIGINT,
-# so a green row closes the saga) — then 49 NEVER-checked names: the two
-# lineages this round's ADVICE fixes touched (q_ratio_delta_method sxy →
-# double landing) plus the two r7 overflow-fix lineages (q_jarque_bera,
-# q_breusch_pagan standardized quartics — fresh code deserves driver
-# evidence), then the verdict-named pre-measured pool (q_copurchase_pairs,
-# q_rfm_migration, q_ltv_tenure, q_erlang_c, q_team_draft_interleave,
-# q_rake_keywords, q_lof_outliers, q_synthetic_control), then
-# family-breadth picks across streaming/UDF/multimodal/IO/join/window/
-# aggregate/text/retrieval/sketch/storage backlog modules. All 50 carry
-# full DuckDB value-hash oracles; the tripwire test allows the retry
-# precisely because its LATEST driver row is non-green. Everything not
-# listed follows in registration order, so the r1-r7 windows remain
-# reproducible from git history.
+# ``queries()`` in dict order. Rounds 1-8 drove 381 distinct queries (ALL
+# green on their latest row — round 8 was the first 50/50). This round-9
+# window follows VERDICT.md round 8 "Next round" task 10: 50 NEVER-checked
+# names from the 221-name backlog, HEAVIEST FIRST by their recorded sf0.1
+# standalone time in BASELINE.md (a slot on a heavy query buys evidence on
+# the code with the most plan surface; the per-name time is in the comment).
+# All 50 carry full DuckDB value-hash oracles, none is in
+# ROWS_ONLY_BY_DESIGN, and none has any prior CORRECTNESS row (asserted by
+# tests/test_registry.py::test_window_rotation_spends_no_slot_on_checked_
+# queries). Everything not listed follows in registration order, so the
+# r1-r8 windows remain reproducible from git history. Backlog after this
+# window: 171 names.
 DRIVER_WINDOW_ORDER: tuple[str, ...] = (
-    # Re-green retry (verdict task 1): latest driver row non-green
-    "q_weighted_reservoir_es",    # r5-r7 hash red -> oracle CAST AS BIGINT
-    # ADVICE-touched this round + r7 overflow-fix lineages
-    "q_ratio_delta_method",
-    "q_jarque_bera",
-    "q_breusch_pagan",
-    # verdict-named pre-measured pool
-    "q_copurchase_pairs",
-    "q_rfm_migration",
-    "q_ltv_tenure",
-    "q_erlang_c",
-    "q_team_draft_interleave",
-    "q_rake_keywords",
-    "q_lof_outliers",
-    "q_synthetic_control",
-    # streaming (batch-equivalent availableNow, full SQL oracles)
-    "q_stream_foreach_upsert",
-    "q_stream_slo_burn",
-    "q_stream_hll_users",
-    # UDF surface
-    "q_udf_iter_series",
-    "q_udf_arrow_optimized",
-    # multimodal + IO/ETL
-    "q_frame_sample",
-    "q_incremental_mv",
-    "q_compact_small_files",
-    # joins
-    "q_asof_tolerance",
-    "q_null_safe_join",
-    "q_not_in_nulls",
-    # relational / pagination
-    "q_dedup_keep_first",
-    "q_keyset_pagination",
-    # windows
-    "q_gapfill_ffill",
-    "q_bollinger_bands",
-    # aggregates
-    "q_equidepth_histogram",
-    "q_moments_skew_kurt",
-    # text / LLM pipeline
-    "q_pmi_bigrams",
-    "q_doc_repetition",
-    "q_tokenizer_fertility",
-    "q_mixture_rebalance",
-    "q_dataset_card",
-    "q_word_subsampling",
-    "q_good_turing",
-    "q_oov_rate",
-    "q_rouge_n",
-    "q_readability",
-    "q_umass_coherence",
-    # retrieval
-    "q_err_ranking",
-    "q_rocchio_expansion",
-    # sketches / layout / scale patterns
-    "q_join_cardinality_estimate",
-    "q_data_skew_report",
-    "q_zorder_layout",
-    "q_key_skew_audit",
-    "q_cdc_chunking",
-    # record linkage + time series + streaming-design twin
-    "q_blocking_quality",
-    "q_hurst_exponent",
-    "q_watermark_design",
+    "q_forecast_combination",        # 15.2 s
+    "q_interarrival_burstiness",     # 13.6 s (grouped_lag lineage, r8 fix)
+    "q_boxcox_lambda",               # 11.3 s
+    "q_durbin_watson",               # 10.7 s
+    "q_modularity_brands",           # 8.8 s
+    "q_iv_wald_2sls",                # 8.1 s
+    "q_median_polish",               # 8.0 s
+    "q_tukey_hsd",                   # 7.3 s
+    "q_panel_within_estimator",      # 6.9 s (r8 decimal-widening lineage)
+    "q_huber_mean",                  # 6.8 s
+    "q_momentum_spread",             # 6.5 s
+    "q_abc_xyz",                     # 6.2 s (global_running_sum lineage)
+    "q_meta_analysis",               # 5.9 s
+    "q_influence_diagnostics",       # 5.9 s
+    "q_learning_curve",              # 5.9 s (r8 single-tokenize lineage)
+    "q_levene_test",                 # 5.9 s
+    "q_survival_rmst",               # 5.8 s
+    "q_compression_codecs",          # 5.6 s
+    "q_ljung_box",                   # 5.6 s
+    "q_ucb_replay",                  # 5.5 s
+    "q_adaboost_round",              # 5.1 s
+    "q_binary_segmentation",         # 5.0 s
+    "q_permutation_test",            # 5.0 s (r8 parallelize_scan lineage)
+    "q_western_electric",            # 5.0 s
+    "q_degree_assortativity",        # 4.9 s
+    "q_l28_engagement",              # 4.8 s
+    "q_fulfillment_aging",           # 4.7 s
+    "q_theta_method",                # 4.7 s
+    "q_information_coefficient",     # 4.6 s
+    "q_removal_effect_attribution",  # 4.6 s
+    "q_rmst",                        # 4.5 s
+    "q_cr4_concentration",           # 4.4 s
+    "q_conformal_interval",          # 4.3 s
+    "q_kruskal_wallis",              # 4.3 s
+    "q_placebo_did",                 # 4.3 s
+    "q_roll_measure",                # 4.3 s
+    "q_ridge_path",                  # 4.2 s
+    "q_ts_feature_vector",           # 4.1 s
+    "q_pacf",                        # 3.9 s
+    "q_tail_dependence",             # 3.9 s
+    "q_wilcoxon_signed_rank",        # 3.8 s
+    "q_fairness_metrics",            # 3.6 s
+    "q_cum_return",                  # 3.5 s
+    "q_garman_klass",                # 3.4 s
+    "q_uncertainty_sampling",        # 3.4 s
+    "q_sprt_monitor",                # 3.4 s
+    "q_burrows_delta",               # 3.3 s (r8 TakeOrdered lineage)
+    "q_competing_risks",             # 3.3 s
+    "q_distance_correlation",        # 3.3 s
+    "q_ou_halflife",                 # 3.3 s
 )
 
 
